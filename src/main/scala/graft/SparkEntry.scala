@@ -1,13 +1,286 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator family from SURVEY.md §2 (or a
+  * training-data-pipeline extension), and every entry in [[oracleSql]] is the
+  * equivalent DuckDB SQL over the same parquet tables. Hash-based operators
+  * (fingerprint, MinHash, SimHash, LSH) use the engine-portable deterministic
+  * hashing in [[graft.functions.TextHash]] so they verify value-for-value,
+  * not just row-count.
+  */
 object SparkEntry {
+
+  /** Shared SQL fragment: the portable polynomial hash of a string expr
+    * (mirrors [[graft.functions.TextHash.polyHash]]). */
+  private def sqlPolyHash(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(generate_series(1, length($s)), p -> CAST(unicode(substr($s, p, 1)) AS BIGINT))), " +
+      s"(a, c) -> (a * 31 + c) % 1000000007)"
+
+  /** Shared SQL fragment: left-to-right double cosine (mirrors
+    * [[graft.functions.VectorMath.cosine]]). */
+  private def sqlCosine(a: String, b: String): String = {
+    def sum(expr: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $expr), (x, y) -> x + y)"
+    val dot = sum(s"list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+    val na = sum(s"list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))")
+    val nb = sum(s"list_transform(generate_series(1, len($b)), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+    s"($dot / (sqrt($na) * sqrt($nb)))"
+  }
+
+  /** Shared SQL fragment: DISTINCT (doc_id, shingle) word-3-grams. */
+  private val sqlShingles: String =
+    """toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+      |       FROM toks, LATERAL (SELECT unnest(generate_series(1, CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END)) AS i) g)""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    HourlyRollup(Tables.events(spark, "/root/testdata/sf0.001"), "ts", "user_id")
+
+  /** One entry per implemented operator from SURVEY.md §2 + extensions. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference parity (SURVEY.md §2) ----
+    "q1_total_distinct" -> ((s, d) => SavedAnalytics.totalDistinct(s, d)),
+    "q2_count_by_group" -> ((s, d) => SavedAnalytics.countByGroup(s, d)),
+    "q3_topk_per_group" -> ((s, d) => SavedAnalytics.topKPerGroup(s, d)),
+    "q4_hourly_rollup" -> ((s, d) => HourlyRollup(Tables.events(s, d), "ts", "user_id")),
+    "q5_filter_project" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp") && col("l_quantity") < 25)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 7).as("revenue"))),
+    "q6_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).select(col("l_returnflag"), col("l_linestatus")).distinct()),
+    "q7_global_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)),
+    "q8_union" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey")))
+        .distinct()),
+    "q9_intersect" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))),
+    "q10_except" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))),
+    "j1_json_extract" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))),
+    // ---- text analysis ----
+    "t1_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
+    "t2_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
+    "t3_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "t4_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
+    // ---- deduplication ----
+    "d1_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "d2_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(Tables.documents(s, d))),
+    "d3_minhash_lsh" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
+    "d4_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "d5_embedding_dup" -> ((s, d) => Dedup.embeddingPairs(Tables.embeddings(s, d))),
+    // ---- similarity search ----
+    "s1_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
+    "s2_ann_lsh" -> ((s, d) => Similarity.lshNeighbors(Tables.embeddings(s, d))),
+    // ---- multimodal (binary column plumbing; see operators.Multimodal) ----
+    "m1_multimodal_meta" -> ((s, d) =>
+      Multimodal.metadata(Tables.documents(s, d).select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload")))))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_total_distinct" ->
+      """SELECT count(DISTINCT c.c_custkey) AS total_customers
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin,
+    "q2_count_by_group" ->
+      """SELECT c.c_mktsegment, count(DISTINCT c.c_custkey) AS num_customers
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin,
+    "q3_topk_per_group" ->
+      """WITH j AS (SELECT DISTINCT c.c_custkey, c.c_mktsegment
+        |           FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey),
+        |w AS (SELECT c_custkey, c_mktsegment,
+        |             row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn
+        |      FROM j)
+        |SELECT c_custkey, c_mktsegment, rn FROM w WHERE rn <= 500""".stripMargin,
+    "q4_hourly_rollup" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS ts, event_id, user_id, event_type, value, props
+        |           FROM events)
+        |SELECT ts, user_id,
+        |       min(event_id) AS event_id_min, min(ts) AS ts_min, min(user_id) AS user_id_min,
+        |       min(event_type) AS event_type_min, round(avg(value), 7) AS value_mean,
+        |       min(props) AS props_min
+        |FROM e GROUP BY ts, user_id""".stripMargin,
+    "q5_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(l_extendedprice * (1 - l_discount), 7) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_quantity < 25""".stripMargin,
+    "q6_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q7_global_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q8_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier""".stripMargin,
+    "q9_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q10_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "j1_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+    "t1_token_count" ->
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')) AS BIGINT) AS bpe_tokens
+         |FROM documents""".stripMargin,
+    "t2_quality" -> {
+      val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |         CAST(length(text) AS BIGINT) AS n_chars,
+         |         CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'), w -> w IN ($stop))) AS BIGINT) AS n_stop,
+         |         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_chars, n_tokens,
+         |         CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mtl,
+         |         CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS sr,
+         |         CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE) AS dr
+         |  FROM q)
+         |SELECT doc_id, n_chars, n_tokens,
+         |       round(mtl, 7) AS mean_token_len,
+         |       round(sr, 7) AS stopword_ratio,
+         |       round(dr, 7) AS digit_ratio,
+         |       round(CASE WHEN n_tokens < 5 THEN 0.0
+         |                  ELSE 0.5 * least(sr * 4.0, 1.0)
+         |                     + 0.3 * (CASE WHEN mtl >= 3.0 AND mtl <= 8.0 THEN 1.0 ELSE 0.0 END)
+         |                     + 0.2 * (1.0 - least(dr * 10.0, 1.0)) END, 7) AS quality_score
+         |FROM r""".stripMargin
+    },
+    "t3_langid" -> {
+      val markerCols = TextAnalysis.LangMarkers.map { case (lang, ws) =>
+        val set = ws.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(toks, w -> w IN ($set))) AS BIGINT) AS n_$lang"
+      }.mkString(",\n         ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val cases = langs.map(l => s"WHEN n_$l = m AND m > 0 THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), ' +') AS toks FROM documents),
+         |h AS (
+         |  SELECT doc_id, lang,
+         |         $markerCols
+         |  FROM t),
+         |g AS (SELECT *, greatest(${langs.map("n_" + _).mkString(", ")}) AS m FROM h)
+         |SELECT doc_id, lang AS lang_declared,
+         |       CASE $cases ELSE 'unknown' END AS lang_pred
+         |FROM g""".stripMargin
+    },
+    "t4_fingerprint" ->
+      s"""SELECT doc_id,
+         |       ${sqlPolyHash("text")} AS fingerprint,
+         |       md5(text) AS md5
+         |FROM documents""".stripMargin,
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "d2_jaccard_pairs" ->
+      s"""WITH $sqlShingles,
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |jac AS (SELECT doc_a, doc_b,
+         |               round(CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE), 7) AS jaccard
+         |        FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5""".stripMargin,
+    "d3_minhash_lsh" ->
+      s"""WITH $sqlShingles,
+         |hs AS (SELECT doc_id, ${sqlPolyHash("shingle")} AS h FROM sh),
+         |perms AS (SELECT i FROM generate_series(0, ${Dedup.MinhashK - 1}) t(i)),
+         |sig AS (SELECT doc_id, i,
+         |               min((((i * 2654435761) % 1000000007 + 1) * h + (i * 40503 + 7) % 1000000007) % 1000000007) AS mh
+         |        FROM hs CROSS JOIN perms GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, CAST(i // ${Dedup.BandR} AS INT) AS band,
+         |                 sum((i % ${Dedup.BandR} + 1) * mh) AS band_key
+         |          FROM sig GROUP BY 1, 2),
+         |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          JOIN cands c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+         |          GROUP BY 1, 2),
+         |jac AS (SELECT doc_a, doc_b,
+         |               round(CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE), 7) AS jaccard
+         |        FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5""".stripMargin,
+    "d4_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS tok FROM documents),
+         |hs AS (SELECT doc_id, ${sqlPolyHash("tok")} AS h FROM tok),
+         |bits AS (SELECT j, CAST(1 AS BIGINT) << j AS p2 FROM generate_series(0, ${Dedup.SimhashBits - 1}) t(j)),
+         |w AS (SELECT doc_id, j, p2,
+         |             sum(CASE WHEN (h & p2) <> 0 THEN 1 ELSE -1 END) AS w
+         |      FROM hs CROSS JOIN bits GROUP BY doc_id, j, p2)
+         |SELECT doc_id, CAST(sum(CASE WHEN w > 0 THEN p2 ELSE 0 END) AS BIGINT) AS simhash
+         |FROM w GROUP BY doc_id""".stripMargin,
+    "d5_embedding_dup" ->
+      s"""WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |                  a.embedding AS ea, b.embedding AS eb
+         |           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+         |s AS (SELECT vec_a, vec_b, ${sqlCosine("ea", "eb")} AS cosine FROM p)
+         |SELECT vec_a, vec_b, round(cosine, 7) AS cosine FROM s WHERE cosine >= 0.45""".stripMargin,
+    "s1_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id, ${sqlCosine("qe", "ce")} AS cosine
+         |      FROM q JOIN c ON query_id <> neighbor_id),
+         |w AS (SELECT query_id, neighbor_id, cosine,
+         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
+         |      FROM s)
+         |SELECT query_id, neighbor_id, round(cosine, 7) AS cosine, "rank" FROM w WHERE "rank" <= 5""".stripMargin,
+    "s2_ann_lsh" ->
+      s"""WITH bits AS (SELECT b, CAST(1 AS BIGINT) << b AS p2 FROM generate_series(0, 7) t(b)),
+         |proj AS (SELECT vec_id, b, p2,
+         |                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |                  list_transform(generate_series(1, len(embedding)),
+         |                    i -> CAST(embedding[i] AS DOUBLE) *
+         |                         ((CAST((b * 7919 + (i - 1) * 104729 + 12345) % 1000003 AS DOUBLE) / 1000003.0) - 0.5))),
+         |                  (x, y) -> x + y) AS proj
+         |         FROM embeddings CROSS JOIN bits),
+         |sig AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS bucket
+         |        FROM proj GROUP BY vec_id),
+         |pairs AS (SELECT DISTINCT sa.vec_id AS vec_a, sb.vec_id AS vec_b
+         |          FROM sig sa JOIN sig sb ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id),
+         |s AS (SELECT vec_a, vec_b, ${sqlCosine("ea.embedding", "eb.embedding")} AS cosine
+         |      FROM pairs JOIN embeddings ea ON ea.vec_id = vec_a
+         |                 JOIN embeddings eb ON eb.vec_id = vec_b)
+         |SELECT vec_a, vec_b, round(cosine, 7) AS cosine FROM s WHERE cosine >= 0.3""".stripMargin,
+    "m1_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(strlen(text) AS BIGINT) AS byte_len,
+        |       md5(text) AS content_md5,
+        |       CAST(strlen(text) // 256 + 1 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin)
 }

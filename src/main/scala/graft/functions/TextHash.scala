@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hashing primitives used by the dedup /
+  * fingerprint operators. A 31-ary polynomial rolling hash over character
+  * codes mod the prime 1e9+7 — chosen over `xxhash64` because the exact same
+  * fold is expressible in ANSI SQL (the DuckDB oracle computes it with
+  * `list_reduce`), so hash-based operators get full value-level verification
+  * rather than rows-only checks.
+  *
+  * All arithmetic stays in non-negative BIGINT range: acc < 1e9+7, so
+  * acc*31 + code < 2^63. The fold is a native Catalyst higher-order
+  * `aggregate` expression — no Scala UDF, no serialization boundary.
+  */
+object TextHash {
+
+  val Prime = 1000000007L
+
+  /** Polynomial rolling hash of a string column: fold(chars)(acc*31+code mod P). */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(
+        sequence(lit(1), length(s)),
+        i => ascii(substring(s, i, lit(1))).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * lit(31L) + c) % lit(Prime))
+
+  /** The i-th MinHash permutation of an already-poly-hashed value:
+    * (a_i * h + b_i) mod P with a_i, b_i derived deterministically from i.
+    * a_i < P and h < P so a_i*h < ~1e18 < 2^63.
+    */
+  def minhashPerm(h: Column, i: Column): Column = {
+    val a = (i.cast("long") * lit(2654435761L)) % lit(Prime) + lit(1L)
+    val b = (i.cast("long") * lit(40503L) + lit(7L)) % lit(Prime)
+    (a * h + b) % lit(Prime)
+  }
+
+  private def substring(s: Column, pos: Column, len: Column): Column =
+    org.apache.spark.sql.functions.substring(s, pos, len)
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextHash, VectorMath}
+
+/** Deduplication operators for a pretraining-data pipeline, in increasing
+  * sophistication: exact (hash group-by), n-gram Jaccard (exact set
+  * similarity), MinHash + LSH (the scale path for near-dup detection),
+  * SimHash signatures, and embedding-cosine near-dup.
+  *
+  * Scale design:
+  *  - Exact dedup groups on md5(text), never on the full text → the shuffle
+  *    carries 32-byte keys, not documents.
+  *  - Jaccard works on DISTINCT (doc, shingle) pairs; the shingle join is a
+  *    shuffle on the shingle hash (uniform), and candidate pairs are counted
+  *    with a map-side-combined groupBy. At 100 TB you'd run MinHash first and
+  *    reserve the exact join for candidate verification — which is exactly
+  *    what [[minhashPairs]] does.
+  *  - MinHash: k=32 permutations of one polynomial shingle hash; bands of
+  *    r=2 → 16 band keys per doc. Only docs sharing a band key ever meet, so
+  *    the pair space is LSH-pruned, not O(n²). All hashing is deterministic
+  *    ([[TextHash]]) so the DuckDB oracle replays the identical pipeline.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct text (keyed by md5), keeping the
+    * smallest doc_id; n_copies counts the group size. */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** DISTINCT (doc_id, shingle) word n-grams of the text column. Documents
+    * with fewer than n tokens yield no shingles (sequence() would count
+    * DOWN for start > stop, so the short case is guarded explicitly). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val starts =
+      when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+        .otherwise(array().cast("array<int>"))
+    docs
+      .select(
+        col("doc_id"),
+        explode(transform(starts, i => concat_ws(" ", slice(toks, i, lit(n))))).as("shingle"))
+      .distinct()
+  }
+
+  /** Per-document shingle-set sizes. */
+  private def shingleCounts(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+
+  /** Exact n-gram Jaccard near-dup pairs: all (a < b) pairs with
+    * |A∩B| / |A∪B| >= threshold over word-3-gram shingle sets. */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, n).cache()
+    val cnt = shingleCounts(sh)
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a
+      .join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    val ca = cnt.select(col("doc_id").as("doc_a"), col("n_shingles").as("n_a"))
+    val cb = cnt.select(col("doc_id").as("doc_b"), col("n_shingles").as("n_b"))
+    inter
+      .join(broadcast(ca), Seq("doc_a"))
+      .join(broadcast(cb), Seq("doc_b"))
+      .withColumn(
+        "jaccard",
+        round(
+          col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double"),
+          7))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  val MinhashK = 32 // permutations
+  val BandR = 2     // rows per band → 16 bands
+
+  /** MinHash signatures: one row per (doc_id, i) with the i-th min-hash. */
+  def minhashSignatures(sh: DataFrame): DataFrame =
+    sh
+      .select(col("doc_id"), TextHash.polyHash(col("shingle")).as("h"))
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(0), lit(MinhashK - 1))).as("i"),
+        col("h"))
+      .select(col("doc_id"), col("i"), TextHash.minhashPerm(col("h"), col("i")).as("ph"))
+      .groupBy("doc_id", "i")
+      .agg(min(col("ph")).as("mh"))
+
+  /** LSH band keys: band = i/r, key = Σ (i%r + 1)·mh over the band (order-
+    * independent, deterministic; fits in bigint: r·(r+1)/2·P < 2^33). */
+  def lshBands(sig: DataFrame): DataFrame =
+    sig
+      .groupBy(col("doc_id"), (col("i") / BandR).cast("int").as("band"))
+      .agg(sum((col("i") % BandR + 1) * col("mh")).as("band_key"))
+
+  /** MinHash+LSH near-dup pairs: candidates = docs sharing any (band,
+    * band_key); verified with exact shingle Jaccard >= threshold. Output is
+    * (doc_a, doc_b, jaccard) for verified candidates. */
+  def minhashPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, n).cache()
+    val bands = lshBands(minhashSignatures(sh))
+    val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+    val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
+    val cands = l
+      .join(r, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    // Exact verification restricted to the candidate set.
+    val cnt = shingleCounts(sh)
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a
+      .join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    val ca = cnt.select(col("doc_id").as("doc_a"), col("n_shingles").as("n_a"))
+    val cb = cnt.select(col("doc_id").as("doc_b"), col("n_shingles").as("n_b"))
+    inter
+      .join(broadcast(ca), Seq("doc_a"))
+      .join(broadcast(cb), Seq("doc_b"))
+      .withColumn(
+        "jaccard",
+        round(
+          col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double"),
+          7))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  val SimhashBits = 30 // poly-hash values are < 1e9+7 < 2^30
+
+  /** SimHash signatures: per-doc 30-bit fingerprint from token poly-hashes.
+    * Bit j is set when Σ_tokens (2·bit_j(h) − 1) > 0. `bits` is a tiny
+    * broadcast table (j, 2^j) — avoids non-literal shift limitations and is
+    * reproduced identically by the oracle. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bits = spark.createDataset(Seq.tabulate(SimhashBits)(j => (j, 1L << j))).toDF("j", "p2")
+    docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), TextHash.polyHash(col("tok")).as("h"))
+      .crossJoin(broadcast(bits))
+      .groupBy("doc_id", "j", "p2")
+      .agg(sum(when(col("h").bitwiseAND(col("p2")) =!= 0L, 1L).otherwise(-1L)).as("w"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("w") > 0, col("p2")).otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** Embedding-cosine near-dup pairs (exact, all-pairs — the verification
+    * path; [[Similarity.lshNeighbors]] is the LSH-pruned scale path). */
+  def embeddingPairs(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine", VectorMath.cosine(col("ea"), col("eb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 7).as("cosine"))
+  }
+}

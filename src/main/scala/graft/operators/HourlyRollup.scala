@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+/** The reference's core ETL transform (SURVEY.md §2.4 A1–A5): floor the
+  * timestamp column to the hour, hash-group by (timestamp, building id),
+  * aggregate EVERY column with dtype-driven rules (floating → mean, anything
+  * else → min — reference `worker.py:110-122`), name the aggregate outputs
+  * `{col}_{fn}` (the pyarrow suffix contract, `worker.py:113-126`; the saved
+  * SQL joins on `bldg_id_min`, `sql/saved-queries.sql:14`), and round every
+  * float aggregate to 7 decimal places (`worker.py:14,127-135`).
+  *
+  * Spark-first design notes (100 TB posture):
+  *  - `date_trunc` + `groupBy` stays inside whole-stage codegen; the single
+  *    shuffle is on (hour, id) — high-cardinality and uniform, so no skew.
+  *  - Partial aggregation (map-side combine) is automatic for min/avg, so
+  *    the shuffle carries one row per (hour, id) per input partition, not
+  *    per 15-minute reading.
+  *  - The agg-rule synthesis is plan construction over `df.schema` (ordinary
+  *    Scala), not a runtime UDF — zero interpretation overhead per row.
+  */
+object HourlyRollup {
+
+  val DecimalPlaces = 7 // reference worker.py:14
+
+  /** Floor `tsCol` to the hour in the session time zone (UTC — the reference
+    * computes the floor in epoch-ms UTC space, `worker.py:76-97`). */
+  def floorToHour(df: DataFrame, tsCol: String = "timestamp"): DataFrame =
+    df.withColumn(tsCol, date_trunc("hour", col(tsCol)))
+
+  private def isFloating(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == DoubleType || dt == FloatType
+
+  /** Full rollup. Group keys = (tsCol, idCol) when idCol is present, else
+    * just tsCol (reference fallback `worker.py:105-109`). Output schema:
+    * unsuffixed group keys first, then `{col}_{min|mean}` for every input
+    * column (keys included — the reference aggregates keys too).
+    */
+  def apply(
+      df: DataFrame,
+      tsCol: String = "timestamp",
+      idCol: String = "bldg_id"): DataFrame = {
+    val floored = floorToHour(df, tsCol)
+    val keys: Seq[String] =
+      if (df.columns.contains(idCol)) Seq(tsCol, idCol) else Seq(tsCol)
+
+    val aggs: Seq[Column] = floored.schema.fields.toSeq.map { f =>
+      if (isFloating(f.dataType))
+        round(avg(col(f.name)), DecimalPlaces).as(s"${f.name}_mean")
+      else
+        min(col(f.name)).as(s"${f.name}_min")
+    }
+    floored
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads modeled as opaque
+  * `binary` columns with typed metadata, processed in partition-sized batches.
+  *
+  * The actual codec step is STUBBED ([[FakeCodec]] — this container has no
+  * image/audio libraries); everything Spark-side is real: the schema
+  * contract, the `mapPartitions` batch shape (one codec instance per
+  * partition, streamed row iterator — exactly how a JNI/FFI decoder would be
+  * driven at scale), and the partitioning behavior (per-row work, no
+  * shuffle).
+  */
+object Multimodal {
+
+  /** Cheap per-payload metadata — pure Catalyst expressions, no decode. */
+  def metadata(df: DataFrame): DataFrame =
+    df.select(
+      col("doc_id"),
+      length(col("payload")).cast("long").as("byte_len"),
+      md5(col("payload")).as("content_md5"),
+      (floor(length(col("payload")).cast("long") / 256) + 1).cast("long").as("n_frames"))
+
+  /** The decode seam. A real implementation would wrap an image/audio codec
+    * (initialized once per partition); the fake is deterministic so tests
+    * can assert on it. */
+  trait Codec extends Serializable {
+    /** payload → (width, height, channels, meanIntensity) */
+    def decode(payload: Array[Byte]): (Int, Int, Int, Double)
+  }
+
+  /** Deterministic stand-in for the missing codec libraries. */
+  object FakeCodec extends Codec {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Double) = {
+      val n = payload.length
+      val mean = if (n == 0) 0.0 else payload.map(b => (b & 0xff).toDouble).sum / n
+      (n % 640 + 1, n % 480 + 1, 3, mean)
+    }
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("mean_intensity", DoubleType)))
+
+  /** Feature extraction over (doc_id, payload) rows: one codec per
+    * partition, rows streamed through it — the batch shape a real
+    * decoder (or a `mapInPandas` UDF in the PySpark twin) would use. */
+  def extractFeatures(df: DataFrame, codec: Codec = FakeCodec): DataFrame = {
+    val spark = df.sparkSession
+    val rows: Dataset[Row] = df.select(col("doc_id").cast("long"), col("payload"))
+    val encoder = org.apache.spark.sql.Encoders.row(featureSchema)
+    rows.mapPartitions { it =>
+      // per-partition codec init happens here (stub has none)
+      it.map { r =>
+        val (w, h, c, m) = codec.decode(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), w, h, c, m)
+      }
+    }(encoder)
+  }
+
+  /** Deterministic frame sampling: every `stride`-th 256-byte block of the
+    * payload becomes a "frame" row — the video-sampling plumbing with the
+    * decode stubbed to a slice. */
+  def sampleFrames(df: DataFrame, stride: Int = 4): DataFrame =
+    df.select(
+      col("doc_id"),
+      posexplode(
+        filter(
+          transform(
+            sequence(lit(0), greatest(floor((length(col("payload")) - 1) / 256).cast("int"), lit(0))),
+            i => when(i % stride === 0, substring(col("payload"), i * lit(256) + 1, lit(256))))
+          , x => x.isNotNull)).as(Seq("frame_idx", "frame_bytes")))
+}

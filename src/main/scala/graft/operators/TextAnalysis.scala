@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Text-analysis operators for a training-data pipeline over the `documents`
+  * table: token counting, quality scoring, language-ID heuristic, and
+  * document fingerprinting. Everything is a native Catalyst expression
+  * (regexp / higher-order functions) — per-row work, no shuffle, scales
+  * linearly with input splits at any data size.
+  *
+  * Portability: ratios divide exact integer counts as doubles and the
+  * fingerprint uses [[TextHash.polyHash]], so the DuckDB oracle reproduces
+  * every value exactly.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a trimmed text column. */
+  def tokens(text: Column): Column = split(trim(text), " +")
+
+  /** A BPE-ish word/number/symbol token pattern (letters run | digit run |
+    * single non-space symbol) — the kind of pre-tokenization count used to
+    * estimate LLM token budgets. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens per document. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit(BpeishPattern)).cast("long").as("bpe_tokens"))
+
+  /** English-ish stopwords drawn from the fixture vocabulary. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "in", "and", "is")
+
+  /** Quality scoring: length, token stats, stopword ratio, digit ratio, and
+    * a composite score in [0,1] — the standard cheap heuristics used to
+    * filter web-scraped pretraining text. */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val nChar = length(col("text")).cast("long")
+    val nStop = size(filter(t, w => w.isInCollection(Stopwords))).cast("long")
+    val nDigit = regexp_count(col("text"), lit("[0-9]")).cast("long")
+    val meanTokLen = (nChar - (nTok - lit(1L))).cast("double") / nTok.cast("double")
+    val stopRatio = nStop.cast("double") / nTok.cast("double")
+    val digitRatio = nDigit.cast("double") / nChar.cast("double")
+    // Composite: reward stopword presence and 3-8 char mean tokens; punish digits.
+    val score =
+      when(nTok < 5, lit(0.0d))
+        .otherwise(
+          lit(0.5d) * least(stopRatio * lit(4.0d), lit(1.0d)) +
+          lit(0.3d) * when(meanTokLen >= 3.0d && meanTokLen <= 8.0d, lit(1.0d)).otherwise(lit(0.0d)) +
+          lit(0.2d) * (lit(1.0d) - least(digitRatio * lit(10.0d), lit(1.0d))))
+    docs.select(
+      col("doc_id"),
+      nChar.as("n_chars"),
+      nTok.as("n_tokens"),
+      round(meanTokLen, 7).as("mean_token_len"),
+      round(stopRatio, 7).as("stopword_ratio"),
+      round(digitRatio, 7).as("digit_ratio"),
+      round(score, 7).as("quality_score"))
+  }
+
+  /** Marker-word profiles for the language-ID heuristic. Real pipelines use
+    * character-n-gram models; over the synthetic fixture vocabulary a
+    * marker-word vote with a deterministic precedence order (en > de > fr >
+    * es > zh on ties) is the honest equivalent. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "is"),
+    "de" -> Seq("und", "der", "die", "das"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "es" -> Seq("el", "los", "las", "que"),
+    "zh" -> Seq("de", "shi", "zai", "he"))
+
+  /** Language-ID: argmax of marker-word hits with fixed precedence. */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val hits: Seq[(String, Column)] = LangMarkers.map { case (lang, ws) =>
+      lang -> size(filter(t, w => w.isInCollection(ws))).cast("long")
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    // First language (in precedence order) whose hit count equals the max;
+    // all-zero → "unknown".
+    val pred = hits.reverse.foldLeft(lit("unknown")) { case (acc, (lang, h)) =>
+      when(h === best && best > 0L, lit(lang)).otherwise(acc)
+    }
+    docs.select(
+      col("doc_id"),
+      col("lang").as("lang_declared"),
+      pred.as("lang_pred"))
+  }
+
+  /** Document fingerprint: rolling polynomial hash of the full text — the
+    * cheap exact-dup / shard-routing key. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      TextHash.polyHash(col("text")).as("fingerprint"),
+      md5(col("text")).as("md5"))
+}
