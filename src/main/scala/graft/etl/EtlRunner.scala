@@ -1,0 +1,64 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.EtlConfig
+import graft.operators.HourlyRollup
+
+/** `etl_main` equivalent (`main.py:44-133` minus the process plumbing):
+  * per job — partition-pruned read → hourly rollup → partitioned snappy
+  * write → metadata bypass → catalog registration — then one tracker
+  * summary for the run. The reference's worker pool, queues, crash monitor
+  * and backoff are all subsumed by Spark's scheduler (SURVEY.md §2.11).
+  */
+final case class EtlResult(
+    runRoot: String,
+    report: RunReport,
+    dataTables: Seq[String],
+    metadataTables: Seq[String])
+
+object EtlRunner {
+
+  val DataTablePrefix = "oedi_data"
+  val MetadataTablePrefix = "oedi_metadata"
+
+  def run(spark: SparkSession, config: EtlConfig): EtlResult = {
+    val t0 = System.nanoTime()
+    val root = Sink.runRoot(config.settings.output_dir)
+    val reports = scala.collection.mutable.ArrayBuffer.empty[JobReport]
+    val dataTables = scala.collection.mutable.ArrayBuffer.empty[String]
+    val metaTables = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    config.job_specific.zipWithIndex.foreach { case (job, i) =>
+      val name = job.jobName(i)
+      val data = PartitionedSource.readData(
+        spark, config.settings.base_partition, config.settings.data_partition_in_release, job)
+      // Listed = files under the job's partition prefixes (the reference's
+      // per-prefix listing, indexer.py:204-207). NOT data.inputFiles, which
+      // reports the whole relation before partition pruning.
+      val listed = PathResolver.dataPrefixes(
+        config.settings.base_partition, config.settings.data_partition_in_release, job)
+        .map(Tracker.countFiles).sum
+      val rowsIn = data.count()
+      val rolled = HourlyRollup(data, passThrough = Seq("upgrade", "state", "county"))
+      val dataOut = Sink.writeData(rolled, root, name)
+      val rowsOut = spark.read.option("basePath", dataOut).parquet(dataOut).count()
+      val filesOut = Tracker.countFiles(dataOut)
+
+      val meta = PartitionedSource.readMetadata(spark, job)
+      val (metaListed, metaWritten) = meta match {
+        case Some(m) =>
+          val n = m.inputFiles.length.toLong
+          val out = Sink.writeMetadata(m, root, name)
+          metaTables += CatalogRegistry.registerMetadata(spark, out, MetadataTablePrefix)
+          (n, Tracker.countFiles(out))
+        case None => (0L, 0L)
+      }
+      dataTables += CatalogRegistry.registerData(spark, dataOut, DataTablePrefix, job.state)
+      reports += JobReport(name, listed, rowsIn, rowsOut, filesOut, metaListed, metaWritten)
+    }
+
+    val report = RunReport((System.nanoTime() - t0) / 1e9, reports.toSeq)
+    EtlResult(root, report, dataTables.toSeq, metaTables.toSeq)
+  }
+}

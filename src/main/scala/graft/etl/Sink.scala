@@ -1,0 +1,45 @@
+package graft.etl
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.spark.sql.DataFrame
+
+/** Output layout of the reference (SURVEY.md §2.1 S7/S8): a run-stamped
+  * root (`main.py:47-49` — `{output_dir}/{YYYY-MM-DD-HH-MM-SS}/`), a
+  * per-job subdirectory (`worker.py:207`), Hive partition dirs preserved
+  * (`worker.py:201-210`), snappy parquet (`worker.py:184,196`).
+  *
+  * Unlike the reference (one output file per input file, one process each),
+  * the partitioned write shuffles nothing: each task writes its split into
+  * the right `upgrade=/state=` directory via dynamic partition overwrite.
+  */
+object Sink {
+
+  private val stampFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd-HH-mm-ss").withZone(ZoneOffset.UTC)
+
+  def runRoot(outputDir: String, at: Instant = Instant.now()): String =
+    s"$outputDir/${stampFmt.format(at)}"
+
+  /** Write the transformed data partitioned by the partition columns that
+    * survived the read (upgrade/state[/county]). */
+  def writeData(df: DataFrame, runRoot: String, jobName: String): String = {
+    val out = s"$runRoot/$jobName/data"
+    val partCols = Seq("upgrade", "state", "county").filter(df.columns.contains)
+    df.write
+      .mode("overwrite")
+      .option("compression", "snappy")
+      .partitionBy(partCols: _*)
+      .parquet(out)
+    out
+  }
+
+  /** Metadata bypass (S6): re-encode through the parquet reader/writer.
+    * The reference copies bytes verbatim (`worker.py:171-173,191-192`); a
+    * re-encode keeps identical rows while normalizing encodings. */
+  def writeMetadata(df: DataFrame, runRoot: String, jobName: String): String = {
+    val out = s"$runRoot/$jobName/metadata"
+    df.write.mode("overwrite").option("compression", "snappy").parquet(out)
+    out
+  }
+}

@@ -37,21 +37,32 @@ object HourlyRollup {
     * just tsCol (reference fallback `worker.py:105-109`). Output schema:
     * unsuffixed group keys first, then `{col}_{min|mean}` for every input
     * column (keys included — the reference aggregates keys too).
+    *
+    * `passThrough` names columns that ride along as extra group keys but are
+    * NOT aggregated — Hive partition columns (`upgrade`/`state`/`county`).
+    * In the reference these travel on the object key, not in the file
+    * (`worker.py:201-210`); Spark's partition discovery materializes them as
+    * columns, so they must stay unsuffixed group keys for the partitioned
+    * write to re-partition by them.
     */
   def apply(
       df: DataFrame,
       tsCol: String = "timestamp",
-      idCol: String = "bldg_id"): DataFrame = {
+      idCol: String = "bldg_id",
+      passThrough: Seq[String] = Nil): DataFrame = {
     val floored = floorToHour(df, tsCol)
+    val pt = passThrough.filter(df.columns.contains)
     val keys: Seq[String] =
-      if (df.columns.contains(idCol)) Seq(tsCol, idCol) else Seq(tsCol)
+      (if (df.columns.contains(idCol)) Seq(tsCol, idCol) else Seq(tsCol)) ++ pt
 
-    val aggs: Seq[Column] = floored.schema.fields.toSeq.map { f =>
-      if (isFloating(f.dataType))
-        round(avg(col(f.name)), DecimalPlaces).as(s"${f.name}_mean")
-      else
-        min(col(f.name)).as(s"${f.name}_min")
-    }
+    val aggs: Seq[Column] = floored.schema.fields.toSeq
+      .filterNot(f => pt.contains(f.name))
+      .map { f =>
+        if (isFloating(f.dataType))
+          round(avg(col(f.name)), DecimalPlaces).as(s"${f.name}_mean")
+        else
+          min(col(f.name)).as(s"${f.name}_min")
+      }
     floored
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)

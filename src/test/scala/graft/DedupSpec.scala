@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different words entirely here now"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "tiny doc") // < 3 tokens → no shingles
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps the min id") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length === 4)
+    val dupGroup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupGroup.getAs[Long]("keep_id") === 0L)
+  }
+
+  test("shingles: distinct word 3-grams; short docs yield none") {
+    val sh = Dedup.shingles(docs)
+    assert(sh.filter($"doc_id" === 4L).count() === 0)
+    val first = sh.filter($"doc_id" === 0L).collect().map(_.getString(1)).toSet
+    assert(first.contains("the quick brown"))
+    assert(first.contains("the lazy dog"))
+    assert(first.size === 7) // 9 tokens → 7 shingles, all distinct
+  }
+
+  test("jaccard pairs find the planted near-dup and exact dup") {
+    val pairs = Dedup.jaccardPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 3L))) // exact: jaccard 1.0
+    assert(keys.contains((0L, 1L))) // near: 6/8
+    assert(pairs.find(p => (p._1, p._2) == (0L, 3L)).get._3 === 1.0)
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 === 0.75)
+    assert(!keys.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash LSH pairs match exact jaccard pairs on planted dups") {
+    val exact = Dedup.jaccardPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+  }
+
+  test("simhash: identical texts share a signature; signatures fit in 30 bits") {
+    val sig = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) === sig(3L))
+    assert(sig.values.forall(v => v >= 0 && v < (1L << 30)))
+    assert(sig(0L) !== sig(2L))
+  }
+
+  test("embedding near-dup pairs flag identical vectors") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(emb, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === Seq((0L, 1L, 1.0)))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.StreamingRollup
+
+class StreamingRollupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming hourly rollup over a file source matches the batch result") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = Files.createTempDirectory("graft_stream_src").toString
+    val batch = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts"), col("user_id"), col("value"))
+    batch.write.mode("overwrite").parquet(srcDir)
+
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+
+    val q = StreamingRollup(stream)
+      .writeStream.format("memory").queryName("rollup_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    // Append mode only emits windows the watermark closed; every emitted row
+    // must equal the batch computation for its (hour, user).
+    val streamed = spark.table("rollup_sink")
+    val expected = StreamingRollup(batch)
+    assert(streamed.count() > 0)
+    assert(streamed.except(expected).count() === 0)
+  }
+
+  test("sessionize emits gap-separated sessions via flatMapGroupsWithState") {
+    val h = 3600L * 1000
+    val readings = Seq(
+      StreamingRollup.Reading(1L, 0L, 2.0),
+      StreamingRollup.Reading(1L, 10 * 60 * 1000L, 4.0), // same session
+      StreamingRollup.Reading(1L, 5 * h, 9.0), // new session (gap >30min) → closes first
+      StreamingRollup.Reading(2L, 0L, 1.0)
+    ).toDS()
+    val out = StreamingRollup.sessionize(readings).collect()
+    // batch mode emits only closed sessions: user 1's first session
+    assert(out.toSeq === Seq(StreamingRollup.SessionOut(1L, 0L, 10 * 60 * 1000L, 2L, 3.0)))
+  }
+}
