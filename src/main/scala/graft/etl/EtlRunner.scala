@@ -1,6 +1,7 @@
 package graft.etl
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Observation, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 
 import graft.config.EtlConfig
 import graft.operators.HourlyRollup
@@ -39,10 +40,17 @@ object EtlRunner {
       val listed = PathResolver.dataPrefixes(
         config.settings.base_partition, config.settings.data_partition_in_release, job)
         .map(Tracker.countFiles).sum
-      val rowsIn = data.count()
-      val rolled = HourlyRollup(data, passThrough = Seq("upgrade", "state", "county"))
+      // Row counts ride the write job as observed metrics (SURVEY.md §2.11:
+      // the reference's tracker process maps to df.observe) — no extra
+      // count() scans over the input or the written output.
+      val obsIn = Observation(s"${name}_rows_in")
+      val obsOut = Observation(s"${name}_rows_out")
+      val observed = data.observe(obsIn, count(lit(1)).as("n"))
+      val rolled = HourlyRollup(observed, passThrough = Seq("upgrade", "state", "county"))
+        .observe(obsOut, count(lit(1)).as("n"))
       val dataOut = Sink.writeData(rolled, root, name)
-      val rowsOut = spark.read.option("basePath", dataOut).parquet(dataOut).count()
+      val rowsIn = obsIn.get("n").asInstanceOf[Long]
+      val rowsOut = obsOut.get("n").asInstanceOf[Long]
       val filesOut = Tracker.countFiles(dataOut)
 
       val meta = PartitionedSource.readMetadata(spark, job)

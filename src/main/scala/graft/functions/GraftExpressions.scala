@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot paths the higher-order-function
+  * formulations interpret one lambda call per element: polynomial text
+  * hashing and dense-vector math. Each is a single JVM loop invoked from
+  * generated code (`defineCodeGen`), so the surrounding projection stays
+  * inside whole-stage codegen instead of falling back to interpreted
+  * `transform`/`aggregate` trees.
+  *
+  * Semantics are BIT-IDENTICAL to the HOF versions they replace (same
+  * left-to-right fold order, same integer formulas), so the DuckDB oracles
+  * in [[graft.SparkEntry]] verify them value-for-value.
+  */
+object GraftExprs {
+
+  val Prime = 1000000007L
+
+  /** fold over code points: (acc*31 + cp) mod P — the engine-portable hash. */
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31L + cp) % Prime
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Σ (double)a[i]·(double)b[i], strict left-to-right. */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0d
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  /** sqrt(Σ ((double)a[i])²), strict left-to-right. */
+  def normF(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0d
+    var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** nBits deterministic hyperplane projections of a float vector —
+    * identical formula to [[graft.operators.Similarity]]'s SQL oracle:
+    * h(b,d) = ((b·7919 + d·104729 + 12345) mod 1000003)/1000003 − 0.5. */
+  def hyperProj(e: ArrayData, nBits: Int): ArrayData = {
+    val n = e.numElements()
+    val out = new Array[Double](nBits)
+    var b = 0
+    while (b < nBits) {
+      var s = 0.0d
+      var d = 0
+      while (d < n) {
+        val m = (b.toLong * 7919L + d.toLong * 104729L + 12345L) % 1000003L
+        s += e.getFloat(d).toDouble * (m.toDouble / 1000003.0d - 0.5d)
+        d += 1
+      }
+      out(b) = s
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** polyHash as a unary expression: string → bigint. */
+case class PolyHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    GraftExprs.polyHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftExprs.polyHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHashExpr =
+    copy(child = newChild)
+}
+
+/** Left-to-right double dot product of two array<float> columns. */
+case class DotProductExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftExprs.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftExprs.dotF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductExpr =
+    copy(left = l, right = r)
+}
+
+/** L2 norm of an array<float> column (double accumulation). */
+case class L2NormExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any): Any =
+    GraftExprs.normF(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.GraftExprs.normF($a)")
+  override protected def withNewChildInternal(newChild: Expression): L2NormExpr =
+    copy(child = newChild)
+}
+
+/** All nBits hyperplane projections in one pass: array<float> → array<double>. */
+case class HyperProjExpr(child: Expression, nBits: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    GraftExprs.hyperProj(a.asInstanceOf[ArrayData], nBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.GraftExprs.hyperProj($a, $nBits)")
+  override protected def withNewChildInternal(newChild: Expression): HyperProjExpr =
+    copy(child = newChild)
+}
+
+object GraftColumns {
+  def polyHash(c: Column): Column =
+    ColumnBridge.column(PolyHashExpr(ColumnBridge.expression(c)))
+  def dotF(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def normF(a: Column): Column =
+    ColumnBridge.column(L2NormExpr(ColumnBridge.expression(a)))
+  def hyperProj(e: Column, nBits: Int): Column =
+    ColumnBridge.column(HyperProjExpr(ColumnBridge.expression(e), nBits))
+}

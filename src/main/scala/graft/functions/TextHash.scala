@@ -18,8 +18,16 @@ object TextHash {
 
   val Prime = 1000000007L
 
-  /** Polynomial rolling hash of a string column: fold(chars)(acc*31+code mod P). */
-  def polyHash(s: Column): Column =
+  /** Polynomial rolling hash of a string column: fold(chars)(acc*31+code
+    * mod P). Backed by the codegen'd [[GraftExprs.polyHash]] loop;
+    * [[polyHashHof]] is the pure-built-in formulation kept for
+    * cross-checking the two produce identical values. */
+  def polyHash(s: Column): Column = GraftColumns.polyHash(s)
+
+  /** Same fold expressed with higher-order functions only (interpreted —
+    * one lambda eval per character; the expression version replaces it in
+    * hot paths). */
+  def polyHashHof(s: Column): Column =
     aggregate(
       transform(
         sequence(lit(1), length(s)),

@@ -83,24 +83,29 @@ object Dedup {
   val MinhashK = 32 // permutations
   val BandR = 2     // rows per band → 16 bands
 
-  /** MinHash signatures: one row per (doc_id, i) with the i-th min-hash. */
+  /** MinHash signatures: (doc_id, mh array<bigint> of k minima), computed by
+    * the single-buffer [[graft.functions.MinHashAgg]] — one shuffled row per
+    * document instead of the k×-exploded (doc, i) rows (see that class for
+    * the scale rationale). */
   def minhashSignatures(sh: DataFrame): DataFrame =
     sh
       .select(col("doc_id"), TextHash.polyHash(col("shingle")).as("h"))
-      .select(
-        col("doc_id"),
-        explode(sequence(lit(0), lit(MinhashK - 1))).as("i"),
-        col("h"))
-      .select(col("doc_id"), col("i"), TextHash.minhashPerm(col("h"), col("i")).as("ph"))
-      .groupBy("doc_id", "i")
-      .agg(min(col("ph")).as("mh"))
+      .groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.minhash(col("h"), MinhashK).as("mh"))
 
-  /** LSH band keys: band = i/r, key = Σ (i%r + 1)·mh over the band (order-
-    * independent, deterministic; fits in bigint: r·(r+1)/2·P < 2^33). */
-  def lshBands(sig: DataFrame): DataFrame =
+  /** LSH band keys from the signature array: band b ∈ [0, k/r), key =
+    * Σ_{j<r} (j+1)·mh[b·r+j] (order-independent, deterministic; fits in
+    * bigint: r·(r+1)/2·P < 2^33). One row per (doc, band). */
+  def lshBands(sig: DataFrame): DataFrame = {
+    val nBands = MinhashK / BandR
+    val keys = transform(
+      sequence(lit(0), lit(nBands - 1)),
+      b => (0 until BandR)
+        .map(j => element_at(col("mh"), b * BandR + j + 1) * (j + 1))
+        .reduce(_ + _))
     sig
-      .groupBy(col("doc_id"), (col("i") / BandR).cast("int").as("band"))
-      .agg(sum((col("i") % BandR + 1) * col("mh")).as("band_key"))
+      .select(col("doc_id"), posexplode(keys).as(Seq("band", "band_key")))
+  }
 
   /** MinHash+LSH near-dup pairs: candidates = docs sharing any (band,
     * band_key); verified with exact shingle Jaccard >= threshold. Output is
@@ -115,10 +120,18 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    // Exact verification restricted to the candidate set.
+      .cache()
+    // Exact verification over ONLY the candidate docs' shingles: the LSH
+    // prune must shrink the join input, not just the join output —
+    // otherwise verification pays the full O(all-pairs) shingle join the
+    // LSH existed to avoid. Candidates are few → broadcast the doc set.
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi").cache()
     val cnt = shingleCounts(sh)
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val a = shc.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = shc.select(col("doc_id").as("doc_b"), col("shingle"))
     val inter = a
       .join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))

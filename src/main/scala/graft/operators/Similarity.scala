@@ -46,33 +46,23 @@ object Similarity {
         col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (bit b, dim d):
-    * a value in (-0.5, 0.5) derived from an integer LCG-style mix — stateless
-    * and engine-portable. */
-  private def hyperComponent(b: Column, d: Column): Column = {
-    val m = (b * lit(7919L) + d * lit(104729L) + lit(12345L)) % lit(1000003L)
-    (m.cast("double") / lit(1000003.0d)) - lit(0.5d)
-  }
-
-  /** `nBits`-bit sign signature of each embedding under the deterministic
-    * hyperplanes. Output: (vec_id, bucket). */
+  /** `nBits`-bit sign signature of each embedding under deterministic
+    * pseudo-random hyperplanes (component (b,d) =
+    * ((b·7919 + d·104729 + 12345) mod 1000003)/1000003 − 0.5 — stateless,
+    * engine-portable; computed by the codegen'd
+    * [[graft.functions.GraftExprs.hyperProj]] in one pass, no cross join,
+    * no shuffle). Output: (vec_id, bucket). */
   def lshSignatures(emb: DataFrame, nBits: Int = 8): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val bits = spark.createDataset(Seq.tabulate(nBits)(b => (b, 1L << b))).toDF("b", "p2")
-    emb
-      .crossJoin(broadcast(bits))
-      .withColumn(
-        "proj",
-        aggregate(
-          zip_with(
-            col("embedding"),
-            sequence(lit(0), size(col("embedding")) - 1),
-            (x, d) => x.cast("double") * hyperComponent(col("b"), d)),
-          lit(0.0d),
-          (acc, x) => acc + x))
-      .groupBy(col("vec_id"))
-      .agg(sum(when(col("proj") > 0.0d, col("p2")).otherwise(lit(0L))).as("bucket"))
+    val powers = typedlit(Seq.tabulate(nBits)(b => 1L << b))
+    emb.select(
+      col("vec_id"),
+      aggregate(
+        zip_with(
+          graft.functions.GraftColumns.hyperProj(col("embedding"), nBits),
+          powers,
+          (p, w) => when(p > 0.0d, w).otherwise(lit(0L))),
+        lit(0L),
+        (acc, x) => acc + x).as("bucket"))
   }
 
   /** LSH-bucketed near-neighbor pairs: same-bucket (a < b) pairs scored with
