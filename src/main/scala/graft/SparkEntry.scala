@@ -76,6 +76,36 @@ object SparkEntry {
     "q10_except" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
         .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))),
+    "q11_agg_suite" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(avg(col("l_quantity")), 7).as("avg_qty"),
+          max(col("l_extendedprice")).as("max_price"),
+          min(col("l_discount")).as("min_disc"),
+          count(lit(1)).as("count_order"))),
+    "q12_semi_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(
+          Tables.orders(s, d).filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))),
+    "q13_anti_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(
+          Tables.orders(s, d).filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+    "q14_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))),
+    "q15_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n"))),
     "j1_json_extract" -> ((s, d) =>
       Tables.events(s, d).select(
         col("event_id"),
@@ -91,6 +121,7 @@ object SparkEntry {
     "d3_minhash_lsh" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
     "d4_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "d5_embedding_dup" -> ((s, d) => Dedup.embeddingPairs(Tables.embeddings(s, d))),
+    "d6_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     // ---- similarity search ----
     "s1_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "s2_ann_lsh" -> ((s, d) => Similarity.lshNeighbors(Tables.embeddings(s, d))),
@@ -145,6 +176,31 @@ object SparkEntry {
     "q10_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q11_agg_suite" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       round(avg(l_quantity), 7) AS avg_qty,
+        |       max(l_extendedprice) AS max_price,
+        |       min(l_discount) AS min_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q12_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)""".stripMargin,
+    "q13_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)""".stripMargin,
+    "q14_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q15_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       count(DISTINCT o_custkey) AS n_cust, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "j1_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
@@ -251,6 +307,19 @@ object SparkEntry {
          |           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
          |s AS (SELECT vec_a, vec_b, ${sqlCosine("ea", "eb")} AS cosine FROM p)
          |SELECT vec_a, vec_b, round(cosine, 7) AS cosine FROM s WHERE cosine >= 0.45""".stripMargin,
+    "d6_simhash_pairs" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS tok FROM documents),
+         |hs AS (SELECT doc_id, ${sqlPolyHash("tok")} AS h FROM tok),
+         |bits AS (SELECT j, CAST(1 AS BIGINT) << j AS p2 FROM generate_series(0, ${Dedup.SimhashBits - 1}) t(j)),
+         |w AS (SELECT doc_id, j, p2,
+         |             sum(CASE WHEN (h & p2) <> 0 THEN 1 ELSE -1 END) AS w
+         |      FROM hs CROSS JOIN bits GROUP BY doc_id, j, p2),
+         |sig AS (SELECT doc_id, CAST(sum(CASE WHEN w > 0 THEN p2 ELSE 0 END) AS BIGINT) AS simhash
+         |        FROM w GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "s1_ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),

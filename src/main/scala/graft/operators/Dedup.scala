@@ -156,21 +156,46 @@ object Dedup {
   val SimhashBits = 30 // poly-hash values are < 1e9+7 < 2^30
 
   /** SimHash signatures: per-doc 30-bit fingerprint from token poly-hashes.
-    * Bit j is set when Σ_tokens (2·bit_j(h) − 1) > 0. `bits` is a tiny
-    * broadcast table (j, 2^j) — avoids non-literal shift limitations and is
-    * reproduced identically by the oracle. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val bits = spark.createDataset(Seq.tabulate(SimhashBits)(j => (j, 1L << j))).toDF("j", "p2")
+    * Bit j is set when Σ_tokens (2·bit_j(h) − 1) > 0, computed by the
+    * single-buffer [[graft.functions.SimHashAgg]] (one shuffled row per doc
+    * instead of a 30× bits cross join). */
+  def simhash(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), TextHash.polyHash(col("tok")).as("h"))
-      .crossJoin(broadcast(bits))
-      .groupBy("doc_id", "j", "p2")
-      .agg(sum(when(col("h").bitwiseAND(col("p2")) =!= 0L, 1L).otherwise(-1L)).as("w"))
       .groupBy("doc_id")
-      .agg(sum(when(col("w") > 0, col("p2")).otherwise(lit(0L))).as("simhash"))
+      .agg(graft.functions.SimHashAgg.simhash(col("h"), SimhashBits).as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
+    * chunk banding: the 30-bit signature splits into maxHamming+1 chunks,
+    * and any pair within the distance budget must agree EXACTLY on at least
+    * one chunk (pigeonhole) — so the chunk-equality join has full recall,
+    * not probabilistic recall, and the output equals the all-pairs result
+    * the oracle computes. Join space is Σ per-(chunk,value) bucket². */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nChunks = maxHamming + 1
+    val chunkBits = (SimhashBits + nChunks - 1) / nChunks // 8 bits, last chunk 6
+    val sig = simhash(docs).cache()
+    val chunks = sig.select(
+      col("doc_id"),
+      col("simhash"),
+      explode(array((0 until nChunks).map { c =>
+        struct(
+          lit(c).as("c"),
+          shiftright(col("simhash"), c * chunkBits)
+            .bitwiseAND(lit((1L << math.min(chunkBits, SimhashBits - c * chunkBits)) - 1L))
+            .as("v"))
+      }: _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.c"), col("ch.v"))
+    val a = chunks.select(col("c"), col("v"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = chunks.select(col("c"), col("v"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("c", "v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding-cosine near-dup pairs (exact, all-pairs — the verification

@@ -55,6 +55,19 @@ class DedupSpec extends SparkSpec {
     assert(sig(0L) !== sig(2L))
   }
 
+  test("simhash pairs: exact dup at hamming 0; chunk banding keeps full recall") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 3L)) === 0L) // identical texts → identical signatures
+    // banding must equal brute force at the same threshold
+    val sig = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = for {
+      a <- sig.keys; b <- sig.keys if a < b
+      h = java.lang.Long.bitCount(sig(a) ^ sig(b)) if h <= 3
+    } yield (a, b)
+    assert(pairs.keySet === brute.toSet)
+  }
+
   test("embedding near-dup pairs flag identical vectors") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
