@@ -110,6 +110,14 @@ object SparkEntry {
       Tables.events(s, d).select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
+    "a1_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      AsOfJoin(purchases, signups, "user_id", "ts", "ts", Seq("ts", "value"), "event_id")
+    }),
     // ---- text analysis ----
     "t1_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "t2_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
@@ -204,6 +212,11 @@ object SparkEntry {
     "j1_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
+    "a1_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts, value FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id, p.ts, s.ts AS ts_asof, s.value AS value_asof
+        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
     "t1_token_count" ->
       s"""SELECT doc_id,
          |       CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS ws_tokens,

@@ -34,6 +34,20 @@ object Sink {
     out
   }
 
+  /** Bucketed managed table: pre-shuffles data into `nBuckets` by the join
+    * key at write time so later equi-joins between tables bucketed the same
+    * way read co-located and skip the shuffle entirely (verified in
+    * `BucketingSpec`: the join plan contains no Exchange). The 100 TB lever
+    * for repeated fact-to-fact joins the reference's query layer re-shuffles
+    * every time. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, nBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** Metadata bypass (S6): re-encode through the parquet reader/writer.
     * The reference copies bytes verbatim (`worker.py:171-173,191-192`); a
     * re-encode keeps identical rows while normalizing encodings. */

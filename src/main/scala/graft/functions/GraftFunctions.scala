@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for the custom expressions/aggregates: register them in a
+  * session's FunctionRegistry so `spark.sql` queries can call them
+  * (`graft_poly_hash`, `graft_dot`, `graft_norm`, `graft_minhash`,
+  * `graft_simhash`). Two entry points:
+  *
+  *  - [[register]]: imperative, for an existing session.
+  *  - [[GraftExtensions]]: a `SparkSessionExtensions` injector for
+  *    `spark.sql.extensions=graft.functions.GraftExtensions` deployments.
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_poly_hash" -> (es => PolyHashExpr(es.head)),
+    "graft_dot" -> (es => DotProductExpr(es(0), es(1))),
+    "graft_norm" -> (es => L2NormExpr(es.head)),
+    "graft_hyper_proj" -> (es => HyperProjExpr(es(0), intLit(es(1)))),
+    "graft_minhash" -> (es => MinHashAgg(es(0), intLit(es(1)))),
+    "graft_simhash" -> (es => SimHashAgg(es(0), intLit(es(1)))))
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}
+
+/** `spark.sql.extensions` injector (class form required by the config). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
+}

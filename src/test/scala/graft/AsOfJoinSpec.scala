@@ -1,0 +1,36 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(min * 60000L)
+
+  test("as-of join picks the latest right row at or before each left row") {
+    val signups = Seq(
+      (100L, 1L, ts(10), 1.0),
+      (101L, 1L, ts(20), 2.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val purchases = Seq(
+      (200L, 1L, ts(5)),  // before any signup → null
+      (201L, 1L, ts(15)), // after first → v=1
+      (202L, 1L, ts(20)), // equality is inclusive → v=2
+      (203L, 1L, ts(30)), // after second → v=2
+      (204L, 2L, ts(15))  // other user, no signups → null
+    ).toDF("event_id", "user_id", "ts")
+
+    val out = AsOfJoin(purchases, signups, "user_id", "ts", "ts", Seq("ts", "value"), "event_id")
+    assert(out.columns.toSeq === Seq("event_id", "user_id", "ts", "ts_asof", "value_asof"))
+    val byId = out.collect().map(r => r.getLong(0) ->
+      (Option(r.get(3)).map(_.toString), Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(byId(200L) === ((None, None)))
+    assert(byId(201L)._2 === Some(1.0))
+    assert(byId(202L)._2 === Some(2.0))
+    assert(byId(203L)._2 === Some(2.0))
+    assert(byId(204L) === ((None, None)))
+    assert(out.count() === 5) // left-join semantics: every purchase survives
+  }
+}

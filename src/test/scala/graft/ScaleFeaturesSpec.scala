@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.Sink
+import graft.functions.GraftFunctions
+import graft.operators.SkewJoin
+
+class ScaleFeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals the plain join on skewed data") {
+    // 90% of the big side hits one key — the classic straggler shape.
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 1L, i.toDouble))
+      .toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).agg(count(lit(1)), sum($"v")).collect().head
+    val salted = SkewJoin.saltedJoin(big, small, "k", salts = 8)
+      .agg(count(lit(1)), sum($"v")).collect().head
+    assert(salted.getLong(0) === plain.getLong(0))
+    assert(math.abs(salted.getDouble(1) - plain.getDouble(1)) < 1e-6)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select($"l_orderkey", $"l_quantity")
+    val o = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select($"o_orderkey", $"o_totalprice")
+    Sink.writeBucketed(li, "li_bucketed", "l_orderkey", 4)
+    Sink.writeBucketed(o, "o_bucketed", "o_orderkey", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join, got:\n$plan")
+      assert(joined.count() === li.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    def ref(s: String): Long = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    assert(spark.sql("SELECT graft_poly_hash('abc')").collect().head.getLong(0) === ref("abc"))
+    assert(spark.sql(
+      "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))")
+      .collect().head.getDouble(0) === 11.0)
+    Seq((1L, "a b"), (1L, "a c")).toDF("id", "t").createOrReplaceTempView("sqldocs")
+    val mh = spark.sql(
+      "SELECT graft_minhash(graft_poly_hash(t), 4) FROM sqldocs GROUP BY id")
+      .collect().head.getSeq[Long](0)
+    assert(mh.length === 4 && mh.forall(_ >= 0))
+  }
+}
