@@ -110,6 +110,21 @@ object SparkEntry {
       Tables.events(s, d).select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
+    "r1_range_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("id_a"), col("ts").as("ts_a"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("id_b"), col("ts").as("ts_b"))
+      RangeJoin(errors, purchases, "ts_a", "ts_b", 60000L)
+        .select(col("id_a"), col("id_b"), col("dt_ms"))
+    }),
+    "x1_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"))),
     "a1_asof_join" -> ((s, d) => {
       val e = Tables.events(s, d)
       val purchases = e.filter(col("event_type") === "purchase")
@@ -212,6 +227,16 @@ object SparkEntry {
     "j1_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
+    "r1_range_join" ->
+      """WITH a AS (SELECT event_id AS id_a, ts AS ts_a FROM events WHERE event_type = 'error'),
+        |b AS (SELECT event_id AS id_b, ts AS ts_b FROM events WHERE event_type = 'purchase')
+        |SELECT id_a, id_b, epoch_ms(ts_b) - epoch_ms(ts_a) AS dt_ms
+        |FROM a JOIN b ON ts_b >= ts_a - INTERVAL 1 MINUTE AND ts_b <= ts_a + INTERVAL 1 MINUTE""".stripMargin,
+    "x1_percentile" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS median_qty,
+        |       quantile_cont(l_quantity, 0.9) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "a1_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |s AS (SELECT user_id, ts, value FROM events WHERE event_type = 'signup')
