@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, HourlyRollup, Similarity}
+import graft.sources.Tables
+
+/** Empirical scale probe (builder tooling): replicate the sf0.1 fixtures
+  * 20-100× in /tmp and measure the headline operators, to check the plans
+  * hold when the data no longer fits a single task comfortably.
+  *
+  * Document replicas go through a per-replica Caesar cipher (`translate`)
+  * so equality structure is preserved WITHIN a replica (the planted
+  * near-dups scale linearly) but no shingle collides ACROSS replicas —
+  * i.e. 20× data means 20× the dup clusters, not C(20,2)× pair blowup.
+  * Embedding replicas are identical copies — the adversarial case where
+  * every vector has 49 exact duplicates.
+  */
+object ScalingProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scale] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    }
+
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def rot(i: Int): String = alpha.drop(i % 26) + alpha.take(i % 26)
+
+    // ---- events ×100 → 10M rows, rollup + write ----
+    val events = Tables.events(spark, sfDir)
+    val bigEvents = spark.range(100).select(col("id").as("rep"))
+      .crossJoin(events)
+      .select(
+        (col("event_id") + col("rep") * 10000000L).as("event_id"),
+        (col("user_id") + col("rep") * 1000L).as("user_id"),
+        col("ts"), col("event_type"), col("value"), col("props"))
+      .cache()
+    time("events_x100_materialize")(bigEvents.count())
+    time("rollup_10M") {
+      val out = java.nio.file.Files.createTempDirectory("graft_scale").toString
+      HourlyRollup(bigEvents, "ts", "user_id")
+        .write.mode("overwrite").option("compression", "snappy")
+        .partitionBy("event_type_min").parquet(out)
+      spark.read.parquet(out).count()
+    }
+
+    // ---- documents ×20 → 100k docs, minhash LSH dedup ----
+    val docs = Tables.documents(spark, sfDir)
+    val bigDocs = spark.range(20).select(col("id").as("rep"))
+      .crossJoin(docs)
+      .select(
+        (col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+        expr(s"translate(text, '$alpha', " +
+          (0 until 20).map(i => s"WHEN rep = $i THEN '${rot(i)}'")
+            .mkString("CASE ", " ", " END)")).as("text"))
+      .cache()
+    time("docs_x20_materialize")(bigDocs.count())
+    time("minhash_lsh_100k_docs")(Dedup.minhashPairs(bigDocs).count())
+    time("simhash_pairs_100k_docs")(Dedup.simhashPairs(bigDocs).count())
+
+    // ---- embeddings ×50 → 100k vectors, LSH ANN ----
+    val emb = Tables.embeddings(spark, sfDir)
+    val bigEmb = spark.range(50).select(col("id").as("rep"))
+      .crossJoin(emb)
+      .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"), col("embedding"))
+      .cache()
+    time("emb_x50_materialize")(bigEmb.count())
+    time("ann_lsh_100k_vecs")(Similarity.lshNeighbors(bigEmb, threshold = 0.9).count())
+    spark.stop()
+  }
+}

@@ -332,7 +332,7 @@ object SparkEntry {
          |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5""".stripMargin,
     "d4_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS tok FROM documents),
-         |hs AS (SELECT doc_id, ${sqlPolyHash("tok")} AS h FROM tok),
+         |hs AS (SELECT doc_id, ${sqlPolyHash("tok")} + ${sqlPolyHash("reverse(tok)")} * (CAST(1 AS BIGINT) << 30) AS h FROM tok),
          |bits AS (SELECT j, CAST(1 AS BIGINT) << j AS p2 FROM generate_series(0, ${Dedup.SimhashBits - 1}) t(j)),
          |w AS (SELECT doc_id, j, p2,
          |             sum(CASE WHEN (h & p2) <> 0 THEN 1 ELSE -1 END) AS w
@@ -347,7 +347,7 @@ object SparkEntry {
          |SELECT vec_a, vec_b, round(cosine, 7) AS cosine FROM s WHERE cosine >= 0.45""".stripMargin,
     "d6_simhash_pairs" ->
       s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS tok FROM documents),
-         |hs AS (SELECT doc_id, ${sqlPolyHash("tok")} AS h FROM tok),
+         |hs AS (SELECT doc_id, ${sqlPolyHash("tok")} + ${sqlPolyHash("reverse(tok)")} * (CAST(1 AS BIGINT) << 30) AS h FROM tok),
          |bits AS (SELECT j, CAST(1 AS BIGINT) << j AS p2 FROM generate_series(0, ${Dedup.SimhashBits - 1}) t(j)),
          |w AS (SELECT doc_id, j, p2,
          |             sum(CASE WHEN (h & p2) <> 0 THEN 1 ELSE -1 END) AS w

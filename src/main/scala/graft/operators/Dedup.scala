@@ -153,16 +153,24 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  val SimhashBits = 30 // poly-hash values are < 1e9+7 < 2^30
+  val SimhashBits = 60 // two 30-bit poly hashes: h(tok) | h(reverse(tok)) << 30
 
-  /** SimHash signatures: per-doc 30-bit fingerprint from token poly-hashes.
-    * Bit j is set when Σ_tokens (2·bit_j(h) − 1) > 0, computed by the
-    * single-buffer [[graft.functions.SimHashAgg]] (one shuffled row per doc
-    * instead of a 30× bits cross join). */
+  /** SimHash signatures: per-doc 60-bit fingerprint from token hashes.
+    * One 30-bit poly hash is too few bits to discriminate at 100k+ docs
+    * (measured: 41M Hamming≤3 collision pairs at 100k synthetic docs), so
+    * the token hash is widened with a second independent 30-bit hash of the
+    * REVERSED token in the high bits — still fully portable to the SQL
+    * oracle (`reverse()` exists there too). Bit j is set when
+    * Σ_tokens (2·bit_j(h) − 1) > 0, computed by the single-buffer
+    * [[graft.functions.SimHashAgg]] (one shuffled row per doc instead of a
+    * 60× bits cross join). */
   def simhash(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), TextHash.polyHash(col("tok")).as("h"))
+      .select(
+        col("doc_id"),
+        (TextHash.polyHash(col("tok")) +
+          TextHash.polyHash(reverse(col("tok"))) * lit(1L << 30)).as("h"))
       .groupBy("doc_id")
       .agg(graft.functions.SimHashAgg.simhash(col("h"), SimhashBits).as("simhash"))
 
@@ -201,10 +209,12 @@ object Dedup {
   /** Embedding-cosine near-dup pairs (exact, all-pairs — the verification
     * path; [[Similarity.lshNeighbors]] is the LSH-pruned scale path). */
   def embeddingPairs(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      VectorMath.norm2(col("embedding")).as("nrm"))
+    val a = withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cosine", VectorMath.cosine(col("ea"), col("eb")))
+      .withColumn("cosine", VectorMath.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 7).as("cosine"))
   }

@@ -26,13 +26,18 @@ object Similarity {
   /** Exact cosine top-k neighbors for each query vector (vec_id < nQueries),
     * excluding self. Output: (query_id, neighbor_id, cosine, rank). */
   def bruteForceTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    // Norms are computed ONCE per side before the pair join — same double
+    // value as a per-pair norm2() (identical computation on identical
+    // data), a third of the per-pair flops.
     val q = emb
       .filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        VectorMath.norm2(col("embedding")).as("qn"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      VectorMath.norm2(col("embedding")).as("cn"))
     val scored = broadcast(q)
       .join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorMath.cosine(col("qe"), col("ce")))
+      .withColumn("cosine", VectorMath.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -71,11 +76,15 @@ object Similarity {
   def lshNeighbors(emb: DataFrame, nBits: Int = 8, threshold: Double = 0.3): DataFrame = {
     val sig = lshSignatures(emb, nBits)
     val withSig = emb.join(sig, Seq("vec_id"))
-    val a = withSig.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = withSig.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      .select(col("vec_id"), col("embedding"), col("bucket"),
+        VectorMath.norm2(col("embedding")).as("nrm"))
+    val a = withSig.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withSig.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", VectorMath.cosine(col("ea"), col("eb")))
+      .withColumn("cosine", VectorMath.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 7).as("cosine"))
       .distinct()

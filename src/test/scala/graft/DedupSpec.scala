@@ -48,10 +48,10 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
-  test("simhash: identical texts share a signature; signatures fit in 30 bits") {
+  test("simhash: identical texts share a signature; signatures fit in 60 bits") {
     val sig = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sig(0L) === sig(3L))
-    assert(sig.values.forall(v => v >= 0 && v < (1L << 30)))
+    assert(sig.values.forall(v => v >= 0 && v < (1L << 60)))
     assert(sig(0L) !== sig(2L))
   }
 
