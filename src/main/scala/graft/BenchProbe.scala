@@ -21,8 +21,8 @@ object BenchProbe {
       println(f"[probe] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
     val docs = Tables.documents(spark, sfDir)
-    time("shingles") { Dedup.shingles(docs).count() }
-    val sh = Dedup.shingles(docs).cache()
+    time("shingles") { Dedup.shingleHashes(docs).count() }
+    val sh = Dedup.shingleHashes(docs).cache()
     sh.count()
     time("sig") { Dedup.minhashSignatures(sh).count() }
     val bands = Dedup.lshBands(Dedup.minhashSignatures(sh)).cache()

@@ -35,11 +35,15 @@ object SparkEntry {
     s"($dot / (sqrt($na) * sqrt($nb)))"
   }
 
-  /** Shared SQL fragment: DISTINCT (doc_id, shingle) word-3-grams. */
+  /** Shared SQL fragment: DISTINCT (doc_id, h) word-3-gram 60-bit hashes —
+    * mirrors [[graft.operators.Dedup.shingleHashes]]. */
   private val sqlShingles: String =
-    """toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
-      |       FROM toks, LATERAL (SELECT unnest(generate_series(1, CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END)) AS i) g)""".stripMargin
+    s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
+       |shs AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+       |        FROM toks, LATERAL (SELECT unnest(generate_series(1, CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END)) AS i) g),
+       |sh AS (SELECT DISTINCT doc_id,
+       |              ${sqlPolyHash("shingle")} + ${sqlPolyHash("reverse(shingle)")} * (CAST(1 AS BIGINT) << 30) AS h
+       |       FROM shs)""".stripMargin
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -302,7 +306,7 @@ object SparkEntry {
       s"""WITH $sqlShingles,
          |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
-         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2),
          |jac AS (SELECT doc_a, doc_b,
          |               round(CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE), 7) AS jaccard
@@ -310,10 +314,10 @@ object SparkEntry {
          |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5""".stripMargin,
     "d3_minhash_lsh" ->
       s"""WITH $sqlShingles,
-         |hs AS (SELECT doc_id, ${sqlPolyHash("shingle")} AS h FROM sh),
+         |hs AS (SELECT doc_id, h % 1000000007 AS hp FROM sh),
          |perms AS (SELECT i FROM generate_series(0, ${Dedup.MinhashK - 1}) t(i)),
          |sig AS (SELECT doc_id, i,
-         |               min((((i * 2654435761) % 1000000007 + 1) * h + (i * 40503 + 7) % 1000000007) % 1000000007) AS mh
+         |               min((((i * 2654435761) % 1000000007 + 1) * hp + (i * 40503 + 7) % 1000000007) % 1000000007) AS mh
          |        FROM hs CROSS JOIN perms GROUP BY doc_id, i),
          |bands AS (SELECT doc_id, CAST(i // ${Dedup.BandR} AS INT) AS band,
          |                 sum((i % ${Dedup.BandR} + 1) * mh) AS band_key
@@ -323,7 +327,7 @@ object SparkEntry {
          |            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
          |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
-         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
          |          JOIN cands c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
          |          GROUP BY 1, 2),
          |jac AS (SELECT doc_a, doc_b,

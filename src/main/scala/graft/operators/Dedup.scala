@@ -49,6 +49,27 @@ object Dedup {
       .distinct()
   }
 
+  /** DISTINCT (doc_id, h) with h a 60-bit shingle hash (poly hash of the
+    * shingle | poly hash of its reverse << 30). Everything downstream —
+    * set sizes, intersections, MinHash — works on these 8-byte hashes, so
+    * no raw text ever enters a shuffle (the 100 TB posture; collision odds
+    * at 60 bits are ~n²/2^61). The dedup distinct also happens on longs. */
+  def shingleHashes(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val starts =
+      when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+        .otherwise(array().cast("array<int>"))
+    docs
+      .select(
+        col("doc_id"),
+        explode(transform(starts, i => concat_ws(" ", slice(toks, i, lit(n))))).as("shingle"))
+      .select(
+        col("doc_id"),
+        (TextHash.polyHash(col("shingle")) +
+          TextHash.polyHash(reverse(col("shingle"))) * lit(1L << 30)).as("h"))
+      .distinct()
+  }
+
   /** Per-document shingle-set sizes. */
   private def shingleCounts(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
@@ -56,12 +77,12 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs: all (a < b) pairs with
     * |A∩B| / |A∪B| >= threshold over word-3-gram shingle sets. */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, n).cache()
+    val sh = shingleHashes(docs, n).cache()
     val cnt = shingleCounts(sh)
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("h"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("h"))
     val inter = a
-      .join(b, Seq("shingle"))
+      .join(b, Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
@@ -86,12 +107,14 @@ object Dedup {
   /** MinHash signatures: (doc_id, mh array<bigint> of k minima), computed by
     * the single-buffer [[graft.functions.MinHashAgg]] — one shuffled row per
     * document instead of the k×-exploded (doc, i) rows (see that class for
-    * the scale rationale). */
+    * the scale rationale). Input: (doc_id, h) shingle hashes; the
+    * permutations operate on h mod P (the 30-bit projection of the 60-bit
+    * identity hash). */
   def minhashSignatures(sh: DataFrame): DataFrame =
     sh
-      .select(col("doc_id"), TextHash.polyHash(col("shingle")).as("h"))
+      .select(col("doc_id"), (col("h") % lit(TextHash.Prime)).as("hp"))
       .groupBy("doc_id")
-      .agg(graft.functions.MinHashAgg.minhash(col("h"), MinhashK).as("mh"))
+      .agg(graft.functions.MinHashAgg.minhash(col("hp"), MinhashK).as("mh"))
 
   /** LSH band keys from the signature array: band b ∈ [0, k/r), key =
     * Σ_{j<r} (j+1)·mh[b·r+j] (order-independent, deterministic; fits in
@@ -111,7 +134,7 @@ object Dedup {
     * band_key); verified with exact shingle Jaccard >= threshold. Output is
     * (doc_a, doc_b, jaccard) for verified candidates. */
   def minhashPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, n).cache()
+    val sh = shingleHashes(docs, n).cache()
     val bands = lshBands(minhashSignatures(sh))
     val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
     val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
@@ -130,10 +153,10 @@ object Dedup {
       .distinct()
     val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi").cache()
     val cnt = shingleCounts(sh)
-    val a = shc.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = shc.select(col("doc_id").as("doc_b"), col("shingle"))
+    val a = shc.select(col("doc_id").as("doc_a"), col("h"))
+    val b = shc.select(col("doc_id").as("doc_b"), col("h"))
     val inter = a
-      .join(b, Seq("shingle"))
+      .join(b, Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .join(cands, Seq("doc_a", "doc_b"), "left_semi")
       .groupBy("doc_a", "doc_b")
