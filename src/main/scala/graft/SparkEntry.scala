@@ -114,6 +114,36 @@ object SparkEntry {
       Tables.events(s, d).select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
+    "q16_scalar_subquery" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      c.createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT c_custkey, c_acctbal FROM customer_v
+          |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v)""".stripMargin)
+    }),
+    "q17_correlated_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
+          |WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders_v o2
+          |                          WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+    }),
+    "q18_window_frames" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture —
+      // l_extendedprice (continuous) makes the sort total so frame results
+      // are engine-independent.
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      Tables.lineitem(s, d)
+        .filter(col("l_suppkey") < 50)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("running_qty"),
+          lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+          lead(col("l_quantity"), 1).over(w).as("next_qty"))
+    }),
     "r1_range_join" -> ((s, d) => {
       val e = Tables.events(s, d)
       val errors = e.filter(col("event_type") === "error")
@@ -152,6 +182,9 @@ object SparkEntry {
     // ---- similarity search ----
     "s1_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "s2_ann_lsh" -> ((s, d) => Similarity.lshNeighbors(Tables.embeddings(s, d))),
+    // IVF ANN: approximate by construction (probes nProbe cells) → no SQL
+    // oracle; the driver records a rows-only check. Recall is spec-tested.
+    "s3_ann_ivf" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // ---- multimodal (binary column plumbing; see operators.Multimodal) ----
     "m1_multimodal_meta" -> ((s, d) =>
       Multimodal.metadata(Tables.documents(s, d).select(
@@ -231,6 +264,20 @@ object SparkEntry {
     "j1_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
+    "q16_scalar_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin,
+    "q17_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders o2
+        |                          WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+    "q18_window_frames" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_extendedprice
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+        |       lag(l_quantity, 1) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_extendedprice) AS prev_qty,
+        |       lead(l_quantity, 1) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_extendedprice) AS next_qty
+        |FROM lineitem WHERE l_suppkey < 50""".stripMargin,
     "r1_range_join" ->
       """WITH a AS (SELECT event_id AS id_a, ts AS ts_a FROM events WHERE event_type = 'error'),
         |b AS (SELECT event_id AS id_b, ts AS ts_b FROM events WHERE event_type = 'purchase')

@@ -70,6 +70,57 @@ object Similarity {
         (acc, x) => acc + x).as("bucket"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus into
+    * cells; queries probe only the `nProbe` nearest cells and brute-force
+    * within them. Cells here are the deterministic LSH buckets and each
+    * centroid is its cell's mean vector — a one-iteration k-means seeded by
+    * LSH, reproducible anywhere (no RNG). At scale the cell lists are the
+    * pre-partitioned corpus (write them `partitionBy(cell)` and a probe
+    * reads only nProbe partitions — partition pruning does the fan-in).
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      nQueries: Int = 10,
+      k: Int = 5,
+      cellBits: Int = 6,
+      nProbe: Int = 4): DataFrame = {
+    val cells = lshSignatures(emb, cellBits).withColumnRenamed("bucket", "cell")
+    val assigned = emb.join(cells, Seq("vec_id"))
+    // centroid = element-wise mean per cell (posexplode → avg → re-assemble
+    // in dimension order).
+    val centroids = assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("cell", "d")
+      .agg(avg(col("x")).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+      .select(col("cell"), transform(col("dm"), e => e.getField("m")).as("centroid"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // rank cells per query by centroid cosine, keep nProbe
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val probed = broadcast(q)
+      .crossJoin(broadcast(centroids))
+      .withColumn("cell_sim",
+        VectorMath.dot(col("qe"), col("centroid")) /
+          (VectorMath.norm2(col("qe")) * VectorMath.norm2(col("centroid"))))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col("query_id"), col("qe"), col("cell"))
+    // brute-force inside the probed cells only
+    val cand = probed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", VectorMath.cosine(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 7).as("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed near-neighbor pairs: same-bucket (a < b) pairs scored with
     * exact cosine and filtered at `threshold`. The approximate analog of
     * [[Dedup.embeddingPairs]] that survives 100 TB. */
