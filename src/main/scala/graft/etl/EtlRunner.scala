@@ -69,4 +69,43 @@ object EtlRunner {
     val report = RunReport((System.nanoTime() - t0) / 1e9, reports.toSeq)
     EtlResult(root, report, dataTables.toSeq, metaTables.toSeq)
   }
+
+  // ---- incremental runs (extension: the reference reprocesses everything
+  // on every trigger; a manifest of processed (release, year, state,
+  // upgrade) slices lets a re-run touch only new partitions) ----
+
+  def sliceKey(job: graft.config.JobSpec, upgrade: Int): String =
+    s"${job.release_name}/${job.release_year}/${job.state}/upgrade=$upgrade"
+
+  def loadManifest(path: String): Set[String] = {
+    val f = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(f))
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(f)).asScala.filter(_.nonEmpty).toSet
+    else Set.empty
+  }
+
+  def appendManifest(path: String, keys: Seq[String]): Unit = {
+    val f = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(f.getParent)
+    java.nio.file.Files.write(f, keys.mkString("", "\n", "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** Process only the (job, upgrade) slices not yet in the manifest; record
+    * the newly processed slices on success. Returns None when everything is
+    * already up to date (no Spark job runs at all). */
+  def runIncremental(spark: SparkSession, config: EtlConfig, manifestPath: String): Option[EtlResult] = {
+    val done = loadManifest(manifestPath)
+    val pending = config.job_specific
+      .map(j => j.copy(upgrades = j.upgrades.filterNot(u => done(sliceKey(j, u)))))
+      .filter(_.upgrades.nonEmpty)
+    if (pending.isEmpty) None
+    else {
+      val result = run(spark, config.copy(job_specific = pending))
+      appendManifest(manifestPath,
+        pending.flatMap(j => j.upgrades.map(u => sliceKey(j, u))))
+      Some(result)
+    }
+  }
 }
