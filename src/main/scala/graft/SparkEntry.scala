@@ -172,6 +172,26 @@ object SparkEntry {
     "t2_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
     "t3_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "t4_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
+    "t5_normalize" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ")).as("norm_text"))),
+    "t6_vocab" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(100)),
+    // Approximate HLL distinct — engine-specific sketch, so rows-only check
+    // (exact COUNT(DISTINCT) is the oracle'd default, q1/q2; this is the
+    // documented opt-in for 100 TB profiling).
+    "x2_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
     // ---- deduplication ----
     "d1_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "d2_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(Tables.documents(s, d))),
@@ -345,6 +365,14 @@ object SparkEntry {
          |       ${sqlPolyHash("text")} AS fingerprint,
          |       md5(text) AS md5
          |FROM documents""".stripMargin,
+    "t5_normalize" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
+    "t6_vocab" ->
+      """SELECT tok, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 100""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
         |       CAST(count(*) AS BIGINT) AS n_copies
