@@ -159,6 +159,17 @@ object SparkEntry {
         .agg(
           expr("percentile(l_quantity, 0.5)").as("median_qty"),
           expr("percentile(l_quantity, 0.9)").as("p90_qty"))),
+    // Same semantics as a1 but through the custom LogicalPlan/Strategy/
+    // SparkPlan operator (plans.AsOfJoinExec) — verified against the same
+    // DuckDB native ASOF JOIN oracle.
+    "a2_asof_native" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.native(purchases, signups, "user_id", "ts", "ts", Seq("ts", "value"))
+    }),
     "a1_asof_join" -> ((s, d) => {
       val e = Tables.events(s, d)
       val purchases = e.filter(col("event_type") === "purchase")
@@ -308,6 +319,11 @@ object SparkEntry {
         |       quantile_cont(l_quantity, 0.5) AS median_qty,
         |       quantile_cont(l_quantity, 0.9) AS p90_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a2_asof_native" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts, value FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id, p.ts, s.ts AS ts_asof, s.value AS value_asof
+        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
     "a1_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |s AS (SELECT user_id, ts, value FROM events WHERE event_type = 'signup')

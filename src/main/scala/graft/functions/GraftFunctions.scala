@@ -37,11 +37,13 @@ object GraftFunctions {
 
 /** `spark.sql.extensions` injector (class form required by the config). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder))
     }
+    ext.injectPlannerStrategy(_ => graft.operators.AsOfJoin.Strategy)
+  }
 }

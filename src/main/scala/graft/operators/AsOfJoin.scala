@@ -20,6 +20,62 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Planner strategy lowering [[graft.plans.AsOfJoinPlan]] to
+    * [[graft.plans.AsOfJoinExec]]. Session-scoped registration via
+    * `spark.experimental.extraStrategies` ([[registerStrategy]]) or
+    * globally via `spark.sql.extensions=graft.functions.GraftExtensions`. */
+  object Strategy extends org.apache.spark.sql.execution.SparkStrategy {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.execution.SparkPlan
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case p: graft.plans.AsOfJoinPlan =>
+        graft.plans.AsOfJoinExec(
+          p.leftKey, p.rightKey, p.leftTs, p.rightTs, p.rightVals,
+          planLater(p.left), planLater(p.right)) :: Nil
+      case _ => Nil
+    }
+  }
+
+  def registerStrategy(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val exp = org.apache.spark.sql.graftbridge.ColumnBridge
+    val classic = org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
+    if (!classic.experimental.extraStrategies.contains(Strategy))
+      classic.experimental.extraStrategies =
+        classic.experimental.extraStrategies :+ Strategy
+  }
+
+  /** Native physical-operator form: one exchange + sort per side, one
+    * streaming merge pass. Output: left columns + `{col}_asof` right
+    * values — same contract as the window-composition [[apply]], which
+    * serves as its conformance oracle in `AsOfJoinSpec`. */
+  def native(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightVals: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    val spark = left.sparkSession
+    registerStrategy(spark)
+    val lPlan = DatasetBridge.logicalPlan(left)
+    // Re-alias the right side so its output attributes get fresh exprIds:
+    // when both sides derive from the same scan (self-as-of-join), analysis
+    // deduplicates the shared subtree's ids and attributes captured in this
+    // custom node would otherwise go stale (observed as the right child
+    // being column-pruned out from under the stored key expression).
+    val rPlan = DatasetBridge.logicalPlan(
+      right.select(right.columns.map(c => col(c).as(c)): _*))
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    DatasetBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      attr(lPlan, key), attr(rPlan, key),
+      attr(lPlan, leftTs), attr(rPlan, rightTs),
+      rightVals.map(attr(rPlan, _))))
+  }
+
   /** @param rightVals right columns carried to the output as `{name}_asof`
     * @param tieBreak   column present on both sides making the sort total
     *                   (any unique id); ties in (ts, side) are data-rare but

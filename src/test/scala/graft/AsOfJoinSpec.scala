@@ -33,4 +33,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(byId(204L) === ((None, None)))
     assert(out.count() === 5) // left-join semantics: every purchase survives
   }
+
+  test("native physical operator matches the window composition") {
+    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val signups = e.filter($"event_type" === "signup")
+      .select($"event_id", $"user_id", $"ts", $"value")
+
+    val composed = graft.operators.AsOfJoin(
+      purchases, signups, "user_id", "ts", "ts", Seq("ts", "value"), "event_id")
+      .select($"event_id", $"ts_asof", $"value_asof")
+    val native = graft.operators.AsOfJoin.native(
+      purchases, signups.drop("event_id"), "user_id", "ts", "ts", Seq("ts", "value"))
+      .select($"event_id", $"ts_asof", $"value_asof")
+
+    assert(native.count() === purchases.count())
+    assert(native.except(composed).count() === 0)
+    assert(composed.except(native).count() === 0)
+  }
+
+  test("native operator plans as AsOfJoinExec with one exchange per side") {
+    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val l = e.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts")
+    val r = e.filter($"event_type" === "signup").select($"user_id", $"ts", $"value")
+    val plan = graft.operators.AsOfJoin.native(l, r, "user_id", "ts", "ts", Seq("value"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2)
+  }
 }
