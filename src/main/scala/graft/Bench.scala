@@ -17,8 +17,9 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_total_distinct", "q2_count_by_group", "q3_topk_per_group",
     "q4_hourly_rollup", "q5_filter_project", "q7_global_topk",
-    "q11_agg_suite", "q12_semi_join",
-    "t2_quality", "t4_fingerprint",
+    "q11_agg_suite", "q12_semi_join", "q19_star_join",
+    "a2_asof_native", "r1_range_join",
+    "t2_quality", "t4_fingerprint", "t7_winnow",
     "d1_dedup_exact", "d3_minhash_lsh", "d4_simhash", "d6_simhash_pairs",
     "s1_ann_topk", "s2_ann_lsh")
 

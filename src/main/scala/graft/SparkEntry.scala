@@ -196,6 +196,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok"))
         .limit(100)),
+    "t7_winnow" -> ((s, d) => TextAnalysis.winnow(Tables.documents(s, d))),
+    "q19_star_join" -> ((s, d) => {
+      val r = Tables.region(s, d)
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      broadcast(r)
+        .join(broadcast(n), r("r_regionkey") === n("n_regionkey"))
+        .join(c, c("c_nationkey") === n("n_nationkey"))
+        .join(o, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_cust"))
+    }),
+    "m2_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Tables.documents(s, d).select(
+          col("doc_id"), col("text").cast("binary").as("payload")))
+        .select(
+          col("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          md5(col("frame_bytes")).as("frame_md5"),
+          length(col("frame_bytes")).cast("long").as("frame_len"))),
     // Approximate HLL distinct — engine-specific sketch, so rows-only check
     // (exact COUNT(DISTINCT) is the oracle'd default, q1/q2; this is the
     // documented opt-in for 100 TB profiling).
@@ -389,6 +413,33 @@ object SparkEntry {
       """SELECT tok, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS tok FROM documents)
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 100""".stripMargin,
+    "t7_winnow" -> {
+      val hsExpr = s"""CASE WHEN length(text) - 4 >= 1
+        |  THEN list_transform(generate_series(1, length(text) - 4), i -> ${sqlPolyHash("substr(text, i, 5)")})
+        |  ELSE [] END""".stripMargin
+      s"""WITH hs AS (SELECT doc_id, $hsExpr AS hs FROM documents),
+         |sel AS (SELECT doc_id,
+         |               CASE WHEN len(hs) >= 4
+         |                 THEN list_distinct(list_transform(generate_series(1, len(hs) - 3),
+         |                        j -> list_aggregate(hs[j:j+3], 'min')))
+         |                 ELSE list_distinct(hs) END AS fps
+         |        FROM hs)
+         |SELECT doc_id, unnest(fps) AS fp FROM sel""".stripMargin
+    },
+    "q19_star_join" ->
+      """SELECT r.r_name, count(*) AS n_orders, count(DISTINCT c.c_custkey) AS n_cust
+        |FROM region r
+        |JOIN nation n ON r.r_regionkey = n.n_regionkey
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY r.r_name""".stripMargin,
+    "m2_frame_sample" ->
+      """SELECT doc_id, CAST(s AS BIGINT) AS frame_idx,
+        |       md5(substr(text, b * 256 + 1, 256)) AS frame_md5,
+        |       CAST(length(substr(text, b * 256 + 1, 256)) AS BIGINT) AS frame_len
+        |FROM (SELECT doc_id, text, i AS s, i * 4 AS b
+        |      FROM documents,
+        |      LATERAL (SELECT unnest(generate_series(0, ((length(text) - 1) // 256) // 4)) AS i) g)""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
         |       CAST(count(*) AS BIGINT) AS n_copies
