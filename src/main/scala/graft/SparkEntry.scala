@@ -110,6 +110,13 @@ object SparkEntry {
       Tables.orders(s, d)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n"))),
+    "q20_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))),
     "j1_json_extract" -> ((s, d) =>
       Tables.events(s, d).select(
         col("event_id"),
@@ -316,6 +323,12 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority,
         |       count(DISTINCT o_custkey) AS n_cust, count(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q20_pivot" ->
+      """SELECT o_orderpriority,
+        |       count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |       count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |       count(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "j1_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,

@@ -36,6 +36,45 @@ class StreamingRollupSpec extends SparkSpec {
     assert(streamed.except(expected).count() === 0)
   }
 
+  test("stream-stream interval join with watermarks") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = Files.createTempDirectory("graft_ssj_src").toString
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+    events.write.mode("overwrite").parquet(srcDir)
+
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    def src = spark.readStream.schema(schema).parquet(srcDir)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val errors = src.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    // purchases within 30 min after an error by the same user
+    val joined = errors.join(
+      purchases,
+      expr("e_user = p_user AND p_ts >= e_ts AND p_ts <= e_ts + INTERVAL 30 MINUTES"))
+
+    val q = joined.writeStream.format("memory").queryName("ssj_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("ssj_sink").count()
+    val batch = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .join(
+        events.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts")),
+        expr("e_user = p_user AND p_ts >= e_ts AND p_ts <= e_ts + INTERVAL 30 MINUTES"))
+      .count()
+    assert(streamed === batch)
+    assert(streamed > 0)
+  }
+
   test("sessionize emits gap-separated sessions via flatMapGroupsWithState") {
     val h = 3600L * 1000
     val readings = Seq(
