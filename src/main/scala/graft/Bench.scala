@@ -51,9 +51,14 @@ object Bench {
     }
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     headline.foreach { name =>
-      results(name) = time {
-        try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); results(name) = -1.0 }
+      val t0 = System.nanoTime()
+      try {
+        qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        results(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name: $e")
+          results(name) = -1.0 // kept: the total only sums successes
       }
     }
     // ETL analog: read events → hourly rollup → snappy parquet, partitioned
@@ -65,8 +70,14 @@ object Bench {
         .option("compression", "snappy")
         .partitionBy("event_type_min")
         .parquet(dest)
-    etlOnce(s"$outDir/warmup")
-    results("etl_pipeline") = time(etlOnce(s"$outDir/rollup"))
+    try {
+      etlOnce(s"$outDir/warmup")
+      results("etl_pipeline") = time(etlOnce(s"$outDir/rollup"))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] etl_pipeline: $e")
+        results("etl_pipeline") = -1.0 // the JSON line must still print
+    }
 
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

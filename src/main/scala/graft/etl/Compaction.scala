@@ -20,20 +20,33 @@ object Compaction {
     if (root.exists()) walk(root) else 0L
   }
 
-  /** Rewrite `dir` in place (via a temp sibling) into ~targetBytes files. */
+  /** Rewrite `dir` in place (via a temp sibling) into ~targetBytes files.
+    * The swap is rename-based and NOT safe under concurrent readers — run
+    * in a maintenance window. Every rename is checked: a leftover backup
+    * from an interrupted run aborts before any data is touched, and a
+    * failed swap rolls the original back instead of deleting it. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long = 128L * 1024 * 1024): Long = {
     val bytes = dirBytes(dir)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val tmp = dir + "__compact_tmp"
-    spark.read.parquet(dir).repartition(nFiles)
-      .write.mode("overwrite").option("compression", "snappy").parquet(tmp)
+    val tmp = new java.io.File(dir + "__compact_tmp")
     val dest = new java.io.File(dir)
     val back = new java.io.File(dir + "__compact_old")
-    dest.renameTo(back)
-    new java.io.File(tmp).renameTo(dest)
+    if (back.exists())
+      throw new IllegalStateException(
+        s"leftover backup from an interrupted compaction: $back — recover it manually first")
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode("overwrite").option("compression", "snappy").parquet(tmp.getPath)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()
+    }
+    if (!dest.renameTo(back)) {
+      rm(tmp)
+      throw new java.io.IOException(s"compaction aborted: could not move $dest aside")
+    }
+    if (!tmp.renameTo(dest)) {
+      back.renameTo(dest) // roll back — the original data is the only copy
+      throw new java.io.IOException(s"compaction failed: could not install $tmp; original restored")
     }
     rm(back)
     nFiles.toLong

@@ -86,7 +86,8 @@ object EtlRunner {
   }
 
   def appendManifest(path: String, keys: Seq[String]): Unit = {
-    val f = java.nio.file.Paths.get(path)
+    // toAbsolutePath: a bare relative filename has a null getParent
+    val f = java.nio.file.Paths.get(path).toAbsolutePath
     java.nio.file.Files.createDirectories(f.getParent)
     java.nio.file.Files.write(f, keys.mkString("", "\n", "\n").getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)

@@ -37,7 +37,6 @@ object AsOfJoin {
   }
 
   def registerStrategy(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val exp = org.apache.spark.sql.graftbridge.ColumnBridge
     val classic = org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
     if (!classic.experimental.extraStrategies.contains(Strategy))
       classic.experimental.extraStrategies =
@@ -65,7 +64,8 @@ object AsOfJoin {
     // custom node would otherwise go stale (observed as the right child
     // being column-pruned out from under the stored key expression).
     val rPlan = DatasetBridge.logicalPlan(
-      right.select(right.columns.map(c => col(c).as(c)): _*))
+      right.filter(col(key).isNotNull) // NULL keys never match (SQL equality)
+        .select(right.columns.map(c => col(c).as(c)): _*))
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found"))
@@ -97,7 +97,10 @@ object AsOfJoin {
         col(tieBreak).as("__tie")) ++
         leftCols.map(c => col(c).as(s"__l_$c")) ++
         rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
-    val sideR = right.select(
+    // NULL keys never match under SQL equality (the oracle's ON p.k = s.k),
+    // so null-keyed right rows are dropped up front; null-keyed left rows
+    // land in a partition with no right rows and keep nulls.
+    val sideR = right.filter(col(key).isNotNull).select(
       Seq(
         col(key).as("__k"),
         col(rightTs).as("__ts"),
@@ -111,13 +114,20 @@ object AsOfJoin {
       .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = rightVals.foldLeft(sideL.unionByName(sideR)) { (df, c) =>
-      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    // Carry the WHOLE matched right row forward as one struct: per-column
+    // last(ignoreNulls) would skip a matched row's legitimate NULL value
+    // (resurrecting an older value) and could stitch columns from
+    // different right rows. The struct is non-null exactly for right rows,
+    // so last(struct, ignoreNulls) is the latest matched ROW.
+    val rstruct = when(
+      col("__side") === 0,
+      struct(rightVals.map(c => col(s"__r_$c")): _*))
+    val filled = sideL.unionByName(sideR)
+      .withColumn("__rmatch", last(rstruct, ignoreNulls = true).over(w))
 
     val out: Seq[Column] =
       leftCols.map(c => col(s"__l_$c").as(c)) ++
-        rightVals.map(c => col(s"__r_$c").as(s"${c}_asof"))
+        rightVals.map(c => col("__rmatch").getField(s"__r_$c").as(s"${c}_asof"))
     filled.filter(col("__side") === 1).select(out: _*)
   }
 }

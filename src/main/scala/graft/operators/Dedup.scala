@@ -152,7 +152,11 @@ object Dedup {
       .union(cands.select(col("doc_b").as("doc_id")))
       .distinct()
     val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi").cache()
-    val cnt = shingleCounts(sh)
+    // Set sizes only for candidate docs (shc holds their FULL shingle
+    // sets): counting over the whole corpus would broadcast one row per
+    // corpus document below — the LSH prune must bound every downstream
+    // structure, including this one.
+    val cnt = shingleCounts(shc)
     val a = shc.select(col("doc_id").as("doc_a"), col("h"))
     val b = shc.select(col("doc_id").as("doc_b"), col("h"))
     val inter = a
@@ -198,14 +202,14 @@ object Dedup {
       .agg(graft.functions.SimHashAgg.simhash(col("h"), SimhashBits).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
-    * chunk banding: the 30-bit signature splits into maxHamming+1 chunks,
+    * chunk banding: the 60-bit signature splits into maxHamming+1 chunks,
     * and any pair within the distance budget must agree EXACTLY on at least
     * one chunk (pigeonhole) — so the chunk-equality join has full recall,
     * not probabilistic recall, and the output equals the all-pairs result
     * the oracle computes. Join space is Σ per-(chunk,value) bucket². */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val nChunks = maxHamming + 1
-    val chunkBits = (SimhashBits + nChunks - 1) / nChunks // 8 bits, last chunk 6
+    val chunkBits = (SimhashBits + nChunks - 1) / nChunks // 15 bits × 4 chunks
     val sig = simhash(docs).cache()
     val chunks = sig.select(
       col("doc_id"),

@@ -67,13 +67,20 @@ object Multimodal {
   /** Deterministic frame sampling: every `stride`-th 256-byte block of the
     * payload becomes a "frame" row — the video-sampling plumbing with the
     * decode stubbed to a slice. */
-  def sampleFrames(df: DataFrame, stride: Int = 4): DataFrame =
+  def sampleFrames(df: DataFrame, stride: Int = 4): DataFrame = {
+    // A zero-length payload has NO frames (the guard matters: without it
+    // the -1/256 floor clamps to block 0 and emits one empty frame).
+    val blocks =
+      when(length(col("payload")) > 0,
+        sequence(lit(0), floor((length(col("payload")) - 1) / 256).cast("int")))
+        .otherwise(array().cast("array<int>"))
     df.select(
       col("doc_id"),
       posexplode(
         filter(
           transform(
-            sequence(lit(0), greatest(floor((length(col("payload")) - 1) / 256).cast("int"), lit(0))),
+            blocks,
             i => when(i % stride === 0, substring(col("payload"), i * lit(256) + 1, lit(256))))
           , x => x.isNotNull)).as(Seq("frame_idx", "frame_bytes")))
+  }
 }

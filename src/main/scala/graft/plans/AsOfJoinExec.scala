@@ -59,6 +59,9 @@ final case class AsOfJoinExec(
           .createNaturalAscendingOrdering(Seq(lk.dataType))
       val nullRight = new GenericInternalRow(rightValsLocal.length)
       val joined = new JoinedRow
+      // SparkPlan contract: doExecute must emit UnsafeRow (collect and
+      // shuffle cast to it); project the JoinedRow positionally.
+      val toUnsafe = UnsafeProjection.create(output.map(_.dataType).toArray)
 
       new Iterator[InternalRow] {
         private var rHead: InternalRow = _
@@ -94,7 +97,7 @@ final case class AsOfJoinExec(
           }
           val matched =
             matchVals != null && matchKey != null && keyOrdering.compare(matchKey, lKey) == 0
-          joined(l, if (matched) matchVals else nullRight)
+          toUnsafe(joined(l, if (matched) matchVals else nullRight))
         }
       }
     }

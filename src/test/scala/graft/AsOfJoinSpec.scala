@@ -34,6 +34,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() === 5) // left-join semantics: every purchase survives
   }
 
+  test("a matched right row's NULL value is kept, not replaced by an older value") {
+    val signups = Seq(
+      (100L, 1L, ts(10), Some(1.0)),
+      (101L, 1L, ts(20), None) // latest match has NULL value
+    ).toDF("event_id", "user_id", "ts", "value")
+    val purchases = Seq((200L, 1L, ts(30))).toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin(purchases, signups, "user_id", "ts", "ts", Seq("ts", "value"), "event_id")
+      .collect().head
+    assert(out.getAs[Timestamp]("ts_asof") === ts(20)) // the ts=20 row matched...
+    assert(out.isNullAt(out.fieldIndex("value_asof")))  // ...and its NULL survives
+  }
+
+  test("NULL join keys never match (SQL equality semantics)") {
+    val signups = Seq(
+      (100L, Option.empty[Long], ts(10), 5.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val purchases = Seq(
+      (200L, Option.empty[Long], ts(20)),
+      (201L, Some(1L), ts(20))
+    ).toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin(purchases, signups, "user_id", "ts", "ts", Seq("value"), "event_id")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(r.fieldIndex("value_asof"))).toMap
+    assert(out(200L)) // null key left row: no match
+    assert(out(201L)) // no right rows for key 1
+    val native = AsOfJoin.native(purchases, signups, "user_id", "ts", "ts", Seq("value"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(r.fieldIndex("value_asof"))).toMap
+    assert(native === out)
+  }
+
   test("native physical operator matches the window composition") {
     val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val purchases = e.filter($"event_type" === "purchase")

@@ -28,6 +28,12 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(feats(2L).getAs[Double]("mean_intensity") - meanAbc) < 1e-9)
   }
 
+  test("sampleFrames emits no frames for an empty payload") {
+    val empty = Seq((9L, "")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    assert(Multimodal.sampleFrames(empty).count() === 0)
+  }
+
   test("sampleFrames emits every stride-th 256-byte block") {
     val frames = Multimodal.sampleFrames(payloads, stride = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).length))
