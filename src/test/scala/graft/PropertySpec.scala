@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{AsOfJoin, HourlyRollup, RangeJoin}
+
+/** Property-based invariants (SURVEY.md §5.3): ScalaCheck generators with
+  * deterministic seeds, algebraic oracles. Iteration counts are kept
+  * small — each property spins Spark jobs, so the value is in the random
+  * SHAPES, not in thousands of cases. (Raw Gen + fixed seeds rather than
+  * the scalatestplus bridge: reproducible, and the bridge isn't in the
+  * offline dependency cache.) */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[A](gen: Gen[A], cases: Int = 5)(f: A => Unit): Unit =
+    (0 until cases).foreach { i =>
+      f(gen.pureApply(Gen.Parameters.default.withSize(40), Seed(42L + i)))
+    }
+
+  private val asciiText: Gen[String] =
+    Gen.chooseNum(0, 200).flatMap(n => Gen.stringOfN(n, Gen.choose(' ', '~')))
+
+  test("property: polyHash expression equals the reference fold for arbitrary ASCII") {
+    forAll(Gen.listOfN(8, asciiText)) { texts =>
+      {
+        def ref(s: String): Long = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+        val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("id", "s")
+          .select($"id", graft.functions.TextHash.polyHash($"s").as("h"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        texts.zipWithIndex.foreach { case (t, i) => assert(got(i.toLong) === ref(t)) }
+      }
+    }
+  }
+
+  test("property: rollup emits one row per distinct (hour, id); constant series keeps its value") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      rows <- Gen.listOfN(n, for {
+        b <- Gen.chooseNum(1L, 4L)
+        minute <- Gen.chooseNum(0, 240)
+      } yield (new Timestamp(1700000000000L + minute * 60000L), b, 7.25))
+    } yield rows
+    forAll(gen) { rows =>
+      {
+        val df = rows.toDF("timestamp", "bldg_id", "v")
+        val out = HourlyRollup(df)
+        val expectedGroups = rows.map { case (ts, b, _) =>
+          (ts.getTime / 3600000L, b)
+        }.distinct.size
+        assert(out.count() === expectedGroups)
+        assert(out.select("v_mean").distinct().collect().map(_.getDouble(0)).toSeq === Seq(7.25))
+        // min-agg of the group key is the key itself
+        assert(out.filter($"bldg_id" =!= $"bldg_id_min").count() === 0)
+      }
+    }
+  }
+
+  test("property: bucketed range join equals brute force on random timestamps") {
+    val gen = for {
+      na <- Gen.chooseNum(1, 25)
+      nb <- Gen.chooseNum(1, 25)
+      as <- Gen.listOfN(na, Gen.chooseNum(0L, 500000L))
+      bs <- Gen.listOfN(nb, Gen.chooseNum(0L, 500000L))
+    } yield (as, bs)
+    forAll(gen) { case (as, bs) =>
+      val a = as.zipWithIndex.map { case (t, i) => (i.toLong, new Timestamp(t)) }.toDF("id_a", "ts_a")
+      val b = bs.zipWithIndex.map { case (t, i) => (i.toLong, new Timestamp(t)) }.toDF("id_b", "ts_b")
+      val tol = 30000L
+      val bucketed = RangeJoin(a, b, "ts_a", "ts_b", tol)
+        .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = (for {
+        (ta, ia) <- as.zipWithIndex
+        (tb, ib) <- bs.zipWithIndex
+        if math.abs(tb - ta) <= tol
+      } yield (ia.toLong, ib.toLong)).toSet
+      assert(bucketed === brute)
+    }
+  }
+
+  test("property: as-of join (both forms) equals the naive per-row maximum") {
+    val gen = for {
+      nl <- Gen.chooseNum(1, 20)
+      nr <- Gen.chooseNum(0, 20)
+      ls <- Gen.listOfN(nl, for { k <- Gen.chooseNum(1L, 3L); t <- Gen.chooseNum(0L, 100000L) } yield (k, t))
+      rs <- Gen.listOfN(nr, for { k <- Gen.chooseNum(1L, 3L); t <- Gen.chooseNum(0L, 100000L) } yield (k, t))
+    } yield (ls, rs)
+    forAll(gen) { case (ls, rs) =>
+      // unique right timestamps per key so the naive oracle is unambiguous
+      val rsd = rs.distinct
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, new Timestamp(t)) }
+        .toDF("event_id", "user_id", "ts")
+      val right = rsd.zipWithIndex.map { case ((k, t), i) => (i + 1000L, k, new Timestamp(t), t.toDouble) }
+        .toDF("event_id", "user_id", "ts", "value")
+      val naive: Map[Long, Option[Double]] = ls.zipWithIndex.map { case ((k, t), i) =>
+        i.toLong -> rsd.filter(r => r._1 == k && r._2 <= t).sortBy(_._2).lastOption.map(_._2.toDouble)
+      }.toMap
+      val composed = AsOfJoin(left, right, "user_id", "ts", "ts", Seq("value"), "event_id")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(r.fieldIndex("value_asof"))) None
+           else Some(r.getDouble(r.fieldIndex("value_asof"))))).toMap
+      val native = AsOfJoin.native(left, right.drop("event_id"), "user_id", "ts", "ts", Seq("value"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(r.fieldIndex("value_asof"))) None
+           else Some(r.getDouble(r.fieldIndex("value_asof"))))).toMap
+      assert(composed === naive)
+      assert(native === naive)
+    }
+  }
+}
