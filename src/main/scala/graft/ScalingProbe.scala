@@ -55,6 +55,29 @@ object ScalingProbe {
       spark.read.parquet(out).count()
     }
 
+    // ---- joins at scale: as-of over 10M events, range join over 1M ----
+    time("asof_native_10M") {
+      val purchases = bigEvents.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = bigEvents.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOfJoin.native(purchases, signups, "user_id", "ts", "ts", Seq("ts", "value"))
+        .count()
+    }
+    // 1M-row subset by REPLICA (event_ids are time-ordered, so an
+    // every-Nth-id subsample would space survivors ~N minutes apart and
+    // produce a legitimately empty ±1-minute join — sample whole replicas
+    // to preserve temporal density).
+    val events1M = bigEvents.filter(col("event_id") < 10L * 10000000L).cache()
+    events1M.count()
+    time("range_join_1M") {
+      val errors = events1M.filter(col("event_type") === "error")
+        .select(col("event_id").as("id_a"), col("ts").as("ts_a"))
+      val purchases = events1M.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("id_b"), col("ts").as("ts_b"))
+      graft.operators.RangeJoin(errors, purchases, "ts_a", "ts_b", 60000L).count()
+    }
+
     // ---- documents ×20 → 100k docs, minhash LSH dedup ----
     val docs = Tables.documents(spark, sfDir)
     val bigDocs = spark.range(20).select(col("id").as("rep"))
