@@ -64,6 +64,32 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Resize plumbing: payload → fixed-size payload. The real implementation
+    * is an image codec's scaler; the stub is a deterministic byte-level
+    * down/upsample (stride-sampled for shrink, cyclic repeat for grow) so
+    * tests can assert exact output. Runs in the same mapPartitions batch
+    * shape as [[extractFeatures]]. */
+  def resize(df: DataFrame, targetBytes: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col("doc_id").cast("long"), col("payload")).mapPartitions { it =>
+      it.map { r =>
+        val in = r.getAs[Array[Byte]](1)
+        val out = new Array[Byte](targetBytes)
+        if (in.nonEmpty) {
+          var i = 0
+          while (i < targetBytes) {
+            out(i) = in((i.toLong * in.length / targetBytes).toInt % in.length)
+            i += 1
+          }
+        }
+        Row(r.getLong(0), out)
+      }
+    }(encoder)
+  }
+
   /** Deterministic frame sampling: every `stride`-th 256-byte block of the
     * payload becomes a "frame" row — the video-sampling plumbing with the
     * decode stubbed to a slice. */

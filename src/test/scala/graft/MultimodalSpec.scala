@@ -28,6 +28,19 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(feats(2L).getAs[Double]("mean_intensity") - meanAbc) < 1e-9)
   }
 
+  test("resize produces exact target-size payloads, deterministic bytes") {
+    val out = Multimodal.resize(payloads, targetBytes = 16)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(out.values.forall(_.length == 16))
+    assert(out(1L).forall(_ == 'x'.toByte)) // 600 x's shrink to 16 x's
+    // "abc" upsampled to 16: position i maps to in(i*3/16 % 3)
+    val expected = (0 until 16).map(i => "abc".charAt(i * 3 / 16 % 3).toByte).toArray
+    assert(out(2L).toSeq === expected.toSeq)
+    val empty = Seq((9L, "")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    assert(Multimodal.resize(empty, 8).collect().head.getAs[Array[Byte]](1).forall(_ == 0))
+  }
+
   test("sampleFrames emits no frames for an empty payload") {
     val empty = Seq((9L, "")).toDF("doc_id", "text")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
