@@ -110,6 +110,24 @@ object SparkEntry {
       Tables.orders(s, d)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n"))),
+    // Gaps-and-islands sessionization — the batch twin of
+    // streaming.StreamingRollup.sessionize (>30 min gap starts a session).
+    "q21_sessionization" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("new_sess",
+          when(unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w)) > 1800000L, 1L)
+            .otherwise(lit(0L)))
+        .withColumn("session_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+    }),
     "q20_pivot" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
@@ -323,6 +341,22 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority,
         |       count(DISTINCT o_custkey) AS n_cust, count(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q21_sessionization" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
     "q20_pivot" ->
       """SELECT o_orderpriority,
         |       count(*) FILTER (o_orderstatus = 'F') AS n_f,
