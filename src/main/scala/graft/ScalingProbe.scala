@@ -38,11 +38,12 @@ object ScalingProbe {
     def rot(i: Int): String = alpha.drop(i % 26) + alpha.take(i % 26)
 
     // ---- events ×100 → 10M rows, rollup + write ----
+    val ReplicaStride = 10000000L // event_id offset per replica
     val events = Tables.events(spark, sfDir)
     val bigEvents = spark.range(100).select(col("id").as("rep"))
       .crossJoin(events)
       .select(
-        (col("event_id") + col("rep") * 10000000L).as("event_id"),
+        (col("event_id") + col("rep") * ReplicaStride).as("event_id"),
         (col("user_id") + col("rep") * 1000L).as("user_id"),
         col("ts"), col("event_type"), col("value"), col("props"))
       .cache()
@@ -68,7 +69,7 @@ object ScalingProbe {
     // every-Nth-id subsample would space survivors ~N minutes apart and
     // produce a legitimately empty ±1-minute join — sample whole replicas
     // to preserve temporal density).
-    val events1M = bigEvents.filter(col("event_id") < 10L * 10000000L).cache()
+    val events1M = bigEvents.filter(col("event_id") < 10L * ReplicaStride).cache()
     events1M.count()
     time("range_join_1M") {
       val errors = events1M.filter(col("event_type") === "error")

@@ -45,8 +45,12 @@ object Compaction {
       throw new java.io.IOException(s"compaction aborted: could not move $dest aside")
     }
     if (!tmp.renameTo(dest)) {
-      back.renameTo(dest) // roll back — the original data is the only copy
-      throw new java.io.IOException(s"compaction failed: could not install $tmp; original restored")
+      val restored = back.renameTo(dest) // the original data is the only copy
+      rm(tmp)
+      throw new java.io.IOException(
+        if (restored) s"compaction failed: could not install $tmp; original restored"
+        else s"compaction failed: could not install $tmp AND rollback failed — " +
+          s"original data is at $back, recover it manually")
     }
     rm(back)
     nFiles.toLong

@@ -64,7 +64,8 @@ object AsOfJoin {
     // custom node would otherwise go stale (observed as the right child
     // being column-pruned out from under the stored key expression).
     val rPlan = DatasetBridge.logicalPlan(
-      right.filter(col(key).isNotNull) // NULL keys never match (SQL equality)
+      // NULL keys/timestamps never match (both oracle predicates non-true)
+      right.filter(col(key).isNotNull && col(rightTs).isNotNull)
         .select(right.columns.map(c => col(c).as(c)): _*))
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
       plan.output.find(_.name == name).getOrElse(
@@ -97,10 +98,12 @@ object AsOfJoin {
         col(tieBreak).as("__tie")) ++
         leftCols.map(c => col(c).as(s"__l_$c")) ++
         rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
-    // NULL keys never match under SQL equality (the oracle's ON p.k = s.k),
-    // so null-keyed right rows are dropped up front; null-keyed left rows
-    // land in a partition with no right rows and keep nulls.
-    val sideR = right.filter(col(key).isNotNull).select(
+    // NULL keys and NULL timestamps never match under the oracle's
+    // predicates (ON p.k = s.k AND p.ts >= s.ts are both non-true for
+    // NULL), so such right rows are dropped up front; null-keyed or
+    // null-ts left rows sort before every right row in their partition
+    // (nulls-first) and keep nulls.
+    val sideR = right.filter(col(key).isNotNull && col(rightTs).isNotNull).select(
       Seq(
         col(key).as("__k"),
         col(rightTs).as("__ts"),

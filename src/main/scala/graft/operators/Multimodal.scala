@@ -65,27 +65,32 @@ object Multimodal {
   }
 
   /** Resize plumbing: payload → fixed-size payload. The real implementation
-    * is an image codec's scaler; the stub is a deterministic byte-level
-    * down/upsample (stride-sampled for shrink, cyclic repeat for grow) so
-    * tests can assert exact output. Runs in the same mapPartitions batch
-    * shape as [[extractFeatures]]. */
+    * is an image codec's scaler; the stub is deterministic linear
+    * stretch-sampling (index i reads in[i·len/target], shrinking or
+    * stretching as needed) so tests can assert exact output. NULL payloads
+    * stay NULL. Runs in the same mapPartitions batch shape as
+    * [[extractFeatures]]. */
   def resize(df: DataFrame, targetBytes: Int): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("payload", BinaryType)))
     val encoder = org.apache.spark.sql.Encoders.row(schema)
     df.select(col("doc_id").cast("long"), col("payload")).mapPartitions { it =>
       it.map { r =>
-        val in = r.getAs[Array[Byte]](1)
-        val out = new Array[Byte](targetBytes)
-        if (in.nonEmpty) {
-          var i = 0
-          while (i < targetBytes) {
-            out(i) = in((i.toLong * in.length / targetBytes).toInt % in.length)
-            i += 1
+        if (r.isNullAt(1)) Row(r.getLong(0), null)
+        else {
+          val in = r.getAs[Array[Byte]](1)
+          val out = new Array[Byte](targetBytes)
+          if (in.nonEmpty) {
+            var i = 0
+            while (i < targetBytes) {
+              out(i) = in((i.toLong * in.length / targetBytes).toInt)
+              i += 1
+            }
           }
+          Row(r.getLong(0), out)
         }
-        Row(r.getLong(0), out)
       }
     }(encoder)
   }

@@ -83,7 +83,12 @@ final case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lKey = leftKeyProj(l)
-          val lTs = leftTsProj(l).getLong(0)
+          val lTsRow = leftTsProj(l)
+          // NULL left key or ts: no predicate can be true → emit nulls
+          // (a null slot would otherwise read as epoch 0 and match).
+          if (lKey.isNullAt(0) || lTsRow.isNullAt(0))
+            return toUnsafe(joined(l, nullRight))
+          val lTs = lTsRow.getLong(0)
           // consume right rows at or before (lKey, lTs)
           while (rHead != null && {
             val c = keyOrdering.compare(rHeadKey, lKey)

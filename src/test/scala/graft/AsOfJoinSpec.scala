@@ -63,6 +63,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native === out)
   }
 
+  test("NULL timestamps never match on either side (oracle predicate semantics)") {
+    val signups = Seq(
+      (100L, 1L, Option.empty[Timestamp], 5.0), // null right ts: never matchable
+      (101L, 2L, Some(ts(10)), 7.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val purchases = Seq(
+      (200L, 1L, Some(ts(20))),
+      (201L, 2L, Option.empty[Timestamp]) // null left ts: matches nothing
+    ).toDF("event_id", "user_id", "ts")
+    val composed = AsOfJoin(purchases, signups, "user_id", "ts", "ts", Seq("value"), "event_id")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(r.fieldIndex("value_asof"))).toMap
+    assert(composed === Map(200L -> true, 201L -> true))
+    val native = AsOfJoin.native(purchases, signups.drop("event_id"), "user_id", "ts", "ts", Seq("value"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(r.fieldIndex("value_asof"))).toMap
+    assert(native === composed)
+  }
+
   test("native physical operator matches the window composition") {
     val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val purchases = e.filter($"event_type" === "purchase")
