@@ -50,10 +50,31 @@ object Sink {
 
   /** Metadata bypass (S6): re-encode through the parquet reader/writer.
     * The reference copies bytes verbatim (`worker.py:171-173,191-192`); a
-    * re-encode keeps identical rows while normalizing encodings. */
+    * re-encode keeps identical rows while normalizing encodings. For the
+    * literal byte-for-byte form see [[copyMetadataRaw]]. */
   def writeMetadata(df: DataFrame, runRoot: String, jobName: String): String = {
     val out = s"$runRoot/$jobName/metadata"
     df.write.mode("overwrite").option("compression", "snappy").parquet(out)
     out
+  }
+
+  /** Literal byte-for-byte metadata bypass — the reference's exact behavior
+    * (`worker.py:171-173`): source files land under the run root unchanged
+    * (same checksums), no parquet decode/encode at all. */
+  def copyMetadataRaw(srcPaths: Seq[String], runRoot: String, jobName: String): String = {
+    val outDir = java.nio.file.Paths.get(s"$runRoot/$jobName/metadata_raw")
+    java.nio.file.Files.createDirectories(outDir)
+    srcPaths.foreach { p =>
+      val src = java.nio.file.Paths.get(p)
+      def copy(s: java.nio.file.Path, d: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.isDirectory(s)) {
+          java.nio.file.Files.createDirectories(d)
+          java.nio.file.Files.list(s).forEach(c => copy(c, d.resolve(c.getFileName)))
+        } else
+          java.nio.file.Files.copy(s, d,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      copy(src, outDir.resolve(src.getFileName))
+    }
+    outDir.toString
   }
 }

@@ -22,6 +22,25 @@ class EtlRobustnessSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === rows)
   }
 
+  test("raw metadata bypass copies bytes verbatim") {
+    val src = Files.createTempDirectory("graft_raw_src").toString + "/meta.parquet"
+    graft.sources.Tables.nation(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(src)
+    val runRoot = Files.createTempDirectory("graft_raw_out").toString
+    val out = Sink.copyMetadataRaw(Seq(src), runRoot, "job0")
+    def md5s(dir: String): Map[String, String] = {
+      val d = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(d)
+        .filter(p => java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => d.relativize(p).toString ->
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(p)).map("%02x".format(_)).mkString)
+        .toMap
+    }
+    assert(md5s(s"$out/meta.parquet") === md5s(src)) // identical checksums
+  }
+
   test("validator counts violations in one pass") {
     val df = Seq(
       (1L, 10.0, "ok"),
