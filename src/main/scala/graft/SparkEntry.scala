@@ -24,14 +24,26 @@ object SparkEntry {
       s"list_transform(generate_series(1, length($s)), p -> CAST(unicode(substr($s, p, 1)) AS BIGINT))), " +
       s"(a, c) -> (a * 31 + c) % 1000000007)"
 
+  /** Shared SQL fragment: left-to-right double fold of a list expr. */
+  private def sqlFoldSum(expr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $expr), (x, y) -> x + y)"
+
   /** Shared SQL fragment: left-to-right double cosine (mirrors
     * [[graft.functions.VectorMath.cosine]]). */
   private def sqlCosine(a: String, b: String): String = {
-    def sum(expr: String): String =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $expr), (x, y) -> x + y)"
-    val dot = sum(s"list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
-    val na = sum(s"list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))")
-    val nb = sum(s"list_transform(generate_series(1, len($b)), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+    val dot = sqlFoldSum(s"list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+    val na = sqlFoldSum(s"list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))")
+    val nb = sqlFoldSum(s"list_transform(generate_series(1, len($b)), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+    s"($dot / (sqrt($na) * sqrt($nb)))"
+  }
+
+  /** Shared SQL fragment: cosine of a float list `a` against a double list
+    * `b` (mirrors [[graft.functions.GraftExprs.dotFD]]/`normD` —
+    * query-vs-centroid scoring in the IVF pipeline). */
+  private def sqlCosineFD(a: String, b: String): String = {
+    val dot = sqlFoldSum(s"list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * $b[i])")
+    val na = sqlFoldSum(s"list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))")
+    val nb = sqlFoldSum(s"list_transform(generate_series(1, len($b)), i -> $b[i] * $b[i])")
     s"($dot / (sqrt($na) * sqrt($nb)))"
   }
 
@@ -262,8 +274,8 @@ object SparkEntry {
     // ---- similarity search ----
     "s1_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "s2_ann_lsh" -> ((s, d) => Similarity.lshNeighbors(Tables.embeddings(s, d))),
-    // IVF ANN: approximate by construction (probes nProbe cells) → no SQL
-    // oracle; the driver records a rows-only check. Recall is spec-tested.
+    // IVF ANN: deterministic end-to-end (LSH cells, quantized-integer mean
+    // centroids, total orderings) so the oracle replays the whole pipeline.
     "s3_ann_ivf" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // ---- multimodal (binary column plumbing; see operators.Multimodal) ----
     "m1_multimodal_meta" -> ((s, d) =>
@@ -577,6 +589,41 @@ object SparkEntry {
          |      FROM pairs JOIN embeddings ea ON ea.vec_id = vec_a
          |                 JOIN embeddings eb ON eb.vec_id = vec_b)
          |SELECT vec_a, vec_b, round(cosine, 7) AS cosine FROM s WHERE cosine >= 0.3""".stripMargin,
+    // Replays the deterministic IVF pipeline end-to-end: 6-bit LSH cells
+    // (same hyperplane formula as s2), quantized-integer mean centroids
+    // (trunc(x·2^20) BIGINT sums — order-independent, so bit-identical to
+    // graft.functions.VectorSumAgg), 4-cell multi-probe, exact cosine rank.
+    "s3_ann_ivf" ->
+      s"""WITH bits AS (SELECT b, CAST(1 AS BIGINT) << b AS p2 FROM generate_series(0, 5) t(b)),
+         |proj AS (SELECT vec_id, b, p2,
+         |                ${sqlFoldSum(
+                            "list_transform(generate_series(1, len(embedding)), " +
+                            "i -> CAST(embedding[i] AS DOUBLE) * " +
+                            "((CAST((b * 7919 + (i - 1) * 104729 + 12345) % 1000003 AS DOUBLE) / 1000003.0) - 0.5))")} AS proj
+         |         FROM embeddings CROSS JOIN bits),
+         |cellsig AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS cell
+         |            FROM proj GROUP BY vec_id),
+         |asg AS (SELECT e.vec_id, e.embedding, s.cell FROM embeddings e JOIN cellsig s ON e.vec_id = s.vec_id),
+         |cnt AS (SELECT cell, count(*) AS n FROM asg GROUP BY cell),
+         |dsum AS (SELECT cell, i, sum(CAST(trunc(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qs
+         |         FROM asg, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+         |         GROUP BY cell, i),
+         |cent AS (SELECT d.cell, list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY i) AS centroid
+         |         FROM dsum d JOIN cnt c ON d.cell = c.cell GROUP BY d.cell, c.n),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |cs AS (SELECT query_id, qe, cent.cell, ${sqlCosineFD("qe", "centroid")} AS cell_sim
+         |       FROM q CROSS JOIN cent),
+         |pr AS (SELECT query_id, qe, cell FROM (
+         |         SELECT query_id, qe, cell,
+         |                row_number() OVER (PARTITION BY query_id ORDER BY cell_sim DESC, cell) AS cr
+         |         FROM cs) WHERE cr <= 4),
+         |cand AS (SELECT query_id, a.vec_id, ${sqlCosine("qe", "a.embedding")} AS cosine
+         |         FROM pr JOIN asg a ON pr.cell = a.cell WHERE query_id <> a.vec_id),
+         |w AS (SELECT query_id, vec_id, cosine,
+         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS "rank"
+         |      FROM cand)
+         |SELECT query_id, vec_id AS neighbor_id, round(cosine, 7) AS cosine, "rank"
+         |FROM w WHERE "rank" <= 5""".stripMargin,
     "m1_multimodal_meta" ->
       """SELECT doc_id,
         |       CAST(strlen(text) AS BIGINT) AS byte_len,

@@ -74,6 +74,47 @@ object GraftExprs {
     }
     new GenericArrayData(out)
   }
+
+  /** LSH bucket id: Σ_{b: hyperProj(e)[b] > 0} 2^b, folded in the same pass
+    * as the projections — value-identical to aggregating [[hyperProj]]'s
+    * output through `when(p > 0) 2^b`, without materializing the projection
+    * array or running interpreted `zip_with`/`aggregate` lambdas per row. */
+  def hyperBucket(e: ArrayData, nBits: Int): Long = {
+    val n = e.numElements()
+    var bucket = 0L
+    var b = 0
+    while (b < nBits) {
+      var s = 0.0d
+      var d = 0
+      while (d < n) {
+        val m = (b.toLong * 7919L + d.toLong * 104729L + 12345L) % 1000003L
+        s += e.getFloat(d).toDouble * (m.toDouble / 1000003.0d - 0.5d)
+        d += 1
+      }
+      if (s > 0.0d) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
+  /** Σ (double)a[i]·b[i] where a is array<float>, b array<double> —
+    * left-to-right, for query-vs-centroid scoring. */
+  def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0d
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
+    s
+  }
+
+  /** sqrt(Σ a[i]²) over array<double>, strict left-to-right. */
+  def normD(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0d
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+    math.sqrt(s)
+  }
 }
 
 /** polyHash as a unary expression: string → bigint. */
@@ -120,6 +161,40 @@ case class HyperProjExpr(child: Expression, nBits: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** LSH bucket of an array<float> under the deterministic hyperplanes:
+  * array<float> → bigint, one codegen call, no intermediate array. */
+case class HyperBucketExpr(child: Expression, nBits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any): Any =
+    GraftExprs.hyperBucket(a.asInstanceOf[ArrayData], nBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.GraftExprs.hyperBucket($a, $nBits)")
+  override protected def withNewChildInternal(newChild: Expression): HyperBucketExpr =
+    copy(child = newChild)
+}
+
+/** Left-to-right dot of array<float> × array<double> (query vs centroid). */
+case class DotFDExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftExprs.dotFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftExprs.dotFD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotFDExpr =
+    copy(left = l, right = r)
+}
+
+/** L2 norm of an array<double> column. */
+case class L2NormDExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any): Any =
+    GraftExprs.normD(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.GraftExprs.normD($a)")
+  override protected def withNewChildInternal(newChild: Expression): L2NormDExpr =
+    copy(child = newChild)
+}
+
 object GraftColumns {
   def polyHash(c: Column): Column =
     ColumnBridge.column(PolyHashExpr(ColumnBridge.expression(c)))
@@ -129,4 +204,10 @@ object GraftColumns {
     ColumnBridge.column(L2NormExpr(ColumnBridge.expression(a)))
   def hyperProj(e: Column, nBits: Int): Column =
     ColumnBridge.column(HyperProjExpr(ColumnBridge.expression(e), nBits))
+  def hyperBucket(e: Column, nBits: Int): Column =
+    ColumnBridge.column(HyperBucketExpr(ColumnBridge.expression(e), nBits))
+  def dotFD(a: Column, b: Column): Column =
+    ColumnBridge.column(DotFDExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def normD(a: Column): Column =
+    ColumnBridge.column(L2NormDExpr(ColumnBridge.expression(a)))
 }

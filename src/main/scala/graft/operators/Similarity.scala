@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorMath
+import graft.functions.{GraftColumns, VectorMath, VectorSumAgg}
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
   * column.
@@ -20,6 +20,8 @@ import graft.functions.VectorMath
   *    signature is computable anywhere, including a SQL oracle). Vectors are
   *    bucketed by signature; only same-bucket pairs are scored. Bucket join
   *    replaces the O(n²) pair space with Σ bucket².
+  *  - [[ivfTopK]]: IVF (inverted-file) ANN — cells from the same
+  *    deterministic LSH, quantized-mean centroids, multi-probe queries.
   */
 object Similarity {
 
@@ -54,28 +56,35 @@ object Similarity {
   /** `nBits`-bit sign signature of each embedding under deterministic
     * pseudo-random hyperplanes (component (b,d) =
     * ((b·7919 + d·104729 + 12345) mod 1000003)/1000003 − 0.5 — stateless,
-    * engine-portable; computed by the codegen'd
-    * [[graft.functions.GraftExprs.hyperProj]] in one pass, no cross join,
-    * no shuffle). Output: (vec_id, bucket). */
-  def lshSignatures(emb: DataFrame, nBits: Int = 8): DataFrame = {
-    val powers = typedlit(Seq.tabulate(nBits)(b => 1L << b))
-    emb.select(
-      col("vec_id"),
-      aggregate(
-        zip_with(
-          graft.functions.GraftColumns.hyperProj(col("embedding"), nBits),
-          powers,
-          (p, w) => when(p > 0.0d, w).otherwise(lit(0L))),
-        lit(0L),
-        (acc, x) => acc + x).as("bucket"))
-  }
+    * engine-portable). The whole signature is ONE codegen'd expression
+    * ([[graft.functions.HyperBucketExpr]]): projections and sign-bit fold in
+    * a single pass, no intermediate array, no interpreted HOF lambdas.
+    * Output: (vec_id, bucket). */
+  def lshSignatures(emb: DataFrame, nBits: Int = 8): DataFrame =
+    emb.select(col("vec_id"), bucketOf(col("embedding"), nBits).as("bucket"))
+
+  /** The bucket column itself — callers attach it INLINE (one `select`)
+    * instead of joining [[lshSignatures]] back against the corpus, which
+    * would be a full self-join shuffle to add a computable column. */
+  private def bucketOf(embedding: Column, nBits: Int): Column =
+    GraftColumns.hyperBucket(embedding, nBits)
 
   /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus into
     * cells; queries probe only the `nProbe` nearest cells and brute-force
-    * within them. Cells here are the deterministic LSH buckets and each
-    * centroid is its cell's mean vector — a one-iteration k-means seeded by
-    * LSH, reproducible anywhere (no RNG). At scale the cell lists are the
-    * pre-partitioned corpus (write them `partitionBy(cell)` and a probe
+    * within them. Cells are the deterministic LSH buckets and each centroid
+    * is its cell's QUANTIZED mean vector — element sums of
+    * `trunc(x · 2^20)` BIGINTs (exact, order-independent — see
+    * [[graft.functions.VectorSumAgg]]) divided by `n · 2^20`. A one-iteration
+    * k-means seeded by LSH, reproducible bit-for-bit on any engine — no RNG,
+    * no float-summation order dependence, so a SQL oracle can replay it.
+    *
+    * Scale shape: the centroid build is ONE hash aggregate on `cell` whose
+    * map side folds every vector into a D-long buffer — the shuffle carries
+    * one row per (cell, input partition), NOT the N·D explosion a
+    * posexplode → groupBy(cell, dim) plan would ship. Probing broadcasts the
+    * (query × probed-cell) table (≤ nQueries·nProbe rows) against the
+    * corpus, so the corpus is never shuffled. At 100 TB the cell lists are
+    * the pre-partitioned corpus (write them `partitionBy(cell)` and a probe
     * reads only nProbe partitions — partition pruning does the fan-in).
     */
   def ivfTopK(
@@ -84,17 +93,17 @@ object Similarity {
       k: Int = 5,
       cellBits: Int = 6,
       nProbe: Int = 4): DataFrame = {
-    val cells = lshSignatures(emb, cellBits).withColumnRenamed("bucket", "cell")
-    val assigned = emb.join(cells, Seq("vec_id"))
-    // centroid = element-wise mean per cell (posexplode → avg → re-assemble
-    // in dimension order).
+    val assigned = emb.select(
+      col("vec_id"), col("embedding"), bucketOf(col("embedding"), cellBits).as("cell"))
     val centroids = assigned
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .groupBy("cell", "d")
-      .agg(avg(col("x")).as("m"))
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
-      .select(col("cell"), transform(col("dm"), e => e.getField("m")).as("centroid"))
+      .groupBy(col("cell"))
+      .agg(VectorSumAgg.vectorSum(col("embedding")).as("qsum"), count(lit(1)).as("n"))
+      .select(
+        col("cell"),
+        transform(
+          col("qsum"),
+          v => v.cast("double") / (col("n").cast("double") * lit(VectorSumAgg.Scale)))
+          .as("centroid"))
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     // rank cells per query by centroid cosine, keep nProbe
@@ -103,13 +112,14 @@ object Similarity {
     val probed = broadcast(q)
       .crossJoin(broadcast(centroids))
       .withColumn("cell_sim",
-        VectorMath.dot(col("qe"), col("centroid")) /
-          (VectorMath.norm2(col("qe")) * VectorMath.norm2(col("centroid"))))
+        GraftColumns.dotFD(col("qe"), col("centroid")) /
+          (VectorMath.norm2(col("qe")) * GraftColumns.normD(col("centroid"))))
       .withColumn("cell_rank", row_number().over(wCell))
       .filter(col("cell_rank") <= nProbe)
       .select(col("query_id"), col("qe"), col("cell"))
-    // brute-force inside the probed cells only
-    val cand = probed.join(assigned, Seq("cell"))
+    // brute-force inside the probed cells only; probed is ≤ nQueries·nProbe
+    // rows → broadcast it so the corpus-side scan never shuffles.
+    val cand = broadcast(probed).join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cosine", VectorMath.cosine(col("qe"), col("embedding")))
     val w = Window.partitionBy(col("query_id"))
@@ -123,12 +133,16 @@ object Similarity {
 
   /** LSH-bucketed near-neighbor pairs: same-bucket (a < b) pairs scored with
     * exact cosine and filtered at `threshold`. The approximate analog of
-    * [[Dedup.embeddingPairs]] that survives 100 TB. */
+    * [[Dedup.embeddingPairs]] that survives 100 TB. Bucket and norm are
+    * attached in ONE projection over the scan (no signature self-join), and
+    * each unordered pair surfaces exactly once (each vector lives in exactly
+    * one bucket), so no dedup pass is needed — the only shuffle is the
+    * bucket-key pair join. */
   def lshNeighbors(emb: DataFrame, nBits: Int = 8, threshold: Double = 0.3): DataFrame = {
-    val sig = lshSignatures(emb, nBits)
-    val withSig = emb.join(sig, Seq("vec_id"))
-      .select(col("vec_id"), col("embedding"), col("bucket"),
-        VectorMath.norm2(col("embedding")).as("nrm"))
+    val withSig = emb.select(
+      col("vec_id"), col("embedding"),
+      bucketOf(col("embedding"), nBits).as("bucket"),
+      VectorMath.norm2(col("embedding")).as("nrm"))
     val a = withSig.select(col("bucket"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = withSig.select(col("bucket"), col("vec_id").as("vec_b"),
@@ -138,6 +152,5 @@ object Similarity {
       .withColumn("cosine", VectorMath.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 7).as("cosine"))
-      .distinct()
   }
 }
