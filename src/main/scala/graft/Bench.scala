@@ -12,8 +12,8 @@ import graft.sources.Tables
   */
 object Bench {
 
-  /** The queries that map to BASELINE.md's workload + one per extension
-    * family. Everything else in SparkEntry.queries is correctness surface. */
+  /** The queries that map most directly to BASELINE.md's workload + one per
+    * extension family — the curated subset for plan audits (PlanDump). */
   val headline: Seq[String] = Seq(
     "q1_total_distinct", "q2_count_by_group", "q3_topk_per_group",
     "q4_hourly_rollup", "q5_filter_project", "q7_global_topk",
@@ -23,6 +23,11 @@ object Bench {
     "d1_dedup_exact", "d3_minhash_lsh", "d4_simhash", "d6_simhash_pairs",
     "s1_ann_topk", "s2_ann_lsh")
 
+  /** Every registered query, name-sorted — the bench times ALL of them so
+    * round-over-round regressions are visible everywhere, not just on the
+    * headline subset. */
+  def allQueries: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -31,6 +36,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -45,12 +51,12 @@ object Bench {
     // Untimed warmup pass: JIT + whole-stage-codegen compilation dominate
     // first execution in a fresh JVM (measured 3-5× inflation); steady-state
     // throughput is the meaningful engine number.
-    headline.foreach { name =>
+    allQueries.foreach { name =>
       try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    headline.foreach { name =>
+    allQueries.foreach { name =>
       val t0 = System.nanoTime()
       try {
         qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()

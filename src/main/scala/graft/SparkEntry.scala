@@ -57,6 +57,12 @@ object SparkEntry {
        |              ${sqlPolyHash("shingle")} + ${sqlPolyHash("reverse(shingle)")} * (CAST(1 AS BIGINT) << 30) AS h
        |       FROM shs)""".stripMargin
 
+  private val viewCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Session-unique temp-view name (concurrent queries must not collide). */
+  private def freshView(prefix: String): String =
+    s"${prefix}_${viewCounter.incrementAndGet()}"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     HourlyRollup(Tables.events(spark, "/root/testdata/sf0.001"), "ts", "user_id")
@@ -152,18 +158,21 @@ object SparkEntry {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
     "q16_scalar_subquery" -> ((s, d) => {
-      val c = Tables.customer(s, d)
-      c.createOrReplaceTempView("customer_v")
+      // Unique per-invocation view name: a fixed name would collide if two
+      // queries (or two runs) execute concurrently on a shared session.
+      val v = freshView("customer_v")
+      Tables.customer(s, d).createOrReplaceTempView(v)
       s.sql(
-        """SELECT c_custkey, c_acctbal FROM customer_v
-          |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v)""".stripMargin)
+        s"""SELECT c_custkey, c_acctbal FROM $v
+           |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM $v)""".stripMargin)
     }),
     "q17_correlated_subquery" -> ((s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      val v = freshView("orders_v")
+      Tables.orders(s, d).createOrReplaceTempView(v)
       s.sql(
-        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
-          |WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders_v o2
-          |                          WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+        s"""SELECT o_orderkey, o_custkey, o_totalprice FROM $v o
+           |WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM $v o2
+           |                          WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
     }),
     "q18_window_frames" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -259,7 +268,9 @@ object SparkEntry {
           length(col("frame_bytes")).cast("long").as("frame_len"))),
     // Approximate HLL distinct — engine-specific sketch, so rows-only check
     // (exact COUNT(DISTINCT) is the oracle'd default, q1/q2; this is the
-    // documented opt-in for 100 TB profiling).
+    // documented opt-in for 100 TB profiling). Its error IS bounded: a
+    // ScaleFeaturesSpec test asserts ≤5% relative error per group vs the
+    // exact count at sf0.1.
     "x2_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))

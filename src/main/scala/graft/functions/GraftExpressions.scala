@@ -115,6 +115,59 @@ object GraftExprs {
     while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
     math.sqrt(s)
   }
+
+  /** Winnowing fingerprints (Schleimer et al., MOSS) in one O(len) pass:
+    * rolling-polynomial k-gram hashes (h′ = (h − cp_out·31^(k−1))·31 + cp_in
+    * mod P — value-identical to [[polyHash]] of each k-char substring),
+    * sliding-window-of-w minima via a monotonic deque, first-occurrence
+    * dedup. Replaces the HOF formulation's O(len·k) re-hash per position and
+    * O(len·w) per-window array_min. Fewer than w k-grams → all distinct
+    * hashes (the document is shorter than one window); no k-grams → empty.
+    * Positions are code points, matching polyHash and DuckDB substr. */
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = s.toString
+    val cps = str.codePoints().toArray
+    val nGrams = cps.length - (k - 1)
+    if (nGrams < 1) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](nGrams)
+    var pw = 1L // 31^(k-1) mod P
+    var t = 1
+    while (t < k) { pw = (pw * 31L) % Prime; t += 1 }
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * 31L + cps(i)) % Prime; i += 1 }
+    hs(0) = h
+    var j = 1
+    while (j < nGrams) {
+      h = (h - (cps(j - 1) * pw) % Prime + Prime) % Prime
+      h = (h * 31L + cps(j + k - 1)) % Prime
+      hs(j) = h
+      j += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (nGrams < w) {
+      var p = 0
+      while (p < nGrams) { seen.add(hs(p)); p += 1 }
+    } else {
+      // monotonic deque of indices whose hashes increase front→back
+      val dq = new Array[Int](nGrams)
+      var head = 0
+      var tail = 0 // exclusive
+      var p = 0
+      while (p < nGrams) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(p)) tail -= 1
+        dq(tail) = p; tail += 1
+        if (dq(head) <= p - w) head += 1
+        if (p >= w - 1) seen.add(hs(dq(head)))
+        p += 1
+      }
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** polyHash as a unary expression: string → bigint. */
@@ -184,6 +237,17 @@ case class DotFDExpr(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** Winnowing fingerprint set of a string: string → array<bigint>. */
+case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    GraftExprs.winnow(a.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.GraftExprs.winnow($a, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+    copy(child = newChild)
+}
+
 /** L2 norm of an array<double> column. */
 case class L2NormDExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
@@ -210,4 +274,6 @@ object GraftColumns {
     ColumnBridge.column(DotFDExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def normD(a: Column): Column =
     ColumnBridge.column(L2NormDExpr(ColumnBridge.expression(a)))
+  def winnowFps(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowExpr(ColumnBridge.expression(text), k, w))
 }

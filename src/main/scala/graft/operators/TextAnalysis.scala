@@ -105,33 +105,17 @@ object TextAnalysis {
     * k-gram, slide a window of w hashes, keep each window's minimum —
     * guarantees any match of length ≥ w+k−1 between two documents shares a
     * selected fingerprint, at ~2/(w+1) of the k-gram density. Output: one
-    * row per (doc_id, selected hash). All-HOF per-row computation — no
+    * row per (doc_id, selected hash).
+    *
+    * One codegen'd expression per row ([[graft.functions.WinnowExpr]]):
+    * rolling-polynomial hashing + monotonic-deque window minima, O(len)
+    * total — replaces the earlier HOF formulation that re-hashed each
+    * k-gram from scratch (O(len·k)) and array_min'd each window slice
+    * (O(len·w)). Values are identical (the rolling update is algebraically
+    * the same polynomial mod P), so the DuckDB oracle is unchanged. No
     * shuffle until the consumer aggregates. */
-  def winnow(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
-    val n = length(col("text")) - (k - 1) // number of k-grams
-    val kgramHashes =
-      when(n >= 1,
-        transform(
-          sequence(lit(1), n),
-          i => TextHash.polyHash(substring(col("text"), i, lit(k)))))
-        .otherwise(array().cast("array<bigint>"))
-    // The hash array MUST be materialized as its own column before the
-    // window pass: interpreted higher-order functions do no CSE, so an
-    // expression captured inside the per-window lambda would recompute
-    // every k-gram hash once per window — measured 583 s vs <1 s at sf0.1.
-    val hs = col("hs")
-    val mins =
-      when(size(hs) >= w,
-        array_distinct(
-          transform(
-            sequence(lit(1), size(hs) - (w - 1)),
-            j => array_min(slice(hs, j, lit(w))))))
-        .otherwise(array_distinct(hs))
-    docs
-      .select(col("doc_id"), kgramHashes.as("hs"))
-      .select(col("doc_id"), explode(mins).as("fp"))
-  }
-
-  private def substring(s: Column, pos: Column, len: Column): Column =
-    org.apache.spark.sql.functions.substring(s, pos, len)
+  def winnow(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
+    docs.select(
+      col("doc_id"),
+      explode(graft.functions.GraftColumns.winnowFps(col("text"), k, w)).as("fp"))
 }

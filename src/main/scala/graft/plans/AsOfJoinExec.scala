@@ -67,12 +67,24 @@ final case class AsOfJoinExec(
         private var rHead: InternalRow = _
         private var rHeadKey: InternalRow = _
         private var rHeadTs: Long = 0L
+        // NULL-keyed / NULL-ts right rows can never satisfy the oracle's
+        // predicates (k = k AND lts >= rts are both non-true on NULL), so
+        // they are skipped HERE, in the operator — callers like
+        // AsOfJoin.native pre-filter them only as an optimization. Without
+        // this skip, nulls-first sort order would put them at the head of
+        // the partition and keyOrdering.compare would happily match them.
         private def advanceRight(): Unit = {
-          if (rIter.hasNext) {
+          while (rIter.hasNext) {
             rHead = rIter.next()
-            rHeadKey = rightKeyProj(rHead).copy()
-            rHeadTs = rightTsProj(rHead).getLong(0)
-          } else rHead = null
+            val k = rightKeyProj(rHead)
+            val t = rightTsProj(rHead)
+            if (!k.isNullAt(0) && !t.isNullAt(0)) {
+              rHeadKey = k.copy()
+              rHeadTs = t.getLong(0)
+              return
+            }
+          }
+          rHead = null
         }
         advanceRight()
 

@@ -24,7 +24,12 @@ object Tables {
     * epoch-nanos value exceeds 2^53 so double math would lose precision).
     * DuckDB performs the same ns→us truncation, so oracles line up. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Prefer setting nanosAsLong in the session builder (graft's own mains
+    // and specs do); this guard is a defensive SET-IF-UNSET for caller
+    // sessions that didn't, so it never re-mutates shared session conf on
+    // every call.
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -99,6 +99,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(composed.except(native).count() === 0)
   }
 
+  test("AsOfJoinExec itself skips NULL-key/NULL-ts right rows (no pre-filter)") {
+    // Drives AsOfJoinPlan directly — bypassing AsOfJoin.native's defensive
+    // right-side filter — so the exec's own advanceRight() null handling is
+    // what's under test. Nulls-first sort puts these rows at the head of
+    // the partition; an exec that trusted the caller would match them.
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    AsOfJoin.registerStrategy(spark)
+    val left = Seq((200L, 1L, Some(ts(20)))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Option.empty[Long], Some(ts(5)), Some(99.0)), // null key, would sort first
+      (Some(1L), Option.empty[Timestamp], Some(88.0)), // null ts, same key as left
+      (Some(1L), Some(ts(10)), Option.empty[Double]) // legit match with null value
+    ).toDF("user_id", "ts", "value")
+    val lPlan = DatasetBridge.logicalPlan(left)
+    val rPlan = DatasetBridge.logicalPlan(right)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).get
+    val out = DatasetBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      attr(lPlan, "user_id"), attr(rPlan, "user_id"),
+      attr(lPlan, "ts"), attr(rPlan, "ts"),
+      Seq("ts", "value").map(attr(rPlan, _)))).collect()
+    assert(out.length === 1)
+    val row = out.head
+    // matched the ts=10 row (not the null-key 99.0 or null-ts 88.0 rows)...
+    assert(row.getAs[Timestamp]("ts_asof") === ts(10))
+    // ...whose legitimate NULL value survives
+    assert(row.isNullAt(row.fieldIndex("value_asof")))
+  }
+
   test("native operator plans as AsOfJoinExec with one exchange per side") {
     val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val l = e.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts")

@@ -99,4 +99,30 @@ class EtlPipelineSpec extends SparkSpec {
     assert(result.report.toJson.contains("\"total_time_seconds\""))
     assert(result.report.toJson.contains("\"lost_output\":false"))
   }
+
+  test("query-time join on a partition column gets dynamic partition pruning") {
+    // The reference's core architectural bet is "prune partitions, then join
+    // at query time" (README.md:162, indexer.py:204-207). Static pruning is
+    // covered above; this asserts the DYNAMIC case — when the partition
+    // filter only arrives through a join against a filtered dimension,
+    // Catalyst injects a runtime subquery filter into the scan's
+    // PartitionFilters, so non-selected state dirs are skipped at execution
+    // time even though no literal state predicate exists in the query.
+    buildSourceTree()
+    val base = s"$lake/2024/test_release/timeseries_individual_buildings/by_state"
+    val fact = spark.read.option("basePath", base).parquet(base)
+    // The dim must be a real table scan: a literal Seq would be
+    // constant-folded (Filter collapses into the LocalRelation) and DPP
+    // requires a selective Filter node on the dimension side.
+    val dimPath = s"$lake/state_dim.parquet"
+    Seq(("AK", "arctic"), ("CA", "temperate")).toDF("state", "climate")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = fact.join(dim, Seq("state")).where($"climate" === "arctic")
+      .groupBy($"state").agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery in the scan's PartitionFilters:\n$plan")
+    assert(joined.collect().map(_.getString(0)).toSeq === Seq("AK"))
+  }
 }

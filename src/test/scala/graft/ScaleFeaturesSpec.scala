@@ -39,6 +39,27 @@ class ScaleFeaturesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("approx_count_distinct stays within 5% of exact per group at sf0.1") {
+    // x2_approx_distinct is the documented opt-in for 100 TB profiling; it
+    // can't hash-match an external oracle (the HLL sketch is
+    // engine-specific), so THIS is its correctness contract: relative error
+    // vs the exact countDistinct (itself oracle-verified via q1/q2) bounded
+    // by the sketch's configured rsd at a real data size.
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.1")
+    val both = li.groupBy($"l_returnflag").agg(
+      countDistinct($"l_partkey").as("exact"),
+      approx_count_distinct($"l_partkey").as("approx"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val exact = r.getAs[Long]("exact").toDouble
+      val approx = r.getAs[Long]("approx").toDouble
+      val relErr = math.abs(approx - exact) / exact
+      assert(relErr <= 0.05,
+        s"group ${r.get(0)}: approx=$approx exact=$exact relErr=$relErr > 0.05")
+    }
+  }
+
   test("custom expressions are callable from SQL after registration") {
     GraftFunctions.register(spark)
     def ref(s: String): Long = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)

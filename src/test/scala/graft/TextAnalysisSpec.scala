@@ -35,6 +35,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(2L).getAs[Double]("quality_score") === 0.0)
   }
 
+  test("winnow: rolling-hash fingerprints equal the direct O(len·k) formulation") {
+    // Direct reference: polyHash every k-gram from scratch, slide a window
+    // of w, keep minima, dedup — the formulation the rolling hash replaces
+    // and the DuckDB oracle still replays.
+    def ref(text: String, k: Int, w: Int): Set[Long] = {
+      def ph(s: String): Long = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+      val hs = text.sliding(k).filter(_.length == k).map(ph).toVector
+      if (hs.isEmpty) Set.empty
+      else if (hs.length < w) hs.toSet
+      else hs.sliding(w).map(_.min).toSet
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaa",        // all-equal hashes exercise deque tie handling
+      "abcdefgh",            // exactly a couple of windows
+      "abcd",                // len < k → no k-grams → no rows
+      "abcdef",              // k-grams but fewer than w → distinct path
+      "abab" * 10)           // periodic: duplicate minima across windows
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.winnow(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got.getOrElse(i.toLong, Set.empty) === ref(t, 5, 4), s"text #$i")
+    }
+  }
+
   test("langid picks the language with the most marker hits") {
     val docs = Seq(
       (1L, "the house of a king is big", "xx"),
