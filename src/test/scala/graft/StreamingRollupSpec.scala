@@ -75,6 +75,47 @@ class StreamingRollupSpec extends SparkSpec {
     assert(streamed > 0)
   }
 
+  test("late data beyond the watermark is dropped; within-watermark late data is kept") {
+    val srcDir = Files.createTempDirectory("graft_late_src").toString
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    def ts(h: Int, m: Int) = new java.sql.Timestamp((h * 3600L + m * 60L) * 1000L)
+    // Each append is one new file → one micro-batch; the watermark advances
+    // to (max event time − 2h) at the END of each batch, so batch N+1 runs
+    // against the watermark batch N established.
+    def add(rows: Seq[(java.sql.Timestamp, Long, Double)]): Unit =
+      rows.toDF("ts", "user_id", "value").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+
+    add(Seq((ts(0, 15), 1L, 2.0), (ts(10, 15), 1L, 5.0))) // wm after batch 1: 8:15
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = StreamingRollup(stream)
+      .writeStream.format("memory").queryName("late_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // 0:30 is BEHIND the 8:15 watermark → must be dropped (hour-0 bucket
+      // stays at its on-time contents); 9:30 is late-arriving but within
+      // the watermark → must be kept.
+      add(Seq((ts(0, 30), 1L, 99.0), (ts(9, 30), 1L, 7.0)))
+      q.processAllAvailable()
+      add(Seq((ts(20, 0), 1L, 11.0))) // pushes wm to 18:00 after this batch
+      q.processAllAvailable()
+      add(Seq((ts(20, 30), 1L, 13.0))) // batch 4 runs AT wm 18:00 → closes h9/h10
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("late_sink").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(rows === Set(
+      (0L, 1L, 2.0, 1L),             // hour 0: on-time reading only — 99.0 dropped
+      (9L * 3600000L, 1L, 7.0, 1L),  // within-watermark late reading kept
+      (10L * 3600000L, 1L, 5.0, 1L)  // on-time, closed by the wm advance
+    )) // hour-20 windows stay open (wm 18:30 < 21:00) → correctly unemitted
+  }
+
   test("sessionize emits gap-separated sessions via flatMapGroupsWithState") {
     val h = 3600L * 1000
     val readings = Seq(
