@@ -80,6 +80,12 @@ object ScalingProbe {
       graft.operators.RangeJoin(errors, purchases, "ts_a", "ts_b", 60000L).count()
     }
 
+    // Done with the event fixtures — release them, or the cached 10M-row
+    // table squeezes the ANN sections below into GC churn (measured: the
+    // 50× ANN probe reads 92 s with these pinned vs 55 s without).
+    events1M.unpersist(blocking = true)
+    bigEvents.unpersist(blocking = true)
+
     // ---- documents ×20 → 100k docs, minhash LSH dedup ----
     val docs = Tables.documents(spark, sfDir)
     val bigDocs = spark.range(20).select(col("id").as("rep"))
@@ -93,6 +99,9 @@ object ScalingProbe {
     time("docs_x20_materialize")(bigDocs.count())
     time("minhash_lsh_100k_docs")(Dedup.minhashPairs(bigDocs).count())
     time("simhash_pairs_100k_docs")(Dedup.simhashPairs(bigDocs).count())
+    time("winnow_100k_docs")(graft.operators.TextAnalysis.winnow(bigDocs).count())
+
+    bigDocs.unpersist(blocking = true)
 
     // ---- embeddings ×50 → 100k vectors, LSH ANN ----
     val emb = Tables.embeddings(spark, sfDir)
@@ -102,6 +111,10 @@ object ScalingProbe {
       .cache()
     time("emb_x50_materialize")(bigEmb.count())
     time("ann_lsh_100k_vecs")(Similarity.lshNeighbors(bigEmb, threshold = 0.9).count())
+    // IVF at 100k vectors: exercises the single-buffer centroid build (one
+    // shuffled row per (cell, partition) — the N·D posexplode it replaced
+    // shipped 16M rows here) and the broadcast probe join.
+    time("ann_ivf_100k_vecs")(Similarity.ivfTopK(bigEmb, nQueries = 10, k = 5).count())
     spark.stop()
   }
 }
