@@ -57,6 +57,44 @@ object SparkEntry {
        |              ${sqlPolyHash("shingle")} + ${sqlPolyHash("reverse(shingle)")} * (CAST(1 AS BIGINT) << 30) AS h
        |       FROM shs)""".stripMargin
 
+  /** Parametric variant of [[sqlShingles]]: DISTINCT (doc_id, h) word-n-gram
+    * hashes over `documents WHERE pred`, with CTE names suffixed by `tag` so
+    * several instances compose in one WITH chain. */
+  private def sqlShinglesN(n: Int, pred: String, tag: String): String =
+    s"""toks$tag AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents WHERE $pred),
+       |shs$tag AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + ${n - 1}), ' ') AS shingle
+       |        FROM toks$tag, LATERAL (SELECT unnest(generate_series(1, CASE WHEN len(t) >= $n THEN len(t) - ${n - 1} ELSE 0 END)) AS i) g),
+       |sh$tag AS (SELECT DISTINCT doc_id,
+       |              ${sqlPolyHash("shingle")} + ${sqlPolyHash("reverse(shingle)")} * (CAST(1 AS BIGINT) << 30) AS h
+       |       FROM shs$tag)""".stripMargin
+
+  /** Shared SQL fragment: the full MinHash+LSH near-dup replay (mirrors
+    * [[graft.operators.Dedup.minhashPairs]]), ending in a `pairs` CTE —
+    * consumed by the d3 oracle directly and by d7's connected-components
+    * closure on top. */
+  private val sqlMinhashPairCtes: String =
+    s"""$sqlShingles,
+       |hs AS (SELECT doc_id, h % 1000000007 AS hp FROM sh),
+       |perms AS (SELECT i FROM generate_series(0, ${Dedup.MinhashK - 1}) t(i)),
+       |sig AS (SELECT doc_id, i,
+       |               min((((i * 2654435761) % 1000000007 + 1) * hp + (i * 40503 + 7) % 1000000007) % 1000000007) AS mh
+       |        FROM hs CROSS JOIN perms GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, CAST(i // ${Dedup.BandR} AS INT) AS band,
+       |                 sum((i % ${Dedup.BandR} + 1) * mh) AS band_key
+       |          FROM sig GROUP BY 1, 2),
+       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b
+       |            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+       |          FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |          JOIN cands c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+       |          GROUP BY 1, 2),
+       |jac AS (SELECT doc_a, doc_b,
+       |               round(CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE), 7) AS jaccard
+       |        FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b),
+       |pairs AS (SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5)""".stripMargin
+
   private val viewCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Session-unique temp-view name (concurrent queries must not collide). */
@@ -282,6 +320,46 @@ object SparkEntry {
     "d4_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "d5_embedding_dup" -> ((s, d) => Dedup.embeddingPairs(Tables.embeddings(s, d))),
     "d6_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    // Connected components over the MinHash+LSH pairs: the keep/drop
+    // decision per document (near-dup similarity is not transitive; pairs
+    // alone under-merge).
+    "d7_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.clusters(docs, Dedup.minhashPairs(docs))
+    }),
+    // ---- corpus curation ----
+    // Benchmark decontamination: eval set = doc_id % 20 == 0, overlap on
+    // word-5-gram hashes.
+    "c1_decontam" -> ((s, d) =>
+      Curation.contamination(Tables.documents(s, d), col("doc_id") % 20 === 0)),
+    "p1_train_split" -> ((s, d) => Curation.hashSplit(Tables.documents(s, d))),
+    "p2_stratified_sample" -> ((s, d) =>
+      Curation.stratifiedSample(Tables.documents(s, d))),
+    // ---- text quality (repetition + PII) ----
+    "t8_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
+    // PII scrub over fixture text deterministically augmented with synthetic
+    // emails/phones (the raw fixture contains none — an all-zero scan would
+    // pass vacuously); the oracle applies the identical augmentation.
+    "t9_pii_scrub" -> ((s, d) =>
+      TextAnalysis.piiScrub(
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" contact user"),
+              (col("doc_id") % 50).cast("string"), lit("@example.com")))
+            .when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" call 415-555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(col("text")).as("text")))),
+    // Approximate quantile sketch — engine-specific (rows-only check, like
+    // x2); a ScaleFeaturesSpec test bounds its error vs the exact
+    // percentile at sf0.1.
+    "x3_approx_quantile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("approx_median_price"))),
     // ---- similarity search ----
     "s1_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "s2_ann_lsh" -> ((s, d) => Similarity.lshNeighbors(Tables.embeddings(s, d))),
@@ -525,27 +603,81 @@ object SparkEntry {
          |        FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5""".stripMargin,
     "d3_minhash_lsh" ->
-      s"""WITH $sqlShingles,
-         |hs AS (SELECT doc_id, h % 1000000007 AS hp FROM sh),
-         |perms AS (SELECT i FROM generate_series(0, ${Dedup.MinhashK - 1}) t(i)),
-         |sig AS (SELECT doc_id, i,
-         |               min((((i * 2654435761) % 1000000007 + 1) * hp + (i * 40503 + 7) % 1000000007) % 1000000007) AS mh
-         |        FROM hs CROSS JOIN perms GROUP BY doc_id, i),
-         |bands AS (SELECT doc_id, CAST(i // ${Dedup.BandR} AS INT) AS band,
-         |                 sum((i % ${Dedup.BandR} + 1) * mh) AS band_key
-         |          FROM sig GROUP BY 1, 2),
-         |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM bands a JOIN bands b
-         |            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
-         |          FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-         |          JOIN cands c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
-         |          GROUP BY 1, 2),
-         |jac AS (SELECT doc_a, doc_b,
-         |               round(CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE), 7) AS jaccard
-         |        FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
-         |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5""".stripMargin,
+      s"""WITH $sqlMinhashPairCtes
+         |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
+    // Transitive closure over the d3 pairs (DuckDB WITH RECURSIVE), then
+    // min reachable id per node = the cluster label min-propagation finds.
+    "d7_dedup_clusters" ->
+      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT src AS v, src AS r FROM edges
+         |          UNION
+         |          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v),
+         |lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+         |SELECT d.doc_id,
+         |       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+         |       CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+         |FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id""".stripMargin,
+    "c1_decontam" ->
+      s"""WITH ${sqlShinglesN(5, "doc_id % 20 = 0", "_ev")},
+         |${sqlShinglesN(5, "doc_id % 20 <> 0", "_tr")},
+         |ev AS (SELECT DISTINCT h FROM sh_ev),
+         |hits AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |         FROM sh_tr t JOIN ev ON t.h = ev.h GROUP BY 1)
+         |SELECT d.doc_id, coalesce(hits.n_overlap, CAST(0 AS BIGINT)) AS n_overlap
+         |FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+         |WHERE d.doc_id % 20 <> 0""".stripMargin,
+    "p1_train_split" ->
+      s"""WITH b AS (SELECT n_chars,
+         |                  ${sqlPolyHash("('split:' || CAST(doc_id AS VARCHAR))")} % 100 AS bkt
+         |           FROM documents),
+         |s AS (SELECT CASE WHEN bkt < 90 THEN 'train'
+         |                  WHEN bkt < 95 THEN 'val'
+         |                  ELSE 'test' END AS split, n_chars FROM b)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM s GROUP BY split""".stripMargin,
+    "p2_stratified_sample" ->
+      s"""WITH r AS (SELECT lang,
+         |                  CASE WHEN ${sqlPolyHash("('samp:' || CAST(doc_id AS VARCHAR))")} % 1000 <
+         |                            (CASE WHEN lang = 'en' THEN 200
+         |                                  WHEN lang = 'de' THEN 333
+         |                                  WHEN lang = 'fr' THEN 333
+         |                                  ELSE 1000 END)
+         |                       THEN 1 ELSE 0 END AS sampled
+         |           FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(sampled) AS BIGINT) AS n_sampled,
+         |       round(CAST(sum(sampled) AS DOUBLE) / CAST(count(*) AS DOUBLE), 7) AS realized_rate
+         |FROM r GROUP BY lang""".stripMargin,
+    "t8_repetition" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS g FROM documents),
+        |tc AS (SELECT doc_id, g, count(*) AS c FROM toks GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |              CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_rep
+        |       FROM tc GROUP BY 1),
+        |ta AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
+        |bg AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS g
+        |       FROM ta, LATERAL (SELECT unnest(generate_series(1, CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END)) AS i) gg),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, CAST(max(c) AS BIGINT) AS top_c FROM bc GROUP BY 1)
+        |SELECT ts.doc_id, ts.n_tokens,
+        |       round(CAST(n_rep AS DOUBLE) / CAST(n_tokens AS DOUBLE), 7) AS dup_token_frac,
+        |       round(CAST(coalesce(top_c, 0) AS DOUBLE) / CAST(coalesce(n_bigrams, 1) AS DOUBLE), 7) AS top_bigram_frac
+        |FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id""".stripMargin,
+    "t9_pii_scrub" ->
+      s"""WITH aug AS (SELECT doc_id,
+         |       CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || CAST(doc_id % 50 AS VARCHAR) || '@example.com'
+         |            WHEN doc_id % 5 = 0 THEN text || ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |            ELSE text END AS text
+         |       FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(text, '${TextAnalysis.PhonePattern}')) AS BIGINT) AS n_phones,
+         |       md5(regexp_replace(regexp_replace(text, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+         |                          '${TextAnalysis.PhonePattern}', '<PHONE>', 'g')) AS redacted_md5
+         |FROM aug""".stripMargin,
     "d4_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS tok FROM documents),
          |hs AS (SELECT doc_id, ${sqlPolyHash("tok")} + ${sqlPolyHash("reverse(tok)")} * (CAST(1 AS BIGINT) << 30) AS h FROM tok),

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Corpus-curation operators for a pretraining pipeline: benchmark
+  * decontamination, deterministic train/val/test splits, and stratified
+  * sampling. Everything is keyed by the engine-portable
+  * [[TextHash.polyHash]] so the DuckDB oracle replays identical decisions —
+  * reproducibility of WHICH documents landed in a split/sample is itself a
+  * pipeline requirement (re-running the job must not reshuffle the split).
+  */
+object Curation {
+
+  /** Benchmark decontamination: for every training document, the number of
+    * distinct word n-grams it shares with an evaluation set. Training docs
+    * overlapping an eval benchmark leak test answers into pretraining, so
+    * real pipelines drop or scrub every doc with n_overlap > 0 (the
+    * WebText/GPT-2 13-gram rule, scaled to this fixture's short docs).
+    *
+    * Scale posture: grams are the 60-bit hashes of [[Dedup.shingleHashes]]
+    * (8-byte keys, never raw text). The eval side collapses to DISTINCT
+    * hashes — benchmark suites are tiny relative to the corpus, so it
+    * broadcasts and the corpus-sized side never shuffles; with a
+    * corpus-scale eval set, drop the hint and the same plan becomes a
+    * shuffle join on uniform hashes. Output keeps n_overlap = 0 rows: the
+    * contract is a per-document contamination score, not just the flagged
+    * subset. */
+  def contamination(docs: DataFrame, isEval: Column, n: Int = 5): DataFrame = {
+    // Two filtered scans, not one scan + a corpus self-join to attach the
+    // eval flag: the predicate pushes into both reads and the corpus-sized
+    // side stays a single pass.
+    val train = docs.filter(!isEval)
+    val evalGrams = Dedup.shingleHashes(docs.filter(isEval), n)
+      .select(col("h")).distinct()
+    val hits = Dedup.shingleHashes(train, n)
+      .join(broadcast(evalGrams), Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+  }
+
+  /** Split-assignment expression: portable hash of a salted key → bucket in
+    * [0, 100) → named split. Hash-based (not random, not modulo-id) so the
+    * assignment is stable under corpus growth/reordering and uncorrelated
+    * with doc_id locality. */
+  def splitBucket(key: Column): Column =
+    TextHash.polyHash(concat(lit("split:"), key.cast("string"))) % 100
+
+  def splitName(bucket: Column, trainPct: Int = 90, valPct: Int = 5): Column =
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+
+  /** Deterministic train/val/test split summary: per-split doc and char
+    * counts. One map-side-combined aggregation; the per-doc assignment is
+    * [[splitBucket]]/[[splitName]] and can be attached as a column instead
+    * when the consumer wants the labeled corpus. */
+  def hashSplit(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        splitName(splitBucket(col("doc_id"))).as("split"),
+        col("n_chars"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  /** Per-language sampling rates (per mille) for [[stratifiedSample]]:
+    * downsample the over-represented head language hard, keep mid languages
+    * at a third, keep the tail whole — the standard rebalancing move when
+    * assembling a multilingual pretraining mix. */
+  val StrataPerMille: Map[String, Int] = Map("en" -> 200, "de" -> 333, "fr" -> 333)
+  val DefaultPerMille: Int = 1000
+
+  /** Deterministic stratified sample: keep a document iff the portable hash
+    * of its salted id falls under its language's per-mille rate. Output is
+    * the per-stratum evidence (population, sample size, realized rate);
+    * selection is a pure per-row predicate — no shuffle beyond the summary
+    * aggregation, stable across runs and cluster layouts. */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val perMille = StrataPerMille.foldLeft(lit(DefaultPerMille)) {
+      case (acc, (lang, rate)) => when(col("lang") === lang, lit(rate)).otherwise(acc)
+    }
+    val h = TextHash.polyHash(concat(lit("samp:"), col("doc_id").cast("string"))) % 1000
+    docs
+      .select(col("lang"), (h < perMille).cast("long").as("sampled"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("sampled")).as("n_sampled"))
+      .withColumn(
+        "realized_rate",
+        round(col("n_sampled").cast("double") / col("n_docs").cast("double"), 7))
+  }
+}

@@ -233,6 +233,57 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-dup pair list → the dedup decision a
+    * training pipeline actually needs: every document labeled with its
+    * cluster's canonical id (the minimum doc_id in its component), so "keep
+    * one per cluster" is `filter(is_canonical = 1)`. Near-dup relations are
+    * not transitive, so pairs alone under-merge: A~B and B~C must collapse
+    * into one cluster even when A~C was never emitted.
+    *
+    * Algorithm: iterative min-label propagation — each step every node takes
+    * the minimum label among itself and its neighbors; converges in
+    * O(component diameter) rounds. Near-dup components are tiny, dense
+    * clusters (bounded diameter), so this beats the O(log n) large-star/
+    * small-star machinery in both rounds and constant factors here; on an
+    * adversarial path-shaped graph you'd swap the loop body for star
+    * contraction. Scale posture: each round is ONE shuffle join of the edge
+    * list (2 longs per edge) against the label map (2 longs per node) — both
+    * are near-dup-pair-sized, orders of magnitude smaller than the corpus;
+    * the corpus itself is touched once, at the final left join.
+    * `localCheckpoint` cuts the growing lineage so round N's plan does not
+    * re-execute rounds 1..N−1. */
+  def clusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nbr")).as("nbr_min"))
+      val updated = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
+          (col("nbr_min") < col("cluster_id")).as("chg"))
+        .localCheckpoint()
+      converged = updated.filter(col("chg")).isEmpty
+      labels = updated.drop("chg")
+    }
+    edges.unpersist()
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", (col("cluster_id") === col("doc_id")).cast("long"))
+  }
+
   /** Embedding-cosine near-dup pairs (exact, all-pairs — the verification
     * path; [[Similarity.lshNeighbors]] is the LSH-pruned scale path). */
   def embeddingPairs(emb: DataFrame, threshold: Double = 0.45): DataFrame = {

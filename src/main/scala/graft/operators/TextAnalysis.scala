@@ -101,6 +101,65 @@ object TextAnalysis {
       TextHash.polyHash(col("text")).as("fingerprint"),
       md5(col("text")).as("md5"))
 
+  /** Repetition-based quality metrics (the Gopher/MassiveText family of
+    * filters, Rae et al. 2021 §A1.1): fraction of tokens that belong to a
+    * token type occurring more than once, and the share of bigrams claimed
+    * by the single most frequent bigram. Documents dominated by repeated
+    * n-grams are boilerplate/spam and get filtered before pretraining.
+    *
+    * Two aggregations per doc (token counts, bigram counts) — shuffles on
+    * (doc_id, gram) with map-side partial aggregation, then one merge on
+    * doc_id. No all-pairs structure anywhere; scales with corpus size. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("g"))
+    val tokStats = toks
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") > 1L, col("c")).otherwise(0L)).as("n_rep"))
+    val t = tokens(col("text"))
+    val starts =
+      when(size(t) >= 2, sequence(lit(1), size(t) - 1))
+        .otherwise(array().cast("array<int>"))
+    val bigrams = docs.select(
+      col("doc_id"),
+      explode(transform(starts, i => concat_ws(" ", slice(t, i, lit(2))))).as("g"))
+    val biStats = bigrams
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_c"))
+    tokStats
+      .join(biStats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("n_rep").cast("double") / col("n_tokens").cast("double"), 7)
+          .as("dup_token_frac"),
+        round(coalesce(col("top_bigram_c"), lit(0L)).cast("double") /
+          coalesce(col("n_bigrams"), lit(1L)).cast("double"), 7)
+          .as("top_bigram_frac"))
+  }
+
+  /** Email / phone patterns, deliberately restricted to syntax with
+    * identical semantics in Java regex (Spark) and RE2 (DuckDB oracle). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scan + redaction (the C4-style scrub pass): per-doc match counts
+    * and the redacted text keyed by md5 (full redacted text stays in the
+    * pipeline; the digest keeps this operator's output narrow). Pure per-row
+    * regex expressions — no shuffle, scales with input splits. */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PhonePattern)).cast("long").as("n_phones"),
+      md5(
+        regexp_replace(
+          regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>")).as("redacted_md5"))
+
   /** Winnowing fingerprints (Schleimer et al., MOSS): hash every char
     * k-gram, slide a window of w hashes, keep each window's minimum —
     * guarantees any match of length ≥ w+k−1 between two documents shares a

@@ -68,6 +68,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.keySet === brute.toSet)
   }
 
+  test("clusters: min-label propagation merges chains; singletons stay canonical") {
+    // Path component 10–11–12 (10~12 never emitted as a pair — transitivity
+    // must come from propagation, and the path shape needs >1 round), a
+    // 2-cycle 20–21, and untouched singleton 30.
+    val allDocs = Seq(10L, 11L, 12L, 20L, 21L, 30L).map((_, "t")).toDF("doc_id", "text")
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(allDocs, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(10L) === ((10L, 1L)))
+    assert(out(11L) === ((10L, 0L)))
+    assert(out(12L) === ((10L, 0L))) // reached 10 only through 11
+    assert(out(20L) === ((20L, 1L)))
+    assert(out(21L) === ((20L, 0L)))
+    assert(out(30L) === ((30L, 1L))) // not in any pair → own cluster
+  }
+
+  test("clusters: empty pair list leaves every doc canonical") {
+    val allDocs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(allDocs, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(1L -> ((1L, 1L)), 2L -> ((2L, 1L))))
+  }
+
   test("embedding near-dup pairs flag identical vectors") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

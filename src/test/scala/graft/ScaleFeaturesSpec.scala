@@ -60,6 +60,26 @@ class ScaleFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx stays within 1% of the exact percentile at sf0.1") {
+    // x3_approx_quantile's correctness contract, same shape as x2's: the
+    // KLL-style sketch is engine-specific so it can't hash-match DuckDB,
+    // but at accuracy=10000 its median must sit within 1% of the exact
+    // percentile (itself oracle-verified via x1).
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.1")
+    val both = li.groupBy($"l_returnflag").agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact"),
+      percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val exact = r.getAs[Double]("exact")
+      val approx = r.getAs[Double]("approx")
+      val relErr = math.abs(approx - exact) / exact
+      assert(relErr <= 0.01,
+        s"group ${r.get(0)}: approx=$approx exact=$exact relErr=$relErr > 0.01")
+    }
+  }
+
   test("custom expressions are callable from SQL after registration") {
     GraftFunctions.register(spark)
     def ref(s: String): Long = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)

@@ -61,6 +61,38 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("repetition metrics: dup token fraction and top-bigram share") {
+    val docs = Seq(
+      (1L, "a a a b"),          // tokens a:3 b:1 → dup 3/4; bigrams "a a"×2, "a b" → top 2/3
+      (2L, "x y z"),            // no repeats → dup 0; each bigram once → top 1/2
+      (3L, "solo")              // single token → no bigrams → top 0/1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(docs).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_tokens") === 4L)
+    assert(out(1L).getAs[Double]("dup_token_frac") === 0.75)
+    assert(out(1L).getAs[Double]("top_bigram_frac") === 0.6666667)
+    assert(out(2L).getAs[Double]("dup_token_frac") === 0.0)
+    assert(out(2L).getAs[Double]("top_bigram_frac") === 0.5)
+    assert(out(3L).getAs[Double]("top_bigram_frac") === 0.0)
+  }
+
+  test("pii scrub counts and redacts emails and phones") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "mail bob.smith+x@example.co.uk or call 415-555-0199 today"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") === 1L)
+    assert(out(1L).getAs[Long]("n_phones") === 1L)
+    assert(out(1L).getAs[String]("redacted_md5") ===
+      md5hex("mail <EMAIL> or call <PHONE> today"))
+    assert(out(2L).getAs[Long]("n_emails") === 0L)
+    assert(out(2L).getAs[String]("redacted_md5") === md5hex("no pii here at all"))
+  }
+
   test("langid picks the language with the most marker hits") {
     val docs = Seq(
       (1L, "the house of a king is big", "xx"),
