@@ -100,6 +100,13 @@ object ScalingProbe {
     time("minhash_lsh_100k_docs")(Dedup.minhashPairs(bigDocs).count())
     time("simhash_pairs_100k_docs")(Dedup.simhashPairs(bigDocs).count())
     time("winnow_100k_docs")(graft.operators.TextAnalysis.winnow(bigDocs).count())
+    // Cluster resolution on top of the LSH pairs: rounds scale with cluster
+    // diameter (tiny for near-dup clusters), per-round shuffles only the
+    // pair-sized edge/label tables — the cost here is dominated by
+    // recomputing the pairs, which the steady-state minhash number above
+    // already isolates.
+    time("dedup_clusters_100k_docs")(
+      Dedup.clusters(bigDocs, Dedup.minhashPairs(bigDocs)).count())
 
     bigDocs.unpersist(blocking = true)
 

@@ -332,6 +332,11 @@ object SparkEntry {
     // word-5-gram hashes.
     "c1_decontam" -> ((s, d) =>
       Curation.contamination(Tables.documents(s, d), col("doc_id") % 20 === 0)),
+    // The whole curation flow in one shot: quality gate + near-dup cluster
+    // canonicals + decontamination + split, per document, with `kept` as
+    // the final corpus-membership decision.
+    "c2_curation_pipeline" -> ((s, d) =>
+      Curation.pipeline(Tables.documents(s, d), col("doc_id") % 20 === 0)),
     "p1_train_split" -> ((s, d) => Curation.hashSplit(Tables.documents(s, d))),
     "p2_stratified_sample" -> ((s, d) =>
       Curation.stratifiedSample(Tables.documents(s, d))),
@@ -628,6 +633,59 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(hits.n_overlap, CAST(0 AS BIGINT)) AS n_overlap
          |FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
          |WHERE d.doc_id % 20 <> 0""".stripMargin,
+    // Composes the d7 closure, the quality-score formula (t2), the c1
+    // overlap count, and the p1 bucket into one per-document decision row.
+    "c2_curation_pipeline" -> {
+      val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT src AS v, src AS r FROM edges
+         |          UNION
+         |          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v),
+         |lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+         |q0 AS (SELECT doc_id,
+         |              CAST(length(text) AS BIGINT) AS n_chars,
+         |              CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
+         |              CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'), w -> w IN ($stop))) AS BIGINT) AS n_stop,
+         |              CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+         |       FROM documents),
+         |r0 AS (SELECT doc_id,
+         |              CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mtl,
+         |              CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS sr,
+         |              CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE) AS dr,
+         |              n_tokens
+         |       FROM q0),
+         |qual AS (SELECT doc_id,
+         |                round(CASE WHEN n_tokens < 5 THEN 0.0
+         |                           ELSE 0.5 * least(sr * 4.0, 1.0)
+         |                              + 0.3 * (CASE WHEN mtl >= 3.0 AND mtl <= 8.0 THEN 1.0 ELSE 0.0 END)
+         |                              + 0.2 * (1.0 - least(dr * 10.0, 1.0)) END, 7) AS qs
+         |         FROM r0),
+         |${sqlShinglesN(5, "doc_id % 20 = 0", "_ev")},
+         |${sqlShinglesN(5, "doc_id % 20 <> 0", "_tr")},
+         |ev AS (SELECT DISTINCT h FROM sh_ev),
+         |hits AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |         FROM sh_tr t JOIN ev ON t.h = ev.h GROUP BY 1),
+         |base AS (SELECT doc_id,
+         |                CAST(CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_eval,
+         |                ${sqlPolyHash("('split:' || CAST(doc_id AS VARCHAR))")} % 100 AS bkt
+         |         FROM documents)
+         |SELECT b.doc_id, b.is_eval,
+         |       CAST(CASE WHEN qual.qs >= 0.6 THEN 1 ELSE 0 END AS BIGINT) AS passed_quality,
+         |       coalesce(l.cluster_id, b.doc_id) AS cluster_id,
+         |       CAST(CASE WHEN coalesce(l.cluster_id, b.doc_id) = b.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical,
+         |       coalesce(hits.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+         |       CASE WHEN bkt < 90 THEN 'train' WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split,
+         |       CAST(CASE WHEN b.is_eval = 0 AND qual.qs >= 0.6
+         |                  AND coalesce(l.cluster_id, b.doc_id) = b.doc_id
+         |                  AND coalesce(hits.n_overlap, CAST(0 AS BIGINT)) = 0
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM base b
+         |JOIN qual ON qual.doc_id = b.doc_id
+         |LEFT JOIN lab l ON l.doc_id = b.doc_id
+         |LEFT JOIN hits ON hits.doc_id = b.doc_id""".stripMargin
+    },
     "p1_train_split" ->
       s"""WITH b AS (SELECT n_chars,
          |                  ${sqlPolyHash("('split:' || CAST(doc_id AS VARCHAR))")} % 100 AS bkt

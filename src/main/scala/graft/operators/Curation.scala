@@ -44,6 +44,44 @@ object Curation {
       .select(col("doc_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
   }
 
+  /** The whole curation flow as one operator — the decision table a
+    * pretraining data pipeline materializes per document: quality gate
+    * (composite score from [[TextAnalysis.qualityScores]]), near-dup
+    * cluster resolution (keep the canonical doc per
+    * [[Dedup.clusters]] component), benchmark decontamination
+    * ([[contamination]]), and the deterministic split assignment. `kept = 1`
+    * is the final training-corpus membership; every intermediate signal is
+    * kept as a column so downstream audits can ask WHY a document fell out.
+    *
+    * Plan shape: three doc-keyed narrow joins (score, cluster label,
+    * contamination count) onto a single corpus scan — each side carries a
+    * handful of longs per doc, never text. */
+  def pipeline(docs: DataFrame, isEval: Column, qualityMin: Double = 0.6): DataFrame = {
+    val quality = TextAnalysis.qualityScores(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val clusters = Dedup.clusters(docs, Dedup.minhashPairs(docs))
+    val contam = contamination(docs, isEval)
+    docs
+      .select(
+        col("doc_id"),
+        isEval.cast("long").as("is_eval"),
+        splitName(splitBucket(col("doc_id"))).as("split"))
+      .join(quality, Seq("doc_id"))
+      .join(clusters, Seq("doc_id"))
+      .join(contam, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("is_eval"),
+        (col("quality_score") >= qualityMin).cast("long").as("passed_quality"),
+        col("cluster_id"),
+        col("is_canonical"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        col("split"),
+        (col("is_eval") === 0L && col("quality_score") >= qualityMin &&
+          col("is_canonical") === 1L && coalesce(col("n_overlap"), lit(0L)) === 0L)
+          .cast("long").as("kept"))
+  }
+
   /** Split-assignment expression: portable hash of a salted key → bucket in
     * [0, 100) → named split. Hash-based (not random, not modulo-id) so the
     * assignment is stable under corpus growth/reordering and uncorrelated

@@ -18,6 +18,26 @@ class CurationSpec extends SparkSpec {
     assert(out === Map(100L -> 1L, 101L -> 0L))
   }
 
+  test("pipeline: every gate fires — quality, dedup, decontamination, eval") {
+    val docs = Seq(
+      (0L, "the zebra walks slowly home tonight again maybe"),    // eval doc
+      (21L, "the quick brown fox jumps over the lazy dog tonight"), // dup, canonical (min id)
+      (41L, "the quick brown fox jumps over the lazy dog tonight"), // dup, dropped
+      (22L, "aa the zebra walks slowly home bb cc dd"),           // shares a 5-gram with doc 0
+      (23L, "a clean document with the words nobody else uses here"), // survives everything
+      (24L, "tiny doc")                                            // < 5 tokens → quality 0
+    ).toDF("doc_id", "text")
+    val out = Curation.pipeline(docs, col("doc_id") % 20 === 0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Long]("is_eval") === 1L && out(0L).getAs[Long]("kept") === 0L)
+    assert(out(21L).getAs[Long]("is_canonical") === 1L && out(21L).getAs[Long]("kept") === 1L)
+    assert(out(41L).getAs[Long]("cluster_id") === 21L && out(41L).getAs[Long]("kept") === 0L)
+    assert(out(22L).getAs[Long]("n_overlap") >= 1L && out(22L).getAs[Long]("kept") === 0L)
+    assert(out(23L).getAs[Long]("kept") === 1L)
+    assert(out(24L).getAs[Long]("passed_quality") === 0L && out(24L).getAs[Long]("kept") === 0L)
+    assert(out.values.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
+  }
+
   test("hash split: deterministic, exhaustive, and roughly 90/5/5") {
     val docs = spark.read.parquet(sf("documents"))
     val a = Curation.hashSplit(docs).collect()

@@ -39,6 +39,31 @@ class ScaleFeaturesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("z-order layout concentrates a selective predicate into few files") {
+    // Two independent pseudo-uniform dimensions; a predicate selecting ~6%
+    // of the a-range. Z-ordered files cover small (a, b) rectangles, so the
+    // predicate's rows land in a handful of files; a random layout spreads
+    // them across every file (no stats-based skipping possible).
+    val df = spark.range(200000).select(
+      (col("id") * 2654435761L % 100000L).as("a"),
+      (col("id") * 40503L % 100000L).as("b"),
+      col("id").as("payload"))
+    val zpath = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/z"
+    val rpath = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/r"
+    graft.etl.Layout.zorderWrite(df, "a", "b", 16, zpath)
+    df.repartition(16).write.mode("overwrite").parquet(rpath)
+    def filesHit(path: String): Long =
+      spark.read.parquet(path).filter(col("a").between(1000L, 7000L))
+        .select(input_file_name()).distinct().count()
+    val (zHit, rHit) = (filesHit(zpath), filesHit(rpath))
+    assert(rHit === 16L) // random layout: every file holds matching rows
+    assert(zHit <= 6L, s"z-order should confine the range to few files, hit $zHit")
+    // Layout must not change content.
+    assert(spark.read.parquet(zpath).count() === 200000L)
+    assert(spark.read.parquet(zpath).agg(sum($"payload")).head.getLong(0) ===
+      df.agg(sum($"payload")).head.getLong(0))
+  }
+
   test("approx_count_distinct stays within 5% of exact per group at sf0.1") {
     // x2_approx_distinct is the documented opt-in for 100 TB profiling; it
     // can't hash-match an external oracle (the HLL sketch is
