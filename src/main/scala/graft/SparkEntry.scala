@@ -342,6 +342,7 @@ object SparkEntry {
       Curation.stratifiedSample(Tables.documents(s, d))),
     // ---- text quality (repetition + PII) ----
     "t8_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
+    "t10_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
     // PII scrub over fixture text deterministically augmented with synthetic
     // emails/phones (the raw fixture contains none — an all-zero scan would
     // pass vacuously); the oracle applies the identical augmentation.
@@ -724,6 +725,19 @@ object SparkEntry {
         |       round(CAST(n_rep AS DOUBLE) / CAST(n_tokens AS DOUBLE), 7) AS dup_token_frac,
         |       round(CAST(coalesce(top_c, 0) AS DOUBLE) / CAST(coalesce(n_bigrams, 1) AS DOUBLE), 7) AS top_bigram_frac
         |FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id""".stripMargin,
+    // Quantized-integer idf (see TextAnalysis.tfidfTopTerms) keeps the
+    // ranking math exact in both engines.
+    "t10_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |sc AS (SELECT doc_id, tf.term, tf.tf, tf.tf * ((nn.n * 1048576) // dfq.df) AS salience
+        |       FROM tf CROSS JOIN nn JOIN dfq ON tf.term = dfq.term),
+        |w AS (SELECT doc_id, term, tf, salience,
+        |             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY salience DESC, term) AS BIGINT) AS "rank"
+        |      FROM sc)
+        |SELECT doc_id, term, tf, salience, "rank" FROM w WHERE "rank" <= 3""".stripMargin,
     "t9_pii_scrub" ->
       s"""WITH aug AS (SELECT doc_id,
          |       CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || CAST(doc_id % 50 AS VARCHAR) || '@example.com'

@@ -141,6 +141,32 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Salient terms per document: tf·idf with the idf QUANTIZED to an
+    * integer — `idfq = (N · 2^20) div df` — instead of the textbook
+    * `ln(N/df)`. Rationale: `ln` is not guaranteed correctly rounded, so a
+    * cross-engine value-level oracle could flake on the last ulp; integer
+    * division is exact everywhere, and for ranking all that matters is that
+    * idfq is strictly monotone in N/df (it is). Top-k terms per doc by
+    * (salience desc, term asc) — a total order, so the output is unique.
+    *
+    * Plan: one (doc_id, term) aggregation, a broadcast join against the
+    * vocabulary's document frequencies (bounded vocab — broadcastable at
+    * any corpus size), and a per-doc window. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("salience").desc, col("term"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("salience",
+        col("tf") * expr(s"(CAST($n AS BIGINT) * CAST(1048576 AS BIGINT)) div df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("salience"), col("rank"))
+  }
+
   /** Email / phone patterns, deliberately restricted to syntax with
     * identical semantics in Java regex (Spark) and RE2 (DuckDB oracle). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"

@@ -93,6 +93,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L).getAs[String]("redacted_md5") === md5hex("no pii here at all"))
   }
 
+  test("tfidf: rare terms outrank common ones; quantized idf is exact") {
+    val docs = Seq(
+      (1L, "alpha alpha beta common"),  // alpha: tf 2 df 1; beta: tf 1 df 2; common df 3
+      (2L, "beta gamma common"),
+      (3L, "delta common")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, k = 2).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(4)).map(r => (r.getString(1), r.getLong(3))).toSeq)
+      .toMap
+    val q = 1048576L // 2^20
+    // doc 1: alpha = 2·(3·q div 1) = 6q; beta = 1·(3·q div 2); common = 1·(3·q div 3)
+    assert(out(1L) === Seq(("alpha", 6L * q), ("beta", 3L * q / 2)))
+    // doc 3: delta (df 1) = 3q beats common (df 3) = q
+    assert(out(3L) === Seq(("delta", 3L * q), ("common", q)))
+  }
+
   test("langid picks the language with the most marker hits") {
     val docs = Seq(
       (1L, "the house of a king is big", "xx"),
