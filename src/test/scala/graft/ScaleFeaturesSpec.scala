@@ -39,6 +39,32 @@ class ScaleFeaturesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // At 100 TB the fact side of a shuffle join should not ship rows whose
+    // keys the filtered dim side already eliminated. Spark's runtime bloom
+    // filter injects a might_contain predicate into the fact scan; the
+    // application-side size threshold defaults to 10GB, so lower it to let
+    // the sf0.01 fixture demonstrate the plan shape we rely on at scale.
+    val conf = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      val o = graft.sources.Tables.orders(spark, "/root/testdata/sf0.01")
+        .filter($"o_totalprice" > 400000.0)
+      val j = li.join(o, $"l_orderkey" === $"o_orderkey")
+      assert(j.queryExecution.optimizedPlan.toString.contains("might_contain"),
+        "expected an injected runtime bloom filter on the fact side")
+      assert(j.count() > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("z-order layout concentrates a selective predicate into few files") {
     // Two independent pseudo-uniform dimensions; a predicate selecting ~6%
     // of the a-range. Z-ordered files cover small (a, b) rectangles, so the
