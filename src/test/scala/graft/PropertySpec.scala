@@ -112,4 +112,29 @@ class PropertySpec extends SparkSpec {
       assert(native === naive)
     }
   }
+
+  test("property: cluster labels equal a driver-side union-find on random graphs") {
+    val gen = for {
+      nNodes <- Gen.chooseNum(2, 30)
+      nEdges <- Gen.chooseNum(0, 25)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.chooseNum(0L, nNodes - 2L)
+        b <- Gen.chooseNum(a + 1, nNodes - 1L)
+      } yield (a, b))
+    } yield (nNodes, edges.distinct)
+    forAll(gen) { case (nNodes, edges) =>
+      val parent = Array.tabulate(nNodes.toInt)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until nNodes.toInt).map(i => i.toLong -> find(i).toLong).toMap
+      val docs = (0L until nNodes).map((_, "t")).toDF("doc_id", "text")
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val got = graft.operators.Dedup.clusters(docs, pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected)
+    }
+  }
 }
