@@ -21,7 +21,9 @@ object Bench {
     "a2_asof_native", "r1_range_join",
     "t2_quality", "t4_fingerprint", "t7_winnow",
     "d1_dedup_exact", "d3_minhash_lsh", "d4_simhash", "d6_simhash_pairs",
-    "s1_ann_topk", "s2_ann_lsh")
+    "d7_dedup_clusters", "c1_decontam", "c2_curation_pipeline",
+    "t8_repetition", "t10_tfidf",
+    "s1_ann_topk", "s2_ann_lsh", "s3_ann_ivf")
 
   /** Every registered query, name-sorted — the bench times ALL of them so
     * round-over-round regressions are visible everywhere, not just on the

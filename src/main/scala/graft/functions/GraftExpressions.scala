@@ -54,6 +54,39 @@ object GraftExprs {
     math.sqrt(s)
   }
 
+  /** One pass over a document's whitespace tokens: (n_tokens,
+    * dup_token_frac, top_bigram_frac) — the Gopher repetition metrics.
+    * Token split mirrors `split(trim(text), ' +')` (trimmed input has no
+    * leading/trailing empties; the empty string yields the single empty
+    * token, as in Spark). Fractions divide exact integer counts and round
+    * half-up at 7 dp exactly like Spark's `round`, so the groupBy-based
+    * DuckDB oracle verifies values unchanged. */
+  def repStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    def round7(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(7, java.math.RoundingMode.HALF_UP).doubleValue()
+    val toks = text.toString.trim.split(" +", -1)
+    val n = toks.length
+    val tc = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i < n) { tc.merge(toks(i), 1, Integer.sum(_, _)); i += 1 }
+    var singles = 0
+    tc.values.forEach(c => if (c == 1) singles += 1)
+    val nRep = n - singles
+    var top = 0L
+    var nBg = 0
+    if (n >= 2) {
+      nBg = n - 1
+      val bc = new java.util.HashMap[String, Integer]()
+      var j = 0
+      while (j < n - 1) { bc.merge(toks(j) + " " + toks(j + 1), 1, Integer.sum(_, _)); j += 1 }
+      bc.values.forEach(c => if (c.longValue() > top) top = c.longValue())
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      n.toLong,
+      round7(nRep.toDouble / n.toDouble),
+      round7(top.toDouble / math.max(nBg, 1).toDouble)))
+  }
+
   /** nBits deterministic hyperplane projections of a float vector —
     * identical formula to [[graft.operators.Similarity]]'s SQL oracle:
     * h(b,d) = ((b·7919 + d·104729 + 12345) mod 1000003)/1000003 − 0.5. */
@@ -248,6 +281,21 @@ case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Repetition metrics over a text column in one generated-code call:
+  * struct(n_tokens, dup_token_frac, top_bigram_frac). */
+case class RepStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("dup_token_frac", DoubleType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = false)))
+  override protected def nullSafeEval(a: Any): Any =
+    GraftExprs.repStats(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.GraftExprs.repStats($a)")
+  override protected def withNewChildInternal(newChild: Expression): RepStatsExpr =
+    copy(child = newChild)
+}
+
 /** L2 norm of an array<double> column. */
 case class L2NormDExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
@@ -276,4 +324,6 @@ object GraftColumns {
     ColumnBridge.column(L2NormDExpr(ColumnBridge.expression(a)))
   def winnowFps(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowExpr(ColumnBridge.expression(text), k, w))
+  def repStats(text: Column): Column =
+    ColumnBridge.column(RepStatsExpr(ColumnBridge.expression(text)))
 }

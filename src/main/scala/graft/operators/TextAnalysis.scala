@@ -111,34 +111,19 @@ object TextAnalysis {
     * (doc_id, gram) with map-side partial aggregation, then one merge on
     * doc_id. No all-pairs structure anywhere; scales with corpus size. */
   def repetition(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("g"))
-    val tokStats = toks
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(
-        sum(col("c")).as("n_tokens"),
-        sum(when(col("c") > 1L, col("c")).otherwise(0L)).as("n_rep"))
-    val t = tokens(col("text"))
-    val starts =
-      when(size(t) >= 2, sequence(lit(1), size(t) - 1))
-        .otherwise(array().cast("array<int>"))
-    val bigrams = docs.select(
-      col("doc_id"),
-      explode(transform(starts, i => concat_ws(" ", slice(t, i, lit(2))))).as("g"))
-    val biStats = bigrams
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_c"))
-    tokStats
-      .join(biStats, Seq("doc_id"), "left")
+    // One generated-code call per row ([[graft.functions.RepStatsExpr]]):
+    // the metrics only need counts WITHIN one document, so explode + groupBy
+    // (two shuffles of every gram) — and the interpreted-HOF formulation
+    // tried next (one lambda eval per token) — both lose to a single JVM
+    // pass with a per-row hash map. Same integer counts and Spark-round
+    // semantics, so the groupBy-based DuckDB oracle verifies it unchanged.
+    docs
+      .withColumn("__rs", graft.functions.GraftColumns.repStats(col("text")))
       .select(
         col("doc_id"),
-        col("n_tokens"),
-        round(col("n_rep").cast("double") / col("n_tokens").cast("double"), 7)
-          .as("dup_token_frac"),
-        round(coalesce(col("top_bigram_c"), lit(0L)).cast("double") /
-          coalesce(col("n_bigrams"), lit(1L)).cast("double"), 7)
-          .as("top_bigram_frac"))
+        col("__rs.n_tokens").as("n_tokens"),
+        col("__rs.dup_token_frac").as("dup_token_frac"),
+        col("__rs.top_bigram_frac").as("top_bigram_frac"))
   }
 
   /** Salient terms per document: tf·idf with the idf QUANTIZED to an
