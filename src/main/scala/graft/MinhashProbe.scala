@@ -34,6 +34,14 @@ object MinhashProbe {
     time("shingleHashes")(sh.count())
     val sig = Dedup.minhashSignatures(sh).cache()
     time("signatures")(sig.count())
+    // The per-row expression path minhashPairs actually uses now: no
+    // DISTINCT shuffle, no aggregation, two compact JVM loops per row.
+    time("signatures_perrow") {
+      docs.select(col("doc_id"),
+        graft.functions.GraftColumns.minhashArr(
+          graft.functions.GraftColumns.shingleHashes(col("text"), 3), Dedup.MinhashK))
+        .count()
+    }
     val bands = Dedup.lshBands(sig).cache()
     time("bands")(bands.count())
     val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))

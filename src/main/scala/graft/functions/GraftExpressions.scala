@@ -87,6 +87,57 @@ object GraftExprs {
       round7(top.toDouble / math.max(nBg, 1).toDouble)))
   }
 
+  /** Distinct word-n-gram 60-bit hashes of one document in a single JVM
+    * pass: tokenize (split-on-space-runs of the trimmed text, as
+    * `split(trim(text), ' +')`), hash each n-gram as
+    * polyHash(g) + polyHash(reverse(g))·2^30, dedupe. Values are
+    * bit-identical to [[graft.operators.Dedup.shingleHashes]]'s `h` column
+    * — the per-document SET the whole MinHash pipeline consumes — but
+    * computed without the corpus-wide (doc_id, h) DISTINCT shuffle. */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.trim.split(" +", -1)
+    if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val g = sb.toString
+      val h1 = polyHash(UTF8String.fromString(g))
+      val h2 = polyHash(UTF8String.fromString(new java.lang.StringBuilder(g).reverse.toString))
+      seen.add(h1 + h2 * (1L << 30))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** All-k MinHash minima over a per-document shingle-hash array — the
+    * per-row twin of [[MinHashAgg]] (same permutation formula on
+    * hp = h mod P), with no aggregation shuffle at all. */
+  def minhashFromArr(arr: ArrayData, k: Int): ArrayData = {
+    val buf = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val hp = arr.getLong(i) % Prime
+      var j = 0
+      while (j < k) {
+        val a = (j.toLong * 2654435761L) % Prime + 1L
+        val b = (j.toLong * 40503L + 7L) % Prime
+        val p = (a * hp + b) % Prime
+        if (p < buf(j)) buf(j) = p
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(buf)
+  }
+
   /** nBits deterministic hyperplane projections of a float vector —
     * identical formula to [[graft.operators.Similarity]]'s SQL oracle:
     * h(b,d) = ((b·7919 + d·104729 + 12345) mod 1000003)/1000003 − 0.5. */
@@ -281,6 +332,28 @@ case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Per-document distinct shingle-hash set as one generated-code call. */
+case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    GraftExprs.shingleHashes(a.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.GraftExprs.shingleHashes($a, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** Per-document all-k MinHash signature from its shingle-hash array. */
+case class MinHashArrExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    GraftExprs.minhashFromArr(a.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.GraftExprs.minhashFromArr($a, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashArrExpr =
+    copy(child = newChild)
+}
+
 /** Repetition metrics over a text column in one generated-code call:
   * struct(n_tokens, dup_token_frac, top_bigram_frac). */
 case class RepStatsExpr(child: Expression) extends UnaryExpression {
@@ -326,4 +399,8 @@ object GraftColumns {
     ColumnBridge.column(WinnowExpr(ColumnBridge.expression(text), k, w))
   def repStats(text: Column): Column =
     ColumnBridge.column(RepStatsExpr(ColumnBridge.expression(text)))
+  def shingleHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(text), n))
+  def minhashArr(hs: Column, k: Int): Column =
+    ColumnBridge.column(MinHashArrExpr(ColumnBridge.expression(hs), k))
 }

@@ -31,11 +31,17 @@ object Curation {
   def contamination(docs: DataFrame, isEval: Column, n: Int = 5): DataFrame = {
     // Two filtered scans, not one scan + a corpus self-join to attach the
     // eval flag: the predicate pushes into both reads and the corpus-sized
-    // side stays a single pass.
+    // side stays a single pass. Per-document gram sets come from the
+    // per-row [[graft.functions.ShingleHashesExpr]] (already distinct
+    // within a doc), so the train side never pays a corpus-wide DISTINCT
+    // shuffle; the only cross-doc distinct is the tiny eval side.
     val train = docs.filter(!isEval)
-    val evalGrams = Dedup.shingleHashes(docs.filter(isEval), n)
-      .select(col("h")).distinct()
-    val hits = Dedup.shingleHashes(train, n)
+    val evalGrams = docs.filter(isEval)
+      .select(explode(graft.functions.GraftColumns.shingleHashes(col("text"), n)).as("h"))
+      .distinct()
+    val hits = train
+      .select(col("doc_id"),
+        explode(graft.functions.GraftColumns.shingleHashes(col("text"), n)).as("h"))
       .join(broadcast(evalGrams), Seq("h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_overlap"))

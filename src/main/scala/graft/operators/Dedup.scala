@@ -116,26 +116,44 @@ object Dedup {
       .groupBy("doc_id")
       .agg(graft.functions.MinHashAgg.minhash(col("hp"), MinhashK).as("mh"))
 
-  /** LSH band keys from the signature array: band b ∈ [0, k/r), key =
-    * Σ_{j<r} (j+1)·mh[b·r+j] (order-independent, deterministic; fits in
-    * bigint: r·(r+1)/2·P < 2^33). One row per (doc, band). */
-  def lshBands(sig: DataFrame): DataFrame = {
+  /** LSH band-key array from a signature-array column: band b ∈ [0, k/r),
+    * key = Σ_{j<r} (j+1)·mh[b·r+j] (order-independent, deterministic; fits
+    * in bigint: r·(r+1)/2·P < 2^33). */
+  def bandKeys(mh: Column): Column = {
     val nBands = MinhashK / BandR
-    val keys = transform(
+    transform(
       sequence(lit(0), lit(nBands - 1)),
       b => (0 until BandR)
-        .map(j => element_at(col("mh"), b * BandR + j + 1) * (j + 1))
+        .map(j => element_at(mh, b * BandR + j + 1) * (j + 1))
         .reduce(_ + _))
-    sig
-      .select(col("doc_id"), posexplode(keys).as(Seq("band", "band_key")))
   }
+
+  /** One row per (doc, band): [[bandKeys]] exploded. */
+  def lshBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), posexplode(bandKeys(col("mh"))).as(Seq("band", "band_key")))
 
   /** MinHash+LSH near-dup pairs: candidates = docs sharing any (band,
     * band_key); verified with exact shingle Jaccard >= threshold. Output is
-    * (doc_a, doc_b, jaccard) for verified candidates. */
+    * (doc_a, doc_b, jaccard) for verified candidates.
+    *
+    * Signatures are PER-ROW generated-code calls
+    * ([[graft.functions.ShingleHashesExpr]] → [[graft.functions.MinHashArrExpr]];
+    * values bit-identical to the `shingleHashes` ∘ `MinHashAgg` pipeline,
+    * spec-asserted) — so the corpus-wide (doc_id, h) DISTINCT shuffle and
+    * the signature aggregation shuffle are gone, and the two compact JVM
+    * loops also replace the long generated expression chain whose first-run
+    * JIT dominated the 100k-doc probe. The first shuffle anything pays is
+    * the band-key candidate join, which is already pair-pruned. */
   def minhashPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleHashes(docs, n).cache()
-    val bands = lshBands(minhashSignatures(sh))
+    import graft.functions.GraftColumns
+    val withArr = docs
+      .withColumn("__hs", GraftColumns.shingleHashes(col("text"), n))
+      .filter(size(col("__hs")) > 0)
+      .select(col("doc_id"), col("__hs"),
+        GraftColumns.minhashArr(col("__hs"), MinhashK).as("__mh"))
+      .cache()
+    val bands = withArr
+      .select(col("doc_id"), posexplode(bandKeys(col("__mh"))).as(Seq("band", "band_key")))
     val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
     val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
     val cands = l
@@ -151,12 +169,12 @@ object Dedup {
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id")))
       .distinct()
-    val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi").cache()
-    // Set sizes only for candidate docs (shc holds their FULL shingle
-    // sets): counting over the whole corpus would broadcast one row per
-    // corpus document below — the LSH prune must bound every downstream
-    // structure, including this one.
-    val cnt = shingleCounts(shc)
+    // Candidate docs' shingle sets, exploded from the per-row arrays
+    // (already distinct within a doc — no DISTINCT shuffle needed).
+    val candArr = withArr.join(broadcast(candDocs), Seq("doc_id"), "left_semi").cache()
+    val shc = candArr.select(col("doc_id"), explode(col("__hs")).as("h"))
+    // Set sizes only for candidate docs, straight off the array lengths.
+    val cnt = candArr.select(col("doc_id"), size(col("__hs")).cast("long").as("n_shingles"))
     val a = shc.select(col("doc_id").as("doc_a"), col("h"))
     val b = shc.select(col("doc_id").as("doc_b"), col("h"))
     val inter = a

@@ -40,6 +40,26 @@ class DedupSpec extends SparkSpec {
     assert(!keys.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("per-row shingle/minhash expressions equal the aggregate pipeline") {
+    import org.apache.spark.sql.functions.{col, size}
+    val perRowSh = docs
+      .select(col("doc_id"), graft.functions.GraftColumns.shingleHashes(col("text"), 3).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val aggSh = Dedup.shingleHashes(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(perRowSh.getOrElse(id, Set.empty) === aggSh.getOrElse(id, Set.empty), s"doc $id")
+    }
+    val perRowMh = docs
+      .select(col("doc_id"), graft.functions.GraftColumns.shingleHashes(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), graft.functions.GraftColumns.minhashArr(col("hs"), Dedup.MinhashK).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val aggMh = Dedup.minhashSignatures(Dedup.shingleHashes(docs)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(perRowMh === aggMh)
+  }
+
   test("minhash LSH pairs match exact jaccard pairs on planted dups") {
     val exact = Dedup.jaccardPairs(docs, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
