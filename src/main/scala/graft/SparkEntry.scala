@@ -787,15 +787,24 @@ object SparkEntry {
          |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
          |      FROM s)
          |SELECT query_id, neighbor_id, round(cosine, 7) AS cosine, "rank" FROM w WHERE "rank" <= 5""".stripMargin,
+    // Centered LSH: hyperplanes project (embedding − corpus mean); the mean
+    // replays VectorSumAgg's quantized-integer sums exactly (trunc(x·2^20)
+    // BIGINTs — order-independent), same pattern as the s3 centroids.
     "s2_ann_lsh" ->
       s"""WITH bits AS (SELECT b, CAST(1 AS BIGINT) << b AS p2 FROM generate_series(0, 7) t(b)),
+         |msum AS (SELECT i, sum(CAST(trunc(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qs
+         |         FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+         |         GROUP BY i),
+         |ncnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         |mlist AS (SELECT list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY i) AS m
+         |          FROM msum CROSS JOIN ncnt GROUP BY n),
          |proj AS (SELECT vec_id, b, p2,
          |                list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |                  list_transform(generate_series(1, len(embedding)),
-         |                    i -> CAST(embedding[i] AS DOUBLE) *
-         |                         ((CAST((b * 7919 + (i - 1) * 104729 + 12345) % 1000003 AS DOUBLE) / 1000003.0) - 0.5))),
+         |                    i -> (CAST(embedding[i] AS DOUBLE) - m[i]) *
+         |                         ((CAST(((b * 104729 + (i - 1) * 7919 + 12345) * (b * 104729 + (i - 1) * 7919 + 12345)) % 1000003 AS DOUBLE) / 1000003.0) - 0.5))),
          |                  (x, y) -> x + y) AS proj
-         |         FROM embeddings CROSS JOIN bits),
+         |         FROM embeddings CROSS JOIN bits CROSS JOIN mlist),
          |sig AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS bucket
          |        FROM proj GROUP BY vec_id),
          |pairs AS (SELECT DISTINCT sa.vec_id AS vec_a, sb.vec_id AS vec_b
@@ -814,7 +823,7 @@ object SparkEntry {
          |                ${sqlFoldSum(
                             "list_transform(generate_series(1, len(embedding)), " +
                             "i -> CAST(embedding[i] AS DOUBLE) * " +
-                            "((CAST((b * 7919 + (i - 1) * 104729 + 12345) % 1000003 AS DOUBLE) / 1000003.0) - 0.5))")} AS proj
+                            "((CAST(((b * 104729 + (i - 1) * 7919 + 12345) * (b * 104729 + (i - 1) * 7919 + 12345)) % 1000003 AS DOUBLE) / 1000003.0) - 0.5))")} AS proj
          |         FROM embeddings CROSS JOIN bits),
          |cellsig AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS cell
          |            FROM proj GROUP BY vec_id),

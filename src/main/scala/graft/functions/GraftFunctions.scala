@@ -25,7 +25,12 @@ object GraftFunctions {
     "graft_norm" -> (es => L2NormExpr(es.head)),
     "graft_hyper_proj" -> (es => HyperProjExpr(es(0), intLit(es(1)))),
     "graft_minhash" -> (es => MinHashAgg(es(0), intLit(es(1)))),
-    "graft_simhash" -> (es => SimHashAgg(es(0), intLit(es(1)))))
+    "graft_simhash" -> (es => SimHashAgg(es(0), intLit(es(1)))),
+    "graft_shingle_hashes" -> (es => ShingleHashesExpr(es(0), intLit(es(1)))),
+    "graft_minhash_arr" -> (es => MinHashArrExpr(es(0), intLit(es(1)))),
+    "graft_simhash_text" -> (es => SimHashTextExpr(es(0), intLit(es(1)))),
+    "graft_rep_stats" -> (es => RepStatsExpr(es.head)),
+    "graft_winnow" -> (es => WinnowExpr(es(0), intLit(es(1)), intLit(es(2)))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

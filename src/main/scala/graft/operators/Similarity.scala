@@ -55,7 +55,7 @@ object Similarity {
 
   /** `nBits`-bit sign signature of each embedding under deterministic
     * pseudo-random hyperplanes (component (b,d) =
-    * ((b·7919 + d·104729 + 12345) mod 1000003)/1000003 − 0.5 — stateless,
+    * (((b·104729 + d·7919 + 12345)²) mod 1000003)/1000003 − 0.5 — stateless,
     * engine-portable). The whole signature is ONE codegen'd expression
     * ([[graft.functions.HyperBucketExpr]]): projections and sign-bit fold in
     * a single pass, no intermediate array, no interpreted HOF lambdas.
@@ -138,19 +138,65 @@ object Similarity {
     * each unordered pair surfaces exactly once (each vector lives in exactly
     * one bucket), so no dedup pass is needed — the only shuffle is the
     * bucket-key pair join. */
+  final case class SigVec(bucket: Long, vec_id: Long, embedding: Array[Float], nrm: Double)
+  final case class NeighborPair(vec_a: Long, vec_b: Long, cosine: Double)
+
   def lshNeighbors(emb: DataFrame, nBits: Int = 8, threshold: Double = 0.3): DataFrame = {
-    val withSig = emb.select(
-      col("vec_id"), col("embedding"),
-      bucketOf(col("embedding"), nBits).as("bucket"),
-      VectorMath.norm2(col("embedding")).as("nrm"))
-    val a = withSig.select(col("bucket"), col("vec_id").as("vec_a"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = withSig.select(col("bucket"), col("vec_id").as("vec_b"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", VectorMath.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-      .filter(col("cosine") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 7).as("cosine"))
+    import emb.sparkSession.implicits._
+    // CENTERED hyperplane buckets: raw sign-LSH on embeddings with a
+    // dominant direction collapses most of the corpus into the all-bits-0/
+    // all-bits-1 buckets (measured: 60% of 100k vectors in 2 of 256
+    // buckets → Σ bucket² ≈ 1.9G scored pairs). Subtracting the corpus
+    // mean balances every hyperplane. The mean is the quantized-integer
+    // mean ([[VectorSumAgg]] — order-independent BIGINT sums), so it and
+    // every downstream bucket is bit-reproducible in the DuckDB oracle.
+    // One extra tiny aggregate + a broadcast 1-row cross join.
+    val meanDf = emb
+      .agg(VectorSumAgg.vectorSum(col("embedding")).as("qsum"), count(lit(1)).as("n"))
+      .select(transform(col("qsum"),
+        v => v.cast("double") / (col("n").cast("double") * lit(VectorSumAgg.Scale))).as("__mean"))
+    // Scoring happens INSIDE each bucket group, not on a join's output: a
+    // bucket self-join materializes Σ bucket² pair rows each carrying both
+    // full embeddings (~1 KB/row — measured 938M rows ≈ 1 TB of row traffic
+    // at 100k clone-heavy vectors, 89 s) only to discard 99.7% at the
+    // threshold. Here the ONE shuffle ships each vector once (group by
+    // bucket), and the pairwise loop scores local compact arrays, emitting
+    // only survivors — same left-to-right double dot, same half-up 7-dp
+    // round, each unordered pair still seen exactly once (a vector lives in
+    // exactly one bucket), so the output set is join-equivalent. Bucket
+    // population scales with corpus / 2^nBits — raise nBits with corpus
+    // size (standard LSH practice) to bound group size.
+    emb.crossJoin(broadcast(meanDf))
+      .select(
+        col("vec_id"), col("embedding"),
+        GraftColumns.hyperBucketC(col("embedding"), col("__mean"), nBits).as("bucket"),
+        VectorMath.norm2(col("embedding")).as("nrm"))
+      .as[SigVec]
+      .groupByKey(_.bucket)
+      .flatMapGroups { (_: Long, it: Iterator[SigVec]) =>
+        val vs = it.toArray
+        java.util.Arrays.sort(vs, (x: SigVec, y: SigVec) => java.lang.Long.compare(x.vec_id, y.vec_id))
+        val out = scala.collection.mutable.ArrayBuffer.empty[NeighborPair]
+        var i = 0
+        while (i < vs.length) {
+          val a = vs(i)
+          var j = i + 1
+          while (j < vs.length) {
+            val b = vs(j)
+            var s = 0.0d
+            var d = 0
+            val n = math.min(a.embedding.length, b.embedding.length)
+            while (d < n) { s += a.embedding(d).toDouble * b.embedding(d).toDouble; d += 1 }
+            val cos = s / (a.nrm * b.nrm)
+            if (cos >= threshold)
+              out += NeighborPair(a.vec_id, b.vec_id,
+                java.math.BigDecimal.valueOf(cos).setScale(7, java.math.RoundingMode.HALF_UP).doubleValue())
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("vec_a", "vec_b", "cosine")
   }
 }

@@ -58,6 +58,18 @@ class DedupSpec extends SparkSpec {
     val aggMh = Dedup.minhashSignatures(Dedup.shingleHashes(docs)).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(perRowMh === aggMh)
+    // SimHash: per-row expression vs the token-explode + SimHashAgg pipeline.
+    import org.apache.spark.sql.functions.{explode, lit, reverse}
+    val aggSim = docs
+      .select(col("doc_id"), explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        (graft.functions.TextHash.polyHash(col("tok")) +
+          graft.functions.TextHash.polyHash(reverse(col("tok"))) * lit(1L << 30)).as("h"))
+      .groupBy("doc_id")
+      .agg(graft.functions.SimHashAgg.simhash(col("h"), Dedup.SimhashBits).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perRowSim = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perRowSim === aggSim)
   }
 
   test("minhash LSH pairs match exact jaccard pairs on planted dups") {
