@@ -4,8 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.functions.TextHash
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.Dedup
 
 /** Streaming MinHash+LSH near-dup candidate detection: the streaming twin
   * of [[Dedup.minhashPairs]]'s candidate stage. A document's signature is
@@ -30,40 +29,19 @@ object StreamingNearDup {
   final case class CandPair(doc_a: Long, doc_b: Long)
 
   /** One row per (band, band_key, doc_id), with signatures identical to the
-    * batch [[Dedup.lshBands]] ∘ [[Dedup.minhashSignatures]] output (same
-    * shingle hashing, same permutations, same band fold — spec-asserted).
-    * Intermediates are materialized as columns: interpreted HOF lambdas
-    * re-evaluate captured expressions per element, so nesting the whole
-    * chain into one expression would re-tokenize per shingle per
-    * permutation. */
+    * batch [[Dedup.lshBands]] ∘ [[Dedup.minhashSignatures]] output
+    * (spec-asserted) — computed by the same per-row generated-code
+    * expressions the batch [[Dedup.minhashPairs]] uses and the shared
+    * [[Dedup.bandKeys]] fold, so the streaming and batch candidate stages
+    * can never drift apart. */
   def bandedDocs(docs: DataFrame): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
-    val starts =
-      when(size(toks) >= 3, sequence(lit(1), size(toks) - 2))
-        .otherwise(array().cast("array<int>"))
-    val nBands = Dedup.MinhashK / Dedup.BandR
+    import graft.functions.GraftColumns
     docs
-      .withColumn("__sh",
-        array_distinct(transform(starts, i => concat_ws(" ", slice(toks, i, lit(3))))))
-      // 60-bit shingle hash mod P: minima over the multiset equal minima
-      // over the distinct-h set, so distinct on strings is enough.
-      .withColumn("__hp",
-        transform(col("__sh"), s =>
-          (TextHash.polyHash(s) + TextHash.polyHash(reverse(s)) * lit(1L << 30))
-            % lit(TextHash.Prime)))
-      .withColumn("__mh",
-        transform(sequence(lit(0), lit(Dedup.MinhashK - 1)),
-          i => array_min(transform(col("__hp"), hp => TextHash.minhashPerm(hp, i)))))
-      .filter(size(col("__hp")) > 0) // no shingles → no bands (as in batch)
-      .select(
-        col("doc_id"),
-        explode(transform(sequence(lit(0), lit(nBands - 1)), b =>
-          struct(
-            b.cast("int").as("band"),
-            (element_at(col("__mh"), b * Dedup.BandR + 1) * lit(1L) +
-              element_at(col("__mh"), b * Dedup.BandR + 2) * lit(2L)).as("band_key"))))
-          .as("bb"))
-      .select(col("bb.band").as("band"), col("bb.band_key").as("band_key"), col("doc_id"))
+      .withColumn("__hs", GraftColumns.shingleHashes(col("text"), 3))
+      .filter(size(col("__hs")) > 0) // no shingles → no bands (as in batch)
+      .withColumn("__mh", GraftColumns.minhashArr(col("__hs"), Dedup.MinhashK))
+      .select(col("doc_id"), posexplode(Dedup.bandKeys(col("__mh"))).as(Seq("band", "band_key")))
+      .select(col("band").cast("int").as("band"), col("band_key"), col("doc_id"))
   }
 
   /** Candidate pairs (doc_a < doc_b), possibly repeated when two docs share
