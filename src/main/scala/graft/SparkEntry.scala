@@ -372,6 +372,12 @@ object SparkEntry {
     // IVF ANN: deterministic end-to-end (LSH cells, quantized-integer mean
     // centroids, total orderings) so the oracle replays the whole pipeline.
     "s3_ann_ivf" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    // KNN JOIN: both sides large (queries = 2% of the corpus here), bucket
+    // co-grouped, scored in-group, top-k per query.
+    "s4_ann_knn_join" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnJoin(emb.filter(col("vec_id") % 100 < 2), emb)
+    }),
     // ---- multimodal (binary column plumbing; see operators.Multimodal) ----
     "m1_multimodal_meta" -> ((s, d) =>
       Multimodal.metadata(Tables.documents(s, d).select(
@@ -813,6 +819,28 @@ object SparkEntry {
          |      FROM pairs JOIN embeddings ea ON ea.vec_id = vec_a
          |                 JOIN embeddings eb ON eb.vec_id = vec_b)
          |SELECT vec_a, vec_b, round(cosine, 7) AS cosine FROM s WHERE cosine >= 0.3""".stripMargin,
+    // Replays the bucketed KNN join: same (uncentered) quadratic-mix
+    // hyperplane buckets on both sides, exact cosine within buckets,
+    // round-then-rank as in Similarity.knnJoin.
+    "s4_ann_knn_join" -> {
+      val wq = "(CAST(((b * 104729 + (i - 1) * 7919 + 12345) * (b * 104729 + (i - 1) * 7919 + 12345)) % 1000003 AS DOUBLE) / 1000003.0)"
+      s"""WITH bits AS (SELECT b, CAST(1 AS BIGINT) << b AS p2 FROM generate_series(0, 7) t(b)),
+         |proj AS (SELECT vec_id, b, p2,
+         |                ${sqlFoldSum(s"list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * ($wq - 0.5))")} AS proj
+         |         FROM embeddings CROSS JOIN bits),
+         |sig AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS bucket
+         |        FROM proj GROUP BY vec_id),
+         |q AS (SELECT e.vec_id, e.embedding, s.bucket FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id
+         |      WHERE e.vec_id % 100 < 2),
+         |c AS (SELECT e.vec_id, e.embedding, s.bucket FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id),
+         |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |              round(${sqlCosine("q.embedding", "c.embedding")}, 7) AS cosine
+         |       FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+         |w AS (SELECT query_id, neighbor_id, cosine,
+         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
+         |      FROM sc)
+         |SELECT query_id, neighbor_id, cosine, "rank" FROM w WHERE "rank" <= 3""".stripMargin
+    },
     // Replays the deterministic IVF pipeline end-to-end: 6-bit LSH cells
     // (same hyperplane formula as s2), quantized-integer mean centroids
     // (trunc(x·2^20) BIGINT sums — order-independent, so bit-identical to

@@ -140,6 +140,56 @@ object Similarity {
     * bucket-key pair join. */
   final case class SigVec(bucket: Long, vec_id: Long, embedding: Array[Float], nrm: Double)
   final case class NeighborPair(vec_a: Long, vec_b: Long, cosine: Double)
+  final case class TaggedVec(bucket: Long, vec_id: Long, embedding: Array[Float], nrm: Double, isQuery: Boolean)
+  final case class ScoredPair(query_id: Long, neighbor_id: Long, cosine: Double)
+
+  /** Approximate KNN JOIN: for every query vector, its top-k neighbors from
+    * the corpus — the retrieval shape where BOTH sides are large, which
+    * [[bruteForceTopK]]'s broadcast-the-queries plan can't serve. Both
+    * sides are bucketed by the same deterministic hyperplanes; each bucket
+    * group scores its query×corpus cross locally (queries only meet
+    * bucket-mates — the LSH recall contract, as in [[lshNeighbors]]) and
+    * the final per-query top-k is one window. The only shuffles are the
+    * bucket group-by (each vector ships once) and the rank window on the
+    * already-thresholdless but bucket-pruned candidate list. */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int = 3, nBits: Int = 8): DataFrame = {
+    import queries.sparkSession.implicits._
+    def tag(df: DataFrame, isQ: Boolean) = df.select(
+      bucketOf(col("embedding"), nBits).as("bucket"),
+      col("vec_id"), col("embedding"),
+      VectorMath.norm2(col("embedding")).as("nrm"),
+      lit(isQ).as("isQuery"))
+    val scored = tag(queries, isQ = true).unionByName(tag(corpus, isQ = false))
+      .as[TaggedVec]
+      .groupByKey(_.bucket)
+      .flatMapGroups { (_: Long, it: Iterator[TaggedVec]) =>
+        val vs = it.toArray
+        val qs = vs.filter(_.isQuery)
+        val cs = vs.filter(!_.isQuery)
+        val out = scala.collection.mutable.ArrayBuffer.empty[ScoredPair]
+        qs.foreach { q =>
+          cs.foreach { c =>
+            if (c.vec_id != q.vec_id) {
+              var s = 0.0d
+              var d = 0
+              val n = math.min(q.embedding.length, c.embedding.length)
+              while (d < n) { s += q.embedding(d).toDouble * c.embedding(d).toDouble; d += 1 }
+              out += ScoredPair(q.vec_id, c.vec_id,
+                java.math.BigDecimal.valueOf(s / (q.nrm * c.nrm))
+                  .setScale(7, java.math.RoundingMode.HALF_UP).doubleValue())
+            }
+          }
+        }
+        out.iterator
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
 
   def lshNeighbors(emb: DataFrame, nBits: Int = 8, threshold: Double = 0.3): DataFrame = {
     import emb.sparkSession.implicits._

@@ -53,4 +53,18 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(pairs === Seq((0L, 1L, 1.0)))
   }
+
+  test("knn join: queries meet bucket-mates, ranked by cosine, self excluded") {
+    val dup = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),   // query
+      (1L, Array(1.0f, 2.0f, 3.0f)),   // identical → same bucket, cos 1.0
+      (2L, Array(1.1f, 2.0f, 3.0f)),   // near → same bucket, cos < 1
+      (3L, Array(-1.0f, -2.0f, -3.0f)) // antipodal → different bucket, invisible
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.knnJoin(dup.filter($"vec_id" === 0L), dup, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(out.map(_._2) === Seq(1L, 2L)) // ranked: exact dup first; 3 never appears
+    assert(out.head._3 === 1.0)
+    assert(out.map(_._4) === Seq(1L, 2L))
+  }
 }
