@@ -122,6 +122,10 @@ object ScalingProbe {
     // shuffled row per (cell, partition) — the N·D posexplode it replaced
     // shipped 16M rows here) and the broadcast probe join.
     time("ann_ivf_100k_vecs")(Similarity.ivfTopK(bigEmb, nQueries = 10, k = 5).count())
+    // KNN join with a corpus-sized query set (2k queries × 100k corpus):
+    // the retrieval shape broadcast-the-queries can't serve.
+    time("ann_knn_join_2k_q")(
+      Similarity.knnJoin(bigEmb.filter(col("vec_id") % 50 === 0), bigEmb, k = 5).count())
     spark.stop()
   }
 }
