@@ -338,6 +338,7 @@ object SparkEntry {
     "c2_curation_pipeline" -> ((s, d) =>
       Curation.pipeline(Tables.documents(s, d), col("doc_id") % 20 === 0)),
     "p1_train_split" -> ((s, d) => Curation.hashSplit(Tables.documents(s, d))),
+    "p3_pack_bins" -> ((s, d) => Curation.packBins(Tables.documents(s, d))),
     "p2_stratified_sample" -> ((s, d) =>
       Curation.stratifiedSample(Tables.documents(s, d))),
     // ---- text quality (repetition + PII) ----
@@ -703,6 +704,19 @@ object SparkEntry {
          |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM s GROUP BY split""".stripMargin,
+    "p3_pack_bins" ->
+      s"""WITH t AS (SELECT ${sqlPolyHash("('shard:' || CAST(doc_id AS VARCHAR))")} % 32 AS shard,
+         |                  doc_id,
+         |                  CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |p AS (SELECT shard, doc_id, n_tok,
+         |             coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |                      CAST(0 AS BIGINT)) AS prev_tok
+         |      FROM t)
+         |SELECT shard, prev_tok // 4096 AS bin,
+         |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM p GROUP BY 1, 2""".stripMargin,
     "p2_stratified_sample" ->
       s"""WITH r AS (SELECT lang,
          |                  CASE WHEN ${sqlPolyHash("('samp:' || CAST(doc_id AS VARCHAR))")} % 1000 <

@@ -112,6 +112,29 @@ object Curation {
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
 
+  /** Sequence packing: assign documents to fixed-token-budget bins (the
+    * pre-tokenization step that turns a corpus into training context
+    * windows). Documents are packed greedily in doc_id order by EXCLUSIVE
+    * running token count — a document whose prefix sum crosses the budget
+    * starts the next bin. Packing is per-shard (hash of doc_id), not
+    * global: a single global running sum would serialize into one window
+    * partition, while shards pack independently and in parallel — the
+    * standard way real pipelines shard this. Output: one row per
+    * (shard, bin) with doc/token counts. */
+  def packBins(docs: DataFrame, tokenBudget: Long = 4096L, nShards: Int = 32): DataFrame = {
+    val shard = TextHash.polyHash(concat(lit("shard:"), col("doc_id").cast("string"))) % nShards
+    val toks = TextAnalysis.tokens(col("text"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(shard.as("shard"), col("doc_id"), size(toks).cast("long").as("n_tok"))
+      .withColumn("prev_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin", (col("prev_tok") / lit(tokenBudget)).cast("long"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+  }
+
   /** Per-language sampling rates (per mille) for [[stratifiedSample]]:
     * downsample the over-represented head language hard, keep mid languages
     * at a third, keep the tail whole — the standard rebalancing move when

@@ -50,6 +50,28 @@ class CurationSpec extends SparkSpec {
     assert(a("train")._1 > total * 7 / 10) // loose at sf0.001's 50 docs
   }
 
+  test("pack bins: tokens conserved, bins start at zero, budget respected") {
+    val docs = spark.read.parquet(sf("documents"))
+    val out = Curation.packBins(docs, tokenBudget = 200L, nShards = 4).collect()
+    val totalDocs = out.map(_.getAs[Long]("n_docs")).sum
+    assert(totalDocs === docs.count())
+    // Each shard's bins start at 0; a bin holds at most budget + one
+    // overflowing doc's tokens (greedy exclusive-prefix packing).
+    val byShard = out.groupBy(_.getAs[Long]("shard"))
+    byShard.foreach { case (_, bins) =>
+      assert(bins.map(_.getAs[Long]("bin")).min === 0L)
+    }
+    val maxDocTok = docs
+      .select(size(split(trim(col("text")), " +")).cast("long")).collect().map(_.getLong(0)).max
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") <= 200L + maxDocTok)
+    }
+    // Determinism across runs.
+    val again = Curation.packBins(docs, tokenBudget = 200L, nShards = 4).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet ===
+      out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet)
+  }
+
   test("stratified sample: default strata keep everything; head language is cut") {
     val docs = spark.read.parquet(sf("documents"))
     val out = Curation.stratifiedSample(docs).collect()
