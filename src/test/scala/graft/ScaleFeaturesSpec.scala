@@ -65,6 +65,25 @@ class ScaleFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("ivf cell layout: a probe reads only the probed cells' partitions") {
+    // Similarity.ivfTopK's 100 TB posture: write the corpus partitionBy(cell)
+    // and a multi-probe query becomes partition pruning — prove the pruning
+    // actually happens on a real layout.
+    val emb = spark.read.parquet(sf("embeddings"))
+    val assigned = emb.select(
+      col("vec_id"), col("embedding"),
+      graft.functions.GraftColumns.hyperBucket(col("embedding"), 6).as("cell"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cells").toString + "/cells"
+    assigned.write.partitionBy("cell").parquet(dir)
+    val cells = assigned.select("cell").distinct().collect().map(_.getLong(0)).sorted.take(2)
+    val probe = spark.read.parquet(dir).filter(col("cell").isin(cells: _*))
+    val files = probe.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    assert(files.forall(f => cells.exists(c => f.contains(s"cell=$c"))),
+      s"probe touched files outside its cells: ${files.filterNot(f => cells.exists(c => f.contains(s"cell=$c"))).mkString(", ")}")
+    assert(probe.count() === assigned.filter(col("cell").isin(cells: _*)).count())
+  }
+
   test("z-order layout concentrates a selective predicate into few files") {
     // Two independent pseudo-uniform dimensions; a predicate selecting ~6%
     // of the a-range. Z-ordered files cover small (a, b) rectangles, so the
