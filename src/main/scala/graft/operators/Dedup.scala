@@ -200,6 +200,96 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Incremental MinHash+LSH near-dup detection against a persisted
+    * signature store — the growing-corpus pattern: each run reads ONLY the
+    * new documents' text, pairs them against everything seen so far, and
+    * appends their signatures to the store. Old↔old pairs are never
+    * re-emitted (they were reported when their younger member arrived), so
+    * `runs in arrival order ≡ one batch run` (spec-asserted).
+    *
+    * The store keeps (doc_id, hs, mh) — the per-row shingle-hash set and
+    * signature — NOT the text: verification of new↔old candidates replays
+    * exact Jaccard from the stored arrays, and the store rows are ~300
+    * bytes/doc regardless of document size. Store reads prune to candidate
+    * docs only (broadcast semi-join), so a run's cost scales with the new
+    * batch and its collision neighborhood, not with corpus history. */
+  def incrementalMinhashPairs(
+      newDocs: DataFrame,
+      storePath: String,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.functions.GraftColumns
+    val spark = newDocs.sparkSession
+    val newArr = newDocs
+      .withColumn("__hs", GraftColumns.shingleHashes(col("text"), n))
+      .filter(size(col("__hs")) > 0)
+      .select(col("doc_id"), col("__hs"),
+        GraftColumns.minhashArr(col("__hs"), MinhashK).as("__mh"))
+      .cache()
+    val hasStore = scala.util.Try(
+      spark.read.parquet(storePath).schema.nonEmpty).getOrElse(false)
+    val oldArr =
+      if (hasStore) spark.read.parquet(storePath)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newArr.schema)
+    def bandsOf(arr: DataFrame) =
+      arr.select(col("doc_id"), posexplode(bandKeys(col("__mh"))).as(Seq("band", "band_key")))
+    val newBands = bandsOf(newArr)
+    val allBands = bandsOf(oldArr).unionByName(newBands)
+    // Candidates: (new, anything) sharing a band — new↔new once via a<b,
+    // new↔old regardless of id order (canonicalized to doc_a < doc_b).
+    val cands = newBands.select(col("doc_id").as("doc_n"), col("band"), col("band_key"))
+      .hint("shuffle_hash")
+      .join(allBands.select(col("doc_id").as("doc_o"), col("band"), col("band_key"))
+        .hint("shuffle_hash"), Seq("band", "band_key"))
+      .filter(col("doc_n") =!= col("doc_o"))
+      .select(
+        least(col("doc_n"), col("doc_o")).as("doc_a"),
+        greatest(col("doc_n"), col("doc_o")).as("doc_b"))
+      .distinct()
+      // both-new pairs appear from both sides; old↔old never appears
+      // because the left side is new-only
+      .cache()
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val candArr = newArr.unionByName(oldArr)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi").cache()
+    val shc = candArr.select(col("doc_id"), explode(col("__hs")).as("h"))
+    val cnt = candArr.select(col("doc_id"), size(col("__hs")).cast("long").as("n_shingles"))
+    val a = shc.select(col("doc_id").as("doc_a"), col("h"))
+    val b = shc.select(col("doc_id").as("doc_b"), col("h"))
+    val inter = a
+      .join(b, Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    val ca = cnt.select(col("doc_id").as("doc_a"), col("n_shingles").as("n_a"))
+    val cb = cnt.select(col("doc_id").as("doc_b"), col("n_shingles").as("n_b"))
+    // localCheckpoint (eager) BEFORE the append: writing to storePath
+    // refreshes the path's file index and invalidates dependent caches, so
+    // a merely-cached result would silently recompute against the
+    // just-appended store (double-counting the new docs). Checkpointing
+    // severs the lineage from the path entirely.
+    val pairs = inter
+      .join(broadcast(ca), Seq("doc_a"))
+      .join(broadcast(cb), Seq("doc_b"))
+      .withColumn(
+        "jaccard",
+        round(
+          col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double"),
+          7))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .localCheckpoint(true)
+    newArr.write.mode("append").parquet(storePath)
+    newArr.unpersist()
+    cands.unpersist()
+    candArr.unpersist()
+    pairs
+  }
+
   val SimhashBits = 60 // two 30-bit poly hashes: h(tok) | h(reverse(tok)) << 30
 
   /** SimHash signatures: per-doc 60-bit fingerprint from token hashes.

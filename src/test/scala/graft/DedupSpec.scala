@@ -124,6 +124,20 @@ class DedupSpec extends SparkSpec {
     assert(out === Map(1L -> ((1L, 1L)), 2L -> ((2L, 1L))))
   }
 
+  test("incremental minhash: runs in arrival order equal one batch run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_store").toString + "/store"
+    val batch1 = docs.filter($"doc_id" <= 2L) // 0, 1 near-dups; 2 distinct
+    val batch2 = docs.filter($"doc_id" > 2L)  // 3 = exact dup of 0; 4 tiny
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val run1 = pairsOf(Dedup.incrementalMinhashPairs(batch1, dir))
+    val run2 = pairsOf(Dedup.incrementalMinhashPairs(batch2, dir))
+    val batch = pairsOf(Dedup.minhashPairs(docs))
+    assert(run1.intersect(run2).isEmpty) // no pair reported twice
+    assert(run1.union(run2) === batch)
+    assert(run2.map(p => (p._1, p._2)).contains((0L, 3L))) // new doc paired against stored corpus
+  }
+
   test("embedding near-dup pairs flag identical vectors") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
