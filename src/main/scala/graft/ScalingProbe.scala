@@ -107,6 +107,17 @@ object ScalingProbe {
     // already isolates.
     time("dedup_clusters_100k_docs")(
       Dedup.clusters(bigDocs, Dedup.minhashPairs(bigDocs)).count())
+    // Incremental vs batch at scale: two 50k arrivals against the signature
+    // store must find exactly the pairs the one-shot 100k run finds.
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_scale_store").toString + "/mh"
+    var incPairs = 0L
+    time("incremental_minhash_2x50k") {
+      // doc_id = original + rep·10^6, so rep < 10 ⇔ doc_id < 10^7
+      incPairs = Dedup.incrementalMinhashPairs(bigDocs.filter(col("doc_id") < 10000000L), storeDir).count() +
+        Dedup.incrementalMinhashPairs(bigDocs.filter(col("doc_id") >= 10000000L), storeDir).count()
+      incPairs
+    }
+    println(s"[scale]   incremental pairs total: $incPairs (batch run found 5120)")
 
     bigDocs.unpersist(blocking = true)
 
