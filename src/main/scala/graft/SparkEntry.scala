@@ -710,11 +710,11 @@ object SparkEntry {
          |                  CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tok
          |           FROM documents),
          |p AS (SELECT shard, doc_id, n_tok,
-         |             coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-         |                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         |                      CAST(0 AS BIGINT)) AS prev_tok
+         |             CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |                                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |                           0) AS BIGINT) AS prev_tok
          |      FROM t)
-         |SELECT shard, prev_tok // 4096 AS bin,
+         |SELECT shard, CAST(prev_tok // 4096 AS BIGINT) AS bin,
          |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM p GROUP BY 1, 2""".stripMargin,
     "p2_stratified_sample" ->

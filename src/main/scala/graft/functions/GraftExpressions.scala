@@ -45,6 +45,18 @@ object GraftExprs {
     s
   }
 
+  /** Space-only trim matching SQL `TRIM(text)` exactly: Spark's and DuckDB's
+    * TRIM strip only ' ', while Java `String.trim` strips every char <=
+    * U+0020 (\n, \t, \r) — a silent tokenization divergence on documents
+    * with leading/trailing control whitespace. */
+  def trimSpaces(s: String): String = {
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    if (from == 0 && to == s.length) s else s.substring(from, to)
+  }
+
   /** sqrt(Σ ((double)a[i])²), strict left-to-right. */
   def normF(a: ArrayData): Double = {
     val n = a.numElements()
@@ -64,7 +76,7 @@ object GraftExprs {
   def repStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     def round7(x: Double): Double =
       java.math.BigDecimal.valueOf(x).setScale(7, java.math.RoundingMode.HALF_UP).doubleValue()
-    val toks = text.toString.trim.split(" +", -1)
+    val toks = trimSpaces(text.toString).split(" +", -1)
     val n = toks.length
     val tc = new java.util.HashMap[String, Integer]()
     var i = 0
@@ -95,7 +107,7 @@ object GraftExprs {
     * — the per-document SET the whole MinHash pipeline consumes — but
     * computed without the corpus-wide (doc_id, h) DISTINCT shuffle. */
   def shingleHashes(text: UTF8String, n: Int): ArrayData = {
-    val toks = text.toString.trim.split(" +", -1)
+    val toks = trimSpaces(text.toString).split(" +", -1)
     if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var i = 0
@@ -143,7 +155,7 @@ object GraftExprs {
     * vote per bit, collapse to the signature. Bit-identical to the
     * token-explode + [[SimHashAgg]] pipeline. */
   def simhashFromText(text: UTF8String, nBits: Int): Long = {
-    val toks = text.toString.trim.split(" +", -1)
+    val toks = trimSpaces(text.toString).split(" +", -1)
     val cnt = new Array[Int](nBits)
     var i = 0
     while (i < toks.length) {

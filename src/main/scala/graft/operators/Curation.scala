@@ -130,7 +130,10 @@ object Curation {
     docs
       .select(shard.as("shard"), col("doc_id"), size(toks).cast("long").as("n_tok"))
       .withColumn("prev_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-      .withColumn("bin", (col("prev_tok") / lit(tokenBudget)).cast("long"))
+      // Integral `div`, not `/`: Spark `/` on BIGINT routes through a DOUBLE
+      // Divide before the cast, while the DuckDB oracle uses integer `//` —
+      // keep the whole pipeline in one integer domain on both engines.
+      .withColumn("bin", expr(s"prev_tok div ${tokenBudget}L"))
       .groupBy("shard", "bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
   }

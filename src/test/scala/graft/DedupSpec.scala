@@ -138,6 +138,51 @@ class DedupSpec extends SparkSpec {
     assert(run2.map(p => (p._1, p._2)).contains((0L, 3L))) // new doc paired against stored corpus
   }
 
+  test("JVM tokenization matches SQL trim semantics on control whitespace") {
+    // Java String.trim strips every char <= U+0020; SQL TRIM (Spark and
+    // DuckDB) strips only ' '. Docs with leading/trailing \n and \t must
+    // tokenize identically in the per-row JVM expressions and the
+    // split(trim(text), ' +') SQL path the oracles replay.
+    import org.apache.spark.sql.functions.{col, explode, lit, reverse, size}
+    val tricky = Seq(
+      (0L, "\nthe quick brown fox jumps over the lazy dog\t"),
+      (1L, "  spaced run with trailing newline body here\n"),
+      (2L, "\t\ttabs lead these perfectly ordinary seven tokens"),
+      (3L, "mixed \n internal breaks stay intact between tokens "),
+      (4L, "\r\n")
+    ).toDF("doc_id", "text")
+    // token count: JVM repStats.n_tokens vs SQL size(split(trim(text), ' +'))
+    val jvmTok = tricky
+      .select(col("doc_id"), graft.functions.GraftColumns.repStats(col("text")).getField("n_tokens").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sqlTok = tricky
+      .select(col("doc_id"), size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(jvmTok === sqlTok)
+    // shingles: per-row expression vs the SQL explode/trim aggregate path
+    val perRowSh = tricky
+      .select(col("doc_id"), graft.functions.GraftColumns.shingleHashes(col("text"), 3).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val aggSh = Dedup.shingleHashes(tricky).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    tricky.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(perRowSh.getOrElse(id, Set.empty) === aggSh.getOrElse(id, Set.empty), s"doc $id")
+    }
+    // simhash: per-row expression vs the token-explode aggregate path
+    val perRowSim = tricky
+      .select(col("doc_id"), graft.functions.GraftColumns.simhashText(col("text"), Dedup.SimhashBits).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aggSim = tricky
+      .select(col("doc_id"), explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        (graft.functions.TextHash.polyHash(col("tok")) +
+          graft.functions.TextHash.polyHash(reverse(col("tok"))) * lit(1L << 30)).as("h"))
+      .groupBy("doc_id")
+      .agg(graft.functions.SimHashAgg.simhash(col("h"), Dedup.SimhashBits).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perRowSim === aggSim)
+  }
+
   test("embedding near-dup pairs flag identical vectors") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

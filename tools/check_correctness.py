@@ -44,6 +44,18 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {list(mine.columns)} vs {list(oracle.columns)}"); n_fail += 1; continue
         if len(mine) != len(oracle):
             print(f"FAIL {name}: rows {len(mine)} vs {len(oracle)}"); n_fail += 1; continue
+        # Strict dtype-kind check: the driver's hash stringifies values, so an
+        # int64 Spark column vs a HUGEINT/float oracle column ("8" vs "8.0")
+        # hash-fails even when the tolerant pandas compare passes. Flag any
+        # int-vs-float kind drift where neither side has nulls (nullable ints
+        # legitimately surface as float64 in pandas on both sides).
+        kind_bad = [c for c in mine.columns
+                    if {mine[c].dtype.kind, oracle[c].dtype.kind} == {"i", "f"}
+                    and not mine[c].isna().any() and not oracle[c].isna().any()]
+        if kind_bad:
+            print(f"FAIL {name}: dtype-kind drift (int vs float) in {kind_bad} "
+                  f"spark={[str(mine[c].dtype) for c in kind_bad]} oracle={[str(oracle[c].dtype) for c in kind_bad]}")
+            n_fail += 1; continue
         try:
             pd.testing.assert_frame_equal(mine, oracle, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
             print(f"PASS {name} ({len(mine)} rows)"); n_pass += 1
