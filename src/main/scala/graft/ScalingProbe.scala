@@ -107,6 +107,32 @@ object ScalingProbe {
     // already isolates.
     time("dedup_clusters_100k_docs")(
       Dedup.clusters(bigDocs, Dedup.minhashPairs(bigDocs)).count())
+    // High-dup-rate corpus: every third base doc is replicated VERBATIM
+    // across the 20 replicas, so ~⅓ of the 100k docs sit in 20-member
+    // exact-dup clusters — web-crawl-like dup density. This is the shape
+    // that made forced candidate broadcasts a scale hazard: the candidate
+    // doc set here is corpus-scale (~33k docs), far past any sane
+    // broadcast threshold, so verification must be allowed to shuffle.
+    val dupHeavy = spark.range(20).select(col("id").as("rep"))
+      .crossJoin(docs)
+      .select(
+        (col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+        when(col("doc_id") % 3 === 0, col("text"))
+          .otherwise(expr(s"translate(text, '$alpha', " +
+            (0 until 20).map(i => s"WHEN rep = $i THEN '${rot(i)}'")
+              .mkString("CASE ", " ", " END)"))).as("text"))
+      .cache()
+    dupHeavy.count()
+    // Floor on the expected pairs: every verbatim cluster of 20 copies
+    // must yield all C(20,2)=190 jaccard-1.0 pairs.
+    val nPlainBase = docs.filter(col("doc_id") % 3 === 0)
+      .filter(size(graft.functions.GraftColumns.shingleHashes(col("text"), 3)) > 0)
+      .count()
+    var dupPairs = 0L
+    time("minhash_highdup_100k_docs")({ dupPairs = Dedup.minhashPairs(dupHeavy).count(); dupPairs })
+    println(s"[scale]   high-dup pairs: $dupPairs (floor: ${nPlainBase * 190} from $nPlainBase verbatim clusters)")
+    assert(dupPairs >= nPlainBase * 190, s"missing exact-dup pairs: $dupPairs < ${nPlainBase * 190}")
+    dupHeavy.unpersist(blocking = true)
     // Incremental vs batch at scale: two 50k arrivals against the signature
     // store must find exactly the pairs the one-shot 100k run finds.
     val storeDir = java.nio.file.Files.createTempDirectory("graft_scale_store").toString + "/mh"
@@ -137,6 +163,20 @@ object ScalingProbe {
     // the retrieval shape broadcast-the-queries can't serve.
     time("ann_knn_join_2k_q")(
       Similarity.knnJoin(bigEmb.filter(col("vec_id") % 50 === 0), bigEmb, k = 5).count())
+    bigEmb.unpersist(blocking = true)
+    // Adversarial hot bucket: 100k copies of ONE vector — the entire corpus
+    // lands in a single LSH bucket, the worst case for in-bucket scoring.
+    // The salt split (HotBucketCap) fans the ~5·10⁹-pair loop out into
+    // ~350 bounded tasks instead of serializing it in one; threshold 1.1
+    // keeps the (uninteresting) all-pairs output empty so the probe times
+    // the scoring itself, not 5G rows of materialization.
+    val oneVec = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+    val hotEmb = spark.range(100000).select(col("id").as("vec_id"))
+      .crossJoin(broadcast(oneVec)).cache()
+    hotEmb.count()
+    time("ann_hot_bucket_100k_in_1")(
+      Similarity.lshNeighbors(hotEmb, threshold = 1.1).count())
+    hotEmb.unpersist(blocking = true)
     spark.stop()
   }
 }

@@ -49,9 +49,14 @@ case class VectorSumAgg(
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val b = if (buf.length == 0) new Array[Long](n) else buf
-    val m = math.min(n, b.length)
+    // Fail fast on ragged input: the buffer is sized from the first vector
+    // seen per partition, so silently folding a different-length vector
+    // (the old math.min) would drop dimensions nondeterministically —
+    // which dims survive depends on partition visit order.
+    require(n == b.length,
+      s"VectorSumAgg: vector length $n != expected ${b.length} (ragged embedding column)")
     var i = 0
-    while (i < m) {
+    while (i < n) {
       b(i) += (arr.getFloat(i).toDouble * VectorSumAgg.Scale).toLong
       i += 1
     }
@@ -61,9 +66,10 @@ case class VectorSumAgg(
   override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
     if (b1.length == 0) return b2
     if (b2.length == 0) return b1
+    require(b1.length == b2.length,
+      s"VectorSumAgg: merging buffers of length ${b1.length} and ${b2.length} (ragged embedding column)")
     var i = 0
-    val m = math.min(b1.length, b2.length)
-    while (i < m) { b1(i) += b2(i); i += 1 }
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
     b1
   }
 

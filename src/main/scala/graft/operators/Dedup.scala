@@ -88,9 +88,12 @@ object Dedup {
       .agg(count(lit(1)).as("n_inter"))
     val ca = cnt.select(col("doc_id").as("doc_a"), col("n_shingles").as("n_a"))
     val cb = cnt.select(col("doc_id").as("doc_b"), col("n_shingles").as("n_b"))
+    // No broadcast hints on the count joins: ca/cb are corpus-sized (one row
+    // per document), so a forced broadcast is a driver OOM at scale. AQE
+    // broadcasts them anyway when the corpus is actually small.
     inter
-      .join(broadcast(ca), Seq("doc_a"))
-      .join(broadcast(cb), Seq("doc_b"))
+      .join(ca, Seq("doc_a"))
+      .join(cb, Seq("doc_b"))
       .withColumn(
         "jaccard",
         round(
@@ -167,13 +170,16 @@ object Dedup {
     // Exact verification over ONLY the candidate docs' shingles: the LSH
     // prune must shrink the join input, not just the join output —
     // otherwise verification pays the full O(all-pairs) shingle join the
-    // LSH existed to avoid. Candidates are few → broadcast the doc set.
+    // LSH existed to avoid. No broadcast hint: the candidate set scales
+    // with the corpus dup RATE, so at web-crawl rates (30–50% near-dups)
+    // it is corpus-sized and a forced broadcast OOMs — AQE broadcasts it
+    // when the runtime size is actually small.
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id")))
       .distinct()
     // Candidate docs' shingle sets, exploded from the per-row arrays
     // (already distinct within a doc — no DISTINCT shuffle needed).
-    val candArr = withArr.join(broadcast(candDocs), Seq("doc_id"), "left_semi").cache()
+    val candArr = withArr.join(candDocs, Seq("doc_id"), "left_semi").cache()
     val shc = candArr.select(col("doc_id"), explode(col("__hs")).as("h"))
     // Set sizes only for candidate docs, straight off the array lengths.
     val cnt = candArr.select(col("doc_id"), size(col("__hs")).cast("long").as("n_shingles"))
@@ -187,9 +193,10 @@ object Dedup {
       .agg(count(lit(1)).as("n_inter"))
     val ca = cnt.select(col("doc_id").as("doc_a"), col("n_shingles").as("n_a"))
     val cb = cnt.select(col("doc_id").as("doc_b"), col("n_shingles").as("n_b"))
+    // Candidate-sized joins, no forced broadcast (same rationale as above).
     inter
-      .join(broadcast(ca), Seq("doc_a"))
-      .join(broadcast(cb), Seq("doc_b"))
+      .join(ca, Seq("doc_a"))
+      .join(cb, Seq("doc_b"))
       .withColumn(
         "jaccard",
         round(
@@ -211,8 +218,21 @@ object Dedup {
     * signature — NOT the text: verification of new↔old candidates replays
     * exact Jaccard from the stored arrays, and the store rows are ~300
     * bytes/doc regardless of document size. Store reads prune to candidate
-    * docs only (broadcast semi-join), so a run's cost scales with the new
-    * batch and its collision neighborhood, not with corpus history. */
+    * docs only (semi-join), so a run's cost scales with the new batch and
+    * its collision neighborhood, not with corpus history.
+    *
+    * Durability contract (single writer at a time): the store is a
+    * directory of immutable `batch-*` subdirectories. Each run writes its
+    * signatures to a hidden `.staging-*` directory first — invisible to
+    * every reader — then publishes it with ONE filesystem rename. A run
+    * killed mid-write leaves only an orphaned staging directory: the next
+    * run neither loses previously published documents nor double-counts
+    * (spec-asserted). Store-read failures PROPAGATE — only genuine
+    * path-absence means "empty store"; treating an IO error as absence
+    * would silently drop every new↔old pair while still appending, and
+    * later runs could never repair that. Re-ingesting an already-stored
+    * doc_id is a no-op (anti-join before pairing and appending), so
+    * re-running a partially observed batch is idempotent. */
   def incrementalMinhashPairs(
       newDocs: DataFrame,
       storePath: String,
@@ -220,18 +240,35 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     import graft.functions.GraftColumns
     val spark = newDocs.sparkSession
-    val newArr = newDocs
+    val dir = new org.apache.hadoop.fs.Path(storePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Path-absence is the ONLY condition read as "no store yet"; listing or
+    // read errors (permissions, transient IO) throw instead of silently
+    // pretending the corpus history is empty.
+    val hasStore = fs.exists(dir) && fs.listStatus(dir).exists { s =>
+      val nm = s.getPath.getName
+      !nm.startsWith(".") && !nm.startsWith("_")
+    }
+    val rawNewArr = newDocs
       .withColumn("__hs", GraftColumns.shingleHashes(col("text"), n))
       .filter(size(col("__hs")) > 0)
       .select(col("doc_id"), col("__hs"),
         GraftColumns.minhashArr(col("__hs"), MinhashK).as("__mh"))
-      .cache()
-    val hasStore = scala.util.Try(
-      spark.read.parquet(storePath).schema.nonEmpty).getOrElse(false)
     val oldArr =
-      if (hasStore) spark.read.parquet(storePath)
+      if (hasStore)
+        // recursiveFileLookup reads both batch-* subdirectories and any
+        // flat files from a pre-staging store layout; hidden .staging-*
+        // directories are filtered by the file index.
+        spark.read.option("recursiveFileLookup", "true").parquet(storePath)
       else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newArr.schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rawNewArr.schema)
+    // Idempotent re-ingest: drop documents the store already holds, then
+    // sever the lineage from the store path (eager localCheckpoint) so the
+    // append below cannot invalidate/recompute this frame mid-run.
+    val newArr = (
+      if (hasStore) rawNewArr.join(oldArr.select("doc_id"), Seq("doc_id"), "left_anti")
+      else rawNewArr
+    ).localCheckpoint(true)
     def bandsOf(arr: DataFrame) =
       arr.select(col("doc_id"), posexplode(bandKeys(col("__mh"))).as(Seq("band", "band_key")))
     val newBands = bandsOf(newArr)
@@ -252,8 +289,10 @@ object Dedup {
       .cache()
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    // No broadcast hint: candidate count scales with the dup rate (see
+    // [[minhashPairs]]); AQE broadcasts when the runtime size allows.
     val candArr = newArr.unionByName(oldArr)
-      .join(broadcast(candDocs), Seq("doc_id"), "left_semi").cache()
+      .join(candDocs, Seq("doc_id"), "left_semi").cache()
     val shc = candArr.select(col("doc_id"), explode(col("__hs")).as("h"))
     val cnt = candArr.select(col("doc_id"), size(col("__hs")).cast("long").as("n_shingles"))
     val a = shc.select(col("doc_id").as("doc_a"), col("h"))
@@ -272,8 +311,8 @@ object Dedup {
     // just-appended store (double-counting the new docs). Checkpointing
     // severs the lineage from the path entirely.
     val pairs = inter
-      .join(broadcast(ca), Seq("doc_a"))
-      .join(broadcast(cb), Seq("doc_b"))
+      .join(ca, Seq("doc_a"))
+      .join(cb, Seq("doc_b"))
       .withColumn(
         "jaccard",
         round(
@@ -283,8 +322,17 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .localCheckpoint(true)
-    newArr.write.mode("append").parquet(storePath)
-    newArr.unpersist()
+    // Staged publish: write the batch to a hidden staging directory, then
+    // one atomic rename makes it visible. A crash before the rename leaves
+    // readers' view of the store unchanged.
+    val batchId = java.util.UUID.randomUUID().toString
+    val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$batchId")
+    val published = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
+    newArr.write.parquet(staging.toString)
+    if (!fs.rename(staging, published))
+      throw new IllegalStateException(
+        s"failed to publish signature batch $staging -> $published")
+    org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(newArr)
     cands.unpersist()
     candArr.unpersist()
     pairs
@@ -387,6 +435,10 @@ object Dedup {
           (col("nbr_min") < col("cluster_id")).as("chg"))
         .localCheckpoint()
       converged = updated.filter(col("chg")).isEmpty
+      // The new checkpoint is materialized (localCheckpoint is eager), so
+      // the previous round's labels RDD is dead weight — release it, or a
+      // high-diameter graph accumulates one cached RDD per round.
+      org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(labels)
       labels = updated.drop("chg")
     }
     edges.unpersist()

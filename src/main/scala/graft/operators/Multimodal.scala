@@ -32,12 +32,43 @@ object Multimodal {
     def decode(payload: Array[Byte]): (Int, Int, Int, Double)
   }
 
-  /** Deterministic stand-in for the missing codec libraries. */
+  /** Deterministic stand-in codec for fixtures whose payloads are arbitrary
+    * bytes (the synthetic `documents` fixture) — keeps the oracle path
+    * engine-portable. For genuinely encoded payloads use [[ImageIoCodec]]. */
   object FakeCodec extends Codec {
     def decode(payload: Array[Byte]): (Int, Int, Int, Double) = {
       val n = payload.length
       val mean = if (n == 0) 0.0 else payload.map(b => (b & 0xff).toDouble).sum / n
       (n % 640 + 1, n % 480 + 1, 3, mean)
+    }
+  }
+
+  /** Real image codec on the same seam — `javax.imageio` decodes PNG, BMP,
+    * GIF and JPEG with zero external dependencies. mean_intensity is the
+    * mean of all raster samples (every pixel, every band, 0–255), computed
+    * on the decoded raster, so it is codec-deterministic for lossless
+    * formats. Throws on undecodable payloads — a corrupt image in a real
+    * pipeline should surface per-row, not silently produce features. */
+  object ImageIoCodec extends Codec {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Double) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, s"payload (${payload.length} bytes) is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      val c = raster.getNumBands
+      var sum = 0.0d
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < c) { sum += raster.getSample(x, y, b); b += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, c, sum / (w.toLong * h * c))
     }
   }
 
@@ -90,6 +121,39 @@ object Multimodal {
             }
           }
           Row(r.getLong(0), out)
+        }
+      }
+    }(encoder)
+  }
+
+  /** Real image resize on the [[resize]] seam: decode via `javax.imageio`,
+    * scale with an area-averaging AWT filter, re-encode as PNG. Same
+    * mapPartitions batch shape (per-row work, no shuffle); NULL payloads
+    * stay NULL. Output payloads are valid PNGs of exactly
+    * (targetW × targetH) — round-trippable through [[ImageIoCodec]]. */
+  def resizeImages(df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, s"target dims must be positive, got ${targetW}x$targetH")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col("doc_id").cast("long"), col("payload")).mapPartitions { it =>
+      it.map { r =>
+        if (r.isNullAt(1)) Row(r.getLong(0), null)
+        else {
+          val in = r.getAs[Array[Byte]](1)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(in))
+          require(img != null, s"payload (${in.length} bytes) is not a decodable image")
+          val scaled = img.getScaledInstance(
+            targetW, targetH, java.awt.Image.SCALE_AREA_AVERAGING)
+          val out = new java.awt.image.BufferedImage(
+            targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.drawImage(scaled, 0, 0, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Row(r.getLong(0), bos.toByteArray)
         }
       }
     }(encoder)

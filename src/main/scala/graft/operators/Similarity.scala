@@ -142,6 +142,23 @@ object Similarity {
   final case class NeighborPair(vec_a: Long, vec_b: Long, cosine: Double)
   final case class TaggedVec(bucket: Long, vec_id: Long, embedding: Array[Float], nrm: Double, isQuery: Boolean)
   final case class ScoredPair(query_id: Long, neighbor_id: Long, cosine: Double)
+  /** A bucket member replicated into one (lo, hi) salt-pair scoring group. */
+  final case class SaltedVec(bucket: Long, lo: Int, hi: Int, salt: Int,
+      vec_id: Long, embedding: Array[Float], nrm: Double)
+  final case class SaltedTagged(bucket: Long, qs: Int, cs: Int,
+      vec_id: Long, embedding: Array[Float], nrm: Double, isQuery: Boolean)
+
+  /** Members-per-task bound for the in-bucket scorers. A bucket larger than
+    * this is split into `g = ceil(size / cap)` deterministic salt groups
+    * (salt = vec_id % g) and scored across salt-pair groups, so one
+    * adversarial bucket (all-identical vectors) parallelizes into
+    * g·(g+1)/2 bounded tasks instead of serializing one O(bucket²) loop.
+    * The split is EXACT — every unordered pair lands in exactly one
+    * (min(salt_a, salt_b), max(salt_a, salt_b)) group — so output is
+    * identical to the unsalted path (spec-asserted), unlike a drop-based
+    * cap. Total work is still Σ bucket² (inherent to exact in-bucket
+    * scoring); what the salt buys is that no single task owns it. */
+  val HotBucketCap = 4096
 
   /** Approximate KNN JOIN: for every query vector, its top-k neighbors from
     * the corpus — the retrieval shape where BOTH sides are large, which
@@ -152,17 +169,38 @@ object Similarity {
     * the final per-query top-k is one window. The only shuffles are the
     * bucket group-by (each vector ships once) and the rank window on the
     * already-thresholdless but bucket-pruned candidate list. */
-  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int = 3, nBits: Int = 8): DataFrame = {
+  def knnJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 3,
+      nBits: Int = 8,
+      hotBucketCap: Int = HotBucketCap): DataFrame = {
     import queries.sparkSession.implicits._
     def tag(df: DataFrame, isQ: Boolean) = df.select(
       bucketOf(col("embedding"), nBits).as("bucket"),
       col("vec_id"), col("embedding"),
       VectorMath.norm2(col("embedding")).as("nrm"),
       lit(isQ).as("isQuery"))
-    val scored = tag(queries, isQ = true).unionByName(tag(corpus, isQ = false))
-      .as[TaggedVec]
-      .groupByKey(_.bucket)
-      .flatMapGroups { (_: Long, it: Iterator[TaggedVec]) =>
+    val tagged = tag(queries, isQ = true).unionByName(tag(corpus, isQ = false))
+    // Per-bucket sizes for the hot-bucket split: ≤ 2^nBits rows, so AQE
+    // broadcasts this join — no extra shuffle on the corpus side.
+    val sizes = tagged.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+    val scored = tagged.join(sizes, Seq("bucket"))
+      .select(col("bucket"), col("vec_id"), col("embedding"), col("nrm"),
+        col("isQuery"), col("bn"))
+      .as[(Long, Long, Array[Float], Double, Boolean, Long)]
+      .flatMap { case (bucket, vecId, e, nrm, isQ, bn) =>
+        // Queries fan out across corpus-salt groups and vice versa: pair
+        // (q, c) meets exactly once, in group (salt_q, salt_c).
+        val g = math.max(1L, (bn + hotBucketCap - 1) / hotBucketCap).toInt
+        val s = (vecId % g).toInt
+        (0 until g).iterator.map { t =>
+          if (isQ) SaltedTagged(bucket, s, t, vecId, e, nrm, isQuery = true)
+          else SaltedTagged(bucket, t, s, vecId, e, nrm, isQuery = false)
+        }
+      }
+      .groupByKey(v => (v.bucket, v.qs, v.cs))
+      .flatMapGroups { (_: (Long, Int, Int), it: Iterator[SaltedTagged]) =>
         val vs = it.toArray
         val qs = vs.filter(_.isQuery)
         val cs = vs.filter(!_.isQuery)
@@ -191,7 +229,11 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  def lshNeighbors(emb: DataFrame, nBits: Int = 8, threshold: Double = 0.3): DataFrame = {
+  def lshNeighbors(
+      emb: DataFrame,
+      nBits: Int = 8,
+      threshold: Double = 0.3,
+      hotBucketCap: Int = HotBucketCap): DataFrame = {
     import emb.sparkSession.implicits._
     // CENTERED hyperplane buckets: raw sign-LSH on embeddings with a
     // dominant direction collapses most of the corpus into the all-bits-0/
@@ -213,19 +255,32 @@ object Similarity {
     // bucket), and the pairwise loop scores local compact arrays, emitting
     // only survivors — same left-to-right double dot, same half-up 7-dp
     // round, each unordered pair still seen exactly once (a vector lives in
-    // exactly one bucket), so the output set is join-equivalent. Bucket
+    // exactly one bucket, and the salt split routes it to exactly one
+    // salt-pair group), so the output set is join-equivalent. Bucket
     // population scales with corpus / 2^nBits — raise nBits with corpus
-    // size (standard LSH practice) to bound group size.
-    emb.crossJoin(broadcast(meanDf))
+    // size (standard LSH practice); the [[HotBucketCap]] salt split bounds
+    // the task size when one bucket goes pathological anyway.
+    val withBucket = emb.crossJoin(broadcast(meanDf))
       .select(
         col("vec_id"), col("embedding"),
         GraftColumns.hyperBucketC(col("embedding"), col("__mean"), nBits).as("bucket"),
         VectorMath.norm2(col("embedding")).as("nrm"))
-      .as[SigVec]
-      .groupByKey(_.bucket)
-      .flatMapGroups { (_: Long, it: Iterator[SigVec]) =>
+    val sizes = withBucket.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+    withBucket.join(sizes, Seq("bucket")) // ≤ 2^nBits size rows → AQE broadcasts
+      .select(col("bucket"), col("vec_id"), col("embedding"), col("nrm"), col("bn"))
+      .as[(Long, Long, Array[Float], Double, Long)]
+      .flatMap { case (bucket, vecId, e, nrm, bn) =>
+        val g = math.max(1L, (bn + hotBucketCap - 1) / hotBucketCap).toInt
+        val s = (vecId % g).toInt
+        (0 until g).iterator.map { t =>
+          SaltedVec(bucket, math.min(s, t), math.max(s, t), s, vecId, e, nrm)
+        }
+      }
+      .groupByKey(v => (v.bucket, v.lo, v.hi))
+      .flatMapGroups { (key: (Long, Int, Int), it: Iterator[SaltedVec]) =>
+        val sameSalt = key._2 == key._3 // (s,s) group: all pairs; else cross-salt only
         val vs = it.toArray
-        java.util.Arrays.sort(vs, (x: SigVec, y: SigVec) => java.lang.Long.compare(x.vec_id, y.vec_id))
+        java.util.Arrays.sort(vs, (x: SaltedVec, y: SaltedVec) => java.lang.Long.compare(x.vec_id, y.vec_id))
         val out = scala.collection.mutable.ArrayBuffer.empty[NeighborPair]
         var i = 0
         while (i < vs.length) {
@@ -233,14 +288,16 @@ object Similarity {
           var j = i + 1
           while (j < vs.length) {
             val b = vs(j)
-            var s = 0.0d
-            var d = 0
-            val n = math.min(a.embedding.length, b.embedding.length)
-            while (d < n) { s += a.embedding(d).toDouble * b.embedding(d).toDouble; d += 1 }
-            val cos = s / (a.nrm * b.nrm)
-            if (cos >= threshold)
-              out += NeighborPair(a.vec_id, b.vec_id,
-                java.math.BigDecimal.valueOf(cos).setScale(7, java.math.RoundingMode.HALF_UP).doubleValue())
+            if (sameSalt || a.salt != b.salt) {
+              var s = 0.0d
+              var d = 0
+              val n = math.min(a.embedding.length, b.embedding.length)
+              while (d < n) { s += a.embedding(d).toDouble * b.embedding(d).toDouble; d += 1 }
+              val cos = s / (a.nrm * b.nrm)
+              if (cos >= threshold)
+                out += NeighborPair(a.vec_id, b.vec_id,
+                  java.math.BigDecimal.valueOf(cos).setScale(7, java.math.RoundingMode.HALF_UP).doubleValue())
+            }
             j += 1
           }
           i += 1

@@ -12,4 +12,16 @@ object DatasetBridge {
 
   def logicalPlan(df: DataFrame): LogicalPlan =
     castToImpl(df).queryExecution.analyzed
+
+  /** Unpersist the RDD backing a `localCheckpoint()`ed DataFrame.
+    * Checkpointed RDDs are persisted outside the CacheManager, so
+    * `Dataset.unpersist()` cannot release them — iterative algorithms that
+    * checkpoint per round (e.g. label propagation) would otherwise
+    * accumulate one cached RDD per round for the job's lifetime. */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    castToImpl(df).queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -138,6 +138,62 @@ class DedupSpec extends SparkSpec {
     assert(run2.map(p => (p._1, p._2)).contains((0L, 3L))) // new doc paired against stored corpus
   }
 
+  test("incremental store: torn staging write is invisible; re-ingest is idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mh_store2")
+    val dir = root.toString + "/store"
+    val batch1 = docs.filter($"doc_id" <= 2L)
+    val batch2 = docs.filter($"doc_id" > 2L)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val run1 = pairsOf(Dedup.incrementalMinhashPairs(batch1, dir))
+    // Simulate a writer killed mid-append: an orphaned hidden staging
+    // directory with a half-written file. Readers must never see it.
+    val torn = new java.io.File(dir, ".staging-dead")
+    assert(torn.mkdirs())
+    java.nio.file.Files.write(
+      torn.toPath.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    val run2 = pairsOf(Dedup.incrementalMinhashPairs(batch2, dir))
+    assert(run1.union(run2) === pairsOf(Dedup.minhashPairs(docs)))
+    // Re-ingesting an already-stored batch: no pairs re-emitted, no
+    // double-counted signatures in the store.
+    val storedBefore = spark.read.option("recursiveFileLookup", "true").parquet(dir).count()
+    val rerun = pairsOf(Dedup.incrementalMinhashPairs(batch2, dir))
+    assert(rerun.isEmpty)
+    val storedAfter = spark.read.option("recursiveFileLookup", "true").parquet(dir).count()
+    assert(storedAfter === storedBefore)
+  }
+
+  test("incremental store: a read failure propagates instead of emptying the corpus") {
+    // A storePath that exists but is unreadable as parquet must throw —
+    // treating it as "no store yet" would drop every new-vs-old pair while
+    // still appending, silently corrupting all later runs.
+    val root = java.nio.file.Files.createTempDirectory("graft_mh_store3")
+    val dir = root.toString + "/store"
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "batch-garbage"), Array[Byte](9, 9, 9))
+    intercept[Exception] {
+      Dedup.incrementalMinhashPairs(docs, dir).collect()
+    }
+  }
+
+  test("clusters: worst-case path graph converges without cached-RDD creep") {
+    // A 14-node path needs ~13 propagation rounds (min label moves one hop
+    // per round) — the adversarial diameter case. Superseded per-round
+    // checkpoints must be released, not accumulated for the job's lifetime.
+    val n = 14
+    val allDocs = (0L until n.toLong).map((_, "t")).toDF("doc_id", "text")
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val out = Dedup.clusters(allDocs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === (0L until n.toLong).map(_ -> 0L).toMap)
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.size
+    // Only the final labels checkpoint may remain, not one RDD per round.
+    assert(persistedAfter - persistedBefore <= 2,
+      s"cached RDDs grew by ${persistedAfter - persistedBefore} over ~$n rounds")
+  }
+
   test("JVM tokenization matches SQL trim semantics on control whitespace") {
     // Java String.trim strips every char <= U+0020; SQL TRIM (Spark and
     // DuckDB) strips only ' '. Docs with leading/trailing \n and \t must

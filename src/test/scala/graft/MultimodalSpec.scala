@@ -41,6 +41,49 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resize(empty, 8).collect().head.getAs[Array[Byte]](1).forall(_ == 0))
   }
 
+  /** A real 4×2 PNG with known pixel values, encoded by the JDK itself. */
+  private def pngBytes(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoCodec decodes a real PNG: width, height, channels, mean") {
+    // 4×2, left half black, right half white → mean = 255/2 over 3 bands.
+    val png = pngBytes(4, 2, (x, _) => if (x < 2) 0x000000 else 0xffffff)
+    val real = Seq((1L, png), (2L, pngBytes(3, 5, (_, _) => 0x808080)))
+      .toDF("doc_id", "payload")
+    val feats = Multimodal.extractFeatures(real, Multimodal.ImageIoCodec)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(feats(1L).getAs[Int]("width") === 4)
+    assert(feats(1L).getAs[Int]("height") === 2)
+    assert(feats(1L).getAs[Int]("channels") === 3)
+    assert(math.abs(feats(1L).getAs[Double]("mean_intensity") - 127.5) < 1e-9)
+    assert(feats(2L).getAs[Int]("width") === 3)
+    assert(feats(2L).getAs[Int]("height") === 5)
+    assert(math.abs(feats(2L).getAs[Double]("mean_intensity") - 128.0) < 1e-9)
+    // Undecodable bytes surface as an error, not silent features.
+    val junk = Seq((3L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    intercept[Exception] {
+      Multimodal.extractFeatures(junk, Multimodal.ImageIoCodec).collect()
+    }
+  }
+
+  test("resizeImages produces decodable PNGs at the target size") {
+    val png = pngBytes(8, 8, (x, y) => if ((x + y) % 2 == 0) 0x000000 else 0xffffff)
+    val withNull = Seq((1L, png), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.resizeImages(withNull, targetW = 4, targetH = 2)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))).toMap
+    assert(out(2L) === null)
+    val (w, h, c, mean) = Multimodal.ImageIoCodec.decode(out(1L))
+    assert((w, h, c) === ((4, 2, 3)))
+    // checkerboard averages to mid-gray under area averaging
+    assert(math.abs(mean - 127.5) < 16.0, s"mean $mean")
+  }
+
   test("sampleFrames emits no frames for an empty payload") {
     val empty = Seq((9L, "")).toDF("doc_id", "text")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))

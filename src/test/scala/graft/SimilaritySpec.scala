@@ -67,4 +67,39 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head._3 === 1.0)
     assert(out.map(_._4) === Seq(1L, 2L))
   }
+
+  test("hot-bucket salt split preserves scorer output exactly") {
+    import org.apache.spark.sql.DataFrame
+    // 30 near-identical vectors collapse into one bucket; cap=4 forces a
+    // g=8 salt split there. The split must be invisible in the output —
+    // same pairs, same cosines — only the task layout changes.
+    val many = ((0L until 30L).map(i => (i, Array(1.0f, 2.0f, 3.0f + (i % 3) * 0.01f))) :+
+      ((100L, Array(-1.0f, -2.0f, -3.0f)))).toDF("vec_id", "embedding")
+    def pairSet(d: DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val basePairs = pairSet(Similarity.lshNeighbors(many, threshold = 0.9))
+    assert(basePairs.nonEmpty)
+    assert(pairSet(Similarity.lshNeighbors(many, threshold = 0.9, hotBucketCap = 4)) === basePairs)
+    val q = many.filter($"vec_id" < 3)
+    def knnSet(d: DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val baseKnn = knnSet(Similarity.knnJoin(q, many, k = 5))
+    assert(baseKnn.nonEmpty)
+    assert(knnSet(Similarity.knnJoin(q, many, k = 5, hotBucketCap = 4)) === baseKnn)
+  }
+
+  test("VectorSumAgg fails fast on ragged vector lengths") {
+    import org.apache.spark.sql.functions.col
+    // A ragged embedding column must error, not silently truncate to the
+    // first-seen length (which would corrupt centroids partition-order-
+    // dependently). One partition forces the lengths to meet in update().
+    val ragged = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding").coalesce(1)
+    val ex = intercept[Throwable] {
+      ragged.agg(graft.functions.VectorSumAgg.vectorSum(col("embedding"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("ragged")), messages(ex).mkString(" | "))
+  }
 }
