@@ -191,6 +191,31 @@ object SparkEntry {
         .agg(count(lit(1)))
         .na.fill(0L)
         .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))),
+    // Streaming rollup through the REAL streaming engine (file source →
+    // watermarked 1h window agg → memory sink): Trigger.AvailableNow drains
+    // the fixture, complete output mode retains every window (no
+    // watermark eviction), so the final table is deterministically the
+    // batch rollup — which is exactly what the DuckDB oracle computes.
+    // This puts Structured Streaming itself on the driver's correctness
+    // gate instead of spec-only coverage.
+    "q22_stream_rollup" -> ((s, d) => {
+      Tables.events(s, d) // ensures nanosAsLong before the raw schema read
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      // the file source wants a directory: stream the sf dir, glob-filtered
+      // to the events fixture
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val name = "stream_rollup_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamingRollup(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }),
     "j1_json_extract" -> ((s, d) =>
       Tables.events(s, d).select(
         col("event_id"),
@@ -477,6 +502,11 @@ object SparkEntry {
         |       count(*) FILTER (o_orderstatus = 'O') AS n_o,
         |       count(*) FILTER (o_orderstatus = 'P') AS n_p
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q22_stream_rollup" ->
+      """SELECT date_trunc('hour', ts) AS ts, user_id,
+        |       round(avg(value), 7) AS value_mean,
+        |       CAST(count(*) AS BIGINT) AS n_readings
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "j1_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
