@@ -47,6 +47,36 @@ object SparkEntry {
     s"($dot / (sqrt($na) * sqrt($nb)))"
   }
 
+  /** Shared SQL fragment: the centered-hyperplane LSH candidate pipeline of
+    * [[graft.operators.Similarity.lshNeighbors]] — quantized-integer corpus
+    * mean, quadratic-mix hyperplane signatures, same-bucket (a < b) pairs
+    * scored with the exact left-to-right cosine. Ends in
+    * `lsh_scored(vec_a, vec_b, cosine)` with the RAW (unrounded) cosine;
+    * consumers (`s2_ann_lsh`, `d8_semantic_dedup`) apply their own
+    * threshold and rounding. */
+  private def sqlLshScoredCtes: String =
+    s"""bits AS (SELECT b, CAST(1 AS BIGINT) << b AS p2 FROM generate_series(0, 7) t(b)),
+       |msum AS (SELECT i, sum(CAST(trunc(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qs
+       |         FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+       |         GROUP BY i),
+       |ncnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |mlist AS (SELECT list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY i) AS m
+       |          FROM msum CROSS JOIN ncnt GROUP BY n),
+       |proj AS (SELECT vec_id, b, p2,
+       |                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |                  list_transform(generate_series(1, len(embedding)),
+       |                    i -> (CAST(embedding[i] AS DOUBLE) - m[i]) *
+       |                         ((CAST(((b * 104729 + (i - 1) * 7919 + 12345) * (b * 104729 + (i - 1) * 7919 + 12345)) % 1000003 AS DOUBLE) / 1000003.0) - 0.5))),
+       |                  (x, y) -> x + y) AS proj
+       |         FROM embeddings CROSS JOIN bits CROSS JOIN mlist),
+       |sig AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS bucket
+       |        FROM proj GROUP BY vec_id),
+       |cpairs AS (SELECT DISTINCT sa.vec_id AS vec_a, sb.vec_id AS vec_b
+       |           FROM sig sa JOIN sig sb ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id),
+       |lsh_scored AS (SELECT vec_a, vec_b, ${sqlCosine("ea.embedding", "eb.embedding")} AS cosine
+       |               FROM cpairs JOIN embeddings ea ON ea.vec_id = vec_a
+       |                           JOIN embeddings eb ON eb.vec_id = vec_b)""".stripMargin
+
   /** Shared SQL fragment: DISTINCT (doc_id, h) word-3-gram 60-bit hashes —
     * mirrors [[graft.operators.Dedup.shingleHashes]]. */
   private val sqlShingles: String =
@@ -352,6 +382,8 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Dedup.clusters(docs, Dedup.minhashPairs(docs))
     }),
+    "d8_semantic_dedup" -> ((s, d) =>
+      Dedup.semanticClusters(Tables.embeddings(s, d))),
     // ---- corpus curation ----
     // Benchmark decontamination: eval set = doc_id % 20 == 0, overlap on
     // word-5-gram hashes.
@@ -841,28 +873,24 @@ object SparkEntry {
     // replays VectorSumAgg's quantized-integer sums exactly (trunc(x·2^20)
     // BIGINTs — order-independent), same pattern as the s3 centroids.
     "s2_ann_lsh" ->
-      s"""WITH bits AS (SELECT b, CAST(1 AS BIGINT) << b AS p2 FROM generate_series(0, 7) t(b)),
-         |msum AS (SELECT i, sum(CAST(trunc(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qs
-         |         FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
-         |         GROUP BY i),
-         |ncnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
-         |mlist AS (SELECT list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY i) AS m
-         |          FROM msum CROSS JOIN ncnt GROUP BY n),
-         |proj AS (SELECT vec_id, b, p2,
-         |                list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |                  list_transform(generate_series(1, len(embedding)),
-         |                    i -> (CAST(embedding[i] AS DOUBLE) - m[i]) *
-         |                         ((CAST(((b * 104729 + (i - 1) * 7919 + 12345) * (b * 104729 + (i - 1) * 7919 + 12345)) % 1000003 AS DOUBLE) / 1000003.0) - 0.5))),
-         |                  (x, y) -> x + y) AS proj
-         |         FROM embeddings CROSS JOIN bits CROSS JOIN mlist),
-         |sig AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS bucket
-         |        FROM proj GROUP BY vec_id),
-         |pairs AS (SELECT DISTINCT sa.vec_id AS vec_a, sb.vec_id AS vec_b
-         |          FROM sig sa JOIN sig sb ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id),
-         |s AS (SELECT vec_a, vec_b, ${sqlCosine("ea.embedding", "eb.embedding")} AS cosine
-         |      FROM pairs JOIN embeddings ea ON ea.vec_id = vec_a
-         |                 JOIN embeddings eb ON eb.vec_id = vec_b)
-         |SELECT vec_a, vec_b, round(cosine, 7) AS cosine FROM s WHERE cosine >= 0.3""".stripMargin,
+      s"""WITH $sqlLshScoredCtes
+         |SELECT vec_a, vec_b, round(cosine, 7) AS cosine FROM lsh_scored WHERE cosine >= 0.3""".stripMargin,
+    // SemDeDup-style semantic dedup: the s2 centered-hyperplane pair
+    // pipeline at a tighter cosine threshold, closed into components by
+    // the d7 recursive reachability, labeled over the full embedding set.
+    "d8_semantic_dedup" ->
+      s"""WITH RECURSIVE $sqlLshScoredCtes,
+         |sp AS (SELECT vec_a, vec_b FROM lsh_scored WHERE cosine >= 0.3),
+         |edges AS (SELECT vec_a AS src, vec_b AS dst FROM sp
+         |          UNION SELECT vec_b, vec_a FROM sp),
+         |reach AS (SELECT src AS v, src AS r FROM edges
+         |          UNION
+         |          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v),
+         |lab AS (SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v)
+         |SELECT e.vec_id,
+         |       coalesce(l.cluster_id, e.vec_id) AS cluster_id,
+         |       CAST(CASE WHEN coalesce(l.cluster_id, e.vec_id) = e.vec_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+         |FROM embeddings e LEFT JOIN lab l ON l.vec_id = e.vec_id""".stripMargin,
     // Replays the bucketed KNN join: same (uncentered) quadratic-mix
     // hyperplane buckets on both sides, exact cosine within buckets,
     // round-then-rank as in Similarity.knnJoin.

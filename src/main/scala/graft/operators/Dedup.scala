@@ -450,6 +450,21 @@ object Dedup {
       .withColumn("is_canonical", (col("cluster_id") === col("doc_id")).cast("long"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): embedding-cosine
+    * near-dup pairs from the LSH-pruned scale path
+    * ([[Similarity.lshNeighbors]]) resolved into connected components by
+    * [[clusters]] — every vector labeled with its semantic cluster's
+    * canonical id, so "keep one document per semantic cluster" is
+    * `filter(is_canonical = 1)`. The pieces are the two 100 TB paths
+    * composed: candidate generation never leaves LSH buckets, component
+    * resolution shuffles only the pair-sized edge/label frames. */
+  def semanticClusters(emb: DataFrame, threshold: Double = 0.3, nBits: Int = 8): DataFrame = {
+    val pairs = Similarity.lshNeighbors(emb, nBits, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    clusters(emb.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
+  }
+
   /** Embedding-cosine near-dup pairs (exact, all-pairs — the verification
     * path; [[Similarity.lshNeighbors]] is the LSH-pruned scale path). */
   def embeddingPairs(emb: DataFrame, threshold: Double = 0.45): DataFrame = {

@@ -249,4 +249,25 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(pairs.toSeq === Seq((0L, 1L, 1.0)))
   }
+
+  test("semantic dedup clusters near-identical embeddings, keeps min-id canonical") {
+    // Two semantic groups (scaled copies share direction → cosine 1) and
+    // one isolated vector; LSH buckets by direction so group members meet.
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(2.0f, 4.0f, 6.0f)),   // same direction as 0
+      (5L, Array(1.0f, 2.0f, 3.01f)),  // near-identical to 0 → same cluster
+      (7L, Array(-3.0f, 1.0f, -2.0f)),
+      (8L, Array(-6.0f, 2.0f, -4.0f)), // same direction as 7
+      (9L, Array(3.0f, -5.0f, 1.0f))   // isolated
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticClusters(emb, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) === ((0L, 1L)))
+    assert(out(1L) === ((0L, 0L)))
+    assert(out(5L) === ((0L, 0L)))
+    assert(out(7L) === ((7L, 1L)))
+    assert(out(8L) === ((7L, 0L)))
+    assert(out(9L) === ((9L, 1L)))
+  }
 }
