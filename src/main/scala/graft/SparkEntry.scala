@@ -384,6 +384,8 @@ object SparkEntry {
     }),
     "d8_semantic_dedup" -> ((s, d) =>
       Dedup.semanticClusters(Tables.embeddings(s, d))),
+    "s5_kmeans" -> ((s, d) =>
+      graft.operators.Clustering.kmeans(Tables.embeddings(s, d))),
     // ---- corpus curation ----
     // Benchmark decontamination: eval set = doc_id % 20 == 0, overlap on
     // word-5-gram hashes.
@@ -953,5 +955,50 @@ object SparkEntry {
         |       CAST(strlen(text) AS BIGINT) AS byte_len,
         |       md5(text) AS content_md5,
         |       CAST(strlen(text) // 256 + 1 AS BIGINT) AS n_frames
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // Replays deterministic spherical k-means: LSH cells (the s3 uncentered
+    // quadratic-mix signature) → top-8 cells by population seed the
+    // clusters → quantized-integer centroid means → one Lloyd iteration →
+    // final max-cosine assignment with smaller-cluster tie-break.
+    "s5_kmeans" -> {
+      def qsum(src: String): String =
+        s"""(SELECT cluster, i, sum(CAST(trunc(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qs
+           |         FROM $src, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+           |         GROUP BY cluster, i)""".stripMargin
+      def centFrom(sumCte: String, cntCte: String): String =
+        s"""(SELECT s.cluster, list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY i) AS centroid
+           |          FROM $sumCte s JOIN $cntCte c ON s.cluster = c.cluster GROUP BY s.cluster, c.n)""".stripMargin
+      def assignFrom(centCte: String): String =
+        s"""(SELECT vec_id, embedding, cluster, sim FROM (
+           |        SELECT vec_id, embedding, cluster, sim,
+           |               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+           |        FROM (SELECT e.vec_id, e.embedding, c.cluster,
+           |                     ${sqlCosineFD("e.embedding", "c.centroid")} AS sim
+           |              FROM embeddings e CROSS JOIN $centCte c))
+           |      WHERE rn = 1)""".stripMargin
+      s"""WITH bits AS (SELECT b, CAST(1 AS BIGINT) << b AS p2 FROM generate_series(0, 5) t(b)),
+         |proj AS (SELECT vec_id, b, p2,
+         |                ${sqlFoldSum(
+                            "list_transform(generate_series(1, len(embedding)), " +
+                            "i -> CAST(embedding[i] AS DOUBLE) * " +
+                            "((CAST(((b * 104729 + (i - 1) * 7919 + 12345) * (b * 104729 + (i - 1) * 7919 + 12345)) % 1000003 AS DOUBLE) / 1000003.0) - 0.5))")} AS proj
+         |         FROM embeddings CROSS JOIN bits),
+         |cellsig AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS cell
+         |            FROM proj GROUP BY vec_id),
+         |ccnt AS (SELECT cell, count(*) AS n FROM cellsig GROUP BY cell),
+         |topc AS (SELECT cell, cluster FROM (
+         |           SELECT cell, CAST(row_number() OVER (ORDER BY n DESC, cell) - 1 AS BIGINT) AS cluster
+         |           FROM ccnt) WHERE cluster < 8),
+         |sm AS (SELECT t.cluster, e.embedding
+         |       FROM embeddings e JOIN cellsig s ON e.vec_id = s.vec_id JOIN topc t ON s.cell = t.cell),
+         |scnt AS (SELECT cluster, count(*) AS n FROM sm GROUP BY cluster),
+         |ssum AS ${qsum("sm")},
+         |cent0 AS ${centFrom("ssum", "scnt")},
+         |a1 AS ${assignFrom("cent0")},
+         |cnt1 AS (SELECT cluster, count(*) AS n FROM a1 GROUP BY cluster),
+         |sum1 AS ${qsum("a1")},
+         |cent1 AS ${centFrom("sum1", "cnt1")},
+         |a2 AS ${assignFrom("cent1")}
+         |SELECT vec_id, cluster, round(sim, 7) AS sim FROM a2""".stripMargin
+    })
 }

@@ -137,4 +137,36 @@ class PropertySpec extends SparkSpec {
       assert(got === expected)
     }
   }
+
+  test("property: trimSpaces + split matches SQL split(trim(s), ' +') on whitespace-laced text") {
+    // Text containing spaces, tabs, newlines, CRs — the class of inputs
+    // where Java String.trim diverges from SQL TRIM.
+    val wsText: Gen[String] = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.stringOfN(n, Gen.frequency(
+        5 -> Gen.alphaNumChar, 2 -> Gen.const(' '),
+        1 -> Gen.const('\t'), 1 -> Gen.const('\n'), 1 -> Gen.const('\r'))))
+    forAll(Gen.listOfN(12, wsText)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "s")
+      val sql = df.select($"id", split(trim($"s"), " +").as("t"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val jvm = graft.functions.GraftExprs.trimSpaces(t).split(" +", -1).toList
+        assert(jvm === sql(i.toLong), s"text ${t.map(_.toInt).mkString(",")}")
+      }
+    }
+  }
+
+  test("property: hot-bucket salt split is invisible for random vectors") {
+    val vecGen: Gen[List[Array[Float]]] = Gen.chooseNum(20, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.listOfN(4, Gen.chooseNum(-100, 100)).map(_.map(_.toFloat / 10f).toArray)))
+    forAll(vecGen, cases = 3) { vecs =>
+      val nonZero = vecs.filter(_.exists(_ != 0f))
+      val df = nonZero.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      def pairSet(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val base = pairSet(graft.operators.Similarity.lshNeighbors(df, nBits = 4, threshold = 0.2))
+      val salted = pairSet(graft.operators.Similarity.lshNeighbors(df, nBits = 4, threshold = 0.2, hotBucketCap = 3))
+      assert(salted === base)
+    }
+  }
 }
