@@ -386,6 +386,7 @@ object SparkEntry {
       Dedup.semanticClusters(Tables.embeddings(s, d))),
     "s5_kmeans" -> ((s, d) =>
       graft.operators.Clustering.kmeans(Tables.embeddings(s, d))),
+    "p4_chunk" -> ((s, d) => Curation.chunk(Tables.documents(s, d))),
     // ---- corpus curation ----
     // Benchmark decontamination: eval set = doc_id % 20 == 0, overlap on
     // word-5-gram hashes.
@@ -781,6 +782,19 @@ object SparkEntry {
          |SELECT shard, CAST(prev_tok // 4096 AS BIGINT) AS bin,
          |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM p GROUP BY 1, 2""".stripMargin,
+    "p4_chunk" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
+         |x AS (SELECT doc_id, t, len(t) AS n FROM t),
+         |kk AS (SELECT doc_id, t,
+         |              CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END AS k
+         |       FROM x),
+         |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |             array_to_string(list_slice(t, CAST(i * 48 + 1 AS BIGINT), CAST(i * 48 + 64 AS BIGINT)), ' ') AS chunk_text,
+         |             CAST(len(list_slice(t, CAST(i * 48 + 1 AS BIGINT), CAST(i * 48 + 64 AS BIGINT))) AS BIGINT) AS n_tok
+         |      FROM kk, LATERAL (SELECT unnest(generate_series(0, k - 1)) AS i) g)
+         |SELECT doc_id, chunk_idx, chunk_text, n_tok,
+         |       ${sqlPolyHash("chunk_text")} AS chunk_fp
+         |FROM c""".stripMargin,
     "p2_stratified_sample" ->
       s"""WITH r AS (SELECT lang,
          |                  CASE WHEN ${sqlPolyHash("('samp:' || CAST(doc_id AS VARCHAR))")} % 1000 <

@@ -138,6 +138,36 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
   }
 
+  /** Context-window chunking: split each document's token stream into
+    * overlapping windows of `sizeTokens` tokens advancing by
+    * `sizeTokens - overlap` — the step that turns curated documents into
+    * model-context-sized training/retrieval units. Chunk count is pure
+    * integer math (`div`, portable to the SQL oracle); a document shorter
+    * than one window yields exactly one chunk. Per-row generate+explode —
+    * no shuffle at all; the fingerprint column gives downstream exact-dedup
+    * a chunk-level key without rehashing. */
+  def chunk(docs: DataFrame, sizeTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < sizeTokens,
+      s"overlap must be in [0, sizeTokens), got $overlap of $sizeTokens")
+    val stride = sizeTokens - overlap
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .withColumn(
+        "k",
+        when(col("n") <= sizeTokens, lit(1L))
+          .otherwise(expr(s"(n - $sizeTokens + ${stride - 1}) div $stride + 1")))
+      .select(
+        col("doc_id"), col("t"),
+        explode(sequence(lit(0L), col("k") - 1L)).as("chunk_idx"))
+      .withColumn("s", (col("chunk_idx") * stride + 1L).cast("int"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", slice(col("t"), col("s"), lit(sizeTokens))).as("chunk_text"),
+        size(slice(col("t"), col("s"), lit(sizeTokens))).cast("long").as("n_tok"))
+      .withColumn("chunk_fp", TextHash.polyHash(col("chunk_text")))
+  }
+
   /** Per-language sampling rates (per mille) for [[stratifiedSample]]:
     * downsample the over-represented head language hard, keep mid languages
     * at a third, keep the tail whole — the standard rebalancing move when

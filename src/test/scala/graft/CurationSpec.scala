@@ -88,4 +88,29 @@ class CurationSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getAs[Long]("n_sampled")).toMap
     assert(again === out.view.mapValues(_.getAs[Long]("n_sampled")).toMap)
   }
+
+  test("chunk: overlapping windows, short docs get one chunk, tail is partial") {
+    // size=4, overlap=1 → stride=3. 10 tokens → k = (10-4+2) div 3 + 1 = 3
+    // chunks starting at tokens 1, 4, 7; the last covers 7..10.
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "short doc"), // n=2 <= size → one chunk, n_tok=2
+      (3L, "")           // empty text → [""] → one chunk of the empty token
+    ).toDF("doc_id", "text")
+    val out = Curation.chunk(docs, sizeTokens = 4, overlap = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    assert(out((1L, 0L)) === (("t1 t2 t3 t4", 4L)))
+    assert(out((1L, 1L)) === (("t4 t5 t6 t7", 4L)))
+    assert(out((1L, 2L)) === (("t7 t8 t9 t10", 4L)))
+    assert(out((2L, 0L)) === (("short doc", 2L)))
+    assert(out((3L, 0L)) === (("", 1L)))
+    assert(out.size === 5)
+    // Exact boundary: 7 tokens with stride 3 → chunks at 1 and 4; token 7
+    // is covered by the second window (4..7), no empty trailing chunk.
+    val boundary = Seq((9L, "a b c d e f g")).toDF("doc_id", "text")
+    val bo = Curation.chunk(boundary, sizeTokens = 4, overlap = 1).collect()
+    assert(bo.map(_.getLong(1)).sorted.toSeq === Seq(0L, 1L))
+  }
 }
