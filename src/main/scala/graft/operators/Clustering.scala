@@ -63,7 +63,9 @@ object Clustering {
 
   /** Deterministic spherical k-means: LSH-cell seeds refined by `iters`
     * Lloyd iterations, final assignment re-scored against the last
-    * centroids. Output: (vec_id, cluster, sim) — one row per vector. */
+    * centroids. Output: (vec_id, cluster, sim) — one row per vector.
+    * Each iteration re-reads `emb` (twice: assignment + centroid rebuild);
+    * cache it before calling when iters > 1 or the source is remote. */
   def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 1, cellBits: Int = 6): DataFrame = {
     val cells = emb.select(
       col("vec_id"), col("embedding"),
