@@ -100,6 +100,7 @@ object ScalingProbe {
     time("minhash_lsh_100k_docs")(Dedup.minhashPairs(bigDocs).count())
     time("simhash_pairs_100k_docs")(Dedup.simhashPairs(bigDocs).count())
     time("winnow_100k_docs")(graft.operators.TextAnalysis.winnow(bigDocs).count())
+    time("chunk_100k_docs")(graft.operators.Curation.chunk(bigDocs).count())
     // Cluster resolution on top of the LSH pairs: rounds scale with cluster
     // diameter (tiny for near-dup clusters), per-round shuffles only the
     // pair-sized edge/label tables — the cost here is dominated by
@@ -163,6 +164,12 @@ object ScalingProbe {
     // the retrieval shape broadcast-the-queries can't serve.
     time("ann_knn_join_2k_q")(
       Similarity.knnJoin(bigEmb.filter(col("vec_id") % 50 === 0), bigEmb, k = 5).count())
+    // Semantic dedup and k-means at 100k vectors: the SemDeDup composition
+    // (LSH pairs → components) and the fixed-round Lloyd refinement.
+    time("semantic_dedup_100k_vecs")(
+      graft.operators.Dedup.semanticClusters(bigEmb).count())
+    time("kmeans_100k_vecs")(
+      graft.operators.Clustering.kmeans(bigEmb).count())
     bigEmb.unpersist(blocking = true)
     // Adversarial hot bucket: 100k copies of ONE vector — the entire corpus
     // lands in a single LSH bucket, the worst case for in-bucket scoring.
