@@ -350,6 +350,20 @@ object SparkEntry {
           count(lit(1)).as("n_orders"),
           countDistinct(col("c_custkey")).as("n_cust"))
     }),
+    // The REAL codec on the gate: synthesize a deterministic solid-gray
+    // PNG per document, decode it with javax.imageio, and let the oracle
+    // predict width/height/channels/mean analytically — an engine that
+    // never decodes verifies the decoder's pixel arithmetic.
+    "m3_real_codec" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.synthesizePngs(Tables.documents(s, d).select(col("doc_id"))),
+        Multimodal.ImageIoCodec)
+        .select(
+          col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          round(col("mean_intensity"), 7).as("mean_intensity"))),
     "m2_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(
         Tables.documents(s, d).select(
@@ -969,6 +983,13 @@ object SparkEntry {
         |       CAST(strlen(text) AS BIGINT) AS byte_len,
         |       md5(text) AS content_md5,
         |       CAST(strlen(text) // 256 + 1 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
+    "m3_real_codec" ->
+      """SELECT doc_id,
+        |       CAST(doc_id % 16 + 1 AS BIGINT) AS width,
+        |       CAST(doc_id % 8 + 1 AS BIGINT) AS height,
+        |       CAST(3 AS BIGINT) AS channels,
+        |       round(CAST(doc_id % 256 AS DOUBLE), 7) AS mean_intensity
         |FROM documents""".stripMargin,
     // Replays deterministic spherical k-means: LSH cells (the s3 uncentered
     // quadratic-mix signature) → top-8 cells by population seed the

@@ -126,6 +126,40 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Deterministic real-PNG synthesis: one solid-gray PNG per input row,
+    * dimensions and intensity derived from doc_id (width = id%16+1,
+    * height = id%8+1, gray = id%256). Exists so the driver's correctness
+    * gate can verify the REAL codec end-to-end: a SQL oracle that never
+    * decodes anything predicts [[ImageIoCodec]]'s (width, height,
+    * channels, mean) analytically. Same mapPartitions batch shape as the
+    * decode side. */
+  def synthesizePngs(ids: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col("doc_id").cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 16).toInt + 1
+        val h = (id % 8).toInt + 1
+        val g = (id % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray)
+      }
+    }(encoder)
+  }
+
   /** Real image resize on the [[resize]] seam: decode via `javax.imageio`,
     * scale with an area-averaging AWT filter, re-encode as PNG. Same
     * mapPartitions batch shape (per-row work, no shuffle); NULL payloads
