@@ -233,11 +233,15 @@ object SparkEntry {
       val rawSchema = s.read.parquet(s"$d/events.parquet").schema
       // the file source wants a directory: stream the sf dir, glob-filtered
       // to the events fixture
-      val stream = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val name = "stream_rollup_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
+      val stream = Tables.nanosToMicros(
+        s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
+      // Deterministic sink name, previous run's complete-mode table dropped
+      // first: a UUID-per-invocation name leaks one full retained rollup per
+      // call (Bench alone invokes this 4×). q22 runs serially in Verify/
+      // Bench; concurrent invocations on one session are not a scenario.
+      val name = "stream_rollup_sink"
+      s.catalog.dropTempView(name)
       val q = graft.streaming.StreamingRollup(stream)
         .writeStream.format("memory").queryName(name)
         .outputMode("complete")

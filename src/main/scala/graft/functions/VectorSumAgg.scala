@@ -48,6 +48,10 @@ case class VectorSumAgg(
     if (v == null) return buf
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // A zero-length vector would alias the "uninitialized buffer" sentinel
+    // (buf.length == 0) and slip past the ragged check below while still
+    // counting toward the divisor in centroidsOf/meanDf — reject it.
+    require(n > 0, "VectorSumAgg: empty embedding vector")
     val b = if (buf.length == 0) new Array[Long](n) else buf
     // Fail fast on ragged input: the buffer is sized from the first vector
     // seen per partition, so silently folding a different-length vector

@@ -105,6 +105,12 @@ object Dedup {
   }
 
   val MinhashK = 32 // permutations
+
+  /** Incremental-store format marker (see [[incrementalMinhashPairs]]).
+    * v2 = space-only trim tokenization ([[graft.functions.GraftExprs]]
+    * `trimSpaces`). Bump whenever shingle/minhash semantics change — stored
+    * signatures from an older tokenizer are not comparable to new ones. */
+  val StoreFormatMarker = "_format-v2"
   val BandR = 2     // rows per band → 16 bands
 
   /** MinHash signatures: (doc_id, mh array<bigint> of k minima), computed by
@@ -249,6 +255,19 @@ object Dedup {
       val nm = s.getPath.getName
       !nm.startsWith(".") && !nm.startsWith("_")
     }
+    // Tokenizer-version guard: stored shingle sets are only comparable to
+    // newly computed ones if both used the same tokenization. A store
+    // written before the space-only-trim change (or by any future tokenizer
+    // revision) holds signatures this code can no longer reproduce — exact
+    // duplicates of control-whitespace docs would silently score below
+    // threshold. Marker files start with '_' so both the hasStore listing
+    // and Spark's parquet file index ignore them.
+    val marker = new org.apache.hadoop.fs.Path(dir, StoreFormatMarker)
+    if (hasStore && !fs.exists(marker))
+      throw new IllegalStateException(
+        s"signature store at $storePath was written by an incompatible " +
+          s"tokenizer version (missing $StoreFormatMarker); rebuild the " +
+          "store from source text before ingesting new batches")
     val rawNewArr = newDocs
       .withColumn("__hs", GraftColumns.shingleHashes(col("text"), n))
       .filter(size(col("__hs")) > 0)
@@ -329,6 +348,10 @@ object Dedup {
     val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$batchId")
     val published = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
     newArr.write.parquet(staging.toString)
+    // Marker before the publishing rename: a crash in between leaves a
+    // marker with no visible batches (hasStore stays false — harmless),
+    // whereas marker-after-rename could strand a valid store unreadable.
+    if (!fs.exists(marker)) fs.create(marker, true).close()
     if (!fs.rename(staging, published))
       throw new IllegalStateException(
         s"failed to publish signature batch $staging -> $published")

@@ -182,18 +182,26 @@ object Similarity {
       VectorMath.norm2(col("embedding")).as("nrm"),
       lit(isQ).as("isQuery"))
     val tagged = tag(queries, isQ = true).unionByName(tag(corpus, isQ = false))
-    // Per-bucket sizes for the hot-bucket split: ≤ 2^nBits rows, so AQE
-    // broadcasts this join — no extra shuffle on the corpus side.
-    val sizes = tagged.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
-    val scored = tagged.join(sizes, Seq("bucket"))
+    // Per-bucket sizes for the hot-bucket split, as a count window over the
+    // bucket shuffle: ONE pass over both inputs (a separate groupBy+join
+    // re-derives the signatures/norms on a second full scan — measured as
+    // the dominant cost at corpus scale since each signature is nBits dot
+    // products). The window buffers one bucket per task, but only for a
+    // streaming count — no quadratic work lives here.
+    val wBn = Window.partitionBy(col("bucket"))
+    val scored = tagged
+      .withColumn("bn", count(lit(1)).over(wBn))
       .select(col("bucket"), col("vec_id"), col("embedding"), col("nrm"),
         col("isQuery"), col("bn"))
       .as[(Long, Long, Array[Float], Double, Boolean, Long)]
       .flatMap { case (bucket, vecId, e, nrm, isQ, bn) =>
         // Queries fan out across corpus-salt groups and vice versa: pair
-        // (q, c) meets exactly once, in group (salt_q, salt_c).
+        // (q, c) meets exactly once, in group (salt_q, salt_c). floorMod:
+        // vec_ids from 64-bit hashes can be negative, and a signed `%`
+        // would put them in salt groups no positive-salt vector ever
+        // pairs with — silently dropping their candidates.
         val g = math.max(1L, (bn + hotBucketCap - 1) / hotBucketCap).toInt
-        val s = (vecId % g).toInt
+        val s = java.lang.Math.floorMod(vecId, g)
         (0 until g).iterator.map { t =>
           if (isQ) SaltedTagged(bucket, s, t, vecId, e, nrm, isQuery = true)
           else SaltedTagged(bucket, t, s, vecId, e, nrm, isQuery = false)
@@ -265,13 +273,19 @@ object Similarity {
         col("vec_id"), col("embedding"),
         GraftColumns.hyperBucketC(col("embedding"), col("__mean"), nBits).as("bucket"),
         VectorMath.norm2(col("embedding")).as("nrm"))
-    val sizes = withBucket.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
-    withBucket.join(sizes, Seq("bucket")) // ≤ 2^nBits size rows → AQE broadcasts
+    // Bucket sizes via a count window over the bucket shuffle: one corpus
+    // pass (a groupBy+join twin recomputes the mean aggregate and every
+    // hyperplane signature on a second scan).
+    val wBn = Window.partitionBy(col("bucket"))
+    withBucket
+      .withColumn("bn", count(lit(1)).over(wBn))
       .select(col("bucket"), col("vec_id"), col("embedding"), col("nrm"), col("bn"))
       .as[(Long, Long, Array[Float], Double, Long)]
       .flatMap { case (bucket, vecId, e, nrm, bn) =>
         val g = math.max(1L, (bn + hotBucketCap - 1) / hotBucketCap).toInt
-        val s = (vecId % g).toInt
+        // floorMod: negative vec_ids must land in the same 0..g-1 salt
+        // space as everyone else or their pairs are silently never scored.
+        val s = java.lang.Math.floorMod(vecId, g)
         (0 until g).iterator.map { t =>
           SaltedVec(bucket, math.min(s, t), math.max(s, t), s, vecId, e, nrm)
         }

@@ -30,10 +30,15 @@ object Tables {
     // every call.
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    nanosToMicros(apply(s, d, "events"))
   }
+
+  /** The ns→µs `ts` conversion, shared by [[events]] and the streaming
+    * events reader (`q22_stream_rollup`) so every consumer of the fixture
+    * truncates identically. */
+  def nanosToMicros(df: DataFrame): DataFrame =
+    df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

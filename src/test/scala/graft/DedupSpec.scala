@@ -163,6 +163,23 @@ class DedupSpec extends SparkSpec {
     assert(storedAfter === storedBefore)
   }
 
+  test("incremental store: a store without the format marker is rejected") {
+    // A store written before the space-only-trim tokenizer change holds
+    // shingle sets this code can't reproduce — comparing against them
+    // silently under-scores exact dups. Publishing writes the marker;
+    // deleting it simulates the stale pre-v2 layout.
+    val root = java.nio.file.Files.createTempDirectory("graft_mh_store4")
+    val dir = root.toString + "/store"
+    Dedup.incrementalMinhashPairs(docs.filter($"doc_id" <= 2L), dir).collect()
+    val marker = new java.io.File(dir, Dedup.StoreFormatMarker)
+    assert(marker.exists())
+    assert(marker.delete())
+    val ex = intercept[IllegalStateException] {
+      Dedup.incrementalMinhashPairs(docs.filter($"doc_id" > 2L), dir)
+    }
+    assert(ex.getMessage.contains("tokenizer"))
+  }
+
   test("incremental store: a read failure propagates instead of emptying the corpus") {
     // A storePath that exists but is unreadable as parquet must throw —
     // treating it as "no store yet" would drop every new-vs-old pair while

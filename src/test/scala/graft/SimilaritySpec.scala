@@ -88,6 +88,41 @@ class SimilaritySpec extends SparkSpec {
     assert(knnSet(Similarity.knnJoin(q, many, k = 5, hotBucketCap = 4)) === baseKnn)
   }
 
+  test("hot-bucket salt split keeps negative vec_ids pairable (floorMod)") {
+    import org.apache.spark.sql.DataFrame
+    // vec_ids from a 64-bit hash are negative half the time. A signed `%`
+    // salt puts them in groups no non-negative-salt vector emits, silently
+    // dropping their pairs whenever the bucket exceeds the cap.
+    val many = ((0L until 30L)
+      .map(i => (-i - 1L, Array(1.0f, 2.0f, 3.0f + (i % 3) * 0.01f))) :+
+      ((100L, Array(-1.0f, -2.0f, -3.0f)))).toDF("vec_id", "embedding")
+    def pairSet(d: DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val basePairs = pairSet(Similarity.lshNeighbors(many, threshold = 0.9))
+    assert(basePairs.nonEmpty)
+    assert(pairSet(Similarity.lshNeighbors(many, threshold = 0.9, hotBucketCap = 4)) === basePairs)
+    val q = many.filter($"vec_id" >= -3L && $"vec_id" < 0L)
+    def knnSet(d: DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val baseKnn = knnSet(Similarity.knnJoin(q, many, k = 5))
+    assert(baseKnn.nonEmpty)
+    assert(knnSet(Similarity.knnJoin(q, many, k = 5, hotBucketCap = 4)) === baseKnn)
+  }
+
+  test("VectorSumAgg rejects empty embedding vectors") {
+    import org.apache.spark.sql.functions.col
+    // A zero-length vector aliases the uninitialized-buffer sentinel: it
+    // would skip the ragged check yet still inflate the centroid divisor.
+    val rows = Seq((0L, Array.empty[Float]), (1L, Array(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding").coalesce(1)
+    val ex = intercept[Throwable] {
+      rows.agg(graft.functions.VectorSumAgg.vectorSum(col("embedding"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("empty embedding")), messages(ex).mkString(" | "))
+  }
+
   test("VectorSumAgg fails fast on ragged vector lengths") {
     import org.apache.spark.sql.functions.col
     // A ragged embedding column must error, not silently truncate to the
