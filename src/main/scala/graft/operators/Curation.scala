@@ -93,7 +93,7 @@ object Curation {
     * assignment is stable under corpus growth/reordering and uncorrelated
     * with doc_id locality. */
   def splitBucket(key: Column): Column =
-    TextHash.polyHash(concat(lit("split:"), key.cast("string"))) % 100
+    TextHash.sampleKey(concat(lit("split:"), key.cast("string"))) % 100
 
   def splitName(bucket: Column, trainPct: Int = 90, valPct: Int = 5): Column =
     when(bucket < trainPct, lit("train"))
@@ -122,7 +122,7 @@ object Curation {
     * standard way real pipelines shard this. Output: one row per
     * (shard, bin) with doc/token counts. */
   def packBins(docs: DataFrame, tokenBudget: Long = 4096L, nShards: Int = 32): DataFrame = {
-    val shard = TextHash.polyHash(concat(lit("shard:"), col("doc_id").cast("string"))) % nShards
+    val shard = TextHash.sampleKey(concat(lit("shard:"), col("doc_id").cast("string"))) % nShards
     val toks = TextAnalysis.tokens(col("text"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
@@ -175,6 +175,37 @@ object Curation {
   val StrataPerMille: Map[String, Int] = Map("en" -> 200, "de" -> 333, "fr" -> 333)
   val DefaultPerMille: Int = 1000
 
+  /** Temperature-based domain rebalancing (α = 0.5): keep rate per source
+    * r_s = sqrt(minN / N_s), so the smallest domain is kept whole and a
+    * domain 100× larger is downsampled 10× — flattening the source mix the
+    * way multilingual/multi-domain pretraining recipes temper their
+    * sampling distribution (weight ∝ N^α). Selection is the same portable
+    * hash predicate as [[stratifiedSample]] — [[TextHash.sampleKey]]
+    * against a per-source integer threshold `floor(r_s · P)` computed from
+    * exact counts (sqrt is IEEE exactly-rounded, so the threshold — and
+    * therefore every kept doc — is bit-identical cross-engine). Plan: one
+    * count aggregate, a
+    * genuinely-tiny (#domains rows) broadcast back onto the corpus, a pure
+    * per-row predicate. Output is the per-source evidence. */
+  def domainSample(docs: DataFrame, domainCol: String = "source"): DataFrame = {
+    val dom = col(domainCol).as("domain")
+    val counts = docs.select(dom).groupBy(col("domain")).agg(count(lit(1)).as("n_total"))
+    val minN = counts.agg(min(col("n_total")).as("min_n"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("keep_scaled",
+        floor(sqrt(col("min_n").cast("double") / col("n_total").cast("double")) *
+          lit(TextHash.Prime.toDouble)).cast("long"))
+      .select(col("domain"), col("n_total"), col("keep_scaled"))
+    val h = TextHash.sampleKey(concat(lit("dom:"), col("doc_id").cast("string")))
+    docs.select(dom, col("doc_id"))
+      .join(broadcast(rates), Seq("domain"))
+      .select(col("domain"), col("n_total"), col("keep_scaled"),
+        (h < col("keep_scaled")).cast("long").as("kept"))
+      .groupBy(col("domain"), col("n_total"), col("keep_scaled"))
+      .agg(sum(col("kept")).as("n_kept"))
+      .select(col("domain"), col("n_total"), col("n_kept"), col("keep_scaled"))
+  }
+
   /** Deterministic stratified sample: keep a document iff the portable hash
     * of its salted id falls under its language's per-mille rate. Output is
     * the per-stratum evidence (population, sample size, realized rate);
@@ -184,7 +215,7 @@ object Curation {
     val perMille = StrataPerMille.foldLeft(lit(DefaultPerMille)) {
       case (acc, (lang, rate)) => when(col("lang") === lang, lit(rate)).otherwise(acc)
     }
-    val h = TextHash.polyHash(concat(lit("samp:"), col("doc_id").cast("string"))) % 1000
+    val h = TextHash.sampleKey(concat(lit("samp:"), col("doc_id").cast("string"))) % 1000
     docs
       .select(col("lang"), (h < perMille).cast("long").as("sampled"))
       .groupBy("lang")

@@ -237,6 +237,20 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Deterministic random-projection dimensionality reduction: each
+    * embedding down to `kOut` ±1 sign-projection components (long format —
+    * one row per (vec_id, dim) so the reduced space can feed group-bys and
+    * joins without array columns). Pure per-row codegen expression
+    * ([[graft.functions.RandProjExpr]]), no shuffle; the quantized
+    * integer-sum components are bit-identical cross-engine. At 100 TB this
+    * is the standard pre-step that shrinks ANN index build cost by D/kOut
+    * while approximately preserving cosine structure (sign-JL). */
+  def randomProjection(emb: DataFrame, kOut: Int = 16): DataFrame =
+    emb
+      .select(col("vec_id"),
+        posexplode(GraftColumns.randProj(col("embedding"), kOut)).as(Seq("dim", "rp")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("rp"))
+
   def lshNeighbors(
       emb: DataFrame,
       nBits: Int = 8,

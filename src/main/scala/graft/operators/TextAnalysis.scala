@@ -38,7 +38,12 @@ object TextAnalysis {
   /** Quality scoring: length, token stats, stopword ratio, digit ratio, and
     * a composite score in [0,1] — the standard cheap heuristics used to
     * filter web-scraped pretraining text. */
-  def qualityScores(docs: DataFrame): DataFrame = {
+  def qualityScores(docs: DataFrame): DataFrame = qualityScores(docs, Nil)
+
+  /** [[qualityScores]] with passthrough columns appended (e.g. `lang` for
+    * the per-language gate) — avoids a self-join to re-attach attributes
+    * the scoring projection would otherwise drop. */
+  def qualityScores(docs: DataFrame, passthrough: Seq[Column]): DataFrame = {
     val t = tokens(col("text"))
     val nTok = size(t).cast("long")
     val nChar = length(col("text")).cast("long")
@@ -54,14 +59,36 @@ object TextAnalysis {
           lit(0.5d) * least(stopRatio * lit(4.0d), lit(1.0d)) +
           lit(0.3d) * when(meanTokLen >= 3.0d && meanTokLen <= 8.0d, lit(1.0d)).otherwise(lit(0.0d)) +
           lit(0.2d) * (lit(1.0d) - least(digitRatio * lit(10.0d), lit(1.0d))))
-    docs.select(
+    docs.select(Seq(
       col("doc_id"),
       nChar.as("n_chars"),
       nTok.as("n_tokens"),
       round(meanTokLen, 7).as("mean_token_len"),
       round(stopRatio, 7).as("stopword_ratio"),
       round(digitRatio, 7).as("digit_ratio"),
-      round(score, 7).as("quality_score"))
+      round(score, 7).as("quality_score")) ++ passthrough: _*)
+  }
+
+  /** Per-language quality gate: drop each language's bottom `minPercentile`
+    * of documents by composite quality score — the rebalancing-aware form
+    * of threshold filtering (one global cutoff over-prunes whichever
+    * language the heuristics score low). The percentile is attached with
+    * `percent_rank` over (lang) ordered by (quality_score, doc_id) — the
+    * doc_id tie-break makes rank, and therefore the kept set, total-order
+    * deterministic cross-engine. One sort-shuffle per call, partitioned by
+    * language; at extreme scale (or extreme language skew) the cheaper
+    * variant aggregates an approximate per-language threshold and
+    * broadcast-joins it — kept exact here because the gate's output is the
+    * curated corpus itself, where determinism matters more than the sort.
+    * Assumes ≥2 docs per language (percent_rank of a singleton group is
+    * engine-dependent). */
+  def qualityFilter(docs: DataFrame, minPercentile: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("quality_score"), col("doc_id"))
+    qualityScores(docs, Seq(col("lang")))
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+      .withColumn("pctl", round(percent_rank().over(w), 7))
+      .filter(col("pctl") >= minPercentile)
   }
 
   /** Marker-word profiles for the language-ID heuristic. Real pipelines use

@@ -18,6 +18,26 @@ class CurationSpec extends SparkSpec {
     assert(out === Map(100L -> 1L, 101L -> 0L))
   }
 
+  test("domainSample: smallest domain kept whole, larger domains at sqrt rate") {
+    // 4 docs in "small", 400 in "big": r_small = 1 (threshold = P ⇒ every
+    // sample key passes), r_big = sqrt(4/400) = 0.1 exactly. The 400
+    // SEQUENTIAL doc_ids are the regression case for the sampling-key mix:
+    // raw polyHash residues of sequential ids form a base-31 lattice and
+    // this exact threshold kept 0/400 of them.
+    val docs = ((0L until 4L).map(i => (i, "small")) ++
+      (100L until 500L).map(i => (i, "big"))).toDF("doc_id", "source")
+    val out = Curation.domainSample(docs, domainCol = "source").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (nSmall, keptSmall, thrSmall) = out("small")
+    assert((nSmall, keptSmall, thrSmall) === ((4L, 4L, 1000000007L))) // kept whole
+    val (nBig, keptBig, thrBig) = out("big")
+    assert(nBig === 400L)
+    assert(thrBig === 100000000L) // floor(0.1 · P)
+    // Mixed-key keep rate concentrates near 10%: loose band here, exact
+    // count pinned by the oracle gate.
+    assert(keptBig > 20L && keptBig < 80L, s"keptBig=$keptBig")
+  }
+
   test("pipeline: every gate fires — quality, dedup, decontamination, eval") {
     val docs = Seq(
       (0L, "the zebra walks slowly home tonight again maybe"),    // eval doc

@@ -109,6 +109,27 @@ class SimilaritySpec extends SparkSpec {
     assert(knnSet(Similarity.knnJoin(q, many, k = 5, hotBucketCap = 4)) === baseKnn)
   }
 
+  test("random projection: hand-computed components, long format, sign structure") {
+    // One 2-dim vector, kOut=2. q = (trunc(1.5·2^20), trunc(-0.5·2^20))
+    //   = (1572864, -524288).
+    // sign(i,j) = +1 iff ((i·131 + j + 17)² mod 97) < 48:
+    //   (0,0): 17²=289, 289%97=95  → -1     (0,1): 18²=324, 324%97=33 → +1
+    //   (1,0): 148²=21904, %97=79 → -1      (1,1): 149²=22201, %97=85 → -1
+    val df = Seq((7L, Array(1.5f, -0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(df, kOut = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set(
+      (7L, 0L, -1572864L + -524288L),
+      (7L, 1L, -1572864L + 524288L)))
+    // Identical vectors project identically; a sign flip negates every dim.
+    val pair = Seq((1L, Array(0.25f, 0.75f, -1.0f)), (2L, Array(0.25f, 0.75f, -1.0f)),
+      (3L, Array(-0.25f, -0.75f, 1.0f))).toDF("vec_id", "embedding")
+    val m = Similarity.randomProjection(pair, kOut = 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+    assert(m(1L) === m(2L))
+    assert(m(3L) === m(1L).map(-_))
+  }
+
   test("VectorSumAgg rejects empty embedding vectors") {
     import org.apache.spark.sql.functions.col
     // A zero-length vector aliases the uninitialized-buffer sentinel: it

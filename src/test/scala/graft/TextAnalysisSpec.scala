@@ -35,6 +35,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(2L).getAs[Double]("quality_score") === 0.0)
   }
 
+  test("quality filter drops each language's bottom percentile only") {
+    // Per lang: one sub-5-token doc scores 0.0 and sits at percentile 0 —
+    // exactly the row a 10% gate must drop; everything else survives.
+    def good(i: Long) = s"the quick brown fox of doc $i walks to the river and back"
+    val docs = (Seq((1L, "tiny doc", "en"), (2L, "winzig", "de")) ++
+      (10L until 16L).map(i => (i, good(i), "en")) ++
+      (20L until 26L).map(i => (i, good(i), "de"))).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.qualityFilter(docs, minPercentile = 0.1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    val kept = out.map(_._1).toSet
+    assert(!kept.contains(1L) && !kept.contains(2L)) // pctl 0.0 < 0.1 in each lang
+    assert(kept === (10L until 16L).toSet ++ (20L until 26L).toSet)
+    assert(out.forall(_._3 >= 0.1))
+  }
+
   test("winnow: rolling-hash fingerprints equal the direct O(len·k) formulation") {
     // Direct reference: polyHash every k-gram from scratch, slide a window
     // of w, keep minima, dedup — the formulation the rolling hash replaces
