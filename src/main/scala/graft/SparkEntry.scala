@@ -197,6 +197,30 @@ object SparkEntry {
           Tables.orders(s, d).filter(col("o_totalprice") > 400000.0),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_mktsegment"))),
+    // Filtered sides so BOTH null-extension directions fire: customers with
+    // no orders at all (left-only) and orders from custkeys above the
+    // customer-side cutoff (right-only).
+    "q23_full_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_custkey") <= 700)
+        .select(col("c_custkey"), col("c_name"))
+      val o = Tables.orders(s, d).filter(col("o_custkey") >= 400)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"), col("o_orderkey"), col("o_totalprice"))
+    }),
+    // Salted fan-out of a skewed fact join; the oracle is the PLAIN join —
+    // salting must be output-invisible.
+    "q24_salted_join" -> ((s, d) => {
+      val ords = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.operators.SkewJoin.saltedJoin(Tables.lineitem(s, d), ords, "l_orderkey", salts = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+    }),
     "q14_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -544,6 +568,18 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)""".stripMargin,
+    "q23_full_outer" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+        |       c.c_name, o.o_orderkey, o.o_totalprice
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 700) c
+        |FULL OUTER JOIN (SELECT o_orderkey, o_custkey, o_totalprice
+        |                 FROM orders WHERE o_custkey >= 400) o
+        |ON c.c_custkey = o.o_custkey""".stripMargin,
+    "q24_salted_join" ->
+      """SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderstatus""".stripMargin,
     "q14_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
