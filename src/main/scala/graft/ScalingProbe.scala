@@ -101,6 +101,20 @@ object ScalingProbe {
     time("simhash_pairs_100k_docs")(Dedup.simhashPairs(bigDocs).count())
     time("winnow_100k_docs")(graft.operators.TextAnalysis.winnow(bigDocs).count())
     time("chunk_100k_docs")(graft.operators.Curation.chunk(bigDocs).count())
+    // Span duplication at 20×: only the Caesar-shared (rep-0/doc%3) spans
+    // collide; shuffles carry 16-byte (doc_id, h) rows, never text.
+    time("span_dup_100k_docs")(Dedup.spanDuplication(bigDocs).count())
+    // Per-language quality gate + sqrt-temperature domain sampling over a
+    // skewed synthetic lang column (70% head language): the window sorts
+    // one lang-partitioned shuffle; the sampler is a tiny broadcast.
+    val bigDocsLang = bigDocs.withColumn(
+      "lang",
+      when(col("doc_id") % 10 < 7, lit("en"))
+        .otherwise(concat(lit("l"), (col("doc_id") % 10).cast("string"))))
+    time("quality_filter_100k_docs")(
+      graft.operators.TextAnalysis.qualityFilter(bigDocsLang).count())
+    time("domain_sample_100k_docs")(
+      graft.operators.Curation.domainSample(bigDocsLang, domainCol = "lang").count())
     // Cluster resolution on top of the LSH pairs: rounds scale with cluster
     // diameter (tiny for near-dup clusters), per-round shuffles only the
     // pair-sized edge/label tables — the cost here is dominated by
@@ -170,6 +184,8 @@ object ScalingProbe {
       graft.operators.Dedup.semanticClusters(bigEmb).count())
     time("kmeans_100k_vecs")(
       graft.operators.Clustering.kmeans(bigEmb).count())
+    time("rand_proj_100k_vecs")(
+      Similarity.randomProjection(bigEmb).count())
     bigEmb.unpersist(blocking = true)
     // Adversarial hot bucket: 100k copies of ONE vector — the entire corpus
     // lands in a single LSH bucket, the worst case for in-bucket scoring.

@@ -447,6 +447,8 @@ object SparkEntry {
       Similarity.randomProjection(Tables.embeddings(s, d))),
     "t11_quality_filter" -> ((s, d) =>
       TextAnalysis.qualityFilter(Tables.documents(s, d))),
+    "t12_span_dup" -> ((s, d) =>
+      Dedup.spanDuplication(Tables.documents(s, d))),
     // ---- corpus curation ----
     // Benchmark decontamination: eval set = doc_id % 20 == 0, overlap on
     // word-5-gram hashes.
@@ -918,6 +920,13 @@ object SparkEntry {
          |  FROM s)
          |SELECT doc_id, lang, quality_score, pctl FROM p WHERE pctl >= 0.1""".stripMargin
     },
+    "t12_span_dup" ->
+      s"""WITH ${sqlShinglesN(5, "TRUE", "_sd")},
+         |j AS (SELECT doc_id, CAST(count(*) OVER (PARTITION BY h) AS BIGINT) AS df FROM sh_sd)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |       round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 7) AS dup_frac
+         |FROM j GROUP BY doc_id""".stripMargin,
     "p2_stratified_sample" ->
       s"""WITH r AS (SELECT lang,
          |                  CASE WHEN ${sqlSampleKey("('samp:' || CAST(doc_id AS VARCHAR))")} % 1000 <

@@ -361,6 +361,33 @@ object Dedup {
     pairs
   }
 
+  /** Cross-document span duplication, the Lee et al. ("Deduplicating
+    * Training Data...") criterion applied doc-wise: for each document, the
+    * fraction of its distinct word-n-grams that also occur in at least one
+    * OTHER document. Whole-doc near-dup (MinHash/SimHash) misses partial
+    * copy-paste — a document that quotes half of another scores low
+    * Jaccard but high span duplication; this is the per-doc evidence used
+    * to cut or rewrite such spans. Plan: per-row codegen shingle sets →
+    * explode to (doc_id, h) → doc-frequency as a count window over the ONE
+    * h-shuffle (a groupBy+self-join twin would shuffle the gram list
+    * twice) → per-doc aggregate. Every shuffled row is 16 bytes; text
+    * never shuffles. Docs with fewer than n words have no grams and no
+    * output row (INNER semantics, matching the oracle). */
+  def spanDuplication(docs: DataFrame, n: Int = 5): DataFrame = {
+    import graft.functions.GraftColumns
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col("doc_id"), explode(GraftColumns.shingleHashes(col("text"), n)).as("h"))
+    grams
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2L, lit(1L)).otherwise(lit(0L))).as("n_shared"))
+      .withColumn("dup_frac",
+        round(col("n_shared").cast("double") / col("n_grams").cast("double"), 7))
+  }
+
   val SimhashBits = 60 // two 30-bit poly hashes: h(tok) | h(reverse(tok)) << 30
 
   /** SimHash signatures: per-doc 60-bit fingerprint from token hashes.

@@ -100,6 +100,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.keySet === brute.toSet)
   }
 
+  test("span duplication: partial copy-paste scores high, unique text zero") {
+    // Doc 2 copies half of doc 1 (8 words of its 12): whole-doc Jaccard is
+    // low but the copied span's 5-grams all collide. Doc 3 shares nothing.
+    // Doc 4 has < 5 words → no grams → no output row.
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta completely different tail here"),
+      (3L, "one two three four five six seven eight nine ten eleven twelve"),
+      (4L, "too short here")).toDF("doc_id", "text")
+    val out = Dedup.spanDuplication(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L)._1 === 8L) // 12 words → 8 distinct 5-grams
+    assert(out(1L)._2 === 4L) // the 4 grams inside the copied 8-word span
+    assert(out(2L) === ((8L, 4L, 0.5)))
+    assert(out(3L) === ((8L, 0L, 0.0)))
+  }
+
   test("clusters: min-label propagation merges chains; singletons stay canonical") {
     // Path component 10–11–12 (10~12 never emitted as a pair — transitivity
     // must come from propagation, and the path shape needs >1 round), a
