@@ -210,6 +210,24 @@ object SparkEntry {
           coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
           col("c_name"), col("o_orderkey"), col("o_totalprice"))
     }),
+    // Conversion funnel: per user, first signup and first QUALIFYING
+    // purchase (value ≥ 200 — the fixture's ~top-20%; an unfiltered funnel
+    // converts every user, leaving the null branch untested) at or after
+    // it. Both stages are min-aggregates (no window sort); the join ships
+    // only (user_id, ts) pairs.
+    "q25_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+      val pu = e.filter(col("event_type") === "purchase" && col("value") >= 200.0)
+        .select(col("user_id"), col("ts").as("p_ts"))
+      su.join(pu, Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("signup_ts"))
+        .agg(min(when(col("p_ts") >= col("signup_ts"), col("p_ts")))
+          .as("first_purchase_ts"))
+        .withColumn("converted",
+          col("first_purchase_ts").isNotNull.cast("long"))
+    }),
     // Salted fan-out of a skewed fact join; the oracle is the PLAIN join —
     // salting must be output-invisible.
     "q24_salted_join" -> ((s, d) => {
@@ -221,6 +239,31 @@ object SparkEntry {
           count(lit(1)).as("n_rows"),
           sum(col("l_quantity").cast("long")).as("sum_qty"))
     }),
+    // Arbitrary GROUPING SETS (rollup/cube's general form; q14/q15 cover
+    // those specializations).
+    "q26_grouping_sets" -> ((s, d) => {
+      val v = freshView("orders_gs")
+      Tables.orders(s, d).createOrReplaceTempView(v)
+      s.sql(
+        s"""SELECT o_orderstatus, o_orderpriority,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+           |FROM $v
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+           |                        (o_orderstatus, o_orderpriority))""".stripMargin)
+    }),
+    // Sliding (hopping) window aggregation — the batch twin of a streaming
+    // hop: 1h windows every 15min, each event in exactly 4 windows. The
+    // value sum is quantized to integer cents so the aggregate is
+    // order-independent cross-engine.
+    "q27_sliding_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(window(col("ts"), "1 hour", "15 minutes").as("w"), col("value"))
+        .select(col("w.start").as("ws"), col("value"))
+        .groupBy(col("ws"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum((col("value") * 100.0).cast("long")).as("sv_cents"))),
     "q14_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -577,11 +620,36 @@ object SparkEntry {
         |FULL OUTER JOIN (SELECT o_orderkey, o_custkey, o_totalprice
         |                 FROM orders WHERE o_custkey >= 400) o
         |ON c.c_custkey = o.o_custkey""".stripMargin,
+    "q25_funnel" ->
+      """WITH su AS (SELECT user_id, min(ts) AS signup_ts
+        |            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |pu AS (SELECT user_id, ts AS p_ts FROM events
+        |       WHERE event_type = 'purchase' AND value >= 200.0)
+        |SELECT su.user_id, su.signup_ts,
+        |       min(CASE WHEN pu.p_ts >= su.signup_ts THEN pu.p_ts END) AS first_purchase_ts,
+        |       CAST(CASE WHEN min(CASE WHEN pu.p_ts >= su.signup_ts THEN pu.p_ts END) IS NOT NULL
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS converted
+        |FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+        |GROUP BY su.user_id, su.signup_ts""".stripMargin,
     "q24_salted_join" ->
       """SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY o.o_orderstatus""".stripMargin,
+    "q26_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority))""".stripMargin,
+    "q27_sliding_window" ->
+      """WITH x AS (SELECT epoch_us(ts) AS us, value FROM events),
+        |w AS (SELECT ((us // 900000000) * 900000000 - g.g * 900000000) AS ws_us, value
+        |      FROM x, (SELECT unnest(generate_series(0, 3)) AS g) g)
+        |SELECT make_timestamp(ws_us) AS ws, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT) AS sv_cents
+        |FROM w GROUP BY ws_us""".stripMargin,
     "q14_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
