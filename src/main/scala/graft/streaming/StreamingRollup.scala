@@ -32,6 +32,26 @@ object StreamingRollup {
       .select(col("w.start").as(tsCol), col(idCol), col(s"${valueCol}_mean"), col("n_readings"))
   }
 
+  /** Hopping-window variant (1h windows every 15min — each event lands in
+    * exactly 4 windows): the streaming twin of the batch
+    * `q27_sliding_window` query. The value sum is quantized to integer
+    * cents so stream and batch agree bit-for-bit regardless of per-window
+    * accumulation order. */
+  def hopping(
+      df: DataFrame,
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      watermark: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    withWm
+      .groupBy(window(col(tsCol), "1 hour", "15 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum((col(valueCol) * 100.0).cast("long")).as("sv_cents"))
+      .select(col("w.start").as("ws"), col("n_events"), col("sv_cents"))
+  }
+
   /** Per-key session state: custom stateful processing the reference lacks
     * entirely — demonstrates `mapGroupsWithState` for operators windowed
     * aggregation can't express (gap-based sessions). */

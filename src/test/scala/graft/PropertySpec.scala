@@ -156,6 +156,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: sampleKey spreads sequential id blocks; raw polyHash provably doesn't") {
+    import graft.functions.TextHash
+    // Any contiguous id block, any prefix: mixed-key keep counts at a 10%
+    // threshold must land within a loose binomial band — the raw hash
+    // fails this exact test (r3: kept 0/400; its residues are a base-31
+    // lattice). Deterministic: the "random" inputs are the hash itself.
+    forAll(Gen.zip(Gen.chooseNum(0L, 1000000L), Gen.oneOf("dom:", "samp:", "x:")), cases = 3) {
+      case (base, prefix) =>
+        val n = 400
+        val df = spark.range(base, base + n).select(col("id").cast("string").as("s"))
+        val kept = df.filter(
+          TextHash.sampleKey(concat(lit(prefix), col("s"))) < lit(100000000L)).count()
+        assert(kept > n / 25 && kept < n / 4, s"base=$base prefix=$prefix kept=$kept/400")
+    }
+  }
+
+  test("property: sign random projection preserves cosine ordering on random vectors") {
+    import graft.operators.Similarity
+    // Sign-JL: for vectors with a strongly-aligned pair and an antipodal
+    // pair, projected cosine must rank the aligned pair above the
+    // antipodal one (ordering, not magnitude — the honest JL claim at
+    // kOut=16). Base vector, a small perturbation, and its negation.
+    forAll(Gen.listOfN(16, Gen.chooseNum(-100, 100).map(_ / 100.0f)), cases = 3) { base0 =>
+      val base = base0.toArray
+      if (base.map(v => v * v).sum > 0.1f) {
+        val near = base.zipWithIndex.map { case (v, i) => v + (if (i % 3 == 0) 0.05f else -0.05f) }
+        val anti = base.map(-_)
+        val df = Seq((0L, base), (1L, near), (2L, anti)).toDF("vec_id", "embedding")
+        val proj = Similarity.randomProjection(df, kOut = 16).collect()
+          .groupBy(_.getLong(0)).view
+          .mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2).toDouble).toArray).toMap
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          val d = a.zip(b).map { case (x, y) => x * y }.sum
+          d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+        }
+        assert(cos(proj(0L), proj(1L)) > cos(proj(0L), proj(2L)))
+        assert(cos(proj(0L), proj(2L)) < 0) // antipodal stays antipodal
+      }
+    }
+  }
+
   test("property: hot-bucket salt split is invisible for random vectors") {
     val vecGen: Gen[List[Array[Float]]] = Gen.chooseNum(20, 40).flatMap(n =>
       Gen.listOfN(n, Gen.listOfN(4, Gen.chooseNum(-100, 100)).map(_.map(_.toFloat / 10f).toArray)))

@@ -36,6 +36,32 @@ class StreamingRollupSpec extends SparkSpec {
     assert(streamed.except(expected).count() === 0)
   }
 
+  test("streaming hopping windows match the batch sliding-window result") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = Files.createTempDirectory("graft_hop_src").toString
+    val batch = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts"), col("value"))
+    batch.write.mode("overwrite").parquet(srcDir)
+
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+
+    // Complete mode retains every window — the final table must BE the
+    // batch computation (each event spread across its 4 hop windows).
+    val q = StreamingRollup.hopping(stream)
+      .writeStream.format("memory").queryName("hop_sink")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("hop_sink")
+    val expected = StreamingRollup.hopping(batch)
+    assert(streamed.count() === expected.count())
+    assert(streamed.except(expected).count() === 0)
+    assert(expected.except(streamed).count() === 0)
+  }
+
   test("stream-stream interval join with watermarks") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = Files.createTempDirectory("graft_ssj_src").toString
