@@ -233,7 +233,8 @@ object SparkEntry {
     "q24_salted_join" -> ((s, d) => {
       val ords = Tables.orders(s, d)
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
-      graft.operators.SkewJoin.saltedJoin(Tables.lineitem(s, d), ords, "l_orderkey", salts = 8)
+      graft.operators.SkewJoin.saltedJoin(Tables.lineitem(s, d), ords, "l_orderkey", salts = 8,
+          saltFrom = Some(col("l_linenumber") * 131 + col("l_partkey")))
         .groupBy(col("o_orderstatus"))
         .agg(
           count(lit(1)).as("n_rows"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Explicit skew-join salting: the standard remedy when one join key holds
@@ -16,12 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      salts: Int,
+      saltFrom: Option[Column] = None): DataFrame = {
     require(salts > 0)
-    // Salt from a hash over the full row: deterministic, no RNG state, and
-    // spreads a hot key's rows as long as non-key columns vary.
-    val bigSalted = big.withColumn(
-      "__salt", pmod(hash(big.columns.map(col): _*), lit(salts)))
+    // Salt from a hash: deterministic, no RNG state, and spreads a hot
+    // key's rows as long as the hashed columns vary. ANY salt assignment
+    // yields the identical join result (the small side carries every salt
+    // value), so callers should pass `saltFrom` over one or two cheap
+    // narrow columns — the full-row default is correct but pays a
+    // hash-every-column cost per row on wide facts.
+    val saltSrc = saltFrom.getOrElse(hash(big.columns.map(col): _*))
+    val bigSalted = big.withColumn("__salt", pmod(hash(saltSrc), lit(salts)))
     val smallExploded = small.withColumn(
       "__salt", explode(sequence(lit(0), lit(salts - 1))))
     bigSalted

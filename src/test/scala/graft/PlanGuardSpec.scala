@@ -1,0 +1,61 @@
+package graft
+
+/** Physical-plan regression guards: the scale posture of a query lives in
+  * its plan shape (what shuffles, what broadcasts, what reaches the scan),
+  * and a refactor can silently regress it while every value stays correct.
+  * These assert the load-bearing shapes for representative queries at
+  * sf0.001 (plan shape is scale-independent; AQE may later improve, but
+  * the initial plan must already be right).
+  */
+class PlanGuardSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+
+  private def shuffles(p: String): Int =
+    "Exchange hashpartitioning".r.findAllMatchIn(p).size
+
+  test("s6 random projection: no shuffle, scan pruned to 2 columns") {
+    val p = plan("s6_random_projection")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
+  }
+
+  test("p5 domain sampling: thresholds broadcast; corpus never shuffled by domain") {
+    val p = plan("p5_domain_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // The per-domain count agg and the final ≤#domains-row summary agg
+    // shuffle tiny frames; the corpus rows move only through the
+    // summary's partial-agg exchange — never a join shuffle.
+    assert(shuffles(p) <= 3, p)
+  }
+
+  test("t12 span duplication: exactly the gram-hash and doc-id shuffles") {
+    val p = plan("t12_span_dup")
+    assert(shuffles(p) == 2, p)
+    // The gram shuffle's input is the Generate output (doc_id, h) — the
+    // shingle expression evaluates BELOW the exchange, so text stays
+    // partition-local and only 16-byte rows move.
+    assert(p.contains("Exchange hashpartitioning(h"), p)
+    assert("Exchange hashpartitioning\\(h[^\\n]*\\n\\s*\\+- Generate explode\\(shinglehashesexpr".r
+      .findFirstIn(p).isDefined, p)
+  }
+
+  test("q24 salted join: real hash join, no nested-loop or cartesian fallback") {
+    val p = plan("q24_salted_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q1 saved analytics: dimension join broadcasts, filter reaches the scan") {
+    val p = plan("q1_total_distinct")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters: [") && p.contains("IsNotNull"), p)
+  }
+
+  test("q5 filter+project: predicate pushed to parquet, scan pruned") {
+    val p = plan("q5_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("Exchange"), p) // pure scan→filter→project
+  }
+}
