@@ -29,8 +29,11 @@ object SparkEntry {
     * residues of sequential ids form a base-31 lattice, useless for
     * threshold tests). */
   private def sqlSampleKey(s: String): String = {
+    // Bind the O(len)-per-row character fold ONCE via a 1-element
+    // list_transform (a naive ($h)*($h)+($h) splice evaluates the fold
+    // three times per row — measured as the gate's heaviest scalar).
     val h = sqlPolyHash(s)
-    s"((($h) * ($h) + ($h)) % 1000000007)"
+    s"(list_transform([$h], h -> (h * h + h) % 1000000007)[1])"
   }
 
   /** Shared SQL fragment: left-to-right double fold of a list expr. */

@@ -29,8 +29,8 @@ object SkewJoin {
     // value), so callers should pass `saltFrom` over one or two cheap
     // narrow columns — the full-row default is correct but pays a
     // hash-every-column cost per row on wide facts.
-    val saltSrc = saltFrom.getOrElse(hash(big.columns.map(col): _*))
-    val bigSalted = big.withColumn("__salt", pmod(hash(saltSrc), lit(salts)))
+    val salt = saltFrom.map(c => hash(c)).getOrElse(hash(big.columns.map(col): _*))
+    val bigSalted = big.withColumn("__salt", pmod(salt, lit(salts)))
     val smallExploded = small.withColumn(
       "__salt", explode(sequence(lit(0), lit(salts - 1))))
     bigSalted

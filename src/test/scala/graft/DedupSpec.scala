@@ -205,11 +205,16 @@ class DedupSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft_mh_store3")
     val dir = root.toString + "/store"
     new java.io.File(dir).mkdirs()
+    // The format marker must be PRESENT so the failure exercised is the
+    // parquet read itself, not the earlier tokenizer-version guard.
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(dir, Dedup.StoreFormatMarker))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "batch-garbage"), Array[Byte](9, 9, 9))
-    intercept[Exception] {
+    val ex = intercept[Exception] {
       Dedup.incrementalMinhashPairs(docs, dir).collect()
     }
+    assert(!ex.getMessage.contains("tokenizer"), ex.getMessage)
   }
 
   test("clusters: worst-case path graph converges without cached-RDD creep") {
