@@ -482,6 +482,10 @@ object SparkEntry {
     }),
     "d8_semantic_dedup" -> ((s, d) =>
       Dedup.semanticClusters(Tables.embeddings(s, d))),
+    // Which copy survives dedup: per near-dup cluster, the highest-quality
+    // member (tie → smaller doc_id), picked by one lexicographic struct-max
+    // aggregation — no per-cluster window sort.
+    "d9_cluster_rep" -> ((s, d) => Dedup.clusterReps(Tables.documents(s, d))),
     "s5_kmeans" -> ((s, d) =>
       graft.operators.Clustering.kmeans(Tables.embeddings(s, d))),
     "p4_chunk" -> ((s, d) => Curation.chunk(Tables.documents(s, d))),
@@ -501,6 +505,12 @@ object SparkEntry {
     // word-5-gram hashes.
     "c1_decontam" -> ((s, d) =>
       Curation.contamination(Tables.documents(s, d), col("doc_id") % 20 === 0)),
+    // Same decontamination with the 100 TB plan shape: a distributed-built
+    // Bloom sketch prunes corpus grams before the exact verify semi-join.
+    // The sketch is output-invisible (exact recheck), so the oracle is the
+    // plain exact overlap count restricted to flagged docs.
+    "c3_bloom_decontam" -> ((s, d) =>
+      Curation.bloomContamination(Tables.documents(s, d), col("doc_id") % 20 === 0)),
     // The whole curation flow in one shot: quality gate + near-dup cluster
     // canonicals + decontamination + split, per document, with `kept` as
     // the final corpus-membership decision.
@@ -508,6 +518,30 @@ object SparkEntry {
       Curation.pipeline(Tables.documents(s, d), col("doc_id") % 20 === 0)),
     "p1_train_split" -> ((s, d) => Curation.hashSplit(Tables.documents(s, d))),
     "p3_pack_bins" -> ((s, d) => Curation.packBins(Tables.documents(s, d))),
+    // Deterministic epoch shuffle: hash key → shard, per-shard rank — the
+    // reproducible stand-in for rand() corpus shuffling, with no global sort.
+    "p6_corpus_shuffle" -> ((s, d) =>
+      Curation.corpusShuffle(Tables.documents(s, d))),
+    // All-integer fixed-point PageRank over the deterministic doc link
+    // graph — 5 synchronous rounds, edge-list-sized shuffles per round.
+    "g1_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Graph.pagerank(docs.select(col("doc_id").as("node_id")), Graph.docLinkGraph(docs))
+        .select(col("node_id").as("doc_id"), col("rank_scaled"))
+    }),
+    // BM25 against the corpus's own top-10 vocabulary as the query —
+    // quantized-integer scoring, global top-20 by (score, doc_id).
+    "t13_bm25" -> ((s, d) => TextAnalysis.bm25(Tables.documents(s, d))),
+    // Fixed-width price histogram — profiling surface; integral bin ids and
+    // order-independent aggregates only (BIGINT sum / min / max).
+    "x4_histogram" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(floor(col("l_extendedprice") / 1000.0d).cast("long").as("bin"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(floor(col("l_quantity")).cast("long")).as("qty_sum"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))),
     "p2_stratified_sample" -> ((s, d) =>
       Curation.stratifiedSample(Tables.documents(s, d))),
     // ---- text quality (repetition + PII) ----
@@ -843,6 +877,46 @@ object SparkEntry {
          |       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
          |       CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
          |FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id""".stripMargin,
+    // d7's closure + t2's quality formula → per-cluster argmax by
+    // (quality DESC, doc_id ASC) — the total order the struct-max replays.
+    "d9_cluster_rep" -> {
+      val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT src AS v, src AS r FROM edges
+         |          UNION
+         |          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v),
+         |lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+         |q0 AS (SELECT doc_id,
+         |              CAST(length(text) AS BIGINT) AS n_chars,
+         |              CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
+         |              CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'), w -> w IN ($stop))) AS BIGINT) AS n_stop,
+         |              CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+         |       FROM documents),
+         |r0 AS (SELECT doc_id,
+         |              CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mtl,
+         |              CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS sr,
+         |              CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE) AS dr,
+         |              n_tokens
+         |       FROM q0),
+         |qual AS (SELECT doc_id,
+         |                round(CASE WHEN n_tokens < 5 THEN 0.0
+         |                           ELSE 0.5 * least(sr * 4.0, 1.0)
+         |                              + 0.3 * (CASE WHEN mtl >= 3.0 AND mtl <= 8.0 THEN 1.0 ELSE 0.0 END)
+         |                              + 0.2 * (1.0 - least(dr * 10.0, 1.0)) END, 7) AS qs
+         |         FROM r0),
+         |mem AS (SELECT coalesce(l.cluster_id, d.doc_id) AS cluster_id, d.doc_id, qual.qs
+         |        FROM documents d
+         |        LEFT JOIN lab l ON l.doc_id = d.doc_id
+         |        JOIN qual ON qual.doc_id = d.doc_id),
+         |w AS (SELECT cluster_id, doc_id, qs,
+         |             row_number() OVER (PARTITION BY cluster_id ORDER BY qs DESC, doc_id) AS rn,
+         |             CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+         |      FROM mem)
+         |SELECT cluster_id, doc_id AS rep_doc_id, qs AS rep_quality, n_members
+         |FROM w WHERE rn = 1""".stripMargin
+    },
     "c1_decontam" ->
       s"""WITH ${sqlShinglesN(5, "doc_id % 20 = 0", "_ev")},
          |${sqlShinglesN(5, "doc_id % 20 <> 0", "_tr")},
@@ -852,6 +926,67 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(hits.n_overlap, CAST(0 AS BIGINT)) AS n_overlap
          |FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
          |WHERE d.doc_id % 20 <> 0""".stripMargin,
+    // The Bloom prefilter is output-invisible (exact recheck removes false
+    // positives), so the oracle is c1's exact overlap restricted to hits.
+    "c3_bloom_decontam" ->
+      s"""WITH ${sqlShinglesN(5, "doc_id % 20 = 0", "_ev")},
+         |${sqlShinglesN(5, "doc_id % 20 <> 0", "_tr")},
+         |ev AS (SELECT DISTINCT h FROM sh_ev)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |FROM sh_tr t JOIN ev ON t.h = ev.h GROUP BY 1""".stripMargin,
+    // Unrolled 5-round integer PageRank: each round is one edge⋈rank join +
+    // dst aggregation, exactly the Spark loop body. All ops integral, so the
+    // replay is bit-exact; sums CAST back to BIGINT (HUGEINT leak rule).
+    "g1_pagerank" -> {
+      val iterCtes = (1 to 5).map { i =>
+        s"r$i AS (SELECT n.node_id, CAST(150000 + (85 * coalesce(inf.s, 0)) // 100 AS BIGINT) AS r\n" +
+        s"        FROM r${i - 1} n LEFT JOIN (\n" +
+        s"          SELECT e.dst AS node_id, CAST(sum(r.r // o.od) AS BIGINT) AS s\n" +
+        s"          FROM edges e JOIN r${i - 1} r ON r.node_id = e.src\n" +
+        s"                       JOIN outd o ON o.src = e.src\n" +
+        s"          GROUP BY e.dst) inf ON inf.node_id = n.node_id)"
+      }.mkString(",\n")
+      s"""WITH ncnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |edges AS (SELECT doc_id AS src,
+         |                 ${sqlSampleKey("('pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))")} % n AS dst
+         |          FROM documents CROSS JOIN generate_series(1, 3) t(j) CROSS JOIN ncnt),
+         |outd AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src),
+         |r0 AS (SELECT doc_id AS node_id, CAST(1000000 AS BIGINT) AS r FROM documents),
+         |$iterCtes
+         |SELECT node_id AS doc_id, r AS rank_scaled FROM r5""".stripMargin
+    },
+    // BM25 replay: same top-10 query-term selection (count DESC, term — a
+    // total order), same quantized-integer formula, same top-20.
+    "t13_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS sumdl,
+        |               CAST((SELECT count(*) FROM documents) AS BIGINT) AS n
+        |        FROM dl),
+        |st AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |qt AS (SELECT term, df FROM st ORDER BY cnt DESC, term LIMIT 10),
+        |sc AS (SELECT tf.doc_id,
+        |              CAST((((n * 16384) // df) * tf * 220 * sumdl) //
+        |                   (100 * tf * sumdl + 30 * sumdl + 90 * dl.dl * n) AS BIGINT) AS s
+        |       FROM tf JOIN qt USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_scaled FROM sc GROUP BY 1)
+        |SELECT doc_id, bm25_scaled FROM agg
+        |ORDER BY bm25_scaled DESC, doc_id LIMIT 20""".stripMargin,
+    "p6_corpus_shuffle" ->
+      s"""WITH k AS (SELECT doc_id,
+         |                  ${sqlSampleKey("('shuf:' || CAST(doc_id AS VARCHAR))")} AS key FROM documents),
+         |s AS (SELECT doc_id, key, key % 64 AS shard FROM k)
+         |SELECT doc_id, shard,
+         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS pos
+         |FROM s""".stripMargin,
+    "x4_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum,
+        |       min(l_extendedprice) AS min_price,
+        |       max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // Composes the d7 closure, the quality-score formula (t2), the c1
     // overlap count, and the p1 bucket into one per-document decision row.
     "c2_curation_pipeline" -> {

@@ -50,6 +50,58 @@ object Curation {
       .select(col("doc_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
   }
 
+  /** [[contamination]] with a Bloom-filter prefilter — the 100 TB shape of
+    * benchmark decontamination. The exact path must eventually join every
+    * corpus-side gram against the eval-gram set; this variant first folds
+    * the eval grams into ONE compact Bloom sketch (a distributed
+    * `BloomFilterAggregate`, partials merged bitwise-OR — 1 MB at the
+    * default sizing, vs an exact distinct-hash frame that grows with the
+    * benchmark suite), ships the sketch to every task as a literal, and
+    * drops the corpus grams that cannot match BEFORE any join. Only the
+    * surviving sliver pays the exact semi-join that removes Bloom false
+    * positives — so the output is EXACTLY the exact computation's flagged
+    * set (Bloom has no false negatives), and the sketch stage is
+    * output-invisible the same way q24's salt is. Output: contaminated
+    * docs only, (doc_id, n_overlap ≥ 1).
+    *
+    * Driver cost: one `head()` of the 1-row sketch. The sketch size is fixed
+    * at build time (`numBits`), not data-dependent; for a real 10⁸-gram
+    * benchmark suite ~8 bits/gram ≈ 100 MB still ships task-side, where an
+    * exact set would not. */
+  def bloomContamination(docs: DataFrame, isEval: Column, n: Int = 5,
+      estimatedGrams: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val train = docs.filter(!isEval)
+    val evalGrams = docs.filter(isEval)
+      .select(explode(graft.functions.GraftColumns.shingleHashes(col("text"), n)).as("h"))
+      .distinct()
+      .cache() // two consumers: the sketch build and the exact verify join
+    val sketch = evalGrams.agg(ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(col("h")),
+        ColumnBridge.expression(lit(estimatedGrams)),
+        ColumnBridge.expression(lit(numBits))).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val trainGrams = train.select(col("doc_id"),
+      explode(graft.functions.GraftColumns.shingleHashes(col("text"), n)).as("h"))
+    val maybe =
+      if (sketch == null) trainGrams.limit(0) // empty eval set → nothing matches
+      else trainGrams.filter(ColumnBridge.column(
+        new BloomFilterMightContain(
+          Literal.create(sketch, BinaryType),
+          ColumnBridge.expression(col("h")))))
+    // Exact recheck: kills false positives; no broadcast hint — AQE picks
+    // (the eval side is benchmark-sized here but candidate-derived frames
+    // must never be force-broadcast).
+    maybe
+      .join(evalGrams, Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** The whole curation flow as one operator — the decision table a
     * pretraining data pipeline materializes per document: quality gate
     * (composite score from [[TextAnalysis.qualityScores]]), near-dup
@@ -166,6 +218,27 @@ object Curation {
         concat_ws(" ", slice(col("t"), col("s"), lit(sizeTokens))).as("chunk_text"),
         size(slice(col("t"), col("s"), lit(sizeTokens))).cast("long").as("n_tok"))
       .withColumn("chunk_fp", TextHash.polyHash(col("chunk_text")))
+  }
+
+  /** Deterministic corpus shuffle + sharding — the "global shuffle" step a
+    * training run needs so epoch order is decorrelated from crawl/ingest
+    * order, without `rand()` (must be reproducible) and without a global
+    * sort (must not serialize). Every doc gets a pseudorandom key
+    * ([[TextHash.sampleKey]] — nonlinear, so sequential ids scatter), its
+    * shard is `key % nShards`, and its training position within the shard
+    * is the rank of (key, doc_id) — a total order. The per-shard windows
+    * run in parallel (one shuffle on shard); no single-partition global
+    * ROW_NUMBER anywhere. Readers consume shards round-robin, which is
+    * exactly how sharded training data is laid out on disk. */
+  def corpusShuffle(docs: DataFrame, nShards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("key"), col("doc_id"))
+    docs
+      .select(col("doc_id"),
+        TextHash.sampleKey(concat(lit("shuf:"), col("doc_id").cast("string"))).as("key"))
+      .withColumn("shard", col("key") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
   }
 
   /** Per-language sampling rates (per mille) for [[stratifiedSample]]:

@@ -500,6 +500,33 @@ object Dedup {
       .withColumn("is_canonical", (col("cluster_id") === col("doc_id")).cast("long"))
   }
 
+  /** Cluster-representative selection — the "which copy do we keep?" policy
+    * on top of [[clusters]]: within every near-dup cluster keep the
+    * HIGHEST-QUALITY member (composite score of
+    * [[TextAnalysis.qualityScores]]), not the arbitrary minimum id — the
+    * policy real curation pipelines want, since the canonical-min-id copy may
+    * be the boilerplate-ridden one. Ties break on the smaller doc_id, so the
+    * choice is a total order and replays identically in the SQL oracle.
+    *
+    * Plan shape: the corpus-sized (doc_id, cluster_id, quality) frame
+    * aggregates ONCE on cluster_id — the lexicographic max over
+    * (quality, -doc_id) structs picks the argmax with map-side partial
+    * aggregation, no per-cluster window sort and no second shuffle. */
+  def clusterReps(docs: DataFrame): DataFrame = {
+    val labeled = clusters(docs, minhashPairs(docs))
+    val quality = TextAnalysis.qualityScores(docs).select(col("doc_id"), col("quality_score"))
+    labeled.join(quality, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("quality_score").as("q"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(
+        col("cluster_id"),
+        (-col("best.neg_id")).as("rep_doc_id"),
+        col("best.q").as("rep_quality"),
+        col("n_members"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): embedding-cosine
     * near-dup pairs from the LSH-pruned scale path
     * ([[Similarity.lshNeighbors]]) resolved into connected components by

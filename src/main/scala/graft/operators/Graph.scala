@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Iterative graph analytics over link tables — the corpus-graph side of a
+  * training-data pipeline (host-level link graphs feed crawl prioritization
+  * and per-domain quality priors; citation graphs feed source weighting).
+  *
+  * PageRank here is ALL-INTEGER fixed point: ranks are scaled BIGINTs
+  * ([[Graph.RankScale]] = 1.0) and every per-round operation is integer
+  * `div`/`*`/`+` — so round results are exact, independent of aggregation
+  * order, and bit-identical in the DuckDB oracle's unrolled replay (a
+  * floating-point formulation would hash-flake on summation order). The
+  * truncation loses < 1e-6 of rank mass per hop, which biases every node
+  * identically and preserves ranking.
+  *
+  * Scale posture (mirrors [[Dedup.clusters]]): each round shuffles only the
+  * edge list (2 longs/edge) joined against the node-sized rank map, then one
+  * aggregation on dst — nothing corpus-sized beyond the node map itself, and
+  * rounds are a fixed constant. Dangling mass (nodes with no out-edges)
+  * simply evaporates; normalize post-hoc if absolute mass matters.
+  */
+object Graph {
+
+  /** Fixed-point scale: rank 1.0 ≡ 1,000,000. */
+  val RankScale = 1000000L
+
+  /** Deterministic synthetic link graph over the documents table: `outDeg`
+    * out-edges per doc with destination `sampleKey("pr:<id>:<j>") % N`.
+    * Multi-edges and self-loops are kept as generated — the generator is a
+    * fixture; the point is a graph both engines derive bit-identically from
+    * the same table (doc_ids are contiguous 0..N-1 in the fixture, so every
+    * destination exists). */
+  def docLinkGraph(docs: DataFrame, outDeg: Int = 3): DataFrame = {
+    val n = docs.count()
+    docs
+      .select(col("doc_id").as("src"), explode(sequence(lit(1), lit(outDeg))).as("j"))
+      .select(
+        col("src"),
+        (TextHash.sampleKey(concat(
+          lit("pr:"), col("src").cast("string"), lit(":"), col("j").cast("string"))) % n)
+          .as("dst"))
+  }
+
+  /** Synchronous PageRank, `iters` rounds of
+    * `r' = (100-dampPct)% + dampPct% · Σ_in (r_src div outdeg_src)`,
+    * all in [[RankScale]] fixed point. `nodes` must have a `node_id`
+    * column; `edges` (src, dst). Nodes never linked keep the base rank. */
+  def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
+      dampPct: Long = 85L): DataFrame = {
+    val e = edges.cache()
+    // (src, dst, od): out-degree attached once, reused every round.
+    val withDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("od")), "src").cache()
+    val base = (100L - dampPct) * RankScale / 100L
+    var ranks = nodes.select(col("node_id"), lit(RankScale).as("r"))
+    for (_ <- 1 to iters) {
+      val inflow = withDeg
+        .join(ranks.select(col("node_id").as("src"), col("r")), Seq("src"))
+        .select(col("dst").as("node_id"), expr("r div od").as("c"))
+        .groupBy("node_id")
+        .agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(inflow, Seq("node_id"), "left")
+        .select(
+          col("node_id"),
+          (lit(base) + expr(s"($dampPct * coalesce(s, CAST(0 AS BIGINT))) div 100"))
+            .as("r"))
+    }
+    ranks.select(col("node_id"), col("r").as("rank_scaled"))
+  }
+}

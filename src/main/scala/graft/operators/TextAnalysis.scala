@@ -179,6 +179,48 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("salience"), col("rank"))
   }
 
+  /** BM25 relevance of every document against a corpus-derived query (the
+    * `kTerms` most frequent tokens — deterministic, so the oracle replays
+    * term selection too). Like [[tfidfTopTerms]], the textbook formula is
+    * re-expressed in EXACT integer arithmetic: `ln` idf becomes the
+    * quantized ratio `(N·2^14) div df`, and the k1/b saturation
+    * (k1=1.2, b=0.75) is cleared of fractions by multiplying numerator and
+    * denominator by `100·Σdl`:
+    *
+    *   score ∝ idfq·tf·220·Σdl  div  (100·tf·Σdl + 30·Σdl + 90·dl·N)
+    *
+    * Every per-term score is a BIGINT, so the per-doc sum is
+    * order-independent and the top-k by (score DESC, doc_id) is a total
+    * order. Integer headroom: max ≈ idfq·tf·220·Σdl ≤ 2^63 holds through
+    * ~10⁷-token corpora; beyond that, drop the ·Σdl factor by pre-dividing
+    * (costs < 1 ulp of ranking resolution).
+    *
+    * Plan: one (doc, term) aggregation (map-side combined), a broadcast of
+    * the 10-row query-term frame, a doc-keyed join for lengths, and a
+    * global top-k (`TakeOrderedAndProject` — no full sort). */
+  def bm25(docs: DataFrame, kTerms: Int = 10, topK: Int = 20): DataFrame = {
+    val n = docs.count()
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .cache() // three consumers: doc lengths, term stats, scoring
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val sumdl = dl.agg(sum(col("dl"))).head().getLong(0)
+    val qterms = tf.groupBy("term")
+      .agg(sum(col("tf")).as("cnt"), count(lit(1)).as("df"))
+      .orderBy(col("cnt").desc, col("term")).limit(kTerms)
+      .select(col("term"), col("df"))
+    tf.join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("idfq", expr(s"(${n}L * 16384L) div df"))
+      .withColumn("s_scaled",
+        expr(s"(idfq * tf * 220L * ${sumdl}L) div " +
+          s"(100L * tf * ${sumdl}L + 30L * ${sumdl}L + 90L * dl * ${n}L)"))
+      .groupBy("doc_id")
+      .agg(sum(col("s_scaled")).as("bm25_scaled"))
+      .orderBy(col("bm25_scaled").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Email / phone patterns, deliberately restricted to syntax with
     * identical semantics in Java regex (Spark) and RE2 (DuckDB oracle). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"

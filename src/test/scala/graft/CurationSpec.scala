@@ -133,4 +133,35 @@ class CurationSpec extends SparkSpec {
     val bo = Curation.chunk(boundary, sizeTokens = 4, overlap = 1).collect()
     assert(bo.map(_.getLong(1)).sorted.toSeq === Seq(0L, 1L))
   }
+
+  test("bloomContamination equals the exact path's flagged set") {
+    val docs = spark.read.parquet(sf("documents"))
+    val isEval = col("doc_id") % 20 === 0
+    val exactFlagged = Curation.contamination(docs, isEval)
+      .filter(col("n_overlap") > 0)
+    val bloom = Curation.bloomContamination(docs, isEval)
+    assert(bloom.count() > 0, "fixture produced no contaminated docs — vacuous test")
+    assert(bloom.except(exactFlagged).isEmpty && exactFlagged.except(bloom).isEmpty)
+  }
+
+  test("bloomContamination: empty eval set flags nothing") {
+    val docs = Seq((1L, "some plain words here")).toDF("doc_id", "text")
+    assert(Curation.bloomContamination(docs, lit(false)).isEmpty)
+  }
+
+  test("corpusShuffle: exhaustive, contiguous per-shard positions, stable") {
+    val docs = spark.read.parquet(sf("documents"))
+    val out = Curation.corpusShuffle(docs, nShards = 8).cache()
+    assert(out.count() === docs.count())
+    assert(out.select("doc_id").distinct().count() === docs.count())
+    // Within every shard, pos is exactly 1..k.
+    val bad = out.groupBy("shard")
+      .agg(count(lit(1)).as("k"), max(col("pos")).as("mx"), min(col("pos")).as("mn"),
+        countDistinct(col("pos")).as("np"))
+      .filter(col("mx") =!= col("k") || col("mn") =!= 1L || col("np") =!= col("k"))
+    assert(bad.isEmpty)
+    // Deterministic across runs.
+    assert(out.except(Curation.corpusShuffle(docs, nShards = 8)).isEmpty)
+    out.unpersist()
+  }
 }

@@ -310,4 +310,28 @@ class DedupSpec extends SparkSpec {
     assert(out(8L) === ((7L, 0L)))
     assert(out(9L) === ((9L, 1L)))
   }
+
+  test("clusterReps keeps the highest-quality member, not the min id") {
+    val base = "the quick brown fox jumps over the lazy dog today"
+    val docs = Seq(
+      // Near-dup pair: 10 is the min id but digit-ridden (lower quality);
+      // 11 is the clean copy — the representative must be 11.
+      (10L, base + " 99999 11111 22222"),
+      (11L, base),
+      (30L, "a completely different clean document about something else entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.clusterReps(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set(10L, 30L)) // cluster labels stay min-id
+    val (rep, repQ, members) = out(10L)
+    assert(rep === 11L, s"expected the clean copy to represent the cluster, got $rep")
+    assert(members === 2L)
+    val (rep30, _, members30) = out(30L)
+    assert(rep30 === 30L && members30 === 1L)
+    // The chosen rep's quality is the cluster max.
+    val q = graft.operators.TextAnalysis.qualityScores(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
+    assert(repQ === math.max(q(10L), q(11L)))
+    assert(q(11L) > q(10L)) // the fixture actually exercises the policy
+  }
 }

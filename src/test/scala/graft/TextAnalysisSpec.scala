@@ -136,4 +136,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === "de")
     assert(out(3L) === "unknown")
   }
+
+  test("bm25: hand-computed quantized scores; docs without query terms drop") {
+    val docs = Seq(
+      (0L, "a a a b"),             // tf(a)=3, dl=4
+      (1L, "a b c d e f g h"),     // tf(a)=1, dl=8
+      (2L, "x y z w")              // no 'a' → no row
+    ).toDF("doc_id", "text")
+    // N=3, Σdl=16; top-1 term is 'a' (count 4), df=2 → idfq = 3·16384 div 2 = 24576.
+    // d0: (24576·3·220·16) div (100·3·16 + 30·16 + 90·4·3) = 259522560 div 6360 = 40805
+    // d1: (24576·1·220·16) div (100·1·16 + 30·16 + 90·8·3) =  86507520 div 4240 = 20402
+    val out = TextAnalysis.bm25(docs, kTerms = 1, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((0L, 40805L), (1L, 20402L)))
+  }
 }
