@@ -160,6 +160,30 @@ object ScalingProbe {
     }
     println(s"[scale]   incremental pairs total: $incPairs (batch run found 5120)")
 
+    // Bloom-prefilter decontamination at 100k docs: replicas are
+    // Caesar-rotated, so eval docs only contaminate their own replica —
+    // contamination density stays fixture-like while the corpus-side gram
+    // stream grows 20×. The probe times the sketch build + prefilter +
+    // exact verify end-to-end; the point is the corpus side never joins
+    // un-prefiltered.
+    time("bloom_decontam_100k_docs")(
+      graft.operators.Curation.bloomContamination(
+        bigDocs, col("doc_id") % 20 === 0).count())
+    // BM25 at 100k docs: one (doc, term) aggregation + 10-row broadcast +
+    // top-k; the scoring itself is integer-only.
+    time("bm25_100k_docs")(
+      graft.operators.TextAnalysis.bm25(bigDocs).count())
+    // Deterministic epoch shuffle at 100k: per-shard windows, no global sort.
+    time("corpus_shuffle_100k_docs")(
+      graft.operators.Curation.corpusShuffle(bigDocs).count())
+    // Integer PageRank over 100k nodes / 300k edges, 5 synchronous rounds:
+    // each round shuffles the edge list against the node-sized rank map.
+    time("pagerank_100k_nodes") {
+      val nodes = bigDocs.select(col("doc_id").as("node_id"))
+      graft.operators.Graph.pagerank(
+        nodes, graft.operators.Graph.docLinkGraph(bigDocs)).count()
+    }
+
     bigDocs.unpersist(blocking = true)
 
     // ---- embeddings ×50 → 100k vectors, LSH ANN ----

@@ -532,6 +532,17 @@ object SparkEntry {
     // BM25 against the corpus's own top-10 vocabulary as the query —
     // quantized-integer scoring, global top-20 by (score, doc_id).
     "t13_bm25" -> ((s, d) => TextAnalysis.bm25(Tables.documents(s, d))),
+    // Host-level curation stats over deterministically synthesized URLs
+    // (the fixture has none — same convention as t9's PII augmentation);
+    // quality mass summed as quantized BIGINTs for order-independence.
+    "t14_url_hosts" -> ((s, d) =>
+      Curation.hostStats(Tables.documents(s, d).withColumn(
+        "url",
+        concat(
+          lit("https://h"),
+          (graft.functions.TextHash.sampleKey(
+            concat(lit("host:"), col("doc_id").cast("string"))) % 50).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"))))),
     // Fixed-width price histogram — profiling surface; integral bin ids and
     // order-independent aggregates only (BIGINT sum / min / max).
     "x4_histogram" -> ((s, d) =>
@@ -973,6 +984,39 @@ object SparkEntry {
         |agg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_scaled FROM sc GROUP BY 1)
         |SELECT doc_id, bm25_scaled FROM agg
         |ORDER BY bm25_scaled DESC, doc_id LIMIT 20""".stripMargin,
+    // Same synthesized URLs, t2's quality formula, quantized-BIGINT mass.
+    "t14_url_hosts" -> {
+      val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH u AS (SELECT doc_id,
+         |                 'https://h' || CAST(${sqlSampleKey("('host:' || CAST(doc_id AS VARCHAR))")} % 50 AS VARCHAR)
+         |                 || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+         |          FROM documents),
+         |hh AS (SELECT doc_id, regexp_extract(url, '^https?://([^/]+)/', 1) AS host FROM u),
+         |q0 AS (SELECT doc_id,
+         |              CAST(length(text) AS BIGINT) AS n_chars,
+         |              CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
+         |              CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'), w -> w IN ($stop))) AS BIGINT) AS n_stop,
+         |              CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+         |       FROM documents),
+         |r0 AS (SELECT doc_id,
+         |              CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mtl,
+         |              CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS sr,
+         |              CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE) AS dr,
+         |              n_tokens
+         |       FROM q0),
+         |qual AS (SELECT doc_id,
+         |                round(CASE WHEN n_tokens < 5 THEN 0.0
+         |                           ELSE 0.5 * least(sr * 4.0, 1.0)
+         |                              + 0.3 * (CASE WHEN mtl >= 3.0 AND mtl <= 8.0 THEN 1.0 ELSE 0.0 END)
+         |                              + 0.2 * (1.0 - least(dr * 10.0, 1.0)) END, 7) AS qs
+         |         FROM r0),
+         |g AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(CAST(round(qs * 10000000.0, 0) AS BIGINT)) AS BIGINT) AS qsum_scaled
+         |      FROM hh JOIN qual ON qual.doc_id = hh.doc_id GROUP BY host)
+         |SELECT host, n_docs, qsum_scaled,
+         |       round(CAST(qsum_scaled AS DOUBLE) / 10000000.0 / CAST(n_docs AS DOUBLE), 7) AS mean_quality
+         |FROM g""".stripMargin
+    },
     "p6_corpus_shuffle" ->
       s"""WITH k AS (SELECT doc_id,
          |                  ${sqlSampleKey("('shuf:' || CAST(doc_id AS VARCHAR))")} AS key FROM documents),

@@ -241,6 +241,33 @@ object Curation {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** URL-host curation statistics — the RefinedWeb-style "judge the source,
+    * not just the page" step: extract the host from each document's URL and
+    * aggregate per-host document counts and quality mass, the evidence
+    * behind host-level allow/deny decisions (a host whose mean quality is
+    * low gets blocked wholesale, which is both cheaper and more robust than
+    * per-page filtering at crawl scale).
+    *
+    * Quality mass is summed as a QUANTIZED BIGINT (`round(q·10^7)`) so the
+    * per-host sum is order-independent (a double sum would flake the
+    * cross-engine hash); the mean divides once at the end — a fixed
+    * two-division expression, deterministic in IEEE. Plan: per-row regex
+    * host extraction, one doc-keyed join, one host aggregation with
+    * map-side combine. Host cardinality ≪ corpus, so the shuffle is tiny. */
+  def hostStats(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityScores(docs).select(col("doc_id"), col("quality_score"))
+    docs
+      .select(col("doc_id"), regexp_extract(col("url"), "^https?://([^/]+)/", 1).as("host"))
+      .join(q, Seq("doc_id"))
+      .groupBy("host")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(round(col("quality_score") * 1e7d, 0).cast("long")).as("qsum_scaled"))
+      .withColumn(
+        "mean_quality",
+        round(col("qsum_scaled").cast("double") / 1e7d / col("n_docs").cast("double"), 7))
+  }
+
   /** Per-language sampling rates (per mille) for [[stratifiedSample]]:
     * downsample the over-represented head language hard, keep mid languages
     * at a third, keep the tail whole — the standard rebalancing move when

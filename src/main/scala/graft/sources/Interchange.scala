@@ -43,6 +43,16 @@ object Interchange {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
+  /** ORC round-trip — the other columnar lake format. Schema travels with
+    * the file (no explicit schema needed on read), predicates and column
+    * pruning push into the scan like parquet; snappy to match the parquet
+    * sink's codec choice. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "snappy").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")
       .option("header", "true")

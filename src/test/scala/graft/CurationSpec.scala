@@ -149,6 +149,25 @@ class CurationSpec extends SparkSpec {
     assert(Curation.bloomContamination(docs, lit(false)).isEmpty)
   }
 
+  test("hostStats aggregates quantized quality mass per extracted host") {
+    val docs = Seq(
+      (1L, "the cat and the dog sat on the mat together", "https://a.example.com/p/1"),
+      (2L, "the cat and the dog sat on the mat together", "https://a.example.com/p/2"),
+      (3L, "99 88 77 66 55 44", "http://b.example.com/x")
+    ).toDF("doc_id", "text", "url")
+    val out = Curation.hostStats(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val q = graft.operators.TextAnalysis.qualityScores(docs.select(col("doc_id"), col("text")))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
+    val (nA, qsumA, meanA) = out("a.example.com")
+    assert(nA === 2L)
+    assert(qsumA === 2L * math.round(q(1L) * 1e7)) // docs 1,2 identical text
+    assert(math.abs(meanA - q(1L)) < 1e-6)
+    val (nB, _, meanB) = out("b.example.com")
+    assert(nB === 1L)
+    assert(meanB < meanA) // the digit-ridden host scores below the clean one
+  }
+
   test("corpusShuffle: exhaustive, contiguous per-shard positions, stable") {
     val docs = spark.read.parquet(sf("documents"))
     val out = Curation.corpusShuffle(docs, nShards = 8).cache()

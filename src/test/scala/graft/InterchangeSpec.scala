@@ -45,6 +45,23 @@ class InterchangeSpec extends SparkSpec {
     assert(norm(back) === norm(rows))
   }
 
+  test("orc roundtrip preserves rows and pushes predicates into the scan") {
+    val docs = Seq(
+      (1L, "plain text", "en"),
+      (2L, "comma, \"quoted\", and {\"fake\": \"json\"}", "de"),
+      (3L, "line\nbreak and unicode é中文", "fr"),
+      (4L, "", "es")).toDF("doc_id", "text", "lang")
+    val dir = Files.createTempDirectory("graft_orc").toString + "/docs"
+    Interchange.writeOrc(docs, dir)
+    val back = Interchange.readOrc(spark, dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      docs.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("doc_id").collect().toSeq === docs.orderBy("doc_id").collect().toSeq)
+    // Predicate reaches the ORC scan (same contract the parquet paths get).
+    val plan = back.filter(col("doc_id") === 2L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("doc_id"), plan)
+  }
+
   test("corrupt jsonl: FAILFAST throws; permissive quarantines the raw line") {
     val dir = Files.createTempDirectory("graft_badjsonl").toString
     java.nio.file.Files.write(

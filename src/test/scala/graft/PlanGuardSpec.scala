@@ -47,6 +47,38 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("c3 bloom decontam: sketch prefilter sits below the exact semi-join") {
+    val p = plan("c3_bloom_decontam")
+    // The literal-sketch might_contain must filter the corpus-side grams
+    // BEFORE the semi-join (that ordering IS the operator's point).
+    assert(p.contains("might_contain"), p)
+    val semiIdx = p.indexOf("LeftSemi")
+    val mcIdx = p.indexOf("might_contain")
+    assert(semiIdx >= 0 && mcIdx > semiIdx,
+      s"might_contain should appear under (after, in tree print order) the semi-join\n$p")
+    // Candidate-derived side must not be force-broadcast.
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t13 bm25: global top-k via TakeOrderedAndProject, query terms broadcast") {
+    val p = plan("t13_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // the 10-row term frame
+  }
+
+  test("p6 corpus shuffle: windows partition by shard — no single-partition sort") {
+    val p = plan("p6_corpus_shuffle")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("Exchange hashpartitioning(shard"), p)
+  }
+
+  test("g1 pagerank: rank map joins shuffle; no broadcast of the growing side") {
+    val p = plan("g1_pagerank")
+    // 5 rounds of edge⋈rank joins: every join is a real hash/merge join,
+    // never a nested-loop fallback.
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q1 saved analytics: dimension join broadcasts, filter reaches the scan") {
     val p = plan("q1_total_distinct")
     assert(p.contains("BroadcastHashJoin"), p)
