@@ -532,6 +532,12 @@ object SparkEntry {
     // BM25 against the corpus's own top-10 vocabulary as the query —
     // quantized-integer scoring, global top-20 by (score, doc_id).
     "t13_bm25" -> ((s, d) => TextAnalysis.bm25(Tables.documents(s, d))),
+    // BPE tokenizer training's inner statistic: top adjacent-char pairs
+    // within tokens — the first merge candidates, totally ordered.
+    "t15_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(Tables.documents(s, d))),
+    // Bigram-LM quality scoring (CCNet-style): quantized-integer
+    // conditional probabilities, order-independent per-doc sums.
+    "t16_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
     // Host-level curation stats over deterministically synthesized URLs
     // (the fixture has none — same convention as t9's PII augmentation);
     // quality mass summed as quantized BIGINTs for order-independence.
@@ -984,6 +990,30 @@ object SparkEntry {
         |agg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_scaled FROM sc GROUP BY 1)
         |SELECT doc_id, bm25_scaled FROM agg
         |ORDER BY bm25_scaled DESC, doc_id LIMIT 20""".stripMargin,
+    "t15_bpe_pairs" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS tok FROM documents),
+        |p AS (SELECT substr(tok, i, 2) AS pair
+        |      FROM toks, LATERAL (SELECT unnest(generate_series(1, length(tok) - 1)) AS i) g
+        |      WHERE length(tok) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "t16_lm_score" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
+        |bi AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |       FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+        |       WHERE len(t) >= 2),
+        |ctx AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_ctx FROM bi GROUP BY w1),
+        |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bg FROM bi GROUP BY w1, w2),
+        |sc AS (SELECT bi.doc_id, CAST((bg.n_bg * 1048576) // ctx.n_ctx AS BIGINT) AS p_scaled
+        |       FROM bi JOIN bg ON bg.w1 = bi.w1 AND bg.w2 = bi.w2
+        |               JOIN ctx ON ctx.w1 = bi.w1),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |               CAST(sum(p_scaled) AS BIGINT) AS lm_scaled
+        |        FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, lm_scaled,
+        |       round(CAST(lm_scaled AS DOUBLE) / 1048576.0 / CAST(n_bigrams AS DOUBLE), 7) AS lm_avg
+        |FROM agg""".stripMargin,
     // Same synthesized URLs, t2's quality formula, quantized-BIGINT mass.
     "t14_url_hosts" -> {
       val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")

@@ -221,6 +221,58 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** BPE merge-candidate mining — the inner statistic of byte-pair-encoding
+    * tokenizer training: counts of adjacent CHARACTER pairs within tokens,
+    * ranked by (count DESC, pair ASC). The top row is exactly the first
+    * merge BPE training would perform; re-running after applying a merge
+    * iterates the training loop. One explode → count aggregation
+    * (map-side combined) and a global top-k — the same shape at any corpus
+    * size; pair cardinality is alphabet², so the shuffle is tiny. */
+  def bpePairs(docs: DataFrame, k: Int = 20): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(k)
+
+  /** Statistical LM quality scoring (the CCNet/KenLM-filter shape): score
+    * each document by the average corpus-conditional probability of its
+    * word bigrams. P(w2|w1) is QUANTIZED to `(n_bigram · 2^20) div n_context`
+    * — integer division instead of log-space floats, so per-doc sums are
+    * order-independent BIGINTs and the oracle replays bit-exactly (same
+    * trade as [[tfidfTopTerms]]: monotone, exact, portable). High-perplexity
+    * (low-probability) documents — the gibberish/boilerplate tail — score
+    * low and get filtered.
+    *
+    * Plan: bigram instances join the corpus bigram-count and context-count
+    * tables (two shuffle joins on uniform token keys — vocabulary-sized
+    * sides, NOT broadcast since real vocabularies aren't bounded), then one
+    * per-doc aggregation. Docs with fewer than 2 tokens have no bigrams and
+    * drop out (no P(·) is defined for them). */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val bi = docs
+      .select(col("doc_id"), t.as("t"))
+      // sequence() counts DOWN for start > stop (same pitfall as shingles),
+      // and t[size] would null-pad a bogus bigram — guard short docs out.
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS w1, t[i] AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val ctx = bi.groupBy(col("w1")).agg(count(lit(1)).as("n_ctx"))
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_bg"))
+    bi.join(big, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .withColumn("p_scaled", expr("(n_bg * 1048576L) div n_ctx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("lm_scaled"))
+      .withColumn(
+        "lm_avg",
+        round(col("lm_scaled").cast("double") / 1048576.0d / col("n_bigrams").cast("double"), 7))
+  }
+
   /** Email / phone patterns, deliberately restricted to syntax with
     * identical semantics in Java regex (Spark) and RE2 (DuckDB oracle). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"

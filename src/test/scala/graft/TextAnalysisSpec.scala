@@ -150,4 +150,26 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq === Seq((0L, 40805L), (1L, 20402L)))
   }
+
+  test("bpePairs counts adjacent char pairs within tokens, single chars drop") {
+    val docs = Seq((1L, "abc ab x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairs(docs).collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(out.toSeq === Seq("ab" -> 2L, "bc" -> 1L)) // 'x' has no pair
+  }
+
+  test("lmScore: quantized conditional probabilities, short docs drop") {
+    val docs = Seq(
+      (1L, "x y x z"), // bigrams (x,y),(y,x),(x,z)
+      (2L, "x y"),     // (x,y)
+      (3L, "solo")     // no bigrams → no row
+    ).toDF("doc_id", "text")
+    // ctx: x=3, y=1; bg: (x,y)=2, (y,x)=1, (x,z)=1
+    // p(x,y) = 2·2^20 div 3 = 699050; p(x,z) = 2^20 div 3 = 349525; p(y,x) = 2^20
+    val out = TextAnalysis.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L)._1 === 3L && out(1L)._2 === (699050L + 1048576L + 349525L))
+    assert(out(2L)._1 === 1L && out(2L)._2 === 699050L)
+    assert(math.abs(out(1L)._3 - 0.6666663) < 1e-7)
+  }
 }
