@@ -532,6 +532,33 @@ object SparkEntry {
     // BM25 against the corpus's own top-10 vocabulary as the query —
     // quantized-integer scoring, global top-20 by (score, doc_id).
     "t13_bm25" -> ((s, d) => TextAnalysis.bm25(Tables.documents(s, d))),
+    // Typed JSON parse (from_json with an explicit schema — the FAILFAST
+    // cousin of j1's path extraction) feeding integer-only aggregates.
+    "j2_json_stats" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("from_json(props, 'k INT')").getField("k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"))),
+    // MapType surface: per-user event-type histogram built as a map column
+    // (map_from_entries over a sorted entry list), consumed via element_at;
+    // output is flat so the oracle replays it as conditional counts.
+    "q28_map_funcs" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("event_type"), col("n"))))).as("m"))
+        .select(
+          col("user_id"),
+          coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"),
+          coalesce(element_at(col("m"), "signup"), lit(0L)).as("n_signup"),
+          size(col("m")).cast("long").as("n_types"))),
     // BPE tokenizer training's inner statistic: top adjacent-char pairs
     // within tokens — the first merge candidates, totally ordered.
     "t15_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(Tables.documents(s, d))),
@@ -990,6 +1017,19 @@ object SparkEntry {
         |agg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_scaled FROM sc GROUP BY 1)
         |SELECT doc_id, bm25_scaled FROM agg
         |ORDER BY bm25_scaled DESC, doc_id LIMIT 20""".stripMargin,
+    "j2_json_stats" ->
+      """WITH p AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(k) AS BIGINT) AS k_sum,
+        |       CAST(min(k) AS BIGINT) AS k_min,
+        |       CAST(max(k) AS BIGINT) AS k_max
+        |FROM p GROUP BY event_type""".stripMargin,
+    "q28_map_funcs" ->
+      """SELECT user_id,
+        |       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+        |       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+        |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM events GROUP BY user_id""".stripMargin,
     "t15_bpe_pairs" ->
       """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS tok FROM documents),
         |p AS (SELECT substr(tok, i, 2) AS pair

@@ -210,4 +210,60 @@ class PropertySpec extends SparkSpec {
       assert(salted === base)
     }
   }
+
+  test("property: pagerank mass bounds and no-in-edge base rank on random graphs") {
+    val gen: Gen[(Int, List[(Long, Long)])] = for {
+      n <- Gen.chooseNum(5, 15)
+      m <- Gen.chooseNum(5, 30)
+      es <- Gen.listOfN(m, for {
+        s <- Gen.chooseNum(0, n - 1); d <- Gen.chooseNum(0, n - 1)
+      } yield (s.toLong, d.toLong))
+    } yield (n, es)
+    forAll(gen, cases = 3) { case (n, es) =>
+      val nodes = (0L until n.toLong).toDF("node_id")
+      val edges = es.toDF("src", "dst")
+      val ranks = graft.operators.Graph.pagerank(nodes, edges, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val scale = graft.operators.Graph.RankScale
+      assert(ranks.size === n)
+      // Truncating integer division only loses mass; base is the floor.
+      assert(ranks.values.sum <= n * scale)
+      assert(ranks.values.forall(_ >= 15L * scale / 100L))
+      // A node nothing links to sits exactly at the base rank.
+      val dsts = es.map(_._2).toSet
+      (0L until n.toLong).filterNot(dsts).foreach(v => assert(ranks(v) === 15L * scale / 100L))
+    }
+  }
+
+  test("property: bpePairs total count equals the sum of per-token pair counts") {
+    val tokGen: Gen[List[String]] = Gen.chooseNum(3, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 6).flatMap(l => Gen.stringOfN(l, Gen.alphaLowerChar))))
+    forAll(tokGen, cases = 3) { toks =>
+      val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val out = graft.operators.TextAnalysis.bpePairs(docs, k = 10000).collect()
+      val expected = toks.filter(_.length >= 2).map(_.length - 1).sum
+      assert(out.map(_.getLong(1)).sum === expected)
+      // Reference count for one specific pair.
+      val ref = toks.flatMap(t => t.sliding(2).filter(_.length == 2)).groupBy(identity)
+      out.foreach(r => assert(ref(r.getString(0)).size.toLong === r.getLong(1)))
+    }
+  }
+
+  test("property: lmScore sums and bounds — p_scaled never exceeds 2^20") {
+    val tokGen: Gen[List[List[String]]] = Gen.chooseNum(2, 5).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(2, 8).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")))))
+    forAll(tokGen, cases = 3) { docToks =>
+      val docs = docToks.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val out = graft.operators.TextAnalysis.lmScore(docs).collect()
+      val totalBigrams = docToks.map(ts => math.max(ts.size - 1, 0)).sum
+      assert(out.map(_.getLong(1)).sum === totalBigrams)
+      // Per-doc mean conditional probability can't exceed 1.0 in fixed point.
+      out.foreach { r =>
+        assert(r.getLong(2) <= r.getLong(1) * (1L << 20))
+        assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+      }
+    }
+  }
 }
