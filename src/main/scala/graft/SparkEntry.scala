@@ -110,6 +110,32 @@ object SparkEntry {
        |              ${sqlPolyHash("shingle")} + ${sqlPolyHash("reverse(shingle)")} * (CAST(1 AS BIGINT) << 30) AS h
        |       FROM shs$tag)""".stripMargin
 
+  /** Shared SQL fragment: the t2 composite-quality formula as a CTE chain
+    * ending in `qual(doc_id, qs)` (mirrors [[TextAnalysis.qualityScores]]).
+    * Single source for every oracle that replays quality (c2, d9, t14) —
+    * a formula tweak must not be able to drift between their replays. */
+  private def sqlQualityCtes: String = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""q0 AS (SELECT doc_id,
+       |              CAST(length(text) AS BIGINT) AS n_chars,
+       |              CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
+       |              CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'), w -> w IN ($stop))) AS BIGINT) AS n_stop,
+       |              CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+       |       FROM documents),
+       |r0 AS (SELECT doc_id,
+       |              CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mtl,
+       |              CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS sr,
+       |              CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE) AS dr,
+       |              n_tokens
+       |       FROM q0),
+       |qual AS (SELECT doc_id,
+       |                round(CASE WHEN n_tokens < 5 THEN 0.0
+       |                           ELSE 0.5 * least(sr * 4.0, 1.0)
+       |                              + 0.3 * (CASE WHEN mtl >= 3.0 AND mtl <= 8.0 THEN 1.0 ELSE 0.0 END)
+       |                              + 0.2 * (1.0 - least(dr * 10.0, 1.0)) END, 7) AS qs
+       |         FROM r0)""".stripMargin
+  }
+
   /** Shared SQL fragment: the full MinHash+LSH near-dup replay (mirrors
     * [[graft.operators.Dedup.minhashPairs]]), ending in a `pairs` CTE —
     * consumed by the d3 oracle directly and by d7's connected-components
@@ -532,6 +558,19 @@ object SparkEntry {
     // BM25 against the corpus's own top-10 vocabulary as the query —
     // quantized-integer scoring, global top-20 by (score, doc_id).
     "t13_bm25" -> ((s, d) => TextAnalysis.bm25(Tables.documents(s, d))),
+    // Date-function surface: calendar-day truncation + day-of-week
+    // bucketing (Sun=0 to match the oracle engine's convention); the value
+    // sum is quantized to integer cents for order-independence.
+    "q29_date_funcs" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          to_date(col("ts")).as("day"),
+          (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+          col("value"))
+        .groupBy(col("day"), col("dow"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("value_cents"))),
     // Typed JSON parse (from_json with an explicit schema — the FAILFAST
     // cousin of j1's path extraction) feeding integer-only aggregates.
     "j2_json_stats" -> ((s, d) =>
@@ -924,7 +963,6 @@ object SparkEntry {
     // d7's closure + t2's quality formula → per-cluster argmax by
     // (quality DESC, doc_id ASC) — the total order the struct-max replays.
     "d9_cluster_rep" -> {
-      val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
       s"""WITH RECURSIVE $sqlMinhashPairCtes,
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION SELECT doc_b, doc_a FROM pairs),
@@ -932,24 +970,7 @@ object SparkEntry {
          |          UNION
          |          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v),
          |lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
-         |q0 AS (SELECT doc_id,
-         |              CAST(length(text) AS BIGINT) AS n_chars,
-         |              CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
-         |              CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'), w -> w IN ($stop))) AS BIGINT) AS n_stop,
-         |              CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
-         |       FROM documents),
-         |r0 AS (SELECT doc_id,
-         |              CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mtl,
-         |              CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS sr,
-         |              CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE) AS dr,
-         |              n_tokens
-         |       FROM q0),
-         |qual AS (SELECT doc_id,
-         |                round(CASE WHEN n_tokens < 5 THEN 0.0
-         |                           ELSE 0.5 * least(sr * 4.0, 1.0)
-         |                              + 0.3 * (CASE WHEN mtl >= 3.0 AND mtl <= 8.0 THEN 1.0 ELSE 0.0 END)
-         |                              + 0.2 * (1.0 - least(dr * 10.0, 1.0)) END, 7) AS qs
-         |         FROM r0),
+         |$sqlQualityCtes,
          |mem AS (SELECT coalesce(l.cluster_id, d.doc_id) AS cluster_id, d.doc_id, qual.qs
          |        FROM documents d
          |        LEFT JOIN lab l ON l.doc_id = d.doc_id
@@ -1017,6 +1038,12 @@ object SparkEntry {
         |agg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_scaled FROM sc GROUP BY 1)
         |SELECT doc_id, bm25_scaled FROM agg
         |ORDER BY bm25_scaled DESC, doc_id LIMIT 20""".stripMargin,
+    "q29_date_funcs" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |       CAST(dayofweek(ts) AS BIGINT) AS dow,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "j2_json_stats" ->
       """WITH p AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -1056,30 +1083,12 @@ object SparkEntry {
         |FROM agg""".stripMargin,
     // Same synthesized URLs, t2's quality formula, quantized-BIGINT mass.
     "t14_url_hosts" -> {
-      val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
       s"""WITH u AS (SELECT doc_id,
          |                 'https://h' || CAST(${sqlSampleKey("('host:' || CAST(doc_id AS VARCHAR))")} % 50 AS VARCHAR)
          |                 || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
          |          FROM documents),
          |hh AS (SELECT doc_id, regexp_extract(url, '^https?://([^/]+)/', 1) AS host FROM u),
-         |q0 AS (SELECT doc_id,
-         |              CAST(length(text) AS BIGINT) AS n_chars,
-         |              CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
-         |              CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'), w -> w IN ($stop))) AS BIGINT) AS n_stop,
-         |              CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
-         |       FROM documents),
-         |r0 AS (SELECT doc_id,
-         |              CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mtl,
-         |              CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS sr,
-         |              CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE) AS dr,
-         |              n_tokens
-         |       FROM q0),
-         |qual AS (SELECT doc_id,
-         |                round(CASE WHEN n_tokens < 5 THEN 0.0
-         |                           ELSE 0.5 * least(sr * 4.0, 1.0)
-         |                              + 0.3 * (CASE WHEN mtl >= 3.0 AND mtl <= 8.0 THEN 1.0 ELSE 0.0 END)
-         |                              + 0.2 * (1.0 - least(dr * 10.0, 1.0)) END, 7) AS qs
-         |         FROM r0),
+         |$sqlQualityCtes,
          |g AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
          |             CAST(sum(CAST(round(qs * 10000000.0, 0) AS BIGINT)) AS BIGINT) AS qsum_scaled
          |      FROM hh JOIN qual ON qual.doc_id = hh.doc_id GROUP BY host)
@@ -1104,7 +1113,6 @@ object SparkEntry {
     // Composes the d7 closure, the quality-score formula (t2), the c1
     // overlap count, and the p1 bucket into one per-document decision row.
     "c2_curation_pipeline" -> {
-      val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
       s"""WITH RECURSIVE $sqlMinhashPairCtes,
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION SELECT doc_b, doc_a FROM pairs),
@@ -1112,24 +1120,7 @@ object SparkEntry {
          |          UNION
          |          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v),
          |lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
-         |q0 AS (SELECT doc_id,
-         |              CAST(length(text) AS BIGINT) AS n_chars,
-         |              CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
-         |              CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'), w -> w IN ($stop))) AS BIGINT) AS n_stop,
-         |              CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
-         |       FROM documents),
-         |r0 AS (SELECT doc_id,
-         |              CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mtl,
-         |              CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS sr,
-         |              CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE) AS dr,
-         |              n_tokens
-         |       FROM q0),
-         |qual AS (SELECT doc_id,
-         |                round(CASE WHEN n_tokens < 5 THEN 0.0
-         |                           ELSE 0.5 * least(sr * 4.0, 1.0)
-         |                              + 0.3 * (CASE WHEN mtl >= 3.0 AND mtl <= 8.0 THEN 1.0 ELSE 0.0 END)
-         |                              + 0.2 * (1.0 - least(dr * 10.0, 1.0)) END, 7) AS qs
-         |         FROM r0),
+         |$sqlQualityCtes,
          |${sqlShinglesN(5, "doc_id % 20 = 0", "_ev")},
          |${sqlShinglesN(5, "doc_id % 20 <> 0", "_tr")},
          |ev AS (SELECT DISTINCT h FROM sh_ev),

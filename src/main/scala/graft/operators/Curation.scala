@@ -114,10 +114,17 @@ object Curation {
     * Plan shape: three doc-keyed narrow joins (score, cluster label,
     * contamination count) onto a single corpus scan — each side carries a
     * handful of longs per doc, never text. */
-  def pipeline(docs: DataFrame, isEval: Column, qualityMin: Double = 0.6): DataFrame = {
+  def pipeline(docs: DataFrame, isEval: Column, qualityMin: Double = 0.6): DataFrame =
+    pipeline(docs, isEval, qualityMin, Dedup.clusters(docs, Dedup.minhashPairs(docs)))
+
+  /** [[pipeline]] over precomputed cluster labels — flows that already
+    * resolved near-dup components (or want a different pair source) pass
+    * them in instead of re-running MinHash+LSH+closure. `clusters` must
+    * carry (doc_id, cluster_id, is_canonical). */
+  def pipeline(docs: DataFrame, isEval: Column, qualityMin: Double,
+      clusters: DataFrame): DataFrame = {
     val quality = TextAnalysis.qualityScores(docs)
       .select(col("doc_id"), col("quality_score"))
-    val clusters = Dedup.clusters(docs, Dedup.minhashPairs(docs))
     val contam = contamination(docs, isEval)
     docs
       .select(

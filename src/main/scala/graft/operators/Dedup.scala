@@ -512,8 +512,15 @@ object Dedup {
     * aggregates ONCE on cluster_id — the lexicographic max over
     * (quality, -doc_id) structs picks the argmax with map-side partial
     * aggregation, no per-cluster window sort and no second shuffle. */
-  def clusterReps(docs: DataFrame): DataFrame = {
-    val labeled = clusters(docs, minhashPairs(docs))
+  def clusterReps(docs: DataFrame): DataFrame =
+    clusterReps(docs, minhashPairs(docs))
+
+  /** [[clusterReps]] over a precomputed pair list — curation flows that
+    * already ran [[minhashPairs]] (or any other pair source: SimHash,
+    * embedding-cosine) should pass it in rather than paying the LSH
+    * pipeline again. */
+  def clusterReps(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labeled = clusters(docs, pairs)
     val quality = TextAnalysis.qualityScores(docs).select(col("doc_id"), col("quality_score"))
     labeled.join(quality, Seq("doc_id"))
       .groupBy(col("cluster_id"))
