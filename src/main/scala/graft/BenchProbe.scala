@@ -21,6 +21,18 @@ object BenchProbe {
       val t0 = System.nanoTime(); val n = f
       println(f"[probe] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
+    // With query names as args: time just those SparkEntry queries (warm
+    // run after an untimed one) and exit — targeted regression checks
+    // without the full Bench sweep.
+    if (args.nonEmpty) {
+      args.foreach { name =>
+        val q = SparkEntry.queries(name)
+        q(spark, sfDir).write.format("noop").mode("overwrite").save()
+        time(name)(q(spark, sfDir).count())
+      }
+      spark.stop()
+      return
+    }
     val docs = Tables.documents(spark, sfDir)
     time("shingles") { Dedup.shingleHashes(docs).count() }
     val sh = Dedup.shingleHashes(docs).cache()

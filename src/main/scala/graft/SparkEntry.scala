@@ -466,7 +466,13 @@ object SparkEntry {
     // never decodes verifies the decoder's pixel arithmetic.
     "m3_real_codec" -> ((s, d) =>
       Multimodal.extractFeatures(
-        Multimodal.synthesizePngs(Tables.documents(s, d).select(col("doc_id"))),
+        Multimodal.synthesizePngs(
+          // The fixture is one parquet file → one input split; codec work
+          // must scale with cores, not files, so fan the ids out first
+          // (the shuffle moves 8-byte rows; the encode/decode is ~all the
+          // cost). Same move a real pipeline makes before expensive
+          // per-row work behind a coarse-grained source.
+          Tables.documents(s, d).select(col("doc_id")).repartition(64)),
         Multimodal.ImageIoCodec)
         .select(
           col("doc_id"),

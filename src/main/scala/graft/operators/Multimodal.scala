@@ -50,6 +50,13 @@ object Multimodal {
     * formats. Throws on undecodable payloads — a corrupt image in a real
     * pipeline should surface per-row, not silently produce features. */
   object ImageIoCodec extends Codec {
+    // ImageIO defaults to a DISK-backed stream cache — every read/write
+    // round-trips a temp file, which dominates decode time for small
+    // images. Byte-array payloads never need it; memory-only is both
+    // faster and container-friendly (no /tmp churn). Set once per JVM at
+    // first codec touch (object init runs on each executor).
+    javax.imageio.ImageIO.setUseCache(false)
+
     def decode(payload: Array[Byte]): (Int, Int, Int, Double) = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       require(img != null, s"payload (${payload.length} bytes) is not a decodable image")
@@ -139,6 +146,7 @@ object Multimodal {
       StructField("payload", BinaryType)))
     val encoder = org.apache.spark.sql.Encoders.row(schema)
     ids.select(col("doc_id").cast("long")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // memory-only streams (see ImageIoCodec)
       it.map { r =>
         val id = r.getLong(0)
         val w = (id % 16).toInt + 1
