@@ -173,6 +173,11 @@ object ScalingProbe {
     // top-k; the scoring itself is integer-only.
     time("bm25_100k_docs")(
       graft.operators.TextAnalysis.bm25(bigDocs).count())
+    // Bigram-LM scoring at 100k docs: natural-language token streams are
+    // Zipfian, so the bigram/context count joins carry hot head-token keys
+    // — AQE's skew-join split keeps those partitions bounded.
+    time("lm_score_100k_docs")(
+      graft.operators.TextAnalysis.lmScore(bigDocs).count())
     // Deterministic epoch shuffle at 100k: per-shard windows, no global sort.
     time("corpus_shuffle_100k_docs")(
       graft.operators.Curation.corpusShuffle(bigDocs).count())

@@ -356,6 +356,34 @@ object SparkEntry {
       q.awaitTermination()
       s.table(name)
     }),
+    // Streaming exact dedup on the gate (second streaming row beside q22):
+    // the real engine runs dropDuplicatesWithinWatermark over the document
+    // stream with deterministic injected dups (doc_id % 5 = 4 collapses to
+    // one boilerplate text — the fixture itself has no exact dups, so the
+    // row would otherwise pass as an identity). Output is the kept md5 SET,
+    // which is arrival-order-invariant even if the file source ever splits.
+    "q30_stream_dedup" -> ((s, d) => {
+      val rawSchema = s.read.parquet(s"$d/documents.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 4, lit("duplicate boilerplate text"))
+            .otherwise(col("text")).as("text"))
+        // +1 day: a synthetic event time of exactly epoch 0 equals the
+        // stream's INITIAL watermark and the stateful operator drops the
+        // row as late (found by the gate: doc_id 0 vanished).
+        .withColumn("ts", expr("timestamp_micros((doc_id + 86400) * 1000000)"))
+      val name = "stream_dedup_sink"
+      s.catalog.dropTempView(name)
+      val q = graft.streaming.StreamingDedup.exactStream(stream)
+        .select(col("text_md5"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }),
     "j1_json_extract" -> ((s, d) =>
       Tables.events(s, d).select(
         col("event_id"),
@@ -811,6 +839,11 @@ object SparkEntry {
         |       round(avg(value), 7) AS value_mean,
         |       CAST(count(*) AS BIGINT) AS n_readings
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q30_stream_dedup" ->
+      """SELECT DISTINCT md5(CASE WHEN doc_id % 5 = 4
+        |                         THEN 'duplicate boilerplate text'
+        |                         ELSE text END) AS text_md5
+        |FROM documents""".stripMargin,
     "j1_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,

@@ -191,9 +191,12 @@ object TextAnalysis {
     *
     * Every per-term score is a BIGINT, so the per-doc sum is
     * order-independent and the top-k by (score DESC, doc_id) is a total
-    * order. Integer headroom: max ≈ idfq·tf·220·Σdl ≤ 2^63 holds through
-    * ~10⁷-token corpora; beyond that, drop the ·Σdl factor by pre-dividing
-    * (costs < 1 ulp of ranking resolution).
+    * order. Integer headroom: the intermediate idfq·tf·220·Σdl must stay
+    * under 2^63 — with top-k query terms (large df ⇒ small idfq) that holds
+    * through ~10⁶-token corpora at any tf, and ~10⁷ when tf·idfq < 4·10⁹.
+    * Beyond that, pre-divide the denominator by Σdl (same ops both engines,
+    * < 1 ulp of ranking resolution) — overflow is loud in the oracle engine
+    * but silent in Spark's non-ANSI mode, so don't run past the bound.
     *
     * Plan: one (doc, term) aggregation (map-side combined), a broadcast of
     * the 10-row query-term frame, a doc-keyed join for lengths, and a
