@@ -548,6 +548,10 @@ object SparkEntry {
     "d9_cluster_rep" -> ((s, d) => Dedup.clusterReps(Tables.documents(s, d))),
     "s5_kmeans" -> ((s, d) =>
       graft.operators.Clustering.kmeans(Tables.embeddings(s, d))),
+    // PQ codes: per-subspace deterministic codebooks + nearest-centroid
+    // assignment — the compression half of IVF-PQ, oracle-replayed whole.
+    "s7_pq_codes" -> ((s, d) =>
+      graft.operators.Clustering.pqEncode(Tables.embeddings(s, d))),
     "p4_chunk" -> ((s, d) => Curation.chunk(Tables.documents(s, d))),
     // `lang` as the domain column: the fixture's `source` is uniform (the
     // predicate would never fire — a vacuous gate row), while the language
@@ -1464,45 +1468,72 @@ object SparkEntry {
     // quadratic-mix signature) → top-8 cells by population seed the
     // clusters → quantized-integer centroid means → one Lloyd iteration →
     // final max-cosine assignment with smaller-cluster tie-break.
-    "s5_kmeans" -> {
-      def qsum(src: String): String =
-        s"""(SELECT cluster, i, sum(CAST(trunc(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qs
-           |         FROM $src, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
-           |         GROUP BY cluster, i)""".stripMargin
-      def centFrom(sumCte: String, cntCte: String): String =
-        s"""(SELECT s.cluster, list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY i) AS centroid
-           |          FROM $sumCte s JOIN $cntCte c ON s.cluster = c.cluster GROUP BY s.cluster, c.n)""".stripMargin
-      def assignFrom(centCte: String): String =
-        s"""(SELECT vec_id, embedding, cluster, sim FROM (
-           |        SELECT vec_id, embedding, cluster, sim,
-           |               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
-           |        FROM (SELECT e.vec_id, e.embedding, c.cluster,
-           |                     ${sqlCosineFD("e.embedding", "c.centroid")} AS sim
-           |              FROM embeddings e CROSS JOIN $centCte c))
-           |      WHERE rn = 1)""".stripMargin
-      s"""WITH bits AS (SELECT b, CAST(1 AS BIGINT) << b AS p2 FROM generate_series(0, 5) t(b)),
-         |proj AS (SELECT vec_id, b, p2,
-         |                ${sqlFoldSum(
-                            "list_transform(generate_series(1, len(embedding)), " +
-                            "i -> CAST(embedding[i] AS DOUBLE) * " +
-                            "((CAST(((b * 104729 + (i - 1) * 7919 + 12345) * (b * 104729 + (i - 1) * 7919 + 12345)) % 1000003 AS DOUBLE) / 1000003.0) - 0.5))")} AS proj
-         |         FROM embeddings CROSS JOIN bits),
-         |cellsig AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS cell
-         |            FROM proj GROUP BY vec_id),
-         |ccnt AS (SELECT cell, count(*) AS n FROM cellsig GROUP BY cell),
-         |topc AS (SELECT cell, cluster FROM (
-         |           SELECT cell, CAST(row_number() OVER (ORDER BY n DESC, cell) - 1 AS BIGINT) AS cluster
-         |           FROM ccnt) WHERE cluster < 8),
-         |sm AS (SELECT t.cluster, e.embedding
-         |       FROM embeddings e JOIN cellsig s ON e.vec_id = s.vec_id JOIN topc t ON s.cell = t.cell),
-         |scnt AS (SELECT cluster, count(*) AS n FROM sm GROUP BY cluster),
-         |ssum AS ${qsum("sm")},
-         |cent0 AS ${centFrom("ssum", "scnt")},
-         |a1 AS ${assignFrom("cent0")},
-         |cnt1 AS (SELECT cluster, count(*) AS n FROM a1 GROUP BY cluster),
-         |sum1 AS ${qsum("a1")},
-         |cent1 AS ${centFrom("sum1", "cnt1")},
-         |a2 AS ${assignFrom("cent1")}
-         |SELECT vec_id, cluster, round(sim, 7) AS sim FROM a2""".stripMargin
+    "s5_kmeans" ->
+      s"""WITH ef AS (SELECT vec_id, embedding FROM embeddings),
+         |${sqlKmeansChain("", "ef")}
+         |SELECT vec_id, cluster, round(sim, 7) AS sim FROM a2""".stripMargin,
+    // Four instances of the s5 kmeans chain, one per 16-dim slice — the
+    // oracle replays codebook learning AND assignment for every subspace.
+    "s7_pq_codes" -> {
+      val subs = (0 until 4).map { i =>
+        s"ef$i AS (SELECT vec_id, list_slice(embedding, ${i * 16 + 1}, ${i * 16 + 16}) AS embedding FROM embeddings),\n" +
+          sqlKmeansChain(s"_p$i", s"ef$i")
+      }.mkString(",\n")
+      s"""WITH $subs
+         |SELECT p0.vec_id,
+         |       p0.cluster AS c0, round(p0.sim, 7) AS sim0,
+         |       p1.cluster AS c1, round(p1.sim, 7) AS sim1,
+         |       p2.cluster AS c2, round(p2.sim, 7) AS sim2,
+         |       p3.cluster AS c3, round(p3.sim, 7) AS sim3
+         |FROM a2_p0 p0 JOIN a2_p1 p1 USING (vec_id)
+         |              JOIN a2_p2 p2 USING (vec_id)
+         |              JOIN a2_p3 p3 USING (vec_id)""".stripMargin
     })
+
+  /** Shared SQL fragment: the deterministic spherical-kmeans replay
+    * (mirrors [[graft.operators.Clustering.kmeans]] at k=8, iters=1,
+    * cellBits=6) over `embSrc(vec_id, embedding)`, every CTE name suffixed
+    * with `tag` so several instances compose in one WITH chain (s5 uses
+    * one over the full vectors; s7 uses four over PQ subspaces). Ends in
+    * `a2$tag(vec_id, embedding, cluster, sim)`. */
+  private def sqlKmeansChain(tag: String, embSrc: String): String = {
+    def qsum(src: String): String =
+      s"""(SELECT cluster, i, sum(CAST(trunc(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qs
+         |         FROM $src, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+         |         GROUP BY cluster, i)""".stripMargin
+    def centFrom(sumCte: String, cntCte: String): String =
+      s"""(SELECT s.cluster, list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY i) AS centroid
+         |          FROM $sumCte s JOIN $cntCte c ON s.cluster = c.cluster GROUP BY s.cluster, c.n)""".stripMargin
+    def assignFrom(centCte: String): String =
+      s"""(SELECT vec_id, embedding, cluster, sim FROM (
+         |        SELECT vec_id, embedding, cluster, sim,
+         |               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+         |        FROM (SELECT e.vec_id, e.embedding, c.cluster,
+         |                     ${sqlCosineFD("e.embedding", "c.centroid")} AS sim
+         |              FROM $embSrc e CROSS JOIN $centCte c))
+         |      WHERE rn = 1)""".stripMargin
+    s"""bits$tag AS (SELECT b, CAST(1 AS BIGINT) << b AS p2 FROM generate_series(0, 5) t(b)),
+       |proj$tag AS (SELECT vec_id, b, p2,
+       |                ${sqlFoldSum(
+                          "list_transform(generate_series(1, len(embedding)), " +
+                          "i -> CAST(embedding[i] AS DOUBLE) * " +
+                          "((CAST(((b * 104729 + (i - 1) * 7919 + 12345) * (b * 104729 + (i - 1) * 7919 + 12345)) % 1000003 AS DOUBLE) / 1000003.0) - 0.5))")} AS proj
+       |         FROM $embSrc CROSS JOIN bits$tag),
+       |cellsig$tag AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS cell
+       |            FROM proj$tag GROUP BY vec_id),
+       |ccnt$tag AS (SELECT cell, count(*) AS n FROM cellsig$tag GROUP BY cell),
+       |topc$tag AS (SELECT cell, cluster FROM (
+       |           SELECT cell, CAST(row_number() OVER (ORDER BY n DESC, cell) - 1 AS BIGINT) AS cluster
+       |           FROM ccnt$tag) WHERE cluster < 8),
+       |sm$tag AS (SELECT t.cluster, e.embedding
+       |       FROM $embSrc e JOIN cellsig$tag s ON e.vec_id = s.vec_id JOIN topc$tag t ON s.cell = t.cell),
+       |scnt$tag AS (SELECT cluster, count(*) AS n FROM sm$tag GROUP BY cluster),
+       |ssum$tag AS ${qsum(s"sm$tag")},
+       |cent0$tag AS ${centFrom(s"ssum$tag", s"scnt$tag")},
+       |a1$tag AS ${assignFrom(s"cent0$tag")},
+       |cnt1$tag AS (SELECT cluster, count(*) AS n FROM a1$tag GROUP BY cluster),
+       |sum1$tag AS ${qsum(s"a1$tag")},
+       |cent1$tag AS ${centFrom(s"sum1$tag", s"cnt1$tag")},
+       |a2$tag AS ${assignFrom(s"cent1$tag")}""".stripMargin
+  }
 }

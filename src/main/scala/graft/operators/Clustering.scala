@@ -88,4 +88,30 @@ object Clustering {
     assign(emb, cents)
       .select(col("vec_id"), col("cluster"), round(col("sim"), 7).as("sim"))
   }
+
+  /** Product-quantization encode — the compression half of IVF-PQ ANN:
+    * split each vector into `m` contiguous `subDim`-dim subvectors, learn a
+    * per-subspace codebook with the SAME deterministic [[kmeans]] (so the
+    * oracle replays codebook learning too), and emit each vector's code —
+    * the m nearest-centroid ids — plus the per-subspace assignment
+    * similarity (the quantization-quality evidence). 64-dim vectors at
+    * m=4, k=8 compress to 4 small ints (12 bits) + the codebooks; ADC
+    * search then scores queries against codebooks instead of raw vectors.
+    *
+    * Plan shape: m independent kmeans passes over narrow slice frames
+    * (each is the verified s5 pipeline: broadcast centroids, one
+    * VectorSumAgg shuffle), then an m-way join of (vec_id, code) rows. A
+    * throughput-tuned variant would fuse the m passes into one scan with a
+    * combined aggregate; this form keeps each subspace bit-identical to
+    * the standalone kmeans the gate already verifies. */
+  def pqEncode(emb: DataFrame, m: Int = 4, subDim: Int = 16, k: Int = 8,
+      cellBits: Int = 6): DataFrame = {
+    def sub(i: Int): DataFrame = emb.select(
+      col("vec_id"),
+      expr(s"slice(embedding, ${i * subDim + 1}, $subDim)").as("embedding"))
+    (0 until m).map { i =>
+      kmeans(sub(i), k, iters = 1, cellBits = cellBits)
+        .select(col("vec_id"), col("cluster").as(s"c$i"), col("sim").as(s"sim$i"))
+    }.reduce(_.join(_, Seq("vec_id")))
+  }
 }

@@ -30,5 +30,21 @@ class ClusteringSpec extends SparkSpec {
     assert(runOnce() === runOnce())
   }
 
+  test("pqEncode: every vector coded; each subspace equals standalone kmeans on its slice") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val codes = Clustering.pqEncode(emb).cache()
+    assert(codes.count() === emb.count())
+    (0 until 4).foreach { i =>
+      assert(codes.filter(col(s"c$i") < 0 || col(s"c$i") >= 8).isEmpty, s"code c$i out of range")
+      val direct = Clustering.kmeans(
+        emb.select(col("vec_id"), expr(s"slice(embedding, ${i * 16 + 1}, 16)").as("embedding")))
+        .select(col("vec_id"), col("cluster").as(s"c$i"), col("sim").as(s"sim$i"))
+      assert(codes.select(col("vec_id"), col(s"c$i"), col(s"sim$i"))
+        .except(direct).isEmpty, s"subspace $i diverges from standalone kmeans")
+    }
+    codes.unpersist()
+  }
+
   private def Tables = graft.sources.Tables
 }
