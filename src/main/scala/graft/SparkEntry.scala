@@ -552,6 +552,12 @@ object SparkEntry {
     // assignment — the compression half of IVF-PQ, oracle-replayed whole.
     "s7_pq_codes" -> ((s, d) =>
       graft.operators.Clustering.pqEncode(Tables.embeddings(s, d))),
+    // ADC retrieval over the PQ codes: full-precision queries score
+    // against per-subspace LUTs; corpus side carries codes only.
+    "s8_pq_adc" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Clustering.adcTopK(emb.filter(col("vec_id") % 100 === 0), emb)
+    }),
     "p4_chunk" -> ((s, d) => Curation.chunk(Tables.documents(s, d))),
     // `lang` as the domain column: the fixture's `source` is uniform (the
     // predicate would never fire — a vacuous gate row), while the language
@@ -1488,6 +1494,39 @@ object SparkEntry {
          |FROM a2_p0 p0 JOIN a2_p1 p1 USING (vec_id)
          |              JOIN a2_p2 p2 USING (vec_id)
          |              JOIN a2_p3 p3 USING (vec_id)""".stripMargin
+    },
+    // Same four kmeans chains (codes from a2_p*, codebooks from cent1_p*),
+    // per-query LUTs, fixed-order 4-term score sum, top-5 per query.
+    "s8_pq_adc" -> {
+      val subs = (0 until 4).map { i =>
+        s"ef$i AS (SELECT vec_id, list_slice(embedding, ${i * 16 + 1}, ${i * 16 + 16}) AS embedding FROM embeddings),\n" +
+          sqlKmeansChain(s"_p$i", s"ef$i")
+      }.mkString(",\n")
+      val luts = (0 until 4).map { i =>
+        s"""qs$i AS (SELECT vec_id AS q_id, list_slice(embedding, ${i * 16 + 1}, ${i * 16 + 16}) AS e
+           |         FROM embeddings WHERE vec_id % 100 = 0),
+           |lut$i AS (SELECT q_id, c.cluster AS c$i,
+           |                 ${sqlFoldSum("list_transform(generate_series(1, len(e)), j -> CAST(e[j] AS DOUBLE) * c.centroid[j])")} AS d$i
+           |          FROM qs$i q CROSS JOIN cent1_p$i c)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $subs,
+         |$luts,
+         |codes AS (SELECT p0.vec_id, p0.cluster AS c0, p1.cluster AS c1,
+         |                 p2.cluster AS c2, p3.cluster AS c3
+         |          FROM a2_p0 p0 JOIN a2_p1 p1 USING (vec_id)
+         |                        JOIN a2_p2 p2 USING (vec_id)
+         |                        JOIN a2_p3 p3 USING (vec_id)),
+         |sc AS (SELECT l0.q_id, codes.vec_id,
+         |              round(l0.d0 + l1.d1 + l2.d2 + l3.d3, 7) AS score
+         |       FROM codes
+         |       JOIN lut0 l0 ON l0.c0 = codes.c0
+         |       JOIN lut1 l1 ON l1.q_id = l0.q_id AND l1.c1 = codes.c1
+         |       JOIN lut2 l2 ON l2.q_id = l0.q_id AND l2.c2 = codes.c2
+         |       JOIN lut3 l3 ON l3.q_id = l0.q_id AND l3.c3 = codes.c3),
+         |r AS (SELECT q_id, vec_id, score,
+         |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+         |      FROM sc)
+         |SELECT q_id, vec_id, score, rank FROM r WHERE rank <= 5""".stripMargin
     })
 
   /** Shared SQL fragment: the deterministic spherical-kmeans replay

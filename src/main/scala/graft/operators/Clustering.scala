@@ -66,7 +66,14 @@ object Clustering {
     * centroids. Output: (vec_id, cluster, sim) — one row per vector.
     * Each iteration re-reads `emb` (twice: assignment + centroid rebuild);
     * cache it before calling when iters > 1 or the source is remote. */
-  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 1, cellBits: Int = 6): DataFrame = {
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 1, cellBits: Int = 6): DataFrame =
+    assign(emb, codebook(emb, k, iters, cellBits))
+      .select(col("vec_id"), col("cluster"), round(col("sim"), 7).as("sim"))
+
+  /** The final (cluster, centroid array&lt;double&gt;) frame the [[kmeans]]
+    * assignment scores against — exposed so PQ/ADC consumers can reuse the
+    * learned codebook instead of re-deriving it from assignments. */
+  def codebook(emb: DataFrame, k: Int = 8, iters: Int = 1, cellBits: Int = 6): DataFrame = {
     val cells = emb.select(
       col("vec_id"), col("embedding"),
       GraftColumns.hyperBucket(col("embedding"), cellBits).as("cell"))
@@ -85,8 +92,7 @@ object Clustering {
       cents = centroidsOf(assign(emb, cents).select(col("cluster"), col("embedding")))
       i += 1
     }
-    assign(emb, cents)
-      .select(col("vec_id"), col("cluster"), round(col("sim"), 7).as("sim"))
+    cents
   }
 
   /** Product-quantization encode — the compression half of IVF-PQ ANN:
@@ -113,5 +119,43 @@ object Clustering {
       kmeans(sub(i), k, iters = 1, cellBits = cellBits)
         .select(col("vec_id"), col("cluster").as(s"c$i"), col("sim").as(s"sim$i"))
     }.reduce(_.join(_, Seq("vec_id")))
+  }
+
+  /** ADC (asymmetric distance computation) retrieval over PQ codes — the
+    * search half of IVF-PQ: queries stay full-precision, the corpus is
+    * only its codes, and scoring is a lookup. Per subspace, each query
+    * computes its inner product against all k codebook centroids ONCE (a
+    * (queries × k)-row LUT — tiny, broadcast); a corpus vector's score is
+    * then the fixed-order sum of m looked-up values, so the expensive side
+    * of the join never touches raw vectors. Inner-product scoring (no
+    * norms) keeps it exact-deterministic; top-k per query by
+    * (score DESC, vec_id) is a total order.
+    *
+    * Plan shape: m broadcast joins of the code frame against LUTs + one
+    * per-query window — corpus-side rows carry (vec_id, m codes) only.
+    * Codebooks are re-derived deterministically (bit-identical to
+    * [[pqEncode]]'s); pass-through of a precomputed code frame would be
+    * the production shape. */
+  def adcTopK(queries: DataFrame, corpus: DataFrame, m: Int = 4, subDim: Int = 16,
+      k: Int = 8, cellBits: Int = 6, topK: Int = 5): DataFrame = {
+    def sub(df: DataFrame, i: Int): DataFrame = df.select(
+      col("vec_id"),
+      expr(s"slice(embedding, ${i * subDim + 1}, $subDim)").as("embedding"))
+    val codes = pqEncode(corpus, m, subDim, k, cellBits)
+    val luts = (0 until m).map { i =>
+      val cb = codebook(sub(corpus, i), k, iters = 1, cellBits = cellBits)
+      sub(queries, i).select(col("vec_id").as("q_id"), col("embedding").as("q"))
+        .crossJoin(broadcast(cb))
+        .select(col("q_id"), col("cluster").as(s"c$i"),
+          GraftColumns.dotFD(col("q"), col("centroid")).as(s"d$i"))
+    }
+    var acc = codes.join(broadcast(luts.head), Seq("c0"))
+    (1 until m).foreach { i => acc = acc.join(broadcast(luts(i)), Seq("q_id", s"c$i")) }
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    acc
+      .withColumn("score", round((0 until m).map(i => col(s"d$i")).reduce(_ + _), 7))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
   }
 }

@@ -46,5 +46,27 @@ class ClusteringSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("adcTopK: k rows per query, scores non-increasing, deterministic") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val out = Clustering.adcTopK(queries, emb, topK = 5).cache()
+    val perQ = out.groupBy("q_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+      .collect()
+    assert(perQ.nonEmpty)
+    perQ.foreach(r => assert(r.getLong(1) === 5L && r.getLong(2) === 5L))
+    // Scores are non-increasing in rank within each query.
+    val byQ = out.collect().groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(3))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(2) >= b.getDouble(2))
+        case _           => ()
+      }
+    }
+    assert(out.except(Clustering.adcTopK(queries, emb, topK = 5)).isEmpty)
+    out.unpersist()
+  }
+
   private def Tables = graft.sources.Tables
 }
