@@ -22,6 +22,10 @@ object ScalingProbe {
     val sfDir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
+      // Grouped bounded aggregates (TopKAgg) on high-cardinality keys:
+      // the default 128-key limit silently falls back to sort-based
+      // aggregation, re-sorting every candidate row (measured 2x on ADC).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -215,6 +219,14 @@ object ScalingProbe {
       graft.operators.Clustering.kmeans(bigEmb).count())
     time("rand_proj_100k_vecs")(
       Similarity.randomProjection(bigEmb).count())
+    // PQ at 100k vectors: m=4 codebook learnings (each the kmeans path
+    // above) + the m-way code join; ADC then scores 2k queries against
+    // codes only — corpus vectors never enter the scoring join.
+    time("pq_encode_100k_vecs")(
+      graft.operators.Clustering.pqEncode(bigEmb).count())
+    time("pq_adc_2k_q_100k_vecs")(
+      graft.operators.Clustering.adcTopK(
+        bigEmb.filter(col("vec_id") % 50 === 0), bigEmb).count())
     bigEmb.unpersist(blocking = true)
     // Adversarial hot bucket: 100k copies of ONE vector — the entire corpus
     // lands in a single LSH bucket, the worst case for in-bucket scoring.

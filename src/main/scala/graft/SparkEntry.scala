@@ -110,6 +110,19 @@ object SparkEntry {
        |              ${sqlPolyHash("shingle")} + ${sqlPolyHash("reverse(shingle)")} * (CAST(1 AS BIGINT) << 30) AS h
        |       FROM shs$tag)""".stripMargin
 
+  /** Shared SQL fragment: connected-components transitive closure over the
+    * `pairs` CTE (DuckDB WITH RECURSIVE), ending in
+    * `lab(doc_id, cluster_id)` — the min reachable id per node, exactly
+    * what min-label propagation converges to. Single source for d7, d9 and
+    * c2 (a closure tweak must not drift between their replays). */
+  private val sqlClosureCtes: String =
+    s"""edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT src AS v, src AS r FROM edges
+       |          UNION
+       |          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v),
+       |lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)""".stripMargin
+
   /** Shared SQL fragment: the t2 composite-quality formula as a CTE chain
     * ending in `qual(doc_id, qs)` (mirrors [[TextAnalysis.qualityScores]]).
     * Single source for every oracle that replays quality (c2, d9, t14) —
@@ -360,8 +373,11 @@ object SparkEntry {
     // the real engine runs dropDuplicatesWithinWatermark over the document
     // stream with deterministic injected dups (doc_id % 5 = 4 collapses to
     // one boilerplate text — the fixture itself has no exact dups, so the
-    // row would otherwise pass as an identity). Output is the kept md5 SET,
-    // which is arrival-order-invariant even if the file source ever splits.
+    // row would otherwise pass as an identity). Output is the kept md5 SET
+    // — invariant to which copy wins — and the dedup horizon (365 days)
+    // exceeds the synthetic event-time span, so even a multi-file fixture
+    // processed as several micro-batches cannot evict state between
+    // batches and re-emit a key (review finding).
     "q30_stream_dedup" -> ((s, d) => {
       val rawSchema = s.read.parquet(s"$d/documents.parquet").schema
       val stream = s.readStream.schema(rawSchema)
@@ -375,7 +391,7 @@ object SparkEntry {
         .withColumn("ts", expr("timestamp_micros((doc_id + 86400) * 1000000)"))
       val name = "stream_dedup_sink"
       s.catalog.dropTempView(name)
-      val q = graft.streaming.StreamingDedup.exactStream(stream)
+      val q = graft.streaming.StreamingDedup.exactStream(stream, watermark = "365 days")
         .select(col("text_md5"))
         .writeStream.format("memory").queryName(name)
         .outputMode("append")
@@ -615,12 +631,14 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n"),
           sum(floor(col("value") * 100).cast("long")).as("value_cents"))),
-    // Typed JSON parse (from_json with an explicit schema — the FAILFAST
-    // cousin of j1's path extraction) feeding integer-only aggregates.
+    // Typed JSON parse (from_json with an explicit schema, vs j1's path
+    // extraction) feeding integer-only aggregates. BIGINT in the schema:
+    // the oracle casts to BIGINT, and a narrower INT would silently NULL
+    // out-of-range values on the Spark side only (review finding).
     "j2_json_stats" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_type"),
-          expr("from_json(props, 'k INT')").getField("k").cast("long").as("k"))
+          expr("from_json(props, 'k BIGINT')").getField("k").as("k"))
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n"),
@@ -999,12 +1017,7 @@ object SparkEntry {
     // min reachable id per node = the cluster label min-propagation finds.
     "d7_dedup_clusters" ->
       s"""WITH RECURSIVE $sqlMinhashPairCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach AS (SELECT src AS v, src AS r FROM edges
-         |          UNION
-         |          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v),
-         |lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+         |$sqlClosureCtes
          |SELECT d.doc_id,
          |       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
          |       CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
@@ -1013,12 +1026,7 @@ object SparkEntry {
     // (quality DESC, doc_id ASC) — the total order the struct-max replays.
     "d9_cluster_rep" -> {
       s"""WITH RECURSIVE $sqlMinhashPairCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach AS (SELECT src AS v, src AS r FROM edges
-         |          UNION
-         |          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v),
-         |lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+         |$sqlClosureCtes,
          |$sqlQualityCtes,
          |mem AS (SELECT coalesce(l.cluster_id, d.doc_id) AS cluster_id, d.doc_id, qual.qs
          |        FROM documents d
@@ -1163,12 +1171,7 @@ object SparkEntry {
     // overlap count, and the p1 bucket into one per-document decision row.
     "c2_curation_pipeline" -> {
       s"""WITH RECURSIVE $sqlMinhashPairCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach AS (SELECT src AS v, src AS r FROM edges
-         |          UNION
-         |          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v),
-         |lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+         |$sqlClosureCtes,
          |$sqlQualityCtes,
          |${sqlShinglesN(5, "doc_id % 20 = 0", "_ev")},
          |${sqlShinglesN(5, "doc_id % 20 <> 0", "_tr")},
@@ -1517,7 +1520,7 @@ object SparkEntry {
          |                        JOIN a2_p2 p2 USING (vec_id)
          |                        JOIN a2_p3 p3 USING (vec_id)),
          |sc AS (SELECT l0.q_id, codes.vec_id,
-         |              round(l0.d0 + l1.d1 + l2.d2 + l3.d3, 7) AS score
+         |              l0.d0 + l1.d1 + l2.d2 + l3.d3 AS score
          |       FROM codes
          |       JOIN lut0 l0 ON l0.c0 = codes.c0
          |       JOIN lut1 l1 ON l1.q_id = l0.q_id AND l1.c1 = codes.c1
@@ -1526,7 +1529,7 @@ object SparkEntry {
          |r AS (SELECT q_id, vec_id, score,
          |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rank
          |      FROM sc)
-         |SELECT q_id, vec_id, score, rank FROM r WHERE rank <= 5""".stripMargin
+         |SELECT q_id, vec_id, round(score, 7) AS score, rank FROM r WHERE rank <= 5""".stripMargin
     })
 
   /** Shared SQL fragment: the deterministic spherical-kmeans replay

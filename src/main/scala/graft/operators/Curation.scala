@@ -265,6 +265,11 @@ object Curation {
     val q = TextAnalysis.qualityScores(docs).select(col("doc_id"), col("quality_score"))
     docs
       .select(col("doc_id"), regexp_extract(col("url"), "^https?://([^/]+)/", 1).as("host"))
+      // regexp_extract returns "" (not NULL) on no match, so malformed URLs
+      // would otherwise all merge into one phantom host="" group feeding
+      // allow/deny decisions (review finding). Drop them here; recover them
+      // upstream with `filter(NOT url rlike ...)` when they need surfacing.
+      .filter(length(col("host")) > 0)
       .join(q, Seq("doc_id"))
       .groupBy("host")
       .agg(

@@ -51,9 +51,12 @@ object Graph {
     * column; `edges` (src, dst). Nodes never linked keep the base rank. */
   def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
       dampPct: Long = 85L): DataFrame = {
-    val e = edges.cache()
-    // (src, dst, od): out-degree attached once, reused every round.
-    val withDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("od")), "src").cache()
+    // (src, dst, od): out-degree attached once, cached for every round.
+    // `edges` itself is NOT cached — it is read only twice while building
+    // this frame (scan + degree agg), and a second cache would sit dead in
+    // executor memory for all the rounds (review finding).
+    val withDeg = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src").cache()
     val base = (100L - dampPct) * RankScale / 100L
     var ranks = nodes.select(col("node_id"), lit(RankScale).as("r"))
     for (_ <- 1 to iters) {

@@ -211,6 +211,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: TopKAgg equals the window formulation, ties and all") {
+    import org.apache.spark.sql.expressions.Window
+    val gen: Gen[List[(Long, Long, Double)]] = Gen.chooseNum(10, 60).flatMap(n =>
+      Gen.listOfN(n, for {
+        key <- Gen.chooseNum(0, 3)
+        id <- Gen.chooseNum(0, 10000)
+        s <- Gen.chooseNum(0, 5) // few distinct scores → tie-breaks exercised
+      } yield (key.toLong, id.toLong, s.toDouble / 2.0)))
+    forAll(gen, cases = 4) { rows =>
+      val df = rows.distinct.toDF("key", "id", "score")
+      val viaAgg = df.groupBy(col("key"))
+        .agg(graft.functions.TopKAgg.topK(col("score"), col("id"), 3).as("top"))
+        .select(col("key"), posexplode(col("top")))
+        .select(col("key"), col("col.id").as("id"), col("col.score").as("score"),
+          (col("pos") + 1).cast("long").as("rank"))
+      val w = Window.partitionBy(col("key")).orderBy(col("score").desc, col("id"))
+      val viaWindow = df
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("key"), col("id"), col("score"), col("rank"))
+      assert(viaAgg.except(viaWindow).isEmpty && viaWindow.except(viaAgg).isEmpty)
+    }
+  }
+
   test("property: pagerank mass bounds and no-in-edge base rank on random graphs") {
     val gen: Gen[(Int, List[(Long, Long)])] = for {
       n <- Gen.chooseNum(5, 15)
