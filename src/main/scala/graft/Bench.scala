@@ -99,13 +99,23 @@ object Bench {
         results("etl_pipeline") = -1.0 // the JSON line must still print
     }
 
+    // Output contract: COMPACT lines, total first, one line per query —
+    // the r3 single mega-line (medians + spreads for 86 queries) outgrew
+    // the driver's tail-capture window and the total plus the first ~24
+    // queries were cut. Each line here is self-contained and < 120 bytes,
+    // and the final line repeats the full median map (without the spread
+    // payload that caused the blowup) for consumers of the old format.
+    val total = results.values.filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"}""")
+    results.foreach { case (k, v) =>
+      val spread = spreads.get(k).map { case (lo, hi) =>
+        f""","min":$lo%.3f,"max":$hi%.3f"""
+      }.getOrElse("")
+      println(f"""{"metric":"$k","value":$v%.3f,"unit":"sec"$spread}""")
+    }
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val spreadJson = spreads.map { case (k, (lo, hi)) =>
-      "\"" + k + "\":[" + f"$lo%.3f" + "," + f"$hi%.3f" + "]"
-    }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"spread":$spreadJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

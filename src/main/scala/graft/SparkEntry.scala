@@ -214,9 +214,13 @@ object SparkEntry {
     "q9_intersect" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
         .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))),
+    // Supplier side restricted to s_nationkey < 20 so EXCEPT emits real
+    // rows — both tables cover all 25 nations, so the unrestricted
+    // difference is empty and the gate row passes vacuously.
     "q10_except" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
-        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))),
+        .except(Tables.supplier(s, d).filter(col("s_nationkey") < 20)
+          .select(col("s_nationkey").as("nationkey")))),
     "q11_agg_suite" -> ((s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
@@ -400,6 +404,28 @@ object SparkEntry {
       q.awaitTermination()
       s.table(name)
     }),
+    // Streaming near-dup candidates on the gate (third streaming row): the
+    // real engine runs flatMapGroupsWithState LSH bucket state over the
+    // document stream. The DISTINCT candidate-pair set is arrival-order-
+    // invariant (each unordered pair is emitted when its later member
+    // arrives, whichever that is), so the oracle is the batch banding
+    // chain's same-bucket pairs. No event-time column — bucket state uses
+    // NoTimeout, so the q30 epoch-offset trap doesn't apply.
+    "q31_stream_neardup" -> ((s, d) => {
+      val rawSchema = s.read.parquet(s"$d/documents.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val name = "stream_neardup_sink"
+      s.catalog.dropTempView(name)
+      val q = graft.streaming.StreamingNearDup.candidatePairs(stream)
+        .toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).distinct()
+    }),
     "j1_json_extract" -> ((s, d) =>
       Tables.events(s, d).select(
         col("event_id"),
@@ -573,6 +599,14 @@ object SparkEntry {
     "s8_pq_adc" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       graft.operators.Clustering.adcTopK(emb.filter(col("vec_id") % 100 === 0), emb)
+    }),
+    // The production IVF-PQ composition: coarse cells route each query to
+    // its nProbe best cells (the s3 machinery), ADC over PQ codes scores
+    // only inside them (the s8 machinery) — per-query work drops from |N|
+    // to the probed cells' population.
+    "s9_ivf_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Clustering.ivfPqTopK(emb.filter(col("vec_id") % 100 === 0), emb)
     }),
     "p4_chunk" -> ((s, d) => Curation.chunk(Tables.documents(s, d))),
     // `lang` as the domain column: the fixture's `source` is uniform (the
@@ -777,7 +811,7 @@ object SparkEntry {
         |INTERSECT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
     "q10_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
-        |EXCEPT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+        |EXCEPT SELECT s_nationkey AS nationkey FROM supplier WHERE s_nationkey < 20""".stripMargin,
     "q11_agg_suite" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,
@@ -1013,6 +1047,12 @@ object SparkEntry {
     "d3_minhash_lsh" ->
       s"""WITH $sqlMinhashPairCtes
          |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
+    // The streaming candidate stage must equal the batch banding chain's
+    // same-bucket pair set (state starts empty and the fixture's buckets
+    // are far below the state cap, so no pair is lost to it).
+    "q31_stream_neardup" ->
+      s"""WITH $sqlMinhashPairCtes
+         |SELECT doc_a, doc_b FROM cands""".stripMargin,
     // Transitive closure over the d3 pairs (DuckDB WITH RECURSIVE), then
     // min reachable id per node = the cluster label min-propagation finds.
     "d7_dedup_clusters" ->
@@ -1405,7 +1445,8 @@ object SparkEntry {
          |FROM embeddings e LEFT JOIN lab l ON l.vec_id = e.vec_id""".stripMargin,
     // Replays the bucketed KNN join: same (uncentered) quadratic-mix
     // hyperplane buckets on both sides, exact cosine within buckets,
-    // round-then-rank as in Similarity.knnJoin.
+    // rank on the RAW deterministic doubles, round the k survivors —
+    // exactly where Similarity.knnJoin rounds.
     "s4_ann_knn_join" -> {
       val wq = "(CAST(((b * 104729 + (i - 1) * 7919 + 12345) * (b * 104729 + (i - 1) * 7919 + 12345)) % 1000003 AS DOUBLE) / 1000003.0)"
       s"""WITH bits AS (SELECT b, CAST(1 AS BIGINT) << b AS p2 FROM generate_series(0, 7) t(b)),
@@ -1418,12 +1459,12 @@ object SparkEntry {
          |      WHERE e.vec_id % 100 < 2),
          |c AS (SELECT e.vec_id, e.embedding, s.bucket FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id),
          |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |              round(${sqlCosine("q.embedding", "c.embedding")}, 7) AS cosine
+         |              ${sqlCosine("q.embedding", "c.embedding")} AS cosine
          |       FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
          |w AS (SELECT query_id, neighbor_id, cosine,
          |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
          |      FROM sc)
-         |SELECT query_id, neighbor_id, cosine, "rank" FROM w WHERE "rank" <= 3""".stripMargin
+         |SELECT query_id, neighbor_id, round(cosine, 7) AS cosine, "rank" FROM w WHERE "rank" <= 3""".stripMargin
     },
     // Replays the deterministic IVF pipeline end-to-end: 6-bit LSH cells
     // (same hyperplane formula as s2), quantized-integer mean centroids
@@ -1526,6 +1567,66 @@ object SparkEntry {
          |       JOIN lut1 l1 ON l1.q_id = l0.q_id AND l1.c1 = codes.c1
          |       JOIN lut2 l2 ON l2.q_id = l0.q_id AND l2.c2 = codes.c2
          |       JOIN lut3 l3 ON l3.q_id = l0.q_id AND l3.c3 = codes.c3),
+         |r AS (SELECT q_id, vec_id, score,
+         |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+         |      FROM sc)
+         |SELECT q_id, vec_id, round(score, 7) AS score, rank FROM r WHERE rank <= 5""".stripMargin
+    },
+    // The IVF-PQ composition: the s8 chains (subspace codebooks, codes,
+    // per-query LUTs) plus the s3 coarse quantizer over FULL vectors
+    // (6-bit cells, quantized-integer mean centroids, top-8 probe per
+    // query); scoring joins are restricted to codes whose cell the query
+    // probed. Raw-score ranking, survivors rounded.
+    "s9_ivf_pq" -> {
+      val subs = (0 until 4).map { i =>
+        s"ef$i AS (SELECT vec_id, list_slice(embedding, ${i * 16 + 1}, ${i * 16 + 16}) AS embedding FROM embeddings),\n" +
+          sqlKmeansChain(s"_p$i", s"ef$i")
+      }.mkString(",\n")
+      val luts = (0 until 4).map { i =>
+        s"""qs$i AS (SELECT vec_id AS q_id, list_slice(embedding, ${i * 16 + 1}, ${i * 16 + 16}) AS e
+           |         FROM embeddings WHERE vec_id % 100 = 0),
+           |lut$i AS (SELECT q_id, c.cluster AS c$i,
+           |                 ${sqlFoldSum("list_transform(generate_series(1, len(e)), j -> CAST(e[j] AS DOUBLE) * c.centroid[j])")} AS d$i
+           |          FROM qs$i q CROSS JOIN cent1_p$i c)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $subs,
+         |$luts,
+         |codes AS (SELECT p0.vec_id, p0.cluster AS c0, p1.cluster AS c1,
+         |                 p2.cluster AS c2, p3.cluster AS c3
+         |          FROM a2_p0 p0 JOIN a2_p1 p1 USING (vec_id)
+         |                        JOIN a2_p2 p2 USING (vec_id)
+         |                        JOIN a2_p3 p3 USING (vec_id)),
+         |fbits AS (SELECT b, CAST(1 AS BIGINT) << b AS p2 FROM generate_series(0, 5) t(b)),
+         |fproj AS (SELECT vec_id, b, p2,
+         |                ${sqlFoldSum(
+                            "list_transform(generate_series(1, len(embedding)), " +
+                            "i -> CAST(embedding[i] AS DOUBLE) * " +
+                            "((CAST(((b * 104729 + (i - 1) * 7919 + 12345) * (b * 104729 + (i - 1) * 7919 + 12345)) % 1000003 AS DOUBLE) / 1000003.0) - 0.5))")} AS proj
+         |         FROM embeddings CROSS JOIN fbits),
+         |fcell AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS cell
+         |          FROM fproj GROUP BY vec_id),
+         |fcnt AS (SELECT cell, count(*) AS n FROM fcell GROUP BY cell),
+         |fdsum AS (SELECT f.cell, i, sum(CAST(trunc(CAST(e.embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qs
+         |          FROM embeddings e JOIN fcell f ON e.vec_id = f.vec_id,
+         |               LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g
+         |          GROUP BY f.cell, i),
+         |fcent AS (SELECT d.cell, list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY i) AS centroid
+         |          FROM fdsum d JOIN fcnt c ON d.cell = c.cell GROUP BY d.cell, c.n),
+         |fq AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+         |fcs AS (SELECT q_id, fcent.cell, ${sqlCosineFD("qe", "centroid")} AS cell_sim
+         |        FROM fq CROSS JOIN fcent),
+         |pr AS (SELECT q_id, cell FROM (
+         |         SELECT q_id, cell,
+         |                row_number() OVER (PARTITION BY q_id ORDER BY cell_sim DESC, cell) AS cr
+         |         FROM fcs) WHERE cr <= 8),
+         |sc AS (SELECT pr.q_id, codes.vec_id, l0.d0 + l1.d1 + l2.d2 + l3.d3 AS score
+         |       FROM codes
+         |       JOIN fcell fc ON fc.vec_id = codes.vec_id
+         |       JOIN pr ON pr.cell = fc.cell
+         |       JOIN lut0 l0 ON l0.q_id = pr.q_id AND l0.c0 = codes.c0
+         |       JOIN lut1 l1 ON l1.q_id = pr.q_id AND l1.c1 = codes.c1
+         |       JOIN lut2 l2 ON l2.q_id = pr.q_id AND l2.c2 = codes.c2
+         |       JOIN lut3 l3 ON l3.q_id = pr.q_id AND l3.c3 = codes.c3),
          |r AS (SELECT q_id, vec_id, score,
          |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rank
          |      FROM sc)

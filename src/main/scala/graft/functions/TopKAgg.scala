@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -32,9 +32,15 @@ case class TopKAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKAgg.Buf] {
+  extends TypedImperativeAggregate[TopKAgg.Buf] with ImplicitCastInputTypes {
 
   require(k > 0, s"TopKAgg: k must be positive, got $k")
+
+  // Analysis-time typing: a non-(double, bigint) call site gets a cast (or
+  // an AnalysisException) instead of a runtime ClassCastException in
+  // update() (review finding). Declared Seq[DataType] — covariant — because
+  // AbstractDataType is private[sql] outside Spark's own tree.
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
 
   override def createAggregationBuffer(): TopKAgg.Buf = new TopKAgg.Buf(k)
 
@@ -104,8 +110,14 @@ object TopKAgg {
     val id = new Array[Long](k)
     var n = 0
 
-    private def beats(s: Double, i: Long, pos: Int): Boolean =
-      s > score(pos) || (s == score(pos) && i < id(pos))
+    // java.lang.Double.compare, not '>': Spark's ordering is a TOTAL order
+    // with NaN greatest and -0.0 < 0.0 — primitive '>' would rank NaN worst
+    // and diverge from the row_number window formulation this aggregate
+    // claims equivalence with (review finding).
+    private def beats(s: Double, i: Long, pos: Int): Boolean = {
+      val c = java.lang.Double.compare(s, score(pos))
+      c > 0 || (c == 0 && i < id(pos))
+    }
 
     def insert(s: Double, i: Long): Unit = {
       if (n == k && !beats(s, i, n - 1)) return

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GraftColumns, VectorMath, VectorSumAgg}
+import graft.functions.{GraftColumns, TopKAgg, VectorMath, VectorSumAgg}
 
 /** Embedding clustering for corpus curation — the operation behind
   * cluster-balanced data mixing and SemDeDup-style pruning at the topic
@@ -28,6 +28,14 @@ import graft.functions.{GraftColumns, VectorMath, VectorSumAgg}
   * exchange), then one [[VectorSumAgg]] hash aggregate whose shuffle
   * carries one row per (cluster, partition). Rounds are a fixed small
   * constant — no convergence-dependent driver loop.
+  *
+  * The PQ family ([[pqEncode]], [[adcTopK]], [[ivfPqTopK]]) runs the SAME
+  * k-means per 16-dim subspace, but GROUPED: all `m` subspace models derive
+  * from one exploded corpus scan keyed by (sub, …), so the chain costs one
+  * corpus pass per k-means stage instead of `m` — per-subspace arithmetic is
+  * untouched (every aggregate and window carries `sub` in its key), so the
+  * output is bit-identical to `m` independent passes (gate-verified: the s7
+  * oracle still replays m standalone chains).
   */
 object Clustering {
 
@@ -95,6 +103,97 @@ object Clustering {
     cents
   }
 
+  // ---------------------------------------------------------------------
+  // Grouped (fused) per-subspace k-means — one corpus scan per stage for
+  // all m subspaces at once. Long format: every frame carries a `sub`
+  // column and every aggregate/window keys on it, so subspaces never
+  // interact and each one's arithmetic is exactly the standalone kmeans'.
+  // ---------------------------------------------------------------------
+
+  /** One corpus scan → (vec_id, sub, embedding): the m contiguous
+    * `subDim`-dim slices of every vector, exploded to long format. */
+  private def slices(emb: DataFrame, m: Int, subDim: Int): DataFrame =
+    emb.select(
+      col("vec_id"),
+      posexplode(array((0 until m).map(i =>
+        expr(s"slice(embedding, ${i * subDim + 1}, $subDim)")): _*))
+        .as(Seq("sub", "embedding")))
+
+  /** Grouped twin of [[centroidsOf]]: (sub, cluster, centroid). */
+  private def centroidsOfG(asg: DataFrame): DataFrame =
+    asg.groupBy(col("sub"), col("cluster"))
+      .agg(VectorSumAgg.vectorSum(col("embedding")).as("qsum"), count(lit(1)).as("n"))
+      .select(
+        col("sub"), col("cluster"),
+        transform(
+          col("qsum"),
+          v => v.cast("double") / (col("n").cast("double") * lit(VectorSumAgg.Scale)))
+          .as("centroid"))
+
+  /** Grouped twin of [[assign]]: the broadcast carries all m codebooks
+    * (m·k rows) and the equi-join on `sub` scores each slice against its
+    * own subspace's centroids only — same per-row arithmetic, same
+    * smaller-cluster tie-break. */
+  private def assignG(sl: DataFrame, cents: DataFrame): DataFrame =
+    sl.join(broadcast(cents), Seq("sub"))
+      .withColumn(
+        "sim",
+        GraftColumns.dotFD(col("embedding"), col("centroid")) /
+          (VectorMath.norm2(col("embedding")) * GraftColumns.normD(col("centroid"))))
+      .groupBy(col("sub"), col("vec_id"))
+      .agg(
+        first(col("embedding")).as("embedding"),
+        max(struct(col("sim"), (-col("cluster")).as("negc"))).as("best"))
+      .select(
+        col("sub"), col("vec_id"), col("embedding"),
+        (-col("best.negc")).as("cluster"), col("best.sim").as("sim"))
+
+  /** All m per-subspace PQ models in one grouped chain:
+    * (codebooks (sub, cluster, centroid), assignments (sub, vec_id,
+    * cluster, sim)). Seeding, one Lloyd iteration, and the final
+    * assignment each cost ONE pass over the exploded corpus — the fused
+    * form of m independent [[kmeans]] runs (which scanned the corpus m×
+    * per stage), bit-identical per subspace. */
+  private def subspaceModel(emb: DataFrame, m: Int, subDim: Int, k: Int,
+      cellBits: Int): (DataFrame, DataFrame) = {
+    val sl = slices(emb, m, subDim)
+    val cells = sl.select(
+      col("sub"), col("vec_id"), col("embedding"),
+      GraftColumns.hyperBucket(col("embedding"), cellBits).as("cell"))
+    // ≤ m·2^cellBits rows; ranked per subspace (partitionBy sub ≡ the
+    // standalone chain's global order within each slice).
+    val topCells = cells.groupBy(col("sub"), col("cell")).agg(count(lit(1)).as("n"))
+      .withColumn(
+        "cluster",
+        (row_number().over(
+          Window.partitionBy(col("sub")).orderBy(col("n").desc, col("cell"))) - 1)
+          .cast("long"))
+      .filter(col("cluster") < k)
+      .select(col("sub"), col("cell"), col("cluster"))
+    val cents0 = centroidsOfG(
+      cells.join(broadcast(topCells), Seq("sub", "cell"))
+        .select(col("sub"), col("cluster"), col("embedding")))
+    // one Lloyd iteration — the iters=1 the gate verifies per subspace
+    val cents1 = centroidsOfG(
+      assignG(sl, cents0).select(col("sub"), col("cluster"), col("embedding")))
+    (cents1, assignG(sl, cents1))
+  }
+
+  /** Pivot the long (sub, vec_id, cluster, sim) assignment to one wide row
+    * per vector: c0..c{m-1} (+ sim0.. when `withSims`). `first(when(...))`
+    * with ignoreNulls is deterministic here — exactly one row per
+    * (vec_id, sub). */
+  private def pivotCodes(asg: DataFrame, m: Int, withSims: Boolean): DataFrame = {
+    val aggs = (0 until m).flatMap { i =>
+      val code = first(when(col("sub") === i, col("cluster")), ignoreNulls = true).as(s"c$i")
+      if (withSims)
+        Seq(code, first(when(col("sub") === i, round(col("sim"), 7)), ignoreNulls = true)
+          .as(s"sim$i"))
+      else Seq(code)
+    }
+    asg.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Product-quantization encode — the compression half of IVF-PQ ANN:
     * split each vector into `m` contiguous `subDim`-dim subvectors, learn a
     * per-subspace codebook with the SAME deterministic [[kmeans]] (so the
@@ -104,22 +203,57 @@ object Clustering {
     * m=4, k=8 compress to 4 small ints (12 bits) + the codebooks; ADC
     * search then scores queries against codebooks instead of raw vectors.
     *
-    * Plan shape: m independent kmeans passes over narrow slice frames
-    * (each is the verified s5 pipeline: broadcast centroids, one
-    * VectorSumAgg shuffle), then an m-way join of (vec_id, code) rows. A
-    * throughput-tuned variant would fuse the m passes into one scan with a
-    * combined aggregate; this form keeps each subspace bit-identical to
-    * the standalone kmeans the gate already verifies. */
+    * Fused plan shape: ONE exploded corpus scan per k-means stage covers
+    * all m subspaces ([[subspaceModel]]) — the previous m-independent-pass
+    * form cost m full scans per stage for bit-identical output. */
   def pqEncode(emb: DataFrame, m: Int = 4, subDim: Int = 16, k: Int = 8,
       cellBits: Int = 6): DataFrame = {
-    def sub(i: Int): DataFrame = emb.select(
-      col("vec_id"),
-      expr(s"slice(embedding, ${i * subDim + 1}, $subDim)").as("embedding"))
-    (0 until m).map { i =>
-      kmeans(sub(i), k, iters = 1, cellBits = cellBits)
-        .select(col("vec_id"), col("cluster").as(s"c$i"), col("sim").as(s"sim$i"))
-    }.reduce(_.join(_, Seq("vec_id")))
+    val (_, asg) = subspaceModel(emb, m, subDim, k, cellBits)
+    pivotCodes(asg, m, withSims = true)
   }
+
+  /** Per-query ADC lookup tables as one row of m per-cluster arrays
+    * (m·k doubles per query): LUT entry (q, sub, cluster) = exact dot of
+    * the query's slice against that subspace centroid. Tiny — broadcast by
+    * every consumer. */
+  private def lutArrays(queries: DataFrame, cb: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val qsl = slices(queries, m, subDim)
+      .select(col("vec_id").as("q_id"), col("sub"), col("embedding").as("q"))
+    val lut = qsl.join(broadcast(cb), Seq("sub"))
+      .select(col("q_id"), col("sub"),
+        GraftColumns.dotFD(col("q"), col("centroid")).as("d"), col("cluster"))
+    lut.groupBy(col("q_id"), col("sub"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("cluster").as("c"), col("d").as("d")))),
+        x => x.getField("d")).as("t"))
+      .groupBy(col("q_id"))
+      .agg(
+        first(when(col("sub") === 0, col("t")), ignoreNulls = true).as("t0"),
+        (1 until m).map(i =>
+          first(when(col("sub") === i, col("t")), ignoreNulls = true).as(s"t$i")): _*)
+  }
+
+  /** Score = fixed-order sum of the m LUT lookups for a code row. */
+  private def adcScore(m: Int) =
+    (0 until m).map(i =>
+      element_at(col(s"t$i"), col(s"c$i").cast("int") + 1)).reduce(_ + _)
+
+  /** The shared ADC tail: `pairs` rows carry (q_id, vec_id, c0..c{m-1},
+    * t0..t{m-1}); score each via the LUT lookups, keep the k best per query
+    * with the bounded [[TopKAgg]] (map-side k-slot buffers — the exchange
+    * carries ≤ k rows per (query, partition)), rank on the RAW
+    * deterministic score and round only the k survivors. */
+  private def adcRank(pairs: DataFrame, m: Int, topK: Int): DataFrame =
+    pairs
+      .select(col("q_id"), col("vec_id"), adcScore(m).as("score"))
+      .groupBy(col("q_id"))
+      .agg(TopKAgg.topK(col("score"), col("vec_id"), topK).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(
+        col("q_id"),
+        col("col.id").as("vec_id"),
+        round(col("col.score"), 7).as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
 
   /** ADC (asymmetric distance computation) retrieval over PQ codes — the
     * search half of IVF-PQ: queries stay full-precision, the corpus is
@@ -131,76 +265,88 @@ object Clustering {
     * norms) keeps it exact-deterministic; top-k per query by
     * (score DESC, vec_id) is a total order.
     *
-    * Plan shape: m broadcast joins of the code frame against LUTs + one
-    * per-query window — corpus-side rows carry (vec_id, m codes) only.
-    * Codebooks are re-derived deterministically (bit-identical to
-    * [[pqEncode]]'s); pass-through of a precomputed code frame would be
-    * the production shape. */
+    * EXHAUSTIVE by design — every (query, code) pair is scored once; this
+    * is the verification baseline for [[ivfPqTopK]], which prunes the pair
+    * space to the probed cells (the d2-vs-d3 trade). The |Q|·|N| pairs are
+    * generated once, projected to 3 columns, map-side-collapsed by the
+    * bounded [[TopKAgg]] (the window formulation shuffled and sorted ALL
+    * pairs — measured 756 s at 2k×100k; this shape shuffles kilobytes). */
   def adcTopK(queries: DataFrame, corpus: DataFrame, m: Int = 4, subDim: Int = 16,
       k: Int = 8, cellBits: Int = 6, topK: Int = 5): DataFrame = {
-    def sub(df: DataFrame, i: Int): DataFrame = df.select(
-      col("vec_id"),
-      expr(s"slice(embedding, ${i * subDim + 1}, $subDim)").as("embedding"))
-    // One codebook derivation per subspace, shared by the code assignment
-    // AND the query LUT (pqEncode's kmeans would re-derive it — 2× the
-    // dominant corpus-wide work for bit-identical output; review finding).
-    val perSub = (0 until m).map { i =>
-      val cb = codebook(sub(corpus, i), k, iters = 1, cellBits = cellBits)
-      val codes = assign(sub(corpus, i), cb)
-        .select(col("vec_id"), col("cluster").as(s"c$i"))
-      val lut = sub(queries, i).select(col("vec_id").as("q_id"), col("embedding").as("q"))
-        .crossJoin(broadcast(cb))
-        .select(col("q_id"), col("cluster").as(s"c$i"),
-          GraftColumns.dotFD(col("q"), col("centroid")).as(s"d$i"))
-      (codes, lut)
-    }
-    val codes = perSub.map(_._1).reduce(_.join(_, Seq("vec_id")))
-    // Fold each query's LUT into ONE row of per-cluster arrays (m·k doubles
-    // per query) and score with a single broadcast pass + element_at
-    // lookups. The first probe run joined the code frame against the flat
-    // LUT on c0 alone — every code row matched EVERY query, and the
-    // resulting |Q|·|N| frame then dragged through three more joins
-    // (measured: 886 s at 2k×100k). The |Q|·|N| scored pairs are inherent
-    // to exhaustive ADC (it is the verification baseline — compose with
-    // IVF cell pruning for the production path, the d2-vs-d3 trade), but
-    // they must exist once, projected to 3 columns, not four times.
-    val lutArr = perSub.map(_._2).zipWithIndex.map { case (lut, i) =>
-      lut.groupBy("q_id").agg(
-        transform(
-          sort_array(collect_list(struct(col(s"c$i").as("c"), col(s"d$i").as("d")))),
-          x => x.getField("d")).as(s"t$i"))
-    }.reduce(_.join(_, Seq("q_id")))
-    // Per-query top-k via the bounded [[graft.functions.TopKAgg]]: the
-    // |Q|·|N| scored pairs collapse map-side into k-slot buffers, so the
-    // exchange carries ≤ k rows per (query, partition) — the window
-    // formulation this replaces shuffled and sorted ALL pairs (measured
-    // 756 s at 2k×100k; this shape runs the same scoring in the scan
-    // stage and shuffles kilobytes). Rank on the ROUNDED score so the
-    // order matches the oracle's replay exactly.
+    val (cb, asg) = subspaceModel(corpus, m, subDim, k, cellBits)
+    val codes = pivotCodes(asg, m, withSims = false)
+    val lutArr = lutArrays(queries, cb, m, subDim)
     // Explicit fan-out before the row-exploding cross join: the code frame
     // is ~|N| tiny rows, so AQE coalesces the preceding join to one
     // partition — and the |Q|·|N| generation then runs in ONE task
     // (measured: 442 s single-threaded at 2k×100k). An explicit partition
     // count pins the parallelism; the 16-byte-row shuffle is noise.
     val fanout = corpus.sparkSession.sparkContext.defaultParallelism * 2
-    // Rank on the RAW score: it is already bit-deterministic (fixed-order
-    // sum of exact dot folds) and the oracle ranks the same raw doubles —
-    // rounding BEFORE the aggregate allocated a BigDecimal per scored pair
-    // (Spark's Round) on the |Q|·|N| hot path. Only the k output rows per
-    // query round.
-    codes.repartition(fanout, col("vec_id"))
-      .crossJoin(broadcast(lutArr))
-      .select(col("q_id"), col("vec_id"),
-        (0 until m).map(i =>
-          element_at(col(s"t$i"), col(s"c$i").cast("int") + 1)).reduce(_ + _)
-          .as("score"))
-      .groupBy(col("q_id"))
-      .agg(graft.functions.TopKAgg.topK(col("score"), col("vec_id"), topK).as("top"))
-      .select(col("q_id"), posexplode(col("top")))
+    adcRank(
+      codes.repartition(fanout, col("vec_id")).crossJoin(broadcast(lutArr)),
+      m, topK)
+  }
+
+  /** IVF-PQ top-k — THE production ANN composition at 100 TB scale: a
+    * coarse quantizer (the [[Similarity.ivfTopK]] cell machinery — LSH
+    * cells, quantized-integer mean centroids) routes each query to its
+    * `nProbe` best cells, and ADC scoring over PQ codes runs ONLY inside
+    * the probed cells. Per query the scored-pair count drops from |N|
+    * (exhaustive [[adcTopK]]) to the probed cells' population
+    * (~nProbe/2^cellBits of the corpus); the corpus side still never
+    * touches raw vectors after the one-time encode.
+    *
+    * Plan shape: cell assignment + centroids are one hash aggregate; the
+    * (query, probed-cell) table is ≤ |Q|·nProbe rows and BROADCAST against
+    * the code frame, so the corpus is never shuffled by the search itself —
+    * the only corpus-sized exchanges are the one-time index build (PQ
+    * chain + the vec_id join attaching cells to codes). At 100 TB the
+    * codes+cell frame IS the stored index (write it `partitionBy(cell)`;
+    * a probe then reads nProbe partitions and the broadcast join prunes
+    * the rest — the same partition-pruning layout s3's spec proves).
+    *
+    * Both halves are verified independently (s3: cell probe; s7/s8:
+    * codes + exhaustive ADC); the gate's s9 oracle replays this whole
+    * composition. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, m: Int = 4, subDim: Int = 16,
+      k: Int = 8, cellBits: Int = 6, nProbe: Int = 8, topK: Int = 5): DataFrame = {
+    // Coarse quantizer over FULL vectors — identical cells/centroids to s3.
+    val withCell = corpus.select(
+      col("vec_id"), col("embedding"),
+      GraftColumns.hyperBucket(col("embedding"), cellBits).as("cell"))
+    val centroids = withCell
+      .groupBy(col("cell"))
+      .agg(VectorSumAgg.vectorSum(col("embedding")).as("qsum"), count(lit(1)).as("n"))
       .select(
-        col("q_id"),
-        col("col.id").as("vec_id"),
-        round(col("col.score"), 7).as("score"),
-        (col("pos") + 1).cast("long").as("rank"))
+        col("cell"),
+        transform(
+          col("qsum"),
+          v => v.cast("double") / (col("n").cast("double") * lit(VectorSumAgg.Scale)))
+          .as("centroid"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val probed = broadcast(q)
+      .crossJoin(broadcast(centroids))
+      .withColumn("cell_sim",
+        GraftColumns.dotFD(col("qe"), col("centroid")) /
+          (VectorMath.norm2(col("qe")) * GraftColumns.normD(col("centroid"))))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col("q_id"), col("cell"))
+    // One-time index build: PQ codes + each code row's coarse cell. The
+    // vec_id equi-join is the index-build cost, not a per-query one.
+    val (cb, asg) = subspaceModel(corpus, m, subDim, k, cellBits)
+    val codes = pivotCodes(asg, m, withSims = false)
+      .join(withCell.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val lutArr = lutArrays(queries, cb, m, subDim)
+    // THE pruning join: probed is ≤ |Q|·nProbe rows (query-count-bounded,
+    // not data-derived — safe to broadcast), so each code row fans out only
+    // to the queries that probed its cell; the LUT attach is a second
+    // broadcast equi-join on q_id.
+    val fanout = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    val cands = codes.repartition(fanout, col("vec_id"))
+      .join(broadcast(probed), Seq("cell"))
+    adcRank(cands.join(broadcast(lutArr), Seq("q_id")), m, topK)
   }
 }

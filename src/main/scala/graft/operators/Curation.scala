@@ -96,6 +96,12 @@ object Curation {
     // Exact recheck: kills false positives; no broadcast hint — AQE picks
     // (the eval side is benchmark-sized here but candidate-derived frames
     // must never be force-broadcast).
+    // The gram cache is NOT unpersisted here: the returned plan still
+    // reads it lazily (an in-function unpersist would defeat the cache,
+    // and an eager checkpoint would hide the plan shape PlanGuardSpec
+    // pins). The leak is bounded — one benchmark-suite-sized gram frame
+    // per invocation, evicted LRU — and acceptable for an operator whose
+    // sketch build already runs a driver action (review finding: noted).
     maybe
       .join(evalGrams, Seq("h"), "left_semi")
       .groupBy("doc_id")

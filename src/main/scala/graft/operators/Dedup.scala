@@ -111,7 +111,65 @@ object Dedup {
     * `trimSpaces`). Bump whenever shingle/minhash semantics change — stored
     * signatures from an older tokenizer are not comparable to new ones. */
   val StoreFormatMarker = "_format-v2"
+  /** Writer-lease file name (see [[incrementalMinhashPairs]]). Leading '_'
+    * keeps it out of both the store listing and Spark's parquet index. */
+  val StoreLockFile = "_lock"
   val BandR = 2     // rows per band → 16 bands
+
+  /** Exclusive writer lease over the signature store: atomically create
+    * `_lock` (create-with-overwrite=false — atomic on HDFS and the local
+    * FS), run `body`, delete the lock. A second writer arriving while the
+    * lock is held FAILS LOUDLY with the holder's identity instead of
+    * proceeding: two concurrent writers would each snapshot a store that
+    * excludes the other's batch, both would publish, and the cross-pairs
+    * between their batches would silently never be emitted — an
+    * unreparable gap, because re-ingest is anti-joined to be idempotent.
+    * Serialization is sufficient (not just detection) because the lease
+    * brackets the WHOLE snapshot→pair→publish window: a writer either sees
+    * the lock (throws) or acquires it after the holder's publish rename,
+    * so its snapshot always includes every published batch.
+    *
+    * No auto-expiry: a crashed holder leaves the lock behind and later
+    * writers fail with its identity + acquisition time until an operator
+    * removes the file (a lease timeout that silently broke a slow-but-live
+    * writer's lock would reintroduce the exact lost-pair scenario the lock
+    * exists to prevent). */
+  private def withStoreLock[T](
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path)(body: => T): T = {
+    fs.mkdirs(dir)
+    val lock = new org.apache.hadoop.fs.Path(dir, StoreLockFile)
+    val owner =
+      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}/" +
+        s"${java.util.UUID.randomUUID()}@${System.currentTimeMillis()}"
+    val acquired =
+      try {
+        val out = fs.create(lock, false) // atomic create-if-absent
+        out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+        true
+      } catch {
+        // Some FileSystems throw the typed exception, others a plain
+        // IOException("File already exists") — distinguish contention from
+        // a genuine IO failure by whether the lock is there now. A real IO
+        // error must PROPAGATE (same policy as store reads).
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if fs.exists(lock) => false
+      }
+    if (!acquired) {
+      val holder =
+        try {
+          val in = fs.open(lock)
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        } catch { case _: java.io.IOException => "<unreadable>" }
+      throw new IllegalStateException(
+        s"signature store at $dir is locked by a concurrent writer " +
+          s"($holder); if that writer is dead, delete ${lock.getName} and retry")
+    }
+    try body
+    finally fs.delete(lock, false)
+  }
 
   /** MinHash signatures: (doc_id, mh array<bigint> of k minima), computed by
     * the single-buffer [[graft.functions.MinHashAgg]] — one shuffled row per
@@ -227,8 +285,10 @@ object Dedup {
     * docs only (semi-join), so a run's cost scales with the new batch and
     * its collision neighborhood, not with corpus history.
     *
-    * Durability contract (single writer at a time): the store is a
-    * directory of immutable `batch-*` subdirectories. Each run writes its
+    * Durability contract: the store is a
+    * directory of immutable `batch-*` subdirectories. Writers serialize
+    * through the [[withStoreLock]] `_lock` lease (concurrent ingest fails
+    * loudly, never silently drops cross-batch pairs). Each run writes its
     * signatures to a hidden `.staging-*` directory first — invisible to
     * every reader — then publishes it with ONE filesystem rename. A run
     * killed mid-write leaves only an orphaned staging directory: the next
@@ -248,6 +308,11 @@ object Dedup {
     val spark = newDocs.sparkSession
     val dir = new org.apache.hadoop.fs.Path(storePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // The writer lease brackets snapshot → pair computation → publish, so
+    // concurrent writers serialize (or fail loudly) instead of silently
+    // losing cross-batch pairs; everything that reads the store below is
+    // materialized (eager checkpoints/caches) before the lease releases.
+    withStoreLock(fs, dir) {
     // Path-absence is the ONLY condition read as "no store yet"; listing or
     // read errors (permissions, transient IO) throw instead of silently
     // pretending the corpus history is empty.
@@ -359,6 +424,7 @@ object Dedup {
     cands.unpersist()
     candArr.unpersist()
     pairs
+    }
   }
 
   /** Cross-document span duplication, the Lee et al. ("Deduplicating

@@ -48,7 +48,20 @@ object Graph {
   /** Synchronous PageRank, `iters` rounds of
     * `r' = (100-dampPct)% + dampPct% · Σ_in (r_src div outdeg_src)`,
     * all in [[RankScale]] fixed point. `nodes` must have a `node_id`
-    * column; `edges` (src, dst). Nodes never linked keep the base rank. */
+    * column; `edges` (src, dst). Nodes never linked keep the base rank.
+    *
+    * The unrolled per-round plan grows linearly with `iters`, so every
+    * [[CheckpointEvery]] rounds the rank map is cut with an eager
+    * `localCheckpoint` and the superseded round's RDD is released — the
+    * same cadence-and-unpersist discipline as [[Dedup.clusters]]. Only
+    * INTERMEDIATE rounds checkpoint: the returned frame stays a lazy
+    * ≤ CheckpointEvery-round plan (PlanGuardSpec pins its join shape), so
+    * the default iters=5 run is exactly as lazy as before. The degree
+    * cache and the final surviving checkpoint are read by that lazy plan
+    * and so cannot be unpersisted here — both are node/edge-map-sized,
+    * bounded leaks (review finding: noted). */
+  val CheckpointEvery = 5
+
   def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
       dampPct: Long = 85L): DataFrame = {
     // (src, dst, od): out-degree attached once, cached for every round.
@@ -59,7 +72,8 @@ object Graph {
       .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src").cache()
     val base = (100L - dampPct) * RankScale / 100L
     var ranks = nodes.select(col("node_id"), lit(RankScale).as("r"))
-    for (_ <- 1 to iters) {
+    var lastCp: Option[DataFrame] = None
+    for (i <- 1 to iters) {
       val inflow = withDeg
         .join(ranks.select(col("node_id").as("src"), col("r")), Seq("src"))
         .select(col("dst").as("node_id"), expr("r div od").as("c"))
@@ -71,6 +85,15 @@ object Graph {
           col("node_id"),
           (lit(base) + expr(s"($dampPct * coalesce(s, CAST(0 AS BIGINT))) div 100"))
             .as("r"))
+      if (i % CheckpointEvery == 0 && i < iters) {
+        val cp = ranks.localCheckpoint() // eager: materializes rounds so far
+        // The new checkpoint holds the data; the superseded one is dead
+        // weight (checkpointed RDDs bypass the CacheManager, so only an
+        // explicit rdd.unpersist releases them).
+        lastCp.foreach(org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint)
+        lastCp = Some(cp)
+        ranks = cp
+      }
     }
     ranks.select(col("node_id"), col("r").as("rank_scaled"))
   }

@@ -220,9 +220,12 @@ object Similarity {
               var d = 0
               val n = math.min(q.embedding.length, c.embedding.length)
               while (d < n) { s += q.embedding(d).toDouble * c.embedding(d).toDouble; d += 1 }
-              out += ScoredPair(q.vec_id, c.vec_id,
-                java.math.BigDecimal.valueOf(s / (q.nrm * c.nrm))
-                  .setScale(7, java.math.RoundingMode.HALF_UP).doubleValue())
+              // RAW score: the left-to-right fold is already
+              // bit-deterministic and the oracle ranks the same raw
+              // doubles. Rounding here allocated a BigDecimal per scored
+              // pair on the Σ bucket² hot path (the same troll measured on
+              // ADC, SCALING.md #18c); only the k survivors round.
+              out += ScoredPair(q.vec_id, c.vec_id, s / (q.nrm * c.nrm))
             }
           }
         }
@@ -234,7 +237,8 @@ object Similarity {
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 7).as("cosine"), col("rank"))
   }
 
   /** Deterministic random-projection dimensionality reduction: each

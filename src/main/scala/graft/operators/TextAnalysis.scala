@@ -212,6 +212,12 @@ object TextAnalysis {
       .agg(sum(col("tf")).as("cnt"), count(lit(1)).as("df"))
       .orderBy(col("cnt").desc, col("term")).limit(kTerms)
       .select(col("term"), col("df"))
+    // tf is NOT unpersisted here: the returned plan reads it lazily (an
+    // in-function unpersist would defeat the cache; an eager checkpoint
+    // would hide the TakeOrderedAndProject shape PlanGuardSpec pins). The
+    // leak is one (doc, term) frame per invocation, LRU-evicted —
+    // acceptable for an operator that already runs a driver action for
+    // Σdl (review finding: noted).
     tf.join(broadcast(qterms), Seq("term"))
       .join(dl, Seq("doc_id"))
       .withColumn("idfq", expr(s"(${n}L * 16384L) div df"))

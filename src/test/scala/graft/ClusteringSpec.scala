@@ -68,5 +68,33 @@ class ClusteringSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("ivfPqTopK: full probe ≡ exhaustive ADC; pruned probe keeps recall; deterministic") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    // Probing ALL 2^6 cells scores every (query, code) pair exactly once —
+    // the composition must then be EQUAL to exhaustive adcTopK, row for row
+    // (scores, ranks and all): the strongest composition check available.
+    val full = Clustering.ivfPqTopK(queries, emb, nProbe = 64, topK = 5)
+    val exhaustive = Clustering.adcTopK(queries, emb, topK = 5).cache()
+    assert(full.except(exhaustive).isEmpty && exhaustive.except(full).isEmpty,
+      "nProbe=all must reproduce exhaustive ADC exactly")
+    // Default probe (8 of 64 cells ⇒ ~12.5% of pairs scored): still 5 rows
+    // per query, and recall@5 against the exhaustive ADC ranking stays well
+    // above the ~0.125 a random cell subset would give. The fixture value
+    // is deterministic (0.44 on sf0.001's 800 vectors — ~12 vectors/cell
+    // makes cell routing coarse; nProbe is the recall knob at scale).
+    val pruned = Clustering.ivfPqTopK(queries, emb, topK = 5).cache()
+    val perQ = pruned.groupBy("q_id").agg(count(lit(1)).as("n")).collect()
+    assert(perQ.nonEmpty)
+    perQ.foreach(r => assert(r.getLong(1) === 5L))
+    val hits = pruned.select("q_id", "vec_id")
+      .intersect(exhaustive.select("q_id", "vec_id")).count()
+    val total = exhaustive.count()
+    assert(hits.toDouble / total >= 0.4, s"recall@5 vs exhaustive ADC = $hits/$total")
+    assert(pruned.except(Clustering.ivfPqTopK(queries, emb, topK = 5)).isEmpty)
+    pruned.unpersist(); exhaustive.unpersist()
+  }
+
   private def Tables = graft.sources.Tables
 }

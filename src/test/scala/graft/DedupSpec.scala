@@ -198,6 +198,40 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("tokenizer"))
   }
 
+  test("incremental store: writer lease serializes interleaved writers — no silent cross-batch pair loss") {
+    // The lost-pair scenario: writer A and writer B ingest concurrently;
+    // each snapshots a store that excludes the other's batch, both publish,
+    // and the A↔B cross-pair is never emitted by anyone. The lease makes
+    // that impossible by bracketing snapshot→publish: B arriving while A
+    // holds the lock FAILS LOUDLY (with A's identity), and B's retry after
+    // A's release snapshots a store that includes A's batch — emitting the
+    // cross-pair. Interleaving is simulated by planting A's lock file at
+    // B's arrival (deterministic, exactly the window the lease guards).
+    val root = java.nio.file.Files.createTempDirectory("graft_mh_store5")
+    val dir = root.toString + "/store"
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // Writer A publishes batch1 (docs 0-2, containing near-dup pair 0-1).
+    pairsOf(Dedup.incrementalMinhashPairs(docs.filter($"doc_id" <= 2L), dir))
+    // Lease released after a successful run.
+    assert(!new java.io.File(dir, Dedup.StoreLockFile).exists())
+    // Writer A (simulated) holds the lock mid-ingest when writer B arrives.
+    val lock = new java.io.File(dir, Dedup.StoreLockFile)
+    java.nio.file.Files.write(lock.toPath,
+      "writerA@12345".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val ex = intercept[IllegalStateException] {
+      Dedup.incrementalMinhashPairs(docs.filter($"doc_id" > 2L), dir).collect()
+    }
+    assert(ex.getMessage.contains("writerA@12345"), ex.getMessage)
+    // The failed attempt must not have published anything or eaten A's lock.
+    assert(lock.exists())
+    // After A releases, B's retry sees A's batch: the cross-batch pair
+    // (0 = stored by A, 3 = B's exact dup of it) is emitted.
+    assert(lock.delete())
+    val run2 = pairsOf(Dedup.incrementalMinhashPairs(docs.filter($"doc_id" > 2L), dir))
+    assert(run2.map(p => (p._1, p._2)).contains((0L, 3L)))
+  }
+
   test("incremental store: a read failure propagates instead of emptying the corpus") {
     // A storePath that exists but is unreadable as parquet must throw —
     // treating it as "no store yet" would drop every new-vs-old pair while

@@ -23,6 +23,23 @@ class GraphSpec extends SparkSpec {
     assert(r2 === Map(0L -> 150000L, 1L -> 1127500L, 2L -> 1722500L, 3L -> 150000L))
   }
 
+  test("pagerank: iters=50 runs under the checkpoint cadence without plan blowup") {
+    // 50 unrolled rounds without lineage cuts would build an enormous plan;
+    // the CheckpointEvery cadence keeps each segment ≤ 5 rounds deep. The
+    // fixed point is analytic: r0 = 150000 (no inflow),
+    // r1 = 150000 + 0.85·(r0 + r2), r2 = 150000 + 0.85·r1 →
+    // r1 = 405000 / 0.2775 ≈ 1,459,459 and r2 ≈ 1,390,540; integer
+    // truncation only ever loses a few units per hop.
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("node_id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.pagerank(nodes, edges, iters = 50).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(0L) === 150000L && r(3L) === 150000L)
+    // Within integer-truncation distance of the analytic fixed point.
+    assert(math.abs(r(1L) - 1459459L) < 1000, s"r1=${r(1L)}")
+    assert(math.abs(r(2L) - 1390540L) < 1000, s"r2=${r(2L)}")
+  }
+
   test("pagerank: integer truncation never inflates total mass") {
     val docs = spark.read.parquet(sf("documents"))
     val n = docs.count()

@@ -47,6 +47,55 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q24's unsalted twin: AQE skew-join splits the hot key at runtime (SkewJoin's when-to-use contract)") {
+    // SkewJoin.scala's claim — "AQE's skew-join split handles the
+    // sort-merge case at runtime; this is the explicit form for planners
+    // that can't see the skew" — pinned by running the UNSALTED join on a
+    // hot-key fixture under AQE and asserting (a) the runtime plan really
+    // did split the skewed partition and (b) the output equals the salted
+    // operator's, so either remedy is output-identical.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // Force sort-merge (the case AQE's skew split serves); thresholds
+      // shrunk so the unit-test-sized hot partition counts as skewed.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // Half the fact rows pile onto key 7 — one reducer owns them all
+      // unless something splits it.
+      val big = (0L until 20000L)
+        .map(i => (if (i % 2 == 0) 7L else i % 1000, i)).toDF("k", "v")
+      val small = (0L until 1000L).map(i => (i, s"s$i")).toDF("k", "name")
+      val plain = big.join(small, "k")
+      plain.collect() // materialize so AQE finalizes the runtime plan
+      val p = plain.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE did not split the hot key:\n$p")
+      val salted = graft.operators.SkewJoin.saltedJoin(
+        big, small, "k", salts = 8, saltFrom = Some(col("v")))
+        .select("k", "v", "name")
+      val pl = plain.select("k", "v", "name")
+      assert(pl.except(salted).isEmpty && salted.except(pl).isEmpty,
+        "salted and AQE-handled unsalted joins must be output-identical")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("c3 bloom decontam: sketch prefilter sits below the exact semi-join") {
     val p = plan("c3_bloom_decontam")
     // The literal-sketch might_contain must filter the corpus-side grams
