@@ -608,6 +608,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       graft.operators.Clustering.ivfPqTopK(emb.filter(col("vec_id") % 100 === 0), emb)
     }),
+    // s9 plus the exact re-rank refinement (Faiss IndexRefineFlat shape):
+    // the rank<=20 ADC shortlist fetches full-precision vectors and the
+    // final top-5 is the exact cosine order over that shortlist.
+    "s10_ivf_pq_refine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Clustering.ivfPqRefineTopK(emb.filter(col("vec_id") % 100 === 0), emb)
+    }),
     "p4_chunk" -> ((s, d) => Curation.chunk(Tables.documents(s, d))),
     // `lang` as the domain column: the fixture's `source` is uniform (the
     // predicate would never fire — a vacuous gate row), while the language
@@ -1577,61 +1584,87 @@ object SparkEntry {
     // (6-bit cells, quantized-integer mean centroids, top-8 probe per
     // query); scoring joins are restricted to codes whose cell the query
     // probed. Raw-score ranking, survivors rounded.
-    "s9_ivf_pq" -> {
-      val subs = (0 until 4).map { i =>
-        s"ef$i AS (SELECT vec_id, list_slice(embedding, ${i * 16 + 1}, ${i * 16 + 16}) AS embedding FROM embeddings),\n" +
-          sqlKmeansChain(s"_p$i", s"ef$i")
-      }.mkString(",\n")
-      val luts = (0 until 4).map { i =>
-        s"""qs$i AS (SELECT vec_id AS q_id, list_slice(embedding, ${i * 16 + 1}, ${i * 16 + 16}) AS e
-           |         FROM embeddings WHERE vec_id % 100 = 0),
-           |lut$i AS (SELECT q_id, c.cluster AS c$i,
-           |                 ${sqlFoldSum("list_transform(generate_series(1, len(e)), j -> CAST(e[j] AS DOUBLE) * c.centroid[j])")} AS d$i
-           |          FROM qs$i q CROSS JOIN cent1_p$i c)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $subs,
-         |$luts,
-         |codes AS (SELECT p0.vec_id, p0.cluster AS c0, p1.cluster AS c1,
-         |                 p2.cluster AS c2, p3.cluster AS c3
-         |          FROM a2_p0 p0 JOIN a2_p1 p1 USING (vec_id)
-         |                        JOIN a2_p2 p2 USING (vec_id)
-         |                        JOIN a2_p3 p3 USING (vec_id)),
-         |fbits AS (SELECT b, CAST(1 AS BIGINT) << b AS p2 FROM generate_series(0, 5) t(b)),
-         |fproj AS (SELECT vec_id, b, p2,
-         |                ${sqlFoldSum(
-                            "list_transform(generate_series(1, len(embedding)), " +
-                            "i -> CAST(embedding[i] AS DOUBLE) * " +
-                            "((CAST(((b * 104729 + (i - 1) * 7919 + 12345) * (b * 104729 + (i - 1) * 7919 + 12345)) % 1000003 AS DOUBLE) / 1000003.0) - 0.5))")} AS proj
-         |         FROM embeddings CROSS JOIN fbits),
-         |fcell AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS cell
-         |          FROM fproj GROUP BY vec_id),
-         |fcnt AS (SELECT cell, count(*) AS n FROM fcell GROUP BY cell),
-         |fdsum AS (SELECT f.cell, i, sum(CAST(trunc(CAST(e.embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qs
-         |          FROM embeddings e JOIN fcell f ON e.vec_id = f.vec_id,
-         |               LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g
-         |          GROUP BY f.cell, i),
-         |fcent AS (SELECT d.cell, list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY i) AS centroid
-         |          FROM fdsum d JOIN fcnt c ON d.cell = c.cell GROUP BY d.cell, c.n),
-         |fq AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
-         |fcs AS (SELECT q_id, fcent.cell, ${sqlCosineFD("qe", "centroid")} AS cell_sim
-         |        FROM fq CROSS JOIN fcent),
-         |pr AS (SELECT q_id, cell FROM (
-         |         SELECT q_id, cell,
-         |                row_number() OVER (PARTITION BY q_id ORDER BY cell_sim DESC, cell) AS cr
-         |         FROM fcs) WHERE cr <= 8),
-         |sc AS (SELECT pr.q_id, codes.vec_id, l0.d0 + l1.d1 + l2.d2 + l3.d3 AS score
-         |       FROM codes
-         |       JOIN fcell fc ON fc.vec_id = codes.vec_id
-         |       JOIN pr ON pr.cell = fc.cell
-         |       JOIN lut0 l0 ON l0.q_id = pr.q_id AND l0.c0 = codes.c0
-         |       JOIN lut1 l1 ON l1.q_id = pr.q_id AND l1.c1 = codes.c1
-         |       JOIN lut2 l2 ON l2.q_id = pr.q_id AND l2.c2 = codes.c2
-         |       JOIN lut3 l3 ON l3.q_id = pr.q_id AND l3.c3 = codes.c3),
-         |r AS (SELECT q_id, vec_id, score,
-         |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rank
-         |      FROM sc)
-         |SELECT q_id, vec_id, round(score, 7) AS score, rank FROM r WHERE rank <= 5""".stripMargin
-    })
+    "s9_ivf_pq" ->
+      s"""WITH $sqlIvfPqCtes
+         |SELECT q_id, vec_id, round(score, 7) AS score, rank FROM r WHERE rank <= 5""".stripMargin,
+    // s9 plus the exact re-rank: the rank<=20 ADC shortlist fetches its
+    // full-precision vectors and is re-scored with the exact left-to-right
+    // cosine; final order is (cosine DESC, vec_id) over the shortlist.
+    "s10_ivf_pq_refine" ->
+      s"""WITH $sqlIvfPqCtes,
+         |short AS (SELECT q_id, vec_id FROM r WHERE rank <= 20),
+         |ref AS (SELECT s.q_id, s.vec_id,
+         |               ${sqlCosine("qe.embedding", "ce.embedding")} AS cosine
+         |        FROM short s
+         |        JOIN embeddings ce ON ce.vec_id = s.vec_id
+         |        JOIN embeddings qe ON qe.vec_id = s.q_id),
+         |rr AS (SELECT q_id, vec_id, cosine,
+         |              CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+         |       FROM ref)
+         |SELECT q_id, vec_id, round(cosine, 7) AS cosine, rank FROM rr WHERE rank <= 5""".stripMargin)
+
+  /** Shared SQL fragment: the whole IVF-PQ replay (mirrors
+    * [[graft.operators.Clustering.ivfPqTopK]] at m=4, subDim=16, k=8,
+    * cellBits=6, nProbe=8, queries = vec_id % 100 = 0) — the s8 chains
+    * (subspace codebooks, codes, per-query LUTs) plus the s3 coarse
+    * quantizer over FULL vectors; scoring joins restricted to codes whose
+    * cell the query probed. Ends in `r(q_id, vec_id, score, rank)` with the
+    * RAW score ranked by (score DESC, vec_id) — consumers (s9, s10) slice
+    * and round. */
+  private lazy val sqlIvfPqCtes: String = {
+    val subs = (0 until 4).map { i =>
+      s"ef$i AS (SELECT vec_id, list_slice(embedding, ${i * 16 + 1}, ${i * 16 + 16}) AS embedding FROM embeddings),\n" +
+        sqlKmeansChain(s"_p$i", s"ef$i")
+    }.mkString(",\n")
+    val luts = (0 until 4).map { i =>
+      s"""qs$i AS (SELECT vec_id AS q_id, list_slice(embedding, ${i * 16 + 1}, ${i * 16 + 16}) AS e
+         |         FROM embeddings WHERE vec_id % 100 = 0),
+         |lut$i AS (SELECT q_id, c.cluster AS c$i,
+         |                 ${sqlFoldSum("list_transform(generate_series(1, len(e)), j -> CAST(e[j] AS DOUBLE) * c.centroid[j])")} AS d$i
+         |          FROM qs$i q CROSS JOIN cent1_p$i c)""".stripMargin
+    }.mkString(",\n")
+    s"""$subs,
+       |$luts,
+       |codes AS (SELECT p0.vec_id, p0.cluster AS c0, p1.cluster AS c1,
+       |                 p2.cluster AS c2, p3.cluster AS c3
+       |          FROM a2_p0 p0 JOIN a2_p1 p1 USING (vec_id)
+       |                        JOIN a2_p2 p2 USING (vec_id)
+       |                        JOIN a2_p3 p3 USING (vec_id)),
+       |fbits AS (SELECT b, CAST(1 AS BIGINT) << b AS p2 FROM generate_series(0, 5) t(b)),
+       |fproj AS (SELECT vec_id, b, p2,
+       |                ${sqlFoldSum(
+                          "list_transform(generate_series(1, len(embedding)), " +
+                          "i -> CAST(embedding[i] AS DOUBLE) * " +
+                          "((CAST(((b * 104729 + (i - 1) * 7919 + 12345) * (b * 104729 + (i - 1) * 7919 + 12345)) % 1000003 AS DOUBLE) / 1000003.0) - 0.5))")} AS proj
+       |         FROM embeddings CROSS JOIN fbits),
+       |fcell AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS cell
+       |          FROM fproj GROUP BY vec_id),
+       |fcnt AS (SELECT cell, count(*) AS n FROM fcell GROUP BY cell),
+       |fdsum AS (SELECT f.cell, i, sum(CAST(trunc(CAST(e.embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qs
+       |          FROM embeddings e JOIN fcell f ON e.vec_id = f.vec_id,
+       |               LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g
+       |          GROUP BY f.cell, i),
+       |fcent AS (SELECT d.cell, list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY i) AS centroid
+       |          FROM fdsum d JOIN fcnt c ON d.cell = c.cell GROUP BY d.cell, c.n),
+       |fq AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+       |fcs AS (SELECT q_id, fcent.cell, ${sqlCosineFD("qe", "centroid")} AS cell_sim
+       |        FROM fq CROSS JOIN fcent),
+       |pr AS (SELECT q_id, cell FROM (
+       |         SELECT q_id, cell,
+       |                row_number() OVER (PARTITION BY q_id ORDER BY cell_sim DESC, cell) AS cr
+       |         FROM fcs) WHERE cr <= 8),
+       |sc AS (SELECT pr.q_id, codes.vec_id, l0.d0 + l1.d1 + l2.d2 + l3.d3 AS score
+       |       FROM codes
+       |       JOIN fcell fc ON fc.vec_id = codes.vec_id
+       |       JOIN pr ON pr.cell = fc.cell
+       |       JOIN lut0 l0 ON l0.q_id = pr.q_id AND l0.c0 = codes.c0
+       |       JOIN lut1 l1 ON l1.q_id = pr.q_id AND l1.c1 = codes.c1
+       |       JOIN lut2 l2 ON l2.q_id = pr.q_id AND l2.c2 = codes.c2
+       |       JOIN lut3 l3 ON l3.q_id = pr.q_id AND l3.c3 = codes.c3),
+       |r AS (SELECT q_id, vec_id, score,
+       |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |      FROM sc)""".stripMargin
+  }
 
   /** Shared SQL fragment: the deterministic spherical-kmeans replay
     * (mirrors [[graft.operators.Clustering.kmeans]] at k=8, iters=1,

@@ -349,4 +349,44 @@ object Clustering {
       .join(broadcast(probed), Seq("cell"))
     adcRank(cands.join(broadcast(lutArr), Seq("q_id")), m, topK)
   }
+
+  /** IVF-PQ with an exact re-rank refinement — the full production recall
+    * recipe (Faiss `IndexRefineFlat` shape): the quantized [[ivfPqTopK]]
+    * search produces a `shortlist`-deep candidate set per query from codes
+    * alone, then ONLY those |Q|·shortlist rows fetch their full-precision
+    * vectors and are re-scored with the exact cosine. ADC's quantization
+    * error decides which ~20 candidates are considered, never their final
+    * order — so the top-k ordering is exact over the shortlist, at the cost
+    * of one extra narrow join instead of an exhaustive exact scan.
+    *
+    * Scale shape: the shortlist is query-count-bounded (|Q|·shortlist rows,
+    * not data-derived), so it broadcasts against the corpus — the refine
+    * fetch is one broadcast semi-join-shaped probe of the corpus by vec_id,
+    * and the corpus is never shuffled by the search. The re-rank window
+    * sees ≤ shortlist rows per query.
+    *
+    * Output: (q_id, vec_id, cosine, rank) — EXACT cosine (vs the
+    * inner-product ADC approximation s8/s9 return), rank by
+    * (cosine DESC, vec_id), survivors rounded. */
+  def ivfPqRefineTopK(queries: DataFrame, corpus: DataFrame, m: Int = 4,
+      subDim: Int = 16, k: Int = 8, cellBits: Int = 6, nProbe: Int = 8,
+      shortlist: Int = 20, topK: Int = 5): DataFrame = {
+    val short = ivfPqTopK(queries, corpus, m, subDim, k, cellBits, nProbe, shortlist)
+      .select(col("q_id"), col("vec_id"))
+    // Norms once per side before the pair join (same double as a per-pair
+    // norm — identical computation on identical data; s1's pattern).
+    val cand = corpus
+      .select(col("vec_id"), col("embedding").as("ce"),
+        VectorMath.norm2(col("embedding")).as("cn"))
+      .join(broadcast(short), Seq("vec_id"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+      VectorMath.norm2(col("embedding")).as("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    cand.join(broadcast(q), Seq("q_id"))
+      .withColumn("cosine", VectorMath.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("vec_id"),
+        round(col("cosine"), 7).as("cosine"), col("rank"))
+  }
 }

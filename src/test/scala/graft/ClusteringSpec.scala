@@ -96,5 +96,54 @@ class ClusteringSpec extends SparkSpec {
     pruned.unpersist(); exhaustive.unpersist()
   }
 
+  test("ivfPqRefineTopK: exact order over the shortlist; recall ≥ plain IVF-PQ; deterministic") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val refined = Clustering.ivfPqRefineTopK(queries, emb, topK = 5).cache()
+    // 5 rows per query, ranks 1..5, cosine non-increasing in rank.
+    val perQ = refined.groupBy("q_id").agg(count(lit(1)).as("n"), max("rank").as("mx")).collect()
+    assert(perQ.nonEmpty)
+    perQ.foreach(r => assert(r.getLong(1) === 5L && r.getLong(2) === 5L))
+    refined.collect().groupBy(_.getLong(0)).values.foreach { rows =>
+      rows.sortBy(_.getLong(3)).sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(2) >= b.getDouble(2))
+        case _           => ()
+      }
+    }
+    // The refine's survivors are EXACTLY the exact-cosine top-5 of the
+    // ADC shortlist: recompute the shortlist, exact-score it with the same
+    // arithmetic, and compare row for row.
+    val short = Clustering.ivfPqTopK(queries, emb, topK = 20).select("q_id", "vec_id")
+    val qn = emb.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+      graft.functions.VectorMath.norm2(col("embedding")).as("qn"))
+    val cn = emb.select(col("vec_id"), col("embedding").as("ce"),
+      graft.functions.VectorMath.norm2(col("embedding")).as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val expected = short.join(cn, Seq("vec_id")).join(qn, Seq("q_id"))
+      .withColumn("cosine",
+        graft.functions.VectorMath.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"), round(col("cosine"), 7).as("cosine"), col("rank"))
+    assert(refined.except(expected).isEmpty && expected.except(refined).isEmpty)
+    // Exact re-ranking can only improve id-set agreement with the TRUE
+    // exact top-5 (brute force over the full corpus) — on the fixture the
+    // refined set's recall must be at least the unrefined IVF-PQ's.
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(emb, nQueries = Int.MaxValue, k = 5) // self excluded — compare on ids only
+    val exactIds = exact
+      .filter(col("query_id") % 100 === 0)
+      .select(col("query_id").as("q_id"), col("neighbor_id").as("vec_id"))
+    val plain = Clustering.ivfPqTopK(queries, emb, topK = 5)
+    def recall(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("q_id", "vec_id").intersect(exactIds).count()
+    assert(recall(refined) >= recall(plain),
+      "exact re-rank must not lose recall vs the unrefined composition")
+    assert(refined.except(Clustering.ivfPqRefineTopK(queries, emb, topK = 5)).isEmpty)
+    refined.unpersist(); emb.unpersist()
+  }
+
   private def Tables = graft.sources.Tables
 }
