@@ -426,6 +426,65 @@ object SparkEntry {
       q.awaitTermination()
       s.table(name).distinct()
     }),
+    // Streaming sessionization on the gate (fourth streaming row): native
+    // session_window aggregation through the real engine. Append mode only
+    // emits a session once the watermark passes its end, so the query
+    // plants one sentinel event per user 1h (2× gap) past the global max
+    // event time: every REAL session flushes, the sentinel sessions stay
+    // in state, and the emitted table is exactly the batch sessionization
+    // of the real events — which is what the oracle replays (at µs
+    // precision, the session_window comparison grain).
+    "q32_stream_session" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinel = new java.sql.Timestamp(maxTs.getTime + 3600000L)
+      val prepared = ev.unionByName(
+        ev.select(col("user_id")).distinct().withColumn("ts", lit(sentinel)))
+      // One data file → one micro-batch: the watermark can never advance
+      // between batches and drop real events as late.
+      val dir = "/tmp/graft_q32_stream_input"
+      prepared.coalesce(1).write.mode("overwrite").parquet(dir)
+      val stream = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+      val name = "stream_session_sink"
+      s.catalog.dropTempView(name)
+      val q = graft.streaming.StreamingSession.sessions(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+    // Stream-stream interval join on the gate (fifth streaming row): two
+    // watermarked event streams (errors, purchases) joined on user with an
+    // event-time interval condition, through the real engine. Inner joins
+    // emit matches as both sides arrive (watermarks bound STATE, not
+    // emission), and the fixture drains in one micro-batch, so the emitted
+    // set is exactly the batch interval join the oracle replays.
+    "q33_stream_join" -> ((s, d) => {
+      Tables.events(s, d) // ensures nanosAsLong before the raw schema read
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      def src = Tables.nanosToMicros(
+        s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
+      val errors = src.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = errors.join(purchases,
+        expr("user_id = p_user AND p_ts >= e_ts AND p_ts <= e_ts + INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("e_ts"), col("p_ts"))
+      val name = "stream_join_sink"
+      s.catalog.dropTempView(name)
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }),
     "j1_json_extract" -> ((s, d) =>
       Tables.events(s, d).select(
         col("event_id"),
@@ -897,6 +956,41 @@ object SparkEntry {
         |       min(ts) AS session_start, max(ts) AS session_end,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+    // session_window semantics at µs grain: an event exactly `gap` after
+    // the previous still EXTENDS the session (inclusive boundary,
+    // spec-pinned) — q21's `> gap` contract at µs instead of ms grain;
+    // session_end = last ts + gap. The sentinel events the gate query
+    // plants never emit (withheld in state), so the oracle replays only
+    // the real events.
+    "q32_stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, event_id FROM events),
+        |f AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NOT NULL
+        |                   AND epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id,
+        |       min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    // Purchases within 30 min (inclusive) after an error by the same user,
+    // at µs grain (the stream's ns→µs truncation).
+    "q33_stream_join" ->
+      """WITH e AS (
+        |  SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, event_type FROM events)
+        |SELECT a.user_id, a.ts AS e_ts, b.ts AS p_ts
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin,
     "q20_pivot" ->
       """SELECT o_orderpriority,
         |       count(*) FILTER (o_orderstatus = 'F') AS n_f,
