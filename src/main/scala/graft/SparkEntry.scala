@@ -686,6 +686,16 @@ object SparkEntry {
       TextAnalysis.qualityFilter(Tables.documents(s, d))),
     "t12_span_dup" -> ((s, d) =>
       Dedup.spanDuplication(Tables.documents(s, d))),
+    // Segment-level exact dedup (line-dedup shape): only the corpus-first
+    // occurrence of each 10-token segment survives; docs are re-assembled
+    // from their surviving segments.
+    "t17_segment_dedup" -> ((s, d) =>
+      Dedup.segmentDedup(Tables.documents(s, d))),
+    // Exact heavy hitters via Misra-Gries candidates + exact verify; the
+    // fixture's 31-token vocabulary straddles the N/31 threshold, so the
+    // boundary genuinely cuts.
+    "h1_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, d))),
     // ---- corpus curation ----
     // Benchmark decontamination: eval set = doc_id % 20 == 0, overlap on
     // word-5-gram hashes.
@@ -702,6 +712,24 @@ object SparkEntry {
     // the final corpus-membership decision.
     "c2_curation_pipeline" -> ((s, d) =>
       Curation.pipeline(Tables.documents(s, d), col("doc_id") % 20 === 0)),
+    // MERGE INTO semantics (CDC apply): a deterministic change set derived
+    // from orders — deletes (key%10=3), updates (+100.0 on %10=7), inserts
+    // (re-keyed +10M copies of %10=1) — folded into the base snapshot in
+    // one full-outer-join pass.
+    "u1_merge_upsert" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      val ch = base.filter((col("o_orderkey") % 10).isin(1L, 3L, 7L))
+        .select(
+          when(col("o_orderkey") % 10 === 1, col("o_orderkey") + 10000000L)
+            .otherwise(col("o_orderkey")).as("o_orderkey"),
+          when(col("o_orderkey") % 10 === 3, lit("D")).otherwise(lit("U")).as("op"),
+          col("o_custkey"),
+          when(col("o_orderkey") % 10 === 7, col("o_totalprice") + 100.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderstatus"))
+      operators.Merge.upsert(base, ch, Seq("o_orderkey"))
+    }),
     "p1_train_split" -> ((s, d) => Curation.hashSplit(Tables.documents(s, d))),
     "p3_pack_bins" -> ((s, d) => Curation.packBins(Tables.documents(s, d))),
     // Deterministic epoch shuffle: hash key → shard, per-shard rank — the
@@ -715,6 +743,11 @@ object SparkEntry {
       Graph.pagerank(docs.select(col("doc_id").as("node_id")), Graph.docLinkGraph(docs))
         .select(col("node_id").as("doc_id"), col("rank_scaled"))
     }),
+    // Triangle enumeration over the same deterministic link graph —
+    // degree-oriented wedge join (per-key fan-out capped at O(sqrt m)),
+    // each triangle found once at its lowest-order apex.
+    "g2_triangles" -> ((s, d) =>
+      Graph.triangles(Graph.docLinkGraph(Tables.documents(s, d)))),
     // BM25 against the corpus's own top-10 vocabulary as the query —
     // quantized-integer scoring, global top-20 by (score, doc_id).
     "t13_bm25" -> ((s, d) => TextAnalysis.bm25(Tables.documents(s, d))),
@@ -940,6 +973,24 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority,
         |       count(DISTINCT o_custkey) AS n_cust, count(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "u1_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+        |ch AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 1 THEN o_orderkey + 10000000 ELSE o_orderkey END AS o_orderkey,
+        |         CASE WHEN o_orderkey % 10 = 3 THEN 'D' ELSE 'U' END AS op,
+        |         o_custkey,
+        |         CASE WHEN o_orderkey % 10 = 7 THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+        |         o_orderstatus
+        |  FROM base WHERE o_orderkey % 10 IN (1, 3, 7)),
+        |m AS (
+        |  SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey, c.op,
+        |         CASE WHEN c.op = 'U' THEN c.o_custkey ELSE b.o_custkey END AS o_custkey,
+        |         CASE WHEN c.op = 'U' THEN c.o_totalprice ELSE b.o_totalprice END AS o_totalprice,
+        |         CASE WHEN c.op = 'U' THEN c.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus
+        |  FROM base b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey)
+        |SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey, o_totalprice, o_orderstatus
+        |FROM m WHERE op IS NULL OR op <> 'D'""".stripMargin,
     "q21_sessionization" ->
       """WITH f AS (
         |  SELECT user_id, ts, event_id,
@@ -1200,6 +1251,18 @@ object SparkEntry {
     // Unrolled 5-round integer PageRank: each round is one edge⋈rank join +
     // dst aggregation, exactly the Spark loop body. All ops integral, so the
     // replay is bit-exact; sums CAST back to BIGINT (HUGEINT leak rule).
+    // The oracle enumerates a<b<c directly (orientation is a Spark-side
+    // skew tactic, invisible in the output set).
+    "g2_triangles" ->
+      s"""WITH ncnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |edges AS (SELECT doc_id AS src,
+         |                 ${sqlSampleKey("('pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))")} % n AS dst
+         |          FROM documents CROSS JOIN generate_series(1, 3) t(j) CROSS JOIN ncnt),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM edges WHERE src <> dst)
+         |SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         |FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+         |            JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin,
     "g1_pagerank" -> {
       val iterCtes = (1 to 5).map { i =>
         s"r$i AS (SELECT n.node_id, CAST(150000 + (85 * coalesce(inf.s, 0)) // 100 AS BIGINT) AS r\n" +
@@ -1425,6 +1488,34 @@ object SparkEntry {
          |  FROM s)
          |SELECT doc_id, lang, quality_score, pctl FROM p WHERE pctl >= 0.1""".stripMargin
     },
+    // The MG sketch is output-invisible (guaranteed candidate superset +
+    // exact recheck), so the oracle is the plain exact threshold query.
+    "h1_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS token FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM toks),
+        |f AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY token)
+        |SELECT token, freq FROM f, n WHERE freq * 31 > nn""".stripMargin,
+    // Segment identity = the 60-bit shingle-convention hash; first
+    // occurrence under the (doc_id, seg_idx) total order wins (rn = 1);
+    // docs rebuilt from surviving segments in seg order.
+    "t17_segment_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
+         |seg AS (SELECT doc_id,
+         |               CAST((len(t) + 9) // 10 AS BIGINT) AS n_total,
+         |               CAST(i - 1 AS BIGINT) AS seg_idx,
+         |               array_to_string(list_slice(t, (i - 1) * 10 + 1, i * 10), ' ') AS seg
+         |        FROM toks, LATERAL (SELECT unnest(generate_series(1, (len(t) + 9) // 10)) AS i) g),
+         |h AS (SELECT doc_id, n_total, seg_idx, seg,
+         |             ${sqlPolyHash("seg")} + ${sqlPolyHash("reverse(seg)")} * (CAST(1 AS BIGINT) << 30) AS hh
+         |      FROM seg),
+         |w AS (SELECT doc_id, n_total, seg_idx, seg,
+         |             row_number() OVER (PARTITION BY hh ORDER BY doc_id, seg_idx) AS rn
+         |      FROM h)
+         |SELECT doc_id,
+         |       coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '') AS text_dedup,
+         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       min(n_total) AS n_total
+         |FROM w GROUP BY doc_id""".stripMargin,
     "t12_span_dup" ->
       s"""WITH ${sqlShinglesN(5, "TRUE", "_sd")},
          |j AS (SELECT doc_id, CAST(count(*) OVER (PARTITION BY h) AS BIGINT) AS df FROM sh_sd)

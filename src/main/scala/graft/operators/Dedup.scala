@@ -454,6 +454,58 @@ object Dedup {
         round(col("n_shared").cast("double") / col("n_grams").cast("double"), 7))
   }
 
+  /** Corpus-wide SEGMENT-level exact dedup (the CCNet/RefinedWeb line-dedup
+    * shape, with fixed `segWords`-token windows standing in for lines in a
+    * corpus without line structure): a segment occurrence survives iff it
+    * is the FIRST occurrence of that segment text in the whole corpus under
+    * the (doc_id, seg_idx) total order; each document's text is then
+    * re-assembled from its surviving segments in order.
+    *
+    * Unlike [[spanDuplication]] (which only SCORES cross-doc duplication),
+    * this is the transform that removes it. Segment identity is the wide
+    * 60-bit portable hash (polyHash | polyHash∘reverse << 30 — the shingle
+    * convention). Plan shape: ONE hash-shuffle of (h, doc_id, idx, seg)
+    * rows with a min-struct count window — the same single-exchange
+    * discipline as spanDuplication; the rebuild groupBy(doc_id) is the
+    * second, doc-keyed exchange. Docs whose every segment was seen earlier
+    * emit an empty `text_dedup` (n_kept = 0), keeping one output row per
+    * input doc.
+    *
+    * Output: (doc_id, text_dedup, n_kept, n_total). */
+  def segmentDedup(docs: DataFrame, segWords: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = segWords
+    val segs = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        expr(s"CAST((size(t) + ${k - 1}) div $k AS BIGINT)").as("n_total"),
+        posexplode(expr(
+          s"transform(sequence(1, (size(t) + ${k - 1}) div $k), " +
+            s"i -> array_join(slice(t, (i - 1) * $k + 1, $k), ' '))"))
+          .as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("n_total"),
+        col("seg_idx").cast("long").as("seg_idx"), col("seg"),
+        (graft.functions.GraftColumns.polyHash(col("seg")) +
+          graft.functions.GraftColumns.polyHash(reverse(col("seg"))) * lit(1L << 30))
+          .as("h"))
+    val firstOcc = min(struct(col("doc_id"), col("seg_idx")))
+      .over(Window.partitionBy(col("h")))
+    segs
+      .withColumn("w", firstOcc)
+      .withColumn("kept",
+        col("doc_id") === col("w.doc_id") && col("seg_idx") === col("w.seg_idx"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("seg_idx"), col("seg"))))),
+            s => s.getField("seg")),
+          " ").as("text_dedup"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        first(col("n_total")).as("n_total"))
+  }
+
   val SimhashBits = 60 // two 30-bit poly hashes: h(tok) | h(reverse(tok)) << 30
 
   /** SimHash signatures: per-doc 60-bit fingerprint from token hashes.

@@ -97,4 +97,49 @@ object Graph {
     }
     ranks.select(col("node_id"), col("r").as("rank_scaled"))
   }
+
+  /** Triangle enumeration by DEGREE ORIENTATION — the skew-bounded shape:
+    * each undirected simple edge (self-loops and multi-edges dropped) is
+    * oriented from its lower-(degree, id) endpoint to the higher, which
+    * caps every oriented out-degree at O(√m) — so the wedge self-join's
+    * per-key fan-out is bounded even on power-law graphs where a naive
+    * a&lt;b&lt;c three-way join explodes on hub nodes. Wedges (u→w1, u→w2)
+    * close into triangles via one semi-check join against the undirected
+    * edge set; each triangle is found exactly once (at its lowest-order
+    * apex).
+    *
+    * Plan: two node-map-sized degree joins, one wedge self-join (bounded
+    * fan-out), one closing equi-join — all on 16-byte edge rows.
+    * Output: (a, b, c) with a &lt; b &lt; c, one row per triangle. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    // orient low (deg, id) → high (deg, id); the lexicographic tie-break on
+    // id makes the orientation a strict total order (no 2-cycles)
+    val orient = und
+      .join(deg.select(col("v").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("dg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("w")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"))
+    val wedges = orient.select(col("u"), col("w").as("w1"))
+      .join(orient.select(col("u"), col("w").as("w2")), Seq("u"))
+      .filter(col("w1") < col("w2"))
+    wedges
+      .join(und, col("w1") === col("a") && col("w2") === col("b"), "left_semi")
+      .select(
+        array_sort(array(col("u"), col("w1"), col("w2"))).as("t"))
+      .select(
+        element_at(col("t"), 1).as("a"),
+        element_at(col("t"), 2).as("b"),
+        element_at(col("t"), 3).as("c"))
+  }
 }

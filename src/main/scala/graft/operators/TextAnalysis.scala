@@ -318,4 +318,33 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       explode(graft.functions.GraftColumns.winnowFps(col("text"), k, w)).as("fp"))
+
+  /** Exact heavy hitters (tokens with frequency strictly above
+    * N/(capacity+1)) by the sketch-then-verify pattern: one pass builds a
+    * [[graft.functions.MisraGriesAgg]] candidate superset (≤ capacity
+    * tokens — guaranteed to contain every true heavy hitter) plus the
+    * total token count N in the same 1-row aggregate; a second pass counts
+    * ONLY the candidate tokens exactly and keeps those above threshold.
+    *
+    * The sketch is output-invisible (exact verify, like the Bloom
+    * prefilter in `bloomContamination`): the result is the exact heavy
+    * set no matter how partitioning perturbs the candidate list. At
+    * 100 TB the win is the verify shuffle carrying ≤ capacity distinct
+    * keys (a literal IN filter pushed to the scan) instead of the full
+    * vocabulary — the two corpus scans are the price of an exact answer.
+    *
+    * Output: (token, freq) — exact counts, freq·(capacity+1) > N. */
+  def heavyHitters(docs: DataFrame, capacity: Int = 30): DataFrame = {
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+    val sketch = toks.agg(
+      graft.functions.MisraGriesAgg.candidates(col("token"), capacity).as("cand"),
+      count(lit(1)).as("n")).head()
+    val cand = sketch.getSeq[String](0)
+    val n = sketch.getLong(1)
+    toks
+      .filter(col("token").isin(cand: _*))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * (capacity + 1) > n)
+  }
 }

@@ -368,4 +368,30 @@ class DedupSpec extends SparkSpec {
     assert(repQ === math.max(q(10L), q(11L)))
     assert(q(11L) > q(10L)) // the fixture actually exercises the policy
   }
+
+  test("segmentDedup: first corpus occurrence survives, later copies are cut, docs rebuilt in order") {
+    import spark.implicits._
+    // 3-word segments. Doc 0 owns segments A B; doc 1 repeats A (cut) and
+    // adds C; doc 2 is entirely copies (kept empty); doc 3 repeats its OWN
+    // first segment (also cut — identity is corpus-global, not per-doc).
+    val segA = "a b c"; val segB = "d e f"; val segC = "g h i"
+    val docs = Seq(
+      (0L, s"$segA $segB"),
+      (1L, s"$segA $segC"),
+      (2L, s"$segB $segA"),
+      (3L, s"$segC $segC")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.segmentDedup(docs, segWords = 3)
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(0L) === (s"$segA $segB", 2L, 2L))
+    assert(rows(1L) === (segC, 1L, 2L)) // A cut (doc 0 owns it), C kept
+    assert(rows(2L) === ("", 0L, 2L))   // both segments seen earlier
+    assert(rows(3L) === ("", 0L, 2L))   // C owned by doc 1; self-repeat cut too
+    assert(out.except(graft.operators.Dedup.segmentDedup(docs, segWords = 3)).isEmpty)
+    // ragged tail: a 4-token doc at segWords=3 has 2 segments (3 + 1)
+    val ragged = graft.operators.Dedup.segmentDedup(
+      Seq((9L, "p q r s")).toDF("doc_id", "text"), segWords = 3).head()
+    assert(ragged.getString(1) === "p q r s" && ragged.getLong(3) === 2L)
+  }
 }

@@ -62,4 +62,30 @@ class GraphSpec extends SparkSpec {
     // Bit-identical on re-derivation (pure hash of the table).
     assert(e1.except(Graph.docLinkGraph(docs, outDeg = 3)).isEmpty)
   }
+
+  test("triangles: K4 yields its 4 triangles; self-loops, multi-edges and direction ignored") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} with noise: duplicated edges, reversed duplicates,
+    // a self-loop, and a pendant vertex 5 (in no triangle).
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 4L), (4L, 3L), (2L, 2L), (4L, 5L)
+    ).toDF("src", "dst")
+    val out = Graph.triangles(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("triangles: star graph has none; hub orientation keeps fan-out at the spokes") {
+    import spark.implicits._
+    // hub 0 connected to 1..20: no triangles, and the degree orientation
+    // points every edge spoke→hub (deg 1 < deg 20), so the wedge join has
+    // zero fan-out at the hub — the skew-bounding property in miniature.
+    val star = (1L to 20L).map(i => (0L, i)).toDF("src", "dst")
+    assert(Graph.triangles(star).isEmpty)
+    // adding one rim edge creates exactly one triangle
+    val withRim = star.union(Seq((7L, 8L)).toDF("src", "dst"))
+    assert(Graph.triangles(withRim).collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))) === Seq((0L, 7L, 8L)))
+  }
 }

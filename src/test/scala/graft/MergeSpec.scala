@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Merge
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert: update, insert, delete, delete-absent, untouched — all four paths") {
+    val base = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+    ).toDF("k", "name", "v")
+    val changes = Seq(
+      (2L, "U", "b2", 22.0), // update existing
+      (4L, "U", "d", 40.0),  // insert new key
+      (3L, "D", "", 0.0),    // delete existing
+      (9L, "D", "", 0.0)     // delete absent key → no-op
+    ).toDF("k", "op", "name", "v")
+    val out = Merge.upsert(base, changes, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(out === Set((1L, "a", 10.0), (2L, "b2", 22.0), (4L, "d", 40.0)))
+  }
+
+  test("upsert preserves base column order and survives a composite key") {
+    val base = Seq((1L, "x", 1.0, "r1"), (1L, "y", 2.0, "r2"))
+      .toDF("k1", "k2", "v", "tag")
+    val changes = Seq((1L, "y", "U", 9.0, "r2u"), (2L, "z", "U", 3.0, "r3"))
+      .toDF("k1", "k2", "op", "v", "tag")
+    val out = Merge.upsert(base, changes, Seq("k1", "k2"))
+    assert(out.columns.toSeq === Seq("k1", "k2", "v", "tag"))
+    assert(out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3))).toSet ===
+      Set((1L, "x", 1.0, "r1"), (1L, "y", 9.0, "r2u"), (2L, "z", 3.0, "r3")))
+  }
+
+  test("latestPerKey: highest version wins; U beats D on a version tie") {
+    val log = Seq(
+      (1L, 1L, "U", 10.0), (1L, 3L, "D", 0.0), (1L, 2L, "U", 12.0), // v3 delete wins
+      (2L, 1L, "D", 0.0), (2L, 1L, "U", 5.0)                        // tie → U wins
+    ).toDF("k", "version", "op", "v")
+    val out = Merge.latestPerKey(log, Seq("k"), "version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(out === Set((1L, 3L, "D", 0.0), (2L, 1L, "U", 5.0)))
+    // composing the two: the collapsed log applies cleanly
+    val base = Seq((1L, 1.0), (3L, 3.0)).toDF("k", "v")
+    val applied = Merge.upsert(
+      base,
+      Merge.latestPerKey(log, Seq("k"), "version").select(col("k"), col("op"), col("v")),
+      Seq("k"))
+    assert(applied.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ===
+      Set((2L, 5.0), (3L, 3.0))) // key 1 deleted, key 2 inserted, key 3 untouched
+  }
+
+  test("upsert is deterministic and key-unique when the change set is key-unique") {
+    val base = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val ch = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("U").as("op"),
+        (col("o_totalprice") + 1.0).as("o_totalprice"))
+    val out = Merge.upsert(base, ch, Seq("o_orderkey")).cache()
+    assert(out.groupBy("o_orderkey").count().filter(col("count") > 1).isEmpty)
+    assert(out.except(Merge.upsert(base, ch, Seq("o_orderkey"))).isEmpty)
+    out.unpersist()
+  }
+
+  private def Tables = graft.sources.Tables
+}

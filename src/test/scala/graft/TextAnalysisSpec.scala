@@ -172,4 +172,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L)._1 === 1L && out(2L)._2 === 699050L)
     assert(math.abs(out(1L)._3 - 0.6666663) < 1e-7)
   }
+
+  test("Misra-Gries buffer: candidate set always contains every true heavy hitter") {
+    import graft.functions.MisraGriesAgg
+    // Adversarial stream: a heavy token (freq 40 of N=100 > 100/4) buried in
+    // 60 near-distinct light tokens, at capacity 3, streamed in the worst
+    // order (light tokens first, forcing constant decrements).
+    val light = (0 until 60).map(i => s"light${i % 30}") // 30 tokens ×2 each
+    val stream = light ++ Seq.fill(40)("HEAVY")
+    val buf = new MisraGriesAgg.Buf(3)
+    stream.foreach(t => buf.add(t, 1L))
+    assert(buf.counts.contains("HEAVY"), s"survivors: ${buf.counts}")
+    assert(buf.counts.size <= 3)
+    // Merge path: split the stream across 4 'partitions' in rotated orders,
+    // merge pairwise — guarantee must survive the Agarwal merge too.
+    val parts = stream.grouped(25).toSeq.zipWithIndex.map { case (p, i) =>
+      val b = new MisraGriesAgg.Buf(3)
+      (p.drop(i) ++ p.take(i)).foreach(t => b.add(t, 1L))
+      b
+    }
+    val merged = parts.reduce { (a, b) =>
+      b.counts.foreach { case (t, c) => a.addNoDecrement(t, c) }
+      a.shrinkToCapacity(); a
+    }
+    assert(merged.counts.contains("HEAVY"), s"merged survivors: ${merged.counts}")
+    assert(merged.counts.size <= 3)
+  }
+
+  test("heavyHitters: exact threshold answer, invariant to repartitioning") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.heavyHitters(docs, capacity = 30)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ground truth: full exact count, same threshold
+    val toks = docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val n = toks.count()
+    val truth = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * 31 > n)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === truth)
+    assert(truth.nonEmpty, "fixture must actually have heavy hitters")
+    val repart = TextAnalysis.heavyHitters(docs.repartition(7), capacity = 30)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(repart === truth, "sketch nondeterminism must stay output-invisible")
+  }
 }
