@@ -84,6 +84,18 @@ object ScalingProbe {
       graft.operators.RangeJoin(errors, purchases, "ts_a", "ts_b", 60000L).count()
     }
 
+    // MERGE upsert at 10M base rows × 1M-row change set: one full-outer
+    // equi-join shuffle on the key + a projection — the CDC-apply cost is
+    // the join, nothing else.
+    time("merge_upsert_10M") {
+      val base = bigEvents.select(col("event_id"), col("user_id"), col("value"))
+      val ch = base.filter(col("event_id") % 10 === 0)
+        .select(col("event_id"),
+          when(col("event_id") % 20 === 0, lit("D")).otherwise(lit("U")).as("op"),
+          col("user_id"), (col("value") + 1.0).as("value"))
+      graft.operators.Merge.upsert(base, ch, Seq("event_id")).count()
+    }
+
     // Done with the event fixtures — release them, or the cached 10M-row
     // table squeezes the ANN sections below into GC churn (measured: the
     // 50× ANN probe reads 92 s with these pinned vs 55 s without).
@@ -192,6 +204,36 @@ object ScalingProbe {
       graft.operators.Graph.pagerank(
         nodes, graft.operators.Graph.docLinkGraph(bigDocs)).count()
     }
+    // Triangle enumeration over the same 100k-node / 300k-edge graph:
+    // degree orientation caps the wedge fan-out; shuffles are 16-byte
+    // edge rows throughout.
+    time("triangles_100k_nodes")(
+      graft.operators.Graph.triangles(
+        graft.operators.Graph.docLinkGraph(bigDocs)).count())
+    // Segment-level dedup at 100k docs: ONE wide-hash shuffle carrying the
+    // segment text + the doc-keyed rebuild exchange. Caesar-rotated
+    // replicas mean cross-replica segments never collide — the dedup rate
+    // stays fixture-like while the shuffle grows 20×.
+    time("segment_dedup_100k_docs")(Dedup.segmentDedup(bigDocs).count())
+    // Exact heavy hitters at 100k docs / 5.4M tokens: 8 of 20 replicas
+    // keep the ORIGINAL alphabet (so its 30 common tokens are genuinely
+    // heavy at ~70k each; the fixture's planted-rare 31st token 'dup'
+    // stays light) while 12 rotated replicas contribute ~370 light tokens
+    // — the MG sketch (capacity 100) must keep all 30 heavies through
+    // real decrement pressure, and the verify pass counts only candidates.
+    val hhDocs = spark.range(20).select(col("id").as("rep"))
+      .crossJoin(docs)
+      .select(
+        (col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+        when(col("rep") < 8, col("text"))
+          .otherwise(expr(s"translate(text, '$alpha', " +
+            (0 until 20).map(i => s"WHEN rep = $i THEN '${rot(i)}'")
+              .mkString("CASE ", " ", " END)"))).as("text"))
+    var hh = 0L
+    time("heavy_hitters_100k_docs")({
+      hh = graft.operators.TextAnalysis.heavyHitters(hhDocs, capacity = 100).count(); hh })
+    println(s"[scale]   heavy hitters found: $hh (expect 30 common original-alphabet tokens)")
+    assert(hh == 30L, s"heavy-hitter probe expected the 30 common unrotated tokens, got $hh")
 
     bigDocs.unpersist(blocking = true)
 
@@ -227,6 +269,36 @@ object ScalingProbe {
     time("pq_adc_2k_q_100k_vecs")(
       graft.operators.Clustering.adcTopK(
         bigEmb.filter(col("vec_id") % 50 === 0), bigEmb).count())
+    // THE production composition at the same 2k×100k shape: coarse cells
+    // route each query to 8 of 64 cells, ADC scores only inside them —
+    // per-query scored pairs drop |N| → ~12.5% of |N|. The delta vs the
+    // exhaustive number above is the point of s9. (End-to-end: includes
+    // the one-time index build the next probes amortize away.)
+    time("ivf_pq_2k_q_100k_vecs")(
+      graft.operators.Clustering.ivfPqTopK(
+        bigEmb.filter(col("vec_id") % 50 === 0), bigEmb).count())
+    // + exact re-rank refinement: the extra cost over plain IVF-PQ is one
+    // broadcast shortlist fetch (2k×20 rows) + exact cosines on 40k pairs.
+    time("ivf_pq_refine_2k_q_100k_vecs")(
+      graft.operators.Clustering.ivfPqRefineTopK(
+        bigEmb.filter(col("vec_id") % 50 === 0), bigEmb).count())
+    // SERVE-PATH split: build the index ONCE (what a 100 TB deployment
+    // stores partitionBy(cell)), then time search alone — the number that
+    // scales per query batch. Codes/codebook/centroids are cached to stand
+    // in for the stored index.
+    val idx = {
+      val i = graft.operators.Clustering.ivfPqIndex(bigEmb)
+      graft.operators.Clustering.IvfPqIndex(
+        i.codes.cache(), i.codebook.cache(), i.centroids.cache())
+    }
+    time("ivf_pq_index_build_100k_vecs")(idx.codes.count() + idx.codebook.count() + idx.centroids.count())
+    time("ivf_pq_search_only_2k_q")(
+      graft.operators.Clustering.ivfPqSearch(
+        bigEmb.filter(col("vec_id") % 50 === 0), idx).count())
+    time("ivf_pq_refine_search_only_2k_q")(
+      graft.operators.Clustering.ivfPqRefineSearch(
+        bigEmb.filter(col("vec_id") % 50 === 0), idx, bigEmb).count())
+    idx.codes.unpersist(); idx.codebook.unpersist(); idx.centroids.unpersist()
     bigEmb.unpersist(blocking = true)
     // Adversarial hot bucket: 100k copies of ONE vector — the entire corpus
     // lands in a single LSH bucket, the worst case for in-bucket scoring.

@@ -434,7 +434,12 @@ object SparkEntry {
     // in state, and the emitted table is exactly the batch sessionization
     // of the real events — which is what the oracle replays (at µs
     // precision, the session_window comparison grain).
-    "q32_stream_session" -> ((s, d) => {
+    "q32_stream_session" -> ((s0, d) => {
+      // Cloned session pins the stateful shuffle to 8 partitions (150
+      // users of session state; 32 store instances would be pure engine
+      // overhead) — same rationale as q33.
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
       val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
       val sentinel = new java.sql.Timestamp(maxTs.getTime + 3600000L)
@@ -461,7 +466,18 @@ object SparkEntry {
     // emit matches as both sides arrive (watermarks bound STATE, not
     // emission), and the fixture drains in one micro-batch, so the emitted
     // set is exactly the batch interval join the oracle replays.
-    "q33_stream_join" -> ((s, d) => {
+    "q33_stream_join" -> ((s0, d) => {
+      // Stateful-shuffle sizing: the symmetric hash join keeps FOUR state
+      // stores per shuffle partition and commits each per micro-batch;
+      // at the session's 32 partitions that is 128 store checkpoints of
+      // engine overhead for a fixture-sized state. A CLONED session (same
+      // SparkContext, independent SQLConf) pins the stateful shuffle to 8
+      // partitions without mutating the shared session's conf. At real
+      // scale this knob moves the other way — state partitions must match
+      // the key cardinality, and the clone is how a library sets it
+      // per-query instead of per-application.
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       Tables.events(s, d) // ensures nanosAsLong before the raw schema read
       val rawSchema = s.read.parquet(s"$d/events.parquet").schema
       def src = Tables.nanosToMicros(
@@ -696,6 +712,17 @@ object SparkEntry {
     // boundary genuinely cuts.
     "h1_heavy_hitters" -> ((s, d) =>
       TextAnalysis.heavyHitters(Tables.documents(s, d))),
+    // Global total-order rank WITHOUT a single-partition window: range
+    // shuffle + per-partition counts + pid-partitioned window, offsets
+    // composed on the driver (partition-count-sized).
+    "q34_global_rank" -> ((s, d) =>
+      operators.Ranking.globalRank(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")))),
+    // One-pass dataset profile: per-column nulls / exact distinct / range.
+    "x5_column_profile" -> ((s, d) =>
+      operators.Profiling.columnStats(
+        Tables.orders(s, d), Seq("o_orderkey", "o_custkey", "o_totalprice"))),
     // ---- corpus curation ----
     // Benchmark decontamination: eval set = doc_id % 20 == 0, overlap on
     // word-5-gram hashes.
@@ -1488,6 +1515,31 @@ object SparkEntry {
          |  FROM s)
          |SELECT doc_id, lang, quality_score, pctl FROM p WHERE pctl >= 0.1""".stripMargin
     },
+    // Distributed global ranking ≡ the naive global window by definition
+    // of a total order; the oracle IS the naive window.
+    "q34_global_rank" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |FROM orders""".stripMargin,
+    "x5_column_profile" ->
+      """SELECT 'o_orderkey' AS col_name,
+        |       CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+        |       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |       CAST(min(o_orderkey) AS DOUBLE) AS min_d,
+        |       CAST(max(o_orderkey) AS DOUBLE) AS max_d
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey',
+        |       CAST(count(*) - count(o_custkey) AS BIGINT),
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |       CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice',
+        |       CAST(count(*) - count(o_totalprice) AS BIGINT),
+        |       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+        |       CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+        |FROM orders""".stripMargin,
     // The MG sketch is output-invisible (guaranteed candidate superset +
     // exact recheck), so the oracle is the plain exact threshold query.
     "h1_heavy_hitters" ->

@@ -308,8 +308,18 @@ object Clustering {
     * Both halves are verified independently (s3: cell probe; s7/s8:
     * codes + exhaustive ADC); the gate's s9 oracle replays this whole
     * composition. */
-  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, m: Int = 4, subDim: Int = 16,
-      k: Int = 8, cellBits: Int = 6, nProbe: Int = 8, topK: Int = 5): DataFrame = {
+  /** The stored halves of an IVF-PQ index: `codes` (vec_id, c0..c{m-1},
+    * cell — at 100 TB THIS is what you persist, `partitionBy(cell)`),
+    * `codebook` (sub, cluster, centroid — tiny, broadcast by every
+    * search), `centroids` (cell, centroid — the coarse quantizer, tiny).
+    * Building it costs the PQ k-means chain + one cell aggregate — ONCE;
+    * [[ivfPqSearch]] then serves any number of query batches against it
+    * without touching raw corpus vectors. */
+  final case class IvfPqIndex(codes: DataFrame, codebook: DataFrame, centroids: DataFrame)
+
+  /** One-time IVF-PQ index build over the corpus (see [[IvfPqIndex]]). */
+  def ivfPqIndex(corpus: DataFrame, m: Int = 4, subDim: Int = 16,
+      k: Int = 8, cellBits: Int = 6): IvfPqIndex = {
     // Coarse quantizer over FULL vectors — identical cells/centroids to s3.
     val withCell = corpus.select(
       col("vec_id"), col("embedding"),
@@ -323,32 +333,44 @@ object Clustering {
           col("qsum"),
           v => v.cast("double") / (col("n").cast("double") * lit(VectorSumAgg.Scale)))
           .as("centroid"))
+    val (cb, asg) = subspaceModel(corpus, m, subDim, k, cellBits)
+    val codes = pivotCodes(asg, m, withSims = false)
+      .join(withCell.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    IvfPqIndex(codes, cb, centroids)
+  }
+
+  /** Search a prebuilt [[IvfPqIndex]]: route each query to its `nProbe`
+    * best coarse cells, ADC-score codes only inside them. Per-batch cost
+    * is the LUT build (|Q|·m·k dots), the broadcast-pruned candidate join,
+    * and the bounded top-k — the corpus-sized index frame is read, never
+    * shuffled. */
+  def ivfPqSearch(queries: DataFrame, index: IvfPqIndex, m: Int = 4,
+      subDim: Int = 16, nProbe: Int = 8, topK: Int = 5): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
     val wCell = Window.partitionBy(col("q_id"))
       .orderBy(col("cell_sim").desc, col("cell"))
     val probed = broadcast(q)
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(index.centroids))
       .withColumn("cell_sim",
         GraftColumns.dotFD(col("qe"), col("centroid")) /
           (VectorMath.norm2(col("qe")) * GraftColumns.normD(col("centroid"))))
       .withColumn("cell_rank", row_number().over(wCell))
       .filter(col("cell_rank") <= nProbe)
       .select(col("q_id"), col("cell"))
-    // One-time index build: PQ codes + each code row's coarse cell. The
-    // vec_id equi-join is the index-build cost, not a per-query one.
-    val (cb, asg) = subspaceModel(corpus, m, subDim, k, cellBits)
-    val codes = pivotCodes(asg, m, withSims = false)
-      .join(withCell.select(col("vec_id"), col("cell")), Seq("vec_id"))
-    val lutArr = lutArrays(queries, cb, m, subDim)
+    val lutArr = lutArrays(queries, index.codebook, m, subDim)
     // THE pruning join: probed is ≤ |Q|·nProbe rows (query-count-bounded,
     // not data-derived — safe to broadcast), so each code row fans out only
     // to the queries that probed its cell; the LUT attach is a second
     // broadcast equi-join on q_id.
-    val fanout = corpus.sparkSession.sparkContext.defaultParallelism * 2
-    val cands = codes.repartition(fanout, col("vec_id"))
+    val fanout = queries.sparkSession.sparkContext.defaultParallelism * 2
+    val cands = index.codes.repartition(fanout, col("vec_id"))
       .join(broadcast(probed), Seq("cell"))
     adcRank(cands.join(broadcast(lutArr), Seq("q_id")), m, topK)
   }
+
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, m: Int = 4, subDim: Int = 16,
+      k: Int = 8, cellBits: Int = 6, nProbe: Int = 8, topK: Int = 5): DataFrame =
+    ivfPqSearch(queries, ivfPqIndex(corpus, m, subDim, k, cellBits), m, subDim, nProbe, topK)
 
   /** IVF-PQ with an exact re-rank refinement — the full production recall
     * recipe (Faiss `IndexRefineFlat` shape): the quantized [[ivfPqTopK]]
@@ -370,8 +392,17 @@ object Clustering {
     * (cosine DESC, vec_id), survivors rounded. */
   def ivfPqRefineTopK(queries: DataFrame, corpus: DataFrame, m: Int = 4,
       subDim: Int = 16, k: Int = 8, cellBits: Int = 6, nProbe: Int = 8,
+      shortlist: Int = 20, topK: Int = 5): DataFrame =
+    ivfPqRefineSearch(queries, ivfPqIndex(corpus, m, subDim, k, cellBits), corpus,
+      m, subDim, nProbe, shortlist, topK)
+
+  /** [[ivfPqRefineTopK]] against a prebuilt index — the serve-path form
+    * (`corpus` here is the stored full-precision vector table the refine
+    * fetch probes; only |Q|·shortlist of its rows are ever read). */
+  def ivfPqRefineSearch(queries: DataFrame, index: IvfPqIndex, corpus: DataFrame,
+      m: Int = 4, subDim: Int = 16, nProbe: Int = 8,
       shortlist: Int = 20, topK: Int = 5): DataFrame = {
-    val short = ivfPqTopK(queries, corpus, m, subDim, k, cellBits, nProbe, shortlist)
+    val short = ivfPqSearch(queries, index, m, subDim, nProbe, shortlist)
       .select(col("q_id"), col("vec_id"))
     // Norms once per side before the pair join (same double as a per-pair
     // norm — identical computation on identical data; s1's pattern).

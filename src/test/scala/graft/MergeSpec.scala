@@ -52,6 +52,45 @@ class MergeSpec extends SparkSpec {
       Set((2L, 5.0), (3L, 3.0))) // key 1 deleted, key 2 inserted, key 3 untouched
   }
 
+  test("streaming CDC apply: foreachBatch + upsert maintains a snapshot across micro-batches") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val srcDir = Files.createTempDirectory("graft_cdc_src").toString
+    val snapDir = Files.createTempDirectory("graft_cdc_snap").toString + "/snap"
+    // initial snapshot
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
+      .write.parquet(snapDir)
+    // batch 1 of changes lands before the stream starts
+    Seq((2L, "U", "b2", 22.0), (3L, "U", "c", 30.0)).toDF("k", "op", "name", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("op", StringType),
+      StructField("name", StringType), StructField("v", DoubleType)))
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // read-modify-replace of the snapshot: the batch DF must be applied
+        // with MERGE semantics against whatever the last batch left behind
+        val cur = batch.sparkSession.read.parquet(snapDir)
+        val next = Merge.upsert(cur, batch, Seq("k")).collect() // tiny fixture
+        batch.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(next: _*)),
+          cur.schema).write.mode("overwrite").parquet(snapDir)
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: delete key 1, update key 3
+      Seq((1L, "D", "", 0.0), (3L, "U", "c2", 33.0)).toDF("k", "op", "name", "v")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = spark.read.parquet(snapDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(fin === Set((2L, "b2", 22.0), (3L, "c2", 33.0)))
+  }
+
   test("upsert is deterministic and key-unique when the change set is key-unique") {
     val base = Tables.orders(spark, "/root/testdata/sf0.001")
       .select(col("o_orderkey"), col("o_totalprice"))

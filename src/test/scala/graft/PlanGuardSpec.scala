@@ -139,4 +139,24 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("PushedFilters: ["), p)
     assert(!p.contains("Exchange"), p) // pure scan→filter→project
   }
+
+  test("q34 global rank: range exchange + pid-partitioned window, NEVER a single-partition sort") {
+    val p = plan("q34_global_rank")
+    assert(p.contains("Exchange rangepartitioning"), p)
+    // the window must partition by the partition id, not run global
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("Exchange hashpartitioning(__pid"), p)
+  }
+
+  test("u1 merge upsert: one equi-join, no nested-loop fallback") {
+    val p = plan("u1_merge_upsert")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("FullOuter") || p.contains("full_outer") || p.contains("FullOuterJoin"), p)
+  }
+
+  test("g2 triangles: degree joins and wedge join are hash joins, corpus never nested-loops") {
+    val p = plan("g2_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), p) // the closing-edge check
+  }
 }
