@@ -501,6 +501,55 @@ object SparkEntry {
       q.awaitTermination()
       s.table(name)
     }),
+    // LEFT OUTER stream-stream join (sixth streaming row): unlike the
+    // inner q33, null-padded rows for unmatched errors only emit once the
+    // watermark proves no matching purchase can still arrive — on a
+    // finite fixture the last join windows would be withheld forever, so
+    // the prepared input plants one sentinel event per side (user -1, 2h
+    // past max) that drags the final watermark beyond every real window;
+    // the sentinels match only each other and are filtered from the
+    // output. Emitted set = the batch left-outer interval join.
+    "q37_stream_outer_join" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      // Outer-join null emission needs the watermark past e_ts + 30min
+      // (interval bound) + 1h (watermark delay); +12h is a comfortable
+      // margin and costs nothing — sentinels are filtered at the sink.
+      val sentinel = new java.sql.Timestamp(maxTs.getTime + 43200000L)
+      val prepared = ev.unionByName(
+        s.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-1L, sentinel, "error"),
+          org.apache.spark.sql.Row(-1L, sentinel, "purchase")), ev.schema))
+      val dir = "/tmp/graft_q37_stream_input"
+      prepared.coalesce(1).write.mode("overwrite").parquet(dir)
+      def src = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+      val errors = src.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      // The sentinel filter must live on the SINK side, not in the
+      // streaming plan: a user_id >= 0 predicate inside the query gets
+      // pushed below the EventTimeWatermark node (and through the join
+      // condition to both scans), silently removing the sentinels before
+      // they can advance the watermark — found when the unmatched-error
+      // tail never emitted.
+      val joined = errors.join(purchases,
+        expr("user_id = p_user AND p_ts >= e_ts AND p_ts <= e_ts + INTERVAL 30 MINUTES"),
+        "left_outer")
+        .select(col("user_id"), col("e_ts"), col("p_ts"))
+      val name = "stream_outer_sink"
+      s.catalog.dropTempView(name)
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).filter(col("user_id") >= 0)
+    }),
     "j1_json_extract" -> ((s, d) =>
       Tables.events(s, d).select(
         col("event_id"),
@@ -723,6 +772,16 @@ object SparkEntry {
     "x5_column_profile" -> ((s, d) =>
       operators.Profiling.columnStats(
         Tables.orders(s, d), Seq("o_orderkey", "o_custkey", "o_totalprice"))),
+    // Resample + forward-fill onto a 1-minute grid (one user keeps the
+    // gate frame ~43k rows; the operator itself is corpus-wide).
+    "q35_gap_fill" -> ((s, d) =>
+      operators.Timeseries.gapFillForwardFill(
+        Tables.events(s, d).filter(col("user_id") === 7))),
+    // Decile bucketing per order priority (tie-free total order).
+    "q36_ntile" -> ((s, d) =>
+      operators.Timeseries.quantileBuckets(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+        "o_orderpriority", Seq(col("o_totalprice"), col("o_orderkey")))),
     // ---- corpus curation ----
     // Benchmark decontamination: eval set = doc_id % 20 == 0, overlap on
     // word-5-gram hashes.
@@ -1060,6 +1119,15 @@ object SparkEntry {
         |       max(ts) + INTERVAL 30 MINUTE AS session_end,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // Every error row survives; matches carry p_ts, the rest carry NULL.
+    "q37_stream_outer_join" ->
+      """WITH e AS (
+        |  SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, event_type FROM events)
+        |SELECT a.user_id, a.ts AS e_ts, b.ts AS p_ts
+        |FROM e a LEFT JOIN e b
+        |  ON a.user_id = b.user_id AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |WHERE a.event_type = 'error'""".stripMargin,
     // Purchases within 30 min (inclusive) after an error by the same user,
     // at µs grain (the stream's ns→µs truncation).
     "q33_stream_join" ->
@@ -1515,6 +1583,28 @@ object SparkEntry {
          |  FROM s)
          |SELECT doc_id, lang, quality_score, pctl FROM p WHERE pctl >= 0.1""".stripMargin
     },
+    // Grid = [first, last] reading bucket per user; bucket mean rounded
+    // once (q4's avg determinism contract); forward fill via
+    // last_value IGNORE NULLS over the same total order.
+    "q35_gap_fill" ->
+      """WITH pm AS (
+        |  SELECT user_id, date_trunc('minute', make_timestamp(epoch_us(ts))) AS bucket,
+        |         round(avg(value), 7) AS v
+        |  FROM events WHERE user_id = 7 GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM pm GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS bucket FROM b),
+        |j AS (SELECT g.user_id, g.bucket, pm.v
+        |      FROM grid g LEFT JOIN pm ON pm.user_id = g.user_id AND pm.bucket = g.bucket)
+        |SELECT user_id, bucket,
+        |       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+        |                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff,
+        |       (v IS NULL) AS filled
+        |FROM j""".stripMargin,
+    "q36_ntile" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |       CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile
+        |FROM orders""".stripMargin,
     // Distributed global ranking ≡ the naive global window by definition
     // of a total order; the oracle IS the naive window.
     "q34_global_rank" ->

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization — the resample + forward-fill operation that
+  * turns irregular event streams into fixed-step grids (the reference's
+  * domain data is already regular 15-min readings; real sensor/event data
+  * is not, and every downstream rollup assumes a grid).
+  *
+  * Per key: bucket readings to the step (order-independent `avg` per
+  * bucket, rounded once), span the [first, last] bucket range with
+  * `sequence`, left-join the real buckets in, and forward-fill the gaps
+  * with `last(_, ignoreNulls)` over an ordered per-key window.
+  *
+  * Scale shape: one (key, bucket) aggregate shuffle, one grid join on the
+  * same key pair, one per-key window sort. The grid explode generates
+  * span/step rows per key — bounded by wall-clock span, not event count,
+  * and evenly keyed. No leading nulls by construction (each key's grid
+  * starts at its own first reading's bucket). */
+object Timeseries {
+
+  /** (key, bucket, value_ff, filled): `value_ff` is the bucket's rounded
+    * mean, forward-filled across empty buckets; `filled` marks rows whose
+    * value was carried, not observed. */
+  def gapFillForwardFill(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", valCol: String = "value",
+      step: String = "1 minute"): DataFrame = {
+    val k = col(keyCol)
+    val perBucket = events
+      .groupBy(k, date_trunc("minute", col(tsCol)).as("bucket"))
+      .agg(round(avg(col(valCol)), 7).as("v"))
+    val grid = perBucket
+      .groupBy(k)
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(k, explode(expr(s"sequence(lo, hi, interval $step)")).as("bucket"))
+    val w = Window.partitionBy(k).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(perBucket, Seq(keyCol, "bucket"), "left")
+      .select(
+        k, col("bucket"),
+        last(col("v"), ignoreNulls = true).over(w).as("value_ff"),
+        col("v").isNull.as("filled"))
+  }
+
+  /** Fixed-count quantile bucketing per group (`ntile`) — the feature
+    * binning step of dataset stratification. Total order required for
+    * determinism: pass tie-free `orderCols`. */
+  def quantileBuckets(df: DataFrame, partCol: String, orderCols: Seq[Column],
+      n: Int = 10): DataFrame =
+    df.withColumn("tile",
+      ntile(n).over(Window.partitionBy(col(partCol)).orderBy(orderCols: _*)).cast("long"))
+}

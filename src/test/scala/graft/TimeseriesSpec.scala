@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Timeseries
+
+class TimeseriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+
+  test("gapFillForwardFill: gaps carry the last observed bucket mean; keys are isolated") {
+    val events = Seq(
+      (1L, ts(0), 10.0), (1L, ts(0), 14.0), // bucket 0 → mean 12.0
+      (1L, ts(3), 30.0),                    // buckets 1-2 filled with 12.0
+      (2L, ts(1), 5.0), (2L, ts(2), 7.0)    // key 2: no gaps, own range
+    ).toDF("user_id", "ts", "value")
+    val out = Timeseries.gapFillForwardFill(events)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000L,
+        r.getDouble(2), r.getBoolean(3))).toSet
+    assert(out === Set(
+      (1L, 0L, 12.0, false),
+      (1L, 1L, 12.0, true),
+      (1L, 2L, 12.0, true),
+      (1L, 3L, 30.0, false),
+      (2L, 1L, 5.0, false),
+      (2L, 2L, 7.0, false)))
+  }
+
+  test("gapFillForwardFill: single-reading key yields exactly one unfilled row") {
+    val one = Seq((9L, ts(42), 3.5)).toDF("user_id", "ts", "value")
+    val out = Timeseries.gapFillForwardFill(one).collect()
+    assert(out.length === 1)
+    assert(out.head.getDouble(2) === 3.5 && !out.head.getBoolean(3))
+  }
+
+  test("quantileBuckets: tiles are contiguous, sized within one, ordered by the key") {
+    val df = (1L to 23L).map(i => (i, "g", i.toDouble)).toDF("k", "grp", "v")
+    val out = Timeseries.quantileBuckets(df, "grp", Seq(col("v"), col("k")), n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // 23 rows into 4 tiles → sizes 6,6,6,5; tile boundaries follow v order
+    val sizes = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes === Map(1L -> 6, 2L -> 6, 3L -> 6, 4L -> 5))
+    assert(out(1L) === 1L && out(23L) === 4L)
+    assert((1L to 22L).forall(i => out(i) <= out(i + 1)), "tiles monotone in sort order")
+  }
+}
