@@ -834,6 +834,20 @@ object SparkEntry {
     // each triangle found once at its lowest-order apex.
     "g2_triangles" -> ((s, d) =>
       Graph.triangles(Graph.docLinkGraph(Tables.documents(s, d)))),
+    // BFS hop distances from doc 0, 6 rounds of frontier expansion.
+    "g3_bfs_depths" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Graph.bfsDepths(docs.select(col("doc_id").as("node_id")), Graph.docLinkGraph(docs))
+        .select(col("node_id").as("doc_id"), col("dist"))
+    }),
+    // Exact per-group quartiles (the grouped twin of x1's global ones).
+    "x6_grouped_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 7).as("q25"),
+          round(expr("percentile(l_quantity, 0.5)"), 7).as("q50"),
+          round(expr("percentile(l_quantity, 0.75)"), 7).as("q75"))),
     // BM25 against the corpus's own top-10 vocabulary as the query —
     // quantized-integer scoring, global top-20 by (score, doc_id).
     "t13_bm25" -> ((s, d) => TextAnalysis.bm25(Tables.documents(s, d))),
@@ -1346,6 +1360,25 @@ object SparkEntry {
     // Unrolled 5-round integer PageRank: each round is one edge⋈rank join +
     // dst aggregation, exactly the Spark loop body. All ops integral, so the
     // replay is bit-exact; sums CAST back to BIGINT (HUGEINT leak rule).
+    // Bounded walk enumeration (out-deg 3, ≤ 3^6 rows) + min per node ≡
+    // min-hop distance; the Spark side's frontier BFS computes the same
+    // fixpoint without enumerating walks.
+    "g3_bfs_depths" ->
+      s"""WITH RECURSIVE ncnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |edges AS (SELECT doc_id AS src,
+         |                 ${sqlSampleKey("('pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))")} % n AS dst
+         |          FROM documents CROSS JOIN generate_series(1, 3) t(j) CROSS JOIN ncnt),
+         |walk(node, d) AS (
+         |  SELECT CAST(0 AS BIGINT), 0
+         |  UNION ALL
+         |  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node WHERE w.d < 6)
+         |SELECT node AS doc_id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node""".stripMargin,
+    "x6_grouped_percentile" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.25), 7) AS q25,
+        |       round(quantile_cont(l_quantity, 0.5), 7) AS q50,
+        |       round(quantile_cont(l_quantity, 0.75), 7) AS q75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     // The oracle enumerates a<b<c directly (orientation is a Spark-side
     // skew tactic, invisible in the output set).
     "g2_triangles" ->

@@ -98,6 +98,41 @@ object Graph {
     ranks.select(col("node_id"), col("r").as("rank_scaled"))
   }
 
+  /** Bounded-depth BFS shortest-path distances from one source — the
+    * reachability/hop-distance primitive (crawl frontier depth, citation
+    * distance). Synchronous frontier expansion: round h joins the h−1
+    * frontier against the edge list and `coalesce` keeps the FIRST
+    * (= smallest) distance a node ever received, so the result is the
+    * true min-hop distance regardless of multi-edges or cycles.
+    *
+    * Scale shape per round: frontier ⋈ edges (edge-list-sized shuffle) +
+    * one node-map join — the [[pagerank]] discipline, including the
+    * localCheckpoint cadence for long horizons. Rounds are the fixed
+    * `maxHops`. Output: (node_id, dist) for nodes reached within
+    * `maxHops`; unreached nodes are absent (INNER semantics). */
+  def bfsDepths(nodes: DataFrame, edges: DataFrame, source: Long = 0L,
+      maxHops: Int = 6): DataFrame = {
+    var dist = nodes.select(
+      col("node_id"),
+      when(col("node_id") === source, lit(0L)).otherwise(lit(null).cast("long")).as("dist"))
+    var lastCp: Option[DataFrame] = None
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("dist") === h - 1)
+        .join(edges, col("node_id") === col("src"))
+        .select(col("dst")).distinct()
+        .select(col("dst").as("node_id"), lit(h.toLong).as("nd"))
+      dist = dist.join(frontier, Seq("node_id"), "left")
+        .select(col("node_id"), coalesce(col("dist"), col("nd")).as("dist"))
+      if (h % CheckpointEvery == 0 && h < maxHops) {
+        val cp = dist.localCheckpoint()
+        lastCp.foreach(org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint)
+        lastCp = Some(cp)
+        dist = cp
+      }
+    }
+    dist.filter(col("dist").isNotNull)
+  }
+
   /** Triangle enumeration by DEGREE ORIENTATION — the skew-bounded shape:
     * each undirected simple edge (self-loops and multi-edges dropped) is
     * oriented from its lower-(degree, id) endpoint to the higher, which

@@ -76,6 +76,23 @@ class GraphSpec extends SparkSpec {
     assert(out === Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
   }
 
+  test("bfsDepths: min-hop distances on a hand graph; cycles and multi-edges don't inflate") {
+    import spark.implicits._
+    // 0→1→2→3 chain, a shortcut 0→3? no — 0→2 shortcut, a back-edge 3→0
+    // (cycle), a duplicated edge, and an isolated node 9.
+    val nodes = Seq(0L, 1L, 2L, 3L, 9L).toDF("node_id")
+    val edges = Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L), (0L, 2L), (0L, 2L), (3L, 0L)
+    ).toDF("src", "dst")
+    val out = Graph.bfsDepths(nodes, edges, source = 0L, maxHops = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L)) // 9 unreached, absent
+    // maxHops truncates: with 1 hop, node 3 is not yet reached
+    val shallow = Graph.bfsDepths(nodes, edges, source = 0L, maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shallow === Map(0L -> 0L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("triangles: star graph has none; hub orientation keeps fan-out at the spokes") {
     import spark.implicits._
     // hub 0 connected to 1..20: no triangles, and the degree orientation

@@ -290,4 +290,31 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: Misra-Gries candidates always cover every true heavy hitter (pure buffer, no Spark)") {
+    import graft.functions.MisraGriesAgg
+    val tokenGen: Gen[String] = Gen.frequency(
+      (4, Gen.oneOf("h1", "h2", "h3")),                       // skewed head
+      (6, Gen.chooseNum(0, 200).map(i => s"t$i")))            // long light tail
+    forAll(Gen.listOfN(400, tokenGen), cases = 8) { stream =>
+      val cap = 5
+      val freq = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val heavy = freq.filter { case (_, c) => c * (cap + 1) > stream.size }.keySet
+      // streamed in generated order
+      val b = new MisraGriesAgg.Buf(cap)
+      stream.foreach(t => b.add(t, 1L))
+      assert(heavy.subsetOf(b.counts.keySet), s"stream order lost $heavy vs ${b.counts}")
+      assert(b.counts.size <= cap)
+      // and under arbitrary partition/merge topology (3-way, uneven)
+      val parts = Seq(stream.take(50), stream.slice(50, 280), stream.drop(280))
+      val merged = parts.map { p =>
+        val pb = new MisraGriesAgg.Buf(cap); p.foreach(t => pb.add(t, 1L)); pb
+      }.reduce { (x, y) =>
+        y.counts.foreach { case (t, c) => x.addNoDecrement(t, c) }
+        x.shrinkToCapacity(); x
+      }
+      assert(heavy.subsetOf(merged.counts.keySet), s"merge lost $heavy vs ${merged.counts}")
+      assert(merged.counts.size <= cap)
+    }
+  }
 }
