@@ -782,6 +782,16 @@ object SparkEntry {
       operators.Timeseries.quantileBuckets(
         Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
         "o_orderpriority", Seq(col("o_totalprice"), col("o_orderkey")))),
+    // NULL semantics: null-safe equality (<=>) join over a derived
+    // nullable key — the null group must pair with itself (plain = would
+    // silently drop it), and GROUP BY must keep nulls as one group.
+    "q38_null_semantics" -> ((s, d) => {
+      val t = Tables.orders(s, d)
+        .select(nullif(col("o_orderkey") % 1000, lit(3)).as("k"))
+      t.as("a").join(t.as("b"), col("a.k") <=> col("b.k"))
+        .groupBy(col("a.k").as("k"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
     // ---- corpus curation ----
     // Benchmark decontamination: eval set = doc_id % 20 == 0, overlap on
     // word-5-gram hashes.
@@ -1373,6 +1383,11 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node WHERE w.d < 6)
          |SELECT node AS doc_id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node""".stripMargin,
+    "q38_null_semantics" ->
+      """WITH t AS (SELECT nullif(o_orderkey % 1000, 3) AS k FROM orders)
+        |SELECT a.k AS k, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM t a JOIN t b ON a.k IS NOT DISTINCT FROM b.k
+        |GROUP BY a.k""".stripMargin,
     "x6_grouped_percentile" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.25), 7) AS q25,
