@@ -351,7 +351,11 @@ object SparkEntry {
     // batch rollup — which is exactly what the DuckDB oracle computes.
     // This puts Structured Streaming itself on the driver's correctness
     // gate instead of spec-only coverage.
-    "q22_stream_rollup" -> ((s, d) => {
+    "q22_stream_rollup" -> ((s0, d) => {
+      // Cloned session, 8 state partitions — the q32/q33 stateful-shuffle
+      // sizing rationale (SCALING.md #20).
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       Tables.events(s, d) // ensures nanosAsLong before the raw schema read
       val rawSchema = s.read.parquet(s"$d/events.parquet").schema
       // the file source wants a directory: stream the sf dir, glob-filtered
@@ -382,7 +386,9 @@ object SparkEntry {
     // exceeds the synthetic event-time span, so even a multi-file fixture
     // processed as several micro-batches cannot evict state between
     // batches and re-emit a key (review finding).
-    "q30_stream_dedup" -> ((s, d) => {
+    "q30_stream_dedup" -> ((s0, d) => {
+      val s = s0.newSession() // 8 state partitions — SCALING.md #20
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val rawSchema = s.read.parquet(s"$d/documents.parquet").schema
       val stream = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
@@ -411,7 +417,9 @@ object SparkEntry {
     // arrives, whichever that is), so the oracle is the batch banding
     // chain's same-bucket pairs. No event-time column — bucket state uses
     // NoTimeout, so the q30 epoch-offset trap doesn't apply.
-    "q31_stream_neardup" -> ((s, d) => {
+    "q31_stream_neardup" -> ((s0, d) => {
+      val s = s0.newSession() // 8 state partitions — SCALING.md #20
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val rawSchema = s.read.parquet(s"$d/documents.parquet").schema
       val stream = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
