@@ -41,6 +41,20 @@ object ScalingProbe {
 
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     def rot(i: Int): String = alpha.drop(i % 26) + alpha.take(i % 26)
+    // One replica builder for all three document-scale corpora: `reps`
+    // Caesar-rotated copies, except rows where `keepOriginal` holds (those
+    // keep the base alphabet — the knob that plants verbatim dup clusters
+    // or genuinely-heavy tokens). Review finding: was three near-copies.
+    def replicateDocs(docs: DataFrame, reps: Int,
+        keepOriginal: org.apache.spark.sql.Column): DataFrame =
+      spark.range(reps).select(col("id").as("rep"))
+        .crossJoin(docs)
+        .select(
+          (col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+          when(keepOriginal, col("text"))
+            .otherwise(expr(s"translate(text, '$alpha', " +
+              (0 until reps).map(i => s"WHEN rep = $i THEN '${rot(i)}'")
+                .mkString("CASE ", " ", " END)"))).as("text"))
 
     // ---- events ×100 → 10M rows, rollup + write ----
     val ReplicaStride = 10000000L // event_id offset per replica
@@ -104,14 +118,7 @@ object ScalingProbe {
 
     // ---- documents ×20 → 100k docs, minhash LSH dedup ----
     val docs = Tables.documents(spark, sfDir)
-    val bigDocs = spark.range(20).select(col("id").as("rep"))
-      .crossJoin(docs)
-      .select(
-        (col("doc_id") + col("rep") * 1000000L).as("doc_id"),
-        expr(s"translate(text, '$alpha', " +
-          (0 until 20).map(i => s"WHEN rep = $i THEN '${rot(i)}'")
-            .mkString("CASE ", " ", " END)")).as("text"))
-      .cache()
+    val bigDocs = replicateDocs(docs, 20, lit(false)).cache()
     time("docs_x20_materialize")(bigDocs.count())
     time("minhash_lsh_100k_docs")(Dedup.minhashPairs(bigDocs).count())
     time("simhash_pairs_100k_docs")(Dedup.simhashPairs(bigDocs).count())
@@ -144,15 +151,7 @@ object ScalingProbe {
     // that made forced candidate broadcasts a scale hazard: the candidate
     // doc set here is corpus-scale (~33k docs), far past any sane
     // broadcast threshold, so verification must be allowed to shuffle.
-    val dupHeavy = spark.range(20).select(col("id").as("rep"))
-      .crossJoin(docs)
-      .select(
-        (col("doc_id") + col("rep") * 1000000L).as("doc_id"),
-        when(col("doc_id") % 3 === 0, col("text"))
-          .otherwise(expr(s"translate(text, '$alpha', " +
-            (0 until 20).map(i => s"WHEN rep = $i THEN '${rot(i)}'")
-              .mkString("CASE ", " ", " END)"))).as("text"))
-      .cache()
+    val dupHeavy = replicateDocs(docs, 20, col("doc_id") % 3 === 0).cache()
     dupHeavy.count()
     // Floor on the expected pairs: every verbatim cluster of 20 copies
     // must yield all C(20,2)=190 jaccard-1.0 pairs.
@@ -221,14 +220,7 @@ object ScalingProbe {
     // stays light) while 12 rotated replicas contribute ~370 light tokens
     // — the MG sketch (capacity 100) must keep all 30 heavies through
     // real decrement pressure, and the verify pass counts only candidates.
-    val hhDocs = spark.range(20).select(col("id").as("rep"))
-      .crossJoin(docs)
-      .select(
-        (col("doc_id") + col("rep") * 1000000L).as("doc_id"),
-        when(col("rep") < 8, col("text"))
-          .otherwise(expr(s"translate(text, '$alpha', " +
-            (0 until 20).map(i => s"WHEN rep = $i THEN '${rot(i)}'")
-              .mkString("CASE ", " ", " END)"))).as("text"))
+    val hhDocs = replicateDocs(docs, 20, col("rep") < 8)
     var hh = 0L
     time("heavy_hitters_100k_docs")({
       hh = graft.operators.TextAnalysis.heavyHitters(hhDocs, capacity = 100).count(); hh })

@@ -182,6 +182,32 @@ object SparkEntry {
   private def freshView(prefix: String): String =
     s"${prefix}_${viewCounter.incrementAndGet()}"
 
+  /** Cloned session with the stateful shuffle pinned to 8 partitions —
+    * the SCALING.md #20 sizing for every streaming gate row: one state
+    * store per shuffle partition × per-batch commits makes the session's
+    * batch parallelism pure engine overhead at fixture state sizes, and
+    * the clone sets it per-query without mutating the shared conf. */
+  private def streamSession(s0: SparkSession): SparkSession = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s
+  }
+
+  /** Per-invocation staging dir for prepared streaming input, deleted by
+    * `cleanup`. A FIXED path would let concurrent gate runs (two scale
+    * factors, Verify beside Bench) overwrite each other's input mid-read
+    * (review finding). */
+  private def stagingDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(prefix)
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     HourlyRollup(Tables.events(spark, "/root/testdata/sf0.001"), "ts", "user_id")
@@ -352,10 +378,7 @@ object SparkEntry {
     // This puts Structured Streaming itself on the driver's correctness
     // gate instead of spec-only coverage.
     "q22_stream_rollup" -> ((s0, d) => {
-      // Cloned session, 8 state partitions — the q32/q33 stateful-shuffle
-      // sizing rationale (SCALING.md #20).
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val s = streamSession(s0)
       Tables.events(s, d) // ensures nanosAsLong before the raw schema read
       val rawSchema = s.read.parquet(s"$d/events.parquet").schema
       // the file source wants a directory: stream the sf dir, glob-filtered
@@ -387,8 +410,7 @@ object SparkEntry {
     // processed as several micro-batches cannot evict state between
     // batches and re-emit a key (review finding).
     "q30_stream_dedup" -> ((s0, d) => {
-      val s = s0.newSession() // 8 state partitions — SCALING.md #20
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val s = streamSession(s0)
       val rawSchema = s.read.parquet(s"$d/documents.parquet").schema
       val stream = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
@@ -418,8 +440,7 @@ object SparkEntry {
     // chain's same-bucket pairs. No event-time column — bucket state uses
     // NoTimeout, so the q30 epoch-offset trap doesn't apply.
     "q31_stream_neardup" -> ((s0, d) => {
-      val s = s0.newSession() // 8 state partitions — SCALING.md #20
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val s = streamSession(s0)
       val rawSchema = s.read.parquet(s"$d/documents.parquet").schema
       val stream = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
@@ -443,11 +464,7 @@ object SparkEntry {
     // of the real events — which is what the oracle replays (at µs
     // precision, the session_window comparison grain).
     "q32_stream_session" -> ((s0, d) => {
-      // Cloned session pins the stateful shuffle to 8 partitions (150
-      // users of session state; 32 store instances would be pure engine
-      // overhead) — same rationale as q33.
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val s = streamSession(s0)
       val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
       val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
       val sentinel = new java.sql.Timestamp(maxTs.getTime + 3600000L)
@@ -455,18 +472,22 @@ object SparkEntry {
         ev.select(col("user_id")).distinct().withColumn("ts", lit(sentinel)))
       // One data file → one micro-batch: the watermark can never advance
       // between batches and drop real events as late.
-      val dir = "/tmp/graft_q32_stream_input"
-      prepared.coalesce(1).write.mode("overwrite").parquet(dir)
-      val stream = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
-      val name = "stream_session_sink"
-      s.catalog.dropTempView(name)
-      val q = graft.streaming.StreamingSession.sessions(stream)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(name)
+      val staged = stagingDir("graft_q32_stream_input")
+      val dir = staged.toString
+      try {
+        prepared.coalesce(1).write.mode("overwrite").parquet(dir)
+        val stream = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+        val name = "stream_session_sink"
+        s.catalog.dropTempView(name)
+        val q = graft.streaming.StreamingSession.sessions(stream)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // memory sink: the table is materialized, the staged files are done
+        s.table(name)
+      } finally deleteRecursively(staged)
     }),
     // Stream-stream interval join on the gate (fifth streaming row): two
     // watermarked event streams (errors, purchases) joined on user with an
@@ -475,17 +496,9 @@ object SparkEntry {
     // emission), and the fixture drains in one micro-batch, so the emitted
     // set is exactly the batch interval join the oracle replays.
     "q33_stream_join" -> ((s0, d) => {
-      // Stateful-shuffle sizing: the symmetric hash join keeps FOUR state
-      // stores per shuffle partition and commits each per micro-batch;
-      // at the session's 32 partitions that is 128 store checkpoints of
-      // engine overhead for a fixture-sized state. A CLONED session (same
-      // SparkContext, independent SQLConf) pins the stateful shuffle to 8
-      // partitions without mutating the shared session's conf. At real
-      // scale this knob moves the other way — state partitions must match
-      // the key cardinality, and the clone is how a library sets it
-      // per-query instead of per-application.
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // Four state stores per partition in the symmetric hash join — the
+      // most state-heavy gate row; see streamSession's sizing note.
+      val s = streamSession(s0)
       Tables.events(s, d) // ensures nanosAsLong before the raw schema read
       val rawSchema = s.read.parquet(s"$d/events.parquet").schema
       def src = Tables.nanosToMicros(
@@ -518,8 +531,7 @@ object SparkEntry {
     // the sentinels match only each other and are filtered from the
     // output. Emitted set = the batch left-outer interval join.
     "q37_stream_outer_join" -> ((s0, d) => {
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val s = streamSession(s0)
       val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type"))
       val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
       // Outer-join null emission needs the watermark past e_ts + 30min
@@ -530,7 +542,8 @@ object SparkEntry {
         s.createDataFrame(java.util.Arrays.asList(
           org.apache.spark.sql.Row(-1L, sentinel, "error"),
           org.apache.spark.sql.Row(-1L, sentinel, "purchase")), ev.schema))
-      val dir = "/tmp/graft_q37_stream_input"
+      val staged = stagingDir("graft_q37_stream_input")
+      val dir = staged.toString
       prepared.coalesce(1).write.mode("overwrite").parquet(dir)
       def src = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
       val errors = src.filter(col("event_type") === "error")
@@ -551,12 +564,14 @@ object SparkEntry {
         .select(col("user_id"), col("e_ts"), col("p_ts"))
       val name = "stream_outer_sink"
       s.catalog.dropTempView(name)
-      val q = joined.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(name).filter(col("user_id") >= 0)
+      try {
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).filter(col("user_id") >= 0)
+      } finally deleteRecursively(staged)
     }),
     "j1_json_extract" -> ((s, d) =>
       Tables.events(s, d).select(

@@ -23,12 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
-  /** Apply `changes` to `base`. Output columns = base columns. */
+  /** Apply `changes` to `base`. Output columns = base columns. An
+    * out-of-contract op value (anything but 'U'/'D', including NULL)
+    * fails the job loudly — a NULL op on an absent key would otherwise
+    * be indistinguishable from a base-only row after the outer join and
+    * silently emit an all-null phantom row (review finding). */
   def upsert(base: DataFrame, changes: DataFrame, key: Seq[String],
       opCol: String = "op"): DataFrame = {
     val payload = base.columns.filterNot(key.contains).toSeq
+    val opChecked = when(col(opCol).isin("U", "D"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"Merge.upsert: op must be 'U' or 'D', got "),
+        coalesce(col(opCol), lit("NULL")))))
     val ch = changes.select(
-      (key.map(col) :+ col(opCol).as("__op")) ++
+      (key.map(col) :+ opChecked.as("__op")) ++
         payload.map(c => col(c).as(s"__chg_$c")): _*)
     base.join(ch, key, "full_outer")
       .filter(col("__op").isNull || col("__op") =!= "D")

@@ -23,18 +23,27 @@ object Timeseries {
 
   /** (key, bucket, value_ff, filled): `value_ff` is the bucket's rounded
     * mean, forward-filled across empty buckets; `filled` marks rows whose
-    * value was carried, not observed. */
+    * value was carried, not observed. Bucketing AND the grid stride both
+    * derive from `stepMinutes` (epoch-floor to the step), so every
+    * observation lands on a grid bucket at any step — a `date_trunc`
+    * bucket with a non-matching grid stride would silently drop readings
+    * between grid points (review finding). */
   def gapFillForwardFill(events: DataFrame, keyCol: String = "user_id",
       tsCol: String = "ts", valCol: String = "value",
-      step: String = "1 minute"): DataFrame = {
+      stepMinutes: Int = 1): DataFrame = {
+    require(stepMinutes > 0, s"stepMinutes must be positive, got $stepMinutes")
     val k = col(keyCol)
+    val stepUs = stepMinutes * 60000000L
+    // `div`, not `/` (double-divide on BIGINT — CLAUDE.md invariant);
+    // epoch is non-negative for all supported fixtures so div ≡ floor.
     val perBucket = events
-      .groupBy(k, date_trunc("minute", col(tsCol)).as("bucket"))
+      .groupBy(k,
+        expr(s"timestamp_micros((unix_micros($tsCol) div $stepUs) * $stepUs)").as("bucket"))
       .agg(round(avg(col(valCol)), 7).as("v"))
     val grid = perBucket
       .groupBy(k)
       .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
-      .select(k, explode(expr(s"sequence(lo, hi, interval $step)")).as("bucket"))
+      .select(k, explode(expr(s"sequence(lo, hi, interval $stepMinutes minute)")).as("bucket"))
     val w = Window.partitionBy(k).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid

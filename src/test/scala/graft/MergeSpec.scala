@@ -91,6 +91,19 @@ class MergeSpec extends SparkSpec {
     assert(fin === Set((2L, "b2", 22.0), (3L, "c2", 33.0)))
   }
 
+  test("upsert fails loudly on an out-of-contract op (null or unknown) instead of emitting phantom rows") {
+    val base = Seq((1L, 1.0)).toDF("k", "v")
+    val badNull = Seq[(java.lang.Long, String, java.lang.Double)]((5L, null, 1.0))
+      .toDF("k", "op", "v")
+    val eNull = intercept[Exception](Merge.upsert(base, badNull, Seq("k")).collect())
+    assert(eNull.getMessage.contains("op must be 'U' or 'D'") ||
+      Option(eNull.getCause).exists(_.getMessage.contains("op must be 'U' or 'D'")))
+    val badVal = Seq((5L, "X", 1.0)).toDF("k", "op", "v")
+    val eVal = intercept[Exception](Merge.upsert(base, badVal, Seq("k")).collect())
+    assert(eVal.getMessage.contains("op must be 'U' or 'D'") ||
+      Option(eVal.getCause).exists(_.getMessage.contains("op must be 'U' or 'D'")))
+  }
+
   test("upsert is deterministic and key-unique when the change set is key-unique") {
     val base = Tables.orders(spark, "/root/testdata/sf0.001")
       .select(col("o_orderkey"), col("o_totalprice"))

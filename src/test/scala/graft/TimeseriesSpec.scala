@@ -35,6 +35,19 @@ class TimeseriesSpec extends SparkSpec {
     assert(out.head.getDouble(2) === 3.5 && !out.head.getBoolean(3))
   }
 
+  test("gapFillForwardFill: non-default step buckets observations onto the step grid (no drops)") {
+    // Readings at minutes 0, 3, 7 with a 5-minute step: minute 3 must land
+    // in bucket 0's mean (a minute-grained bucket off the 5-min grid
+    // silently dropped it — review finding), minute 7 in bucket 5's.
+    val events = Seq(
+      (1L, ts(0), 10.0), (1L, ts(3), 20.0), (1L, ts(7), 70.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Timeseries.gapFillForwardFill(events, stepMinutes = 5)
+      .collect()
+      .map(r => (r.getTimestamp(1).getTime / 60000L, r.getDouble(2), r.getBoolean(3))).toSet
+    assert(out === Set((0L, 15.0, false), (5L, 70.0, false)))
+  }
+
   test("quantileBuckets: tiles are contiguous, sized within one, ordered by the key") {
     val df = (1L to 23L).map(i => (i, "g", i.toDouble)).toDF("k", "grp", "v")
     val out = Timeseries.quantileBuckets(df, "grp", Seq(col("v"), col("k")), n = 4)
