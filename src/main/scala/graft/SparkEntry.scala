@@ -805,6 +805,14 @@ object SparkEntry {
       operators.Timeseries.quantileBuckets(
         Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
         "o_orderpriority", Seq(col("o_totalprice"), col("o_orderkey")))),
+    // Fuzzy self-join at edit distance <= 1 via deletion neighborhoods
+    // (full recall — exact levenshtein recheck makes the neighborhood
+    // stage output-invisible). Sequential customer names give a dense
+    // one-digit-apart pair structure.
+    "f1_fuzzy_join" -> ((s, d) =>
+      operators.FuzzyJoin.selfJoin(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+        idCol = "c_custkey", strCol = "c_name")),
     // NULL semantics: null-safe equality (<=>) join over a derived
     // nullable key — the null group must pair with itself (plain = would
     // silently drop it), and GROUP BY must keep nulls as one group.
@@ -1406,6 +1414,13 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node WHERE w.d < 6)
          |SELECT node AS doc_id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node""".stripMargin,
+    // Oracle = exact all-pairs levenshtein (customer names are unique, so
+    // the name-ordered pair set equals the id-ordered one).
+    "f1_fuzzy_join" ->
+      """SELECT a.c_name AS name_a, b.c_name AS name_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_name < b.c_name
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     "q38_null_semantics" ->
       """WITH t AS (SELECT nullif(o_orderkey % 1000, 3) AS k FROM orders)
         |SELECT a.k AS k, CAST(count(*) AS BIGINT) AS n_pairs
