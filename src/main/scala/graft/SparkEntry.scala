@@ -762,6 +762,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       graft.operators.Clustering.ivfPqRefineTopK(emb.filter(col("vec_id") % 100 === 0), emb)
     }),
+    // Residual IVF-PQ (the faithful Faiss formulation): codes quantize
+    // x − c_cell, scoring = per-(query, cell) bias + ADC over residual
+    // codebooks.
+    "s11_ivf_pq_residual" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Clustering.ivfPqResidualTopK(emb.filter(col("vec_id") % 100 === 0), emb)
+    }),
     "p4_chunk" -> ((s, d) => Curation.chunk(Tables.documents(s, d))),
     // `lang` as the domain column: the fixture's `source` is uniform (the
     // predicate would never fire — a vacuous gate row), while the language
@@ -813,6 +820,23 @@ object SparkEntry {
       operators.FuzzyJoin.selfJoin(
         Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
         idCol = "c_custkey", strCol = "c_name")),
+    // Ranking-function suite in one pass: dense_rank / percent_rank /
+    // cume_dist / nth_value / lag-with-default over a tie-free order.
+    "q39_rank_suite" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 20 === 0)
+        .select(
+          col("o_orderkey"), col("o_orderpriority"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          round(percent_rank().over(w), 7).as("prnk"),
+          round(cume_dist().over(w), 7).as("cume"),
+          nth_value(col("o_orderkey"), 3).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("third_key"),
+          lag(col("o_orderkey"), 1, -1L).over(w).as("prev_key"))
+    }),
     // NULL semantics: null-safe equality (<=>) join over a derived
     // nullable key — the null group must pair with itself (plain = would
     // silently drop it), and GROUP BY must keep nulls as one group.
@@ -1414,6 +1438,17 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node WHERE w.d < 6)
          |SELECT node AS doc_id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node""".stripMargin,
+    "q39_rank_suite" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |       round(percent_rank() OVER w, 7) AS prnk,
+        |       round(cume_dist() OVER w, 7) AS cume,
+        |       nth_value(o_orderkey, 3) OVER (PARTITION BY o_orderpriority
+        |                                      ORDER BY o_totalprice, o_orderkey
+        |                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_key,
+        |       coalesce(lag(o_orderkey, 1) OVER w, -1) AS prev_key
+        |FROM orders WHERE o_orderkey % 20 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     // Oracle = exact all-pairs levenshtein (customer names are unique, so
     // the name-ordered pair set equals the id-ordered one).
     "f1_fuzzy_join" ->
@@ -2000,6 +2035,7 @@ object SparkEntry {
     "s9_ivf_pq" ->
       s"""WITH $sqlIvfPqCtes
          |SELECT q_id, vec_id, round(score, 7) AS score, rank FROM r WHERE rank <= 5""".stripMargin,
+    "s11_ivf_pq_residual" -> sqlIvfPqResidualOracle,
     // s9 plus the exact re-rank: the rank<=20 ADC shortlist fetches its
     // full-precision vectors and is re-scored with the exact left-to-right
     // cosine; final order is (cosine DESC, vec_id) over the shortlist.
@@ -2015,6 +2051,82 @@ object SparkEntry {
          |              CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
          |       FROM ref)
          |SELECT q_id, vec_id, round(cosine, 7) AS cosine, rank FROM rr WHERE rank <= 5""".stripMargin)
+
+  /** Residual IVF-PQ replay: coarse cells → float-cast residuals → the
+    * SAME grouped-kmeans chains over residual slices → LUTs of the FULL
+    * query against residual codebooks → probed cells carry the q·c_cell
+    * bias; score = bias + ADC sum. */
+  private lazy val sqlIvfPqResidualOracle: String = {
+    val subs = (0 until 4).map { i =>
+      s"ef$i AS (SELECT vec_id, list_slice(embedding, ${i * 16 + 1}, ${i * 16 + 16}) AS embedding FROM rese),\n" +
+        sqlKmeansChain(s"_p$i", s"ef$i")
+    }.mkString(",\n")
+    val luts = (0 until 4).map { i =>
+      s"""qs$i AS (SELECT vec_id AS q_id, list_slice(embedding, ${i * 16 + 1}, ${i * 16 + 16}) AS e
+         |         FROM embeddings WHERE vec_id % 100 = 0),
+         |lut$i AS (SELECT q_id, c.cluster AS c$i,
+         |                 ${sqlFoldSum("list_transform(generate_series(1, len(e)), j -> CAST(e[j] AS DOUBLE) * c.centroid[j])")} AS d$i
+         |          FROM qs$i q CROSS JOIN cent1_p$i c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $sqlCoarseCellCtes,
+       |rese AS (SELECT e.vec_id,
+       |                list_transform(generate_series(1, len(e.embedding)),
+       |                  i -> CAST(CAST(e.embedding[i] AS DOUBLE) - fc.centroid[i] AS FLOAT)) AS embedding
+       |         FROM embeddings e JOIN fcell f ON e.vec_id = f.vec_id
+       |                           JOIN fcent fc ON fc.cell = f.cell),
+       |$subs,
+       |$luts,
+       |codes AS (SELECT p0.vec_id, p0.cluster AS c0, p1.cluster AS c1,
+       |                 p2.cluster AS c2, p3.cluster AS c3
+       |          FROM a2_p0 p0 JOIN a2_p1 p1 USING (vec_id)
+       |                        JOIN a2_p2 p2 USING (vec_id)
+       |                        JOIN a2_p3 p3 USING (vec_id)),
+       |fq AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+       |fcs AS (SELECT q_id, fcent.cell,
+       |               ${sqlFoldSum("list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE) * centroid[i])")} AS bias,
+       |               ${sqlFoldSum("list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))")} AS qn,
+       |               ${sqlFoldSum("list_transform(generate_series(1, len(centroid)), i -> centroid[i] * centroid[i])")} AS cn
+       |        FROM fq CROSS JOIN fcent),
+       |pr AS (SELECT q_id, cell, bias FROM (
+       |         SELECT q_id, cell, bias,
+       |                row_number() OVER (PARTITION BY q_id
+       |                                   ORDER BY bias / (sqrt(qn) * sqrt(cn)) DESC, cell) AS cr
+       |         FROM fcs) WHERE cr <= 8),
+       |sc AS (SELECT pr.q_id, codes.vec_id, pr.bias + l0.d0 + l1.d1 + l2.d2 + l3.d3 AS score
+       |       FROM codes
+       |       JOIN fcell fc2 ON fc2.vec_id = codes.vec_id
+       |       JOIN pr ON pr.cell = fc2.cell
+       |       JOIN lut0 l0 ON l0.q_id = pr.q_id AND l0.c0 = codes.c0
+       |       JOIN lut1 l1 ON l1.q_id = pr.q_id AND l1.c1 = codes.c1
+       |       JOIN lut2 l2 ON l2.q_id = pr.q_id AND l2.c2 = codes.c2
+       |       JOIN lut3 l3 ON l3.q_id = pr.q_id AND l3.c3 = codes.c3),
+       |r AS (SELECT q_id, vec_id, score,
+       |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |      FROM sc)
+       |SELECT q_id, vec_id, round(score, 7) AS score, rank FROM r WHERE rank <= 5""".stripMargin
+  }
+
+  /** Shared SQL fragment: the coarse quantizer over FULL vectors (6-bit
+    * LSH cells + quantized-integer mean centroids — the s3 machinery),
+    * ending in `fcell(vec_id, cell)` and `fcent(cell, centroid)`. Used by
+    * the raw and residual IVF-PQ replays. */
+  private lazy val sqlCoarseCellCtes: String =
+    s"""fbits AS (SELECT b, CAST(1 AS BIGINT) << b AS p2 FROM generate_series(0, 5) t(b)),
+       |fproj AS (SELECT vec_id, b, p2,
+       |                ${sqlFoldSum(
+                          "list_transform(generate_series(1, len(embedding)), " +
+                          "i -> CAST(embedding[i] AS DOUBLE) * " +
+                          "((CAST(((b * 104729 + (i - 1) * 7919 + 12345) * (b * 104729 + (i - 1) * 7919 + 12345)) % 1000003 AS DOUBLE) / 1000003.0) - 0.5))")} AS proj
+       |         FROM embeddings CROSS JOIN fbits),
+       |fcell AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS cell
+       |          FROM fproj GROUP BY vec_id),
+       |fcnt AS (SELECT cell, count(*) AS n FROM fcell GROUP BY cell),
+       |fdsum AS (SELECT f.cell, i, sum(CAST(trunc(CAST(e.embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qs
+       |          FROM embeddings e JOIN fcell f ON e.vec_id = f.vec_id,
+       |               LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g
+       |          GROUP BY f.cell, i),
+       |fcent AS (SELECT d.cell, list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY i) AS centroid
+       |          FROM fdsum d JOIN fcnt c ON d.cell = c.cell GROUP BY d.cell, c.n)""".stripMargin
 
   /** Shared SQL fragment: the whole IVF-PQ replay (mirrors
     * [[graft.operators.Clustering.ivfPqTopK]] at m=4, subDim=16, k=8,
@@ -2043,22 +2155,7 @@ object SparkEntry {
        |          FROM a2_p0 p0 JOIN a2_p1 p1 USING (vec_id)
        |                        JOIN a2_p2 p2 USING (vec_id)
        |                        JOIN a2_p3 p3 USING (vec_id)),
-       |fbits AS (SELECT b, CAST(1 AS BIGINT) << b AS p2 FROM generate_series(0, 5) t(b)),
-       |fproj AS (SELECT vec_id, b, p2,
-       |                ${sqlFoldSum(
-                          "list_transform(generate_series(1, len(embedding)), " +
-                          "i -> CAST(embedding[i] AS DOUBLE) * " +
-                          "((CAST(((b * 104729 + (i - 1) * 7919 + 12345) * (b * 104729 + (i - 1) * 7919 + 12345)) % 1000003 AS DOUBLE) / 1000003.0) - 0.5))")} AS proj
-       |         FROM embeddings CROSS JOIN fbits),
-       |fcell AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS cell
-       |          FROM fproj GROUP BY vec_id),
-       |fcnt AS (SELECT cell, count(*) AS n FROM fcell GROUP BY cell),
-       |fdsum AS (SELECT f.cell, i, sum(CAST(trunc(CAST(e.embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qs
-       |          FROM embeddings e JOIN fcell f ON e.vec_id = f.vec_id,
-       |               LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g
-       |          GROUP BY f.cell, i),
-       |fcent AS (SELECT d.cell, list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY i) AS centroid
-       |          FROM fdsum d JOIN fcnt c ON d.cell = c.cell GROUP BY d.cell, c.n),
+       |$sqlCoarseCellCtes,
        |fq AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
        |fcs AS (SELECT q_id, fcent.cell, ${sqlCosineFD("qe", "centroid")} AS cell_sim
        |        FROM fq CROSS JOIN fcent),

@@ -239,13 +239,16 @@ object Clustering {
       element_at(col(s"t$i"), col(s"c$i").cast("int") + 1)).reduce(_ + _)
 
   /** The shared ADC tail: `pairs` rows carry (q_id, vec_id, c0..c{m-1},
-    * t0..t{m-1}); score each via the LUT lookups, keep the k best per query
-    * with the bounded [[TopKAgg]] (map-side k-slot buffers — the exchange
-    * carries ≤ k rows per (query, partition)), rank on the RAW
-    * deterministic score and round only the k survivors. */
-  private def adcRank(pairs: DataFrame, m: Int, topK: Int): DataFrame =
+    * t0..t{m-1}); score each via the LUT lookups (plus the optional
+    * per-row `bias` — the q·c_cell term of residual scoring), keep the k
+    * best per query with the bounded [[TopKAgg]] (map-side k-slot buffers
+    * — the exchange carries ≤ k rows per (query, partition)), rank on the
+    * RAW deterministic score and round only the k survivors. */
+  private def adcRank(pairs: DataFrame, m: Int, topK: Int,
+      bias: Option[org.apache.spark.sql.Column] = None): DataFrame =
     pairs
-      .select(col("q_id"), col("vec_id"), adcScore(m).as("score"))
+      .select(col("q_id"), col("vec_id"),
+        bias.map(_ + adcScore(m)).getOrElse(adcScore(m)).as("score"))
       .groupBy(col("q_id"))
       .agg(TopKAgg.topK(col("score"), col("vec_id"), topK).as("top"))
       .select(col("q_id"), posexplode(col("top")))
@@ -390,6 +393,70 @@ object Clustering {
     * Output: (q_id, vec_id, cosine, rank) — EXACT cosine (vs the
     * inner-product ADC approximation s8/s9 return), rank by
     * (cosine DESC, vec_id), survivors rounded. */
+  /** RESIDUAL IVF-PQ — the faithful Faiss IVFPQ formulation: the PQ
+    * codebooks are learned over (and the codes encode) each vector's
+    * residual `x − c_cell` against its coarse centroid, not the raw
+    * vector. Residual magnitudes are much smaller than raw vectors, so
+    * the same 12-bit code budget quantizes them far more finely.
+    *
+    * Inner-product scoring decomposes exactly:
+    * `q·x = q·c_cell + q·(x − c_cell)` — the first term is a per-
+    * (query, probed-cell) scalar BIAS computed during cell probing, the
+    * second is the standard ADC sum with LUTs of the FULL-precision query
+    * against the residual codebooks (per-query, cell-independent — no
+    * per-cell LUT blowup; that is only needed for L2 residuals).
+    *
+    * Plan shape = [[ivfPqTopK]] plus: one broadcast centroid join to form
+    * residuals at index-build time (float-cast per element — the cast is
+    * deterministic and oracle-portable), and the bias riding the probed
+    * table. The corpus is still never shuffled by the search. */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, m: Int = 4,
+      subDim: Int = 16, k: Int = 8, cellBits: Int = 6, nProbe: Int = 8,
+      topK: Int = 5): DataFrame = {
+    val withCell = corpus.select(
+      col("vec_id"), col("embedding"),
+      GraftColumns.hyperBucket(col("embedding"), cellBits).as("cell"))
+    val centroids = withCell
+      .groupBy(col("cell"))
+      .agg(VectorSumAgg.vectorSum(col("embedding")).as("qsum"), count(lit(1)).as("n"))
+      .select(
+        col("cell"),
+        transform(
+          col("qsum"),
+          v => v.cast("double") / (col("n").cast("double") * lit(VectorSumAgg.Scale)))
+          .as("centroid"))
+    // Residual corpus: float-cast (x − c) per element. `centroid` is a
+    // plain column reference, so the interpreted-HOF-recompute trap
+    // (CLAUDE.md) doesn't bite.
+    val resCorpus = withCell.join(broadcast(centroids), Seq("cell"))
+      .select(col("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "CAST(CAST(x AS DOUBLE) - element_at(centroid, i + 1) AS FLOAT))").as("embedding"))
+    val (cb, asg) = subspaceModel(resCorpus, m, subDim, k, cellBits)
+    val codes = pivotCodes(asg, m, withSims = false)
+      .join(withCell.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    // Probe + bias: rank cells by centroid cosine (identical to
+    // ivfPqSearch), keep the raw dot as the q·c_cell bias.
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val probed = broadcast(q)
+      .crossJoin(broadcast(centroids))
+      .withColumn("bias", GraftColumns.dotFD(col("qe"), col("centroid")))
+      .withColumn("cell_sim",
+        col("bias") / (VectorMath.norm2(col("qe")) * GraftColumns.normD(col("centroid"))))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col("q_id"), col("cell"), col("bias"))
+    // LUTs: FULL-precision query slices vs the RESIDUAL codebooks.
+    val lutArr = lutArrays(queries, cb, m, subDim)
+    val fanout = queries.sparkSession.sparkContext.defaultParallelism * 2
+    val cands = codes.repartition(fanout, col("vec_id"))
+      .join(broadcast(probed), Seq("cell"))
+    adcRank(cands.join(broadcast(lutArr), Seq("q_id")), m, topK,
+      bias = Some(col("bias")))
+  }
+
   def ivfPqRefineTopK(queries: DataFrame, corpus: DataFrame, m: Int = 4,
       subDim: Int = 16, k: Int = 8, cellBits: Int = 6, nProbe: Int = 8,
       shortlist: Int = 20, topK: Int = 5): DataFrame =

@@ -145,5 +145,29 @@ class ClusteringSpec extends SparkSpec {
     refined.unpersist(); emb.unpersist()
   }
 
+  test("ivfPqResidualTopK: 5 per query, deterministic, and recall ≥ raw-PQ composition") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val res = Clustering.ivfPqResidualTopK(queries, emb).cache()
+    val perQ = res.groupBy("q_id").agg(count(lit(1)).as("n"), max("rank").as("mx")).collect()
+    assert(perQ.nonEmpty)
+    perQ.foreach(r => assert(r.getLong(1) === 5L && r.getLong(2) === 5L))
+    // Residual quantization is finer at the same code budget: id-set
+    // agreement with the exact top-5 must not fall below the raw-vector
+    // composition's (deterministic on the fixture).
+    val exactIds = graft.operators.Similarity
+      .bruteForceTopK(emb, nQueries = Int.MaxValue, k = 5)
+      .filter(col("query_id") % 100 === 0)
+      .select(col("query_id").as("q_id"), col("neighbor_id").as("vec_id"))
+    val raw = Clustering.ivfPqTopK(queries, emb)
+    def recall(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("q_id", "vec_id").intersect(exactIds).count()
+    val (rRes, rRaw) = (recall(res), recall(raw))
+    assert(rRes >= rRaw, s"residual recall $rRes < raw recall $rRaw")
+    assert(res.except(Clustering.ivfPqResidualTopK(queries, emb)).isEmpty)
+    res.unpersist(); emb.unpersist()
+  }
+
   private def Tables = graft.sources.Tables
 }
