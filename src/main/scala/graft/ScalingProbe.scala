@@ -274,6 +274,12 @@ object ScalingProbe {
     time("ivf_pq_refine_2k_q_100k_vecs")(
       graft.operators.Clustering.ivfPqRefineTopK(
         bigEmb.filter(col("vec_id") % 50 === 0), bigEmb).count())
+    // Residual IVF-PQ at the same shape: one extra broadcast centroid
+    // join to form residuals at index build; search cost unchanged
+    // (per-query LUTs + a scalar bias on the probed table).
+    time("ivf_pq_residual_2k_q_100k_vecs")(
+      graft.operators.Clustering.ivfPqResidualTopK(
+        bigEmb.filter(col("vec_id") % 50 === 0), bigEmb).count())
     // SERVE-PATH split: build the index ONCE (what a 100 TB deployment
     // stores partitionBy(cell)), then time search alone — the number that
     // scales per query batch. Codes/codebook/centroids are cached to stand

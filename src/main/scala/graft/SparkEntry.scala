@@ -203,8 +203,11 @@ object SparkEntry {
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      // walk() holds directory handles until closed — collect under
+      // try/finally or the fds leak per gate invocation (review finding).
+      val stream = java.nio.file.Files.walk(p)
+      val paths = try stream.iterator().asScala.toSeq.reverse finally stream.close()
+      paths.foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 
@@ -544,6 +547,9 @@ object SparkEntry {
           org.apache.spark.sql.Row(-1L, sentinel, "purchase")), ev.schema))
       val staged = stagingDir("graft_q37_stream_input")
       val dir = staged.toString
+      // The write (and everything after) sits inside the cleanup scope —
+      // a failed write must not leak the temp dir (review finding).
+      try {
       prepared.coalesce(1).write.mode("overwrite").parquet(dir)
       def src = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
       val errors = src.filter(col("event_type") === "error")
@@ -564,13 +570,12 @@ object SparkEntry {
         .select(col("user_id"), col("e_ts"), col("p_ts"))
       val name = "stream_outer_sink"
       s.catalog.dropTempView(name)
-      try {
-        val q = joined.writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(name).filter(col("user_id") >= 0)
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).filter(col("user_id") >= 0)
       } finally deleteRecursively(staged)
     }),
     "j1_json_extract" -> ((s, d) =>
@@ -1449,12 +1454,14 @@ object SparkEntry {
         |       coalesce(lag(o_orderkey, 1) OVER w, -1) AS prev_key
         |FROM orders WHERE o_orderkey % 20 = 0
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin,
-    // Oracle = exact all-pairs levenshtein (customer names are unique, so
-    // the name-ordered pair set equals the id-ordered one).
+    // Oracle = exact all-pairs levenshtein, paired by ID (mirrors the
+    // operator on ANY input — an equal-name pair under distinct ids still
+    // appears, as dist 0 — not just on the unique-name fixture).
     "f1_fuzzy_join" ->
-      """SELECT a.c_name AS name_a, b.c_name AS name_b,
+      """SELECT least(a.c_name, b.c_name) AS name_a,
+        |       greatest(a.c_name, b.c_name) AS name_b,
         |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-        |FROM customer a JOIN customer b ON a.c_name < b.c_name
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     "q38_null_semantics" ->
       """WITH t AS (SELECT nullif(o_orderkey % 1000, 3) AS k FROM orders)

@@ -233,10 +233,17 @@ object Clustering {
           first(when(col("sub") === i, col("t")), ignoreNulls = true).as(s"t$i")): _*)
   }
 
-  /** Score = fixed-order sum of the m LUT lookups for a code row. */
-  private def adcScore(m: Int) =
-    (0 until m).map(i =>
-      element_at(col(s"t$i"), col(s"c$i").cast("int") + 1)).reduce(_ + _)
+  /** Score = fixed-order LEFT-TO-RIGHT sum of the m LUT lookups, with the
+    * optional bias folded in FIRST — `((((bias + t0) + t1) + t2) + t3)`,
+    * exactly the left-associated order the SQL oracle's `bias + d0 + d1 +
+    * …` parses to. Double addition is non-associative: `bias + (t0 + t1 +
+    * …)` can differ in the last ulps and flip a raw-score ranking between
+    * engines (review finding). */
+  private def adcScore(m: Int, bias: Option[org.apache.spark.sql.Column]) = {
+    val terms = (0 until m).map(i =>
+      element_at(col(s"t$i"), col(s"c$i").cast("int") + 1))
+    (bias.toSeq ++ terms).reduce(_ + _)
+  }
 
   /** The shared ADC tail: `pairs` rows carry (q_id, vec_id, c0..c{m-1},
     * t0..t{m-1}); score each via the LUT lookups (plus the optional
@@ -247,8 +254,7 @@ object Clustering {
   private def adcRank(pairs: DataFrame, m: Int, topK: Int,
       bias: Option[org.apache.spark.sql.Column] = None): DataFrame =
     pairs
-      .select(col("q_id"), col("vec_id"),
-        bias.map(_ + adcScore(m)).getOrElse(adcScore(m)).as("score"))
+      .select(col("q_id"), col("vec_id"), adcScore(m, bias).as("score"))
       .groupBy(col("q_id"))
       .agg(TopKAgg.topK(col("score"), col("vec_id"), topK).as("top"))
       .select(col("q_id"), posexplode(col("top")))
@@ -320,10 +326,11 @@ object Clustering {
     * without touching raw corpus vectors. */
   final case class IvfPqIndex(codes: DataFrame, codebook: DataFrame, centroids: DataFrame)
 
-  /** One-time IVF-PQ index build over the corpus (see [[IvfPqIndex]]). */
-  def ivfPqIndex(corpus: DataFrame, m: Int = 4, subDim: Int = 16,
-      k: Int = 8, cellBits: Int = 6): IvfPqIndex = {
-    // Coarse quantizer over FULL vectors — identical cells/centroids to s3.
+  /** Coarse quantizer over FULL vectors — identical cells/centroids to
+    * s3. Returns (withCell(vec_id, embedding, cell),
+    * centroids(cell, centroid)); single source for the raw AND residual
+    * index builds (review finding: was duplicated). */
+  private def coarseQuantizer(corpus: DataFrame, cellBits: Int): (DataFrame, DataFrame) = {
     val withCell = corpus.select(
       col("vec_id"), col("embedding"),
       GraftColumns.hyperBucket(col("embedding"), cellBits).as("cell"))
@@ -336,6 +343,32 @@ object Clustering {
           col("qsum"),
           v => v.cast("double") / (col("n").cast("double") * lit(VectorSumAgg.Scale)))
           .as("centroid"))
+    (withCell, centroids)
+  }
+
+  /** Rank coarse cells per query by centroid cosine, keep `nProbe`.
+    * Output (q_id, cell, bias) where `bias` is the raw q·centroid dot —
+    * consumers that don't need it (raw-vector search) drop the column.
+    * Query-count-bounded (≤ |Q|·nProbe rows), safe to broadcast. */
+  private def probeCells(queries: DataFrame, centroids: DataFrame,
+      nProbe: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+    broadcast(q)
+      .crossJoin(broadcast(centroids))
+      .withColumn("bias", GraftColumns.dotFD(col("qe"), col("centroid")))
+      .withColumn("cell_sim",
+        col("bias") / (VectorMath.norm2(col("qe")) * GraftColumns.normD(col("centroid"))))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col("q_id"), col("cell"), col("bias"))
+  }
+
+  /** One-time IVF-PQ index build over the corpus (see [[IvfPqIndex]]). */
+  def ivfPqIndex(corpus: DataFrame, m: Int = 4, subDim: Int = 16,
+      k: Int = 8, cellBits: Int = 6): IvfPqIndex = {
+    val (withCell, centroids) = coarseQuantizer(corpus, cellBits)
     val (cb, asg) = subspaceModel(corpus, m, subDim, k, cellBits)
     val codes = pivotCodes(asg, m, withSims = false)
       .join(withCell.select(col("vec_id"), col("cell")), Seq("vec_id"))
@@ -349,16 +382,7 @@ object Clustering {
     * shuffled. */
   def ivfPqSearch(queries: DataFrame, index: IvfPqIndex, m: Int = 4,
       subDim: Int = 16, nProbe: Int = 8, topK: Int = 5): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-    val wCell = Window.partitionBy(col("q_id"))
-      .orderBy(col("cell_sim").desc, col("cell"))
-    val probed = broadcast(q)
-      .crossJoin(broadcast(index.centroids))
-      .withColumn("cell_sim",
-        GraftColumns.dotFD(col("qe"), col("centroid")) /
-          (VectorMath.norm2(col("qe")) * GraftColumns.normD(col("centroid"))))
-      .withColumn("cell_rank", row_number().over(wCell))
-      .filter(col("cell_rank") <= nProbe)
+    val probed = probeCells(queries, index.centroids, nProbe)
       .select(col("q_id"), col("cell"))
     val lutArr = lutArrays(queries, index.codebook, m, subDim)
     // THE pruning join: probed is ≤ |Q|·nProbe rows (query-count-bounded,
@@ -393,70 +417,6 @@ object Clustering {
     * Output: (q_id, vec_id, cosine, rank) — EXACT cosine (vs the
     * inner-product ADC approximation s8/s9 return), rank by
     * (cosine DESC, vec_id), survivors rounded. */
-  /** RESIDUAL IVF-PQ — the faithful Faiss IVFPQ formulation: the PQ
-    * codebooks are learned over (and the codes encode) each vector's
-    * residual `x − c_cell` against its coarse centroid, not the raw
-    * vector. Residual magnitudes are much smaller than raw vectors, so
-    * the same 12-bit code budget quantizes them far more finely.
-    *
-    * Inner-product scoring decomposes exactly:
-    * `q·x = q·c_cell + q·(x − c_cell)` — the first term is a per-
-    * (query, probed-cell) scalar BIAS computed during cell probing, the
-    * second is the standard ADC sum with LUTs of the FULL-precision query
-    * against the residual codebooks (per-query, cell-independent — no
-    * per-cell LUT blowup; that is only needed for L2 residuals).
-    *
-    * Plan shape = [[ivfPqTopK]] plus: one broadcast centroid join to form
-    * residuals at index-build time (float-cast per element — the cast is
-    * deterministic and oracle-portable), and the bias riding the probed
-    * table. The corpus is still never shuffled by the search. */
-  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, m: Int = 4,
-      subDim: Int = 16, k: Int = 8, cellBits: Int = 6, nProbe: Int = 8,
-      topK: Int = 5): DataFrame = {
-    val withCell = corpus.select(
-      col("vec_id"), col("embedding"),
-      GraftColumns.hyperBucket(col("embedding"), cellBits).as("cell"))
-    val centroids = withCell
-      .groupBy(col("cell"))
-      .agg(VectorSumAgg.vectorSum(col("embedding")).as("qsum"), count(lit(1)).as("n"))
-      .select(
-        col("cell"),
-        transform(
-          col("qsum"),
-          v => v.cast("double") / (col("n").cast("double") * lit(VectorSumAgg.Scale)))
-          .as("centroid"))
-    // Residual corpus: float-cast (x − c) per element. `centroid` is a
-    // plain column reference, so the interpreted-HOF-recompute trap
-    // (CLAUDE.md) doesn't bite.
-    val resCorpus = withCell.join(broadcast(centroids), Seq("cell"))
-      .select(col("vec_id"),
-        expr("transform(embedding, (x, i) -> " +
-          "CAST(CAST(x AS DOUBLE) - element_at(centroid, i + 1) AS FLOAT))").as("embedding"))
-    val (cb, asg) = subspaceModel(resCorpus, m, subDim, k, cellBits)
-    val codes = pivotCodes(asg, m, withSims = false)
-      .join(withCell.select(col("vec_id"), col("cell")), Seq("vec_id"))
-    // Probe + bias: rank cells by centroid cosine (identical to
-    // ivfPqSearch), keep the raw dot as the q·c_cell bias.
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-    val wCell = Window.partitionBy(col("q_id"))
-      .orderBy(col("cell_sim").desc, col("cell"))
-    val probed = broadcast(q)
-      .crossJoin(broadcast(centroids))
-      .withColumn("bias", GraftColumns.dotFD(col("qe"), col("centroid")))
-      .withColumn("cell_sim",
-        col("bias") / (VectorMath.norm2(col("qe")) * GraftColumns.normD(col("centroid"))))
-      .withColumn("cell_rank", row_number().over(wCell))
-      .filter(col("cell_rank") <= nProbe)
-      .select(col("q_id"), col("cell"), col("bias"))
-    // LUTs: FULL-precision query slices vs the RESIDUAL codebooks.
-    val lutArr = lutArrays(queries, cb, m, subDim)
-    val fanout = queries.sparkSession.sparkContext.defaultParallelism * 2
-    val cands = codes.repartition(fanout, col("vec_id"))
-      .join(broadcast(probed), Seq("cell"))
-    adcRank(cands.join(broadcast(lutArr), Seq("q_id")), m, topK,
-      bias = Some(col("bias")))
-  }
-
   def ivfPqRefineTopK(queries: DataFrame, corpus: DataFrame, m: Int = 4,
       subDim: Int = 16, k: Int = 8, cellBits: Int = 6, nProbe: Int = 8,
       shortlist: Int = 20, topK: Int = 5): DataFrame =
@@ -486,5 +446,46 @@ object Clustering {
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("vec_id"),
         round(col("cosine"), 7).as("cosine"), col("rank"))
+  }
+
+  /** RESIDUAL IVF-PQ — the faithful Faiss IVFPQ formulation: the PQ
+    * codebooks are learned over (and the codes encode) each vector's
+    * residual `x − c_cell` against its coarse centroid, not the raw
+    * vector. Residual magnitudes are much smaller than raw vectors, so
+    * the same 12-bit code budget quantizes them far more finely.
+    *
+    * Inner-product scoring decomposes exactly:
+    * `q·x = q·c_cell + q·(x − c_cell)` — the first term is a per-
+    * (query, probed-cell) scalar BIAS computed during cell probing, the
+    * second is the standard ADC sum with LUTs of the FULL-precision query
+    * against the residual codebooks (per-query, cell-independent — no
+    * per-cell LUT blowup; that is only needed for L2 residuals).
+    *
+    * Plan shape = [[ivfPqTopK]] plus: one broadcast centroid join to form
+    * residuals at index-build time (float-cast per element — the cast is
+    * deterministic and oracle-portable), and the bias riding the probed
+    * table. The corpus is still never shuffled by the search. */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, m: Int = 4,
+      subDim: Int = 16, k: Int = 8, cellBits: Int = 6, nProbe: Int = 8,
+      topK: Int = 5): DataFrame = {
+    val (withCell, centroids) = coarseQuantizer(corpus, cellBits)
+    // Residual corpus: float-cast (x − c) per element. `centroid` is a
+    // plain column reference, so the interpreted-HOF-recompute trap
+    // (CLAUDE.md) doesn't bite.
+    val resCorpus = withCell.join(broadcast(centroids), Seq("cell"))
+      .select(col("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "CAST(CAST(x AS DOUBLE) - element_at(centroid, i + 1) AS FLOAT))").as("embedding"))
+    val (cb, asg) = subspaceModel(resCorpus, m, subDim, k, cellBits)
+    val codes = pivotCodes(asg, m, withSims = false)
+      .join(withCell.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val probed = probeCells(queries, centroids, nProbe) // keeps the bias
+    // LUTs: FULL-precision query slices vs the RESIDUAL codebooks.
+    val lutArr = lutArrays(queries, cb, m, subDim)
+    val fanout = queries.sparkSession.sparkContext.defaultParallelism * 2
+    val cands = codes.repartition(fanout, col("vec_id"))
+      .join(broadcast(probed), Seq("cell"))
+    adcRank(cands.join(broadcast(lutArr), Seq("q_id")), m, topK,
+      bias = Some(col("bias")))
   }
 }

@@ -36,17 +36,23 @@ object FuzzyJoin {
         array(col("__s")),
         expr("transform(sequence(1, length(__s)), i -> concat(substring(__s, 1, i - 1), substring(__s, i + 1, length(__s))))"))))
         .as("__v"))
-    val cands = variants.as("a")
-      .join(variants.as("b"), col("a.__v") === col("b.__v") && col("a.__id") < col("b.__id"))
+    // shuffle_hash pinned on both sides (CLAUDE.md bucket-join rule): the
+    // variant frame is input-sized, so AQE would broadcast it and
+    // serialize the Σ bucket² candidate explosion into the probe tasks.
+    val cands = variants.as("a").hint("shuffle_hash")
+      .join(variants.as("b").hint("shuffle_hash"),
+        col("a.__v") === col("b.__v") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("__ida"), col("b.__id").as("__idb"))
       .distinct()
     cands
       .join(base.select(col("__id").as("__ida"), col("__s").as("name_a")), Seq("__ida"))
       .join(base.select(col("__id").as("__idb"), col("__s").as("name_b")), Seq("__idb"))
-      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      // one O(len²) distance per candidate (filter + output read the column)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 1)
       .select(
         least(col("name_a"), col("name_b")).as("name_a"),
         greatest(col("name_a"), col("name_b")).as("name_b"),
-        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        col("dist"))
   }
 }

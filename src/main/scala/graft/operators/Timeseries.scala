@@ -34,11 +34,16 @@ object Timeseries {
     require(stepMinutes > 0, s"stepMinutes must be positive, got $stepMinutes")
     val k = col(keyCol)
     val stepUs = stepMinutes * 60000000L
-    // `div`, not `/` (double-divide on BIGINT — CLAUDE.md invariant);
-    // epoch is non-negative for all supported fixtures so div ≡ floor.
+    // `div`, not `/` (double-divide on BIGINT — CLAUDE.md invariant) —
+    // corrected to FLOOR division: `div` truncates toward zero, so a
+    // pre-1970 reading would land in the bucket ABOVE it and diverge from
+    // a date_trunc-style oracle (review finding).
+    val floorDiv =
+      s"(unix_micros($tsCol) div $stepUs) - " +
+        s"(CASE WHEN unix_micros($tsCol) % $stepUs != 0 AND unix_micros($tsCol) < 0 THEN 1 ELSE 0 END)"
     val perBucket = events
       .groupBy(k,
-        expr(s"timestamp_micros((unix_micros($tsCol) div $stepUs) * $stepUs)").as("bucket"))
+        expr(s"timestamp_micros(($floorDiv) * $stepUs)").as("bucket"))
       .agg(round(avg(col(valCol)), 7).as("v"))
     val grid = perBucket
       .groupBy(k)

@@ -48,6 +48,16 @@ class TimeseriesSpec extends SparkSpec {
     assert(out === Set((0L, 15.0, false), (5L, 70.0, false)))
   }
 
+  test("gapFillForwardFill: pre-1970 timestamps bucket DOWNWARD (floor, not truncate-toward-zero)") {
+    // 1969-12-31 23:59:30 (epoch −30 s) must land in the 23:59 bucket,
+    // not 1970-01-01 00:00 (review finding: `div` truncates toward zero).
+    val events = Seq((1L, new java.sql.Timestamp(-30000L), 4.0))
+      .toDF("user_id", "ts", "value")
+    val out = Timeseries.gapFillForwardFill(events).head()
+    assert(out.getTimestamp(1).getTime === -60000L)
+    assert(out.getDouble(2) === 4.0 && !out.getBoolean(3))
+  }
+
   test("quantileBuckets: tiles are contiguous, sized within one, ordered by the key") {
     val df = (1L to 23L).map(i => (i, "g", i.toDouble)).toDF("k", "grp", "v")
     val out = Timeseries.quantileBuckets(df, "grp", Seq(col("v"), col("k")), n = 4)
