@@ -825,6 +825,28 @@ object SparkEntry {
       operators.FuzzyJoin.selfJoin(
         Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
         idCol = "c_custkey", strCol = "c_name")),
+    // SCD type-2 history build: treating orders as a per-customer change
+    // log (version = o_orderkey), each version's validity interval is
+    // [its key, the next version's key) — lead() per key, current rows
+    // flagged where no successor exists.
+    "u2_scd2_history" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("valid_to_key", lead(col("o_orderkey"), 1).over(w))
+        .withColumn("is_current", col("valid_to_key").isNull)
+    }),
+    // Statistical aggregates per group: Pearson correlation + sample
+    // covariance/stddev (same accumulation-order tolerance class as q4's
+    // avg — rounded once at 7 dp).
+    "x7_stats_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 7).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 7).as("covar_qp"),
+          round(stddev_samp(col("l_quantity")), 7).as("sd_q"))),
     // Ranking-function suite in one pass: dense_rank / percent_rank /
     // cume_dist / nth_value / lag-with-default over a tie-free order.
     "q39_rank_suite" -> ((s, d) => {
@@ -1443,6 +1465,17 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node WHERE w.d < 6)
          |SELECT node AS doc_id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node""".stripMargin,
+    "u2_scd2_history" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS valid_to_key,
+        |       (lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) IS NULL) AS is_current
+        |FROM orders""".stripMargin,
+    "x7_stats_agg" ->
+      """SELECT l_returnflag,
+        |       round(corr(l_quantity, l_extendedprice), 7) AS corr_qp,
+        |       round(covar_samp(l_quantity, l_extendedprice), 7) AS covar_qp,
+        |       round(stddev_samp(l_quantity), 7) AS sd_q
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q39_rank_suite" ->
       """SELECT o_orderkey, o_orderpriority,
         |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
