@@ -110,11 +110,32 @@ object ScalingProbe {
       graft.operators.Merge.upsert(base, ch, Seq("event_id")).count()
     }
 
+    // Global total-order rank over 10M rows: range shuffle + offsets +
+    // pid-partitioned window — the single-partition global window this
+    // replaces would sort 10M rows in ONE task.
+    time("global_rank_10M")(
+      graft.operators.Ranking.globalRank(
+        bigEvents.select(col("event_id"), col("value")),
+        Seq(col("value").desc, col("event_id"))).count())
+    // Gap fill at 1M readings / 1.5k keys on a 15-min grid (~4.3M grid
+    // rows — grid size scales with wall-clock span × keys, not events).
+    time("gap_fill_1M_readings")(
+      graft.operators.Timeseries.gapFillForwardFill(
+        events1M, stepMinutes = 15).count())
+
     // Done with the event fixtures — release them, or the cached 10M-row
     // table squeezes the ANN sections below into GC churn (measured: the
     // 50× ANN probe reads 92 s with these pinned vs 55 s without).
     events1M.unpersist(blocking = true)
     bigEvents.unpersist(blocking = true)
+
+    // Fuzzy join over the 15k sf0.1 customer names (~19 deletion variants
+    // each → 285k variant rows; candidates are Σ bucket², then the exact
+    // levenshtein recheck).
+    time("fuzzy_join_15k_names")(
+      graft.operators.FuzzyJoin.selfJoin(
+        Tables.customer(spark, sfDir).select(col("c_custkey").as("id"), col("c_name").as("s")))
+        .count())
 
     // ---- documents ×20 → 100k docs, minhash LSH dedup ----
     val docs = Tables.documents(spark, sfDir)
