@@ -467,7 +467,14 @@ object Clustering {
     * table. The corpus is still never shuffled by the search. */
   def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, m: Int = 4,
       subDim: Int = 16, k: Int = 8, cellBits: Int = 6, nProbe: Int = 8,
-      topK: Int = 5): DataFrame = {
+      topK: Int = 5): DataFrame =
+    ivfPqResidualSearch(queries, ivfPqResidualIndex(corpus, m, subDim, k, cellBits),
+      m, subDim, nProbe, topK)
+
+  /** One-time residual-index build: same [[IvfPqIndex]] shape, but the
+    * codebooks are learned over (and the codes encode) residuals. */
+  def ivfPqResidualIndex(corpus: DataFrame, m: Int = 4, subDim: Int = 16,
+      k: Int = 8, cellBits: Int = 6): IvfPqIndex = {
     val (withCell, centroids) = coarseQuantizer(corpus, cellBits)
     // Residual corpus: float-cast (x − c) per element. `centroid` is a
     // plain column reference, so the interpreted-HOF-recompute trap
@@ -479,11 +486,19 @@ object Clustering {
     val (cb, asg) = subspaceModel(resCorpus, m, subDim, k, cellBits)
     val codes = pivotCodes(asg, m, withSims = false)
       .join(withCell.select(col("vec_id"), col("cell")), Seq("vec_id"))
-    val probed = probeCells(queries, centroids, nProbe) // keeps the bias
+    IvfPqIndex(codes, cb, centroids)
+  }
+
+  /** Search a prebuilt residual index — [[ivfPqSearch]]'s serve-path twin
+    * with the q·c_cell bias folded in first (left-associated, matching
+    * the oracle's sum order). */
+  def ivfPqResidualSearch(queries: DataFrame, index: IvfPqIndex, m: Int = 4,
+      subDim: Int = 16, nProbe: Int = 8, topK: Int = 5): DataFrame = {
+    val probed = probeCells(queries, index.centroids, nProbe) // keeps the bias
     // LUTs: FULL-precision query slices vs the RESIDUAL codebooks.
-    val lutArr = lutArrays(queries, cb, m, subDim)
+    val lutArr = lutArrays(queries, index.codebook, m, subDim)
     val fanout = queries.sparkSession.sparkContext.defaultParallelism * 2
-    val cands = codes.repartition(fanout, col("vec_id"))
+    val cands = index.codes.repartition(fanout, col("vec_id"))
       .join(broadcast(probed), Seq("cell"))
     adcRank(cands.join(broadcast(lutArr), Seq("q_id")), m, topK,
       bias = Some(col("bias")))
