@@ -1056,7 +1056,97 @@ object SparkEntry {
     "m1_multimodal_meta" -> ((s, d) =>
       Multimodal.metadata(Tables.documents(s, d).select(
         col("doc_id"),
-        col("text").cast("binary").as("payload")))))
+        col("text").cast("binary").as("payload")))),
+    // TPC-H Q3 shape: selective dim filter broadcast into a fact-fact
+    // equi-join, grouped double-sum revenue, global top-10 under the
+    // (rounded revenue DESC, key) total order → TakeOrderedAndProject,
+    // never a full sort. Rounded BEFORE ranking: the raw group sums
+    // differ from the oracle's in last-ulp fold order, and a raw-score
+    // top-k could flip at the cutoff (s11 lesson, CLAUDE.md).
+    "q40_shipping_priority" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+    }),
+    // TPC-H Q21 shape: "the only late supplier on a multi-supplier
+    // order" — a semi-join (some other supplier exists) composed with an
+    // anti-join (no other LATE supplier exists) over distinct
+    // (order, supplier) pairs, so each supplier is charged once per
+    // order. Both self-joins shuffle 16-byte pairs on the order key.
+    "q41_waiting_suppliers" -> ((s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = Tables.lineitem(s, d)
+      val pairs = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val late = li.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val hasOther = late.join(
+        pairs.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2")),
+        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      val onlyLate = hasOther.join(
+        late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3")),
+        col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
+        "left_anti")
+      onlyLate
+        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(10)
+    }),
+    // Deequ-style constraint suite: every row-scan metric in ONE
+    // aggregate pass + one key-only anti join for referential integrity.
+    // Two constraints fail by design (single-column uniqueness on a
+    // multi-line fact; a discount cap below the data max) so both
+    // verdict polarities are on the gate.
+    "v1_validation" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      Validation.suite(li,
+        Seq(
+          Validation.completeness("l_orderkey"),
+          Validation.uniqueness(Seq("l_orderkey", "l_linenumber")),
+          Validation.uniqueness(Seq("l_orderkey")),
+          Validation.minAtLeast("l_quantity", 1.0),
+          Validation.maxAtMost("l_discount", 0.05),
+          Validation.inDomain("l_returnflag", Seq("A", "N", "R"))),
+        refIntegrity = Seq(("l_orderkey", Tables.orders(s, d), "o_orderkey")))
+    }),
+    // CDC-feed GENERATION (inverse of u1's CDC apply): diff two
+    // per-customer order snapshots from disjoint date windows. Payload is
+    // count + max — exact, order-independent values, so the U/N
+    // classification can never disagree with the oracle on a last-ulp
+    // accumulation difference.
+    "u3_snapshot_diff" -> ((s, d) => {
+      def snap(lo: String, hi: String) = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+          col("o_orderdate") < lit(hi).cast("timestamp"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("max_price"))
+      Merge.snapshotDiff(
+        snap("1996-01-01", "1998-01-01"),
+        snap("1998-01-01", "2000-01-01"),
+        Seq("o_custkey"))
+    }),
+    // Rolling z-score anomaly detection over each user's event stream —
+    // frame excludes the current row; unscoreable rows (under 5 priors,
+    // zero variance) dropped.
+    "x8_zscore_anomaly" -> ((s, d) =>
+      Timeseries.zscoreAnomalies(Tables.events(s, d))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -2090,7 +2180,102 @@ object SparkEntry {
          |rr AS (SELECT q_id, vec_id, cosine,
          |              CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
          |       FROM ref)
-         |SELECT q_id, vec_id, round(cosine, 7) AS cosine, rank FROM rr WHERE rank <= 5""".stripMargin)
+         |SELECT q_id, vec_id, round(cosine, 7) AS cosine, rank FROM rr WHERE rank <= 5""".stripMargin,
+    "q40_shipping_priority" ->
+      """SELECT l_orderkey,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate  > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q41_waiting_suppliers" ->
+      """WITH late AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY),
+        |pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM late w JOIN supplier ON w.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM pairs p
+        |              WHERE p.l_orderkey = w.l_orderkey AND p.l_suppkey <> w.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late w2
+        |                  WHERE w2.l_orderkey = w.l_orderkey AND w2.l_suppkey <> w.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 10""".stripMargin,
+    "v1_validation" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(count(l_orderkey) AS DOUBLE) AS nn,
+        |         CAST((SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS DOUBLE) AS u2,
+        |         CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS u1,
+        |         CAST(min(l_quantity) AS DOUBLE) AS mn,
+        |         CAST(max(l_discount) AS DOUBLE) AS mx,
+        |         CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS DOUBLE) AS dom
+        |  FROM lineitem),
+        |r AS (SELECT CAST(count(*) AS DOUBLE) AS orphans
+        |      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |      WHERE o.o_orderkey IS NULL)
+        |SELECT u.check_name, u.metric, u.passed FROM m, r, LATERAL (
+        |  SELECT 'completeness_l_orderkey' AS check_name, round(nn / n, 7) AS metric,
+        |         CAST(CASE WHEN nn / n = 1.0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+        |  UNION ALL
+        |  SELECT 'uniqueness_l_orderkey_l_linenumber', round(u2 / n, 7),
+        |         CAST(CASE WHEN u2 / n = 1.0 THEN 1 ELSE 0 END AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'uniqueness_l_orderkey', round(u1 / n, 7),
+        |         CAST(CASE WHEN u1 / n = 1.0 THEN 1 ELSE 0 END AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'min_l_quantity', round(mn, 7),
+        |         CAST(CASE WHEN mn >= 1.0 THEN 1 ELSE 0 END AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'max_l_discount', round(mx, 7),
+        |         CAST(CASE WHEN mx <= 0.05 THEN 1 ELSE 0 END AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'domain_l_returnflag', round(dom / n, 7),
+        |         CAST(CASE WHEN dom / n = 1.0 THEN 1 ELSE 0 END AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'ref_l_orderkey_in_o_orderkey', round(orphans, 7),
+        |         CAST(CASE WHEN orphans = 0.0 THEN 1 ELSE 0 END AS BIGINT)) u""".stripMargin,
+    "u3_snapshot_diff" ->
+      """WITH prev AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, max(o_totalprice) AS max_price
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY o_custkey),
+        |nxt AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, max(o_totalprice) AS max_price
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '2000-01-01'
+        |  GROUP BY o_custkey)
+        |SELECT coalesce(p.o_custkey, n.o_custkey) AS o_custkey,
+        |       CASE WHEN p.o_custkey IS NULL THEN 'I'
+        |            WHEN n.o_custkey IS NULL THEN 'D' ELSE 'U' END AS change,
+        |       p.n_orders  AS old_n_orders,  n.n_orders  AS new_n_orders,
+        |       p.max_price AS old_max_price, n.max_price AS new_max_price
+        |FROM prev p FULL OUTER JOIN nxt n ON p.o_custkey = n.o_custkey
+        |WHERE p.o_custkey IS NULL OR n.o_custkey IS NULL
+        |   OR p.n_orders IS DISTINCT FROM n.n_orders
+        |   OR p.max_price IS DISTINCT FROM n.max_price""".stripMargin,
+    "x8_zscore_anomaly" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, value,
+        |         avg(value)         OVER fr AS mu,
+        |         stddev_samp(value) OVER fr AS sd,
+        |         count(value)       OVER fr AS n
+        |  FROM events
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, round(value, 7) AS value, round(mu, 7) AS mu,
+        |       round((value - mu) / sd, 7) AS z
+        |FROM w
+        |WHERE n >= 5 AND sd > 0 AND abs((value - mu) / sd) > 3.0""".stripMargin)
 
   /** Residual IVF-PQ replay: coarse cells → float-cast residuals → the
     * SAME grouped-kmeans chains over residual slices → LUTs of the FULL

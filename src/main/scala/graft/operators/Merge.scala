@@ -44,6 +44,39 @@ object Merge {
         when(col("__op") === "U", col(s"__chg_$c")).otherwise(col(c)).as(c)): _*)
   }
 
+  /** Snapshot diff — the inverse of [[upsert]]: given two snapshots with
+    * identical schemas, emit the change rows that turn `prev` into `next`
+    * (`I` = key only in next, `D` = key only in prev, `U` = key in both
+    * with any payload difference under null-safe equality). Unchanged keys
+    * are dropped. This is how a pipeline *generates* a CDC feed from
+    * periodic full snapshots when the source system has no change log.
+    *
+    * Scale shape: one full-outer equi-join shuffle on the key; the
+    * classification and payload comparison are per-row projections. Output
+    * carries both versions (`old_*`/`new_*`) so a consumer can audit the
+    * delta without re-reading either snapshot. */
+  def snapshotDiff(prev: DataFrame, next: DataFrame, key: Seq[String]): DataFrame = {
+    require(prev.columns.sameElements(next.columns),
+      s"Merge.snapshotDiff: schemas differ: ${prev.columns.mkString(",")} vs ${next.columns.mkString(",")}")
+    val payload = prev.columns.filterNot(key.contains).toSeq
+    val p = prev.select(key.map(col) ++ payload.map(c => col(c).as(s"__old_$c"))
+      :+ lit(1).as("__in_old"): _*)
+    val n = next.select(key.map(col) ++ payload.map(c => col(c).as(s"__new_$c"))
+      :+ lit(1).as("__in_new"): _*)
+    // null-safe per-column equality: a null payload value equal on both
+    // sides must NOT read as a change
+    val same = payload.map(c => col(s"__old_$c") <=> col(s"__new_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    p.join(n, key, "full_outer")
+      .withColumn("change",
+        when(col("__in_old").isNull, lit("I"))
+          .when(col("__in_new").isNull, lit("D"))
+          .when(same, lit("N")).otherwise(lit("U")))
+      .filter(col("change") =!= "N")
+      .select(key.map(col) ++ (col("change") +: payload.flatMap(c =>
+        Seq(col(s"__old_$c").as(s"old_$c"), col(s"__new_$c").as(s"new_$c")))): _*)
+  }
+
   /** Collapse a multi-version change log to one winning row per key by a
     * total (versionCol DESC, then op DESC — 'U' beats 'D' on a tie) order —
     * the map-side-combinable struct-max idiom, no window sort. */

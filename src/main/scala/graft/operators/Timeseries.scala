@@ -66,4 +66,41 @@ object Timeseries {
       n: Int = 10): DataFrame =
     df.withColumn("tile",
       ntile(n).over(Window.partitionBy(col(partCol)).orderBy(orderCols: _*)).cast("long"))
+
+  /** Rolling z-score anomaly detection — flag readings that deviate from
+    * their key's recent history (monitoring-pipeline primitive; a batch
+    * twin of what a streaming detector holds in state). Per key, ordered
+    * by the tie-free (ts, id) total order, each reading is scored against
+    * the mean/stddev of the `lookback` PRECEDING readings (the frame
+    * excludes the current row — scoring a point against a window that
+    * contains it dilutes the signal). Rows with fewer than `minPrior`
+    * priors or zero variance are unscoreable and dropped.
+    *
+    * Scale shape: one per-key window sort; the frame aggregates are
+    * incremental (no per-row rescan). Keys are independent — skew bounded
+    * by per-key event counts, the same bound sessionization (q21) carries.
+    */
+  def zscoreAnomalies(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id", valCol: String = "value",
+      lookback: Int = 20, minPrior: Int = 5, threshold: Double = 3.0): DataFrame = {
+    require(lookback >= minPrior && minPrior >= 2,
+      s"need lookback >= minPrior >= 2, got $lookback/$minPrior")
+    val frame = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-lookback, -1)
+    val scored = events.select(
+      col(keyCol), col(tsCol), col(idCol), col(valCol),
+      avg(col(valCol)).over(frame).as("__mu"),
+      stddev_samp(col(valCol)).over(frame).as("__sd"),
+      count(col(valCol)).over(frame).as("__n"))
+    scored
+      .filter(col("__n") >= minPrior && col("__sd") > 0.0)
+      .withColumn("__z", (col(valCol) - col("__mu")) / col("__sd"))
+      .filter(abs(col("__z")) > threshold)
+      .select(
+        col(keyCol), col(idCol),
+        round(col(valCol), 7).as("value"),
+        round(col("__mu"), 7).as("mu"),
+        round(col("__z"), 7).as("z"))
+  }
 }

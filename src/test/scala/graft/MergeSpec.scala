@@ -116,5 +116,47 @@ class MergeSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("snapshotDiff: I/D/U classification, N dropped, null-safe payload compare") {
+    val prev = Seq(
+      (1L, Some(10.0), "a"), // unchanged → dropped
+      (2L, Some(20.0), "b"), // value changes → U
+      (3L, None, "c"),       // null == null → unchanged → dropped
+      (4L, Some(40.0), "d")  // only in prev → D
+    ).toDF("k", "v", "tag")
+    val next = Seq(
+      (1L, Some(10.0), "a"),
+      (2L, Some(21.0), "b"),
+      (3L, None, "c"),
+      (5L, Some(50.0), "e")  // only in next → I
+    ).toDF("k", "v", "tag")
+    val out = Merge.snapshotDiff(prev, next, Seq("k"))
+    assert(out.columns.toSeq ===
+      Seq("k", "change", "old_v", "new_v", "old_tag", "new_tag"))
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m === Map(2L -> "U", 4L -> "D", 5L -> "I"))
+  }
+
+  test("snapshotDiff ∘ upsert round-trip: applying the diff to prev yields next") {
+    val prev = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val next = prev
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .filter(col("o_orderkey") % 7 =!= 0) // deletions
+      .unionByName(prev.filter(col("o_orderkey") % 7 === 0) // re-keyed inserts
+        .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+          col("o_totalprice"), col("o_orderstatus")))
+    val diff = Merge.snapshotDiff(prev, next, Seq("o_orderkey"))
+    // a diff row becomes a change row: D stays D, I/U are upserts with the
+    // NEW payload
+    val changes = diff.select(col("o_orderkey"),
+      when(col("change") === "D", "D").otherwise("U").as("op"),
+      col("new_o_totalprice").as("o_totalprice"),
+      col("new_o_orderstatus").as("o_orderstatus"))
+    val rebuilt = Merge.upsert(prev, changes, Seq("o_orderkey"))
+    assert(rebuilt.except(next).isEmpty && next.except(rebuilt).isEmpty)
+  }
+
   private def Tables = graft.sources.Tables
 }

@@ -68,4 +68,31 @@ class TimeseriesSpec extends SparkSpec {
     assert(out(1L) === 1L && out(23L) === 4L)
     assert((1L to 22L).forall(i => out(i) <= out(i + 1)), "tiles monotone in sort order")
   }
+
+  test("zscoreAnomalies: spike flagged against PRIOR window only; warmup and flat series unscoreable") {
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    // user 1: ten steady readings then a spike; user 2: constant (sd=0)
+    val steady = (0 until 10).map(i => (1L, ts(i), i.toLong, 10.0 + (i % 2) * 0.2))
+    val spike = Seq((1L, ts(10), 10L, 50.0))
+    val flat = (0 until 10).map(i => (2L, ts(i), (100 + i).toLong, 7.0))
+    val events = (steady ++ spike ++ flat)
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = Timeseries.zscoreAnomalies(events, lookback = 20, minPrior = 5)
+      .collect()
+    // only the spike is flagged: steady rows are within 3σ of each other,
+    // user 2 has zero variance, and the first 5 rows of each user are warmup
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 1L && out(0).getLong(1) === 10L)
+    assert(out(0).getDouble(4) > 3.0, s"z=${out(0).getDouble(4)}")
+  }
+
+  test("zscoreAnomalies: frame excludes the current row (self-inclusion would dilute the spike)") {
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val events = ((0 until 8).map(i => (1L, ts(i), i.toLong, 5.0 + (i % 2) * 0.1)) :+
+      ((1L, ts(8), 8L, 9.0))).toDF("user_id", "ts", "event_id", "value")
+    val row = Timeseries.zscoreAnomalies(events, lookback = 20, minPrior = 5).head()
+    // mu must be the mean of the 8 PRIOR readings (≈5.05), not dragged
+    // toward the spike by including it
+    assert(math.abs(row.getDouble(3) - 5.05) < 1e-9, s"mu=${row.getDouble(3)}")
+  }
 }

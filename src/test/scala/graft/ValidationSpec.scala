@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Validation
+
+class ValidationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def byName(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+
+  test("suite: metrics and verdicts on a fixture with known defects") {
+    val df = Seq(
+      (1L, 1, "A", 5.0, null.asInstanceOf[String]),
+      (1L, 2, "B", 3.0, "x"), // B out of domain
+      (2L, 1, "A", -1.0, "y"), // negative value
+      (2L, 1, "A", 2.0, "z") // duplicate (k, line) pair
+    ).toDF("k", "line", "flag", "v", "opt")
+    val dim = Seq(1L, 3L).toDF("pk") // k=2 is an orphan
+    val out = byName(Validation.suite(df,
+      Seq(
+        Validation.completeness("opt"),
+        Validation.uniqueness(Seq("k", "line")),
+        Validation.minAtLeast("v", 0.0),
+        Validation.maxAtMost("v", 10.0),
+        Validation.inDomain("flag", Seq("A"))),
+      refIntegrity = Seq(("k", dim, "pk"))))
+    assert(out("completeness_opt") === ((0.75, 0L)))
+    assert(out("uniqueness_k_line") === ((0.75, 0L))) // 3 distinct / 4 rows
+    assert(out("min_v") === ((-1.0, 0L)))
+    assert(out("max_v") === ((5.0, 1L)))
+    assert(out("domain_flag") === ((0.75, 0L)))
+    assert(out("ref_k_in_pk") === ((2.0, 0L))) // two rows with k=2
+  }
+
+  test("suite: a fully clean table passes every check") {
+    val df = Seq((1L, "A", 1.0), (2L, "A", 2.0)).toDF("k", "flag", "v")
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Validation.suite(df,
+      Seq(
+        Validation.completeness("k"),
+        Validation.uniqueness(Seq("k")),
+        Validation.minAtLeast("v", 1.0),
+        Validation.maxAtMost("v", 2.0),
+        Validation.inDomain("flag", Seq("A"))),
+      refIntegrity = Seq(("k", dim, "pk")))
+    assert(out.filter(col("passed") === 0L).isEmpty)
+    assert(out.count() === 6L)
+  }
+
+  test("suite: all row-scan metrics compute in one aggregate pass (single scan)") {
+    val df = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    val plan = Validation.suite(df,
+      Seq(Validation.completeness("k"), Validation.minAtLeast("v", 0.0),
+        Validation.maxAtMost("v", 9.0)))
+      .queryExecution.optimizedPlan
+    // no ref checks → exactly one scan of the local relation feeds one
+    // aggregate; a per-constraint-scan implementation would show several
+    val scans = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    assert(scans.size === 1, s"expected 1 scan, got ${scans.size}:\n$plan")
+  }
+}
