@@ -1146,7 +1146,45 @@ object SparkEntry {
     // frame excludes the current row; unscoreable rows (under 5 priors,
     // zero variance) dropped.
     "x8_zscore_anomaly" -> ((s, d) =>
-      Timeseries.zscoreAnomalies(Tables.events(s, d))))
+      Timeseries.zscoreAnomalies(Tables.events(s, d))),
+    // Prefix-filtered EXACT similarity join (PPJoin family): identical
+    // output to the d2 all-pairs formulation — the filter is
+    // output-invisible (q24/c3 pattern) — at threshold 0.4 so the gate
+    // row is a distinct, larger pair set than d2's.
+    "d10_ppjoin" -> ((s, d) =>
+      Dedup.ppjoinPairs(Tables.documents(s, d), threshold = 0.4)),
+    // Token-distribution drift between two corpus halves (even/odd doc
+    // ids as snapshot t vs t+1): integer drift numerators, one final
+    // double division for the total-variation distance.
+    "t18_token_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.tokenDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }),
+    // Inverted-index posting lists: df-capped tokens with full sorted
+    // postings as portable strings. The fixture vocabulary is tiny (31
+    // tokens, each in ~78% of docs), so the gate derives the cap from the
+    // corpus size — df <= floor(0.78·n) — via integer arithmetic both
+    // engines share; production callers pass the absolute bound.
+    "t19_inverted_index" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cap = (docs.count() * 78L / 100L).toInt
+      TextAnalysis.invertedIndex(docs, maxDf = cap)
+    }),
+    // Event-time RANGE window (10-minute trailing, per user): membership
+    // decided on exact microseconds on both engines; the windowed sum is
+    // over floor-quantized integers so it is order-independent.
+    "q42_range_window" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-600000000L, 0L)
+      Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_window"),
+        sum(floor(col("value") * 1000).cast("long")).over(w).as("sum_q"))
+    }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -2275,7 +2313,52 @@ object SparkEntry {
         |SELECT user_id, event_id, round(value, 7) AS value, round(mu, 7) AS mu,
         |       round((value - mu) / sd, 7) AS z
         |FROM w
-        |WHERE n >= 5 AND sd > 0 AND abs((value - mu) / sd) > 3.0""".stripMargin)
+        |WHERE n >= 5 AND sd > 0 AND abs((value - mu) / sd) > 3.0""".stripMargin,
+    // Exact Jaccard at 0.4 — the prefix filter is output-invisible, so the
+    // oracle is the plain all-pairs formulation (q24/c3 pattern).
+    "d10_ppjoin" ->
+      s"""WITH $sqlShingles,
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+         |          FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |jac AS (SELECT doc_a, doc_b,
+         |               round(CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE), 7) AS jaccard
+         |        FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.4""".stripMargin,
+    "t18_token_drift" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS token FROM documents),
+        |r AS (SELECT token, CAST(count(*) AS BIGINT) AS n_ref FROM tk WHERE doc_id % 2 = 0 GROUP BY token),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_cur FROM tk WHERE doc_id % 2 = 1 GROUP BY token),
+        |j AS (SELECT coalesce(r.token, c.token) AS token,
+        |             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |      FROM r FULL OUTER JOIN c ON r.token = c.token),
+        |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc FROM j),
+        |d AS (SELECT token, n_ref, n_cur,
+        |             CAST(abs(n_ref * tc - n_cur * tr) AS BIGINT) AS drift FROM j, tot),
+        |tv AS (SELECT round(CAST(sum(drift) AS DOUBLE) / (2.0 * max(tr) * max(tc)), 7) AS tvd_total
+        |       FROM d, tot)
+        |SELECT x.token, x.n_ref, x.n_cur, x.drift, tv.tvd_total
+        |FROM (SELECT * FROM d ORDER BY drift DESC, token LIMIT 50) x, tv""".stripMargin,
+    "t19_inverted_index" ->
+      """WITH pr AS (SELECT DISTINCT doc_id, token
+        |            FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS token
+        |                  FROM documents)),
+        |dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM pr GROUP BY token)
+        |SELECT k.token, k.df,
+        |       string_agg(CAST(p.doc_id AS VARCHAR), ',' ORDER BY p.doc_id) AS postings
+        |FROM (SELECT token, df FROM dfc
+        |      WHERE df * 100 <= 78 * (SELECT count(*) FROM documents)) k
+        |     JOIN pr p ON p.token = k.token
+        |GROUP BY k.token, k.df
+        |ORDER BY k.df DESC, k.token LIMIT 100""".stripMargin,
+    "q42_range_window" ->
+      """SELECT user_id, event_id,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_window,
+        |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS sum_q
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin)
 
   /** Residual IVF-PQ replay: coarse cells → float-cast residuals → the
     * SAME grouped-kmeans chains over residual slices → LUTs of the FULL

@@ -104,6 +104,65 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Prefix-filtered exact set-similarity join (the PPJoin/AllPairs family,
+    * Xiao et al. / Bayardo et al.): identical output to [[jaccardPairs]] —
+    * EXACT Jaccard, FULL recall — but the candidate space is pruned before
+    * any pair is materialized, so it is the scale path when the answer must
+    * be exact (LSH trades recall; this trades nothing).
+    *
+    * Why it is correct: order every document's shingle set by a single
+    * global total order (ascending document frequency, rarest first, then
+    * hash). If J(A,B) >= t then |A∩B| >= ceil(t·|A|), so the intersection
+    * cannot fit inside A's last ceil(t·|A|)−1 elements — and the SMALLEST
+    * common element under the global order sits within the first
+    * |A|−ceil(t·|A|)+1 elements of A AND the first |B|−ceil(t·|B|)+1 of B
+    * (its rank in each set is at most set size − intersection size + 1).
+    * Hence joining only the per-document PREFIXES of those lengths loses no
+    * qualifying pair; an exact count over the full sets then verifies each
+    * candidate, making the filter output-invisible (q24/c3 pattern).
+    *
+    * Scale shape: one df-count shuffle on the 8-byte shingle hash, one
+    * bounded per-document window sort (document-sized partitions), a
+    * prefix-only self-join — rarest-first ordering makes prefix buckets the
+    * SMALLEST buckets, the opposite of the hot-bucket problem — a length
+    * filter (t·|A| <= |B| <= |A|/t, a consequence of min>=t·max), and an
+    * exact verify restricted to surviving candidates. No candidate-derived
+    * frame is broadcast (sizes scale with the dup rate). */
+  def ppjoinPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleHashes(docs, n).cache()
+    val cnt = shingleCounts(sh)
+    val docFreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val pos = row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h")))
+    val prefix = sh.join(docFreq, Seq("h"))
+      .join(cnt, Seq("doc_id"))
+      .withColumn("__pos", pos)
+      .filter(col("__pos") <=
+        col("n_shingles") - ceil(lit(threshold) * col("n_shingles")).cast("long") + 1)
+      .select(col("doc_id"), col("h"), col("n_shingles"))
+    val cands = prefix.select(col("doc_id").as("doc_a"), col("h"), col("n_shingles").as("n_a"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("h"), col("n_shingles").as("n_b")),
+        Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("n_b").cast("double") >= lit(threshold) * col("n_a").cast("double") &&
+        col("n_a").cast("double") >= lit(threshold) * col("n_b").cast("double"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // exact verify over the FULL sets of the surviving candidates only
+    val inter = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n_shingles").as("n_a")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n_shingles").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 7))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   val MinhashK = 32 // permutations
 
   /** Incremental-store format marker (see [[incrementalMinhashPairs]]).

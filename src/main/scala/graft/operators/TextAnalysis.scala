@@ -347,4 +347,70 @@ object TextAnalysis {
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") * (capacity + 1) > n)
   }
+
+  /** Token-distribution drift between two corpus snapshots — the
+    * monitoring pass a training pipeline runs when a new crawl lands: has
+    * the source distribution shifted enough to re-balance the mixture?
+    * Emits the `topK` most-drifted tokens plus the total-variation
+    * distance ½·Σ|p_ref − p_cur| of the whole distribution.
+    *
+    * Determinism at cross-engine precision: per-token drift is kept as the
+    * exact INTEGER numerator |n_ref·N_cur − n_cur·N_ref| (the
+    * common-denominator form of |p_ref − p_cur|), so ranking, the top-k
+    * cutoff, and the Σ are order-independent BIGINT arithmetic; the single
+    * double division happens once, on the final sum. Overflow headroom:
+    * Σ drift ≤ 2·N_ref·N_cur, safe while total tokens stay under ~2^31.
+    *
+    * Scale shape: two token-count aggregates (map-side combined), one
+    * vocabulary-sized full-outer join on the token, a 1-row totals frame
+    * broadcast back, and a top-k under the tie-free (drift DESC, token)
+    * total order → TakeOrderedAndProject, never a global sort. */
+  def tokenDrift(ref: DataFrame, cur: DataFrame, topK: Int = 50): DataFrame = {
+    def counts(df: DataFrame, as: String) =
+      df.select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as(as))
+    val joined = counts(ref, "n_ref")
+      .join(counts(cur, "n_cur"), Seq("token"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val totals = joined.agg(
+      sum(col("n_ref")).as("__tot_ref"), sum(col("n_cur")).as("__tot_cur"))
+    val drifted = joined.crossJoin(broadcast(totals)) // 1-row attach
+      .withColumn("drift",
+        abs(col("n_ref") * col("__tot_cur") - col("n_cur") * col("__tot_ref")))
+    val tvd = drifted
+      .agg((sum(col("drift")).cast("double") /
+        (lit(2.0) * first(col("__tot_ref")) * first(col("__tot_cur")))).as("t"))
+      .select(round(col("t"), 7).as("tvd_total"))
+    drifted
+      .orderBy(col("drift").desc, col("token"))
+      .limit(topK)
+      .select(col("token"), col("n_ref"), col("n_cur"), col("drift"))
+      .crossJoin(broadcast(tvd)) // 1-row attach
+  }
+
+  /** Inverted-index build (posting lists): for each retained token, its
+    * document frequency and the full, numerically-sorted posting list as a
+    * portable comma-joined string. Tokens above `maxDf` are dropped — the
+    * standard stopword cut, and the property that BOUNDS each group: no
+    * collected list ever exceeds maxDf entries, so the collect cannot blow
+    * a task at any corpus size (high-df tokens are exactly the ones an
+    * index stores as skip-list blocks elsewhere, not inline rows).
+    *
+    * Scale shape: distinct (token, doc) pairs → df counts (map-side
+    * combined) → one vocabulary join routes only surviving pairs into the
+    * bounded collect; top-k under the tie-free (df DESC, token) order. */
+  def invertedIndex(docs: DataFrame, maxDf: Int = 100, topK: Int = 100): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .distinct()
+    val kept = pairs.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    pairs.join(kept, Seq("token"))
+      .groupBy(col("token"), col("df"))
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(col("doc_id"))), _.cast("string")))
+        .as("postings"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(topK)
+  }
 }

@@ -40,6 +40,39 @@ class DedupSpec extends SparkSpec {
     assert(!keys.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("ppjoinPairs ≡ jaccardPairs (exact output, full recall) at several thresholds") {
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    for (t <- Seq(0.3, 0.5, 0.7)) {
+      val exact = Dedup.jaccardPairs(corpus, threshold = t)
+      val pp = Dedup.ppjoinPairs(corpus, threshold = t)
+      assert(pp.except(exact).isEmpty && exact.except(pp).isEmpty,
+        s"ppjoin != all-pairs at t=$t")
+      assert(pp.count() > 0, s"vacuous fixture at t=$t")
+    }
+  }
+
+  test("ppjoin prefix filter prunes: candidate pairs strictly fewer than h-sharing pairs") {
+    import org.apache.spark.sql.functions.{col, count, lit, ceil, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val t = 0.5
+    val sh = Dedup.shingleHashes(corpus)
+    val allSharing = sh.select(col("doc_id").as("a"), col("h"))
+      .join(sh.select(col("doc_id").as("b"), col("h")), Seq("h"))
+      .filter(col("a") < col("b")).select("a", "b").distinct().count()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfreq, Seq("h")).join(cnt, Seq("doc_id"))
+      .withColumn("p", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .filter(col("p") <= col("n") - ceil(lit(t) * col("n")).cast("long") + 1)
+    val candidates = prefix.select(col("doc_id").as("a"), col("h"))
+      .join(prefix.select(col("doc_id").as("b"), col("h")), Seq("h"))
+      .filter(col("a") < col("b")).select("a", "b").distinct().count()
+    assert(candidates < allSharing,
+      s"prefix filter pruned nothing: $candidates vs $allSharing")
+  }
+
   test("per-row shingle/minhash expressions equal the aggregate pipeline") {
     import org.apache.spark.sql.functions.{col, size}
     val perRowSh = docs

@@ -216,4 +216,32 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(repart === truth, "sketch nondeterminism must stay output-invisible")
   }
+
+  test("tokenDrift: hand-computed integer numerators and TVD; vocabulary is the union") {
+    val ref = Seq((0L, "a a b"), (2L, "a c")).toDF("doc_id", "text") // a:3 b:1 c:1, N=5
+    val cur = Seq((1L, "a b b b")).toDF("doc_id", "text") // a:1 b:3, N=4
+    val out = TextAnalysis.tokenDrift(ref, cur, topK = 10).collect()
+    val byTok = out.map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // drift = |n_ref·4 − n_cur·5|
+    assert(byTok("a") === ((3L, 1L, 7L)))
+    assert(byTok("b") === ((1L, 3L, 11L)))
+    assert(byTok("c") === ((1L, 0L, 4L))) // only in ref — union vocab
+    // TVD = (7+11+4) / (2·5·4) = 0.55 on every row
+    assert(out.forall(r => r.getDouble(4) === 0.55))
+    // ranking is (drift DESC, token): b, a, c
+    assert(out.map(_.getString(0)).toSeq === Seq("b", "a", "c"))
+  }
+
+  test("invertedIndex: postings numerically sorted, df cap drops stopwords, bounded lists") {
+    val docs = Seq(
+      (2L, "x y"), (10L, "x z"), (9L, "x y z"), (1L, "w w x")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(docs, maxDf = 3, topK = 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(!out.contains("x"), "df=4 > cap must drop")
+    assert(out("y") === ((2L, "2,9"))) // numeric sort: 2 < 9 < 10
+    assert(out("z") === ((2L, "9,10")))
+    assert(out("w") === ((1L, "1"))) // distinct (doc, token): w counted once
+  }
 }
