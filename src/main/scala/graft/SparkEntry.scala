@@ -1172,6 +1172,46 @@ object SparkEntry {
       val cap = (docs.count() * 78L / 100L).toInt
       TextAnalysis.invertedIndex(docs, maxDf = cap)
     }),
+    // Interval OVERLAP join via coarse-grid bucketing + canonical-bucket
+    // dedup (full recall, no distinct shuffle): same-customer orders whose
+    // 30-day activity windows intersect. Bucket width = interval length →
+    // each interval covers ≤ 2 buckets.
+    "r2_interval_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def side(tag: String) = o.select(
+        col("o_custkey"),
+        col("o_orderkey").as(s"${tag}_orderkey"),
+        col("o_orderdate").as(s"${tag}_start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as(s"${tag}_end"))
+      RangeJoin.intervalJoin(side("a"), side("b"),
+          "a_start", "a_end", "b_start", "b_end",
+          bucketWidthMillis = 30L * 24 * 3600 * 1000,
+          equiKeys = Seq("o_custkey"))
+        .filter(col("a_orderkey") < col("b_orderkey"))
+        .select(col("o_custkey"), col("a_orderkey"), col("b_orderkey"),
+          expr("overlap_ms div 86400000").as("overlap_days"))
+    }),
+    // Higher-order array functions over the embedding column — every
+    // per-element value is floor-quantized to BIGINT before any sum, so
+    // all aggregates are order-independent integer arithmetic; float
+    // elements are widened to double FIRST on both engines.
+    "q43_array_funcs" -> ((s, d) => {
+      def dbl(x: org.apache.spark.sql.Column) = x.cast("double")
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        size(filter(col("embedding"), x => x > lit(0f))).cast("long").as("n_pos"),
+        aggregate(
+          transform(col("embedding"), x => floor(abs(dbl(x)) * 1000.0).cast("long")),
+          lit(0L), (a, x) => a + x).as("l1_q"),
+        aggregate(
+          transform(col("embedding"), x => floor(dbl(x) * dbl(x) * 1000000.0).cast("long")),
+          lit(0L), (a, x) => a + x).as("l2sq_q"),
+        aggregate(
+          zip_with(col("embedding"), reverse(col("embedding")),
+            (a, b) => floor(dbl(a) * dbl(b) * 1000000.0).cast("long")),
+          lit(0L), (a, x) => a + x).as("dot_rev_q"))
+    }),
     // Event-time RANGE window (10-minute trailing, per user): membership
     // decided on exact microseconds on both engines; the windowed sum is
     // over floor-quantized integers so it is order-independent.
@@ -2352,6 +2392,28 @@ object SparkEntry {
         |     JOIN pr p ON p.token = k.token
         |GROUP BY k.token, k.df
         |ORDER BY k.df DESC, k.token LIMIT 100""".stripMargin,
+    "r2_interval_join" ->
+      """WITH iv AS (SELECT o_custkey, o_orderkey, o_orderdate AS s,
+        |                   o_orderdate + INTERVAL 30 DAY AS e FROM orders)
+        |SELECT a.o_custkey, a.o_orderkey AS a_orderkey, b.o_orderkey AS b_orderkey,
+        |       (CAST(epoch_ms(least(a.e, b.e)) AS BIGINT) -
+        |        CAST(epoch_ms(greatest(a.s, b.s)) AS BIGINT)) // 86400000 AS overlap_days
+        |FROM iv a JOIN iv b
+        |  ON a.o_custkey = b.o_custkey AND a.s <= b.e AND b.s <= a.e
+        | AND a.o_orderkey < b.o_orderkey""".stripMargin,
+    "q43_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(abs(CAST(x AS DOUBLE)) * 1000.0) AS BIGINT))) AS BIGINT) AS l1_q,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS BIGINT) AS l2sq_q,
+        |  CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+        |    i -> CAST(floor(CAST(embedding[i] AS DOUBLE) *
+        |                    CAST(embedding[len(embedding) + 1 - i] AS DOUBLE) *
+        |                    1000000.0) AS BIGINT))) AS BIGINT) AS dot_rev_q
+        |FROM embeddings""".stripMargin,
     "q42_range_window" ->
       """SELECT user_id, event_id,
         |       CAST(count(*) OVER w AS BIGINT) AS n_window,

@@ -38,4 +38,46 @@ object RangeJoin {
       .withColumn("dt_ms", col("__rms") - col("__lms"))
       .drop("__bucket", "__lms", "__rms")
   }
+
+  /** Interval OVERLAP join: all (a, b) pairs whose [start, end] windows
+    * intersect (`a.s <= b.e AND b.s <= a.e`), optionally under equi-keys.
+    * The Spark-native plan for the raw theta condition is a nested-loop
+    * cross product; bucketing by a coarse time grid turns it into one
+    * equi-shuffle join, the same move [[apply]] makes for point-tolerance.
+    *
+    * Each interval is replicated to every grid bucket it covers
+    * (replication = len/width + 1 — pick `bucketWidthMillis` near the
+    * typical interval length to keep it ~2×). Overlapping pairs share at
+    * least the bucket containing the overlap's START, max(a.s, b.s) —
+    * which both coverage ranges include — so emitting a pair ONLY from
+    * that canonical bucket both dedupes (no distinct shuffle) and keeps
+    * full recall; an exact overlap filter then drops neighbors that share
+    * a bucket without intersecting.
+    *
+    * Output: all left + right columns + `overlap_ms` (inclusive-bound
+    * intersection length, >= 0). Column names must be disjoint. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidthMillis: Long, equiKeys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidthMillis > 0)
+    def cover(df: DataFrame, s: String, e: String, sAs: String, eAs: String) =
+      // NTZ parquet timestamps: widen to LTZ for unix_millis (sessions run
+      // UTC, so the cast is value-identity)
+      df.withColumn(sAs, unix_millis(col(s).cast("timestamp")))
+        .withColumn(eAs, unix_millis(col(e).cast("timestamp")))
+        .withColumn("__bucket",
+          explode(sequence(
+            floor(col(sAs) / bucketWidthMillis),
+            floor(col(eAs) / bucketWidthMillis))))
+    val l = cover(left, lStart, lEnd, "__ls", "__le")
+    val r = cover(right, rStart, rEnd, "__rs", "__re")
+    l.join(r, (equiKeys :+ "__bucket").toSeq)
+      .filter(col("__ls") <= col("__re") && col("__rs") <= col("__le"))
+      .filter(col("__bucket") ===
+        floor(greatest(col("__ls"), col("__rs")) / bucketWidthMillis))
+      .withColumn("overlap_ms",
+        least(col("__le"), col("__re")) - greatest(col("__ls"), col("__rs")))
+      .drop("__bucket", "__ls", "__le", "__rs", "__re")
+  }
 }
