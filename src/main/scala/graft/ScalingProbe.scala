@@ -137,11 +137,38 @@ object ScalingProbe {
         Tables.customer(spark, sfDir).select(col("c_custkey").as("id"), col("c_name").as("s")))
         .count())
 
+    // Interval overlap join at 1.5M orders (×10, disjoint customer spaces
+    // per replica → pairs scale linearly, not quadratically): one
+    // shuffled hash join on (custkey, bucket), ≤2 bucket replicas per
+    // 30-day interval at 30-day grid width.
+    time("interval_join_1p5M_orders") {
+      val o = spark.range(10).select(col("id").as("rep"))
+        .crossJoin(Tables.orders(spark, sfDir))
+        .select(
+          (col("o_orderkey") + col("rep") * 10000000L).as("o_orderkey"),
+          (col("o_custkey") + col("rep") * 1000000L).as("o_custkey"),
+          col("o_orderdate"))
+      def side(tag: String) = o.select(
+        col("o_custkey"),
+        col("o_orderkey").as(s"${tag}_k"),
+        col("o_orderdate").as(s"${tag}_s"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as(s"${tag}_e"))
+      graft.operators.RangeJoin.intervalJoin(
+          side("a"), side("b"), "a_s", "a_e", "b_s", "b_e",
+          30L * 24 * 3600 * 1000, equiKeys = Seq("o_custkey"))
+        .filter(col("a_k") < col("b_k")).count()
+    }
+
     // ---- documents ×20 → 100k docs, minhash LSH dedup ----
     val docs = Tables.documents(spark, sfDir)
     val bigDocs = replicateDocs(docs, 20, lit(false)).cache()
     time("docs_x20_materialize")(bigDocs.count())
     time("minhash_lsh_100k_docs")(Dedup.minhashPairs(bigDocs).count())
+    // Exact prefix-filtered similarity join at 100k docs: same answer as
+    // the all-pairs d2 formulation, candidates pruned by rarest-first
+    // prefixes. The Caesar rotation means cross-replica tokens never
+    // collide, so df stays per-replica-bounded — the realistic shape.
+    time("ppjoin_100k_docs")(Dedup.ppjoinPairs(bigDocs).count())
     time("simhash_pairs_100k_docs")(Dedup.simhashPairs(bigDocs).count())
     time("winnow_100k_docs")(graft.operators.TextAnalysis.winnow(bigDocs).count())
     time("chunk_100k_docs")(graft.operators.Curation.chunk(bigDocs).count())

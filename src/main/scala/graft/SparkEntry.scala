@@ -1095,12 +1095,16 @@ object SparkEntry {
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val hasOther = late.join(
-        pairs.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2")),
+      // both self-join sides are fact-sized distinct pair sets — pin
+      // shuffled hash joins so AQE never broadcasts a fact at scale
+      val hasOther = late.hint("shuffle_hash").join(
+        pairs.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+          .hint("shuffle_hash"),
         col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
         "left_semi")
-      val onlyLate = hasOther.join(
-        late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3")),
+      val onlyLate = hasOther.hint("shuffle_hash").join(
+        late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+          .hint("shuffle_hash"),
         col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
         "left_anti")
       onlyLate
@@ -1171,6 +1175,30 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val cap = (docs.count() * 78L / 100L).toInt
       TextAnalysis.invertedIndex(docs, maxDf = cap)
+    }),
+    // Incremental rollup ≡ batch rollup: three arrival batches rolled to
+    // mergeable partials (sum/count per float, min otherwise), folded
+    // pairwise, finalized to q4's exact schema — the oracle IS q4's SQL.
+    // At 100 TB each batch costs a batch-sized scan + one key merge
+    // instead of a full recompute.
+    "u4_incremental_rollup" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      Seq(0, 1, 2)
+        .map(i => HourlyRollup.partials(e.filter(col("event_id") % 3 === i), "ts", "user_id"))
+        .reduce(HourlyRollup.mergePartials)
+        .transform(HourlyRollup.finalizePartials)
+    }),
+    // Correlated LATERAL join: top-2 orders per customer through the SQL
+    // lateral surface (decorrelated by Catalyst into a windowed join).
+    "q44_lateral_topk" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_l")
+      Tables.orders(s, d).createOrReplaceTempView("orders_l")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer_l c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_l o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin)
     }),
     // Interval OVERLAP join via coarse-grid bucketing + canonical-bucket
     // dedup (full recall, no distinct shuffle): same-customer orders whose
@@ -2392,6 +2420,21 @@ object SparkEntry {
         |     JOIN pr p ON p.token = k.token
         |GROUP BY k.token, k.df
         |ORDER BY k.df DESC, k.token LIMIT 100""".stripMargin,
+    // Incremental ≡ batch: the oracle is q4's full-recompute SQL verbatim.
+    "u4_incremental_rollup" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS ts, event_id, user_id, event_type, value, props
+        |           FROM events)
+        |SELECT ts, user_id,
+        |       min(event_id) AS event_id_min, min(ts) AS ts_min, min(user_id) AS user_id_min,
+        |       min(event_type) AS event_type_min, round(avg(value), 7) AS value_mean,
+        |       min(props) AS props_min
+        |FROM e GROUP BY ts, user_id""".stripMargin,
+    "q44_lateral_topk" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin,
     "r2_interval_join" ->
       """WITH iv AS (SELECT o_custkey, o_orderkey, o_orderdate AS s,
         |                   o_orderdate + INTERVAL 30 DAY AS e FROM orders)

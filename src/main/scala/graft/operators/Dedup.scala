@@ -130,28 +130,57 @@ object Dedup {
     * frame is broadcast (sizes scale with the dup rate). */
   def ppjoinPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleHashes(docs, n).cache()
+    // Per-row codegen shingle sets (already doc-distinct, spec-proven ≡
+    // the aggregate pipeline): skips the exploded-string shuffle AND the
+    // distinct exchange the DataFrame formulation pays — measured 52 s of
+    // a 119 s cold run at 100k docs.
+    val sh = docs.select(col("doc_id"),
+      explode(graft.functions.GraftColumns.shingleHashes(col("text"), n)).as("h"))
+      .cache()
     val cnt = shingleCounts(sh)
     val docFreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val pos = row_number().over(
       Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h")))
+    // FP-safety on every pruning bound: a double product that lands one
+    // ulp HIGH on an exact integer boundary (0.4·5 = 2.0000000000000004 →
+    // ceil 3, not 2) would shorten a prefix / tighten a filter and DROP a
+    // qualifying pair. Nudge each bound by 1e-9 in the keep direction —
+    // over-keeping costs a candidate, under-keeping costs recall.
+    val Eps = 1e-9
     val prefix = sh.join(docFreq, Seq("h"))
       .join(cnt, Seq("doc_id"))
       .withColumn("__pos", pos)
       .filter(col("__pos") <=
-        col("n_shingles") - ceil(lit(threshold) * col("n_shingles")).cast("long") + 1)
-      .select(col("doc_id"), col("h"), col("n_shingles"))
-    val cands = prefix.select(col("doc_id").as("doc_a"), col("h"), col("n_shingles").as("n_a"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("h"), col("n_shingles").as("n_b")),
+        col("n_shingles") - ceil(lit(threshold) * col("n_shingles") - Eps).cast("long") + 1)
+      .select(col("doc_id"), col("h"), col("n_shingles"), col("__pos"))
+    // Pair join: cost is the Σ bucket² OUTPUT, so AQE's input-sized
+    // broadcast choice would serialize the explosion (CLAUDE.md LSH
+    // lesson) — pin a shuffled hash join on both sides.
+    val tau = threshold / (1.0 + threshold) // Jaccard → overlap fraction
+    val cands = prefix.select(col("doc_id").as("doc_a"), col("h"),
+        col("n_shingles").as("n_a"), col("__pos").as("pa"))
+      .hint("shuffle_hash")
+      .join(prefix.select(col("doc_id").as("doc_b"), col("h"),
+          col("n_shingles").as("n_b"), col("__pos").as("pb"))
+        .hint("shuffle_hash"),
         Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
-      .filter(col("n_b").cast("double") >= lit(threshold) * col("n_a").cast("double") &&
-        col("n_a").cast("double") >= lit(threshold) * col("n_b").cast("double"))
+      .filter(col("n_b").cast("double") >= lit(threshold) * col("n_a").cast("double") - Eps &&
+        col("n_a").cast("double") >= lit(threshold) * col("n_b").cast("double") - Eps)
+      // positional filter (the PP in PPJoin): matching at suffix offsets
+      // (n−pos) bounds the possible overlap at 1 + min of them; a true
+      // pair needs overlap ≥ τ·(|A|+|B|), and its FIRST common element
+      // always satisfies this, so any-match-passes keeps full recall
+      .filter(lit(1.0) + least(col("n_a") - col("pa"), col("n_b") - col("pb")) >=
+        lit(tau) * (col("n_a") + col("n_b")) - Eps)
       .select(col("doc_a"), col("doc_b")).distinct()
-    // exact verify over the FULL sets of the surviving candidates only
-    val inter = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+    // exact verify over the FULL sets of the surviving candidates only;
+    // cands is candidate-derived (scales with the dup rate) and sh is
+    // corpus-sized — neither may broadcast
+    val inter = cands.hint("shuffle_hash")
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")).hint("shuffle_hash"), Seq("doc_a"))
+      .hint("shuffle_hash")
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")).hint("shuffle_hash"), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     inter
       .join(cnt.select(col("doc_id").as("doc_a"), col("n_shingles").as("n_a")), Seq("doc_a"))

@@ -67,4 +67,65 @@ object HourlyRollup {
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  // ---------------------------------------------------------------------
+  // Incremental rollup: the production shape of [[apply]] at 100 TB.
+  // Recomputing the full rollup per arriving batch re-reads the whole
+  // corpus; keeping a PARTIAL-aggregate snapshot — (sum, count) per
+  // floating column, min otherwise, all mergeable — turns each new batch
+  // into: roll the batch to partials (batch-sized scan), one key-join-
+  // shaped merge against the snapshot, done. finalize() projects the
+  // exact [[apply]] schema, so incremental ≡ batch is a checkable
+  // invariant (gate u4 proves it against the q4 oracle).
+  // ---------------------------------------------------------------------
+
+  private val PSum = "__psum"
+  private val PCnt = "__pcnt"
+  private val PMin = "__pmin"
+  private def isPartialCol(c: String) =
+    c.endsWith(PSum) || c.endsWith(PCnt) || c.endsWith(PMin)
+
+  /** Roll one batch down to mergeable per-(hour, id) partials. */
+  def partials(
+      df: DataFrame,
+      tsCol: String = "timestamp",
+      idCol: String = "bldg_id"): DataFrame = {
+    val floored = floorToHour(df, tsCol)
+    val keys: Seq[String] =
+      if (df.columns.contains(idCol)) Seq(tsCol, idCol) else Seq(tsCol)
+    val aggs: Seq[Column] = floored.schema.fields.toSeq.flatMap { f =>
+      if (isFloating(f.dataType))
+        // avg = sum(non-null) / count(non-null), kept unreduced
+        Seq(
+          sum(col(f.name)).as(s"${f.name}$PSum"),
+          count(col(f.name)).as(s"${f.name}$PCnt"))
+      else Seq(min(col(f.name)).as(s"${f.name}$PMin"))
+    }
+    floored.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge two partial snapshots (commutative + associative: sums add,
+    * counts add, mins min — arrival order can never change the result). */
+  def mergePartials(a: DataFrame, b: DataFrame): DataFrame = {
+    require(a.columns.sameElements(b.columns),
+      s"partial schemas differ: ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
+    val keys = a.columns.filterNot(isPartialCol).toSeq
+    val aggs: Seq[Column] = a.columns.filter(isPartialCol).toSeq.map { c =>
+      if (c.endsWith(PMin)) min(col(c)).as(c) else sum(col(c)).as(c)
+    }
+    a.unionByName(b).groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Project a partial snapshot to [[apply]]'s exact output schema. */
+  def finalizePartials(p: DataFrame): DataFrame = {
+    val keys = p.columns.filterNot(isPartialCol).toSeq
+    val outs: Seq[Column] = p.columns.toSeq.collect {
+      case c if c.endsWith(PSum) =>
+        val base = c.stripSuffix(PSum)
+        round(col(c) / col(s"$base$PCnt"), DecimalPlaces).as(s"${base}_mean")
+      case c if c.endsWith(PMin) =>
+        col(c).as(s"${c.stripSuffix(PMin)}_min")
+    }
+    p.select(keys.map(col) ++ outs: _*)
+  }
 }

@@ -72,7 +72,10 @@ object RangeJoin {
             floor(col(eAs) / bucketWidthMillis))))
     val l = cover(left, lStart, lEnd, "__ls", "__le")
     val r = cover(right, rStart, rEnd, "__rs", "__re")
-    l.join(r, (equiKeys :+ "__bucket").toSeq)
+    // Both sides are corpus-sized after replication and the join's cost is
+    // its pair OUTPUT — pin a shuffled hash join so AQE's input-sized
+    // broadcast choice can't serialize the explosion (or OOM the driver).
+    l.hint("shuffle_hash").join(r.hint("shuffle_hash"), (equiKeys :+ "__bucket").toSeq)
       .filter(col("__ls") <= col("__re") && col("__rs") <= col("__le"))
       .filter(col("__bucket") ===
         floor(greatest(col("__ls"), col("__rs")) / bucketWidthMillis))

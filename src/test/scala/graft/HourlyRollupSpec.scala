@@ -70,4 +70,30 @@ class HourlyRollupSpec extends SparkSpec {
     assert(out.count() === 6) // 3 buildings × 2 hours
     assert(out.select("v_mean").distinct().collect().map(_.getDouble(0)).toSeq === Seq(42.5))
   }
+
+  test("incremental partials ≡ batch rollup, in any arrival order, nulls included") {
+    val rows = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, Some(1.0)),
+      (ts("2024-01-01 10:15:00"), 1L, Some(2.0)),
+      (ts("2024-01-01 10:30:00"), 1L, None), // null must not perturb the mean
+      (ts("2024-01-01 10:45:00"), 2L, Some(8.0)),
+      (ts("2024-01-01 11:00:00"), 1L, Some(5.0)),
+      (ts("2024-01-01 11:15:00"), 3L, None) // an all-null (hour, id) group
+    )
+    val df = rows.toDF("timestamp", "bldg_id", "load")
+    val batch = HourlyRollup(df)
+    def run(order: Seq[Int]) = HourlyRollup.finalizePartials(
+      order.map(i => HourlyRollup.partials(
+        df.filter(col("bldg_id") % 3 === i))).reduce(HourlyRollup.mergePartials))
+    for (order <- Seq(Seq(0, 1, 2), Seq(2, 0, 1))) {
+      val inc = run(order)
+      assert(inc.columns.toSeq === batch.columns.toSeq)
+      assert(inc.except(batch).isEmpty && batch.except(inc).isEmpty,
+        s"arrival order $order diverged from the batch rollup")
+    }
+    // the all-null group survives with a null mean, matching batch avg
+    val nullMean = run(Seq(0, 1, 2)).filter(col("bldg_id") === 3L).collect()
+    assert(nullMean.length === 1 && nullMean.head.isNullAt(
+      nullMean.head.fieldIndex("load_mean")))
+  }
 }

@@ -159,4 +159,35 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
     assert(p.contains("LeftSemi"), p) // the closing-edge check
   }
+
+  test("dynamic partition pruning fires on partitioned fact ⋈ filtered dim") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    graft.sources.Tables.events(spark, d)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("purchase", 1L), ("error", 2L), ("view", 2L))
+      .toDF("event_type", "tier").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim.filter(col("tier") === 1L), Seq("event_type"))
+    val p = joined.queryExecution.executedPlan.toString
+    // the fact scan's PartitionFilters must carry the runtime subquery —
+    // at 100 TB this is the difference between scanning one event_type
+    // directory and scanning the whole table
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+  }
+
+  test("r2 interval join: pair join is a pinned ShuffledHashJoin, never a broadcast") {
+    val p = plan("r2_interval_join")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("d10 ppjoin: prefix pair join and verify joins are pinned ShuffledHashJoins") {
+    val p = plan("d10_ppjoin")
+    assert("ShuffledHashJoin".r.findAllMatchIn(p).size >= 3, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
