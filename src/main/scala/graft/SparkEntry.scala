@@ -1176,6 +1176,26 @@ object SparkEntry {
       val cap = (docs.count() * 78L / 100L).toInt
       TextAnalysis.invertedIndex(docs, maxDf = cap)
     }),
+    // Grouped top-k through the custom bounded TypedImperativeAggregate
+    // (TopKAgg) on relational data — the window formulation (q3) shuffles
+    // and sorts EVERY row; this folds each partition into k-slot buffers
+    // so the exchange carries ≤ k rows per (group, partition). Oracle =
+    // the row_number window under the same (score DESC, id ASC) order.
+    "q45_topk_agg" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_returnflag"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("line_id"),
+        col("l_extendedprice"))
+      li.groupBy(col("l_returnflag"))
+        .agg(graft.functions.TopKAgg.topK(
+          col("l_extendedprice"), col("line_id"), 5).as("top"))
+        .select(col("l_returnflag"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(
+          col("l_returnflag"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("t.id").as("line_id"),
+          col("t.score").as("price"))
+    }),
     // Incremental rollup ≡ batch rollup: three arrival batches rolled to
     // mergeable partials (sum/count per float, min otherwise), folded
     // pairwise, finalized to q4's exact schema — the oracle IS q4's SQL.
@@ -2420,6 +2440,16 @@ object SparkEntry {
         |     JOIN pr p ON p.token = k.token
         |GROUP BY k.token, k.df
         |ORDER BY k.df DESC, k.token LIMIT 100""".stripMargin,
+    "q45_topk_agg" ->
+      """WITH l AS (SELECT l_returnflag,
+        |                  l_orderkey * 10 + l_linenumber AS line_id,
+        |                  l_extendedprice AS price
+        |           FROM lineitem),
+        |r AS (SELECT l_returnflag, line_id, price,
+        |             CAST(row_number() OVER (PARTITION BY l_returnflag
+        |                    ORDER BY price DESC, line_id) AS BIGINT) AS rank
+        |      FROM l)
+        |SELECT l_returnflag, rank, line_id, price FROM r WHERE rank <= 5""".stripMargin,
     // Incremental ≡ batch: the oracle is q4's full-recompute SQL verbatim.
     "u4_incremental_rollup" ->
       """WITH e AS (SELECT date_trunc('hour', ts) AS ts, event_id, user_id, event_type, value, props

@@ -48,6 +48,43 @@ object Sink {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Small-files control — the 100 TB writer discipline [[writeData]]
+    * omits: a dynamic-partition write emits one file per (task ×
+    * partition-value) pair, so 1000 tasks × 3000 counties = 3M files of a
+    * few KB each, and every later scan pays a file-open per file.
+    * Repartitioning ON the partition columns first routes each
+    * partition-value to exactly `writeTasksPerPartition` tasks (a
+    * deterministic content-hash salt spreads hot partitions across them),
+    * and `maxRecordsPerFile` re-splits any file that would exceed the
+    * target row count — together: files-per-dir is bounded below by task
+    * count and above by data size, never by the accident of input split
+    * layout. */
+  def writeDataSized(
+      df: DataFrame,
+      runRoot: String,
+      jobName: String,
+      partCols: Seq[String] = Seq("upgrade", "state", "county"),
+      maxRecordsPerFile: Long = 5000000L,
+      writeTasksPerPartition: Int = 1): String = {
+    import org.apache.spark.sql.functions._
+    require(writeTasksPerPartition > 0)
+    val out = s"$runRoot/$jobName/data"
+    val pc = partCols.filter(df.columns.contains)
+    val dataCols = df.columns.filterNot(pc.contains).toSeq
+    df
+      .withColumn("__wsalt",
+        pmod(hash(dataCols.map(col): _*), lit(writeTasksPerPartition)))
+      .repartition((pc.map(col) :+ col("__wsalt")): _*)
+      .drop("__wsalt")
+      .write
+      .mode("overwrite")
+      .option("compression", "snappy")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(pc: _*)
+      .parquet(out)
+    out
+  }
+
   /** Metadata bypass (S6): re-encode through the parquet reader/writer.
     * The reference copies bytes verbatim (`worker.py:171-173,191-192`); a
     * re-encode keeps identical rows while normalizing encodings. For the
