@@ -1239,6 +1239,24 @@ object SparkEntry {
         .select(col("o_custkey"), col("a_orderkey"), col("b_orderkey"),
           expr("overlap_ms div 86400000").as("overlap_days"))
     }),
+    // The optimizer RULE on the gate: the query writes the natural O(n²)
+    // overlap theta join (no equi key, no bucketing) and
+    // plans.IntervalJoinRewrite turns it into the bucketed equi-join at
+    // plan time — high-value orders whose 3-day windows overlap across
+    // ALL customers. The oracle runs the same raw theta join.
+    "r3_auto_interval" -> ((s, d) => {
+      s.experimental.extraOptimizations = Seq(graft.plans.IntervalJoinRewrite)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 460000)
+      val a = o.select(col("o_orderkey").as("a_orderkey"),
+        col("o_orderdate").as("a_start"),
+        (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("a_end"))
+      val b = o.select(col("o_orderkey").as("b_orderkey"),
+        col("o_orderdate").as("b_start"),
+        (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("b_end"))
+      a.join(b, col("a_start") <= col("b_end") && col("b_start") <= col("a_end") &&
+          col("a_orderkey") < col("b_orderkey"))
+        .select(col("a_orderkey"), col("b_orderkey"))
+    }),
     // Higher-order array functions over the embedding column — every
     // per-element value is floor-quantized to BIGINT before any sum, so
     // all aggregates are order-independent integer arithmetic; float
@@ -2474,6 +2492,13 @@ object SparkEntry {
         |FROM iv a JOIN iv b
         |  ON a.o_custkey = b.o_custkey AND a.s <= b.e AND b.s <= a.e
         | AND a.o_orderkey < b.o_orderkey""".stripMargin,
+    "r3_auto_interval" ->
+      """WITH iv AS (SELECT o_orderkey, o_orderdate AS s,
+        |                   o_orderdate + INTERVAL 3 DAY AS e
+        |            FROM orders WHERE o_totalprice > 460000)
+        |SELECT a.o_orderkey AS a_orderkey, b.o_orderkey AS b_orderkey
+        |FROM iv a JOIN iv b
+        |  ON a.s <= b.e AND b.s <= a.e AND a.o_orderkey < b.o_orderkey""".stripMargin,
     "q43_array_funcs" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,

@@ -50,5 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectPlannerStrategy(_ => graft.operators.AsOfJoin.Strategy)
+    // interval-overlap theta joins → bucketed equi-joins (O(n²) → shuffle)
+    ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
   }
 }
