@@ -18,27 +18,47 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's reader
-    * rejects natively; read it as nanos-since-epoch and truncate to a
-    * micros timestamp with exact integer division (`div`, not `/` — an
-    * epoch-nanos value exceeds 2^53 so double math would lose precision).
-    * DuckDB performs the same ns→us truncation, so oracles line up. */
+  /** `events.ts` has shipped in two physical encodings across fixture
+    * generations: TIMESTAMP(NANOS) (which Spark's reader rejects natively —
+    * read as nanos-since-epoch via `nanosAsLong` and truncated to micros)
+    * and plain TIMESTAMP(MICROS) without UTC adjustment (which Spark reads
+    * as TIMESTAMP_NTZ). [[nanosToMicros]] normalizes either to a session-tz
+    * TimestampType column, so every downstream consumer sees one shape.
+    * DuckDB performs the same ns→µs truncation on the nanos encoding and
+    * reads the micros encoding directly, so oracles line up in both. */
   def events(s: SparkSession, d: String): DataFrame = {
     // Prefer setting nanosAsLong in the session builder (graft's own mains
     // and specs do); this guard is a defensive SET-IF-UNSET for caller
     // sessions that didn't, so it never re-mutates shared session conf on
-    // every call.
+    // every call. Harmless when the file is micros-typed (the legacy conf
+    // only affects NANOS columns).
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     nanosToMicros(apply(s, d, "events"))
   }
 
-  /** The ns→µs `ts` conversion, shared by [[events]] and the streaming
-    * events reader (`q22_stream_rollup`) so every consumer of the fixture
-    * truncates identically. */
-  def nanosToMicros(df: DataFrame): DataFrame =
-    df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.expr("ts div 1000")))
+  /** Normalizes the fixture's `ts` to a session-tz TimestampType column,
+    * shared by [[events]] and the streaming events readers
+    * (`q22_stream_rollup`, `q33_stream_join`, …) so every consumer of the
+    * fixture converts identically. Dispatch is on the READ schema:
+    *  - BIGINT (nanos-as-long): exact integer `div` truncation to micros
+    *    (`div`, not `/` — epoch-nanos exceeds 2^53, double math would lose
+    *    precision), matching DuckDB's ns→µs cast.
+    *  - TIMESTAMP_NTZ (micros, not UTC-adjusted): cast to TimestampType.
+    *    All graft sessions pin `spark.sql.session.timeZone=UTC`, so the
+    *    cast reinterprets the same wall-clock instant DuckDB reads.
+    *  - TIMESTAMP: already normalized. */
+  def nanosToMicros(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts: unexpected physical type $other — fixture generation changed again?")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }
