@@ -1176,6 +1176,33 @@ object SparkEntry {
       val cap = (docs.count() * 78L / 100L).toInt
       TextAnalysis.invertedIndex(docs, maxDf = cap)
     }),
+    // Hashed-feature linear classifier inference (fastText shape): the
+    // whole model application is one codegen expression per row — a
+    // map-only pass, zero shuffles at any corpus size. Weights are a
+    // deterministic integer stand-in table the oracle replays exactly.
+    "t20_classifier" -> ((s, d) =>
+      TextAnalysis.classifyQuality(Tables.documents(s, d))),
+    // Scalar-quantized (SQ8) exhaustive ANN: per-dim affine int8 codes,
+    // exact BIGINT code dot-product scoring — the no-training quantized
+    // scan beside PQ/ADC (s8). One tiny broadcast stats row; the corpus is
+    // encoded map-only and never shuffled by the search.
+    "s12_sq8_topk" -> ((s, d) =>
+      Similarity.sq8TopK(Tables.embeddings(s, d))),
+    // melt/unpivot: wide per-flag aggregate metrics to long (flag, metric,
+    // val) rows through Dataset.unpivot — integer-cents values, so the
+    // long format is hash-stable cross-engine.
+    "q46_unpivot" -> ((s, d) => {
+      val wide = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(floor(col("l_quantity")).cast("long")).as("qty"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+          sum(floor(col("l_discount") * 100).cast("long")).as("disc_cents"))
+      wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty"), col("price_cents"), col("disc_cents")),
+        "metric", "val")
+    }),
     // Grouped top-k through the custom bounded TypedImperativeAggregate
     // (TopKAgg) on relational data — the window formulation (q3) shuffles
     // and sorts EVERY row; this folds each partition into k-slot buffers
@@ -2458,6 +2485,53 @@ object SparkEntry {
         |     JOIN pr p ON p.token = k.token
         |GROUP BY k.token, k.df
         |ORDER BY k.df DESC, k.token LIMIT 100""".stripMargin,
+    // Same tokenizer, feature strings, sample-key mix, and integer weight
+    // table as LinearClassifyExpr — bit-exact integer replay.
+    "t20_classifier" ->
+      s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
+         |u AS (SELECT doc_id, 'u:' || unnest(t) AS f FROM tk),
+         |b AS (SELECT doc_id, 'b:' || t[i] || ' ' || t[i + 1] AS f
+         |      FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+         |      WHERE len(t) >= 2),
+         |feats AS (SELECT doc_id, f FROM u UNION ALL SELECT doc_id, f FROM b),
+         |w AS (SELECT doc_id,
+         |             ((${sqlSampleKey("f")} % 4096) * 2654435761) % 2001 - 1000 AS w
+         |      FROM feats)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |       CAST(sum(w) AS BIGINT) AS score_scaled,
+         |       CAST(CASE WHEN sum(w) > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+         |FROM w GROUP BY doc_id""".stripMargin,
+    // Long-format replay of the SQ8 pipeline: per-dim min/max, the same
+    // single multiply-divide-floor quantization expression, BIGINT dot.
+    "s12_sq8_topk" ->
+      """WITH d AS (SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings,
+        |                LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM d GROUP BY dim),
+        |c AS (SELECT vec_id, d.dim,
+        |             CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+        |                  ELSE CAST(least(255, greatest(0, floor((x - mn) * 255.0 / (mx - mn)))) AS BIGINT)
+        |             END AS code
+        |      FROM d JOIN st ON st.dim = d.dim),
+        |q AS (SELECT vec_id AS query_id, dim, code AS qc FROM c WHERE vec_id < 10),
+        |s AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |             CAST(sum(qc * code) AS BIGINT) AS score_scaled
+        |      FROM q JOIN c ON q.dim = c.dim AND c.vec_id <> q.query_id
+        |      GROUP BY 1, 2),
+        |w AS (SELECT query_id, neighbor_id, score_scaled,
+        |             CAST(row_number() OVER (PARTITION BY query_id
+        |                    ORDER BY score_scaled DESC, neighbor_id) AS BIGINT) AS "rank"
+        |      FROM s)
+        |SELECT query_id, neighbor_id, score_scaled, "rank" FROM w WHERE "rank" <= 5""".stripMargin,
+    "q46_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+        |                  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+        |                  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |                  CAST(sum(CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT) AS disc_cents
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'qty' AS metric, qty AS val FROM a
+        |UNION ALL SELECT l_returnflag, 'price_cents', price_cents FROM a
+        |UNION ALL SELECT l_returnflag, 'disc_cents', disc_cents FROM a""".stripMargin,
     "q45_topk_agg" ->
       """WITH l AS (SELECT l_returnflag,
         |                  l_orderkey * 10 + l_linenumber AS line_id,

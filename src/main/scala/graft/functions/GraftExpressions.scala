@@ -150,6 +150,48 @@ object GraftExprs {
     new GenericArrayData(buf)
   }
 
+  /** FastText-style hashed-feature linear classification of one document in
+    * a single JVM pass: whitespace tokens (space-only trim — the SQL TRIM
+    * twin), unigram features `"u:" + tok` and adjacent-bigram features
+    * `"b:" + tok1 + " " + tok2`, each hashed into `dims` buckets with the
+    * nonlinear sample-key mix ((h² + h) mod P — raw polyHash residues over
+    * near-identical strings form the base-31 lattice, see
+    * [[graft.functions.TextHash.sampleKey]]), and scored against a
+    * deterministic integer weight table
+    * w(fid) = ((fid · 2654435761) mod 2001) − 1000 ∈ [−1000, 1000].
+    * Returns [n_features, Σ weights] as a 2-element long array — one
+    * tokenize pass serves both outputs. Every step is exact integer
+    * arithmetic (h < P ⇒ h² + h < 2^63; fid < dims ≤ 4096 ⇒
+    * fid · 2654435761 < 2^44), so a SQL oracle reproduces the score
+    * bit-for-bit. Occurrences vote independently (a repeated feature adds
+    * its weight again) — the standard bag-of-features linear model shape. */
+  def linearClassify(text: UTF8String, dims: Int): ArrayData = {
+    val toks = trimSpaces(text.toString).split(" +", -1)
+    var n = 0L
+    var score = 0L
+    def add(f: String): Unit = {
+      val h = polyHash(UTF8String.fromString(f))
+      val fid = ((h * h + h) % Prime) % dims
+      n += 1L
+      score += ((fid * 2654435761L) % 2001L) - 1000L
+    }
+    var i = 0
+    while (i < toks.length) { add("u:" + toks(i)); i += 1 }
+    i = 0
+    while (i < toks.length - 1) { add("b:" + toks(i) + " " + toks(i + 1)); i += 1 }
+    new GenericArrayData(Array(n, score))
+  }
+
+  /** Σ a[i]·b[i] over two long arrays — exact (order-independent) integer
+    * dot product, the scoring kernel for quantized-code vectors (SQ8). */
+  def dotL(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
   /** SimHash signature of one document in a single JVM pass: tokenize, hash
     * each token (60-bit, multiset — unlike shingles, repeats vote again),
     * vote per bit, collapse to the signature. Bit-identical to the
@@ -511,6 +553,31 @@ case class L2NormDExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Hashed-feature linear classifier over a text column: returns
+  * [n_features, score] as array<long> (see [[GraftExprs.linearClassify]]).
+  * One generated call per row — tokens, feature hashes and the weight fold
+  * never leave the row. */
+case class LinearClassifyExpr(child: Expression, dims: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    GraftExprs.linearClassify(input.asInstanceOf[UTF8String], dims)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftExprs.linearClassify($c, $dims)")
+  override protected def withNewChildInternal(newChild: Expression): LinearClassifyExpr =
+    copy(child = newChild)
+}
+
+/** Exact integer dot product of two array<long> columns (SQ8 code scoring). */
+case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftExprs.dotL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftExprs.dotL($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotLongExpr =
+    copy(left = l, right = r)
+}
+
 object GraftColumns {
   def polyHash(c: Column): Column =
     ColumnBridge.column(PolyHashExpr(ColumnBridge.expression(c)))
@@ -540,4 +607,8 @@ object GraftColumns {
     ColumnBridge.column(SimHashTextExpr(ColumnBridge.expression(text), nBits))
   def hyperBucketC(e: Column, m: Column, nBits: Int): Column =
     ColumnBridge.column(HyperBucketCExpr(ColumnBridge.expression(e), ColumnBridge.expression(m), nBits))
+  def linearClassify(text: Column, dims: Int): Column =
+    ColumnBridge.column(LinearClassifyExpr(ColumnBridge.expression(text), dims))
+  def dotL(a: Column, b: Column): Column =
+    ColumnBridge.column(DotLongExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -413,4 +413,31 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("token"))
       .limit(topK)
   }
+
+  /** FastText-style hashed-feature linear classifier INFERENCE — the shape
+    * of every cheap learned quality/toxicity/language filter applied to a
+    * pretraining corpus (a linear model over hashed unigram+bigram
+    * features; the weights here are a deterministic stand-in table, the
+    * Spark-side plumbing is the real thing).
+    *
+    * Scale shape: the entire model application is ONE codegen expression
+    * per row ([[graft.functions.LinearClassifyExpr]] — tokens, feature
+    * hashes, and the weight fold never leave the row), so classification
+    * is a map-only pass with NO shuffle at any corpus size: the 100 TB
+    * cost is exactly one read of the text column. Contrast with the
+    * explode → hash-join-weights → re-aggregate formulation, which
+    * shuffles |corpus| × features rows to rebuild per-doc scores
+    * (the spec proves this expression ≡ that pipeline).
+    *
+    * Output per doc: feature count, integer score (exact — weights are
+    * integers in [−1000, 1000]), and the thresholded accept label. */
+  def classifyQuality(docs: DataFrame, dims: Int = 4096): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.GraftColumns.linearClassify(col("text"), dims).as("fs"))
+      .select(
+        col("doc_id"),
+        col("fs").getItem(0).as("n_feats"),
+        col("fs").getItem(1).as("score_scaled"),
+        (col("fs").getItem(1) > 0L).cast("long").as("label"))
 }

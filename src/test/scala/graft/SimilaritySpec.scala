@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{aggregate, col, lit, zip_with}
+
 import graft.operators.Similarity
 
 class SimilaritySpec extends SparkSpec {
@@ -157,5 +159,36 @@ class SimilaritySpec extends SparkSpec {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(ex).exists(_.contains("ragged")), messages(ex).mkString(" | "))
+  }
+
+  test("sq8: codes hit the affine endpoints and the constant dim quantizes to 0") {
+    // dim 0 spans [0,10] -> endpoints code 0 and 255, midpoint floor(127.5)=127;
+    // dim 1 is constant -> mx=mn guard -> code 0 everywhere.
+    val e = Seq(
+      (0L, Array(0.0f, 7.0f)),
+      (1L, Array(5.0f, 7.0f)),
+      (2L, Array(10.0f, 7.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.sq8TopK(e, nQueries = 3, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // codes: v0=[0,0], v1=[127,0], v2=[255,0]; symmetric integer dots:
+    assert(out((0L, 1L)) === 0L * 127L)
+    assert(out((1L, 2L)) === 127L * 255L)
+    assert(out((2L, 1L)) === 255L * 127L)
+    // symmetry of the code dot product
+    assert(out((1L, 2L)) === out((2L, 1L)))
+  }
+
+  test("sq8: dotL codegen kernel equals the HOF zip_with/aggregate fold") {
+    val df = Seq(
+      (Array(1L, 2L, 3L, 255L), Array(4L, 0L, 255L, 255L)),
+      (Array(0L, 0L), Array(9L, 9L))
+    ).toDF("a", "b")
+    val both = df.select(
+      graft.functions.GraftColumns.dotL(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L), _ + _).as("slow"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    assert(both(0).getLong(0) === (4L + 0L + 765L + 65025L))
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, count, explode, lit, size, slice, sum, transform, zip_with}
 
 import graft.functions.TextHash
 import graft.operators.TextAnalysis
@@ -243,5 +243,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("y") === ((2L, "2,9"))) // numeric sort: 2 < 9 < 10
     assert(out("z") === ((2L, "9,10")))
     assert(out("w") === ((1L, "1"))) // distinct (doc, token): w counted once
+  }
+
+  test("classifyQuality: codegen expression equals the explode-pipeline formulation") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "  padded   text with   runs  "),
+      (3L, "single"),
+      (4L, "a b a b a"), // repeated features vote repeatedly
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val fast = TextAnalysis.classifyQuality(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    // Reference: explode unigrams + bigrams as DataFrame ops, hash with the
+    // column-level sampleKey, weight, re-aggregate — the shuffle-heavy twin.
+    val t = TextAnalysis.tokens(col("text"))
+    val uni = docs.select(col("doc_id"),
+      explode(transform(t, tok => concat(lit("u:"), tok))).as("f"))
+    val bi = docs.select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        zip_with(slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat(lit("b:"), a, lit(" "), b))).as("f"))
+    val slow = uni.unionAll(bi)
+      .select(col("doc_id"),
+        ((TextHash.sampleKey(col("f")) % 4096) * 2654435761L % 2001L - 1000L).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score_scaled"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    assert(fast.keySet === slow.keySet)
+    for ((id, (n, s, label)) <- fast) {
+      assert((n, s) === slow(id), s"doc $id")
+      assert(label === (if (s > 0) 1L else 0L))
+    }
+    // 9 ws tokens -> 9 unigrams + 8 bigrams
+    assert(fast(1L)._1 === 17L)
+    // empty text tokenizes to one empty token -> 1 unigram, 0 bigrams
+    assert(fast(5L)._1 === 1L)
   }
 }
