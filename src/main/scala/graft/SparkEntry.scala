@@ -2611,7 +2611,7 @@ object SparkEntry {
          |          FROM qs$i q CROSS JOIN cent1_p$i c)""".stripMargin
     }.mkString(",\n")
     s"""WITH $sqlCoarseCellCtes,
-       |rese AS (SELECT e.vec_id,
+       |rese AS MATERIALIZED (SELECT e.vec_id,
        |                list_transform(generate_series(1, len(e.embedding)),
        |                  i -> CAST(CAST(e.embedding[i] AS DOUBLE) - fc.centroid[i] AS FLOAT)) AS embedding
        |         FROM embeddings e JOIN fcell f ON e.vec_id = f.vec_id
@@ -2660,14 +2660,14 @@ object SparkEntry {
                           "i -> CAST(embedding[i] AS DOUBLE) * " +
                           "((CAST(((b * 104729 + (i - 1) * 7919 + 12345) * (b * 104729 + (i - 1) * 7919 + 12345)) % 1000003 AS DOUBLE) / 1000003.0) - 0.5))")} AS proj
        |         FROM embeddings CROSS JOIN fbits),
-       |fcell AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS cell
+       |fcell AS MATERIALIZED (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS cell
        |          FROM fproj GROUP BY vec_id),
        |fcnt AS (SELECT cell, count(*) AS n FROM fcell GROUP BY cell),
        |fdsum AS (SELECT f.cell, i, sum(CAST(trunc(CAST(e.embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qs
        |          FROM embeddings e JOIN fcell f ON e.vec_id = f.vec_id,
        |               LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g
        |          GROUP BY f.cell, i),
-       |fcent AS (SELECT d.cell, list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY i) AS centroid
+       |fcent AS MATERIALIZED (SELECT d.cell, list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY i) AS centroid
        |          FROM fdsum d JOIN fcnt c ON d.cell = c.cell GROUP BY d.cell, c.n)""".stripMargin
 
   /** Shared SQL fragment: the whole IVF-PQ replay (mirrors
@@ -2740,6 +2740,11 @@ object SparkEntry {
          |                     ${sqlCosineFD("e.embedding", "c.centroid")} AS sim
          |              FROM $embSrc e CROSS JOIN $centCte c))
          |      WHERE rn = 1)""".stripMargin
+    // Every multiply-referenced stage is MATERIALIZED: each Lloyd round
+    // references the previous round's assignment CTE twice (counts + sums),
+    // so DuckDB's default inlining re-evaluates the whole upstream chain
+    // per reference — exponential in rounds (measured: the s11 oracle, four
+    // of these chains over residuals, 369 s → 1.7 s at sf0.1).
     s"""bits$tag AS (SELECT b, CAST(1 AS BIGINT) << b AS p2 FROM generate_series(0, 5) t(b)),
        |proj$tag AS (SELECT vec_id, b, p2,
        |                ${sqlFoldSum(
@@ -2747,21 +2752,21 @@ object SparkEntry {
                           "i -> CAST(embedding[i] AS DOUBLE) * " +
                           "((CAST(((b * 104729 + (i - 1) * 7919 + 12345) * (b * 104729 + (i - 1) * 7919 + 12345)) % 1000003 AS DOUBLE) / 1000003.0) - 0.5))")} AS proj
        |         FROM $embSrc CROSS JOIN bits$tag),
-       |cellsig$tag AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS cell
+       |cellsig$tag AS MATERIALIZED (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS cell
        |            FROM proj$tag GROUP BY vec_id),
        |ccnt$tag AS (SELECT cell, count(*) AS n FROM cellsig$tag GROUP BY cell),
        |topc$tag AS (SELECT cell, cluster FROM (
        |           SELECT cell, CAST(row_number() OVER (ORDER BY n DESC, cell) - 1 AS BIGINT) AS cluster
        |           FROM ccnt$tag) WHERE cluster < 8),
-       |sm$tag AS (SELECT t.cluster, e.embedding
+       |sm$tag AS MATERIALIZED (SELECT t.cluster, e.embedding
        |       FROM $embSrc e JOIN cellsig$tag s ON e.vec_id = s.vec_id JOIN topc$tag t ON s.cell = t.cell),
        |scnt$tag AS (SELECT cluster, count(*) AS n FROM sm$tag GROUP BY cluster),
        |ssum$tag AS ${qsum(s"sm$tag")},
-       |cent0$tag AS ${centFrom(s"ssum$tag", s"scnt$tag")},
-       |a1$tag AS ${assignFrom(s"cent0$tag")},
+       |cent0$tag AS MATERIALIZED ${centFrom(s"ssum$tag", s"scnt$tag")},
+       |a1$tag AS MATERIALIZED ${assignFrom(s"cent0$tag")},
        |cnt1$tag AS (SELECT cluster, count(*) AS n FROM a1$tag GROUP BY cluster),
        |sum1$tag AS ${qsum(s"a1$tag")},
-       |cent1$tag AS ${centFrom(s"sum1$tag", s"cnt1$tag")},
-       |a2$tag AS ${assignFrom(s"cent1$tag")}""".stripMargin
+       |cent1$tag AS MATERIALIZED ${centFrom(s"sum1$tag", s"cnt1$tag")},
+       |a2$tag AS MATERIALIZED ${assignFrom(s"cent1$tag")}""".stripMargin
   }
 }
