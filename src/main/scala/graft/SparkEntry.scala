@@ -1157,6 +1157,20 @@ object SparkEntry {
     // row is a distinct, larger pair set than d2's.
     "d10_ppjoin" -> ((s, d) =>
       Dedup.ppjoinPairs(Tables.documents(s, d), threshold = 0.4)),
+    // Directed containment join (near-subset dups): the fixture has no
+    // natural excerpt pairs, so deterministic excerpts (leading 3/5 of the
+    // tokens of every doc_id % 7 = 3, re-keyed +1e6) are planted — their
+    // shingle sets are subsets of the originals by construction, so the
+    // gate row exercises both the C = 1.0 planted pairs and whatever
+    // natural near-subset structure the corpus carries.
+    "d11_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val excerpts = docs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("concat_ws(' ', slice(split(trim(text), ' +'), 1, " +
+            "greatest(3L, (size(split(trim(text), ' +')) * 3L) div 5)))").as("text"))
+      Dedup.containmentPairs(docs.unionByName(excerpts))
+    }),
     // Token-distribution drift between two corpus halves (even/odd doc
     // ids as snapshot t vs t+1): integer drift numerators, one final
     // double division for the total-variation distance.
@@ -2459,6 +2473,28 @@ object SparkEntry {
          |               round(CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE), 7) AS jaccard
          |        FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.4""".stripMargin,
+    // Brute-force containment replay over the same augmented corpus — the
+    // prefix/positional/size pruning in containmentPairs is recall-
+    // preserving, so the oracle just scores every intersecting pair.
+    "d11_containment" ->
+      s"""WITH ex AS (SELECT doc_id + 1000000 AS doc_id,
+         |                  array_to_string(list_slice(t, 1, greatest(3, (len(t) * 3) // 5)), ' ') AS text
+         |           FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t
+         |                 FROM documents WHERE doc_id % 7 = 3)),
+         |docs2 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM ex),
+         |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM docs2),
+         |shs AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+         |        FROM toks, LATERAL (SELECT unnest(generate_series(1, CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END)) AS i) g),
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+         |              ${sqlPolyHash("shingle")} + ${sqlPolyHash("reverse(shingle)")} * (CAST(1 AS BIGINT) << 30) AS h
+         |       FROM shs),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+         |       FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_inter, ca.n AS n_a,
+         |       round(CAST(n_inter AS DOUBLE) / CAST(ca.n AS DOUBLE), 7) AS containment
+         |FROM ov JOIN cnt ca ON ca.doc_id = ov.doc_a
+         |WHERE n_inter * 5 >= ca.n * 4""".stripMargin,
     "t18_token_drift" ->
       """WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS token FROM documents),
         |r AS (SELECT token, CAST(count(*) AS BIGINT) AS n_ref FROM tk WHERE doc_id % 2 = 0 GROUP BY token),

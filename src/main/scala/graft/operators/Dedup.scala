@@ -192,6 +192,70 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Prefix-filtered EXACT containment join: all DIRECTED pairs (a, b),
+    * a ≠ b, with C(A,B) = |A∩B| / |A| ≥ tNum/tDen over word-n-gram shingle
+    * sets — "a's content is (mostly) inside b". This is the asymmetric
+    * relation Jaccard misses: a short quote, excerpt, or boilerplate block
+    * embedded in a much larger document scores near-zero Jaccard (the
+    * union is dominated by b) but containment 1.0, and removing such
+    * near-subset duplicates is a standard pretraining-dedup step beside
+    * [[jaccardPairs]]/[[ppjoinPairs]].
+    *
+    * Pruning (full recall, same skeleton as [[ppjoinPairs]]):
+    *  - probe side (a): rarest-first prefix of length
+    *    |A| − ⌈t·|A|⌉ + 1 — if none of a's prefix shingles occurs in B,
+    *    then |A∩B| < t·|A| (the smallest-common-element argument).
+    *  - indexed side (b): NO prefix — containment puts no lower bound on
+    *    where in B the overlap sits, so b contributes its full inverted
+    *    index; the size bound |B| ≥ t·|A| (overlap can't exceed |B|) and
+    *    the positional bound overlap ≤ 1 + |A| − pos(a) still prune.
+    *  - the threshold is a RATIONAL tNum/tDen and every bound is exact
+    *    integer arithmetic (⌈t·n⌉ = (tNum·n + tDen − 1) div tDen), so the
+    *    ppjoin FP-nudge lesson (SCALING #24) does not even arise here.
+    * Exact |A∩B| verification on surviving candidates only; candidate-
+    * derived frames never broadcast, pair-output joins pin shuffle_hash
+    * (CLAUDE.md LSH lesson). */
+  def containmentPairs(docs: DataFrame, n: Int = 3, tNum: Int = 4, tDen: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col("doc_id"),
+      explode(graft.functions.GraftColumns.shingleHashes(col("text"), n)).as("h"))
+      .cache()
+    val cnt = shingleCounts(sh)
+    val docFreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val pos = row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h")))
+    // ⌈t·n_a⌉ in exact integers: (tNum·n_a + tDen − 1) div tDen
+    val ceilT = expr(s"($tNum * n_shingles + ${tDen - 1}) div $tDen")
+    val prefix = sh.join(docFreq, Seq("h"))
+      .join(cnt, Seq("doc_id"))
+      .withColumn("__pos", pos)
+      .filter(col("__pos") <= col("n_shingles") - ceilT + 1)
+      .select(col("doc_id").as("doc_a"), col("h"),
+        col("n_shingles").as("n_a"), col("__pos").as("pa"))
+    val index = sh.join(cnt, Seq("doc_id"))
+      .select(col("doc_id").as("doc_b"), col("h"), col("n_shingles").as("n_b"))
+    val cands = prefix.hint("shuffle_hash")
+      .join(index.hint("shuffle_hash"), Seq("h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      // overlap ≤ |B| and overlap ≥ t·|A| ⇒ keep only tDen·n_b ≥ tNum·n_a
+      .filter(col("n_b") * tDen >= col("n_a") * tNum)
+      // positional: a's first common element at prefix position pa bounds
+      // overlap ≤ 1 + (n_a − pa); any-match-passes keeps full recall
+      .filter((lit(1L) + col("n_a") - col("pa")) * tDen >= col("n_a") * tNum)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val inter = cands.hint("shuffle_hash")
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")).hint("shuffle_hash"), Seq("doc_a"))
+      .hint("shuffle_hash")
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")).hint("shuffle_hash"), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n_shingles").as("n_a")), Seq("doc_a"))
+      .filter(col("n_inter") * tDen >= col("n_a") * tNum) // exact rational test
+      .withColumn("containment",
+        round(col("n_inter").cast("double") / col("n_a").cast("double"), 7))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("containment"))
+  }
+
   val MinhashK = 32 // permutations
 
   /** Incremental-store format marker (see [[incrementalMinhashPairs]]).

@@ -51,6 +51,48 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs: directed near-subset semantics on a hand fixture") {
+    // B's tokens are a prefix of A's -> every B-shingle is an A-shingle:
+    // C(B,A) = 3/3 = 1.0 emitted; C(A,B) = 3/5 = 0.6 < 0.8 suppressed.
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7"), // 5 shingles
+      (2L, "w1 w2 w3 w4 w5"),       // 3 shingles, all in doc 1
+      (3L, "x1 x2 x3 x4 x5 x6")     // unrelated
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet === Set((2L, 1L)))
+    assert(out((2L, 1L)) === ((3L, 3L, 1.0d)))
+  }
+
+  test("containmentPairs ≡ brute force (full recall through prefix/size/positional pruning)") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    // Plant excerpts so the containment set is non-trivial (same recipe as
+    // the d11 gate row), then compare against the unpruned formulation.
+    val excerpts = corpus.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        org.apache.spark.sql.functions.expr(
+          "concat_ws(' ', slice(split(trim(text), ' +'), 1, " +
+          "greatest(3L, (size(split(trim(text), ' +')) * 3L) div 5)))").as("text"))
+    val docs = corpus.select(col("doc_id"), col("text")).unionByName(excerpts)
+    val pruned = Dedup.containmentPairs(docs)
+    val sh = Dedup.shingleHashes(docs)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
+    val brute = sh.select(col("doc_id").as("doc_a"), col("h"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      .join(cnt.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .filter(col("n_inter") * 5 >= col("n_a") * 4)
+      .withColumn("containment",
+        org.apache.spark.sql.functions.round(
+          col("n_inter").cast("double") / col("n_a").cast("double"), 7))
+      .select("doc_a", "doc_b", "n_inter", "n_a", "containment")
+    assert(pruned.except(brute).isEmpty && brute.except(pruned).isEmpty)
+    assert(pruned.count() > 0, "vacuous containment fixture")
+  }
+
   test("ppjoin prefix filter prunes: candidate pairs strictly fewer than h-sharing pairs") {
     import org.apache.spark.sql.functions.{col, count, lit, ceil, row_number}
     import org.apache.spark.sql.expressions.Window
