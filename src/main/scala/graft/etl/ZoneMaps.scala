@@ -1,0 +1,70 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level zone maps (per-file min/max manifests) — the data-skipping
+  * layer Delta/Iceberg keep in their transaction logs, re-expressed as a
+  * plain parquet manifest beside the data.
+  *
+  * Why this exists beside parquet's own footer statistics: the reader only
+  * consults a footer AFTER listing and opening the file. At 100 TB a table
+  * is O(10⁵–10⁶) objects, and opening every footer to discard 99% of them
+  * dominates query planning; a manifest is a few KB per thousand files and
+  * turns file selection into one tiny scan. Parquet row-group stats then
+  * prune WITHIN the files that survive. (Same two-tier shape as Iceberg:
+  * manifest → row groups.)
+  *
+  * Zone maps only bite when the layout clusters the column ([[Sink]] range
+  * writes, [[Layout.zorderWrite]]): on a scattered layout every file spans
+  * the full value range and nothing prunes — the spec pins both halves.
+  *
+  * Correctness does not depend on pruning: [[prunedRead]] re-applies the
+  * predicate after file selection, so a stale manifest row can only cost
+  * IO, never rows.
+  */
+object ZoneMaps {
+
+  /** One scan of `dataDir` grouped by file → per-file min/max/count for
+    * each of `cols`, written as the manifest. At scale this piggybacks on
+    * the layout write itself (the writer knows its own min/max); the
+    * after-the-fact build is one column-pruned pass. */
+  def build(spark: SparkSession, dataDir: String, manifestDir: String,
+      cols: Seq[String]): Unit = {
+    val df = spark.read.parquet(dataDir)
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"${c}__min"),
+      max(col(c)).as(s"${c}__max"))) :+ count(lit(1)).as("n_rows")
+    df.select((cols.map(col) :+ input_file_name().as("file")): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1) // manifest is metadata-sized: one file per build
+      .write.mode("overwrite").parquet(manifestDir)
+  }
+
+  /** Read only the files whose [min, max] zone intersects [lo, hi] on
+    * `column`, then re-apply the predicate (so results are ≡ a full scan
+    * with the same filter regardless of manifest quality). The manifest
+    * scan and the surviving-file listing are the metadata plane — the same
+    * driver-side role as Spark's own file index, sized by file COUNT, not
+    * data. Returns the filtered frame plus the selected file list so
+    * callers can audit IO. */
+  def prunedRead(spark: SparkSession, dataDir: String, manifestDir: String,
+      column: String, lo: Any, hi: Any): (DataFrame, Seq[String]) = {
+    val manifest = spark.read.parquet(manifestDir)
+    // Keep file iff NOT (max < lo OR min > hi); files with null stats
+    // (all-null slab) are kept — over-reading is safe, dropping rows not.
+    val keep = manifest.filter(
+      !(col(s"${column}__max") < lit(lo) || col(s"${column}__min") > lit(hi)) ||
+        col(s"${column}__max").isNull || col(s"${column}__min").isNull)
+    val files = keep.select(col("file")).collect().map(_.getString(0)).toSeq
+    val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
+    val out =
+      if (files.isEmpty)
+        // Zone-empty range: keep the schema, touch no data files beyond
+        // the root listing (filter(false) prunes every partition).
+        spark.read.parquet(dataDir).filter(lit(false)).filter(pred)
+      else spark.read.parquet(files: _*).filter(pred)
+    (out, files)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.ZoneMaps
+
+class ZoneMapSpec extends SparkSpec {
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("clustered layout + zone maps: selective range touches a small file subset, results ≡ full scan") {
+    val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_extendedprice")
+    val dataDir = tmp("graft_zm_data")
+    val manifestDir = tmp("graft_zm_manifest")
+    // Range-clustered layout: each of the 8 files covers one price stripe.
+    li.repartitionByRange(8, col("l_extendedprice"))
+      .write.mode("overwrite").parquet(dataDir)
+    ZoneMaps.build(spark, dataDir, manifestDir, Seq("l_extendedprice"))
+
+    // A ~10%-wide value range: on stripes it must hit ≤ 3 of 8 files.
+    val Array(lo, hi) = li.agg(
+      expr("percentile(l_extendedprice, 0.45)"),
+      expr("percentile(l_extendedprice, 0.55)")).head()
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    val (pruned, files) = ZoneMaps.prunedRead(spark, dataDir, manifestDir,
+      "l_extendedprice", lo, hi)
+    assert(files.size <= 3, s"expected ≤3 stripe files, read ${files.size}")
+
+    val full = spark.read.parquet(dataDir)
+      .filter(col("l_extendedprice") >= lo && col("l_extendedprice") <= hi)
+    assert(pruned.count() === full.count())
+    assert(pruned.except(full).isEmpty && full.except(pruned).isEmpty)
+    assert(pruned.count() > 0, "vacuous range")
+  }
+
+  test("scattered layout: zones span everything, nothing prunes — the layout is the lever") {
+    val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_extendedprice")
+    val dataDir = tmp("graft_zm_scatter")
+    val manifestDir = tmp("graft_zm_scatter_mf")
+    li.repartition(8, col("l_orderkey")) // hash on an unrelated key
+      .write.mode("overwrite").parquet(dataDir)
+    ZoneMaps.build(spark, dataDir, manifestDir, Seq("l_extendedprice"))
+    val Array(lo, hi) = li.agg(
+      expr("percentile(l_extendedprice, 0.45)"),
+      expr("percentile(l_extendedprice, 0.55)")).head()
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    val (_, files) = ZoneMaps.prunedRead(spark, dataDir, manifestDir,
+      "l_extendedprice", lo, hi)
+    assert(files.size === 8, "hash-scattered files all span the range — none skippable")
+  }
+
+  test("zone-empty range returns an empty frame with the data schema") {
+    val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_extendedprice")
+    val dataDir = tmp("graft_zm_empty")
+    val manifestDir = tmp("graft_zm_empty_mf")
+    li.repartitionByRange(4, col("l_extendedprice"))
+      .write.mode("overwrite").parquet(dataDir)
+    ZoneMaps.build(spark, dataDir, manifestDir, Seq("l_extendedprice"))
+    val (out, files) = ZoneMaps.prunedRead(spark, dataDir, manifestDir,
+      "l_extendedprice", -2.0, -1.0)
+    assert(files.isEmpty)
+    assert(out.count() === 0)
+    assert(out.columns.toSeq === Seq("l_orderkey", "l_extendedprice"))
+  }
+}
