@@ -940,6 +940,39 @@ object SparkEntry {
           round(expr("percentile(l_quantity, 0.25)"), 7).as("q25"),
           round(expr("percentile(l_quantity, 0.5)"), 7).as("q50"),
           round(expr("percentile(l_quantity, 0.75)"), 7).as("q75"))),
+    // Percentile winsorization (outlier clipping — the standard numeric-
+    // feature normalization pass): per-group exact p05/p95 fences
+    // (percentile ≡ DuckDB quantile_cont, the x1/x6-proven pairing),
+    // broadcast back, values clipped and integer-cents-summed. Two scans:
+    // fences + clip; no sort, no window.
+    "x9_winsorize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val fences = li.groupBy(col("l_returnflag")).agg(
+        expr("percentile(l_extendedprice, 0.05)").as("lo"),
+        expr("percentile(l_extendedprice, 0.95)").as("hi"))
+      li.join(broadcast(fences), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L)).as("n_below"),
+          sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_above"),
+          sum(floor(least(greatest(col("l_extendedprice"), col("lo")), col("hi")) * 100)
+            .cast("long")).as("clipped_cents"))
+    }),
+    // Exact-k stratified sample: k docs per language under the total
+    // (sampleKey, doc_id) order — the exact-count twin of p2's rate-based
+    // gate (a fixed eval-set draw needs exact k, not a rate).
+    "p7_exact_stratified" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("__key"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("__key",
+          graft.functions.TextHash.sampleKey(
+            concat(lit("strat:"), col("doc_id").cast("string"))))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .filter(col("pos") <= 20)
+        .select(col("doc_id"), col("lang"), col("pos"))
+    }),
     // BM25 against the corpus's own top-10 vocabulary as the query —
     // quantized-integer scoring, global top-20 by (score, doc_id).
     "t13_bm25" -> ((s, d) => TextAnalysis.bm25(Tables.documents(s, d))),
@@ -1776,6 +1809,25 @@ object SparkEntry {
         |SELECT a.k AS k, CAST(count(*) AS BIGINT) AS n_pairs
         |FROM t a JOIN t b ON a.k IS NOT DISTINCT FROM b.k
         |GROUP BY a.k""".stripMargin,
+    "x9_winsorize" ->
+      """WITH p AS (SELECT l_returnflag,
+        |                 quantile_cont(l_extendedprice, 0.05) AS lo,
+        |                 quantile_cont(l_extendedprice, 0.95) AS hi
+        |          FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |       CAST(count(*) FILTER (WHERE l_extendedprice < lo) AS BIGINT) AS n_below,
+        |       CAST(count(*) FILTER (WHERE l_extendedprice > hi) AS BIGINT) AS n_above,
+        |       CAST(sum(CAST(floor(least(greatest(l_extendedprice, lo), hi) * 100) AS BIGINT)) AS BIGINT) AS clipped_cents
+        |FROM lineitem l JOIN p USING (l_returnflag)
+        |GROUP BY 1""".stripMargin,
+    "p7_exact_stratified" -> {
+      val key = sqlSampleKey("('strat:' || CAST(doc_id AS VARCHAR))")
+      s"""WITH k AS (SELECT doc_id, lang, $key AS key FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |             CAST(row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS BIGINT) AS pos
+         |      FROM k)
+         |SELECT doc_id, lang, pos FROM r WHERE pos <= 20""".stripMargin
+    },
     "x6_grouped_percentile" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.25), 7) AS q25,
