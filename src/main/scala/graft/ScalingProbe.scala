@@ -275,6 +275,53 @@ object ScalingProbe {
     println(s"[scale]   heavy hitters found: $hh (expect 30 common original-alphabet tokens)")
     assert(hh == 30L, s"heavy-hitter probe expected the 30 common unrotated tokens, got $hh")
 
+    // Containment join at 100k docs + ~14k planted excerpts: each excerpt
+    // (leading 3/5 of a doc_id%7=3 replica's tokens, re-keyed +10^8) has
+    // its shingle set ⊆ its source by construction → one guaranteed
+    // C=1.0 directed pair each. Caesar rotation keeps excerpt shingles
+    // replica-local, so df (and the prefix-join fan-out) stays bounded.
+    val excerpts = bigDocs.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 100000000L).as("doc_id"),
+        expr("concat_ws(' ', slice(split(trim(text), ' +'), 1, " +
+          "greatest(3L, (size(split(trim(text), ' +')) * 3L) div 5)))").as("text"))
+    val withEx = bigDocs.select(col("doc_id"), col("text")).unionByName(excerpts)
+    val nExcerpts = excerpts.count()
+    var contPairs = 0L
+    time("containment_114k_docs")({
+      contPairs = Dedup.containmentPairs(withEx).count(); contPairs })
+    println(s"[scale]   containment pairs: $contPairs (floor: $nExcerpts planted excerpts)")
+    assert(contPairs >= nExcerpts, s"missing planted containment pairs: $contPairs < $nExcerpts")
+
+    // Zone maps at 10M events: manifest build is one column-pruned scan;
+    // a 1%-wide value range on the range-clustered layout must select a
+    // handful of the 64 stripe files (the at-scale claim: file selection
+    // costs one manifest scan, not 10^6 footer opens).
+    val zmData = java.nio.file.Files.createTempDirectory("graft_zm_scale").toString
+    val zmManifest = java.nio.file.Files.createTempDirectory("graft_zm_scale_mf").toString
+    time("zonemap_layout_write_10M") {
+      bigEvents.select(col("event_id"), col("user_id"), col("value"))
+        .repartitionByRange(64, col("value"))
+        .write.mode("overwrite").parquet(zmData)
+      64L
+    }
+    time("zonemap_manifest_build_10M") {
+      graft.etl.ZoneMaps.build(spark, zmData, zmManifest, Seq("value")); 1L
+    }
+    // A 1%-of-rows window around the median: range stripes hold equal ROW
+    // counts, so a (p49.5, p50.5) value window spans ~1 stripe (+ edges).
+    val Array(zmLo, zmHi) = bigEvents
+      .agg(expr("percentile(value, 0.495)"), expr("percentile(value, 0.505)"))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    var zmFiles = 0
+    time("zonemap_pruned_read_1pct") {
+      val (out, files) = graft.etl.ZoneMaps.prunedRead(
+        spark, zmData, zmManifest, "value", zmLo, zmHi)
+      zmFiles = files.size
+      out.count()
+    }
+    println(s"[scale]   zone-map files read: $zmFiles of 64 stripes")
+    assert(zmFiles <= 4, s"1% range should touch ≤4 of 64 stripe files, read $zmFiles")
+
     bigDocs.unpersist(blocking = true)
 
     // ---- embeddings ×50 → 100k vectors, LSH ANN ----
