@@ -796,6 +796,11 @@ object SparkEntry {
     // boundary genuinely cuts.
     "h1_heavy_hitters" -> ((s, d) =>
       TextAnalysis.heavyHitters(Tables.documents(s, d))),
+    // Per-language heavy hitters: one mergeable MG sketch per group (no
+    // driver collect — the global h1's head() doesn't scale to grouped),
+    // exact counting pass restricted to per-group candidates.
+    "h2_grouped_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.groupedHeavyHitters(Tables.documents(s, d), "lang")),
     // Global total-order rank WITHOUT a single-partition window: range
     // shuffle + per-partition counts + pid-partitioned window, offsets
     // composed on the driver (partition-count-sized).
@@ -2125,6 +2130,13 @@ object SparkEntry {
         |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM toks),
         |f AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY token)
         |SELECT token, freq FROM f, n WHERE freq * 31 > nn""".stripMargin,
+    // Exact per-group answer — the MG superset guarantee holds per group,
+    // so the sketch is output-invisible (h1's argument, per lang).
+    "h2_grouped_heavy_hitters" ->
+      """WITH tk AS (SELECT lang, unnest(regexp_split_to_array(trim(text), ' +')) AS token FROM documents),
+        |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS nn FROM tk GROUP BY lang),
+        |f AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS freq FROM tk GROUP BY 1, 2)
+        |SELECT f.lang, token, freq FROM f JOIN n USING (lang) WHERE freq * 31 > n.nn""".stripMargin,
     // Segment identity = the 60-bit shingle-convention hash; first
     // occurrence under the (doc_id, seg_idx) total order wins (rn = 1);
     // docs rebuilt from surviving segments in seg order.

@@ -348,6 +348,32 @@ object TextAnalysis {
       .filter(col("freq") * (capacity + 1) > n)
   }
 
+  /** Per-group exact heavy hitters — [[heavyHitters]] with the sketch kept
+    * DISTRIBUTED: one mergeable [[graft.functions.MisraGriesAgg]] buffer
+    * per group (map-side combined like any hash aggregate), candidate
+    * lists exploded back to (group, token) rows, and one exact counting
+    * pass restricted to candidates. No driver-side collect anywhere — the
+    * global variant's `head()` on the sketch is fine for ONE sketch, but a
+    * grouped operator must stay a plan: at 100 TB the candidate frame is
+    * |groups|·capacity rows (deterministically bounded — left to AQE, not
+    * force-broadcast) while the token stream never leaves the executors.
+    * The MG guarantee per group is unchanged: any token with
+    * freq > n_g/(capacity+1) survives the buffer, so the exact filter
+    * equals the brute-force answer. */
+  def groupedHeavyHitters(docs: DataFrame, groupCol: String,
+      capacity: Int = 30): DataFrame = {
+    val toks = docs.select(col(groupCol), explode(tokens(col("text"))).as("token"))
+    val sketches = toks.groupBy(col(groupCol)).agg(
+      graft.functions.MisraGriesAgg.candidates(col("token"), capacity).as("cand"),
+      count(lit(1)).as("__n"))
+    val cands = sketches.select(col(groupCol), col("__n"), explode(col("cand")).as("token"))
+    toks.join(cands, Seq(groupCol, "token"))
+      .groupBy(col(groupCol), col("token"), col("__n"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * (capacity + 1) > col("__n"))
+      .select(col(groupCol), col("token"), col("freq"))
+  }
+
   /** Token-distribution drift between two corpus snapshots — the
     * monitoring pass a training pipeline runs when a new crawl lands: has
     * the source distribution shifted enough to re-balance the mixture?

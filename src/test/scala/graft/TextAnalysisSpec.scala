@@ -245,6 +245,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("w") === ((1L, "1"))) // distinct (doc, token): w counted once
   }
 
+  test("groupedHeavyHitters ≡ per-group brute force, invariant to partitioning") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1), r.getLong(2))
+    val grouped = TextAnalysis.groupedHeavyHitters(docs, "lang").collect().map(key).toSet
+    // brute force: exact counts per (lang, token), threshold n_lang/31
+    val toks = docs.select(col("lang"),
+      explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val n = toks.groupBy("lang").agg(count(lit(1)).as("nn"))
+    val brute = toks.groupBy("lang", "token").agg(count(lit(1)).as("freq"))
+      .join(n, Seq("lang"))
+      .filter(col("freq") * 31 > col("nn"))
+      .select(col("lang"), col("token"), col("freq"))
+      .collect().map(key).toSet
+    assert(grouped === brute)
+    assert(grouped.nonEmpty, "vacuous heavy-hitter fixture")
+    // MG buffers merge across partitions in arbitrary order; the exact
+    // verify pass must make partitioning output-invisible.
+    val scattered = TextAnalysis.groupedHeavyHitters(docs.repartition(13), "lang")
+      .collect().map(key).toSet
+    assert(scattered === brute)
+  }
+
   test("classifyQuality: codegen expression equals the explode-pipeline formulation") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
