@@ -734,6 +734,13 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Dedup.clusters(docs, Dedup.minhashPairs(docs))
     }),
+    // Connected components via alternating large/small-star rounds —
+    // O(log n) rounds vs d7's O(diameter) label propagation; identical
+    // labels (min reachable id), so the oracle is d7's closure verbatim.
+    "d12_clusters_logstar" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.clustersLogStar(docs, Dedup.minhashPairs(docs))
+    }),
     "d8_semantic_dedup" -> ((s, d) =>
       Dedup.semanticClusters(Tables.embeddings(s, d))),
     // Which copy survives dedup: per near-dup cluster, the highest-quality
@@ -1722,6 +1729,15 @@ object SparkEntry {
     // Transitive closure over the d3 pairs (DuckDB WITH RECURSIVE), then
     // min reachable id per node = the cluster label min-propagation finds.
     "d7_dedup_clusters" ->
+      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+         |$sqlClosureCtes
+         |SELECT d.doc_id,
+         |       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+         |       CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+         |FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id""".stripMargin,
+    // Identical labels to d7 by construction (both converge to the min
+    // reachable id) — same recursive-closure replay.
+    "d12_clusters_logstar" ->
       s"""WITH RECURSIVE $sqlMinhashPairCtes,
          |$sqlClosureCtes
          |SELECT d.doc_id,

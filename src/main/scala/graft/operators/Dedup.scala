@@ -770,6 +770,77 @@ object Dedup {
       .withColumn("is_canonical", (col("cluster_id") === col("doc_id")).cast("long"))
   }
 
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the O(log n)-round twin of [[clusters]]'s min-label propagation,
+    * which needs O(diameter) rounds. Near-dup clusters are usually
+    * shallow, so [[clusters]] is fine there; chain-shaped graphs (citation
+    * trails, conversation threads, linked-page chains) have diameter
+    * O(n), where label propagation at 100 TB means thousands of shuffle
+    * rounds and this operator needs ~log₂ n.
+    *
+    *  - large-star: every node u points its LARGER neighbors at
+    *    m(u) = min(N(u) ∪ u) — strictly decreases large-endpoint height.
+    *  - small-star: u points its smaller-or-equal neighbors (and itself)
+    *    at m(u) — flattens the remaining short chains into stars.
+    * Both emit only (node, smaller-node) edges, so the edge set is
+    * monotone toward the star forest; convergence = a round leaves the
+    * edge SET unchanged. Each round shuffles the edge list twice (the
+    * neighborhood min + the re-emit) — same per-round cost class as one
+    * label-propagation round, exponentially fewer rounds on deep graphs.
+    *
+    * Output schema ≡ [[clusters]] (doc_id, cluster_id, is_canonical) and
+    * the labels are identical: both converge to min-reachable-id.
+    * `maxRounds` is a loud backstop (the round count is ~log₂ of the
+    * largest component; 40 covers any component that fits in BIGINT ids). */
+  def clustersLogStar(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 40): DataFrame = {
+    def bothDirs(e: DataFrame): DataFrame =
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // star rounds: from the full neighborhood view, m(u) = min over
+    // N(u) ∪ {u}; emit (v, m) for the selected half of each neighborhood.
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val nbrs = bothDirs(e)
+      val mins = nbrs.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
+        .select(col("src"), least(col("__mn"), col("src")).as("m"))
+      val half =
+        if (large) nbrs.filter(col("dst") > col("src"))
+        else nbrs.filter(col("dst") <= col("src"))
+      val emitted = half.join(mins, Seq("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      val self =
+        if (large) emitted
+        // small-star also links u itself to m(u), keeping u in its star
+        else emitted.union(mins.select(col("src"), col("m").as("dst")))
+      self.filter(col("src") =!= col("dst")).distinct()
+    }
+    var edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val next = star(star(edges, large = true), large = false).localCheckpoint()
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(edges)
+      edges = next
+      rounds += 1
+    }
+    require(converged, s"large/small-star did not converge in $maxRounds rounds")
+    // Converged edge set is a star forest pointing at component minima.
+    val labels = bothDirs(edges)
+      .groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("doc_id"), least(col("__mn"), col("doc_id")).as("cluster_id"))
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", (col("cluster_id") === col("doc_id")).cast("long"))
+  }
+
   /** Cluster-representative selection — the "which copy do we keep?" policy
     * on top of [[clusters]]: within every near-dup cluster keep the
     * HIGHEST-QUALITY member (composite score of

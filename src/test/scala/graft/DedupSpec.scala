@@ -51,6 +51,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("clustersLogStar ≡ clusters on real near-dup pairs") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.minhashPairs(docs)
+    val a = Dedup.clusters(docs, pairs)
+    val b = Dedup.clustersLogStar(docs, pairs)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("clustersLogStar: 1024-node path converges in O(log n) rounds (propagation would need 1023)") {
+    import org.apache.spark.sql.functions.col
+    // A path graph is the adversarial diameter case: min-label propagation
+    // moves the min ONE hop per round. The star rounds must collapse it
+    // within the maxRounds backstop (~log2(1024)=10, with slack).
+    val n = 1024
+    val path = spark.range(n - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val nodes = spark.range(n).select(col("id").as("doc_id"))
+    val out = Dedup.clustersLogStar(nodes.toDF(), path.toDF(), maxRounds = 15)
+    val labels = out.select("cluster_id").distinct().collect().map(_.getLong(0))
+    assert(labels.toSeq === Seq(0L), "path must collapse to one component labeled 0")
+    assert(out.filter(col("is_canonical") === 1L).count() === 1L)
+  }
+
   test("containmentPairs: directed near-subset semantics on a hand fixture") {
     // B's tokens are a prefix of A's -> every B-shingle is an A-shingle:
     // C(B,A) = 3/3 = 1.0 emitted; C(A,B) = 3/5 = 0.6 < 0.8 suppressed.
