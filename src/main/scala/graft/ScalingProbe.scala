@@ -275,6 +275,21 @@ object ScalingProbe {
     println(s"[scale]   heavy hitters found: $hh (expect 30 common original-alphabet tokens)")
     assert(hh == 30L, s"heavy-hitter probe expected the 30 common unrotated tokens, got $hh")
 
+    // Deep-chain connected components: a 1M-node path (diameter 10⁶) is
+    // label propagation's worst case — one hop per round, a million
+    // shuffle rounds. The large/small-star rounds must collapse it in
+    // ~log₂ rounds with edge-list-sized shuffles.
+    var ccChain = 0L
+    time("cc_logstar_1M_path") {
+      val nodes = spark.range(1000000L).select(col("id").as("doc_id"))
+      val path = spark.range(999999L)
+        .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+      ccChain = Dedup.clustersLogStar(nodes.toDF, path.toDF)
+        .filter(col("cluster_id") === 0L).count()
+      ccChain
+    }
+    assert(ccChain == 1000000L, s"1M path must collapse to one 0-labeled component, got $ccChain")
+
     // Containment join at 100k docs + ~14k planted excerpts: each excerpt
     // (leading 3/5 of a doc_id%7=3 replica's tokens, re-keyed +10^8) has
     // its shingle set ⊆ its source by construction → one guaranteed

@@ -1241,6 +1241,11 @@ object SparkEntry {
     // deterministic integer stand-in table the oracle replays exactly.
     "t20_classifier" -> ((s, d) =>
       TextAnalysis.classifyQuality(Tables.documents(s, d))),
+    // Hard-negative mining: top-k nearest DIFFERENT-label neighbors per
+    // query — contrastive-training pair generation; the label inequality
+    // is the join condition, so same-label pairs are never scored.
+    "s13_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d))),
     // Scalar-quantized (SQ8) exhaustive ANN: per-dim affine int8 codes,
     // exact BIGINT code dot-product scoring — the no-training quantized
     // scan beside PQ/ADC (s8). One tiny broadcast stats row; the corpus is
@@ -2617,6 +2622,19 @@ object SparkEntry {
          |       CAST(sum(w) AS BIGINT) AS score_scaled,
          |       CAST(CASE WHEN sum(w) > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
          |FROM w GROUP BY doc_id""".stripMargin,
+    "s13_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS qe
+         |          FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, label AS n_label, embedding AS ce FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id, CAST(n_label AS BIGINT) AS neg_label,
+         |             ${sqlCosine("qe", "ce")} AS cosine
+         |      FROM q JOIN c ON q_label <> n_label),
+         |w AS (SELECT query_id, neighbor_id, neg_label, cosine,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
+         |      FROM s)
+         |SELECT query_id, neighbor_id, neg_label, round(cosine, 7) AS cosine, "rank"
+         |FROM w WHERE "rank" <= 5""".stripMargin,
     // Long-format replay of the SQ8 pipeline: per-dim min/max, the same
     // single multiply-divide-floor quantization expression, BIGINT dot.
     "s12_sq8_topk" ->

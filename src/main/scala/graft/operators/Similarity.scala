@@ -255,6 +255,36 @@ object Similarity {
         posexplode(GraftColumns.randProj(col("embedding"), kOut)).as(Seq("dim", "rp")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"), col("rp"))
 
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the top-k most-similar corpus vectors carrying a DIFFERENT label —
+    * the "looks alike, isn't" pairs a contrastive/embedding trainer wants
+    * as negatives (in-batch random negatives are mostly easy; the value is
+    * in the near-boundary ones). Same plan as [[bruteForceTopK]] — tiny
+    * query side broadcast, one corpus pass, per-query top-k window — plus
+    * the label inequality pushed into the join condition, so excluded
+    * same-label pairs are never scored. The production-scale variant runs
+    * the same label filter inside the IVF-PQ probe path; this exhaustive
+    * form is its verification baseline (the s1 relationship). */
+  def hardNegatives(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val q = emb
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("qe"), VectorMath.norm2(col("embedding")).as("qn"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+      col("embedding").as("ce"), VectorMath.norm2(col("embedding")).as("cn"))
+    val scored = broadcast(q)
+      .join(c, col("q_label") =!= col("n_label")) // label filter IS the join condition
+      .withColumn("cosine", VectorMath.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("n_label").cast("long").as("neg_label"),
+        round(col("cosine"), 7).as("cosine"), col("rank"))
+  }
+
   /** Scalar quantization (SQ8) exhaustive search: per-dimension affine
     * int8 codes (x → ⌊(x − min_d)·255/(max_d − min_d)⌋, clamped) scored
     * symmetrically with the exact integer dot product of the code arrays.

@@ -22,6 +22,21 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
   }
 
+  test("t20 classifier: the whole model application is map-only — zero exchanges") {
+    val p = plan("t20_classifier")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("s12 SQ8: one tiny stats broadcast; the corpus codes never shuffle into the search") {
+    val p = plan("s12_sq8_topk")
+    // Stats row + query codes are the ONLY broadcasts; the corpus-sided
+    // encode is a projection over the scan. The per-query top-k window
+    // partitions by query_id (bounded), never a corpus-keyed sort.
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("p5 domain sampling: thresholds broadcast; corpus never shuffled by domain") {
     val p = plan("p5_domain_sample")
     assert(p.contains("BroadcastHashJoin"), p)
