@@ -525,6 +525,36 @@ object SparkEntry {
       q.awaitTermination()
       s.table(name)
     }),
+    // Spark 4 transformWithState on the gate (seventh streaming row): a
+    // StatefulProcessor with a per-user ValueState on the ROCKSDB store
+    // (the API's backing requirement) accumulates running (count, cents)
+    // totals through the real engine. Update-mode emissions are one
+    // snapshot per (key, micro-batch); totals are monotone, so the
+    // max-(n_events) struct per user is the final state however the
+    // fixture batches — which is exactly the batch aggregate the oracle
+    // computes.
+    "q47_stream_running_totals" -> ((s0, d) => {
+      val s = streamSession(s0)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      Tables.events(s, d) // ensures nanosAsLong before the raw schema read
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val name = "stream_tws_sink"
+      s.catalog.dropTempView(name)
+      val q = graft.streaming.StreamingRunningTotals(stream).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("total_cents"))).as("s"))
+        .select(col("user_id"), col("s.n_events").as("n_events"),
+          col("s.total_cents").as("total_cents"))
+    }),
     // LEFT OUTER stream-stream join (sixth streaming row): unlike the
     // inner q33, null-padded rows for unmatched errors only emit once the
     // watermark proves no matching purchase can still arrive — on a
@@ -1551,6 +1581,11 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
     // Every error row survives; matches carry p_ts, the rest carry NULL.
+    // Final transformWithState snapshot per user ≡ the batch aggregate.
+    "q47_stream_running_totals" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY user_id""".stripMargin,
     "q37_stream_outer_join" ->
       """WITH e AS (
         |  SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, event_type FROM events)

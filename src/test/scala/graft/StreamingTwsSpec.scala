@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.StreamingRunningTotals
+
+/** Spark 4 `transformWithState` (StatefulProcessor + ValueState on the
+  * RocksDB store) — running totals accumulate across micro-batches and the
+  * final snapshot equals the batch groupBy twin. */
+class StreamingTwsSpec extends SparkSpec {
+
+  test("transformWithState running totals: state accumulates across batches, final snapshot ≡ batch aggregate") {
+    // transformWithState requires the RocksDB state store; conf is frozen
+    // per query, so pin it on a cloned session (the q32/q33 pattern).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    import s.implicits._
+
+    val srcDir = Files.createTempDirectory("graft_tws_src").toString
+    val ckpt = Files.createTempDirectory("graft_tws_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    def write(rows: (Long, Double)*): Unit =
+      rows.toSeq.toDF("user_id", "value").write.mode("append").parquet(srcDir)
+
+    write((1L, 1.25), (1L, 2.50), (2L, 10.00))
+    val q = StreamingRunningTotals(s.readStream.schema(schema).parquet(srcDir))
+      .toDF()
+      .writeStream.format("memory").queryName("tws_sink")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      write((1L, 0.25), (3L, 5.00)) // second batch: user 1 grows, user 3 appears
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // Update mode appends one snapshot per (key, batch); totals are
+    // monotone, so the max-n_events row per user is the final state.
+    val finals = s.table("tws_sink")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("total_cents"))).as("s"))
+      .select(col("user_id"), col("s.n_events"), col("s.total_cents"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(finals === Map(
+      1L -> ((3L, 400L)),   // 125 + 250 + 25 cents, across two batches
+      2L -> ((1L, 1000L)),
+      3L -> ((1L, 500L))))
+
+    // User 1's phase-1 snapshot must also be present (2 events, 375):
+    // proof the state UPDATE crossed batches rather than recomputing.
+    val u1 = s.table("tws_sink").filter(col("user_id") === 1L)
+      .select("n_events", "total_cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(u1 === Set((2L, 375L), (3L, 400L)))
+  }
+}
