@@ -348,6 +348,66 @@ object TextAnalysis {
       .filter(col("freq") * (capacity + 1) > n)
   }
 
+  /** Iterative BPE merge TRAINING (the real tokenizer-training loop, not
+    * just t15's one-shot pair mining): `rounds` rounds of count adjacent
+    * symbol pairs over the word-frequency table → adopt the globally most
+    * frequent pair (ties: n DESC, a ASC, b ASC) → merge it everywhere →
+    * recount. Output is the learned merge table (round, a, b, n).
+    *
+    * Representation: each symbol is wrapped as ␁sym␂, so a merge is ONE
+    * literal `replace` of ␁a␂␁b␂ with ␁ab␂ — no regex lookaround (RE2 has
+    * none), no false suffix matches (a pattern can only match at a symbol
+    * boundary), and the left-to-right non-overlapping semantics of
+    * `replace` on "␁a␂␁a␂␁a␂" (→ "␁aa␂␁a␂") is exactly BPE's greedy
+    * scan. Both engines' `replace` share those semantics, so the oracle
+    * replays training bit-for-bit. Words containing the sentinel chars
+    * are excluded deterministically on both sides (none in practice).
+    *
+    * Plan shape per round: one pair-count aggregate over the WORD table
+    * (vocabulary-sized, not corpus-sized — the standard BPE trick of
+    * training on word frequencies), a 1-row top-pair frame broadcast
+    * back, one projection applying the merge. No driver-side collect:
+    * the adopted pair rides a crossJoin(broadcast(limit 1)). */
+  def bpeTrain(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val S1 = "\u0001" // symbol-open sentinel
+    val S2 = "\u0002" // symbol-close sentinel
+    val words = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(!col("word").contains(S1) && !col("word").contains(S2) &&
+        length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("sym", regexp_replace(col("word"), lit("(.)"), lit(S1 + "$1" + S2)))
+    def pairCounts(w: DataFrame): DataFrame = {
+      val syms = transform(split(col("sym"), lit(S2 + S1)),
+        x => translate(x, S1 + S2, ""))
+      w.select(col("cnt"), syms.as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(col("cnt"), explode(
+          zip_with(
+            slice(col("ss"), lit(1), size(col("ss")) - 1),
+            slice(col("ss"), lit(2), size(col("ss")) - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+    }
+    var w = words
+    var merges: DataFrame = null
+    for (r <- 1 to rounds) {
+      val top = pairCounts(w)
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .select(col("a"), col("b"), col("n"))
+      val mergeRow = top.select(lit(r.toLong).as("round"), col("a"), col("b"), col("n"))
+      merges = if (merges == null) mergeRow else merges.unionByName(mergeRow)
+      w = w.crossJoin(broadcast(top))
+        .withColumn("sym", org.apache.spark.sql.functions.replace(
+          col("sym"),
+          concat(lit(S1), col("a"), lit(S2), lit(S1), col("b"), lit(S2)),
+          concat(lit(S1), col("a"), col("b"), lit(S2))))
+        .select(col("word"), col("cnt"), col("sym"))
+    }
+    merges
+  }
+
   /** Per-group exact heavy hitters — [[heavyHitters]] with the sketch kept
     * DISTRIBUTED: one mergeable [[graft.functions.MisraGriesAgg]] buffer
     * per group (map-side combined like any hash aggregate), candidate

@@ -245,6 +245,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("w") === ((1L, "1"))) // distinct (doc, token): w counted once
   }
 
+  test("bpeTrain: adopts top pairs globally and merges greedily left-to-right") {
+    // words: "aaa"×2 (from doc 1), "bc"×3 (doc 2).
+    // round 1: pairs (a,a) n=2·2=4 beats (b,c) n=3 → merge (a,a).
+    //   GREEDY left-to-right: a a a → (aa) a, NOT a (aa) — so round 3's
+    //   surviving pair must be (aa, a), never (a, aa).
+    // round 2: (b,c) n=3 beats (aa,a) n=2. round 3: (aa,a) n=2.
+    val docs = Seq((1L, "aaa aaa"), (2L, "bc bc bc")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    assert(merges === Seq(
+      (1L, "a", "a", 4L),
+      (2L, "b", "c", 3L),
+      (3L, "aa", "a", 2L)))
+  }
+
   test("groupedHeavyHitters ≡ per-group brute force, invariant to partitioning") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1), r.getLong(2))
