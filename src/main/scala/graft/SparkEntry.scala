@@ -91,6 +91,41 @@ object SparkEntry {
 
   /** Shared SQL fragment: DISTINCT (doc_id, h) word-3-gram 60-bit hashes —
     * mirrors [[graft.operators.Dedup.shingleHashes]]. */
+  /** Shared SQL fragment: the BPE training replay — word counts, sentinel-
+    * wrapped symbol init, three MATERIALIZED merge rounds (lesson #27).
+    * Ends in t1..t3 (adopted pairs) and w3 (fully merged word table);
+    * t21 reads the merge table, t22 the resulting vocabulary. */
+  private lazy val sqlBpeCtes: String = {
+    def roundCtes(i: Int): String = {
+      val prev = if (i == 1) "w0" else s"w${i - 1}"
+      s"""pc$i AS MATERIALIZED (
+         |  SELECT cl[i] AS a, cl[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM (SELECT cnt, list_transform(string_split(sym, chr(2) || chr(1)),
+         |                 x -> translate(x, chr(1) || chr(2), '')) AS cl
+         |        FROM $prev) t,
+         |       LATERAL (SELECT unnest(generate_series(1, len(cl) - 1)) AS i) g
+         |  WHERE len(cl) >= 2
+         |  GROUP BY 1, 2),
+         |t$i AS MATERIALIZED (SELECT a, b, n FROM pc$i ORDER BY n DESC, a, b LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |         replace(sym, chr(1) || a || chr(2) || chr(1) || b || chr(2),
+         |                 chr(1) || a || b || chr(2)) AS sym
+         |  FROM $prev CROSS JOIN t$i)""".stripMargin
+    }
+    s"""wc AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS word FROM documents)
+       |  WHERE NOT contains(word, chr(1)) AND NOT contains(word, chr(2)) AND len(word) > 0
+       |  GROUP BY 1),
+       |w0 AS MATERIALIZED (
+       |  SELECT word, cnt, regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS sym
+       |  FROM wc),
+       |${roundCtes(1)},
+       |${roundCtes(2)},
+       |${roundCtes(3)}""".stripMargin
+  }
+
   private val sqlShingles: String =
     s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
        |shs AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
@@ -1271,6 +1306,10 @@ object SparkEntry {
     // pair rides a 1-row broadcast — no driver collect.
     "t21_bpe_train" -> ((s, d) =>
       TextAnalysis.bpeTrain(Tables.documents(s, d))),
+    // The encode half: vocabulary after the 3 learned merges are applied —
+    // top-20 symbols by frequency-weighted occurrence count.
+    "t22_bpe_encode" -> ((s, d) =>
+      TextAnalysis.bpeEncode(Tables.documents(s, d))),
     // Hashed-feature linear classifier inference (fastText shape): the
     // whole model application is one codegen expression per row — a
     // map-only pass, zero shuffles at any corpus size. Weights are a
@@ -2650,39 +2689,20 @@ object SparkEntry {
     // Three unrolled training rounds; each pair-count/top-1/merge-apply
     // block is MATERIALIZED (lesson #27 — the next round references the
     // merged word table repeatedly). Sentinel wrapping makes replace exact.
-    "t21_bpe_train" -> {
-      def roundCtes(i: Int): String = {
-        val prev = if (i == 1) "w0" else s"w${i - 1}"
-        s"""pc$i AS MATERIALIZED (
-           |  SELECT cl[i] AS a, cl[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS n
-           |  FROM (SELECT cnt, list_transform(string_split(sym, chr(2) || chr(1)),
-           |                 x -> translate(x, chr(1) || chr(2), '')) AS cl
-           |        FROM $prev) t,
-           |       LATERAL (SELECT unnest(generate_series(1, len(cl) - 1)) AS i) g
-           |  WHERE len(cl) >= 2
-           |  GROUP BY 1, 2),
-           |t$i AS MATERIALIZED (SELECT a, b, n FROM pc$i ORDER BY n DESC, a, b LIMIT 1),
-           |w$i AS MATERIALIZED (
-           |  SELECT word, cnt,
-           |         replace(sym, chr(1) || a || chr(2) || chr(1) || b || chr(2),
-           |                 chr(1) || a || b || chr(2)) AS sym
-           |  FROM $prev CROSS JOIN t$i)""".stripMargin
-      }
-      s"""WITH wc AS MATERIALIZED (
-         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS word FROM documents)
-         |  WHERE NOT contains(word, chr(1)) AND NOT contains(word, chr(2)) AND len(word) > 0
-         |  GROUP BY 1),
-         |w0 AS MATERIALIZED (
-         |  SELECT word, cnt, regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS sym
-         |  FROM wc),
-         |${roundCtes(1)},
-         |${roundCtes(2)},
-         |${roundCtes(3)}
+    "t21_bpe_train" ->
+      s"""WITH $sqlBpeCtes
          |SELECT CAST(1 AS BIGINT) AS round, a, b, n FROM t1
          |UNION ALL SELECT CAST(2 AS BIGINT), a, b, n FROM t2
-         |UNION ALL SELECT CAST(3 AS BIGINT), a, b, n FROM t3""".stripMargin
-    },
+         |UNION ALL SELECT CAST(3 AS BIGINT), a, b, n FROM t3""".stripMargin,
+    // Encode half: symbol vocabulary of w3 (the word table after all three
+    // merges), top-20 by frequency-weighted count under (n DESC, symbol).
+    "t22_bpe_encode" ->
+      s"""WITH $sqlBpeCtes
+         |SELECT symbol, CAST(sum(cnt) AS BIGINT) AS n
+         |FROM (SELECT cnt, unnest(list_transform(string_split(sym, chr(2) || chr(1)),
+         |                x -> translate(x, chr(1) || chr(2), ''))) AS symbol
+         |      FROM w3)
+         |GROUP BY symbol ORDER BY n DESC, symbol LIMIT 20""".stripMargin,
     // Same tokenizer, feature strings, sample-key mix, and integer weight
     // table as LinearClassifyExpr — bit-exact integer replay.
     "t20_classifier" ->

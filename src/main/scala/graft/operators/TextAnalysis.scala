@@ -368,7 +368,27 @@ object TextAnalysis {
     * training on word frequencies), a 1-row top-pair frame broadcast
     * back, one projection applying the merge. No driver-side collect:
     * the adopted pair rides a crossJoin(broadcast(limit 1)). */
-  def bpeTrain(docs: DataFrame, rounds: Int = 3): DataFrame = {
+  def bpeTrain(docs: DataFrame, rounds: Int = 3): DataFrame = bpeLoop(docs, rounds)._2
+
+  /** Vocabulary after [[bpeTrain]]'s merges are APPLIED — the encode half:
+    * the corpus re-tokenized under the learned merge table, summarized as
+    * the top-k symbols by total occurrence count (weighted by word
+    * frequency). One extra explode+aggregate over the vocabulary-sized
+    * word table; the corpus itself is touched only by the initial word
+    * count. */
+  def bpeEncode(docs: DataFrame, rounds: Int = 3, topK: Int = 20): DataFrame = {
+    val (words, _) = bpeLoop(docs, rounds)
+    val S1 = "\u0001" // symbol-open sentinel
+    val S2 = "\u0002" // symbol-close sentinel
+    val syms = transform(split(col("sym"), lit(S2 + S1)),
+      x => translate(x, S1 + S2, ""))
+    words.select(col("cnt"), explode(syms).as("symbol"))
+      .groupBy("symbol").agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("symbol"))
+      .limit(topK)
+  }
+
+  private def bpeLoop(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     val S1 = "\u0001" // symbol-open sentinel
     val S2 = "\u0002" // symbol-close sentinel
     val words = docs
@@ -405,7 +425,7 @@ object TextAnalysis {
           concat(lit(S1), col("a"), col("b"), lit(S2))))
         .select(col("word"), col("cnt"), col("sym"))
     }
-    merges
+    (w, merges)
   }
 
   /** Per-group exact heavy hitters — [[heavyHitters]] with the sketch kept
