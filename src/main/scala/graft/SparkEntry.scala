@@ -533,6 +533,53 @@ object SparkEntry {
     // emit matches as both sides arrive (watermarks bound STATE, not
     // emission), and the fixture drains in one micro-batch, so the emitted
     // set is exactly the batch interval join the oracle replays.
+    // Streaming CDC apply on the gate (eighth streaming row): a change
+    // log streamed through the real engine, each micro-batch applied to a
+    // VERSIONED parquet snapshot with foreachBatch + Merge.upsert (read
+    // v_n → merge → write v_{n+1} — never overwrite-while-reading). The
+    // change set is key-unique, so the final snapshot is batching-
+    // invariant; it's localCheckpointed before the staging dirs are
+    // deleted so the returned frame owes nothing to the temp files.
+    "q48_stream_cdc_apply" -> ((s0, d) => {
+      val s = streamSession(s0)
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val changes =
+        o.filter(col("k") % 3 === 0)
+          .select(col("k"), lit("D").as("op"), lit(0L).as("cents"))
+        .unionByName(o.filter(col("k") % 3 === 1)
+          .select(col("k"), lit("U").as("op"), (col("cents") + 100L).as("cents")))
+        .unionByName(o.filter(col("k") % 3 === 2)
+          .select((col("k") + 1000000000L).as("k"), lit("U").as("op"), col("cents")))
+      val snapRoot = stagingDir("graft_q48_snap")
+      val srcDir = stagingDir("graft_q48_src")
+      try {
+        base.write.mode("overwrite").parquet(s"$snapRoot/v0")
+        changes.coalesce(1).write.mode("overwrite").parquet(srcDir.toString)
+        val latest = new java.util.concurrent.atomic.AtomicInteger(0)
+        val stream = s.readStream
+          .schema(s.read.parquet(srcDir.toString).schema)
+          .parquet(srcDir.toString)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val cur = s.read.parquet(s"$snapRoot/v${latest.get()}")
+            val next = latest.get() + 1
+            graft.operators.Merge.upsert(cur, batch, Seq("k"))
+              .write.mode("overwrite").parquet(s"$snapRoot/v$next")
+            latest.set(next)
+            ()
+          }
+          .option("checkpointLocation", s"$snapRoot/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$snapRoot/v${latest.get()}").localCheckpoint(true)
+      } finally { deleteRecursively(snapRoot); deleteRecursively(srcDir) }
+    }),
     "q33_stream_join" -> ((s0, d) => {
       // Four state stores per partition in the symmetric hash join — the
       // most state-heavy gate row; see streamSession's sizing note.
@@ -1626,6 +1673,15 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
     // Every error row survives; matches carry p_ts, the rest carry NULL.
+    // MERGE semantics applied to the key-unique change set: %3=0 deleted,
+    // %3=1 updated (+100 cents), %3=2 untouched plus a re-keyed insert.
+    "q48_stream_cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |                     CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |              FROM orders)
+        |SELECT k, CAST(cents + 100 AS BIGINT) AS cents FROM base WHERE k % 3 = 1
+        |UNION ALL SELECT k, cents FROM base WHERE k % 3 = 2
+        |UNION ALL SELECT k + 1000000000, cents FROM base WHERE k % 3 = 2""".stripMargin,
     // Final transformWithState snapshot per user ≡ the batch aggregate.
     "q47_stream_running_totals" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

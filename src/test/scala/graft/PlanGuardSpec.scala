@@ -37,6 +37,13 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("d11 containment: pair-output joins run as shuffled hash joins (the LSH lesson), never broadcast") {
+    val p = plan("d11_containment")
+    // The prefix ⋈ inverted-index join's cost is its pair OUTPUT — an
+    // input-sized broadcast choice would serialize the explosion.
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
   test("p5 domain sampling: thresholds broadcast; corpus never shuffled by domain") {
     val p = plan("p5_domain_sample")
     assert(p.contains("BroadcastHashJoin"), p)
