@@ -1,0 +1,72 @@
+package graft.etl
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Run-level time travel and retention over [[Sink.runRoot]]'s stamped
+  * layout (`outputDir/yyyy-MM-dd-HH-mm-ss/…`) — the poor-man's table-version
+  * surface the reference's run-scoped output roots imply but never expose:
+  * list the runs, read a specific one (or the latest), and vacuum old runs
+  * under a keep-N policy.
+  *
+  * Versions are directories, so "time travel" is pure path selection — no
+  * data is rewritten, and concurrent readers of an old run are unaffected
+  * by a new publish (runs are immutable once written; the same property
+  * the signature store's staged-rename publish provides at batch level).
+  * Vacuum is the ONLY destructive operation and is keep-N monotone: it
+  * never touches the newest `keep` runs, so a reader holding the latest
+  * path can't have it deleted mid-read by a vacuum that raced a publish.
+  */
+object TimeTravel {
+
+  // Sink.stampFmt's shape: yyyy-MM-dd-HH-mm-ss
+  private val stampRe = "\\d{4}-\\d{2}-\\d{2}-\\d{2}-\\d{2}-\\d{2}".r
+
+  /** Run stamps under `outputDir`, oldest → newest (lexicographic order of
+    * the stamp format IS chronological order). Non-run entries (manifests,
+    * `_`-prefixed markers) are ignored. */
+  def listRuns(outputDir: String): Seq[String] = {
+    val root = Paths.get(outputDir)
+    if (!Files.isDirectory(root)) Seq.empty
+    else {
+      val stream = Files.list(root)
+      val names =
+        try stream.iterator().asScala.map(_.getFileName.toString).toSeq
+        finally stream.close()
+      names.filter(stampRe.matches(_)).sorted
+    }
+  }
+
+  /** Read one job's data at a specific run stamp. */
+  def readRun(spark: SparkSession, outputDir: String, run: String,
+      jobName: String): DataFrame =
+    spark.read.parquet(s"$outputDir/$run/$jobName/data")
+
+  /** Read the newest run (the default-table view). */
+  def readLatest(spark: SparkSession, outputDir: String,
+      jobName: String): DataFrame = {
+    val runs = listRuns(outputDir)
+    require(runs.nonEmpty, s"no runs under $outputDir")
+    readRun(spark, outputDir, runs.last, jobName)
+  }
+
+  /** Delete all but the newest `keep` runs; returns the deleted stamps.
+    * Refuses keep < 1 (a vacuum that can delete the only run is a
+    * different operation — table drop — and should look like one). */
+  def vacuum(outputDir: String, keep: Int): Seq[String] = {
+    require(keep >= 1, s"vacuum keep must be >= 1, got $keep")
+    val victims = listRuns(outputDir).dropRight(keep)
+    victims.foreach { run => deleteRecursively(Paths.get(outputDir, run)) }
+    victims
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      val paths = try stream.iterator().asScala.toSeq.reverse finally stream.close()
+      paths.foreach(Files.deleteIfExists(_))
+    }
+}

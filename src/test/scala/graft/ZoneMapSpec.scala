@@ -51,6 +51,29 @@ class ZoneMapSpec extends SparkSpec {
     assert(files.size === 8, "hash-scattered files all span the range — none skippable")
   }
 
+  test("time travel: runs list chronologically, old versions stay readable, vacuum keeps newest N") {
+    import graft.etl.{Sink, TimeTravel}
+    val root = tmp("graft_tt_root")
+    val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_quantity")
+    // Three publishes at distinct stamps, each with a distinguishable row count.
+    val instants = Seq("2024-01-01T10:00:00Z", "2024-01-02T10:00:00Z", "2024-01-03T10:00:00Z")
+      .map(java.time.Instant.parse)
+    instants.zipWithIndex.foreach { case (at, i) =>
+      Sink.writeData(li.limit(100 * (i + 1)), Sink.runRoot(root, at), "job")
+    }
+    val runs = TimeTravel.listRuns(root)
+    assert(runs.size === 3 && runs === runs.sorted)
+    // Old versions are immutable path selections: each run keeps its count.
+    assert(TimeTravel.readRun(spark, root, runs.head, "job").count() === 100)
+    assert(TimeTravel.readLatest(spark, root, "job").count() === 300)
+    // Vacuum keep-2: oldest run deleted, survivors unchanged.
+    val deleted = TimeTravel.vacuum(root, keep = 2)
+    assert(deleted === Seq(runs.head))
+    assert(TimeTravel.listRuns(root) === runs.drop(1))
+    assert(TimeTravel.readLatest(spark, root, "job").count() === 300)
+    intercept[IllegalArgumentException](TimeTravel.vacuum(root, keep = 0))
+  }
+
   test("zone-empty range returns an empty frame with the data schema") {
     val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_extendedprice")
     val dataDir = tmp("graft_zm_empty")
