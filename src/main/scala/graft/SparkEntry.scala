@@ -1171,6 +1171,11 @@ object SparkEntry {
           max(col("l_extendedprice")).as("max_price"))),
     "p2_stratified_sample" -> ((s, d) =>
       Curation.stratifiedSample(Tables.documents(s, d))),
+    // Token-budget mixture: each source contributes its α-share of half
+    // the corpus's token mass under a deterministic shuffle order; keep
+    // while the EXCLUSIVE token prefix is under the source budget.
+    "p8_token_budget_mix" -> ((s, d) =>
+      Curation.tokenBudgetMix(Tables.documents(s, d))),
     // ---- text quality (repetition + PII) ----
     "t8_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "t10_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
@@ -2335,6 +2340,22 @@ object SparkEntry {
          |       CAST(sum(sampled) AS BIGINT) AS n_sampled,
          |       round(CAST(sum(sampled) AS DOUBLE) / CAST(count(*) AS DOUBLE), 7) AS realized_rate
          |FROM r GROUP BY lang""".stripMargin,
+    // Window prefix-sum cast back to BIGINT (HUGEINT invariant); budgets
+    // all-integer: (total div 2 · pct) div 100.
+    "p8_token_budget_mix" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |                  CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
+         |                  ${sqlSampleKey("('mix:' || CAST(doc_id AS VARCHAR))")} AS key
+         |           FROM documents),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 2 AS b FROM t),
+         |wt AS (SELECT * FROM (VALUES ('en', 40), ('fr', 15), ('de', 15), ('es', 15), ('zh', 15)) AS v(lang, pct)),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY key, doc_id
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |      FROM t)
+         |SELECT doc_id, lang, n_tokens, cum_before
+         |FROM c JOIN wt USING (lang) CROSS JOIN tot
+         |WHERE cum_before < CAST((b * pct) // 100 AS BIGINT)""".stripMargin,
     "t8_repetition" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS g FROM documents),
         |tc AS (SELECT doc_id, g, count(*) AS c FROM toks GROUP BY 1, 2),

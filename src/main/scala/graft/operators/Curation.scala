@@ -324,6 +324,46 @@ object Curation {
       .select(col("domain"), col("n_total"), col("n_kept"), col("keep_scaled"))
   }
 
+  /** Token-budget mixture sampling — the pretraining data-MIXING step: draw
+    * from each source (language here) until that source's share of a total
+    * token budget is exhausted, under a deterministic document order. Every
+    * mixture recipe ("40% en, 15% each of the rest, B tokens total") is
+    * this operation; rate-based sampling (p2/p5) controls PROBABILITY,
+    * this controls the token MASS each source contributes.
+    *
+    * Semantics: within each source, documents are ordered by the nonlinear
+    * [[TextHash.sampleKey]] (a deterministic shuffle), and a document is
+    * kept iff the EXCLUSIVE prefix-sum of tokens before it is still under
+    * the source's budget — so the budget line lands inside at most one
+    * document per source (bounded overshoot, the standard cut). All
+    * arithmetic is BIGINT: budget_s = (total·pct) div 100 with the total
+    * derived from the corpus itself, so the same recipe scales with the
+    * data on both engines.
+    *
+    * Plan shape: one token-count aggregate (1-row broadcast), a tiny
+    * weight-table broadcast, one per-source window prefix-sum — the only
+    * sort is source-partitioned, never global. */
+  def tokenBudgetMix(docs: DataFrame,
+      weights: Seq[(String, Int)] = Seq("en" -> 40, "fr" -> 15, "de" -> 15, "es" -> 15, "zh" -> 15),
+      budgetDen: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(
+      col("doc_id"), col("lang"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+      TextHash.sampleKey(concat(lit("mix:"), col("doc_id").cast("string"))).as("__key"))
+    val totalRow = base.agg(sum(col("n_tokens")).as("__total"))
+      .select(expr(s"__total div $budgetDen").as("__budget"))
+    val wDf = docs.sparkSession.createDataFrame(weights).toDF("lang", "__pct")
+    val w = Window.partitionBy(col("lang")).orderBy(col("__key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(wDf), Seq("lang"))
+      .crossJoin(broadcast(totalRow))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < expr("(__budget * __pct) div 100"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"))
+  }
+
   /** Deterministic stratified sample: keep a document iff the portable hash
     * of its salted id falls under its language's per-mille rate. Output is
     * the per-stratum evidence (population, sample size, realized rate);

@@ -183,4 +183,26 @@ class CurationSpec extends SparkSpec {
     assert(out.except(Curation.corpusShuffle(docs, nShards = 8)).isEmpty)
     out.unpersist()
   }
+
+  test("tokenBudgetMix: per-source token mass lands within one document of its budget share") {
+    import org.apache.spark.sql.functions.{col, size, split, sum, trim}
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val kept = Curation.tokenBudgetMix(docs)
+    val total = docs.select(sum(size(split(trim(col("text")), " +")).cast("long")))
+      .head().getLong(0)
+    val budget = Map("en" -> 40L, "fr" -> 15L, "de" -> 15L, "es" -> 15L, "zh" -> 15L)
+      .map { case (l, p) => l -> (total / 2) * p / 100 }
+    val perLang = kept.groupBy("lang").agg(sum(col("n_tokens")).as("mass"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.keySet === budget.keySet, "every source must contribute")
+    for ((lang, mass) <- perLang) {
+      // exclusive-prefix cut: mass < budget + the crossing doc's tokens
+      assert(mass >= budget(lang) / 2, s"$lang mass $mass suspiciously under budget ${budget(lang)}")
+      val crossing = kept.filter(col("lang") === lang)
+        .agg(org.apache.spark.sql.functions.max(col("n_tokens"))).head().getLong(0)
+      assert(mass <= budget(lang) + crossing, s"$lang overshoot beyond one doc")
+    }
+    // Deterministic.
+    assert(kept.except(Curation.tokenBudgetMix(docs)).isEmpty)
+  }
 }
