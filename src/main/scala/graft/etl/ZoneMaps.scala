@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   * writes, [[Layout.zorderWrite]]): on a scattered layout every file spans
   * the full value range and nothing prunes — the spec pins both halves.
   *
-  * Correctness does not depend on pruning: [[prunedRead]] re-applies the
-  * predicate after file selection, so a stale manifest row can only cost
-  * IO, never rows.
+  * Correctness does not depend on the STATS: [[prunedRead]] re-applies the
+  * predicate after file selection, so an imprecise min/max can only cost
+  * IO. A stale FILE SET is different — a file written after the manifest
+  * build is absent from it, and skipping it would silently drop rows — so
+  * prunedRead verifies the manifest covers the data dir's current listing
+  * (the listing is metadata-plane work the read pays anyway; zone maps
+  * save data reads, not listings) and fails loudly on drift.
   */
 object ZoneMaps {
 
@@ -52,6 +56,15 @@ object ZoneMaps {
   def prunedRead(spark: SparkSession, dataDir: String, manifestDir: String,
       column: String, lo: Any, hi: Any): (DataFrame, Seq[String]) = {
     val manifest = spark.read.parquet(manifestDir)
+    // Freshness gate: every data file must appear in the manifest. A file
+    // added after build is NOT covered and skipping it would drop rows —
+    // the one staleness mode re-applying the predicate cannot repair.
+    val current = spark.read.parquet(dataDir).inputFiles.toSet
+    val covered = manifest.select(col("file")).collect().map(_.getString(0)).toSet
+    val missing = current.diff(covered)
+    require(missing.isEmpty,
+      s"zone-map manifest at $manifestDir is stale: ${missing.size} data file(s) " +
+        s"not covered (e.g. ${missing.headOption.getOrElse("")}); rebuild with ZoneMaps.build")
     // Keep file iff NOT (max < lo OR min > hi); files with null stats
     // (all-null slab) are kept — over-reading is safe, dropping rows not.
     val keep = manifest.filter(

@@ -74,6 +74,21 @@ class ZoneMapSpec extends SparkSpec {
     intercept[IllegalArgumentException](TimeTravel.vacuum(root, keep = 0))
   }
 
+  test("stale manifest (file added after build) fails loudly instead of dropping rows") {
+    val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_extendedprice")
+    val dataDir = tmp("graft_zm_stale")
+    val manifestDir = tmp("graft_zm_stale_mf")
+    li.repartitionByRange(4, col("l_extendedprice"))
+      .write.mode("overwrite").parquet(dataDir)
+    ZoneMaps.build(spark, dataDir, manifestDir, Seq("l_extendedprice"))
+    // A late-arriving file the manifest has never seen:
+    li.limit(10).coalesce(1).write.mode("append").parquet(dataDir)
+    val e = intercept[IllegalArgumentException] {
+      ZoneMaps.prunedRead(spark, dataDir, manifestDir, "l_extendedprice", 0.0, 1e9)
+    }
+    assert(e.getMessage.contains("stale"))
+  }
+
   test("zone-empty range returns an empty frame with the data schema") {
     val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_extendedprice")
     val dataDir = tmp("graft_zm_empty")
