@@ -317,4 +317,30 @@ class PropertySpec extends SparkSpec {
       assert(merged.counts.size <= cap)
     }
   }
+
+  test("property: containmentPairs ≡ brute force on random small-vocab corpora") {
+    // Small vocabulary forces heavy shingle sharing — the dense-candidate
+    // regime where a broken prefix/positional/size bound would actually
+    // show up as lost recall.
+    val word: Gen[String] = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc: Gen[String] = Gen.chooseNum(3, 12)
+      .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    forAll(Gen.listOfN(12, doc), cases = 3) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val pruned = graft.operators.Dedup.containmentPairs(docs)
+      val sh = graft.operators.Dedup.shingleHashes(docs)
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
+      val brute = sh.select(col("doc_id").as("doc_a"), col("h"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+        .join(cnt.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+        .filter(col("n_inter") * 5 >= col("n_a") * 4)
+        .withColumn("containment",
+          round(col("n_inter").cast("double") / col("n_a").cast("double"), 7))
+        .select("doc_a", "doc_b", "n_inter", "n_a", "containment")
+      assert(pruned.except(brute).isEmpty && brute.except(pruned).isEmpty)
+    }
+  }
 }
