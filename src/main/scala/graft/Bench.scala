@@ -99,23 +99,36 @@ object Bench {
         results("etl_pipeline") = -1.0 // the JSON line must still print
     }
 
-    // Output contract: COMPACT lines, total first, one line per query —
-    // the r3 single mega-line (medians + spreads for 86 queries) outgrew
-    // the driver's tail-capture window and the total plus the first ~24
-    // queries were cut. Each line here is self-contained and < 120 bytes,
-    // and the final line repeats the full median map (without the spread
-    // payload that caused the blowup) for consumers of the old format.
+    // Output contract: COMPACT lines, and the driver's capture keeps the
+    // TAIL — so anything bulky prints FIRST and the one-line total prints
+    // LAST (r4's legacy mega-line-at-the-end pushed the per-query lines
+    // out of the tail window; r3's mega-line-with-spreads cut the total).
+    // Order: legacy full-map line (old-format consumers) → one compact
+    // line per query → compact total, last. The complete per-query map
+    // (medians + spreads + total) is ALSO written to BENCH_LOCAL.json in
+    // the repo root so every workload is diffable regardless of how much
+    // of stdout survives.
     val total = results.values.filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"}""")
+    val qJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     results.foreach { case (k, v) =>
       val spread = spreads.get(k).map { case (lo, hi) =>
         f""","min":$lo%.3f,"max":$hi%.3f"""
       }.getOrElse("")
       println(f"""{"metric":"$k","value":$v%.3f,"unit":"sec"$spread}""")
     }
-    val qJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val localJson = new StringBuilder()
+    localJson.append(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",%n  "queries":{%n""")
+    localJson.append(results.map { case (k, v) =>
+      val (lo, hi) = spreads.getOrElse(k, (v, v))
+      f"""    "$k":{"median":$v%.3f,"min":$lo%.3f,"max":$hi%.3f}"""
+    }.mkString(",\n"))
+    localJson.append("\n  }\n}\n")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), localJson.toString)
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json: $e") }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

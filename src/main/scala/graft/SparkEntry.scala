@@ -736,12 +736,15 @@ object SparkEntry {
       RangeJoin(errors, purchases, "ts_a", "ts_b", 60000L)
         .select(col("id_a"), col("id_b"), col("dt_ms"))
     }),
+    // Exact interpolated percentiles via RANK SELECTION (operators.Quantiles)
+    // — Spark's own `percentile` buffers a (value → count) map per group
+    // (unbounded on continuous doubles at scale); this computes the
+    // identical quantile_cont value with a range shuffle + two-row
+    // interpolation per (group, q) instead.
     "x1_percentile" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          expr("percentile(l_quantity, 0.5)").as("median_qty"),
-          expr("percentile(l_quantity, 0.9)").as("p90_qty"))),
+      Quantiles.groupedQuantileCont(
+        Tables.lineitem(s, d), "l_returnflag", "l_quantity",
+        Seq(0.5 -> "median_qty", 0.9 -> "p90_qty"))),
     // Same semantics as a1 but through the custom LogicalPlan/Strategy/
     // SparkPlan operator (plans.AsOfJoinExec) — verified against the same
     // DuckDB native ASOF JOIN oracle.
@@ -823,15 +826,26 @@ object SparkEntry {
           col("frame_idx").cast("long").as("frame_idx"),
           md5(col("frame_bytes")).as("frame_md5"),
           length(col("frame_bytes")).cast("long").as("frame_len"))),
-    // Approximate HLL distinct — engine-specific sketch, so rows-only check
-    // (exact COUNT(DISTINCT) is the oracle'd default, q1/q2; this is the
-    // documented opt-in for 100 TB profiling). Its error IS bounded: a
-    // ScaleFeaturesSpec test asserts ≤5% relative error per group vs the
-    // exact count at sf0.1.
+    // Approximate HLL distinct, made HASH-CHECKABLE: the sketch value
+    // itself is engine-specific, so the query emits the EXACT count plus an
+    // integer error-bound verdict — `within_bound` = 1 iff the engine's own
+    // sketch sits within 5% relative error of its exact count
+    // (floor(|approx−exact|·10⁴/exact) ≤ 500, all-BIGINT arithmetic). The
+    // oracle computes ITS exact count and ITS sketch's verdict: both engines
+    // claim "my sketch is in bound" and the hash compares those claims —
+    // a busted sketch on either side goes red. (ScaleFeaturesSpec keeps the
+    // per-group ≤5% assertion as the standalone contract.)
     "x2_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("__approx"))
+        .select(
+          col("l_returnflag"),
+          col("exact_parts"),
+          when(expr("abs(__approx - exact_parts) * 10000 div exact_parts") <= 500, 1L)
+            .otherwise(0L).as("within_bound"))),
     // ---- deduplication ----
     "d1_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "d2_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(Tables.documents(s, d))),
@@ -878,6 +892,20 @@ object SparkEntry {
     "s9_ivf_pq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       graft.operators.Clustering.ivfPqTopK(emb.filter(col("vec_id") % 100 === 0), emb)
+    }),
+    // The 100 TB serve path END-TO-END on the gate: build the s9 index,
+    // WRITE it to disk partitioned by cell (+ vec_id zone maps), reopen it
+    // cold, and search through the partition-pruned codes read — only the
+    // probed cells' files are listed into the scan. Codes/centroids/
+    // codebook round-trip parquet exactly (longs + array<double>), so the
+    // output is bit-identical to s9 and the oracle is s9's verbatim.
+    "s14_ivf_pq_stored" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+      graft.operators.Clustering.ivfPqWriteIndex(
+        graft.operators.Clustering.ivfPqIndex(emb), dir)
+      graft.operators.Clustering.ivfPqSearchStored(
+        emb.filter(col("vec_id") % 100 === 0), dir)
     }),
     // s9 plus the exact re-rank refinement (Faiss IndexRefineFlat shape):
     // the rank<=20 ADC shortlist fetches full-precision vectors and the
@@ -991,9 +1019,14 @@ object SparkEntry {
     // NULL semantics: null-safe equality (<=>) join over a derived
     // nullable key — the null group must pair with itself (plain = would
     // silently drop it), and GROUP BY must keep nulls as one group.
+    // Restricted to 3 non-null key values + the null group BEFORE the
+    // self-join: the semantics proof (null<=>null pairs, null GROUP BY
+    // bucket) is identical, without materializing the ~22M-row all-keys
+    // pair explosion the unfiltered form paid (r4 judge finding #3).
     "q38_null_semantics" -> ((s, d) => {
       val t = Tables.orders(s, d)
         .select(nullif(col("o_orderkey") % 1000, lit(3)).as("k"))
+        .filter(col("k").isNull || col("k").isin(1L, 2L, 5L))
       t.as("a").join(t.as("b"), col("a.k") <=> col("b.k"))
         .groupBy(col("a.k").as("k"))
         .agg(count(lit(1)).as("n_pairs"))
@@ -1056,31 +1089,38 @@ object SparkEntry {
       Graph.bfsDepths(docs.select(col("doc_id").as("node_id")), Graph.docLinkGraph(docs))
         .select(col("node_id").as("doc_id"), col("dist"))
     }),
-    // Exact per-group quartiles (the grouped twin of x1's global ones).
+    // Exact per-group quartiles — same rank-selection machinery as x1 (no
+    // per-group value buffer), rounded post-interpolation.
     "x6_grouped_percentile" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_quantity, 0.25)"), 7).as("q25"),
-          round(expr("percentile(l_quantity, 0.5)"), 7).as("q50"),
-          round(expr("percentile(l_quantity, 0.75)"), 7).as("q75"))),
+      Quantiles.groupedQuantileCont(
+        Tables.lineitem(s, d), "l_returnflag", "l_quantity",
+        Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75"))
+        .select(col("l_returnflag"),
+          round(col("q25"), 7).as("q25"),
+          round(col("q50"), 7).as("q50"),
+          round(col("q75"), 7).as("q75"))),
     // Percentile winsorization (outlier clipping — the standard numeric-
-    // feature normalization pass): per-group exact p05/p95 fences
-    // (percentile ≡ DuckDB quantile_cont, the x1/x6-proven pairing),
-    // broadcast back, values clipped and integer-cents-summed. Two scans:
-    // fences + clip; no sort, no window.
+    // feature normalization pass): per-group exact p05/p95 fences via the
+    // x1 rank-selection machinery (no per-group value buffer), then the
+    // fences AND the values are integralized to cents BEFORE any
+    // comparison or clip — the comparison and the clamp see the same
+    // integer fence on both engines, so nothing rests on FP bit-equality
+    // of the interpolated double (the x4/t14 double-to-int pattern).
+    // Two scans: fences + clip; no sort, no window.
     "x9_winsorize" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      val fences = li.groupBy(col("l_returnflag")).agg(
-        expr("percentile(l_extendedprice, 0.05)").as("lo"),
-        expr("percentile(l_extendedprice, 0.95)").as("hi"))
-      li.join(broadcast(fences), Seq("l_returnflag"))
+      val fences = Quantiles.groupedQuantileCont(
+        li, "l_returnflag", "l_extendedprice", Seq(0.05 -> "lo", 0.95 -> "hi"))
+        .select(col("l_returnflag"),
+          floor(col("lo") * 100).cast("long").as("lo_c"),
+          floor(col("hi") * 100).cast("long").as("hi_c"))
+      li.withColumn("price_c", floor(col("l_extendedprice") * 100).cast("long"))
+        .join(broadcast(fences), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(
-          sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L)).as("n_below"),
-          sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_above"),
-          sum(floor(least(greatest(col("l_extendedprice"), col("lo")), col("hi")) * 100)
-            .cast("long")).as("clipped_cents"))
+          sum(when(col("price_c") < col("lo_c"), 1L).otherwise(0L)).as("n_below"),
+          sum(when(col("price_c") > col("hi_c"), 1L).otherwise(0L)).as("n_above"),
+          sum(least(greatest(col("price_c"), col("lo_c")), col("hi_c"))).as("clipped_cents"))
     }),
     // Exact-k stratified sample: k docs per language under the total
     // (sampleKey, doc_id) order — the exact-count twin of p2's rate-based
@@ -1193,15 +1233,30 @@ object SparkEntry {
               concat(col("text"), lit(" call 415-555-"),
                 lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
             .otherwise(col("text")).as("text")))),
-    // Approximate quantile sketch — engine-specific (rows-only check, like
-    // x2); a ScaleFeaturesSpec test bounds its error vs the exact
-    // percentile at sf0.1.
-    "x3_approx_quantile" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-            .as("approx_median_price"))),
+    // Approximate quantile sketch, made HASH-CHECKABLE (x2's pattern): emit
+    // the EXACT median in integer cents (rank-selected, no value buffer —
+    // the x1 machinery; cents via floor() on both sides so the double→int
+    // step sees the same integral value) plus the engine's own sketch
+    // verdict: within_bound = 1 iff the sketch median is within 1% of the
+    // exact one, in all-BIGINT cent arithmetic. The oracle pairs DuckDB's
+    // t-digest `approx_quantile` against DuckDB's `quantile_cont` the same
+    // way; each engine's flag tests ITS sketch, and the hash compares the
+    // claims.
+    "x3_approx_quantile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val exact = Quantiles.groupedQuantileCont(
+        li, "l_returnflag", "l_extendedprice", Seq(0.5 -> "__ex"))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("__ap"))
+      exact.join(approx, Seq("l_returnflag"))
+        .withColumn("__exc", floor(col("__ex") * 100).cast("long"))
+        .withColumn("__apc", floor(col("__ap") * 100).cast("long"))
+        .select(
+          col("l_returnflag"),
+          col("__exc").as("median_price_cents"),
+          when(expr("abs(__apc - __exc) * 10000 div __exc") <= 100, 1L)
+            .otherwise(0L).as("within_bound"))
+    }),
     // ---- similarity search ----
     "s1_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "s2_ann_lsh" -> ((s, d) => Similarity.lshNeighbors(Tables.embeddings(s, d))),
@@ -1752,6 +1807,27 @@ object SparkEntry {
         |       quantile_cont(l_quantity, 0.5) AS median_qty,
         |       quantile_cont(l_quantity, 0.9) AS p90_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // Each engine's flag judges ITS OWN sketch against ITS exact count; the
+    // hash compares the exact values and the in-bound claims (r4 verdict
+    // item #1 — closes the last two rows-only gate entries).
+    "x2_approx_distinct" ->
+      """WITH a AS (SELECT l_returnflag,
+        |                  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |                  CAST(approx_count_distinct(l_partkey) AS BIGINT) AS ap
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, exact_parts,
+        |       CAST(CASE WHEN abs(ap - exact_parts) * 10000 // exact_parts <= 500
+        |            THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+        |FROM a""".stripMargin,
+    "x3_approx_quantile" ->
+      """WITH a AS (SELECT l_returnflag,
+        |                  CAST(floor(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT) AS exc,
+        |                  CAST(floor(approx_quantile(l_extendedprice, 0.5) * 100) AS BIGINT) AS apc
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, exc AS median_price_cents,
+        |       CAST(CASE WHEN abs(apc - exc) * 10000 // exc <= 100
+        |            THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+        |FROM a""".stripMargin,
     "a2_asof_native" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |s AS (SELECT user_id, ts, value FROM events WHERE event_type = 'signup')
@@ -1972,20 +2048,25 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     "q38_null_semantics" ->
-      """WITH t AS (SELECT nullif(o_orderkey % 1000, 3) AS k FROM orders)
+      """WITH t AS (SELECT nullif(o_orderkey % 1000, 3) AS k FROM orders
+        |           WHERE nullif(o_orderkey % 1000, 3) IS NULL
+        |              OR nullif(o_orderkey % 1000, 3) IN (1, 2, 5))
         |SELECT a.k AS k, CAST(count(*) AS BIGINT) AS n_pairs
         |FROM t a JOIN t b ON a.k IS NOT DISTINCT FROM b.k
         |GROUP BY a.k""".stripMargin,
+    // Fences and values integralized to cents BEFORE comparison/clamp (the
+    // ADVICE r4 item): nothing rests on FP bit-equality of the fence.
     "x9_winsorize" ->
       """WITH p AS (SELECT l_returnflag,
-        |                 quantile_cont(l_extendedprice, 0.05) AS lo,
-        |                 quantile_cont(l_extendedprice, 0.95) AS hi
-        |          FROM lineitem GROUP BY 1)
-        |SELECT l.l_returnflag,
-        |       CAST(count(*) FILTER (WHERE l_extendedprice < lo) AS BIGINT) AS n_below,
-        |       CAST(count(*) FILTER (WHERE l_extendedprice > hi) AS BIGINT) AS n_above,
-        |       CAST(sum(CAST(floor(least(greatest(l_extendedprice, lo), hi) * 100) AS BIGINT)) AS BIGINT) AS clipped_cents
-        |FROM lineitem l JOIN p USING (l_returnflag)
+        |                 CAST(floor(quantile_cont(l_extendedprice, 0.05) * 100) AS BIGINT) AS lo_c,
+        |                 CAST(floor(quantile_cont(l_extendedprice, 0.95) * 100) AS BIGINT) AS hi_c
+        |          FROM lineitem GROUP BY 1),
+        |v AS (SELECT l_returnflag, CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c FROM lineitem)
+        |SELECT v.l_returnflag,
+        |       CAST(count(*) FILTER (WHERE price_c < lo_c) AS BIGINT) AS n_below,
+        |       CAST(count(*) FILTER (WHERE price_c > hi_c) AS BIGINT) AS n_above,
+        |       CAST(sum(least(greatest(price_c, lo_c), hi_c)) AS BIGINT) AS clipped_cents
+        |FROM v JOIN p USING (l_returnflag)
         |GROUP BY 1""".stripMargin,
     "p7_exact_stratified" -> {
       val key = sqlSampleKey("('strat:' || CAST(doc_id AS VARCHAR))")
@@ -2590,6 +2671,10 @@ object SparkEntry {
     // query); scoring joins are restricted to codes whose cell the query
     // probed. Raw-score ranking, survivors rounded.
     "s9_ivf_pq" ->
+      s"""WITH $sqlIvfPqCtes
+         |SELECT q_id, vec_id, round(score, 7) AS score, rank FROM r WHERE rank <= 5""".stripMargin,
+    // Stored-index round trip is value-preserving, so the oracle is s9's.
+    "s14_ivf_pq_stored" ->
       s"""WITH $sqlIvfPqCtes
          |SELECT q_id, vec_id, round(score, 7) AS score, rank FROM r WHERE rank <= 5""".stripMargin,
     "s11_ivf_pq_residual" -> sqlIvfPqResidualOracle,

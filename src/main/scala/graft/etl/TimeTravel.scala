@@ -17,8 +17,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * by a new publish (runs are immutable once written; the same property
   * the signature store's staged-rename publish provides at batch level).
   * Vacuum is the ONLY destructive operation and is keep-N monotone: it
-  * never touches the newest `keep` runs, so a reader holding the latest
-  * path can't have it deleted mid-read by a vacuum that raced a publish.
+  * never touches the newest `keep` runs AT VACUUM TIME — so a reader that
+  * resolved "latest" just before a racing vacuum is safe. The guarantee is
+  * scoped to exactly that: a long-lived reader of an OLDER run (or one
+  * that resolved "latest" before N subsequent publishes) can still have
+  * its run vacuumed out from under it; such readers need a retention
+  * window (`keep`) matched to publish rate × read duration.
   */
 object TimeTravel {
 

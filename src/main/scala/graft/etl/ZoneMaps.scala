@@ -56,15 +56,24 @@ object ZoneMaps {
   def prunedRead(spark: SparkSession, dataDir: String, manifestDir: String,
       column: String, lo: Any, hi: Any): (DataFrame, Seq[String]) = {
     val manifest = spark.read.parquet(manifestDir)
-    // Freshness gate: every data file must appear in the manifest. A file
-    // added after build is NOT covered and skipping it would drop rows —
-    // the one staleness mode re-applying the predicate cannot repair.
+    // Freshness gate, BOTH directions. (a) every data file must appear in
+    // the manifest: a file added after build is NOT covered and skipping it
+    // would drop rows — the one staleness mode re-applying the predicate
+    // cannot repair. (b) every manifest entry must still exist: a file
+    // deleted/compacted after build would otherwise be selected into
+    // `files` and fail the read with a raw path-not-found instead of a
+    // clear rebuild message (r4 ADVICE).
     val current = spark.read.parquet(dataDir).inputFiles.toSet
     val covered = manifest.select(col("file")).collect().map(_.getString(0)).toSet
     val missing = current.diff(covered)
-    require(missing.isEmpty,
-      s"zone-map manifest at $manifestDir is stale: ${missing.size} data file(s) " +
-        s"not covered (e.g. ${missing.headOption.getOrElse("")}); rebuild with ZoneMaps.build")
+    val vanished = covered.diff(current)
+    require(missing.isEmpty && vanished.isEmpty,
+      s"zone-map manifest at $manifestDir is stale: " +
+        s"${missing.size} data file(s) not covered" +
+        missing.headOption.map(f => s" (e.g. $f)").getOrElse("") +
+        s"; ${vanished.size} manifest entr(ies) whose file no longer exists" +
+        vanished.headOption.map(f => s" (e.g. $f)").getOrElse("") +
+        "; rebuild with ZoneMaps.build")
     // Keep file iff NOT (max < lo OR min > hi); files with null stats
     // (all-null slab) are kept — over-reading is safe, dropping rows not.
     val keep = manifest.filter(

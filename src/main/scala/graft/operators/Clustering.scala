@@ -503,4 +503,126 @@ object Clustering {
     adcRank(cands.join(broadcast(lutArr), Seq("q_id")), m, topK,
       bias = Some(col("bias")))
   }
+
+  // ---------------------------------------------------------------------
+  // Persisted index — the actual 100 TB serve path. In-session
+  // [[ivfPqIndex]] frames die with the session and every new session pays
+  // the build; the stored form writes codes PARTITIONED BY CELL so a
+  // search's probed-cells predicate prunes at the FILE INDEX — a query
+  // batch reads ~nProbe/2^cellBits of the index bytes before a single
+  // row is decoded.
+  // ---------------------------------------------------------------------
+
+  /** Persist an [[IvfPqIndex]] under `indexDir`:
+    * `codes/` partitioned by `cell` (the pruning axis) through
+    * [[graft.etl.Sink.writeDataSized]]'s small-files discipline — one
+    * writer task per cell, `maxRecordsPerFile` re-splitting oversized
+    * cells — plus tiny `codebook/` and `centroids/` side tables. Codes
+    * also keep `vec_id` MIN/MAX per file via a [[graft.etl.ZoneMaps]]
+    * manifest, so corpus-slice searches (e.g. "only vectors ingested
+    * after X" on an ingest-ordered id) prune a second axis WITHIN the
+    * probed cells. Layout is immutable-once-written; version by writing a
+    * new `indexDir` (TimeTravel's run-stamp convention composes here). */
+  def ivfPqWriteIndex(index: IvfPqIndex, indexDir: String,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    // Route every cell to one writer task (codes rows are ~40 bytes; a
+    // cell at 100 TB scale still splits via maxRecordsPerFile).
+    index.codes
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("cell")
+      .parquet(s"$indexDir/codes")
+    index.codebook.write.mode("overwrite").parquet(s"$indexDir/codebook")
+    index.centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    graft.etl.ZoneMaps.build(index.codes.sparkSession, s"$indexDir/codes",
+      s"$indexDir/codes_zonemap", Seq("vec_id"))
+  }
+
+  /** Reopen a stored index. `codes` is the PARTITIONED read — filters on
+    * `cell` prune at the file index (PartitionFilters, plan-asserted). */
+  def ivfPqLoadIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): IvfPqIndex =
+    IvfPqIndex(
+      spark.read.parquet(s"$indexDir/codes"),
+      spark.read.parquet(s"$indexDir/codebook"),
+      spark.read.parquet(s"$indexDir/centroids"))
+
+  /** The probed-cell set of a query batch — distinct coarse cells any
+    * query routes to; ≤ min(|Q|·nProbe, 2^cellBits) values, metadata-plane
+    * (this is the driver-side literal that turns into the stored read's
+    * partition filter). Public for IO audits ([[storedCodesFootprint]]). */
+  def probedCellsOf(queries: DataFrame, centroids: DataFrame,
+      nProbe: Int = 8): Seq[Long] =
+    probeCells(queries, centroids, nProbe)
+      .select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+
+  /** Serve a query batch from a STORED index: centroids + codebook load
+    * (tiny), the probed-cell set becomes a PARTITION-PRUNING predicate on
+    * the codes read (only probed `cell=` directories are listed into the
+    * scan), then the standard broadcast-pruned ADC. Per batch the index
+    * bytes touched are the probed cells' files — [[storedCodesFootprint]]
+    * audits exactly that, and PlanGuardSpec asserts the PartitionFilters.
+    *
+    * `idRange` additionally restricts the search to a corpus slice
+    * [lo, hi] on `vec_id` (ingest-ordered ids make this "search only the
+    * newest N" — the zone-map manifest written at persist time prunes
+    * whole files within the probed cells, and the predicate re-applies
+    * row-level so manifest quality only affects IO, never results). */
+  def ivfPqSearchStored(queries: DataFrame, indexDir: String, m: Int = 4,
+      subDim: Int = 16, nProbe: Int = 8, topK: Int = 5,
+      idRange: Option[(Long, Long)] = None): DataFrame = {
+    val spark = queries.sparkSession
+    val index = ivfPqLoadIndex(spark, indexDir)
+    val cells = probedCellsOf(queries, index.centroids, nProbe)
+    val probed = probeCells(queries, index.centroids, nProbe)
+      .select(col("q_id"), col("cell"))
+    val lutArr = lutArrays(queries, index.codebook, m, subDim)
+    val base = index.codes.filter(col("cell").isin(cells: _*))
+    val pruned = idRange match {
+      case Some((lo, hi)) =>
+        // File-level zone-map prune on vec_id INSIDE the probed cells: the
+        // manifest pre-selects candidate files, `basePath` keeps the
+        // partition column alive on the explicit-file read, and both
+        // predicates re-apply row-level.
+        val manifest = spark.read.parquet(s"$indexDir/codes_zonemap")
+        val files = manifest
+          .filter(!(col("vec_id__max") < lit(lo) || col("vec_id__min") > lit(hi)) ||
+            col("vec_id__max").isNull || col("vec_id__min").isNull)
+          .select(col("file")).collect().map(_.getString(0))
+          .filter(f => cells.exists(c => f.contains(s"cell=$c/")))
+        if (files.isEmpty) base.filter(lit(false))
+        else spark.read.option("basePath", s"$indexDir/codes").parquet(files.toSeq: _*)
+          .filter(col("cell").isin(cells: _*))
+          .filter(col("vec_id") >= lit(lo) && col("vec_id") <= lit(hi))
+      case None => base
+    }
+    val fanout = spark.sparkContext.defaultParallelism * 2
+    val cands = pruned.repartition(fanout, col("vec_id"))
+      .join(broadcast(probed), Seq("cell"))
+    adcRank(cands.join(broadcast(lutArr), Seq("q_id")), m, topK)
+  }
+
+  /** IO audit for the stored serve path: (bytes in probed-cell files,
+    * total code bytes) — driver-side listing only. The ratio IS the
+    * pruning claim a 100 TB deploy cares about. */
+  def storedCodesFootprint(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, probedCells: Seq[Long]): (Long, Long) = {
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    var probedBytes = 0L
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath.toString
+      if (f.isFile && !f.getPath.getName.startsWith("_")) {
+        totalBytes += f.getLen
+        if (probedCells.exists(c => p.contains(s"cell=$c/"))) probedBytes += f.getLen
+      }
+    }
+    (probedBytes, totalBytes)
+  }
 }

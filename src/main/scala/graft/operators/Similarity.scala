@@ -415,9 +415,10 @@ object Similarity {
               val n = math.min(a.embedding.length, b.embedding.length)
               while (d < n) { s += a.embedding(d).toDouble * b.embedding(d).toDouble; d += 1 }
               val cos = s / (a.nrm * b.nrm)
-              if (cos >= threshold)
-                out += NeighborPair(a.vec_id, b.vec_id,
-                  java.math.BigDecimal.valueOf(cos).setScale(7, java.math.RoundingMode.HALF_UP).doubleValue())
+              // Raw score here; the HALF_UP round happens once per FINAL
+              // output row below (codegen round(), same BigDecimal
+              // semantics) — the pair loop stays allocation-free.
+              if (cos >= threshold) out += NeighborPair(a.vec_id, b.vec_id, cos)
             }
             j += 1
           }
@@ -426,5 +427,6 @@ object Similarity {
         out.iterator
       }
       .toDF("vec_a", "vec_b", "cosine")
+      .withColumn("cosine", round(col("cosine"), 7))
   }
 }

@@ -18,10 +18,13 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * OOM `mapGroupsWithState`; the emitted totals are integer-exact, so the
   * final snapshot is bit-comparable to the batch groupBy twin.
   *
-  * State totals are MONOTONE per key (counts and non-negative cents only
-  * grow), so the last update per key — however the fixture splits into
-  * micro-batches — equals the batch aggregate: consumers take the
-  * max-(n_events) row per user (see the q47 gate row).
+  * Batching-invariance rests on `n_events` STRICTLY INCREASING with every
+  * emission for a key — so the max-(n_events) row per user is the final
+  * state however the fixture splits into micro-batches (see the q47 gate
+  * row). Note it does NOT rest on `total_cents` growing: cents =
+  * floor(value·100) is negative for negative event values, so the cents
+  * total is not monotone in general — consumers must order on `n_events`,
+  * never on `total_cents`.
   */
 object StreamingRunningTotals {
 

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Dedup
+
+/** Streaming ingest INTO the durable signature store — the unification of
+  * the two near-dup worlds (r4 verdict #3): [[StreamingNearDup]] keeps LSH
+  * bucket membership in the streaming STATE STORE (fast, but private to
+  * one query's checkpoint), while [[Dedup.incrementalMinhashPairs]] owns
+  * the durable batch store with the writer lease. A production pipeline
+  * runs ONE corpus history: each micro-batch of documents is ingested into
+  * the SAME durable store batch jobs use, through the same
+  * `withStoreLock` lease — so stream-vs-batch, whoever arrives first, the
+  * cross pairs are emitted exactly once and a concurrent batch writer
+  * fails loudly instead of silently losing pairs.
+  *
+  * Semantics inherited from [[Dedup.incrementalMinhashPairs]] (all
+  * spec-asserted there): arrival-order runs ≡ one batch run, idempotent
+  * re-ingest (anti-join), staged atomic publish, loud lease conflict.
+  * What foreachBatch adds is exactly-once OUTPUT: a replayed micro-batch
+  * (restart between sink write and checkpoint commit) re-enters the
+  * ingest with the same doc_ids — the store anti-join makes the store
+  * append a no-op, and the pairs sink writes to a PER-BATCH directory
+  * with overwrite, so the replay overwrites its own previous attempt
+  * instead of appending duplicates.
+  *
+  * Each micro-batch pays one store snapshot read (pruned to candidate
+  * docs by the semi-join inside the ingest), so trigger intervals should
+  * be sized to amortize it — this is a minutes-cadence ingest pipeline,
+  * not a millisecond-latency one; for the latter, front it with
+  * [[StreamingNearDup]] state and reconcile into the store on a timer.
+  */
+object StreamingStoreIngest {
+
+  /** Start the ingest: `docs` is a streaming frame of (doc_id, text).
+    * Pairs land under `pairsOut/ingest_batch=<id>/` (overwrite-idempotent
+    * per micro-batch); signatures land in the durable store at
+    * `storePath`. */
+  def run(docs: DataFrame, storePath: String, pairsOut: String,
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // The lease (inside incrementalMinhashPairs) serializes this
+        // micro-batch against any concurrent BATCH ingest of the same
+        // store; a held lock fails the stream loudly (StreamingQuery
+        // terminates with the holder's identity) rather than dropping
+        // cross-batch pairs.
+        val pairs = Dedup.incrementalMinhashPairs(batch, storePath)
+        pairs.write.mode("overwrite")
+          .parquet(s"$pairsOut/ingest_batch=$batchId")
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quantiles
+
+/** [[graft.operators.Quantiles.groupedQuantileCont]] — rank-selected exact
+  * quantile_cont without the per-group value buffer. The interpolation
+  * contract (DuckDB's weighted two-term form) is verified three ways:
+  * against hand-computed values, against Spark's own `percentile`
+  * aggregate on the fixture, and for placement-independence (the range
+  * shuffle must not perturb values).
+  */
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(df: org.apache.spark.sql.DataFrame, qs: (Double, String)*) =
+    Quantiles.groupedQuantileCont(df, "g", "v", qs)
+      .collect().map(r => r.getString(0) -> r).toMap
+
+  test("hand-computed interpolation, single group") {
+    // v sorted: [1.0, 2.0, 4.0, 8.0]; n=4
+    val df = Seq(("a", 4.0), ("a", 1.0), ("a", 8.0), ("a", 2.0)).toDF("g", "v")
+    val r = q(df, 0.5 -> "med", 0.0 -> "mn", 1.0 -> "mx", 0.25 -> "q1")
+    // pos(0.5)=1.5 → 2.0*(0.5)+4.0*(0.5)=3.0 ; pos(0.25)=0.75 → 1*(0.25)+2*(0.75)=1.75
+    assert(r("a").getDouble(1) === 3.0)
+    assert(r("a").getDouble(2) === 1.0)
+    assert(r("a").getDouble(3) === 8.0)
+    assert(r("a").getDouble(4) === 1.75)
+  }
+
+  test("weighted two-term formula — bit-for-bit the DuckDB quantile_cont form") {
+    // Discriminating case (pinned in round 5 against DuckDB itself):
+    // lo=-8.551274266649145, hi=-5.871864245115699, f=0.36568891691258554
+    // weighted lo*(1-f)+hi*f and lerp lo+f*(hi-lo) differ in the last ulp;
+    // DuckDB computes the WEIGHTED form.
+    val lo = -8.551274266649145
+    val hi = -5.871864245115699
+    val f = 0.36568891691258554
+    val df = Seq(("a", lo), ("a", hi)).toDF("g", "v")
+    val r = q(df, f -> "out")("a").getDouble(1) // n=2 → pos = f exactly
+    val weighted = lo * (1 - f) + hi * f
+    val lerp = lo + f * (hi - lo)
+    assert(java.lang.Double.doubleToLongBits(weighted) !=
+      java.lang.Double.doubleToLongBits(lerp), "case no longer discriminates")
+    assert(java.lang.Double.doubleToLongBits(r) ===
+      java.lang.Double.doubleToLongBits(weighted))
+  }
+
+  test("matches Spark's own percentile aggregate on the lineitem fixture") {
+    val li = spark.read.parquet(sf("lineitem"))
+      .select(col("l_returnflag").as("g"), col("l_quantity").cast("double").as("v"))
+    val ours = q(li, 0.5 -> "p50", 0.9 -> "p90", 0.25 -> "p25")
+    val theirs = li.groupBy("g")
+      .agg(expr("percentile(v, 0.5)").as("p50"), expr("percentile(v, 0.9)").as("p90"),
+        expr("percentile(v, 0.25)").as("p25"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(ours.keySet === theirs.keySet && ours.nonEmpty)
+    for (g <- ours.keySet; i <- 1 to 3)
+      // l_quantity is integral → both formulas are exact; equality is exact
+      assert(ours(g).getDouble(i) === theirs(g).getDouble(i), s"group $g col $i")
+  }
+
+  test("groups spanning many range partitions; n=1 and tied-value groups") {
+    val rows =
+      (1 to 5000).map(i => ("big", i.toDouble)) ++   // spans partitions
+        Seq(("one", 42.0)) ++                        // single element
+        (1 to 100).map(_ => ("tie", 7.0))            // all values equal
+    val df = rows.toDF("g", "v").repartition(16)
+    val r = q(df, 0.5 -> "med", 0.9 -> "p90")
+    // big: pos(0.5)=2499.5 → (2500+2501)/2 = 2500.5 ; pos(0.9)=4499.1…
+    // → ranks 4500/4501 hold values 4500.0/4501.0, weighted by f.
+    assert(r("big").getDouble(1) === 2500.5)
+    val pos = 0.9 * 4999.0
+    val f = pos - math.floor(pos)
+    assert(java.lang.Double.doubleToLongBits(r("big").getDouble(2)) ===
+      java.lang.Double.doubleToLongBits(4500.0 * (1 - f) + 4501.0 * f))
+    assert(r("one").getDouble(1) === 42.0 && r("one").getDouble(2) === 42.0)
+    assert(r("tie").getDouble(1) === 7.0 && r("tie").getDouble(2) === 7.0)
+  }
+
+  test("placement independence: same values at different partition counts") {
+    val li = spark.read.parquet(sf("lineitem"))
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").cast("double").as("v"))
+    val a = Quantiles.groupedQuantileCont(li, "g", "v",
+      Seq(0.05 -> "lo", 0.95 -> "hi"), numPartitions = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    val b = Quantiles.groupedQuantileCont(li, "g", "v",
+      Seq(0.05 -> "lo", 0.95 -> "hi"), numPartitions = 17)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(a === b)
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.apache.spark.sql.types._
+
+import graft.operators.Dedup
+import graft.streaming.StreamingStoreIngest
+
+/** [[graft.streaming.StreamingStoreIngest]] — streaming micro-batches
+  * ingest into the SAME durable signature store batch jobs use (r4 verdict
+  * #3): pair totals ≡ the batch pipeline, the store stays usable by a
+  * subsequent batch ingest, a held writer lease fails the stream LOUDLY,
+  * and a post-failure restart replays idempotently.
+  */
+class StreamingStoreIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  // Near-dup clusters deliberately SPLIT across micro-batches: {0,1,5} and
+  // {2,6} only pair if the store carries history between batches.
+  private val allDocs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog today"),
+    (1L, "the quick brown fox jumps over the lazy cat today"),
+    (2L, "pack my box with five dozen liquor jugs right now"),
+    (3L, "completely different words entirely here this time"),
+    (4L, "sphinx of black quartz judge my vow said nobody ever"),
+    (5L, "the quick brown fox jumps over the lazy dog tonight"),
+    (6L, "pack my box with five dozen liquor jugs right away"),
+    (7L, "unrelated filler content that matches nothing else at all"))
+
+  private def writeBatches(srcDir: String): Unit = {
+    allDocs.filter(_._1 <= 2L).toDF("doc_id", "text").write.parquet(s"$srcDir/b0")
+    allDocs.filter(d => d._1 >= 3L && d._1 <= 5L).toDF("doc_id", "text").write.parquet(s"$srcDir/b1")
+    allDocs.filter(_._1 >= 6L).toDF("doc_id", "text").write.parquet(s"$srcDir/b2")
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_a", "doc_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("streamed micro-batch ingest ≡ one-shot batch pairs; store usable by batch afterwards") {
+    val srcDir = Files.createTempDirectory("graft_ssi_src").toString
+    val store = Files.createTempDirectory("graft_ssi_store").toString + "/store"
+    val pairsOut = Files.createTempDirectory("graft_ssi_pairs").toString
+    val ckpt = Files.createTempDirectory("graft_ssi_ckpt").toString
+    writeBatches(srcDir)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+    val q = StreamingStoreIngest.run(stream, store, pairsOut, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = pairSet(spark.read.parquet(pairsOut))
+    val oneShot = pairSet(Dedup.minhashPairs(allDocs.toDF("doc_id", "text")))
+    assert(streamed === oneShot && streamed.nonEmpty)
+    // Cross-micro-batch evidence: 5 (batch 1) pairs 0 and 1 (batch 0);
+    // 6 (batch 2) pairs 2 (batch 0) — only durable history can know.
+    val ids = streamed.map(p => (p._1, p._2))
+    assert(ids.contains((0L, 5L)) && ids.contains((1L, 5L)) && ids.contains((2L, 6L)))
+
+    // The SAME store now serves a batch ingest: a new near-dup of doc 3
+    // pairs against the stream-ingested history through the batch API.
+    val late = Seq((100L, "completely different words entirely here this month"))
+      .toDF("doc_id", "text")
+    val batchPairs = pairSet(Dedup.incrementalMinhashPairs(late, store))
+    assert(batchPairs.map(p => (p._1, p._2)).contains((3L, 100L)))
+  }
+
+  test("held writer lease fails the stream loudly; lease release + restart replays idempotently") {
+    val srcDir = Files.createTempDirectory("graft_ssi2_src").toString
+    val storeRoot = Files.createTempDirectory("graft_ssi2_store").toString
+    val store = storeRoot + "/store"
+    val pairsOut = Files.createTempDirectory("graft_ssi2_pairs").toString
+    val ckpt = Files.createTempDirectory("graft_ssi2_ckpt").toString
+    writeBatches(srcDir)
+    // A concurrent batch writer holds the lease.
+    Files.createDirectories(java.nio.file.Paths.get(store))
+    Files.writeString(java.nio.file.Paths.get(store, Dedup.StoreLockFile),
+      "batch-writer@test")
+
+    def startStream() = StreamingStoreIngest.run(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*"),
+      store, pairsOut, ckpt)
+
+    val q1 = startStream()
+    val e = intercept[StreamingQueryException] { q1.awaitTermination() }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null && m.contains("locked by a concurrent writer")),
+      s"expected the lease-conflict message, got: ${chain(e).mkString(" | ")}")
+
+    // Operator releases the dead writer's lease; the restarted query
+    // replays the failed micro-batch from the checkpoint and the rest of
+    // the files, converging to the exact batch totals (anti-join makes a
+    // half-applied attempt idempotent).
+    Files.delete(java.nio.file.Paths.get(store, Dedup.StoreLockFile))
+    val q2 = startStream()
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = pairSet(spark.read.parquet(pairsOut))
+    val oneShot = pairSet(Dedup.minhashPairs(allDocs.toDF("doc_id", "text")))
+    assert(streamed === oneShot)
+  }
+}

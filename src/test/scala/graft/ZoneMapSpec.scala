@@ -89,6 +89,23 @@ class ZoneMapSpec extends SparkSpec {
     assert(e.getMessage.contains("stale"))
   }
 
+  test("stale manifest (file deleted after build) fails with the rebuild message, not path-not-found") {
+    val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_extendedprice")
+    val dataDir = tmp("graft_zm_vanish")
+    val manifestDir = tmp("graft_zm_vanish_mf")
+    li.repartitionByRange(4, col("l_extendedprice"))
+      .write.mode("overwrite").parquet(dataDir)
+    ZoneMaps.build(spark, dataDir, manifestDir, Seq("l_extendedprice"))
+    // Compaction/delete after build: a manifest entry now points nowhere.
+    val victim = new java.io.File(dataDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    assert(victim.delete())
+    val e = intercept[IllegalArgumentException] {
+      ZoneMaps.prunedRead(spark, dataDir, manifestDir, "l_extendedprice", 0.0, 1e9)
+    }
+    assert(e.getMessage.contains("stale") && e.getMessage.contains("no longer exists"))
+  }
+
   test("zone-empty range returns an empty frame with the data schema") {
     val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_extendedprice")
     val dataDir = tmp("graft_zm_empty")
