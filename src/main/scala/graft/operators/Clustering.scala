@@ -605,6 +605,105 @@ object Clustering {
     adcRank(cands.join(broadcast(lutArr), Seq("q_id")), m, topK)
   }
 
+  /** [[ivfPqSearchStored]]'s residual twin: serve a query batch from a
+    * STORED residual index ([[ivfPqResidualIndex]] persisted via
+    * [[ivfPqWriteIndex]] — same three-part layout). The q·c_cell bias
+    * rides the probed table exactly as in [[ivfPqResidualSearch]]; the
+    * codes read partition-prunes to the probed cells. */
+  def ivfPqResidualSearchStored(queries: DataFrame, indexDir: String,
+      m: Int = 4, subDim: Int = 16, nProbe: Int = 8, topK: Int = 5): DataFrame = {
+    val spark = queries.sparkSession
+    val index = ivfPqLoadIndex(spark, indexDir)
+    val cells = probedCellsOf(queries, index.centroids, nProbe)
+    val probed = probeCells(queries, index.centroids, nProbe) // keeps the bias
+    val lutArr = lutArrays(queries, index.codebook, m, subDim)
+    val fanout = spark.sparkContext.defaultParallelism * 2
+    val cands = index.codes.filter(col("cell").isin(cells: _*))
+      .repartition(fanout, col("vec_id"))
+      .join(broadcast(probed), Seq("cell"))
+    adcRank(cands.join(broadcast(lutArr), Seq("q_id")), m, topK,
+      bias = Some(col("bias")))
+  }
+
+  /** Encode vectors against a FROZEN codebook (no training): the m
+    * nearest-centroid assignments per vector, exactly the codes
+    * [[subspaceModel]]'s final assignment pass produces — the serve-side
+    * encode for corpora that grow after the codebook is published
+    * (standard IVF practice: retrain offline into a NEW index version
+    * when drift warrants; meanwhile new vectors quantize against the
+    * frozen codebook). */
+  def pqEncodeFrozen(vecs: DataFrame, codebook: DataFrame, m: Int = 4,
+      subDim: Int = 16): DataFrame =
+    pivotCodes(assignG(slices(vecs, m, subDim), codebook), m, withSims = false)
+
+  /** INCREMENTAL index maintenance: append new vectors to a stored index
+    * in place — frozen-codebook encode, cell assignment by the same
+    * deterministic coarse quantizer, new parquet files appended into the
+    * existing `cell=` partitions, and the vec_id zone-map manifest
+    * rebuilt in the same guarded section (so the [[ivfPqSearchStored]]
+    * idRange path stays consistent — the bidirectional ZoneMaps
+    * staleness gate would otherwise fire). This is the ONE sanctioned
+    * in-place mutation of a published index; it serializes through the
+    * same [[graft.etl.WriterLease]] lease as the signature store
+    * (concurrent appenders fail loudly), and re-appending an
+    * already-present vec_id is a no-op (anti-join), so replaying a
+    * failed batch is idempotent.
+    *
+    * `m`/`subDim`/`cellBits` MUST match the original build (same
+    * contract as [[ivfPqSearchStored]]); the codebook shape and the
+    * stored max cell are require-checked against them, which catches a
+    * too-small `cellBits` but not a too-large one — version the params
+    * with the index path if they ever vary.
+    *
+    * Centroids and codebook stay frozen, so cell populations drift from
+    * their centroids as the corpus grows — monitor and retrain into a
+    * new run-stamped dir (the TimeTravel composition) when recall decays.
+    * Returns the number of vectors actually appended. */
+  def ivfPqAppendStored(newVecs: DataFrame, indexDir: String, m: Int = 4,
+      subDim: Int = 16, cellBits: Int = 6,
+      maxRecordsPerFile: Long = 5000000L): Long = {
+    val spark = newVecs.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.etl.WriterLease.withLock(fs, dir, "ivf-pq index") {
+      val cb = spark.read.parquet(s"$indexDir/codebook")
+      val shape = cb.agg(
+        countDistinct(col("sub")).as("m"),
+        max(size(col("centroid"))).as("dim")).head()
+      require(shape.getLong(0) == m && shape.getInt(1) == subDim,
+        s"stored codebook at $indexDir has m=${shape.getLong(0)}, " +
+          s"subDim=${shape.getInt(1)} — caller passed m=$m, subDim=$subDim")
+      val maxCell = spark.read.parquet(s"$indexDir/centroids")
+        .agg(max(col("cell"))).head().getLong(0)
+      require(maxCell < (1L << cellBits),
+        s"stored index has cell $maxCell ≥ 2^$cellBits — cellBits mismatch")
+      // Idempotent re-append: drop vec_ids the index already holds.
+      val existing = spark.read.parquet(s"$indexDir/codes").select(col("vec_id"))
+      val fresh = newVecs.join(existing, Seq("vec_id"), "left_anti")
+      val withCell = fresh.select(col("vec_id"),
+        GraftColumns.hyperBucket(col("embedding"), cellBits).as("cell"))
+      // Eager checkpoint BEFORE writing into the path this plan reads
+      // (the signature-store lesson: appending invalidates the path's
+      // file index; a lazy plan would recompute against its own output).
+      val codes = pqEncodeFrozen(fresh, cb, m, subDim)
+        .join(withCell, Seq("vec_id"))
+        .localCheckpoint(true)
+      val n = codes.count()
+      if (n > 0) {
+        codes.repartition(col("cell"))
+          .write.mode("append")
+          .option("compression", "snappy")
+          .option("maxRecordsPerFile", maxRecordsPerFile)
+          .partitionBy("cell")
+          .parquet(s"$indexDir/codes")
+        graft.etl.ZoneMaps.build(spark, s"$indexDir/codes",
+          s"$indexDir/codes_zonemap", Seq("vec_id"))
+      }
+      org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(codes)
+      n
+    }
+  }
+
   /** IO audit for the stored serve path: (bytes in probed-cell files,
     * total code bytes) — driver-side listing only. The ratio IS the
     * pruning claim a 100 TB deploy cares about. */

@@ -288,40 +288,8 @@ object Dedup {
     * exists to prevent). */
   private def withStoreLock[T](
       fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path)(body: => T): T = {
-    fs.mkdirs(dir)
-    val lock = new org.apache.hadoop.fs.Path(dir, StoreLockFile)
-    val owner =
-      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}/" +
-        s"${java.util.UUID.randomUUID()}@${System.currentTimeMillis()}"
-    val acquired =
-      try {
-        val out = fs.create(lock, false) // atomic create-if-absent
-        out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        out.close()
-        true
-      } catch {
-        // Some FileSystems throw the typed exception, others a plain
-        // IOException("File already exists") — distinguish contention from
-        // a genuine IO failure by whether the lock is there now. A real IO
-        // error must PROPAGATE (same policy as store reads).
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.io.IOException if fs.exists(lock) => false
-      }
-    if (!acquired) {
-      val holder =
-        try {
-          val in = fs.open(lock)
-          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
-        } catch { case _: java.io.IOException => "<unreadable>" }
-      throw new IllegalStateException(
-        s"signature store at $dir is locked by a concurrent writer " +
-          s"($holder); if that writer is dead, delete ${lock.getName} and retry")
-    }
-    try body
-    finally fs.delete(lock, false)
-  }
+      dir: org.apache.hadoop.fs.Path)(body: => T): T =
+    graft.etl.WriterLease.withLock(fs, dir, "signature store")(body)
 
   /** MinHash signatures: (doc_id, mh array<bigint> of k minima), computed by
     * the single-buffer [[graft.functions.MinHashAgg]] — one shuffled row per

@@ -98,15 +98,30 @@ object Quantiles {
       StructType(Seq(
         StructField("__g", StringType), StructField("__rank", LongType),
         StructField("__qi", IntegerType), StructField("__w", DoubleType))))
-    // Rank pass MUST read the same placement the offsets were computed
-    // from — the cache above is that barrier.
+    // Partition pre-prune: the offsets map tells the driver exactly which
+    // (group, pid) slabs contain a target rank — only THOSE partitions
+    // (≤ |groups|·|qs|·2 of them) need the rank window at all; the rest
+    // are dropped by a pid filter before any sort. The rank pass still
+    // MUST read the same placement the offsets were computed from — the
+    // cache above is that barrier.
+    val targetRanks: Map[String, Set[Long]] =
+      targetRows.groupBy(_.getString(0))
+        .map { case (g, rows) => g -> rows.map(_.getLong(1)).toSet }
+    val keepPids: Set[Int] = offsets.collect {
+      case ((g, p), off) if {
+        val cnt = counts.getOrElse((g, p), 0L)
+        cnt > 0L && targetRanks(g).exists(r => r > off && r <= off + cnt)
+      } => p
+    }.toSet
     val w = Window.partitionBy(col("__pid"), col("__g")).orderBy(col("__v"))
     val offExpr = map(offsets.toSeq.flatMap { case ((g, p), o) =>
       Seq(lit(s"$p:$g"), lit(o))
     }: _*)
-    val ranked = parted.withColumn("__rank",
-      element_at(offExpr, concat(col("__pid").cast(StringType), lit(":"), col("__g"))) +
-        row_number().over(w).cast(LongType))
+    val ranked = parted
+      .filter(col("__pid").isin(keepPids.toSeq: _*))
+      .withColumn("__rank",
+        element_at(offExpr, concat(col("__pid").cast(StringType), lit(":"), col("__g"))) +
+          row_number().over(w).cast(LongType))
     val selected = ranked.join(broadcast(targets), Seq("__g", "__rank"))
     val aggs = qs.zipWithIndex.map { case ((_, name), i) =>
       // ≤ 2 rows match per (group, qIdx); a 2-double sum is addition-order

@@ -51,6 +51,101 @@ class StoredIndexSpec extends SparkSpec {
       s"probed=$probedBytes total=$totalBytes — pruning must skip bytes on this fixture")
   }
 
+  test("stored residual search ≡ in-session residual search") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_res").toString
+    Clustering.ivfPqWriteIndex(Clustering.ivfPqResidualIndex(emb), dir)
+    val live = Clustering.ivfPqResidualTopK(queries, emb)
+    val stored = Clustering.ivfPqResidualSearchStored(queries, dir)
+    assert(stored.count() > 0)
+    assert(live.except(stored).isEmpty && stored.except(live).isEmpty)
+  }
+
+  test("index versioning: run-stamped publish + latest-resolution (TimeTravel composition)") {
+    // The immutability contract: never mutate a published indexDir — write
+    // a NEW run-stamped dir and resolve 'latest' at read time. Two
+    // publishes (the second over a corpus slice) must coexist; readers of
+    // the old stamp stay correct.
+    val base = java.nio.file.Files.createTempDirectory("graft_idx_runs").toString
+    val t0 = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    val r1 = graft.etl.Sink.runRoot(base, t0)
+    val r2 = graft.etl.Sink.runRoot(base, t0.plusSeconds(60))
+    Clustering.ivfPqWriteIndex(Clustering.ivfPqIndex(emb), s"$r1/ivfpq")
+    Clustering.ivfPqWriteIndex(
+      Clustering.ivfPqIndex(emb.filter(col("vec_id") % 2 === 0)), s"$r2/ivfpq")
+    val runs = graft.etl.TimeTravel.listRuns(base)
+    assert(runs.size === 2)
+    val latest = s"$base/${runs.last}/ivfpq"
+    val older = s"$base/${runs.head}/ivfpq"
+    // Latest serves the new corpus; the old stamp still serves the old one.
+    assert(Clustering.ivfPqSearchStored(queries, latest)
+      .filter(col("vec_id") % 2 =!= 0).count() === 0)
+    val oldRes = Clustering.ivfPqSearchStored(queries, older)
+    val liveOld = Clustering.ivfPqTopK(queries, emb)
+    assert(oldRes.except(liveOld).isEmpty && liveOld.except(oldRes).isEmpty)
+  }
+
+  test("incremental append: frozen-codebook encode, search sees old+new, idempotent, manifest consistent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_app").toString
+    val oldHalf = emb.filter(col("vec_id") % 2 === 0)
+    val newHalf = emb.filter(col("vec_id") % 2 =!= 0)
+    Clustering.ivfPqWriteIndex(Clustering.ivfPqIndex(oldHalf), dir)
+    val n1 = Clustering.ivfPqAppendStored(newHalf, dir)
+    assert(n1 === newHalf.count())
+    // Oracle: the appended index ≡ old codes ∪ frozen-encode(new) against
+    // the OLD codebook/centroids (append never retrains).
+    val oldIdx = Clustering.ivfPqIndex(oldHalf)
+    val frozenNew = Clustering.pqEncodeFrozen(newHalf, oldIdx.codebook)
+      .join(newHalf.select(col("vec_id"),
+        graft.functions.GraftColumns.hyperBucket(col("embedding"), 6).as("cell")),
+        Seq("vec_id"))
+    val expected = Clustering.ivfPqSearch(queries,
+      Clustering.IvfPqIndex(oldIdx.codes.unionByName(frozenNew),
+        oldIdx.codebook, oldIdx.centroids))
+    val got = Clustering.ivfPqSearchStored(queries, dir)
+    assert(got.count() > 0)
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+    // Replay is a no-op; the search result is unchanged.
+    assert(Clustering.ivfPqAppendStored(newHalf, dir) === 0L)
+    assert(Clustering.ivfPqSearchStored(queries, dir)
+      .except(expected).isEmpty)
+    // Manifest stayed consistent: the idRange path (which trusts it and
+    // staleness-checks the file set) still serves.
+    val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+    assert(Clustering.ivfPqSearchStored(queries, dir,
+      idRange = Some((0L, maxId))).count() > 0)
+    // Param mismatch is caught loudly, not silently mis-encoded.
+    intercept[IllegalArgumentException](
+      Clustering.ivfPqAppendStored(newHalf, dir, m = 2, subDim = 32))
+  }
+
+  test("streaming vector ingest appends micro-batches through the lease; searches converge") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_stream").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_idx_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_idx_ckpt").toString
+    val oldHalf = emb.filter(col("vec_id") % 4 === 0)
+    Clustering.ivfPqWriteIndex(Clustering.ivfPqIndex(oldHalf), dir)
+    // Two micro-batch files of new vectors.
+    emb.filter(col("vec_id") % 4 === 1).write.parquet(s"$srcDir/b0")
+    emb.filter(col("vec_id") % 4 === 2).write.parquet(s"$srcDir/b1")
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)), StructField("label", IntegerType)))
+    val q = graft.streaming.StreamingIndexIngest.run(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/*").select(col("vec_id"), col("embedding")),
+      dir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // Everything streamed is now searchable; batch append of the SAME
+    // vectors is a no-op (one history, shared with batch maintenance).
+    val indexedIds = Clustering.ivfPqLoadIndex(spark, dir)
+      .codes.select("vec_id").collect().map(_.getLong(0)).toSet
+    val wantIds = emb.filter(col("vec_id") % 4 <= 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(indexedIds === wantIds)
+    assert(Clustering.ivfPqAppendStored(
+      emb.filter(col("vec_id") % 4 === 2), dir) === 0L)
+  }
+
   test("id-range slice: results ≡ post-filtered unsliced search candidates, fewer files") {
     val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
     val lo = 0L
