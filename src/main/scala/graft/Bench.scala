@@ -23,7 +23,10 @@ object Bench {
     "d1_dedup_exact", "d3_minhash_lsh", "d4_simhash", "d6_simhash_pairs",
     "d7_dedup_clusters", "c1_decontam", "c2_curation_pipeline",
     "t8_repetition", "t10_tfidf",
-    "s1_ann_topk", "s2_ann_lsh", "s3_ann_ivf")
+    "s1_ann_topk", "s2_ann_lsh", "s3_ann_ivf",
+    // round-4/5 families, so plan audits cover the newer operators too
+    "s9_ivf_pq", "s14_ivf_pq_stored", "x1_percentile", "x9_winsorize",
+    "u1_merge_upsert", "q34_global_rank", "p9_weighted_sample")
 
   /** Every registered query, name-sorted — the bench times ALL of them so
     * round-over-round regressions are visible everywhere, not just on the

@@ -1216,6 +1216,14 @@ object SparkEntry {
     // while the EXCLUSIVE token prefix is under the source budget.
     "p8_token_budget_mix" -> ((s, d) =>
       Curation.tokenBudgetMix(Tables.documents(s, d))),
+    // Weighted (πps) sampling: each document kept with probability
+    // ∝ its whitespace token count (capped at 1), target ≈ 100 docs —
+    // all-BIGINT cross-multiplied inclusion test on the deterministic
+    // sampling key, so the oracle replays the draw exactly.
+    "p9_weighted_sample" -> ((s, d) =>
+      Curation.weightedSample(
+        Tables.documents(s, d),
+        size(TextAnalysis.tokens(col("text"))).cast("long"), 100L)),
     // ---- text quality (repetition + PII) ----
     "t8_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "t10_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
@@ -2421,6 +2429,15 @@ object SparkEntry {
          |       CAST(sum(sampled) AS BIGINT) AS n_sampled,
          |       round(CAST(sum(sampled) AS DOUBLE) / CAST(count(*) AS DOUBLE), 7) AS realized_rate
          |FROM r GROUP BY lang""".stripMargin,
+    "p9_weighted_sample" ->
+      s"""WITH w AS (SELECT doc_id,
+         |                  CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS w,
+         |                  ${sqlSampleKey("('wsamp:' || CAST(doc_id AS VARCHAR))")} % 1000000 AS key
+         |           FROM documents),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS totw FROM w)
+         |SELECT doc_id, w AS weight
+         |FROM w CROSS JOIN t
+         |WHERE key * totw < 100 * w * 1000000""".stripMargin,
     // Window prefix-sum cast back to BIGINT (HUGEINT invariant); budgets
     // all-integer: (total div 2 · pct) div 100.
     "p8_token_budget_mix" ->

@@ -169,6 +169,37 @@ object Curation {
     * counts. One map-side-combined aggregation; the per-doc assignment is
     * [[splitBucket]]/[[splitName]] and can be attached as a column instead
     * when the consumer wants the labeled corpus. */
+  /** Weighted (probability-proportional-to-size) corpus sampling —
+    * Poisson πps, the quality/length-weighted draw real mixing recipes
+    * use ("sample long/high-quality documents more often"). Inclusion is
+    * per-document Bernoulli with π_i = min(1, target·w_i / Σw), decided
+    * by the deterministic sampling key: keep iff
+    * `(sampleKey mod S) · Σw < target · w_i · S` — ALL-BIGINT
+    * cross-multiplied arithmetic (no division, no doubles), so the oracle
+    * replays it exactly and E[kept] ≈ `target` with each document's
+    * inclusion probability exactly proportional to its weight (capped at
+    * 1). One aggregate for Σw rides a 1-row broadcast; no shuffle
+    * touches the corpus beyond its scan.
+    *
+    * Overflow bounds: key mod S < 10⁶, Σw ≤ ~10¹² and target·w·S ≤ ~10¹⁸
+    * keep every product inside BIGINT for any realistic corpus slice; at
+    * 100 TB shard the draw (the formula is per-row and shard-local).
+    *
+    * Determinism contract: the key uses [[TextHash.sampleKey]] (squared
+    * mix) — raw polyHash residues would gate all-or-nothing id blocks
+    * (CLAUDE.md invariant). */
+  def weightedSample(docs: DataFrame, weight: Column, target: Long): DataFrame = {
+    val S = 1000000L
+    val tot = docs.agg(sum(weight.cast("long")).as("__totw"))
+    docs
+      .withColumn("__w", weight.cast("long"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__key",
+        TextHash.sampleKey(concat(lit("wsamp:"), col("doc_id").cast("string"))) % S)
+      .filter(col("__key") * col("__totw") < lit(target) * col("__w") * lit(S))
+      .select(col("doc_id"), col("__w").as("weight"))
+  }
+
   def hashSplit(docs: DataFrame): DataFrame =
     docs
       .select(

@@ -184,6 +184,36 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("weightedSample: inclusion ≡ the per-row πps formula; zero-weight never kept; heavy always kept") {
+    import org.apache.spark.sql.functions._
+    // Weights chosen to exercise all three regimes: zero (π=0, never
+    // kept), moderate (0<π<1, key decides), heavy (π≥1, always kept).
+    val docs = ((0L until 200L).map(i => (i, (i % 7) * 5)) :+ (900L, 0L) :+ (901L, 3000L))
+      .map { case (id, w) => (id, ("x " * w.toInt).trim) }
+      .toDF("doc_id", "text")
+    val w = size(split(trim(col("text")), " +")).cast("long")
+    // split("") gives [""] (size 1) — weight for empty text must be 0:
+    val weight = when(length(trim(col("text"))) === 0, 0L).otherwise(w)
+    val target = 40L
+    val kept = graft.operators.Curation.weightedSample(docs, weight, target)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Local replay of the exact integer formula.
+    val rows = docs.select(col("doc_id"), weight.as("w")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val totW = rows.map(_._2).sum
+    def key(id: Long): Long = {
+      val h = s"wsamp:$id".foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+      ((h * h + h) % 1000000007L) % 1000000L // squared mix, then the draw mod
+    }
+    val expect = rows.filter { case (id, wi) =>
+      key(id) * totW < target * wi * 1000000L
+    }.toMap
+    assert(kept === expect)
+    assert(!kept.contains(900L)) // zero weight
+    assert(kept.contains(901L))  // π capped at 1 (target·w ≥ Σw·S regime)
+    assert(kept.size > 5 && kept.size < 200) // the moderate regime actually split
+  }
+
   test("tokenBudgetMix: per-source token mass lands within one document of its budget share") {
     import org.apache.spark.sql.functions.{col, size, split, sum, trim}
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")

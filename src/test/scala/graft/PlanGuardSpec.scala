@@ -170,6 +170,16 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning(__pid"), p)
   }
 
+  test("x1 percentile: rank selection — range exchange, NO value-buffer percentile aggregate") {
+    val p = plan("x1_percentile")
+    // The per-group (value → count) buffer aggregate must be gone…
+    assert(!p.toLowerCase.contains("percentile("), p)
+    // …replaced by the range shuffle + the broadcast rank-target join.
+    assert(p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("u1 merge upsert: one equi-join, no nested-loop fallback") {
     val p = plan("u1_merge_upsert")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)

@@ -343,4 +343,43 @@ class PropertySpec extends SparkSpec {
       assert(pruned.except(brute).isEmpty && brute.except(pruned).isEmpty)
     }
   }
+
+  test("property: groupedQuantileCont equals the local weighted reference on random data") {
+    // Reference: sort ascending, pos = q*(n-1), v_lo*(1-f) + v_hi*f — the
+    // DuckDB form the operator promises bit-for-bit.
+    def ref(vs: Seq[Double], q: Double): Double = {
+      val sorted = vs.sorted.toIndexedSeq
+      val pos = q * (sorted.size - 1).toDouble
+      val frn = math.floor(pos)
+      val f = pos - frn
+      if (f == 0.0) sorted(frn.toInt)
+      else sorted(frn.toInt) * (1 - f) + sorted(frn.toInt + 1) * f
+    }
+    val gen = for {
+      nGroups <- Gen.chooseNum(1, 4)
+      rows <- Gen.listOfN(120, for {
+        g <- Gen.chooseNum(0, nGroups - 1)
+        v <- Gen.chooseNum(-1e6, 1e6)
+      } yield (s"g$g", v))
+      qs <- Gen.listOfN(3, Gen.chooseNum(0.0, 1.0))
+    } yield (rows, qs.distinct)
+    forAll(gen, cases = 4) { case (rows, qs) =>
+      val df = rows.toDF("g", "v").repartition(7)
+      val out = graft.operators.Quantiles
+        .groupedQuantileCont(df, "g", "v", qs.zipWithIndex.map { case (q, i) => q -> s"o$i" },
+          numPartitions = 5)
+        .collect().map(r => r.getString(0) -> r).toMap
+      val byG = rows.groupBy(_._1)
+      assert(out.keySet === byG.keySet)
+      byG.foreach { case (g, grp) =>
+        qs.zipWithIndex.foreach { case (q, i) =>
+          val want = ref(grp.map(_._2), q)
+          val got = out(g).getDouble(i + 1)
+          assert(java.lang.Double.doubleToLongBits(got) ===
+            java.lang.Double.doubleToLongBits(want),
+            s"group $g q=$q: got $got want $want")
+        }
+      }
+    }
+  }
 }
