@@ -135,6 +135,39 @@ object ScalingProbe {
       graft.operators.Timeseries.gapFillForwardFill(
         events1M, stepMinutes = 15).count())
 
+    // MV rewrite at 10M base rows: write the integer-cents base + hourly
+    // rollup MV once, then contrast the day-grain aggregate computed from
+    // the base scan vs routed through the MV by the optimizer rule — the
+    // recurring-dashboard win the rule exists for (MV rows ≈ hours × keys,
+    // independent of base row count).
+    {
+      import graft.plans.MaterializedViewRewrite
+      val mvDir = java.nio.file.Files.createTempDirectory("graft_mv_scale").toString
+      val base = bigEvents.select(col("ts"), col("user_id"),
+        floor(col("value") * 100).cast("long").as("value_cents"))
+      time("mv_base_write_10M") {
+        base.write.mode("overwrite").parquet(s"$mvDir/base")
+        MaterializedViewRewrite
+          .buildRollup(spark.read.parquet(s"$mvDir/base"), "ts", "user_id", "value_cents")
+          .write.mode("overwrite").parquet(s"$mvDir/mv")
+        spark.read.parquet(s"$mvDir/mv").count()
+      }
+      def dayRollup() = spark.read.parquet(s"$mvDir/base")
+        .groupBy(org.apache.spark.sql.functions.date_trunc("day", col("ts")).as("day"),
+          col("user_id"))
+        .agg(sum(col("value_cents")).as("cents"), count(lit(1)).as("n"))
+      time("mv_day_rollup_base_scan_10M")(dayRollup().count())
+      MaterializedViewRewrite.register(spark, s"$mvDir/base", s"$mvDir/mv",
+        "ts", "user_id", "value_cents")
+      spark.experimental.extraOptimizations = Seq(MaterializedViewRewrite)
+      val routed = dayRollup()
+      assert(routed.queryExecution.executedPlan.toString.contains("__mv_"),
+        "day rollup must be routed through the MV")
+      time("mv_day_rollup_routed_10M")(routed.count())
+      spark.experimental.extraOptimizations = Nil
+      MaterializedViewRewrite.clear()
+    }
+
     // Done with the event fixtures — release them, or the cached 10M-row
     // table squeezes the ANN sections below into GC churn (measured: the
     // 50× ANN probe reads 92 s with these pinned vs 55 s without).
@@ -348,6 +381,24 @@ object ScalingProbe {
     }
     println(s"[scale]   zone-map files read: $zmFiles of 64 stripes")
     assert(zmFiles <= 4, s"1% range should touch ≤4 of 64 stripe files, read $zmFiles")
+
+    // Full-batch perceptron training at 100k docs: the feature table is
+    // built+cached once; each of the 3 rounds is a broadcast-join score
+    // pass + a doc-keyed gradient join over that cached table — per-round
+    // cost is two feature-table-sized shuffles, flat in round count.
+    time("perceptron_train_100k_docs")(
+      graft.operators.TextAnalysis.perceptronTrain(bigDocsLang).count())
+    // DSIR-shaped importance selection at 100k docs: one tokenize pass,
+    // a 64-row broadcast ratio table, one doc-keyed score aggregate, and
+    // a TakeOrderedAndProject top-k — no corpus-sized sort anywhere.
+    time("importance_select_100k_docs")(
+      graft.operators.Curation.importanceSelect(
+        bigDocsLang, col("lang") === "en").count())
+    // Count-Min sketch at 100k docs: the sketch aggregate's group count is
+    // bounded at d·width regardless of corpus size (map-side combine does
+    // almost all the work); estimates join a broadcast of that table.
+    time("countmin_100k_docs")(
+      graft.operators.TextAnalysis.countMinEstimates(bigDocs).count())
 
     bigDocs.unpersist(blocking = true)
 

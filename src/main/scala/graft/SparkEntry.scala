@@ -846,6 +846,12 @@ object SparkEntry {
           col("exact_parts"),
           when(expr("abs(__approx - exact_parts) * 10000 div exact_parts") <= 500, 1L)
             .otherwise(0L).as("within_bound"))),
+    // Count-Min sketch frequency estimates audited against exact counts —
+    // deterministic universal hashing makes the WHOLE sketch replayable in
+    // SQL, so unlike x2/x3's engine-private sketches every estimate is
+    // hash-checked value-for-value (overestimate ≥ 0 is the CMS guarantee).
+    "x10_countmin" -> ((s, d) =>
+      TextAnalysis.countMinEstimates(Tables.documents(s, d))),
     // ---- deduplication ----
     "d1_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "d2_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(Tables.documents(s, d))),
@@ -1436,6 +1442,25 @@ object SparkEntry {
     // is the join condition, so same-label pairs are never scored.
     "s13_hard_negatives" -> ((s, d) =>
       Similarity.hardNegatives(Tables.embeddings(s, d))),
+    // Bitext-mining shape: mutual top-3 pairs between the even-id and
+    // odd-id embedding slices (score once, rank both directions from the
+    // same doubles). Exhaustive twin on a bounded slice; the scale path
+    // composes knnJoin per direction.
+    "s15_mutual_knn" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+      Similarity.mutualTopK(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1))
+    }),
+    // Full-batch perceptron TRAINING on hashed token features (en-vs-rest
+    // target): 3 all-BIGINT update rounds — model training itself under
+    // the oracle gate, the learning twin of t20's inference.
+    "t23_perceptron" -> ((s, d) =>
+      TextAnalysis.perceptronTrain(Tables.documents(s, d))),
+    // DSIR-shaped importance selection: candidates scored by the
+    // integer-quantized target/source hashed-feature ratio, top-200 kept.
+    "p10_importance_select" -> ((s, d) =>
+      Curation.importanceSelect(Tables.documents(s, d), col("lang") === "en")),
     // Scalar-quantized (SQ8) exhaustive ANN: per-dim affine int8 codes,
     // exact BIGINT code dot-product scoring — the no-training quantized
     // scan beside PQ/ADC (s8). One tiny broadcast stats row; the corpus is
@@ -1537,6 +1562,35 @@ object SparkEntry {
       a.join(b, col("a_start") <= col("b_end") && col("b_start") <= col("a_end") &&
           col("a_orderkey") < col("b_orderkey"))
         .select(col("a_orderkey"), col("b_orderkey"))
+    }),
+    // The MV rewrite rule on the gate: a DAY-grain rollup written against
+    // the BASE table is routed by plans.MaterializedViewRewrite through a
+    // registered HOURLY materialized view (partial-merge re-aggregation) —
+    // the reference's pre-agg source selection (A9) as a plan-time
+    // decision. Integer-cents value column keeps every merged aggregate
+    // exact; the oracle computes the same rollup from the raw events.
+    "q49_mv_rewrite" -> ((s, d) => {
+      import graft.plans.MaterializedViewRewrite
+      val dir = java.nio.file.Files.createTempDirectory("graft_mv").toString
+      Tables.events(s, d)
+        .select(col("ts"), col("user_id"),
+          floor(col("value") * 100).cast("long").as("value_cents"))
+        .write.mode("overwrite").parquet(s"$dir/base")
+      MaterializedViewRewrite
+        .buildRollup(s.read.parquet(s"$dir/base"), "ts", "user_id", "value_cents")
+        .write.mode("overwrite").parquet(s"$dir/mv")
+      MaterializedViewRewrite.register(s, s"$dir/base", s"$dir/mv",
+        "ts", "user_id", "value_cents")
+      s.experimental.extraOptimizations =
+        Seq(graft.plans.IntervalJoinRewrite, MaterializedViewRewrite)
+      // Written against the BASE path — the rule must swap in the MV scan.
+      s.read.parquet(s"$dir/base")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .agg(
+          sum(col("value_cents")).as("cents"),
+          count(lit(1)).as("n"),
+          min(col("value_cents")).as("min_cents"),
+          max(col("value_cents")).as("max_cents"))
     }),
     // Higher-order array functions over the embedding column — every
     // per-element value is floor-quantized to BIGINT before any sum, so
@@ -1818,6 +1872,30 @@ object SparkEntry {
     // Each engine's flag judges ITS OWN sketch against ITS exact count; the
     // hash compares the exact values and the in-bound claims (r4 verdict
     // item #1 — closes the last two rows-only gate entries).
+    // Full CMS replay: the (row, bucket) counter table from the same
+    // minhashPerm universal hashes, point estimates = min over rows.
+    "x10_countmin" -> {
+      val bucket = (h: String) =>
+        s"((((r.row * 2654435761) % 1000000007 + 1) * $h + (r.row * 40503 + 7) % 1000000007) % 1000000007) % 1024"
+      s"""WITH tk AS MATERIALIZED (
+         |  SELECT tok AS token, ${sqlPolyHash("tok")} AS h
+         |  FROM (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS tok FROM documents)),
+         |rw AS (SELECT unnest(generate_series(0, 3)) AS row),
+         |cms AS MATERIALIZED (
+         |  SELECT row, bucket, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT r.row, ${bucket("tk.h")} AS bucket FROM tk, rw r)
+         |  GROUP BY 1, 2),
+         |top AS MATERIALIZED (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS n_exact, min(h) AS h
+         |  FROM tk GROUP BY 1 ORDER BY n_exact DESC, token LIMIT 25),
+         |est AS (
+         |  SELECT token, n_exact, min(c) AS n_cms
+         |  FROM (SELECT t.token, t.n_exact, r.row, ${bucket("t.h")} AS bucket FROM top t, rw r) j
+         |  JOIN cms USING (row, bucket) GROUP BY 1, 2)
+         |SELECT token, n_exact, CAST(n_cms AS BIGINT) AS n_cms,
+         |       CAST(n_cms - n_exact AS BIGINT) AS overestimate
+         |FROM est""".stripMargin
+    },
     "x2_approx_distinct" ->
       """WITH a AS (SELECT l_returnflag,
         |                  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
@@ -2911,6 +2989,63 @@ object SparkEntry {
          |      FROM s)
          |SELECT query_id, neighbor_id, neg_label, round(cosine, 7) AS cosine, "rank"
          |FROM w WHERE "rank" <= 5""".stripMargin,
+    // Mutual top-k between the two id-parity slices: one scored pair set,
+    // ranked in both directions, kept where both ranks clear k.
+    "s15_mutual_knn" ->
+      s"""WITH a AS (SELECT vec_id AS src_id, embedding AS ae FROM embeddings
+         |           WHERE vec_id < 500 AND vec_id % 2 = 0),
+         |b AS (SELECT vec_id AS tgt_id, embedding AS be FROM embeddings
+         |      WHERE vec_id < 500 AND vec_id % 2 = 1),
+         |sc AS MATERIALIZED (SELECT src_id, tgt_id, ${sqlCosine("ae", "be")} AS cosine
+         |      FROM a CROSS JOIN b),
+         |r AS (SELECT src_id, tgt_id, cosine,
+         |             CAST(row_number() OVER (PARTITION BY src_id
+         |                    ORDER BY cosine DESC, tgt_id) AS BIGINT) AS rank_fwd,
+         |             CAST(row_number() OVER (PARTITION BY tgt_id
+         |                    ORDER BY cosine DESC, src_id) AS BIGINT) AS rank_bwd
+         |      FROM sc)
+         |SELECT src_id, tgt_id, rank_fwd, rank_bwd, round(cosine, 7) AS cosine
+         |FROM r WHERE rank_fwd <= 3 AND rank_bwd <= 3""".stripMargin,
+    // Perceptron training replay: the hashed feature table once
+    // (MATERIALIZED — multi-round CTE chains inline exponentially,
+    // SCALING.md #27), then 3 unrolled all-BIGINT update rounds.
+    "t23_perceptron" -> {
+      val feats =
+        s"""SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+           |       ${sqlSampleKey("tok")} % 64 AS f, CAST(count(*) AS BIGINT) AS x
+           |FROM (SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+           |      FROM documents)
+           |GROUP BY 1, 2, 3""".stripMargin
+      def round(prev: String, cur: String): String =
+        s"""s$cur AS MATERIALIZED (SELECT doc_id, y, CAST(sum(w * x) AS BIGINT) AS s
+           |      FROM feats JOIN $prev USING (f) GROUP BY 1, 2),
+           |d$cur AS MATERIALIZED (SELECT f, CAST(sum(y * x) AS BIGINT) AS dw
+           |      FROM feats JOIN (SELECT doc_id FROM s$cur WHERE y * s <= 0) m USING (doc_id)
+           |      GROUP BY 1),
+           |w$cur AS MATERIALIZED (SELECT f, CAST(w + coalesce(dw, 0) AS BIGINT) AS w
+           |      FROM $prev LEFT JOIN d$cur USING (f))""".stripMargin
+      s"""WITH feats AS MATERIALIZED ($feats),
+         |w0 AS (SELECT DISTINCT f, CAST(0 AS BIGINT) AS w FROM feats),
+         |${round("w0", "1")},
+         |${round("w1", "2")},
+         |${round("w2", "3")}
+         |SELECT f, w FROM w3""".stripMargin
+    },
+    // DSIR-shaped selection replay: per-feature integer ratio table, then
+    // candidate scores and the (score DESC, doc_id) top-200.
+    "p10_importance_select" ->
+      s"""WITH tk AS MATERIALIZED (
+         |  SELECT doc_id, lang = 'en' AS tgt, ${sqlSampleKey("tok")} % 64 AS f
+         |  FROM (SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+         |        FROM documents)),
+         |r AS (SELECT f,
+         |             CAST((CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) + 1) * 1000000
+         |                  // (CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) + 1) AS BIGINT) AS r
+         |      FROM tk GROUP BY 1),
+         |x AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS x FROM tk WHERE NOT tgt GROUP BY 1, 2),
+         |s AS (SELECT doc_id, CAST(sum(x * r) AS BIGINT) AS score
+         |      FROM x JOIN r USING (f) GROUP BY 1)
+         |SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 200""".stripMargin,
     // Long-format replay of the SQ8 pipeline: per-dim min/max, the same
     // single multiply-divide-floor quantization expression, BIGINT dot.
     "s12_sq8_topk" ->
@@ -2983,6 +3118,15 @@ object SparkEntry {
         |SELECT a.o_orderkey AS a_orderkey, b.o_orderkey AS b_orderkey
         |FROM iv a JOIN iv b
         |  ON a.s <= b.e AND b.s <= a.e AND a.o_orderkey < b.o_orderkey""".stripMargin,
+    // The MV-routed day rollup, recomputed from the raw events (the MV and
+    // the rewrite are output-invisible, like q24's salt).
+    "q49_mv_rewrite" ->
+      """SELECT date_trunc('day', ts) AS day, user_id,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+        |       CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q43_array_funcs" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,

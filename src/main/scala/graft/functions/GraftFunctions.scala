@@ -52,5 +52,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.operators.AsOfJoin.Strategy)
     // interval-overlap theta joins → bucketed equi-joins (O(n²) → shuffle)
     ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
+    // rollup aggregates over registered base tables → materialized view
+    ext.injectOptimizerRule(_ => graft.plans.MaterializedViewRewrite)
   }
 }

@@ -200,6 +200,59 @@ object Curation {
       .select(col("doc_id"), col("__w").as("weight"))
   }
 
+  /** Importance-based data selection (the DSIR shape, Xie et al. 2023):
+    * score every candidate document by how much its hashed-token feature
+    * profile resembles a target distribution, then keep the top-k. The
+    * target here is the corpus's own `isTarget` slice (e.g. a trusted
+    * high-quality subset); candidates are the rest.
+    *
+    * DSIR proper weights features by log(p_target/p_source); a log is
+    * transcendental and engine-divergent in the last ulp, so this uses the
+    * integer-quantized RATIO r_f = ((n_tgt_f + 1)·10⁶) div (n_src_f + 1)
+    * (add-1 smoothing, micro-units) — same ordering intent, exact BIGINT
+    * arithmetic end to end, so the selected set is bit-reproducible and
+    * oracle-checkable (the t18/x2 determinism discipline). Feature buckets
+    * come from [[TextHash.sampleKey]] mod `nFeatures` (routing decisions
+    * never use the raw lattice-prone polyHash — CLAUDE.md invariant).
+    *
+    * Plan shape: one tokenize pass builds (doc, tgt, f); the per-feature
+    * ratio table is `nFeatures` rows and rides a broadcast; scores are one
+    * doc-keyed aggregate; the final top-k is `TakeOrderedAndProject`
+    * (bounded per-partition heaps, no global sort). Overflow headroom:
+    * r_f ≤ (n_tgt_f+1)·10⁶, so Σ x·r stays under 2⁶³ while target-slice
+    * token counts stay under ~9·10¹² per bucket — beyond that, drop the
+    * micro-unit scale a decade. */
+  def importanceSelect(
+      docs: DataFrame,
+      isTarget: Column,
+      nFeatures: Int = 64,
+      topK: Int = 200): DataFrame = {
+    val S = 1000000L
+    val tk = docs
+      .select(col("doc_id"), isTarget.as("tgt"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("tgt"),
+        (TextHash.sampleKey(col("tok")) % nFeatures).as("f"))
+      // Lazily cached: the ratio pass and the candidate-score pass both
+      // read it; left persisted for the same bounded-leak reason as the
+      // contamination gram cache above (the returned plan reads it lazily).
+      .cache()
+    val ratios = tk.groupBy(col("f"))
+      .agg(
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("tgt"), 0L).otherwise(1L)).as("cs"))
+      .select(col("f"), expr(s"((ct + 1) * ${S}L) div (cs + 1)").as("r"))
+    tk.filter(!col("tgt"))
+      .groupBy(col("doc_id"), col("f"))
+      .agg(count(lit(1)).as("x"))
+      .join(broadcast(ratios), Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("x") * col("r")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+      .select(col("doc_id"), col("score"))
+  }
+
   def hashSplit(docs: DataFrame): DataFrame =
     docs
       .select(

@@ -241,6 +241,46 @@ object Similarity {
         round(col("cosine"), 7).as("cosine"), col("rank"))
   }
 
+  /** Mutual-top-k matching between two embedding sets — the bitext-mining
+    * shape (LASER/CCMatrix): a candidate pair (a, b) is kept iff b is among
+    * a's k nearest targets AND a is among b's k nearest sources. Mutuality
+    * is the standard cheap filter that kills the hubness false positives a
+    * one-directional kNN keeps (a "hub" vector that is everyone's neighbor
+    * is only matched where the relation is reciprocal).
+    *
+    * This is the exhaustive verification twin (the s1 relationship): pairs
+    * are scored ONCE, then ranked in both directions with two windows over
+    * the same scored frame — the forward and backward ranks come from the
+    * identical cosine doubles, so mutuality is exact. The corpus-scale
+    * path composes [[knnJoin]] in both directions (bucketed candidates,
+    * per-side top-k) and inner-joins the two rank frames on the pair key;
+    * recall is then the LSH contract per direction, and this exhaustive
+    * form is what a recall probe compares against.
+    *
+    * Determinism: ranks come from the (raw cosine DESC, id) total order —
+    * the cosine doubles are left-to-right folds matching the oracle's
+    * `list_reduce` exactly (the s11 association-order lesson); rounding
+    * happens once on the final output. */
+  def mutualTopK(embA: DataFrame, embB: DataFrame, k: Int = 3): DataFrame = {
+    val a = embA.select(col("vec_id").as("src_id"), col("embedding").as("ae"),
+      VectorMath.norm2(col("embedding")).as("an"))
+    val b = embB.select(col("vec_id").as("tgt_id"), col("embedding").as("be"),
+      VectorMath.norm2(col("embedding")).as("bn"))
+    // Exhaustive twin: the source side is small by construction and rides a
+    // broadcast; the target side streams through in one pass.
+    val scored = b.crossJoin(broadcast(a))
+      .withColumn("cosine", VectorMath.dot(col("ae"), col("be")) / (col("an") * col("bn")))
+      .select(col("src_id"), col("tgt_id"), col("cosine"))
+    val wf = Window.partitionBy(col("src_id")).orderBy(col("cosine").desc, col("tgt_id"))
+    val wb = Window.partitionBy(col("tgt_id")).orderBy(col("cosine").desc, col("src_id"))
+    scored
+      .withColumn("rank_fwd", row_number().over(wf).cast("long"))
+      .withColumn("rank_bwd", row_number().over(wb).cast("long"))
+      .filter(col("rank_fwd") <= k && col("rank_bwd") <= k)
+      .select(col("src_id"), col("tgt_id"), col("rank_fwd"), col("rank_bwd"),
+        round(col("cosine"), 7).as("cosine"))
+  }
+
   /** Deterministic random-projection dimensionality reduction: each
     * embedding down to `kOut` ±1 sign-projection components (long format —
     * one row per (vec_id, dim) so the reduced space can feed group-bys and

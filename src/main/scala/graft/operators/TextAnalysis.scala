@@ -348,6 +348,59 @@ object TextAnalysis {
       .filter(col("freq") * (capacity + 1) > n)
   }
 
+  /** Count-Min sketch frequency estimation over the token stream, with the
+    * estimates audited against exact counts for the top-k tokens. The CMS
+    * is `d` hash rows × `width` buckets of BIGINT counters; a point query
+    * is min over rows of the bucket counter — always ≥ the true count
+    * (every occurrence lands in the queried bucket; collisions only add).
+    *
+    * Unlike HLL/t-digest (engine-private binary sketches, x2/x3's verdict
+    * rows), a CMS over DETERMINISTIC pairwise-independent hashes —
+    * [[TextHash.minhashPerm]] of the token polyHash, mod width — is pure
+    * integer relational algebra: the oracle replays the whole sketch and
+    * every estimate hash-matches value-for-value.
+    *
+    * Scale posture: the sketch build is one aggregate producing ≤ d·width
+    * rows regardless of corpus size (mergeable by construction — counters
+    * are sums, so partial aggregation composes across partitions or
+    * batches); the estimate join broadcasts that bounded table. Output per
+    * audited token: exact count, CMS estimate, and the overestimate gap
+    * (≥ 0 by the CMS guarantee; expected ≤ N/width per row before the min).
+    */
+  def countMinEstimates(
+      docs: DataFrame,
+      width: Int = 1024,
+      depth: Int = 4,
+      topK: Int = 25): DataFrame = {
+    val toks = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .withColumn("h", TextHash.polyHash(col("token")))
+      .cache() // sketch pass + exact-count pass read it (bounded-leak cache)
+    val rows = sequence(lit(0), lit(depth - 1))
+    // (row, bucket) counters: corpus tokens explode ×depth, then ONE
+    // aggregate with ≤ d·width groups (map-side combine collapses almost
+    // everything before the shuffle).
+    val cms = toks
+      .select(explode(rows).as("row"), col("h"))
+      .select(col("row"), (TextHash.minhashPerm(col("h"), col("row")) % width).as("bucket"))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    // Audited tokens: the exact top-k under the (n DESC, token) total order.
+    val top = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_exact"), first(col("h")).as("h"))
+      .orderBy(col("n_exact").desc, col("token"))
+      .limit(topK)
+    top
+      .select(col("token"), col("n_exact"), explode(rows).as("row"), col("h"))
+      .select(col("token"), col("n_exact"), col("row"),
+        (TextHash.minhashPerm(col("h"), col("row")) % width).as("bucket"))
+      .join(broadcast(cms), Seq("row", "bucket"))
+      .groupBy(col("token"), col("n_exact"))
+      .agg(min(col("c")).as("n_cms"))
+      .select(col("token"), col("n_exact"), col("n_cms"),
+        (col("n_cms") - col("n_exact")).as("overestimate"))
+  }
+
   /** Iterative BPE merge TRAINING (the real tokenizer-training loop, not
     * just t15's one-shot pair mining): `rounds` rounds of count adjacent
     * symbol pairs over the word-frequency table → adopt the globally most
@@ -546,4 +599,60 @@ object TextAnalysis {
         col("fs").getItem(0).as("n_feats"),
         col("fs").getItem(1).as("score_scaled"),
         (col("fs").getItem(1) > 0L).cast("long").as("label"))
+
+  /** Distributed full-batch perceptron TRAINING over hashed token features —
+    * the training half of the quality-classifier story ([[classifyQuality]]
+    * is inference over fixed weights; this learns weights from the corpus
+    * itself). The label is a language-ID target (en vs rest), the standard
+    * bootstrap for a fastText-style corpus filter.
+    *
+    * Why a perceptron and not logistic regression: the full-batch perceptron
+    * update `w += Σ_misclassified y·x` is ALL-INTEGER — no sigmoid, no
+    * learning-rate double, so every round is exact BIGINT arithmetic that an
+    * oracle replays bit-for-bit (the x2/t18 determinism discipline applied
+    * to model TRAINING). A logistic loss needs exp(); transcendental
+    * last-ulp divergence across engines would make the trained weights
+    * unverifiable.
+    *
+    * Plan shape per round (the part that scales): the hashed feature table
+    * (doc, f, x) is built ONCE and cached; scores are one broadcast-join of
+    * the ≤`nFeatures`-row weight frame + a doc-keyed aggregate; the
+    * gradient is one doc-keyed join of the misclassified set back to the
+    * cached features + an f-keyed aggregate. Per round: two shuffles of
+    * feature-table-sized rows, NO driver collect — weights live as a tiny
+    * DataFrame riding broadcasts, exactly like the BPE merge table (t21).
+    * At 100 TB the feature table is the only big operand and it is scanned,
+    * never re-derived, per round. */
+  def perceptronTrain(docs: DataFrame, nFeatures: Int = 64, rounds: Int = 3): DataFrame = {
+    val labeled = docs.select(
+      col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+      col("text"))
+    val feats = labeled
+      .select(col("doc_id"), col("y"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("y"),
+        (TextHash.sampleKey(col("tok")) % nFeatures).as("f"))
+      .groupBy(col("doc_id"), col("y"), col("f"))
+      .agg(count(lit(1)).as("x"))
+      .cache() // rebuilt-per-round would re-tokenize the corpus `rounds` times
+    var w = feats.select(col("f")).distinct().withColumn("w", lit(0L))
+    for (_ <- 1 to rounds) {
+      val scores = feats.join(broadcast(w), Seq("f"))
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("w") * col("x")).as("s"))
+      // Misclassified = y·s ≤ 0 (zero counts: the all-zero initial weights
+      // must trigger the first update or training never starts).
+      val mis = scores.filter(col("y") * col("s") <= 0L).select(col("doc_id"))
+      val delta = feats.join(mis, Seq("doc_id"))
+        .groupBy(col("f")).agg(sum(col("y") * col("x")).as("dw"))
+      w = w.join(delta, Seq("f"), "left")
+        .select(col("f"), (col("w") + coalesce(col("dw"), lit(0L))).as("w"))
+        // Tiny frame, but its lineage doubles per round — pin each round's
+        // weights so round r+1's plan starts from materialized rows (the
+        // kmeans/BPE iteration discipline).
+        .localCheckpoint()
+    }
+    feats.unpersist()
+    w.select(col("f"), col("w"))
+  }
 }

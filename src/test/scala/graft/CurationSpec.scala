@@ -235,4 +235,33 @@ class CurationSpec extends SparkSpec {
     // Deterministic.
     assert(kept.except(Curation.tokenBudgetMix(docs)).isEmpty)
   }
+
+  test("importance selection ranks target-like candidates above unlike ones") {
+    val docs = Seq(
+      // target slice (en): dominated by "alpha"
+      (1L, "en", "alpha alpha alpha beta"),
+      (2L, "en", "alpha alpha gamma"),
+      // candidates: 10 looks like the target, 11 does not
+      (10L, "fr", "alpha alpha alpha alpha"),
+      (11L, "fr", "zeta zeta zeta zeta"),
+      (12L, "de", "alpha zeta")
+    ).toDF("doc_id", "lang", "text")
+    val out = Curation.importanceSelect(docs, col("lang") === "en", topK = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only candidates are scored
+    assert(out.keySet === Set(10L, 11L, 12L))
+    assert(out(10L) > out(12L) && out(12L) > out(11L))
+    // closed-form check for the all-alpha candidate: 4 tokens in alpha's
+    // bucket; alpha bucket ratio = (ct+1)*1e6 div (cs+1) with ct=5 target
+    // alphas (docs 1,2), cs=5 candidate alphas (4+1 from docs 10,12) —
+    // unless other tokens collide into alpha's bucket, which this avoids.
+    val alphaF = docs.select(
+      (graft.functions.TextHash.sampleKey(lit("alpha")) % 64).as("f")).head().getLong(0)
+    val collisions = docs
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "alpha")
+      .filter(graft.functions.TextHash.sampleKey(col("tok")) % 64 === alphaF)
+      .count()
+    if (collisions == 0) assert(out(10L) === 4L * ((5L + 1L) * 1000000L / (5L + 1L)))
+  }
 }

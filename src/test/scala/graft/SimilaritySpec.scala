@@ -191,4 +191,53 @@ class SimilaritySpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
     assert(both(0).getLong(0) === (4L + 0L + 765L + 65025L))
   }
+
+  test("mutual top-k keeps only reciprocal pairs (hand-computed)") {
+    val a = Seq((0L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val b = Seq((1L, Array(0.9f, 0.1f)), (3L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    // fwd top-1: 0→1 (0.994), 2→3 (0.8); bwd top-1: 1→0, 3→2 — both mutual.
+    val out = Similarity.mutualTopK(a, b, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("mutual top-k drops the non-reciprocal side of a contested target") {
+    // Both sources' top-1 is the single target, but the target's top-1 is
+    // source 2 (cos 0.9984 vs 0.9939) — mutuality keeps only (2, 1).
+    val a = Seq((0L, Array(1.0f, 0.0f)), (2L, Array(0.95f, 0.05f))).toDF("vec_id", "embedding")
+    val b = Seq((1L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val out = Similarity.mutualTopK(a, b, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((2L, 1L)))
+  }
+
+  test("mutual top-k pairs are exactly the intersection of both directions' brute-force top-k") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 200)
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val k = 3
+    val mutual = Similarity.mutualTopK(a, b, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Independent derivation per direction from the same scored cross.
+    def topk(q: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val rows = q.select(col("vec_id").as("qid"), col("embedding").as("qe")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val cs = c.select(col("vec_id").as("cid"), col("embedding").as("ce")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      def cos(x: Array[Float], y: Array[Float]): Double = {
+        var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+        while (i < x.length) { d += x(i).toDouble * y(i).toDouble; nx += x(i).toDouble * x(i).toDouble; ny += y(i).toDouble * y(i).toDouble; i += 1 }
+        d / (math.sqrt(nx) * math.sqrt(ny))
+      }
+      rows.flatMap { case (qid, qe) =>
+        cs.map { case (cid, ce) => (cid, cos(qe, ce)) }
+          .sortBy { case (cid, s) => (-s, cid) }.take(k).map(p => (qid, p._1))
+      }.toSet
+    }
+    val fwd = topk(a, b)
+    val bwd = topk(b, a).map(_.swap)
+    assert(mutual === fwd.intersect(bwd))
+    assert(mutual.nonEmpty)
+  }
 }

@@ -322,4 +322,69 @@ class TextAnalysisSpec extends SparkSpec {
     // empty text tokenizes to one empty token -> 1 unigram, 0 bigrams
     assert(fast(5L)._1 === 1L)
   }
+
+  test("count-min estimates dominate exact counts and audit the exact top-k") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.countMinEstimates(docs, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 10)
+    out.foreach { case (tok, exact, cms, over) =>
+      assert(cms >= exact, s"CMS underestimated '$tok'") // the one-sided guarantee
+      assert(over === cms - exact)
+    }
+    // audited set = the exact top-10 under (n DESC, token)
+    val top = docs.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t")).limit(10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.map(_._1).toSet === top.keySet)
+    out.foreach { case (tok, exact, _, _) => assert(exact === top(tok)) }
+  }
+
+  test("perceptron round 1 equals the closed-form first update") {
+    // w0 = 0 ⇒ every doc is misclassified in round 1 ⇒ w1_f = Σ_docs y·x_f.
+    val docs = Seq(
+      (1L, "en", "hello hello world"),
+      (2L, "en", "hello again"),
+      (3L, "fr", "bonjour monde"),
+      (4L, "de", "hallo welt welt")
+    ).toDF("doc_id", "lang", "text")
+    val w = TextAnalysis.perceptronTrain(docs, nFeatures = 64, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = docs
+      .select(
+        org.apache.spark.sql.functions.when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("y"), (TextHash.sampleKey(col("tok")) % 64).as("f"))
+      .groupBy("f").agg(sum(col("y")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w === expected)
+  }
+
+  test("perceptron separates a separable corpus and is stable once converged") {
+    val docs = Seq(
+      (1L, "en", "hello world good day"),
+      (2L, "en", "hello there good morning"),
+      (3L, "fr", "bonjour le monde"),
+      (4L, "fr", "bonjour bonne nuit"),
+      (5L, "de", "hallo guten tag")
+    ).toDF("doc_id", "lang", "text")
+    val w3 = TextAnalysis.perceptronTrain(docs, nFeatures = 64, rounds = 3)
+    // Score every doc with the learned weights: separable data must be
+    // fully classified (y·s > 0) by round 3.
+    val feats = docs
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("y"), (TextHash.sampleKey(col("tok")) % 64).as("f"))
+      .groupBy("doc_id", "y", "f").agg(count(lit(1)).as("x"))
+    val scored = feats.join(w3, Seq("f"))
+      .groupBy("doc_id", "y").agg(sum(col("w") * col("x")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(scored.length === 5)
+    scored.foreach { case (id, y, s) => assert(y * s > 0L, s"doc $id not separated (y=$y s=$s)") }
+    // Converged weights are a fixed point: another round changes nothing.
+    val w4 = TextAnalysis.perceptronTrain(docs, nFeatures = 64, rounds = 4)
+    assert(w3.except(w4).isEmpty && w4.except(w3).isEmpty)
+  }
 }
