@@ -89,8 +89,60 @@ object SparkEntry {
        |               FROM cpairs JOIN embeddings ea ON ea.vec_id = vec_a
        |                           JOIN embeddings eb ON eb.vec_id = vec_b)""".stripMargin
 
-  /** Shared SQL fragment: DISTINCT (doc_id, h) word-3-gram 60-bit hashes —
-    * mirrors [[graft.operators.Dedup.shingleHashes]]. */
+  /** Shared SQL fragment: the exact cosine-rank chain of
+    * [[graft.operators.Similarity.bruteForceTopK]] for queries
+    * vec_id < `nQueries` — ends in
+    * `exact_ranked(query_id, neighbor_id, cosine, rank)` with the RAW
+    * cosine; consumers (`s1_ann_topk`, `s17_retrieval_metrics`) apply
+    * their own k cut and rounding. */
+  private def sqlExactRankedCtes(nQueries: Int): String =
+    s"""xq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $nQueries),
+       |xc AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+       |xs AS (SELECT query_id, neighbor_id, ${sqlCosine("qe", "ce")} AS cosine
+       |       FROM xq JOIN xc ON query_id <> neighbor_id),
+       |exact_ranked AS (SELECT query_id, neighbor_id, cosine,
+       |                        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
+       |                 FROM xs)""".stripMargin
+
+  /** Shared SQL fragment: the deterministic IVF pipeline of
+    * [[graft.operators.Similarity.ivfTopK]] — 6-bit LSH cells (same
+    * hyperplane formula as s2), quantized-integer mean centroids
+    * (trunc(x·2^20) BIGINT sums — order-independent, bit-identical to
+    * graft.functions.VectorSumAgg), 4-cell multi-probe, exact cosine rank
+    * within the probed cells. Ends in
+    * `ivf_ranked(query_id, neighbor_id, cosine, rank)` with the RAW
+    * cosine; consumers (`s3_ann_ivf`, `s17_retrieval_metrics`) apply
+    * their own k cut and rounding. */
+  private def sqlIvfRankedCtes: String =
+    s"""ibits AS (SELECT b, CAST(1 AS BIGINT) << b AS p2 FROM generate_series(0, 5) t(b)),
+       |iproj AS (SELECT vec_id, b, p2,
+       |                 ${sqlFoldSum(
+                           "list_transform(generate_series(1, len(embedding)), " +
+                           "i -> CAST(embedding[i] AS DOUBLE) * " +
+                           "((CAST(((b * 104729 + (i - 1) * 7919 + 12345) * (b * 104729 + (i - 1) * 7919 + 12345)) % 1000003 AS DOUBLE) / 1000003.0) - 0.5))")} AS proj
+       |          FROM embeddings CROSS JOIN ibits),
+       |cellsig AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS cell
+       |            FROM iproj GROUP BY vec_id),
+       |asg AS (SELECT e.vec_id, e.embedding, s.cell FROM embeddings e JOIN cellsig s ON e.vec_id = s.vec_id),
+       |cnt AS (SELECT cell, count(*) AS n FROM asg GROUP BY cell),
+       |dsum AS (SELECT cell, i, sum(CAST(trunc(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qs
+       |         FROM asg, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+       |         GROUP BY cell, i),
+       |cent AS (SELECT d.cell, list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY i) AS centroid
+       |         FROM dsum d JOIN cnt c ON d.cell = c.cell GROUP BY d.cell, c.n),
+       |iq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |ics AS (SELECT query_id, qe, cent.cell, ${sqlCosineFD("qe", "centroid")} AS cell_sim
+       |        FROM iq CROSS JOIN cent),
+       |ipr AS (SELECT query_id, qe, cell FROM (
+       |          SELECT query_id, qe, cell,
+       |                 row_number() OVER (PARTITION BY query_id ORDER BY cell_sim DESC, cell) AS cr
+       |          FROM ics) WHERE cr <= 4),
+       |icand AS (SELECT query_id, a.vec_id, ${sqlCosine("qe", "a.embedding")} AS cosine
+       |          FROM ipr JOIN asg a ON ipr.cell = a.cell WHERE query_id <> a.vec_id),
+       |ivf_ranked AS (SELECT query_id, vec_id AS neighbor_id, cosine,
+       |                      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS "rank"
+       |               FROM icand)""".stripMargin
+
   /** Shared SQL fragment: the BPE training replay — word counts, sentinel-
     * wrapped symbol init, three MATERIALIZED merge rounds (lesson #27).
     * Ends in t1..t3 (adopted pairs) and w3 (fully merged word table);
@@ -1452,6 +1504,28 @@ object SparkEntry {
         e.filter(col("vec_id") % 2 === 0),
         e.filter(col("vec_id") % 2 === 1))
     }),
+    // Hybrid retrieval: Reciprocal Rank Fusion of the BM25 lexical top-50
+    // and the dense cosine top-50 (query = vec 0). Score-free fusion over
+    // integer-quantized 1/(60+rank) contributions — no cross-retriever
+    // score calibration, no FP ranking hazard; the fusion itself joins
+    // only (queries × k)-sized rank lists, so it is metadata-scale at any
+    // corpus size.
+    "s16_rrf_fusion" -> ((s, d) => {
+      val lex = Retrieval.asRankList(
+        TextAnalysis.bm25(Tables.documents(s, d), kTerms = 10, topK = 50),
+        "doc_id", Seq(col("bm25_scaled").desc, col("doc_id")))
+      val dense = Similarity.bruteForceTopK(Tables.embeddings(s, d), nQueries = 1, k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq("lex" -> lex, "dense" -> dense))
+    }),
+    // Retrieval-quality eval: recall@5 hits + first-hit reciprocal rank of
+    // the IVF ANN (s3) against the exact top-5 (s1), per query — the two
+    // numbers an ANN rollout watches per index build, as exact integers.
+    "s17_retrieval_metrics" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Retrieval.retrievalMetrics(
+        Similarity.bruteForceTopK(emb), Similarity.ivfTopK(emb))
+    }),
     // Full-batch perceptron TRAINING on hashed token features (en-vs-rest
     // target): 3 all-BIGINT update rounds — model training itself under
     // the oracle gate, the learning twin of t20's inference.
@@ -2601,14 +2675,9 @@ object SparkEntry {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "s1_ann_topk" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
-         |s AS (SELECT query_id, neighbor_id, ${sqlCosine("qe", "ce")} AS cosine
-         |      FROM q JOIN c ON query_id <> neighbor_id),
-         |w AS (SELECT query_id, neighbor_id, cosine,
-         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
-         |      FROM s)
-         |SELECT query_id, neighbor_id, round(cosine, 7) AS cosine, "rank" FROM w WHERE "rank" <= 5""".stripMargin,
+      s"""WITH ${sqlExactRankedCtes(10)}
+         |SELECT query_id, neighbor_id, round(cosine, 7) AS cosine, "rank"
+         |FROM exact_ranked WHERE "rank" <= 5""".stripMargin,
     // Centered LSH: hyperplanes project (embedding − corpus mean); the mean
     // replays VectorSumAgg's quantized-integer sums exactly (trunc(x·2^20)
     // BIGINTs — order-independent), same pattern as the s3 centroids.
@@ -2659,36 +2728,9 @@ object SparkEntry {
     // (trunc(x·2^20) BIGINT sums — order-independent, so bit-identical to
     // graft.functions.VectorSumAgg), 4-cell multi-probe, exact cosine rank.
     "s3_ann_ivf" ->
-      s"""WITH bits AS (SELECT b, CAST(1 AS BIGINT) << b AS p2 FROM generate_series(0, 5) t(b)),
-         |proj AS (SELECT vec_id, b, p2,
-         |                ${sqlFoldSum(
-                            "list_transform(generate_series(1, len(embedding)), " +
-                            "i -> CAST(embedding[i] AS DOUBLE) * " +
-                            "((CAST(((b * 104729 + (i - 1) * 7919 + 12345) * (b * 104729 + (i - 1) * 7919 + 12345)) % 1000003 AS DOUBLE) / 1000003.0) - 0.5))")} AS proj
-         |         FROM embeddings CROSS JOIN bits),
-         |cellsig AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS cell
-         |            FROM proj GROUP BY vec_id),
-         |asg AS (SELECT e.vec_id, e.embedding, s.cell FROM embeddings e JOIN cellsig s ON e.vec_id = s.vec_id),
-         |cnt AS (SELECT cell, count(*) AS n FROM asg GROUP BY cell),
-         |dsum AS (SELECT cell, i, sum(CAST(trunc(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qs
-         |         FROM asg, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
-         |         GROUP BY cell, i),
-         |cent AS (SELECT d.cell, list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY i) AS centroid
-         |         FROM dsum d JOIN cnt c ON d.cell = c.cell GROUP BY d.cell, c.n),
-         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
-         |cs AS (SELECT query_id, qe, cent.cell, ${sqlCosineFD("qe", "centroid")} AS cell_sim
-         |       FROM q CROSS JOIN cent),
-         |pr AS (SELECT query_id, qe, cell FROM (
-         |         SELECT query_id, qe, cell,
-         |                row_number() OVER (PARTITION BY query_id ORDER BY cell_sim DESC, cell) AS cr
-         |         FROM cs) WHERE cr <= 4),
-         |cand AS (SELECT query_id, a.vec_id, ${sqlCosine("qe", "a.embedding")} AS cosine
-         |         FROM pr JOIN asg a ON pr.cell = a.cell WHERE query_id <> a.vec_id),
-         |w AS (SELECT query_id, vec_id, cosine,
-         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS "rank"
-         |      FROM cand)
-         |SELECT query_id, vec_id AS neighbor_id, round(cosine, 7) AS cosine, "rank"
-         |FROM w WHERE "rank" <= 5""".stripMargin,
+      s"""WITH $sqlIvfRankedCtes
+         |SELECT query_id, neighbor_id, round(cosine, 7) AS cosine, "rank"
+         |FROM ivf_ranked WHERE "rank" <= 5""".stripMargin,
     "m1_multimodal_meta" ->
       """SELECT doc_id,
         |       CAST(strlen(text) AS BIGINT) AS byte_len,
@@ -3006,6 +3048,62 @@ object SparkEntry {
          |      FROM sc)
          |SELECT src_id, tgt_id, rank_fwd, rank_bwd, round(cosine, 7) AS cosine
          |FROM r WHERE rank_fwd <= 3 AND rank_bwd <= 3""".stripMargin,
+    // RRF fusion replay: the t13 BM25 chain cut at 50, the exact cosine
+    // list of query vector 0 cut at 50, full-outer joined; contributions
+    // are BIGINT `1000000 // (60 + rank)` so the fused score is exact
+    // integer arithmetic on both engines.
+    "s16_rrf_fusion" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS sumdl,
+         |               CAST((SELECT count(*) FROM documents) AS BIGINT) AS n
+         |        FROM dl),
+         |st AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |qt AS (SELECT term, df FROM st ORDER BY cnt DESC, term LIMIT 10),
+         |sc AS (SELECT tf.doc_id,
+         |              CAST((((n * 16384) // df) * tf * 220 * sumdl) //
+         |                   (100 * tf * sumdl + 30 * sumdl + 90 * dl.dl * n) AS BIGINT) AS s
+         |       FROM tf JOIN qt USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot),
+         |agg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_scaled FROM sc GROUP BY 1),
+         |lex AS MATERIALIZED (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25_scaled DESC, doc_id) AS BIGINT) AS rank_lex
+         |  FROM (SELECT doc_id, bm25_scaled FROM agg ORDER BY bm25_scaled DESC, doc_id LIMIT 50)),
+         |dq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |dsc AS (SELECT e.vec_id AS doc_id, ${sqlCosine("qe", "e.embedding")} AS cosine
+         |        FROM embeddings e CROSS JOIN dq WHERE e.vec_id <> 0),
+         |den AS MATERIALIZED (
+         |  SELECT doc_id, rank_dense FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank_dense
+         |    FROM dsc) WHERE rank_dense <= 50),
+         |f AS (SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         |             CAST(coalesce(l.rank_lex, 0) AS BIGINT) AS rank_lex,
+         |             CAST(coalesce(d.rank_dense, 0) AS BIGINT) AS rank_dense,
+         |             CAST(coalesce(1000000 // (60 + l.rank_lex), 0) +
+         |                  coalesce(1000000 // (60 + d.rank_dense), 0) AS BIGINT) AS rrf_scaled
+         |      FROM lex l FULL JOIN den d ON l.doc_id = d.doc_id)
+         |SELECT doc_id, rank_lex, rank_dense, rrf_scaled
+         |FROM f ORDER BY rrf_scaled DESC, doc_id LIMIT 25""".stripMargin,
+    // Retrieval-metric replay: both ranked lists from the shared s1/s3
+    // fragments, hit-marked by a key join, folded to per-query recall@5
+    // numerator + first-hit reciprocal rank as BIGINTs.
+    "s17_retrieval_metrics" ->
+      s"""WITH ${sqlExactRankedCtes(10)},
+         |$sqlIvfRankedCtes,
+         |rel AS MATERIALIZED (SELECT query_id, neighbor_id FROM exact_ranked WHERE "rank" <= 5),
+         |ap AS (SELECT query_id, neighbor_id, "rank" FROM ivf_ranked WHERE "rank" <= 5),
+         |mk AS (SELECT a.query_id, a."rank",
+         |              CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |       FROM ap a LEFT JOIN rel r
+         |         ON a.query_id = r.query_id AND a.neighbor_id = r.neighbor_id),
+         |ag AS (SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_hits,
+         |              min(CASE WHEN hit = 1 THEN "rank" END) AS fh
+         |       FROM mk GROUP BY query_id)
+         |SELECT q.query_id,
+         |       CAST(coalesce(ag.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(coalesce(ag.fh, 0) AS BIGINT) AS first_hit_rank,
+         |       CAST(coalesce(1000000 // ag.fh, 0) AS BIGINT) AS mrr_scaled
+         |FROM (SELECT DISTINCT query_id FROM rel) q LEFT JOIN ag USING (query_id)""".stripMargin,
     // Perceptron training replay: the hashed feature table once
     // (MATERIALIZED — multi-round CTE chains inline exponentially,
     // SCALING.md #27), then 3 unrolled all-BIGINT update rounds.

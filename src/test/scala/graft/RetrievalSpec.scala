@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Retrieval, Similarity}
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rankList(pairs: (Long, Long)*) =
+    pairs.toDF("doc_id", "rank")
+
+  test("rrf fuses two lists with hand-computed integer scores") {
+    // doc 1: rank 1 in A, rank 2 in B; doc 2: only A (rank 2);
+    // doc 3: only B (rank 1).
+    val a = rankList(1L -> 1L, 2L -> 2L)
+    val b = rankList(3L -> 1L, 1L -> 2L)
+    val out = Retrieval.rrfFuse(Seq("a" -> a, "b" -> b), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val c = (r: Long) => 1000000L / (60L + r)
+    assert(out === Array(
+      (1L, 1L, 2L, c(1) + c(2)), // 16393 + 16129 — both lists
+      (3L, 0L, 1L, c(1)), // absent rank surfaces as 0, contributes nothing
+      (2L, 2L, 0L, c(2))))
+  }
+
+  test("rrf over a single list preserves that list's order") {
+    val a = rankList(7L -> 1L, 8L -> 2L, 9L -> 3L)
+    val out = Retrieval.rrfFuse(Seq("only" -> a), topK = 2)
+      .collect().map(_.getLong(0))
+    assert(out === Array(7L, 8L))
+  }
+
+  test("rrf ties on equal scores break by doc_id") {
+    // Same rank in symmetric lists → identical scores; order must be by id.
+    val a = rankList(5L -> 1L, 9L -> 2L)
+    val b = rankList(9L -> 1L, 5L -> 2L)
+    val out = Retrieval.rrfFuse(Seq("a" -> a, "b" -> b), topK = 10)
+      .collect().map(_.getLong(0))
+    assert(out === Array(5L, 9L))
+  }
+
+  private def topk(rows: (Long, Long, Long)*) =
+    rows.toDF("query_id", "neighbor_id", "rank")
+
+  test("retrieval metrics: hand-computed hits, first-hit rank, and dropout row") {
+    val exact = topk(
+      (0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L),
+      (1L, 20L, 1L), (1L, 21L, 2L), (1L, 22L, 3L),
+      (2L, 30L, 1L), (2L, 31L, 2L), (2L, 32L, 3L))
+    val approx = topk(
+      // q0: miss, hit(11)@2, hit(10)@3 → hits 2, first hit rank 2
+      (0L, 99L, 1L), (0L, 11L, 2L), (0L, 10L, 3L),
+      // q1: all misses → 0 hits, mrr 0
+      (1L, 98L, 1L), (1L, 97L, 2L), (1L, 96L, 3L))
+    // q2: absent from approx entirely → must still emit a (0, 0, 0) row
+    val out = Retrieval.retrievalMetrics(exact, approx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out === Array(
+      (0L, 2L, 2L, 500000L),
+      (1L, 0L, 0L, 0L),
+      (2L, 0L, 0L, 0L)))
+  }
+
+  test("retrieval metrics of a list against itself are perfect") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 3, k = 4)
+    val out = Retrieval.retrievalMetrics(exact, exact).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getLong(1) === 4L) // all k hit
+      assert(r.getLong(2) === 1L) // first hit at rank 1
+      assert(r.getLong(3) === 1000000L)
+    }
+  }
+}
