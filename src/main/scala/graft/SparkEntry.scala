@@ -746,6 +746,32 @@ object SparkEntry {
       Tables.events(s, d).select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
+    // Spark 4 VARIANT semi-structured path: a nested JSON document (built
+    // deterministically from event columns; `x` present on 1/3 of events)
+    // is parsed ONCE into the binary variant encoding, then multiple typed
+    // paths extract without re-parsing — at 100 TB the parse-once/
+    // extract-many shape is the difference between one string-JSON decode
+    // per FIELD and one per ROW. try_variant_get surfaces the absent path
+    // as NULL instead of failing the row.
+    "j3_variant" -> ((s, d) => {
+      val e7 = (col("event_id") % 7).cast("string")
+      val u5 = (col("user_id") % 5).cast("string")
+      val x = (col("event_id") % 7 + col("user_id") % 5).cast("string")
+      val js = concat(
+        lit("{\"meta\":{\"type\":\""), col("event_type"),
+        lit("\",\"k\":"), get_json_object(col("props"), "$.k"),
+        when(col("event_id") % 3 === 0, concat(lit(",\"x\":"), x)).otherwise(lit("")),
+        lit("},\"vals\":["), e7, lit(","), u5, lit("]}"))
+      Tables.events(s, d)
+        .select(col("event_id"), parse_json(js).as("v"))
+        .select(
+          col("event_id"),
+          variant_get(col("v"), "$.meta.type", "string").as("mtype"),
+          variant_get(col("v"), "$.meta.k", "bigint").as("k"),
+          variant_get(col("v"), "$.vals[0]", "bigint").as("v0"),
+          variant_get(col("v"), "$.vals[1]", "bigint").as("v1"),
+          try_variant_get(col("v"), "$.meta.x", "bigint").as("x"))
+    }),
     "q16_scalar_subquery" -> ((s, d) => {
       // Unique per-invocation view name: a fixed name would collide if two
       // queries (or two runs) execute concurrently on a shared session.
@@ -904,6 +930,20 @@ object SparkEntry {
     // hash-checked value-for-value (overestimate ≥ 0 is the CMS guarantee).
     "x10_countmin" -> ((s, d) =>
       TextAnalysis.countMinEstimates(Tables.documents(s, d))),
+    // Z-order (Morton) clustering key — the [[graft.etl.Layout]] layout
+    // primitive under the oracle gate: pure BIGINT bit-interleave of two
+    // 16-bit key slices, plus the coarse z-cell (zkey >> 24) a clustered
+    // write ranges on. Per-cell stats in ZCELL space are what give BOTH
+    // columns' file min/max a small rectangle — the multi-column skipping
+    // z-order exists for; the layout effect itself is spec/probe-verified
+    // (ScaleFeaturesSpec, SCALING.md), the arithmetic is verified here.
+    "z1_zorder_key" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        graft.etl.Layout.mortonKey(
+          col("o_custkey").bitwiseAND(lit(65535L)),
+          col("o_orderkey").bitwiseAND(lit(65535L))).as("zkey"))
+        .withColumn("zcell", shiftright(col("zkey"), 24).cast("long"))),
     // ---- deduplication ----
     "d1_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "d2_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(Tables.documents(s, d))),
@@ -1531,6 +1571,11 @@ object SparkEntry {
     // the oracle gate, the learning twin of t20's inference.
     "t23_perceptron" -> ((s, d) =>
       TextAnalysis.perceptronTrain(Tables.documents(s, d))),
+    // CCNet-style perplexity bucketing: LM-scored docs split into rank
+    // terciles (pure BIGINT — no interpolated fence), head+middle kept,
+    // tail sampled at 10% via the squared-then-mod sample key.
+    "t24_ccnet_buckets" -> ((s, d) =>
+      Curation.ccnetBuckets(Tables.documents(s, d))),
     // DSIR-shaped importance selection: candidates scored by the
     // integer-quantized target/source hashed-feature ratio, top-200 kept.
     "p10_importance_select" -> ((s, d) =>
@@ -1970,6 +2015,20 @@ object SparkEntry {
          |       CAST(n_cms - n_exact AS BIGINT) AS overestimate
          |FROM est""".stripMargin
     },
+    // Morton interleave replay: Σ_i (bit i of a → position 2i+1) |
+    // (bit i of b → position 2i) as pure BIGINT shifts — identical
+    // arithmetic to Layout.mortonKey's codegen'd column expression.
+    "z1_zorder_key" -> {
+      val morton = (0 until graft.etl.Layout.ZBits).map { i =>
+        s"((((a >> $i) & 1) << ${2 * i + 1}) | (((b >> $i) & 1) << ${2 * i}))"
+      }.mkString(" | ")
+      s"""WITH n AS (SELECT o_orderkey,
+         |                  o_custkey & 65535 AS a,
+         |                  o_orderkey & 65535 AS b
+         |           FROM orders),
+         |z AS (SELECT o_orderkey, CAST($morton AS BIGINT) AS zkey FROM n)
+         |SELECT o_orderkey, zkey, CAST(zkey >> 24 AS BIGINT) AS zcell FROM z""".stripMargin
+    },
     "x2_approx_distinct" ->
       """WITH a AS (SELECT l_returnflag,
         |                  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
@@ -2303,6 +2362,26 @@ object SparkEntry {
         |       CAST(min(k) AS BIGINT) AS k_min,
         |       CAST(max(k) AS BIGINT) AS k_max
         |FROM p GROUP BY event_type""".stripMargin,
+    // Variant replay: build the identical JSON text, extract with DuckDB's
+    // JSON paths; the absent `$.meta.x` comes back NULL on both engines.
+    "j3_variant" ->
+      """WITH src AS (SELECT event_id, event_type,
+        |                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |                    event_id % 7 AS e7, user_id % 5 AS u5
+        |             FROM events),
+        |j AS (SELECT event_id,
+        |             '{"meta":{"type":"' || event_type || '","k":' || CAST(k AS VARCHAR) ||
+        |             CASE WHEN event_id % 3 = 0
+        |                  THEN ',"x":' || CAST(e7 + u5 AS VARCHAR) ELSE '' END ||
+        |             '},"vals":[' || CAST(e7 AS VARCHAR) || ',' || CAST(u5 AS VARCHAR) || ']}' AS js
+        |      FROM src)
+        |SELECT event_id,
+        |       json_extract_string(js, '$.meta.type') AS mtype,
+        |       CAST(json_extract(js, '$.meta.k') AS BIGINT) AS k,
+        |       CAST(json_extract(js, '$.vals[0]') AS BIGINT) AS v0,
+        |       CAST(json_extract(js, '$.vals[1]') AS BIGINT) AS v1,
+        |       CAST(json_extract(js, '$.meta.x') AS BIGINT) AS x
+        |FROM j""".stripMargin,
     "q28_map_funcs" ->
       """SELECT user_id,
         |       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
@@ -2333,6 +2412,34 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams, lm_scaled,
         |       round(CAST(lm_scaled AS DOUBLE) / 1048576.0 / CAST(n_bigrams AS DOUBLE), 7) AS lm_avg
         |FROM agg""".stripMargin,
+    // CCNet bucketing replay: the t16 LM chain, BIGINT per-doc mean score,
+    // rank terciles via ((rank-1)*3) // n, tail keeps by the shared
+    // squared-then-mod sample key.
+    "t24_ccnet_buckets" ->
+      s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
+         |bi AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+         |       FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+         |       WHERE len(t) >= 2),
+         |ctx AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_ctx FROM bi GROUP BY w1),
+         |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bg FROM bi GROUP BY w1, w2),
+         |sc AS (SELECT bi.doc_id, CAST((bg.n_bg * 1048576) // ctx.n_ctx AS BIGINT) AS p_scaled
+         |       FROM bi JOIN bg ON bg.w1 = bi.w1 AND bg.w2 = bi.w2
+         |               JOIN ctx ON ctx.w1 = bi.w1),
+         |agg AS MATERIALIZED (
+         |  SELECT doc_id, CAST(sum(p_scaled) // count(*) AS BIGINT) AS lm_avg_scaled
+         |  FROM sc GROUP BY doc_id),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM agg),
+         |r AS (SELECT doc_id, lm_avg_scaled,
+         |             CAST(row_number() OVER (ORDER BY lm_avg_scaled DESC, doc_id) AS BIGINT) AS rnk
+         |      FROM agg),
+         |b AS (SELECT doc_id, lm_avg_scaled,
+         |             CAST(((rnk - 1) * 3) // n AS BIGINT) AS bucket
+         |      FROM r CROSS JOIN nn)
+         |SELECT doc_id, lm_avg_scaled, bucket,
+         |       CAST(CASE WHEN bucket < 2
+         |                   OR ${sqlSampleKey("('ccnet:' || CAST(doc_id AS VARCHAR))")} % 100 < 10
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM b""".stripMargin,
     // Same synthesized URLs, t2's quality formula, quantized-BIGINT mass.
     "t14_url_hosts" -> {
       s"""WITH u AS (SELECT doc_id,

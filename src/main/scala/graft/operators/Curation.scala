@@ -468,4 +468,41 @@ object Curation {
         "realized_rate",
         round(col("n_sampled").cast("double") / col("n_docs").cast("double"), 7))
   }
+
+  /** CCNet-style perplexity bucketing + tail sampling — the composition
+    * CCNet actually runs: score each document with the corpus LM
+    * ([[TextAnalysis.lmScore]]), split the scoreable corpus into
+    * head/middle/tail TERCILES by score, keep head+middle and a small
+    * deterministic sample of the tail (the low-probability gibberish/
+    * boilerplate end that still carries some diversity signal).
+    *
+    * Buckets are RANK terciles, not interpolated-quantile fences: CCNet
+    * partitions by cumulative fraction, and `bucket = ((rank−1)·3) div n`
+    * reproduces that with pure BIGINT arithmetic — no interpolated double
+    * fence to FP-compare against (the x9 winsorize hazard class never
+    * arises). The per-doc score is the BIGINT `lm_scaled div n_bigrams`
+    * (2^20-scaled mean bigram probability); the rank comes from
+    * [[Ranking.globalRank]]'s range shuffle — no single-partition global
+    * window at any corpus size. Tail keeps ride [[TextHash.sampleKey]]
+    * (squared-then-mod; raw polyHash residues form the base-31 lattice).
+    *
+    * Output: (doc_id, lm_avg_scaled, bucket 0|1|2, kept 0|1) over the
+    * scoreable (≥ 2-token) documents. */
+  def ccnetBuckets(docs: DataFrame, tailKeepPct: Int = 10): DataFrame = {
+    val scored = TextAnalysis.lmScore(docs)
+      .select(col("doc_id"), expr("lm_scaled div n_bigrams").as("lm_avg_scaled"))
+    val ranked = Ranking.globalRank(
+      scored, Seq(col("lm_avg_scaled").desc, col("doc_id")), "rnk")
+    // count reads the barrier cache globalRank already pinned — no extra
+    // scan of the scoring pipeline.
+    val n = ranked.count()
+    val keepTail =
+      TextHash.sampleKey(concat(lit("ccnet:"), col("doc_id").cast("string"))) % 100 <
+        lit(tailKeepPct.toLong)
+    ranked
+      .withColumn("bucket", expr(s"((rnk - 1) * 3) div ${n}L"))
+      .select(
+        col("doc_id"), col("lm_avg_scaled"), col("bucket"),
+        (col("bucket") < 2 || keepTail).cast("long").as("kept"))
+  }
 }

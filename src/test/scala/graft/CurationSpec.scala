@@ -264,4 +264,29 @@ class CurationSpec extends SparkSpec {
       .count()
     if (collisions == 0) assert(out(10L) === 4L * ((5L + 1L) * 1000000L / (5L + 1L)))
   }
+
+  test("ccnet buckets: rank terciles, head/middle kept, tail sampled") {
+    // 9 scoreable docs with strictly decreasing LM scores by construction:
+    // "a a ... a" repeats the corpus's dominant bigram, so more repeats =
+    // higher mean bigram probability. One short doc is unscoreable.
+    val docs = (1L to 9L).map(i => (i, "a " * (11 - i.toInt) + "b"))
+      .toDF("doc_id", "text")
+      .union(Seq((99L, "solo")).toDF("doc_id", "text"))
+    val out = Curation.ccnetBuckets(docs, tailKeepPct = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // unscoreable doc 99 is absent; 9 docs → exact terciles of 3
+    assert(out.map(_._1) === (1L to 9L).toArray)
+    assert(out.map(_._2) === Array(0L, 0L, 0L, 1L, 1L, 1L, 2L, 2L, 2L))
+    // head + middle always kept
+    out.filter(_._2 < 2).foreach { case (_, _, kept) => assert(kept === 1L) }
+    // tail keeps must equal the sample-key decision doc by doc
+    out.filter(_._2 === 2L).foreach { case (id, _, kept) =>
+      val expect = docs.sparkSession.range(1)
+        .select((graft.functions.TextHash.sampleKey(
+          org.apache.spark.sql.functions.lit(s"ccnet:$id")) % 100 < 10)
+          .cast("long")).head().getLong(0)
+      assert(kept === expect, s"doc $id")
+    }
+  }
 }
