@@ -168,6 +168,13 @@ object ScalingProbe {
       MaterializedViewRewrite.clear()
     }
 
+    // KMV distinct sketch over 10M rows / 10M distinct event_ids per the
+    // ALL row: the sketch pass must cost ~nothing beyond the distinct the
+    // exact audit needs anyway (TopKAgg ships ≤ k rows per group-partition).
+    time("kmv_distinct_10M_rows")(
+      graft.operators.Profiling.kmvDistinct(
+        bigEvents, "event_type", "event_id").count())
+
     // Done with the event fixtures — release them, or the cached 10M-row
     // table squeezes the ANN sections below into GC churn (measured: the
     // 50× ANN probe reads 92 s with these pinned vs 55 s without).
@@ -399,6 +406,14 @@ object ScalingProbe {
     // almost all the work); estimates join a broadcast of that table.
     time("countmin_100k_docs")(
       graft.operators.TextAnalysis.countMinEstimates(bigDocs).count())
+    // CCNet bucketing at 100k docs: the t16 LM chain + a range-shuffle
+    // rank — no per-group buffer, no single-partition window anywhere.
+    time("ccnet_buckets_100k_docs")(
+      graft.operators.Curation.ccnetBuckets(bigDocs).count())
+    // Vocab-coverage curve at 100k docs (Caesar replicas multiply the
+    // type space ~20×): token counts + globalRank over the vocab table.
+    time("vocab_coverage_100k_docs")(
+      graft.operators.TextAnalysis.vocabCoverage(bigDocs).count())
 
     bigDocs.unpersist(blocking = true)
 

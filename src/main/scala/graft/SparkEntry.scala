@@ -490,6 +490,35 @@ object SparkEntry {
       q.awaitTermination()
       s.table(name)
     }),
+    // Stream-static dim enrichment — the most common production streaming
+    // join: the event stream against a broadcast customer dim (the static
+    // side is planned per micro-batch as an ordinary broadcast hash join —
+    // no streaming state AT ALL, unlike q33/q37's stream-stream buffers),
+    // then a grouped rollup. Complete mode + AvailableNow drains the
+    // fixture so the final table is the batch join the oracle computes.
+    "q50_stream_enrich" -> ((s0, d) => {
+      val s = streamSession(s0)
+      Tables.events(s, d) // ensures nanosAsLong before the raw schema read
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = Tables.nanosToMicros(
+        s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
+      val dim = broadcast(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")))
+      val name = "stream_enrich_sink"
+      s.catalog.dropTempView(name)
+      val q = stream.join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum((col("value") * 100.0).cast("long")).as("v_cents"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }),
     // Streaming exact dedup on the gate (second streaming row beside q22):
     // the real engine runs dropDuplicatesWithinWatermark over the document
     // stream with deterministic injected dups (doc_id % 5 = 4 collapses to
@@ -842,6 +871,18 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       AsOfJoin(purchases, signups, "user_id", "ts", "ts", Seq("ts", "value"), "event_id")
     }),
+    // Feature-store point-in-time join: a1's as-of matching plus a 1-day
+    // staleness TTL — stale/missing features surface as NULL, age in whole
+    // seconds. The leakage-safe training-set join (Feast ttl semantics).
+    "a3_pit_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      AsOfJoin.pointInTime(purchases, signups, "user_id", "ts", "ts",
+        Seq("value"), "event_id", toleranceSeconds = 86400L)
+    }),
     // ---- text analysis ----
     "t1_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "t2_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
@@ -930,6 +971,13 @@ object SparkEntry {
     // hash-checked value-for-value (overestimate ≥ 0 is the CMS guarantee).
     "x10_countmin" -> ((s, d) =>
       TextAnalysis.countMinEstimates(Tables.documents(s, d))),
+    // KMV k-minimum-values distinct sketch per group (+ ALL union row),
+    // audited against the exact distinct in the same pass. Deterministic
+    // under the portable squared-then-mod hash, so unlike x2's HLL every
+    // sketch VALUE is hash-checked, and mergeability is real sketch
+    // algebra (k-min of merged k-min sets — spec-pinned).
+    "x11_kmv_distinct" -> ((s, d) =>
+      Profiling.kmvDistinct(Tables.lineitem(s, d), "l_linenumber", "l_orderkey")),
     // Z-order (Morton) clustering key — the [[graft.etl.Layout]] layout
     // primitive under the oracle gate: pure BIGINT bit-interleave of two
     // 16-bit key slices, plus the coarse z-cell (zkey >> 24) a clustered
@@ -1576,10 +1624,24 @@ object SparkEntry {
     // tail sampled at 10% via the squared-then-mod sample key.
     "t24_ccnet_buckets" -> ((s, d) =>
       Curation.ccnetBuckets(Tables.documents(s, d))),
+    // PMI collocation mining over corpus bigrams: log-free quantized
+    // ratio over the contingency margins ranks identically to PMI and
+    // replays bit-for-bit; min-count screens hapax pairs.
+    "t25_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(Tables.documents(s, d))),
     // DSIR-shaped importance selection: candidates scored by the
     // integer-quantized target/source hashed-feature ratio, top-200 kept.
     "p10_importance_select" -> ((s, d) =>
       Curation.importanceSelect(Tables.documents(s, d), col("lang") === "en")),
+    // Deterministic negative sampling over (custkey, orderkey) positives:
+    // 3 uniform item draws per user via the squared-then-mod key,
+    // accidental positives anti-joined out.
+    "p11_negative_sample" -> ((s, d) =>
+      Curation.negativeSample(Tables.orders(s, d), "o_custkey", "o_orderkey")),
+    // Vocab-coverage / OOV curve at candidate vocab sizes — the
+    // tokenizer-planning query, all-BIGINT.
+    "t26_vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, d))),
     // Scalar-quantized (SQ8) exhaustive ANN: per-dim affine int8 codes,
     // exact BIGINT code dot-product scoring — the no-training quantized
     // scan beside PQ/ADC (s8). One tiny broadcast stats row; the corpus is
@@ -1846,6 +1908,13 @@ object SparkEntry {
         |SELECT make_timestamp(ws_us) AS ws, CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT) AS sv_cents
         |FROM w GROUP BY ws_us""".stripMargin,
+    // Stream-static enrichment replay: the same join + rollup, batch.
+    "q50_stream_enrich" ->
+      """SELECT c.c_mktsegment, e.event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(trunc(e.value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment, e.event_type""".stripMargin,
     "q14_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
@@ -2015,6 +2084,34 @@ object SparkEntry {
          |       CAST(n_cms - n_exact AS BIGINT) AS overestimate
          |FROM est""".stripMargin
     },
+    // KMV replay: distinct (group, value) + the ALL union, squared-mod
+    // hashes, k smallest per group via rank (ties in h cannot move the
+    // kth-min VALUE, so rank tie order is output-invisible), estimator
+    // (k-1)*P // (h_k + 1) with the small-group exact short-circuit.
+    "x11_kmv_distinct" ->
+      s"""WITH dv AS (SELECT DISTINCT CAST(l_linenumber AS VARCHAR) AS g,
+         |                            CAST(l_orderkey AS VARCHAR) AS v
+         |            FROM lineitem),
+         |ug AS (SELECT g, v FROM dv
+         |       UNION ALL
+         |       SELECT DISTINCT 'ALL' AS g, v FROM dv),
+         |hv AS (SELECT g, ${sqlSampleKey("('kmv:' || v)")} AS h FROM ug),
+         |rk AS (SELECT g, h,
+         |              row_number() OVER (PARTITION BY g ORDER BY h) AS rn,
+         |              count(*) OVER (PARTITION BY g) AS nd
+         |       FROM hv),
+         |km AS (SELECT g, CAST(max(nd) AS BIGINT) AS exact_distinct,
+         |              CAST(count(*) AS BIGINT) AS n_kept,
+         |              CAST(max(h) AS BIGINT) AS kth_min
+         |       FROM rk WHERE rn <= 64 GROUP BY g),
+         |es AS (SELECT g, exact_distinct, n_kept, kth_min,
+         |              CASE WHEN n_kept < 64 THEN n_kept
+         |                   ELSE (CAST(63 AS BIGINT) * 1000000007) // (kth_min + 1) END AS est
+         |       FROM km)
+         |SELECT g, exact_distinct, n_kept, kth_min,
+         |       CAST(est AS BIGINT) AS est_distinct,
+         |       CAST(abs(est - exact_distinct) * 10000 // exact_distinct AS BIGINT) AS err_bp
+         |FROM es""".stripMargin,
     // Morton interleave replay: Σ_i (bit i of a → position 2i+1) |
     // (bit i of b → position 2i) as pure BIGINT shifts — identical
     // arithmetic to Layout.mortonKey's codegen'd column expression.
@@ -2057,6 +2154,19 @@ object SparkEntry {
         |s AS (SELECT user_id, ts, value FROM events WHERE event_type = 'signup')
         |SELECT p.event_id, p.user_id, p.ts, s.ts AS ts_asof, s.value AS value_asof
         |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
+    // PIT replay: native ASOF + the integer-microsecond TTL test.
+    "a3_pit_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts, value FROM events WHERE event_type = 'signup'),
+        |a AS (SELECT p.event_id, p.user_id, p.ts, s.ts AS sts, s.value AS sval
+        |      FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts),
+        |f AS (SELECT event_id, user_id, ts, sts, sval,
+        |             (sts IS NOT NULL AND epoch_us(ts) - epoch_us(sts) <= 86400000000) AS fresh
+        |      FROM a)
+        |SELECT event_id, user_id, ts,
+        |       CASE WHEN fresh THEN sval END AS value_pit,
+        |       CAST(CASE WHEN fresh THEN (epoch_us(ts) - epoch_us(sts)) // 1000000 END AS BIGINT) AS age_s
+        |FROM f""".stripMargin,
     "t1_token_count" ->
       s"""SELECT doc_id,
          |       CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS ws_tokens,
@@ -2440,6 +2550,52 @@ object SparkEntry {
          |                   OR ${sqlSampleKey("('ccnet:' || CAST(doc_id AS VARCHAR))")} % 100 < 10
          |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM b""".stripMargin,
+    // PMI collocation replay: bigram contingency table + margins, the
+    // quantized integer ratio, min-count screen, global top-k.
+    "t25_collocations" ->
+      """WITH tk AS (SELECT regexp_split_to_array(trim(text), ' +') AS t FROM documents),
+        |bi AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        |       FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+        |       WHERE len(t) >= 2),
+        |pr AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bg FROM bi GROUP BY w1, w2),
+        |lm AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_left FROM bi GROUP BY w1),
+        |rm AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_right FROM bi GROUP BY w2),
+        |nn AS (SELECT CAST(sum(n_bg) AS BIGINT) AS n FROM pr)
+        |SELECT pr.w1, pr.w2, pr.n_bg,
+        |       CAST((pr.n_bg * nn.n * 1048576) // (lm.n_left * rm.n_right) AS BIGINT) AS pmi_scaled
+        |FROM pr JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN nn
+        |WHERE pr.n_bg >= 5
+        |ORDER BY pmi_scaled DESC, pr.w1, pr.w2 LIMIT 20""".stripMargin,
+    // Negative-sampling replay: item rank index, per-(user, draw) key
+    // draws, NOT EXISTS accidental-positive filter.
+    "p11_negative_sample" ->
+      s"""WITH pos AS (SELECT DISTINCT o_custkey AS u, o_orderkey AS it FROM orders),
+         |items AS (SELECT DISTINCT o_orderkey AS item FROM orders),
+         |rk AS (SELECT item, CAST(row_number() OVER (ORDER BY item) AS BIGINT) AS idx FROM items),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM items),
+         |users AS (SELECT DISTINCT o_custkey AS u FROM orders),
+         |draws AS (SELECT u, CAST(d AS BIGINT) AS draw,
+         |                 ${sqlSampleKey("('neg:' || CAST(u AS VARCHAR) || ':' || CAST(d AS VARCHAR))")} % n + 1 AS idx
+         |          FROM users, (SELECT unnest(generate_series(1, 3)) AS d) g CROSS JOIN nn),
+         |cand AS (SELECT u, draw, rk.item AS neg_item FROM draws JOIN rk USING (idx))
+         |SELECT u AS u_key, draw, neg_item
+         |FROM cand c
+         |WHERE NOT EXISTS (SELECT 1 FROM pos p WHERE p.u = c.u AND p.it = c.neg_item)""".stripMargin,
+    // Vocab-coverage replay: ranked token types, per-size covered sums.
+    "t26_vocab_coverage" ->
+      """WITH tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+        |            FROM (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS tok FROM documents)
+        |            GROUP BY tok),
+        |rk AS (SELECT tok, n, CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS r FROM tc),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM tc),
+        |sz AS (SELECT CAST(unnest([100, 1000, 5000]) AS BIGINT) AS vocab_size)
+        |SELECT vocab_size,
+        |       CAST(count(*) AS BIGINT) AS n_vocab_types,
+        |       CAST(sum(n) AS BIGINT) AS covered,
+        |       CAST(max(total) AS BIGINT) AS total,
+        |       CAST((max(total) - sum(n)) * 10000 // max(total) AS BIGINT) AS oov_bp
+        |FROM rk JOIN sz ON r <= vocab_size CROSS JOIN tot
+        |GROUP BY vocab_size""".stripMargin,
     // Same synthesized URLs, t2's quality formula, quantized-BIGINT mass.
     "t14_url_hosts" -> {
       s"""WITH u AS (SELECT doc_id,

@@ -133,4 +133,43 @@ object AsOfJoin {
         rightVals.map(c => col("__rmatch").getField(s"__r_$c").as(s"${c}_asof"))
     filled.filter(col("__side") === 1).select(out: _*)
   }
+
+  /** Point-in-time (feature-store) join: the as-of join PLUS a staleness
+    * bound — for each left (entity, event-time) row, the latest right
+    * feature row at or before the event time, but only if it is no older
+    * than `toleranceSeconds`; staler matches surface as NULL features,
+    * exactly like a missing feature. This is the training-set/serving
+    * join a feature store runs (Feast's `ttl`, point-in-time correctness):
+    * the as-of direction prevents FUTURE leakage, the tolerance prevents
+    * the silent use of fossil features a long-dead entity would otherwise
+    * carry forward indefinitely.
+    *
+    * Composition, not a new operator: [[apply]]'s one-shuffle union-window
+    * plan does the matching (the right timestamp rides along as a value),
+    * and the staleness test is a per-row integer-microsecond comparison
+    * after the fact — same cost shape, no pair blowup. Output: left
+    * columns + `{v}_pit` features (NULL when stale/missing) + `age_s`
+    * (whole seconds, NULL when stale/missing). */
+  def pointInTime(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightVals: Seq[String],
+      tieBreak: String,
+      toleranceSeconds: Long): DataFrame = {
+    require(toleranceSeconds >= 0, s"tolerance must be >= 0, got $toleranceSeconds")
+    val matched = apply(left, right, key, leftTs, rightTs,
+      (rightVals :+ rightTs).distinct, tieBreak)
+    val ageUs = unix_micros(col(leftTs)) - unix_micros(col(s"${rightTs}_asof"))
+    val fresh = col(s"${rightTs}_asof").isNotNull &&
+      ageUs <= lit(toleranceSeconds * 1000000L)
+    val outVals = rightVals.filterNot(_ == rightTs)
+      .map(v => when(fresh, col(s"${v}_asof")).as(s"${v}_pit"))
+    matched.select(
+      (left.columns.map(col).toSeq ++ outVals :+
+        when(fresh, expr(s"(unix_micros($leftTs) - unix_micros(${rightTs}_asof)) div 1000000"))
+          .as("age_s")): _*)
+  }
 }

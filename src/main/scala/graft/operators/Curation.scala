@@ -469,6 +469,47 @@ object Curation {
         round(col("n_sampled").cast("double") / col("n_docs").cast("double"), 7))
   }
 
+  /** Deterministic negative sampling for contrastive / link-prediction
+    * training (the word2vec/two-tower shape): for every user in the
+    * positive interaction set, `k` pseudo-random items drawn uniformly
+    * from the item universe, with ACCIDENTAL positives removed by an
+    * anti-join — a sampled "negative" the user actually interacted with
+    * would be a mislabeled training pair.
+    *
+    * Draw j for user u is item-index `sampleKey("neg:u:j") mod n` — the
+    * squared-then-mod key (a keep/route decision; raw polyHash's base-31
+    * lattice over sequential ids would make draws collide in blocks), so
+    * the sample is reproducible run-over-run and replayable by the oracle.
+    * Items are addressed through a rank index ([[Ranking.globalRank]]
+    * over the distinct item table) rather than assuming dense ids.
+    *
+    * Plan: one distinct + rank of the ITEM table (items ≪ interactions),
+    * a |users|·k draw frame joined on the uniform idx key, and one
+    * anti-join against the positives on (user, item) — every shuffle is
+    * on small or uniform keys; nothing is ever |users|·|items|. Output:
+    * (u_key, draw, neg_item); users lose a draw only to the accidental-
+    * positive filter (standard; regenerate with a different salt if exact
+    * counts matter). */
+  def negativeSample(pos: DataFrame, userCol: String, itemCol: String,
+      k: Int = 3): DataFrame = {
+    val posPairs = pos.select(
+      col(userCol).cast("long").as("u_key"), col(itemCol).cast("long").as("item"))
+    val items = posPairs.select(col("item")).distinct()
+    val ranked = Ranking.globalRank(items, Seq(col("item")), "idx")
+    val n = ranked.count()
+    val draws = posPairs.select(col("u_key")).distinct()
+      .select(col("u_key"), explode(sequence(lit(1L), lit(k.toLong))).as("draw"))
+      .withColumn("idx",
+        TextHash.sampleKey(concat(
+          lit("neg:"), col("u_key").cast("string"),
+          lit(":"), col("draw").cast("string"))) % n + 1L)
+    draws.join(ranked, Seq("idx"))
+      .select(col("u_key"), col("draw"), col("item").as("neg_item"))
+      .join(posPairs.withColumnRenamed("item", "neg_item"),
+        Seq("u_key", "neg_item"), "left_anti")
+      .select(col("u_key"), col("draw"), col("neg_item"))
+  }
+
   /** CCNet-style perplexity bucketing + tail sampling — the composition
     * CCNet actually runs: score each document with the corpus LM
     * ([[TextAnalysis.lmScore]]), split the scoreable corpus into

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.{TextHash, TopKAgg}
+
 /** Dataset profiling — the ANALYZE TABLE analog a curation pipeline runs
   * before trusting a new drop: per-column null counts, exact distinct
   * cardinalities, and numeric ranges, computed in ONE aggregation pass
@@ -30,5 +32,55 @@ object Profiling {
       s"'$c', __total - `__cnt_$c`, `__nd_$c`, `__min_$c`, `__max_$c`").mkString(", ")
     row.select(expr(
       s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_d, max_d)"))
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch per group, audited
+    * against the exact count in the same pass — a distinct sketch that,
+    * unlike HLL, is DETERMINISTIC under the repo's portable hash and so
+    * fully hash-checkable value-for-value by the SQL oracle (x2's HLL
+    * could only ever verify its error CLAIM).
+    *
+    * The sketch is the k smallest [[TextHash.sampleKey]] values over the
+    * group's distinct values (the squared-then-mod key — k-min is an order
+    * statistic, exactly the threshold-class use where the raw polynomial
+    * hash's base-31 lattice over sequential ids would bias the estimate);
+    * `est = (k−1)·P div (h_k + 1)` (the +1 forecloses the h_k = 0
+    * division), exact when the group holds fewer than k distinct values.
+    * It is MERGEABLE by construction — k-min of a union is the k-min of
+    * the merged k-min sets (spec-pinned) — which is what makes it a
+    * per-partition / per-day sketch whose fleet-wide rollup is exact
+    * sketch algebra, no re-scan.
+    *
+    * Plan shape: one distinct on (group, value) — which the exact audit
+    * needs anyway — then k-slot [[TopKAgg]] buffers (score = −h), so the
+    * exchange after the map-side fold carries ≤ k rows per (group,
+    * partition): the sketch pass adds nothing corpus-sized beyond the
+    * distinct itself. An `ALL` row sketches the union of every group.
+    *
+    * Output: (g, exact_distinct, n_kept, kth_min, est_distinct, err_bp)
+    * with err_bp = |est − exact|·10⁴ div exact. */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    val dv = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("string").as("v"))
+      .distinct()
+    val all = dv.select(lit("ALL").as("g"), col("v")).distinct()
+    val keyed = dv.union(all)
+      .withColumn("h", TextHash.sampleKey(concat(lit("kmv:"), col("v"))))
+    val sk = keyed
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("exact_distinct"),
+        TopKAgg.topK(-col("h").cast("double"), col("h"), k).as("mins"))
+      .withColumn("n_kept", size(col("mins")).cast("long"))
+      .withColumn("kth_min", element_at(col("mins"), col("n_kept").cast("int")).getField("id"))
+    sk.select(
+      col("g"), col("exact_distinct"), col("n_kept"), col("kth_min"),
+      expr(s"CASE WHEN n_kept < $k THEN n_kept " +
+        s"ELSE (${k - 1}L * ${TextHash.Prime}L) div (kth_min + 1L) END").as("est_distinct"),
+      expr("abs((CASE WHEN n_kept < " + k + " THEN n_kept " +
+        s"ELSE (${k - 1}L * ${TextHash.Prime}L) div (kth_min + 1L) END) - exact_distinct) " +
+        "* 10000L div exact_distinct").as("err_bp"))
   }
 }

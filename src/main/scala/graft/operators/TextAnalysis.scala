@@ -282,6 +282,119 @@ object TextAnalysis {
         round(col("lm_scaled").cast("double") / 1048576.0d / col("n_bigrams").cast("double"), 7))
   }
 
+  /** Collocation mining: corpus bigrams ranked by pointwise mutual
+    * information — the multiword-expression detector ("new york",
+    * "machine learning") a tokenizer/vocab pipeline runs to decide which
+    * word pairs deserve a fused token. PMI = log p(w1,w2)/(p(w1)·p(w2)),
+    * kept log-free as the quantized ratio
+    * `(n_bg · N · 2^20) div (n_left(w1) · n_right(w2))` over the bigram
+    * contingency margins (n_left = bigrams starting with w1, n_right =
+    * bigrams ending with w2) — log is monotone, so the integer ratio ranks
+    * identically and replays bit-for-bit in the oracle. A minimum bigram
+    * count screens out the unstable hapax pairs PMI notoriously inflates.
+    *
+    * Overflow bound: n_bg·N·2^20 needs n_bg·N < 2^43 — with the top
+    * pair's count typically ≤ N/100 that holds through ~3·10⁷ corpus
+    * bigrams; past that pre-divide N (same op both engines, the bm25
+    * trade — overflow is loud in the oracle engine, silent in Spark's
+    * non-ANSI mode, so don't run past the bound). Plan: one bigram
+    * aggregation + two
+    * margin aggregations joined on vocabulary-sized keys (never broadcast
+    * — real vocabularies aren't bounded), global top-k. */
+  def collocations(docs: DataFrame, minCount: Int = 5, topK: Int = 20): DataFrame = {
+    val bi = docs
+      .select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(
+        expr("transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS w1, t[i] AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val pairs = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_bg"))
+    val leftM = bi.groupBy("w1").agg(count(lit(1)).as("n_left"))
+    val rightM = bi.groupBy("w2").agg(count(lit(1)).as("n_right"))
+    val n = pairs.agg(sum(col("n_bg"))).head().getLong(0)
+    pairs
+      .filter(col("n_bg") >= minCount)
+      .join(leftM, Seq("w1"))
+      .join(rightM, Seq("w2"))
+      .withColumn("pmi_scaled", expr(s"(n_bg * ${n}L * 1048576L) div (n_left * n_right)"))
+      .select(col("w1"), col("w2"), col("n_bg"), col("pmi_scaled"))
+      .orderBy(col("pmi_scaled").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Vocabulary-coverage / OOV-rate curve — the tokenizer-planning query:
+    * for each candidate vocab size N, how many token OCCURRENCES the top-N
+    * token types (by count DESC, token — a total order) cover, and the
+    * out-of-vocabulary rate in basis points. Deciding a tokenizer's vocab
+    * size IS reading this curve; it also monitors drift after a corpus
+    * refresh (t18's distributional twin).
+    *
+    * All integers: covered sums and `oov_bp = (total − covered)·10⁴ div
+    * total` replay exactly. Plan: one token-count aggregation, ranked by
+    * [[Ranking.globalRank]] (range shuffle — the vocab table can be
+    * millions of types; no single-partition window), one broadcast of the
+    * |sizes|-row frame, one grouped sum. */
+  def vocabCoverage(docs: DataFrame, sizes: Seq[Long] = Seq(100L, 1000L, 5000L)): DataFrame = {
+    require(sizes.nonEmpty)
+    val counts = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val ranked = Ranking.globalRank(counts, Seq(col("n").desc, col("tok")), "r")
+    // reads the barrier cache globalRank pinned — no rescan of the corpus
+    val total = ranked.agg(sum(col("n"))).head().getLong(0)
+    val sizesDf = ranked.sparkSession
+      .createDataset(sizes)(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("vocab_size")
+    ranked.crossJoin(broadcast(sizesDf))
+      .filter(col("r") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(count(lit(1)).as("n_vocab_types"), sum(col("n")).as("covered"))
+      .withColumn("total", lit(total))
+      .withColumn("oov_bp", expr("(total - covered) * 10000L div total"))
+  }
+
+  /** Compression-ratio quality signal — the zlib filter real curation
+    * pipelines run beside lang-ID and LM scoring: highly compressible
+    * documents are machine-generated boilerplate / keyword stuffing /
+    * repeated templates, nearly-incompressible ones are often binary
+    * junk mis-ingested as text; natural prose sits in a mid band. Emits
+    * `ratio_scaled = deflate_len·10⁴ div raw_len` so the band filter is
+    * integer arithmetic.
+    *
+    * One `Deflater` per PARTITION (reset per row — allocation-free in the
+    * row loop, the [[Multimodal]] codec-seam shape); map-only, no shuffle,
+    * scales with input splits. Spec-covered, NOT oracle-paired: deflate
+    * output length is deterministic for a given zlib build but not a
+    * portable cross-engine constant — the repetition/entropy twins (t8)
+    * carry the oracled share of this signal. */
+  def compressionRatio(docs: DataFrame, level: Int = 6): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("raw_len",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("deflate_len",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ratio_scaled",
+        org.apache.spark.sql.types.LongType)))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id").cast("long"), col("text")).mapPartitions { it =>
+      val deflater = new java.util.zip.Deflater(level)
+      val buf = new Array[Byte](64 * 1024)
+      it.map { r =>
+        val bytes = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        deflater.reset()
+        deflater.setInput(bytes)
+        deflater.finish()
+        var outLen = 0L
+        while (!deflater.finished()) outLen += deflater.deflate(buf)
+        val rawLen = bytes.length.toLong
+        org.apache.spark.sql.Row(r.getLong(0), rawLen, outLen,
+          if (rawLen == 0L) 0L else outLen * 10000L / rawLen)
+      }
+    }(encoder)
+  }
+
   /** Email / phone patterns, deliberately restricted to syntax with
     * identical semantics in Java regex (Spark) and RE2 (DuckDB oracle). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"

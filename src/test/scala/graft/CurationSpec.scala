@@ -265,6 +265,31 @@ class CurationSpec extends SparkSpec {
     if (collisions == 0) assert(out(10L) === 4L * ((5L + 1L) * 1000000L / (5L + 1L)))
   }
 
+  test("negative sampling: k draws per user, accidental positives removed, deterministic") {
+    // user 1 interacted with EVERY item → all its draws are accidental
+    // positives and must vanish; user 2 interacted with item 10 only.
+    val pos = (1L to 8L).map(i => (1L, 10L + i)).union(Seq((2L, 11L)))
+      .toDF("u", "it")
+    val out = Curation.negativeSample(pos, "u", "it", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(!out.exists(_._1 == 1L)) // the all-items user has no valid negatives
+    // user 2's draws, recomputed independently from the same keys: item
+    // universe is {11..18} rank-indexed in ascending order
+    val universe = (11L to 18L).toArray
+    val expected = (1L to 3L).flatMap { d =>
+      val idx = spark.range(1)
+        .select((graft.functions.TextHash.sampleKey(lit(s"neg:2:$d")) % 8L).as("i"))
+        .head().getLong(0)
+      val item = universe(idx.toInt)
+      if (item == 11L) None else Some((2L, d, item)) // 11 is u2's positive
+    }
+    assert(out.filter(_._1 == 2L).sortBy(_._2).toSeq === expected)
+    // deterministic replay
+    val again = Curation.negativeSample(pos, "u", "it", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sorted.toSeq === out.sorted.toSeq)
+  }
+
   test("ccnet buckets: rank terciles, head/middle kept, tail sampled") {
     // 9 scoreable docs with strictly decreasing LM scores by construction:
     // "a a ... a" repeats the corpus's dominant bigram, so more repeats =

@@ -387,4 +387,70 @@ class TextAnalysisSpec extends SparkSpec {
     val w4 = TextAnalysis.perceptronTrain(docs, nFeatures = 64, rounds = 4)
     assert(w3.except(w4).isEmpty && w4.except(w3).isEmpty)
   }
+
+  test("collocations: bound pair outranks frequent-but-independent pair, closed-form PMI") {
+    // "new york" always co-occurs (bound); "the cat"/"the dog" make "the"
+    // promiscuous, so its pairs score low despite high frequency.
+    val docs = (
+      (1 to 6).map(i => (i.toLong, "new york")) ++
+      (7 to 12).map(i => (i.toLong, "the cat")) ++
+      (13 to 18).map(i => (i.toLong, "the dog"))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, minCount = 5, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // N = 18 bigrams; ("new","york"): n_bg=6, n_left(new)=6, n_right(york)=6
+    //   → pmi = (6·18·2^20) div 36 = 3·2^20
+    // ("the","cat"): n_bg=6, n_left(the)=12, n_right(cat)=6
+    //   → pmi = (6·18·2^20) div 72 = 1.5·2^20
+    assert(out.head === ("new", "york", 6L, 3L * 1048576L))
+    assert(out.map(p => (p._1, p._2)).toSeq ===
+      Seq(("new", "york"), ("the", "cat"), ("the", "dog")))
+    assert(out(1)._4 === 3L * 1048576L / 2L)
+  }
+
+  test("vocab coverage: closed-form covered counts and oov rate") {
+    // counts: a=10, b=5, c=1 → total 16; rank order a, b, c
+    val docs = Seq(
+      (1L, "a a a a a a a a a a"),
+      (2L, "b b b b b c")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, sizes = Seq(1L, 2L, 10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out === Array(
+      (1L, 1L, 10L, 16L, 6L * 10000L / 16L), // top-1 = "a"
+      (2L, 2L, 15L, 16L, 1L * 10000L / 16L), // + "b"
+      (10L, 3L, 16L, 16L, 0L))) // whole vocab: size clamps at |V|
+  }
+
+  test("compression ratio separates boilerplate from varied text, deterministically") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over a lazy dog while seven wizards vex him"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val run = () => TextAnalysis.compressionRatio(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val out = run()
+    // repetitive text compresses far better than varied text
+    assert(out(1L)._3 < out(2L)._3)
+    assert(out(1L)._3 < 5000L) // boilerplate: under half its raw size
+    assert(out(2L)._3 > 7000L) // varied short prose: deflate barely helps
+    // empty doc: defined, zero ratio
+    assert(out(3L) === ((0L, out(3L)._2, 0L)))
+    // deterministic across runs (and partitionings)
+    assert(run() === out)
+    val repart = TextAnalysis.compressionRatio(docs.repartition(3))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(repart === out)
+  }
+
+  test("collocations min-count screens hapax pairs") {
+    val docs = Seq((1L, "rare pair"), (2L, "common token common token common token common token common token"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(!out.contains(("rare", "pair")))
+    assert(out.nonEmpty)
+  }
 }
