@@ -718,6 +718,34 @@ object SparkEntry {
         .select(col("user_id"), col("s.n_events").as("n_events"),
           col("s.total_cents").as("total_cents"))
     }),
+    // transformWithState with MAP state on RocksDB (the composite-state
+    // surface q47's single ValueState doesn't touch): per-user
+    // (event_type → count) entries updated one RocksDB pair at a time —
+    // O(1) write amplification per row, not O(types-per-user). Final
+    // state selected by the strictly-increasing n_events (q47's
+    // consumer contract).
+    "q51_stream_type_counts" -> ((s0, d) => {
+      val s = streamSession(s0)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      Tables.events(s, d) // ensures nanosAsLong before the raw schema read
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val name = "stream_typecounts_sink"
+      s.catalog.dropTempView(name)
+      val q = graft.streaming.StreamingTypeCounts(stream).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("n_types"))).as("s"))
+        .select(col("user_id"), col("s.n_types").as("n_types"),
+          col("s.n_events").as("n_events"))
+    }),
     // LEFT OUTER stream-stream join (sixth streaming row): unlike the
     // inner q33, null-padded rows for unmatched errors only emit once the
     // watermark proves no matching purchase can still arrive — on a
@@ -801,6 +829,32 @@ object SparkEntry {
           variant_get(col("v"), "$.vals[1]", "bigint").as("v1"),
           try_variant_get(col("v"), "$.meta.x", "bigint").as("x"))
     }),
+    // Bad-record quarantine — the ingest-robustness contract: malformed
+    // JSON (1/7 of rows are TRUNCATED mid-document — the producer-crash /
+    // split-record shape; note trailing-garbage corruption would NOT work
+    // here: Spark's Jackson parses the root value and ignores trailing
+    // bytes) must neither kill the job nor silently vanish. PERMISSIVE
+    // from_json with a corrupt-record column yields NULL fields + the raw
+    // payload for bad rows; the is_corrupt flag is the quarantine routing
+    // key (bad rows split to a dead-letter sink for replay after the
+    // producer fix).
+    "j4_bad_records" -> ((s, d) => {
+      val crafted = when(col("event_id") % 7 === 3,
+        expr("substring(props, 1, length(props) - 1)")).otherwise(col("props"))
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType)))
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(crafted, sch,
+            Map("columnNameOfCorruptRecord" -> "_corrupt_record")).as("p"))
+        .select(
+          col("event_id"),
+          col("p.k").as("k"),
+          col("p._corrupt_record").isNotNull.cast("long").as("is_corrupt"))
+    }),
     "q16_scalar_subquery" -> ((s, d) => {
       // Unique per-invocation view name: a fixed name would collide if two
       // queries (or two runs) execute concurrently on a shared session.
@@ -809,6 +863,25 @@ object SparkEntry {
       s.sql(
         s"""SELECT c_custkey, c_acctbal FROM $v
            |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM $v)""".stripMargin)
+    }),
+    // Recursive CTE (new SQL surface in Spark 4): hierarchy walk over a
+    // binary tree derived from custkeys (child → parent = key div 2) —
+    // the BOM-explosion / org-chart query shape. Catalyst plans the
+    // UNION ALL loop natively (UnionLoop); iteration count = tree depth
+    // (~log₂ n), same convergence shape as the operator-level BFS (g3).
+    "q52_recursive_cte" -> ((s, d) => {
+      val v = freshView("cust_rec_v")
+      Tables.customer(s, d).createOrReplaceTempView(v)
+      s.sql(
+        s"""WITH RECURSIVE dpt(node, depth) AS (
+           |  SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+           |  UNION ALL
+           |  SELECT e.child, dpt.depth + 1
+           |  FROM (SELECT c_custkey AS child, c_custkey div 2 AS parent
+           |        FROM $v WHERE c_custkey > 1) e
+           |  JOIN dpt ON e.parent = dpt.node
+           |)
+           |SELECT node, depth FROM dpt""".stripMargin)
     }),
     "q17_correlated_subquery" -> ((s, d) => {
       val v = freshView("orders_v")
@@ -936,6 +1009,15 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           col("channels").cast("long").as("channels"),
           round(col("mean_intensity"), 7).as("mean_intensity"))),
+    // Audio plumbing on the gate: synthesized PCM16LE payloads (doc-seeded
+    // integer triangle wave — REAL bytes through the codec seam) → windowed
+    // Σs² energy, the VAD/silence primitive; the oracle replays the
+    // analytic waveform without touching binary (the m3 round-trip
+    // pattern). Ids fanned out first, same reason as m3.
+    "m4_audio_energy" -> ((s, d) =>
+      Multimodal.audioEnergy(
+        Multimodal.synthesizePcm(
+          Tables.documents(s, d).select(col("doc_id")).repartition(64)))),
     "m2_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(
         Tables.documents(s, d).select(
@@ -1633,6 +1715,20 @@ object SparkEntry {
     // integer-quantized target/source hashed-feature ratio, top-200 kept.
     "p10_importance_select" -> ((s, d) =>
       Curation.importanceSelect(Tables.documents(s, d), col("lang") === "en")),
+    // Entity resolution end-to-end: SymSpell fuzzy pairs (edit distance
+    // ≤ 1) at the KEY level → connected-component closure → min-key
+    // canonical entity per cluster — the record-linkage composition
+    // (f1's candidate machinery + d7's clustering) a dedup/master-data
+    // pipeline runs over name-keyed records.
+    "er1_entity_resolution" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey").as("doc_id"), col("c_name").as("s"))
+      val pairs = FuzzyJoin.selfJoinIds(cust, "doc_id", "s")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      Dedup.clusters(cust.select(col("doc_id")), pairs)
+        .select(col("doc_id").as("c_custkey"),
+          col("cluster_id").as("entity_id"), col("is_canonical"))
+    }),
     // Deterministic negative sampling over (custkey, orderkey) positives:
     // 3 uniform item draws per user via the squared-then-mod key,
     // accidental positives anti-joined out.
@@ -1997,6 +2093,10 @@ object SparkEntry {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY user_id""".stripMargin,
+    "q51_stream_type_counts" ->
+      """SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin,
     "q37_stream_outer_join" ->
       """WITH e AS (
         |  SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, event_type FROM events)
@@ -2036,6 +2136,16 @@ object SparkEntry {
     "q16_scalar_subquery" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin,
+    "q52_recursive_cte" ->
+      """WITH RECURSIVE dpt(node, depth) AS (
+        |  SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+        |  UNION ALL
+        |  SELECT e.child, dpt.depth + 1
+        |  FROM (SELECT c_custkey AS child, c_custkey // 2 AS parent
+        |        FROM customer WHERE c_custkey > 1) e
+        |  JOIN dpt ON e.parent = dpt.node
+        |)
+        |SELECT node, depth FROM dpt""".stripMargin,
     "q17_correlated_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
         |WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders o2
@@ -2492,6 +2602,18 @@ object SparkEntry {
         |       CAST(json_extract(js, '$.vals[1]') AS BIGINT) AS v1,
         |       CAST(json_extract(js, '$.meta.x') AS BIGINT) AS x
         |FROM j""".stripMargin,
+    // Bad-record replay: the same truncation corruption, validity-gated
+    // extraction — corrupt rows keep NULL k and flag 1.
+    "j4_bad_records" ->
+      """WITH c AS (SELECT event_id,
+        |                  CASE WHEN event_id % 7 = 3
+        |                       THEN substr(props, 1, length(props) - 1)
+        |                       ELSE props END AS js
+        |           FROM events)
+        |SELECT event_id,
+        |       CASE WHEN json_valid(js) THEN CAST(json_extract_string(js, '$.k') AS BIGINT) END AS k,
+        |       CAST(CASE WHEN json_valid(js) THEN 0 ELSE 1 END AS BIGINT) AS is_corrupt
+        |FROM c""".stripMargin,
     "q28_map_funcs" ->
       """SELECT user_id,
         |       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
@@ -2566,6 +2688,24 @@ object SparkEntry {
         |FROM pr JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN nn
         |WHERE pr.n_bg >= 5
         |ORDER BY pmi_scaled DESC, pr.w1, pr.w2 LIMIT 20""".stripMargin,
+    // Entity-resolution replay: brute-force distance-1 pairs (SymSpell's
+    // conformance twin), recursive reachability closure, min-key label.
+    "er1_entity_resolution" ->
+      """WITH RECURSIVE p AS MATERIALIZED (
+        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+        |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |edges AS (SELECT ka AS src, kb AS dst FROM p
+        |          UNION SELECT kb, ka FROM p),
+        |reach AS (SELECT src AS v, src AS r FROM edges
+        |          UNION
+        |          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v),
+        |lab AS (SELECT v AS c_custkey, min(r) AS entity_id FROM reach GROUP BY v)
+        |SELECT c.c_custkey,
+        |       coalesce(l.entity_id, c.c_custkey) AS entity_id,
+        |       CAST(CASE WHEN coalesce(l.entity_id, c.c_custkey) = c.c_custkey
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+        |FROM customer c LEFT JOIN lab l ON l.c_custkey = c.c_custkey""".stripMargin,
     // Negative-sampling replay: item rank index, per-(user, draw) key
     // draws, NOT EXISTS accidental-positive filter.
     "p11_negative_sample" ->
@@ -3000,6 +3140,15 @@ object SparkEntry {
         |       md5(text) AS content_md5,
         |       CAST(strlen(text) // 256 + 1 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+    // Audio-energy replay: the analytic triangle wave, no binary.
+    "m4_audio_energy" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 5 + 1) * 400 AS n FROM documents),
+        |s AS (SELECT doc_id, i, abs((i * 7 + doc_id) % 200 - 100) * 300 AS smp
+        |      FROM d, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g)
+        |SELECT doc_id, CAST(i // 400 AS BIGINT) AS win_idx,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(smp * smp) AS BIGINT) AS energy
+        |FROM s GROUP BY doc_id, i // 400""".stripMargin,
     "m3_real_codec" ->
       """SELECT doc_id,
         |       CAST(doc_id % 16 + 1 AS BIGINT) AS width,

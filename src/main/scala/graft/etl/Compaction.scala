@@ -11,6 +11,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Compaction {
 
+  /** Recursive local-fs directory delete (scratch-dir cleanup). */
+  def deleteDir(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteDir))
+    f.delete()
+  }
+
   def dirBytes(dir: String): Long = {
     def walk(f: java.io.File): Long =
       if (f.isDirectory) f.listFiles().map(walk).sum

@@ -42,6 +42,65 @@ object Layout {
     * Rows land in files by contiguous Morton-key range, so each file's
     * min/max footer stats for BOTH columns cover a small rectangle and a
     * selective predicate on either column skips most files/row groups. */
+  /** OPTIMIZE — the lakehouse maintenance command, composed from this
+    * repo's own parts: read the LATEST run of a [[Sink.runRoot]]-stamped
+    * table, rewrite it z-ordered on (colA, colB) into ~`targetBytes`
+    * files ([[Compaction]]'s sizing), rebuild the [[ZoneMaps]] manifest
+    * for both columns, and publish the result as a NEW stamped run.
+    *
+    * Publish protocol: everything is written under a hidden
+    * `.staging-<stamp>` dir and renamed to `<stamp>` at the end — readers
+    * resolving "latest" through [[TimeTravel.listRuns]] (which only
+    * matches final stamp names) either see the old run or the complete
+    * new one, never a half-written directory; a crashed optimize leaves
+    * only an inert staging dir. The old run is untouched (immutable-once-
+    * written, same contract as the stored ANN index) — reclaiming it is
+    * [[TimeTravel.vacuum]]'s job, under its retention policy, not
+    * optimize's. Returns the new run stamp.
+    *
+    * At 100 TB this is the periodic job that turns an append-heavy
+    * ingest's small scattered files into skip-friendly rectangles: file
+    * count bounded by data size, and BOTH predicate columns get zone-map
+    * traction from the same rewrite. */
+  def optimize(spark: org.apache.spark.sql.SparkSession, outputDir: String,
+      jobName: String, colA: String, colB: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      at: java.time.Instant = java.time.Instant.now()): String = {
+    val runs = TimeTravel.listRuns(outputDir)
+    require(runs.nonEmpty, s"no runs to optimize under $outputDir")
+    val srcData = s"$outputDir/${runs.last}/$jobName/data"
+    val bytes = Compaction.dirBytes(srcData)
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val runRoot = Sink.runRoot(outputDir, at)
+    val stamp = runRoot.substring(outputDir.length + 1)
+    require(!runs.contains(stamp),
+      s"optimize target run $stamp already exists — runs are immutable")
+    val staging = new java.io.File(s"$outputDir/.staging-$stamp")
+    val dest = new java.io.File(runRoot)
+    zorderWrite(spark.read.parquet(srcData), colA, colB, nFiles,
+      s"${staging.getPath}/$jobName/data")
+    // The manifest records absolute file paths (input_file_name), but the
+    // data is still under .staging- here and the publish rename will move
+    // it — so build into a scratch dir, rewrite the paths to their FINAL
+    // post-rename location, and land the result as the real manifest, all
+    // before the atomic publish. (A manifest pointing at staging paths
+    // would trip prunedRead's both-direction freshness gate.)
+    val buildDir = s"${staging.getPath}/$jobName/zonemap_build"
+    ZoneMaps.build(spark, s"${staging.getPath}/$jobName/data", buildDir, Seq(colA, colB))
+    spark.read.parquet(buildDir)
+      .withColumn("file",
+        org.apache.spark.sql.functions.expr(
+          s"replace(file, '/.staging-$stamp/', '/$stamp/')"))
+      .coalesce(1)
+      .write.parquet(s"${staging.getPath}/$jobName/zonemap")
+    Compaction.deleteDir(new java.io.File(buildDir))
+    if (!staging.renameTo(dest))
+      throw new java.io.IOException(
+        s"optimize publish failed: could not rename $staging to $dest — " +
+          "the staging dir is inert and safe to delete")
+    stamp
+  }
+
   def zorderWrite(df: DataFrame, colA: String, colB: String, nFiles: Int, path: String): Unit = {
     val stats = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),

@@ -85,6 +85,33 @@ object Sink {
     out
   }
 
+  /** Partition-scoped backfill — recompute a slice of a partitioned table
+    * without touching the rest: `mode(overwrite)` with DYNAMIC partition
+    * overwrite replaces exactly the partition directories present in `df`
+    * and leaves every other directory's files byte-identical (STATIC
+    * overwrite — the default — would wipe the whole table first, the
+    * classic backfill footgun). The idempotent "re-run day X" operation a
+    * scheduled pipeline needs: at 100 TB a one-day backfill rewrites one
+    * day's directories, not the table.
+    *
+    * The overwrite mode rides a per-write option, not a session conf, so
+    * concurrent writers with different intents can't race on a global
+    * setting. NOT safe under concurrent readers of the SAME partitions
+    * being replaced (files swap underneath them) — run under the same
+    * maintenance discipline as [[graft.etl.Compaction]], or publish a new
+    * [[TimeTravel]] run for reader-safe replacement. */
+  def backfillPartitions(df: DataFrame, dataDir: String,
+      partCols: Seq[String]): Unit = {
+    val pc = partCols.filter(df.columns.contains)
+    require(pc.nonEmpty, s"backfill needs at least one partition column in ${df.columns.toSeq}")
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "snappy")
+      .partitionBy(pc: _*)
+      .parquet(dataDir)
+  }
+
   /** Metadata bypass (S6): re-encode through the parquet reader/writer.
     * The reference copies bytes verbatim (`worker.py:171-173,191-192`); a
     * re-encode keeps identical rows while normalizing encodings. For the

@@ -55,4 +55,29 @@ object FuzzyJoin {
         greatest(col("name_a"), col("name_b")).as("name_b"),
         col("dist"))
   }
+
+  /** ID-level variant of [[selfJoin]]: the matched pairs as
+    * (id_a < id_b, dist) rows — the edge list an entity-resolution
+    * clustering ([[Dedup.clusters]]) consumes. Same neighborhood + exact
+    * recheck machinery; only the projection differs. */
+  def selfJoinIds(strs: DataFrame, idCol: String = "id", strCol: String = "s"): DataFrame = {
+    val base = strs.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    val variants = base.select(
+      col("__id"),
+      explode(array_distinct(concat(
+        array(col("__s")),
+        expr("transform(sequence(1, length(__s)), i -> concat(substring(__s, 1, i - 1), substring(__s, i + 1, length(__s))))"))))
+        .as("__v"))
+    val cands = variants.as("a").hint("shuffle_hash")
+      .join(variants.as("b").hint("shuffle_hash"),
+        col("a.__v") === col("b.__v") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("__ida"), col("b.__id").as("__idb"))
+      .distinct()
+    cands
+      .join(base.select(col("__id").as("__ida"), col("__s").as("__sa")), Seq("__ida"))
+      .join(base.select(col("__id").as("__idb"), col("__s").as("__sb")), Seq("__idb"))
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"), col("dist"))
+  }
 }

@@ -220,4 +220,71 @@ object Multimodal {
             i => when(i % stride === 0, substring(col("payload"), i * lit(256) + 1, lit(256))))
           , x => x.isNotNull)).as(Seq("frame_idx", "frame_bytes")))
   }
+
+  /** Synthesize PCM16LE audio payloads from ids: a doc-seeded integer
+    * triangle wave, `(doc_id % 5 + 1)·400` samples, sample i =
+    * `(|((i·7 + doc_id) mod 200) − 100|) · 300` (≤ 30000, int16-safe) —
+    * deterministic bytes whose analytic form the oracle can replay without
+    * touching binary. The audio sibling of [[synthesizePngs]]. */
+  def synthesizePcm(ids: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col("doc_id").cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val n = ((id % 5) + 1).toInt * 400
+        val bb = java.nio.ByteBuffer.allocate(n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0L
+        while (i < n) {
+          val s = (math.abs((i * 7L + id) % 200L - 100L) * 300L).toShort
+          bb.putShort(s)
+          i += 1L
+        }
+        Row(id, bb.array())
+      }
+    }(encoder)
+  }
+
+  /** Windowed audio energy over PCM16LE payloads — the VAD / silence-
+    * detection primitive: decode int16 samples, emit per (doc, window of
+    * `win` samples) the BIGINT Σ s² (energy·win; kept as the exact integer
+    * sum rather than an RMS double). Same [[Codec]]-seam shape: binary
+    * decode in `mapPartitions`, per-row work, no shuffle — at scale the
+    * window rows feed ordinary relational ops (thresholds, silence trims,
+    * segment joins). Trailing partial windows are emitted with their true
+    * `n_samples` (callers filter or rescale; dropping them silently would
+    * hide audio tails). */
+  def audioEnergy(df: DataFrame, win: Int = 400): DataFrame = {
+    require(win > 0)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("win_idx", LongType),
+      StructField("n_samples", LongType),
+      StructField("energy", LongType)))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col("doc_id").cast("long"), col("payload")).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nSamples = bytes.length / 2
+        (0 until (nSamples + win - 1) / win).iterator.map { w =>
+          val from = w * win
+          val until = math.min(from + win, nSamples)
+          var e = 0L
+          var i = from
+          while (i < until) {
+            val s = bb.getShort(i * 2).toLong
+            e += s * s
+            i += 1
+          }
+          Row(id, w.toLong, (until - from).toLong, e)
+        }
+      }
+    }(encoder)
+  }
 }

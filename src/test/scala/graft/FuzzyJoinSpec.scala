@@ -45,5 +45,23 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(out === Set(("same", "same", 0L)))
   }
 
+  test("id-level pairs match brute force and close into entities") {
+    val strs = Seq(
+      (1L, "anna"), (2L, "anne"), (3L, "ann"), // chain: 1~2 (sub), 1~3, 2~3 (del)
+      (4L, "bob"), (5L, "bob"), // exact dup under distinct ids
+      (6L, "zed")).toDF("id", "s")
+    val pairs = FuzzyJoin.selfJoinIds(strs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L), (4L, 5L, 0L)))
+    // feed the edge list to clustering: {1,2,3}, {4,5}, {6} with min reps
+    val er = graft.operators.Dedup.clusters(
+      strs.select(col("id").as("doc_id")),
+      FuzzyJoin.selfJoinIds(strs).select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(er === Map(
+      1L -> ((1L, 1L)), 2L -> ((1L, 0L)), 3L -> ((1L, 0L)),
+      4L -> ((4L, 1L)), 5L -> ((4L, 0L)), 6L -> ((6L, 1L))))
+  }
+
   private def Tables = graft.sources.Tables
 }

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Layout, Sink, TimeTravel, ZoneMaps}
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("optimize publishes a z-ordered run: content preserved, old run immutable, both columns prune") {
+    val outputDir = Files.createTempDirectory("graft_optimize").toString
+    val df = spark.range(100000).select(
+      (col("id") * 2654435761L % 10000L).as("a"),
+      (col("id") * 40503L % 10000L).as("b"),
+      col("id").as("payload"))
+    // seed run: scattered layout, many files — the append-heavy ingest shape
+    val run1 = Sink.runRoot(outputDir, java.time.Instant.ofEpochSecond(1000000000L))
+    df.repartition(16).write.option("compression", "snappy")
+      .parquet(s"$run1/job/data")
+    val run1Files = new java.io.File(s"$run1/job/data").listFiles()
+      .map(f => f.getName -> f.length()).sortBy(_._1).toSeq
+
+    val stamp = Layout.optimize(spark, outputDir, "job", "a", "b",
+      targetBytes = 64L * 1024,
+      at = java.time.Instant.ofEpochSecond(1000000100L))
+
+    // published as the new latest run; staging is gone; old run untouched
+    assert(TimeTravel.listRuns(outputDir).last === stamp)
+    assert(TimeTravel.listRuns(outputDir).size === 2)
+    assert(!new java.io.File(outputDir).listFiles().exists(_.getName.startsWith(".staging")))
+    val run1After = new java.io.File(s"$run1/job/data").listFiles()
+      .map(f => f.getName -> f.length()).sortBy(_._1).toSeq
+    assert(run1After === run1Files)
+
+    // content identical
+    val optimized = TimeTravel.readLatest(spark, outputDir, "job")
+    assert(optimized.count() === 100000L)
+    assert(optimized.agg(sum($"payload")).head.getLong(0) ===
+      df.agg(sum($"payload")).head.getLong(0))
+
+    // the rewrite produced multiple files and the fresh manifest prunes on
+    // BOTH z-ordered columns
+    val dataDir = s"$outputDir/$stamp/job/data"
+    val zmDir = s"$outputDir/$stamp/job/zonemap"
+    val nFiles = new java.io.File(dataDir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 4, s"expected a multi-file rewrite, got $nFiles")
+    for (c <- Seq("a", "b")) {
+      val (pruned, files) = ZoneMaps.prunedRead(spark, dataDir, zmDir, c, 100L, 700L)
+      assert(files.size < nFiles, s"column $c: expected pruning, read all $nFiles files")
+      assert(pruned.count() ===
+        optimized.filter(col(c).between(100L, 700L)).count())
+    }
+  }
+
+  test("optimize refuses a stamp collision with an existing run") {
+    val outputDir = Files.createTempDirectory("graft_optimize2").toString
+    val at = java.time.Instant.ofEpochSecond(1000000000L)
+    val run1 = Sink.runRoot(outputDir, at)
+    spark.range(10).select(col("id").as("a"), col("id").as("b"))
+      .write.parquet(s"$run1/job/data")
+    val e = intercept[IllegalArgumentException] {
+      Layout.optimize(spark, outputDir, "job", "a", "b", at = at)
+    }
+    assert(e.getMessage.contains("immutable"))
+  }
+
+  test("dynamic-partition backfill replaces only the touched partitions") {
+    val dir = Files.createTempDirectory("graft_backfill").toString + "/t"
+    val full = Seq(
+      (1L, "d1", 10L), (2L, "d1", 11L),
+      (3L, "d2", 20L), (4L, "d2", 21L),
+      (5L, "d3", 30L)).toDF("id", "day", "v")
+    full.write.partitionBy("day").parquet(dir)
+    def partFiles(day: String) = new java.io.File(s"$dir/day=$day").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length(), f.lastModified())).sortBy(_._1).toSeq
+    val d1Before = partFiles("d1")
+    val d3Before = partFiles("d3")
+
+    // backfill day 2 with corrected values (and one extra row)
+    Sink.backfillPartitions(
+      Seq((3L, "d2", 200L), (4L, "d2", 210L), (6L, "d2", 220L)).toDF("id", "day", "v"),
+      dir, Seq("day"))
+
+    // untouched partitions keep their exact files; day 2 is replaced
+    assert(partFiles("d1") === d1Before)
+    assert(partFiles("d3") === d3Before)
+    val after = spark.read.parquet(dir)
+    assert(after.count() === 6L)
+    assert(after.filter(col("day") === "d2").agg(sum($"v")).head.getLong(0) === 630L)
+    assert(after.filter(col("day") === "d1").agg(sum($"v")).head.getLong(0) === 21L)
+  }
+}

@@ -98,4 +98,31 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(_._1 == 1L).map(_._3).toSeq === Seq(256, 88))
     assert(frames.count(_._1 == 2L) === 1)
   }
+
+  test("audio energy: hand-built PCM16LE, full and trailing partial windows") {
+    // samples 1, -2, 3, -4, 5 → win=2: (1+4), (9+16), (25 partial)
+    val bb = java.nio.ByteBuffer.allocate(10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(1, -2, 3, -4, 5).foreach(s => bb.putShort(s.toShort))
+    val df = Seq((7L, bb.array())).toDF("doc_id", "payload")
+    val out = Multimodal.audioEnergy(df, win = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(out === Array((0L, 2L, 5L), (1L, 2L, 25L), (2L, 1L, 25L)))
+  }
+
+  test("audio energy of synthesized PCM matches the analytic waveform") {
+    val ids = Seq(3L, 12L).toDF("doc_id")
+    val out = Multimodal.audioEnergy(Multimodal.synthesizePcm(ids))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    def expected(id: Long): Map[(Long, Long), (Long, Long)] = {
+      val n = ((id % 5) + 1) * 400
+      (0L until n).groupBy(_ / 400).map { case (w, is) =>
+        (id, w) -> (is.size.toLong,
+          is.map { i =>
+            val s = math.abs((i * 7L + id) % 200L - 100L) * 300L
+            s * s
+          }.sum)
+      }
+    }
+    assert(out === expected(3L) ++ expected(12L))
+  }
 }

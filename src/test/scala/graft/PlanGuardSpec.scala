@@ -211,6 +211,29 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.toLowerCase.contains("dynamicpruning"), p)
   }
 
+  test("runtime bloom-filter join pruning fires on fact ⋈ selective dim") {
+    // The row-level sibling of dynamic partition pruning: a bloom filter
+    // built from the filtered dim side is injected into the fact scan's
+    // data filters, discarding non-joining rows BEFORE the shuffle — at
+    // 100 TB the difference between shuffling the whole fact table and
+    // shuffling the ~matching slice. Needs a fact side big enough to
+    // clear the planner's size threshold and a non-broadcastable join.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10KB")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import org.apache.spark.sql.functions.col
+    val fact = graft.sources.Tables.lineitem(s, d)
+    val dim = graft.sources.Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val p = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag")).count()
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("bloomfilter"), p)
+  }
+
   test("r2 interval join: pair join is a pinned ShuffledHashJoin, never a broadcast") {
     val p = plan("r2_interval_join")
     assert(p.contains("ShuffledHashJoin"), p)

@@ -59,4 +59,47 @@ class StreamingTwsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(u1 === Set((2L, 375L), (3L, 400L)))
   }
+
+  test("transformWithState MapState: per-type entries accumulate across batches") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    import s.implicits._
+
+    val srcDir = Files.createTempDirectory("graft_twsmap_src").toString
+    val ckpt = Files.createTempDirectory("graft_twsmap_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    def write(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("user_id", "event_type").write.mode("append").parquet(srcDir)
+
+    write((1L, "view"), (1L, "view"), (2L, "buy"))
+    val q = graft.streaming.StreamingTypeCounts(
+      s.readStream.schema(schema).parquet(srcDir))
+      .toDF()
+      .writeStream.format("memory").queryName("twsmap_sink")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // second batch: a NEW type for user 1 (map grows), a repeat for 2
+      write((1L, "buy"), (2L, "buy"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val finals = s.table("twsmap_sink")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_types"))).as("s"))
+      .select(col("user_id"), col("s.n_types"), col("s.n_events"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(finals === Map(
+      1L -> ((2L, 3L)), // view×2 + buy across two batches → 2 types
+      2L -> ((1L, 2L)))) // buy×2 → map entry grew, type count didn't
+    // user 1's phase-1 snapshot: 1 type, 2 events — state crossed batches
+    val u1 = s.table("twsmap_sink").filter(col("user_id") === 1L)
+      .select("n_types", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(u1 === Set((1L, 2L), (2L, 3L)))
+  }
 }
