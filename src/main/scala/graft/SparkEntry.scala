@@ -1060,6 +1060,21 @@ object SparkEntry {
     // algebra (k-min of merged k-min sets — spec-pinned).
     "x11_kmv_distinct" -> ((s, d) =>
       Profiling.kmvDistinct(Tables.lineitem(s, d), "l_linenumber", "l_orderkey")),
+    // KMV sketch ALGEBRA: union estimate = merged sketch, intersection by
+    // inclusion-exclusion, each audited vs exact — why per-shard sketches
+    // roll up with no re-scan.
+    "x12_kmv_setops" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      Profiling.kmvSetOps(
+        li.filter(col("l_returnflag") === "R"),
+        li.filter(col("l_returnflag") === "N"), "l_orderkey")
+    }),
+    // Seasonal-naive forecast eval (the baseline every forecast must
+    // beat): actual vs 24h-lag total per hour, exact integer-cent errors;
+    // seasonal pairing by equi-join, NOT lag() (gaps would silently slip
+    // the season).
+    "x13_seasonal_naive" -> ((s, d) =>
+      Timeseries.seasonalNaiveEval(Tables.events(s, d))),
     // Z-order (Morton) clustering key — the [[graft.etl.Layout]] layout
     // primitive under the oracle gate: pure BIGINT bit-interleave of two
     // 16-bit key slices, plus the coarse z-cell (zkey >> 24) a clustered
@@ -1721,7 +1736,14 @@ object SparkEntry {
     // (f1's candidate machinery + d7's clustering) a dedup/master-data
     // pipeline runs over name-keyed records.
     "er1_entity_resolution" -> ((s, d) => {
+      // Fixed absolute record cap: the ORACLE is the brute-force pair
+      // join (O(n²) levenshtein by design — the conformance twin), so the
+      // gate row's cost must not scale with the fixture SF. At sf0.01
+      // the cap is the whole table; the OPERATOR itself is the SymSpell
+      // candidate path and scales fine (f1 runs uncapped at 15k names in
+      // the bench/probe).
       val cust = Tables.customer(s, d)
+        .filter(col("c_custkey") <= 1500)
         .select(col("c_custkey").as("doc_id"), col("c_name").as("s"))
       val pairs = FuzzyJoin.selfJoinIds(cust, "doc_id", "s")
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
@@ -2222,6 +2244,50 @@ object SparkEntry {
          |       CAST(est AS BIGINT) AS est_distinct,
          |       CAST(abs(est - exact_distinct) * 10000 // exact_distinct AS BIGINT) AS err_bp
          |FROM es""".stripMargin,
+    // KMV set-ops replay: three rank chains (a, b, merged union), the
+    // x11 estimator, inclusion-exclusion for the intersection row.
+    "x12_kmv_setops" ->
+      s"""WITH va AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem WHERE l_returnflag = 'R'),
+         |vb AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem WHERE l_returnflag = 'N'),
+         |hh AS (SELECT 'a' AS side, v, ${sqlSampleKey("('kmv:' || v)")} AS h FROM va
+         |       UNION ALL
+         |       SELECT 'b', v, ${sqlSampleKey("('kmv:' || v)")} FROM vb
+         |       UNION ALL
+         |       SELECT 'union', v, ${sqlSampleKey("('kmv:' || v)")}
+         |       FROM (SELECT v FROM va UNION SELECT v FROM vb)),
+         |rk AS (SELECT side, h,
+         |              row_number() OVER (PARTITION BY side ORDER BY h) AS rn,
+         |              count(*) OVER (PARTITION BY side) AS nd
+         |       FROM hh),
+         |km AS (SELECT side, CAST(max(nd) AS BIGINT) AS exact,
+         |              CAST(count(*) AS BIGINT) AS n_kept,
+         |              CAST(max(h) AS BIGINT) AS kth_min
+         |       FROM rk WHERE rn <= 64 GROUP BY side),
+         |es AS (SELECT side, exact,
+         |              CAST(CASE WHEN n_kept < 64 THEN n_kept
+         |                        ELSE (CAST(63 AS BIGINT) * 1000000007) // (kth_min + 1)
+         |                   END AS BIGINT) AS est
+         |       FROM km),
+         |inter AS (SELECT 'intersection' AS side,
+         |                 CAST(greatest(a.est + b.est - u.est, 0) AS BIGINT) AS est,
+         |                 CAST(a.exact + b.exact - u.exact AS BIGINT) AS exact
+         |          FROM (SELECT est, exact FROM es WHERE side = 'a') a,
+         |               (SELECT est, exact FROM es WHERE side = 'b') b,
+         |               (SELECT est, exact FROM es WHERE side = 'union') u),
+         |allr AS (SELECT side, est, exact FROM es
+         |         UNION ALL SELECT side, est, exact FROM inter)
+         |SELECT side, est, exact,
+         |       CAST(CASE WHEN exact = 0 THEN 0
+         |                 ELSE abs(est - exact) * 10000 // exact END AS BIGINT) AS err_bp
+         |FROM allr""".stripMargin,
+    // Seasonal-naive replay: hour totals self-joined at the 24h lag.
+    "x13_seasonal_naive" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour,
+        |                  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |           FROM events GROUP BY 1)
+        |SELECT a.hour, a.cents AS actual_cents, f.cents AS forecast_cents,
+        |       CAST(abs(a.cents - f.cents) AS BIGINT) AS abs_err_cents
+        |FROM h a JOIN h f ON a.hour = f.hour + INTERVAL 24 HOURS""".stripMargin,
     // Morton interleave replay: Σ_i (bit i of a → position 2i+1) |
     // (bit i of b → position 2i) as pure BIGINT shifts — identical
     // arithmetic to Layout.mortonKey's codegen'd column expression.
@@ -2691,9 +2757,11 @@ object SparkEntry {
     // Entity-resolution replay: brute-force distance-1 pairs (SymSpell's
     // conformance twin), recursive reachability closure, min-key label.
     "er1_entity_resolution" ->
-      """WITH RECURSIVE p AS MATERIALIZED (
+      """WITH RECURSIVE cu AS MATERIALIZED (
+        |  SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 1500),
+        |p AS MATERIALIZED (
         |  SELECT a.c_custkey AS ka, b.c_custkey AS kb
-        |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |  FROM cu a JOIN cu b ON a.c_custkey < b.c_custkey
         |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
         |edges AS (SELECT ka AS src, kb AS dst FROM p
         |          UNION SELECT kb, ka FROM p),
@@ -2705,7 +2773,7 @@ object SparkEntry {
         |       coalesce(l.entity_id, c.c_custkey) AS entity_id,
         |       CAST(CASE WHEN coalesce(l.entity_id, c.c_custkey) = c.c_custkey
         |                 THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
-        |FROM customer c LEFT JOIN lab l ON l.c_custkey = c.c_custkey""".stripMargin,
+        |FROM cu c LEFT JOIN lab l ON l.c_custkey = c.c_custkey""".stripMargin,
     // Negative-sampling replay: item rank index, per-(user, draw) key
     // draws, NOT EXISTS accidental-positive filter.
     "p11_negative_sample" ->

@@ -1,0 +1,66 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Key erasure over a partitioned table — the right-to-be-forgotten /
+  * takedown operation: delete every row carrying one of the given keys by
+  * rewriting ONLY the partitions that contain them. At 100 TB a handful
+  * of deletion requests must not become a full-table rewrite; partition
+  * scoping (and zone maps below it) bound the work to the directories the
+  * keys actually live in.
+  *
+  * Mechanics: a key-semi-join finds the affected partition values
+  * (partition-count-bounded, metadata plane); those partitions' remaining
+  * rows are rewritten in place via [[Sink.backfillPartitions]]'s DYNAMIC
+  * overwrite, and partitions left EMPTY by the deletion are removed
+  * explicitly — dynamic overwrite only replaces partitions present in the
+  * written frame, so an all-deleted partition would otherwise silently
+  * keep its old files (the one correctness trap of overwrite-by-presence;
+  * spec-pinned). Untouched partitions keep their exact files.
+  *
+  * Same concurrency discipline as [[Sink.backfillPartitions]]: not safe
+  * under concurrent readers of the affected partitions; for reader-safe
+  * erasure publish a new [[TimeTravel]] run instead and vacuum the old
+  * ones after the retention window.
+  *
+  * Returns (rows erased, partitions rewritten, partitions removed). */
+object Erasure {
+
+  def eraseKeys(spark: SparkSession, dataDir: String, partCols: Seq[String],
+      keyCol: String, keys: DataFrame): (Long, Long, Long) = {
+    require(partCols.nonEmpty, "eraseKeys needs a partitioned table")
+    val full = spark.read.parquet(dataDir)
+    val keyFrame = broadcast(keys.select(col(keyCol)).distinct())
+    val affected = full.join(keyFrame, Seq(keyCol), "left_semi")
+      .select(partCols.map(col): _*).distinct().collect()
+      .map(r => partCols.indices.map(i => r.get(i)).toSeq).toSet
+    if (affected.isEmpty) return (0L, 0L, 0L)
+
+    // rows of the affected partitions only (partition pruning applies)
+    val inAffected = affected.map { vals =>
+      partCols.zip(vals).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+    }.reduce(_ || _)
+    val slice = full.filter(inAffected)
+    val remainder = slice.join(keyFrame, Seq(keyCol), "left_anti")
+      // column order: data columns first, partition columns last — the
+      // write re-partitions by them either way, but keep the frame tidy
+      .select(full.columns.map(col): _*)
+    val erased = slice.count() - remainder.count()
+
+    val remainingParts = remainder
+      .select(partCols.map(col): _*).distinct().collect()
+      .map(r => partCols.indices.map(i => r.get(i)).toSeq).toSet
+    if (remainingParts.nonEmpty)
+      Sink.backfillPartitions(remainder, dataDir, partCols)
+    // all-deleted partitions: dynamic overwrite never saw them — remove
+    // their directories explicitly or the erased keys survive on disk
+    val emptied = affected.diff(remainingParts)
+    emptied.foreach { vals =>
+      val dir = partCols.zip(vals)
+        .map { case (c, v) => s"$c=$v" }.mkString("/", "/", "")
+      Compaction.deleteDir(new java.io.File(dataDir + dir))
+    }
+    (erased, remainingParts.size.toLong, emptied.size.toLong)
+  }
+}

@@ -85,6 +85,48 @@ object Sink {
     out
   }
 
+  /** Write-audit-publish — the ingest discipline that keeps a bad batch
+    * out of the readable table entirely: write the frame under a hidden
+    * `.staging-<stamp>` dir, run the [[graft.operators.Validation]]
+    * constraint suite against the WRITTEN files (auditing the bytes
+    * readers would actually see — a re-read also catches write
+    * corruption, not just bad input), and only on all-pass rename the
+    * staging dir to a published [[TimeTravel]]-visible run. On any
+    * failing constraint the staging dir is LEFT IN PLACE as the
+    * quarantined evidence and the call throws, naming the failed checks —
+    * readers of `latest` never observe the bad batch.
+    *
+    * Same atomic-rename publish contract as [[graft.etl.Layout.optimize]]
+    * (TimeTravel.listRuns only matches final stamp names). Returns the
+    * published run stamp. */
+  def writeAudited(df: DataFrame, outputDir: String, jobName: String,
+      checks: Seq[graft.operators.Validation.Check],
+      refIntegrity: Seq[(String, DataFrame, String)] = Nil,
+      at: Instant = Instant.now()): String = {
+    val spark = df.sparkSession
+    val runRootPath = runRoot(outputDir, at)
+    val stamp = runRootPath.substring(outputDir.length + 1)
+    val staging = new java.io.File(s"$outputDir/.staging-$stamp")
+    val dest = new java.io.File(runRootPath)
+    require(!dest.exists(), s"run $stamp already exists — runs are immutable")
+    df.write.mode("overwrite").option("compression", "snappy")
+      .parquet(s"${staging.getPath}/$jobName/data")
+    val verdicts = graft.operators.Validation
+      .suite(spark.read.parquet(s"${staging.getPath}/$jobName/data"),
+        checks, refIntegrity)
+      .collect() // constraint-count-sized
+    val failed = verdicts.filter(_.getLong(2) == 0L).map(_.getString(0))
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        s"write-audit-publish REFUSED for $jobName: failed checks " +
+          failed.mkString("[", ", ", "]") +
+          s" — quarantined batch left at ${staging.getPath} for inspection")
+    if (!staging.renameTo(dest))
+      throw new java.io.IOException(
+        s"publish failed: could not rename $staging to $dest")
+    stamp
+  }
+
   /** Partition-scoped backfill — recompute a slice of a partitioned table
     * without touching the rest: `mode(overwrite)` with DYNAMIC partition
     * overwrite replaces exactly the partition directories present in `df`

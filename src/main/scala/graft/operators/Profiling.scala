@@ -59,6 +59,56 @@ object Profiling {
     *
     * Output: (g, exact_distinct, n_kept, kth_min, est_distinct, err_bp)
     * with err_bp = |est − exact|·10⁴ div exact. */
+  /** KMV sketch ALGEBRA on the gate: distinct-count estimates for two
+    * sets A and B, their UNION (the merged sketch — k smallest over the
+    * combined hash sets, exactly what per-shard sketches roll up to with
+    * no re-scan), and their INTERSECTION by inclusion–exclusion
+    * (est_A + est_B − est_U, clamped at 0), each audited against its
+    * exact count in the same pass. This is why a distinct sketch earns
+    * its place at 100 TB: per-partition/per-day sketches combine by set
+    * algebra instead of recounting the corpus.
+    *
+    * Output, long format: one row per metric in
+    * {a, b, union, intersection} × (est, exact, err_bp). All BIGINT,
+    * deterministic, fully hash-checked (same property as
+    * [[kmvDistinct]]). */
+  def kmvSetOps(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+      k: Int = 64): DataFrame = {
+    val hash = (df: DataFrame, tag: String) => df
+      .select(col(valueCol).cast("string").as("v")).distinct()
+      .select(lit(tag).as("side"), col("v"),
+        TextHash.sampleKey(concat(lit("kmv:"), col("v"))).as("h"))
+    val va = hash(dfA, "a")
+    val vb = hash(dfB, "b")
+    val vu = va.union(vb).select(lit("union").as("side"), col("v"), col("h")).distinct()
+    val est = (vs: DataFrame) => vs
+      .groupBy(col("side"))
+      .agg(
+        count(lit(1)).as("exact"),
+        TopKAgg.topK(-col("h").cast("double"), col("h"), k).as("mins"))
+      .withColumn("n_kept", size(col("mins")).cast("long"))
+      .withColumn("kth_min",
+        element_at(col("mins"), col("n_kept").cast("int")).getField("id"))
+      .select(col("side"), col("exact"),
+        expr(s"CASE WHEN n_kept < $k THEN n_kept " +
+          s"ELSE (${k - 1}L * ${TextHash.Prime}L) div (kth_min + 1L) END").as("est"))
+    val sides = est(va).union(est(vb)).union(est(vu))
+    // intersection by inclusion–exclusion over the three single-set rows:
+    // a metadata-sized pivot (3 rows), clamped at 0 — est_A+est_B can
+    // undershoot est_U on disjoint sets.
+    val wide = sides.groupBy()
+      .pivot("side", Seq("a", "b", "union"))
+      .agg(first(col("est")).as("est"), first(col("exact")).as("exact"))
+    val inter = wide.select(
+      lit("intersection").as("side"),
+      (col("a_exact") + col("b_exact") - col("union_exact")).as("exact"),
+      greatest(col("a_est") + col("b_est") - col("union_est"), lit(0L)).as("est"))
+    sides.unionByName(inter)
+      .select(col("side"), col("est"), col("exact"),
+        expr("CASE WHEN exact = 0 THEN 0L " +
+          "ELSE abs(est - exact) * 10000L div exact END").as("err_bp"))
+  }
+
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 64): DataFrame = {
     val dv = df

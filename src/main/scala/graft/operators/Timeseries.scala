@@ -103,4 +103,31 @@ object Timeseries {
         round(col("__mu"), 7).as("mu"),
         round(col("__z"), 7).as("z"))
   }
+
+  /** Seasonal-naive forecast evaluation — the monitoring baseline every
+    * real forecast must beat: predict each hour's total as the total
+    * `periodHours` earlier (the season lag), score with per-hour absolute
+    * error in integer cents. Gaps are handled by the JOIN, not a lag
+    * window: `lag()` over the observed hour sequence silently reads the
+    * previous OBSERVED hour when an hour is missing, which is not the
+    * seasonal predecessor — the equi-join on `hour = hour + period` only
+    * pairs true (t, t−period) hours.
+    *
+    * Plan: one hour-bucket aggregate (map-side combined), one self
+    * equi-join on the hour key. All-BIGINT cents; output rows are the
+    * hours where both actual and seasonal predecessor exist. */
+  def seasonalNaiveEval(events: DataFrame, tsCol: String = "ts",
+      valCol: String = "value", periodHours: Int = 24): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(sum(floor(col(valCol) * 100).cast("long")).as("cents"))
+    hourly.as("a")
+      .join(hourly.as("f"),
+        col("a.hour") === col("f.hour") + expr(s"INTERVAL $periodHours HOURS"))
+      .select(
+        col("a.hour").as("hour"),
+        col("a.cents").as("actual_cents"),
+        col("f.cents").as("forecast_cents"),
+        abs(col("a.cents") - col("f.cents")).as("abs_err_cents"))
+  }
 }

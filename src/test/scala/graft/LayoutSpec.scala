@@ -66,6 +66,57 @@ class LayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("immutable"))
   }
 
+  test("write-audit-publish: bad batch quarantined and invisible, good batch published") {
+    import graft.operators.Validation
+    val outputDir = Files.createTempDirectory("graft_wap").toString
+    val good = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val stamp = Sink.writeAudited(good, outputDir, "job",
+      Seq(Validation.completeness("v"), Validation.uniqueness(Seq("id"))),
+      at = java.time.Instant.ofEpochSecond(1000000000L))
+    assert(TimeTravel.listRuns(outputDir) === Seq(stamp))
+    assert(TimeTravel.readLatest(spark, outputDir, "job").count() === 2L)
+
+    // bad batch: duplicate ids → uniqueness fails → publish refused,
+    // staging quarantined, latest still the good run
+    val bad = Seq((1L, "x"), (1L, "y")).toDF("id", "v")
+    val e = intercept[IllegalStateException] {
+      Sink.writeAudited(bad, outputDir, "job",
+        Seq(Validation.completeness("v"), Validation.uniqueness(Seq("id"))),
+        at = java.time.Instant.ofEpochSecond(1000000100L))
+    }
+    assert(e.getMessage.contains("uniqueness_id"))
+    assert(TimeTravel.listRuns(outputDir) === Seq(stamp)) // nothing published
+    assert(new java.io.File(outputDir).listFiles()
+      .exists(_.getName.startsWith(".staging")), "quarantine must remain")
+    assert(TimeTravel.readLatest(spark, outputDir, "job").count() === 2L)
+  }
+
+  test("key erasure rewrites only affected partitions and removes emptied ones") {
+    val dir = Files.createTempDirectory("graft_erase").toString + "/t"
+    Seq(
+      (1L, "d1", 10L), (2L, "d1", 11L), // d1: key 1 erased, key 2 stays
+      (3L, "d2", 20L), // d2: fully erased → dir must vanish
+      (4L, "d3", 30L)) // d3: untouched → files byte-identical
+      .toDF("id", "day", "v").write.partitionBy("day").parquet(dir)
+    def files(day: String) = Option(new java.io.File(s"$dir/day=$day").listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).sortBy(_._1).toSeq)
+    val d3Before = files("d3")
+
+    val keys = Seq(1L, 3L, 99L).toDF("id") // 99 hits nothing
+    val (erased, rewritten, removed) =
+      graft.etl.Erasure.eraseKeys(spark, dir, Seq("day"), "id", keys)
+    assert((erased, rewritten, removed) === ((2L, 1L, 1L)))
+    assert(files("d3") === d3Before) // untouched partition: exact files
+    assert(files("d2") === None) // emptied partition directory removed
+    val after = spark.read.parquet(dir).select("id").as[Long].collect().sorted
+    assert(after.toSeq === Seq(2L, 4L))
+
+    // idempotent: a second erasure of the same keys is a no-op
+    assert(graft.etl.Erasure.eraseKeys(spark, dir, Seq("day"), "id", keys)
+      === ((0L, 0L, 0L)))
+  }
+
   test("dynamic-partition backfill replaces only the touched partitions") {
     val dir = Files.createTempDirectory("graft_backfill").toString + "/t"
     val full = Seq(

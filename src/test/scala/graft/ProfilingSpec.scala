@@ -57,6 +57,28 @@ class ProfilingSpec extends SparkSpec {
     assert(out.getLong(3) === whole.last)
   }
 
+  test("kmv set ops: exact below k, inclusion-exclusion intersection, disjoint clamp") {
+    // |A| = 30, |B| = 30, overlap 10 → union 50; all below k=64 so every
+    // estimate is exact and the intersection recovers exactly 10.
+    val a = (1 to 30).map(i => Tuple1(s"v$i")).toDF("v")
+    val b = (21 to 50).map(i => Tuple1(s"v$i")).toDF("v")
+    val out = Profiling.kmvSetOps(a, b, "v", k = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") === ((30L, 30L, 0L)))
+    assert(out("b") === ((30L, 30L, 0L)))
+    assert(out("union") === ((50L, 50L, 0L)))
+    assert(out("intersection") === ((10L, 10L, 0L)))
+
+    // disjoint sets above k: the intersection estimate may undershoot —
+    // it must clamp at 0, and exact must be 0.
+    val bigA = (1 to 500).map(i => Tuple1(s"a$i")).toDF("v")
+    val bigB = (1 to 500).map(i => Tuple1(s"b$i")).toDF("v")
+    val dj = Profiling.kmvSetOps(bigA, bigB, "v", k = 32)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(dj("intersection")._2 === 0L) // exact
+    assert(dj("intersection")._1 >= 0L) // clamped estimate
+  }
+
   test("kmv duplicate values do not inflate the sketch") {
     val df = ((1 to 100).map(i => ("g", s"v$i")) ++
       (1 to 100).map(i => ("g", s"v$i"))).toDF("g", "v")

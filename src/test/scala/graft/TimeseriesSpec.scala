@@ -95,4 +95,20 @@ class TimeseriesSpec extends SparkSpec {
     // toward the spike by including it
     assert(math.abs(row.getDouble(3) - 5.05) < 1e-9, s"mu=${row.getDouble(3)}")
   }
+
+  test("seasonal-naive eval pairs true 24h predecessors; gaps never slip the season") {
+    def ts(h: Int) = new java.sql.Timestamp(h * 3600000L)
+    // hours 0, 24, 48 observed; hour 25 missing BUT hour 1 also missing —
+    // and hour 49's predecessor (25) is absent so it must not pair with 24.
+    val events = Seq(
+      (ts(0), 1.00), (ts(24), 2.00), (ts(48), 3.50), (ts(49), 9.99)
+    ).toDF("ts", "value")
+    val out = Timeseries.seasonalNaiveEval(events)
+      .collect().map(r => (r.getTimestamp(0).getTime / 3600000L,
+        r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // only (24 ← 0) and (48 ← 24) pair; 49 has no hour-25 predecessor
+    assert(out === Array(
+      (24L, 200L, 100L, 100L),
+      (48L, 350L, 200L, 150L)))
+  }
 }
