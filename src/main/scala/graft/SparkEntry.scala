@@ -1069,6 +1069,29 @@ object SparkEntry {
         li.filter(col("l_returnflag") === "R"),
         li.filter(col("l_returnflag") === "N"), "l_orderkey")
     }),
+    // Unicode NFC normalization through a codegen Catalyst expression:
+    // decomposed combining sequences (synthesized deterministically as
+    // UTF-8 hex — Spark's char() is ASCII-only) compose to their
+    // canonical forms; the normalized STRING itself is hash-compared
+    // against DuckDB's utf8proc-backed nfc_normalize.
+    "t27_unicode_nfc" -> ((s, d) => {
+      val raw = concat(
+        lit("x"),
+        expr("decode(unhex(element_at(array('65CC81','61CC88','6FCC82','75CC8A','6ECC83'), " +
+          "cast(doc_id % 5 + 1 as int))), 'UTF-8')"),
+        lit("y"), col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(raw).cast("long").as("raw_len"),
+        graft.functions.GraftColumns.nfc(raw).as("nfc"),
+        length(graft.functions.GraftColumns.nfc(raw)).cast("long").as("nfc_len"),
+        (graft.functions.GraftColumns.nfc(raw) =!= raw).cast("long").as("changed"))
+    }),
+    // k-anonymity audit (the privacy check beside Erasure): group sizes
+    // per quasi-identifier pair + threshold verdict.
+    "v2_k_anonymity" -> ((s, d) =>
+      Validation.kAnonymity(
+        Tables.customer(s, d), Seq("c_nationkey", "c_mktsegment"), k = 10)),
     // Seasonal-naive forecast eval (the baseline every forecast must
     // beat): actual vs 24h-lag total per hour, exact integer-cent errors;
     // seasonal pairing by equi-join, NOT lag() (gaps would silently slip
@@ -2280,6 +2303,22 @@ object SparkEntry {
          |       CAST(CASE WHEN exact = 0 THEN 0
          |                 ELSE abs(est - exact) * 10000 // exact END AS BIGINT) AS err_bp
          |FROM allr""".stripMargin,
+    // NFC replay: same UTF-8 bytes, DuckDB's nfc_normalize.
+    "t27_unicode_nfc" ->
+      """WITH r AS (SELECT doc_id,
+        |                  'x' || decode(from_hex((['65CC81','61CC88','6FCC82','75CC8A','6ECC83'])[CAST(doc_id % 5 AS INT) + 1]))
+        |                      || 'y' || text AS raw
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CAST(length(raw) AS BIGINT) AS raw_len,
+        |       nfc_normalize(raw) AS nfc,
+        |       CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_len,
+        |       CAST(CASE WHEN nfc_normalize(raw) <> raw THEN 1 ELSE 0 END AS BIGINT) AS changed
+        |FROM r""".stripMargin,
+    "v2_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(CASE WHEN count(*) >= 10 THEN 1 ELSE 0 END AS BIGINT) AS meets_k
+        |FROM customer GROUP BY c_nationkey, c_mktsegment""".stripMargin,
     // Seasonal-naive replay: hour totals self-joined at the 24h lag.
     "x13_seasonal_naive" ->
       """WITH h AS (SELECT date_trunc('hour', ts) AS hour,

@@ -57,6 +57,21 @@ object GraftExprs {
     if (from == 0 && to == s.length) s else s.substring(from, to)
   }
 
+  /** Unicode NFC canonical composition (java.text.Normalizer) — the
+    * standard text-cleaning step that collapses decomposed sequences
+    * (e + U+0301 → é) so dedup/hash keys don't split on byte-level
+    * representation of the same text. NFC only (canonical); NFKC's
+    * compatibility foldings are intentionally NOT applied — they are
+    * lossy (① → 1) and their tables drift more across Unicode versions. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: Normalizer.isNormalized is a cheap scan; most real text
+    // is already NFC and skips the allocation entirely
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** sqrt(Σ ((double)a[i])²), strict left-to-right. */
   def normF(a: ArrayData): Double = {
     val n = a.numElements()
@@ -404,6 +419,17 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization: string → string (canonical composition). */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    GraftExprs.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftExprs.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+}
+
 /** Left-to-right double dot product of two array<float> columns. */
 case class DotProductExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -581,6 +607,8 @@ case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpres
 object GraftColumns {
   def polyHash(c: Column): Column =
     ColumnBridge.column(PolyHashExpr(ColumnBridge.expression(c)))
+  def nfc(c: Column): Column =
+    ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(c)))
   def dotF(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def normF(a: Column): Column =

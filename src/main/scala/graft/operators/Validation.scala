@@ -85,4 +85,19 @@ object Validation {
     withRef.select(explode(array(rows: _*)).as("c"))
       .select(col("c.check_name"), col("c.metric"), col("c.passed"))
   }
+
+  /** k-anonymity audit — the privacy-governance check beside
+    * [[graft.etl.Erasure]]: per quasi-identifier combination, the group
+    * size and whether it meets the k threshold. Groups below k are
+    * re-identification risks (an attacker knowing someone's
+    * quasi-identifiers narrows them to < k records); the standard
+    * remediation is suppressing or generalizing exactly those groups,
+    * which is a semi-join of this output against the table. One grouped
+    * count — the cheapest possible audit shape at any scale. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int = 5): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1)
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("meets_k", (col("n") >= k).cast("long"))
+  }
 }

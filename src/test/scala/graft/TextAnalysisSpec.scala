@@ -408,6 +408,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1)._4 === 3L * 1048576L / 2L)
   }
 
+  test("nfc expression composes decomposed sequences; already-NFC text passes through") {
+    val df = Seq(
+      ("é",      "é"), // e + combining acute → é
+      ("Å",      "Å"), // A + ring → Å
+      ("plain ascii",  "plain ascii"),
+      ("édejà", "édejà") // already composed: identity
+    ).toDF("raw", "expected")
+    val out = df.select(
+      graft.functions.GraftColumns.nfc(col("raw")).as("nfc"), col("expected"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) === r.getString(1)))
+    // compatibility forms must NOT fold (NFC, not NFKC): ① stays ①
+    val keep = Seq(Tuple1("①")).toDF("raw")
+      .select(graft.functions.GraftColumns.nfc(col("raw"))).head().getString(0)
+    assert(keep === "①")
+  }
+
   test("vocab coverage: closed-form covered counts and oov rate") {
     // counts: a=10, b=5, c=1 → total 16; rank order a, b, c
     val docs = Seq(
