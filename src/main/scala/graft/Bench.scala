@@ -63,6 +63,14 @@ object Bench {
     allQueries.foreach { name =>
       try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      // Several operators intentionally leave a bounded cache behind
+      // (bm25's tf, the globalRank/Quantiles barriers — documented
+      // trade); across 160+ queries × multiple passes those leaks
+      // compound into real executor memory pressure that taxes LATER
+      // queries (measured: the streaming rows ran 2.6× slower at the end
+      // of the suite than standalone). Isolate each measurement: a query
+      // still builds and uses its own caches within its run.
+      spark.catalog.clearCache()
     }
     // Single-run timings on sub-2s queries are ±10% noisy — enough to mask
     // real regressions as the suite grows. Fast queries run 3× and report
@@ -82,6 +90,7 @@ object Bench {
           results(name) = -1.0 // kept: the total only sums successes
       }
     allQueries.foreach { name =>
+      spark.catalog.clearCache() // per-query cache isolation (see warmup)
       bench(name)(qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save())
     }
     // ETL analog: read events → hourly rollup → snappy parquet, partitioned

@@ -1308,6 +1308,16 @@ object SparkEntry {
     // plain exact overlap count restricted to flagged docs.
     "c3_bloom_decontam" -> ((s, d) =>
       Curation.bloomContamination(Tables.documents(s, d), col("doc_id") % 20 === 0)),
+    // PERSISTED decontamination registry: the benchmark grams + Bloom
+    // prefilter written once, training batches screened against the STORE
+    // (the eval corpus itself never rescanned) — output ≡ c3's in-session
+    // exact overlap, so it shares that oracle shape.
+    "c4_stored_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_decontam_store").toString
+      Curation.writeDecontamStore(docs.filter(col("doc_id") % 20 === 0), dir)
+      Curation.decontamAgainstStore(docs.filter(col("doc_id") % 20 =!= 0), dir)
+    }),
     // The whole curation flow in one shot: quality gate + near-dup cluster
     // canonicals + decontamination + split, per document, with `kept` as
     // the final corpus-membership decision.
@@ -2539,6 +2549,14 @@ object SparkEntry {
     // The Bloom prefilter is output-invisible (exact recheck removes false
     // positives), so the oracle is c1's exact overlap restricted to hits.
     "c3_bloom_decontam" ->
+      s"""WITH ${sqlShinglesN(5, "doc_id % 20 = 0", "_ev")},
+         |${sqlShinglesN(5, "doc_id % 20 <> 0", "_tr")},
+         |ev AS (SELECT DISTINCT h FROM sh_ev)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |FROM sh_tr t JOIN ev ON t.h = ev.h GROUP BY 1""".stripMargin,
+    // Stored-registry decontam: store round-trip is value-preserving, so
+    // the oracle is the same exact overlap as c3.
+    "c4_stored_decontam" ->
       s"""WITH ${sqlShinglesN(5, "doc_id % 20 = 0", "_ev")},
          |${sqlShinglesN(5, "doc_id % 20 <> 0", "_tr")},
          |ev AS (SELECT DISTINCT h FROM sh_ev)

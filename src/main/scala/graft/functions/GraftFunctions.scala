@@ -30,7 +30,8 @@ object GraftFunctions {
     "graft_minhash_arr" -> (es => MinHashArrExpr(es(0), intLit(es(1)))),
     "graft_simhash_text" -> (es => SimHashTextExpr(es(0), intLit(es(1)))),
     "graft_rep_stats" -> (es => RepStatsExpr(es.head)),
-    "graft_winnow" -> (es => WinnowExpr(es(0), intLit(es(1)), intLit(es(2)))))
+    "graft_winnow" -> (es => WinnowExpr(es(0), intLit(es(1)), intLit(es(2)))),
+    "graft_nfc" -> (es => NfcNormalizeExpr(es.head)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -108,6 +108,71 @@ object Curation {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Build a PERSISTENT decontamination store from an eval/benchmark set:
+    * the distinct n-gram hashes as parquet (the exact registry) plus a
+    * serialized Bloom sketch over them (the prefilter) and a format
+    * marker. Once written, every future training batch is screened
+    * against the STORE — the benchmark corpora themselves never need to
+    * be re-scanned, re-shipped, or even retained; new benchmarks append
+    * a new store version. The same store/accelerator split as the
+    * incremental MinHash signature store: the sketch only prunes, the
+    * parquet grams make the output exact. */
+  def writeDecontamStore(evalDocs: DataFrame, storeDir: String, n: Int = 5,
+      estimatedGrams: Long = 1L << 20, numBits: Long = 1L << 23): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val grams = evalDocs
+      .select(explode(graft.functions.GraftColumns.shingleHashes(col("text"), n)).as("h"))
+      .distinct()
+      .cache()
+    grams.write.mode("overwrite").parquet(s"$storeDir/grams")
+    val sketch = grams.agg(ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(col("h")),
+        ColumnBridge.expression(lit(estimatedGrams)),
+        ColumnBridge.expression(lit(numBits))).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    grams.unpersist()
+    // empty eval set → no sketch row; store an empty marker file instead
+    val bfPath = java.nio.file.Paths.get(storeDir, "bloom.bin")
+    java.nio.file.Files.write(bfPath,
+      if (sketch == null) Array.empty[Byte] else sketch)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(storeDir, s"_format-ngram$n"), Array.empty[Byte])
+  }
+
+  /** Screen a training batch against a [[writeDecontamStore]] store:
+    * per-doc distinct-shared-n-gram counts, identical output to
+    * [[contamination]] on the original eval docs (the Bloom prefilter is
+    * output-invisible — exact semi-join recheck on the stored grams).
+    * Fails loudly on an n-gram order mismatch: grams hashed with a
+    * different n would silently match nothing. */
+  def decontamAgainstStore(train: DataFrame, storeDir: String, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(storeDir, s"_format-ngram$n")),
+      s"decontam store at $storeDir was not built with n=$n grams " +
+        "(missing _format marker) — rebuild with writeDecontamStore")
+    val spark = train.sparkSession
+    val sketch = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(storeDir, "bloom.bin"))
+    val grams = spark.read.parquet(s"$storeDir/grams")
+    val trainGrams = train.select(col("doc_id"),
+      explode(graft.functions.GraftColumns.shingleHashes(col("text"), n)).as("h"))
+    val maybe =
+      if (sketch.isEmpty) trainGrams.limit(0) // empty store → no overlap
+      else trainGrams.filter(ColumnBridge.column(
+        new BloomFilterMightContain(
+          Literal.create(sketch, BinaryType),
+          ColumnBridge.expression(col("h")))))
+    maybe
+      .join(grams, Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** The whole curation flow as one operator — the decision table a
     * pretraining data pipeline materializes per document: quality gate
     * (composite score from [[TextAnalysis.qualityScores]]), near-dup

@@ -298,9 +298,11 @@ object TextAnalysis {
     * bigrams; past that pre-divide N (same op both engines, the bm25
     * trade — overflow is loud in the oracle engine, silent in Spark's
     * non-ANSI mode, so don't run past the bound). Plan: one bigram
-    * aggregation + two
-    * margin aggregations joined on vocabulary-sized keys (never broadcast
-    * — real vocabularies aren't bounded), global top-k. */
+    * aggregation + two margin aggregations joined on vocabulary-sized
+    * keys — join strategy left to size statistics (a small vocab
+    * broadcasts, a web-scale one shuffles; the pair output is NOT
+    * explosive, so unlike the LSH bucket joins no pin is needed) — then
+    * a global top-k. */
   def collocations(docs: DataFrame, minCount: Int = 5, topK: Int = 20): DataFrame = {
     val bi = docs
       .select(tokens(col("text")).as("t"))

@@ -265,6 +265,35 @@ class CurationSpec extends SparkSpec {
     if (collisions == 0) assert(out(10L) === 4L * ((5L + 1L) * 1000000L / (5L + 1L)))
   }
 
+  test("stored decontam registry: round trip equals in-session contamination; guards format") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again"), // eval
+      (1L, "the quick brown fox jumps over the lazy dog today"), // overlaps
+      (2L, "completely different words with no shared grams at all"),
+      (3L, "the quick brown fox jumps over the lazy dog again tonight") // overlaps more
+    ).toDF("doc_id", "text")
+    val isEval = col("doc_id") === 0L
+    val dir = java.nio.file.Files.createTempDirectory("graft_dstore").toString
+    Curation.writeDecontamStore(docs.filter(isEval), dir)
+    val stored = Curation.decontamAgainstStore(docs.filter(!isEval), dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inSession = Curation.bloomContamination(docs, isEval)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stored === inSession)
+    assert(stored.contains(1L) && stored.contains(3L) && !stored.contains(2L))
+
+    // wrong n-gram order must fail loudly, not silently match nothing
+    val e = intercept[IllegalArgumentException] {
+      Curation.decontamAgainstStore(docs, dir, n = 3)
+    }
+    assert(e.getMessage.contains("_format"))
+
+    // empty eval set → empty store → zero overlaps, no crash
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft_dstore_e").toString
+    Curation.writeDecontamStore(docs.filter(col("doc_id") < 0), emptyDir)
+    assert(Curation.decontamAgainstStore(docs, emptyDir).count() === 0L)
+  }
+
   test("negative sampling: k draws per user, accidental positives removed, deterministic") {
     // user 1 interacted with EVERY item → all its draws are accidental
     // positives and must vanish; user 2 interacted with item 10 only.

@@ -211,6 +211,11 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.toLowerCase.contains("dynamicpruning"), p)
   }
 
+  test("t25 collocations: global top-k never sorts the full pair table") {
+    val p = plan("t25_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("runtime bloom-filter join pruning fires on fact ⋈ selective dim") {
     // The row-level sibling of dynamic partition pruning: a bloom filter
     // built from the filtered dim side is injected into the fact scan's
