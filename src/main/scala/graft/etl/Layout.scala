@@ -21,22 +21,36 @@ object Layout {
 
   val ZBits = 16 // per-dimension resolution; 2 dims → 32-bit morton code
 
-  /** Normalize a numeric column into [0, 2^ZBits) given its global min/max. */
-  private def normalize(c: Column, lo: Double, hi: Double): Column = {
+  /** Normalize a numeric column into [0, 2^bits) given its global min/max. */
+  private def normalize(c: Column, lo: Double, hi: Double, bits: Int = ZBits): Column = {
     val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
     least(
-      floor((c.cast("double") - lit(lo)) / lit(span) * lit((1 << ZBits).toDouble)),
-      lit((1 << ZBits) - 1.0)).cast("long")
+      floor((c.cast("double") - lit(lo)) / lit(span) * lit((1 << bits).toDouble)),
+      lit((1 << bits) - 1.0)).cast("long")
   }
 
   /** Interleave the low [[ZBits]] bits of two long columns (a gets the odd
     * bit positions): the Morton / z-curve key. Pure bit arithmetic —
-    * whole-stage-codegen'd, no UDF. */
-  def mortonKey(a: Column, b: Column): Column =
-    (0 until ZBits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    * whole-stage-codegen'd, no UDF. The 2-column case of [[mortonKeyN]]
+    * (identical bit layout — z1's oracle replays this exact formula). */
+  def mortonKey(a: Column, b: Column): Column = mortonKeyN(Seq(a, b), ZBits)
+
+  /** N-column Morton interleave: bit i of column j lands at position
+    * `i·n + (n−1−j)` — round-robin interleave, first column most
+    * significant within each round. n·bitsPer must stay under the sign
+    * bit. Three or four clustering columns is the practical ceiling:
+    * each added column halves every column's resolution at a fixed key
+    * width, which is the standard z-order dimensionality trade. */
+  def mortonKeyN(cols: Seq[Column], bitsPer: Int): Column = {
+    require(cols.nonEmpty && bitsPer > 0 && cols.size * bitsPer <= 63,
+      s"mortonKeyN: ${cols.size} cols x $bitsPer bits must fit in 63 bits")
+    val n = cols.size
+    (0 until bitsPer).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + (n - 1 - j))
+      }
     }.reduce(_.bitwiseOR(_))
+  }
 
   /** Write `df` into `nFiles` parquet files z-ordered on (colA, colB).
     * Rows land in files by contiguous Morton-key range, so each file's
@@ -101,16 +115,25 @@ object Layout {
     stamp
   }
 
-  def zorderWrite(df: DataFrame, colA: String, colB: String, nFiles: Int, path: String): Unit = {
-    val stats = df.agg(
-      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
-    val (loA, hiA, loB, hiB) =
-      (stats.getDouble(0), stats.getDouble(1), stats.getDouble(2), stats.getDouble(3))
-    df.withColumn("__zkey",
-        mortonKey(
-          normalize(col(colA), loA, hiA),
-          normalize(col(colB), loB, hiB)))
+  def zorderWrite(df: DataFrame, colA: String, colB: String, nFiles: Int, path: String): Unit =
+    zorderWriteN(df, Seq(colA, colB), nFiles, path)
+
+  /** N-column z-ordered write: one global min/max aggregate over the
+    * clustering columns, one range shuffle on the interleaved key. Bits
+    * per dimension shrink as columns grow (63/n, capped at [[ZBits]]) —
+    * the resolution/dimensionality trade made explicit; 3–4 columns is
+    * the practical ceiling before every column's rectangles get too
+    * coarse to prune. */
+  def zorderWriteN(df: DataFrame, zCols: Seq[String], nFiles: Int, path: String): Unit = {
+    require(zCols.size >= 2, s"z-order needs >= 2 columns, got $zCols")
+    val bitsPer = math.min(ZBits, 63 / zCols.size)
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val normed = zCols.zipWithIndex.map { case (c, i) =>
+      normalize(col(c), stats.getDouble(2 * i), stats.getDouble(2 * i + 1), bitsPer)
+    }
+    df.withColumn("__zkey", mortonKeyN(normed, bitsPer))
       .repartitionByRange(nFiles, col("__zkey"))
       .sortWithinPartitions("__zkey")
       .drop("__zkey")

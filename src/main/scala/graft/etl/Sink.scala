@@ -85,6 +85,25 @@ object Sink {
     out
   }
 
+  /** Parquet bloom filters at write time — the point-lookup skipping tier
+    * BELOW zone maps: min/max stats prune range predicates but are
+    * useless for needle-in-haystack id lookups on unclustered columns
+    * (every row group's [min, max] spans the id space); a per-column
+    * bloom filter in the column chunk metadata rejects non-member row
+    * groups before any data page is read. The natural companion to
+    * [[Erasure.eraseKeys]]' "which files hold these few keys" scan and
+    * any entity-id point query. Costs ~bits-per-ndv of file size on the
+    * filtered columns only. */
+  def writeWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+      expectedNdv: Long = 100000L): Unit = {
+    require(bloomCols.nonEmpty)
+    val base = df.write.mode("overwrite").option("compression", "snappy")
+    bloomCols.foldLeft(base) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+    }.parquet(path)
+  }
+
   /** Write-audit-publish — the ingest discipline that keeps a bad batch
     * out of the readable table entirely: write the frame under a hidden
     * `.staging-<stamp>` dir, run the [[graft.operators.Validation]]

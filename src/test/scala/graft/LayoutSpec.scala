@@ -54,6 +54,37 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("3-column z-order gives all three predicates pruning traction") {
+    val df = spark.range(120000).select(
+      (col("id") * 2654435761L % 10000L).as("a"),
+      (col("id") * 40503L % 10000L).as("b"),
+      (col("id") * 48271L % 10000L).as("c"))
+    val zpath = Files.createTempDirectory("graft_z3").toString + "/z"
+    val rpath = Files.createTempDirectory("graft_z3").toString + "/r"
+    Layout.zorderWriteN(df, Seq("a", "b", "c"), 16, zpath)
+    df.repartition(16).write.parquet(rpath)
+    for (c <- Seq("a", "b", "c")) {
+      def hit(p: String) = spark.read.parquet(p)
+        .filter(col(c).between(500L, 1200L))
+        .select(input_file_name()).distinct().count()
+      assert(hit(rpath) === 16L, s"$c: random layout must spread everywhere")
+      // 3-D rectangles are coarser per column than 2-D (the documented
+      // resolution/dimensionality trade): expect real but weaker pruning
+      assert(hit(zpath) <= 12L, s"$c: z3 layout should prune, hit ${hit(zpath)}")
+    }
+    assert(spark.read.parquet(zpath).count() === 120000L)
+  }
+
+  test("mortonKeyN(2) is bit-identical to the 2-column mortonKey contract") {
+    val df = spark.range(1000).select(
+      (col("id") % 65536L).as("a"), ((col("id") * 7L) % 65536L).as("b"))
+    val cmp = df.select(
+      Layout.mortonKey(col("a"), col("b")).as("k2"),
+      Layout.mortonKeyN(Seq(col("a"), col("b")), Layout.ZBits).as("kn"))
+      .filter(col("k2") =!= col("kn")).count()
+    assert(cmp === 0L)
+  }
+
   test("optimize refuses a stamp collision with an existing run") {
     val outputDir = Files.createTempDirectory("graft_optimize2").toString
     val at = java.time.Instant.ofEpochSecond(1000000000L)
@@ -115,6 +146,35 @@ class LayoutSpec extends SparkSpec {
     // idempotent: a second erasure of the same keys is a no-op
     assert(graft.etl.Erasure.eraseKeys(spark, dir, Seq("day"), "id", keys)
       === ((0L, 0L, 0L)))
+  }
+
+  test("parquet bloom filters land in the column-chunk metadata for the requested column only") {
+    import scala.jdk.CollectionConverters._
+    val df = spark.range(50000).select(
+      (col("id") * 2654435761L % 1000000L).as("user_id"),
+      (col("id") % 100L).as("v"))
+    val bDir = Files.createTempDirectory("graft_bloom").toString + "/b"
+    val pDir = Files.createTempDirectory("graft_bloom").toString + "/p"
+    Sink.writeWithBloom(df.coalesce(1), bDir, Seq("user_id"), expectedNdv = 50000L)
+    df.coalesce(1).write.option("compression", "snappy").parquet(pDir)
+
+    def bloomOffset(dir: String, column: String): Long = {
+      val f = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getPath),
+          new org.apache.hadoop.conf.Configuration()))
+      try reader.getFooter.getBlocks.get(0).getColumns.asScala
+        .find(_.getPath.toDotString == column).get.getBloomFilterOffset
+      finally reader.close()
+    }
+    assert(bloomOffset(bDir, "user_id") > 0L, "bloom filter must be written")
+    assert(bloomOffset(bDir, "v") === -1L, "unrequested column stays bloom-free")
+    assert(bloomOffset(pDir, "user_id") === -1L, "plain write has no bloom")
+    // content is unaffected by the metadata
+    assert(spark.read.parquet(bDir).agg(sum($"v")).head.getLong(0) ===
+      df.agg(sum($"v")).head.getLong(0))
   }
 
   test("dynamic-partition backfill replaces only the touched partitions") {
