@@ -175,6 +175,24 @@ object ScalingProbe {
       graft.operators.Profiling.kmvDistinct(
         bigEvents, "event_type", "event_id").count())
 
+    // Key erasure over a 10M-row partitioned table: delete 50 user ids.
+    // The cost must be the AFFECTED partitions' rewrite, not a full-table
+    // pass — with user ids spread across all 5 event_type partitions this
+    // is the worst case (every partition affected), so the measured time
+    // bounds the op; partition-localized keys only get cheaper.
+    {
+      val eraseDir = java.nio.file.Files.createTempDirectory("graft_probe_erase").toString + "/t"
+      bigEvents.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.partitionBy("event_type").parquet(eraseDir)
+      val keys = spark.range(50).select((col("id") * 3L).as("user_id"))
+      time("erase_50keys_10M_rows")({
+        val (erased, rewritten, removed) = graft.etl.Erasure.eraseKeys(
+          spark, eraseDir, Seq("event_type"), "user_id", keys)
+        assert(removed == 0L && rewritten > 0L)
+        erased
+      })
+    }
+
     // Done with the event fixtures — release them, or the cached 10M-row
     // table squeezes the ANN sections below into GC churn (measured: the
     // 50× ANN probe reads 92 s with these pinned vs 55 s without).

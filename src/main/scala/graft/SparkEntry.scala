@@ -1092,12 +1092,46 @@ object SparkEntry {
     "v2_k_anonymity" -> ((s, d) =>
       Validation.kAnonymity(
         Tables.customer(s, d), Seq("c_nationkey", "c_mktsegment"), k = 10)),
+    // Chi-square independence scan (event_type × day-of-week) — the
+    // drift/association monitor run over categorical pairs: per-cell
+    // quantized chi² contribution from the contingency table. All-BIGINT
+    // STAGED arithmetic: d = |O·N − R·C| (abs BEFORE any div — Spark div
+    // truncates toward zero, DuckDB // floors, so negative intermediates
+    // would diverge), then (d·10³ div R·C)·d div (N·10³) — the naive d²
+    // overflows 2^63 at sf0.1.
+    "x14_chisq" -> ((s, d) => {
+      val o = Tables.events(s, d)
+        // Sun=0 to match the oracle engine's dayofweek convention (q29)
+        .groupBy(col("event_type"), (dayofweek(col("ts")) - 1).cast("long").as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val r = o.groupBy("event_type").agg(sum(col("o")).as("rt"))
+      val c = o.groupBy("dow").agg(sum(col("o")).as("ct"))
+      val n = o.agg(sum(col("o"))).head().getLong(0)
+      o.join(r, Seq("event_type")).join(c, Seq("dow"))
+        .withColumn("d", abs(col("o") * lit(n) - col("rt") * col("ct")))
+        .withColumn("chi2_scaled",
+          expr(s"((d * 1000L) div (rt * ct)) * d div (${n}L * 1000L)"))
+        .select(col("event_type"), col("dow"), col("o"), col("chi2_scaled"))
+    }),
     // Seasonal-naive forecast eval (the baseline every forecast must
     // beat): actual vs 24h-lag total per hour, exact integer-cent errors;
     // seasonal pairing by equi-join, NOT lag() (gaps would silently slip
     // the season).
     "x13_seasonal_naive" -> ((s, d) =>
       Timeseries.seasonalNaiveEval(Tables.events(s, d))),
+    // Geohash (the geo twin of the Morton key — an MSB-first interleave
+    // of quantized lon/lat, base-32): spatial bucketing/prefix-join key
+    // over synthesized centi-degree coordinates, value- and string-level
+    // oracle-checked.
+    "z2_geohash" -> ((s, d) => {
+      val lat = (col("c_custkey") * 7919 % 18000).cast("double") / 100.0 - 90.0
+      val lon = (col("c_custkey") * 104729 % 36000).cast("double") / 100.0 - 180.0
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          graft.etl.Layout.geohashBits(lat, lon, 8).as("gh_bits"))
+        .withColumn("geohash",
+          graft.etl.Layout.geohashChars(col("gh_bits"), 8))
+    }),
     // Z-order (Morton) clustering key — the [[graft.etl.Layout]] layout
     // primitive under the oracle gate: pure BIGINT bit-interleave of two
     // 16-bit key slices, plus the coarse z-cell (zkey >> 24) a clustered
@@ -2329,6 +2363,20 @@ object SparkEntry {
       """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |       CAST(CASE WHEN count(*) >= 10 THEN 1 ELSE 0 END AS BIGINT) AS meets_k
         |FROM customer GROUP BY c_nationkey, c_mktsegment""".stripMargin,
+    // Chi-square replay: same contingency margins and staged div chain.
+    "x14_chisq" ->
+      """WITH o AS (SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+        |                  CAST(count(*) AS BIGINT) AS o
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY 1),
+        |c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM o GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+        |j AS (SELECT o.event_type, o.dow, o.o,
+        |             abs(o.o * n - rt * ct) AS d, rt, ct, n
+        |      FROM o JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN nn)
+        |SELECT event_type, dow, o,
+        |       CAST(((d * 1000) // (rt * ct)) * d // (n * 1000) AS BIGINT) AS chi2_scaled
+        |FROM j""".stripMargin,
     // Seasonal-naive replay: hour totals self-joined at the 24h lag.
     "x13_seasonal_naive" ->
       """WITH h AS (SELECT date_trunc('hour', ts) AS hour,
@@ -2337,6 +2385,22 @@ object SparkEntry {
         |SELECT a.hour, a.cents AS actual_cents, f.cents AS forecast_cents,
         |       CAST(abs(a.cents - f.cents) AS BIGINT) AS abs_err_cents
         |FROM h a JOIN h f ON a.hour = f.hour + INTERVAL 24 HOURS""".stripMargin,
+    // Geohash replay: identical double quantization chain (same IEEE op
+    // order), the 40-term MSB-first interleave, base-32 chars by substr.
+    "z2_geohash" -> {
+      val latq = "CAST(least(floor((((CAST(c_custkey * 7919 % 18000 AS DOUBLE) / 100.0 - 90.0) + 90.0) / 180.0) * 1048576.0), 1048575.0) AS BIGINT)"
+      val lonq = "CAST(least(floor((((CAST(c_custkey * 104729 % 36000 AS DOUBLE) / 100.0 - 180.0) + 180.0) / 360.0) * 1048576.0), 1048575.0) AS BIGINT)"
+      val terms = (0 until 40).map { k =>
+        val (src, idx) = if (k % 2 == 0) ("lonq", 19 - k / 2) else ("latq", 19 - k / 2)
+        s"((($src >> $idx) & 1) << ${39 - k})"
+      }.mkString(" | ")
+      val chars = (0 until 8).map { i =>
+        s"substr('${graft.etl.Layout.GeohashAlphabet}', CAST((gh_bits >> ${5 * (8 - 1 - i)}) & 31 AS INT) + 1, 1)"
+      }.mkString(" || ")
+      s"""WITH q AS (SELECT c_custkey, $latq AS latq, $lonq AS lonq FROM customer),
+         |b AS (SELECT c_custkey, CAST($terms AS BIGINT) AS gh_bits FROM q)
+         |SELECT c_custkey, gh_bits, $chars AS geohash FROM b""".stripMargin
+    },
     // Morton interleave replay: Σ_i (bit i of a → position 2i+1) |
     // (bit i of b → position 2i) as pure BIGINT shifts — identical
     // arithmetic to Layout.mortonKey's codegen'd column expression.

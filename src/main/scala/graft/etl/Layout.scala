@@ -21,6 +21,42 @@ object Layout {
 
   val ZBits = 16 // per-dimension resolution; 2 dims → 32-bit morton code
 
+  val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Geohash bit value of (lat, lon) at `nChars` precision — a geohash IS
+    * an MSB-first Morton interleave (longitude leads) of the quantized
+    * coordinates, i.e. the geo instance of [[mortonKeyN]]'s idea: nearby
+    * points share prefixes, so sorting/bucketing by geohash clusters
+    * spatial neighbors for range scans and spatial joins. Pure column
+    * arithmetic, codegen'd, oracle-replayable. */
+  def geohashBits(lat: Column, lon: Column, nChars: Int = 8): Column = {
+    require(nChars >= 1 && nChars * 5 <= 60, s"nChars=$nChars out of range")
+    val bits = nChars * 5
+    val lonBits = (bits + 1) / 2 // lon leads and takes the extra odd bit
+    val latBits = bits / 2
+    def quant(c: Column, lo: Double, span: Double, b: Int): Column =
+      least(
+        floor((c.cast("double") - lit(lo)) / lit(span) * lit((1L << b).toDouble)),
+        lit((1L << b) - 1.0)).cast("long")
+    val latQ = quant(lat, -90.0, 180.0, latBits)
+    val lonQ = quant(lon, -180.0, 360.0, lonBits)
+    (0 until bits).map { k => // k = 0 is the MOST significant output bit
+      val (src, idx) =
+        if (k % 2 == 0) (lonQ, lonBits - 1 - k / 2)
+        else (latQ, latBits - 1 - k / 2)
+      shiftleft(shiftright(src, idx).bitwiseAND(lit(1L)), bits - 1 - k)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Base-32 geohash string from [[geohashBits]]' value. */
+  def geohashChars(bitsVal: Column, nChars: Int): Column = {
+    val alpha = split(lit(GeohashAlphabet), "")
+    concat((0 until nChars).map { i =>
+      element_at(alpha,
+        (shiftright(bitsVal, 5 * (nChars - 1 - i)).bitwiseAND(lit(31L)) + 1L).cast("int"))
+    }: _*)
+  }
+
   /** Normalize a numeric column into [0, 2^bits) given its global min/max. */
   private def normalize(c: Column, lo: Double, hi: Double, bits: Int = ZBits): Column = {
     val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)

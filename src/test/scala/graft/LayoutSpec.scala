@@ -75,6 +75,22 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(zpath).count() === 120000L)
   }
 
+  test("geohash anchors and prefix locality") {
+    def gh(lat: Double, lon: Double): String =
+      spark.range(1).select(
+        Layout.geohashChars(Layout.geohashBits(lit(lat), lit(lon), 8), 8))
+        .head().getString(0)
+    // canonical anchors: the origin cell and the all-ones corner
+    assert(gh(0.0, 0.0) === "s0000000")
+    assert(gh(89.9999, 179.9999) === "zzzzzzzz")
+    // locality: ~100 m apart shares a long prefix; 10° apart diverges early
+    val a = gh(48.8583, 2.2945)
+    val near = gh(48.8590, 2.2950)
+    val far = gh(58.8583, 12.2945)
+    assert(a.take(6) === near.take(6), s"$a vs $near")
+    assert(a.take(2) !== far.take(2), s"$a vs $far")
+  }
+
   test("mortonKeyN(2) is bit-identical to the 2-column mortonKey contract") {
     val df = spark.range(1000).select(
       (col("id") % 65536L).as("a"), ((col("id") * 7L) % 65536L).as("b"))
