@@ -210,6 +210,34 @@ object SparkEntry {
        |          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v),
        |lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)""".stripMargin
 
+  /** Shared SQL fragment: the CCNet bucketing replay (t16's LM chain →
+    * BIGINT per-doc mean score → rank terciles → tail-sample keep) ending
+    * in `ccb(doc_id, lm_avg_scaled, bucket, kept)`. Single source for
+    * `t24_ccnet_buckets` and the curriculum ordering built on it. */
+  private def sqlCcnetCtes: String =
+    s"""tk AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
+       |bi AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       |       FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+       |       WHERE len(t) >= 2),
+       |ctx AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_ctx FROM bi GROUP BY w1),
+       |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bg FROM bi GROUP BY w1, w2),
+       |sc AS (SELECT bi.doc_id, CAST((bg.n_bg * 1048576) // ctx.n_ctx AS BIGINT) AS p_scaled
+       |       FROM bi JOIN bg ON bg.w1 = bi.w1 AND bg.w2 = bi.w2
+       |               JOIN ctx ON ctx.w1 = bi.w1),
+       |agg AS MATERIALIZED (
+       |  SELECT doc_id, CAST(sum(p_scaled) // count(*) AS BIGINT) AS lm_avg_scaled
+       |  FROM sc GROUP BY doc_id),
+       |ccn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM agg),
+       |ccr AS (SELECT doc_id, lm_avg_scaled,
+       |               CAST(row_number() OVER (ORDER BY lm_avg_scaled DESC, doc_id) AS BIGINT) AS rnk
+       |        FROM agg),
+       |ccb AS (SELECT doc_id, lm_avg_scaled,
+       |               CAST(((rnk - 1) * 3) // n AS BIGINT) AS bucket,
+       |               CAST(CASE WHEN ((rnk - 1) * 3) // n < 2
+       |                           OR ${sqlSampleKey("('ccnet:' || CAST(doc_id AS VARCHAR))")} % 100 < 10
+       |                         THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |        FROM ccr CROSS JOIN ccn)""".stripMargin
+
   /** Shared SQL fragment: the t2 composite-quality formula as a CTE chain
     * ending in `qual(doc_id, qs)` (mirrors [[TextAnalysis.qualityScores]]).
     * Single source for every oracle that replays quality (c2, d9, t14) —
@@ -1823,6 +1851,20 @@ object SparkEntry {
     // accidental positives anti-joined out.
     "p11_negative_sample" -> ((s, d) =>
       Curation.negativeSample(Tables.orders(s, d), "o_custkey", "o_orderkey")),
+    // Curriculum ordering: kept CCNet-bucketed docs easy-first, shuffled
+    // within bucket by the sample key, cut into fixed-size shards by
+    // globalRank position (no single-partition sort).
+    "p12_curriculum" -> ((s, d) =>
+      Curation.curriculumOrder(Tables.documents(s, d))),
+    // Dedup-cluster SIZE distribution — the histogram a dedup report
+    // leads with (how much of the corpus sits in how-big duplicate
+    // groups); two tiny aggregations over d7's labels.
+    "g4_component_sizes" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.clusters(docs, Dedup.minhashPairs(docs))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+    }),
     // Vocab-coverage / OOV curve at candidate vocab sizes — the
     // tokenizer-planning query, all-BIGINT.
     "t26_vocab_coverage" -> ((s, d) =>
@@ -2575,6 +2617,16 @@ object SparkEntry {
          |       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
          |       CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
          |FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id""".stripMargin,
+    // Component-size histogram over d7's labels — same closure replay,
+    // two grouped counts on top.
+    "g4_component_sizes" ->
+      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+         |$sqlClosureCtes,
+         |cl AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |       FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size FROM cl GROUP BY 1)
+         |SELECT size, CAST(count(*) AS BIGINT) AS n_components
+         |FROM sz GROUP BY size""".stripMargin,
     // Identical labels to d7 by construction (both converge to the min
     // reachable id) — same recursive-closure replay.
     "d12_clusters_logstar" ->
@@ -2831,34 +2883,23 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams, lm_scaled,
         |       round(CAST(lm_scaled AS DOUBLE) / 1048576.0 / CAST(n_bigrams AS DOUBLE), 7) AS lm_avg
         |FROM agg""".stripMargin,
-    // CCNet bucketing replay: the t16 LM chain, BIGINT per-doc mean score,
-    // rank terciles via ((rank-1)*3) // n, tail keeps by the shared
-    // squared-then-mod sample key.
+    // CCNet bucketing replay: the shared fragment (t16's LM chain, rank
+    // terciles, tail keeps by the squared-then-mod sample key).
     "t24_ccnet_buckets" ->
-      s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
-         |bi AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-         |       FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
-         |       WHERE len(t) >= 2),
-         |ctx AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_ctx FROM bi GROUP BY w1),
-         |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bg FROM bi GROUP BY w1, w2),
-         |sc AS (SELECT bi.doc_id, CAST((bg.n_bg * 1048576) // ctx.n_ctx AS BIGINT) AS p_scaled
-         |       FROM bi JOIN bg ON bg.w1 = bi.w1 AND bg.w2 = bi.w2
-         |               JOIN ctx ON ctx.w1 = bi.w1),
-         |agg AS MATERIALIZED (
-         |  SELECT doc_id, CAST(sum(p_scaled) // count(*) AS BIGINT) AS lm_avg_scaled
-         |  FROM sc GROUP BY doc_id),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM agg),
-         |r AS (SELECT doc_id, lm_avg_scaled,
-         |             CAST(row_number() OVER (ORDER BY lm_avg_scaled DESC, doc_id) AS BIGINT) AS rnk
-         |      FROM agg),
-         |b AS (SELECT doc_id, lm_avg_scaled,
-         |             CAST(((rnk - 1) * 3) // n AS BIGINT) AS bucket
-         |      FROM r CROSS JOIN nn)
-         |SELECT doc_id, lm_avg_scaled, bucket,
-         |       CAST(CASE WHEN bucket < 2
-         |                   OR ${sqlSampleKey("('ccnet:' || CAST(doc_id AS VARCHAR))")} % 100 < 10
-         |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
-         |FROM b""".stripMargin,
+      s"""WITH $sqlCcnetCtes
+         |SELECT doc_id, lm_avg_scaled, bucket, kept FROM ccb""".stripMargin,
+    // Curriculum replay: kept docs, (bucket, sample-key, id) total order,
+    // fixed-size shard cut.
+    "p12_curriculum" ->
+      s"""WITH $sqlCcnetCtes,
+         |ck AS (SELECT doc_id, bucket,
+         |              ${sqlSampleKey("('cur:' || CAST(doc_id AS VARCHAR))")} AS sk
+         |       FROM ccb WHERE kept = 1),
+         |cp AS (SELECT doc_id, bucket,
+         |              CAST(row_number() OVER (ORDER BY bucket, sk, doc_id) AS BIGINT) AS pos
+         |       FROM ck)
+         |SELECT doc_id, bucket, pos, CAST((pos - 1) // 100 AS BIGINT) AS shard
+         |FROM cp""".stripMargin,
     // PMI collocation replay: bigram contingency table + margins, the
     // quantized integer ratio, min-count screen, global top-k.
     "t25_collocations" ->

@@ -534,6 +534,26 @@ object Curation {
         round(col("n_sampled").cast("double") / col("n_docs").cast("double"), 7))
   }
 
+  /** Curriculum ordering over the CCNet-bucketed corpus — the training
+    * schedule a curriculum-learning run consumes: kept documents ordered
+    * easy-first by LM bucket (head → middle → sampled tail), SHUFFLED
+    * within each bucket by the deterministic sample key (a raw doc_id
+    * order inside a bucket would correlate difficulty with crawl order),
+    * then cut into fixed-size training shards by global position. The
+    * rank comes from [[Ranking.globalRank]]'s range shuffle — no
+    * single-partition sort at any corpus size.
+    *
+    * Output: (doc_id, bucket, pos 1..n, shard). */
+  def curriculumOrder(docs: DataFrame, shardSize: Long = 100L): DataFrame = {
+    require(shardSize >= 1)
+    val kept = ccnetBuckets(docs).filter(col("kept") === 1)
+      .withColumn("__k",
+        TextHash.sampleKey(concat(lit("cur:"), col("doc_id").cast("string"))))
+    Ranking.globalRank(kept, Seq(col("bucket"), col("__k"), col("doc_id")), "pos")
+      .select(col("doc_id"), col("bucket"), col("pos"),
+        expr(s"(pos - 1) div ${shardSize}L").as("shard"))
+  }
+
   /** Deterministic negative sampling for contrastive / link-prediction
     * training (the word2vec/two-tower shape): for every user in the
     * positive interaction set, `k` pseudo-random items drawn uniformly

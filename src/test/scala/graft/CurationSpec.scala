@@ -294,6 +294,23 @@ class CurationSpec extends SparkSpec {
     assert(Curation.decontamAgainstStore(docs, emptyDir).count() === 0L)
   }
 
+  test("curriculum ordering: easy buckets first, contiguous positions, fixed shards, kept only") {
+    // the ccnet fixture: 9 scoreable docs, strict terciles 0/1/2
+    val docs = (1L to 9L).map(i => (i, "a " * (11 - i.toInt) + "b"))
+      .toDF("doc_id", "text")
+    val out = Curation.curriculumOrder(docs, shardSize = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val kept = Curation.ccnetBuckets(docs).filter(col("kept") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet === kept) // only kept docs are scheduled
+    // positions are a contiguous 1..n permutation, bucket-monotone
+    val byPos = out.sortBy(_._3)
+    assert(byPos.map(_._3).toSeq === (1L to out.length).toSeq)
+    assert(byPos.map(_._2).toSeq === byPos.map(_._2).sorted.toSeq)
+    // shards cut by position
+    byPos.foreach { case (_, _, pos, shard) => assert(shard === (pos - 1) / 2) }
+  }
+
   test("negative sampling: k draws per user, accidental positives removed, deterministic") {
     // user 1 interacted with EVERY item → all its draws are accidental
     // positives and must vanish; user 2 interacted with item 10 only.
