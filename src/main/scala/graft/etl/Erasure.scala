@@ -37,30 +37,52 @@ object Erasure {
       .map(r => partCols.indices.map(i => r.get(i)).toSeq).toSet
     if (affected.isEmpty) return (0L, 0L, 0L)
 
-    // rows of the affected partitions only (partition pruning applies)
+    // rows of the affected partitions only (partition pruning applies).
+    // <=> (null-safe equality) so a NULL partition value still selects its
+    // __HIVE_DEFAULT_PARTITION__ rows — plain === is never true on null and
+    // would silently skip erasing them.
     val inAffected = affected.map { vals =>
-      partCols.zip(vals).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+      partCols.zip(vals).map { case (c, v) => col(c) <=> lit(v) }.reduce(_ && _)
     }.reduce(_ || _)
     val slice = full.filter(inAffected)
     val remainder = slice.join(keyFrame, Seq(keyCol), "left_anti")
       // column order: data columns first, partition columns last — the
       // write re-partitions by them either way, but keep the frame tidy
       .select(full.columns.map(col): _*)
-    val erased = slice.count() - remainder.count()
+      // remainder feeds three consumers (erased count, remaining-partition
+      // collect, backfill write) — pin one materialization so the affected-
+      // partition scan + anti-join run once, not three times
+      .cache()
+    try {
+      val erased = slice.count() - remainder.count()
 
-    val remainingParts = remainder
-      .select(partCols.map(col): _*).distinct().collect()
-      .map(r => partCols.indices.map(i => r.get(i)).toSeq).toSet
-    if (remainingParts.nonEmpty)
-      Sink.backfillPartitions(remainder, dataDir, partCols)
-    // all-deleted partitions: dynamic overwrite never saw them — remove
-    // their directories explicitly or the erased keys survive on disk
-    val emptied = affected.diff(remainingParts)
-    emptied.foreach { vals =>
-      val dir = partCols.zip(vals)
-        .map { case (c, v) => s"$c=$v" }.mkString("/", "/", "")
-      Compaction.deleteDir(new java.io.File(dataDir + dir))
-    }
-    (erased, remainingParts.size.toLong, emptied.size.toLong)
+      val remainingParts = remainder
+        .select(partCols.map(col): _*).distinct().collect()
+        .map(r => partCols.indices.map(i => r.get(i)).toSeq).toSet
+      if (remainingParts.nonEmpty)
+        Sink.backfillPartitions(remainder, dataDir, partCols)
+      // all-deleted partitions: dynamic overwrite never saw them — remove
+      // their directories explicitly or the erased keys survive on disk.
+      // Directory names must be built exactly the way Spark writes them:
+      // Hive path escaping for special chars and __HIVE_DEFAULT_PARTITION__
+      // for NULL (a raw "$col=$value" path would miss the real directory
+      // and silently leave the erased keys on disk).
+      val emptied = affected.diff(remainingParts)
+      emptied.foreach { vals =>
+        val dir = partCols.zip(vals).map { case (c, v) =>
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(c, if (v == null) null else v.toString)
+        }.mkString("/", "/", "")
+        val f = new java.io.File(dataDir + dir)
+        // fail LOUDLY: a right-to-be-forgotten operator must never report a
+        // partition as removed while its files survive on disk
+        require(f.isDirectory,
+          s"eraseKeys: emptied partition directory not found on disk: $f — " +
+            "erased keys would survive; refusing to report it removed")
+        Compaction.deleteDir(f)
+        require(!f.exists(), s"eraseKeys: failed to delete $f")
+      }
+      (erased, remainingParts.size.toLong, emptied.size.toLong)
+    } finally remainder.unpersist()
   }
 }

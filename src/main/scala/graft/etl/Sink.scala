@@ -194,7 +194,11 @@ object Sink {
       def copy(s: java.nio.file.Path, d: java.nio.file.Path): Unit =
         if (java.nio.file.Files.isDirectory(s)) {
           java.nio.file.Files.createDirectories(d)
-          java.nio.file.Files.list(s).forEach(c => copy(c, d.resolve(c.getFileName)))
+          // Files.list leaks a directory handle until closed — deep/wide
+          // trees would exhaust file descriptors without the try/finally
+          val st = java.nio.file.Files.list(s)
+          try st.forEach(c => copy(c, d.resolve(c.getFileName)))
+          finally st.close()
         } else
           java.nio.file.Files.copy(s, d,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -578,12 +578,23 @@ object TextAnalysis {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("cnt")).as("n"))
     }
+    // No-op fallback pair so an exhausted round (every word one symbol →
+    // pairCounts empty) can never produce a 0-row `top`: a 0-row broadcast
+    // crossJoin would EMPTY the word table and the remaining rounds plus
+    // bpeEncode would silently return nothing instead of the fixed point.
+    // The sentinel a=b=S2 can't match any sym (symbols carry no sentinel
+    // chars by the filter above) and n = -1 loses every (n DESC) ordering
+    // against a real pair (n ≥ 1), so it only wins when there are none;
+    // sentinel merge rows are filtered out of the returned merge table.
+    val fallback = docs.sparkSession.range(1)
+      .select(lit(S2).as("a"), lit(S2).as("b"), lit(-1L).as("n"))
     var w = words
     var merges: DataFrame = null
     for (r <- 1 to rounds) {
       val top = pairCounts(w)
-        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
         .select(col("a"), col("b"), col("n"))
+        .unionByName(fallback)
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
       val mergeRow = top.select(lit(r.toLong).as("round"), col("a"), col("b"), col("n"))
       merges = if (merges == null) mergeRow else merges.unionByName(mergeRow)
       w = w.crossJoin(broadcast(top))
@@ -593,7 +604,7 @@ object TextAnalysis {
           concat(lit(S1), col("a"), col("b"), lit(S2))))
         .select(col("word"), col("cnt"), col("sym"))
     }
-    (w, merges)
+    (w, merges.filter(col("n") > 0))
   }
 
   /** Per-group exact heavy hitters — [[heavyHitters]] with the sketch kept

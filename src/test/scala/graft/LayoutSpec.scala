@@ -164,6 +164,32 @@ class LayoutSpec extends SparkSpec {
       === ((0L, 0L, 0L)))
   }
 
+  test("key erasure handles Hive-escaped and NULL partition values") {
+    // Spark writes "a b:c" as the escaped dir "day=a b%3Ac" and NULL as
+    // "day=__HIVE_DEFAULT_PARTITION__" — a raw "$col=$value" delete path
+    // would miss both and silently leave the erased keys on disk, and a
+    // plain === predicate would never even select the NULL partition.
+    val dir = Files.createTempDirectory("graft_erase_esc").toString + "/t"
+    Seq(
+      (1L, Some("a b:c"), 10L), // escaped-chars partition: fully erased
+      (2L, None, 20L),          // NULL partition: key 2 erased, key 3 stays
+      (3L, None, 21L),
+      (4L, Some("plain"), 30L)) // untouched
+      .toDF("id", "day", "v").write.partitionBy("day").parquet(dir)
+    assert(new java.io.File(s"$dir/day=a b%3Ac").isDirectory)
+    assert(new java.io.File(s"$dir/day=__HIVE_DEFAULT_PARTITION__").isDirectory)
+
+    val (erased, rewritten, removed) = graft.etl.Erasure.eraseKeys(
+      spark, dir, Seq("day"), "id", Seq(1L, 2L).toDF("id"))
+    assert((erased, rewritten, removed) === ((2L, 1L, 1L)))
+    assert(!new java.io.File(s"$dir/day=a b%3Ac").exists(),
+      "escaped emptied partition dir must actually be deleted")
+    assert(new java.io.File(s"$dir/day=__HIVE_DEFAULT_PARTITION__").isDirectory,
+      "NULL partition keeps its remaining row")
+    val after = spark.read.parquet(dir).select("id").as[Long].collect().sorted
+    assert(after.toSeq === Seq(3L, 4L))
+  }
+
   test("parquet bloom filters land in the column-chunk metadata for the requested column only") {
     import scala.jdk.CollectionConverters._
     val df = spark.range(50000).select(

@@ -261,6 +261,25 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "aa", "a", 2L)))
   }
 
+  test("bpe: exhausted rounds (no pairs left) reach a fixed point, not an empty table") {
+    // "ab"×2: round 1 merges (a,b) → every word is one symbol; rounds 2-3
+    // have NO pairs. The 0-row top would crossJoin-empty the word table;
+    // the no-op fallback must keep the fixed point instead.
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(merges === Seq((1L, "a", "b", 2L))) // sentinel rounds filtered out
+    val vocab = TextAnalysis.bpeEncode(docs, rounds = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab === Map("ab" -> 2L)) // fixed point survives the dead rounds
+    // degenerate from round 1: all words single chars, merges empty
+    val singles = Seq((1L, "a b a")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(singles, rounds = 2).count() === 0L)
+    val v2 = TextAnalysis.bpeEncode(singles, rounds = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v2 === Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("groupedHeavyHitters ≡ per-group brute force, invariant to partitioning") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1), r.getLong(2))
