@@ -210,6 +210,37 @@ object SparkEntry {
        |          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v),
        |lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)""".stripMargin
 
+  /** Shared SQL fragment: the image-dHash near-dup replay (mirrors
+    * [[Multimodal.synthesizePatternPngs]] + [[Multimodal.imageDhash]] +
+    * [[Dedup.hammingPairs]]) WITHOUT ever touching binary — the analytic
+    * cell formula predicts every dHash bit, and Hamming distance is the
+    * count of differing bit rows (no 64-bit packing needed in SQL). Capped
+    * at doc_id < 400 (fixed ABSOLUTE size → SF-invariant all-pairs cost).
+    * Ends in `pairs(doc_a, doc_b, hamming)` — consumed by m5 directly and
+    * by m6's connected-components closure on top. */
+  private val sqlImageDhashCtes: String =
+    s"""ib AS (SELECT d.doc_id, gx, gy,
+       |              (d.doc_id // 4) * 53 + gx * 17 + gy * 29 + 11 AS u
+       |       FROM (SELECT doc_id FROM documents WHERE doc_id < 400) d
+       |       CROSS JOIN generate_series(0, 8) tx(gx)
+       |       CROSS JOIN generate_series(0, 7) ty(gy)),
+       |ic AS (SELECT doc_id, gx, gy,
+       |              CASE WHEN doc_id % 4 > 0 AND gx = 2 * (doc_id % 4)
+       |                        AND gy = 2 * (doc_id % 4) - 1
+       |                   THEN ((u * u) % 241 + 120) % 241
+       |                   ELSE (u * u) % 241 END AS v
+       |       FROM ib),
+       |ibits AS (SELECT a.doc_id, a.gx AS x, a.gy AS y,
+       |                 CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+       |          FROM ic a JOIN ic b
+       |            ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+       |          WHERE a.gx <= 7),
+       |iham AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+       |         FROM ibits a JOIN ibits b ON a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
+       |         GROUP BY 1, 2),
+       |pairs AS (SELECT doc_a, doc_b, hamming FROM iham WHERE hamming <= 4)""".stripMargin
+
   /** Shared SQL fragment: the CCNet bucketing replay (t16's LM chain →
     * BIGINT per-doc mean score → rank terciles → tail-sample keep) ending
     * in `ccb(doc_id, lm_avg_scaled, bucket, kept)`. Single source for
@@ -1055,6 +1086,35 @@ object SparkEntry {
           col("frame_idx").cast("long").as("frame_idx"),
           md5(col("frame_bytes")).as("frame_md5"),
           length(col("frame_bytes")).cast("long").as("frame_len"))),
+    // Image NEAR-DUP on the gate — the multimodal pillar composed with the
+    // dedup stack: synthesize real PNGs with planted near-dup quads, decode
+    // them back through javax.imageio into perceptual dHash signatures, and
+    // band the 64-bit hashes with the exact-recall pigeonhole machinery.
+    // The oracle never touches binary: it replays the analytic cell grid
+    // and predicts every dHash bit, then counts differing bits per pair.
+    // doc_id < 400 caps the all-pairs oracle at a fixed ABSOLUTE size so
+    // the gate cost is SF-invariant (the operators themselves are uncapped).
+    "m5_image_pairs" -> ((s, d) =>
+      Dedup.hammingPairs(
+        Multimodal.imageDhash(
+          Multimodal.synthesizePatternPngs(
+            Tables.documents(s, d).select(col("doc_id"))
+              .filter(col("doc_id") < 400).repartition(64)))
+          .withColumnRenamed("dhash", "sig"),
+        bits = 64, maxHamming = 4)),
+    // The m5 pairs closed into dedup decisions: connected components over
+    // the Hamming-≤4 graph label every image with its cluster's canonical
+    // id — "keep one per near-dup image cluster" is filter(is_canonical).
+    "m6_image_dedup" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 400)
+      val pairs = Dedup.hammingPairs(
+        Multimodal.imageDhash(
+          Multimodal.synthesizePatternPngs(ids.repartition(64)))
+          .withColumnRenamed("dhash", "sig"),
+        bits = 64, maxHamming = 4)
+      Dedup.clusters(ids, pairs)
+    }),
     // Approximate HLL distinct, made HASH-CHECKABLE: the sketch value
     // itself is engine-specific, so the query emits the EXACT count plus an
     // integer error-bound verdict — `within_bound` = 1 iff the engine's own
@@ -3408,6 +3468,22 @@ object SparkEntry {
         |       CAST(3 AS BIGINT) AS channels,
         |       round(CAST(doc_id % 256 AS DOUBLE), 7) AS mean_intensity
         |FROM documents""".stripMargin,
+    // Image near-dup pairs: the analytic dHash-bit replay — the oracle
+    // predicts the decoded grid without decoding anything (m3 pattern
+    // composed with d6's Hamming semantics).
+    "m5_image_pairs" ->
+      s"""WITH $sqlImageDhashCtes
+         |SELECT doc_a, doc_b, hamming FROM pairs""".stripMargin,
+    // m5's pairs closed into clusters — d7's recursive closure over the
+    // image-Hamming graph.
+    "m6_image_dedup" ->
+      s"""WITH RECURSIVE $sqlImageDhashCtes,
+         |$sqlClosureCtes
+         |SELECT d.doc_id,
+         |       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+         |       CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < 400) d
+         |LEFT JOIN lab l ON l.doc_id = d.doc_id""".stripMargin,
     // Replays deterministic spherical k-means: LSH cells (the s3 uncentered
     // quadratic-mix signature) → top-8 cells by population seed the
     // clusters → quantized-integer centroid means → one Lloyd iteration →

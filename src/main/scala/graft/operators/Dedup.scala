@@ -651,23 +651,43 @@ object Dedup {
     * one chunk (pigeonhole) — so the chunk-equality join has full recall,
     * not probabilistic recall, and the output equals the all-pairs result
     * the oracle computes. Join space is Σ per-(chunk,value) bucket². */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhash(docs).withColumnRenamed("simhash", "sig"),
+      SimhashBits, maxHamming)
+
+  /** Hamming-≤k pairs over ANY 64-bit-or-narrower signature column — the
+    * pigeonhole chunk-banding core of [[simhashPairs]], factored out so
+    * perceptual image hashes ([[Multimodal.imageDhash]]) and any future
+    * bit-signature ride the same exact-recall machinery. Input: (doc_id,
+    * sig) with the signature in the low `bits` bits; maxHamming+1 chunks
+    * guarantee any within-budget pair agrees exactly on ≥ 1 chunk, so the
+    * output EQUALS the all-pairs result (full recall, not probabilistic).
+    * Join space is Σ per-(chunk,value) bucket². Signed-bit safety: chunk
+    * extraction masks after the shift, and `bit_count(xor)` is
+    * sign-agnostic, so `bits = 64` signatures with the sign bit set band
+    * correctly. */
+  def hammingPairs(sig: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
     val nChunks = maxHamming + 1
-    val chunkBits = (SimhashBits + nChunks - 1) / nChunks // 15 bits × 4 chunks
-    val sig = simhash(docs).cache()
-    val chunks = sig.select(
+    val chunkBits = (bits + nChunks - 1) / nChunks
+    require(nChunks <= bits, s"maxHamming $maxHamming needs more chunks than $bits bits")
+    val sigs = sig.select(col("doc_id"), col("sig")).cache()
+    val chunks = sigs.select(
       col("doc_id"),
-      col("simhash"),
+      col("sig"),
       explode(array((0 until nChunks).map { c =>
+        val width = math.min(chunkBits, bits - c * chunkBits)
+        // mask AFTER the arithmetic shift so a set sign bit can't smear
+        // into the chunk value; a full-width top chunk needs the -1 mask
+        // (1L << 64 wraps)
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
         struct(
           lit(c).as("c"),
-          shiftright(col("simhash"), c * chunkBits)
-            .bitwiseAND(lit((1L << math.min(chunkBits, SimhashBits - c * chunkBits)) - 1L))
-            .as("v"))
+          shiftright(col("sig"), c * chunkBits).bitwiseAND(lit(mask)).as("v"))
       }: _*)).as("ch"))
-      .select(col("doc_id"), col("simhash"), col("ch.c"), col("ch.v"))
-    val a = chunks.select(col("c"), col("v"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
-    val b = chunks.select(col("c"), col("v"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+      .select(col("doc_id"), col("sig"), col("ch.c"), col("ch.v"))
+    val a = chunks.select(col("c"), col("v"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = chunks.select(col("c"), col("v"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     // Force a SHUFFLED join: the join's cost is its Σ bucket² OUTPUT, so
     // parallelism must come from partitioning the bucket space. Left to
     // AQE, the input (100k small rows from a narrow per-row projection)

@@ -201,6 +201,133 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Deterministic real-PNG synthesis with PLANTED NEAR-DUP structure —
+    * the image-dedup fixture generator. Each doc_id becomes an 18×16 gray
+    * PNG laid out as a 9×8 grid of 2×2 uniform blocks; the block values are
+    * an analytic squared-then-mod formula of (doc_id div 4, gx, gy), so the
+    * four doc_ids of a quad share one base pattern, and variants t=1..3
+    * each perturb ONE distinct cell. A perturbed cell changes at most its
+    * two adjacent [[imageDhash]] comparisons, so within-quad Hamming
+    * distance is ≤ 2 vs the base and ≤ 4 pairwise — while different bases
+    * are unrelated pseudo-random grids. A SQL oracle that never touches
+    * binary replays the cell formula and predicts every dHash bit.
+    *
+    * Squared-then-mod mixing (not a linear fold) keeps neighboring bases'
+    * grids uncorrelated — the [[graft.functions.TextHash.sampleKey]]
+    * lattice lesson applied to pixels. */
+  def synthesizePatternPngs(ids: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col("doc_id").cast("long")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // memory-only streams (see ImageIoCodec)
+      it.map { r =>
+        val id = r.getLong(0)
+        val img = new java.awt.image.BufferedImage(
+          18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 9) {
+            val g = patternCell(id, gx, gy)
+            val rgb = (g << 16) | (g << 8) | g
+            img.setRGB(gx * 2, gy * 2, rgb); img.setRGB(gx * 2 + 1, gy * 2, rgb)
+            img.setRGB(gx * 2, gy * 2 + 1, rgb); img.setRGB(gx * 2 + 1, gy * 2 + 1, rgb)
+            gx += 1
+          }
+          gy += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray)
+      }
+    }(encoder)
+  }
+
+  /** The analytic cell formula behind [[synthesizePatternPngs]] — single
+    * source for the synthesizer and its spec/oracle replays. */
+  def patternCell(id: Long, gx: Int, gy: Int): Int = {
+    val base = id / 4
+    val variant = (id % 4).toInt
+    val u = base * 53L + gx * 17L + gy * 29L + 11L
+    val v0 = ((u * u) % 241L).toInt
+    if (variant > 0 && gx == 2 * variant && gy == 2 * variant - 1) (v0 + 120) % 241
+    else v0
+  }
+
+  /** Perceptual dHash over image payloads — the signature a LAION-style
+    * image near-dup pipeline computes per image: decode, reduce to a
+    * (gridW+1)×gridH grid of cell intensity sums, emit bit (x,y) = 1 iff
+    * cell (x+1,y) is brighter than cell (x,y) (row-major, bit y·gridW+x).
+    * Gradient comparisons survive brightness/contrast shifts, which is why
+    * dHash (not a cryptographic hash) is the image-dedup workhorse.
+    *
+    * Integer-exact and engine-portable: cells compare via cross-multiplied
+    * integer SUMS (`sum_b·n_a > sum_a·n_b`), never averaged doubles, so an
+    * oracle replaying cell values analytically predicts every bit. Cell
+    * (x,y) covers pixel columns [x·w/(gridW+1), (x+1)·w/(gridW+1)) × rows
+    * [y·h/gridH, (y+1)·h/gridH) over ALL raster bands — when the image is
+    * an exact multiple of the grid (the synthesis fixtures), cells are
+    * equal-sized uniform blocks and the comparison reduces to the block
+    * values themselves. Same [[Codec]]-seam shape as [[extractFeatures]]:
+    * per-row decode in `mapPartitions`, no shuffle; the 8-byte signatures
+    * then feed [[graft.operators.Dedup.hammingPairs]] banding. Default
+    * 8×8 grid → 64-bit signature (bit 63 may set the sign; Hamming
+    * arithmetic is sign-agnostic). */
+  def imageDhash(df: DataFrame, gridW: Int = 8, gridH: Int = 8): DataFrame = {
+    require(gridW >= 1 && gridH >= 1 && gridW.toLong * gridH <= 64,
+      s"dHash grid ${gridW}x$gridH must fit 64 bits")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("dhash", LongType)))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col("doc_id").cast("long"), col("payload")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val in = r.getAs[Array[Byte]](1)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(in))
+        require(img != null, s"payload (${in.length} bytes) is not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        val bands = raster.getNumBands
+        val cols = gridW + 1
+        require(w >= cols && h >= gridH, s"image ${w}x$h smaller than dHash grid")
+        val sums = Array.ofDim[Long](cols, gridH)
+        val counts = Array.ofDim[Long](cols, gridH)
+        var y = 0
+        while (y < h) {
+          val gy = (y.toLong * gridH / h).toInt
+          var x = 0
+          while (x < w) {
+            val gx = (x.toLong * cols / w).toInt
+            var s = 0L
+            var b = 0
+            while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+            sums(gx)(gy) += s
+            counts(gx)(gy) += bands
+            x += 1
+          }
+          y += 1
+        }
+        var sig = 0L
+        var gy = 0
+        while (gy < gridH) {
+          var gx = 0
+          while (gx < gridW) {
+            // brighter-to-the-right, via exact integer cross-multiply
+            if (sums(gx + 1)(gy) * counts(gx)(gy) > sums(gx)(gy) * counts(gx + 1)(gy))
+              sig |= 1L << (gy * gridW + gx)
+            gx += 1
+          }
+          gy += 1
+        }
+        Row(r.getLong(0), sig)
+      }
+    }(encoder)
+  }
+
   /** Deterministic frame sampling: every `stride`-th 256-byte block of the
     * payload becomes a "frame" row — the video-sampling plumbing with the
     * decode stubbed to a slice. */

@@ -109,6 +109,69 @@ class MultimodalSpec extends SparkSpec {
     assert(out === Array((0L, 2L, 5L), (1L, 2L, 25L), (2L, 1L, 25L)))
   }
 
+  test("imageDhash: hand-computed bits on a real PNG, brightness-shift invariant") {
+    // 9×8 image, one pixel per dHash cell: column x has gray 10·x except
+    // column 5 drops to 0 — bits are the exact left<right comparisons.
+    val grays = Array(10, 20, 30, 40, 50, 0, 60, 70, 80)
+    val png = pngBytes(9, 8, (x, _) => { val g = grays(x); (g << 16) | (g << 8) | g })
+    val sig = Multimodal.imageDhash(Seq((1L, png)).toDF("doc_id", "payload"))
+      .collect().head.getLong(1)
+    // per row y: bits x=0..7 → grays(x+1) > grays(x): T T T T F T T T
+    val rowBits = (0 until 8).map(x => if (grays(x + 1) > grays(x)) 1L else 0L)
+    val expected = (0 until 8).flatMap(y => rowBits.zipWithIndex.map {
+      case (b, x) => b << (y * 8 + x)
+    }).sum
+    assert(sig === expected)
+    // uniform +50 brightness: every comparison unchanged → same hash
+    val brighter = pngBytes(9, 8, (x, _) => { val g = grays(x) + 50; (g << 16) | (g << 8) | g })
+    val sig2 = Multimodal.imageDhash(Seq((1L, brighter)).toDF("doc_id", "payload"))
+      .collect().head.getLong(1)
+    assert(sig2 === sig)
+  }
+
+  test("image near-dup: 1-cell variants pair within Hamming 4, distinct bases don't") {
+    // 5 quads (20 images): within-quad pairs are ≤ 2 bits from the base and
+    // ≤ 4 pairwise by construction; different bases are unrelated grids.
+    val ids = (0L until 20L).toDF("doc_id")
+    val sigs = Multimodal.imageDhash(Multimodal.synthesizePatternPngs(ids))
+      .withColumnRenamed("dhash", "sig")
+    val pairs = graft.operators.Dedup.hammingPairs(sigs, bits = 64, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val withinQuad = pairs.filter { case (a, b, _) => a / 4 == b / 4 }
+    val crossQuad = pairs.filter { case (a, b, _) => a / 4 != b / 4 }
+    assert(withinQuad.length === 5 * 6, s"every within-quad pair must band: $withinQuad")
+    assert(withinQuad.forall(_._3 <= 4))
+    assert(crossQuad.isEmpty, s"distinct bases must not pair: ${crossQuad.toSeq}")
+    // banding has FULL recall: equals the all-pairs Hamming computation
+    val all = sigs.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = for {
+      (a, sa) <- all; (b, sb) <- all if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 4
+    } yield (a, b, h.toLong)
+    assert(pairs.toSet === brute.toSet)
+    // composed with CC closure: each quad is one cluster, canonical = min id
+    val clusters = graft.operators.Dedup.clusters(ids,
+      graft.operators.Dedup.hammingPairs(sigs, 64, 4))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (0L until 20L).foreach { id =>
+      assert(clusters(id) === ((id / 4 * 4, if (id % 4 == 0) 1L else 0L)))
+    }
+  }
+
+  test("synthesizePatternPngs round-trips its analytic cell formula") {
+    // the PNG decode must recover patternCell exactly (uniform 2×2 blocks,
+    // lossless codec) — the invariant the SQL oracle rests on
+    val png = Multimodal.synthesizePatternPngs(Seq(7L).toDF("doc_id"))
+      .collect().head.getAs[Array[Byte]](1)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert((img.getWidth, img.getHeight) === ((18, 16)))
+    for (gy <- 0 until 8; gx <- 0 until 9) {
+      val v = Multimodal.patternCell(7L, gx, gy)
+      assert((img.getRGB(gx * 2, gy * 2) & 0xff) === v)
+      assert((img.getRGB(gx * 2 + 1, gy * 2 + 1) & 0xff) === v)
+    }
+  }
+
   test("audio energy of synthesized PCM matches the analytic waveform") {
     val ids = Seq(3L, 12L).toDF("doc_id")
     val out = Multimodal.audioEnergy(Multimodal.synthesizePcm(ids))
