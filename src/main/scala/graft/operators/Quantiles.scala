@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
@@ -18,16 +18,31 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType
   *  1. range-shuffle on (group, value) + in-partition sort — each group
   *     spans contiguous range partitions, no partition ever holds more
   *     than ~|data|/numPartitions rows regardless of group skew;
-  *  2. per-(partition, group) counts → driver-side prefix offsets (bounded
-  *     by numPartitions × |groups|, metadata-plane — this operator is for
-  *     LOW-cardinality group-bys, the exact case where the value-buffer
-  *     aggregate is most dangerous; high-cardinality groups don't buffer
-  *     enough per group to need it);
+  *  2. per-(partition, group) counts → per-(group, pid) EXCLUSIVE-prefix
+  *     offsets;
   *  3. per-group rank = offset + intra-(partition, group) `row_number`;
   *  4. each requested q needs only the rows at ranks ⌊q·(n−1)⌋+1 and
-  *     ⌈q·(n−1)⌉+1 — a broadcast join against a (|groups|·|qs|·2)-row
-  *     target table selects them, and one two-row weighted sum per
-  *     (group, q) interpolates.
+  *     ⌈q·(n−1)⌉+1 — a join against the (|groups|·|qs|·2)-row target
+  *     frame selects them, and one two-row weighted sum per (group, q)
+  *     interpolates.
+  *
+  * The offsets/targets/partition-prune metadata is built two ways behind
+  * one bounded probe (`limit(maxDriverCountRows+1).collect()` of the
+  * per-(group, pid) counts — the collect can never exceed the threshold):
+  *
+  *  - counts fit the threshold → DRIVER metadata path: offsets and rank
+  *    targets are computed in Scala and broadcast back as tiny frames —
+  *    one counts aggregation plus one data pass, the fast shape for the
+  *    common low-cardinality analytic query;
+  *  - counts exceed it → fully DISTRIBUTED path: the exclusive prefix is
+  *    a window over the counts FRAME, targets derive from the per-group
+  *    totals in-plan, and the prune set is a join — nothing
+  *    |groups|-sized ever reaches the driver, so a per-host/per-domain
+  *    percentile over millions of groups stays executor-side (probed at
+  *    100k groups × 10M rows: same answer, flat driver state).
+  *
+  * Both paths compute identical values from identical IEEE arithmetic
+  * (the spec pins them equal bit-for-bit on the same input).
   *
   * Interpolation matches DuckDB's `quantile_cont` BIT-FOR-BIT (empirically
   * pinned against discriminating cases): `pos = q·(n−1)` as one double
@@ -38,7 +53,7 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType
   *
   * The range-partitioned frame is cached as a barrier for the same reason
   * as [[Ranking.globalRank]]: `repartitionByRange` resamples boundaries per
-  * action, and the offsets map must describe the same placement the rank
+  * action, and the offsets must describe the same placement the rank
   * pass reads. Rank VALUES are placement-independent; placement itself is
   * not. Callers quantiling corpus-scale data repeatedly should persist the
   * result and unpersist (same contract as globalRank / bm25's tf cache).
@@ -46,9 +61,12 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType
 object Quantiles {
 
   /** One row per group: `groupCol`, then one exact `quantile_cont(q)`
-    * column per `(q, outName)` pair. `df` needs no other columns. */
+    * column per `(q, outName)` pair. `df` needs no other columns.
+    * `maxDriverCountRows` bounds the per-(group, pid) count rows the
+    * driver may hold; beyond it the metadata plane stays distributed. */
   def groupedQuantileCont(df: DataFrame, groupCol: String, valueCol: String,
-      qs: Seq[(Double, String)], numPartitions: Int = 0): DataFrame = {
+      qs: Seq[(Double, String)], numPartitions: Int = 0,
+      maxDriverCountRows: Int = 65536): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (q, _) => q >= 0.0 && q <= 1.0 })
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
@@ -61,15 +79,42 @@ object Quantiles {
       .sortWithinPartitions(col("__g"), col("__v"))
       .withColumn("__pid", spark_partition_id())
       .cache()
-    // Metadata plane: numPartitions × |groups| rows, NOT data-sized.
-    val counts = parted.groupBy(col("__pid"), col("__g"))
-      .agg(count(lit(1)).as("c"))
-      .collect()
-      .map(r => (r.getString(1), r.getInt(0)) -> r.getLong(2))
-      .toMap
+    val countsDf = parted.groupBy(col("__g"), col("__pid"))
+      .agg(count(lit(1)).as("__c"))
+    // Bounded probe: at most threshold+1 rows ever reach the driver.
+    val probe = countsDf.limit(maxDriverCountRows + 1).collect()
+
+    // (offsets(__g,__pid,__off), targets(__g,__rank,__qi,__w), keep(__pid))
+    val (offsets, targets, keepPids) =
+      if (probe.length <= maxDriverCountRows) driverMetadata(spark, probe, qs, n)
+      else distributedMetadata(countsDf, qs)
+
+    val w = Window.partitionBy(col("__pid"), col("__g")).orderBy(col("__v"))
+    val ranked = parted
+      // ≤ numPartitions rows either way — always broadcast the prune set
+      .join(broadcast(keepPids), Seq("__pid"), "left_semi")
+      .withColumn("__rn", row_number().over(w).cast(LongType))
+      .join(offsets, Seq("__g", "__pid"))
+      .withColumn("__rank", col("__off") + col("__rn"))
+    val selected = ranked.join(targets, Seq("__g", "__rank"))
+    val aggs = qs.zipWithIndex.map { case ((_, name), i) =>
+      // ≤ 2 rows match per (group, qIdx); a 2-double sum is addition-order
+      // insensitive, so the shuffle's row order can't perturb the bits.
+      sum(when(col("__qi") === i, col("__v") * col("__w"))).as(name)
+    }
+    selected.groupBy(col("__g").as(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fast path: the probe rows ARE the full counts — compute offsets,
+    * rank targets, and the partition prune in Scala (bounded by the
+    * probe threshold) and hand them back as broadcast-hinted frames. */
+  private def driverMetadata(spark: org.apache.spark.sql.SparkSession,
+      countRows: Array[Row], qs: Seq[(Double, String)],
+      n: Int): (DataFrame, DataFrame, DataFrame) = {
+    val counts = countRows
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
     val groups = counts.keys.map(_._1).toSeq.distinct.sorted
-    // Per-(group, pid) offset = rows of that group in earlier partitions;
-    // per-group total n_g for the rank targets.
     val offsets: Map[(String, Int), Long] = groups.flatMap { g =>
       var acc = 0L
       (0 until n).map { p =>
@@ -80,8 +125,8 @@ object Quantiles {
     }.toMap
     val totals: Map[String, Long] =
       groups.map(g => g -> (0 until n).map(p => counts.getOrElse((g, p), 0L)).sum).toMap
-    // Target rows: (group, rank, qIdx, weight). f == 0 → single row with
-    // weight 1.0 (v·1.0 ≡ v bitwise); else lo row weight 1−f, hi row f.
+    // f == 0 → single row with weight 1.0 (v·1.0 ≡ v bitwise); else lo row
+    // weight 1−f, hi row f. Same index arithmetic as the distributed twin.
     val targetRows = groups.flatMap { g =>
       val m = totals(g)
       qs.zipWithIndex.flatMap { case ((q, _), i) =>
@@ -98,37 +143,73 @@ object Quantiles {
       StructType(Seq(
         StructField("__g", StringType), StructField("__rank", LongType),
         StructField("__qi", IntegerType), StructField("__w", DoubleType))))
-    // Partition pre-prune: the offsets map tells the driver exactly which
-    // (group, pid) slabs contain a target rank — only THOSE partitions
-    // (≤ |groups|·|qs|·2 of them) need the rank window at all; the rest
-    // are dropped by a pid filter before any sort. The rank pass still
-    // MUST read the same placement the offsets were computed from — the
-    // cache above is that barrier.
     val targetRanks: Map[String, Set[Long]] =
       targetRows.groupBy(_.getString(0))
         .map { case (g, rows) => g -> rows.map(_.getLong(1)).toSet }
-    val keepPids: Set[Int] = offsets.collect {
+    val keep = offsets.collect {
       case ((g, p), off) if {
         val cnt = counts.getOrElse((g, p), 0L)
         cnt > 0L && targetRanks(g).exists(r => r > off && r <= off + cnt)
       } => p
     }.toSet
-    val w = Window.partitionBy(col("__pid"), col("__g")).orderBy(col("__v"))
-    val offExpr = map(offsets.toSeq.flatMap { case ((g, p), o) =>
-      Seq(lit(s"$p:$g"), lit(o))
+    val offsetsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        offsets.toSeq.map { case ((g, p), o) => Row(g, p, o) }, 1),
+      StructType(Seq(
+        StructField("__g", StringType), StructField("__pid", IntegerType),
+        StructField("__off", LongType))))
+    val keepDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(keep.toSeq.map(Row(_)), 1),
+      StructType(Seq(StructField("__pid", IntegerType))))
+    (broadcast(offsetsDf), broadcast(targets), keepDf)
+  }
+
+  /** Distributed path: counts, exclusive-prefix offsets, per-group totals,
+    * rank targets, and the prune set all stay executor-side frames —
+    * group cardinality never touches the driver. */
+  private def distributedMetadata(countsDf: DataFrame,
+      qs: Seq[(Double, String)]): (DataFrame, DataFrame, DataFrame) = {
+    // Cached: three consumers (targets, prune, rank join) must not re-run
+    // the count aggregation — and the snapshot pins ONE placement (same
+    // barrier contract as the data frame; callers/bench clearCache()).
+    val wOff = Window.partitionBy(col("__g")).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = countsDf
+      .select(col("__g"), col("__pid"), col("__c"),
+        coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__off"),
+        sum(col("__c")).over(Window.partitionBy(col("__g"))).as("__n"),
+        row_number().over(Window.partitionBy(col("__g")).orderBy(col("__pid")))
+          .as("__slab"))
+      .cache()
+    // Rank targets per (group, q), derived IN-PLAN from the per-group
+    // totals (the __slab = 1 row carries each group's __n — no extra
+    // distinct shuffle): pos = q·(n−1) as one double multiply,
+    // f = pos − ⌊pos⌋ — the same bit-exact arithmetic as the driver twin
+    // (Spark codegen doubles are the same IEEE ops). The f == 0 hi row
+    // has weight exactly 0.0 and is filtered, leaving lo at weight 1.0.
+    val qlit = array(qs.zipWithIndex.map { case ((q, _), i) =>
+      struct(lit(q).as("q"), lit(i).as("qi"))
     }: _*)
-    val ranked = parted
-      .filter(col("__pid").isin(keepPids.toSeq: _*))
-      .withColumn("__rank",
-        element_at(offExpr, concat(col("__pid").cast(StringType), lit(":"), col("__g"))) +
-          row_number().over(w).cast(LongType))
-    val selected = ranked.join(broadcast(targets), Seq("__g", "__rank"))
-    val aggs = qs.zipWithIndex.map { case ((_, name), i) =>
-      // ≤ 2 rows match per (group, qIdx); a 2-double sum is addition-order
-      // insensitive, so the shuffle's row order can't perturb the bits.
-      sum(when(col("__qi") === i, col("__v") * col("__w"))).as(name)
-    }
-    selected.groupBy(col("__g").as(groupCol))
-      .agg(aggs.head, aggs.tail: _*)
+    val targets = offsets.filter(col("__slab") === 1)
+      .select(col("__g"), col("__n"), explode(qlit).as("__q"))
+      .select(col("__g"), col("__q.qi").as("__q_qi"),
+        (col("__q.q") * (col("__n") - 1L).cast(DoubleType)).as("__pos"))
+      .select(col("__g"), col("__q_qi").as("__qi"),
+        (floor(col("__pos")).cast(LongType) + 1L).as("__lo"),
+        (col("__pos") - floor(col("__pos"))).as("__f"))
+      .select(col("__g"), col("__qi"), explode(array(
+        struct(col("__lo").as("__rank"), (lit(1.0) - col("__f")).as("__w")),
+        struct((col("__lo") + 1L).as("__rank"), col("__f").as("__w")))).as("__t"))
+      .select(col("__g"), col("__t.__rank").as("__rank"),
+        col("__qi"), col("__t.__w").as("__w"))
+      .filter(col("__w") =!= 0.0)
+    // Partition prune: only (group, pid) slabs containing a target rank
+    // keep their rows — the slab⋈target join yields ≤ numPartitions
+    // distinct pids.
+    val keepPids = offsets
+      .join(targets.select(col("__g"), col("__rank")), Seq("__g"))
+      .filter(col("__rank") > col("__off") && col("__rank") <= col("__off") + col("__c"))
+      .select(col("__pid")).distinct()
+    (offsets.select(col("__g"), col("__pid"), col("__off")), targets, keepPids)
   }
 }

@@ -90,4 +90,28 @@ class QuantilesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
     assert(a === b)
   }
+
+  test("distributed metadata path ≡ driver path, bit-for-bit") {
+    // maxDriverCountRows = 0 forces the executor-side offsets/targets
+    // derivation; the default takes the driver fast path on this input.
+    // The two must agree to the last ulp — same IEEE index arithmetic.
+    val li = spark.read.parquet(sf("lineitem"))
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").cast("double").as("v"))
+    def bits(maxRows: Int) = Quantiles.groupedQuantileCont(li, "g", "v",
+      Seq(0.05 -> "lo", 0.5 -> "med", 0.95 -> "hi"),
+      numPartitions = 7, maxDriverCountRows = maxRows)
+      .collect().map(r => (r.getString(0),
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(bits(0) === bits(65536))
+    // the edge shapes (n=1 group, all-ties group) through the forced
+    // distributed path too
+    val rows = (1 to 500).map(i => ("big", i.toDouble)) ++
+      Seq(("one", 42.0)) ++ (1 to 40).map(_ => ("tie", 7.0))
+    val r = Quantiles.groupedQuantileCont(rows.toDF("g", "v"), "g", "v",
+      Seq(0.5 -> "med"), maxDriverCountRows = 0)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r === Map("big" -> 250.5, "one" -> 42.0, "tie" -> 7.0))
+  }
 }
