@@ -1511,22 +1511,24 @@ object SparkEntry {
           round(col("q50"), 7).as("q50"),
           round(col("q75"), 7).as("q75"))),
     // Percentile winsorization (outlier clipping — the standard numeric-
-    // feature normalization pass): per-group exact p05/p95 fences via the
-    // x1 rank-selection machinery (no per-group value buffer), then the
-    // fences AND the values are integralized to cents BEFORE any
-    // comparison or clip — the comparison and the clamp see the same
-    // integer fence on both engines, so nothing rests on FP bit-equality
-    // of the interpolated double (the x4/t14 double-to-int pattern).
-    // Two scans: fences + clip; no sort, no window.
+    // feature normalization pass): values integralized to cents FIRST
+    // (the x4/t14 double-to-int pattern), then per-group p05/p95 fences
+    // SELECTED from those integer cents as exact order statistics
+    // (`groupedQuantileSelect`: rank ⌊q·(n−1)⌋+1, no interpolation
+    // anywhere) — the fence IS a stored cent value, so nothing in the
+    // derivation ever floors an interpolated double and the one FP op
+    // (q·(n−1)) is IEEE-deterministic across engines by the standard.
+    // Two scans: fences + clip; no sort, no full-data window.
     "x9_winsorize" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      val fences = Quantiles.groupedQuantileCont(
-        li, "l_returnflag", "l_extendedprice", Seq(0.05 -> "lo", 0.95 -> "hi"))
+      val pc = li.select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      val fences = Quantiles.groupedQuantileSelect(
+        pc, "l_returnflag", "price_c", Seq(0.05 -> "lo", 0.95 -> "hi"))
         .select(col("l_returnflag"),
-          floor(col("lo") * 100).cast("long").as("lo_c"),
-          floor(col("hi") * 100).cast("long").as("hi_c"))
-      li.withColumn("price_c", floor(col("l_extendedprice") * 100).cast("long"))
-        .join(broadcast(fences), Seq("l_returnflag"))
+          col("lo").cast("long").as("lo_c"), // exactly-integral doubles
+          col("hi").cast("long").as("hi_c"))
+      pc.join(broadcast(fences), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(
           sum(when(col("price_c") < col("lo_c"), 1L).otherwise(0L)).as("n_below"),
@@ -2814,14 +2816,20 @@ object SparkEntry {
         |SELECT a.k AS k, CAST(count(*) AS BIGINT) AS n_pairs
         |FROM t a JOIN t b ON a.k IS NOT DISTINCT FROM b.k
         |GROUP BY a.k""".stripMargin,
-    // Fences and values integralized to cents BEFORE comparison/clamp (the
-    // ADVICE r4 item): nothing rests on FP bit-equality of the fence.
+    // Fences SELECTED as exact order statistics (rank ⌊q·(n−1)⌋+1) from
+    // the pre-floored integer cents — no interpolated double is ever
+    // floored, closing the r5 residual: the only FP op is the single
+    // q·(n−1) multiply, identical on both engines by IEEE-754 itself.
     "x9_winsorize" ->
-      """WITH p AS (SELECT l_returnflag,
-        |                 CAST(floor(quantile_cont(l_extendedprice, 0.05) * 100) AS BIGINT) AS lo_c,
-        |                 CAST(floor(quantile_cont(l_extendedprice, 0.95) * 100) AS BIGINT) AS hi_c
-        |          FROM lineitem GROUP BY 1),
-        |v AS (SELECT l_returnflag, CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c FROM lineitem)
+      """WITH v AS (SELECT l_returnflag, CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c FROM lineitem),
+        |r AS (SELECT l_returnflag, price_c,
+        |             row_number() OVER (PARTITION BY l_returnflag ORDER BY price_c) AS rn,
+        |             count(*) OVER (PARTITION BY l_returnflag) AS n
+        |      FROM v),
+        |p AS (SELECT l_returnflag,
+        |             max(CASE WHEN rn = CAST(floor(0.05 * (n - 1)) AS BIGINT) + 1 THEN price_c END) AS lo_c,
+        |             max(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1 THEN price_c END) AS hi_c
+        |      FROM r GROUP BY 1)
         |SELECT v.l_returnflag,
         |       CAST(count(*) FILTER (WHERE price_c < lo_c) AS BIGINT) AS n_below,
         |       CAST(count(*) FILTER (WHERE price_c > hi_c) AS BIGINT) AS n_above,

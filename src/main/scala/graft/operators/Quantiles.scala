@@ -66,7 +66,28 @@ object Quantiles {
     * driver may hold; beyond it the metadata plane stays distributed. */
   def groupedQuantileCont(df: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[(Double, String)], numPartitions: Int = 0,
-      maxDriverCountRows: Int = 65536): DataFrame = {
+      maxDriverCountRows: Int = 65536): DataFrame =
+    grouped(df, groupCol, valueCol, qs, numPartitions, maxDriverCountRows,
+      interpolate = true)
+
+  /** Exact per-group ORDER STATISTIC: the stored value at rank
+    * ⌊q·(n−1)⌋+1 — `quantile_cont`'s LOWER endpoint as a pure selection,
+    * never an interpolated double. The only floating-point operation in
+    * the whole derivation is the single `q·(n−1)` multiply of
+    * bit-identical inputs, which IEEE-754 defines exactly — so the result
+    * is cross-engine deterministic by the STANDARD, not by two engines
+    * happening to share an interpolation formula. This is the fence
+    * derivation for integralized comparisons (x9): select from
+    * already-integral values and no interpolated double is ever floored. */
+  def groupedQuantileSelect(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[(Double, String)], numPartitions: Int = 0,
+      maxDriverCountRows: Int = 65536): DataFrame =
+    grouped(df, groupCol, valueCol, qs, numPartitions, maxDriverCountRows,
+      interpolate = false)
+
+  private def grouped(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[(Double, String)], numPartitions: Int,
+      maxDriverCountRows: Int, interpolate: Boolean): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (q, _) => q >= 0.0 && q <= 1.0 })
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
@@ -86,8 +107,9 @@ object Quantiles {
 
     // (offsets(__g,__pid,__off), targets(__g,__rank,__qi,__w), keep(__pid))
     val (offsets, targets, keepPids) =
-      if (probe.length <= maxDriverCountRows) driverMetadata(spark, probe, qs, n)
-      else distributedMetadata(countsDf, qs)
+      if (probe.length <= maxDriverCountRows)
+        driverMetadata(spark, probe, qs, n, interpolate)
+      else distributedMetadata(countsDf, qs, interpolate)
 
     val w = Window.partitionBy(col("__pid"), col("__g")).orderBy(col("__v"))
     val ranked = parted
@@ -111,7 +133,7 @@ object Quantiles {
     * probe threshold) and hand them back as broadcast-hinted frames. */
   private def driverMetadata(spark: org.apache.spark.sql.SparkSession,
       countRows: Array[Row], qs: Seq[(Double, String)],
-      n: Int): (DataFrame, DataFrame, DataFrame) = {
+      n: Int, interpolate: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val counts = countRows
       .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
     val groups = counts.keys.map(_._1).toSeq.distinct.sorted
@@ -134,7 +156,7 @@ object Quantiles {
         val frn = math.floor(pos)
         val f = pos - frn
         val loRank = frn.toLong + 1L
-        if (f == 0.0) Seq(Row(g, loRank, i, 1.0))
+        if (!interpolate || f == 0.0) Seq(Row(g, loRank, i, 1.0))
         else Seq(Row(g, loRank, i, 1.0 - f), Row(g, loRank + 1L, i, f))
       }
     }
@@ -168,7 +190,8 @@ object Quantiles {
     * rank targets, and the prune set all stay executor-side frames —
     * group cardinality never touches the driver. */
   private def distributedMetadata(countsDf: DataFrame,
-      qs: Seq[(Double, String)]): (DataFrame, DataFrame, DataFrame) = {
+      qs: Seq[(Double, String)],
+      interpolate: Boolean): (DataFrame, DataFrame, DataFrame) = {
     // Cached: three consumers (targets, prune, rank join) must not re-run
     // the count aggregation — and the snapshot pins ONE placement (same
     // barrier contract as the data frame; callers/bench clearCache()).
@@ -197,9 +220,12 @@ object Quantiles {
       .select(col("__g"), col("__q_qi").as("__qi"),
         (floor(col("__pos")).cast(LongType) + 1L).as("__lo"),
         (col("__pos") - floor(col("__pos"))).as("__f"))
-      .select(col("__g"), col("__qi"), explode(array(
-        struct(col("__lo").as("__rank"), (lit(1.0) - col("__f")).as("__w")),
-        struct((col("__lo") + 1L).as("__rank"), col("__f").as("__w")))).as("__t"))
+      .select(col("__g"), col("__qi"), explode(
+        if (interpolate) array(
+          struct(col("__lo").as("__rank"), (lit(1.0) - col("__f")).as("__w")),
+          struct((col("__lo") + 1L).as("__rank"), col("__f").as("__w")))
+        else array(
+          struct(col("__lo").as("__rank"), lit(1.0).as("__w")))).as("__t"))
       .select(col("__g"), col("__t.__rank").as("__rank"),
         col("__qi"), col("__t.__w").as("__w"))
       .filter(col("__w") =!= 0.0)

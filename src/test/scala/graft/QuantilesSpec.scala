@@ -91,6 +91,22 @@ class QuantilesSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("groupedQuantileSelect: exact order statistic, never interpolated") {
+    // values 10,20,30,40,50 (n=5): q=0.5 → rank ⌊0.5·4⌋+1 = 3 → 30;
+    // q=0.3 → pos 1.2 → rank 2 → 20 (cont would interpolate 22.0);
+    // q=0.95 → pos 3.8 → rank 4 → 40 (cont: 48.0). Selection returns a
+    // STORED value at every q — integral in, integral out.
+    val df = Seq(10, 20, 30, 40, 50).map(v => ("g", v.toDouble)).toDF("g", "v")
+    val r = Quantiles.groupedQuantileSelect(df, "g", "v",
+      Seq(0.3 -> "a", 0.5 -> "b", 0.95 -> "c")).collect().head
+    assert((r.getDouble(1), r.getDouble(2), r.getDouble(3)) === ((20.0, 30.0, 40.0)))
+    // distributed path agrees
+    val rd = Quantiles.groupedQuantileSelect(df, "g", "v",
+      Seq(0.3 -> "a", 0.5 -> "b", 0.95 -> "c"), maxDriverCountRows = 0)
+      .collect().head
+    assert((rd.getDouble(1), rd.getDouble(2), rd.getDouble(3)) === ((20.0, 30.0, 40.0)))
+  }
+
   test("distributed metadata path ≡ driver path, bit-for-bit") {
     // maxDriverCountRows = 0 forces the executor-side offsets/targets
     // derivation; the default takes the driver fast path on this input.
