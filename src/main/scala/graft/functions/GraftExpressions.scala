@@ -143,6 +143,30 @@ object GraftExprs {
     new GenericArrayData(out)
   }
 
+  /** POSITIONAL word-n-gram hashes: same tokenization and 60-bit hash as
+    * [[shingleHashes]] but emitted IN ORDER, one per gram start position
+    * (no dedup) — element i is the hash of the gram starting at token i
+    * (0-based). The anchor stream for exact substring dedup: a duplicated
+    * run of m ≥ n tokens at offsets (i, j) is exactly m−n+1 consecutive
+    * equal hashes at aligned positions. */
+  def shingleHashSeq(text: UTF8String, n: Int): ArrayData = {
+    val toks = trimSpaces(text.toString).split(" +", -1)
+    if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](toks.length - n + 1)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val g = sb.toString
+      val h1 = polyHash(UTF8String.fromString(g))
+      val h2 = polyHash(UTF8String.fromString(new java.lang.StringBuilder(g).reverse.toString))
+      out(i) = h1 + h2 * (1L << 30)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** All-k MinHash minima over a per-document shingle-hash array — the
     * per-row twin of [[MinHashAgg]] (same permutation formula on
     * hp = h mod P), with no aggregation shuffle at all. */
@@ -520,6 +544,17 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** Per-document POSITIONAL shingle-hash sequence (ordered, undeduped). */
+case class ShingleHashSeqExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    GraftExprs.shingleHashSeq(a.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.GraftExprs.shingleHashSeq($a, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSeqExpr =
+    copy(child = newChild)
+}
+
 /** Per-document all-k MinHash signature from its shingle-hash array. */
 case class MinHashArrExpr(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -629,6 +664,8 @@ object GraftColumns {
     ColumnBridge.column(RepStatsExpr(ColumnBridge.expression(text)))
   def shingleHashes(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(text), n))
+  def shingleHashSeq(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashSeqExpr(ColumnBridge.expression(text), n))
   def minhashArr(hs: Column, k: Int): Column =
     ColumnBridge.column(MinHashArrExpr(ColumnBridge.expression(hs), k))
   def simhashText(text: Column, nBits: Int): Column =

@@ -574,6 +574,60 @@ object Dedup {
         round(col("n_shared").cast("double") / col("n_grams").cast("double"), 7))
   }
 
+  /** Exact duplicated SUBSTRINGS at arbitrary offsets — the Lee et al.
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * suffix-array shape re-expressed relationally: find every maximal
+    * cross-document token run of ≥ `minTokens` tokens, wherever it starts
+    * in either document. [[spanDuplication]] only SCORES gram sharing and
+    * [[segmentDedup]] only matches at fixed segment boundaries; this
+    * operator recovers the exact (start_a, start_b, length) of each
+    * duplicated passage, the evidence a substring-cut pass consumes.
+    *
+    * Algorithm: positional k-gram anchor hashes (one codegen call per doc
+    * — [[graft.functions.GraftExprs.shingleHashSeq]]), an anchor
+    * equi-join on the 60-bit hash, then island detection per
+    * (doc_a, doc_b, offset-difference): a duplicated run of m tokens at
+    * aligned offsets is exactly m−k+1 CONSECUTIVE anchor matches with the
+    * same pos_b−pos_a, so the classic pos−row_number island key turns
+    * maximal runs into single groups. Emits (doc_a, doc_b, a_start,
+    * b_start, len_tokens), positions 0-based in token space.
+    *
+    * Scale shape: shuffled rows are 24-byte (h, doc, pos) triples — text
+    * never shuffles; the anchor join is Σ per-hash bucket² OUTPUT, so both
+    * sides pin `shuffle_hash` (the [[simhashPairs]] AQE lesson) and
+    * parallelism comes from partitioning the hash space. The island
+    * windows partition by (doc_a, doc_b, diff) — bounded by document
+    * length, never corpus-sized. Boilerplate k-grams shared by f docs
+    * produce O(f²) anchor pairs — exactly the passages the operator
+    * exists to find; a df-capped prefilter (drop hashes above a document
+    * frequency) is the standard bound when only rarer duplication
+    * matters, at the cost of splitting runs through dropped anchors. */
+  def duplicatedSpans(docs: DataFrame, minTokens: Int = 10, k: Int = 5): DataFrame = {
+    require(k >= 1 && minTokens >= k,
+      s"minTokens $minTokens must be >= anchor width $k")
+    import graft.functions.GraftColumns
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col("doc_id"),
+        posexplode(GraftColumns.shingleHashSeq(col("text"), k)).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+    val a = sh.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+    val b = sh.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+    val wIsle = Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("__diff"))
+      .orderBy(col("pos_a"))
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("__diff", col("pos_b") - col("pos_a"))
+      .withColumn("__isle", col("pos_a") - row_number().over(wIsle))
+      .groupBy(col("doc_a"), col("doc_b"), col("__diff"), col("__isle"))
+      .agg(
+        min(col("pos_a")).as("a_start"),
+        (max(col("pos_a")) - min(col("pos_a")) + lit(k.toLong)).as("len_tokens"))
+      .select(col("doc_a"), col("doc_b"), col("a_start"),
+        (col("a_start") + col("__diff")).as("b_start"), col("len_tokens"))
+      .filter(col("len_tokens") >= minTokens)
+  }
+
   /** Corpus-wide SEGMENT-level exact dedup (the CCNet/RefinedWeb line-dedup
     * shape, with fixed `segWords`-token windows standing in for lines in a
     * corpus without line structure): a segment occurrence survives iff it
@@ -592,10 +646,14 @@ object Dedup {
     * input doc.
     *
     * Output: (doc_id, text_dedup, n_kept, n_total). */
-  def segmentDedup(docs: DataFrame, segWords: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The shared segment decomposition: docs → (doc_id, n_total, seg_idx,
+    * seg, h) rows — `segWords`-token windows with the 60-bit portable
+    * segment hash. Single source for [[segmentDedup]] and the
+    * paragraph-Bloom screen ([[Curation]]'s BFF shape); a segmentation or
+    * hash tweak must not drift between them. */
+  def segmentRows(docs: DataFrame, segWords: Int): DataFrame = {
     val k = segWords
-    val segs = docs
+    docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
       .select(col("doc_id"),
         expr(s"CAST((size(t) + ${k - 1}) div $k AS BIGINT)").as("n_total"),
@@ -608,6 +666,11 @@ object Dedup {
         (graft.functions.GraftColumns.polyHash(col("seg")) +
           graft.functions.GraftColumns.polyHash(reverse(col("seg"))) * lit(1L << 30))
           .as("h"))
+  }
+
+  def segmentDedup(docs: DataFrame, segWords: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = segmentRows(docs, segWords)
     val firstOcc = min(struct(col("doc_id"), col("seg_idx")))
       .over(Window.partitionBy(col("h")))
     segs

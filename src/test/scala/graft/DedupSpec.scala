@@ -492,4 +492,56 @@ class DedupSpec extends SparkSpec {
       Seq((9L, "p q r s")).toDF("doc_id", "text"), segWords = 3).head()
     assert(ragged.getString(1) === "p q r s" && ragged.getLong(3) === 2L)
   }
+
+  /** Maximal cross-doc equal-token runs ≥ minTokens by direct scan — the
+    * brute-force oracle for duplicatedSpans. */
+  private def bruteSpans(docs: Seq[(Long, String)],
+      minTokens: Int): Set[(Long, Long, Long, Long, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.trim.split(" +").toSeq }
+    (for {
+      (ia, ta) <- toks; (ib, tb) <- toks if ia < ib
+      i <- ta.indices; j <- tb.indices
+      if ta(i) == tb(j) && (i == 0 || j == 0 || ta(i - 1) != tb(j - 1))
+      m = Iterator.from(0)
+        .takeWhile(o => i + o < ta.length && j + o < tb.length && ta(i + o) == tb(j + o))
+        .size
+      if m >= minTokens
+    } yield (ia, ib, i.toLong, j.toLong, m.toLong)).toSet
+  }
+
+  test("duplicatedSpans: planted passages at arbitrary offsets, maximal, ≡ brute force") {
+    val passage = (1 to 12).map(i => s"dup$i").mkString(" ") // 12 shared tokens
+    val short = (1 to 9).map(i => s"nine$i").mkString(" ")   // 9 < minTokens
+    val docs = Seq(
+      (0L, s"alpha beta $passage gamma delta"),         // passage at pos 2
+      (1L, s"$passage x y z"),                          // passage at pos 0
+      (2L, s"p q r s t u $passage v $passage"),         // TWICE: pos 6 and 19
+      (3L, s"one two $short three"),                    // 9-token twin — dropped
+      (4L, s"five six $short seven"),
+      (5L, "lone text with no duplication at all here"))
+    val out = Dedup.duplicatedSpans(docs.toDF("doc_id", "text"), minTokens = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSet === bruteSpans(docs, 10))
+    // the planted structure, explicitly: 0↔1 at (2,0), 0↔2 at (2,6) and
+    // (2,19), 1↔2 likewise, all of length exactly 12 (maximal — the
+    // surrounding tokens differ); the 9-token twin pair is absent
+    assert(out.toSet.contains((0L, 1L, 2L, 0L, 12L)))
+    assert(out.toSet.contains((0L, 2L, 2L, 6L, 12L)))
+    assert(out.toSet.contains((0L, 2L, 2L, 19L, 12L)))
+    assert(!out.exists { case (a, b, _, _, _) => Set(a, b) == Set(3L, 4L) })
+    // identical docs → one full-length span at (0, 0)
+    val twin = Seq((7L, passage + " tail one two"), (8L, passage + " tail one two"))
+    val t = Dedup.duplicatedSpans(twin.toDF("doc_id", "text"), 10, 5).collect()
+    assert(t.map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq === Seq((0L, 0L, 15L)))
+    // fixture corpus ≡ brute force (first 100 docs — arbitrary offsets,
+    // chance 5-gram collisions included)
+    val fix = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 100)
+    val fixDocs = fix.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = Dedup.duplicatedSpans(fix, minTokens = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got === bruteSpans(fixDocs, 10))
+    assert(got.nonEmpty, "vacuous fixture: no duplicated passages found")
+  }
 }
