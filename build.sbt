@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit the forked JVM's stdio instead of relaying it through sbt's
+// logger: the logger prefixes every stdout line with "[info] ", which is
+// the prime suspect for the driver's bench parser reading `parsed: null`
+// three rounds running (its JSON line never starts at column 0). With
+// StdoutOutput the Bench/Verify contract lines land on the process stdout
+// byte-for-byte; Spark's log noise stays on stderr as before.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

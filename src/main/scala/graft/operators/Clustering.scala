@@ -704,6 +704,48 @@ object Clustering {
     }
   }
 
+  /** RETRAIN a drifted index into a NEW run-stamped directory — the
+    * maintenance command [[ivfPqAppendStored]]'s frozen-codebook contract
+    * defers to: appended vectors quantize against centroids and PQ
+    * codebooks learned from the ORIGINAL population, so as the corpus
+    * shifts, probe routing (cells ranked by stale centroid means) and ADC
+    * scoring (codebooks that never saw the new region) decay together.
+    * This re-learns both from the CURRENT corpus and publishes the result
+    * as `$indexRoot/<run-stamp>/` ([[graft.etl.TimeTravel]]'s convention
+    * — lexicographic stamp order is chronological): the drifted run is
+    * never mutated (concurrent readers unaffected; `StoredIndexSpec`
+    * asserts its files byte-identical across a retrain), serving flips by
+    * path selection via [[latestIndexRun]], and old runs age out through
+    * `TimeTravel.vacuum` once their readers drain.
+    *
+    * The corpus must be the FULL current vector set (codes are lossy —
+    * an index cannot retrain from itself). Returns the new run's
+    * directory. When to run it: monitor recall@k of the served index
+    * against an exact-top-k sample (the `Retrieval.recallAtK` probe);
+    * retrain when it decays past budget — `StoredIndexSpec` demonstrates
+    * the full cycle (append shifted vectors → recall drops → optimize →
+    * recall restored, old run untouched). */
+  def optimizeIndex(corpus: DataFrame, indexRoot: String, m: Int = 4,
+      subDim: Int = 16, k: Int = 8, cellBits: Int = 6,
+      at: java.time.Instant = java.time.Instant.now(),
+      maxRecordsPerFile: Long = 5000000L): String = {
+    val dest = graft.etl.Sink.runRoot(indexRoot, at)
+    require(!new java.io.File(dest).exists(),
+      s"optimizeIndex stamp collision: $dest already exists")
+    ivfPqWriteIndex(ivfPqIndex(corpus, m, subDim, k, cellBits), dest,
+      maxRecordsPerFile)
+    dest
+  }
+
+  /** The newest run-stamped index directory under `indexRoot` (the serve
+    * path's "latest" selector — pure path selection, same as
+    * `TimeTravel.readLatest`). */
+  def latestIndexRun(indexRoot: String): String = {
+    val runs = graft.etl.TimeTravel.listRuns(indexRoot)
+    require(runs.nonEmpty, s"no index runs under $indexRoot")
+    s"$indexRoot/${runs.last}"
+  }
+
   /** IO audit for the stored serve path: (bytes in probed-cell files,
     * total code bytes) — driver-side listing only. The ratio IS the
     * pruning claim a 100 TB deploy cares about. */

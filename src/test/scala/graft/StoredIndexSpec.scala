@@ -146,6 +146,67 @@ class StoredIndexSpec extends SparkSpec {
       emb.filter(col("vec_id") % 4 === 2), dir) === 0L)
   }
 
+  test("optimizeIndex: retrain restores recall after distribution shift; drifted run untouched") {
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_opt").toString
+    val t0 = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    // Shifted population: the corpus negated under fresh ids — lands in
+    // complementary coarse cells whose stored centroids/codebooks were
+    // learned from the ORIGINAL vectors only.
+    val shifted = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), v => -v).as("embedding"))
+    val run1 = Clustering.optimizeIndex(emb, root, at = t0)
+    assert(run1 === s"$root/2026-01-01-00-00-00")
+    assert(Clustering.ivfPqAppendStored(shifted, run1) === emb.count())
+    def runFiles(dir: String) = {
+      import scala.jdk.CollectionConverters._
+      val base = java.nio.file.Paths.get(dir)
+      val st = java.nio.file.Files.walk(base)
+      try st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (base.relativize(p).toString, java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSet
+      finally st.close()
+    }
+    val run1Files = runFiles(run1)
+
+    // exact cosine top-5 over the full corpus, driver-side (fixture-sized)
+    val qs = shifted.filter(col("vec_id") % 50 === 0)
+    val full = emb.select(col("vec_id"), col("embedding")).unionByName(shifted)
+    val all = full.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val qArr = qs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray)
+    val exact = qArr.map { case (qid, qv) =>
+      qid -> all.map { case (vid, v) => (cos(qv, v), vid) }
+        .sortBy { case (c, vid) => (-c, vid) }.take(5).map(_._2).toSet
+    }.toMap
+    def recallOf(dir: String): Double = {
+      val approx = Clustering.ivfPqSearchStored(qs, dir).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+      exact.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty[Long]).count(truth).toDouble / truth.size
+      }.sum / exact.size
+    }
+    val before = recallOf(run1)
+    val run2 = Clustering.optimizeIndex(full, root, at = t0.plusSeconds(60))
+    val after = recallOf(run2)
+    assert(Clustering.latestIndexRun(root) === run2)
+    info(f"recall@5 on shifted queries: drifted=$before%.3f retrained=$after%.3f")
+    assert(after > before,
+      s"retrain must restore recall: before=$before after=$after")
+    // the drifted run is never mutated by the retrain — byte-identical
+    assert(runFiles(run1) === run1Files)
+    // a stamp collision is refused, never silently overwritten
+    intercept[IllegalArgumentException](
+      Clustering.optimizeIndex(full, root, at = t0))
+  }
+
   test("id-range slice: results ≡ post-filtered unsliced search candidates, fewer files") {
     val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
     val lo = 0L
