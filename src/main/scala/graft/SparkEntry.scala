@@ -1469,6 +1469,45 @@ object SparkEntry {
     // prefilter written once, training batches screened against the STORE
     // (the eval corpus itself never rescanned) — output ≡ c3's in-session
     // exact overlap, so it shares that oracle shape.
+    // BFF/Dolma paragraph Bloom dedup on the gate, hash-checkable via the
+    // x2/x3 CLAIM pattern: the sketch's decisions are engine-specific, so
+    // the row emits the EXACT paragraph counts (replayable in SQL) plus
+    // two integer verdicts the ENGINE computes about its own sketch —
+    // no_false_negatives (every truly-seen paragraph was dropped; Bloom
+    // structural) and fp_within_bound (wrongly-dropped unique paragraphs
+    // within 10× the analytic expectedBloomFpRate, floor 10). The oracle
+    // emits the exact counts and asserts both verdicts hold.
+    "c5_bloom_paragraph_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val store = docs.filter(col("doc_id") % 20 === 0)
+      val train = docs.filter(col("doc_id") % 20 =!= 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_bff").toString
+      val nStore = Curation.writeParagraphBloomStore(store, dir)
+      val screen = Curation.paragraphBloomScreen(train, dir)
+      val truth = Dedup.segmentRows(store, 10).select(col("h")).distinct()
+        .withColumn("is_dup", lit(1L))
+      // allowed: fp ≤ max(10, 10·rate·uniques) — the absolute floor keeps
+      // a tiny-corpus gate from failing on one unlucky hash
+      val allowedPM = math.ceil(10.0 * Curation.expectedBloomFpRate(
+        nStore, 1L << 20, 1L << 23) * 1e6).toLong
+      screen.join(broadcast(truth), Seq("h"), "left")
+        .select(col("doc_id"), col("dropped"),
+          coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_segs"),
+          sum(col("is_dup")).as("n_dup_exact"),
+          sum(when(col("is_dup") === 1L && !col("dropped"), 1L)
+            .otherwise(0L)).as("missed"),
+          sum(when(col("is_dup") === 0L && col("dropped"), 1L)
+            .otherwise(0L)).as("fp"))
+        .select(col("n_docs"), col("n_segs"), col("n_dup_exact"),
+          when(col("missed") === 0L, 1L).otherwise(0L).as("no_false_negatives"),
+          when(col("fp") <= lit(10L) ||
+            col("fp") * lit(1000000L) <=
+              lit(allowedPM) * (col("n_segs") - col("n_dup_exact")),
+            1L).otherwise(0L).as("fp_within_bound"))
+    }),
     "c4_stored_decontam" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val dir = java.nio.file.Files.createTempDirectory("graft_decontam_store").toString
@@ -2776,6 +2815,25 @@ object SparkEntry {
          |ev AS (SELECT DISTINCT h FROM sh_ev)
          |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
          |FROM sh_tr t JOIN ev ON t.h = ev.h GROUP BY 1""".stripMargin,
+    // BFF paragraph-dedup claims: the oracle replays the EXACT paragraph
+    // counts (t17's segment/hash SQL) and asserts both sketch verdicts —
+    // a Bloom false negative or an FP blowout on the Spark side breaks
+    // the hash (the x2/x3 claim pattern).
+    "c5_bloom_paragraph_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
+         |seg AS (SELECT doc_id, array_to_string(list_slice(t, (i - 1) * 10 + 1, i * 10), ' ') AS seg
+         |        FROM toks, LATERAL (SELECT unnest(generate_series(1, (len(t) + 9) // 10)) AS i) g),
+         |hh AS (SELECT doc_id, ${sqlPolyHash("seg")} + ${sqlPolyHash("reverse(seg)")} * (CAST(1 AS BIGINT) << 30) AS h
+         |       FROM seg),
+         |st AS (SELECT DISTINCT h FROM hh WHERE doc_id % 20 = 0),
+         |tr AS (SELECT doc_id, hh.h, CASE WHEN st.h IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+         |       FROM hh LEFT JOIN st ON hh.h = st.h WHERE doc_id % 20 <> 0)
+         |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_segs,
+         |       CAST(sum(is_dup) AS BIGINT) AS n_dup_exact,
+         |       CAST(1 AS BIGINT) AS no_false_negatives,
+         |       CAST(1 AS BIGINT) AS fp_within_bound
+         |FROM tr""".stripMargin,
     // Stored-registry decontam: store round-trip is value-preserving, so
     // the oracle is the same exact overlap as c3.
     "c4_stored_decontam" ->

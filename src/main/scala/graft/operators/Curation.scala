@@ -173,6 +173,105 @@ object Curation {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Spark's Bloom FP model: `BloomFilterImpl` picks
+    * k = max(1, round(m/n_est·ln 2)) hash functions from the CREATION-time
+    * estimate; after inserting `nItems` distinct values into `numBits`
+    * bits the false-positive probability is (1 − e^(−k·n/m))^k. Exposed so
+    * Bloom-DEDUP callers can account for the paragraphs the filter will
+    * WRONGLY drop (see [[paragraphBloomScreen]] — dedup FPs delete real
+    * data, unlike decontam FPs which only cost an exact recheck). */
+  def expectedBloomFpRate(nItems: Long, estimatedItems: Long,
+      numBits: Long): Double = {
+    if (nItems <= 0L || numBits <= 0L) return 0.0
+    val k = math.max(1L,
+      math.round(numBits.toDouble / estimatedItems * math.log(2.0))).toDouble
+    math.pow(1.0 - math.exp(-k * nItems / numBits), k)
+  }
+
+  /** Build a BFF/Dolma-shape PARAGRAPH-dedup store: ONLY a Bloom sketch
+    * over the corpus's distinct segment hashes ([[Dedup.segmentRows]] —
+    * `segWords`-token windows standing in for paragraphs, t17's
+    * convention) plus a format marker and the inserted count. Unlike the
+    * decontamination store ([[writeDecontamStore]]), there is NO exact
+    * gram registry: a paragraph-dedup registry is CORPUS-sized (every
+    * paragraph ever seen), and the whole point of the BFF shape is that
+    * the state stays O(numBits) no matter how many batches stream
+    * through. The price is stated in [[paragraphBloomScreen]]'s contract.
+    * Returns the number of distinct paragraphs inserted. */
+  def writeParagraphBloomStore(docs: DataFrame, storeDir: String,
+      segWords: Int = 10, estimatedParas: Long = 1L << 20,
+      numBits: Long = 1L << 23): Long = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val segs = Dedup.segmentRows(docs, segWords).select(col("h")).distinct().cache()
+    val sketch = segs.agg(ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(col("h")),
+        ColumnBridge.expression(lit(estimatedParas)),
+        ColumnBridge.expression(lit(numBits))).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val n = segs.count()
+    segs.unpersist()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storeDir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(storeDir, "bloom.bin"),
+      if (sketch == null) Array.empty[Byte] else sketch)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(storeDir, "n_items"), n.toString)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(storeDir, s"_format-seg$segWords"), Array.empty[Byte])
+    n
+  }
+
+  /** Screen a training batch's paragraphs against a
+    * [[writeParagraphBloomStore]] store — the Bloom-Filter-Filter dedup
+    * decision, per segment: (doc_id, n_total, seg_idx, seg, h,
+    * dropped = sketch-might-contain). THE CONTRACT DIFFERENCE from every
+    * other Bloom use in this repo: there is no exact recheck, so a false
+    * positive DROPS A REAL, NEVER-SEEN paragraph — at
+    * [[expectedBloomFpRate]] of the unique paragraphs, permanently.
+    * Bloom's no-false-negative side means every truly-seen paragraph IS
+    * dropped (exactness in the dedup direction). Budget `numBits` to the
+    * loss you can take: ~14 bits/paragraph ≈ 1e-4, the Dolma production
+    * sizing. Fails loudly on a segWords mismatch (differently-segmented
+    * hashes would silently match nothing). */
+  def paragraphBloomScreen(train: DataFrame, storeDir: String,
+      segWords: Int = 10): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(storeDir, s"_format-seg$segWords")),
+      s"paragraph store at $storeDir was not built with segWords=$segWords " +
+        "(missing _format marker) — rebuild with writeParagraphBloomStore")
+    val sketch = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(storeDir, "bloom.bin"))
+    val segs = Dedup.segmentRows(train, segWords)
+    if (sketch.isEmpty) segs.withColumn("dropped", lit(false)) // empty store
+    else segs.withColumn("dropped", ColumnBridge.column(
+      new BloomFilterMightContain(
+        Literal.create(sketch, BinaryType),
+        ColumnBridge.expression(col("h")))))
+  }
+
+  /** [[paragraphBloomScreen]] closed into the transform: drop the flagged
+    * paragraphs, rebuild each doc from its survivors in order — the same
+    * output contract as [[Dedup.segmentDedup]] (doc_id, text_dedup,
+    * n_kept, n_total), but deduping against the PERSISTENT cross-batch
+    * store instead of within-corpus first-occurrence. */
+  def paragraphBloomDedup(train: DataFrame, storeDir: String,
+      segWords: Int = 10): DataFrame =
+    paragraphBloomScreen(train, storeDir, segWords)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(!col("dropped"),
+              struct(col("seg_idx"), col("seg"))))),
+            s => s.getField("seg")),
+          " ").as("text_dedup"),
+        sum(when(!col("dropped"), 1L).otherwise(0L)).as("n_kept"),
+        first(col("n_total")).as("n_total"))
+
   /** The whole curation flow as one operator — the decision table a
     * pretraining data pipeline materializes per document: quality gate
     * (composite score from [[TextAnalysis.qualityScores]]), near-dup

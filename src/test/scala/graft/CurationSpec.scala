@@ -360,4 +360,74 @@ class CurationSpec extends SparkSpec {
       assert(kept === expect, s"doc $id")
     }
   }
+
+  test("paragraph Bloom dedup: seen paragraphs always dropped, FP drops bounded, rebuild ordered") {
+    // one 10-token "paragraph" per doc, analytic text → every hash distinct
+    def para(tag: String, i: Long): String =
+      (0 until 10).map(j => s"${tag}_${i}_$j").mkString(" ")
+    val storeDocs = (0L until 200L).map(i => (i, para("seen", i))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bff_spec").toString
+    assert(Curation.writeParagraphBloomStore(storeDocs, dir) === 200L)
+
+    // batch B: 2-paragraph docs — first a COPY of a stored paragraph,
+    // second genuinely new
+    val batch = (0L until 200L)
+      .map(i => (1000L + i, para("seen", i) + " " + para("new", i)))
+      .toDF("doc_id", "text")
+    val screen = Curation.paragraphBloomScreen(batch, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(5))).toSeq
+    // no false negatives: every seen-copy (seg_idx 0) is dropped
+    assert(screen.filter(_._2 == 0L).forall(_._3), "a seen paragraph survived")
+    // FP accounting: wrongly-dropped new paragraphs within 10× the model
+    // (deterministic hashes → a fixed count; the bound is the CONTRACT)
+    val fp = screen.count { case (_, idx, dropped) => idx == 1L && dropped }
+    val bound = math.max(5.0,
+      10.0 * 200 * Curation.expectedBloomFpRate(200L, 1L << 20, 1L << 23))
+    assert(fp <= bound, s"fp=$fp exceeds bound $bound")
+    // rebuild: drops exactly the flagged segments, order preserved
+    val rebuilt = Curation.paragraphBloomDedup(batch, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val fpDocs = screen.filter { case (_, idx, dr) => idx == 1L && dr }.map(_._1).toSet
+    (0L until 200L).foreach { i =>
+      val id = 1000L + i
+      if (!fpDocs.contains(id))
+        assert(rebuilt(id) === ((para("new", i), 1L, 2L)), s"doc $id")
+      else assert(rebuilt(id) === (("", 0L, 2L)), s"fp doc $id")
+    }
+    // re-screening the SAME batch against the UPDATED?-no: store is
+    // immutable — screening is idempotent
+    val again = Curation.paragraphBloomScreen(batch, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(5))).toSeq
+    assert(again.toSet === screen.toSet)
+    // segWords mismatch fails loudly, not silently matches-nothing
+    intercept[IllegalArgumentException](
+      Curation.paragraphBloomScreen(batch, dir, segWords = 7))
+    // empty store: nothing dropped
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft_bff_empty").toString
+    assert(Curation.writeParagraphBloomStore(
+      storeDocs.limit(0), emptyDir) === 0L)
+    assert(Curation.paragraphBloomScreen(batch, emptyDir)
+      .filter(col("dropped")).count() === 0L)
+  }
+
+  test("paragraph Bloom FP rate: a deliberately tight sketch measures near the analytic model") {
+    // 5000 paragraphs into 2^16 bits (~13 bits/item): the model predicts
+    // a small-but-nonzero FP rate — the measured count (deterministic
+    // hashes) must sit within [rate/10, rate×10] of model × trials, the
+    // accounting a Bloom-DEDUP deployment sizes numBits with.
+    def para(tag: String, i: Long): String =
+      (0 until 10).map(j => s"${tag}_${i}_$j").mkString(" ")
+    val n = 5000L
+    val storeDocs = (0L until n).map(i => (i, para("in", i))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bff_tight").toString
+    Curation.writeParagraphBloomStore(storeDocs, dir,
+      estimatedParas = n, numBits = 1L << 16)
+    val probeDocs = (0L until n).map(i => (i, para("out", i))).toDF("doc_id", "text")
+    val fp = Curation.paragraphBloomScreen(probeDocs, dir)
+      .filter(col("dropped")).count()
+    val expected = n * Curation.expectedBloomFpRate(n, n, 1L << 16)
+    assert(expected > 1.0, s"fixture must predict measurable FPs, got $expected")
+    assert(fp <= expected * 10 && fp * 10 >= expected,
+      s"measured fp=$fp vs model $expected — sketch and model disagree")
+  }
 }
