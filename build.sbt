@@ -18,6 +18,10 @@ run / fork := true
 // StdoutOutput the Bench/Verify contract lines land on the process stdout
 // byte-for-byte; Spark's log noise stays on stderr as before.
 run / outputStrategy := Some(StdoutOutput)
+// ...and drop sbt's trailing "[success] Total time: ..." line so the LAST
+// stdout line of a runMain is the program's own final print (the Bench
+// contract line), not an sbt banner.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -259,6 +259,13 @@ object ScalingProbe {
     // Span duplication at 20×: only the Caesar-shared (rep-0/doc%3) spans
     // collide; shuffles carry 16-byte (doc_id, h) rows, never text.
     time("span_dup_100k_docs")(Dedup.spanDuplication(bigDocs).count())
+    // Exact substring dedup (r6) at 100k docs: ~5M positional 24-byte
+    // anchors; cross-replica tokens never collide (Caesar rotation), so
+    // anchor buckets stay per-replica-bounded — the realistic shape. The
+    // capped variant bounds any boilerplate bucket at df² pairs.
+    time("substring_spans_100k_docs")(Dedup.duplicatedSpans(bigDocs).count())
+    time("substring_spans_100k_capped")(
+      Dedup.duplicatedSpans(bigDocs, maxAnchorDf = 50).count())
     // Per-language quality gate + sqrt-temperature domain sampling over a
     // skewed synthetic lang column (70% head language): the window sorts
     // one lang-partitioned shuffle; the sampler is a tiny broadcast.

@@ -178,6 +178,30 @@ object SparkEntry {
        |${roundCtes(3)}""".stripMargin
   }
 
+  /** Shared SQL fragment: the exact-substring-dedup replay (mirrors
+    * [[graft.operators.Dedup.duplicatedSpans]]) — positional (undeduped)
+    * 5-gram hashes, anchor self-join, maximal aligned-run islands via the
+    * pos − row_number key — ending in `spans(doc_a, doc_b, a_start,
+    * b_start, len_tokens)` (and exposing `toks`). Single source for t28
+    * (spans) and t29 (the cut transform on top). */
+  private val sqlSubstringSpanCtes: String =
+    s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
+       |shp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |               ${sqlPolyHash("g")} + ${sqlPolyHash("reverse(g)")} * (CAST(1 AS BIGINT) << 30) AS h
+       |        FROM (SELECT doc_id, i, array_to_string(list_slice(t, i, i + 4), ' ') AS g
+       |              FROM toks, LATERAL (SELECT unnest(generate_series(1, CASE WHEN len(t) >= 5 THEN len(t) - 4 ELSE 0 END)) AS i) q) s),
+       |anc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos - a.pos AS diff
+       |        FROM shp a JOIN shp b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |isl AS (SELECT doc_a, doc_b, diff, pos_a,
+       |               pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diff ORDER BY pos_a) AS isle
+       |        FROM anc),
+       |spans AS (SELECT doc_a, doc_b,
+       |                 CAST(min(pos_a) AS BIGINT) AS a_start,
+       |                 CAST(min(pos_a) + diff AS BIGINT) AS b_start,
+       |                 CAST(max(pos_a) - min(pos_a) + 5 AS BIGINT) AS len_tokens
+       |          FROM isl GROUP BY doc_a, doc_b, diff, isle
+       |          HAVING max(pos_a) - min(pos_a) + 5 >= 10)""".stripMargin
+
   private val sqlShingles: String =
     s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
        |shs AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
@@ -1361,6 +1385,11 @@ object SparkEntry {
     // this finds the exact passages.
     "t28_substring_dedup" -> ((s, d) =>
       Dedup.duplicatedSpans(Tables.documents(s, d))),
+    // t28's spans closed into the Lee et al. TRANSFORM: the later (doc_b)
+    // occurrence of every duplicated run is cut and docs rebuild from the
+    // surviving tokens — the min-doc_id occurrence is the one that stays.
+    "t29_substring_cut" -> ((s, d) =>
+      Dedup.substringDedupCut(Tables.documents(s, d))),
     // Exact heavy hitters via Misra-Gries candidates + exact verify; the
     // fixture's 31-token vocabulary straddles the N/31 threshold, so the
     // boundary genuinely cuts.
@@ -3368,22 +3397,22 @@ object SparkEntry {
     // aligned-run islands via the pos − row_number key — the full
     // duplicatedSpans replay; HUGEINT-safe casts on every emitted column.
     "t28_substring_dedup" ->
-      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
-         |shp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-         |               ${sqlPolyHash("g")} + ${sqlPolyHash("reverse(g)")} * (CAST(1 AS BIGINT) << 30) AS h
-         |        FROM (SELECT doc_id, i, array_to_string(list_slice(t, i, i + 4), ' ') AS g
-         |              FROM toks, LATERAL (SELECT unnest(generate_series(1, CASE WHEN len(t) >= 5 THEN len(t) - 4 ELSE 0 END)) AS i) q) s),
-         |anc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos - a.pos AS diff
-         |        FROM shp a JOIN shp b ON a.h = b.h AND a.doc_id < b.doc_id),
-         |isl AS (SELECT doc_a, doc_b, diff, pos_a,
-         |               pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diff ORDER BY pos_a) AS isle
-         |        FROM anc)
-         |SELECT doc_a, doc_b,
-         |       CAST(min(pos_a) AS BIGINT) AS a_start,
-         |       CAST(min(pos_a) + diff AS BIGINT) AS b_start,
-         |       CAST(max(pos_a) - min(pos_a) + 5 AS BIGINT) AS len_tokens
-         |FROM isl GROUP BY doc_a, doc_b, diff, isle
-         |HAVING max(pos_a) - min(pos_a) + 5 >= 10""".stripMargin,
+      s"""WITH $sqlSubstringSpanCtes
+         |SELECT doc_a, doc_b, a_start, b_start, len_tokens FROM spans""".stripMargin,
+    // The cut transform: every span's doc_b-side token range unions into
+    // a per-doc cut set; docs rebuild from surviving tokens in order.
+    "t29_substring_cut" ->
+      s"""WITH $sqlSubstringSpanCtes,
+         |cuts AS (SELECT DISTINCT doc_b AS doc_id, b_start + j AS pos
+         |         FROM spans, LATERAL (SELECT unnest(generate_series(0, len_tokens - 1)) AS j) g),
+         |tokpos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok
+         |           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g)
+         |SELECT tp.doc_id,
+         |       coalesce(string_agg(CASE WHEN c.pos IS NULL THEN tok END, ' ' ORDER BY tp.pos), '') AS text_dedup,
+         |       CAST(sum(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+         |       CAST(count(*) AS BIGINT) AS n_total
+         |FROM tokpos tp LEFT JOIN cuts c ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+         |GROUP BY tp.doc_id""".stripMargin,
     "t12_span_dup" ->
       s"""WITH ${sqlShinglesN(5, "TRUE", "_sd")},
          |j AS (SELECT doc_id, CAST(count(*) OVER (PARTITION BY h) AS BIGINT) AS df FROM sh_sd)

@@ -599,17 +599,27 @@ object Dedup {
     * windows partition by (doc_a, doc_b, diff) — bounded by document
     * length, never corpus-sized. Boilerplate k-grams shared by f docs
     * produce O(f²) anchor pairs — exactly the passages the operator
-    * exists to find; a df-capped prefilter (drop hashes above a document
-    * frequency) is the standard bound when only rarer duplication
-    * matters, at the cost of splitting runs through dropped anchors. */
-  def duplicatedSpans(docs: DataFrame, minTokens: Int = 10, k: Int = 5): DataFrame = {
+    * exists to find; when only rarer duplication matters, `maxAnchorDf`
+    * drops anchors whose OCCURRENCE count exceeds the cap before the
+    * join (one count-window pass over the 24-byte anchor stream), which
+    * bounds every bucket at maxAnchorDf² pairs — at the documented cost
+    * of splitting or losing runs that pass through dropped anchors
+    * (spec-pinned). 0 = uncapped (the exact default). */
+  def duplicatedSpans(docs: DataFrame, minTokens: Int = 10, k: Int = 5,
+      maxAnchorDf: Int = 0): DataFrame = {
     require(k >= 1 && minTokens >= k,
       s"minTokens $minTokens must be >= anchor width $k")
     import graft.functions.GraftColumns
     import org.apache.spark.sql.expressions.Window
-    val sh = docs.select(col("doc_id"),
+    val raw = docs.select(col("doc_id"),
         posexplode(GraftColumns.shingleHashSeq(col("text"), k)).as(Seq("pos", "h")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+    val sh =
+      if (maxAnchorDf <= 0) raw
+      else raw
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .filter(col("__df") <= maxAnchorDf)
+        .drop("__df")
     val a = sh.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
     val b = sh.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pos_b"))
     val wIsle = Window
@@ -646,6 +656,51 @@ object Dedup {
     * input doc.
     *
     * Output: (doc_id, text_dedup, n_kept, n_total). */
+  /** [[duplicatedSpans]] closed into the Lee et al. TRANSFORM: cut the
+    * LATER occurrence of every duplicated run ≥ `minTokens` and rebuild
+    * each document from its surviving tokens. "Later" is the span's
+    * doc_b side (doc_a < doc_b), so for any set of documents sharing a
+    * passage, exactly the minimum-doc_id occurrence survives — the same
+    * keep-the-canonical convention as [[clusters]]. Cut ranges overlap
+    * freely (position-set union per doc); a doc whose every token is cut
+    * emits an empty `text_dedup` with its counts, keeping one output row
+    * per input doc (the [[segmentDedup]] contract).
+    *
+    * Scale shape: [[duplicatedSpans]]'s cost plus one explode of the
+    * span list into (doc, pos) cut rows (Σ span lengths — duplication-
+    * sized, not corpus-sized), one distinct, and a doc-keyed left join
+    * against the posexploded token stream; rebuilds group by doc. The
+    * within-doc copy caveat: pairs are cross-document, so a passage
+    * repeated only WITHIN one document is not cut (that is
+    * [[segmentDedup]]'s job at segment granularity).
+    *
+    * Output: (doc_id, text_dedup, n_cut, n_total). */
+  def substringDedupCut(docs: DataFrame, minTokens: Int = 10, k: Int = 5,
+      maxAnchorDf: Int = 0): DataFrame = {
+    val spans = duplicatedSpans(docs, minTokens, k, maxAnchorDf)
+    val cuts = spans
+      .select(col("doc_b").as("doc_id"),
+        explode(sequence(col("b_start"), col("b_start") + col("len_tokens") - 1))
+          .as("pos"))
+      .distinct()
+      .withColumn("__cut", lit(1L))
+    docs
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text")))
+        .as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+      .join(cuts, Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__cut").isNull,
+              struct(col("pos"), col("tok"))))),
+            s => s.getField("tok")),
+          " ").as("text_dedup"),
+        sum(when(col("__cut").isNotNull, 1L).otherwise(0L)).as("n_cut"),
+        count(lit(1)).as("n_total"))
+  }
+
   /** The shared segment decomposition: docs → (doc_id, n_total, seg_idx,
     * seg, h) rows — `segWords`-token windows with the 60-bit portable
     * segment hash. Single source for [[segmentDedup]] and the

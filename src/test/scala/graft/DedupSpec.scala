@@ -544,4 +544,43 @@ class DedupSpec extends SparkSpec {
     assert(got === bruteSpans(fixDocs, 10))
     assert(got.nonEmpty, "vacuous fixture: no duplicated passages found")
   }
+
+  test("duplicatedSpans anchor-df cap: boilerplate bounded, rare runs kept, huge cap ≡ exact") {
+    val passage = (1 to 12).map(i => s"rare$i").mkString(" ")
+    val boiler = (1 to 12).map(i => s"boil$i").mkString(" ")
+    // the boilerplate passage appears in 20 docs; the rare one in 2
+    val docs = ((0L until 20L).map(i => (i, s"u$i $boiler v$i")) ++
+      Seq((100L, s"a b $passage"), (101L, s"$passage c d"))).toDF("doc_id", "text")
+    val exact = Dedup.duplicatedSpans(docs, 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size === 20 * 19 / 2 + 1) // all boiler pairs + the rare pair
+    // cap 5: boiler anchors (df = 20) dropped, the rare run (df = 2) kept
+    val capped = Dedup.duplicatedSpans(docs, 10, 5, maxAnchorDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((100L, 101L)))
+    // a cap above every df is output-identical to the exact default
+    val loose = Dedup.duplicatedSpans(docs, 10, 5, maxAnchorDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose === exact)
+  }
+
+  test("substringDedupCut: later occurrences cut, min-doc survives, overlaps union") {
+    val passage = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"alpha beta $passage gamma"),   // first occurrence — survives
+      (1L, s"$passage x y z"),              // later — passage cut
+      (2L, s"p q $passage $passage"))       // later, TWICE — both cut
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedupCut(docs, minTokens = 10, k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) === ((s"alpha beta $passage gamma", 0L, 15L)))
+    assert(out(1L) === (("x y z", 12L, 15L)))
+    // doc 2: the doubled passage spans tokens 2..25 — all cut (the two
+    // cross-doc span alignments cover both copies), survivors "p q"
+    assert(out(2L) === (("p q", 24L, 26L)))
+    // untouched corpus: no spans → every doc intact
+    val clean = Seq((5L, "totally unique words here")).toDF("doc_id", "text")
+    assert(Dedup.substringDedupCut(clean, 10, 5).head.getString(1)
+      === "totally unique words here")
+  }
 }
