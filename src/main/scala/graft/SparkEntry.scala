@@ -1143,6 +1143,29 @@ object SparkEntry {
               .filter(col("doc_id") < 400).repartition(64)))
           .withColumnRenamed("dhash", "sig"),
         bits = 64, maxHamming = 4)),
+    // AUDIO near-dup on the gate — the audio pillar composed with the
+    // dedup stack (the m5 pattern on the time axis): synthesize real
+    // PCM16LE bytes, fingerprint the energy contour through the codec
+    // seam, band the 64-bit signatures with the pigeonhole machinery.
+    // One duration class (doc_id % 5 = 4 → 2000 samples) so every
+    // signature carries the same 63 comparisons; win=31 is COPRIME to the
+    // wave's 200-sample period, so window phases sweep the cycle and the
+    // contour actually discriminates (win=50 measured degenerate: every
+    // pair at Hamming 0). doc_id < 500 caps the all-pairs oracle at a
+    // fixed ABSOLUTE size (SF-invariant). Identical waveforms
+    // (doc_id ≡ doc_id' mod 200) land at exactly Hamming 0; the 1–4 band
+    // catches near-contours. The oracle replays every window energy and
+    // bit analytically.
+    "m7_audio_dedup" -> ((s, d) =>
+      Dedup.hammingPairs(
+        Multimodal.audioFingerprint(
+          Multimodal.synthesizePcm(
+            Tables.documents(s, d).select(col("doc_id"))
+              .filter(col("doc_id") < 500 && col("doc_id") % 5 === 4)
+              .repartition(64)),
+          win = 31)
+          .select(col("doc_id"), col("sig")),
+        bits = 64, maxHamming = 4)),
     // The m5 pairs closed into dedup decisions: connected components over
     // the Hamming-≤4 graph label every image with its cluster's canonical
     // id — "keep one per near-dup image cluster" is filter(is_canonical).
@@ -3611,6 +3634,22 @@ object SparkEntry {
     "m5_image_pairs" ->
       s"""WITH $sqlImageDhashCtes
          |SELECT doc_a, doc_b, hamming FROM pairs""".stripMargin,
+    // Audio near-dup pairs: the m4 waveform replay at win=50 → energy
+    // contour bits → Hamming via the bit-row join (the m5 oracle shape on
+    // the time axis; nothing decodes binary).
+    "m7_audio_dedup" ->
+      """WITH ad AS (SELECT doc_id FROM documents WHERE doc_id < 500 AND doc_id % 5 = 4),
+        |s AS (SELECT doc_id, i, abs((i * 7 + doc_id) % 200 - 100) * 300 AS smp
+        |      FROM ad, LATERAL (SELECT unnest(generate_series(0, 1999)) AS i) g),
+        |e AS (SELECT doc_id, i // 31 AS w, sum(smp * smp) AS energy FROM s GROUP BY 1, 2),
+        |abits AS (SELECT a.doc_id, a.w AS b, CASE WHEN n.energy > a.energy THEN 1 ELSE 0 END AS bit
+        |          FROM e a JOIN e n ON n.doc_id = a.doc_id AND n.w = a.w + 1
+        |          WHERE a.w <= 62),
+        |aham AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |                CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |         FROM abits x JOIN abits y ON x.b = y.b AND x.doc_id < y.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, hamming FROM aham WHERE hamming <= 4""".stripMargin,
     // m5's pairs closed into clusters — d7's recursive closure over the
     // image-Hamming graph.
     "m6_image_dedup" ->

@@ -375,6 +375,55 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Temporal audio fingerprint over PCM16LE payloads — the energy-contour
+    * signature an audio-dedup pipeline banding step consumes (the coarse
+    * Shazam/chromaprint idea with the spectral axis stubbed to total
+    * energy, matching this container's no-codec constraint): decode int16
+    * samples, integer window energies Σs² per `win` samples, then bit w =
+    * 1 iff energy(w+1) > energy(w) — [[imageDhash]]'s gradient trick on
+    * the time axis, so the signature is GAIN-INVARIANT (uniform amplitude
+    * scaling preserves every comparison; spec-pinned). Up to 63
+    * comparisons pack into one 64-bit long; shorter clips leave high bits
+    * 0, so callers should pair within a duration class (`n_windows` is
+    * emitted for exactly that prefilter). The 8-byte signatures feed
+    * [[graft.operators.Dedup.hammingPairs]] exactly like the image path.
+    * Output: (doc_id, sig, n_windows). */
+  def audioFingerprint(df: DataFrame, win: Int = 50): DataFrame = {
+    require(win > 0)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sig", LongType),
+      StructField("n_windows", LongType)))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col("doc_id").cast("long"), col("payload")).mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nSamples = bytes.length / 2
+        val nWin = (nSamples + win - 1) / win
+        val energies = new Array[Long](nWin)
+        var w = 0
+        while (w < nWin) {
+          val from = w * win
+          val until = math.min(from + win, nSamples)
+          var e = 0L
+          var i = from
+          while (i < until) { val s = bb.getShort(i * 2).toLong; e += s * s; i += 1 }
+          energies(w) = e
+          w += 1
+        }
+        var sig = 0L
+        var b = 0
+        while (b < math.min(nWin - 1, 63)) {
+          if (energies(b + 1) > energies(b)) sig |= 1L << b
+          b += 1
+        }
+        Row(r.getLong(0), sig, nWin.toLong)
+      }
+    }(encoder)
+  }
+
   /** Windowed audio energy over PCM16LE payloads — the VAD / silence-
     * detection primitive: decode int16 samples, emit per (doc, window of
     * `win` samples) the BIGINT Σ s² (energy·win; kept as the exact integer

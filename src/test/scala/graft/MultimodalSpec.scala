@@ -172,6 +172,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioFingerprint: hand-checked contour bits, gain-invariant, identical waveforms collide") {
+    // samples 1,-2,3,-4,5,0 at win=2: energies 5, 25, 25 → bits
+    // (25>5)=1, (25>25)=0 → sig=1, n_windows=3
+    def pcm(samples: Seq[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(samples.size * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+    val base = Seq(1, -2, 3, -4, 5, 0)
+    val out = Multimodal.audioFingerprint(
+      Seq((1L, pcm(base)), (2L, pcm(base.map(_ * 2))), // uniform gain 2×
+        (3L, pcm(Seq(9, 9, 1, 0, 1, 0))))             // falling contour
+      .toDF("doc_id", "payload"), win = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((1L, 3L)))
+    assert(out(2L) === out(1L), "uniform gain must not change the signature")
+    assert(out(3L) === ((0L, 3L))) // 162 > 1 > 1: both comparisons false
+    // synthesized waveforms: same (id mod 200) in one duration class →
+    // identical PCM → Hamming-0 pairs; the banding finds exactly them
+    val ids = Seq(0L, 200L, 400L, 5L, 205L).toDF("doc_id") // one duration class
+    val sigs = Multimodal.audioFingerprint(Multimodal.synthesizePcm(ids), win = 50)
+    val pairs = graft.operators.Dedup.hammingPairs(
+      sigs.select(col("doc_id"), col("sig")), 64, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical waveforms (id ≡ id' mod 200) MUST collide at Hamming 0
+    assert(Set((0L, 200L), (0L, 400L), (200L, 400L), (5L, 205L)).subsetOf(pairs))
+  }
+
   test("audio energy of synthesized PCM matches the analytic waveform") {
     val ids = Seq(3L, 12L).toDF("doc_id")
     val out = Multimodal.audioEnergy(Multimodal.synthesizePcm(ids))
