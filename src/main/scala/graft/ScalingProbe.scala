@@ -284,6 +284,30 @@ object ScalingProbe {
     // already isolates.
     time("dedup_clusters_100k_docs")(
       Dedup.clusters(bigDocs, Dedup.minhashPairs(bigDocs)).count())
+    // Image near-dup (r6) at 100k images: real PNG encode + javax.imageio
+    // decode + dHash per row through the codec seam (the cost center — all
+    // per-row CPU, no shuffle), then pigeonhole Hamming banding. doc_ids
+    // div 4 share a base pattern → 25k quads = 150k within-quad pairs
+    // floor. Beyond the floor: the synthesizer's cell space is mod-241, so
+    // 25k bases COLLAPSE to 241 residue classes (~415 identical images
+    // each) — this probe is deliberately the HIGH-DUP regime (measured
+    // ~20.7M real pairs ≈ 241·C(415,2)), the LAION-crawl worst case where
+    // Σ bucket² output dominates. Fanned to 256 tasks: codec work must
+    // scale with cores.
+    locally {
+      val imgIds = spark.range(100000).select(col("id").as("doc_id")).repartition(256)
+      var imgPairs = 0L
+      time("image_dhash_pairs_100k") {
+        imgPairs = Dedup.hammingPairs(
+          graft.operators.Multimodal.imageDhash(
+            graft.operators.Multimodal.synthesizePatternPngs(imgIds))
+            .withColumnRenamed("dhash", "sig"),
+          bits = 64, maxHamming = 4).count()
+        imgPairs
+      }
+      println(s"[scale]   image pairs: $imgPairs (floor 150000 from 25k quads)")
+      assert(imgPairs >= 150000L, s"missing within-quad image pairs: $imgPairs")
+    }
     // High-dup-rate corpus: every third base doc is replicated VERBATIM
     // across the 20 replicas, so ~⅓ of the 100k docs sit in 20-member
     // exact-dup clusters — web-crawl-like dup density. This is the shape

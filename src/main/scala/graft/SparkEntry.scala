@@ -240,8 +240,9 @@ object SparkEntry {
     * cell formula predicts every dHash bit, and Hamming distance is the
     * count of differing bit rows (no 64-bit packing needed in SQL). Capped
     * at doc_id < 400 (fixed ABSOLUTE size → SF-invariant all-pairs cost).
-    * Ends in `pairs(doc_a, doc_b, hamming)` — consumed by m5 directly and
-    * by m6's connected-components closure on top. */
+    * Ends in `ipairs(doc_a, doc_b, hamming)` — consumed by m5 directly,
+    * by m6's connected-components closure, and by m8's cross-modal
+    * evidence union. */
   private val sqlImageDhashCtes: String =
     s"""ib AS (SELECT d.doc_id, gx, gy,
        |              (d.doc_id // 4) * 53 + gx * 17 + gy * 29 + 11 AS u
@@ -263,7 +264,27 @@ object SparkEntry {
        |                CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
        |         FROM ibits a JOIN ibits b ON a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
        |         GROUP BY 1, 2),
-       |pairs AS (SELECT doc_a, doc_b, hamming FROM iham WHERE hamming <= 4)""".stripMargin
+       |ipairs AS (SELECT doc_a, doc_b, hamming FROM iham WHERE hamming <= 4)""".stripMargin
+
+  /** Shared SQL fragment: the audio-fingerprint near-dup replay (mirrors
+    * [[Multimodal.synthesizePcm]] + [[Multimodal.audioFingerprint]] at
+    * win=31 + [[Dedup.hammingPairs]]) over the 2000-sample duration class
+    * (doc_id % 5 = 4), capped at `cap` — ends in
+    * `apairs(doc_a, doc_b, hamming)`. Single source for m7 (cap 500) and
+    * m8's cross-modal union (cap 400). */
+  private def sqlAudioHamCtes(cap: Int): String =
+    s"""ad AS (SELECT doc_id FROM documents WHERE doc_id < $cap AND doc_id % 5 = 4),
+       |asm AS (SELECT doc_id, i, abs((i * 7 + doc_id) % 200 - 100) * 300 AS smp
+       |        FROM ad, LATERAL (SELECT unnest(generate_series(0, 1999)) AS i) g),
+       |ae AS (SELECT doc_id, i // 31 AS w, sum(smp * smp) AS energy FROM asm GROUP BY 1, 2),
+       |abits AS (SELECT a.doc_id, a.w AS b, CASE WHEN n.energy > a.energy THEN 1 ELSE 0 END AS bit
+       |          FROM ae a JOIN ae n ON n.doc_id = a.doc_id AND n.w = a.w + 1
+       |          WHERE a.w <= 62),
+       |aham AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |                CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+       |         FROM abits x JOIN abits y ON x.b = y.b AND x.doc_id < y.doc_id
+       |         GROUP BY 1, 2),
+       |apairs AS (SELECT doc_a, doc_b, hamming FROM aham WHERE hamming <= 4)""".stripMargin
 
   /** Shared SQL fragment: the CCNet bucketing replay (t16's LM chain →
     * BIGINT per-doc mean score → rank terciles → tail-sample keep) ending
@@ -1166,6 +1187,32 @@ object SparkEntry {
           win = 31)
           .select(col("doc_id"), col("sig")),
         bits = 64, maxHamming = 4)),
+    // CROSS-MODAL union-of-evidence dedup: each asset carries an image
+    // (m5's planted quads) and — in one duration class — an audio track
+    // (m7's waveforms); assets are dups if EITHER modality matches. The
+    // two pair sets union into ONE connected-components closure, so
+    // image-only links (within a quad) and audio-only links (doc_id ≡
+    // doc_id' mod 200) merge transitively — the entity-resolution shape a
+    // real multimodal corpus pipeline runs. Same doc_id < 400 cap.
+    "m8_multimodal_dedup" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 400)
+      val imgPairs = Dedup.hammingPairs(
+        Multimodal.imageDhash(
+          Multimodal.synthesizePatternPngs(ids.repartition(64)))
+          .withColumnRenamed("dhash", "sig"),
+        bits = 64, maxHamming = 4)
+      val audioPairs = Dedup.hammingPairs(
+        Multimodal.audioFingerprint(
+          Multimodal.synthesizePcm(
+            ids.filter(col("doc_id") % 5 === 4).repartition(64)),
+          win = 31)
+          .select(col("doc_id"), col("sig")),
+        bits = 64, maxHamming = 4)
+      Dedup.clusters(ids,
+        imgPairs.select(col("doc_a"), col("doc_b"))
+          .unionByName(audioPairs.select(col("doc_a"), col("doc_b"))))
+    }),
     // The m5 pairs closed into dedup decisions: connected components over
     // the Hamming-≤4 graph label every image with its cluster's canonical
     // id — "keep one per near-dup image cluster" is filter(is_canonical).
@@ -3633,27 +3680,32 @@ object SparkEntry {
     // composed with d6's Hamming semantics).
     "m5_image_pairs" ->
       s"""WITH $sqlImageDhashCtes
-         |SELECT doc_a, doc_b, hamming FROM pairs""".stripMargin,
+         |SELECT doc_a, doc_b, hamming FROM ipairs""".stripMargin,
     // Audio near-dup pairs: the m4 waveform replay at win=50 → energy
     // contour bits → Hamming via the bit-row join (the m5 oracle shape on
     // the time axis; nothing decodes binary).
     "m7_audio_dedup" ->
-      """WITH ad AS (SELECT doc_id FROM documents WHERE doc_id < 500 AND doc_id % 5 = 4),
-        |s AS (SELECT doc_id, i, abs((i * 7 + doc_id) % 200 - 100) * 300 AS smp
-        |      FROM ad, LATERAL (SELECT unnest(generate_series(0, 1999)) AS i) g),
-        |e AS (SELECT doc_id, i // 31 AS w, sum(smp * smp) AS energy FROM s GROUP BY 1, 2),
-        |abits AS (SELECT a.doc_id, a.w AS b, CASE WHEN n.energy > a.energy THEN 1 ELSE 0 END AS bit
-        |          FROM e a JOIN e n ON n.doc_id = a.doc_id AND n.w = a.w + 1
-        |          WHERE a.w <= 62),
-        |aham AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |                CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
-        |         FROM abits x JOIN abits y ON x.b = y.b AND x.doc_id < y.doc_id
-        |         GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, hamming FROM aham WHERE hamming <= 4""".stripMargin,
+      s"""WITH ${sqlAudioHamCtes(500)}
+         |SELECT doc_a, doc_b, hamming FROM apairs""".stripMargin,
+    // Cross-modal union-of-evidence dedup: a multimodal asset is a dup if
+    // EITHER its image OR its audio matches — both analytic pair replays,
+    // unioned into one closure (the entity-resolution shape).
+    "m8_multimodal_dedup" ->
+      s"""WITH RECURSIVE $sqlImageDhashCtes,
+         |${sqlAudioHamCtes(400)},
+         |pairs AS (SELECT doc_a, doc_b FROM ipairs
+         |          UNION SELECT doc_a, doc_b FROM apairs),
+         |$sqlClosureCtes
+         |SELECT d.doc_id,
+         |       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+         |       CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < 400) d
+         |LEFT JOIN lab l ON l.doc_id = d.doc_id""".stripMargin,
     // m5's pairs closed into clusters — d7's recursive closure over the
     // image-Hamming graph.
     "m6_image_dedup" ->
       s"""WITH RECURSIVE $sqlImageDhashCtes,
+         |pairs AS (SELECT doc_a, doc_b, hamming FROM ipairs),
          |$sqlClosureCtes
          |SELECT d.doc_id,
          |       coalesce(l.cluster_id, d.doc_id) AS cluster_id,

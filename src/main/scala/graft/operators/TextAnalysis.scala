@@ -578,33 +578,37 @@ object TextAnalysis {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("cnt")).as("n"))
     }
-    // No-op fallback pair so an exhausted round (every word one symbol →
-    // pairCounts empty) can never produce a 0-row `top`: a 0-row broadcast
-    // crossJoin would EMPTY the word table and the remaining rounds plus
-    // bpeEncode would silently return nothing instead of the fixed point.
-    // The sentinel a=b=S2 can't match any sym (symbols carry no sentinel
-    // chars by the filter above) and n = -1 loses every (n DESC) ordering
-    // against a real pair (n ≥ 1), so it only wins when there are none;
-    // sentinel merge rows are filtered out of the returned merge table.
-    val fallback = docs.sparkSession.range(1)
-      .select(lit(S2).as("a"), lit(S2).as("b"), lit(-1L).as("n"))
+    // Exhausted-round guard: if a round's pairCounts is EMPTY (every word
+    // already one symbol), a 0-row broadcast crossJoin would empty the
+    // whole word table and the remaining rounds plus bpeEncode would
+    // silently return nothing instead of the fixed point. The guard stays
+    // OFF the hot path: a 1-ROW range left-joins the ≤1-row top, so
+    // `top1` is always exactly one row — the real pair when one exists,
+    // else the sentinel (S2, S2), whose replace pattern contains sentinel
+    // chars and can never match a sym (symbols carry none by the filter
+    // above). The word-table crossJoin below is byte-identical to the
+    // unguarded plan; an exhausted round contributes no merge row.
     var w = words
     var merges: DataFrame = null
     for (r <- 1 to rounds) {
       val top = pairCounts(w)
-        .select(col("a"), col("b"), col("n"))
-        .unionByName(fallback)
         .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .select(col("a"), col("b"), col("n"))
       val mergeRow = top.select(lit(r.toLong).as("round"), col("a"), col("b"), col("n"))
       merges = if (merges == null) mergeRow else merges.unionByName(mergeRow)
-      w = w.crossJoin(broadcast(top))
+      val top1 = docs.sparkSession.range(1)
+        .join(broadcast(top), lit(true), "left")
+        .select(
+          coalesce(col("a"), lit(S2)).as("a"),
+          coalesce(col("b"), lit(S2)).as("b"))
+      w = w.crossJoin(broadcast(top1))
         .withColumn("sym", org.apache.spark.sql.functions.replace(
           col("sym"),
           concat(lit(S1), col("a"), lit(S2), lit(S1), col("b"), lit(S2)),
           concat(lit(S1), col("a"), col("b"), lit(S2))))
         .select(col("word"), col("cnt"), col("sym"))
     }
-    (w, merges.filter(col("n") > 0))
+    (w, merges)
   }
 
   /** Per-group exact heavy hitters — [[heavyHitters]] with the sketch kept
