@@ -27,9 +27,11 @@ object Bench {
     // round-4/5 families, so plan audits cover the newer operators too
     "s9_ivf_pq", "s14_ivf_pq_stored", "x1_percentile", "x9_winsorize",
     "u1_merge_upsert", "q34_global_rank", "p9_weighted_sample",
-    // round-6 families: image near-dup, exact substring dedup, BFF Bloom
-    "m5_image_pairs", "m6_image_dedup", "t28_substring_dedup",
-    "t29_substring_cut", "c5_bloom_paragraph_dedup")
+    // round-6 families: image/audio/cross-modal near-dup, exact substring
+    // dedup, BFF Bloom
+    "m5_image_pairs", "m6_image_dedup", "m7_audio_dedup",
+    "m8_multimodal_dedup", "t28_substring_dedup", "t29_substring_cut",
+    "c5_bloom_paragraph_dedup")
 
   /** Every registered query, name-sorted — the bench times ALL of them so
     * round-over-round regressions are visible everywhere, not just on the
