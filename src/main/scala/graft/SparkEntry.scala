@@ -1589,7 +1589,10 @@ object SparkEntry {
       // a tiny-corpus gate from failing on one unlucky hash
       val allowedPM = math.ceil(10.0 * Curation.expectedBloomFpRate(
         nStore, 1L << 20, 1L << 23) * 1e6).toLong
-      screen.join(broadcast(truth), Seq("h"), "left")
+      // no broadcast hint: `truth` is the store corpus's distinct segment
+      // hashes — a frame that scales linearly with corpus size (the
+      // candidate-derived-frame rule); AQE picks at fixture scale
+      screen.join(truth, Seq("h"), "left")
         .select(col("doc_id"), col("dropped"),
           coalesce(col("is_dup"), lit(0L)).as("is_dup"))
         .agg(

@@ -32,9 +32,23 @@ object Erasure {
     require(partCols.nonEmpty, "eraseKeys needs a partitioned table")
     val full = spark.read.parquet(dataDir)
     val keyFrame = broadcast(keys.select(col(keyCol)).distinct())
-    val affected = full.join(keyFrame, Seq(keyCol), "left_semi")
-      .select(partCols.map(col): _*).distinct().collect()
+    // Affected partitions AND one actual file path per partition: the
+    // on-disk directory comes from the scan's own `input_file_name`, not a
+    // reconstruction of Spark's write-side naming — value formatting
+    // (timestamps, escapes, NULL) can't drift between what was written and
+    // what gets deleted. Review finding (r6).
+    val affectedRows = full.join(keyFrame, Seq(keyCol), "left_semi")
+      .groupBy(partCols.map(col): _*)
+      .agg(min(input_file_name()).as("__file"))
+      .collect()
+    val affected = affectedRows
       .map(r => partCols.indices.map(i => r.get(i)).toSeq).toSet
+    // leaf partition directory = parent of any of its data files
+    val partDirs: Map[Seq[Any], java.io.File] = affectedRows.map { r =>
+      val vals = partCols.indices.map(i => r.get(i)).toSeq
+      val uri = new java.net.URI(r.getString(partCols.size))
+      vals -> new java.io.File(uri.getPath).getParentFile
+    }.toMap
     if (affected.isEmpty) return (0L, 0L, 0L)
 
     // rows of the affected partitions only (partition pruning applies).
@@ -63,17 +77,12 @@ object Erasure {
         Sink.backfillPartitions(remainder, dataDir, partCols)
       // all-deleted partitions: dynamic overwrite never saw them — remove
       // their directories explicitly or the erased keys survive on disk.
-      // Directory names must be built exactly the way Spark writes them:
-      // Hive path escaping for special chars and __HIVE_DEFAULT_PARTITION__
-      // for NULL (a raw "$col=$value" path would miss the real directory
-      // and silently leave the erased keys on disk).
+      // The directory is the captured data file's parent (scan-derived, so
+      // Hive escaping, NULL naming, and typed-value formatting are all
+      // exactly what the writer produced).
       val emptied = affected.diff(remainingParts)
       emptied.foreach { vals =>
-        val dir = partCols.zip(vals).map { case (c, v) =>
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .getPartitionPathString(c, if (v == null) null else v.toString)
-        }.mkString("/", "/", "")
-        val f = new java.io.File(dataDir + dir)
+        val f = partDirs(vals)
         // fail LOUDLY: a right-to-be-forgotten operator must never report a
         // partition as removed while its files survive on disk
         require(f.isDirectory,

@@ -213,12 +213,22 @@ object Curation {
     val n = segs.count()
     segs.unpersist()
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storeDir))
-    java.nio.file.Files.write(java.nio.file.Paths.get(storeDir, "bloom.bin"),
-      if (sketch == null) Array.empty[Byte] else sketch)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(storeDir, "n_items"), n.toString)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(storeDir, s"_format-seg$segWords"), Array.empty[Byte])
+    // Publish each artifact via hidden-temp + ATOMIC_MOVE (the signature
+    // store's staging discipline): a rebuild over a live store must never
+    // let a concurrent screen read a torn bloom.bin behind a still-valid
+    // format marker — readers see either the complete old sketch or the
+    // complete new one. The marker is written LAST, after the sketch it
+    // gates. Review finding (r6).
+    def publish(name: String, bytes: Array[Byte]): Unit = {
+      val tmp = java.nio.file.Paths.get(storeDir, s".staging-$name")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(storeDir, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    publish("bloom.bin", if (sketch == null) Array.empty[Byte] else sketch)
+    publish("n_items", n.toString.getBytes("UTF-8"))
+    publish(s"_format-seg$segWords", Array.empty[Byte])
     n
   }
 

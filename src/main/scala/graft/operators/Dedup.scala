@@ -787,21 +787,30 @@ object Dedup {
   def hammingPairs(sig: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
     require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
     val nChunks = maxHamming + 1
-    val chunkBits = (bits + nChunks - 1) / nChunks
     require(nChunks <= bits, s"maxHamming $maxHamming needs more chunks than $bits bits")
+    // EVEN width distribution (bits/nChunks, the first bits%nChunks chunks
+    // one wider) — a ceil-width layout degenerates when
+    // ceil(bits/n)·(n−1) ≥ bits: the trailing chunk is ZERO bits wide,
+    // masks to v=0 for every row, and that one bucket silently turns the
+    // banding join into the full n² cross product (the Σ bucket² hazard
+    // this operator exists to avoid). Every even chunk is ≥ 1 bit for any
+    // nChunks ≤ bits, and for the 60/3 and 64/4 gate combos the layout is
+    // unchanged. Review finding (r6).
+    val widths = (0 until nChunks).map(c => bits / nChunks + (if (c < bits % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val sigs = sig.select(col("doc_id"), col("sig")).cache()
     val chunks = sigs.select(
       col("doc_id"),
       col("sig"),
       explode(array((0 until nChunks).map { c =>
-        val width = math.min(chunkBits, bits - c * chunkBits)
+        val width = widths(c)
         // mask AFTER the arithmetic shift so a set sign bit can't smear
-        // into the chunk value; a full-width top chunk needs the -1 mask
+        // into the chunk value; a full-width chunk needs the -1 mask
         // (1L << 64 wraps)
         val mask = if (width >= 64) -1L else (1L << width) - 1L
         struct(
           lit(c).as("c"),
-          shiftright(col("sig"), c * chunkBits).bitwiseAND(lit(mask)).as("v"))
+          shiftright(col("sig"), offsets(c)).bitwiseAND(lit(mask)).as("v"))
       }: _*)).as("ch"))
       .select(col("doc_id"), col("sig"), col("ch.c"), col("ch.v"))
     val a = chunks.select(col("c"), col("v"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
