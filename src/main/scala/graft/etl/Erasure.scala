@@ -36,10 +36,14 @@ object Erasure {
     // on-disk directory comes from the scan's own `input_file_name`, not a
     // reconstruction of Spark's write-side naming — value formatting
     // (timestamps, escapes, NULL) can't drift between what was written and
-    // what gets deleted. Review finding (r6).
+    // what gets deleted. Review finding (r6). The file name is materialized
+    // in a Project FIRST (the ZoneMaps pattern): non-deterministic
+    // expressions are legal in Project but rejected inside aggregate
+    // functions (AGGREGATE_FUNCTION_WITH_NONDETERMINISTIC_EXPRESSION).
     val affectedRows = full.join(keyFrame, Seq(keyCol), "left_semi")
+      .withColumn("__file", input_file_name())
       .groupBy(partCols.map(col): _*)
-      .agg(min(input_file_name()).as("__file"))
+      .agg(min(col("__file")).as("__file"))
       .collect()
     val affected = affectedRows
       .map(r => partCols.indices.map(i => r.get(i)).toSeq).toSet
