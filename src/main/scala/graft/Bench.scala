@@ -69,8 +69,10 @@ object Bench {
       try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       // Several operators intentionally leave a bounded cache behind
-      // (bm25's tf, the globalRank/Quantiles barriers — documented
-      // trade); across 160+ queries × multiple passes those leaks
+      // (bm25's tf, the globalRank/Quantiles barriers — including
+      // Quantiles' second offsets cache on the distributed path — and
+      // hammingPairs' signature frame, which m8 builds TWICE per run:
+      // image + audio); across 160+ queries × multiple passes those leaks
       // compound into real executor memory pressure that taxes LATER
       // queries (measured: the streaming rows ran 2.6× slower at the end
       // of the suite than standalone). Isolate each measurement: a query

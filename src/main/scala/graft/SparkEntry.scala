@@ -3684,9 +3684,10 @@ object SparkEntry {
     "m5_image_pairs" ->
       s"""WITH $sqlImageDhashCtes
          |SELECT doc_a, doc_b, hamming FROM ipairs""".stripMargin,
-    // Audio near-dup pairs: the m4 waveform replay at win=50 → energy
-    // contour bits → Hamming via the bit-row join (the m5 oracle shape on
-    // the time axis; nothing decodes binary).
+    // Audio near-dup pairs: the m4 waveform replay at win=31 (coprime to
+    // the wave period — win=50 is the documented degenerate choice) →
+    // energy contour bits → Hamming via the bit-row join (the m5 oracle
+    // shape on the time axis; nothing decodes binary).
     "m7_audio_dedup" ->
       s"""WITH ${sqlAudioHamCtes(500)}
          |SELECT doc_a, doc_b, hamming FROM apairs""".stripMargin,

@@ -601,7 +601,9 @@ object Dedup {
     * produce O(f²) anchor pairs — exactly the passages the operator
     * exists to find; when only rarer duplication matters, `maxAnchorDf`
     * drops anchors whose OCCURRENCE count exceeds the cap before the
-    * join (one count-window pass over the 24-byte anchor stream), which
+    * join (a map-side-combined groupBy over the 24-byte anchor stream +
+    * an anti-join against the over-cap hash set — skew-safe: no window
+    * puts one anchor's occurrences in one task), which
     * bounds every bucket at maxAnchorDf² pairs — at the documented cost
     * of splitting or losing runs that pass through dropped anchors
     * (spec-pinned). 0 = uncapped (the exact default). */
@@ -616,10 +618,22 @@ object Dedup {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
     val sh =
       if (maxAnchorDf <= 0) raw
-      else raw
-        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
-        .filter(col("__df") <= maxAnchorDf)
-        .drop("__df")
+      else {
+        // Over-cap anchors via groupBy + anti-join, NOT a count window: a
+        // window partitioned by h puts every occurrence of one anchor hash
+        // in ONE task, so the very boilerplate anchor the cap exists to
+        // neutralize becomes a single hot task in the cap computation
+        // itself. groupBy gets map-side partial aggregation (each map task
+        // emits one row per local h), and the anti-join's build side is
+        // only the over-cap hashes — duplication-shaped, typically tiny
+        // (AQE may broadcast it; the anti-join output is bounded by its
+        // probe input, so there is no Σ bucket² hazard here). r7 skew fix.
+        val overCap = raw.groupBy(col("h"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxAnchorDf)
+          .select(col("h"))
+        raw.join(overCap, Seq("h"), "left_anti")
+      }
     val a = sh.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
     val b = sh.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pos_b"))
     val wIsle = Window
@@ -685,8 +699,12 @@ object Dedup {
       .distinct()
       .withColumn("__cut", lit(1L))
     docs
-      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text")))
-        .as(Seq("pos", "tok")))
+      // coalesce honors the one-output-row-per-input-doc contract for
+      // NULL-text docs too: posexplode of a NULL token array would drop the
+      // doc entirely (tokens('') = [''] keeps empty-string docs anyway)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
+          .as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
       .join(cuts, Seq("doc_id", "pos"), "left")
       .groupBy(col("doc_id"))
@@ -798,6 +816,12 @@ object Dedup {
     // unchanged. Review finding (r6).
     val widths = (0 until nChunks).map(c => bits / nChunks + (if (c < bits % nChunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
+    // Cached, never unpersisted here: the signature frame feeds both sides
+    // of the banding join and the caller may score survivors against it.
+    // This is a documented per-operator cache-leak site (same convention as
+    // simhashPairs / the globalRank barrier — Bench's clearCache() is the
+    // isolation boundary); note m8 invokes hammingPairs twice per query
+    // (image + audio), so two cached frames accumulate per run.
     val sigs = sig.select(col("doc_id"), col("sig")).cache()
     val chunks = sigs.select(
       col("doc_id"),

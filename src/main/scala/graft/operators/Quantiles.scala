@@ -195,6 +195,11 @@ object Quantiles {
     // Cached: three consumers (targets, prune, rank join) must not re-run
     // the count aggregation — and the snapshot pins ONE placement (same
     // barrier contract as the data frame; callers/bench clearCache()).
+    // NOTE: this is a SECOND never-unpersisted cache on the distributed
+    // path (on top of the parted barrier) — both are bounded
+    // (group-cardinality-sized and input-sized respectively) and both are
+    // the caller's to release via clearCache(); long-lived sessions doing
+    // high-cardinality quantiles should clear between workloads.
     val wOff = Window.partitionBy(col("__g")).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = countsDf
