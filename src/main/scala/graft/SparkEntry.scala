@@ -1226,6 +1226,29 @@ object SparkEntry {
         bits = 64, maxHamming = 4)
       Dedup.clusters(ids, pairs)
     }),
+    // VIDEO near-dup — the third modality, composed from the pillars the
+    // verdicts asked to connect: synthesize real length-framed multi-frame
+    // containers (families of base / BMP-re-encoded / 2-frame-trimmed
+    // cuts), demux on the codec seam, per-frame dHash (8×7 grid → 56-bit
+    // signatures), then TEMPORAL alignment via the t28 aligned-run-island
+    // machinery with positions = frame indices: videos pair iff ≥ 4
+    // consecutive frames match at one constant offset (re-encodes align at
+    // diff 0, trims at diff −2), pairs close into clusters. doc_id < 120
+    // caps the all-pairs oracle at a fixed ABSOLUTE size (SF-invariant);
+    // the operators themselves are uncapped. The oracle replays videoCell
+    // analytically, packs each frame's 56 dHash bits into a BIGINT, and
+    // runs the same island detection in SQL — nothing decodes binary.
+    "m9_video_dedup" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 120)
+      val fh = Multimodal.frameDhash(
+        Multimodal.videoFrames(
+          Multimodal.synthesizeVideos(ids.repartition(64))))
+      val runs = Dedup.frameAlignedRuns(
+        fh.select(col("doc_id"), col("frame_idx").as("pos"), col("dhash").as("h")),
+        minRun = 4)
+      Dedup.clusters(ids, runs.select(col("doc_a"), col("doc_b")).distinct())
+    }),
     // Approximate HLL distinct, made HASH-CHECKABLE: the sketch value
     // itself is engine-specific, so the query emits the EXACT count plus an
     // integer error-bound verdict — `within_bound` = 1 iff the engine's own
@@ -3715,6 +3738,55 @@ object SparkEntry {
          |       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
          |       CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
          |FROM (SELECT doc_id FROM documents WHERE doc_id < 400) d
+         |LEFT JOIN lab l ON l.doc_id = d.doc_id""".stripMargin,
+    // Video near-dup: replays videoCell per (family, content-frame) —
+    // trimmed variants shift position but keep content indices — packs
+    // each frame's 56 dHash bits into one integer (8×7 grid never sets
+    // bit 63, so plain shifts are sign-safe), joins frames on hash
+    // equality, and collapses consecutive matches per (pair, offset-diff)
+    // with the pos − row_number island key; runs ≥ 4 frames become pairs,
+    // closed by the shared recursive closure. Nothing touches binary.
+    "m9_video_dedup" ->
+      s"""WITH RECURSIVE
+         |vd AS (SELECT doc_id, doc_id // 3 AS f, doc_id % 3 AS t
+         |       FROM documents WHERE doc_id < 120),
+         |vn AS (SELECT doc_id, f, t, 6 + (f % 3) * 2 AS nf FROM vd),
+         |vf AS (SELECT doc_id, f, ci - CASE WHEN t = 2 THEN 2 ELSE 0 END AS pos, ci
+         |       FROM vn, LATERAL (SELECT unnest(generate_series(
+         |         CASE WHEN t = 2 THEN 2 ELSE 0 END, nf - 1)) AS ci) g),
+         |vb AS (SELECT doc_id, pos, gx, gy,
+         |              f * 131 + ci * 41 + gx * 17 + gy * 29 + 13 AS u
+         |       FROM vf CROSS JOIN generate_series(0, 8) tx(gx)
+         |       CROSS JOIN generate_series(0, 6) ty(gy)),
+         |vc AS (SELECT doc_id, pos, gx, gy, ((u * u) % 1000003) % 241 AS v FROM vb),
+         |vbits AS (SELECT a.doc_id, a.pos, a.gx AS x, a.gy AS y,
+         |                 CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+         |          FROM vc a JOIN vc b
+         |            ON b.doc_id = a.doc_id AND b.pos = a.pos
+         |           AND b.gy = a.gy AND b.gx = a.gx + 1
+         |          WHERE a.gx <= 7),
+         |vh AS (SELECT doc_id, pos,
+         |              sum(CASE WHEN bit = 1
+         |                       THEN (CAST(1 AS BIGINT) << (y * 8 + x))
+         |                       ELSE CAST(0 AS BIGINT) END) AS fhash
+         |       FROM vbits GROUP BY doc_id, pos),
+         |vm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |              a.pos AS pos_a, b.pos - a.pos AS diff
+         |       FROM vh a JOIN vh b
+         |         ON b.fhash = a.fhash AND a.doc_id < b.doc_id),
+         |visl AS (SELECT doc_a, doc_b, diff, pos_a,
+         |                pos_a - row_number() OVER (
+         |                  PARTITION BY doc_a, doc_b, diff ORDER BY pos_a) AS isle
+         |         FROM vm),
+         |vruns AS (SELECT doc_a, doc_b FROM visl
+         |          GROUP BY doc_a, doc_b, diff, isle
+         |          HAVING max(pos_a) - min(pos_a) + 1 >= 4),
+         |pairs AS (SELECT DISTINCT doc_a, doc_b FROM vruns),
+         |$sqlClosureCtes
+         |SELECT d.doc_id,
+         |       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+         |       CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < 120) d
          |LEFT JOIN lab l ON l.doc_id = d.doc_id""".stripMargin,
     // Replays deterministic spherical k-means: LSH cells (the s3 uncentered
     // quadratic-mix signature) → top-8 cells by population seed the

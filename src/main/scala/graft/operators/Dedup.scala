@@ -634,6 +634,21 @@ object Dedup {
           .select(col("h"))
         raw.join(overCap, Seq("h"), "left_anti")
       }
+    alignedRunCore(sh, minTokens, k).withColumnRenamed("len", "len_tokens")
+  }
+
+  /** The aligned-run island core shared by [[duplicatedSpans]] (token
+    * k-gram anchors) and [[frameAlignedRuns]] (per-frame perceptual hashes,
+    * k = 1): join positional anchors on the hash, group matches by
+    * (doc_a, doc_b, pos_b−pos_a), and collapse CONSECUTIVE matches at one
+    * offset difference into maximal runs via the classic pos−row_number
+    * island key. Input: (doc_id, pos, h); output: (doc_a, doc_b, a_start,
+    * b_start, len) with len = covered positions (anchor span + k − 1).
+    * Both sides pin `shuffle_hash` — the join's cost is its Σ per-hash
+    * bucket² OUTPUT (the [[simhashPairs]] AQE lesson); island windows
+    * partition by (doc_a, doc_b, diff), bounded by sequence length. */
+  private def alignedRunCore(sh: DataFrame, minLen: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val a = sh.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
     val b = sh.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pos_b"))
     val wIsle = Window
@@ -646,10 +661,29 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"), col("__diff"), col("__isle"))
       .agg(
         min(col("pos_a")).as("a_start"),
-        (max(col("pos_a")) - min(col("pos_a")) + lit(k.toLong)).as("len_tokens"))
+        (max(col("pos_a")) - min(col("pos_a")) + lit(k.toLong)).as("len"))
       .select(col("doc_a"), col("doc_b"), col("a_start"),
-        (col("a_start") + col("__diff")).as("b_start"), col("len_tokens"))
-      .filter(col("len_tokens") >= minTokens)
+        (col("a_start") + col("__diff")).as("b_start"), col("len"))
+      .filter(col("len") >= minLen)
+  }
+
+  /** Temporal alignment of per-frame perceptual hashes — the video
+    * near-dup criterion: two videos share a duplicated SEGMENT iff ≥
+    * `minRun` consecutive frames match at one constant offset difference
+    * (a trimmed or re-encoded cut aligns at diff = trim length; unrelated
+    * videos have no run). This is [[duplicatedSpans]]'s machinery with
+    * positions = frame indices and anchors = frame dHashes (k = 1: each
+    * anchor covers exactly one frame). Input: (doc_id, pos, h) rows from
+    * [[graft.operators.Multimodal.frameDhash]]; output: (doc_a, doc_b,
+    * a_start, b_start, len_frames). Frame-hash equality is EXACT —
+    * perceptually-identical frames (re-encodes of the same raster) carry
+    * identical dHashes; per-frame Hamming tolerance belongs in a banding
+    * pre-step ([[hammingPairs]]) if a lossy-codec corpus needs it.
+    * Scale shape: only (hash, doc, pos) triples shuffle — frames never
+    * do; cost is Σ per-hash bucket², `shuffle_hash` pinned. */
+  def frameAlignedRuns(frameHashes: DataFrame, minRun: Int = 4): DataFrame = {
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    alignedRunCore(frameHashes, minRun, 1).withColumnRenamed("len", "len_frames")
   }
 
   /** Corpus-wide SEGMENT-level exact dedup (the CCNet/RefinedWeb line-dedup

@@ -288,42 +288,198 @@ object Multimodal {
         val in = r.getAs[Array[Byte]](1)
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(in))
         require(img != null, s"payload (${in.length} bytes) is not a decodable image")
-        val w = img.getWidth
-        val h = img.getHeight
-        val raster = img.getRaster
-        val bands = raster.getNumBands
-        val cols = gridW + 1
-        require(w >= cols && h >= gridH, s"image ${w}x$h smaller than dHash grid")
-        val sums = Array.ofDim[Long](cols, gridH)
-        val counts = Array.ofDim[Long](cols, gridH)
-        var y = 0
-        while (y < h) {
-          val gy = (y.toLong * gridH / h).toInt
-          var x = 0
-          while (x < w) {
-            val gx = (x.toLong * cols / w).toInt
-            var s = 0L
-            var b = 0
-            while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
-            sums(gx)(gy) += s
-            counts(gx)(gy) += bands
-            x += 1
+        Row(r.getLong(0), dhashOf(img, gridW, gridH))
+      }
+    }(encoder)
+  }
+
+  /** Shared per-image dHash kernel over a decoded raster — bit (x,y) = 1
+    * iff grid cell (x+1,y) is brighter than cell (x,y), via exact integer
+    * cross-multiplied sums (see [[imageDhash]] for the full contract).
+    * Single source for the whole-image and per-frame signature paths. */
+  private def dhashOf(img: java.awt.image.BufferedImage,
+      gridW: Int, gridH: Int): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    val cols = gridW + 1
+    require(w >= cols && h >= gridH, s"image ${w}x$h smaller than dHash grid")
+    val sums = Array.ofDim[Long](cols, gridH)
+    val counts = Array.ofDim[Long](cols, gridH)
+    var y = 0
+    while (y < h) {
+      val gy = (y.toLong * gridH / h).toInt
+      var x = 0
+      while (x < w) {
+        val gx = (x.toLong * cols / w).toInt
+        var s = 0L
+        var b = 0
+        while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+        sums(gx)(gy) += s
+        counts(gx)(gy) += bands
+        x += 1
+      }
+      y += 1
+    }
+    var sig = 0L
+    var gy = 0
+    while (gy < gridH) {
+      var gx = 0
+      while (gx < gridW) {
+        if (sums(gx + 1)(gy) * counts(gx)(gy) > sums(gx)(gy) * counts(gx + 1)(gy))
+          sig |= 1L << (gy * gridW + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    sig
+  }
+
+  /** The analytic frame-cell formula behind [[synthesizeVideos]] — single
+    * source for the synthesizer and its spec/oracle replays. `family` is
+    * the shared-content group (doc_id div 3), `ci` the CONTENT frame index
+    * (variant trims shift position but keep content indices). Squared-
+    * then-mod mixing for uncorrelated grids (the [[patternCell]] lesson). */
+  def videoCell(family: Long, ci: Int, gx: Int, gy: Int): Int = {
+    val u = family * 131L + ci * 41L + gx * 17L + gy * 29L + 13L
+    // Square into a WIDE modulus first, then reduce to gray range: a
+    // direct u² mod 241 makes the whole frame a function of u mod 241, so
+    // the per-frame hash space collapses to 241 values and unrelated
+    // families collide on ≥4-frame runs (measured: 13 of 27 clusters
+    // falsely merged). With the wide intermediate, distinct (family, ci)
+    // bases stay distinct pre-reduction and frame hashes are effectively
+    // 56-bit random — cross-family runs measured zero.
+    (((u * u) % 1000003L) % 241L).toInt
+  }
+
+  /** Frame count for a video family: 6/8/10 frames by family mod 3 — three
+    * duration classes so run lengths differ across the fixture. */
+  def videoFrameCount(family: Long): Int = 6 + (family % 3).toInt * 2
+
+  /** Deterministic multi-frame video synthesis with PLANTED near-dup
+    * structure — the video-dedup fixture generator (the
+    * [[synthesizePatternPngs]] pattern extended to a frame SEQUENCE).
+    * Container format: 4-byte big-endian frame count, then per frame a
+    * 4-byte big-endian length + the encoded image bytes (the length-framed
+    * layout any real demuxer emits).
+    *
+    * Each doc_id belongs to a family of three (family = doc_id div 3,
+    * variant = doc_id mod 3) sharing one analytic content sequence
+    * ([[videoCell]]; `nf` = [[videoFrameCount]] frames, each an 18×14 gray
+    * image of 2×2 uniform blocks on a 9×7 grid):
+    *  - variant 0: the base cut, frames 0..nf−1, PNG-encoded;
+    *  - variant 1: a RE-ENCODED copy — identical rasters, BMP-encoded
+    *    (genuinely different bytes through a different codec; a
+    *    byte-hash dedup can never pair it, a perceptual one must);
+    *  - variant 2: a TRIMMED cut — frames 2..nf−1 re-indexed from 0 (the
+    *    leading-credits trim; pairs only through offset-tolerant temporal
+    *    alignment, diff = −2).
+    * Different families are unrelated pseudo-random grids. A SQL oracle
+    * replays [[videoCell]] per (family, ci) and predicts every per-frame
+    * dHash bit without touching binary. */
+  def synthesizeVideos(ids: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col("doc_id").cast("long")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // memory-only streams (see ImageIoCodec)
+      it.map { r =>
+        val id = r.getLong(0)
+        val family = id / 3
+        val variant = (id % 3).toInt
+        val nf = videoFrameCount(family)
+        val cis = if (variant == 2) 2 until nf else 0 until nf
+        val format = if (variant == 1) "bmp" else "png"
+        val frames = cis.map { ci =>
+          val img = new java.awt.image.BufferedImage(
+            18, 14, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var gy = 0
+          while (gy < 7) {
+            var gx = 0
+            while (gx < 9) {
+              val g = videoCell(family, ci, gx, gy)
+              val rgb = (g << 16) | (g << 8) | g
+              img.setRGB(gx * 2, gy * 2, rgb); img.setRGB(gx * 2 + 1, gy * 2, rgb)
+              img.setRGB(gx * 2, gy * 2 + 1, rgb); img.setRGB(gx * 2 + 1, gy * 2 + 1, rgb)
+              gx += 1
+            }
+            gy += 1
           }
-          y += 1
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, format, bos)
+          bos.toByteArray
         }
-        var sig = 0L
-        var gy = 0
-        while (gy < gridH) {
-          var gx = 0
-          while (gx < gridW) {
-            // brighter-to-the-right, via exact integer cross-multiply
-            if (sums(gx + 1)(gy) * counts(gx)(gy) > sums(gx)(gy) * counts(gx + 1)(gy))
-              sig |= 1L << (gy * gridW + gx)
-            gx += 1
-          }
-          gy += 1
-        }
-        Row(r.getLong(0), sig)
+        val total = 4 + frames.map(4 + _.length).sum
+        val bb = java.nio.ByteBuffer.allocate(total)
+          .order(java.nio.ByteOrder.BIG_ENDIAN)
+        bb.putInt(frames.size)
+        frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+        Row(id, bb.array())
+      }
+    }(encoder)
+  }
+
+  /** Demux the [[synthesizeVideos]] container into per-frame rows:
+    * (doc_id, frame_idx, frame_bytes). Same codec-seam shape as
+    * [[extractFeatures]] — per-row parse in `mapPartitions`, no shuffle;
+    * the frame fan-out is bounded by the container's own frame count.
+    * Malformed containers (truncated lengths, trailing bytes) throw
+    * per-row — corrupt media must surface, not silently drop frames. */
+  def videoFrames(df: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", LongType),
+      StructField("frame_bytes", BinaryType)))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col("doc_id").cast("long"), col("payload")).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.BIG_ENDIAN)
+        require(bb.remaining >= 4, s"video $id: truncated container header")
+        val n = bb.getInt
+        val out = (0 until n).iterator.map { i =>
+          require(bb.remaining >= 4, s"video $id: truncated frame $i length")
+          val len = bb.getInt
+          require(len >= 0 && bb.remaining >= len,
+            s"video $id: frame $i claims $len bytes, ${bb.remaining} left")
+          val f = new Array[Byte](len)
+          bb.get(f)
+          Row(id, i.toLong, f)
+        }.toVector
+        require(!bb.hasRemaining,
+          s"video $id: ${bb.remaining} trailing bytes after $n frames")
+        out.iterator
+      }
+    }(encoder)
+  }
+
+  /** Per-frame perceptual dHash over demuxed (doc_id, frame_idx,
+    * frame_bytes) rows — [[imageDhash]]'s signature applied frame-wise, the
+    * per-frame evidence a video near-dup pipeline aligns temporally
+    * ([[graft.operators.Dedup.frameAlignedRuns]]). Default 8×7 grid → a
+    * 56-bit signature that never sets the sign bit, so the SQL oracle can
+    * pack the same bits with plain shifts. Output: (doc_id, frame_idx,
+    * dhash). */
+  def frameDhash(df: DataFrame, gridW: Int = 8, gridH: Int = 7): DataFrame = {
+    require(gridW >= 1 && gridH >= 1 && gridW.toLong * gridH <= 64,
+      s"dHash grid ${gridW}x$gridH must fit 64 bits")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", LongType),
+      StructField("dhash", LongType)))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col("doc_id").cast("long"), col("frame_idx").cast("long"),
+        col("frame_bytes")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val in = r.getAs[Array[Byte]](2)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(in))
+        require(img != null, s"frame (${in.length} bytes) is not a decodable image")
+        Row(r.getLong(0), r.getLong(1), dhashOf(img, gridW, gridH))
       }
     }(encoder)
   }

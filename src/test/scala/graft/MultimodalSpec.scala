@@ -201,6 +201,87 @@ class MultimodalSpec extends SparkSpec {
     assert(Set((0L, 200L), (0L, 400L), (200L, 400L), (5L, 205L)).subsetOf(pairs))
   }
 
+  test("synthesizeVideos/videoFrames: container round-trips frame counts and bytes") {
+    val ids = Seq(0L, 1L, 2L, 30L).toDF("doc_id")
+    val frames = Multimodal.videoFrames(Multimodal.synthesizeVideos(ids))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Array[Byte]](2))
+      .toMap
+    // family 0 → nf 6: variants 0/1 carry 6 frames, the trimmed variant 4
+    val byDoc = frames.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byDoc === Map(0L -> 6, 1L -> 6, 2L -> 4, 30L -> 8)) // family 10 → nf 8
+    // frame indices are contiguous from 0
+    assert(frames.keys.filter(_._1 == 2L).map(_._2).toSet === Set(0L, 1L, 2L, 3L))
+    // every frame decodes as a real 18×14 image
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(frames((0L, 0L))))
+    assert(img.getWidth === 18 && img.getHeight === 14)
+    // the BMP re-encode is genuinely different BYTES from the PNG base
+    assert(!java.util.Arrays.equals(frames((0L, 0L)), frames((1L, 0L))))
+  }
+
+  test("videoFrames fails loudly on truncated and trailing-byte containers") {
+    val good = Multimodal.synthesizeVideos(Seq(0L).toDF("doc_id"))
+      .collect().head.getAs[Array[Byte]]("payload")
+    def parse(bytes: Array[Byte]): Unit =
+      Multimodal.videoFrames(Seq((0L, bytes)).toDF("doc_id", "payload")).collect()
+    parse(good) // sanity: the untampered container parses
+    intercept[org.apache.spark.SparkException](parse(good.dropRight(3)))
+    intercept[org.apache.spark.SparkException](parse(good :+ 0x7f.toByte))
+  }
+
+  test("frameDhash: BMP re-encode carries identical signatures; videoCell replays") {
+    val ids = Seq(0L, 1L).toDF("doc_id")
+    val fh = Multimodal.frameDhash(
+      Multimodal.videoFrames(Multimodal.synthesizeVideos(ids)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // identical rasters through different codecs → identical dHash per frame
+    (0 until 6).foreach { fi =>
+      assert(fh((0L, fi.toLong)) === fh((1L, fi.toLong)),
+        s"frame $fi: PNG vs BMP re-encode must hash identically")
+    }
+    // the analytic replay predicts every bit (cells are uniform 2×2 blocks,
+    // so each grid comparison reduces to the cell values themselves)
+    val expected0 = (0 until 7).flatMap { gy =>
+      (0 until 8).map { gx =>
+        if (Multimodal.videoCell(0L, 0, gx + 1, gy) > Multimodal.videoCell(0L, 0, gx, gy))
+          1L << (gy * 8 + gx)
+        else 0L
+      }
+    }.sum
+    assert(fh((0L, 0L)) === expected0)
+    // 8×7 grid → 56 bits: the sign bit can never be set (oracle packs with
+    // plain shifts)
+    assert(fh.values.forall(_ >= 0L))
+  }
+
+  test("video near-dup: re-encoded and trimmed cuts pair, distinct families don't") {
+    // families 7 and 8 (nf = 8 and 10) → 6 videos
+    val ids = Seq(21L, 22L, 23L, 24L, 25L, 26L).toDF("doc_id")
+    val fh = Multimodal.frameDhash(
+      Multimodal.videoFrames(Multimodal.synthesizeVideos(ids)))
+    val runs = graft.operators.Dedup.frameAlignedRuns(
+      fh.select(col("doc_id"), col("frame_idx").as("pos"), col("dhash").as("h")),
+      minRun = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // within family 7 (nf = 8): re-encode aligns full-length at diff 0,
+    // trims align at length nf−2 with b_start 0 against a_start 2
+    assert(runs((21L, 22L)) === ((0L, 0L, 8L)))
+    assert(runs((21L, 23L)) === ((2L, 0L, 6L)))
+    assert(runs((22L, 23L)) === ((2L, 0L, 6L)))
+    assert(runs((24L, 25L)) === ((0L, 0L, 10L)))
+    // no cross-family runs: unrelated content must not align
+    assert(runs.keySet.forall { case (a, b) => a / 3 == b / 3 })
+    val clusters = graft.operators.Dedup.clusters(
+      ids,
+      graft.operators.Dedup.frameAlignedRuns(
+        fh.select(col("doc_id"), col("frame_idx").as("pos"), col("dhash").as("h")),
+        minRun = 4).select(col("doc_a"), col("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(21L -> 21L, 22L -> 21L, 23L -> 21L,
+      24L -> 24L, 25L -> 24L, 26L -> 24L))
+  }
+
   test("audio energy of synthesized PCM matches the analytic waveform") {
     val ids = Seq(3L, 12L).toDF("doc_id")
     val out = Multimodal.audioEnergy(Multimodal.synthesizePcm(ids))
