@@ -1226,6 +1226,29 @@ object SparkEntry {
         bits = 64, maxHamming = 4)
       Dedup.clusters(ids, pairs)
     }),
+    // The DURABLE multimodal signature store on the gate: the same 400
+    // image dHashes as m5, ingested in TWO batches split by parity (every
+    // near-dup quad straddles the batch boundary, so every within-quad
+    // pair needs new↔old pairing against the persisted store); the two
+    // runs' outputs union to exactly the one-shot all-pairs result the m5
+    // oracle predicts analytically — the incremental path's full-recall
+    // claim, oracle-checked. Store dirs are run-scoped temp dirs; the
+    // returned frames are eagerly checkpointed inside each call, so the
+    // union is safe after the second append.
+    "m10_store_hamming" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 400)
+      val sigs = Multimodal.imageDhash(
+        Multimodal.synthesizePatternPngs(ids.repartition(64)))
+        .withColumnRenamed("dhash", "sig")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ham_store").toString + "/store"
+      val r1 = Dedup.incrementalHammingPairs(
+        sigs.filter(col("doc_id") % 2 === 0), dir, 64, 4, "dhash-8x8-v1")
+      val r2 = Dedup.incrementalHammingPairs(
+        sigs.filter(col("doc_id") % 2 === 1), dir, 64, 4, "dhash-8x8-v1")
+      r1.unionByName(r2)
+    }),
     // VIDEO near-dup — the third modality, composed from the pillars the
     // verdicts asked to connect: synthesize real length-framed multi-frame
     // containers (families of base / BMP-re-encoded / 2-frame-trimmed
@@ -3714,6 +3737,12 @@ object SparkEntry {
     "m7_audio_dedup" ->
       s"""WITH ${sqlAudioHamCtes(500)}
          |SELECT doc_a, doc_b, hamming FROM apairs""".stripMargin,
+    // Incremental store twin of m5: two parity-split ingest runs union to
+    // the one-shot all-pairs result, so the oracle is m5's analytic dHash
+    // replay verbatim — the store machinery must be invisible in the output.
+    "m10_store_hamming" ->
+      s"""WITH $sqlImageDhashCtes
+         |SELECT doc_a, doc_b, hamming FROM ipairs""".stripMargin,
     // Cross-modal union-of-evidence dedup: a multimodal asset is a dup if
     // EITHER its image OR its audio matches — both analytic pair replays,
     // unioned into one closure (the entity-resolution shape).

@@ -837,9 +837,6 @@ object Dedup {
     * sign-agnostic, so `bits = 64` signatures with the sign bit set band
     * correctly. */
   def hammingPairs(sig: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
-    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
-    val nChunks = maxHamming + 1
-    require(nChunks <= bits, s"maxHamming $maxHamming needs more chunks than $bits bits")
     // EVEN width distribution (bits/nChunks, the first bits%nChunks chunks
     // one wider) — a ceil-width layout degenerates when
     // ceil(bits/n)·(n−1) ≥ bits: the trailing chunk is ZERO bits wide,
@@ -848,8 +845,7 @@ object Dedup {
     // this operator exists to avoid). Every even chunk is ≥ 1 bit for any
     // nChunks ≤ bits, and for the 60/3 and 64/4 gate combos the layout is
     // unchanged. Review finding (r6).
-    val widths = (0 until nChunks).map(c => bits / nChunks + (if (c < bits % nChunks) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
+    val (widths, offsets) = chunkLayout(bits, maxHamming)
     // Cached, never unpersisted here: the signature frame feeds both sides
     // of the banding join and the caller may score survivors against it.
     // This is a documented per-operator cache-leak site (same convention as
@@ -857,20 +853,7 @@ object Dedup {
     // isolation boundary); note m8 invokes hammingPairs twice per query
     // (image + audio), so two cached frames accumulate per run.
     val sigs = sig.select(col("doc_id"), col("sig")).cache()
-    val chunks = sigs.select(
-      col("doc_id"),
-      col("sig"),
-      explode(array((0 until nChunks).map { c =>
-        val width = widths(c)
-        // mask AFTER the arithmetic shift so a set sign bit can't smear
-        // into the chunk value; a full-width chunk needs the -1 mask
-        // (1L << 64 wraps)
-        val mask = if (width >= 64) -1L else (1L << width) - 1L
-        struct(
-          lit(c).as("c"),
-          shiftright(col("sig"), offsets(c)).bitwiseAND(lit(mask)).as("v"))
-      }: _*)).as("ch"))
-      .select(col("doc_id"), col("sig"), col("ch.c"), col("ch.v"))
+    val chunks = hammingChunks(sigs, widths, offsets)
     val a = chunks.select(col("c"), col("v"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = chunks.select(col("c"), col("v"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     // Force a SHUFFLED join: the join's cost is its Σ bucket² OUTPUT, so
@@ -886,6 +869,215 @@ object Dedup {
         expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** EVEN chunk-width layout for pigeonhole banding (see [[hammingPairs]]
+    * for why ceil-width degenerates): bits/nChunks, the first bits%nChunks
+    * chunks one wider. Returns (widths, bit offsets). */
+  private def chunkLayout(bits: Int, maxHamming: Int): (Seq[Int], Seq[Int]) = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+    val nChunks = maxHamming + 1
+    require(nChunks <= bits, s"maxHamming $maxHamming needs more chunks than $bits bits")
+    val widths = (0 until nChunks).map(c => bits / nChunks + (if (c < bits % nChunks) 1 else 0))
+    (widths, widths.scanLeft(0)(_ + _))
+  }
+
+  /** Chunk-row explosion shared by [[hammingPairs]] and
+    * [[incrementalHammingPairs]]: (doc_id, sig) → one row per (doc, chunk)
+    * carrying (doc_id, sig, c, v). Masks AFTER the arithmetic shift so a
+    * set sign bit can't smear into the chunk value; a full-width chunk
+    * needs the -1 mask (1L << 64 wraps). */
+  private def hammingChunks(sigs: DataFrame, widths: Seq[Int],
+      offsets: Seq[Int]): DataFrame =
+    sigs.select(
+      col("doc_id"),
+      col("sig"),
+      explode(array(widths.indices.map { c =>
+        val width = widths(c)
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
+        struct(
+          lit(c).as("c"),
+          shiftright(col("sig"), offsets(c)).bitwiseAND(lit(mask)).as("v"))
+      }: _*)).as("ch"))
+      .select(col("doc_id"), col("sig"), col("ch.c"), col("ch.v"))
+
+  /** Incremental Hamming near-dup detection against a persisted signature
+    * store — [[incrementalMinhashPairs]]'s growing-corpus pattern for
+    * FIXED-WIDTH bit signatures (image dHash, audio fingerprints, SimHash):
+    * each run takes only the NEW batch's (doc_id, sig) rows, pairs them
+    * against everything seen so far via the [[hammingPairs]] pigeonhole
+    * banding (full recall at ≤ maxHamming), and appends them to the store.
+    * Old↔old pairs are never re-emitted, so runs in arrival order ≡ one
+    * batch run (spec-asserted). A multimodal corpus keeps one store per
+    * modality — signatures from different extractors are not comparable,
+    * which is exactly what `formatTag` guards.
+    *
+    * Store rows are 16 bytes/doc (doc_id, sig) regardless of payload size —
+    * the image/audio bytes never enter the store; a run's cost is the new
+    * batch's banding neighborhood, not corpus history.
+    *
+    * Durability contract — identical to [[incrementalMinhashPairs]] and
+    * kept in lockstep (same lease file, staging layout, and invariants):
+    * immutable `batch-*` subdirectories; writers serialize through the
+    * `_lock` lease (concurrent ingest fails loudly); staged write to a
+    * hidden `.staging-*` dir published by ONE atomic rename; store-read
+    * errors PROPAGATE (only path-absence means empty); re-ingest of stored
+    * doc_ids is anti-joined out (idempotent replay). The format marker is
+    * `_format-<formatTag>`: callers name the signature scheme (e.g.
+    * "dhash-8x8-v1", "audiofp-win31-v1") and a store written under any
+    * other scheme fails loudly instead of silently scoring garbage —
+    * the tokenizer-version guard generalized to arbitrary extractors.
+    *
+    * Output: (doc_a, doc_b, hamming) for new↔old and new↔new pairs at
+    * Hamming ≤ maxHamming, canonicalized doc_a < doc_b. */
+  def incrementalHammingPairs(
+      newSigs: DataFrame,
+      storePath: String,
+      bits: Int,
+      maxHamming: Int,
+      formatTag: String): DataFrame = {
+    require(formatTag.nonEmpty && formatTag.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '.' || c == '_'),
+      s"formatTag must be a plain file-name token, got '$formatTag'")
+    val (widths, offsets) = chunkLayout(bits, maxHamming)
+    val spark = newSigs.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(storePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withStoreLock(fs, dir) {
+      val hasStore = fs.exists(dir) && fs.listStatus(dir).exists { s =>
+        val nm = s.getPath.getName
+        !nm.startsWith(".") && !nm.startsWith("_")
+      }
+      val marker = new org.apache.hadoop.fs.Path(dir, s"_format-$formatTag")
+      if (hasStore && !fs.exists(marker))
+        throw new IllegalStateException(
+          s"signature store at $storePath was not written under scheme " +
+            s"'$formatTag' (missing _format-$formatTag); signatures from a " +
+            "different extractor are not comparable — rebuild the store")
+      val rawNew = newSigs.select(col("doc_id"), col("sig"))
+      val oldSigs =
+        if (hasStore)
+          spark.read.option("recursiveFileLookup", "true").parquet(storePath)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rawNew.schema)
+      // Idempotent re-ingest + lineage severed from the store path (eager
+      // localCheckpoint) so the append below can't recompute this frame.
+      val newArr = (
+        if (hasStore) rawNew.join(oldSigs.select("doc_id"), Seq("doc_id"), "left_anti")
+        else rawNew
+      ).localCheckpoint(true)
+      val newChunks = hammingChunks(newArr, widths, offsets)
+      val allChunks = hammingChunks(oldSigs, widths, offsets)
+        .unionByName(newChunks)
+      // New-side × everything on (chunk, value): new↔new from both
+      // orientations collapses under least/greatest + distinct; old↔old
+      // never appears (left side is new-only). Both sides pin shuffle_hash
+      // — Σ bucket² output cost, the hammingPairs AQE lesson.
+      val pairs = newChunks
+        .select(col("c"), col("v"), col("doc_id").as("doc_n"), col("sig").as("sig_n"))
+        .hint("shuffle_hash")
+        .join(allChunks
+          .select(col("c"), col("v"), col("doc_id").as("doc_o"), col("sig").as("sig_o"))
+          .hint("shuffle_hash"), Seq("c", "v"))
+        .filter(col("doc_n") =!= col("doc_o"))
+        .select(
+          least(col("doc_n"), col("doc_o")).as("doc_a"),
+          greatest(col("doc_n"), col("doc_o")).as("doc_b"),
+          expr("bit_count(sig_n ^ sig_o)").cast("long").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+        // Eager checkpoint BEFORE the append: a merely-cached result would
+        // recompute against the just-appended store and double-count.
+        .localCheckpoint(true)
+      val batchId = java.util.UUID.randomUUID().toString
+      val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$batchId")
+      val published = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
+      newArr.write.parquet(staging.toString)
+      // Marker before the publishing rename (see incrementalMinhashPairs).
+      if (!fs.exists(marker)) fs.create(marker, true).close()
+      if (!fs.rename(staging, published))
+        throw new IllegalStateException(
+          s"failed to publish signature batch $staging -> $published")
+      org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(newArr)
+      pairs
+    }
+  }
+
+  /** Key erasure over a persisted signature store — the right-to-be-
+    * forgotten obligation EXTENDS to derived signatures: deleting a
+    * document's rows from the data lake ([[graft.etl.Erasure.eraseKeys]])
+    * while its shingle sets / dHashes stay in a store means future ingests
+    * still pair against the erased content. Works on any store layout this
+    * file writes (minhash or Hamming batches) — only `doc_id` is touched,
+    * the signature payload schema is opaque to the rewrite.
+    *
+    * Mechanics, under the same writer lease as ingest (an erase racing an
+    * ingest would otherwise resurrect keys from the ingest's pre-erase
+    * snapshot): each `batch-*` directory is probed for hits; clean batches
+    * are NOT touched (byte-identical files — erasure cost scales with the
+    * keys' batch locality, not store size). A hit batch is rewritten in
+    * three renames biased ERASE-FIRST: stage the surviving rows to a
+    * hidden `.staging-*` dir, atomically retire the old batch to a hidden
+    * `.retired-*` name (the erased keys vanish from every reader HERE),
+    * atomically publish the staging as a fresh `batch-*`, then delete the
+    * retired dir. A crash between retire and publish can therefore HIDE a
+    * batch's surviving signatures (recoverable from the `.retired-*` dir;
+    * re-ingest of the affected doc_ids is also safe — they re-pair and
+    * re-append) but can never leave an erased key visible after the
+    * operation reported that batch processed. A batch whose every row is
+    * erased is retired without a replacement. Re-ingesting an erased
+    * doc_id later is deliberately possible (the anti-join no longer sees
+    * it): erasure forgets; it does not blocklist.
+    *
+    * `keys` is collected to the driver — erasure requests are
+    * request-sized by nature (same stance as [[graft.etl.Erasure]]), and
+    * the in-filter pushes into every batch probe scan. Returns the number
+    * of signature rows erased. */
+  def eraseFromStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, keys: DataFrame): Long = {
+    val keyIds = keys.select(col(keys.columns.head).cast("long"))
+      .distinct().collect().map(_.getLong(0))
+    val dir = new org.apache.hadoop.fs.Path(storePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir) || keyIds.isEmpty) return 0L
+    withStoreLock(fs, dir) {
+      val batches = fs.listStatus(dir)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
+      var erased = 0L
+      batches.foreach { b =>
+        val batch = spark.read.parquet(b.getPath.toString)
+        val hits = batch.filter(col("doc_id").isin(keyIds: _*)).count()
+        if (hits > 0L) {
+          erased += hits
+          val keep = batch.filter(!col("doc_id").isin(keyIds: _*))
+          val keepCount = keep.count()
+          val id = java.util.UUID.randomUUID().toString
+          val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$id")
+          val retired = new org.apache.hadoop.fs.Path(dir, s".retired-$id")
+          // Stage FIRST (reads the old dir, writes elsewhere — no window),
+          // skip the replacement entirely when nothing survives (an empty
+          // parquet dir would poison the store's recursive read).
+          if (keepCount > 0L) keep.write.parquet(staging.toString)
+          if (!fs.rename(b.getPath, retired))
+            throw new IllegalStateException(
+              s"eraseFromStore: failed to retire ${b.getPath}")
+          if (keepCount > 0L && !fs.rename(staging, new org.apache.hadoop.fs.Path(
+              dir, s"batch-$id")))
+            throw new IllegalStateException(
+              s"eraseFromStore: retired ${b.getPath} but failed to publish " +
+                s"$staging — surviving signatures are in $retired; re-publish " +
+                "manually or re-ingest the affected documents")
+          // fail LOUDLY if the retired payload survives (the erased keys
+          // would still be on disk — same stance as Erasure.eraseKeys)
+          fs.delete(retired, true)
+          if (fs.exists(retired))
+            throw new IllegalStateException(
+              s"eraseFromStore: failed to delete $retired — erased keys " +
+                "would survive on disk")
+        }
+      }
+      erased
+    }
   }
 
   /** Connected components over a near-dup pair list → the dedup decision a

@@ -349,6 +349,117 @@ class DedupSpec extends SparkSpec {
     assert(!ex.getMessage.contains("tokenizer"), ex.getMessage)
   }
 
+  test("incremental hamming store: runs in arrival order equal one batch run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ham_store").toString + "/store"
+    // planted: 1~2 (ham 1), 5 ≡ 3 (ham 0), 4~2 (ham 1) and 4~1 (ham 2);
+    // 3 is far from 1/2/4
+    val all = Seq((1L, 0L), (2L, 1L), (3L, 0x00F0_F0F0_F0F0_F0F0L),
+      (4L, 3L), (5L, 0x00F0_F0F0_F0F0_F0F0L)).toDF("doc_id", "sig")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val run1 = pairsOf(Dedup.incrementalHammingPairs(
+      all.filter($"doc_id" <= 3L), dir, 64, 2, "test-v1"))
+    val run2 = pairsOf(Dedup.incrementalHammingPairs(
+      all.filter($"doc_id" > 3L), dir, 64, 2, "test-v1"))
+    val oneShot = pairsOf(Dedup.hammingPairs(all, 64, 2))
+    assert(run1.intersect(run2).isEmpty) // no pair reported twice
+    assert(run1.union(run2) === oneShot)
+    assert(run2.contains((3L, 5L, 0L))) // new doc paired against stored corpus
+    // idempotent replay: no pairs re-emitted, no double-stored signatures
+    val storedBefore = spark.read.option("recursiveFileLookup", "true").parquet(dir).count()
+    assert(pairsOf(Dedup.incrementalHammingPairs(
+      all.filter($"doc_id" > 3L), dir, 64, 2, "test-v1")).isEmpty)
+    assert(spark.read.option("recursiveFileLookup", "true").parquet(dir).count()
+      === storedBefore)
+    // a different extractor scheme against the same store fails loudly
+    val ex = intercept[IllegalStateException] {
+      Dedup.incrementalHammingPairs(all, dir, 64, 2, "other-v9")
+    }
+    assert(ex.getMessage.contains("other-v9"))
+  }
+
+  test("incremental hamming store: cross-batch image dHash pairing (the m10 shape)") {
+    // Real modality end-to-end: pattern-PNG quads split across two ingest
+    // runs by parity, so every quad straddles the batch boundary and every
+    // within-quad pair requires new↔old pairing against the store.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ham_store2").toString + "/store"
+    val ids = (0L until 16L).toDF("doc_id")
+    val sigs = graft.operators.Multimodal.imageDhash(
+      graft.operators.Multimodal.synthesizePatternPngs(ids))
+      .withColumnRenamed("dhash", "sig")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val run1 = pairsOf(Dedup.incrementalHammingPairs(
+      sigs.filter($"doc_id" % 2 === 0), dir, 64, 4, "dhash-8x8-v1"))
+    val run2 = pairsOf(Dedup.incrementalHammingPairs(
+      sigs.filter($"doc_id" % 2 === 1), dir, 64, 4, "dhash-8x8-v1"))
+    assert(run1.intersect(run2).isEmpty)
+    assert(run1.union(run2) === pairsOf(Dedup.hammingPairs(sigs, 64, 4)))
+    // the base↔variant-1 edge of quad 0 is a cross-batch (odd vs stored
+    // even) pair and must come from run2
+    assert(run2.exists(p => p._1 == 0L && p._2 == 1L))
+  }
+
+  test("eraseFromStore: erased ids never pair again; clean batches stay byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ham_erase").toString + "/store"
+    // batch 1: 1~2 at ham 1; batch 2: 3 ≡ 1 (ham 0), 4 far away
+    val b1 = Seq((1L, 0L), (2L, 1L)).toDF("doc_id", "sig")
+    val b2 = Seq((3L, 0L), (4L, 0x0F0F_0F0F_0F0FL)).toDF("doc_id", "sig")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    pairsOf(Dedup.incrementalHammingPairs(b1, dir, 64, 2, "test-v1"))
+    pairsOf(Dedup.incrementalHammingPairs(b2, dir, 64, 2, "test-v1"))
+    // snapshot batch-2's files (no hits for key 1 — must stay byte-identical)
+    val store = new java.io.File(dir)
+    def filesOf(batch: java.io.File): Map[String, Long] =
+      batch.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    val batchDirs = store.listFiles().filter(_.getName.startsWith("batch-"))
+    val hit = batchDirs.filter { b =>
+      spark.read.parquet(b.toString).filter($"doc_id" === 1L).count() > 0 }
+    assert(hit.length === 1)
+    val clean = batchDirs.filterNot(b => hit.contains(b)).head
+    val cleanBefore = filesOf(clean)
+    // erase doc 1 (a member of two pairs)
+    val erased = Dedup.eraseFromStore(spark, dir,
+      Seq(1L).toDF("doc_id"))
+    assert(erased === 1L)
+    val storedIds = spark.read.option("recursiveFileLookup", "true")
+      .parquet(dir).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(storedIds === Set(2L, 3L, 4L)) // 1 is gone, everyone else survives
+    assert(filesOf(clean) === cleanBefore) // untouched batch: same files
+    assert(!store.listFiles().exists(_.getName.startsWith(".retired")))
+    // a NEW ingest with 1's exact signature pairs against the surviving
+    // docs (3 at ham 0, 2 at ham 1) but never against the erased 1
+    val run3 = pairsOf(Dedup.incrementalHammingPairs(
+      Seq((9L, 0L)).toDF("doc_id", "sig"), dir, 64, 2, "test-v1"))
+    assert(run3.map(p => (p._1, p._2)) === Set((2L, 9L), (3L, 9L)))
+    // erasing EVERY remaining id retires all batches without poisoning the
+    // store: the next ingest sees an empty corpus and emits nothing
+    Dedup.eraseFromStore(spark, dir, Seq(2L, 3L, 4L, 9L).toDF("doc_id"))
+    val run4 = pairsOf(Dedup.incrementalHammingPairs(
+      Seq((10L, 0L)).toDF("doc_id", "sig"), dir, 64, 2, "test-v1"))
+    assert(run4.isEmpty)
+    // the lease guards erase like ingest: a held lock fails loudly
+    java.nio.file.Files.write(new java.io.File(dir, Dedup.StoreLockFile).toPath,
+      "writerZ@1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val ex = intercept[IllegalStateException] {
+      Dedup.eraseFromStore(spark, dir, Seq(10L).toDF("doc_id"))
+    }
+    assert(ex.getMessage.contains("writerZ@1"))
+  }
+
+  test("eraseFromStore erases from the minhash store too (schema-opaque rewrite)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_erase").toString + "/store"
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    pairsOf(Dedup.incrementalMinhashPairs(docs.filter($"doc_id" <= 2L), dir))
+    // doc 0 is the stored near-dup target of batch-2's exact dup (doc 3)
+    assert(Dedup.eraseFromStore(spark, dir, Seq(0L).toDF("doc_id")) === 1L)
+    val run2 = pairsOf(Dedup.incrementalMinhashPairs(docs.filter($"doc_id" > 2L), dir))
+    // without erasure this run emits (0, 3) — see the arrival-order test
+    assert(!run2.exists(p => p._1 == 0L || p._2 == 0L))
+  }
+
   test("clusters: worst-case path graph converges without cached-RDD creep") {
     // A 14-node path needs ~13 propagation rounds (min label moves one hop
     // per round) — the adversarial diameter case. Superseded per-round
