@@ -1226,6 +1226,34 @@ object SparkEntry {
         bits = 64, maxHamming = 4)
       Dedup.clusters(ids, pairs)
     }),
+    // The END-TO-END multimodal curation flow in ONE oracled query — the
+    // demo a real LLM-data-pipeline user runs first: (text, image, audio)
+    // assets through the quality gate (text), CROSS-MODAL near-dup
+    // resolution (m8's image ∪ audio evidence closed into clusters — the
+    // canonical survives), benchmark decontamination, and the
+    // deterministic split, materialized as c2's per-asset decision table
+    // with `kept` as final corpus membership. doc_id < 400 keeps the
+    // all-pairs oracle replays SF-invariant (the operators are uncapped).
+    "m11_multimodal_curation" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 400)
+      val ids = docs.select(col("doc_id"))
+      val imgPairs = Dedup.hammingPairs(
+        Multimodal.imageDhash(
+          Multimodal.synthesizePatternPngs(ids.repartition(64)))
+          .withColumnRenamed("dhash", "sig"),
+        bits = 64, maxHamming = 4)
+      val audioPairs = Dedup.hammingPairs(
+        Multimodal.audioFingerprint(
+          Multimodal.synthesizePcm(
+            ids.filter(col("doc_id") % 5 === 4).repartition(64)),
+          win = 31)
+          .select(col("doc_id"), col("sig")),
+        bits = 64, maxHamming = 4)
+      val clusters = Dedup.clusters(ids,
+        imgPairs.select(col("doc_a"), col("doc_b"))
+          .unionByName(audioPairs.select(col("doc_a"), col("doc_b"))))
+      Curation.pipeline(docs, col("doc_id") % 20 === 0, 0.6, clusters)
+    }),
     // The DURABLE multimodal signature store on the gate: the same 400
     // image dHashes as m5, ingested in TWO batches split by parity (every
     // near-dup quad straddles the batch boundary, so every within-quad
@@ -1506,6 +1534,21 @@ object SparkEntry {
     // surviving tokens — the min-doc_id occurrence is the one that stays.
     "t29_substring_cut" -> ((s, d) =>
       Dedup.substringDedupCut(Tables.documents(s, d))),
+    // Cross-batch substring dedup through the persisted ANCHOR store (the
+    // Lee et al. cross-crawl case): the corpus arrives in two parity-split
+    // ingest runs, each pairing its new anchors against history; the two
+    // runs' spans union to exactly the one-batch t28 result, so the oracle
+    // is t28's replay verbatim — the store must be invisible in the output.
+    "t30_store_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_span_store").toString + "/store"
+      val r1 = Dedup.incrementalDuplicatedSpans(
+        docs.filter(col("doc_id") % 2 === 0), dir)
+      val r2 = Dedup.incrementalDuplicatedSpans(
+        docs.filter(col("doc_id") % 2 === 1), dir)
+      r1.unionByName(r2)
+    }),
     // Exact heavy hitters via Misra-Gries candidates + exact verify; the
     // fixture's 31-token vocabulary straddles the N/31 threshold, so the
     // boundary genuinely cuts.
@@ -3518,6 +3561,12 @@ object SparkEntry {
     "t28_substring_dedup" ->
       s"""WITH $sqlSubstringSpanCtes
          |SELECT doc_a, doc_b, a_start, b_start, len_tokens FROM spans""".stripMargin,
+    // Incremental-store twin of t28: two parity-split ingest runs union to
+    // the one-batch span set (every span reported exactly once, in the run
+    // where its younger member arrived) — oracle is t28's replay verbatim.
+    "t30_store_spans" ->
+      s"""WITH $sqlSubstringSpanCtes
+         |SELECT doc_a, doc_b, a_start, b_start, len_tokens FROM spans""".stripMargin,
     // The cut transform: every span's doc_b-side token range unions into
     // a per-doc cut set; docs rebuild from surviving tokens in order.
     "t29_substring_cut" ->
@@ -3743,6 +3792,41 @@ object SparkEntry {
     "m10_store_hamming" ->
       s"""WITH $sqlImageDhashCtes
          |SELECT doc_a, doc_b, hamming FROM ipairs""".stripMargin,
+    // End-to-end multimodal curation: c2's decision-table replay with the
+    // near-dup clusters swapped from MinHash to m8's cross-modal closure
+    // (image ∪ audio analytic pair replays), and quality/decontam/split
+    // restricted to the doc_id < 400 asset corpus. Contamination preds
+    // carry the cap too — the eval set is corpus-relative.
+    "m11_multimodal_curation" ->
+      s"""WITH RECURSIVE $sqlImageDhashCtes,
+         |${sqlAudioHamCtes(400)},
+         |pairs AS (SELECT doc_a, doc_b FROM ipairs
+         |          UNION SELECT doc_a, doc_b FROM apairs),
+         |$sqlClosureCtes,
+         |$sqlQualityCtes,
+         |${sqlShinglesN(5, "doc_id % 20 = 0 AND doc_id < 400", "_ev")},
+         |${sqlShinglesN(5, "doc_id % 20 <> 0 AND doc_id < 400", "_tr")},
+         |ev AS (SELECT DISTINCT h FROM sh_ev),
+         |hits AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |         FROM sh_tr t JOIN ev ON t.h = ev.h GROUP BY 1),
+         |base AS (SELECT doc_id,
+         |                CAST(CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_eval,
+         |                ${sqlSampleKey("('split:' || CAST(doc_id AS VARCHAR))")} % 100 AS bkt
+         |         FROM documents WHERE doc_id < 400)
+         |SELECT b.doc_id, b.is_eval,
+         |       CAST(CASE WHEN qual.qs >= 0.6 THEN 1 ELSE 0 END AS BIGINT) AS passed_quality,
+         |       coalesce(l.cluster_id, b.doc_id) AS cluster_id,
+         |       CAST(CASE WHEN coalesce(l.cluster_id, b.doc_id) = b.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical,
+         |       coalesce(hits.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+         |       CASE WHEN bkt < 90 THEN 'train' WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split,
+         |       CAST(CASE WHEN b.is_eval = 0 AND qual.qs >= 0.6
+         |                  AND coalesce(l.cluster_id, b.doc_id) = b.doc_id
+         |                  AND coalesce(hits.n_overlap, CAST(0 AS BIGINT)) = 0
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM base b
+         |JOIN qual ON qual.doc_id = b.doc_id
+         |LEFT JOIN lab l ON l.doc_id = b.doc_id
+         |LEFT JOIN hits ON hits.doc_id = b.doc_id""".stripMargin,
     // Cross-modal union-of-evidence dedup: a multimodal asset is a dup if
     // EITHER its image OR its audio matches — both analytic pair replays,
     // unioned into one closure (the entity-resolution shape).

@@ -648,14 +648,30 @@ object Dedup {
     * bucket² OUTPUT (the [[simhashPairs]] AQE lesson); island windows
     * partition by (doc_a, doc_b, diff), bounded by sequence length. */
   private def alignedRunCore(sh: DataFrame, minLen: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val a = sh.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
     val b = sh.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+    islandRuns(
+      a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("h"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b")),
+      minLen, k)
+  }
+
+  /** The island-detection tail of [[alignedRunCore]] over an already-
+    * canonicalized match stream (doc_a < doc_b, one row per anchor match):
+    * group by offset difference, collapse consecutive matches via the
+    * pos − row_number island key, emit maximal runs ≥ minLen. Shared with
+    * [[incrementalDuplicatedSpans]], whose match stream is canonicalized
+    * with least/greatest (new↔old order is arbitrary) rather than a plain
+    * a < b self-join filter. Input rows MUST be distinct per
+    * (doc_a, doc_b, pos_a, pos_b) — duplicates would corrupt the
+    * row_number island arithmetic. */
+  private def islandRuns(matches: DataFrame, minLen: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wIsle = Window
       .partitionBy(col("doc_a"), col("doc_b"), col("__diff"))
       .orderBy(col("pos_a"))
-    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
+    matches
       .withColumn("__diff", col("pos_b") - col("pos_a"))
       .withColumn("__isle", col("pos_a") - row_number().over(wIsle))
       .groupBy(col("doc_a"), col("doc_b"), col("__diff"), col("__isle"))
@@ -684,6 +700,123 @@ object Dedup {
   def frameAlignedRuns(frameHashes: DataFrame, minRun: Int = 4): DataFrame = {
     require(minRun >= 1, s"minRun must be >= 1, got $minRun")
     alignedRunCore(frameHashes, minRun, 1).withColumnRenamed("len", "len_frames")
+  }
+
+  /** Cross-batch exact substring dedup against a persisted anchor store —
+    * [[duplicatedSpans]] in the growing-corpus pattern (the Lee et al. use
+    * case is precisely cross-crawl: each new crawl must be checked against
+    * every previous one, without recomputing history). Each run computes
+    * the NEW batch's positional k-gram anchors, pairs them against every
+    * stored anchor plus its own, emits the maximal aligned runs, and
+    * appends the new anchors to the store. Old↔old spans are never
+    * re-emitted — every (a, b) span is reported exactly once, in the run
+    * where its younger member arrived, and within that run ALL of the
+    * pair's anchor matches involve the new doc, so island maximality is
+    * preserved: `runs in arrival order ≡ one batch [[duplicatedSpans]]
+    * over the union corpus` (spec-asserted).
+    *
+    * The store keeps (doc_id, pos, h) — 24-byte anchor triples, one per
+    * token position. Unlike the minhash store this is corpus-token-sized,
+    * which is inherent to exact substring dedup (a suffix-array index is
+    * corpus-sized too); text itself never enters the store or any shuffle.
+    * `maxAnchorDf` caps pair-time anchor frequency over the CURRENT union
+    * (groupBy + anti-join, the skew-safe r7 form); the store itself is
+    * always uncapped so a later run with a different cap stays exact.
+    *
+    * Durability contract: identical to [[incrementalMinhashPairs]] (lease,
+    * staged atomic publish, propagating reads, anti-joined idempotent
+    * re-ingest). The format marker additionally pins the ANCHOR WIDTH —
+    * `_format-spans-k<k>-v2` — because stored k-gram anchors are only
+    * comparable to new ones at the same k and tokenizer revision.
+    *
+    * Output: (doc_a, doc_b, a_start, b_start, len_tokens) for new↔old and
+    * new↔new runs, canonicalized doc_a < doc_b. */
+  def incrementalDuplicatedSpans(
+      newDocs: DataFrame,
+      storePath: String,
+      minTokens: Int = 10,
+      k: Int = 5,
+      maxAnchorDf: Int = 0): DataFrame = {
+    require(k >= 1 && minTokens >= k,
+      s"minTokens $minTokens must be >= anchor width $k")
+    import graft.functions.GraftColumns
+    val spark = newDocs.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(storePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withStoreLock(fs, dir) {
+      val hasStore = fs.exists(dir) && fs.listStatus(dir).exists { s =>
+        val nm = s.getPath.getName
+        !nm.startsWith(".") && !nm.startsWith("_")
+      }
+      val marker = new org.apache.hadoop.fs.Path(dir, s"_format-spans-k$k-v2")
+      if (hasStore && !fs.exists(marker))
+        throw new IllegalStateException(
+          s"anchor store at $storePath was not written at anchor width " +
+            s"k=$k under the v2 tokenizer (missing _format-spans-k$k-v2); " +
+            "stored anchors are not comparable — rebuild the store")
+      val rawNew = newDocs.select(col("doc_id"),
+          posexplode(GraftColumns.shingleHashSeq(col("text"), k)).as(Seq("pos", "h")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+      val oldAnchors =
+        if (hasStore)
+          spark.read.option("recursiveFileLookup", "true").parquet(storePath)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rawNew.schema)
+      // Idempotent re-ingest + lineage severed from the store path before
+      // the append (the incrementalMinhashPairs rationale).
+      val newAnchors = (
+        if (hasStore) rawNew.join(oldAnchors.select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+        else rawNew
+      ).localCheckpoint(true)
+      val union = oldAnchors.unionByName(newAnchors)
+      // Pair-time df cap over the current union (skew-safe groupBy form —
+      // see duplicatedSpans); both the new side and the union side must be
+      // filtered or a capped anchor would still pair one-sided.
+      val (newSide, allSide) =
+        if (maxAnchorDf <= 0) (newAnchors, union)
+        else {
+          val overCap = union.groupBy(col("h"))
+            .agg(count(lit(1)).as("__df"))
+            .filter(col("__df") > maxAnchorDf)
+            .select(col("h"))
+          (newAnchors.join(overCap, Seq("h"), "left_anti"),
+            union.join(overCap, Seq("h"), "left_anti"))
+        }
+      // New-side × union on the anchor hash, canonicalized with
+      // least/greatest (new↔old arrives in arbitrary id order; new↔new
+      // from both orientations collapses under distinct — required before
+      // the island row_number). shuffle_hash pinned: Σ bucket² output.
+      val matches = newSide
+        .select(col("h"), col("doc_id").as("doc_n"), col("pos").as("pos_n"))
+        .hint("shuffle_hash")
+        .join(allSide
+          .select(col("h"), col("doc_id").as("doc_o"), col("pos").as("pos_o"))
+          .hint("shuffle_hash"), Seq("h"))
+        .filter(col("doc_n") =!= col("doc_o"))
+        .select(
+          least(col("doc_n"), col("doc_o")).as("doc_a"),
+          greatest(col("doc_n"), col("doc_o")).as("doc_b"),
+          when(col("doc_n") < col("doc_o"), col("pos_n"))
+            .otherwise(col("pos_o")).as("pos_a"),
+          when(col("doc_n") < col("doc_o"), col("pos_o"))
+            .otherwise(col("pos_n")).as("pos_b"))
+        .distinct()
+      val spans = islandRuns(matches, minTokens, k)
+        .withColumnRenamed("len", "len_tokens")
+        // Eager checkpoint BEFORE the append (see incrementalMinhashPairs).
+        .localCheckpoint(true)
+      val batchId = java.util.UUID.randomUUID().toString
+      val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$batchId")
+      val published = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
+      newAnchors.write.parquet(staging.toString)
+      if (!fs.exists(marker)) fs.create(marker, true).close()
+      if (!fs.rename(staging, published))
+        throw new IllegalStateException(
+          s"failed to publish anchor batch $staging -> $published")
+      org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(newAnchors)
+      spans
+    }
   }
 
   /** Corpus-wide SEGMENT-level exact dedup (the CCNet/RefinedWeb line-dedup

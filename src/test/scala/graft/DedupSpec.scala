@@ -675,6 +675,50 @@ class DedupSpec extends SparkSpec {
     assert(loose === exact)
   }
 
+  test("incremental substring dedup: arrival-order runs ≡ one batch over the union corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_span_store").toString + "/store"
+    val passage = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val all = Seq(
+      (0L, s"alpha beta $passage gamma delta"),  // batch 1: passage at pos 2
+      (1L, s"$passage x y z"),                   // batch 1: at pos 0
+      (2L, "lone text with no duplication here at all today"), // batch 1
+      (5L, s"p q r s t u $passage v"),           // batch 2: cross-crawl copy
+      (6L, s"$passage x y z extended"))          // batch 2: near-copy of 1
+    val df = all.toDF("doc_id", "text")
+    def spansOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val run1 = spansOf(Dedup.incrementalDuplicatedSpans(
+      df.filter($"doc_id" <= 2L), dir, 10, 5))
+    val run2 = spansOf(Dedup.incrementalDuplicatedSpans(
+      df.filter($"doc_id" > 2L), dir, 10, 5))
+    val batch = spansOf(Dedup.duplicatedSpans(df, 10, 5))
+    assert(run1.intersect(run2).isEmpty) // no span reported twice
+    assert(run1.union(run2) === batch)
+    // the cross-crawl span (stored doc 0 vs new doc 5) comes from run 2
+    assert(run2.contains((0L, 5L, 2L, 6L, 12L)))
+    // replay idempotence: re-ingesting batch 2 emits nothing and appends
+    // no anchors
+    val storedBefore = spark.read.option("recursiveFileLookup", "true").parquet(dir).count()
+    assert(spansOf(Dedup.incrementalDuplicatedSpans(
+      df.filter($"doc_id" > 2L), dir, 10, 5)).isEmpty)
+    assert(spark.read.option("recursiveFileLookup", "true").parquet(dir).count()
+      === storedBefore)
+    // a run at a different anchor width fails loudly (stored k-grams are
+    // not comparable across k)
+    val ex = intercept[IllegalStateException] {
+      Dedup.incrementalDuplicatedSpans(df.filter($"doc_id" > 2L), dir, 10, 4)
+    }
+    assert(ex.getMessage.contains("k=4"))
+    // store erasure composes: forget doc 0, then a re-submitted copy of it
+    // pairs against the OTHER surviving holders but never against 0
+    Dedup.eraseFromStore(spark, dir, Seq(0L).toDF("doc_id"))
+    val run3 = spansOf(Dedup.incrementalDuplicatedSpans(
+      Seq((9L, s"alpha beta $passage gamma delta")).toDF("doc_id", "text"), dir, 10, 5))
+    assert(run3.nonEmpty)
+    assert(!run3.exists(s => s._1 == 0L || s._2 == 0L))
+  }
+
   test("substringDedupCut: later occurrences cut, min-doc survives, overlaps union") {
     val passage = (1 to 12).map(i => s"dup$i").mkString(" ")
     val docs = Seq(
