@@ -3868,7 +3868,7 @@ object SparkEntry {
          |       FROM vn, LATERAL (SELECT unnest(generate_series(
          |         CASE WHEN t = 2 THEN 2 ELSE 0 END, nf - 1)) AS ci) g),
          |vb AS (SELECT doc_id, pos, gx, gy,
-         |              f * 131 + ci * 41 + gx * 17 + gy * 29 + 13 AS u
+         |              (f * 10 + ci) * 8209 + gx * 17 + gy * 29 + 13 AS u
          |       FROM vf CROSS JOIN generate_series(0, 8) tx(gx)
          |       CROSS JOIN generate_series(0, 6) ty(gy)),
          |vc AS (SELECT doc_id, pos, gx, gy, ((u * u) % 1000003) % 241 AS v FROM vb),

@@ -342,14 +342,20 @@ object Multimodal {
     * (variant trims shift position but keep content indices). Squared-
     * then-mod mixing for uncorrelated grids (the [[patternCell]] lesson). */
   def videoCell(family: Long, ci: Int, gx: Int, gy: Int): Int = {
-    val u = family * 131L + ci * 41L + gx * 17L + gy * 29L + 13L
-    // Square into a WIDE modulus first, then reduce to gray range: a
-    // direct u² mod 241 makes the whole frame a function of u mod 241, so
-    // the per-frame hash space collapses to 241 values and unrelated
-    // families collide on ≥4-frame runs (measured: 13 of 27 clusters
-    // falsely merged). With the wide intermediate, distinct (family, ci)
-    // bases stay distinct pre-reduction and frame hashes are effectively
-    // 56-bit random — cross-family runs measured zero.
+    // u is INJECTIVE over (family, ci, gx, gy): the cell offset
+    // gx·17 + gy·29 + 13 ≤ 340 < 8209, and (family·10 + ci) is unique for
+    // ci < 10 — so no two distinct frames share a pre-square value, and
+    // the squared-then-mod mix decorrelates them completely. Two earlier
+    // forms failed measurably: u² mod 241 directly collapses the frame-
+    // hash space to 241 values (13 of 27 gate clusters falsely merged),
+    // and a non-injective u with a wide modulus resurrects the lattice at
+    // scale (131Δf + 41Δci ≡ 0 mod 1000003 has solutions within a 10k-
+    // family probe corpus — 30 spurious full-length runs at 30k videos).
+    // Overflow bound: u² must fit a long → family < 3.6·10⁷ (any fixture
+    // or probe corpus; a require keeps the failure loud).
+    require(family >= 0 && family < 36000000L,
+      s"videoCell family $family outside the injective-square range")
+    val u = (family * 10L + ci) * 8209L + gx * 17L + gy * 29L + 13L
     (((u * u) % 1000003L) % 241L).toInt
   }
 
