@@ -286,6 +286,56 @@ object SparkEntry {
        |         GROUP BY 1, 2),
        |apairs AS (SELECT doc_a, doc_b, hamming FROM aham WHERE hamming <= 4)""".stripMargin
 
+  /** Shared SQL fragment: the video near-dup replay (mirrors
+    * [[Multimodal.synthesizeVideos]] + [[Multimodal.frameDhash]] +
+    * [[Dedup.frameAlignedRuns]]) — replays `videoCell` per (family,
+    * content-frame index) (trimmed variants shift position but keep
+    * content indices), packs each frame's 56 dHash bits into a BIGINT
+    * (8×7 grid never sets bit 63, so plain shifts are sign-safe), joins
+    * frames on hash equality, and collapses consecutive matches per
+    * (pair, offset-diff) with the pos − row_number island key. Capped at
+    * doc_id < 120 (fixed ABSOLUTE size, SF-invariant). Ends in
+    * `vruns(doc_a, doc_b, a_start, b_start, len_frames)` — consumed by
+    * m9's closure and m12's incremental-store twin. Nothing touches
+    * binary. */
+  private val sqlVideoRunCtes: String =
+    s"""vd AS (SELECT doc_id, doc_id // 3 AS f, doc_id % 3 AS t
+       |       FROM documents WHERE doc_id < 120),
+       |vn AS (SELECT doc_id, f, t, 6 + (f % 3) * 2 AS nf FROM vd),
+       |vf AS (SELECT doc_id, f, ci - CASE WHEN t = 2 THEN 2 ELSE 0 END AS pos, ci
+       |       FROM vn, LATERAL (SELECT unnest(generate_series(
+       |         CASE WHEN t = 2 THEN 2 ELSE 0 END, nf - 1)) AS ci) g),
+       |vb AS (SELECT doc_id, pos, gx, gy,
+       |              (f * 10 + ci) * 8209 + gx * 17 + gy * 29 + 13 AS u
+       |       FROM vf CROSS JOIN generate_series(0, 8) tx(gx)
+       |       CROSS JOIN generate_series(0, 6) ty(gy)),
+       |vc AS (SELECT doc_id, pos, gx, gy, ((u * u) % 1000003) % 241 AS v FROM vb),
+       |vbits AS (SELECT a.doc_id, a.pos, a.gx AS x, a.gy AS y,
+       |                 CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+       |          FROM vc a JOIN vc b
+       |            ON b.doc_id = a.doc_id AND b.pos = a.pos
+       |           AND b.gy = a.gy AND b.gx = a.gx + 1
+       |          WHERE a.gx <= 7),
+       |vh AS (SELECT doc_id, pos,
+       |              sum(CASE WHEN bit = 1
+       |                       THEN (CAST(1 AS BIGINT) << (y * 8 + x))
+       |                       ELSE CAST(0 AS BIGINT) END) AS fhash
+       |       FROM vbits GROUP BY doc_id, pos),
+       |vm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |              a.pos AS pos_a, b.pos - a.pos AS diff
+       |       FROM vh a JOIN vh b
+       |         ON b.fhash = a.fhash AND a.doc_id < b.doc_id),
+       |visl AS (SELECT doc_a, doc_b, diff, pos_a,
+       |                pos_a - row_number() OVER (
+       |                  PARTITION BY doc_a, doc_b, diff ORDER BY pos_a) AS isle
+       |         FROM vm),
+       |vruns AS (SELECT doc_a, doc_b,
+       |                 CAST(min(pos_a) AS BIGINT) AS a_start,
+       |                 CAST(min(pos_a) + diff AS BIGINT) AS b_start,
+       |                 CAST(max(pos_a) - min(pos_a) + 1 AS BIGINT) AS len_frames
+       |          FROM visl GROUP BY doc_a, doc_b, diff, isle
+       |          HAVING max(pos_a) - min(pos_a) + 1 >= 4)""".stripMargin
+
   /** Shared SQL fragment: the CCNet bucketing replay (t16's LM chain →
     * BIGINT per-doc mean score → rank terciles → tail-sample keep) ending
     * in `ccb(doc_id, lm_avg_scaled, bucket, kept)`. Single source for
@@ -1225,6 +1275,25 @@ object SparkEntry {
           .withColumnRenamed("dhash", "sig"),
         bits = 64, maxHamming = 4)
       Dedup.clusters(ids, pairs)
+    }),
+    // Incremental VIDEO dedup through the persisted frame-hash store: the
+    // 120-video corpus arrives in two parity-split ingest runs (every
+    // family straddles the boundary), each aligning its new frame
+    // sequences against stored history; the runs' spans union to exactly
+    // the one-shot frameAlignedRuns result — oracle is m9's analytic run
+    // replay with full (a_start, b_start, len_frames) columns.
+    "m12_store_video" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 120)
+      val fh = Multimodal.frameDhash(
+        Multimodal.videoFrames(
+          Multimodal.synthesizeVideos(ids.repartition(64))))
+        .select(col("doc_id"), col("frame_idx").as("pos"), col("dhash").as("h"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_frame_store").toString + "/store"
+      val r1 = Dedup.incrementalFrameRuns(fh.filter(col("doc_id") % 2 === 0), dir)
+      val r2 = Dedup.incrementalFrameRuns(fh.filter(col("doc_id") % 2 === 1), dir)
+      r1.unionByName(r2)
     }),
     // The END-TO-END multimodal curation flow in ONE oracled query — the
     // demo a real LLM-data-pipeline user runs first: (text, image, audio)
@@ -3792,6 +3861,12 @@ object SparkEntry {
     "m10_store_hamming" ->
       s"""WITH $sqlImageDhashCtes
          |SELECT doc_a, doc_b, hamming FROM ipairs""".stripMargin,
+    // Incremental-store twin of the video runs: two parity-split ingest
+    // runs union to the one-shot aligned-run set — oracle is the shared
+    // analytic replay with full run coordinates.
+    "m12_store_video" ->
+      s"""WITH $sqlVideoRunCtes
+         |SELECT doc_a, doc_b, a_start, b_start, len_frames FROM vruns""".stripMargin,
     // End-to-end multimodal curation: c2's decision-table replay with the
     // near-dup clusters swapped from MinHash to m8's cross-modal closure
     // (image ∪ audio analytic pair replays), and quality/decontam/split
@@ -3852,48 +3927,11 @@ object SparkEntry {
          |       CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
          |FROM (SELECT doc_id FROM documents WHERE doc_id < 400) d
          |LEFT JOIN lab l ON l.doc_id = d.doc_id""".stripMargin,
-    // Video near-dup: replays videoCell per (family, content-frame) —
-    // trimmed variants shift position but keep content indices — packs
-    // each frame's 56 dHash bits into one integer (8×7 grid never sets
-    // bit 63, so plain shifts are sign-safe), joins frames on hash
-    // equality, and collapses consecutive matches per (pair, offset-diff)
-    // with the pos − row_number island key; runs ≥ 4 frames become pairs,
-    // closed by the shared recursive closure. Nothing touches binary.
+    // Video near-dup: the shared analytic run replay (see
+    // sqlVideoRunCtes), runs ≥ 4 frames become pairs, closed by the
+    // shared recursive closure.
     "m9_video_dedup" ->
-      s"""WITH RECURSIVE
-         |vd AS (SELECT doc_id, doc_id // 3 AS f, doc_id % 3 AS t
-         |       FROM documents WHERE doc_id < 120),
-         |vn AS (SELECT doc_id, f, t, 6 + (f % 3) * 2 AS nf FROM vd),
-         |vf AS (SELECT doc_id, f, ci - CASE WHEN t = 2 THEN 2 ELSE 0 END AS pos, ci
-         |       FROM vn, LATERAL (SELECT unnest(generate_series(
-         |         CASE WHEN t = 2 THEN 2 ELSE 0 END, nf - 1)) AS ci) g),
-         |vb AS (SELECT doc_id, pos, gx, gy,
-         |              (f * 10 + ci) * 8209 + gx * 17 + gy * 29 + 13 AS u
-         |       FROM vf CROSS JOIN generate_series(0, 8) tx(gx)
-         |       CROSS JOIN generate_series(0, 6) ty(gy)),
-         |vc AS (SELECT doc_id, pos, gx, gy, ((u * u) % 1000003) % 241 AS v FROM vb),
-         |vbits AS (SELECT a.doc_id, a.pos, a.gx AS x, a.gy AS y,
-         |                 CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
-         |          FROM vc a JOIN vc b
-         |            ON b.doc_id = a.doc_id AND b.pos = a.pos
-         |           AND b.gy = a.gy AND b.gx = a.gx + 1
-         |          WHERE a.gx <= 7),
-         |vh AS (SELECT doc_id, pos,
-         |              sum(CASE WHEN bit = 1
-         |                       THEN (CAST(1 AS BIGINT) << (y * 8 + x))
-         |                       ELSE CAST(0 AS BIGINT) END) AS fhash
-         |       FROM vbits GROUP BY doc_id, pos),
-         |vm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |              a.pos AS pos_a, b.pos - a.pos AS diff
-         |       FROM vh a JOIN vh b
-         |         ON b.fhash = a.fhash AND a.doc_id < b.doc_id),
-         |visl AS (SELECT doc_a, doc_b, diff, pos_a,
-         |                pos_a - row_number() OVER (
-         |                  PARTITION BY doc_a, doc_b, diff ORDER BY pos_a) AS isle
-         |         FROM vm),
-         |vruns AS (SELECT doc_a, doc_b FROM visl
-         |          GROUP BY doc_a, doc_b, diff, isle
-         |          HAVING max(pos_a) - min(pos_a) + 1 >= 4),
+      s"""WITH RECURSIVE $sqlVideoRunCtes,
          |pairs AS (SELECT DISTINCT doc_a, doc_b FROM vruns),
          |$sqlClosureCtes
          |SELECT d.doc_id,

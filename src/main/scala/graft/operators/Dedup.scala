@@ -740,7 +740,56 @@ object Dedup {
     require(k >= 1 && minTokens >= k,
       s"minTokens $minTokens must be >= anchor width $k")
     import graft.functions.GraftColumns
-    val spark = newDocs.sparkSession
+    incrementalAlignedRuns(
+      newDocs.select(col("doc_id"),
+        posexplode(GraftColumns.shingleHashSeq(col("text"), k)).as(Seq("pos", "h")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h")),
+      storePath, minTokens, k, s"spans-k$k-v2", maxAnchorDf)
+      .withColumnRenamed("len", "len_tokens")
+  }
+
+  /** Incremental VIDEO near-dup against a persisted frame-hash store —
+    * [[frameAlignedRuns]] in the growing-corpus pattern: frame dHashes ARE
+    * positional anchors (positions = frame indices, k = 1), so the anchor
+    * store machinery applies verbatim; new video batches align against
+    * every stored frame sequence and append their own. `formatTag` pins
+    * the frame-signature scheme (grid size, extractor revision), e.g.
+    * "frames-dhash8x7-v1". `maxFrameDf` caps boilerplate FRAMES — a black
+    * or title-card frame shared by f videos is the df² pair hazard on the
+    * time axis; the cap drops it before pairing (runs through it split,
+    * the documented duplicatedSpans trade). Output: (doc_a, doc_b,
+    * a_start, b_start, len_frames), every run reported exactly once, in
+    * the run where its younger member arrived. */
+  def incrementalFrameRuns(
+      newFrameHashes: DataFrame,
+      storePath: String,
+      minRun: Int = 4,
+      formatTag: String = "frames-dhash8x7-v1",
+      maxFrameDf: Int = 0): DataFrame = {
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    incrementalAlignedRuns(newFrameHashes, storePath, minRun, 1, formatTag,
+      maxFrameDf)
+      .withColumnRenamed("len", "len_frames")
+  }
+
+  /** The store-backed aligned-run core shared by
+    * [[incrementalDuplicatedSpans]] (token k-gram anchors) and
+    * [[incrementalFrameRuns]] (per-frame perceptual hashes): input is the
+    * NEW batch's (doc_id, pos, h) anchor rows; see the callers for the
+    * full durability and equivalence contracts. The marker file is
+    * `_format-<formatTag>` — callers encode every parameter that makes
+    * stored anchors incomparable (width, tokenizer, signature scheme). */
+  private def incrementalAlignedRuns(
+      rawNew: DataFrame,
+      storePath: String,
+      minLen: Int,
+      k: Int,
+      formatTag: String,
+      maxAnchorDf: Int): DataFrame = {
+    require(formatTag.nonEmpty && formatTag.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '.' || c == '_'),
+      s"formatTag must be a plain file-name token, got '$formatTag'")
+    val spark = rawNew.sparkSession
     val dir = new org.apache.hadoop.fs.Path(storePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withStoreLock(fs, dir) {
@@ -748,15 +797,12 @@ object Dedup {
         val nm = s.getPath.getName
         !nm.startsWith(".") && !nm.startsWith("_")
       }
-      val marker = new org.apache.hadoop.fs.Path(dir, s"_format-spans-k$k-v2")
+      val marker = new org.apache.hadoop.fs.Path(dir, s"_format-$formatTag")
       if (hasStore && !fs.exists(marker))
         throw new IllegalStateException(
-          s"anchor store at $storePath was not written at anchor width " +
-            s"k=$k under the v2 tokenizer (missing _format-spans-k$k-v2); " +
-            "stored anchors are not comparable — rebuild the store")
-      val rawNew = newDocs.select(col("doc_id"),
-          posexplode(GraftColumns.shingleHashSeq(col("text"), k)).as(Seq("pos", "h")))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+          s"anchor store at $storePath was not written under scheme " +
+            s"'$formatTag' (missing _format-$formatTag); stored anchors " +
+            "are not comparable — rebuild the store")
       val oldAnchors =
         if (hasStore)
           spark.read.option("recursiveFileLookup", "true").parquet(storePath)
@@ -802,8 +848,7 @@ object Dedup {
           when(col("doc_n") < col("doc_o"), col("pos_o"))
             .otherwise(col("pos_n")).as("pos_b"))
         .distinct()
-      val spans = islandRuns(matches, minTokens, k)
-        .withColumnRenamed("len", "len_tokens")
+      val spans = islandRuns(matches, minLen, k)
         // Eager checkpoint BEFORE the append (see incrementalMinhashPairs).
         .localCheckpoint(true)
       val batchId = java.util.UUID.randomUUID().toString

@@ -709,7 +709,7 @@ class DedupSpec extends SparkSpec {
     val ex = intercept[IllegalStateException] {
       Dedup.incrementalDuplicatedSpans(df.filter($"doc_id" > 2L), dir, 10, 4)
     }
-    assert(ex.getMessage.contains("k=4"))
+    assert(ex.getMessage.contains("spans-k4-v2"))
     // store erasure composes: forget doc 0, then a re-submitted copy of it
     // pairs against the OTHER surviving holders but never against 0
     Dedup.eraseFromStore(spark, dir, Seq(0L).toDF("doc_id"))

@@ -282,6 +282,36 @@ class MultimodalSpec extends SparkSpec {
       24L -> 24L, 25L -> 24L, 26L -> 24L))
   }
 
+  test("incremental video store: arrival-order ingests ≡ one-shot alignment") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vstore").toString + "/store"
+    val ids = (21L to 26L).toDF("doc_id") // families 7 and 8
+    val fh = Multimodal.frameDhash(
+      Multimodal.videoFrames(Multimodal.synthesizeVideos(ids)))
+      .select(col("doc_id"), col("frame_idx").as("pos"), col("dhash").as("h"))
+    def runsOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val run1 = runsOf(graft.operators.Dedup.incrementalFrameRuns(
+      fh.filter($"doc_id" % 2 === 0), dir))
+    val run2 = runsOf(graft.operators.Dedup.incrementalFrameRuns(
+      fh.filter($"doc_id" % 2 === 1), dir))
+    val oneShot = runsOf(graft.operators.Dedup.frameAlignedRuns(fh, minRun = 4))
+    assert(run1.intersect(run2).isEmpty)
+    assert(run1.union(run2) === oneShot)
+    // the family-7 re-encode pair (21 even-batch, 22 odd? 21 odd, 22 even)
+    // straddles the boundary → its full-length run is cross-batch
+    assert(run2.contains((21L, 22L, 0L, 0L, 8L)))
+    // replay idempotence
+    assert(runsOf(graft.operators.Dedup.incrementalFrameRuns(
+      fh.filter($"doc_id" % 2 === 1), dir)).isEmpty)
+    // scheme guard: a different frame-signature tag fails loudly
+    val ex = intercept[IllegalStateException] {
+      graft.operators.Dedup.incrementalFrameRuns(fh, dir,
+        formatTag = "frames-other-v9")
+    }
+    assert(ex.getMessage.contains("frames-other-v9"))
+  }
+
   test("audio energy of synthesized PCM matches the analytic waveform") {
     val ids = Seq(3L, 12L).toDF("doc_id")
     val out = Multimodal.audioEnergy(Multimodal.synthesizePcm(ids))
