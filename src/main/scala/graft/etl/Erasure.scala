@@ -98,4 +98,24 @@ object Erasure {
       (erased, remainingParts.size.toLong, emptied.size.toLong)
     } finally remainder.unpersist()
   }
+
+  /** Full right-to-be-forgotten: the obligation extends to DERIVED data —
+    * a document deleted from the lake but whose shingle sets / dHashes
+    * remain in a signature store still pairs against future ingests, which
+    * both leaks its content fingerprint and resurrects it in dedup
+    * decisions. Composes [[eraseKeys]] over the partitioned data with
+    * [[graft.operators.Dedup.eraseFromStore]] over every signature store
+    * derived from it (minhash, Hamming, anchor — the rewrite is
+    * schema-opaque). Data first, then stores; both sides are idempotent
+    * and fail loudly, so a partial failure is healed by re-running.
+    * Returns (rows erased, partitions rewritten, partitions removed,
+    * signature rows erased across all stores). */
+  def eraseKeysEverywhere(spark: SparkSession, dataDir: String,
+      partCols: Seq[String], keyCol: String, keys: DataFrame,
+      storePaths: Seq[String]): (Long, Long, Long, Long) = {
+    val (rows, rewritten, removed) = eraseKeys(spark, dataDir, partCols, keyCol, keys)
+    val sigRows = storePaths.map(p =>
+      graft.operators.Dedup.eraseFromStore(spark, p, keys.select(col(keyCol)))).sum
+    (rows, rewritten, removed, sigRows)
+  }
 }

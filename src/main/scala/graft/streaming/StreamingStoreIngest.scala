@@ -56,4 +56,29 @@ object StreamingStoreIngest {
         ()
       }
       .start()
+
+  /** The multimodal sibling: streaming ingest of FIXED-WIDTH Hamming
+    * signatures (image dHash / audio fingerprints — computed upstream on
+    * the codec seam, e.g. `Multimodal.imageDhash` over a payload stream)
+    * into the durable [[Dedup.incrementalHammingPairs]] store. `sigs` is a
+    * streaming frame of (doc_id, sig). Same exactly-once contract as
+    * [[run]]: per-batch overwrite-idempotent pairs output, anti-joined
+    * store append, loud lease conflict; `formatTag` must match the store's
+    * extractor scheme or every micro-batch fails loudly (by design — a
+    * stream quietly pairing incomparable signatures is the worst outcome). */
+  def runHamming(sigs: DataFrame, storePath: String, pairsOut: String,
+      checkpoint: String, bits: Int, maxHamming: Int, formatTag: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    sigs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pairs = Dedup.incrementalHammingPairs(
+          batch, storePath, bits, maxHamming, formatTag)
+        pairs.write.mode("overwrite")
+          .parquet(s"$pairsOut/ingest_batch=$batchId")
+        ()
+      }
+      .start()
 }

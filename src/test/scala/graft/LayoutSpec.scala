@@ -164,6 +164,42 @@ class LayoutSpec extends SparkSpec {
       === ((0L, 0L, 0L)))
   }
 
+  test("eraseKeysEverywhere: data partitions AND signature stores forget together") {
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("graft_erase_all").toString + "/t"
+    Seq(
+      (1L, "d1", "the quick brown fox jumps over the lazy dog today"),
+      (2L, "d1", "the quick brown fox jumps over the lazy cat today"),
+      (3L, "d2", "pack my box with five dozen liquor jugs right now"))
+      .toDF("doc_id", "day", "text").write.partitionBy("day").parquet(dir)
+    // derived stores: a minhash store and a Hamming store over the corpus
+    val mh = Files.createTempDirectory("graft_erase_mh").toString + "/store"
+    val ham = Files.createTempDirectory("graft_erase_ham").toString + "/store"
+    Dedup.incrementalMinhashPairs(
+      spark.read.parquet(dir).select("doc_id", "text"), mh).collect()
+    Dedup.incrementalHammingPairs(
+      Seq((1L, 0L), (2L, 1L), (3L, 0x0F0FL)).toDF("doc_id", "sig"),
+      ham, 64, 2, "test-v1").collect()
+
+    val (rows, rewritten, removed, sigRows) = graft.etl.Erasure.eraseKeysEverywhere(
+      spark, dir, Seq("day"), "doc_id", Seq(1L).toDF("doc_id"), Seq(mh, ham))
+    assert((rows, rewritten, removed) === ((1L, 1L, 0L)))
+    assert(sigRows === 2L) // one row from each store
+    // the data row is gone
+    assert(spark.read.parquet(dir).filter($"doc_id" === 1L).count() === 0L)
+    // neither store ever pairs doc 1 again: re-submitting its exact
+    // content/signature pairs only against the survivors
+    val mhPairs = Dedup.incrementalMinhashPairs(
+      Seq((9L, "the quick brown fox jumps over the lazy dog today"))
+        .toDF("doc_id", "text"), mh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mhPairs.contains((2L, 9L)) && !mhPairs.exists(p => p._1 == 1L))
+    val hamPairs = Dedup.incrementalHammingPairs(
+      Seq((9L, 0L)).toDF("doc_id", "sig"), ham, 64, 2, "test-v1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hamPairs === Set((2L, 9L)))
+  }
+
   test("key erasure handles Hive-escaped and NULL partition values") {
     // Spark writes "a b:c" as the escaped dir "day=a b%3Ac" and NULL as
     // "day=__HIVE_DEFAULT_PARTITION__" — a raw "$col=$value" delete path

@@ -70,6 +70,41 @@ class StreamingStoreIngestSpec extends SparkSpec {
     assert(batchPairs.map(p => (p._1, p._2)).contains((3L, 100L)))
   }
 
+  test("streamed Hamming-signature ingest ≡ one-shot pairs; store usable by batch afterwards") {
+    val srcDir = Files.createTempDirectory("graft_ssh_src").toString
+    val store = Files.createTempDirectory("graft_ssh_store").toString + "/store"
+    val pairsOut = Files.createTempDirectory("graft_ssh_pairs").toString
+    val ckpt = Files.createTempDirectory("graft_ssh_ckpt").toString
+    // image-dHash signatures of the pattern-PNG quads, split across three
+    // micro-batch files so every quad straddles batch boundaries
+    val sigs = graft.operators.Multimodal.imageDhash(
+      graft.operators.Multimodal.synthesizePatternPngs((0L until 12L).toDF("doc_id")))
+      .withColumnRenamed("dhash", "sig")
+    sigs.filter($"doc_id" < 4L).write.parquet(s"$srcDir/b0")
+    sigs.filter($"doc_id" >= 4L && $"doc_id" < 8L).write.parquet(s"$srcDir/b1")
+    sigs.filter($"doc_id" >= 8L).write.parquet(s"$srcDir/b2")
+    val sigSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("sig", LongType)))
+    val q = StreamingStoreIngest.runHamming(
+      spark.readStream.schema(sigSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*"),
+      store, pairsOut, ckpt, bits = 64, maxHamming = 4, formatTag = "dhash-8x8-v1")
+    try q.processAllAvailable() finally q.stop()
+    def hamSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "hamming")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = hamSet(spark.read.parquet(pairsOut))
+    val oneShot = hamSet(Dedup.hammingPairs(sigs, 64, 4))
+    assert(streamed === oneShot && streamed.nonEmpty)
+    // the same store then serves a BATCH ingest: a re-upload of image 0's
+    // exact signature pairs against the stream-ingested history
+    val sig0 = sigs.filter($"doc_id" === 0L).collect().head.getLong(1)
+    val late = Seq((100L, sig0)).toDF("doc_id", "sig")
+    val batchPairs = hamSet(Dedup.incrementalHammingPairs(
+      late, store, 64, 4, "dhash-8x8-v1"))
+    assert(batchPairs.map(p => (p._1, p._2)).contains((0L, 100L)))
+  }
+
   test("held writer lease fails the stream loudly; lease release + restart replays idempotently") {
     val srcDir = Files.createTempDirectory("graft_ssi2_src").toString
     val storeRoot = Files.createTempDirectory("graft_ssi2_store").toString
