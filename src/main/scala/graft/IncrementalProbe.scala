@@ -44,6 +44,25 @@ object IncrementalProbe {
     time("hamming_erase_1k")(Dedup.eraseFromStore(spark, hs,
       spark.range(1000).select(col("id").as("doc_id"))))
 
+    // --- Batch-count amortization: many small ingests inflate every
+    // later run's fixed cost (one file-index entry + footer per batch
+    // dir); compaction restores it -------------------------------------
+    val ms = s"$tmp/mstore"
+    val perBatch = math.max(nSigs / 50, 1)
+    (0 until 40).foreach { i =>
+      Dedup.incrementalHammingPairs(
+        sigs.filter(col("doc_id") % 50 === i), ms, 64, 3, "probe-v1").count()
+    }
+    time("ingest_41st_of_many") {
+      Dedup.incrementalHammingPairs(
+        sigs.filter(col("doc_id") % 50 === 40), ms, 64, 3, "probe-v1").count()
+    }
+    time("compact_store") { Dedup.compactStore(spark, ms)._2 }
+    time("ingest_after_compact") {
+      Dedup.incrementalHammingPairs(
+        sigs.filter(col("doc_id") % 50 === 41), ms, 64, 3, "probe-v1").count()
+    }
+
     // --- Anchor store: docs (10g, 10g+1) share a per-group 12-token
     // passage (anchor df = 2 per passage — stays under the cap; a
     // corpus-wide passage would just be cap-dropped and prove nothing) ---

@@ -1285,10 +1285,13 @@ object SparkEntry {
     "m12_store_video" -> ((s, d) => {
       val ids = Tables.documents(s, d).select(col("doc_id"))
         .filter(col("doc_id") < 120)
+      // cache: both ingest runs (and each run's checkpoint + pair join)
+      // would otherwise replay the synth → demux → decode codec chain
       val fh = Multimodal.frameDhash(
         Multimodal.videoFrames(
           Multimodal.synthesizeVideos(ids.repartition(64))))
         .select(col("doc_id"), col("frame_idx").as("pos"), col("dhash").as("h"))
+        .cache()
       val dir = java.nio.file.Files
         .createTempDirectory("graft_frame_store").toString + "/store"
       val r1 = Dedup.incrementalFrameRuns(fh.filter(col("doc_id") % 2 === 0), dir)
@@ -1335,9 +1338,12 @@ object SparkEntry {
     "m10_store_hamming" -> ((s, d) => {
       val ids = Tables.documents(s, d).select(col("doc_id"))
         .filter(col("doc_id") < 400)
+      // cache: both ingest runs would otherwise replay the PNG synth +
+      // decode chain (the m12 rationale)
       val sigs = Multimodal.imageDhash(
         Multimodal.synthesizePatternPngs(ids.repartition(64)))
         .withColumnRenamed("dhash", "sig")
+        .cache()
       val dir = java.nio.file.Files
         .createTempDirectory("graft_ham_store").toString + "/store"
       val r1 = Dedup.incrementalHammingPairs(

@@ -1181,6 +1181,59 @@ object Dedup {
     }
   }
 
+  /** Compaction for a persisted signature/anchor store — the
+    * many-small-batches answer: every incremental run reads the WHOLE
+    * store listing (one parquet footer + file-index entry per batch dir),
+    * so a store built from thousands of small ingests (streaming
+    * micro-batches especially) pays a per-run fixed cost linear in batch
+    * COUNT even when row count is modest. Compaction merges every
+    * published `batch-*` directory into one, under the same writer lease
+    * as ingest (compacting against a concurrent writer's half-published
+    * batch would silently drop it).
+    *
+    * Publish order is MERGE-FIRST: write the union (`.distinct()` — store
+    * rows are exact duplicates across batches only if a crash left an
+    * earlier compaction half-finished, see below) to a hidden staging
+    * dir, atomically publish it as a fresh batch, THEN delete the old
+    * batch dirs. A crash between publish and the deletes leaves rows
+    * visible TWICE — never lost (the erase-side trade is inverted here:
+    * compaction must never lose corpus history, while transient
+    * duplicates are healed by re-running compaction, whose distinct()
+    * collapses them). The format marker is untouched — compaction is
+    * scheme-agnostic. Returns (batches merged, rows in the compacted
+    * batch); a store with ≤ 1 batch is a no-op. */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): (Long, Long) = {
+    val dir = new org.apache.hadoop.fs.Path(storePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return (0L, 0L)
+    withStoreLock(fs, dir) {
+      val batches = fs.listStatus(dir)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
+      if (batches.length <= 1) (0L, 0L)
+      else {
+        val merged = spark.read
+          .parquet(batches.map(_.getPath.toString).toIndexedSeq: _*)
+          .distinct()
+        val id = java.util.UUID.randomUUID().toString
+        val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$id")
+        merged.write.parquet(staging.toString)
+        val rows = spark.read.parquet(staging.toString).count()
+        if (!fs.rename(staging, new org.apache.hadoop.fs.Path(dir, s"batch-$id")))
+          throw new IllegalStateException(
+            s"compactStore: failed to publish merged batch $staging")
+        batches.foreach { b =>
+          fs.delete(b.getPath, true)
+          if (fs.exists(b.getPath))
+            throw new IllegalStateException(
+              s"compactStore: failed to delete ${b.getPath} — rows are " +
+                "duplicated until a re-run succeeds")
+        }
+        (batches.length.toLong, rows)
+      }
+    }
+  }
+
   /** Key erasure over a persisted signature store — the right-to-be-
     * forgotten obligation EXTENDS to derived signatures: deleting a
     * document's rows from the data lake ([[graft.etl.Erasure.eraseKeys]])

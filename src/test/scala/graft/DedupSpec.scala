@@ -448,6 +448,40 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("writerZ@1"))
   }
 
+  test("compactStore: many batches become one, pairing and erasure unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/store"
+    val all = Seq((1L, 0L), (2L, 1L), (3L, 0x0F0F_0F0FL), (4L, 0x0F0F_0F0EL),
+      (5L, 0x7070_7070L)).toDF("doc_id", "sig")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // five single-doc ingests → five batch dirs
+    (1L to 5L).foreach { i =>
+      Dedup.incrementalHammingPairs(all.filter($"doc_id" === i),
+        dir, 64, 2, "test-v1").collect()
+    }
+    val store = new java.io.File(dir)
+    def batchDirs = store.listFiles().count(_.getName.startsWith("batch-"))
+    assert(batchDirs === 5)
+    val (merged, rows) = Dedup.compactStore(spark, dir)
+    assert((merged, rows) === ((5L, 5L)))
+    assert(batchDirs === 1)
+    // compaction is invisible to pairing: a new ingest still sees the
+    // full history (1~2 stored, 9 ≡ 1 → pairs 1 and 2)
+    val run = pairsOf(Dedup.incrementalHammingPairs(
+      Seq((9L, 0L)).toDF("doc_id", "sig"), dir, 64, 2, "test-v1"))
+    assert(run.map(p => (p._1, p._2)) === Set((1L, 9L), (2L, 9L)))
+    // idempotent: compacting twice more is stable (2 batches → 1 → no-op)
+    assert(Dedup.compactStore(spark, dir)._1 === 2L)
+    assert(Dedup.compactStore(spark, dir) === ((0L, 0L)))
+    // erasure still works on the compacted layout
+    Dedup.eraseFromStore(spark, dir, Seq(1L).toDF("doc_id"))
+    val run2 = pairsOf(Dedup.incrementalHammingPairs(
+      Seq((10L, 0L)).toDF("doc_id", "sig"), dir, 64, 2, "test-v1"))
+    assert(!run2.exists(p => p._1 == 1L || p._2 == 1L))
+    // the format marker survives compaction
+    assert(new java.io.File(dir, "_format-test-v1").exists())
+  }
+
   test("eraseFromStore erases from the minhash store too (schema-opaque rewrite)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mh_erase").toString + "/store"
     def pairsOf(df: org.apache.spark.sql.DataFrame) =
