@@ -294,11 +294,14 @@ object SparkEntry {
     * (8×7 grid never sets bit 63, so plain shifts are sign-safe), joins
     * frames on hash equality, and collapses consecutive matches per
     * (pair, offset-diff) with the pos − row_number island key. Capped at
-    * doc_id < 120 (fixed ABSOLUTE size, SF-invariant). Ends in
-    * `vruns(doc_a, doc_b, a_start, b_start, len_frames)` — consumed by
-    * m9's closure and m12's incremental-store twin. Nothing touches
-    * binary. */
-  private val sqlVideoRunCtes: String =
+    * doc_id < 120 (fixed ABSOLUTE size, SF-invariant). Split in two:
+    * [[sqlVideoHashCtes]] ends at `vh(doc_id, pos, fhash)` (the packed
+    * per-frame hash — m13's tolerant replay perturbs it before its own
+    * Hamming pair join), and [[sqlVideoRunCtes]] adds exact-equality
+    * alignment ending in `vruns(doc_a, doc_b, a_start, b_start,
+    * len_frames)` — consumed by m9's closure and m12's incremental-store
+    * twin. Nothing touches binary. */
+  private val sqlVideoHashCtes: String =
     s"""vd AS (SELECT doc_id, doc_id // 3 AS f, doc_id % 3 AS t
        |       FROM documents WHERE doc_id < 120),
        |vn AS (SELECT doc_id, f, t, 6 + (f % 3) * 2 AS nf FROM vd),
@@ -317,10 +320,13 @@ object SparkEntry {
        |           AND b.gy = a.gy AND b.gx = a.gx + 1
        |          WHERE a.gx <= 7),
        |vh AS (SELECT doc_id, pos,
-       |              sum(CASE WHEN bit = 1
+       |              CAST(sum(CASE WHEN bit = 1
        |                       THEN (CAST(1 AS BIGINT) << (y * 8 + x))
-       |                       ELSE CAST(0 AS BIGINT) END) AS fhash
-       |       FROM vbits GROUP BY doc_id, pos),
+       |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fhash
+       |       FROM vbits GROUP BY doc_id, pos)""".stripMargin
+
+  private val sqlVideoRunCtes: String =
+    s"""$sqlVideoHashCtes,
        |vm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |              a.pos AS pos_a, b.pos - a.pos AS diff
        |       FROM vh a JOIN vh b
@@ -1275,6 +1281,27 @@ object SparkEntry {
           .withColumnRenamed("dhash", "sig"),
         bits = 64, maxHamming = 4)
       Dedup.clusters(ids, pairs)
+    }),
+    // TOLERANT video alignment — the lossy-codec case: each re-encoded
+    // variant's frames get ONE dHash bit flipped in-plan (a JPEG-grade
+    // perturbation; exact frame-hash equality loses these variants
+    // entirely, spec-pinned), then frame-level Hamming-≤2 near-pairs via
+    // the pigeonhole banding over composite (video, frame) keys collapse
+    // into aligned runs. The oracle replays the analytic frame hashes,
+    // applies the same perturbation, and pairs frames with a direct
+    // bit_count(xor) join (874 frames — all-pairs is oracle-cheap).
+    "m13_video_tolerant" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 120)
+      val fh = Multimodal.frameDhash(
+        Multimodal.videoFrames(
+          Multimodal.synthesizeVideos(ids.repartition(64))))
+        .select(col("doc_id"), col("frame_idx").as("pos"), col("dhash").as("h"))
+      val noisy = fh.withColumn("h",
+        when(col("doc_id") % 3 === 1,
+          expr("h ^ CAST(shiftleft(1, CAST(pos % 7 AS INT)) AS BIGINT)"))
+          .otherwise(col("h")))
+      Dedup.frameAlignedRunsTolerant(noisy, minRun = 4, maxHamming = 2)
     }),
     // Incremental VIDEO dedup through the persisted frame-hash store: the
     // 120-video corpus arrives in two parity-split ingest runs (every
@@ -3873,6 +3900,31 @@ object SparkEntry {
     "m12_store_video" ->
       s"""WITH $sqlVideoRunCtes
          |SELECT doc_a, doc_b, a_start, b_start, len_frames FROM vruns""".stripMargin,
+    // Tolerant video alignment: perturb the packed analytic frame hash
+    // exactly like the query (one bit per re-encoded variant's frame),
+    // pair frames at bit_count(xor) ≤ 2, same island collapse.
+    "m13_video_tolerant" ->
+      s"""WITH $sqlVideoHashCtes,
+         |vp AS (SELECT doc_id, pos,
+         |              CASE WHEN doc_id % 3 = 1
+         |                   THEN xor(fhash, CAST(1 AS BIGINT) << CAST(pos % 7 AS INTEGER))
+         |                   ELSE fhash END AS fhash
+         |       FROM vh),
+         |fp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |              a.pos AS pos_a, b.pos - a.pos AS diff
+         |       FROM vp a JOIN vp b
+         |         ON a.doc_id < b.doc_id
+         |        AND bit_count(xor(a.fhash, b.fhash)) <= 2),
+         |fisl AS (SELECT doc_a, doc_b, diff, pos_a,
+         |                pos_a - row_number() OVER (
+         |                  PARTITION BY doc_a, doc_b, diff ORDER BY pos_a) AS isle
+         |         FROM fp)
+         |SELECT doc_a, doc_b,
+         |       CAST(min(pos_a) AS BIGINT) AS a_start,
+         |       CAST(min(pos_a) + diff AS BIGINT) AS b_start,
+         |       CAST(max(pos_a) - min(pos_a) + 1 AS BIGINT) AS len_frames
+         |FROM fisl GROUP BY doc_a, doc_b, diff, isle
+         |HAVING max(pos_a) - min(pos_a) + 1 >= 4""".stripMargin,
     // End-to-end multimodal curation: c2's decision-table replay with the
     // near-dup clusters swapped from MinHash to m8's cross-modal closure
     // (image ∪ audio analytic pair replays), and quality/decontam/split

@@ -702,6 +702,51 @@ object Dedup {
     alignedRunCore(frameHashes, minRun, 1).withColumnRenamed("len", "len_frames")
   }
 
+  /** [[frameAlignedRuns]] with per-frame Hamming TOLERANCE — the
+    * lossy-codec variant: JPEG/H.264 re-encodes perturb pixels, so
+    * perceptually-identical frames can differ in a few dHash bits and
+    * exact hash equality under-pairs. Frame-level near-pairs come from
+    * the [[hammingPairs]] pigeonhole banding over COMPOSITE keys
+    * (doc_id · 2²⁰ + frame_idx — videos are bounded to 2²⁰ frames, ~12
+    * days at 1 fps, loud require), decoded back to (doc, pos) matches and
+    * collapsed by the same island core. Because doc_id dominates the
+    * composite key, hammingPairs' key-order canonicalization IS doc-order
+    * canonicalization, so the match stream lands pre-canonicalized.
+    *
+    * Scale shape: banding cost is Σ per-(chunk,value) bucket² like every
+    * Hamming path — at maxHamming = 0 this degrades gracefully to the
+    * exact-equality plan and `frameAlignedRuns` should be used instead
+    * (one join on the full 64-bit hash beats 1-chunk banding). Within-doc
+    * frame near-pairs are filtered (self-similarity of adjacent frames is
+    * not cross-video evidence). */
+  def frameAlignedRunsTolerant(frameHashes: DataFrame, minRun: Int = 4,
+      maxHamming: Int = 2): DataFrame = {
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    require(maxHamming >= 1,
+      "maxHamming 0 is exact equality — use frameAlignedRuns (cheaper plan)")
+    val FrameBits = 20
+    val checked = frameHashes.select(
+      col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+      .withColumn("__fk",
+        when(col("pos") >= 0 && col("pos") < (1L << FrameBits) &&
+          col("doc_id") >= 0 && col("doc_id") < (1L << (62 - FrameBits)),
+          shiftleft(col("doc_id"), FrameBits) + col("pos"))
+          .otherwise(raise_error(concat(lit("frameAlignedRunsTolerant: doc_id/pos out of range: "),
+            col("doc_id").cast("string"), lit("/"), col("pos").cast("string")))))
+    val framePairs = hammingPairs(
+      checked.select(col("__fk").as("doc_id"), col("h").as("sig")),
+      bits = 64, maxHamming = maxHamming)
+    islandRuns(
+      framePairs.select(
+        shiftrightunsigned(col("doc_a"), FrameBits).as("doc_a"),
+        shiftrightunsigned(col("doc_b"), FrameBits).as("doc_b"),
+        col("doc_a").bitwiseAND(lit((1L << FrameBits) - 1)).as("pos_a"),
+        col("doc_b").bitwiseAND(lit((1L << FrameBits) - 1)).as("pos_b"))
+        .filter(col("doc_a") =!= col("doc_b")),
+      minRun, 1)
+      .withColumnRenamed("len", "len_frames")
+  }
+
   /** Cross-batch exact substring dedup against a persisted anchor store —
     * [[duplicatedSpans]] in the growing-corpus pattern (the Lee et al. use
     * case is precisely cross-crawl: each new crawl must be checked against

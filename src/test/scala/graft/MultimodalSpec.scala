@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr, when}
 
 import graft.operators.Multimodal
 
@@ -310,6 +310,36 @@ class MultimodalSpec extends SparkSpec {
         formatTag = "frames-other-v9")
     }
     assert(ex.getMessage.contains("frames-other-v9"))
+  }
+
+  test("frameAlignedRunsTolerant: bit-perturbed re-encodes still align; exact twin at ham 0 evidence") {
+    import graft.operators.Dedup
+    val fh = Multimodal.frameDhash(
+      Multimodal.videoFrames(Multimodal.synthesizeVideos(Seq(21L, 22L, 23L).toDF("doc_id"))))
+      .select(col("doc_id"), col("frame_idx").as("pos"), col("dhash").as("h"))
+    // lossy stand-in: flip one signature bit per frame of the re-encoded
+    // variant (a JPEG-grade perturbation exact equality cannot absorb)
+    val noisy = fh.withColumn("h",
+      when(col("doc_id") === 22L, expr("h ^ CAST(shiftleft(1, CAST(pos % 7 AS INT)) AS BIGINT)"))
+        .otherwise(col("h")))
+    def runsOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    // exact alignment loses the perturbed variant entirely...
+    val exact = runsOf(Dedup.frameAlignedRuns(noisy, minRun = 4))
+    assert(!exact.exists(r => r._1 == 22L || r._2 == 22L))
+    assert(exact.contains((21L, 23L, 6L))) // unperturbed trim still pairs
+    // ...the tolerant form recovers it at ham ≤ 2, full lengths
+    val tol = runsOf(Dedup.frameAlignedRunsTolerant(noisy, minRun = 4, maxHamming = 2))
+    assert(tol.contains((21L, 22L, 8L)) && tol.contains((22L, 23L, 6L))
+      && tol.contains((21L, 23L, 6L)))
+    // on unperturbed input the tolerant form ⊇ exact (equal here)
+    assert(runsOf(Dedup.frameAlignedRunsTolerant(fh, minRun = 4, maxHamming = 2))
+      === runsOf(Dedup.frameAlignedRuns(fh, minRun = 4)))
+    // out-of-range frame index fails loudly, not silently mis-keyed
+    val bad = Seq((1L, 1L << 20, 0L)).toDF("doc_id", "pos", "h")
+    intercept[Exception] {
+      Dedup.frameAlignedRunsTolerant(bad, minRun = 1).collect()
+    }
   }
 
   test("audio energy of synthesized PCM matches the analytic waveform") {
