@@ -66,12 +66,20 @@ object SparkEntry {
     * `lsh_scored(vec_a, vec_b, cosine)` with the RAW (unrounded) cosine;
     * consumers (`s2_ann_lsh`, `d8_semantic_dedup`) apply their own
     * threshold and rounding. */
-  private def sqlLshScoredCtes: String =
+  private def sqlLshScoredCtes: String = sqlLshScoredCtesP("TRUE")
+
+  /** [[sqlLshScoredCtes]] with a parameterized CENTERING predicate: the
+    * quantized-mean basis comes from `embeddings WHERE meanPred` while
+    * bucketing/scoring still covers the whole table — the replay of a
+    * store whose center was PINNED at first ingest
+    * ([[graft.operators.Dedup.incrementalSemanticPairs]], d13). */
+  private def sqlLshScoredCtesP(meanPred: String): String =
     s"""bits AS (SELECT b, CAST(1 AS BIGINT) << b AS p2 FROM generate_series(0, 7) t(b)),
        |msum AS (SELECT i, sum(CAST(trunc(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qs
        |         FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+       |         WHERE $meanPred
        |         GROUP BY i),
-       |ncnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |ncnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings WHERE $meanPred),
        |mlist AS (SELECT list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY i) AS m
        |          FROM msum CROSS JOIN ncnt GROUP BY n),
        |proj AS (SELECT vec_id, b, p2,
@@ -1554,6 +1562,22 @@ object SparkEntry {
     "d12_clusters_logstar" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.clustersLogStar(docs, Dedup.minhashPairs(docs))
+    }),
+    // Incremental SEMANTIC dedup through the persisted vector store: the
+    // embeddings arrive in two parity-split ingest runs; the center is
+    // PINNED at the first ingest (batch 1's quantized sums persisted as
+    // the store's _center), so the second run buckets under the same
+    // basis and pairs its vectors against stored history. The two runs'
+    // pairs union to the flagged-batch result under that center — the
+    // oracle replays the LSH chain with the mean restricted to the even
+    // batch while bucketing/scoring covers everything.
+    "d13_semantic_store" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_sem_store").toString + "/store"
+      val r1 = Dedup.incrementalSemanticPairs(emb.filter(col("vec_id") % 2 === 0), dir)
+      val r2 = Dedup.incrementalSemanticPairs(emb.filter(col("vec_id") % 2 === 1), dir)
+      r1.unionByName(r2)
     }),
     "d8_semantic_dedup" -> ((s, d) =>
       Dedup.semanticClusters(Tables.embeddings(s, d))),
@@ -3809,6 +3833,13 @@ object SparkEntry {
     // SemDeDup-style semantic dedup: the s2 centered-hyperplane pair
     // pipeline at a tighter cosine threshold, closed into components by
     // the d7 recursive reachability, labeled over the full embedding set.
+    // Incremental-store twin of the semantic pairs: union of two
+    // parity-split ingests ≡ the LSH chain with the CENTER pinned to the
+    // even batch (mean restricted; buckets/scores over all vectors).
+    "d13_semantic_store" ->
+      s"""WITH ${sqlLshScoredCtesP("vec_id % 2 = 0")}
+         |SELECT vec_a, vec_b, round(cosine, 7) AS cosine
+         |FROM lsh_scored WHERE cosine >= 0.3""".stripMargin,
     "d8_semantic_dedup" ->
       s"""WITH RECURSIVE $sqlLshScoredCtes,
          |sp AS (SELECT vec_a, vec_b FROM lsh_scored WHERE cosine >= 0.3),

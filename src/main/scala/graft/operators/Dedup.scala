@@ -1226,6 +1226,115 @@ object Dedup {
     }
   }
 
+  /** Incremental SEMANTIC (embedding-cosine) near-dup against a persisted
+    * vector store — the growing-corpus pattern for the fifth pillar: each
+    * run takes the NEW batch's (vec_id, embedding) rows, finds
+    * cosine-≥ threshold pairs against everything seen so far via the
+    * centered-hyperplane LSH in-bucket scorer
+    * ([[Similarity.lshNeighborsCentered]] with old↔old suppressed), and
+    * appends the new vectors. Old↔old pairs are never re-emitted, so
+    * `runs in arrival order ≡ one flagged-batch run over the union under
+    * the SAME center` (spec-asserted).
+    *
+    * The centering basis is PINNED at store creation: the first ingest
+    * persists its quantized-integer sums (`_center`), and every later run
+    * rebuilds the identical mean from them — re-deriving the center per
+    * run would move bucket boundaries between arrivals and silently
+    * change which pairs are candidates (the LSH analog of mutating a
+    * trained quantizer in place; re-center by rebuilding the store, the
+    * optimizeIndex convention). As the corpus drifts from the pinned
+    * center, bucket balance degrades gracefully — recall within a bucket
+    * is unaffected; rebuild when drift is material.
+    *
+    * Durability contract: identical to [[incrementalMinhashPairs]] (lease,
+    * staged atomic publish, propagating reads, anti-joined idempotent
+    * re-ingest); marker `_format-semlsh-b<nBits>-v1` pins the bucket
+    * width. Store rows are (vec_id, embedding) — raw vectors, needed for
+    * exact cosine verification (dim·4 bytes/vec).
+    *
+    * Output: (vec_a, vec_b, cosine) for new↔old and new↔new pairs at
+    * cosine ≥ threshold within shared buckets, canonicalized
+    * vec_a < vec_b, cosine rounded to 7 dp. */
+  def incrementalSemanticPairs(
+      newEmb: DataFrame,
+      storePath: String,
+      threshold: Double = 0.3,
+      nBits: Int = 8): DataFrame = {
+    val spark = newEmb.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(storePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withStoreLock(fs, dir) {
+      val hasStore = fs.exists(dir) && fs.listStatus(dir).exists { s =>
+        val nm = s.getPath.getName
+        !nm.startsWith(".") && !nm.startsWith("_")
+      }
+      val marker = new org.apache.hadoop.fs.Path(dir, s"_format-semlsh-b$nBits-v1")
+      if (hasStore && !fs.exists(marker))
+        throw new IllegalStateException(
+          s"vector store at $storePath was not written at nBits=$nBits " +
+            s"(missing _format-semlsh-b$nBits-v1); bucket assignments are " +
+            "not comparable — rebuild the store")
+      val centerFile = new org.apache.hadoop.fs.Path(dir, "_center")
+      val rawNew = newEmb.select(col("vec_id"), col("embedding"))
+      val oldVecs =
+        if (hasStore)
+          spark.read.option("recursiveFileLookup", "true").parquet(storePath)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rawNew.schema)
+      val newVecs = (
+        if (hasStore) rawNew.join(oldVecs.select("vec_id").distinct(),
+          Seq("vec_id"), "left_anti")
+        else rawNew
+      ).localCheckpoint(true)
+      // Pinned center: first ingest derives + persists it; later runs
+      // REQUIRE it (a store with batches but no center is corrupt — a
+      // silently re-derived center would move every bucket boundary).
+      val (qsum, n) =
+        if (!hasStore) {
+          val s = Similarity.quantizedSums(newVecs)
+          require(s._2 > 0, "incrementalSemanticPairs: empty first batch " +
+            "cannot pin a centering basis")
+          s
+        } else {
+          if (!fs.exists(centerFile))
+            throw new IllegalStateException(
+              s"vector store at $storePath has batches but no _center — " +
+                "the pinned basis is lost; rebuild the store")
+          val in = fs.open(centerFile)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val lines = txt.trim.split('\n')
+          (lines(1).split(',').map(_.trim.toLong).toSeq, lines(0).trim.toLong)
+        }
+      val meanDf = Similarity.meanDfFromQuantized(spark, qsum, n)
+      val flagged = oldVecs.withColumn("is_new", lit(false))
+        .unionByName(newVecs.withColumn("is_new", lit(true)))
+      val pairs = Similarity
+        .lshNeighborsCentered(flagged, meanDf, nBits, threshold)
+        // Eager checkpoint BEFORE the append (see incrementalMinhashPairs).
+        .localCheckpoint(true)
+      val batchId = java.util.UUID.randomUUID().toString
+      val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$batchId")
+      val published = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
+      newVecs.write.parquet(staging.toString)
+      // Center + marker BEFORE the publishing rename (the marker-ordering
+      // rationale of incrementalMinhashPairs: a crash in between leaves
+      // metadata with no visible batches — harmless; the reverse strands
+      // a valid store unreadable).
+      if (!hasStore) {
+        val out = fs.create(centerFile, true)
+        try out.write(s"$n\n${qsum.mkString(",")}\n".getBytes("UTF-8"))
+        finally out.close()
+      }
+      if (!fs.exists(marker)) fs.create(marker, true).close()
+      if (!fs.rename(staging, published))
+        throw new IllegalStateException(
+          s"failed to publish vector batch $staging -> $published")
+      org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(newVecs)
+      pairs
+    }
+  }
+
   /** Compaction for a persisted signature/anchor store — the
     * many-small-batches answer: every incremental run reads the WHOLE
     * store listing (one parquet footer + file-index entry per batch dir),

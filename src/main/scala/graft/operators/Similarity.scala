@@ -145,6 +145,8 @@ object Similarity {
   /** A bucket member replicated into one (lo, hi) salt-pair scoring group. */
   final case class SaltedVec(bucket: Long, lo: Int, hi: Int, salt: Int,
       vec_id: Long, embedding: Array[Float], nrm: Double)
+  final case class SaltedFlagged(bucket: Long, lo: Int, hi: Int, salt: Int,
+      vec_id: Long, embedding: Array[Float], nrm: Double, isNew: Boolean)
   final case class SaltedTagged(bucket: Long, qs: Int, cs: Int,
       vec_id: Long, embedding: Array[Float], nrm: Double, isQuery: Boolean)
 
@@ -388,8 +390,7 @@ object Similarity {
       emb: DataFrame,
       nBits: Int = 8,
       threshold: Double = 0.3,
-      hotBucketCap: Int = HotBucketCap): DataFrame = {
-    import emb.sparkSession.implicits._
+      hotBucketCap: Int = HotBucketCap): DataFrame =
     // CENTERED hyperplane buckets: raw sign-LSH on embeddings with a
     // dominant direction collapses most of the corpus into the all-bits-0/
     // all-bits-1 buckets (measured: 60% of 100k vectors in 2 of 256
@@ -398,26 +399,72 @@ object Similarity {
     // mean ([[VectorSumAgg]] — order-independent BIGINT sums), so it and
     // every downstream bucket is bit-reproducible in the DuckDB oracle.
     // One extra tiny aggregate + a broadcast 1-row cross join.
-    val meanDf = emb
+    lshNeighborsCentered(
+      emb.select(col("vec_id"), col("embedding"), lit(true).as("is_new")),
+      meanAggDf(emb), nBits, threshold, hotBucketCap)
+
+  /** The quantized-integer corpus mean as a broadcastable 1-row frame
+    * (`__mean` array<double>) — [[lshNeighbors]]'s centering basis. */
+  def meanAggDf(emb: DataFrame): DataFrame =
+    emb
       .agg(VectorSumAgg.vectorSum(col("embedding")).as("qsum"), count(lit(1)).as("n"))
       .select(transform(col("qsum"),
         v => v.cast("double") / (col("n").cast("double") * lit(VectorSumAgg.Scale))).as("__mean"))
-    // Scoring happens INSIDE each bucket group, not on a join's output: a
-    // bucket self-join materializes Σ bucket² pair rows each carrying both
-    // full embeddings (~1 KB/row — measured 938M rows ≈ 1 TB of row traffic
-    // at 100k clone-heavy vectors, 89 s) only to discard 99.7% at the
-    // threshold. Here the ONE shuffle ships each vector once (group by
-    // bucket), and the pairwise loop scores local compact arrays, emitting
-    // only survivors — same left-to-right double dot, same half-up 7-dp
-    // round, each unordered pair still seen exactly once (a vector lives in
-    // exactly one bucket, and the salt split routes it to exactly one
-    // salt-pair group), so the output set is join-equivalent. Bucket
-    // population scales with corpus / 2^nBits — raise nBits with corpus
-    // size (standard LSH practice); the [[HotBucketCap]] salt split bounds
-    // the task size when one bucket goes pathological anyway.
-    val withBucket = emb.crossJoin(broadcast(meanDf))
+
+  /** The raw quantized sums behind [[meanAggDf]], collected (one row of
+    * dim longs — driver-trivial): what a store persists to PIN its
+    * centering basis at creation. */
+  def quantizedSums(emb: DataFrame): (Seq[Long], Long) = {
+    val r = emb
+      .agg(VectorSumAgg.vectorSum(col("embedding")).as("qsum"), count(lit(1)).as("n"))
+      .collect().head
+    (r.getSeq[Long](0), r.getLong(1))
+  }
+
+  /** [[meanAggDf]] rebuilt from PERSISTED quantized sums — the arithmetic
+    * is replayed operation-for-operation (BIGINT→double cast, one divide)
+    * so a center pinned at store creation reproduces bit-identical bucket
+    * assignments in every later run. */
+  def meanDfFromQuantized(spark: org.apache.spark.sql.SparkSession,
+      qsum: Seq[Long], n: Long): DataFrame =
+    spark.range(1).select(
+      transform(array(qsum.map(lit): _*),
+        v => v.cast("double") / (lit(n).cast("double") * lit(VectorSumAgg.Scale)))
+        .as("__mean"))
+
+  /** [[lshNeighbors]] generalized over an EXPLICIT centering frame and an
+    * `is_new` flag column: only pairs with at least one new member are
+    * scored (old↔old suppressed — the incremental-store contract of
+    * [[graft.operators.Dedup.incrementalSemanticPairs]]); with every row
+    * flagged new this IS lshNeighbors. The center must be pinned by the
+    * caller when history spans runs: re-deriving it per run would move
+    * bucket boundaries and silently change the candidate set between
+    * arrivals (the LSH analog of retraining a quantizer in place —
+    * re-center by rebuilding the store, the optimizeIndex convention).
+    *
+    * Scoring happens INSIDE each bucket group, not on a join's output: a
+    * bucket self-join materializes Σ bucket² pair rows each carrying both
+    * full embeddings (~1 KB/row — measured 938M rows ≈ 1 TB of row traffic
+    * at 100k clone-heavy vectors, 89 s) only to discard 99.7% at the
+    * threshold. Here the ONE shuffle ships each vector once (group by
+    * bucket), and the pairwise loop scores local compact arrays, emitting
+    * only survivors — same left-to-right double dot, same half-up 7-dp
+    * round, each unordered pair still seen exactly once (a vector lives in
+    * exactly one bucket, and the salt split routes it to exactly one
+    * salt-pair group), so the output set is join-equivalent. Bucket
+    * population scales with corpus / 2^nBits — raise nBits with corpus
+    * size (standard LSH practice); the [[HotBucketCap]] salt split bounds
+    * the task size when one bucket goes pathological anyway. */
+  def lshNeighborsCentered(
+      embFlagged: DataFrame,
+      meanDf: DataFrame,
+      nBits: Int = 8,
+      threshold: Double = 0.3,
+      hotBucketCap: Int = HotBucketCap): DataFrame = {
+    import embFlagged.sparkSession.implicits._
+    val withBucket = embFlagged.crossJoin(broadcast(meanDf))
       .select(
-        col("vec_id"), col("embedding"),
+        col("vec_id"), col("embedding"), col("is_new"),
         GraftColumns.hyperBucketC(col("embedding"), col("__mean"), nBits).as("bucket"),
         VectorMath.norm2(col("embedding")).as("nrm"))
     // Bucket sizes via a count window over the bucket shuffle: one corpus
@@ -426,22 +473,23 @@ object Similarity {
     val wBn = Window.partitionBy(col("bucket"))
     withBucket
       .withColumn("bn", count(lit(1)).over(wBn))
-      .select(col("bucket"), col("vec_id"), col("embedding"), col("nrm"), col("bn"))
-      .as[(Long, Long, Array[Float], Double, Long)]
-      .flatMap { case (bucket, vecId, e, nrm, bn) =>
+      .select(col("bucket"), col("vec_id"), col("embedding"), col("nrm"),
+        col("bn"), col("is_new"))
+      .as[(Long, Long, Array[Float], Double, Long, Boolean)]
+      .flatMap { case (bucket, vecId, e, nrm, bn, isNew) =>
         val g = math.max(1L, (bn + hotBucketCap - 1) / hotBucketCap).toInt
         // floorMod: negative vec_ids must land in the same 0..g-1 salt
         // space as everyone else or their pairs are silently never scored.
         val s = java.lang.Math.floorMod(vecId, g)
         (0 until g).iterator.map { t =>
-          SaltedVec(bucket, math.min(s, t), math.max(s, t), s, vecId, e, nrm)
+          SaltedFlagged(bucket, math.min(s, t), math.max(s, t), s, vecId, e, nrm, isNew)
         }
       }
       .groupByKey(v => (v.bucket, v.lo, v.hi))
-      .flatMapGroups { (key: (Long, Int, Int), it: Iterator[SaltedVec]) =>
+      .flatMapGroups { (key: (Long, Int, Int), it: Iterator[SaltedFlagged]) =>
         val sameSalt = key._2 == key._3 // (s,s) group: all pairs; else cross-salt only
         val vs = it.toArray
-        java.util.Arrays.sort(vs, (x: SaltedVec, y: SaltedVec) => java.lang.Long.compare(x.vec_id, y.vec_id))
+        java.util.Arrays.sort(vs, (x: SaltedFlagged, y: SaltedFlagged) => java.lang.Long.compare(x.vec_id, y.vec_id))
         val out = scala.collection.mutable.ArrayBuffer.empty[NeighborPair]
         var i = 0
         while (i < vs.length) {
@@ -449,7 +497,7 @@ object Similarity {
           var j = i + 1
           while (j < vs.length) {
             val b = vs(j)
-            if (sameSalt || a.salt != b.salt) {
+            if ((a.isNew || b.isNew) && (sameSalt || a.salt != b.salt)) {
               var s = 0.0d
               var d = 0
               val n = math.min(a.embedding.length, b.embedding.length)

@@ -448,6 +448,45 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("writerZ@1"))
   }
 
+  test("incremental semantic pairs: arrival-order runs ≡ flagged batch under the pinned center") {
+    import org.apache.spark.sql.functions.lit
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_store").toString + "/store"
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val b1 = emb.filter($"vec_id" % 2 === 0)
+    val b2 = emb.filter($"vec_id" % 2 === 1)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val run1 = pairsOf(Dedup.incrementalSemanticPairs(b1, dir))
+    val run2 = pairsOf(Dedup.incrementalSemanticPairs(b2, dir))
+    // the batch twin under the SAME pinned center (batch 1's quantized
+    // sums) — scoring the whole union with every row flagged new
+    val (qs, n) = graft.operators.Similarity.quantizedSums(b1)
+    val oneShot = pairsOf(graft.operators.Similarity.lshNeighborsCentered(
+      emb.withColumn("is_new", lit(true)),
+      graft.operators.Similarity.meanDfFromQuantized(spark, qs, n)))
+    assert(run1.intersect(run2).isEmpty)
+    assert(run1.union(run2) === oneShot && oneShot.nonEmpty)
+    // cross-batch evidence: at least one pair spans the parity split
+    assert(run2.exists(p => p._1 % 2 == 0 && p._2 % 2 == 1
+      || p._1 % 2 == 1 && p._2 % 2 == 0))
+    // idempotent replay, no double-stored vectors
+    val storedBefore = spark.read.option("recursiveFileLookup", "true").parquet(dir).count()
+    assert(pairsOf(Dedup.incrementalSemanticPairs(b2, dir)).isEmpty)
+    assert(spark.read.option("recursiveFileLookup", "true").parquet(dir).count()
+      === storedBefore)
+    // bucket-width mismatch is loud
+    val ex = intercept[IllegalStateException] {
+      Dedup.incrementalSemanticPairs(b2, dir, nBits = 6)
+    }
+    assert(ex.getMessage.contains("semlsh-b6"))
+    // a lost center is loud, never silently re-derived
+    assert(new java.io.File(dir, "_center").delete())
+    val ex2 = intercept[IllegalStateException] {
+      Dedup.incrementalSemanticPairs(b2, dir)
+    }
+    assert(ex2.getMessage.contains("_center"))
+  }
+
   test("compactStore: many batches become one, pairing and erasure unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/store"
     val all = Seq((1L, 0L), (2L, 1L), (3L, 0x0F0F_0F0FL), (4L, 0x0F0F_0F0EL),
