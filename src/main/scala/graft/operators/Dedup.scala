@@ -1416,10 +1416,12 @@ object Dedup {
     *
     * `keys` is collected to the driver — erasure requests are
     * request-sized by nature (same stance as [[graft.etl.Erasure]]), and
-    * the in-filter pushes into every batch probe scan. Returns the number
-    * of signature rows erased. */
+    * the in-filter pushes into every batch probe scan. `keyCol` names the
+    * store's id column — `doc_id` for the minhash/Hamming/anchor/frame
+    * stores, `vec_id` for the [[incrementalSemanticPairs]] vector store.
+    * Returns the number of signature rows erased. */
   def eraseFromStore(spark: org.apache.spark.sql.SparkSession,
-      storePath: String, keys: DataFrame): Long = {
+      storePath: String, keys: DataFrame, keyCol: String = "doc_id"): Long = {
     val keyIds = keys.select(col(keys.columns.head).cast("long"))
       .distinct().collect().map(_.getLong(0))
     val dir = new org.apache.hadoop.fs.Path(storePath)
@@ -1431,10 +1433,10 @@ object Dedup {
       var erased = 0L
       batches.foreach { b =>
         val batch = spark.read.parquet(b.getPath.toString)
-        val hits = batch.filter(col("doc_id").isin(keyIds: _*)).count()
+        val hits = batch.filter(col(keyCol).isin(keyIds: _*)).count()
         if (hits > 0L) {
           erased += hits
-          val keep = batch.filter(!col("doc_id").isin(keyIds: _*))
+          val keep = batch.filter(!col(keyCol).isin(keyIds: _*))
           val keepCount = keep.count()
           val id = java.util.UUID.randomUUID().toString
           val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$id")

@@ -81,4 +81,26 @@ object StreamingStoreIngest {
         ()
       }
       .start()
+
+  /** The semantic sibling: streaming ingest of (vec_id, embedding) rows
+    * into the pinned-center vector store
+    * ([[Dedup.incrementalSemanticPairs]]). The FIRST micro-batch pins the
+    * centering basis for the store's whole lifetime — start the stream on
+    * a representative initial batch, or pre-seed the store with one batch
+    * ingest before streaming. Same exactly-once contract as [[run]]. */
+  def runSemantic(vecs: DataFrame, storePath: String, pairsOut: String,
+      checkpoint: String, threshold: Double = 0.3, nBits: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pairs = Dedup.incrementalSemanticPairs(
+          batch, storePath, threshold, nBits)
+        pairs.write.mode("overwrite")
+          .parquet(s"$pairsOut/ingest_batch=$batchId")
+        ()
+      }
+      .start()
 }

@@ -479,6 +479,15 @@ class DedupSpec extends SparkSpec {
       Dedup.incrementalSemanticPairs(b2, dir, nBits = 6)
     }
     assert(ex.getMessage.contains("semlsh-b6"))
+    // erasure composes with the vector store through keyCol = vec_id: an
+    // erased vector never pairs again even if its exact twin re-arrives
+    val victim = run2.head._1
+    assert(Dedup.eraseFromStore(spark, dir,
+      Seq(victim).toDF("vec_id"), keyCol = "vec_id") >= 1L)
+    val reRun = pairsOf(Dedup.incrementalSemanticPairs(
+      emb.filter($"vec_id" === victim)
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"), dir))
+    assert(!reRun.exists(p => p._1 == victim || p._2 == victim))
     // a lost center is loud, never silently re-derived
     assert(new java.io.File(dir, "_center").delete())
     val ex2 = intercept[IllegalStateException] {

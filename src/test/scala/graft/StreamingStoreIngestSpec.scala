@@ -105,6 +105,34 @@ class StreamingStoreIngestSpec extends SparkSpec {
     assert(batchPairs.map(p => (p._1, p._2)).contains((0L, 100L)))
   }
 
+  test("streamed semantic-vector ingest ≡ flagged batch under the first micro-batch's center") {
+    val srcDir = Files.createTempDirectory("graft_ssv_src").toString
+    val store = Files.createTempDirectory("graft_ssv_store").toString + "/store"
+    val pairsOut = Files.createTempDirectory("graft_ssv_pairs").toString
+    val ckpt = Files.createTempDirectory("graft_ssv_ckpt").toString
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val b1 = emb.filter($"vec_id" % 2 === 0)
+    // ONE part file per batch dir: maxFilesPerTrigger=1 makes each FILE a
+    // micro-batch, and the center must be pinned by ALL of batch 1
+    b1.coalesce(1).write.parquet(s"$srcDir/b0")
+    emb.filter($"vec_id" % 2 === 1).coalesce(1).write.parquet(s"$srcDir/b1")
+    val q = StreamingStoreIngest.runSemantic(
+      spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*"),
+      store, pairsOut, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    def cosSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b", "cosine")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = cosSet(spark.read.parquet(pairsOut))
+    // batch twin: same pinned center (the first micro-batch's sums)
+    val (qs, n) = graft.operators.Similarity.quantizedSums(b1)
+    val oneShot = cosSet(graft.operators.Similarity.lshNeighborsCentered(
+      emb.withColumn("is_new", org.apache.spark.sql.functions.lit(true)),
+      graft.operators.Similarity.meanDfFromQuantized(spark, qs, n)))
+    assert(streamed === oneShot && streamed.nonEmpty)
+  }
+
   test("held writer lease fails the stream loudly; lease release + restart replays idempotently") {
     val srcDir = Files.createTempDirectory("graft_ssi2_src").toString
     val storeRoot = Files.createTempDirectory("graft_ssi2_store").toString
