@@ -86,6 +86,37 @@ object IncrementalProbe {
     time("spans_incr_batch2")(Dedup.incrementalDuplicatedSpans(
       docs.filter(col("doc_id") % 2 === 1), ss, 10, 5, maxAnchorDf = 50).count())
 
+    // --- Semantic (vector) store: clone-heavy 64-dim embeddings, parity
+    // ingest under the pinned center vs the flagged one-shot twin --------
+    val nVecs = nSigs / 2
+    val vecs = spark.range(nVecs.toLong).select(
+      col("id").as("vec_id"),
+      // CENTERED values (−0.5..0.5): all-positive synthetic vectors sit in
+      // one orthant where EVERYTHING is cosine-similar (measured: 116M
+      // pairs ≥ 0.95 at 100k vectors — the fixture, not the operator);
+      // centered bases are near-orthogonal, so only quads pair
+      // squared into the WIDE modulus first (the videoCell lesson: a
+      // direct mod-97 collapses the base-pattern space to 97 residues and
+      // hundreds of quads alias into identical vectors)
+      expr("""transform(sequence(0, 63), d -> CAST(
+               CAST(((((id div 4) * 131 + d * 17 + 7) * ((id div 4) * 131 + d * 17 + 7)) % 1000003) % 97 AS DOUBLE) / 97.0 - 0.5
+               + CASE WHEN id % 4 = d % 4 THEN 0.05 ELSE 0.0 END AS FLOAT))""").as("embedding"))
+      .cache()
+    vecs.count()
+    val (pq, pn) = graft.operators.Similarity.quantizedSums(
+      vecs.filter(col("vec_id") % 2 === 0))
+    time("semantic_oneshot") {
+      graft.operators.Similarity.lshNeighborsCentered(
+        vecs.withColumn("is_new", lit(true)),
+        graft.operators.Similarity.meanDfFromQuantized(spark, pq, pn),
+        nBits = 10, threshold = 0.95).count()
+    }
+    val vs = s"$tmp/vstore"
+    time("semantic_incr_batch1")(Dedup.incrementalSemanticPairs(
+      vecs.filter(col("vec_id") % 2 === 0), vs, threshold = 0.95, nBits = 10).count())
+    time("semantic_incr_batch2")(Dedup.incrementalSemanticPairs(
+      vecs.filter(col("vec_id") % 2 === 1), vs, threshold = 0.95, nBits = 10).count())
+
     // --- Video chain: synth → demux → per-frame dHash → temporal align --
     val vids = Multimodal.synthesizeVideos(
       spark.range(nVids.toLong).select(col("id").as("doc_id")).repartition(64))
