@@ -1490,8 +1490,18 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    // Round 1 fused into the init: label = min(self ∪ neighbors). For the
+    // shallow near-dup graphs this operator serves (quads/cliques), that
+    // init IS the fixpoint and the loop only confirms it — one fewer
+    // shuffle round than the init-to-self form, identical labels (it's
+    // exactly one propagation step, and min-label propagation is
+    // monotone). groupBy(src) covers every node because edges carry both
+    // directions.
+    var labels = edges
+      .groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("nbr_min"))
+      .select(col("doc_id"),
+        least(col("doc_id"), col("nbr_min")).as("cluster_id"))
       .localCheckpoint()
     var converged = false
     while (!converged) {
@@ -1499,14 +1509,21 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr")).as("nbr_min"))
+      // Convergence check folded into the checkpoint job via observe():
+      // the eager localCheckpoint materializes the plan, which fires the
+      // CollectMetrics accumulator — no separate per-round isEmpty scan
+      // (probed: observe + localCheckpoint(eager) delivers the metric).
+      // An empty frame observes sum = NULL → 0 changes → converged.
+      val obs = org.apache.spark.sql.Observation()
       val updated = labels
         .join(nbrMin, Seq("doc_id"), "left")
         .select(
           col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
           (col("nbr_min") < col("cluster_id")).as("chg"))
+        .observe(obs, sum(when(col("chg"), 1L).otherwise(0L)).as("changes"))
         .localCheckpoint()
-      converged = updated.filter(col("chg")).isEmpty
+      converged = obs.get.get("changes").forall(v => v == null || v == 0L)
       // The new checkpoint is materialized (localCheckpoint is eager), so
       // the previous round's labels RDD is dead weight — release it, or a
       // high-diameter graph accumulates one cached RDD per round.
