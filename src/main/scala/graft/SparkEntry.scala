@@ -1675,6 +1675,33 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1), dir)
       r1.unionByName(r2)
     }),
+    // HTML main-content extraction (jusText/trafilatura shape) — the first
+    // stage of a web-crawl pretraining pipeline, here over pages
+    // synthesized in-plan from the documents fixture so the oracle replays
+    // byte-identically: a script+style head, a link-farm nav, the doc text
+    // as the main <p> (with an entity tail), an under-length block, a
+    // link-paragraph whose density flips with doc_id % 3 (kept at 1 link,
+    // dropped at 3 — the link rule fires on 2/3 of rows), a comment, and a
+    // short footer. Pure per-row builtin expressions: no shuffle at all.
+    "t31_html_extract" -> ((s, d) => {
+      val pages = Tables.documents(s, d).select(col("doc_id"),
+        concat(
+          lit("<html><head><script type=\"text/javascript\">var p="),
+          col("doc_id").cast("string"),
+          lit(";</script><style>.m{color:red}</style></head><body>"),
+          lit("<div class=\"nav\"><a href=\"/\">home</a> " +
+            "<a href=\"/a\">about</a> <a href=\"/c\">contact</a></div>"),
+          lit("<p>"), col("text"), lit(" tail &amp; fin</p>"),
+          lit("<p>too short</p>"),
+          when(col("doc_id") % 3 === 0,
+            lit("<p>click <a href=\"/x\">here</a> for the full story today ok</p>"))
+            .otherwise(lit("<p>click <a href=\"/x\">here</a> for " +
+              "<a href=\"/y\">more</a> info <a href=\"/z\">today</a> ok</p>")),
+          lit("<!-- t --><footer>(c) &copy; site</footer></body></html>"))
+          .as("html"))
+      TextAnalysis.htmlMainText(pages, "html", minTokens = 5,
+        maxLinkPermyriad = 2000)
+    }),
     // Exact heavy hitters via Misra-Gries candidates + exact verify; the
     // fixture's 31-token vocabulary straddles the N/31 threshold, so the
     // boundary genuinely cuts.
@@ -3707,6 +3734,52 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_total
          |FROM tokpos tp LEFT JOIN cuts c ON c.doc_id = tp.doc_id AND c.pos = tp.pos
          |GROUP BY tp.doc_id""".stripMargin,
+    // Full replay of the t31 pipeline: synthesize the same pages, strip
+    // script/style/comments, split on the SAME block-tag pattern (the
+    // Scala constant embeds verbatim — RE2 and Java agree on it, see
+    // HtmlBlockTagPattern's doc), per-block link counts before tag strip,
+    // entity decode AFTER tag strip with &amp; last, all-integer keep
+    // rules. &#39; is spelled chr(39) to dodge SQL quote escaping.
+    "t31_html_extract" ->
+      s"""WITH pages AS (SELECT doc_id,
+         |  '<html><head><script type="text/javascript">var p=' || CAST(doc_id AS VARCHAR) ||
+         |  ';</script><style>.m{color:red}</style></head><body>' ||
+         |  '<div class="nav"><a href="/">home</a> <a href="/a">about</a> <a href="/c">contact</a></div>' ||
+         |  '<p>' || text || ' tail &amp; fin</p>' ||
+         |  '<p>too short</p>' ||
+         |  CASE WHEN doc_id % 3 = 0 THEN '<p>click <a href="/x">here</a> for the full story today ok</p>'
+         |       ELSE '<p>click <a href="/x">here</a> for <a href="/y">more</a> info <a href="/z">today</a> ok</p>' END ||
+         |  '<!-- t --><footer>(c) &copy; site</footer></body></html>' AS html
+         |  FROM documents),
+         |cleaned AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+         |    '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+         |    '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+         |    '(?s)<!--.*?-->', ' ', 'g') AS c FROM pages),
+         |scored1 AS (SELECT doc_id, list_transform(
+         |    string_split_regex(c, '${operators.TextAnalysis.HtmlBlockTagPattern}'),
+         |    b -> struct_pack(
+         |      txt := trim(regexp_replace(
+         |        replace(replace(replace(replace(replace(replace(
+         |          regexp_replace(b, '<[^>]*>', ' ', 'g'),
+         |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+         |        '\\s+', ' ', 'g')),
+         |      links := CAST(len(regexp_extract_all(b, '(?i)<a\\b')) AS BIGINT))) AS sc
+         |  FROM cleaned),
+         |scored AS (SELECT doc_id, list_transform(sc, s -> struct_pack(
+         |      txt := s.txt, links := s.links,
+         |      toks := CASE WHEN s.txt = '' THEN CAST(0 AS BIGINT)
+         |                   ELSE CAST(len(string_split(s.txt, ' ')) AS BIGINT) END)) AS sc
+         |  FROM scored1),
+         |kept AS (SELECT doc_id, sc,
+         |    list_filter(sc, s -> s.toks >= 5 AND s.links * 10000 <= 2000 * s.toks) AS k
+         |  FROM scored)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(k, s -> s.txt), chr(10)) AS main_text,
+         |  CAST(len(list_filter(sc, s -> s.toks > 0)) AS BIGINT) AS n_blocks,
+         |  CAST(len(k) AS BIGINT) AS n_kept,
+         |  CAST(len(list_filter(sc, s -> s.toks >= 5 AND s.links * 10000 > 2000 * s.toks)) AS BIGINT) AS n_dropped_link,
+         |  CAST(length(array_to_string(list_transform(k, s -> s.txt), chr(10))) AS BIGINT) AS main_chars
+         |FROM kept""".stripMargin,
     "t12_span_dup" ->
       s"""WITH ${sqlShinglesN(5, "TRUE", "_sd")},
          |j AS (SELECT doc_id, CAST(count(*) OVER (PARTITION BY h) AS BIGINT) AS df FROM sh_sd)

@@ -785,4 +785,99 @@ object TextAnalysis {
     feats.unpersist()
     w.select(col("f"), col("w"))
   }
+
+  /** Block-level tags whose open/close boundaries delimit text blocks for
+    * [[htmlMainText]]. `\b` keeps prefix tags apart (`<p>` vs `<param>`,
+    * `h[1-6]` vs `<header>`); the trailing `[^>]*` absorbs attributes and
+    * self-closing slashes. Identical leftmost-first semantics in Java
+    * regex (Spark) and RE2 (DuckDB) — and even where alternation order
+    * could differ, every alternative consumes the same full-tag span, so
+    * the SPLIT result cannot diverge. */
+  val HtmlBlockTagPattern: String =
+    "(?i)</?(?:html|head|body|p|div|h[1-6]|li|ul|ol|table|tr|td|th|br" +
+      "|article|section|header|footer|nav|blockquote|pre)\\b[^>]*>"
+
+  /** Main-content extraction from raw HTML — the jusText/trafilatura
+    * shape, the FIRST stage of every web-crawl pretraining pipeline
+    * (strip the markup, keep the prose, drop the nav/footer/link-farm
+    * boilerplate). Pure per-row builtin expressions: zero shuffles, zero
+    * UDFs, embarrassingly parallel at any corpus size.
+    *
+    * Stages, in an order that matters:
+    *  1. remove `<script>`/`<style>` ELEMENTS (content and all) and
+    *     comments — their text is never prose;
+    *  2. split on block-level tag boundaries ([[HtmlBlockTagPattern]]) —
+    *     inline tags (`<a>`, `<b>`, `<em>`) stay inside their block;
+    *  3. per block: count `<a` anchors BEFORE stripping the remaining
+    *     inline tags (link density needs the markup), then strip tags,
+    *     THEN decode entities (`&lt;b&gt;` in prose must surface as
+    *     literal text, not become strippable markup — decode-before-strip
+    *     is the classic extraction bug), collapse whitespace;
+    *  4. keep blocks with ≥ `minTokens` whitespace tokens AND integer
+    *     link density `links·10⁴ ≤ maxLinkPermyriad·tokens` (the jusText
+    *     heuristic pair: short blocks are chrome, link-dense blocks are
+    *     navigation). All-integer arithmetic — replays exactly in any
+    *     engine.
+    *
+    * Entity set: `&lt; &gt; &quot; &#39; &nbsp;` then `&amp;` LAST
+    * (`&amp;lt;` must decode to literal `&lt;`, not to `<`). `\s` classes
+    * differ between Java and RE2 only on U+000B — documents containing
+    * vertical tabs may tokenize off-by-one vs an RE2 oracle.
+    *
+    * Output per page: (doc_id, main_text — kept blocks joined with \n,
+    * n_blocks — nonempty text blocks, n_kept, n_dropped_link — blocks
+    * long enough but link-dense, main_chars). */
+  def htmlMainText(
+      pages: DataFrame,
+      htmlCol: String = "html",
+      minTokens: Int = 5,
+      maxLinkPermyriad: Int = 2000): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    require(maxLinkPermyriad >= 0, s"maxLinkPermyriad must be >= 0")
+    val cleaned = regexp_replace(
+      regexp_replace(
+        regexp_replace(col(htmlCol),
+          lit("(?is)<script\\b[^>]*>.*?</script>"), lit(" ")),
+        lit("(?is)<style\\b[^>]*>.*?</style>"), lit(" ")),
+      lit("(?s)<!--.*?-->"), lit(" "))
+    def decodeEntities(c: Column): Column =
+      Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+        .foldLeft(c) { case (acc, (e, ch)) => replace(acc, lit(e), lit(ch)) }
+    val scoreBlock = (b: Column) => {
+      val txt = trim(regexp_replace(
+        decodeEntities(regexp_replace(b, lit("<[^>]*>"), lit(" "))),
+        lit("\\s+"), lit(" ")))
+      struct(
+        txt.as("txt"),
+        size(regexp_extract_all(b, lit("(?i)<a\\b"), lit(0)))
+          .cast("long").as("links"),
+        when(txt === "", 0L).otherwise(size(split(txt, " ")).cast("long"))
+          .as("toks"))
+    }
+    val keepRule = (s: Column) =>
+      s("toks") >= minTokens &&
+        s("links") * 10000L <= lit(maxLinkPermyriad.toLong) * s("toks")
+    pages
+      // blocks materialized as a real column first: interpreted HOF
+      // lambdas re-evaluate captured expressions per element (the
+      // documented ColumnBridge/HOF hazard), and the regex cascade above
+      // must run once per page, not once per block.
+      .withColumn("__blocks", split(cleaned, HtmlBlockTagPattern))
+      .withColumn("__scored", transform(col("__blocks"), scoreBlock))
+      .withColumn("__kept", filter(col("__scored"), keepRule))
+      .select(
+        col("doc_id"),
+        array_join(transform(col("__kept"), s => s("txt")), "\n")
+          .as("main_text"),
+        size(filter(col("__scored"), s => s("toks") > 0L)).cast("long")
+          .as("n_blocks"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        size(filter(col("__scored"), s =>
+          s("toks") >= minTokens && !(s("links") * 10000L <=
+            lit(maxLinkPermyriad.toLong) * s("toks")))).cast("long")
+          .as("n_dropped_link"),
+        length(array_join(transform(col("__kept"), s => s("txt")), "\n"))
+          .cast("long").as("main_chars"))
+  }
 }
