@@ -1539,6 +1539,109 @@ object Dedup {
       .withColumn("is_canonical", (col("cluster_id") === col("doc_id")).cast("long"))
   }
 
+  /** Incremental near-dup CLUSTER maintenance — the missing closure over
+    * the incremental-pair stores: [[incrementalMinhashPairs]] /
+    * [[incrementalHammingPairs]] / [[incrementalFrameRuns]] emit each
+    * run's NEW pairs, but dedup decisions need LABELS, and recomputing
+    * them needs every pair ever emitted. This operator instead persists
+    * the label table itself and merges each new batch into it:
+    *
+    *  - history is re-entered as STAR EDGES (doc_id → cluster_id of the
+    *    stored snapshot): a label snapshot is a star forest, so those
+    *    |corpus| edges carry ALL historical connectivity — no stored
+    *    pair list, no unbounded pair history;
+    *  - the union (star edges ∪ new pairs) runs through [[clusters]];
+    *    because history is pre-flattened to depth 1, rounds ≈ 1 + the
+    *    number of NEW merges chained this batch, not the full corpus
+    *    diameter — the standard re-star union-find trick;
+    *  - labels are min-reachable-id, and min is associative over
+    *    component unions, so `runs in arrival order ≡ one-shot
+    *    clusters(all docs, all pairs)` holds EXACTLY (spec + m14 gate
+    *    row, which replays the one-shot oracle) — including the case
+    *    where a late pair merges two long-established clusters (both
+    *    sides relabel to the joint minimum).
+    *
+    * Durability: the label table is a corpus-sized SNAPSHOT, not an
+    * append log — each run publishes a new run-stamped `labels-NNNNNN`
+    * dir via hidden `.staging-*` + atomic rename (the immutable-once-
+    * written convention of the stored IVF-PQ index), then prunes older
+    * snapshots (crash between publish and prune leaves extra dirs —
+    * harmless, healed by the next run). Readers take the max-numbered
+    * dir; read errors propagate; writers serialize through the `_lock`
+    * lease; `_format-labels-v1` marks the layout. Re-ingest is
+    * idempotent (doc-set union is distinct; duplicate edges are CC
+    * no-ops). Rewriting the snapshot per run is the honest cost of a
+    * complete membership table (16 bytes/doc — the compactStore cost
+    * class), and what makes every run's output a self-contained answer.
+    *
+    * Input: `newDocs` = this batch's doc_ids (singletons included —
+    * membership is part of the answer), `newPairs` = (doc_a, doc_b)
+    * from any pair source over any modality (the m8 union-of-evidence
+    * pattern composes upstream). Output: the FULL updated
+    * (doc_id, cluster_id, is_canonical) table. */
+  def incrementalClusters(
+      newDocs: DataFrame,
+      newPairs: DataFrame,
+      storePath: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(storePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withStoreLock(fs, dir) {
+      val snapshots =
+        if (fs.exists(dir))
+          fs.listStatus(dir).map(_.getPath.getName)
+            .filter(_.startsWith("labels-")).sorted
+        else Array.empty[String]
+      val marker = new org.apache.hadoop.fs.Path(dir, "_format-labels-v1")
+      if (snapshots.nonEmpty && !fs.exists(marker))
+        throw new IllegalStateException(
+          s"label store at $storePath has snapshots but no " +
+            "_format-labels-v1 marker; layout unknown — rebuild the store")
+      val oldLabels =
+        if (snapshots.nonEmpty)
+          spark.read.parquet(s"$storePath/${snapshots.last}")
+            .select(col("doc_id"), col("cluster_id"))
+        else {
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("cluster_id",
+              org.apache.spark.sql.types.LongType)))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        }
+      val allDocs = oldLabels.select(col("doc_id"))
+        .unionByName(newDocs.select(col("doc_id"))).distinct()
+      val starEdges = oldLabels.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+      val merged = clusters(allDocs,
+        newPairs.select(col("doc_a"), col("doc_b")).unionByName(starEdges))
+        // Sever lineage from the store path before republishing over it —
+        // a lazy plan reading labels-N while writing labels-N+1 is fine,
+        // but callers may hold the frame past the prune below.
+        .localCheckpoint(true)
+      val seq = snapshots.lastOption
+        .map(_.stripPrefix("labels-").toLong + 1).getOrElse(0L)
+      val next = f"labels-$seq%06d"
+      val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$next")
+      merged.select(col("doc_id"), col("cluster_id")).write
+        .mode("overwrite").parquet(staging.toString)
+      if (!fs.exists(marker)) {
+        val out = fs.create(marker, true)
+        out.close()
+      }
+      if (!fs.rename(staging, new org.apache.hadoop.fs.Path(dir, next)))
+        throw new IllegalStateException(
+          s"failed to publish label snapshot $staging -> $next")
+      snapshots.foreach { old =>
+        if (!fs.delete(new org.apache.hadoop.fs.Path(dir, old), true))
+          throw new IllegalStateException(
+            s"failed to prune label snapshot $old under $storePath")
+      }
+      merged
+    }
+  }
+
   /** Connected components via alternating large-star / small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     * the O(log n)-round twin of [[clusters]]'s min-label propagation,
