@@ -44,6 +44,31 @@ object IncrementalProbe {
     time("hamming_erase_1k")(Dedup.eraseFromStore(spark, hs,
       spark.range(1000).select(col("id").as("doc_id"))))
 
+    // --- Label store: cluster maintenance over the pair stores ---------
+    // One-shot closure over all pairs vs two store-backed runs (pairs
+    // through the hamming store, labels through the snapshot store) —
+    // every quad straddles the parity boundary, so run 2 relabels run 1's
+    // clusters; then a 1k-id erasure relabeling survivors.
+    val docIds = sigs.select(col("doc_id"))
+    time("labels_oneshot")(
+      Dedup.clusters(docIds, Dedup.hammingPairs(sigs, 64, 3)).count())
+    val hs2 = s"$tmp/hstore2"
+    val ls2 = s"$tmp/lstore2"
+    time("labels_incr_batch1") {
+      val p1 = Dedup.incrementalHammingPairs(
+        sigs.filter(col("doc_id") % 2 === 0), hs2, 64, 3, "probe-v1")
+      Dedup.incrementalClusters(
+        docIds.filter(col("doc_id") % 2 === 0), p1, ls2).count()
+    }
+    time("labels_incr_batch2") {
+      val p2 = Dedup.incrementalHammingPairs(
+        sigs.filter(col("doc_id") % 2 === 1), hs2, 64, 3, "probe-v1")
+      Dedup.incrementalClusters(
+        docIds.filter(col("doc_id") % 2 === 1), p2, ls2).count()
+    }
+    time("labels_erase_1k")(Dedup.eraseFromLabelStore(spark, ls2,
+      spark.range(1000).select(col("id").as("doc_id"))))
+
     // --- Batch-count amortization: many small ingests inflate every
     // later run's fixed cost (one file-index entry + footer per batch
     // dir); compaction restores it -------------------------------------

@@ -210,19 +210,25 @@ object SparkEntry {
        |          FROM isl GROUP BY doc_a, doc_b, diff, isle
        |          HAVING max(pos_a) - min(pos_a) + 5 >= 10)""".stripMargin
 
-  private val sqlShingles: String =
-    s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
+  /** [[sqlShingles]] over an arbitrary (doc_id, text) source relation —
+    * `src` may be a CTE name, letting derived corpora (e.g. c6's extracted
+    * web text) reuse the exact minhash replay. */
+  private def sqlShinglesFrom(src: String): String =
+    s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM $src),
        |shs AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
        |        FROM toks, LATERAL (SELECT unnest(generate_series(1, CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END)) AS i) g),
        |sh AS (SELECT DISTINCT doc_id,
        |              ${sqlPolyHash("shingle")} + ${sqlPolyHash("reverse(shingle)")} * (CAST(1 AS BIGINT) << 30) AS h
        |       FROM shs)""".stripMargin
 
+  private val sqlShingles: String = sqlShinglesFrom("documents")
+
   /** Parametric variant of [[sqlShingles]]: DISTINCT (doc_id, h) word-n-gram
-    * hashes over `documents WHERE pred`, with CTE names suffixed by `tag` so
+    * hashes over `src WHERE pred`, with CTE names suffixed by `tag` so
     * several instances compose in one WITH chain. */
-  private def sqlShinglesN(n: Int, pred: String, tag: String): String =
-    s"""toks$tag AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents WHERE $pred),
+  private def sqlShinglesN(n: Int, pred: String, tag: String,
+      src: String = "documents"): String =
+    s"""toks$tag AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM $src WHERE $pred),
        |shs$tag AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + ${n - 1}), ' ') AS shingle
        |        FROM toks$tag, LATERAL (SELECT unnest(generate_series(1, CASE WHEN len(t) >= $n THEN len(t) - ${n - 1} ELSE 0 END)) AS i) g),
        |sh$tag AS (SELECT DISTINCT doc_id,
@@ -382,14 +388,17 @@ object SparkEntry {
     * ending in `qual(doc_id, qs)` (mirrors [[TextAnalysis.qualityScores]]).
     * Single source for every oracle that replays quality (c2, d9, t14) —
     * a formula tweak must not be able to drift between their replays. */
-  private def sqlQualityCtes: String = {
+  private def sqlQualityCtes: String = sqlQualityCtesFrom("documents")
+
+  /** [[sqlQualityCtes]] over an arbitrary (doc_id, text) source relation. */
+  private def sqlQualityCtesFrom(src: String): String = {
     val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
     s"""q0 AS (SELECT doc_id,
        |              CAST(length(text) AS BIGINT) AS n_chars,
        |              CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
        |              CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'), w -> w IN ($stop))) AS BIGINT) AS n_stop,
        |              CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
-       |       FROM documents),
+       |       FROM $src),
        |r0 AS (SELECT doc_id,
        |              CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mtl,
        |              CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS sr,
@@ -408,8 +417,51 @@ object SparkEntry {
     * [[graft.operators.Dedup.minhashPairs]]), ending in a `pairs` CTE —
     * consumed by the d3 oracle directly and by d7's connected-components
     * closure on top. */
-  private val sqlMinhashPairCtes: String =
-    s"""$sqlShingles,
+  /** Shared SQL fragment: the full t31 HTML-extraction replay — the page
+    * synthesis (mirrors [[htmlPages]]) and the block scoring/keep pipeline
+    * (mirrors [[graft.operators.TextAnalysis.htmlMainText]]), ending in
+    * `kept(doc_id, sc, k)` where `sc` is all scored blocks and `k` the
+    * kept ones. Consumed by t31's final projection and by c6 through the
+    * `webdocs` re-source. */
+  private val sqlHtmlExtractCtes: String =
+    s"""pages AS (SELECT doc_id,
+       |  '<html><head><script type="text/javascript">var p=' || CAST(doc_id AS VARCHAR) ||
+       |  ';</script><style>.m{color:red}</style></head><body>' ||
+       |  '<div class="nav"><a href="/">home</a> <a href="/a">about</a> <a href="/c">contact</a></div>' ||
+       |  '<p>' || text || ' tail &amp; fin</p>' ||
+       |  '<p>too short</p>' ||
+       |  CASE WHEN doc_id % 3 = 0 THEN '<p>click <a href="/x">here</a> for the full story today ok</p>'
+       |       ELSE '<p>click <a href="/x">here</a> for <a href="/y">more</a> info <a href="/z">today</a> ok</p>' END ||
+       |  '<!-- t --><footer>(c) &copy; site</footer></body></html>' AS html
+       |  FROM documents),
+       |cleaned AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+       |    '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+       |    '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+       |    '(?s)<!--.*?-->', ' ', 'g') AS c FROM pages),
+       |scored1 AS (SELECT doc_id, list_transform(
+       |    string_split_regex(c, '${operators.TextAnalysis.HtmlBlockTagPattern}'),
+       |    b -> struct_pack(
+       |      txt := trim(regexp_replace(
+       |        replace(replace(replace(replace(replace(replace(
+       |          regexp_replace(b, '<[^>]*>', ' ', 'g'),
+       |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+       |        '\\s+', ' ', 'g')),
+       |      links := CAST(len(regexp_extract_all(b, '(?i)<a\\b')) AS BIGINT))) AS sc
+       |  FROM cleaned),
+       |scored AS (SELECT doc_id, list_transform(sc, s -> struct_pack(
+       |      txt := s.txt, links := s.links,
+       |      toks := CASE WHEN s.txt = '' THEN CAST(0 AS BIGINT)
+       |                   ELSE CAST(len(string_split(s.txt, ' ')) AS BIGINT) END)) AS sc
+       |  FROM scored1),
+       |kept AS (SELECT doc_id, sc,
+       |    list_filter(sc, s -> s.toks >= 5 AND s.links * 10000 <= 2000 * s.toks) AS k
+       |  FROM scored)""".stripMargin
+
+  private val sqlMinhashPairCtes: String = sqlMinhashPairCtesFrom("documents")
+
+  /** [[sqlMinhashPairCtes]] over an arbitrary (doc_id, text) source. */
+  private def sqlMinhashPairCtesFrom(src: String): String =
+    s"""${sqlShinglesFrom(src)},
        |hs AS (SELECT doc_id, h % 1000000007 AS hp FROM sh),
        |perms AS (SELECT i FROM generate_series(0, ${Dedup.MinhashK - 1}) t(i)),
        |sig AS (SELECT doc_id, i,
@@ -438,6 +490,29 @@ object SparkEntry {
     * where the index is maintained by its own jobs ([[graft.operators
     * .Clustering.ivfPqAppendStored]]/`optimizeIndex`), never rebuilt per
     * query batch. */
+  /** Synthetic web pages over the documents fixture — shared by t31 (the
+    * extraction gate) and c6 (the web-crawl curation composition), and
+    * replayed verbatim by their oracles' `pages` CTE: script+style head,
+    * link-farm nav, the doc text as the main <p> with an entity tail, an
+    * under-length block, a link paragraph whose density flips with
+    * doc_id % 3, a comment, and a short footer. */
+  private def htmlPages(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(
+        lit("<html><head><script type=\"text/javascript\">var p="),
+        col("doc_id").cast("string"),
+        lit(";</script><style>.m{color:red}</style></head><body>"),
+        lit("<div class=\"nav\"><a href=\"/\">home</a> " +
+          "<a href=\"/a\">about</a> <a href=\"/c\">contact</a></div>"),
+        lit("<p>"), col("text"), lit(" tail &amp; fin</p>"),
+        lit("<p>too short</p>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<p>click <a href=\"/x\">here</a> for the full story today ok</p>"))
+          .otherwise(lit("<p>click <a href=\"/x\">here</a> for " +
+            "<a href=\"/y\">more</a> info <a href=\"/z\">today</a> ok</p>")),
+        lit("<!-- t --><footer>(c) &copy; site</footer></body></html>"))
+        .as("html"))
+
   private val storedIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def storedIndexDirFor(s: SparkSession, d: String): String =
@@ -1709,25 +1784,9 @@ object SparkEntry {
     // link-paragraph whose density flips with doc_id % 3 (kept at 1 link,
     // dropped at 3 — the link rule fires on 2/3 of rows), a comment, and a
     // short footer. Pure per-row builtin expressions: no shuffle at all.
-    "t31_html_extract" -> ((s, d) => {
-      val pages = Tables.documents(s, d).select(col("doc_id"),
-        concat(
-          lit("<html><head><script type=\"text/javascript\">var p="),
-          col("doc_id").cast("string"),
-          lit(";</script><style>.m{color:red}</style></head><body>"),
-          lit("<div class=\"nav\"><a href=\"/\">home</a> " +
-            "<a href=\"/a\">about</a> <a href=\"/c\">contact</a></div>"),
-          lit("<p>"), col("text"), lit(" tail &amp; fin</p>"),
-          lit("<p>too short</p>"),
-          when(col("doc_id") % 3 === 0,
-            lit("<p>click <a href=\"/x\">here</a> for the full story today ok</p>"))
-            .otherwise(lit("<p>click <a href=\"/x\">here</a> for " +
-              "<a href=\"/y\">more</a> info <a href=\"/z\">today</a> ok</p>")),
-          lit("<!-- t --><footer>(c) &copy; site</footer></body></html>"))
-          .as("html"))
-      TextAnalysis.htmlMainText(pages, "html", minTokens = 5,
-        maxLinkPermyriad = 2000)
-    }),
+    "t31_html_extract" -> ((s, d) =>
+      TextAnalysis.htmlMainText(htmlPages(s, d), "html", minTokens = 5,
+        maxLinkPermyriad = 2000)),
     // Exact heavy hitters via Misra-Gries candidates + exact verify; the
     // fixture's 31-token vocabulary straddles the N/31 threshold, so the
     // boundary genuinely cuts.
@@ -1844,6 +1903,21 @@ object SparkEntry {
     // structural) and fp_within_bound (wrongly-dropped unique paragraphs
     // within 10× the analytic expectedBloomFpRate, floor 10). The oracle
     // emits the exact counts and asserts both verdicts hold.
+    // The WEB-CRAWL end-to-end: raw HTML pages → main-content extraction
+    // (t31's pipeline) → the full curation decision table OVER THE
+    // EXTRACTED TEXT (quality, MinHash near-dup canonicals, benchmark
+    // decontamination, deterministic split) — the c2 flow with the
+    // crawl-side stage a real pretraining pipeline runs first bolted on
+    // the front. Every downstream signal (shingles, quality ratios,
+    // contamination overlaps) is computed from what extraction KEPT, so
+    // the oracle replays the extraction CTEs and feeds them into the
+    // same minhash/closure/quality fragments c2 uses, re-sourced.
+    "c6_web_curation" -> ((s, d) => {
+      val extracted = TextAnalysis.htmlMainText(htmlPages(s, d),
+        "html", minTokens = 5, maxLinkPermyriad = 2000)
+        .select(col("doc_id"), col("main_text").as("text"))
+      Curation.pipeline(extracted, col("doc_id") % 20 === 0, 0.6)
+    }),
     "c5_bloom_paragraph_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val store = docs.filter(col("doc_id") % 20 === 0)
@@ -3565,6 +3639,42 @@ object SparkEntry {
          |LEFT JOIN lab l ON l.doc_id = b.doc_id
          |LEFT JOIN hits ON hits.doc_id = b.doc_id""".stripMargin
     },
+    // c2's replay re-sourced onto EXTRACTED text: the html-extraction
+    // CTEs produce webdocs(doc_id, text), and every downstream fragment
+    // (minhash pairs, closure, quality, contamination shingles, base) is
+    // the c2 machinery pointed at webdocs instead of documents.
+    "c6_web_curation" -> {
+      s"""WITH RECURSIVE $sqlHtmlExtractCtes,
+         |webdocs AS (SELECT doc_id,
+         |    array_to_string(list_transform(k, s -> s.txt), chr(10)) AS text
+         |  FROM kept),
+         |${sqlMinhashPairCtesFrom("webdocs")},
+         |$sqlClosureCtes,
+         |${sqlQualityCtesFrom("webdocs")},
+         |${sqlShinglesN(5, "doc_id % 20 = 0", "_ev", "webdocs")},
+         |${sqlShinglesN(5, "doc_id % 20 <> 0", "_tr", "webdocs")},
+         |ev AS (SELECT DISTINCT h FROM sh_ev),
+         |hits AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |         FROM sh_tr t JOIN ev ON t.h = ev.h GROUP BY 1),
+         |base AS (SELECT doc_id,
+         |                CAST(CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_eval,
+         |                ${sqlSampleKey("('split:' || CAST(doc_id AS VARCHAR))")} % 100 AS bkt
+         |         FROM webdocs)
+         |SELECT b.doc_id, b.is_eval,
+         |       CAST(CASE WHEN qual.qs >= 0.6 THEN 1 ELSE 0 END AS BIGINT) AS passed_quality,
+         |       coalesce(l.cluster_id, b.doc_id) AS cluster_id,
+         |       CAST(CASE WHEN coalesce(l.cluster_id, b.doc_id) = b.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical,
+         |       coalesce(hits.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+         |       CASE WHEN bkt < 90 THEN 'train' WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split,
+         |       CAST(CASE WHEN b.is_eval = 0 AND qual.qs >= 0.6
+         |                  AND coalesce(l.cluster_id, b.doc_id) = b.doc_id
+         |                  AND coalesce(hits.n_overlap, CAST(0 AS BIGINT)) = 0
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM base b
+         |JOIN qual ON qual.doc_id = b.doc_id
+         |LEFT JOIN lab l ON l.doc_id = b.doc_id
+         |LEFT JOIN hits ON hits.doc_id = b.doc_id""".stripMargin
+    },
     "p1_train_split" ->
       s"""WITH b AS (SELECT n_chars,
          |                  ${sqlSampleKey("('split:' || CAST(doc_id AS VARCHAR))")} % 100 AS bkt
@@ -3767,38 +3877,7 @@ object SparkEntry {
     // entity decode AFTER tag strip with &amp; last, all-integer keep
     // rules. &#39; is spelled chr(39) to dodge SQL quote escaping.
     "t31_html_extract" ->
-      s"""WITH pages AS (SELECT doc_id,
-         |  '<html><head><script type="text/javascript">var p=' || CAST(doc_id AS VARCHAR) ||
-         |  ';</script><style>.m{color:red}</style></head><body>' ||
-         |  '<div class="nav"><a href="/">home</a> <a href="/a">about</a> <a href="/c">contact</a></div>' ||
-         |  '<p>' || text || ' tail &amp; fin</p>' ||
-         |  '<p>too short</p>' ||
-         |  CASE WHEN doc_id % 3 = 0 THEN '<p>click <a href="/x">here</a> for the full story today ok</p>'
-         |       ELSE '<p>click <a href="/x">here</a> for <a href="/y">more</a> info <a href="/z">today</a> ok</p>' END ||
-         |  '<!-- t --><footer>(c) &copy; site</footer></body></html>' AS html
-         |  FROM documents),
-         |cleaned AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
-         |    '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
-         |    '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-         |    '(?s)<!--.*?-->', ' ', 'g') AS c FROM pages),
-         |scored1 AS (SELECT doc_id, list_transform(
-         |    string_split_regex(c, '${operators.TextAnalysis.HtmlBlockTagPattern}'),
-         |    b -> struct_pack(
-         |      txt := trim(regexp_replace(
-         |        replace(replace(replace(replace(replace(replace(
-         |          regexp_replace(b, '<[^>]*>', ' ', 'g'),
-         |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
-         |        '\\s+', ' ', 'g')),
-         |      links := CAST(len(regexp_extract_all(b, '(?i)<a\\b')) AS BIGINT))) AS sc
-         |  FROM cleaned),
-         |scored AS (SELECT doc_id, list_transform(sc, s -> struct_pack(
-         |      txt := s.txt, links := s.links,
-         |      toks := CASE WHEN s.txt = '' THEN CAST(0 AS BIGINT)
-         |                   ELSE CAST(len(string_split(s.txt, ' ')) AS BIGINT) END)) AS sc
-         |  FROM scored1),
-         |kept AS (SELECT doc_id, sc,
-         |    list_filter(sc, s -> s.toks >= 5 AND s.links * 10000 <= 2000 * s.toks) AS k
-         |  FROM scored)
+      s"""WITH $sqlHtmlExtractCtes
          |SELECT doc_id,
          |  array_to_string(list_transform(k, s -> s.txt), chr(10)) AS main_text,
          |  CAST(len(list_filter(sc, s -> s.toks > 0)) AS BIGINT) AS n_blocks,

@@ -113,9 +113,26 @@ object Erasure {
   def eraseKeysEverywhere(spark: SparkSession, dataDir: String,
       partCols: Seq[String], keyCol: String, keys: DataFrame,
       storePaths: Seq[String]): (Long, Long, Long, Long) = {
+    val (rows, rewritten, removed, sigRows, _) = eraseKeysEverywhere(
+      spark, dataDir, partCols, keyCol, keys, storePaths, Nil)
+    (rows, rewritten, removed, sigRows)
+  }
+
+  /** [[eraseKeysEverywhere]] extended to LABEL stores
+    * ([[graft.operators.Dedup.incrementalClusters]] snapshots) — the last
+    * derived surface an id can survive in: its member row, and, when it
+    * was a cluster minimum, the `cluster_id` value on other members'
+    * rows ([[graft.operators.Dedup.eraseFromLabelStore]] relabels those).
+    * Fifth return element = label rows erased across all label stores. */
+  def eraseKeysEverywhere(spark: SparkSession, dataDir: String,
+      partCols: Seq[String], keyCol: String, keys: DataFrame,
+      storePaths: Seq[String], labelStorePaths: Seq[String])
+      : (Long, Long, Long, Long, Long) = {
     val (rows, rewritten, removed) = eraseKeys(spark, dataDir, partCols, keyCol, keys)
     val sigRows = storePaths.map(p =>
       graft.operators.Dedup.eraseFromStore(spark, p, keys.select(col(keyCol)))).sum
-    (rows, rewritten, removed, sigRows)
+    val labelRows = labelStorePaths.map(p =>
+      graft.operators.Dedup.eraseFromLabelStore(spark, p, keys.select(col(keyCol)))).sum
+    (rows, rewritten, removed, sigRows, labelRows)
   }
 }

@@ -1620,25 +1620,81 @@ object Dedup {
         // a lazy plan reading labels-N while writing labels-N+1 is fine,
         // but callers may hold the frame past the prune below.
         .localCheckpoint(true)
-      val seq = snapshots.lastOption
-        .map(_.stripPrefix("labels-").toLong + 1).getOrElse(0L)
-      val next = f"labels-$seq%06d"
-      val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$next")
-      merged.select(col("doc_id"), col("cluster_id")).write
-        .mode("overwrite").parquet(staging.toString)
-      if (!fs.exists(marker)) {
-        val out = fs.create(marker, true)
-        out.close()
-      }
-      if (!fs.rename(staging, new org.apache.hadoop.fs.Path(dir, next)))
-        throw new IllegalStateException(
-          s"failed to publish label snapshot $staging -> $next")
-      snapshots.foreach { old =>
-        if (!fs.delete(new org.apache.hadoop.fs.Path(dir, old), true))
-          throw new IllegalStateException(
-            s"failed to prune label snapshot $old under $storePath")
-      }
+      publishLabelSnapshot(fs, dir, merged, snapshots)
       merged
+    }
+  }
+
+  /** Staged-rename publish + prune for the label store's run-stamped
+    * snapshot layout — shared by [[incrementalClusters]] and
+    * [[eraseFromLabelStore]]. `labels` must already be materialized
+    * (checkpointed) with lineage severed from the store path. A crash
+    * between rename and prune leaves extra older snapshots — harmless
+    * (readers take the max), healed by the next publish. */
+  private def publishLabelSnapshot(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      labels: DataFrame,
+      snapshots: Array[String]): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(dir, "_format-labels-v1")
+    val seq = snapshots.lastOption
+      .map(_.stripPrefix("labels-").toLong + 1).getOrElse(0L)
+    val next = f"labels-$seq%06d"
+    val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$next")
+    labels.select(col("doc_id"), col("cluster_id")).write
+      .mode("overwrite").parquet(staging.toString)
+    if (!fs.exists(marker)) {
+      val out = fs.create(marker, true)
+      out.close()
+    }
+    if (!fs.rename(staging, new org.apache.hadoop.fs.Path(dir, next)))
+      throw new IllegalStateException(
+        s"failed to publish label snapshot $staging -> $next")
+    snapshots.foreach { old =>
+      if (!fs.delete(new org.apache.hadoop.fs.Path(dir, old), true))
+        throw new IllegalStateException(
+          s"failed to prune label snapshot $old under $dir")
+    }
+  }
+
+  /** Right-to-be-forgotten for the LABEL store — the composition the
+    * erasure obligation actually requires: removing a document's rows from
+    * the data dirs and signature stores ([[graft.etl.Erasure.eraseKeysEverywhere]])
+    * still leaves its doc_id in the label snapshot, BOTH as a member row
+    * and — when it was its cluster's minimum — as the `cluster_id` VALUE
+    * on every other member's row. This operator deletes the member rows
+    * and relabels survivors to the new per-cluster minimum (one
+    * map-side-combining aggregate + join over the snapshot — the same
+    * cost class as the snapshot rewrite itself), so the erased id appears
+    * in NEITHER column afterwards. Cluster membership among survivors is
+    * unchanged: erasing a node never splits a component here, because the
+    * snapshot records component identity, not the pair evidence.
+    * Re-publish is the same staged-rename + prune path as ingest, under
+    * the same lease. Returns the number of member rows erased. */
+  def eraseFromLabelStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, keys: DataFrame): Long = {
+    val keyIds = keys.select(col(keys.columns.head).cast("long"))
+      .distinct().collect().map(_.getLong(0))
+    val dir = new org.apache.hadoop.fs.Path(storePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir) || keyIds.isEmpty) return 0L
+    withStoreLock(fs, dir) {
+      val snapshots = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith("labels-")).sorted
+      if (snapshots.isEmpty) return 0L
+      val labels = spark.read.parquet(s"$storePath/${snapshots.last}")
+        .select(col("doc_id"), col("cluster_id"))
+      val survivors = labels.filter(!col("doc_id").isin(keyIds: _*))
+      val relabeled = survivors
+        .join(
+          survivors.groupBy(col("cluster_id"))
+            .agg(min(col("doc_id")).as("__new_label")),
+          Seq("cluster_id"))
+        .select(col("doc_id"), col("__new_label").as("cluster_id"))
+        .localCheckpoint(true)
+      val erased = labels.count() - relabeled.count()
+      if (erased > 0L) publishLabelSnapshot(fs, dir, relabeled, snapshots)
+      erased
     }
   }
 

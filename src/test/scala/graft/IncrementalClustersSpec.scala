@@ -74,6 +74,43 @@ class IncrementalClustersSpec extends SparkSpec {
     assert(e.getMessage.contains("_format-labels-v1"))
   }
 
+  test("erasing the canonical relabels survivors; the id vanishes from BOTH columns") {
+    val dir = store()
+    Dedup.incrementalClusters(Seq(1L, 2L, 3L, 9L).toDF("doc_id"),
+      Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b"), dir)
+    val n = Dedup.eraseFromLabelStore(spark, dir, Seq(1L).toDF("doc_id"))
+    assert(n === 1L)
+    val after = spark.read.parquet(
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("labels-")).head.toString)
+    val m = after.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(2L -> 2L, 3L -> 2L, 9L -> 9L))
+    assert(!m.keySet.contains(1L) && !m.values.toSet.contains(1L))
+  }
+
+  test("erasing a non-canonical member leaves other labels unchanged; ingest continues") {
+    val dir = store()
+    Dedup.incrementalClusters(Seq(1L, 2L, 3L).toDF("doc_id"),
+      Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b"), dir)
+    assert(Dedup.eraseFromLabelStore(spark, dir, Seq(3L).toDF("doc_id")) === 1L)
+    // the store keeps working after an erase-publish (seq advanced)
+    val r = Dedup.incrementalClusters(Seq(4L).toDF("doc_id"),
+      Seq((2L, 4L)).toDF("doc_a", "doc_b"), dir)
+    assert(labelMap(r.select(col("doc_id"), col("cluster_id"))) ===
+      Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("erase with no hits or an absent store is a 0-row no-op") {
+    val dir = store()
+    assert(Dedup.eraseFromLabelStore(spark, dir, Seq(1L).toDF("doc_id")) === 0L)
+    Dedup.incrementalClusters(Seq(1L).toDF("doc_id"),
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), dir)
+    assert(Dedup.eraseFromLabelStore(spark, dir, Seq(99L).toDF("doc_id")) === 0L)
+    val snaps = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("labels-")).sorted
+    assert(snaps.toSeq === Seq("labels-000000")) // no-op published nothing
+  }
+
   test("an orphaned staging dir from a crashed run is invisible to readers") {
     val dir = store()
     Dedup.incrementalClusters(Seq(1L, 2L).toDF("doc_id"),

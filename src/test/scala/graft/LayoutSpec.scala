@@ -200,6 +200,25 @@ class LayoutSpec extends SparkSpec {
     assert(hamPairs === Set((2L, 9L)))
   }
 
+  test("eraseKeysEverywhere: label stores relabel in the same composed call") {
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("graft_erase_lb").toString + "/t"
+    Seq((1L, "d1", "x"), (2L, "d1", "y"), (3L, "d1", "z"))
+      .toDF("doc_id", "day", "text").write.partitionBy("day").parquet(dir)
+    val ls = Files.createTempDirectory("graft_erase_ls").toString + "/store"
+    Dedup.incrementalClusters(Seq(1L, 2L, 3L).toDF("doc_id"),
+      Seq((1L, 2L)).toDF("doc_a", "doc_b"), ls)
+    val (rows, _, _, sigRows, labelRows) = graft.etl.Erasure.eraseKeysEverywhere(
+      spark, dir, Seq("day"), "doc_id", Seq(1L).toDF("doc_id"), Nil, Seq(ls))
+    assert((rows, sigRows, labelRows) === ((1L, 0L, 1L)))
+    // doc 1 vanished from BOTH label columns; doc 2 relabeled to itself
+    val snap = new java.io.File(ls).listFiles()
+      .filter(_.getName.startsWith("labels-")).head.toString
+    val m = spark.read.parquet(snap).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(2L -> 2L, 3L -> 3L))
+  }
+
   test("key erasure handles Hive-escaped and NULL partition values") {
     // Spark writes "a b:c" as the escaped dir "day=a b%3Ac" and NULL as
     // "day=__HIVE_DEFAULT_PARTITION__" — a raw "$col=$value" delete path
