@@ -1913,9 +1913,14 @@ object SparkEntry {
     // the oracle replays the extraction CTEs and feeds them into the
     // same minhash/closure/quality fragments c2 uses, re-sourced.
     "c6_web_curation" -> ((s, d) => {
+      // cache: pipeline scans its corpus 4× (quality, pairs, contamination,
+      // base) — materialize the regex-extraction cascade once, exactly as a
+      // real pipeline persists the extraction stage (documented cache-leak
+      // convention; Bench's clearCache() is the isolation boundary)
       val extracted = TextAnalysis.htmlMainText(htmlPages(s, d),
         "html", minTokens = 5, maxLinkPermyriad = 2000)
         .select(col("doc_id"), col("main_text").as("text"))
+        .cache()
       Curation.pipeline(extracted, col("doc_id") % 20 === 0, 0.6)
     }),
     "c5_bloom_paragraph_dedup" -> ((s, d) => {
