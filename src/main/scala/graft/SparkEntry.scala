@@ -457,6 +457,37 @@ object SparkEntry {
        |    list_filter(sc, s -> s.toks >= 5 AND s.links * 10000 <= 2000 * s.toks) AS k
        |  FROM scored)""".stripMargin
 
+  /** Shared oracle for the curation decision table — c2 (batch) and c7
+    * (incremental through the minhash/label/decontam stores) must produce
+    * the IDENTICAL table, so they share one replay. */
+  private lazy val sqlCurationOracle: String =
+    s"""WITH RECURSIVE $sqlMinhashPairCtes,
+       |$sqlClosureCtes,
+       |$sqlQualityCtes,
+       |${sqlShinglesN(5, "doc_id % 20 = 0", "_ev")},
+       |${sqlShinglesN(5, "doc_id % 20 <> 0", "_tr")},
+       |ev AS (SELECT DISTINCT h FROM sh_ev),
+       |hits AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+       |         FROM sh_tr t JOIN ev ON t.h = ev.h GROUP BY 1),
+       |base AS (SELECT doc_id,
+       |                CAST(CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_eval,
+       |                ${sqlSampleKey("('split:' || CAST(doc_id AS VARCHAR))")} % 100 AS bkt
+       |         FROM documents)
+       |SELECT b.doc_id, b.is_eval,
+       |       CAST(CASE WHEN qual.qs >= 0.6 THEN 1 ELSE 0 END AS BIGINT) AS passed_quality,
+       |       coalesce(l.cluster_id, b.doc_id) AS cluster_id,
+       |       CAST(CASE WHEN coalesce(l.cluster_id, b.doc_id) = b.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical,
+       |       coalesce(hits.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+       |       CASE WHEN bkt < 90 THEN 'train' WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split,
+       |       CAST(CASE WHEN b.is_eval = 0 AND qual.qs >= 0.6
+       |                  AND coalesce(l.cluster_id, b.doc_id) = b.doc_id
+       |                  AND coalesce(hits.n_overlap, CAST(0 AS BIGINT)) = 0
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM base b
+       |JOIN qual ON qual.doc_id = b.doc_id
+       |LEFT JOIN lab l ON l.doc_id = b.doc_id
+       |LEFT JOIN hits ON hits.doc_id = b.doc_id""".stripMargin
+
   private val sqlMinhashPairCtes: String = sqlMinhashPairCtesFrom("documents")
 
   /** [[sqlMinhashPairCtes]] over an arbitrary (doc_id, text) source. */
@@ -1922,6 +1953,35 @@ object SparkEntry {
         .select(col("doc_id"), col("main_text").as("text"))
         .cache()
       Curation.pipeline(extracted, col("doc_id") % 20 === 0, 0.6)
+    }),
+    // The FULLY INCREMENTAL curation run — every derived signal comes
+    // from a persistent store, none is recomputed from the full corpus:
+    // the benchmark suite is written ONCE up front (the realistic shape:
+    // benchmarks are static, corpora grow), then the corpus arrives in
+    // two parity-split batches, each pairing against the minhash
+    // signature store and folding into the label snapshot store; the
+    // final run assembles the decision table from the stores plus the
+    // stateless per-row stages (quality, split), and must be
+    // INDISTINGUISHABLE from c2's batch run — the oracle is c2's
+    // verbatim.
+    "c7_incremental_curation" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_incr_curation").toString
+      Curation.writeDecontamStore(
+        docs.filter(col("doc_id") % 20 === 0), s"$tmp/decontam")
+      var labels: org.apache.spark.sql.DataFrame = null
+      Seq(0, 1).foreach { par =>
+        val batch = docs.filter(col("doc_id") % 2 === par)
+        val pairs = Dedup.incrementalMinhashPairs(
+          batch.select(col("doc_id"), col("text")), s"$tmp/mh")
+        labels = Dedup.incrementalClusters(
+          batch.select(col("doc_id")), pairs, s"$tmp/labels")
+      }
+      Curation.pipelineFromSignals(docs, col("doc_id") % 20 === 0, 0.6,
+        labels,
+        Curation.decontamAgainstStore(
+          docs.filter(col("doc_id") % 20 =!= 0), s"$tmp/decontam"))
     }),
     "c5_bloom_paragraph_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -3616,34 +3676,11 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1""".stripMargin,
     // Composes the d7 closure, the quality-score formula (t2), the c1
     // overlap count, and the p1 bucket into one per-document decision row.
-    "c2_curation_pipeline" -> {
-      s"""WITH RECURSIVE $sqlMinhashPairCtes,
-         |$sqlClosureCtes,
-         |$sqlQualityCtes,
-         |${sqlShinglesN(5, "doc_id % 20 = 0", "_ev")},
-         |${sqlShinglesN(5, "doc_id % 20 <> 0", "_tr")},
-         |ev AS (SELECT DISTINCT h FROM sh_ev),
-         |hits AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
-         |         FROM sh_tr t JOIN ev ON t.h = ev.h GROUP BY 1),
-         |base AS (SELECT doc_id,
-         |                CAST(CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_eval,
-         |                ${sqlSampleKey("('split:' || CAST(doc_id AS VARCHAR))")} % 100 AS bkt
-         |         FROM documents)
-         |SELECT b.doc_id, b.is_eval,
-         |       CAST(CASE WHEN qual.qs >= 0.6 THEN 1 ELSE 0 END AS BIGINT) AS passed_quality,
-         |       coalesce(l.cluster_id, b.doc_id) AS cluster_id,
-         |       CAST(CASE WHEN coalesce(l.cluster_id, b.doc_id) = b.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical,
-         |       coalesce(hits.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
-         |       CASE WHEN bkt < 90 THEN 'train' WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split,
-         |       CAST(CASE WHEN b.is_eval = 0 AND qual.qs >= 0.6
-         |                  AND coalesce(l.cluster_id, b.doc_id) = b.doc_id
-         |                  AND coalesce(hits.n_overlap, CAST(0 AS BIGINT)) = 0
-         |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
-         |FROM base b
-         |JOIN qual ON qual.doc_id = b.doc_id
-         |LEFT JOIN lab l ON l.doc_id = b.doc_id
-         |LEFT JOIN hits ON hits.doc_id = b.doc_id""".stripMargin
-    },
+    "c2_curation_pipeline" -> sqlCurationOracle,
+    // The incremental run's FINAL table must be indistinguishable from the
+    // batch run's — c2's oracle verbatim (the stores are an execution
+    // detail, not an output contract).
+    "c7_incremental_curation" -> sqlCurationOracle,
     // c2's replay re-sourced onto EXTRACTED text: the html-extraction
     // CTEs produce webdocs(doc_id, text), and every downstream fragment
     // (minhash pairs, closure, quality, contamination shingles, base) is

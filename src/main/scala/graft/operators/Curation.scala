@@ -302,10 +302,23 @@ object Curation {
     * them in instead of re-running MinHash+LSH+closure. `clusters` must
     * carry (doc_id, cluster_id, is_canonical). */
   def pipeline(docs: DataFrame, isEval: Column, qualityMin: Double,
-      clusters: DataFrame): DataFrame = {
+      clusters: DataFrame): DataFrame =
+    pipelineFromSignals(docs, isEval, qualityMin, clusters,
+      contamination(docs, isEval))
+
+  /** [[pipeline]] with BOTH derived signals precomputed — the assembly
+    * stage of an INCREMENTAL curation run, where cluster labels come from
+    * the label store ([[Dedup.incrementalClusters]]) and overlaps from the
+    * stored benchmark ([[decontamAgainstStore]]) instead of being
+    * recomputed from scratch. `overlaps` must carry (doc_id, n_overlap);
+    * docs absent from it coalesce to 0 (eval docs, no-hit docs). The
+    * quality gate and split assignment are stateless per-row and are
+    * computed inline as always. */
+  def pipelineFromSignals(docs: DataFrame, isEval: Column, qualityMin: Double,
+      clusters: DataFrame, overlaps: DataFrame): DataFrame = {
     val quality = TextAnalysis.qualityScores(docs)
       .select(col("doc_id"), col("quality_score"))
-    val contam = contamination(docs, isEval)
+    val contam = overlaps
     docs
       .select(
         col("doc_id"),
