@@ -1677,6 +1677,27 @@ object SparkEntry {
     // ---- deduplication ----
     "d1_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "d2_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(Tables.documents(s, d))),
+    // The LSH recall S-curve made observable: the fixture's planted dups
+    // are all J ≥ 0.9 (where 16 2-row bands essentially never miss), so
+    // the corpus is augmented in-plan with MID-similarity variants — each
+    // doc's first 28 tokens plus a unique 4-token tail, landing the
+    // (orig, variant) pairs at J ≈ 0.5-0.6, exactly where the banding
+    // starts missing. doc_id < 2000 caps the exact baseline at a fixed
+    // absolute size (SF-invariant); recall is a property of the scheme,
+    // not the corpus size.
+    "d14_lsh_recall" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .filter(col("doc_id") < 2000).select(col("doc_id"), col("text"))
+      val variants = base.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(
+          array_join(slice(split(trim(col("text")), " +"), 1, 28), " "),
+          lit(" v"), col("doc_id").cast("string"), lit("a v"),
+          col("doc_id").cast("string"), lit("b v"),
+          col("doc_id").cast("string"), lit("c v"),
+          col("doc_id").cast("string"), lit("d")).as("text"))
+      Dedup.lshRecallEval(base.unionByName(variants))
+    }),
     "d3_minhash_lsh" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
     "d4_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "d5_embedding_dup" -> ((s, d) => Dedup.embeddingPairs(Tables.embeddings(s, d))),
@@ -3256,6 +3277,38 @@ object SparkEntry {
     "d3_minhash_lsh" ->
       s"""WITH $sqlMinhashPairCtes
          |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
+    // Recall audit replay: the augmented corpus CTE (originals + 28-token
+    // variants with unique tails), the minhash chain re-sourced onto it,
+    // an exact Jaccard side off the SAME sh CTE (renamed cnt/inter/jac to
+    // dodge the minhash fragment's names), decile-bucketed left join.
+    // HUGEINT-safe casts on the aggregates (CLAUDE.md rule).
+    "d14_lsh_recall" ->
+      s"""WITH d14src AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |         array_to_string(list_slice(regexp_split_to_array(trim(text), ' +'), 1, 28), ' ')
+         |           || ' v' || CAST(doc_id AS VARCHAR) || 'a v' || CAST(doc_id AS VARCHAR)
+         |           || 'b v' || CAST(doc_id AS VARCHAR) || 'c v' || CAST(doc_id AS VARCHAR) || 'd'
+         |  FROM documents WHERE doc_id < 2000),
+         |${sqlMinhashPairCtesFrom("d14src")},
+         |cntx AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         |interx AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+         |           FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |jacx AS (SELECT doc_a, doc_b,
+         |                round(CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE), 7) AS jaccard
+         |         FROM interx JOIN cntx ca ON ca.doc_id = doc_a JOIN cntx cb ON cb.doc_id = doc_b),
+         |exact AS (SELECT doc_a, doc_b, jaccard FROM jacx WHERE jaccard >= 0.5),
+         |bucketed AS (SELECT CAST(floor(e.jaccard * 10) AS BIGINT) AS bucket,
+         |                    CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS found
+         |             FROM exact e LEFT JOIN pairs p
+         |               ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b)
+         |SELECT bucket,
+         |       CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(sum(found) AS BIGINT) AS n_found,
+         |       CAST(CAST(sum(found) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT) AS BIGINT) AS recall_permyriad
+         |FROM bucketed GROUP BY bucket""".stripMargin,
     // The streaming candidate stage must equal the batch banding chain's
     // same-bucket pair set (state starts empty and the fixture's buckets
     // are far below the state cap, so no pair is lost to it).

@@ -1539,6 +1539,42 @@ object Dedup {
       .withColumn("is_canonical", (col("cluster_id") === col("doc_id")).cast("long"))
   }
 
+  /** LSH recall audit — the measure-don't-guess harness for the banding
+    * knobs: joins the EXACT Jaccard pair relation ([[jaccardPairs]])
+    * against what MinHash+LSH ([[minhashPairs]]) actually found, bucketed
+    * by Jaccard decile, so the output is the empirical recall S-curve
+    * (`1-(1-J^R)^(K/R)` made observable). Near-threshold buckets are
+    * where bands miss; the planted high-J dups should read ~10000
+    * permyriad. False positives cannot appear by construction —
+    * [[minhashPairs]] exact-verifies its candidates — so the audit is
+    * recall-only, and `n_found ≤ n_exact` per bucket is an invariant.
+    *
+    * The exact side is the O(shared-shingle²) baseline twin (the d2
+    * convention): at corpus scale this operator runs on a bounded SAMPLE
+    * of the corpus — recall is a property of the banding scheme and the
+    * similarity distribution, not of corpus size, so a sample estimates
+    * it; the bucket floor goes through `floor()` on the rounded jaccard
+    * so both engines integralize identically (the x4/t14 cast rule).
+    *
+    * Output: (bucket = ⌊10·J⌋, n_exact, n_found, recall_permyriad). */
+  def lshRecallEval(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val exact = jaccardPairs(docs, n, threshold)
+    val found = minhashPairs(docs, n, threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("found"))
+    exact
+      .join(found, Seq("doc_a", "doc_b"), "left")
+      .select(
+        floor(col("jaccard") * 10).cast("long").as("bucket"),
+        coalesce(col("found"), lit(0L)).as("found"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(col("found")).as("n_found"))
+      .select(col("bucket"), col("n_exact"), col("n_found"),
+        expr("n_found * 10000 div n_exact").as("recall_permyriad"))
+  }
+
   /** Incremental near-dup CLUSTER maintenance — the missing closure over
     * the incremental-pair stores: [[incrementalMinhashPairs]] /
     * [[incrementalHammingPairs]] / [[incrementalFrameRuns]] emit each

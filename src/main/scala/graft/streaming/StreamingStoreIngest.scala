@@ -82,6 +82,36 @@ object StreamingStoreIngest {
       }
       .start()
 
+  /** [[runHamming]] with LABEL maintenance folded into each micro-batch:
+    * after the pair emit, the batch's docs and new pairs fold into the
+    * persisted label snapshot ([[Dedup.incrementalClusters]]), so the
+    * store always holds the CURRENT dedup decision for the whole corpus
+    * seen so far — a reader never has to replay the pairs log. Replayed
+    * micro-batches are label-idempotent: the doc set unions distinct,
+    * duplicate edges are CC no-ops, and the republished snapshot is
+    * byte-equal in content to the one the crashed attempt produced. The
+    * pairs frame is consumed twice (sink + edges) but is eagerly
+    * checkpointed inside the ingest, so the banding join runs once. */
+  def runHammingWithLabels(sigs: DataFrame, storePath: String,
+      labelStorePath: String, pairsOut: String, checkpoint: String,
+      bits: Int, maxHamming: Int, formatTag: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    sigs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.col
+        val pairs = Dedup.incrementalHammingPairs(
+          batch, storePath, bits, maxHamming, formatTag)
+        pairs.write.mode("overwrite")
+          .parquet(s"$pairsOut/ingest_batch=$batchId")
+        Dedup.incrementalClusters(
+          batch.select(col("doc_id")), pairs, labelStorePath)
+        ()
+      }
+      .start()
+
   /** The semantic sibling: streaming ingest of (vec_id, embedding) rows
     * into the pinned-center vector store
     * ([[Dedup.incrementalSemanticPairs]]). The FIRST micro-batch pins the

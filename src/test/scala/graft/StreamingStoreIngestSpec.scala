@@ -105,6 +105,39 @@ class StreamingStoreIngestSpec extends SparkSpec {
     assert(batchPairs.map(p => (p._1, p._2)).contains((0L, 100L)))
   }
 
+  test("streamed ingest with label maintenance: final snapshot ≡ one-shot clusters") {
+    val srcDir = Files.createTempDirectory("graft_ssl_src").toString
+    val store = Files.createTempDirectory("graft_ssl_store").toString + "/store"
+    val lstore = Files.createTempDirectory("graft_ssl_lb").toString + "/store"
+    val pairsOut = Files.createTempDirectory("graft_ssl_pairs").toString
+    val ckpt = Files.createTempDirectory("graft_ssl_ckpt").toString
+    val sigs = graft.operators.Multimodal.imageDhash(
+      graft.operators.Multimodal.synthesizePatternPngs((0L until 12L).toDF("doc_id")))
+      .withColumnRenamed("dhash", "sig")
+    sigs.filter($"doc_id" < 4L).write.parquet(s"$srcDir/b0")
+    sigs.filter($"doc_id" >= 4L && $"doc_id" < 8L).write.parquet(s"$srcDir/b1")
+    sigs.filter($"doc_id" >= 8L).write.parquet(s"$srcDir/b2")
+    val sigSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("sig", LongType)))
+    val q = StreamingStoreIngest.runHammingWithLabels(
+      spark.readStream.schema(sigSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*"),
+      store, lstore, pairsOut, ckpt,
+      bits = 64, maxHamming = 4, formatTag = "dhash-8x8-v1")
+    try q.processAllAvailable() finally q.stop()
+    val snaps = new java.io.File(lstore).listFiles()
+      .map(_.getName).filter(_.startsWith("labels-")).sorted
+    assert(snaps.length === 1) // pruned to the latest snapshot
+    val streamedLabels = spark.read.parquet(s"$lstore/${snaps.head}")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = Dedup.clusters(
+      sigs.select($"doc_id"), Dedup.hammingPairs(sigs, 64, 4))
+      .select("doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamedLabels === oneShot && streamedLabels.size === 12)
+    assert(streamedLabels.values.toSet.size < 12) // real clusters formed
+  }
+
   test("streamed semantic-vector ingest ≡ flagged batch under the first micro-batch's center") {
     val srcDir = Files.createTempDirectory("graft_ssv_src").toString
     val store = Files.createTempDirectory("graft_ssv_store").toString + "/store"
