@@ -73,7 +73,6 @@ object IncrementalProbe {
     // later run's fixed cost (one file-index entry + footer per batch
     // dir); compaction restores it -------------------------------------
     val ms = s"$tmp/mstore"
-    val perBatch = math.max(nSigs / 50, 1)
     (0 until 40).foreach { i =>
       Dedup.incrementalHammingPairs(
         sigs.filter(col("doc_id") % 50 === i), ms, 64, 3, "probe-v1").count()

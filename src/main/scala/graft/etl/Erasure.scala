@@ -123,14 +123,35 @@ object Erasure {
     * derived surface an id can survive in: its member row, and, when it
     * was a cluster minimum, the `cluster_id` value on other members'
     * rows ([[graft.operators.Dedup.eraseFromLabelStore]] relabels those).
-    * Fifth return element = label rows erased across all label stores. */
+    * Every signature store is assumed keyed by `doc_id` — a corpus whose
+    * derived stores use another id column (the `vec_id` vector store)
+    * goes through [[eraseKeysEverywhereKeyed]] instead. Fifth return
+    * element = label rows erased across all label stores. */
   def eraseKeysEverywhere(spark: SparkSession, dataDir: String,
       partCols: Seq[String], keyCol: String, keys: DataFrame,
       storePaths: Seq[String], labelStorePaths: Seq[String])
+      : (Long, Long, Long, Long, Long) =
+    eraseKeysEverywhereKeyed(spark, dataDir, partCols, keyCol, keys,
+      storePaths.map((_, "doc_id")), labelStorePaths)
+
+  /** The fully general composed erasure: each signature store carries its
+    * OWN key column as `(path, storeKeyCol)` — `doc_id` for the
+    * minhash/Hamming/anchor/frame stores, `vec_id` for the
+    * [[graft.operators.Dedup.incrementalSemanticPairs]] vector store
+    * (whose batches hold `(vec_id, embedding)` and would otherwise fail
+    * the erase with a missing-column AnalysisException AFTER the data
+    * dirs were already rewritten — a partial composed erasure). The key
+    * VALUES are one id space (the `keys` frame); only the column name a
+    * store filters on differs. */
+  def eraseKeysEverywhereKeyed(spark: SparkSession, dataDir: String,
+      partCols: Seq[String], keyCol: String, keys: DataFrame,
+      storeKeys: Seq[(String, String)], labelStorePaths: Seq[String])
       : (Long, Long, Long, Long, Long) = {
     val (rows, rewritten, removed) = eraseKeys(spark, dataDir, partCols, keyCol, keys)
-    val sigRows = storePaths.map(p =>
-      graft.operators.Dedup.eraseFromStore(spark, p, keys.select(col(keyCol)))).sum
+    val sigRows = storeKeys.map { case (p, storeKeyCol) =>
+      graft.operators.Dedup.eraseFromStore(
+        spark, p, keys.select(col(keyCol)), storeKeyCol)
+    }.sum
     val labelRows = labelStorePaths.map(p =>
       graft.operators.Dedup.eraseFromLabelStore(spark, p, keys.select(col(keyCol)))).sum
     (rows, rewritten, removed, sigRows, labelRows)

@@ -423,7 +423,8 @@ object Dedup {
       newDocs: DataFrame,
       storePath: String,
       n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      replayDeterministic: Boolean = false): DataFrame = {
     import graft.functions.GraftColumns
     val spark = newDocs.sparkSession
     val dir = new org.apache.hadoop.fs.Path(storePath)
@@ -453,11 +454,19 @@ object Dedup {
         s"signature store at $storePath was written by an incompatible " +
           s"tokenizer version (missing $StoreFormatMarker); rebuild the " +
           "store from source text before ingesting new batches")
-    val rawNewArr = newDocs
+    val rawNewArr0 = newDocs
       .withColumn("__hs", GraftColumns.shingleHashes(col("text"), n))
       .filter(size(col("__hs")) > 0)
       .select(col("doc_id"), col("__hs"),
         GraftColumns.minhashArr(col("__hs"), MinhashK).as("__mh"))
+    // Under replayDeterministic (see incrementalHammingPairs' scaladoc —
+    // the contract is shared: full batch vs store-minus-batch so a
+    // crash-replayed streaming micro-batch recomputes the SAME pairs
+    // instead of an empty frame) the raw batch is consumed on the pair
+    // side AND in two anti-joins — materialize the shingle/minhash
+    // computation once.
+    val rawNewArr =
+      if (replayDeterministic) rawNewArr0.localCheckpoint(true) else rawNewArr0
     val oldArr =
       if (hasStore)
         // recursiveFileLookup reads both batch-* subdirectories and any
@@ -473,10 +482,15 @@ object Dedup {
       if (hasStore) rawNewArr.join(oldArr.select("doc_id"), Seq("doc_id"), "left_anti")
       else rawNewArr
     ).localCheckpoint(true)
+    val sideNew = if (replayDeterministic) rawNewArr else newArr
+    val sideOld =
+      if (replayDeterministic && hasStore)
+        oldArr.join(rawNewArr.select("doc_id"), Seq("doc_id"), "left_anti")
+      else oldArr
     def bandsOf(arr: DataFrame) =
       arr.select(col("doc_id"), posexplode(bandKeys(col("__mh"))).as(Seq("band", "band_key")))
-    val newBands = bandsOf(newArr)
-    val allBands = bandsOf(oldArr).unionByName(newBands)
+    val newBands = bandsOf(sideNew)
+    val allBands = bandsOf(sideOld).unionByName(newBands)
     // Candidates: (new, anything) sharing a band — new↔new once via a<b,
     // new↔old regardless of id order (canonicalized to doc_a < doc_b).
     val cands = newBands.select(col("doc_id").as("doc_n"), col("band"), col("band_key"))
@@ -495,7 +509,7 @@ object Dedup {
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
     // No broadcast hint: candidate count scales with the dup rate (see
     // [[minhashPairs]]); AQE broadcasts when the runtime size allows.
-    val candArr = newArr.unionByName(oldArr)
+    val candArr = sideNew.unionByName(sideOld)
       .join(candDocs, Seq("doc_id"), "left_semi").cache()
     val shc = candArr.select(col("doc_id"), explode(col("__hs")).as("h"))
     val cnt = candArr.select(col("doc_id"), size(col("__hs")).cast("long").as("n_shingles"))
@@ -541,6 +555,8 @@ object Dedup {
       throw new IllegalStateException(
         s"failed to publish signature batch $staging -> $published")
     org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(newArr)
+    if (replayDeterministic)
+      org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(rawNewArr)
     cands.unpersist()
     candArr.unpersist()
     pairs
@@ -1152,13 +1168,28 @@ object Dedup {
     * the tokenizer-version guard generalized to arbitrary extractors.
     *
     * Output: (doc_a, doc_b, hamming) for new↔old and new↔new pairs at
-    * Hamming ≤ maxHamming, canonicalized doc_a < doc_b. */
+    * Hamming ≤ maxHamming, canonicalized doc_a < doc_b.
+    *
+    * `replayDeterministic` trades the default exactly-once pair emission
+    * (a re-ingested batch emits NOTHING — its docs anti-join away) for
+    * replay DETERMINISM: the batch pairs against store-minus-batch plus
+    * itself, so re-running the same batch recomputes the SAME pairs frame
+    * whether or not the previous attempt's store append survived. The
+    * append side stays anti-joined (never duplicates signatures) either
+    * way. Streaming foreachBatch ingest REQUIRES this mode: a crash after
+    * the store append but before the sink write would otherwise replay to
+    * an EMPTY pairs frame, and the overwrite sink would destroy the pairs
+    * forever (across distinct batches, pairs are still emitted once —
+    * overlap only arises on replay, where the recomputed frame is
+    * content-identical). Batch callers appending pairs downstream keep
+    * the default. */
   def incrementalHammingPairs(
       newSigs: DataFrame,
       storePath: String,
       bits: Int,
       maxHamming: Int,
-      formatTag: String): DataFrame = {
+      formatTag: String,
+      replayDeterministic: Boolean = false): DataFrame = {
     require(formatTag.nonEmpty && formatTag.forall(c =>
       c.isLetterOrDigit || c == '-' || c == '.' || c == '_'),
       s"formatTag must be a plain file-name token, got '$formatTag'")
@@ -1177,7 +1208,11 @@ object Dedup {
           s"signature store at $storePath was not written under scheme " +
             s"'$formatTag' (missing _format-$formatTag); signatures from a " +
             "different extractor are not comparable — rebuild the store")
-      val rawNew = newSigs.select(col("doc_id"), col("sig"))
+      val rawNew0 = newSigs.select(col("doc_id"), col("sig"))
+      // Under replayDeterministic the raw batch is consumed twice (pair
+      // side + history anti-join) — materialize it once.
+      val rawNew =
+        if (replayDeterministic) rawNew0.localCheckpoint(true) else rawNew0
       val oldSigs =
         if (hasStore)
           spark.read.option("recursiveFileLookup", "true").parquet(storePath)
@@ -1189,8 +1224,16 @@ object Dedup {
         if (hasStore) rawNew.join(oldSigs.select("doc_id"), Seq("doc_id"), "left_anti")
         else rawNew
       ).localCheckpoint(true)
-      val newChunks = hammingChunks(newArr, widths, offsets)
-      val allChunks = hammingChunks(oldSigs, widths, offsets)
+      // Pair sides (see the scaladoc): default = new-only vs full store;
+      // replayDeterministic = full batch vs store-minus-batch, so a
+      // replayed batch recomputes its exact pairs instead of none.
+      val sideNew = if (replayDeterministic) rawNew else newArr
+      val sideOld =
+        if (replayDeterministic && hasStore)
+          oldSigs.join(rawNew.select("doc_id"), Seq("doc_id"), "left_anti")
+        else oldSigs
+      val newChunks = hammingChunks(sideNew, widths, offsets)
+      val allChunks = hammingChunks(sideOld, widths, offsets)
         .unionByName(newChunks)
       // New-side × everything on (chunk, value): new↔new from both
       // orientations collapses under least/greatest + distinct; old↔old
@@ -1222,6 +1265,8 @@ object Dedup {
         throw new IllegalStateException(
           s"failed to publish signature batch $staging -> $published")
       org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(newArr)
+      if (replayDeterministic)
+        org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(rawNew)
       pairs
     }
   }
@@ -1259,7 +1304,8 @@ object Dedup {
       newEmb: DataFrame,
       storePath: String,
       threshold: Double = 0.3,
-      nBits: Int = 8): DataFrame = {
+      nBits: Int = 8,
+      replayDeterministic: Boolean = false): DataFrame = {
     val spark = newEmb.sparkSession
     val dir = new org.apache.hadoop.fs.Path(storePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1275,7 +1321,12 @@ object Dedup {
             s"(missing _format-semlsh-b$nBits-v1); bucket assignments are " +
             "not comparable — rebuild the store")
       val centerFile = new org.apache.hadoop.fs.Path(dir, "_center")
-      val rawNew = newEmb.select(col("vec_id"), col("embedding"))
+      val rawNew0 = newEmb.select(col("vec_id"), col("embedding"))
+      // replayDeterministic: shared contract with incrementalHammingPairs
+      // (full batch vs store-minus-batch → a crash-replayed micro-batch
+      // recomputes the SAME pairs under the already-pinned center).
+      val rawNew =
+        if (replayDeterministic) rawNew0.localCheckpoint(true) else rawNew0
       val oldVecs =
         if (hasStore)
           spark.read.option("recursiveFileLookup", "true").parquet(storePath)
@@ -1307,8 +1358,14 @@ object Dedup {
           (lines(1).split(',').map(_.trim.toLong).toSeq, lines(0).trim.toLong)
         }
       val meanDf = Similarity.meanDfFromQuantized(spark, qsum, n)
-      val flagged = oldVecs.withColumn("is_new", lit(false))
-        .unionByName(newVecs.withColumn("is_new", lit(true)))
+      val sideNew = if (replayDeterministic) rawNew else newVecs
+      val sideOld =
+        if (replayDeterministic && hasStore)
+          oldVecs.join(rawNew.select("vec_id").distinct(),
+            Seq("vec_id"), "left_anti")
+        else oldVecs
+      val flagged = sideOld.withColumn("is_new", lit(false))
+        .unionByName(sideNew.withColumn("is_new", lit(true)))
       val pairs = Similarity
         .lshNeighborsCentered(flagged, meanDf, nBits, threshold)
         // Eager checkpoint BEFORE the append (see incrementalMinhashPairs).
@@ -1331,6 +1388,8 @@ object Dedup {
         throw new IllegalStateException(
           s"failed to publish vector batch $staging -> $published")
       org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(newVecs)
+      if (replayDeterministic)
+        org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(rawNew)
       pairs
     }
   }
@@ -1626,7 +1685,8 @@ object Dedup {
       val snapshots =
         if (fs.exists(dir))
           fs.listStatus(dir).map(_.getPath.getName)
-            .filter(_.startsWith("labels-")).sorted
+            .filter(_.startsWith("labels-"))
+            .sortBy(_.stripPrefix("labels-").toLong)
         else Array.empty[String]
       val marker = new org.apache.hadoop.fs.Path(dir, "_format-labels-v1")
       if (snapshots.nonEmpty && !fs.exists(marker))
@@ -1673,6 +1733,11 @@ object Dedup {
       labels: DataFrame,
       snapshots: Array[String]): Unit = {
     val marker = new org.apache.hadoop.fs.Path(dir, "_format-labels-v1")
+    // `snapshots` is NUMERICALLY sorted by both callers — a lexicographic
+    // sort breaks at rollover ("labels-1000000" < "labels-999999" as
+    // strings), where a crash-leftover snapshot pair would make this
+    // max+1 target an EXISTING dir and the publish rename would nest the
+    // staging dir inside it, corrupting the snapshot every reader trusts.
     val seq = snapshots.lastOption
       .map(_.stripPrefix("labels-").toLong + 1).getOrElse(0L)
     val next = f"labels-$seq%06d"
@@ -1716,7 +1781,8 @@ object Dedup {
     if (!fs.exists(dir) || keyIds.isEmpty) return 0L
     withStoreLock(fs, dir) {
       val snapshots = fs.listStatus(dir).map(_.getPath.getName)
-        .filter(_.startsWith("labels-")).sorted
+        .filter(_.startsWith("labels-"))
+        .sortBy(_.stripPrefix("labels-").toLong)
       if (snapshots.isEmpty) return 0L
       val labels = spark.read.parquet(s"$storePath/${snapshots.last}")
         .select(col("doc_id"), col("cluster_id"))

@@ -351,9 +351,13 @@ object Multimodal {
     // and a non-injective u with a wide modulus resurrects the lattice at
     // scale (131Δf + 41Δci ≡ 0 mod 1000003 has solutions within a 10k-
     // family probe corpus — 30 spurious full-length runs at 30k videos).
-    // Overflow bound: u² must fit a long → family < 3.6·10⁷ (any fixture
-    // or probe corpus; a require keeps the failure loud).
-    require(family >= 0 && family < 36000000L,
+    // Overflow bound: u² must fit a long → u ≤ ⌊√Long.Max⌋ ≈ 3.037·10⁹,
+    // and u ≈ family·82,090, so family < 3.6·10⁴ (with margin; any fixture
+    // or probe corpus; a require keeps the failure loud — a silent wrap
+    // would go negative through % and destroy the injectivity the formula
+    // exists for, while the DuckDB oracle twin errors on BIGINT overflow
+    // instead of wrapping).
+    require(family >= 0 && family < 36000L,
       s"videoCell family $family outside the injective-square range")
     val u = (family * 10L + ci) * 8209L + gx * 17L + gy * 29L + 13L
     (((u * u) % 1000003L) % 241L).toInt

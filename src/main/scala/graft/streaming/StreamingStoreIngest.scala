@@ -18,13 +18,17 @@ import graft.operators.Dedup
   *
   * Semantics inherited from [[Dedup.incrementalMinhashPairs]] (all
   * spec-asserted there): arrival-order runs ≡ one batch run, idempotent
-  * re-ingest (anti-join), staged atomic publish, loud lease conflict.
-  * What foreachBatch adds is exactly-once OUTPUT: a replayed micro-batch
-  * (restart between sink write and checkpoint commit) re-enters the
-  * ingest with the same doc_ids — the store anti-join makes the store
-  * append a no-op, and the pairs sink writes to a PER-BATCH directory
-  * with overwrite, so the replay overwrites its own previous attempt
-  * instead of appending duplicates.
+  * store append (anti-join), staged atomic publish, loud lease conflict.
+  * What foreachBatch adds is exactly-once OUTPUT, and that REQUIRES the
+  * ingest's `replayDeterministic` mode: a replayed micro-batch (restart
+  * anywhere between the store append and the checkpoint commit) re-enters
+  * the ingest with the same doc_ids — the store anti-join keeps the
+  * append a no-op, the pair computation recomputes the SAME pairs frame
+  * (batch vs store-minus-batch, not new-only vs store — the default
+  * new-only mode would replay to an EMPTY frame and the overwrite sink
+  * below would destroy the previous attempt's pairs forever), and the
+  * pairs sink writes to a PER-BATCH directory with overwrite, so the
+  * replay overwrites its own previous attempt with identical content.
   *
   * Each micro-batch pays one store snapshot read (pruned to candidate
   * docs by the semi-join inside the ingest), so trigger intervals should
@@ -50,7 +54,8 @@ object StreamingStoreIngest {
         // store; a held lock fails the stream loudly (StreamingQuery
         // terminates with the holder's identity) rather than dropping
         // cross-batch pairs.
-        val pairs = Dedup.incrementalMinhashPairs(batch, storePath)
+        val pairs = Dedup.incrementalMinhashPairs(batch, storePath,
+          replayDeterministic = true)
         pairs.write.mode("overwrite")
           .parquet(s"$pairsOut/ingest_batch=$batchId")
         ()
@@ -75,7 +80,8 @@ object StreamingStoreIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val pairs = Dedup.incrementalHammingPairs(
-          batch, storePath, bits, maxHamming, formatTag)
+          batch, storePath, bits, maxHamming, formatTag,
+          replayDeterministic = true)
         pairs.write.mode("overwrite")
           .parquet(s"$pairsOut/ingest_batch=$batchId")
         ()
@@ -87,9 +93,11 @@ object StreamingStoreIngest {
     * persisted label snapshot ([[Dedup.incrementalClusters]]), so the
     * store always holds the CURRENT dedup decision for the whole corpus
     * seen so far — a reader never has to replay the pairs log. Replayed
-    * micro-batches are label-idempotent: the doc set unions distinct,
-    * duplicate edges are CC no-ops, and the republished snapshot is
-    * byte-equal in content to the one the crashed attempt produced. The
+    * micro-batches are label-idempotent AT ANY crash point (the
+    * `replayDeterministic` ingest recomputes the same pairs even when the
+    * crashed attempt's store append survived): the doc set unions
+    * distinct, duplicate edges are CC no-ops, and the republished
+    * snapshot is content-equal to the one the crashed attempt produced. The
     * pairs frame is consumed twice (sink + edges) but is eagerly
     * checkpointed inside the ingest, so the banding join runs once. */
   def runHammingWithLabels(sigs: DataFrame, storePath: String,
@@ -103,7 +111,8 @@ object StreamingStoreIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions.col
         val pairs = Dedup.incrementalHammingPairs(
-          batch, storePath, bits, maxHamming, formatTag)
+          batch, storePath, bits, maxHamming, formatTag,
+          replayDeterministic = true)
         pairs.write.mode("overwrite")
           .parquet(s"$pairsOut/ingest_batch=$batchId")
         Dedup.incrementalClusters(
@@ -127,7 +136,8 @@ object StreamingStoreIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val pairs = Dedup.incrementalSemanticPairs(
-          batch, storePath, threshold, nBits)
+          batch, storePath, threshold, nBits,
+          replayDeterministic = true)
         pairs.write.mode("overwrite")
           .parquet(s"$pairsOut/ingest_batch=$batchId")
         ()

@@ -820,4 +820,63 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.substringDedupCut(clean, 10, 5).head.getString(1)
       === "totally unique words here")
   }
+
+  test("replayDeterministic ingest: a replayed batch recomputes the SAME pairs; append stays a no-op") {
+    // The streaming foreachBatch crash window: batch 2's store append
+    // survived a crash, the pairs sink write did not — the replay must
+    // reproduce the pairs (content-identical), not an empty frame, while
+    // never duplicating stored signatures.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ham_replay").toString + "/store"
+    val all = Seq((1L, 0L), (2L, 1L), (3L, 0x00F0_F0F0_F0F0_F0F0L),
+      (4L, 3L), (5L, 0x00F0_F0F0_F0F0_F0F0L)).toDF("doc_id", "sig")
+    def hp(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val run1 = hp(Dedup.incrementalHammingPairs(
+      all.filter($"doc_id" <= 3L), dir, 64, 2, "test-v1", replayDeterministic = true))
+    val run2 = hp(Dedup.incrementalHammingPairs(
+      all.filter($"doc_id" > 3L), dir, 64, 2, "test-v1", replayDeterministic = true))
+    // across DISTINCT batches the mode changes nothing
+    assert(run1.intersect(run2).isEmpty)
+    assert(run1.union(run2) === hp(Dedup.hammingPairs(all, 64, 2)))
+    val storedBefore = spark.read.option("recursiveFileLookup", "true").parquet(dir).count()
+    val replay = hp(Dedup.incrementalHammingPairs(
+      all.filter($"doc_id" > 3L), dir, 64, 2, "test-v1", replayDeterministic = true))
+    assert(replay === run2 && replay.nonEmpty)
+    assert(spark.read.option("recursiveFileLookup", "true").parquet(dir).count()
+      === storedBefore)
+    // the default mode on the same store keeps exactly-once emission
+    assert(hp(Dedup.incrementalHammingPairs(
+      all.filter($"doc_id" > 3L), dir, 64, 2, "test-v1")).isEmpty)
+
+    // MinHash: the same shared contract
+    val mdir = java.nio.file.Files.createTempDirectory("graft_mh_replay").toString + "/store"
+    def mp(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val m2first = {
+      mp(Dedup.incrementalMinhashPairs(docs.filter($"doc_id" <= 2L), mdir,
+        replayDeterministic = true))
+      mp(Dedup.incrementalMinhashPairs(docs.filter($"doc_id" > 2L), mdir,
+        replayDeterministic = true))
+    }
+    val mStored = spark.read.option("recursiveFileLookup", "true").parquet(mdir).count()
+    val mReplay = mp(Dedup.incrementalMinhashPairs(docs.filter($"doc_id" > 2L), mdir,
+      replayDeterministic = true))
+    assert(mReplay === m2first && mReplay.nonEmpty)
+    assert(spark.read.option("recursiveFileLookup", "true").parquet(mdir).count()
+      === mStored)
+
+    // Semantic: replay under the already-pinned center
+    val sdir = java.nio.file.Files.createTempDirectory("graft_sem_replay").toString + "/store"
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def sp(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    sp(Dedup.incrementalSemanticPairs(emb.filter($"vec_id" % 2 === 0), sdir,
+      replayDeterministic = true))
+    val s2 = sp(Dedup.incrementalSemanticPairs(emb.filter($"vec_id" % 2 === 1), sdir,
+      replayDeterministic = true))
+    val sReplay = sp(Dedup.incrementalSemanticPairs(emb.filter($"vec_id" % 2 === 1), sdir,
+      replayDeterministic = true))
+    assert(sReplay === s2 && sReplay.nonEmpty)
+  }
+
 }

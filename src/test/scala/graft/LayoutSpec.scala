@@ -219,6 +219,28 @@ class LayoutSpec extends SparkSpec {
     assert(m === Map(2L -> 2L, 3L -> 3L))
   }
 
+  test("eraseKeysEverywhereKeyed: a vec_id vector store erases in the same composed call") {
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("graft_erase_kv").toString + "/t"
+    Seq((0L, "d1", "x"), (1L, "d1", "y"), (2L, "d1", "z"))
+      .toDF("doc_id", "day", "text").write.partitionBy("day").parquet(dir)
+    // a semantic vector store keyed by vec_id (same id space, different
+    // column name — the doc_id-default path would throw AFTER the data
+    // erase already ran, leaving a partial composed erasure)
+    val vs = Files.createTempDirectory("graft_erase_vs").toString + "/store"
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter($"vec_id" < 3L)
+    Dedup.incrementalSemanticPairs(emb, vs).collect()
+    val (rows, _, _, sigRows, labelRows) = graft.etl.Erasure.eraseKeysEverywhereKeyed(
+      spark, dir, Seq("day"), "doc_id", Seq(1L).toDF("doc_id"),
+      Seq((vs, "vec_id")), Nil)
+    assert((rows, sigRows, labelRows) === ((1L, 1L, 0L)))
+    // the vector is gone from the store
+    assert(spark.read.option("recursiveFileLookup", "true").parquet(vs)
+      .filter($"vec_id" === 1L).count() === 0L)
+    assert(spark.read.parquet(dir).filter($"doc_id" === 1L).count() === 0L)
+  }
+
   test("key erasure handles Hive-escaped and NULL partition values") {
     // Spark writes "a b:c" as the escaped dir "day=a b%3Ac" and NULL as
     // "day=__HIVE_DEFAULT_PARTITION__" — a raw "$col=$value" delete path

@@ -201,4 +201,52 @@ class StreamingStoreIngestSpec extends SparkSpec {
     val oneShot = pairSet(Dedup.minhashPairs(allDocs.toDF("doc_id", "text")))
     assert(streamed === oneShot)
   }
+
+  test("crash between store append and sink write: the restarted stream reproduces the lost pairs and labels") {
+    val srcDir = Files.createTempDirectory("graft_sscr_src").toString
+    val store = Files.createTempDirectory("graft_sscr_store").toString + "/store"
+    val lstore = Files.createTempDirectory("graft_sscr_lb").toString + "/store"
+    val pairsOut = Files.createTempDirectory("graft_sscr_pairs").toString
+    val ckpt = Files.createTempDirectory("graft_sscr_ckpt").toString
+    val sigs = graft.operators.Multimodal.imageDhash(
+      graft.operators.Multimodal.synthesizePatternPngs((0L until 12L).toDF("doc_id")))
+      .withColumnRenamed("dhash", "sig")
+    sigs.coalesce(1).write.parquet(s"$srcDir/b0")
+    // The "crashed attempt": the store append committed, but the crash hit
+    // before the pairs sink write and before the checkpoint commit — the
+    // exact window the replayDeterministic ingest mode exists for (the
+    // default new-only mode would replay this batch to an EMPTY pairs
+    // frame, and the overwrite sink would destroy the pairs forever).
+    Dedup.incrementalHammingPairs(
+      sigs, store, 64, 4, "dhash-8x8-v1", replayDeterministic = true).count()
+    // Restart from an uncommitted checkpoint: micro-batch 0 replays the
+    // same doc_ids against a store that already holds them.
+    val sigSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("sig", LongType)))
+    val q = StreamingStoreIngest.runHammingWithLabels(
+      spark.readStream.schema(sigSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*"),
+      store, lstore, pairsOut, ckpt,
+      bits = 64, maxHamming = 4, formatTag = "dhash-8x8-v1")
+    try q.processAllAvailable() finally q.stop()
+    def hamSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "hamming")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = hamSet(spark.read.parquet(pairsOut))
+    val oneShot = hamSet(Dedup.hammingPairs(sigs, 64, 4))
+    assert(streamed === oneShot && streamed.nonEmpty)
+    // no duplicated signatures despite the double ingest
+    assert(spark.read.option("recursiveFileLookup", "true").parquet(store).count() === 12L)
+    // and the label snapshot holds the full one-shot clustering
+    val snaps = new java.io.File(lstore).listFiles()
+      .map(_.getName).filter(_.startsWith("labels-")).sorted
+    val streamedLabels = spark.read.parquet(s"$lstore/${snaps.last}")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShotLabels = Dedup.clusters(
+      sigs.select($"doc_id"), Dedup.hammingPairs(sigs, 64, 4))
+      .select("doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamedLabels === oneShotLabels && streamedLabels.size === 12)
+  }
+
 }
