@@ -797,7 +797,8 @@ object Dedup {
       storePath: String,
       minTokens: Int = 10,
       k: Int = 5,
-      maxAnchorDf: Int = 0): DataFrame = {
+      maxAnchorDf: Int = 0,
+      replayDeterministic: Boolean = false): DataFrame = {
     require(k >= 1 && minTokens >= k,
       s"minTokens $minTokens must be >= anchor width $k")
     import graft.functions.GraftColumns
@@ -805,7 +806,8 @@ object Dedup {
       newDocs.select(col("doc_id"),
         posexplode(GraftColumns.shingleHashSeq(col("text"), k)).as(Seq("pos", "h")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h")),
-      storePath, minTokens, k, s"spans-k$k-v2", maxAnchorDf)
+      storePath, minTokens, k, s"spans-k$k-v2", maxAnchorDf,
+      replayDeterministic)
       .withColumnRenamed("len", "len_tokens")
   }
 
@@ -826,10 +828,11 @@ object Dedup {
       storePath: String,
       minRun: Int = 4,
       formatTag: String = "frames-dhash8x7-v1",
-      maxFrameDf: Int = 0): DataFrame = {
+      maxFrameDf: Int = 0,
+      replayDeterministic: Boolean = false): DataFrame = {
     require(minRun >= 1, s"minRun must be >= 1, got $minRun")
     incrementalAlignedRuns(newFrameHashes, storePath, minRun, 1, formatTag,
-      maxFrameDf)
+      maxFrameDf, replayDeterministic)
       .withColumnRenamed("len", "len_frames")
   }
 
@@ -841,16 +844,26 @@ object Dedup {
     * `_format-<formatTag>` — callers encode every parameter that makes
     * stored anchors incomparable (width, tokenizer, signature scheme). */
   private def incrementalAlignedRuns(
-      rawNew: DataFrame,
+      rawNew0: DataFrame,
       storePath: String,
       minLen: Int,
       k: Int,
       formatTag: String,
-      maxAnchorDf: Int): DataFrame = {
+      maxAnchorDf: Int,
+      replayDeterministic: Boolean = false): DataFrame = {
     require(formatTag.nonEmpty && formatTag.forall(c =>
       c.isLetterOrDigit || c == '-' || c == '.' || c == '_'),
       s"formatTag must be a plain file-name token, got '$formatTag'")
-    val spark = rawNew.sparkSession
+    val spark = rawNew0.sparkSession
+    // replayDeterministic: the shared streaming-replay contract (see
+    // incrementalHammingPairs' scaladoc) — pair the FULL batch against
+    // store-minus-batch plus itself so a crash-replayed micro-batch
+    // recomputes the SAME spans instead of an empty frame; the anchor
+    // append stays anti-joined either way. The batch is consumed on the
+    // pair side and in two anti-joins — materialize the anchor explosion
+    // once.
+    val rawNew =
+      if (replayDeterministic) rawNew0.localCheckpoint(true) else rawNew0
     val dir = new org.apache.hadoop.fs.Path(storePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withStoreLock(fs, dir) {
@@ -876,18 +889,26 @@ object Dedup {
           Seq("doc_id"), "left_anti")
         else rawNew
       ).localCheckpoint(true)
-      val union = oldAnchors.unionByName(newAnchors)
+      val sideNew = if (replayDeterministic) rawNew else newAnchors
+      val sideOld =
+        if (replayDeterministic && hasStore)
+          oldAnchors.join(rawNew.select("doc_id").distinct(),
+            Seq("doc_id"), "left_anti")
+        else oldAnchors
+      // In replay mode this union equals the first attempt's (pre-append
+      // store ∪ batch), so the df cap below is replay-invariant too.
+      val union = sideOld.unionByName(sideNew)
       // Pair-time df cap over the current union (skew-safe groupBy form —
       // see duplicatedSpans); both the new side and the union side must be
       // filtered or a capped anchor would still pair one-sided.
       val (newSide, allSide) =
-        if (maxAnchorDf <= 0) (newAnchors, union)
+        if (maxAnchorDf <= 0) (sideNew, union)
         else {
           val overCap = union.groupBy(col("h"))
             .agg(count(lit(1)).as("__df"))
             .filter(col("__df") > maxAnchorDf)
             .select(col("h"))
-          (newAnchors.join(overCap, Seq("h"), "left_anti"),
+          (sideNew.join(overCap, Seq("h"), "left_anti"),
             union.join(overCap, Seq("h"), "left_anti"))
         }
       // New-side × union on the anchor hash, canonicalized with
@@ -921,6 +942,8 @@ object Dedup {
         throw new IllegalStateException(
           s"failed to publish anchor batch $staging -> $published")
       org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(newAnchors)
+      if (replayDeterministic)
+        org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(rawNew)
       spans
     }
   }
@@ -960,6 +983,12 @@ object Dedup {
     * within-doc copy caveat: pairs are cross-document, so a passage
     * repeated only WITHIN one document is not cut (that is
     * [[segmentDedup]]'s job at segment granularity).
+    *
+    * Precondition: `text` must be non-null — a NULL text produces no
+    * token rows under `posexplode`, so the doc is DROPPED, not emitted
+    * empty (callers wanting the one-row-per-doc contract on nullable
+    * corpora should `coalesce(text, '')` first; empty strings are fine —
+    * they tokenize to a single empty token and survive).
     *
     * Output: (doc_id, text_dedup, n_cut, n_total). */
   def substringDedupCut(docs: DataFrame, minTokens: Int = 10, k: Int = 5,

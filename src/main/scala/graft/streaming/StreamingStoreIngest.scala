@@ -121,6 +121,59 @@ object StreamingStoreIngest {
       }
       .start()
 
+  /** The cross-crawl substring sibling: streaming ingest of (doc_id,
+    * text) documents into the durable positional-anchor store
+    * ([[Dedup.incrementalDuplicatedSpans]]) — the Lee et al. use case on
+    * a stream: each micro-batch's exact duplicated spans against every
+    * previous crawl land under `spansOut/ingest_batch=<id>` (columns
+    * doc_a, doc_b, a_start, b_start, len_tokens), and its anchors append
+    * to the store. Same exactly-once contract as [[run]], including the
+    * `replayDeterministic` crash-window guarantee; `_format-spans-k<k>-v2`
+    * pins the anchor width — a stream at a different k fails loudly. */
+  def runSubstring(docs: DataFrame, storePath: String, spansOut: String,
+      checkpoint: String, minTokens: Int = 10, k: Int = 5,
+      maxAnchorDf: Int = 0,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spans = Dedup.incrementalDuplicatedSpans(
+          batch, storePath, minTokens, k, maxAnchorDf,
+          replayDeterministic = true)
+        spans.write.mode("overwrite")
+          .parquet(s"$spansOut/ingest_batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** The video sibling: streaming ingest of per-frame perceptual hashes
+    * (doc_id, pos, h — computed upstream on the codec seam, e.g.
+    * `Multimodal.frameDhash` over demuxed payloads) into the durable
+    * frame-hash store ([[Dedup.incrementalFrameRuns]]). Each micro-batch's
+    * temporally-aligned runs against stored history land under
+    * `runsOut/ingest_batch=<id>` (doc_a, doc_b, a_start, b_start,
+    * len_frames). Same exactly-once contract as [[run]]; `formatTag` pins
+    * the frame-signature scheme. */
+  def runFrames(frameHashes: DataFrame, storePath: String, runsOut: String,
+      checkpoint: String, minRun: Int = 4,
+      formatTag: String = "frames-dhash8x7-v1", maxFrameDf: Int = 0,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    frameHashes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val runs = Dedup.incrementalFrameRuns(
+          batch, storePath, minRun, formatTag, maxFrameDf,
+          replayDeterministic = true)
+        runs.write.mode("overwrite")
+          .parquet(s"$runsOut/ingest_batch=$batchId")
+        ()
+      }
+      .start()
+
   /** The semantic sibling: streaming ingest of (vec_id, embedding) rows
     * into the pinned-center vector store
     * ([[Dedup.incrementalSemanticPairs]]). The FIRST micro-batch pins the

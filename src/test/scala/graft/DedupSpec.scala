@@ -879,4 +879,46 @@ class DedupSpec extends SparkSpec {
     assert(sReplay === s2 && sReplay.nonEmpty)
   }
 
+
+  test("replayDeterministic spans/frames: a replayed batch recomputes the SAME spans") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_span_replay").toString + "/store"
+    val passage = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val all = Seq(
+      (0L, s"alpha beta $passage gamma delta"),
+      (1L, s"$passage x y z"),
+      (2L, "lone text with no duplication here at all today"),
+      (5L, s"p q r s t u $passage v"),
+      (6L, s"$passage x y z extended"))
+    val df = all.toDF("doc_id", "text")
+    def spansOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val r1 = spansOf(Dedup.incrementalDuplicatedSpans(
+      df.filter($"doc_id" <= 2L), dir, 10, 5, replayDeterministic = true))
+    val r2 = spansOf(Dedup.incrementalDuplicatedSpans(
+      df.filter($"doc_id" > 2L), dir, 10, 5, replayDeterministic = true))
+    assert(r1.union(r2) === spansOf(Dedup.duplicatedSpans(df, 10, 5)))
+    val storedBefore = spark.read.option("recursiveFileLookup", "true").parquet(dir).count()
+    val rr = spansOf(Dedup.incrementalDuplicatedSpans(
+      df.filter($"doc_id" > 2L), dir, 10, 5, replayDeterministic = true))
+    assert(rr === r2 && rr.nonEmpty)
+    assert(spark.read.option("recursiveFileLookup", "true").parquet(dir).count()
+      === storedBefore)
+
+    // frame store: doc 1's frames 0..3 replay doc 0's frames 2..5
+    val fdir = java.nio.file.Files.createTempDirectory("graft_frame_replay").toString + "/store"
+    val fh = Seq(
+      (0L, 0L, 10L), (0L, 1L, 11L), (0L, 2L, 12L), (0L, 3L, 13L),
+      (0L, 4L, 14L), (0L, 5L, 15L),
+      (1L, 0L, 12L), (1L, 1L, 13L), (1L, 2L, 14L), (1L, 3L, 15L),
+      (1L, 4L, 99L), (1L, 5L, 98L)).toDF("doc_id", "pos", "h")
+    Dedup.incrementalFrameRuns(fh.filter($"doc_id" === 0L), fdir,
+      minRun = 4, replayDeterministic = true).collect()
+    val f2 = spansOf(Dedup.incrementalFrameRuns(fh.filter($"doc_id" === 1L), fdir,
+      minRun = 4, replayDeterministic = true))
+    val fr = spansOf(Dedup.incrementalFrameRuns(fh.filter($"doc_id" === 1L), fdir,
+      minRun = 4, replayDeterministic = true))
+    assert(fr === f2 && fr === Set((0L, 1L, 2L, 0L, 4L)))
+  }
+
 }

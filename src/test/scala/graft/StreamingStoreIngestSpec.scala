@@ -249,4 +249,64 @@ class StreamingStoreIngestSpec extends SparkSpec {
     assert(streamedLabels === oneShotLabels && streamedLabels.size === 12)
   }
 
+
+  test("streamed substring ingest ≡ one-shot duplicatedSpans over the union corpus") {
+    val srcDir = Files.createTempDirectory("graft_sss_src").toString
+    val store = Files.createTempDirectory("graft_sss_store").toString + "/store"
+    val spansOut = Files.createTempDirectory("graft_sss_spans").toString
+    val ckpt = Files.createTempDirectory("graft_sss_ckpt").toString
+    val passage = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val all = Seq(
+      (0L, s"alpha beta $passage gamma delta"),
+      (1L, s"$passage x y z"),
+      (2L, "lone text with no duplication here at all today"),
+      (5L, s"p q r s t u $passage v"), // cross-crawl copy, later batch
+      (6L, s"$passage x y z extended"))
+    all.filter(_._1 <= 2L).toDF("doc_id", "text").write.parquet(s"$srcDir/b0")
+    all.filter(_._1 > 2L).toDF("doc_id", "text").write.parquet(s"$srcDir/b1")
+    val q = StreamingStoreIngest.runSubstring(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*"),
+      store, spansOut, ckpt, minTokens = 10, k = 5)
+    try q.processAllAvailable() finally q.stop()
+    def spanSet(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_a", "doc_b", "a_start", "b_start", "len_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val streamed = spanSet(spark.read.parquet(spansOut))
+    val oneShot = spanSet(Dedup.duplicatedSpans(all.toDF("doc_id", "text"), 10, 5))
+    assert(streamed === oneShot && streamed.nonEmpty)
+    // cross-micro-batch evidence: doc 5 (batch 1) spans against doc 0 (batch 0)
+    assert(streamed.exists(p => p._1 === 0L && p._2 === 5L))
+  }
+
+  test("streamed frame-hash ingest ≡ one-shot frameAlignedRuns") {
+    val srcDir = Files.createTempDirectory("graft_ssf_src").toString
+    val store = Files.createTempDirectory("graft_ssf_store").toString + "/store"
+    val runsOut = Files.createTempDirectory("graft_ssf_runs").toString
+    val ckpt = Files.createTempDirectory("graft_ssf_ckpt").toString
+    val fh = graft.operators.Multimodal.frameDhash(
+      graft.operators.Multimodal.videoFrames(
+        graft.operators.Multimodal.synthesizeVideos((0L until 12L).toDF("doc_id"))))
+      .select($"doc_id", $"frame_idx".cast("long").as("pos"), $"dhash".as("h"))
+    // parity split: every 3-member family straddles the batch boundary
+    fh.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(s"$srcDir/b0")
+    fh.filter($"doc_id" % 2 === 1).coalesce(1).write.parquet(s"$srcDir/b1")
+    val fhSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("pos", LongType),
+      StructField("h", LongType)))
+    val q = StreamingStoreIngest.runFrames(
+      spark.readStream.schema(fhSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*"),
+      store, runsOut, ckpt, minRun = 4)
+    try q.processAllAvailable() finally q.stop()
+    def runSet(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_a", "doc_b", "a_start", "b_start", "len_frames")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val streamed = runSet(spark.read.parquet(runsOut))
+    val oneShot = runSet(Dedup.frameAlignedRuns(fh, minRun = 4))
+    assert(streamed === oneShot && streamed.nonEmpty)
+  }
+
 }
