@@ -31,7 +31,12 @@ object Bench {
     // dedup, BFF Bloom
     "m5_image_pairs", "m6_image_dedup", "m7_audio_dedup",
     "m8_multimodal_dedup", "t28_substring_dedup", "t29_substring_cut",
-    "c5_bloom_paragraph_dedup")
+    "c5_bloom_paragraph_dedup",
+    // round-7 families: video near-dup, incremental multimodal stores,
+    // end-to-end incremental curation, late interaction, CLIP-shape
+    // alignment, lerp gap fill
+    "m9_video_dedup", "m12_store_video", "c7_incremental_curation",
+    "s18_maxsim", "m15_image_text_align", "x17_interp_fill")
 
   /** Every registered query, name-sorted — the bench times ALL of them so
     * round-over-round regressions are visible everywhere, not just on the

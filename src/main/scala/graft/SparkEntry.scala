@@ -1519,6 +1519,18 @@ object SparkEntry {
         sigs.filter(!even), hs, 64, 4, "dhash-8x8-v1")
       Dedup.incrementalClusters(ids.filter(!even), p2, ls)
     }),
+    // CLIP-shape image-text alignment filter (the LAION curation gate):
+    // image tower = REAL PNG decode to grid-row profiles, text tower =
+    // the caption-parsing model seam; pairs judged by exact integer
+    // cross-multiplied cos² ≥ 0.99. Ids with id % 7 == 3 carry a
+    // swapped caption and must fail the gate.
+    "m15_image_text_align" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 400)
+      Multimodal.imageTextAlignment(
+        Multimodal.imageRowProfile(Multimodal.synthesizePatternPngs(ids)),
+        Multimodal.captionProfile(Multimodal.synthesizeCaptions(ids)))
+    }),
     // VIDEO near-dup — the third modality, composed from the pillars the
     // verdicts asked to connect: synthesize real length-framed multi-frame
     // containers (families of base / BMP-re-encoded / 2-frame-trimmed
@@ -1647,6 +1659,13 @@ object SparkEntry {
     // the season).
     "x13_seasonal_naive" -> ((s, d) =>
       Timeseries.seasonalNaiveEval(Tables.events(s, d))),
+    // Linear-interpolation gap fill (q35's sibling for continuous
+    // signals): gap buckets lerp between the nearest observed bucket
+    // means; both engines interpolate from the SAME once-rounded inputs
+    // with the same expression shape (IEEE-identical), rounded to 7.
+    "x17_interp_fill" -> ((s, d) =>
+      Timeseries.gapFillInterpolate(
+        Tables.events(s, d).filter(col("user_id") < 4))),
     // Geohash (the geo twin of the Morton key — an MSB-first interleave
     // of quantized lon/lat, base-32): spatial bucketing/prefix-join key
     // over synthesized centi-degree coordinates, value- and string-level
@@ -2472,6 +2491,17 @@ object SparkEntry {
       Retrieval.retrievalMetrics(
         Similarity.bruteForceTopK(emb), Similarity.ivfTopK(emb))
     }),
+    // ColBERT-style MaxSim late interaction: 4 fixed query docs (first 6
+    // tokens each) re-rank the inverted-index candidate set by
+    // sum-of-max token dot products — all-BIGINT hash-projected token
+    // embeddings (the model seam), top-5 per query.
+    "s18_maxsim" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Retrieval.maxSimTopK(
+        docs.filter(col("doc_id").isin(7L, 132L, 257L, 382L))
+          .select(col("doc_id").as("query_id"), col("text")),
+        docs)
+    }),
     // Full-batch perceptron TRAINING on hashed token features (en-vs-rest
     // target): 3 all-BIGINT update rounds — model training itself under
     // the oracle gate, the learning twin of t20's inference.
@@ -3102,6 +3132,32 @@ object SparkEntry {
         |SELECT a.hour, a.cents AS actual_cents, f.cents AS forecast_cents,
         |       CAST(abs(a.cents - f.cents) AS BIGINT) AS abs_err_cents
         |FROM h a JOIN h f ON a.hour = f.hour + INTERVAL 24 HOURS""".stripMargin,
+    // Lerp gap-fill replay: q35's grid plus prev/next IGNORE NULLS
+    // windows; the lerp expression tree matches the Spark side exactly
+    // (one divide, one multiply, one add over once-rounded bucket means).
+    "x17_interp_fill" ->
+      """WITH pm AS (
+        |  SELECT user_id, date_trunc('minute', make_timestamp(epoch_us(ts))) AS bucket,
+        |         round(avg(value), 7) AS v
+        |  FROM events WHERE user_id < 4 GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM pm GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS bucket FROM b),
+        |j AS (SELECT g.user_id, g.bucket, pm.v
+        |      FROM grid g LEFT JOIN pm ON pm.user_id = g.user_id AND pm.bucket = g.bucket),
+        |w AS (SELECT user_id, bucket, v,
+        |             epoch_us(bucket) // 60000000 AS bi,
+        |             last_value(v IGNORE NULLS) OVER wp AS pv,
+        |             last_value(CASE WHEN v IS NOT NULL THEN epoch_us(bucket) // 60000000 END IGNORE NULLS) OVER wp AS pi,
+        |             first_value(v IGNORE NULLS) OVER wn AS nv,
+        |             first_value(CASE WHEN v IS NOT NULL THEN epoch_us(bucket) // 60000000 END IGNORE NULLS) OVER wn AS ni
+        |      FROM j
+        |      WINDOW wp AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             wn AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, bucket,
+        |       CASE WHEN v IS NOT NULL THEN v
+        |            ELSE round(pv + (nv - pv) * (CAST(bi - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE)), 7) END AS value_li,
+        |       (v IS NULL) AS filled
+        |FROM w""".stripMargin,
     // Geohash replay: identical double quantization chain (same IEEE op
     // order), the 40-term MSB-first interleave, base-32 chars by substr.
     "z2_geohash" -> {
@@ -4301,6 +4357,25 @@ object SparkEntry {
          |       CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
          |FROM (SELECT doc_id FROM documents WHERE doc_id < 400) d
          |LEFT JOIN lab l ON l.doc_id = d.doc_id""".stripMargin,
+    // Image-text alignment replay: patternCell row sums analytically
+    // (ic is the shared m5 CTE), caption side reads the swapped source
+    // id's rows, verdict = exact integer cross-multiplied cos² ≥ 99/100.
+    "m15_image_text_align" ->
+      s"""WITH $sqlImageDhashCtes,
+         |rs AS (SELECT doc_id, gy, CAST(sum(v) AS BIGINT) AS r FROM ic GROUP BY 1, 2),
+         |al AS (SELECT a.doc_id,
+         |              CAST(sum(a.r * b.r) AS BIGINT) AS dot,
+         |              CAST(sum(a.r * a.r) AS BIGINT) AS na2,
+         |              CAST(sum(b.r * b.r) AS BIGINT) AS nb2
+         |       FROM rs a JOIN rs b
+         |         ON b.gy = a.gy
+         |        AND b.doc_id = CASE WHEN a.doc_id % 7 = 3 THEN a.doc_id + 4
+         |                            ELSE a.doc_id END
+         |       GROUP BY 1)
+         |SELECT doc_id, dot,
+         |       CAST(CASE WHEN 100 * dot * dot >= 99 * na2 * nb2
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS aligned
+         |FROM al""".stripMargin,
     // Video near-dup: the shared analytic run replay (see
     // sqlVideoRunCtes), runs ≥ 4 frames become pairs, closed by the
     // shared recursive closure.
@@ -4673,6 +4748,41 @@ object SparkEntry {
          |       CAST(coalesce(ag.fh, 0) AS BIGINT) AS first_hit_rank,
          |       CAST(coalesce(1000000 // ag.fh, 0) AS BIGINT) AS mrr_scaled
          |FROM (SELECT DISTINCT query_id FROM rel) q LEFT JOIN ag USING (query_id)""".stripMargin,
+    // MaxSim replay: identical tokenization (space-split on TRIM),
+    // polyHash, and the squared-then-mod hash-projected token dims; the
+    // per-position max / sum / rank chain is all-BIGINT on both engines.
+    "s18_maxsim" -> {
+      def emb(pre: String) = (0 until 4).map { d =>
+        val kk = (d + 1).toLong * 2654435761L
+        s"(((h + $kk) % 1000000007) * ((h + $kk) % 1000000007)) % 97 AS $pre$d"
+      }.mkString(", ")
+      s"""WITH qd AS (SELECT doc_id AS query_id,
+         |                   regexp_split_to_array(trim(text), ' +') AS toks
+         |            FROM documents WHERE doc_id IN (7, 132, 257, 382)),
+         |qt AS (SELECT query_id, p AS qpos, toks[p] AS tok
+         |       FROM qd, LATERAL (SELECT unnest(generate_series(1, least(6, len(toks)))) AS p) g),
+         |qh AS (SELECT query_id, qpos, tok, ${sqlPolyHash("tok")} AS h FROM qt),
+         |qe AS MATERIALIZED (SELECT query_id, qpos, tok, ${emb("qe")} FROM qh),
+         |dt AS (SELECT DISTINCT doc_id, tok FROM
+         |         (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+         |          FROM documents)),
+         |dh AS (SELECT doc_id, tok, ${sqlPolyHash("tok")} AS h FROM dt),
+         |de AS MATERIALIZED (SELECT doc_id, tok, ${emb("de")} FROM dh),
+         |cand AS (SELECT DISTINCT q.query_id, d.doc_id
+         |         FROM (SELECT DISTINCT query_id, tok FROM qe) q
+         |         JOIN de d USING (tok)),
+         |mx AS (SELECT c.query_id, c.doc_id, q.qpos,
+         |              max(q.qe0*d.de0 + q.qe1*d.de1 + q.qe2*d.de2 + q.qe3*d.de3) AS m
+         |       FROM cand c JOIN de d ON d.doc_id = c.doc_id
+         |                   JOIN qe q ON q.query_id = c.query_id
+         |       GROUP BY 1, 2, 3),
+         |sc AS (SELECT query_id, doc_id, CAST(sum(m) AS BIGINT) AS maxsim
+         |       FROM mx GROUP BY 1, 2)
+         |SELECT query_id, doc_id, maxsim,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY maxsim DESC, doc_id) AS BIGINT) AS "rank"
+         |FROM sc QUALIFY "rank" <= 5""".stripMargin
+    },
     // Perceptron training replay: the hashed feature table once
     // (MATERIALIZED — multi-round CTE chains inline exponentially,
     // SCALING.md #27), then 3 unrolled all-BIGINT update rounds.

@@ -629,4 +629,127 @@ object Multimodal {
       }
     }(encoder)
   }
+
+  /** Per-grid-row intensity profile from REAL decoded payloads — the
+    * image-tower half of the CLIP-shape alignment check: decode on the
+    * codec seam (per-row `mapPartitions`, no shuffle), reduce the raster
+    * to `gridH` BIGINT row sums of per-cell mean intensities. Cell means
+    * use integer division — exact on uniform cells (the synthesis
+    * fixtures, where each cell is a constant block so the profile equals
+    * the analytic [[patternCell]] row sum bit-for-bit); real photos
+    * truncate sub-unit remainders, which cosine-style scoring absorbs.
+    * Output: (doc_id, profile array<bigint> of length gridH). */
+  def imageRowProfile(df: DataFrame, gridW: Int = 9, gridH: Int = 8): DataFrame = {
+    require(gridW >= 1 && gridH >= 1, s"grid ${gridW}x$gridH invalid")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("profile", ArrayType(LongType, containsNull = false))))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col("doc_id").cast("long"), col("payload")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val in = r.getAs[Array[Byte]](1)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(in))
+        require(img != null, s"payload (${in.length} bytes) is not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        require(w >= gridW && h >= gridH, s"image ${w}x$h smaller than ${gridW}x$gridH grid")
+        val raster = img.getRaster
+        val bands = raster.getNumBands
+        val sums = Array.ofDim[Long](gridW, gridH)
+        val counts = Array.ofDim[Long](gridW, gridH)
+        var y = 0
+        while (y < h) {
+          val gy = (y.toLong * gridH / h).toInt
+          var x = 0
+          while (x < w) {
+            val gx = (x.toLong * gridW / w).toInt
+            var s = 0L
+            var b = 0
+            while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+            sums(gx)(gy) += s
+            counts(gx)(gy) += bands
+            x += 1
+          }
+          y += 1
+        }
+        val profile = (0 until gridH).map { gy =>
+          var acc = 0L
+          var gx = 0
+          while (gx < gridW) { acc += sums(gx)(gy) / counts(gx)(gy); gx += 1 }
+          acc
+        }
+        Row(r.getLong(0), profile)
+      }
+    }(encoder)
+  }
+
+  /** Synthesized captions for the [[synthesizePatternPngs]] corpus — each
+    * caption literally describes its image's 8 grid-row sums ("rows r0 …
+    * r7"), except ids with `id % 7 == 3`, which get id+4's caption — the
+    * NEXT image FAMILY (the mislabeled-alt-text adversary a CLIP-filter
+    * pipeline exists to catch). id+1 would be a VARIANT of the same
+    * family (one shifted cell, cos² up to 0.9989 — measured 42/57 false
+    * passes at the 0.99 bound), so the swap deliberately crosses
+    * families, where the measured worst cos² is 0.957. The referenced
+    * pattern needs no synthesized image — captions derive analytically
+    * from [[patternCell]]. Output: (doc_id, caption). */
+  def synthesizeCaptions(ids: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("caption", StringType)))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col("doc_id").cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val src = if (id % 7 == 3) id + 4 else id
+        val rows = (0 until 8).map(gy =>
+          (0 until 9).map(gx => patternCell(src, gx, gy).toLong).sum)
+        Row(id, "rows " + rows.mkString(" "))
+      }
+    }(encoder)
+  }
+
+  /** The text-tower model seam of the alignment check: captions encode to
+    * the same integer profile space the image tower emits. The stub
+    * "encoder" parses the integers out of the structured caption (a real
+    * deployment swaps in a text-embedding model at the same
+    * (caption → array<bigint>) signature — the [[FakeCodec]] convention).
+    * Output: (doc_id, tprofile array<bigint>). */
+  def captionProfile(captions: DataFrame): DataFrame =
+    captions.select(col("doc_id"),
+      expr("transform(regexp_extract_all(caption, '[0-9]+', 0), x -> cast(x AS bigint))")
+        .as("tprofile"))
+
+  /** CLIP-shape image-text alignment filter (the LAION curation gate:
+    * keep a (image, caption) pair only when the two towers' embeddings
+    * agree). Joins the image profile against the caption profile on
+    * doc_id and judges cos²(profile, tprofile) ≥ tauNum/tauDen via exact
+    * integer cross-multiplication — `tauDen·dot² ≥ tauNum·‖a‖²·‖b‖²` in
+    * BIGINT, no FP threshold hazard (profiles are non-negative, so the
+    * squared comparison preserves the cosine ordering). A caption that
+    * EXACTLY describes its image scores cos = 1 and always passes; a
+    * swapped caption's profile decorrelates and fails at the default
+    * 0.99 bound. Component magnitudes ≤ ~2.3k over 8 dims keep every
+    * product under 2⁶³ (dot ≤ 8·2295² ≈ 4.2e7; tauDen·dot² ≈ 1.8e17).
+    *
+    * Scale shape: one doc_id-keyed equi-join, per-row arithmetic — the
+    * filter runs at scan speed; the expensive towers (decode, model)
+    * stay in their own per-row stages. Output: (doc_id, dot, aligned). */
+  def imageTextAlignment(profiles: DataFrame, tprofiles: DataFrame,
+      dims: Int = 8, tauNum: Long = 99L, tauDen: Long = 100L): DataFrame = {
+    require(dims >= 1 && tauDen > 0 && tauNum >= 0 && tauNum <= tauDen,
+      s"bad alignment params dims=$dims tau=$tauNum/$tauDen")
+    val p = (i: Int) => element_at(col("profile"), i + 1)
+    val t = (i: Int) => element_at(col("tprofile"), i + 1)
+    val dot = (0 until dims).map(i => p(i) * t(i)).reduce(_ + _)
+    val na2 = (0 until dims).map(i => p(i) * p(i)).reduce(_ + _)
+    val nb2 = (0 until dims).map(i => t(i) * t(i)).reduce(_ + _)
+    profiles.join(tprofiles, Seq("doc_id"))
+      .select(col("doc_id"), dot.as("dot"), na2.as("__na2"), nb2.as("__nb2"))
+      .select(col("doc_id"), col("dot"),
+        when(lit(tauDen) * col("dot") * col("dot") >=
+          lit(tauNum) * col("__na2") * col("__nb2"), lit(1L))
+          .otherwise(lit(0L)).as("aligned"))
+  }
 }

@@ -103,4 +103,73 @@ object Retrieval {
         coalesce(col("__first"), lit(0L)).as("first_hit_rank"),
         coalesce(expr(s"${scale}L div __first"), lit(0L)).as("mrr_scaled"))
   }
+
+  /** ColBERT-style late-interaction retrieval (the MaxSim shape of
+    * Khattab & Zaharia, SIGIR'20): per (query, doc) pair,
+    * score = Σ over query token positions of the MAX dot product against
+    * any document token — token-level matching a single pooled vector
+    * cannot express, which is why late interaction re-ranks what
+    * single-vector ANN retrieves.
+    *
+    * The token ENCODER is the model seam: here tokens embed through a
+    * deterministic hash projection — dim d of token t is
+    * ((polyHash(t) + (d+1)·K) mod P)² mod 97, the squared-then-mod
+    * nonlinear mix (raw linear residues lattice over sequential tokens) —
+    * exactly replayable by the SQL oracle; a production deployment swaps
+    * in a real text tower at the same (token → fixed-width integer
+    * vector) signature. All scoring is BIGINT-exact: dims < 97, so
+    * dot ≤ dims·96² and MaxSim ≤ maxQueryTokens·dims·96² — no FP ranking
+    * hazard anywhere.
+    *
+    * Candidate generation is the lexical prefilter every late-interaction
+    * deployment runs before the exact re-rank: only documents sharing ≥ 1
+    * exact token with the query are scored (the inverted-index recall
+    * set — [[TextAnalysis]]'s t19 shape). That is the 100 TB posture: the
+    * query-token frame is queries×tokens-sized and broadcast, candidates
+    * arrive via a token-keyed join against per-doc DISTINCT tokens
+    * (max over duplicates is the duplicate's max — distinct loses
+    * nothing), and the only corpus-scale shuffles are keyed by doc_id.
+    * Duplicate QUERY tokens each contribute (per-position grouping), per
+    * ColBERT's sum-over-query-positions semantics.
+    *
+    * Output: (query_id, doc_id, maxsim, rank), rank 1..k under the
+    * (maxsim DESC, doc_id) total order. */
+  def maxSimTopK(queries: DataFrame, docs: DataFrame, dims: Int = 4,
+      maxQueryTokens: Int = 6, k: Int = 5): DataFrame = {
+    require(dims >= 1 && dims <= 8, s"dims must be in 1..8, got $dims")
+    import graft.functions.TextHash
+    val P = TextHash.Prime
+    def embCols(h: org.apache.spark.sql.Column, pre: String) =
+      (0 until dims).map { d =>
+        val m = (h + lit((d + 1).toLong * 2654435761L)) % lit(P)
+        ((m * m) % lit(97L)).as(s"$pre$d")
+      }
+    val qTok = queries.select(col("query_id"),
+      posexplode(slice(TextAnalysis.tokens(col("text")), 1, maxQueryTokens))
+        .as(Seq("qpos", "tok")))
+    val qEmb = qTok
+      .withColumn("__h", TextHash.polyHash(col("tok")))
+      .select(Seq(col("query_id"), col("qpos"), col("tok")) ++
+        embCols(col("__h"), "qe"): _*)
+    val dEmb = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .distinct()
+      .withColumn("__h", TextHash.polyHash(col("tok")))
+      .select(Seq(col("doc_id"), col("tok")) ++ embCols(col("__h"), "de"): _*)
+    val cand = broadcast(qEmb.select(col("query_id"), col("tok")).distinct())
+      .join(dEmb.select(col("doc_id"), col("tok")), Seq("tok"))
+      .select(col("query_id"), col("doc_id")).distinct()
+    val dot = (0 until dims).map(d => col(s"qe$d") * col(s"de$d")).reduce(_ + _)
+    val scored = dEmb.drop("tok")
+      .join(cand, Seq("doc_id"))
+      .join(broadcast(qEmb.drop("tok")), Seq("query_id"))
+      .groupBy(col("query_id"), col("doc_id"), col("qpos"))
+      .agg(max(dot).as("__m"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__m")).as("maxsim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("maxsim").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

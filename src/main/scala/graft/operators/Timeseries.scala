@@ -31,6 +31,21 @@ object Timeseries {
   def gapFillForwardFill(events: DataFrame, keyCol: String = "user_id",
       tsCol: String = "ts", valCol: String = "value",
       stepMinutes: Int = 1): DataFrame = {
+    val k = col(keyCol)
+    val w = Window.partitionBy(k).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketGrid(events, keyCol, tsCol, valCol, stepMinutes)
+      .select(
+        k, col("bucket"),
+        last(col("v"), ignoreNulls = true).over(w).as("value_ff"),
+        col("v").isNull.as("filled"))
+  }
+
+  /** The (key, bucket)-gridded frame shared by the fill variants: bucket
+    * means joined onto each key's dense [first, last] bucket grid; gap
+    * buckets carry `v` NULL. */
+  private def bucketGrid(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, stepMinutes: Int): DataFrame = {
     require(stepMinutes > 0, s"stepMinutes must be positive, got $stepMinutes")
     val k = col(keyCol)
     val stepUs = stepMinutes * 60000000L
@@ -49,13 +64,52 @@ object Timeseries {
       .groupBy(k)
       .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
       .select(k, explode(expr(s"sequence(lo, hi, interval $stepMinutes minute)")).as("bucket"))
-    val w = Window.partitionBy(k).orderBy(col("bucket"))
+    grid.join(perBucket, Seq(keyCol, "bucket"), "left")
+  }
+
+  /** Linear-interpolation gap fill — the resample variant that estimates
+    * each missing bucket from its surrounding observations instead of
+    * carrying the last one (sensor pipelines interpolate continuous
+    * signals; forward-fill is for step-valued state). Per key, each gap
+    * bucket takes `prev + (next − prev) · frac`, where prev/next are the
+    * nearest OBSERVED bucket means (already rounded once, so both engines
+    * interpolate from identical inputs) and `frac` is the integer bucket
+    * distance ratio cast to double; the result is rounded to 7.
+    *
+    * Cross-engine determinism: bucket indices are exact BIGINTs
+    * (`unix_micros(bucket) div stepUs` — buckets are exact step multiples,
+    * so truncating div == floor at any sign), and the lerp expression is
+    * written in the same shape on the oracle side (one divide, one
+    * multiply, one add — IEEE-identical). Grid rows span [first, last]
+    * observed bucket per key, so every gap row has BOTH neighbors —
+    * no one-sided extrapolation branch exists.
+    *
+    * Scale shape: identical to [[gapFillForwardFill]] plus one extra
+    * per-key window pass (prev via UNBOUNDED PRECEDING, next via UNBOUNDED
+    * FOLLOWING — two sorts share the same partitioning).
+    *
+    * Output: (key, bucket, value_li, filled). */
+  def gapFillInterpolate(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", valCol: String = "value",
+      stepMinutes: Int = 1): DataFrame = {
+    val k = col(keyCol)
+    val stepUs = stepMinutes * 60000000L
+    val wPrev = Window.partitionBy(k).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid
-      .join(perBucket, Seq(keyCol, "bucket"), "left")
+    val wNext = Window.partitionBy(k).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val bi = expr(s"unix_micros(bucket) div $stepUs")
+    val obsIdx = when(col("v").isNotNull, bi)
+    val pv = last(col("v"), ignoreNulls = true).over(wPrev)
+    val pi = last(obsIdx, ignoreNulls = true).over(wPrev)
+    val nv = first(col("v"), ignoreNulls = true).over(wNext)
+    val ni = first(obsIdx, ignoreNulls = true).over(wNext)
+    val lerp = round(
+      pv + (nv - pv) * ((bi - pi).cast("double") / (ni - pi).cast("double")), 7)
+    bucketGrid(events, keyCol, tsCol, valCol, stepMinutes)
       .select(
         k, col("bucket"),
-        last(col("v"), ignoreNulls = true).over(w).as("value_ff"),
+        when(col("v").isNotNull, col("v")).otherwise(lerp).as("value_li"),
         col("v").isNull.as("filled"))
   }
 

@@ -358,4 +358,33 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(out === expected(3L) ++ expected(12L))
   }
+
+  test("imageRowProfile: decoded row profiles equal analytic patternCell row sums") {
+    val ids = Seq(0L, 5L, 10L, 17L).toDF("doc_id")
+    val out = Multimodal.imageRowProfile(Multimodal.synthesizePatternPngs(ids))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    ids.collect().map(_.getLong(0)).foreach { id =>
+      val expected = (0 until 8).map(gy =>
+        (0 until 9).map(gx => Multimodal.patternCell(id, gx, gy).toLong).sum)
+      assert(out(id) === expected, s"id=$id")
+    }
+  }
+
+  test("image-text alignment: true captions pass, swapped captions fail, both classes present") {
+    val ids = (0L until 30L).toDF("doc_id")
+    val aligned = Multimodal.imageTextAlignment(
+      Multimodal.imageRowProfile(Multimodal.synthesizePatternPngs(ids)),
+      Multimodal.captionProfile(Multimodal.synthesizeCaptions(ids)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(aligned.size === 30)
+    (0L until 30L).foreach { id =>
+      val expected = if (id % 7 == 3) 0L else 1L
+      assert(aligned(id) === expected, s"id=$id")
+    }
+    // the text tower parses captions back to exact integer profiles
+    val tp = Multimodal.captionProfile(Multimodal.synthesizeCaptions(Seq(4L).toDF("doc_id")))
+      .head().getSeq[Long](1)
+    assert(tp === (0 until 8).map(gy =>
+      (0 until 9).map(gx => Multimodal.patternCell(4L, gx, gy).toLong).sum))
+  }
 }

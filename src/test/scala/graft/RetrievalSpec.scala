@@ -61,6 +61,54 @@ class RetrievalSpec extends SparkSpec {
       (2L, 0L, 0L, 0L)))
   }
 
+  test("maxSimTopK matches a brute-force MaxSim over the candidate set; non-candidates absent") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "red fox jumps over the dog"),
+      (1L, "red red fox"),          // shares tokens, dup doc token
+      (2L, "blue whale swims deep"), // NO shared token → never scored
+      (3L, "the dog sleeps"),
+      (4L, "fox dog red the over jumps extra words here")
+    ).toDF("doc_id", "text")
+    // query has a DUPLICATE token — each position must contribute
+    val queries = Seq((100L, "red fox red dog")).toDF("query_id", "text")
+    val out = Retrieval.maxSimTopK(queries, docs, k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._3)
+    // reference reimplementation (same portable hash chain)
+    def ph(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    def emb(t: String) = (0 until 4).map { d =>
+      val m = (ph(t) + (d + 1).toLong * 2654435761L) % 1000000007L
+      (m * m) % 97L
+    }
+    def maxsim(q: String, doc: String): Long =
+      q.trim.split(" +").take(6).map { qt =>
+        doc.trim.split(" +").distinct.map { dt =>
+          emb(qt).zip(emb(dt)).map { case (a, b) => a * b }.sum
+        }.max
+      }.sum
+    val docMap = Map(0L -> "red fox jumps over the dog", 1L -> "red red fox",
+      3L -> "the dog sleeps", 4L -> "fox dog red the over jumps extra words here")
+    val expected = docMap.map { case (id, t) => id -> maxsim("red fox red dog", t) }
+    assert(out.map(p => p._1 -> p._2).toMap === expected)
+    assert(!out.exists(_._1 === 2L), "token-disjoint doc must not be scored")
+    // ranks dense 1..n under (maxsim desc, doc_id)
+    assert(out.map(_._3) === (1L to out.length.toLong).toArray)
+    val resorted = out.sortBy(p => (-p._2, p._1)).map(_._3)
+    assert(resorted === (1L to out.length.toLong).toArray)
+  }
+
+  test("maxSimTopK: k truncates per query; queries are isolated") {
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a d"), (2L, "b e"), (3L, "c f"), (4L, "a b")
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "a b"), (2L, "c")).toDF("query_id", "text")
+    val out = Retrieval.maxSimTopK(queries, docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.count(_._1 == 1L) === 2 && out.count(_._1 == 2L) === 2)
+    assert(out.forall(_._2 <= 2L))
+  }
+
   test("retrieval metrics of a list against itself are perfect") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = Similarity.bruteForceTopK(emb, nQueries = 3, k = 4)

@@ -58,6 +58,35 @@ class TimeseriesSpec extends SparkSpec {
     assert(out.getDouble(2) === 4.0 && !out.getBoolean(3))
   }
 
+  test("gapFillInterpolate: gap buckets lerp between neighbors; observed buckets keep their mean") {
+    val events = Seq(
+      (1L, ts(0), 10.0), (1L, ts(0), 14.0), // bucket 0 → mean 12.0
+      (1L, ts(3), 30.0),                    // buckets 1-2 lerp to 18.0, 24.0
+      (2L, ts(1), 5.0), (2L, ts(2), 7.0)    // key 2: no gaps, own range
+    ).toDF("user_id", "ts", "value")
+    val out = Timeseries.gapFillInterpolate(events)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000L,
+        r.getDouble(2), r.getBoolean(3))).toSet
+    assert(out === Set(
+      (1L, 0L, 12.0, false),
+      (1L, 1L, 18.0, true),
+      (1L, 2L, 24.0, true),
+      (1L, 3L, 30.0, false),
+      (2L, 1L, 5.0, false),
+      (2L, 2L, 7.0, false)))
+  }
+
+  test("gapFillInterpolate: fraction is the bucket-distance ratio, not a fixed midpoint") {
+    val events = Seq(
+      (1L, ts(0), 0.0), (1L, ts(4), 1.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Timeseries.gapFillInterpolate(events)
+      .collect()
+      .map(r => r.getTimestamp(1).getTime / 60000L -> r.getDouble(2)).toMap
+    assert(out === Map(0L -> 0.0, 1L -> 0.25, 2L -> 0.5, 3L -> 0.75, 4L -> 1.0))
+  }
+
   test("quantileBuckets: tiles are contiguous, sized within one, ordered by the key") {
     val df = (1L to 23L).map(i => (i, "g", i.toDouble)).toDF("k", "grp", "v")
     val out = Timeseries.quantileBuckets(df, "grp", Seq(col("v"), col("k")), n = 4)
