@@ -257,6 +257,32 @@ object SparkEntry {
     * Ends in `ipairs(doc_a, doc_b, hamming)` — consumed by m5 directly,
     * by m6's connected-components closure, and by m8's cross-modal
     * evidence union. */
+  /** Shared SQL fragment: the SQ8 scalar-quantized scoring chain of
+    * [[graft.operators.Similarity.sq8Codes]]/`sq8TopK` — per-dimension
+    * corpus min/max, clamped 0..255 codes (`c`), query-vs-corpus integer
+    * dots ranked per query (`w`, with `"rank"`). Single source for
+    * `s12_sq8_topk` and `s20_mmr_rerank` (which also reads `c` for
+    * candidate pair dots). */
+  private val sqlSq8ScoredCtes: String =
+    """d AS (SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      |      FROM embeddings,
+      |           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+      |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM d GROUP BY dim),
+      |c AS MATERIALIZED (SELECT vec_id, d.dim,
+      |             CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+      |                  ELSE CAST(least(255, greatest(0, floor((x - mn) * 255.0 / (mx - mn)))) AS BIGINT)
+      |             END AS code
+      |      FROM d JOIN st ON st.dim = d.dim),
+      |q AS (SELECT vec_id AS query_id, dim, code AS qc FROM c WHERE vec_id < 10),
+      |s AS (SELECT query_id, c.vec_id AS neighbor_id,
+      |             CAST(sum(qc * code) AS BIGINT) AS score_scaled
+      |      FROM q JOIN c ON q.dim = c.dim AND c.vec_id <> q.query_id
+      |      GROUP BY 1, 2),
+      |w AS (SELECT query_id, neighbor_id, score_scaled,
+      |             CAST(row_number() OVER (PARTITION BY query_id
+      |                    ORDER BY score_scaled DESC, neighbor_id) AS BIGINT) AS "rank"
+      |      FROM s)""".stripMargin
+
   private val sqlImageDhashCtes: String =
     s"""ib AS (SELECT d.doc_id, gx, gy,
        |              (d.doc_id // 4) * 53 + gx * 17 + gy * 29 + 11 AS u
@@ -2490,6 +2516,21 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Retrieval.retrievalMetrics(
         Similarity.bruteForceTopK(emb), Similarity.ivfTopK(emb))
+    }),
+    // MMR diversified re-rank: greedy λ·rel − (1−λ)·max-sim-to-selected
+    // over each query's 25 SQ8 candidates, all-BIGINT objective (λ =
+    // 7/10 exact), selection loop in flatMapGroups over per-query local
+    // arrays — the oracle unrolls the same greedy chain stage by stage.
+    "s20_mmr_rerank" -> ((s, d) =>
+      Similarity.mmrRerank(Tables.embeddings(s, d))),
+    // nDCG@5 of the IVF list against brute force: binary relevance =
+    // exact top-5 membership, driver-computed integer log2 position
+    // weights (shared literals — no engine ever evaluates a log),
+    // basis-point ratio in BIGINT div arithmetic.
+    "s19_ndcg" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Retrieval.ndcgAtK(
+        Similarity.bruteForceTopK(emb), Similarity.ivfTopK(emb), k = 5)
     }),
     // ColBERT-style MaxSim late interaction: 4 fixed query docs (first 6
     // tokens each) re-rank the inverted-index candidate set by
@@ -4748,6 +4789,33 @@ object SparkEntry {
          |       CAST(coalesce(ag.fh, 0) AS BIGINT) AS first_hit_rank,
          |       CAST(coalesce(1000000 // ag.fh, 0) AS BIGINT) AS mrr_scaled
          |FROM (SELECT DISTINCT query_id FROM rel) q LEFT JOIN ag USING (query_id)""".stripMargin,
+    // nDCG replay: both ranked lists from the shared s1/s3 fragments; the
+    // integer log2 position weights come from the SAME driver computation
+    // as the Spark side (Retrieval.ndcgWeights) — shared literals, no
+    // engine-side log.
+    "s19_ndcg" -> {
+      val w = operators.Retrieval.ndcgWeights(5)
+      val cum = w.scanLeft(0 -> 0L) { case ((_, a), (r, wt)) => r -> (a + wt) }.tail
+      val wCase = w.map { case (r, wt) => s"WHEN $r THEN $wt" }.mkString(" ")
+      val cumCase = cum.map { case (r, c) => s"WHEN $r THEN $c" }.mkString(" ")
+      s"""WITH ${sqlExactRankedCtes(10)},
+         |$sqlIvfRankedCtes,
+         |rel AS MATERIALIZED (SELECT query_id, neighbor_id FROM exact_ranked WHERE "rank" <= 5),
+         |nrel AS (SELECT query_id, count(*) AS nr FROM rel GROUP BY 1),
+         |ap AS (SELECT query_id, neighbor_id, "rank" FROM ivf_ranked WHERE "rank" <= 5),
+         |mk AS (SELECT a.query_id,
+         |              CASE WHEN r.neighbor_id IS NOT NULL
+         |                   THEN CASE a."rank" $wCase ELSE 0 END
+         |                   ELSE 0 END AS w
+         |       FROM ap a LEFT JOIN rel r
+         |         ON a.query_id = r.query_id AND a.neighbor_id = r.neighbor_id),
+         |d AS (SELECT query_id, sum(w) AS dcg FROM mk GROUP BY 1)
+         |SELECT n.query_id,
+         |       CAST(coalesce(d.dcg, 0) AS BIGINT) AS dcg_scaled,
+         |       CAST(CASE n.nr $cumCase ELSE 0 END AS BIGINT) AS idcg_scaled,
+         |       CAST(coalesce(d.dcg, 0) * 10000 // (CASE n.nr $cumCase ELSE 0 END) AS BIGINT) AS ndcg_bp
+         |FROM nrel n LEFT JOIN d USING (query_id)""".stripMargin
+    },
     // MaxSim replay: identical tokenization (space-split on TRIM),
     // polyHash, and the squared-then-mod hash-projected token dims; the
     // per-position max / sum / rank chain is all-BIGINT on both engines.
@@ -4826,25 +4894,50 @@ object SparkEntry {
     // Long-format replay of the SQ8 pipeline: per-dim min/max, the same
     // single multiply-divide-floor quantization expression, BIGINT dot.
     "s12_sq8_topk" ->
-      """WITH d AS (SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
-        |           FROM embeddings,
-        |                LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
-        |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM d GROUP BY dim),
-        |c AS (SELECT vec_id, d.dim,
-        |             CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
-        |                  ELSE CAST(least(255, greatest(0, floor((x - mn) * 255.0 / (mx - mn)))) AS BIGINT)
-        |             END AS code
-        |      FROM d JOIN st ON st.dim = d.dim),
-        |q AS (SELECT vec_id AS query_id, dim, code AS qc FROM c WHERE vec_id < 10),
-        |s AS (SELECT query_id, c.vec_id AS neighbor_id,
-        |             CAST(sum(qc * code) AS BIGINT) AS score_scaled
-        |      FROM q JOIN c ON q.dim = c.dim AND c.vec_id <> q.query_id
-        |      GROUP BY 1, 2),
-        |w AS (SELECT query_id, neighbor_id, score_scaled,
-        |             CAST(row_number() OVER (PARTITION BY query_id
-        |                    ORDER BY score_scaled DESC, neighbor_id) AS BIGINT) AS "rank"
-        |      FROM s)
+      s"""WITH $sqlSq8ScoredCtes
         |SELECT query_id, neighbor_id, score_scaled, "rank" FROM w WHERE "rank" <= 5""".stripMargin,
+    // MMR replay: the shared SQ8 candidate chain (rank ≤ 25), pairwise
+    // candidate dots, then the greedy argmax unrolled one CTE stage per
+    // selection step — join-derived max-penalty, anti-join excludes
+    // already-selected, QUALIFY picks the (mmr DESC, neighbor_id) winner.
+    "s20_mmr_rerank" -> {
+      val stages = (2 to 5).map { i =>
+        s"""pen$i AS (SELECT cd.query_id, cd.ia AS neighbor_id, max(cd.dot) AS pen
+           |          FROM cd JOIN selu${i - 1} s
+           |            ON s.query_id = cd.query_id AND s.neighbor_id = cd.ib
+           |          GROUP BY 1, 2),
+           |sel$i AS (SELECT c.query_id, c.neighbor_id,
+           |                 7 * c.rel - 3 * p.pen AS mmr,
+           |                 CAST($i AS BIGINT) AS sel_rank
+           |          FROM cand c
+           |          JOIN pen$i p ON p.query_id = c.query_id AND p.neighbor_id = c.neighbor_id
+           |          ANTI JOIN selu${i - 1} s ON s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id
+           |          QUALIFY row_number() OVER (PARTITION BY c.query_id
+           |                    ORDER BY 7 * c.rel - 3 * p.pen DESC, c.neighbor_id) = 1),
+           |selu$i AS (SELECT query_id, neighbor_id FROM selu${i - 1}
+           |           UNION ALL SELECT query_id, neighbor_id FROM sel$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlSq8ScoredCtes,
+         |cand AS MATERIALIZED (SELECT query_id, neighbor_id, score_scaled AS rel
+         |                      FROM w WHERE "rank" <= 25),
+         |cc AS (SELECT x.query_id, x.neighbor_id, c.dim, c.code
+         |       FROM cand x JOIN c ON c.vec_id = x.neighbor_id),
+         |cd AS MATERIALIZED (SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+         |                           CAST(sum(a.code * b.code) AS BIGINT) AS dot
+         |                    FROM cc a JOIN cc b
+         |                      ON a.query_id = b.query_id AND a.dim = b.dim
+         |                    GROUP BY 1, 2, 3),
+         |sel1 AS (SELECT query_id, neighbor_id, 7 * rel AS mmr, CAST(1 AS BIGINT) AS sel_rank
+         |         FROM cand
+         |         QUALIFY row_number() OVER (PARTITION BY query_id
+         |                   ORDER BY 7 * rel DESC, neighbor_id) = 1),
+         |selu1 AS (SELECT query_id, neighbor_id FROM sel1),
+         |$stages
+         |SELECT query_id, neighbor_id, CAST(mmr AS BIGINT) AS mmr_scaled, sel_rank
+         |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+         |      UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+         |      UNION ALL SELECT * FROM sel5)""".stripMargin
+    },
     "q46_unpivot" ->
       """WITH a AS (SELECT l_returnflag,
         |                  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty,

@@ -104,6 +104,60 @@ object Retrieval {
         coalesce(expr(s"${scale}L div __first"), lit(0L)).as("mrr_scaled"))
   }
 
+  /** Integer-quantized DCG position weights: w(r) = ⌊scale / log2(1+r)⌋,
+    * computed ONCE on the driver and embedded as literals in BOTH the
+    * Spark plan and the SQL oracle — the engines never evaluate a log,
+    * so nDCG joins the sketch-free exact-integer metric family
+    * ([[retrievalMetrics]]' convention). Single source for
+    * [[ndcgAtK]] and its oracle twin. */
+  def ndcgWeights(k: Int, scale: Long = 1000000L): Seq[(Int, Long)] =
+    (1 to k).map(r => r -> (scale / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** nDCG@k of an approximate ranked list against the exact one, with
+    * binary relevance = membership in the exact top-k (the ANN-rollout
+    * convention, like [[retrievalMetrics]]). Per query:
+    * `dcg_scaled` = Σ w(rank) over approx positions holding a relevant
+    * item, `idcg_scaled` = Σ w(1..n_relevant) (the perfect ordering), and
+    * `ndcg_bp` = dcg·10⁴ div idcg in basis points — all BIGINT, exact on
+    * both engines because the position weights are shared driver-computed
+    * literals ([[ndcgWeights]]).
+    *
+    * The query universe comes from the EXACT side, so a query the approx
+    * retriever drops entirely still emits (0, idcg, 0) — silent dropout
+    * surfaces as nDCG 0, not a missing row. Scale shape: rank lists are
+    * (queries × k)-sized, so every join is metadata-scale (the object
+    * contract). */
+  def ndcgAtK(exact: DataFrame, approx: DataFrame, k: Int = 10,
+      scale: Long = 1000000L): DataFrame = {
+    require(k >= 1 && k <= 25, s"k must be in 1..25, got $k")
+    val w = ndcgWeights(k, scale)
+    val cum = w.scanLeft(0 -> 0L) { case ((_, acc), (r, wt)) => r -> (acc + wt) }.tail
+    val wExpr = w.foldLeft(lit(0L)) { case (acc, (r, wt)) =>
+      when(col("rank") === r, lit(wt)).otherwise(acc)
+    }
+    def cumExpr(n: org.apache.spark.sql.Column) =
+      cum.foldLeft(lit(0L)) { case (acc, (r, c)) =>
+        when(n >= r, lit(c)).otherwise(acc)
+      }
+    val rel = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val nrel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("__nrel"))
+    val dcg = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .join(rel.withColumn("__hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("__hit").isNotNull, wExpr).otherwise(lit(0L)))
+        .as("__dcg"))
+    nrel
+      .join(dcg, Seq("query_id"), "left_outer")
+      .select(
+        col("query_id"),
+        coalesce(col("__dcg"), lit(0L)).as("dcg_scaled"),
+        cumExpr(col("__nrel")).as("idcg_scaled"))
+      .withColumn("ndcg_bp", expr("dcg_scaled * 10000L div idcg_scaled"))
+  }
+
   /** ColBERT-style late-interaction retrieval (the MaxSim shape of
     * Khattab & Zaharia, SIGIR'20): per (query, doc) pair,
     * score = Σ over query token positions of the MAX dot product against

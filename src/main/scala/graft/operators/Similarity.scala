@@ -347,6 +347,26 @@ object Similarity {
     * join shape (queries broadcast, corpus codes never shuffled — only
     * (query, neighbor, score) triples move into the per-query top-k). */
   def sq8TopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val coded = sq8Codes(emb)
+    val q = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qcodes"))
+    val scored = coded
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        GraftColumns.dotL(col("qcodes"), col("codes")).as("score_scaled"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_scaled").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score_scaled"), col("rank"))
+  }
+
+  /** The SQ8 encode stage of [[sq8TopK]], exposed so composing operators
+    * ([[mmrRerank]]) quantize the corpus ONCE: per-dimension corpus
+    * min/max → code = ⌊(x−mn)·255/(mx−mn)⌋ clamped to [0,255], BIGINT.
+    * Output: (vec_id, codes array<bigint>). */
+  def sq8Codes(emb: DataFrame): DataFrame = {
     // Per-dimension min/max over the corpus, collapsed to one broadcastable
     // row of dim-indexed arrays (array_sort on (dim, …) structs pins order).
     val stats = emb
@@ -363,7 +383,7 @@ object Similarity {
     // captures attribute refs (mn_arr/mx_arr are materialized columns), so
     // interpreted re-evaluation per element is an array index, not a
     // recomputed expression (CLAUDE.md HOF invariant).
-    val coded = emb.crossJoin(broadcast(stats))
+    emb.crossJoin(broadcast(stats))
       .select(col("vec_id"),
         transform(col("embedding"), (x, i) => {
           val mn = element_at(col("mn_arr"), (i + lit(1)).cast("int"))
@@ -372,18 +392,101 @@ object Similarity {
             least(lit(255L), greatest(lit(0L),
               floor((x.cast("double") - mn) * lit(255.0d) / (mx - mn)))))
         }).as("codes"))
+  }
+
+  /** Maximal Marginal Relevance diversified re-rank (Carbonell &
+    * Goldstein, SIGIR'98): greedily pick `kOut` of each query's `kCand`
+    * SQ8 candidates maximizing
+    * `λ·relevance − (1−λ)·max_{s∈selected} sim(d, s)` — the standard
+    * redundancy-aware selection for retrieval results and for
+    * diversity-constrained training-data sampling. λ is the exact
+    * fraction lamNum/lamDen, relevance is the SQ8 integer dot against
+    * the query, and the inter-candidate similarity is the SQ8 dot too —
+    * the whole objective is BIGINT (scores ≤ lamDen·64·255² ≈ 4·10⁸),
+    * so both engines replay the greedy argmax chain exactly, ties broken
+    * by neighbor_id.
+    *
+    * Scale shape: candidate generation is [[sq8TopK]]'s serving plan
+    * (the corpus quantized ONCE via [[sq8Codes]]); everything after is
+    * (queries × kCand)-sized — the greedy loop is inherently sequential
+    * per query, so it runs in `flatMapGroups` over each query's ≤ kCand
+    * local rows (the sanctioned in-bucket-scorer pattern), never touching
+    * the corpus. Output: (query_id, neighbor_id, mmr_scaled, sel_rank),
+    * sel_rank 1..kOut in selection order; mmr_scaled may be negative
+    * (penalty-dominated picks). */
+  def mmrRerank(emb: DataFrame, nQueries: Int = 10, kCand: Int = 25,
+      kOut: Int = 5, lamNum: Long = 7L, lamDen: Long = 10L): DataFrame = {
+    require(kOut >= 1 && kCand >= kOut && lamDen > 0 && lamNum >= 0 &&
+      lamNum <= lamDen,
+      s"bad MMR params kCand=$kCand kOut=$kOut lambda=$lamNum/$lamDen")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val coded = sq8Codes(emb)
     val q = coded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("codes").as("qcodes"))
-    val scored = coded
-      .join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        GraftColumns.dotL(col("qcodes"), col("codes")).as("score_scaled"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_scaled").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score_scaled"), col("rank"))
+    val cand = coded
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        GraftColumns.dotL(col("qcodes"), col("codes")).as("score_scaled"),
+        col("codes"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kCand)
+    val dlam = lamDen - lamNum
+    cand
+      .select(col("query_id"), col("neighbor_id"), col("score_scaled"),
+        col("codes"))
+      .as[(Long, Long, Long, Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Array[Long])]) =>
+        // deterministic local order (rel desc, id) — the argmax scan below
+        // re-ranks anyway, but a pinned input order keeps debugging sane
+        val rows = it.toArray.sortBy(r => (-r._3, r._2))
+        val n = rows.length
+        val taken = new Array[Boolean](n)
+        val penalty = new Array[Long](n) // max sim vs selected so far
+        var last = -1 // most recently selected index
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)](math.min(kOut, n))
+        var step = 1
+        while (step <= math.min(kOut, n)) {
+          if (last >= 0) {
+            val b = rows(last)._4
+            var i = 0
+            while (i < n) {
+              if (!taken(i)) {
+                val a = rows(i)._4
+                var d = 0L
+                var j = 0
+                val len = math.min(a.length, b.length)
+                while (j < len) { d += a(j) * b(j); j += 1 }
+                if (d > penalty(i)) penalty(i) = d
+              }
+              i += 1
+            }
+          }
+          var best = -1
+          var bestScore = Long.MinValue
+          var i = 0
+          while (i < n) {
+            if (!taken(i)) {
+              val sc = lamNum * rows(i)._3 - dlam * penalty(i)
+              if (best < 0 || sc > bestScore ||
+                (sc == bestScore && rows(i)._2 < rows(best)._2)) {
+                best = i
+                bestScore = sc
+              }
+            }
+            i += 1
+          }
+          taken(best) = true
+          last = best
+          out += ((qid, rows(best)._2, bestScore, step.toLong))
+          step += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "neighbor_id", "mmr_scaled", "sel_rank")
   }
 
   def lshNeighbors(

@@ -61,6 +61,23 @@ class RetrievalSpec extends SparkSpec {
       (2L, 0L, 0L, 0L)))
   }
 
+  test("ndcgAtK: hand-computed integer DCG chain; dropped query emits 0, perfect list 10000 bp") {
+    val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (2L, 20L, 1L))
+      .toDF("query_id", "neighbor_id", "rank")
+    // q1: hits at approx ranks 1 and 3, miss at 2; q2: dropped entirely
+    val approx = Seq((1L, 11L, 1L), (1L, 99L, 2L), (1L, 10L, 3L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val w = Retrieval.ndcgWeights(5).toMap
+    val out = Retrieval.ndcgAtK(exact, approx, k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val idcg1 = w(1) + w(2) + w(3)
+    assert(out(1L) === ((w(1) + w(3), idcg1, (w(1) + w(3)) * 10000L / idcg1)))
+    assert(out(2L) === ((0L, w(1), 0L)))
+    // a perfect ordering scores exactly 10000 basis points
+    val perfect = Retrieval.ndcgAtK(exact, exact, k = 5).collect()
+    assert(perfect.forall(_.getLong(3) === 10000L))
+  }
+
   test("maxSimTopK matches a brute-force MaxSim over the candidate set; non-candidates absent") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(

@@ -240,4 +240,22 @@ class SimilaritySpec extends SparkSpec {
     assert(mutual === fwd.intersect(bwd))
     assert(mutual.nonEmpty)
   }
+
+  test("mmrRerank: diversity beats redundancy at equal relevance; exact greedy scores") {
+    // 2-dim corpus with {0,1} coordinates → SQ8 codes are exactly {0,255}.
+    // Query 0 = (1,1); candidates 1,2 = (1,0) twins; 3 = (0,1) diverse.
+    // All three have equal relevance 255·255; plain top-k keeps the twins
+    // adjacent, MMR must interleave the diverse vector at step 2.
+    val emb = Seq(
+      (0L, Seq(1f, 1f)), (1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(emb, nQueries = 1, kCand = 25, kOut = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._4)
+    val rel = 255L * 255L
+    assert(out === Array(
+      (0L, 1L, 7L * rel, 1L),             // tie on rel → smallest id
+      (0L, 3L, 7L * rel, 2L),             // diverse: zero penalty vs 1
+      (0L, 2L, 7L * rel - 3L * rel, 3L))) // twin pays the full penalty
+  }
 }
