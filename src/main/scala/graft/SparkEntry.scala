@@ -1306,6 +1306,37 @@ object SparkEntry {
           count(lit(1)).as("n_orders"),
           countDistinct(col("c_custkey")).as("n_cust"))
     }),
+    // TPC-H Q5 shape (local supplier volume): the 6-table join with the
+    // c_nationkey = s_nationkey locality condition no other q-row has —
+    // fact tables shuffle on their join keys, nation/region broadcast,
+    // revenue in exact integer cents × (100 − discount cents).
+    "q53_local_supplier_volume" -> ((s, d) => {
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          expr("sum(cast(floor(l_extendedprice * 100) as bigint) * " +
+            "(100 - cast(floor(l_discount * 100) as bigint)))")
+            .as("revenue_scaled"),
+          count(lit(1)).as("n_lineitems"))
+    }),
     // The REAL codec on the gate: synthesize a deterministic solid-gray
     // PNG per document, decode it with javax.imageio, and let the oracle
     // predict width/height/channels/mean analytically — an engine that
@@ -1685,6 +1716,14 @@ object SparkEntry {
     // the season).
     "x13_seasonal_naive" -> ((s, d) =>
       Timeseries.seasonalNaiveEval(Tables.events(s, d))),
+    // Weekly cohort retention: users bucketed by first-event epoch week,
+    // activity counted per (cohort, offset) cell — pure integer week
+    // arithmetic, COUNT(DISTINCT) exact.
+    // Purchase events only — the full stream has every user active every
+    // week (vacuously-full matrix); purchases decay 150→141→…→114.
+    "x18_cohort_retention" -> ((s, d) =>
+      Timeseries.cohortRetention(
+        Tables.events(s, d).filter(col("event_type") === "purchase"))),
     // Linear-interpolation gap fill (q35's sibling for continuous
     // signals): gap buckets lerp between the nearest observed bucket
     // means; both engines interpolate from the SAME once-rounded inputs
@@ -3173,6 +3212,17 @@ object SparkEntry {
         |SELECT a.hour, a.cents AS actual_cents, f.cents AS forecast_cents,
         |       CAST(abs(a.cents - f.cents) AS BIGINT) AS abs_err_cents
         |FROM h a JOIN h f ON a.hour = f.hour + INTERVAL 24 HOURS""".stripMargin,
+    // Cohort replay: identical epoch-week floor-div chain, BIGINT casts
+    // on every derived integer (DuckDB's // yields INTEGER here).
+    "x18_cohort_retention" ->
+      """WITH e AS (SELECT user_id,
+        |                  (make_timestamp(epoch_us(ts))::DATE - DATE '1970-01-01') // 7 AS wk
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1)
+        |SELECT CAST(c.cohort_wk AS BIGINT) AS cohort_wk,
+        |       CAST(e.wk - c.cohort_wk AS BIGINT) AS week_offset,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+        |FROM e JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
     // Lerp gap-fill replay: q35's grid plus prev/next IGNORE NULLS
     // windows; the lerp expression tree matches the Spark side exactly
     // (one divide, one multiply, one add over once-rounded bucket means).
@@ -4527,6 +4577,23 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    // Q5 replay: same six-way join and locality condition; revenue in the
+    // same exact integer-cents product.
+    "q53_local_supplier_volume" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+        |                (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_scaled,
+        |       CAST(count(*) AS BIGINT) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
     "q41_waiting_suppliers" ->
       """WITH late AS (
         |  SELECT DISTINCT l_orderkey, l_suppkey

@@ -113,6 +113,30 @@ object Timeseries {
         col("v").isNull.as("filled"))
   }
 
+  /** Weekly cohort-retention matrix — the product-analytics staple: users
+    * grouped by the week of their FIRST event, activity counted per
+    * (cohort, weeks-since-cohort) cell. Weeks are epoch weeks (floor-div
+    * of epoch days by 7) — pure integer arithmetic with no calendar-week
+    * convention to disagree on across engines. Precondition: timestamps
+    * ≥ 1970 (the `div` is a floor only for non-negative day counts).
+    *
+    * Scale shape: one key-grouped min (the cohort assignment), one
+    * key-keyed join of per-event weeks against it, one grouped
+    * COUNT(DISTINCT key) — all shuffles keyed by the user key or the
+    * (cohort, offset) cell; no window, no corpus-sized broadcast.
+    * Output: (cohort_wk, week_offset, active_users). */
+  def cohortRetention(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val k = col(keyCol)
+    val perUser = events.select(k,
+      expr(s"datediff(to_date($tsCol), date'1970-01-01') div 7").as("wk"))
+    val cohorts = perUser.groupBy(k).agg(min(col("wk")).as("cohort_wk"))
+    perUser.join(cohorts, Seq(keyCol))
+      .groupBy(col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(countDistinct(k).as("active_users"))
+  }
+
   /** Fixed-count quantile bucketing per group (`ntile`) — the feature
     * binning step of dataset stratification. Total order required for
     * determinism: pass tie-free `orderCols`. */

@@ -87,6 +87,23 @@ class TimeseriesSpec extends SparkSpec {
     assert(out === Map(0L -> 0.0, 1L -> 0.25, 2L -> 0.5, 3L -> 0.75, 4L -> 1.0))
   }
 
+  test("cohortRetention: cohorts anchor at first event; cells count distinct active users") {
+    def dts(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    // A: epoch-weeks 0 and 2; B: week 1 only; C: weeks 0 and 1
+    val events = Seq(
+      (1L, dts(0)), (1L, dts(15)), (2L, dts(8)), (3L, dts(1)), (3L, dts(9)),
+      (3L, dts(2)) // same-week repeat must not double-count
+    ).toDF("user_id", "ts")
+    val out = Timeseries.cohortRetention(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      (0L, 0L) -> 2L, // A and C in their cohort week
+      (0L, 1L) -> 1L, // C the week after
+      (0L, 2L) -> 1L, // A two weeks after
+      (1L, 0L) -> 1L  // B's own cohort
+    ))
+  }
+
   test("quantileBuckets: tiles are contiguous, sized within one, ordered by the key") {
     val df = (1L to 23L).map(i => (i, "g", i.toDouble)).toDF("k", "grp", "v")
     val out = Timeseries.quantileBuckets(df, "grp", Seq(col("v"), col("k")), n = 4)
