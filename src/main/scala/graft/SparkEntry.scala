@@ -1724,6 +1724,27 @@ object SparkEntry {
     "x18_cohort_retention" -> ((s, d) =>
       Timeseries.cohortRetention(
         Tables.events(s, d).filter(col("event_type") === "purchase"))),
+    // First-order Markov transition matrix over per-user event sequences
+    // (path analysis / next-step features): consecutive-event bigrams
+    // under the tie-free (ts, event_id) order, counts + row-conditional
+    // probability in exact basis points.
+    "x20_event_transitions" -> ((s, d) =>
+      Timeseries.eventTransitions(Tables.events(s, d))),
+    // Exact OLS trend slope per order priority over daily revenue: the
+    // closed-form least-squares fit in pure BIGINT arithmetic (five sums,
+    // one aggregate), slope in cents/day as sign × (|num| div den) — abs
+    // before the div because Spark truncates and DuckDB floors on
+    // negatives. x is re-based to the window origin to keep every
+    // intermediate product under 2^63 (see Timeseries.trendSlope's
+    // overflow contract).
+    "x19_trend_slope" -> ((s, d) => {
+      val pts = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+            .cast("long").as("x"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+      Timeseries.trendSlope(pts, "o_orderpriority", "x", "y")
+    }),
     // Linear-interpolation gap fill (q35's sibling for continuous
     // signals): gap buckets lerp between the nearest observed bucket
     // means; both engines interpolate from the SAME once-rounded inputs
@@ -2632,6 +2653,11 @@ object SparkEntry {
     // globalRank position (no single-partition sort).
     "p12_curriculum" -> ((s, d) =>
       Curation.curriculumOrder(Tables.documents(s, d))),
+    // Token-balanced shards: snake placement over the global token-count
+    // order (deterministic LPT-style balance, not hash-expectation);
+    // global order via the range-partitioned rank, no single-task sort.
+    "p13_balanced_shards" -> ((s, d) =>
+      Curation.balancedShards(Tables.documents(s, d))),
     // Dedup-cluster SIZE distribution — the histogram a dedup report
     // leads with (how much of the corpus sits in how-big duplicate
     // groups); two tiny aggregations over d7's labels.
@@ -3223,6 +3249,34 @@ object SparkEntry {
         |       CAST(e.wk - c.cohort_wk AS BIGINT) AS week_offset,
         |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
         |FROM e JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+    // Transition-matrix replay: identical lead() bigrams under the same
+    // tie-free order; counts non-negative so // ≡ div.
+    "x20_event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |                  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |           FROM events),
+        |c AS (SELECT event_type AS from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |       CAST(c.n * 10000 // f.n_from AS BIGINT) AS prob_bp
+        |FROM c JOIN f USING (from_type)""".stripMargin,
+    // OLS slope replay: the same five BIGINT sums and the same
+    // sign × (|num| // den) form (abs first — floor-vs-truncate).
+    "x19_trend_slope" ->
+      """WITH d AS (SELECT o_orderpriority,
+        |                  CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS x,
+        |                  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        |           FROM orders GROUP BY 1, 2),
+        |a AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |      FROM d GROUP BY 1),
+        |s AS (SELECT o_orderpriority, n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+        |      FROM a WHERE n * sxx - sx * sx > 0)
+        |SELECT o_orderpriority, n,
+        |       CAST((CASE WHEN num >= 0 THEN 1 ELSE -1 END) * (abs(num) // den) AS BIGINT) AS slope
+        |FROM s""".stripMargin,
     // Lerp gap-fill replay: q35's grid plus prev/next IGNORE NULLS
     // windows; the lerp expression tree matches the Spark side exactly
     // (one divide, one multiply, one add over once-rounded bucket means).
@@ -3779,6 +3833,23 @@ object SparkEntry {
          |       FROM ck)
          |SELECT doc_id, bucket, pos, CAST((pos - 1) // 100 AS BIGINT) AS shard
          |FROM cp""".stripMargin,
+    // Balanced-shard replay: same global (n_tokens DESC, doc_id) order,
+    // same reflected modulus.
+    "p13_balanced_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |                  CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |             row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rnk
+        |      FROM t),
+        |s AS (SELECT n_tokens,
+        |             CASE WHEN (rnk - 1) % 16 < 8 THEN (rnk - 1) % 16
+        |                  ELSE 15 - ((rnk - 1) % 16) END AS shard
+        |      FROM r)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+        |FROM s GROUP BY 1""".stripMargin,
     // PMI collocation replay: bigram contingency table + margins, the
     // quantized integer ratio, min-count screen, global top-k.
     "t25_collocations" ->

@@ -514,6 +514,35 @@ object Curation {
     * run in parallel (one shuffle on shard); no single-partition global
     * ROW_NUMBER anywhere. Readers consume shards round-robin, which is
     * exactly how sharded training data is laid out on disk. */
+  /** Token-balanced shard assignment — snake (boustrophedon) placement
+    * over the global token-count order: docs ranked by (n_tokens DESC,
+    * doc_id), rank r lands on shard `(r−1) mod 2N` reflected into [0, N).
+    * The deterministic LPT-style balancer a training job wants when
+    * shards must finish together: consecutive heavy docs go to DIFFERENT
+    * shards and each pass hands every shard exactly one doc from a
+    * contiguous size band, so shard totals track the mean to within one
+    * document — unlike hash spreading ([[corpusShuffle]]), which is
+    * balanced only in expectation.
+    *
+    * Scale shape: the global order comes from [[Ranking.globalRank]]
+    * (range shuffle + per-range window — no single-task global sort);
+    * everything after is per-row arithmetic and one shard-keyed
+    * aggregate. Output: (shard, n_docs, tokens_total). */
+  def balancedShards(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    val toks = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val ranked = Ranking.globalRank(toks,
+      Seq(col("n_tokens").desc, col("doc_id")), "rnk")
+    val m = 2L * nShards
+    val r0 = (col("rnk") - 1) % m
+    val shard = when(r0 < nShards, r0).otherwise(lit(m - 1) - r0)
+    ranked
+      .select(shard.cast("long").as("shard"), col("n_tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_total"))
+  }
+
   def corpusShuffle(docs: DataFrame, nShards: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard")).orderBy(col("key"), col("doc_id"))

@@ -430,4 +430,14 @@ class CurationSpec extends SparkSpec {
     assert(fp <= expected * 10 && fp * 10 >= expected,
       s"measured fp=$fp vs model $expected — sketch and model disagree")
   }
+
+  test("balancedShards: snake placement balances token totals deterministically") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // counts 10,8,6,4,3,1 ranked desc → snake over 2 shards: 0,1,1,0,0,1
+    val docs = Seq((1L, words(10)), (2L, words(8)), (3L, words(6)),
+      (4L, words(4)), (5L, words(3)), (6L, words(1))).toDF("doc_id", "text")
+    val out = Curation.balancedShards(docs, nShards = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(0L -> ((3L, 17L)), 1L -> ((3L, 15L))))
+  }
 }
