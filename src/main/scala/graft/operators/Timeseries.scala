@@ -208,4 +208,67 @@ object Timeseries {
         col("f.cents").as("forecast_cents"),
         abs(col("a.cents") - col("f.cents")).as("abs_err_cents"))
   }
+
+  /** Event-type transition matrix — first-order Markov statistics over
+    * per-key event sequences (the path-analysis primitive behind "what do
+    * users do after X": next-step prediction features, funnel-drop
+    * diagnosis, session language models). Per key, consecutive events
+    * under the tie-free (ts, id) total order form (from_type, to_type)
+    * bigrams; the matrix is their count plus the row-conditional
+    * probability in basis points (exact BIGINT `div` — counts are
+    * non-negative, so truncate-vs-floor never diverges cross-engine).
+    *
+    * Scale shape: one per-key window sort (keys independent — the q21
+    * sessionization skew bound), then a type-pair aggregate whose
+    * cardinality is |types|², tiny by construction; the row-totals join is
+    * broadcast-sized. The sequence step uses `lead`, not a self-join:
+    * position n pairs with n+1 exactly once, gaps in event ids are
+    * irrelevant. */
+  def eventTransitions(events: DataFrame, keyCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val bigrams = events
+      .select(col(keyCol), col(typeCol).as("from_type"), col(tsCol), col(idCol))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = bigrams.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type")).agg(sum(col("n")).as("__n_from"))
+    counts.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 10000L div __n_from").as("prob_bp"))
+  }
+
+  /** Exact OLS trend slope per group over integer (x, y) points — the
+    * closed-form least-squares fit a monitoring/reporting layer runs per
+    * series ("is revenue trending up, and how fast"), kept in pure BIGINT
+    * arithmetic so the slope is deterministic cross-engine: slope =
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), emitted as sign × (|num| div den)
+    * — abs BEFORE the integer division because Spark `div` truncates
+    * toward zero while DuckDB `//` floors, and a negative numerator would
+    * diverge by one (the x14 pattern). Groups with zero x-variance (den
+    * = 0: a single point, or all points at one x) have no defined slope
+    * and are dropped.
+    *
+    * Overflow bound (caller's contract): every intermediate is < 2⁶³, so
+    * n·max|x|·Σ|y| and Σ|x|·Σ|y| must stay below ~9.2e18 — re-base x to a
+    * window-local origin and pick y's unit accordingly (cents over a
+    * multi-year daily window fits with two orders of headroom; see the
+    * x19 gate row). Scale shape: ONE grouped aggregate of five sums —
+    * map-side combined, no window, no second pass. */
+  def trendSlope(points: DataFrame, groupCol: String = "grp",
+      xCol: String = "x", yCol: String = "y"): DataFrame = {
+    val agg = points.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(xCol)).as("__sx"), sum(col(yCol)).as("__sy"),
+        sum(col(xCol) * col(yCol)).as("__sxy"),
+        sum(col(xCol) * col(xCol)).as("__sxx"))
+      .withColumn("__num", col("n") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__den", col("n") * col("__sxx") - col("__sx") * col("__sx"))
+    agg.filter(col("__den") > 0)
+      .select(col(groupCol), col("n"),
+        (when(col("__num") >= 0, lit(1L)).otherwise(lit(-1L)) *
+          expr("abs(__num) div __den")).as("slope"))
+  }
 }

@@ -157,4 +157,32 @@ class TimeseriesSpec extends SparkSpec {
       (24L, 200L, 100L, 100L),
       (48L, 350L, 200L, 150L)))
   }
+
+  test("eventTransitions: per-key bigrams under the (ts, id) total order; row-conditional bp") {
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    // user 1: a→b→a→c; user 2: b→a. Ties on ts broken by event_id.
+    val events = Seq(
+      (1L, ts(0), 0L, "a"), (1L, ts(1), 1L, "b"),
+      (1L, ts(2), 2L, "a"), (1L, ts(2), 3L, "c"), // tie at minute 2
+      (2L, ts(0), 4L, "b"), (2L, ts(5), 5L, "a")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Timeseries.eventTransitions(events)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // from a: a→b (1), a→c (1) → 5000 bp each; from b: b→a twice → 10000 bp
+    assert(out === Set(
+      ("a", "b", 1L, 5000L), ("a", "c", 1L, 5000L), ("b", "a", 2L, 10000L)))
+  }
+
+  test("trendSlope: exact integer slope, sign handled before div, zero-variance dropped") {
+    // perfect lines: slope 3 and −3; truncation case 0.5 → 0 (never −1);
+    // single-x group has den = 0 and is dropped
+    val pts = (0L to 4L).map(x => ("up", x, 3 * x + 5)) ++
+      (0L to 4L).map(x => ("down", x, -3 * x)) ++
+      Seq(("half", 0L, 0L), ("half", 1L, 0L), ("half", 2L, 1L)) ++
+      Seq(("flatx", 7L, 1L), ("flatx", 7L, 9L))
+    val out = Timeseries.trendSlope(pts.toDF("grp", "x", "y"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out === Map("up" -> 3L, "down" -> -3L, "half" -> 0L))
+  }
 }
