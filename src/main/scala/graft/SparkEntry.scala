@@ -2042,6 +2042,14 @@ object SparkEntry {
     // word-5-gram hashes.
     "c1_decontam" -> ((s, d) =>
       Curation.contamination(Tables.documents(s, d), col("doc_id") % 20 === 0)),
+    // Embedding-space decontamination (the paraphrase-leak screen beside
+    // c1's exact n-grams): training vectors scored against a broadcast
+    // eval set with the exact portable cosine; per contaminated vector,
+    // match count + best eval item under (cosine DESC, eval_id) —
+    // struct-max, no per-vector sort.
+    "c8_semantic_decontam" -> ((s, d) =>
+      Curation.semanticContamination(
+        Tables.embeddings(s, d), col("vec_id") % 20 === 0)),
     // Same decontamination with the 100 TB plan shape: a distributed-built
     // Bloom sketch prunes corpus grams before the exact verify semi-join.
     // The sketch is output-invisible (exact recheck), so the oracle is the
@@ -3570,6 +3578,22 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(hits.n_overlap, CAST(0 AS BIGINT)) AS n_overlap
          |FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
          |WHERE d.doc_id % 20 <> 0""".stripMargin,
+    // Semantic-decontam replay: exact bipartite cosine (same fold), the
+    // same threshold on the RAW double, best match by the identical
+    // (cosine DESC, eval_id) total order.
+    "c8_semantic_decontam" ->
+      s"""WITH e AS (SELECT vec_id AS eval_id, embedding AS ee FROM embeddings WHERE vec_id % 20 = 0),
+         |t AS (SELECT vec_id, embedding AS et FROM embeddings WHERE vec_id % 20 <> 0),
+         |p AS (SELECT t.vec_id, e.eval_id, ${sqlCosine("et", "ee")} AS cosine
+         |      FROM t CROSS JOIN e),
+         |f AS (SELECT * FROM p WHERE cosine >= 0.3),
+         |r AS (SELECT vec_id, eval_id, cosine,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, eval_id) AS rn,
+         |             count(*) OVER (PARTITION BY vec_id) AS nm
+         |      FROM f)
+         |SELECT vec_id, CAST(nm AS BIGINT) AS n_matches, eval_id AS best_eval_id,
+         |       round(cosine, 7) AS best_cosine
+         |FROM r WHERE rn = 1""".stripMargin,
     // The Bloom prefilter is output-invisible (exact recheck removes false
     // positives), so the oracle is c1's exact overlap restricted to hits.
     "c3_bloom_decontam" ->

@@ -50,6 +50,46 @@ object Curation {
       .select(col("doc_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
   }
 
+  /** Semantic decontamination — the embedding-space sibling of
+    * [[contamination]] (the screen Phi/FineWeb-style pipelines run beside
+    * exact n-gram overlap: a paraphrased benchmark question shares no
+    * 5-gram but sits next to the eval item in embedding space). Every
+    * training vector is scored against EVERY eval vector with the exact
+    * left-to-right cosine ([[graft.functions.VectorMath]] — the engine-
+    * portable fold); matches at or above `threshold` aggregate to one row
+    * per contaminated training vector: match count plus the best-matching
+    * eval item under the (cosine DESC, eval_id ASC) total order, picked by
+    * one lexicographic struct-max (no per-vector window sort).
+    *
+    * Scale posture: benchmark suites are tiny relative to the corpus, so
+    * the eval side BROADCASTS and the corpus side is one shuffle-free
+    * pass — exact screening (no LSH recall loss where a miss means a
+    * leaked eval item) at |corpus|·|eval| dot products, embarrassingly
+    * parallel. If the eval side ever outgrows a broadcast, bucket both
+    * sides with [[Similarity.lshNeighbors]]'s hyperplanes and probe
+    * matching buckets — recall becomes explicit at that point. */
+  def semanticContamination(emb: DataFrame, isEval: Column,
+      threshold: Double = 0.3): DataFrame = {
+    import graft.functions.VectorMath
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      VectorMath.norm2(col("embedding")).as("nrm"), isEval.as("__is_eval"))
+    val evalSide = withNorm.filter(col("__is_eval"))
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ee"),
+        col("nrm").as("ne"))
+    val trainSide = withNorm.filter(!col("__is_eval"))
+      .select(col("vec_id"), col("embedding").as("et"), col("nrm").as("nt"))
+    trainSide.crossJoin(broadcast(evalSide))
+      .withColumn("cosine",
+        VectorMath.dot(col("et"), col("ee")) / (col("nt") * col("ne")))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("cosine"), (-col("eval_id")).as("neg_id"))).as("best"))
+      .select(col("vec_id"), col("n_matches"),
+        (-col("best.neg_id")).as("best_eval_id"),
+        round(col("best.cosine"), 7).as("best_cosine"))
+  }
+
   /** [[contamination]] with a Bloom-filter prefilter — the 100 TB shape of
     * benchmark decontamination. The exact path must eventually join every
     * corpus-side gram against the eval-gram set; this variant first folds

@@ -431,6 +431,22 @@ class CurationSpec extends SparkSpec {
       s"measured fp=$fp vs model $expected — sketch and model disagree")
   }
 
+  test("semanticContamination: broadcast eval screen, match count, best-match total order") {
+    // eval: 0 and 20 both point along e1 (a duplicated benchmark item);
+    // train: 1 parallel (cos 1.0 with BOTH evals → tie broken to eval 0),
+    // 2 orthogonal (clean), 3 at cos ≈ 0.995 (paraphrase-near)
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (20L, Array(2f, 0f)),
+      (1L, Array(3f, 0f)), (2L, Array(0f, 1f)), (3L, Array(10f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = Curation.semanticContamination(emb, col("vec_id") % 20 === 0,
+      threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet === Set(1L, 3L), s"flagged ${out.keySet}")
+    assert(out(1L) === ((2L, 0L))) // both evals match; tie → smaller eval_id
+    assert(out(3L) === ((2L, 0L)))
+  }
+
   test("balancedShards: snake placement balances token totals deterministically") {
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
     // counts 10,8,6,4,3,1 ranked desc → snake over 2 shards: 0,1,1,0,0,1
