@@ -1611,6 +1611,22 @@ object SparkEntry {
         minRun = 4)
       Dedup.clusters(ids, runs.select(col("doc_a"), col("doc_b")).distinct())
     }),
+    // Shot-boundary detection WITHIN videos (m9 dedups across videos; this
+    // segments inside one): shot-structured synthesized containers (static
+    // 3-frame shots of videoCell grids) through the same demux + per-frame
+    // dHash seam, cuts = consecutive-frame Hamming ≥ 10 under a per-video
+    // lag. The oracle replays videoCell per (doc, frame div 3), packs the
+    // 56 dHash bits, and runs the identical lag + bit_count chain —
+    // nothing touches binary. doc_id < 150 caps the replay at a fixed
+    // ABSOLUTE size (SF-invariant).
+    "m16_shot_boundaries" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 150)
+      Multimodal.shotBoundaries(
+        Multimodal.frameDhash(
+          Multimodal.videoFrames(
+            Multimodal.synthesizeShotVideos(ids.repartition(64)))))
+    }),
     // Approximate HLL distinct, made HASH-CHECKABLE: the sketch value
     // itself is engine-specific, so the query emits the EXACT count plus an
     // integer error-bound verdict — `within_bound` = 1 iff the engine's own
@@ -4574,6 +4590,36 @@ object SparkEntry {
          |       CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
          |FROM (SELECT doc_id FROM documents WHERE doc_id < 120) d
          |LEFT JOIN lab l ON l.doc_id = d.doc_id""".stripMargin,
+    // Shot-boundary replay: videoCell per (doc, frame div 3) — identical
+    // injective-square mix — packed to the same 56-bit frame hash, then
+    // the same lag + bit_count(xor) ≥ 10 chain.
+    "m16_shot_boundaries" ->
+      """WITH sv AS (SELECT doc_id, 6 + (doc_id % 3) * 2 AS nf
+        |            FROM documents WHERE doc_id < 150),
+        |sf AS (SELECT doc_id, i AS pos, i // 3 AS si
+        |       FROM sv, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS i) g),
+        |sb AS (SELECT doc_id, pos, gx, gy,
+        |              (doc_id * 10 + si) * 8209 + gx * 17 + gy * 29 + 13 AS u
+        |       FROM sf CROSS JOIN generate_series(0, 8) tx(gx)
+        |       CROSS JOIN generate_series(0, 6) ty(gy)),
+        |scell AS (SELECT doc_id, pos, gx, gy, ((u * u) % 1000003) % 241 AS v FROM sb),
+        |sbits AS (SELECT a.doc_id, a.pos, a.gx AS x, a.gy AS y,
+        |                 CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |          FROM scell a JOIN scell b
+        |            ON b.doc_id = a.doc_id AND b.pos = a.pos
+        |           AND b.gy = a.gy AND b.gx = a.gx + 1
+        |          WHERE a.gx <= 7),
+        |sh AS (SELECT doc_id, pos,
+        |              CAST(sum(CASE WHEN bit = 1
+        |                       THEN (CAST(1 AS BIGINT) << (y * 8 + x))
+        |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fhash
+        |       FROM sbits GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, pos, fhash,
+        |              lag(fhash) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |       FROM sh)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS cut_pos,
+        |       CAST(bit_count(xor(fhash, prev)) AS BIGINT) AS hamming
+        |FROM dl WHERE prev IS NOT NULL AND bit_count(xor(fhash, prev)) >= 10""".stripMargin,
     // Replays deterministic spherical k-means: LSH cells (the s3 uncentered
     // quadratic-mix signature) → top-8 cells by population seed the
     // clusters → quantized-integer centroid means → one Lloyd iteration →

@@ -494,6 +494,81 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Deterministic SHOT-structured video synthesis — the shot-boundary
+    * fixture: like [[synthesizeVideos]] (same length-framed container,
+    * same 18×14 PNG frames of [[videoCell]] blocks) but frames within one
+    * `shotLen`-frame shot are byte-identical (content index = frame div
+    * shotLen — a static shot), so the sequence has real cut structure: a
+    * cut is exactly where the shot index changes. Each doc is its own
+    * video (family = doc_id); [[videoFrameCount]] keeps the three duration
+    * classes, so the last shot can be partial. */
+  def synthesizeShotVideos(ids: DataFrame, shotLen: Int = 3): DataFrame = {
+    require(shotLen >= 1, s"shotLen must be positive, got $shotLen")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col("doc_id").cast("long")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val nf = videoFrameCount(id)
+        val frames = (0 until nf).map { fi =>
+          val si = fi / shotLen
+          val img = new java.awt.image.BufferedImage(
+            18, 14, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var gy = 0
+          while (gy < 7) {
+            var gx = 0
+            while (gx < 9) {
+              val g = videoCell(id, si, gx, gy)
+              val rgb = (g << 16) | (g << 8) | g
+              img.setRGB(gx * 2, gy * 2, rgb); img.setRGB(gx * 2 + 1, gy * 2, rgb)
+              img.setRGB(gx * 2, gy * 2 + 1, rgb); img.setRGB(gx * 2 + 1, gy * 2 + 1, rgb)
+              gx += 1
+            }
+            gy += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        val total = 4 + frames.map(4 + _.length).sum
+        val bb = java.nio.ByteBuffer.allocate(total)
+          .order(java.nio.ByteOrder.BIG_ENDIAN)
+        bb.putInt(frames.size)
+        frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+        Row(id, bb.array())
+      }
+    }(encoder)
+  }
+
+  /** Shot-boundary (cut) detection over per-frame perceptual hashes — the
+    * shot segmentation every video-curation pipeline runs before keyframe
+    * selection: a cut is a consecutive-frame pair whose dHash Hamming
+    * distance reaches `minHamming` (within a shot the signature is stable;
+    * across a cut the grid re-randomizes). Input is [[frameDhash]]'s
+    * (doc_id, frame_idx, dhash); output one row per detected cut:
+    * (doc_id, cut_pos = first frame of the new shot, hamming).
+    *
+    * Scale shape: one per-video window (`lag` under the frame_idx total
+    * order — videos are independent, skew bounded by frames-per-video)
+    * and a codegen `bit_count(xor)` per consecutive pair; no joins, no
+    * second pass. Composes upstream of [[graft.operators.Dedup]]'s
+    * alignment (dedup whole videos) — this op instead SEGMENTS within a
+    * video. */
+  def shotBoundaries(frameHashes: DataFrame, minHamming: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frameHashes
+      .select(col("doc_id"), col("frame_idx"), col("dhash"))
+      .withColumn("__prev", lag(col("dhash"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("hamming", expr("bit_count(dhash ^ __prev)").cast("long"))
+      .filter(col("hamming") >= minHamming)
+      .select(col("doc_id"), col("frame_idx").as("cut_pos"), col("hamming"))
+  }
+
   /** Deterministic frame sampling: every `stride`-th 256-byte block of the
     * payload becomes a "frame" row — the video-sampling plumbing with the
     * decode stubbed to a slice. */

@@ -387,4 +387,27 @@ class MultimodalSpec extends SparkSpec {
     assert(tp === (0 until 8).map(gy =>
       (0 until 9).map(gx => Multimodal.patternCell(4L, gx, gy).toLong).sum))
   }
+
+  test("shotBoundaries: cuts where the hash jumps, per-video lag, threshold inclusive") {
+    // hand-built hashes: doc 1 static then one 10-bit jump; doc 2 all static
+    val fh = Seq(
+      (1L, 0L, 7L), (1L, 1L, 7L), (1L, 2L, 1023L ^ 7L), (1L, 3L, 1023L ^ 7L),
+      (2L, 0L, 5L), (2L, 1L, 5L)
+    ).toDF("doc_id", "frame_idx", "dhash")
+    val cuts = Multimodal.shotBoundaries(fh)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cuts.toSeq === Seq((1L, 2L, 10L))) // bit_count(1023) = 10, inclusive
+  }
+
+  test("shot videos: synthesized cuts land exactly at shot-length multiples") {
+    val ids = Seq(5L, 6L).toDF("doc_id") // nf = 10 and 6 → shots 3,3,3,1 and 3,3
+    val fh = Multimodal.frameDhash(Multimodal.videoFrames(
+      Multimodal.synthesizeShotVideos(ids)))
+    assert(fh.count() === 16) // 10 + 6 frames demuxed
+    val cuts = Multimodal.shotBoundaries(fh)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(cuts(5L) === Seq(3L, 6L, 9L))
+    assert(cuts(6L) === Seq(3L))
+  }
 }
