@@ -1781,6 +1781,22 @@ object SparkEntry {
         .withColumn("geohash",
           graft.etl.Layout.geohashChars(col("gh_bits"), 8))
     }),
+    // Spatial radius self-join via grid-cell bucketing (the join-level
+    // twin of z1/z2's layout-level clustering): synthesized centi-degree
+    // integer points (squared-then-mod mixed — a LINEAR map of sequential
+    // custkeys is a lattice whose pair count is all-or-nothing), all
+    // pairs within 60 via 3×3 neighbor-cell equi-join + exact BIGINT
+    // squared distance. The oracle brute-forces the O(n²) predicate —
+    // bucketing is output-invisible by construction.
+    "z3_spatial_join" -> ((s, d) => {
+      val k = col("c_custkey")
+      val u = k * 7919L + 13L
+      val v = k * 104729L + 7L
+      val pts = Tables.customer(s, d).select(k.as("id"),
+        (u * u % 1000003L % 18000L).as("x"),
+        (v * v % 1000003L % 36000L).as("y"))
+      graft.operators.Spatial.radiusSelfJoin(pts, 60)
+    }),
     // Z-order (Morton) clustering key — the [[graft.etl.Layout]] layout
     // primitive under the oracle gate: pure BIGINT bit-interleave of two
     // 16-bit key slices, plus the coarse z-cell (zkey >> 24) a clustered
@@ -3327,6 +3343,17 @@ object SparkEntry {
         |            ELSE round(pv + (nv - pv) * (CAST(bi - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE)), 7) END AS value_li,
         |       (v IS NULL) AS filled
         |FROM w""".stripMargin,
+    // Radius-join replay: brute-force O(n²) over the same mixed integer
+    // points — the grid bucketing must be output-invisible.
+    "z3_spatial_join" ->
+      """WITH p AS (SELECT c_custkey AS id,
+        |                  (((c_custkey * 7919 + 13) * (c_custkey * 7919 + 13)) % 1000003) % 18000 AS x,
+        |                  (((c_custkey * 104729 + 7) * (c_custkey * 104729 + 7)) % 1000003) % 36000 AS y
+        |           FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 3600""".stripMargin,
     // Geohash replay: identical double quantization chain (same IEEE op
     // order), the 40-term MSB-first interleave, base-32 chars by substr.
     "z2_geohash" -> {
