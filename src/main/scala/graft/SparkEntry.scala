@@ -1740,6 +1740,17 @@ object SparkEntry {
     "x18_cohort_retention" -> ((s, d) =>
       Timeseries.cohortRetention(
         Tables.events(s, d).filter(col("event_type") === "purchase"))),
+    // 2D skyline (Pareto frontier) over lineitem offers: minimize unit
+    // price (cents), maximize quantity — the points no other line item
+    // beats on both axes. Distributed via the globalRank skeleton (range
+    // shuffle + exclusive prefix maxima), NOT a single-task global
+    // window; exact integer dominance.
+    "x21_skyline" -> ((s, d) =>
+      graft.operators.Ranking.skylineMinMax(
+        Tables.lineitem(s, d).select(
+          floor(col("l_extendedprice") * 100).cast("long").as("price_c"),
+          floor(col("l_quantity")).cast("long").as("qty")),
+        "price_c", "qty")),
     // First-order Markov transition matrix over per-user event sequences
     // (path analysis / next-step features): consecutive-event bigrams
     // under the tie-free (ts, event_id) order, counts + row-conditional
@@ -3289,6 +3300,20 @@ object SparkEntry {
         |       CAST(e.wk - c.cohort_wk AS BIGINT) AS week_offset,
         |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
         |FROM e JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+    // Skyline replay: one candidate per price (max qty), running max over
+    // strictly-smaller prices (RANGE to 1 PRECEDING — one row per price),
+    // strict survival. The dominance definition itself is spec-pinned
+    // against brute force (RankingSpec).
+    "x21_skyline" ->
+      """WITH pp AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |                   CAST(floor(l_quantity) AS BIGINT) AS qty
+        |            FROM lineitem),
+        |pm AS (SELECT price_c, max(qty) AS qty FROM pp GROUP BY 1),
+        |w AS (SELECT price_c, qty,
+        |             max(qty) OVER (ORDER BY price_c
+        |               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+        |      FROM pm)
+        |SELECT price_c, qty FROM w WHERE prior IS NULL OR qty > prior""".stripMargin,
     // Transition-matrix replay: identical lead() bigrams under the same
     // tie-free order; counts non-negative so // ≡ div.
     "x20_event_transitions" ->

@@ -61,4 +61,47 @@ object Ranking {
         element_at(offExpr, col("__pid")) + row_number().over(w).cast("long"))
       .drop("__pid")
   }
+
+  /** Distributed 2D skyline (Pareto frontier) — minimize `xCol`, maximize
+    * `yCol`: the points no other point beats on both axes (cheapest-for-
+    * the-quantity offers, fastest-for-the-cost configs). Both columns must
+    * be BIGINT — the dominance test is exact integer comparison, the same
+    * no-FP-threshold doctrine as the cosine/χ² rows.
+    *
+    * Same distributed skeleton as [[globalRank]] (and the same barrier
+    * caveat): collapse to one candidate per x (only max-y at a given x
+    * can be on the frontier), range-shuffle by x, per-partition y-maxima
+    * → EXCLUSIVE prefix maxima on the driver (partition-count-sized),
+    * then each candidate survives iff its y beats both the prior
+    * partitions' maximum and the running maximum over strictly-smaller x
+    * within its partition (a RANGE frame to −1 — one row per x, so
+    * "strictly smaller" is exact). Equal y at smaller x dominates, so the
+    * comparison is strict. No single-task global sort anywhere; the
+    * frontier itself is O(distinct y) ≤ both axes' cardinalities. */
+  def skylineMinMax(df: DataFrame, xCol: String, yCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    val parted = df.groupBy(col(xCol)).agg(max(col(yCol)).as(yCol))
+      .repartitionByRange(n, col(xCol))
+      .sortWithinPartitions(col(xCol))
+      .withColumn("__pid", spark_partition_id())
+      .cache() // barrier: boundaries resample per action (see globalRank)
+    // partition-count-sized driver exchange, exactly like globalRank's
+    val maxima = parted.groupBy(col("__pid")).agg(max(col(yCol)).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val prefix = (0 until n).scanLeft(Long.MinValue) { (acc, p) =>
+      math.max(acc, maxima.getOrElse(p, Long.MinValue))
+    }
+    val prefExpr = map((0 until n).flatMap(p =>
+      Seq(lit(p), lit(prefix(p)))): _*)
+    val w = Window.partitionBy(col("__pid")).orderBy(col(xCol))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn("__prior", greatest(
+        element_at(prefExpr, col("__pid")),
+        coalesce(max(col(yCol)).over(w), lit(Long.MinValue))))
+      .filter(col(yCol) > col("__prior"))
+      .select(col(xCol), col(yCol))
+  }
 }

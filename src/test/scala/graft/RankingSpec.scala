@@ -40,5 +40,29 @@ class RankingSpec extends SparkSpec {
     assert(out("v") === ((1L, 2L, 2.0, 8.0)))
   }
 
+  test("skylineMinMax equals brute-force Pareto dominance, across partitions") {
+    // deterministic cloud; small coordinate space forces ties in both axes
+    val pts = (0L until 300L).map { i =>
+      val u = i * 7919 + 13; val v = i * 104729 + 7
+      (u * u % 1000003 % 50, v * v % 1000003 % 40)
+    }.toDF("x", "y")
+    val sky = Ranking.skylineMinMax(pts, "x", "y", numPartitions = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = pts.collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val brute = rows.filter { case (x, y) =>
+      !rows.exists { case (qx, qy) =>
+        qx <= x && qy >= y && (qx < x || qy > y) }
+    }.toSet
+    assert(brute.nonEmpty && sky === brute)
+  }
+
+  test("skylineMinMax: equal y at smaller x dominates; single point survives") {
+    val pts = Seq((1L, 5L), (2L, 5L), (3L, 9L), (0L, 1L)).toDF("x", "y")
+    val sky = Ranking.skylineMinMax(pts, "x", "y", numPartitions = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (2,5) dominated by (1,5); (1,5) and (3,9) and (0,1) incomparable
+    assert(sky === Set((0L, 1L), (1L, 5L), (3L, 9L)))
+  }
+
   private def Tables = graft.sources.Tables
 }
