@@ -1337,6 +1337,38 @@ object SparkEntry {
             .as("revenue_scaled"),
           count(lit(1)).as("n_lineitems"))
     }),
+    // TPC-H Q8-shape national market share: within ASIA-customer orders,
+    // the revenue share supplied by CHINA per order year — the
+    // conditional-share two-level aggregate (sum(case)/sum) in exact
+    // scaled-BIGINT arithmetic (q53's revenue idiom; share in basis
+    // points via non-negative div). Fact-side joins shuffle on their
+    // keys; every dimension broadcasts.
+    "q54_market_share" -> ((s, d) => {
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val cn = Tables.nation(s, d)
+      val sn = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+        expr("cast(floor(l_extendedprice * 100) as bigint) * " +
+          "(100 - cast(floor(l_discount * 100) as bigint))").as("rev_scaled"))
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "CHINA", col("rev_scaled"))
+            .otherwise(0L)).as("nation_rev_scaled"),
+          sum(col("rev_scaled")).as("total_rev_scaled"))
+        .withColumn("share_bp",
+          expr("nation_rev_scaled * 10000L div total_rev_scaled"))
+    }),
     // The REAL codec on the gate: synthesize a deterministic solid-gray
     // PNG per document, decode it with javax.imageio, and let the oracle
     // predict width/height/channels/mean analytically — an engine that
@@ -4787,6 +4819,28 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+    // Q8 market-share replay: same scaled-BIGINT revenue, same
+    // conditional/total sums, share by non-negative integer div.
+    "q54_market_share" ->
+      """WITH f AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |         CAST(floor(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(floor(l_discount * 100) AS BIGINT)) AS rev_scaled,
+        |         sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region   ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE r_name = 'ASIA')
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        |       CAST(sum(CASE WHEN supp_nation = 'CHINA' THEN rev_scaled ELSE 0 END) AS BIGINT) AS nation_rev_scaled,
+        |       CAST(sum(rev_scaled) AS BIGINT) AS total_rev_scaled,
+        |       CAST(sum(CASE WHEN supp_nation = 'CHINA' THEN rev_scaled ELSE 0 END) * 10000
+        |            // sum(rev_scaled) AS BIGINT) AS share_bp
+        |FROM f GROUP BY 1""".stripMargin,
     "q41_waiting_suppliers" ->
       """WITH late AS (
         |  SELECT DISTINCT l_orderkey, l_suppkey
