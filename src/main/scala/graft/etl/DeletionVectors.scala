@@ -1,0 +1,127 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Positional deletion vectors — row-level deletes WITHOUT rewriting data
+  * files (the Iceberg v2 / Delta DV mechanism). At 100 TB, a stream of
+  * small takedown/correction requests cannot each pay a partition rewrite
+  * ([[Erasure.eraseKeys]]'s unit of work); instead deletes accumulate as
+  * (file, row-position) tombstones in a side store, every read anti-joins
+  * them out, and a periodic APPLY pass rewrites only the files that
+  * accumulated tombstones, resetting the store.
+  *
+  * Positions come from the parquet reader's own `_metadata.file_path` /
+  * `_metadata.row_index` hidden columns — the scan-derived identity (the
+  * same doctrine as Erasure's scan-derived partition paths: never
+  * reconstruct write-side naming). The data files stay byte-identical
+  * until apply, so concurrent readers of the RAW directory see stable
+  * bytes; readers that must see deletes go through [[readWithDeletes]].
+  *
+  * Scale shape: the tombstone store is delete-sized, not data-sized; reads
+  * broadcast it when small (left-anti join on (file, pos) — Spark picks
+  * broadcast from its size), and [[applyDeletes]] touches only affected
+  * files. The store is append-only parquet; duplicate tombstones are
+  * harmless (anti-join semantics are idempotent).
+  */
+object DeletionVectors {
+
+  private val FileCol = "__dv_file"
+  private val PosCol = "__dv_pos"
+
+  private def withIdentity(spark: SparkSession, dataDir: String): DataFrame =
+    spark.read.parquet(dataDir)
+      .select(col("*"),
+        col("_metadata.file_path").as(FileCol),
+        col("_metadata.row_index").as(PosCol))
+
+  /** Record positional tombstones for every row matching `pred`.
+    * Append-only; returns the number of tombstones written (rows matched,
+    * including rows already tombstoned — re-running is harmless). */
+  def addDeletes(spark: SparkSession, dataDir: String, dvDir: String,
+      pred: org.apache.spark.sql.Column): Long = {
+    val hits = withIdentity(spark, dataDir).filter(pred)
+      .select(col(FileCol).as("file"), col(PosCol).as("pos"))
+    // count + write from one materialization: a tombstone store must not
+    // report rows it did not durably record
+    val n = hits.cache().count()
+    try {
+      if (n > 0) hits.write.mode("append").parquet(dvDir)
+      n
+    } finally hits.unpersist()
+  }
+
+  private def tombstones(spark: SparkSession, dvDir: String): DataFrame = {
+    val d = new java.io.File(dvDir)
+    if (!d.isDirectory)
+      spark.range(0).select(lit("").as("file"), lit(0L).as("pos")).limit(0)
+    else spark.read.parquet(dvDir).select(col("file"), col("pos")).distinct()
+  }
+
+  /** The table with tombstoned rows removed — the read path every
+    * delete-aware consumer uses. One scan + one anti-join against the
+    * delete-sized store. */
+  def readWithDeletes(spark: SparkSession, dataDir: String, dvDir: String): DataFrame = {
+    val dv = tombstones(spark, dvDir)
+    withIdentity(spark, dataDir)
+      .join(dv, col(FileCol) === col("file") && col(PosCol) === col("pos"),
+        "left_anti")
+      .drop(FileCol, PosCol)
+  }
+
+  /** Fold the tombstones into the data: rewrite ONLY the files that carry
+    * deletes (each file's surviving rows re-written as one new file in the
+    * same directory — Hive partition columns embedded in the path are
+    * untouched because the file stays in its directory), then reset the
+    * store. Unaffected files are untouched bytes. Loud failure doctrine:
+    * a missing file or a failed delete throws before the store is reset,
+    * so a partial apply is healed by re-running (tombstones for
+    * already-rewritten files simply match nothing).
+    * Returns (files rewritten, rows dropped). Not safe under concurrent
+    * readers of the affected files — same contract as
+    * [[Sink.backfillPartitions]]; reader-safe folding publishes a new
+    * [[TimeTravel]] run instead. */
+  def applyDeletes(spark: SparkSession, dataDir: String, dvDir: String): (Long, Long) = {
+    val dv = tombstones(spark, dvDir).cache()
+    try {
+      val files = dv.select(col("file")).distinct().collect().map(_.getString(0))
+      if (files.isEmpty) return (0L, 0L)
+      var dropped = 0L
+      files.foreach { f =>
+        val path = new java.io.File(new java.net.URI(f).getPath)
+        require(path.isFile, s"applyDeletes: data file missing on disk: $path")
+        val rows = spark.read.parquet(path.toString)
+          .select(col("*"), col("_metadata.row_index").as(PosCol))
+        val kill = dv.filter(col("file") === f).select(col("pos"))
+        val survivors = rows
+          .join(broadcast(kill), col(PosCol) === col("pos"), "left_anti")
+          .drop(PosCol)
+          .cache()
+        try {
+          val kept = survivors.count()
+          val total = spark.read.parquet(path.toString).count()
+          dropped += total - kept
+          // stage the replacement next to the store, then move it in and
+          // drop the old file — the directory never half-contains a file
+          val stage = new java.io.File(path.getParentFile,
+            s".dv-staging-${path.getName}")
+          if (stage.exists()) Compaction.deleteDir(stage)
+          if (kept > 0) {
+            survivors.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+            val part = stage.listFiles().filter(_.getName.endsWith(".parquet"))
+            require(part.length == 1, s"applyDeletes: expected 1 part file, got ${part.length}")
+            val target = new java.io.File(path.getParentFile,
+              s"part-dv-${System.nanoTime()}-${path.getName.stripPrefix("part-")}")
+            require(part(0).renameTo(target), s"applyDeletes: rename failed for $target")
+          }
+          require(path.delete(), s"applyDeletes: failed to delete rewritten file $path")
+          if (stage.exists()) Compaction.deleteDir(stage)
+        } finally survivors.unpersist()
+      }
+      // all files folded — reset the store (tombstones now point at
+      // deleted files; keeping them would resurrect on name reuse)
+      Compaction.deleteDir(new java.io.File(dvDir))
+      (files.length.toLong, dropped)
+    } finally dv.unpersist()
+  }
+}

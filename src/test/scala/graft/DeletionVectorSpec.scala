@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.DeletionVectors
+
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5s(dir: java.io.File): Map[String, String] =
+    dir.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      f.getName -> java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+    }.toMap
+
+  test("deletes are read-invisible without any data rewrite; re-add idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dv").toString
+    val dataDir = s"$root/data"; val dvDir = s"$root/dv"
+    (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(4).write.parquet(dataDir)
+    val before = md5s(new java.io.File(dataDir))
+
+    val n = DeletionVectors.addDeletes(spark, dataDir, dvDir, col("id") % 10 === 3)
+    assert(n === 10)
+    val kept = DeletionVectors.readWithDeletes(spark, dataDir, dvDir)
+      .select("id").as[Long].collect().sorted
+    assert(kept.length === 90 && !kept.exists(_ % 10 == 3))
+    // data files byte-identical — that is the whole point of the DV store
+    assert(md5s(new java.io.File(dataDir)) === before)
+
+    // duplicate tombstones are harmless
+    DeletionVectors.addDeletes(spark, dataDir, dvDir, col("id") % 10 === 3)
+    assert(DeletionVectors.readWithDeletes(spark, dataDir, dvDir).count() === 90)
+  }
+
+  test("applyDeletes rewrites only affected files, resets the store, preserves content") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dv").toString
+    val dataDir = s"$root/data"; val dvDir = s"$root/dv"
+    // file A: ids 0..49, file B: ids 50..99 — deletes land only in A
+    (0L until 50L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.parquet(dataDir)
+    (50L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(dataDir)
+    val before = md5s(new java.io.File(dataDir))
+
+    DeletionVectors.addDeletes(spark, dataDir, dvDir, col("id") < 10)
+    val expected = DeletionVectors.readWithDeletes(spark, dataDir, dvDir)
+      .select("id").as[Long].collect().sorted
+    val (files, dropped) = DeletionVectors.applyDeletes(spark, dataDir, dvDir)
+    assert(files === 1L && dropped === 10L)
+    // store reset; the folded table reads identically through both paths
+    assert(!new java.io.File(dvDir).exists())
+    val after = spark.read.parquet(dataDir).select("id").as[Long].collect().sorted
+    assert(after.toSeq === expected.toSeq)
+    // the untouched file's bytes survived; the affected one was replaced
+    val now = md5s(new java.io.File(dataDir))
+    val surviving = before.filter { case (k, h) => now.get(k).contains(h) }
+    assert(surviving.size === 1, s"expected exactly one untouched file, got $surviving")
+  }
+
+  test("applyDeletes removes a fully-deleted file instead of writing an empty one") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dv").toString
+    val dataDir = s"$root/data"; val dvDir = s"$root/dv"
+    (0L until 20L).map(i => (i, i * 2)).toDF("id", "w")
+      .coalesce(1).write.parquet(dataDir)
+    (20L until 40L).map(i => (i, i * 2)).toDF("id", "w")
+      .coalesce(1).write.mode("append").parquet(dataDir)
+    DeletionVectors.addDeletes(spark, dataDir, dvDir, col("id") < 20)
+    val (files, dropped) = DeletionVectors.applyDeletes(spark, dataDir, dvDir)
+    assert(files === 1L && dropped === 20L)
+    val ids = spark.read.parquet(dataDir).select("id").as[Long].collect().sorted
+    assert(ids.toSeq === (20L until 40L).toSeq)
+  }
+}
