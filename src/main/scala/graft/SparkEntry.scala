@@ -1398,6 +1398,13 @@ object SparkEntry {
       Multimodal.audioEnergy(
         Multimodal.synthesizePcm(
           Tables.documents(s, d).select(col("doc_id")).repartition(64)))),
+    // VAD segmentation over speech-shaped PCM (m4's seam + the island
+    // key): voiced/silent windows collapse into segments; the oracle
+    // replays the analytic gated waveform and the same island SQL.
+    "m17_vad_segments" -> ((s, d) =>
+      Multimodal.vadSegments(
+        Multimodal.synthesizeSpeechPcm(
+          Tables.documents(s, d).select(col("doc_id")).repartition(64)))),
     "m2_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(
         Tables.documents(s, d).select(
@@ -4514,6 +4521,28 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_samples,
         |       CAST(sum(smp * smp) AS BIGINT) AS energy
         |FROM s GROUP BY doc_id, i // 400""".stripMargin,
+    // VAD replay: the analytic speech-gated wave, win=100 energies, the
+    // same ≥1 floor and island collapse.
+    "m17_vad_segments" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 5 + 1) * 400 AS n FROM documents),
+        |s AS (SELECT doc_id, i,
+        |             CASE WHEN ((i + doc_id * 50) // 200) % 2 = 0
+        |                  THEN abs((i * 7 + doc_id) % 200 - 100) * 300
+        |                  ELSE 0 END AS smp
+        |      FROM d, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g),
+        |e AS (SELECT doc_id, i // 100 AS win_idx, sum(smp * smp) AS energy
+        |      FROM s GROUP BY 1, 2),
+        |a AS (SELECT doc_id, win_idx, energy,
+        |             CASE WHEN energy >= 1 THEN 1 ELSE 0 END AS is_voice FROM e),
+        |isl AS (SELECT doc_id, is_voice, win_idx, energy,
+        |               win_idx - row_number() OVER (
+        |                 PARTITION BY doc_id, is_voice ORDER BY win_idx) AS isle
+        |        FROM a)
+        |SELECT doc_id, CAST(is_voice AS BIGINT) AS is_voice,
+        |       CAST(min(win_idx) AS BIGINT) AS start_win,
+        |       CAST(count(*) AS BIGINT) AS n_windows,
+        |       CAST(sum(energy) AS BIGINT) AS energy_total
+        |FROM isl GROUP BY doc_id, is_voice, isle""".stripMargin,
     "m3_real_codec" ->
       """SELECT doc_id,
         |       CAST(doc_id % 16 + 1 AS BIGINT) AS width,

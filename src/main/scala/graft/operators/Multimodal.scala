@@ -616,6 +616,63 @@ object Multimodal {
     }(encoder)
   }
 
+  /** [[synthesizePcm]] with SPEECH structure — alternating voiced/silent
+    * stretches (200-sample blocks, phase-shifted per doc by 50·doc_id so
+    * block edges straddle analysis windows differently across the corpus):
+    * voiced samples carry the m4 triangle wave, silent blocks are true
+    * zeros. The VAD fixture: [[synthesizePcm]]'s tone never goes quiet, so
+    * a silence detector over it is vacuous. */
+  def synthesizeSpeechPcm(ids: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col("doc_id").cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val n = ((id % 5) + 1).toInt * 400
+        val bb = java.nio.ByteBuffer.allocate(n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0L
+        while (i < n) {
+          val voiced = ((i + id * 50L) / 200L) % 2L == 0L
+          val s = if (voiced)
+            (math.abs((i * 7L + id) % 200L - 100L) * 300L).toShort
+          else 0.toShort
+          bb.putShort(s)
+          i += 1L
+        }
+        Row(id, bb.array())
+      }
+    }(encoder)
+  }
+
+  /** Voice-activity segmentation (VAD) — the silence-split every
+    * speech-data pipeline runs before transcription/chunking: windowed
+    * Σs² energies ([[audioEnergy]]) labeled voice/silence by an integer
+    * energy floor, consecutive same-label windows collapsed into segments
+    * by the gaps-and-islands key (win_idx − row_number per (doc, label) —
+    * the t28/m9 island move on the time axis). Output one row per
+    * segment: (doc_id, is_voice, start_win, n_windows, energy_total).
+    *
+    * Scale shape: the codec seam emits window rows (no shuffle), then one
+    * per-(doc, label) window sort and one segment aggregate — clips are
+    * independent, skew bounded by windows-per-clip. All-BIGINT. */
+  def vadSegments(pcm: DataFrame, win: Int = 100, minEnergy: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = audioEnergy(pcm, win)
+      .withColumn("is_voice", (col("energy") >= minEnergy).cast("long"))
+    val w = Window.partitionBy(col("doc_id"), col("is_voice"))
+      .orderBy(col("win_idx"))
+    e.withColumn("__isle", col("win_idx") - row_number().over(w))
+      .groupBy(col("doc_id"), col("is_voice"), col("__isle"))
+      .agg(min(col("win_idx")).as("start_win"),
+        count(lit(1)).as("n_windows"),
+        sum(col("energy")).as("energy_total"))
+      .select(col("doc_id"), col("is_voice"), col("start_win"),
+        col("n_windows"), col("energy_total"))
+  }
+
   /** Temporal audio fingerprint over PCM16LE payloads — the energy-contour
     * signature an audio-dedup pipeline banding step consumes (the coarse
     * Shazam/chromaprint idea with the spectral axis stubbed to total

@@ -388,6 +388,37 @@ class MultimodalSpec extends SparkSpec {
       (0 until 9).map(gx => Multimodal.patternCell(4L, gx, gy).toLong).sum))
   }
 
+  test("vadSegments: hand-built silence splits into alternating labeled segments") {
+    // 400 samples: 100 voiced (1000), 200 silent, 100 voiced → windows
+    // at win=100: voice, silence, silence, voice
+    val bb = java.nio.ByteBuffer.allocate(800)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 400).foreach { i =>
+      bb.putShort(if (i < 100 || i >= 300) 1000.toShort else 0.toShort)
+    }
+    val pcm = Seq((1L, bb.array())).toDF("doc_id", "payload")
+    val segs = Multimodal.vadSegments(pcm)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._2)
+    assert(segs.toSeq === Seq(
+      (1L, 0L, 1L, 100L * 1000000L),
+      (0L, 1L, 2L, 0L),
+      (1L, 3L, 1L, 100L * 1000000L)))
+  }
+
+  test("synthesizeSpeechPcm: silent blocks are true zeros, voiced carry the triangle") {
+    val pcm = Multimodal.synthesizeSpeechPcm(Seq(4L).toDF("doc_id"))
+      .head().getAs[Array[Byte]](1)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(pcm.length === 2 * 2000) // (4 % 5 + 1) * 400 samples
+    (0 until 2000).foreach { i =>
+      val expected =
+        if (((i + 4 * 50) / 200) % 2 == 0) math.abs((i * 7 + 4) % 200 - 100) * 300
+        else 0
+      assert(bb.getShort(i * 2) === expected.toShort, s"sample $i")
+    }
+  }
+
   test("shotBoundaries: cuts where the hash jumps, per-video lag, threshold inclusive") {
     // hand-built hashes: doc 1 static then one 10-bit jump; doc 2 all static
     val fh = Seq(
