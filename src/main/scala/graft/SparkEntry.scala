@@ -1337,6 +1337,20 @@ object SparkEntry {
             .as("revenue_scaled"),
           count(lit(1)).as("n_lineitems"))
     }),
+    // TPC-H Q13-shape customer order-count distribution: orders per
+    // customer INCLUDING zero-order customers (the left join that makes
+    // Q13 Q13 — an inner join silently drops the zero bucket), then the
+    // histogram of those counts. Two aggregates, one key-shuffled left
+    // join.
+    "q55_cust_order_dist" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
     // TPC-H Q8-shape national market share: within ASIA-customer orders,
     // the revenue share supplied by CHINA per order year — the
     // conditional-share two-level aggregate (sum(case)/sum) in exact
@@ -4848,6 +4862,14 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+    // Q13 replay: left join keeps zero-order customers, count(o_orderkey)
+    // ignores the null rows, then the count-of-counts histogram.
+    "q55_cust_order_dist" ->
+      """WITH pc AS (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |            GROUP BY c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM pc GROUP BY c_count""".stripMargin,
     // Q8 market-share replay: same scaled-BIGINT revenue, same
     // conditional/total sums, share by non-negative integer div.
     "q54_market_share" ->
