@@ -2294,6 +2294,13 @@ object SparkEntry {
     // each triangle found once at its lowest-order apex.
     "g2_triangles" -> ((s, d) =>
       Graph.triangles(Graph.docLinkGraph(Tables.documents(s, d)))),
+    // k-core decomposition (k=4) over the undirected simple link graph:
+    // iterative peel to the unique fixed point (peel-order-independent,
+    // so iteration structure is not part of the contract). The 4-core
+    // keeps ~1/10 of nodes at the gate SFs — both peeled and surviving
+    // classes live.
+    "g5_kcore" -> ((s, d) =>
+      Graph.kcore(Graph.docLinkGraph(Tables.documents(s, d)), 4)),
     // BFS hop distances from doc 0, 6 rounds of frontier expansion.
     "g3_bfs_depths" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -3766,6 +3773,31 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node WHERE w.d < 6)
          |SELECT node AS doc_id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node""".stripMargin,
+    // k-core replay: the same undirected simple graph, the peel unrolled
+    // 10 rounds — measured fixed point at the gate SFs is 4-5 rounds
+    // (extra rounds are no-ops once stable; a fixture regeneration that
+    // needs more rounds fails loudly as a value mismatch, not silently).
+    "g5_kcore" -> {
+      val rounds = 10
+      // each round references its predecessor three times — without
+      // MATERIALIZED, CTE inlining re-expands the whole chain 3^rounds
+      // times (observed as a planner/file-handle explosion)
+      val peel = (1 to rounds).map { i =>
+        s"""k$i AS MATERIALIZED (SELECT src AS v FROM e${i - 1} GROUP BY src HAVING count(*) >= 4),
+           |e$i AS MATERIALIZED (SELECT a.src, a.dst FROM e${i - 1} a
+           |        JOIN k$i x ON a.src = x.v JOIN k$i y ON a.dst = y.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ncnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |raw AS (SELECT doc_id AS src,
+         |               ${sqlSampleKey("('pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))")} % n AS dst
+         |        FROM documents CROSS JOIN generate_series(1, 3) t(j) CROSS JOIN ncnt),
+         |sg AS (SELECT src, dst FROM raw WHERE src <> dst),
+         |un AS (SELECT src, dst FROM sg UNION SELECT dst, src FROM sg),
+         |e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM un),
+         |$peel
+         |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM e$rounds GROUP BY src""".stripMargin
+    },
     "u2_scd2_history" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |       lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS valid_to_key,

@@ -177,4 +177,52 @@ object Graph {
         element_at(col("t"), 2).as("b"),
         element_at(col("t"), 3).as("c"))
   }
+
+  /** k-core decomposition (for a fixed k) — the standard "dense part of
+    * the graph" extraction (community seeding, spam-farm isolation,
+    * influence pruning): repeatedly peel every node whose degree in the
+    * REMAINING graph is below k until none is. The fixed point is unique
+    * and peel-order-independent, so any engine reaching it agrees —
+    * iteration count is an implementation detail, not part of the
+    * contract.
+    *
+    * Input edges are made an undirected SIMPLE graph first (self-loops
+    * dropped, multi-edges collapsed, symmetrized) — degree means distinct
+    * neighbors. Each round: one degree aggregate + two semi-joins, all
+    * edge-map-sized; lineage is cut by `localCheckpoint` every round (the
+    * count that drives convergence materializes the round anyway) and the
+    * superseded round's blocks are released — the [[bfsDepths]]
+    * discipline. Rounds are data-dependent (worst case O(n) on a path,
+    * ~O(log n) on real graphs); each is a fixed small plan.
+    * Output: (node, core_deg) — the surviving nodes with their degree
+    * inside the k-core. */
+  def kcore(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val simple = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    var adj = simple
+      .unionAll(simple.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var lastCp: Option[DataFrame] = Some(adj)
+    var nEdges = adj.count()
+    var converged = false
+    while (!converged && nEdges > 0) {
+      val keep = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("v"))
+      val next = adj
+        .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      val n2 = next.count()
+      lastCp.foreach(org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint)
+      lastCp = Some(next)
+      converged = n2 == nEdges
+      nEdges = n2
+      adj = next
+    }
+    adj.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("node"), col("core_deg"))
+  }
 }

@@ -105,4 +105,21 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangles(withRim).collect().toSeq.map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2))) === Seq((0L, 7L, 8L)))
   }
+
+  test("kcore: cascading peel reaches the unique fixed point; loops/multi-edges ignored") {
+    // 4-clique {1,2,3,4} + tail 4-5-6; a self-loop and a duplicate edge
+    // must not inflate degrees
+    val clique = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val edges = (clique ++ Seq((4L, 5L), (5L, 6L), (5L, 5L), (4L, 5L)))
+      .toDF("src", "dst")
+    val core3 = Graph.kcore(edges, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=2 peels 6 first, THEN 5 (two cascading rounds), keeping the clique
+    val core2 = Graph.kcore(edges, 2).collect().map(_.getLong(0)).toSet
+    assert(core2 === Set(1L, 2L, 3L, 4L))
+    // a path has no 2-core at all — full cascade to empty
+    val path = (1L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    assert(Graph.kcore(path, 2).isEmpty)
+  }
 }
