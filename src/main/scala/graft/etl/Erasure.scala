@@ -143,6 +143,22 @@ object Erasure {
     * dirs were already rewritten — a partial composed erasure). The key
     * VALUES are one id space (the `keys` frame); only the column name a
     * store filters on differs. */
+  /** Soft erasure through [[DeletionVectors]] — the LOW-LATENCY half of
+    * the right-to-be-forgotten pipeline: tombstone every row carrying one
+    * of the keys (delete-sized write, zero data rewritten, effective for
+    * all [[DeletionVectors.readWithDeletes]] readers immediately), and
+    * let the periodic [[DeletionVectors.applyDeletes]] maintenance pass
+    * make it physical. [[eraseKeys]] remains the one-shot physical path;
+    * this is what a takedown queue drains between compactions. The key
+    * frame is collected (takedown batches are request-sized, not
+    * data-sized) into an `isin` predicate pushed to the scan. */
+  def softEraseKeys(spark: SparkSession, dataDir: String, dvDir: String,
+      keyCol: String, keys: DataFrame): Long = {
+    val ks = keys.select(col(keyCol)).distinct().collect().map(_.get(0))
+    if (ks.isEmpty) return 0L
+    DeletionVectors.addDeletes(spark, dataDir, dvDir, col(keyCol).isin(ks: _*))
+  }
+
   def eraseKeysEverywhereKeyed(spark: SparkSession, dataDir: String,
       partCols: Seq[String], keyCol: String, keys: DataFrame,
       storeKeys: Seq[(String, String)], labelStorePaths: Seq[String])

@@ -59,6 +59,24 @@ class DeletionVectorSpec extends SparkSpec {
     assert(surviving.size === 1, s"expected exactly one untouched file, got $surviving")
   }
 
+  test("softEraseKeys: tombstoned keys vanish from delete-aware reads, data untouched until apply") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dv").toString
+    val dataDir = s"$root/data"; val dvDir = s"$root/dv"
+    (0L until 60L).map(i => (i, s"u$i")).toDF("user_id", "v")
+      .repartition(3).write.parquet(dataDir)
+    val before = md5s(new java.io.File(dataDir))
+    val keys = Seq(7L, 11L, 7L).toDF("user_id") // dup key in the request
+    val n = graft.etl.Erasure.softEraseKeys(spark, dataDir, dvDir, "user_id", keys)
+    assert(n === 2)
+    val left = DeletionVectors.readWithDeletes(spark, dataDir, dvDir)
+      .select("user_id").as[Long].collect().toSet
+    assert(!left.contains(7L) && !left.contains(11L) && left.size === 58)
+    assert(md5s(new java.io.File(dataDir)) === before)
+    // apply makes it physical
+    DeletionVectors.applyDeletes(spark, dataDir, dvDir)
+    assert(spark.read.parquet(dataDir).count() === 58)
+  }
+
   test("applyDeletes removes a fully-deleted file instead of writing an empty one") {
     val root = java.nio.file.Files.createTempDirectory("graft_dv").toString
     val dataDir = s"$root/data"; val dvDir = s"$root/dv"
