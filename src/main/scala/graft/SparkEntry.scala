@@ -2591,6 +2591,23 @@ object SparkEntry {
         snap("1998-01-01", "2000-01-01"),
         Seq("o_custkey"))
     }),
+    // CDC log compaction: a synthesized I/U/D change log (op from the
+    // order key's residue class, seq = o_orderkey unique per key)
+    // collapsed to its net effect per customer — one struct-min/max
+    // aggregate, no per-key window sort. D rows carry payload NULL in the
+    // operator; the gate coalesces to -1 (null-vs-NaN float drift in the
+    // compare layer is not worth testing here — MergeSpec pins the null).
+    "u5_cdc_compact" -> ((s, d) => {
+      val cdc = Tables.orders(s, d).select(
+        col("o_custkey").as("key"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 7 === 0, "I")
+          .when(col("o_orderkey") % 7 < 4, "U").otherwise("D").as("op"),
+        floor(col("o_totalprice") * 100).cast("long").as("payload"))
+      Merge.cdcCompact(cdc)
+        .select(col("key"), col("net_op"),
+          coalesce(col("payload"), lit(-1L)).as("payload"))
+    }),
     // Rolling z-score anomaly detection over each user's event stream —
     // frame excludes the current row; unscoreable rows (under 5 priors,
     // zero variance) dropped.
@@ -4974,6 +4991,23 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'ref_l_orderkey_in_o_orderkey', round(orphans, 7),
         |         CAST(CASE WHEN orphans = 0.0 THEN 1 ELSE 0 END AS BIGINT)) u""".stripMargin,
+    // Compaction replay: arg_min/arg_max by seq (unique per key), the
+    // same net rules, D payload as -1.
+    "u5_cdc_compact" ->
+      """WITH cdc AS (SELECT o_custkey AS key, o_orderkey AS seq,
+        |                    CASE WHEN o_orderkey % 7 = 0 THEN 'I'
+        |                         WHEN o_orderkey % 7 < 4 THEN 'U'
+        |                         ELSE 'D' END AS op,
+        |                    CAST(floor(o_totalprice * 100) AS BIGINT) AS payload
+        |             FROM orders),
+        |a AS (SELECT key, arg_min(op, seq) AS fop, arg_max(op, seq) AS lop,
+        |             arg_max(payload, seq) AS lpay
+        |      FROM cdc GROUP BY key)
+        |SELECT key,
+        |       CASE WHEN fop = 'I' THEN 'I'
+        |            WHEN lop = 'D' THEN 'D' ELSE 'U' END AS net_op,
+        |       CAST(CASE WHEN lop = 'D' THEN -1 ELSE lpay END AS BIGINT) AS payload
+        |FROM a WHERE NOT (fop = 'I' AND lop = 'D')""".stripMargin,
     "u3_snapshot_diff" ->
       """WITH prev AS (
         |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, max(o_totalprice) AS max_price

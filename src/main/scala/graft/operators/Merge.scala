@@ -89,4 +89,39 @@ object Merge {
         c => c == versionCol || c == opCol).map(col)): _*)).as("__w"))
       .select(key.map(col) ++ payload.map(c => col(s"__w.$c").as(c)): _*)
   }
+
+  /** CDC log compaction — collapse a change-log SEGMENT (I/U/D events per
+    * key, totally ordered by `seqCol` within a key) to its NET effect, the
+    * maintenance pass that keeps a Debezium-style feed replayable without
+    * growing forever: applying the compacted segment to any base snapshot
+    * produces the same table as replaying the raw segment (spec-pinned).
+    * Net rules per key: first=I ∧ last=D → the key is transient, NO
+    * output row; first=I → net I with the final payload; last=D → net D
+    * (payload null — the row is gone); otherwise net U with the final
+    * payload.
+    *
+    * Scale shape: ONE grouped aggregate — first/last events by
+    * lexicographic struct-min/max on (seq, ...) (no per-key window sort,
+    * the d9 struct-max move). `seqCol` must be unique per key or
+    * first/last are ill-defined (the same contract latestPerKey states
+    * via its version column). */
+  def cdcCompact(cdc: DataFrame, keyCol: String = "key", seqCol: String = "seq",
+      opCol: String = "op", payloadCol: String = "payload"): DataFrame = {
+    val agg = cdc.groupBy(col(keyCol))
+      .agg(
+        min(struct(col(seqCol), col(opCol))).as("__first"),
+        max(struct(col(seqCol), col(opCol), col(payloadCol))).as("__last"))
+      .select(col(keyCol),
+        col(s"__first.$opCol").as("__fop"),
+        col(s"__last.$opCol").as("__lop"),
+        col(s"__last.$payloadCol").as("__lpay"))
+    agg
+      .filter(!(col("__fop") === "I" && col("__lop") === "D"))
+      .select(col(keyCol),
+        when(col("__fop") === "I", "I")
+          .when(col("__lop") === "D", "D")
+          .otherwise("U").as("net_op"),
+        when(col("__lop") === "D", lit(null).cast(cdc.schema(payloadCol).dataType))
+          .otherwise(col("__lpay")).as(payloadCol))
+  }
 }

@@ -158,5 +158,37 @@ class MergeSpec extends SparkSpec {
     assert(rebuilt.except(next).isEmpty && next.except(rebuilt).isEmpty)
   }
 
+  test("cdcCompact: net rules per class; applying the compacted segment ≡ replaying the raw log") {
+    // base keys 10, 20, 30; log covers every net class incl. a transient
+    // key and a delete-then-reinsert
+    val cdc = Seq(
+      (40L, 1L, "I", 400L), (40L, 2L, "U", 401L), // new key, updated → I final
+      (50L, 1L, "I", 500L), (50L, 2L, "D", 0L),   // transient → no row
+      (10L, 1L, "U", 101L), (10L, 2L, "U", 102L), // updated → U final
+      (20L, 1L, "U", 201L), (20L, 2L, "D", 0L),   // deleted → D, payload null
+      (30L, 1L, "D", 0L), (30L, 2L, "I", 301L)    // delete+reinsert → U final
+    ).toDF("key", "seq", "op", "payload")
+    val net = Merge.cdcCompact(cdc)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(net === Map(
+      40L -> (("I", Some(401L))),
+      10L -> (("U", Some(102L))),
+      20L -> (("D", None)),
+      30L -> (("U", Some(301L)))))
+    // replay equivalence: raw log applied in seq order ≡ compacted applied
+    val base = scala.collection.mutable.Map(10L -> 100L, 20L -> 200L, 30L -> 300L)
+    val replayed = base.clone()
+    cdc.collect().sortBy(r => (r.getLong(0), r.getLong(1))).foreach { r =>
+      if (r.getString(2) == "D") replayed.remove(r.getLong(0))
+      else replayed(r.getLong(0)) = r.getLong(3)
+    }
+    val compacted = base.clone()
+    net.foreach { case (k, (op, p)) =>
+      if (op == "D") compacted.remove(k) else compacted(k) = p.get
+    }
+    assert(compacted === replayed)
+  }
+
   private def Tables = graft.sources.Tables
 }
