@@ -1337,6 +1337,30 @@ object SparkEntry {
             .as("revenue_scaled"),
           count(lit(1)).as("n_lineitems"))
     }),
+    // TPC-H Q22-shape sales opportunity: customers with above-average
+    // POSITIVE balance and no orders, by nation. The average is an exact
+    // integer-cent floor (sum div count) — a DOUBLE avg threshold would
+    // flip boundary customers on cross-engine summation order. Scalar
+    // subquery as a broadcast one-row cross join; anti join for "no
+    // orders".
+    "q56_sales_opportunity" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+        floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      val thr = c.filter(col("bal_c") > 0)
+        .agg(expr("sum(bal_c) div count(1)").as("__thr"))
+      c.filter(col("bal_c") > 0)
+        .crossJoin(broadcast(thr))
+        .filter(col("bal_c") > col("__thr"))
+        // "no RECENT orders" — the fixture's order density makes the
+        // all-time version vacuous (0 rows at sf0.01, a pass that tests
+        // nothing); the 1998+ window keeps both branches live
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_c"))
+    }),
     // TPC-H Q13-shape customer order-count distribution: orders per
     // customer INCLUDING zero-order customers (the left join that makes
     // Q13 Q13 — an inner join silently drops the zero bucket), then the
@@ -4911,6 +4935,22 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+    // Q22 replay: integer-cent floor average (sum // count over positive
+    // balances), NOT IN via anti semantics, same grouping.
+    "q56_sales_opportunity" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |                  CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+        |           FROM customer),
+        |t AS (SELECT CAST(sum(bal_c) // count(*) AS BIGINT) AS thr
+        |      FROM c WHERE bal_c > 0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+        |FROM c CROSS JOIN t
+        |WHERE bal_c > 0 AND bal_c > thr
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |GROUP BY c_nationkey""".stripMargin,
     // Q13 replay: left join keeps zero-order customers, count(o_orderkey)
     // ignores the null rows, then the count-of-counts histogram.
     "q55_cust_order_dist" ->
