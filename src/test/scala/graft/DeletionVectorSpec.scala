@@ -77,6 +77,32 @@ class DeletionVectorSpec extends SparkSpec {
     assert(spark.read.parquet(dataDir).count() === 58)
   }
 
+  test("streaming takedown queue: keyed tombstones drain per micro-batch, reads exclude all") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dv").toString
+    val dataDir = s"$root/data"; val dvDir = s"$root/dv"
+    (0L until 80L).map(i => (i, s"u$i")).toDF("user_id", "v")
+      .repartition(2).write.parquet(dataDir)
+    // takedown requests arrive as two micro-batches
+    val srcDir = s"$root/keys"
+    Seq(3L, 9L).toDF("user_id").write.parquet(s"$srcDir/b0")
+    Seq(9L, 14L).toDF("user_id").write.parquet(s"$srcDir/b1") // 9 repeated across batches
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+    val q = graft.streaming.StreamingTakedown.run(
+      stream, dataDir, dvDir, "user_id", s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    val left = DeletionVectors.readWithDeletes(spark, dataDir, dvDir)
+      .select("user_id").as[Long].collect().toSet
+    assert(left.size === 77 && Set(3L, 9L, 14L).forall(!left.contains(_)))
+    // apply (the maintenance window) makes it physical
+    DeletionVectors.applyDeletes(spark, dataDir, dvDir)
+    assert(spark.read.parquet(dataDir).count() === 77)
+  }
+
   test("applyDeletes removes a fully-deleted file instead of writing an empty one") {
     val root = java.nio.file.Files.createTempDirectory("graft_dv").toString
     val dataDir = s"$root/data"; val dvDir = s"$root/dv"
