@@ -1828,6 +1828,14 @@ object SparkEntry {
           floor(col("l_extendedprice") * 100).cast("long").as("price_c"),
           floor(col("l_quantity")).cast("long").as("qty")),
         "price_c", "qty")),
+    // Ordered 3-step funnel (view → click → purchase, 24h attribution
+    // window anchored at the first view): sequence-matched stage
+    // timestamps by chained conditional mins — N key-shuffles, no
+    // per-user event sort. All three reach-classes live at both SFs.
+    "q57_ordered_funnel" -> ((s, d) =>
+      Timeseries.orderedFunnel(Tables.events(s, d),
+        Seq("view", "click", "purchase"), windowHours = 24)
+        .groupBy(col("reached")).agg(count(lit(1)).as("n_users"))),
     // First-order Markov transition matrix over per-user event sequences
     // (path analysis / next-step features): consecutive-event bigrams
     // under the tie-free (ts, event_id) order, counts + row-conditional
@@ -3415,6 +3423,22 @@ object SparkEntry {
         |               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
         |      FROM pm)
         |SELECT price_c, qty FROM w WHERE prior IS NULL OR qty > prior""".stripMargin,
+    // Ordered-funnel replay: the same chained conditional mins (strictly
+    // after the previous stage, within 24h of stage 1).
+    "q57_ordered_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, any_value(t1) AS t1, min(e.ts) AS t2
+        |       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |         AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOURS
+        |       GROUP BY s1.user_id),
+        |s3 AS (SELECT s2.user_id, any_value(t2) AS t2, min(e.ts) AS t3
+        |       FROM s2 LEFT JOIN e ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |         AND e.ts > s2.t2 AND e.ts <= s2.t1 + INTERVAL 24 HOURS
+        |       GROUP BY s2.user_id)
+        |SELECT CAST(1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT AS BIGINT) AS reached,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM s3 GROUP BY 1""".stripMargin,
     // Transition-matrix replay: identical lead() bigrams under the same
     // tie-free order; counts non-negative so // ≡ div.
     "x20_event_transitions" ->

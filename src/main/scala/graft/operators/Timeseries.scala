@@ -245,6 +245,45 @@ object Timeseries {
         expr("n * 10000L div __n_from").as("prob_bp"))
   }
 
+  /** Ordered multi-step funnel — "did the user do A, THEN B, THEN C within
+    * the window": the sequence-matching funnel (q25's two-step version has
+    * no order constraint beyond one comparison). Stage i's timestamp is
+    * the user's FIRST `steps(i)` event STRICTLY after stage i−1's
+    * (same-instant events do not chain), and — when `windowHours` > 0 —
+    * within the window anchored at stage 1 (the standard attribution
+    * window). Stage i is structurally null whenever stage i−1 is (the
+    * strict-after condition propagates nulls), so `reached` = 1 + count
+    * of non-null later stages is well-formed.
+    *
+    * Scale shape: one grouped min per stage over the type-filtered events
+    * (filters push to the scan), each joined back on the user key — N
+    * key-shuffles for an N-step funnel, no window function, no per-user
+    * event sort. Output: one row per user who reached stage 1:
+    * (key, reached). */
+  def orderedFunnel(events: DataFrame, steps: Seq[String],
+      keyCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", windowHours: Int = 0): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    val k = col(keyCol)
+    var cur = events.filter(col(typeCol) === steps.head)
+      .groupBy(k).agg(min(col(tsCol)).as("t1"))
+    steps.tail.zipWithIndex.foreach { case (st, i) =>
+      val idx = i + 2
+      val stepEvents = events.filter(col(typeCol) === st)
+        .select(k, col(tsCol).as("__ts"))
+      val inWindow = if (windowHours > 0)
+        col("__ts") <= expr(s"t1 + INTERVAL $windowHours HOURS") else lit(true)
+      val keys = cur.columns.map(col)
+      cur = cur.join(stepEvents, Seq(keyCol), "left")
+        .groupBy(keys: _*)
+        .agg(min(when(col("__ts") > col(s"t${idx - 1}") && inWindow,
+          col("__ts"))).as(s"t$idx"))
+    }
+    cur.select(k,
+      (lit(1L) + steps.tail.indices.map(i =>
+        col(s"t${i + 2}").isNotNull.cast("long")).reduce(_ + _)).as("reached"))
+  }
+
   /** Exact OLS trend slope per group over integer (x, y) points — the
     * closed-form least-squares fit a monitoring/reporting layer runs per
     * series ("is revenue trending up, and how fast"), kept in pure BIGINT

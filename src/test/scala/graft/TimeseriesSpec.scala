@@ -174,6 +174,26 @@ class TimeseriesSpec extends SparkSpec {
       ("a", "b", 1L, 5000L), ("a", "c", 1L, 5000L), ("b", "a", 2L, 10000L)))
   }
 
+  test("orderedFunnel: order and window enforced, same-instant never chains, no-entry absent") {
+    def ts(h: Int) = new java.sql.Timestamp(h * 3600000L)
+    val events = Seq(
+      // user 1: full ordered sequence inside 24h → reached 3
+      (1L, "view", ts(0)), (1L, "click", ts(2)), (1L, "purchase", ts(5)),
+      // user 2: click BEFORE the first view → never chains → 1
+      (2L, "click", ts(0)), (2L, "view", ts(3)),
+      // user 3: click inside, purchase outside the 24h window → 2
+      (3L, "view", ts(0)), (3L, "click", ts(1)), (3L, "purchase", ts(30)),
+      // user 4: click at the SAME instant as view (strict >) → 1
+      (4L, "view", ts(0)), (4L, "click", ts(0)),
+      // user 5: no view at all → absent
+      (5L, "click", ts(0)), (5L, "purchase", ts(1))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Timeseries.orderedFunnel(events,
+      Seq("view", "click", "purchase"), windowHours = 24)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
   test("trendSlope: exact integer slope, sign handled before div, zero-variance dropped") {
     // perfect lines: slope 3 and −3; truncation case 0.5 → 0 (never −1);
     // single-x group has den = 0 and is dropped
