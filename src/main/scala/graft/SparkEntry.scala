@@ -1688,6 +1688,19 @@ object SparkEntry {
         minRun = 4)
       Dedup.clusters(ids, runs.select(col("doc_a"), col("doc_b")).distinct())
     }),
+    // Mirror-invariant image dedup: flipped re-uploads (every byte AND
+    // the plain dHash change) pair through the canonical min-over-
+    // orientations signature; equality self-join on the 8-byte canon.
+    // doc_id < 300 caps the replay at a fixed ABSOLUTE size.
+    "m18_mirror_dedup" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 300)
+      val sigs = Multimodal.imageDhashMirrorInvariant(
+        Multimodal.synthesizeMirrorPngs(ids.repartition(64)))
+      sigs.as("a").join(sigs.as("b"),
+          col("a.canon") === col("b.canon") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    }),
     // Shot-boundary detection WITHIN videos (m9 dedups across videos; this
     // segments inside one): shot-structured synthesized containers (static
     // 3-frame shots of videoCell grids) through the same demux + per-frame
@@ -4814,6 +4827,35 @@ object SparkEntry {
          |       CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
          |FROM (SELECT doc_id FROM documents WHERE doc_id < 120) d
          |LEFT JOIN lab l ON l.doc_id = d.doc_id""".stripMargin,
+    // Mirror-dedup replay: both orientations' 56-bit packed hashes from
+    // the analytic grid (mirror = gx ← 8−gx), canonical = least of the
+    // two — identical for both family variants by construction.
+    "m18_mirror_dedup" ->
+      """WITH md AS (SELECT doc_id, doc_id // 2 AS f
+        |            FROM documents WHERE doc_id < 300),
+        |mb AS (SELECT doc_id, o.o AS orient, gx, gy,
+        |              (f * 10) * 8209 +
+        |              (CASE WHEN o.o = 1 THEN 8 - gx ELSE gx END) * 17 +
+        |              gy * 29 + 13 AS u
+        |       FROM md CROSS JOIN (VALUES (0), (1)) o(o)
+        |       CROSS JOIN generate_series(0, 8) tx(gx)
+        |       CROSS JOIN generate_series(0, 6) ty(gy)),
+        |mc AS (SELECT doc_id, orient, gx, gy, ((u * u) % 1000003) % 241 AS v FROM mb),
+        |mbits AS (SELECT a.doc_id, a.orient, a.gx AS x, a.gy AS y,
+        |                 CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |          FROM mc a JOIN mc b
+        |            ON b.doc_id = a.doc_id AND b.orient = a.orient
+        |           AND b.gy = a.gy AND b.gx = a.gx + 1
+        |          WHERE a.gx <= 7),
+        |mh AS (SELECT doc_id, orient,
+        |              CAST(sum(CASE WHEN bit = 1
+        |                       THEN (CAST(1 AS BIGINT) << (y * 8 + x))
+        |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS h
+        |       FROM mbits GROUP BY 1, 2),
+        |mcanon AS (SELECT doc_id, min(h) AS canon FROM mh GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM mcanon a JOIN mcanon b
+        |  ON a.canon = b.canon AND a.doc_id < b.doc_id""".stripMargin,
     // Shot-boundary replay: videoCell per (doc, frame div 3) — identical
     // injective-square mix — packed to the same 56-bit frame hash, then
     // the same lag + bit_count(xor) ≥ 10 chain.

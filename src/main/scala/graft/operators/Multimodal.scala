@@ -336,6 +336,82 @@ object Multimodal {
     sig
   }
 
+  /** Mirror-pair image synthesis — the horizontal-flip near-dup fixture
+    * (flipped re-uploads are the classic dedup evader: every byte AND the
+    * plain dHash change, the content doesn't). Families of two share one
+    * 9×7 analytic grid ([[videoCell]] at frame 0 — the sign-safe 56-bit
+    * raster shape): variant 0 is the base 18×14 PNG, variant 1 the
+    * horizontally flipped raster (cell gx ← 8−gx). */
+  def synthesizeMirrorPngs(ids: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col("doc_id").cast("long")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val family = id / 2
+        val flipped = id % 2 == 1
+        val img = new java.awt.image.BufferedImage(
+          18, 14, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var gy = 0
+        while (gy < 7) {
+          var gx = 0
+          while (gx < 9) {
+            val src = if (flipped) 8 - gx else gx
+            val g = videoCell(family, 0, src, gy)
+            val rgb = (g << 16) | (g << 8) | g
+            img.setRGB(gx * 2, gy * 2, rgb); img.setRGB(gx * 2 + 1, gy * 2, rgb)
+            img.setRGB(gx * 2, gy * 2 + 1, rgb); img.setRGB(gx * 2 + 1, gy * 2 + 1, rgb)
+            gx += 1
+          }
+          gy += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray)
+      }
+    }(encoder)
+  }
+
+  /** Mirror-invariant perceptual signature: the MIN of the dHash over both
+    * horizontal orientations — flip-invariant by construction (flipping
+    * the image permutes the same two-hash set), so a flipped re-upload
+    * lands in the same dedup bucket while the plain [[imageDhash]] misses
+    * it (spec-pinned both ways). One decode per row; the flip is a pixel
+    * copy, not a re-decode. Default 8×7 grid keeps the packed hash off
+    * the sign bit (the m9 rule), so MIN compares identically as SQL
+    * BIGINT `least`. Output: (doc_id, canon). */
+  def imageDhashMirrorInvariant(df: DataFrame, gridW: Int = 8, gridH: Int = 7): DataFrame = {
+    require(gridW >= 1 && gridH >= 1 && gridW.toLong * gridH <= 63,
+      s"mirror-invariant dHash grid ${gridW}x$gridH must stay off the sign bit")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("canon", LongType)))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col("doc_id").cast("long"), col("payload")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val in = r.getAs[Array[Byte]](1)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(in))
+        require(img != null, s"payload (${in.length} bytes) is not a decodable image")
+        val w = img.getWidth; val h = img.getHeight
+        // TYPE_INT_RGB explicitly: a PNG decode can surface TYPE_CUSTOM
+        // (0), which the BufferedImage constructor rejects
+        val flip = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { flip.setRGB(w - 1 - x, y, img.getRGB(x, y)); x += 1 }
+          y += 1
+        }
+        Row(r.getLong(0), math.min(dhashOf(img, gridW, gridH), dhashOf(flip, gridW, gridH)))
+      }
+    }(encoder)
+  }
+
   /** The analytic frame-cell formula behind [[synthesizeVideos]] — single
     * source for the synthesizer and its spec/oracle replays. `family` is
     * the shared-content group (doc_id div 3), `ci` the CONTENT frame index

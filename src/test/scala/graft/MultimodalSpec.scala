@@ -388,6 +388,25 @@ class MultimodalSpec extends SparkSpec {
       (0 until 9).map(gx => Multimodal.patternCell(4L, gx, gy).toLong).sum))
   }
 
+  test("mirror dedup: flips pair under the canonical signature, NOT under plain dHash") {
+    val ids = (0L until 20L).toDF("doc_id")
+    val pngs = Multimodal.synthesizeMirrorPngs(ids)
+    val canon = Multimodal.imageDhashMirrorInvariant(pngs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every family's two variants share the canonical signature
+    (0L until 10L).foreach { f =>
+      assert(canon(2 * f) === canon(2 * f + 1), s"family $f")
+    }
+    // distinct families don't merge on this fixture
+    assert(canon.values.toSet.size === 10)
+    // and the PLAIN dHash misses every flip pair (the invariance is load-bearing)
+    val plain = Multimodal.imageDhash(pngs, gridW = 8, gridH = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach { f =>
+      assert(plain(2 * f) !== plain(2 * f + 1), s"family $f paired without invariance")
+    }
+  }
+
   test("vadSegments: hand-built silence splits into alternating labeled segments") {
     // 400 samples: 100 voiced (1000), 200 silent, 100 voiced → windows
     // at win=100: voice, silence, silence, voice
