@@ -2532,6 +2532,11 @@ object SparkEntry {
     }),
     // ---- similarity search ----
     "s1_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
+    // Filtered vector search: exact top-5 among label = 1 only — the
+    // predicate PRE-filters the corpus side (post-filtering a plain
+    // top-k under-fills k; spec-pinned). Queries from the unfiltered set.
+    "s21_filtered_ann" -> ((s, d) =>
+      Similarity.filteredTopK(Tables.embeddings(s, d), col("label") === 1)),
     "s2_ann_lsh" -> ((s, d) => Similarity.lshNeighbors(Tables.embeddings(s, d))),
     // IVF ANN: deterministic end-to-end (LSH cells, quantized-integer mean
     // centroids, total orderings) so the oracle replays the whole pipeline.
@@ -4570,6 +4575,18 @@ object SparkEntry {
       s"""WITH ${sqlExactRankedCtes(10)}
          |SELECT query_id, neighbor_id, round(cosine, 7) AS cosine, "rank"
          |FROM exact_ranked WHERE "rank" <= 5""".stripMargin,
+    // Filtered-ANN replay: s1's exact rank chain with the label predicate
+    // on the CORPUS side only.
+    "s21_filtered_ann" ->
+      s"""WITH xq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |xc AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE label = 1),
+         |xs AS (SELECT query_id, neighbor_id, ${sqlCosine("qe", "ce")} AS cosine
+         |       FROM xq JOIN xc ON query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
+         |      FROM xs)
+         |SELECT query_id, neighbor_id, round(cosine, 7) AS cosine, "rank"
+         |FROM r WHERE "rank" <= 5""".stripMargin,
     // Centered LSH: hyperplanes project (embedding − corpus mean); the mean
     // replays VectorSumAgg's quantized-integer sums exactly (trunc(x·2^20)
     // BIGINTs — order-independent), same pattern as the s3 centroids.

@@ -53,6 +53,40 @@ object Similarity {
         col("rank"))
   }
 
+  /** FILTERED exact top-k — vector search under a metadata predicate
+    * ("nearest neighbors among label = X"), the serving shape every
+    * production vector store grew in the RAG era. The load-bearing
+    * decision is WHERE the filter runs: PRE-filter (here — the predicate
+    * restricts the corpus side before any scoring, pushing to the scan)
+    * returns k true neighbors from the eligible set; post-filtering an
+    * unfiltered top-k under-fills or empties k whenever the filter is
+    * selective (the classic filtered-ANN bug). Queries come from the
+    * UNfiltered set — a query need not satisfy its own filter.
+    *
+    * Same plan as [[bruteForceTopK]]: query side broadcast, corpus side
+    * one shuffle-free scored pass, per-query k by window over the
+    * (cosine DESC, neighbor_id) total order. For the IVF-accelerated
+    * variant at corpus scale, apply the same predicate to the CODES frame
+    * before ADC scoring — selectivity composes with cell pruning. */
+  def filteredTopK(emb: DataFrame, pred: Column, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        VectorMath.norm2(col("embedding")).as("qn"))
+    val c = emb.filter(pred)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        VectorMath.norm2(col("embedding")).as("cn"))
+    val scored = broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorMath.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 7).as("cosine"), col("rank"))
+  }
+
   /** `nBits`-bit sign signature of each embedding under deterministic
     * pseudo-random hyperplanes (component (b,d) =
     * (((b·104729 + d·7919 + 12345)²) mod 1000003)/1000003 − 0.5 — stateless,

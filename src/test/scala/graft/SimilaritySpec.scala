@@ -22,6 +22,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out === Seq((1L, 1L), (4L, 2L)))
   }
 
+  test("filteredTopK: predicate pre-filters the corpus; post-filtering would under-fill k") {
+    // query 0's two nearest (1, 4) are label 0 — a post-filtered top-2
+    // would return NOTHING with label 1; the pre-filter returns the two
+    // best ELIGIBLE neighbors instead
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (4L, Array(0.8f, 0.2f), 0),
+      (2L, Array(0.7f, 0.3f), 1), (3L, Array(0.0f, 1.0f), 1),
+      (5L, Array(0.6f, 0.4f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.filteredTopK(labeled, col("label") === 1,
+      nQueries = 1, k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    assert(out === Seq((2L, 1L), (5L, 2L))) // best label-1 neighbors of (1,0)
+  }
+
   test("lsh signatures put identical vectors in the same bucket") {
     val dup = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
       (2L, Array(-1.0f, -2.0f, -3.0f))).toDF("vec_id", "embedding")
