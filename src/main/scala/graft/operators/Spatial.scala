@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
 object Spatial {
 
   /** All unordered pairs (id_a < id_b) within `radius` in the planar L2
-    * metric, with the exact squared distance. Expects NON-NEGATIVE integer
-    * coordinates (cell ids use floor division — the synthesizers keep
-    * coordinates in [0, extent); recenter shifted data before calling).
+    * metric, with the exact squared distance. Coordinates may be any
+    * BIGINT (cell ids use TRUE floor division — a truncate-toward-zero
+    * `div` would make the cell at the origin 2r wide and silently miss
+    * cross-origin neighbor pairs; the double-based floor is exact for
+    * |coord| < 2⁵², far beyond any projected-coordinate unit).
     *
     * Dedup is structural, not a DISTINCT: the pair {A, B} joins once as
     * (A-replica, B-home) and once as (B-replica, A-home); `id_a < id_b`
@@ -39,8 +41,8 @@ object Spatial {
     require(radius >= 1, s"radius must be positive, got $radius")
     val cells = points.select(col(idCol).as("id"),
       col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"),
-      (col(xCol).cast("long") / radius).cast("long").as("cx"),
-      (col(yCol).cast("long") / radius).cast("long").as("cy"))
+      floor(col(xCol).cast("long") / radius).cast("long").as("cx"),
+      floor(col(yCol).cast("long") / radius).cast("long").as("cy"))
     val offsets = array((for { dx <- -1 to 1; dy <- -1 to 1 } yield
       struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
     val rep = cells.select(col("id").as("id_a"), col("x").as("xa"),

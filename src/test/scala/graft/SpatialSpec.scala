@@ -24,6 +24,26 @@ class SpatialSpec extends SparkSpec {
       (1L, 2L, 2500L), (1L, 4L, 3481L), (5L, 6L, 4L), (7L, 8L, 3600L)))
   }
 
+  test("radiusSelfJoin: negative coordinates — floor cells keep cross-origin pairs") {
+    // (-1, 0) and (1, 0): d² = 4; truncate-toward-zero cells would place
+    // both in "cell 0" only by accident of the origin — the real hazard
+    // is (-61, 0) vs (-59, 0): truncation puts them BOTH in cell -1/0
+    // boundaries wrongly; floor keeps adjacency exact on both sides
+    val pts = Seq(
+      (1L, -1L, 0L), (2L, 1L, 0L),
+      (3L, -61L, 0L), (4L, -59L, 0L),
+      (5L, -5000L, -5000L)
+    ).toDF("id", "x", "y")
+    val got = Spatial.radiusSelfJoin(pts, 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // all five in-radius pairs, including the three exactly at d = 60
+    // that straddle the origin and two negative cell boundaries — the
+    // truncate-toward-zero cell id loses (1,3) and (2,4)
+    assert(got === Set(
+      (1L, 2L, 4L), (3L, 4L, 4L),
+      (1L, 3L, 3600L), (1L, 4L, 3364L), (2L, 4L, 3600L)))
+  }
+
   test("radiusSelfJoin: bucketing is output-invisible vs brute force on a dense cloud") {
     // deterministic cloud dense enough that many cells interact
     val pts = (0L until 200L).map { i =>
