@@ -2658,6 +2658,29 @@ object SparkEntry {
         .select(col("key"), col("net_op"),
           coalesce(col("payload"), lit(-1L)).as("payload"))
     }),
+    // Robust MAD anomaly detection (x8's outlier-resistant sibling: a
+    // mean/std detector lets the outliers inflate their own threshold):
+    // per user, median and MAD as EXACT integer-cent order statistics
+    // (groupedQuantileSelect — no interpolated double anywhere), flag
+    // |cents − med| > 3·MAD. Zero-MAD users are unscoreable and dropped.
+    "x22_mad_anomaly" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val med = Quantiles.groupedQuantileSelect(e, "user_id", "cents",
+          Seq(0.5 -> "med"))
+        .select(col("user_id").cast("long").as("user_id"),
+          col("med").cast("long").as("med_c"))
+      val dev = e.join(broadcast(med), Seq("user_id"))
+        .withColumn("adev", abs(col("cents") - col("med_c")))
+      val mad = Quantiles.groupedQuantileSelect(dev, "user_id", "adev",
+          Seq(0.5 -> "mad"))
+        .select(col("user_id").cast("long").as("user_id"),
+          col("mad").cast("long").as("mad_c"))
+      dev.join(broadcast(mad), Seq("user_id"))
+        .filter(col("mad_c") > 0 && col("adev") > lit(3L) * col("mad_c"))
+        .select(col("user_id"), col("event_id"), col("cents"),
+          col("med_c"), col("mad_c"))
+    }),
     // Rolling z-score anomaly detection over each user's event stream —
     // frame excludes the current row; unscoreable rows (under 5 priors,
     // zero variance) dropped.
@@ -5114,6 +5137,21 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'ref_l_orderkey_in_o_orderkey', round(orphans, 7),
         |         CAST(CASE WHEN orphans = 0.0 THEN 1 ELSE 0 END AS BIGINT)) u""".stripMargin,
+    // MAD replay: both levels as the same ⌊q·(n−1)⌋+1 order statistic
+    // (row_number over cents / deviations), same 3·MAD strict flag.
+    "x22_mad_anomaly" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT user_id, cents, row_number() OVER (PARTITION BY user_id ORDER BY cents) AS rn,
+        |             count(*) OVER (PARTITION BY user_id) AS n FROM e),
+        |med AS (SELECT user_id, cents AS med_c FROM r WHERE rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1),
+        |d AS (SELECT e.user_id, e.event_id, e.cents, m.med_c, abs(e.cents - m.med_c) AS adev
+        |      FROM e JOIN med m USING (user_id)),
+        |r2 AS (SELECT user_id, adev, row_number() OVER (PARTITION BY user_id ORDER BY adev) AS rn,
+        |              count(*) OVER (PARTITION BY user_id) AS n FROM d),
+        |mad AS (SELECT user_id, adev AS mad_c FROM r2 WHERE rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1)
+        |SELECT d.user_id, d.event_id, d.cents, d.med_c, mad.mad_c
+        |FROM d JOIN mad USING (user_id)
+        |WHERE mad.mad_c > 0 AND d.adev > 3 * mad.mad_c""".stripMargin,
     // Compaction replay: arg_min/arg_max by seq (unique per key), the
     // same net rules, D payload as -1.
     "u5_cdc_compact" ->
