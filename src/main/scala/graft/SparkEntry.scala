@@ -2658,6 +2658,19 @@ object SparkEntry {
         .select(col("key"), col("net_op"),
           coalesce(col("payload"), lit(-1L)).as("payload"))
     }),
+    // Referential-integrity audit: lineitem→orders (intact — zero
+    // orphans is itself the assertion) and events→a PARTIALLY-loaded
+    // customer parent (c_custkey >= 10 simulates the mid-load state) —
+    // both verdict classes live. NULL FKs counted separately, never as
+    // orphans.
+    "v3_referential_integrity" -> ((s, d) =>
+      Validation.referentialIntegrity(
+          Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey", "lineitem->orders")
+        .unionByName(Validation.referentialIntegrity(
+          Tables.events(s, d), "user_id",
+          Tables.customer(s, d).filter(col("c_custkey") >= 10), "c_custkey",
+          "events->customers_v2"))),
     // Robust MAD anomaly detection (x8's outlier-resistant sibling: a
     // mean/std detector lets the outliers inflate their own threshold):
     // per user, median and MAD as EXACT integer-cent order statistics
@@ -5137,6 +5150,28 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'ref_l_orderkey_in_o_orderkey', round(orphans, 7),
         |         CAST(CASE WHEN orphans = 0.0 THEN 1 ELSE 0 END AS BIGINT)) u""".stripMargin,
+    // Referential-integrity replay: identical counts + NOT EXISTS orphan
+    // scan per relation.
+    "v3_referential_integrity" ->
+      """WITH a AS (
+        |  SELECT 'lineitem->orders' AS relation,
+        |         CAST(count(*) AS BIGINT) AS n_child_rows,
+        |         CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+        |         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct_fk,
+        |         CAST((SELECT count(*) FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_orderkey IS NOT NULL) t
+        |               WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = t.k)) AS BIGINT) AS n_orphans
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT 'events->customers_v2' AS relation,
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(count(DISTINCT user_id) AS BIGINT),
+        |         CAST((SELECT count(*) FROM (SELECT DISTINCT user_id AS k FROM events WHERE user_id IS NOT NULL) t
+        |               WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = t.k AND c_custkey >= 10)) AS BIGINT)
+        |  FROM events)
+        |SELECT relation, n_child_rows, n_null_fk, n_distinct_fk, n_orphans,
+        |       CAST(CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok
+        |FROM (SELECT * FROM a UNION ALL SELECT * FROM b)""".stripMargin,
     // MAD replay: both levels as the same ⌊q·(n−1)⌋+1 order statistic
     // (row_number over cents / deviations), same 3·MAD strict flag.
     "x22_mad_anomaly" ->

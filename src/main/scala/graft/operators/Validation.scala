@@ -100,4 +100,29 @@ object Validation {
       .agg(count(lit(1)).as("n"))
       .withColumn("meets_k", (col("n") >= k).cast("long"))
   }
+
+  /** Referential-integrity audit — orphan detection across a foreign-key
+    * relation (the data-quality check that catches a partial load or an
+    * out-of-order ingest before a downstream join silently drops or
+    * fabricates rows): child rows, DISTINCT child keys, orphans (child
+    * keys with no parent — NULL keys are counted separately, not as
+    * orphans: a NULL FK is a modeling choice, a dangling one is
+    * corruption). One distinct-key aggregate + one anti-join against the
+    * parent KEY SET (key-sized, not table-sized). */
+  def referentialIntegrity(child: DataFrame, fkCol: String,
+      parent: DataFrame, pkCol: String, relation: String): DataFrame = {
+    val spark = child.sparkSession
+    import spark.implicits._
+    val keyed = child.select(col(fkCol).as("__fk"))
+    val nChild = keyed.count()
+    val nNull = keyed.filter(col("__fk").isNull).count()
+    val distinctKeys = keyed.filter(col("__fk").isNotNull).distinct()
+    val orphans = distinctKeys
+      .join(parent.select(col(pkCol).as("__fk")).distinct(),
+        Seq("__fk"), "left_anti")
+      .count()
+    Seq((relation, nChild, nNull, distinctKeys.count(), orphans))
+      .toDF("relation", "n_child_rows", "n_null_fk", "n_distinct_fk", "n_orphans")
+      .withColumn("ok", (col("n_orphans") === 0L).cast("long"))
+  }
 }

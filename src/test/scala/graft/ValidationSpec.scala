@@ -62,4 +62,23 @@ class ValidationSpec extends SparkSpec {
     }
     assert(scans.size === 1, s"expected 1 scan, got ${scans.size}:\n$plan")
   }
+
+  test("referentialIntegrity: orphans counted distinct, NULL FKs separate, ok verdict") {
+    val child = Seq[(java.lang.Long, String)](
+      (1L, "a"), (1L, "b"), (2L, "c"), (9L, "d"), (9L, "e"), (null, "f")
+    ).toDF("fk", "v")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val row = graft.operators.Validation
+      .referentialIntegrity(child, "fk", parent, "pk", "child->parent")
+      .head()
+    // 6 child rows, 1 null FK, 3 distinct non-null keys, 1 orphan (9 —
+    // counted once despite two rows), not ok
+    assert((row.getString(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4), row.getLong(5)) === (("child->parent", 6L, 1L, 3L, 1L, 0L)))
+    // intact relation: ok = 1
+    val ok = graft.operators.Validation
+      .referentialIntegrity(child.filter(col("fk") < 9L), "fk", parent, "pk", "r")
+      .head()
+    assert(ok.getLong(4) === 0L && ok.getLong(5) === 1L)
+  }
 }
