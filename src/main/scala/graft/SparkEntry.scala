@@ -2658,6 +2658,25 @@ object SparkEntry {
         .select(col("key"), col("net_op"),
           coalesce(col("payload"), lit(-1L)).as("payload"))
     }),
+    // Gini concentration of revenue across customers — the inequality/
+    // concentration KPI (how top-heavy is the customer base), exact:
+    // G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-ranked integer
+    // cents, emitted in basis points with the denominator pre-quantized
+    // ((n·Σx) div 10⁴ — num·10⁴ would overflow 2⁶³; both engines replay
+    // the identical staged arithmetic). Rank via globalRank's range
+    // shuffle — never a single-task global window. num ≥ 0 under the
+    // ascending order, so div ≡ //.
+    "x23_gini" -> ((s, d) => {
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("rev"))
+      graft.operators.Ranking
+        .globalRank(rev, Seq(col("rev").asc, col("o_custkey")), "i")
+        .agg(count(lit(1)).as("n"), sum(col("rev")).as("s"),
+          sum(col("i") * col("rev")).as("sir"))
+        .select(col("n"), col("s").as("total_cents"),
+          expr("(2 * sir - (n + 1) * s) div ((n * s) div 10000L)").as("gini_bp"))
+    }),
     // Referential-integrity audit: lineitem→orders (intact — zero
     // orphans is itself the assertion) and events→a PARTIALLY-loaded
     // customer parent (c_custkey >= 10 simulates the mid-load state) —
@@ -5150,6 +5169,18 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'ref_l_orderkey_in_o_orderkey', round(orphans, 7),
         |         CAST(CASE WHEN orphans = 0.0 THEN 1 ELSE 0 END AS BIGINT)) u""".stripMargin,
+    // Gini replay: same ascending (rev, custkey) total order, same staged
+    // integer arithmetic with the pre-quantized denominator.
+    "x23_gini" ->
+      """WITH r AS (SELECT o_custkey,
+        |                  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |           FROM orders GROUP BY 1),
+        |k AS (SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i FROM r),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS s,
+        |             CAST(sum(i * rev) AS BIGINT) AS sir FROM k)
+        |SELECT n, s AS total_cents,
+        |       CAST((2 * sir - (n + 1) * s) // ((n * s) // 10000) AS BIGINT) AS gini_bp
+        |FROM a""".stripMargin,
     // Referential-integrity replay: identical counts + NOT EXISTS orphan
     // scan per relation.
     "v3_referential_integrity" ->
