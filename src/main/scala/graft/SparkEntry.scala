@@ -2658,6 +2658,27 @@ object SparkEntry {
         .select(col("key"), col("net_op"),
           coalesce(col("payload"), lit(-1L)).as("payload"))
     }),
+    // Blocklist screening (the C4 badwords gate): per document, matching
+    // TOKEN count + distinct matched terms against a broadcast term
+    // dictionary, kept = zero hits. Tokens through the canonical
+    // tokenizer; the dictionary includes a no-hit term so the absent
+    // class is exercised. 32/500 docs survive at sf0.01 — both classes
+    // live.
+    "t32_blocklist" -> ((s, d) => {
+      val block = Seq("slow", "stream", "graftblockednowhere")
+      val hits = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isin(block: _*))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"), countDistinct(col("tok")).as("n_terms"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+          (coalesce(col("n_hits"), lit(0L)) === 0L).cast("long").as("kept"))
+    }),
     // Gini concentration of revenue across customers — the inequality/
     // concentration KPI (how top-heavy is the customer base), exact:
     // G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-ranked integer
@@ -5169,6 +5190,19 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'ref_l_orderkey_in_o_orderkey', round(orphans, 7),
         |         CAST(CASE WHEN orphans = 0.0 THEN 1 ELSE 0 END AS BIGINT)) u""".stripMargin,
+    // Blocklist replay: same tokenizer split, same dictionary, same
+    // zero-hit keep rule.
+    "t32_blocklist" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+        |           FROM documents),
+        |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |             CAST(count(DISTINCT tok) AS BIGINT) AS n_terms
+        |      FROM t WHERE tok IN ('slow', 'stream', 'graftblockednowhere')
+        |      GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+        |       coalesce(h.n_terms, 0) AS n_terms,
+        |       CAST(CASE WHEN coalesce(h.n_hits, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id""".stripMargin,
     // Gini replay: same ascending (rev, custkey) total order, same staged
     // integer arithmetic with the pre-quantized denominator.
     "x23_gini" ->
