@@ -2658,6 +2658,24 @@ object SparkEntry {
         .select(col("key"), col("net_op"),
           coalesce(col("payload"), lit(-1L)).as("payload"))
     }),
+    // Rolling 7-day active users (WAU): exact sliding COUNT(DISTINCT) —
+    // each (day, user) pair contributes to its 7 trailing window-end
+    // buckets by OFFSET EXPLODE (a 7× map-side fan-out of the tiny
+    // deduped day-user frame), then one grouped exact distinct; no range
+    // self-join, no window over the raw stream. Buckets clamped to the
+    // observed day span (leading partial windows are real; trailing
+    // phantom buckets past max(day) are not).
+    "x24_rolling_wau" -> ((s, d) => {
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val span = du.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      du.select(explode(sequence(lit(0), lit(6))).as("o"), col("day"), col("user_id"))
+        .select(date_add(col("day"), col("o")).as("window_end"), col("user_id"))
+        .crossJoin(broadcast(span))
+        .filter(col("window_end") >= col("lo") && col("window_end") <= col("hi"))
+        .groupBy(col("window_end"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+    }),
     // Blocklist screening (the C4 badwords gate): per document, matching
     // TOKEN count + distinct matched terms against a broadcast term
     // dictionary, kept = zero hits. Tokens through the canonical
@@ -5190,6 +5208,17 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'ref_l_orderkey_in_o_orderkey', round(orphans, 7),
         |         CAST(CASE WHEN orphans = 0.0 THEN 1 ELSE 0 END AS BIGINT)) u""".stripMargin,
+    // WAU replay: same offset explode over the deduped day-user frame,
+    // same observed-span clamp.
+    "x24_rolling_wau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM du),
+        |x AS (SELECT day + CAST(o AS INTEGER) AS window_end, user_id
+        |      FROM du CROSS JOIN generate_series(0, 6) t(o))
+        |SELECT window_end, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |FROM x CROSS JOIN b
+        |WHERE window_end >= lo AND window_end <= hi
+        |GROUP BY 1""".stripMargin,
     // Blocklist replay: same tokenizer split, same dictionary, same
     // zero-hit keep rule.
     "t32_blocklist" ->
