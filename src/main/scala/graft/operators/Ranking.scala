@@ -82,7 +82,9 @@ object Ranking {
       numPartitions: Int = 0): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.sparkContext.defaultParallelism
-    val parted = df.groupBy(col(xCol)).agg(max(col(yCol)).as(yCol))
+    // y cast long up front: the per-partition maxima round-trip through
+    // the driver as Long, and an IntegerType input would throw there
+    val parted = df.groupBy(col(xCol)).agg(max(col(yCol).cast("long")).as(yCol))
       .repartitionByRange(n, col(xCol))
       .sortWithinPartitions(col(xCol))
       .withColumn("__pid", spark_partition_id())

@@ -103,6 +103,27 @@ class DeletionVectorSpec extends SparkSpec {
     assert(spark.read.parquet(dataDir).count() === 77)
   }
 
+  test("_metadata.row_index is FILE-scoped across row groups (the DV addressing contract)") {
+    // Force several row groups in one file with a tiny block size: if
+    // row_index reset per ROW GROUP, (file, pos) would collide and a
+    // tombstone would kill one row per group instead of one row.
+    val root = java.nio.file.Files.createTempDirectory("graft_dv").toString
+    val dataDir = s"$root/data"; val dvDir = s"$root/dv"
+    (0L until 50000L).map(i => (i, s"payload-$i-${"x" * 40}")).toDF("id", "v")
+      .coalesce(1).write.option("parquet.block.size", "65536").parquet(dataDir)
+    val f = new java.io.File(dataDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val groups = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toString),
+        spark.sessionState.newHadoopConf())).getRowGroups.size
+    assert(groups > 1, s"fixture failed to produce multiple row groups ($groups)")
+    // positions must be unique within the file — exactly one row per id dies
+    val n = DeletionVectors.addDeletes(spark, dataDir, dvDir, col("id") % 5000 === 0)
+    assert(n === 10)
+    assert(DeletionVectors.readWithDeletes(spark, dataDir, dvDir).count() === 49990)
+  }
+
   test("applyDeletes removes a fully-deleted file instead of writing an empty one") {
     val root = java.nio.file.Files.createTempDirectory("graft_dv").toString
     val dataDir = s"$root/data"; val dvDir = s"$root/dv"
