@@ -2339,6 +2339,13 @@ object SparkEntry {
     // each triangle found once at its lowest-order apex.
     "g2_triangles" -> ((s, d) =>
       Graph.triangles(Graph.docLinkGraph(Tables.documents(s, d)))),
+    // Full coreness decomposition over the link graph: every node's core
+    // NUMBER by ascending peel (each phase peels the previous core, not
+    // the full graph). kMax=8 sits above the fixture degeneracy (the
+    // 5-core is empty), so the cap never binds — and both engines cap
+    // identically if it ever did.
+    "g6_coreness" -> ((s, d) =>
+      Graph.coreness(Graph.docLinkGraph(Tables.documents(s, d)), kMax = 8)),
     // k-core decomposition (k=4) over the undirected simple link graph:
     // iterative peel to the unique fixed point (peel-order-independent,
     // so iteration structure is not part of the contract). The 4-core
@@ -3950,6 +3957,37 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node WHERE w.d < 6)
          |SELECT node AS doc_id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node""".stripMargin,
+    // Coreness replay: one unrolled 12-round peel chain PER k (1..8),
+    // each MATERIALIZED (the g5 inlining lesson), all from e0 — valid
+    // because peel-from-scratch and peel-from-the-(k−1)-core reach the
+    // same unique fixed point; coreness = max k whose chain retains the
+    // node, 0 never occurs here (every e0 endpoint survives k=1).
+    "g6_coreness" -> {
+      val rounds = 12
+      val chains = (1 to 8).map { k =>
+        val peel = (1 to rounds).map { i =>
+          s"""kk${k}r$i AS MATERIALIZED (SELECT src AS v FROM ee${k}r${i - 1} GROUP BY src HAVING count(*) >= $k),
+             |ee${k}r$i AS MATERIALIZED (SELECT a.src, a.dst FROM ee${k}r${i - 1} a
+             |        JOIN kk${k}r$i x ON a.src = x.v JOIN kk${k}r$i y ON a.dst = y.v)""".stripMargin
+        }.mkString(",\n")
+        s"""ee${k}r0 AS (SELECT src, dst FROM e0),
+           |$peel,
+           |cores$k AS (SELECT DISTINCT src AS node, $k AS k FROM ee${k}r$rounds)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to 8).map(k => s"SELECT node, k FROM cores$k").mkString(" UNION ALL ")
+      s"""WITH ncnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |raw AS (SELECT doc_id AS src,
+         |               ${sqlSampleKey("('pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))")} % n AS dst
+         |        FROM documents CROSS JOIN generate_series(1, 3) t(j) CROSS JOIN ncnt),
+         |sg AS (SELECT src, dst FROM raw WHERE src <> dst),
+         |un AS (SELECT src, dst FROM sg UNION SELECT dst, src FROM sg),
+         |e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM un),
+         |$chains
+         |SELECT nn.node, CAST(coalesce(max(c.k), 0) AS BIGINT) AS coreness
+         |FROM (SELECT DISTINCT src AS node FROM e0) nn
+         |LEFT JOIN ($unions) c ON c.node = nn.node
+         |GROUP BY 1""".stripMargin
+    },
     // k-core replay: the same undirected simple graph, the peel unrolled
     // 10 rounds — measured fixed point at the gate SFs is 4-5 rounds
     // (extra rounds are no-ops once stable; a fixture regeneration that

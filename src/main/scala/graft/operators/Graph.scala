@@ -198,13 +198,60 @@ object Graph {
     * inside the k-core. */
   def kcore(edges: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    peelToFixedPoint(undirectedSimple(edges), k)
+      .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("node"), col("core_deg"))
+  }
+
+  /** Full coreness decomposition — every node's core NUMBER (the max k
+    * whose k-core contains it): the density ladder community/influence
+    * analyses rank on, where [[kcore]] answers one rung. Computed by
+    * ASCENDING peel: the k-core is a subgraph of the (k−1)-core, so each
+    * phase peels the PREVIOUS core (shrinking input), never the full
+    * graph. Nodes carrying at least one edge get coreness ≥ 1; `kMax`
+    * caps the ladder (survivors of the kMax phase report kMax — pick
+    * kMax above the graph's degeneracy, which the empty-core exit makes
+    * cheap to overshoot). Output: (node, coreness) for every node in the
+    * edge set. */
+  def coreness(edges: DataFrame, kMax: Int = 16): DataFrame = {
+    require(kMax >= 1, s"kMax must be positive, got $kMax")
+    var adj = undirectedSimple(edges)
+    // coreness(v) = max k with v present in the k-core; fold ascending
+    var out = adj.select(col("src").as("node")).distinct()
+      .withColumn("coreness", lit(0L))
+    var k = 1
+    var empty = false
+    while (k <= kMax && !empty) {
+      adj = peelToFixedPoint(adj, k)
+      val survivors = adj.select(col("src").as("node")).distinct()
+        .withColumn("__k", lit(k.toLong))
+      out = out.join(survivors, Seq("node"), "left")
+        .select(col("node"),
+          greatest(col("coreness"), coalesce(col("__k"), lit(0L))).as("coreness"))
+        .localCheckpoint()
+      empty = adj.isEmpty
+      k += 1
+    }
+    out
+  }
+
+  private def undirectedSimple(edges: DataFrame): DataFrame = {
     val simple = edges.filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
-    var adj = simple
+    simple
       .unionAll(simple.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
-    var lastCp: Option[DataFrame] = Some(adj)
+  }
+
+  /** Peel sub-`k`-degree nodes until none remain — the shared fixed-point
+    * kernel of [[kcore]] and [[coreness]]. Per round: one degree
+    * aggregate + two semi-joins (edge-map-sized), a `localCheckpoint` to
+    * cut lineage (the convergence count materializes the round anyway),
+    * and release of the superseded round's blocks. */
+  private def peelToFixedPoint(und: DataFrame, k: Int): DataFrame = {
+    var adj = und
+    var lastCp: Option[DataFrame] = None
     var nEdges = adj.count()
     var converged = false
     while (!converged && nEdges > 0) {
@@ -222,7 +269,6 @@ object Graph {
       nEdges = n2
       adj = next
     }
-    adj.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
-      .select(col("src").as("node"), col("core_deg"))
+    adj
   }
 }

@@ -122,4 +122,16 @@ class GraphSpec extends SparkSpec {
     val path = (1L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
     assert(Graph.kcore(path, 2).isEmpty)
   }
+
+  test("coreness: clique nodes 3, tail nodes 1, path all 1; capped at kMax") {
+    val clique = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val edges = (clique ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val cn = Graph.coreness(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cn === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L, 6L -> 1L))
+    // kMax caps: with kMax = 2 the clique reports 2
+    val capped = Graph.coreness(edges, kMax = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped(1L) === 2L && capped(5L) === 1L)
+  }
 }
