@@ -1688,6 +1688,18 @@ object SparkEntry {
         minRun = 4)
       Dedup.clusters(ids, runs.select(col("doc_a"), col("doc_b")).distinct())
     }),
+    // Orientation-invariant image dedup (m18 extended to the full
+    // axis-aligned group): families of four — base / hflip / vflip /
+    // 180° — all land on one canonical min-over-the-group signature.
+    "m19_orientation_dedup" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 400)
+      val sigs = Multimodal.imageDhashOrientationInvariant(
+        Multimodal.synthesizeOrientedPngs(ids.repartition(64)))
+      sigs.as("a").join(sigs.as("b"),
+          col("a.canon") === col("b.canon") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    }),
     // Mirror-invariant image dedup: flipped re-uploads (every byte AND
     // the plain dHash change) pair through the canonical min-over-
     // orientations signature; equality self-join on the 8-byte canon.
@@ -4976,6 +4988,36 @@ object SparkEntry {
          |       CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
          |FROM (SELECT doc_id FROM documents WHERE doc_id < 120) d
          |LEFT JOIN lab l ON l.doc_id = d.doc_id""".stripMargin,
+    // Orientation-dedup replay: all four orientations' packed hashes
+    // (hflip gx ← 8−gx, vflip gy ← 6−gy, 180° both) from the base
+    // content — the group is closed, so every variant's canonical is the
+    // same least-of-four.
+    "m19_orientation_dedup" ->
+      """WITH od AS (SELECT doc_id, doc_id // 4 AS f
+        |            FROM documents WHERE doc_id < 400),
+        |ob AS (SELECT doc_id, o.o AS orient, gx, gy,
+        |              (f * 10 + 1) * 8209 +
+        |              (CASE WHEN o.o IN (1, 3) THEN 8 - gx ELSE gx END) * 17 +
+        |              (CASE WHEN o.o IN (2, 3) THEN 6 - gy ELSE gy END) * 29 + 13 AS u
+        |       FROM od CROSS JOIN (VALUES (0), (1), (2), (3)) o(o)
+        |       CROSS JOIN generate_series(0, 8) tx(gx)
+        |       CROSS JOIN generate_series(0, 6) ty(gy)),
+        |oc AS (SELECT doc_id, orient, gx, gy, ((u * u) % 1000003) % 241 AS v FROM ob),
+        |obits AS (SELECT a.doc_id, a.orient, a.gx AS x, a.gy AS y,
+        |                 CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |          FROM oc a JOIN oc b
+        |            ON b.doc_id = a.doc_id AND b.orient = a.orient
+        |           AND b.gy = a.gy AND b.gx = a.gx + 1
+        |          WHERE a.gx <= 7),
+        |oh AS (SELECT doc_id, orient,
+        |              CAST(sum(CASE WHEN bit = 1
+        |                       THEN (CAST(1 AS BIGINT) << (y * 8 + x))
+        |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS h
+        |       FROM obits GROUP BY 1, 2),
+        |ocanon AS (SELECT doc_id, min(h) AS canon FROM oh GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM ocanon a JOIN ocanon b
+        |  ON a.canon = b.canon AND a.doc_id < b.doc_id""".stripMargin,
     // Mirror-dedup replay: both orientations' 56-bit packed hashes from
     // the analytic grid (mirror = gx ← 8−gx), canonical = least of the
     // two — identical for both family variants by construction.

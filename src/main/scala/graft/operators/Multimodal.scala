@@ -412,6 +412,87 @@ object Multimodal {
     }(encoder)
   }
 
+  /** [[synthesizeMirrorPngs]] extended to the axis-aligned orientation
+    * group: families of FOUR share one grid — variant 0 base, 1 hflip
+    * (gx ← 8−gx), 2 vflip (gy ← 6−gy), 3 the 180° rotation (both). */
+  def synthesizeOrientedPngs(ids: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col("doc_id").cast("long")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val family = id / 4
+        val variant = (id % 4).toInt
+        val img = new java.awt.image.BufferedImage(
+          18, 14, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var gy = 0
+        while (gy < 7) {
+          var gx = 0
+          while (gx < 9) {
+            val sx = if (variant == 1 || variant == 3) 8 - gx else gx
+            val sy = if (variant == 2 || variant == 3) 6 - gy else gy
+            val g = videoCell(family, 1, sx, sy)
+            val rgb = (g << 16) | (g << 8) | g
+            img.setRGB(gx * 2, gy * 2, rgb); img.setRGB(gx * 2 + 1, gy * 2, rgb)
+            img.setRGB(gx * 2, gy * 2 + 1, rgb); img.setRGB(gx * 2 + 1, gy * 2 + 1, rgb)
+            gx += 1
+          }
+          gy += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray)
+      }
+    }(encoder)
+  }
+
+  /** [[imageDhashMirrorInvariant]] extended to the full axis-aligned
+    * orientation group {identity, hflip, vflip, 180°}: canonical = MIN of
+    * the dHash over all four — any of the four re-uploads of an image
+    * lands on the same signature (the group is closed, so transforming
+    * the input permutes the same four-hash set). One decode, three pixel
+    * copies. Output: (doc_id, canon). */
+  def imageDhashOrientationInvariant(df: DataFrame, gridW: Int = 8,
+      gridH: Int = 7): DataFrame = {
+    require(gridW >= 1 && gridH >= 1 && gridW.toLong * gridH <= 63,
+      s"orientation-invariant dHash grid ${gridW}x$gridH must stay off the sign bit")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("canon", LongType)))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col("doc_id").cast("long"), col("payload")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val in = r.getAs[Array[Byte]](1)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(in))
+        require(img != null, s"payload (${in.length} bytes) is not a decodable image")
+        val w = img.getWidth; val h = img.getHeight
+        def transformed(fx: Boolean, fy: Boolean) = {
+          val t = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              t.setRGB(if (fx) w - 1 - x else x, if (fy) h - 1 - y else y,
+                img.getRGB(x, y))
+              x += 1
+            }
+            y += 1
+          }
+          t
+        }
+        val canon = Seq((false, false), (true, false), (false, true), (true, true))
+          .map { case (fx, fy) => dhashOf(transformed(fx, fy), gridW, gridH) }
+          .min
+        Row(r.getLong(0), canon)
+      }
+    }(encoder)
+  }
+
   /** The analytic frame-cell formula behind [[synthesizeVideos]] — single
     * source for the synthesizer and its spec/oracle replays. `family` is
     * the shared-content group (doc_id div 3), `ci` the CONTENT frame index

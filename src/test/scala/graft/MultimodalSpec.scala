@@ -407,6 +407,18 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("orientation dedup: all four variants share the canonical; families distinct") {
+    val ids = (0L until 24L).toDF("doc_id") // 6 families of 4
+    val canon = Multimodal.imageDhashOrientationInvariant(
+      Multimodal.synthesizeOrientedPngs(ids))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 6L).foreach { f =>
+      val cs = (0 until 4).map(v => canon(4 * f + v)).toSet
+      assert(cs.size === 1, s"family $f variants diverge: $cs")
+    }
+    assert(canon.values.toSet.size === 6)
+  }
+
   test("vadSegments: hand-built silence splits into alternating labeled segments") {
     // 400 samples: 100 voiced (1000), 200 silent, 100 voiced → windows
     // at win=100: voice, silence, silence, voice
