@@ -1337,6 +1337,23 @@ object SparkEntry {
             .as("revenue_scaled"),
           count(lit(1)).as("n_lineitems"))
     }),
+    // TPC-H Q17-shape small-quantity-order revenue: items whose quantity
+    // is below 20% of their part's average — the correlated per-group
+    // aggregate, made exact by clearing denominators (qty·5·n < Σqty —
+    // integer cross-multiplication instead of a double 0.2·avg whose
+    // summation order could flip boundary rows). Per-part sums join back
+    // broadcast-or-shuffle by part key.
+    "q58_small_qty_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_partkey"),
+        floor(col("l_quantity")).cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sq"))
+      li.join(perPart, Seq("l_partkey"))
+        .filter(col("qty") * 5L * col("n") < col("sq"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("price_c")).as("revenue_cents"))
+    }),
     // TPC-H Q22-shape sales opportunity: customers with above-average
     // POSITIVE balance and no orders, by nation. The average is an exact
     // integer-cent floor (sum div count) — a DOUBLE avg threshold would
@@ -5192,6 +5209,18 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+    // Q17 replay: same cleared-denominator integer predicate.
+    "q58_small_qty_revenue" ->
+      """WITH li AS (SELECT l_partkey, CAST(floor(l_quantity) AS BIGINT) AS qty,
+        |                   CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c
+        |            FROM lineitem),
+        |p AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(qty) AS BIGINT) AS sq
+        |      FROM li GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(price_c) AS BIGINT) AS revenue_cents
+        |FROM li JOIN p USING (l_partkey)
+        |WHERE qty * 5 * n < sq""".stripMargin,
     // Q22 replay: integer-cent floor average (sum // count over positive
     // balances), NOT IN via anti semantics, same grouping.
     "q56_sales_opportunity" ->
