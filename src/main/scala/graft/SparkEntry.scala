@@ -2694,6 +2694,21 @@ object SparkEntry {
         .select(col("key"), col("net_op"),
           coalesce(col("payload"), lit(-1L)).as("payload"))
     }),
+    // Leave-one-out target encoding — the ML feature-prep staple (encode
+    // a categorical by the target mean of the OTHER rows in its class;
+    // including the row itself leaks the label): loo = (Σ − x) div (n−1)
+    // per row in exact non-negative integer cents. One grouped sum +
+    // one key join-back; singleton classes have no peers and are dropped.
+    "x25_target_encoding" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val g = o.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      o.join(broadcast(g), Seq("o_orderpriority"))
+        .filter(col("n") > 1)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          expr("(s - cents) div (n - 1)").as("loo_cents"))
+    }),
     // Rolling 7-day active users (WAU): exact sliding COUNT(DISTINCT) —
     // each (day, user) pair contributes to its 7 trailing window-end
     // buckets by OFFSET EXPLODE (a 7× map-side fan-out of the tiny
@@ -5317,6 +5332,19 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'ref_l_orderkey_in_o_orderkey', round(orphans, 7),
         |         CAST(CASE WHEN orphans = 0.0 THEN 1 ELSE 0 END AS BIGINT)) u""".stripMargin,
+    // LOO target-encoding replay: same grouped sums, same non-negative
+    // integer division.
+    "x25_target_encoding" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |g AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(cents) AS BIGINT) AS s
+        |      FROM o GROUP BY 1)
+        |SELECT o_orderkey, o_orderpriority,
+        |       CAST((s - cents) // (n - 1) AS BIGINT) AS loo_cents
+        |FROM o JOIN g USING (o_orderpriority)
+        |WHERE n > 1""".stripMargin,
     // WAU replay: same offset explode over the deduped day-user frame,
     // same observed-span clamp.
     "x24_rolling_wau" ->
