@@ -2694,6 +2694,30 @@ object SparkEntry {
         .select(col("key"), col("net_op"),
           coalesce(col("payload"), lit(-1L)).as("payload"))
     }),
+    // Distributed Poisson bootstrap — uncertainty for a corpus-scale
+    // metric without resampling passes: each row enters replicate r with
+    // a Poisson(1)-distributed multiplicity (classic streaming bootstrap),
+    // here DERIVED from the portable sampleKey so both engines draw the
+    // SAME pseudo-randomness (pmf quantized to /1000: 368,368,184,61,15,4).
+    // One scan fans out 10 replicates map-side; output = per-replicate
+    // totals a consumer turns into a CI. Weights via the nonlinear key —
+    // a raw polyHash residue is a lattice (CLAUDE.md).
+    "x26_bootstrap" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val reps = o.select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(0), lit(9))).as("rep"))
+      val key = graft.functions.TextHash.sampleKey(
+        concat(lit("bs:"), col("rep").cast("string"), lit(":"),
+          col("o_orderkey").cast("string"))) % 1000L
+      val mult = when(key < 368L, 0L).when(key < 736L, 1L)
+        .when(key < 920L, 2L).when(key < 981L, 3L)
+        .when(key < 996L, 4L).otherwise(5L)
+      reps.withColumn("m", mult)
+        .groupBy(col("rep"))
+        .agg(sum(col("m")).as("n_drawn"),
+          sum(col("m") * col("cents")).as("total_cents"))
+    }),
     // Leave-one-out target encoding — the ML feature-prep staple (encode
     // a categorical by the target mean of the OTHER rows in its class;
     // including the row itself leaks the label): loo = (Σ − x) div (n−1)
@@ -5332,6 +5356,24 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'ref_l_orderkey_in_o_orderkey', round(orphans, 7),
         |         CAST(CASE WHEN orphans = 0.0 THEN 1 ELSE 0 END AS BIGINT)) u""".stripMargin,
+    // Bootstrap replay: identical sampleKey-derived multiplicities and
+    // replicate sums.
+    "x26_bootstrap" -> {
+      val key = sqlSampleKey("('bs:' || CAST(rep AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR))")
+      s"""WITH o AS (SELECT o_orderkey,
+         |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+         |           FROM orders),
+         |r AS (SELECT o_orderkey, cents, rep, $key % 1000 AS k
+         |      FROM o CROSS JOIN generate_series(0, 9) t(rep)),
+         |m AS (SELECT rep, cents,
+         |             CASE WHEN k < 368 THEN 0 WHEN k < 736 THEN 1
+         |                  WHEN k < 920 THEN 2 WHEN k < 981 THEN 3
+         |                  WHEN k < 996 THEN 4 ELSE 5 END AS m
+         |      FROM r)
+         |SELECT CAST(rep AS BIGINT) AS rep, CAST(sum(m) AS BIGINT) AS n_drawn,
+         |       CAST(sum(m * cents) AS BIGINT) AS total_cents
+         |FROM m GROUP BY 1""".stripMargin
+    },
     // LOO target-encoding replay: same grouped sums, same non-negative
     // integer division.
     "x25_target_encoding" ->
