@@ -2212,6 +2212,17 @@ object SparkEntry {
     // word-5-gram hashes.
     "c1_decontam" -> ((s, d) =>
       Curation.contamination(Tables.documents(s, d), col("doc_id") % 20 === 0)),
+    // Leakage-free split: train/val/test assigned at the NEAR-DUP CLUSTER
+    // level (split key = cluster_id, not doc_id) so a test document's
+    // near-duplicates can never land in train — the leakage a plain
+    // row-hash split (p1) structurally permits. Composes d7's closure
+    // with p1's portable split key.
+    "c9_leakage_free_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.clusters(docs, Dedup.minhashPairs(docs))
+        .select(col("doc_id"), col("cluster_id"),
+          Curation.splitName(Curation.splitBucket(col("cluster_id"))).as("split"))
+    }),
     // Embedding-space decontamination (the paraphrase-leak screen beside
     // c1's exact n-grams): training vectors scored against a broadcast
     // eval set with the exact portable cosine; per contaminated vector,
@@ -3958,6 +3969,21 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(hits.n_overlap, CAST(0 AS BIGINT)) AS n_overlap
          |FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
          |WHERE d.doc_id % 20 <> 0""".stripMargin,
+    // Leakage-free-split replay: d7's closure labels, split keyed on the
+    // CLUSTER id with p1's salted sample key.
+    "c9_leakage_free_split" ->
+      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+         |$sqlClosureCtes,
+         |cl AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |       FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id),
+         |ck AS (SELECT doc_id, cluster_id,
+         |              ${sqlSampleKey("('split:' || CAST(cluster_id AS VARCHAR))")} % 100 AS bkt
+         |       FROM cl)
+         |SELECT doc_id, cluster_id,
+         |       CASE WHEN bkt < 90 THEN 'train'
+         |            WHEN bkt < 95 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM ck""".stripMargin,
     // Semantic-decontam replay: exact bipartite cosine (same fold), the
     // same threshold on the RAW double, best match by the identical
     // (cosine DESC, eval_id) total order.
