@@ -2705,6 +2705,25 @@ object SparkEntry {
         .select(col("key"), col("net_op"),
           coalesce(col("payload"), lit(-1L)).as("payload"))
     }),
+    // Classifier calibration table (reliability-diagram data): documents
+    // ranked by classifier score into EXACT deciles ((rank−1)·10 div n
+    // over the globalRank total order — no single-task ntile window),
+    // each bin's positive rate in basis points against the langid ground
+    // truth. The eval every production corpus filter ships with.
+    "x27_calibration" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = TextAnalysis.classifyQuality(docs)
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("long").as("y")), Seq("doc_id"))
+      val ranked = graft.operators.Ranking.globalRank(
+        scored, Seq(col("score_scaled").asc, col("doc_id")), "rnk")
+      val n = ranked.agg(count(lit(1)).as("__n"))
+      ranked.crossJoin(broadcast(n))
+        .select(expr("(rnk - 1) * 10 div __n").as("decile"), col("y"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
+        .withColumn("pos_rate_bp", expr("n_pos * 10000L div n_docs"))
+    }),
     // Distributed Poisson bootstrap — uncertainty for a corpus-scale
     // metric without resampling passes: each row enters replicate r with
     // a Poisson(1)-distributed multiplicity (classic streaming bootstrap),
@@ -5382,6 +5401,30 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'ref_l_orderkey_in_o_orderkey', round(orphans, 7),
         |         CAST(CASE WHEN orphans = 0.0 THEN 1 ELSE 0 END AS BIGINT)) u""".stripMargin,
+    // Calibration replay: t20's scoring chain, the same (score, doc_id)
+    // total order, exact decile split, bp rates.
+    "x27_calibration" ->
+      s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
+         |u AS (SELECT doc_id, 'u:' || unnest(t) AS f FROM tk),
+         |b AS (SELECT doc_id, 'b:' || t[i] || ' ' || t[i + 1] AS f
+         |      FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+         |      WHERE len(t) >= 2),
+         |feats AS (SELECT doc_id, f FROM u UNION ALL SELECT doc_id, f FROM b),
+         |w AS (SELECT doc_id,
+         |             ((${sqlSampleKey("f")} % 4096) * 2654435761) % 2001 - 1000 AS w
+         |      FROM feats),
+         |sc AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score_scaled FROM w GROUP BY doc_id),
+         |j AS (SELECT sc.doc_id, sc.score_scaled,
+         |             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |      FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+         |r AS (SELECT y, row_number() OVER (ORDER BY score_scaled, doc_id) AS rnk,
+         |             count(*) OVER () AS n
+         |      FROM j)
+         |SELECT CAST((rnk - 1) * 10 // n AS BIGINT) AS decile,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(y) AS BIGINT) AS n_pos,
+         |       CAST(sum(y) * 10000 // count(*) AS BIGINT) AS pos_rate_bp
+         |FROM r GROUP BY 1""".stripMargin,
     // Bootstrap replay: identical sampleKey-derived multiplicities and
     // replicate sums.
     "x26_bootstrap" -> {
