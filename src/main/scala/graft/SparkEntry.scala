@@ -3020,6 +3020,34 @@ object SparkEntry {
         .select(col("doc_id").as("c_custkey"),
           col("cluster_id").as("entity_id"), col("is_canonical"))
     }),
+    // INCREMENTAL entity resolution through the persisted label store:
+    // records arrive in two parity-split batches; each run pairs its
+    // batch (within-batch + against everything already seen — the pair
+    // set is filtered to edges touching the batch, so history-vs-history
+    // is never re-paired) and folds into the label snapshot, where
+    // history re-enters as star edges. Final state ≡ er1's one-shot
+    // resolution (min-label associativity), so er1's brute-force oracle
+    // applies verbatim.
+    "er2_incremental_er" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_custkey") <= 1500)
+        .select(col("c_custkey").as("doc_id"), col("c_name").as("s"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_er_store").toString + "/store"
+      def ingest(upTo: DataFrame,
+          batchPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+        val pairs = FuzzyJoin.selfJoinIds(upTo, "doc_id", "s")
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+          .filter(batchPred(col("doc_a")) || batchPred(col("doc_b")))
+        Dedup.incrementalClusters(
+          upTo.filter(batchPred(col("doc_id"))).select(col("doc_id")),
+          pairs, dir)
+      }
+      ingest(cust.filter(col("doc_id") % 2 === 0), _ % 2 === 0)
+      ingest(cust, _ % 2 === 1)
+        .select(col("doc_id").as("c_custkey"),
+          col("cluster_id").as("entity_id"), col("is_canonical"))
+    }),
     // Deterministic negative sampling over (custkey, orderkey) positives:
     // 3 uniform item draws per user via the squared-then-mod key,
     // accidental positives anti-joined out.
@@ -4374,6 +4402,27 @@ object SparkEntry {
     // Entity-resolution replay: brute-force distance-1 pairs (SymSpell's
     // conformance twin), recursive reachability closure, min-key label.
     "er1_entity_resolution" ->
+      """WITH RECURSIVE cu AS MATERIALIZED (
+        |  SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 1500),
+        |p AS MATERIALIZED (
+        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+        |  FROM cu a JOIN cu b ON a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |edges AS (SELECT ka AS src, kb AS dst FROM p
+        |          UNION SELECT kb, ka FROM p),
+        |reach AS (SELECT src AS v, src AS r FROM edges
+        |          UNION
+        |          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v),
+        |lab AS (SELECT v AS c_custkey, min(r) AS entity_id FROM reach GROUP BY v)
+        |SELECT c.c_custkey,
+        |       coalesce(l.entity_id, c.c_custkey) AS entity_id,
+        |       CAST(CASE WHEN coalesce(l.entity_id, c.c_custkey) = c.c_custkey
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+        |FROM cu c LEFT JOIN lab l ON l.c_custkey = c.c_custkey""".stripMargin,
+    // Incremental-ER replay: arrival order ≡ one-shot (min-label
+    // associativity over component unions), so er1's brute-force pair
+    // join + recursive closure is the oracle verbatim.
+    "er2_incremental_er" ->
       """WITH RECURSIVE cu AS MATERIALIZED (
         |  SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 1500),
         |p AS MATERIALIZED (
