@@ -2882,6 +2882,18 @@ object SparkEntry {
             "greatest(3L, (size(split(trim(text), ' +')) * 3L) div 5)))").as("text"))
       Dedup.containmentPairs(docs.unionByName(excerpts))
     }),
+    // Containment dedup APPLIED: the d11 corpus (docs + planted excerpts)
+    // with near-subsets absorbed into their larger containers — excerpts
+    // die, sources survive; mutually-containing near-identicals keep the
+    // min id. Per-doc verdict row.
+    "d16_absorb_subsets" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val excerpts = docs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("concat_ws(' ', slice(split(trim(text), ' +'), 1, " +
+            "greatest(3L, (size(split(trim(text), ' +')) * 3L) div 5)))").as("text"))
+      Dedup.absorbSubsets(docs.unionByName(excerpts))
+    }),
     // Token-distribution drift between two corpus halves (even/odd doc
     // ids as snapshot t vs t+1): integer drift numerators, one final
     // double division for the total-variation distance.
@@ -5662,6 +5674,34 @@ object SparkEntry {
          |       round(CAST(n_inter AS DOUBLE) / CAST(ca.n AS DOUBLE), 7) AS containment
          |FROM ov JOIN cnt ca ON ca.doc_id = ov.doc_a
          |WHERE n_inter * 5 >= ca.n * 4""".stripMargin,
+    // Absorb replay: d11's exact containment chain + the size/tie rule,
+    // min absorbing id, −1 for survivors.
+    "d16_absorb_subsets" ->
+      s"""WITH ex AS (SELECT doc_id + 1000000 AS doc_id,
+         |                  array_to_string(list_slice(t, 1, greatest(3, (len(t) * 3) // 5)), ' ') AS text
+         |           FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t
+         |                 FROM documents WHERE doc_id % 7 = 3)),
+         |docs2 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM ex),
+         |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM docs2),
+         |shs AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+         |        FROM toks, LATERAL (SELECT unnest(generate_series(1, CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END)) AS i) g),
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+         |              ${sqlPolyHash("shingle")} + ${sqlPolyHash("reverse(shingle)")} * (CAST(1 AS BIGINT) << 30) AS h
+         |       FROM shs),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+         |       FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id GROUP BY 1, 2),
+         |cp AS (SELECT doc_a, doc_b, ca.n AS n_a, cb.n AS n_b
+         |       FROM ov JOIN cnt ca ON ca.doc_id = ov.doc_a
+         |               JOIN cnt cb ON cb.doc_id = ov.doc_b
+         |       WHERE n_inter * 5 >= ca.n * 4),
+         |ab AS (SELECT doc_a, min(doc_b) AS absorbed_by
+         |       FROM cp WHERE n_b > n_a OR (n_b = n_a AND doc_b < doc_a)
+         |       GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CAST(CASE WHEN ab.absorbed_by IS NULL THEN 0 ELSE 1 END AS BIGINT) AS absorbed,
+         |       coalesce(ab.absorbed_by, -1) AS absorbed_by
+         |FROM docs2 d LEFT JOIN ab ON ab.doc_a = d.doc_id""".stripMargin,
     "t18_token_drift" ->
       """WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS token FROM documents),
         |r AS (SELECT token, CAST(count(*) AS BIGINT) AS n_ref FROM tk WHERE doc_id % 2 = 0 GROUP BY token),

@@ -256,6 +256,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("containment"))
   }
 
+  /** Absorb near-subsets — containment dedup APPLIED (the wire-story
+    * case: an excerpt/quote page adds nothing its source doesn't carry):
+    * a doc is absorbed when [[containmentPairs]] shows ≥ t of its
+    * shingles inside a doc with MORE shingles (or equal shingles and a
+    * smaller id — so mutually-containing near-identical docs keep exactly
+    * the min-id copy). Emits the full per-doc verdict:
+    * (doc_id, absorbed, absorbed_by = min absorbing id or −1). Strictly
+    * one-directional — the absorbing side always has at least as much
+    * content, so no absorption chain can drop everything: within any
+    * containment cluster the max-(n, −id) doc survives. Cost = the
+    * prefix-filtered pair join + one size join + one per-doc min. */
+  def absorbSubsets(docs: DataFrame, n: Int = 3, tNum: Int = 4,
+      tDen: Int = 5): DataFrame = {
+    val pairs = containmentPairs(docs, n, tNum, tDen)
+    val sizes = docs.select(col("doc_id").as("doc_b"),
+      size(graft.functions.GraftColumns.shingleHashes(col("text"), n))
+        .cast("long").as("n_b"))
+    val absorbing = pairs.join(sizes, Seq("doc_b"))
+      .filter(col("n_b") > col("n_a") ||
+        (col("n_b") === col("n_a") && col("doc_b") < col("doc_a")))
+      .groupBy(col("doc_a")).agg(min(col("doc_b")).as("absorbed_by"))
+    docs.select(col("doc_id"))
+      .join(absorbing.select(col("doc_a").as("doc_id"), col("absorbed_by")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("absorbed_by").isNotNull.cast("long").as("absorbed"),
+        coalesce(col("absorbed_by"), lit(-1L)).as("absorbed_by"))
+  }
+
   val MinhashK = 32 // permutations
 
   /** Incremental-store format marker (see [[incrementalMinhashPairs]]).

@@ -88,6 +88,22 @@ class DedupSpec extends SparkSpec {
     assert(out((2L, 1L)) === ((3L, 3L, 1.0d)))
   }
 
+  test("absorbSubsets: excerpts die into their source, identicals keep min id, chains bounded") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7"), // the source: survives
+      (2L, "w1 w2 w3 w4 w5"),       // contained in 1, smaller → absorbed by 1
+      (3L, "x1 x2 x3 x4 x5"),       // identical pair with 4 → min id survives
+      (4L, "x1 x2 x3 x4 x5"),
+      (5L, "z1 z2 z3 z4")           // unrelated: survives
+    ).toDF("doc_id", "text")
+    val out = Dedup.absorbSubsets(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      1L -> ((0L, -1L)), 2L -> ((1L, 1L)),
+      3L -> ((0L, -1L)), 4L -> ((1L, 3L)),
+      5L -> ((0L, -1L))))
+  }
+
   test("containmentPairs ≡ brute force (full recall through prefix/size/positional pruning)") {
     import org.apache.spark.sql.functions.{col, count, lit}
     val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
