@@ -1682,6 +1682,39 @@ object SparkEntry {
         Multimodal.imageRowProfile(Multimodal.synthesizePatternPngs(ids)),
         Multimodal.captionProfile(Multimodal.synthesizeCaptions(ids)))
     }),
+    // Cross-modal retrieval: caption queries → top-3 images by exact
+    // integer-profile cosine (m15's two towers turned from a threshold
+    // filter into a RANKED search). Dots/norms are BIGINT sums
+    // (order-independent); only the final score is a double, with the
+    // identical expression shape both engines and an image_id tie-break.
+    // Query side broadcast; the 40×400 score space is tiny — the scale
+    // path buckets profiles like any embedding (s2's hyperplanes).
+    "m20_crossmodal_topk" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 400)
+      val imgs = Multimodal.imageRowProfile(
+          Multimodal.synthesizePatternPngs(ids.repartition(64)))
+        .select(col("doc_id").as("image_id"), col("profile").as("ip"))
+      val qs = Multimodal.captionProfile(Multimodal.synthesizeCaptions(
+          ids.filter(col("doc_id") % 10 === 0)))
+        .select(col("doc_id").as("query_id"), col("tprofile").as("qp"))
+      val scored = broadcast(qs).crossJoin(imgs)
+        .withColumn("__dot",
+          expr("aggregate(zip_with(qp, ip, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn("__nq",
+          expr("aggregate(zip_with(qp, qp, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn("__ni",
+          expr("aggregate(zip_with(ip, ip, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn("score",
+          col("__dot").cast("double") /
+            sqrt((col("__nq") * col("__ni")).cast("double")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("score").desc, col("image_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("image_id"),
+          round(col("score"), 7).as("score"), col("rank"))
+    }),
     // VIDEO near-dup — the third modality, composed from the pillars the
     // verdicts asked to connect: synthesize real length-framed multi-frame
     // containers (families of base / BMP-re-encoded / 2-frame-trimmed
@@ -5138,6 +5171,32 @@ object SparkEntry {
          |       CAST(CASE WHEN 100 * dot * dot >= 99 * na2 * nb2
          |                 THEN 1 ELSE 0 END AS BIGINT) AS aligned
          |FROM al""".stripMargin,
+    // Cross-modal retrieval replay: analytic patternCell row profiles on
+    // both towers (swap at id%7==3 on the caption side), BIGINT
+    // dots/norms per (query, image), the same one-double score and
+    // (score DESC, image_id) order.
+    "m20_crossmodal_topk" ->
+      s"""WITH $sqlImageDhashCtes,
+         |rs AS (SELECT doc_id, gy, CAST(sum(v) AS BIGINT) AS r FROM ic GROUP BY 1, 2),
+         |qp AS (SELECT q.doc_id AS query_id, rs.gy, rs.r
+         |       FROM (SELECT doc_id,
+         |                    CASE WHEN doc_id % 7 = 3 THEN doc_id + 4 ELSE doc_id END AS src
+         |             FROM documents WHERE doc_id < 400 AND doc_id % 10 = 0) q
+         |       JOIN rs ON rs.doc_id = q.src),
+         |nq AS (SELECT query_id, CAST(sum(r * r) AS BIGINT) AS nq FROM qp GROUP BY 1),
+         |ni AS (SELECT doc_id AS image_id, CAST(sum(r * r) AS BIGINT) AS ni FROM rs GROUP BY 1),
+         |dots AS (SELECT qp.query_id, rs.doc_id AS image_id,
+         |                CAST(sum(qp.r * rs.r) AS BIGINT) AS dot
+         |         FROM qp JOIN rs ON rs.gy = qp.gy GROUP BY 1, 2),
+         |sc AS (SELECT d.query_id, d.image_id,
+         |              CAST(d.dot AS DOUBLE) / sqrt(CAST(n1.nq * n2.ni AS DOUBLE)) AS score
+         |       FROM dots d JOIN nq n1 USING (query_id) JOIN ni n2 USING (image_id)),
+         |rr AS (SELECT query_id, image_id, score,
+         |              CAST(row_number() OVER (PARTITION BY query_id
+         |                     ORDER BY score DESC, image_id) AS BIGINT) AS "rank"
+         |       FROM sc)
+         |SELECT query_id, image_id, round(score, 7) AS score, "rank"
+         |FROM rr WHERE "rank" <= 3""".stripMargin,
     // Video near-dup: the shared analytic run replay (see
     // sqlVideoRunCtes), runs ≥ 4 frames become pairs, closed by the
     // shared recursive closure.
