@@ -3103,6 +3103,22 @@ object SparkEntry {
     // globalRank position (no single-partition sort).
     "p12_curriculum" -> ((s, d) =>
       Curation.curriculumOrder(Tables.documents(s, d))),
+    // Data card — the per-language corpus report a dataset release ships
+    // with: doc/token totals + the quality MEDIAN as an exact order
+    // statistic over once-floored scaled scores (no interpolated double;
+    // the x9 fence discipline). One grouped aggregate + one
+    // groupedQuantileSelect pass.
+    "p14_data_card" -> ((s, d) => {
+      val q = TextAnalysis.qualityScores(Tables.documents(s, d), Seq(col("lang")))
+        .select(col("lang"), col("n_tokens"),
+          floor(col("quality_score") * 10000000.0d).cast("long").as("q_scaled"))
+      val agg = q.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_total"))
+      val med = Quantiles.groupedQuantileSelect(q, "lang", "q_scaled",
+          Seq(0.5 -> "q50"))
+        .select(col("lang"), col("q50").cast("long").as("q50_quality_scaled"))
+      agg.join(med, Seq("lang"))
+    }),
     // Token-balanced shards: snake placement over the global token-count
     // order (deterministic LPT-style balance, not hash-expectation);
     // global order via the range-partitioned rank, no single-task sort.
@@ -4411,6 +4427,25 @@ object SparkEntry {
          |       FROM ck)
          |SELECT doc_id, bucket, pos, CAST((pos - 1) // 100 AS BIGINT) AS shard
          |FROM cp""".stripMargin,
+    // Data-card replay: shared quality chain, floored scaled scores, the
+    // ⌊q·(n−1)⌋+1 order statistic per language.
+    "p14_data_card" ->
+      s"""WITH $sqlQualityCtes,
+         |q1 AS (SELECT d.lang,
+         |              CAST(len(regexp_split_to_array(trim(d.text), ' +')) AS BIGINT) AS n_tokens,
+         |              CAST(floor(qs * 10000000.0) AS BIGINT) AS q_scaled
+         |       FROM qual JOIN documents d ON d.doc_id = qual.doc_id),
+         |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+         |      FROM q1 GROUP BY 1),
+         |r AS (SELECT lang, q_scaled,
+         |             row_number() OVER (PARTITION BY lang ORDER BY q_scaled) AS rn,
+         |             count(*) OVER (PARTITION BY lang) AS n
+         |      FROM q1),
+         |m AS (SELECT lang, q_scaled AS q50_quality_scaled
+         |      FROM r WHERE rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1)
+         |SELECT a.lang, n_docs, tokens_total, q50_quality_scaled
+         |FROM a JOIN m USING (lang)""".stripMargin,
     // Balanced-shard replay: same global (n_tokens DESC, doc_id) order,
     // same reflected modulus.
     "p13_balanced_shards" ->
