@@ -1878,6 +1878,25 @@ object SparkEntry {
       val total = counts.agg(sum(col("n"))).head().getLong(0)
       counts.withColumn("pct_bp", expr(s"n * 10000L div ${total}L"))
     }),
+    // Weighted moving average (3-2-1 over the trailing 3 hours) per
+    // event-type series — the smoothing pass monitoring dashboards draw,
+    // in exact integer arithmetic ((3x + 2l₁ + l₂) div 6 over
+    // non-negative cents); warm-up rows without both lags are dropped.
+    // Series are independent window partitions — never the global
+    // no-partition window.
+    "x28_weighted_ma" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("hour"))
+      hourly
+        .withColumn("__l1", lag(col("cents"), 1).over(w))
+        .withColumn("__l2", lag(col("cents"), 2).over(w))
+        .filter(col("__l1").isNotNull && col("__l2").isNotNull)
+        .select(col("event_type"), col("hour"), col("cents"),
+          expr("(3 * cents + 2 * __l1 + __l2) div 6").as("wma_cents"))
+    }),
     // Seasonal-naive forecast eval (the baseline every forecast must
     // beat): actual vs 24h-lag total per hour, exact integer-cent errors;
     // seasonal pairing by equi-join, NOT lag() (gaps would silently slip
@@ -3696,6 +3715,18 @@ object SparkEntry {
         |SELECT event_type, dow, o,
         |       CAST(((d * 1000) // (rt * ct)) * d // (n * 1000) AS BIGINT) AS chi2_scaled
         |FROM j""".stripMargin,
+    // WMA replay: same hourly cents, same lags, same non-negative div.
+    "x28_weighted_ma" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |                  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |           FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, hour, cents,
+        |             lag(cents, 1) OVER (PARTITION BY event_type ORDER BY hour) AS l1,
+        |             lag(cents, 2) OVER (PARTITION BY event_type ORDER BY hour) AS l2
+        |      FROM h)
+        |SELECT event_type, hour, cents,
+        |       CAST((3 * cents + 2 * l1 + l2) // 6 AS BIGINT) AS wma_cents
+        |FROM l WHERE l1 IS NOT NULL AND l2 IS NOT NULL""".stripMargin,
     // Seasonal-naive replay: hour totals self-joined at the 24h lag.
     "x13_seasonal_naive" ->
       """WITH h AS (SELECT date_trunc('hour', ts) AS hour,
