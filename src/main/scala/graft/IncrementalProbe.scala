@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal}
+import graft.operators.{Dedup, FuzzyJoin, Multimodal}
 
 /** Builder tooling: scale measurements for the round-7 additions —
   * the durable Hamming/anchor stores' incremental runs vs their one-shot
@@ -14,6 +14,7 @@ object IncrementalProbe {
     val nSigs = if (args.length > 0) args(0).toInt else 100000
     val nDocs = if (args.length > 1) args(1).toInt else 20000
     val nVids = if (args.length > 2) args(2).toInt else 30000
+    val nNames = if (args.length > 3) args(3).toInt else nDocs
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
@@ -141,6 +142,69 @@ object IncrementalProbe {
     time("semantic_incr_batch2")(Dedup.incrementalSemanticPairs(
       vecs.filter(col("vec_id") % 2 === 1), vs, threshold = 0.95, nBits = 10).count())
 
+    // --- Fuzzy neighborhood store (er2's pairing): HOT-NAME groups of 25
+    // mutually-distance-1 names (last-char substitution a..y — the
+    // John-Smith-cluster shape real ER corpora have), group identity
+    // squared-mixed into the middle digits (the TextHash.sampleKey
+    // lesson: a linear id map would lattice the neighborhood buckets).
+    // Each group's delete-last-char variant is a 25-deep bucket, so the
+    // candidate join's Σ bucket² term is live — exactly the term whose
+    // growth separates the old whole-union plan (corpus²) from the
+    // incremental one (batch×corpus). ------------------------------------
+    val names = spark.range(nNames.toLong).select(
+      col("id").as("doc_id"),
+      expr("""concat('cust#',
+               lpad(CAST(((id div 25) * (id div 25)) % 1000003 AS STRING), 7, '0'),
+               chr(97 + CAST(id % 25 AS INT)))""").as("s")).cache()
+    names.count()
+    time("fuzzy_oneshot")(
+      FuzzyJoin.selfJoinIds(names, "doc_id", "s").count())
+    // "cost tracks batch, not corpus": the SAME 15k batch ingested against
+    // a 4×-different history — if ingest cost were corpus-driven it would
+    // quadruple; the corpus-linear parts (store scan + one shuffle of the
+    // history's variant stream) are one pass with no bucket² term.
+    val batchA = names.filter(
+      col("doc_id") >= (nNames / 4) && col("doc_id") < (nNames / 4 + nNames / 20))
+    val batchB = names.filter(col("doc_id") >= (nNames - nNames / 20))
+    val fsSmall = s"$tmp/fstore_hist25"
+    FuzzyJoin.incrementalPairs(
+      names.filter(col("doc_id") < (nNames / 4)), fsSmall, "doc_id", "s").count()
+    time(s"fuzzy_incr_b5pct_hist25pct")(FuzzyJoin.incrementalPairs(
+      batchA, fsSmall, "doc_id", "s").count())
+    val fsBig = s"$tmp/fstore_hist95"
+    FuzzyJoin.incrementalPairs(
+      names.filter(col("doc_id") < (nNames - nNames / 20)), fsBig, "doc_id", "s").count()
+    time(s"fuzzy_incr_b5pct_hist95pct")(FuzzyJoin.incrementalPairs(
+      batchB, fsBig, "doc_id", "s").count())
+    // the plan this replaced (er2 pre-r8) at the same arrival: whole-UNION
+    // neighborhood join re-paid per ingest, batch edges recovered by
+    // post-filter — its candidate volume is the full corpus's Σ bucket²
+    // every time, and it needs every historical record's TEXT re-presented
+    time("fuzzy_old_b5pct_hist95pct")(
+      FuzzyJoin.selfJoinIds(names, "doc_id", "s")
+        .filter(col("id_a") >= (nNames - nNames / 20) ||
+          col("id_b") >= (nNames - nNames / 20)).count())
+    // The er2 LIFECYCLE comparison — 10 equal batches arriving in
+    // sequence. The old plan re-joins the GROWING union at every arrival
+    // (it recomputes every historical candidate pair each time); the
+    // store path joins each batch against history once. At probe scale
+    // the store machinery's fixed costs (read, checkpoint, publish) are
+    // visible in the incremental column; the old column's growth term is
+    // the one that compounds with corpus.
+    time("fuzzy_old_10ingests") {
+      (0 until 10).map { i =>
+        val upTo = names.filter(col("doc_id") % 10 <= i)
+        FuzzyJoin.selfJoinIds(upTo, "doc_id", "s")
+          .filter(col("id_a") % 10 === i || col("id_b") % 10 === i).count()
+      }.sum
+    }
+    val fs2 = s"$tmp/fstore2"
+    time("fuzzy_incr_10ingests") {
+      (0 until 10).map { i =>
+        FuzzyJoin.incrementalPairs(
+          names.filter(col("doc_id") % 10 === i), fs2, "doc_id", "s").count()
+      }.sum
+    }
     // --- Video chain: synth → demux → per-frame dHash → temporal align --
     val vids = Multimodal.synthesizeVideos(
       spark.range(nVids.toLong).select(col("id").as("doc_id")).repartition(64))

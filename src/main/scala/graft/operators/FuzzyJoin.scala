@@ -28,14 +28,9 @@ object FuzzyJoin {
 
   def selfJoin(strs: DataFrame, idCol: String = "id", strCol: String = "s"): DataFrame = {
     val base = strs.select(col(idCol).as("__id"), col(strCol).as("__s"))
-    // {self} ∪ single-deletion variants, deduplicated per row (repeated
-    // characters produce identical deletions).
+    // {self} ∪ single-deletion variants ([[variantArr]]).
     val variants = base.select(
-      col("__id"),
-      explode(array_distinct(concat(
-        array(col("__s")),
-        expr("transform(sequence(1, length(__s)), i -> concat(substring(__s, 1, i - 1), substring(__s, i + 1, length(__s))))"))))
-        .as("__v"))
+      col("__id"), explode(variantArr(col("__s"))).as("__v"))
     // shuffle_hash pinned on both sides (CLAUDE.md bucket-join rule): the
     // variant frame is input-sized, so AQE would broadcast it and
     // serialize the Σ bucket² candidate explosion into the probe tasks.
@@ -56,6 +51,142 @@ object FuzzyJoin {
         col("dist"))
   }
 
+  /** The {self} ∪ single-deletion-variant array for one string column —
+    * the SymSpell neighborhood both the one-shot joins and the
+    * incremental store pair on. Deduplicated per row (repeated characters
+    * produce identical deletions). */
+  private def variantArr(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_distinct(concat(
+      array(s),
+      transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))))
+
+  /** Incremental-store format marker token. d1 = distance-1 deletion
+    * neighborhoods over the raw string (no normalization). Bump whenever
+    * the neighborhood construction changes — stored variant sets from an
+    * older scheme would silently miss cross-batch candidates. */
+  val FuzzyStoreFormat = "_format-symspell-d1-v1"
+
+  /** Incremental fuzzy-key pairing against a persisted NEIGHBORHOOD store —
+    * the growing-corpus pattern ([[Dedup.incrementalMinhashPairs]]) applied
+    * to entity resolution: each ingest computes the NEW batch's deletion
+    * neighborhoods, equi-joins them against the stored history
+    * neighborhoods plus its own (new↔old and new↔new — old↔old is
+    * structurally absent because the probe side is new-only, never
+    * re-paired and never post-filtered), exact-rechecks the candidates
+    * with `levenshtein`, and appends (id, s, variants) to the store. Per-
+    * ingest join cost is the new batch's neighborhood buckets, not the
+    * corpus²: history is touched only as the hash-join build stream and
+    * by two narrow id lookups, so ingest cost tracks batch size
+    * (IncrementalProbe `fuzzy_incr_*`).
+    *
+    * Durability contract shared with the signature stores: writer lease
+    * ([[graft.etl.WriterLease]]), staged `.staging-*` → atomic rename
+    * publish, format marker written before the publishing rename,
+    * store-read errors propagate (only true path absence means "empty
+    * store"), re-ingest anti-joined to stay idempotent. Store rows are
+    * (doc_id, s, vs) — the string is kept for the exact recheck of
+    * later batches' candidates; ~(len+1)·len bytes per record.
+    *
+    * `replayDeterministic` follows [[Dedup.incrementalHammingPairs]]'s
+    * contract: pair the FULL batch against store-minus-batch, so a
+    * crash-replayed micro-batch recomputes the SAME pairs instead of an
+    * empty frame (required by every streaming wrapper).
+    *
+    * Output: (id_a < id_b, dist ≤ 1) — [[selfJoinIds]]'s shape; the union
+    * of per-batch outputs over any arrival order equals the one-shot
+    * [[selfJoinIds]] over the union corpus (spec-asserted). */
+  def incrementalPairs(
+      newRecs: DataFrame,
+      storePath: String,
+      idCol: String = "id",
+      strCol: String = "s",
+      replayDeterministic: Boolean = false): DataFrame = {
+    val spark = newRecs.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(storePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.etl.WriterLease.withLock(fs, dir, "fuzzy neighborhood store") {
+      // Path-absence is the ONLY condition read as "no store yet"; listing
+      // or read errors propagate (the signature-store policy).
+      val hasStore = fs.exists(dir) && fs.listStatus(dir).exists { s =>
+        val nm = s.getPath.getName
+        !nm.startsWith(".") && !nm.startsWith("_")
+      }
+      val marker = new org.apache.hadoop.fs.Path(dir, FuzzyStoreFormat)
+      if (hasStore && !fs.exists(marker))
+        throw new IllegalStateException(
+          s"fuzzy neighborhood store at $storePath was written by an " +
+            s"incompatible scheme (missing $FuzzyStoreFormat); rebuild the " +
+            "store from source records before ingesting new batches")
+      val rawNew0 = newRecs.select(
+        col(idCol).as("doc_id"), col(strCol).as("s"), variantArr(col(strCol)).as("vs"))
+      // Under replayDeterministic the raw batch feeds the pair side AND two
+      // anti-joins — materialize the neighborhood computation once.
+      val rawNew =
+        if (replayDeterministic) rawNew0.localCheckpoint(true) else rawNew0
+      val oldArr =
+        if (hasStore)
+          spark.read.option("recursiveFileLookup", "true").parquet(storePath)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rawNew.schema)
+      // Idempotent re-ingest + lineage severed from the store path (eager
+      // localCheckpoint) so the append below can't recompute this frame.
+      val newArr = (
+        if (hasStore) rawNew.join(oldArr.select("doc_id"), Seq("doc_id"), "left_anti")
+        else rawNew
+      ).localCheckpoint(true)
+      val sideNew = if (replayDeterministic) rawNew else newArr
+      val sideOld =
+        if (replayDeterministic && hasStore)
+          oldArr.join(rawNew.select("doc_id"), Seq("doc_id"), "left_anti")
+        else oldArr
+      def varsOf(arr: DataFrame) =
+        arr.select(col("doc_id"), explode(col("vs")).as("__v"))
+      val newVars = varsOf(sideNew)
+      val allVars = varsOf(sideOld).unionByName(newVars)
+      // New-side × everything on the variant key: new↔new appears from both
+      // orientations and collapses under least/greatest + distinct; old↔old
+      // never appears (the probe side is new-only). Both sides pin
+      // shuffle_hash — the candidate cost is Σ per-variant bucket² OUTPUT,
+      // which an input-sized broadcast would serialize (CLAUDE.md lesson).
+      val cands = newVars.select(col("doc_id").as("doc_n"), col("__v"))
+        .hint("shuffle_hash")
+        .join(allVars.select(col("doc_id").as("doc_o"), col("__v"))
+          .hint("shuffle_hash"), Seq("__v"))
+        .filter(col("doc_n") =!= col("doc_o"))
+        .select(
+          least(col("doc_n"), col("doc_o")).as("__ida"),
+          greatest(col("doc_n"), col("doc_o")).as("__idb"))
+        .distinct()
+      // Exact recheck: fetch each side's string by id — two narrow joins
+      // against batch ∪ history, never an n² frame of raw strings. Eager
+      // checkpoint BEFORE the append: a merely-cached result would
+      // recompute against the just-appended store and double-count.
+      val strings = sideNew.unionByName(sideOld).select(col("doc_id"), col("s"))
+      val pairs = cands
+        .join(strings.select(col("doc_id").as("__ida"), col("s").as("__sa")), Seq("__ida"))
+        .join(strings.select(col("doc_id").as("__idb"), col("s").as("__sb")), Seq("__idb"))
+        .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
+        .filter(col("dist") <= 1)
+        .select(col("__ida").as("id_a"), col("__idb").as("id_b"), col("dist"))
+        .localCheckpoint(true)
+      // Staged publish: hidden staging dir, marker, ONE atomic rename. A
+      // crash before the rename leaves readers' view unchanged.
+      val batchId = java.util.UUID.randomUUID().toString
+      val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$batchId")
+      val published = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
+      newArr.write.parquet(staging.toString)
+      if (!fs.exists(marker)) fs.create(marker, true).close()
+      if (!fs.rename(staging, published))
+        throw new IllegalStateException(
+          s"failed to publish neighborhood batch $staging -> $published")
+      org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(newArr)
+      if (replayDeterministic)
+        org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(rawNew)
+      pairs
+    }
+  }
+
   /** ID-level variant of [[selfJoin]]: the matched pairs as
     * (id_a < id_b, dist) rows — the edge list an entity-resolution
     * clustering ([[Dedup.clusters]]) consumes. Same neighborhood + exact
@@ -63,11 +194,7 @@ object FuzzyJoin {
   def selfJoinIds(strs: DataFrame, idCol: String = "id", strCol: String = "s"): DataFrame = {
     val base = strs.select(col(idCol).as("__id"), col(strCol).as("__s"))
     val variants = base.select(
-      col("__id"),
-      explode(array_distinct(concat(
-        array(col("__s")),
-        expr("transform(sequence(1, length(__s)), i -> concat(substring(__s, 1, i - 1), substring(__s, i + 1, length(__s))))"))))
-        .as("__v"))
+      col("__id"), explode(variantArr(col("__s"))).as("__v"))
     val cands = variants.as("a").hint("shuffle_hash")
       .join(variants.as("b").hint("shuffle_hash"),
         col("a.__v") === col("b.__v") && col("a.__id") < col("b.__id"))

@@ -63,5 +63,51 @@ class FuzzyJoinSpec extends SparkSpec {
       4L -> ((4L, 1L)), 5L -> ((4L, 0L)), 6L -> ((6L, 1L))))
   }
 
+  test("incrementalPairs: parity-split ingests ≡ one-shot at the PAIR level; re-ingest idempotent") {
+    val c = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fuzzy_store").toString + "/store"
+    val p1 = FuzzyJoin.incrementalPairs(c.filter(col("id") % 2 === 0), dir)
+    assert(p1.count() > 0, "even batch must find within-batch pairs")
+    val p2 = FuzzyJoin.incrementalPairs(c.filter(col("id") % 2 === 1), dir)
+    val inc = p1.unionByName(p2)
+    val oneShot = FuzzyJoin.selfJoinIds(c)
+    assert(inc.except(oneShot).isEmpty && oneShot.except(inc).isEmpty,
+      "union of per-batch pair outputs must equal the one-shot join")
+    // batch 2 must emit cross-parity pairs (new↔history), not just new↔new
+    assert(p2.filter(col("id_a") % 2 =!= col("id_b") % 2).count() > 0,
+      "second ingest must pair against the stored history")
+    // idempotent re-ingest: already-stored ids are anti-joined out
+    assert(FuzzyJoin.incrementalPairs(c.filter(col("id") % 2 === 1), dir).isEmpty,
+      "re-ingesting a stored batch must be a no-op")
+    // arrival-order invariance at the pair level: a 3-way split over a
+    // fresh store reproduces the same set
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_fuzzy_store3").toString + "/store"
+    val inc3 = (0 until 3).map(i =>
+        FuzzyJoin.incrementalPairs(c.filter(col("id") % 3 === i), dir2))
+      .reduce(_ unionByName _)
+    assert(inc3.except(oneShot).isEmpty && oneShot.except(inc3).isEmpty,
+      "3-way arrival order must reproduce the one-shot pair set")
+  }
+
+  test("incrementalPairs replayDeterministic: a replayed batch recomputes its exact pairs") {
+    val strs = Seq((1L, "anna"), (2L, "anne"), (3L, "bob"), (4L, "bop"))
+      .toDF("id", "s")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fuzzy_replay").toString + "/store"
+    val b1 = strs.filter(col("id") <= 2)
+    val b2 = strs.filter(col("id") > 2)
+    val r1 = FuzzyJoin.incrementalPairs(b1, dir, replayDeterministic = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    FuzzyJoin.incrementalPairs(b2, dir, replayDeterministic = true)
+    // crash-replay of batch 1: store already holds it; default mode would
+    // return an empty frame, replayDeterministic recomputes the same pairs
+    val replay = FuzzyJoin.incrementalPairs(b1, dir, replayDeterministic = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replay === r1 && r1 === Set((1L, 2L)))
+  }
+
   private def Tables = graft.sources.Tables
 }
