@@ -73,11 +73,16 @@ object DeletionVectors {
     * deletes (each file's surviving rows re-written as one new file in the
     * same directory — Hive partition columns embedded in the path are
     * untouched because the file stays in its directory), then reset the
-    * store. Unaffected files are untouched bytes. Loud failure doctrine:
-    * a missing file or a failed delete throws before the store is reset,
-    * so a partial apply is healed by re-running (tombstones for
-    * already-rewritten files simply match nothing).
-    * Returns (files rewritten, rows dropped). Not safe under concurrent
+    * store. Unaffected files are untouched bytes. Loud failure doctrine
+    * with a crash-healing carve-out: a rewrite always leaves a
+    * `part-dv-*` replacement (even a 0-survivor one — the empty parquet
+    * is the durable "this file was folded" evidence), so when a re-run
+    * after a crash-before-store-reset finds a tombstoned file absent from
+    * disk, it verifies the replacement exists and SKIPS it with a log
+    * line (its rows were already dropped by the crashed run); a missing
+    * file with NO replacement still throws before the store is reset.
+    * Returns (files rewritten, rows dropped) — healed skips count in
+    * neither. Not safe under concurrent
     * readers of the affected files — same contract as
     * [[Sink.backfillPartitions]]; reader-safe folding publishes a new
     * [[TimeTravel]] run instead. */
@@ -87,9 +92,25 @@ object DeletionVectors {
       val files = dv.select(col("file")).distinct().collect().map(_.getString(0))
       if (files.isEmpty) return (0L, 0L)
       var dropped = 0L
+      var rewritten = 0L
       files.foreach { f =>
         val path = new java.io.File(new java.net.URI(f).getPath)
-        require(path.isFile, s"applyDeletes: data file missing on disk: $path")
+        if (!path.isFile) {
+          // Crash window healed: a previous apply rewrote this file (its
+          // part-dv-* replacement is on disk) but died before the store
+          // reset. The tombstones were already folded — skip, don't throw.
+          // A missing file with NO replacement is real data loss and stays
+          // loud (the store is NOT reset in that case).
+          val tail = path.getName.stripPrefix("part-")
+          val healed = Option(path.getParentFile.listFiles()).exists(_.exists(g =>
+            g.getName.startsWith("part-dv-") && g.getName.endsWith(tail)))
+          require(healed,
+            s"applyDeletes: data file missing on disk with no part-dv-* " +
+              s"replacement: $path")
+          System.err.println(
+            s"[dv] applyDeletes: $path already rewritten by a previous " +
+              "(crashed) apply — skipping")
+        } else {
         val rows = spark.read.parquet(path.toString)
           .select(col("*"), col("_metadata.row_index").as(PosCol))
         val kill = dv.filter(col("file") === f).select(col("pos"))
@@ -106,22 +127,26 @@ object DeletionVectors {
           val stage = new java.io.File(path.getParentFile,
             s".dv-staging-${path.getName}")
           if (stage.exists()) Compaction.deleteDir(stage)
-          if (kept > 0) {
-            survivors.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-            val part = stage.listFiles().filter(_.getName.endsWith(".parquet"))
-            require(part.length == 1, s"applyDeletes: expected 1 part file, got ${part.length}")
-            val target = new java.io.File(path.getParentFile,
-              s"part-dv-${System.nanoTime()}-${path.getName.stripPrefix("part-")}")
-            require(part(0).renameTo(target), s"applyDeletes: rename failed for $target")
-          }
+          // The replacement is written even with 0 survivors (an empty
+          // parquet part — harmless to readers, schema preserved): it is
+          // the durable evidence the crash-heal path above checks for, so
+          // every rewritten file leaves a trace before the original dies.
+          survivors.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = stage.listFiles().filter(_.getName.endsWith(".parquet"))
+          require(part.length == 1, s"applyDeletes: expected 1 part file, got ${part.length}")
+          val target = new java.io.File(path.getParentFile,
+            s"part-dv-${System.nanoTime()}-${path.getName.stripPrefix("part-")}")
+          require(part(0).renameTo(target), s"applyDeletes: rename failed for $target")
           require(path.delete(), s"applyDeletes: failed to delete rewritten file $path")
           if (stage.exists()) Compaction.deleteDir(stage)
+          rewritten += 1L
         } finally survivors.unpersist()
+        }
       }
       // all files folded — reset the store (tombstones now point at
       // deleted files; keeping them would resurrect on name reuse)
       Compaction.deleteDir(new java.io.File(dvDir))
-      (files.length.toLong, dropped)
+      (rewritten, dropped)
     } finally dv.unpersist()
   }
 }

@@ -134,15 +134,6 @@ object Erasure {
     eraseKeysEverywhereKeyed(spark, dataDir, partCols, keyCol, keys,
       storePaths.map((_, "doc_id")), labelStorePaths)
 
-  /** The fully general composed erasure: each signature store carries its
-    * OWN key column as `(path, storeKeyCol)` — `doc_id` for the
-    * minhash/Hamming/anchor/frame stores, `vec_id` for the
-    * [[graft.operators.Dedup.incrementalSemanticPairs]] vector store
-    * (whose batches hold `(vec_id, embedding)` and would otherwise fail
-    * the erase with a missing-column AnalysisException AFTER the data
-    * dirs were already rewritten — a partial composed erasure). The key
-    * VALUES are one id space (the `keys` frame); only the column name a
-    * store filters on differs. */
   /** Soft erasure through [[DeletionVectors]] — the LOW-LATENCY half of
     * the right-to-be-forgotten pipeline: tombstone every row carrying one
     * of the keys (delete-sized write, zero data rewritten, effective for
@@ -159,6 +150,15 @@ object Erasure {
     DeletionVectors.addDeletes(spark, dataDir, dvDir, col(keyCol).isin(ks: _*))
   }
 
+  /** The fully general composed erasure: each signature store carries its
+    * OWN key column as `(path, storeKeyCol)` — `doc_id` for the
+    * minhash/Hamming/anchor/frame stores, `vec_id` for the
+    * [[graft.operators.Dedup.incrementalSemanticPairs]] vector store
+    * (whose batches hold `(vec_id, embedding)` and would otherwise fail
+    * the erase with a missing-column AnalysisException AFTER the data
+    * dirs were already rewritten — a partial composed erasure). The key
+    * VALUES are one id space (the `keys` frame); only the column name a
+    * store filters on differs. */
   def eraseKeysEverywhereKeyed(spark: SparkSession, dataDir: String,
       partCols: Seq[String], keyCol: String, keys: DataFrame,
       storeKeys: Seq[(String, String)], labelStorePaths: Seq[String])

@@ -332,15 +332,53 @@ object Dedup {
       .groupBy("doc_id")
       .agg(graft.functions.MinHashAgg.minhash(col("hp"), MinhashK).as("mh"))
 
+  /** Candidate probability of an LSH (bands, rows) banding at Jaccard
+    * similarity s — the standard S-curve 1 − (1 − s^r)^b. */
+  def bandingProbability(s: Double, bands: Int, rows: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+
+  /** Derive (bands, rows) from a TARGET instead of by hand — the one
+    * decision a production dedup run otherwise makes by folklore: among
+    * the bandings b = ⌊k/r⌋ the k-permutation signature supports, pick
+    * the LARGEST r (steepest S-curve → fewest sub-threshold candidate
+    * pairs, the cost term of the banding join) whose candidate
+    * probability at `threshold` still meets `targetRecall`. Throws when
+    * even the max-recall banding (r = 1, b = k) falls short — the honest
+    * answer is "use more permutations", never a silently-missed recall
+    * target. The choice is analytic; CLAUDE.md's measure-don't-guess
+    * stance still applies: verify the chosen knobs EMPIRICALLY with
+    * [[lshRecallEval]] on a corpus sample in the same run (the
+    * d17_auto_banding gate row does exactly that). */
+  def bandingFor(threshold: Double, targetRecall: Double = 0.95,
+      k: Int = MinhashK): (Int, Int) = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0, 1), got $targetRecall")
+    require(k >= 1, s"k must be positive, got $k")
+    (k to 1 by -1).iterator
+      .map(r => (k / r, r))
+      .find { case (b, r) => bandingProbability(threshold, b, r) >= targetRecall }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no banding of $k permutations reaches recall $targetRecall at " +
+          s"threshold $threshold (max is 1-(1-s)^$k = " +
+          s"${bandingProbability(threshold, k, 1)} at r=1); increase k"))
+  }
+
   /** LSH band-key array from a signature-array column: band b ∈ [0, k/r),
     * key = Σ_{j<r} (j+1)·mh[b·r+j] (order-independent, deterministic; fits
-    * in bigint: r·(r+1)/2·P < 2^33). */
-  def bandKeys(mh: Column): Column = {
-    val nBands = MinhashK / BandR
+    * in bigint: r·(r+1)/2·P < 2^40 for any r ≤ k). */
+  def bandKeys(mh: Column): Column = bandKeysWith(mh, BandR)
+
+  /** [[bandKeys]] at an explicit rows-per-band r (e.g. one chosen by
+    * [[bandingFor]]); b = ⌊k/r⌋ full bands, leftover permutations unused. */
+  def bandKeysWith(mh: Column, rows: Int): Column = {
+    require(rows >= 1 && rows <= MinhashK, s"rows must be in [1, $MinhashK], got $rows")
+    val nBands = MinhashK / rows
     transform(
       sequence(lit(0), lit(nBands - 1)),
-      b => (0 until BandR)
-        .map(j => element_at(mh, b * BandR + j + 1) * (j + 1))
+      b => (0 until rows)
+        .map(j => element_at(mh, b * rows + j + 1) * (j + 1))
         .reduce(_ + _))
   }
 
@@ -360,7 +398,8 @@ object Dedup {
     * loops also replace the long generated expression chain whose first-run
     * JIT dominated the 100k-doc probe. The first shuffle anything pays is
     * the band-key candidate join, which is already pair-pruned. */
-  def minhashPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+  def minhashPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      bandRows: Int = BandR): DataFrame = {
     import graft.functions.GraftColumns
     val withArr = docs
       .withColumn("__hs", GraftColumns.shingleHashes(col("text"), n))
@@ -369,7 +408,8 @@ object Dedup {
         GraftColumns.minhashArr(col("__hs"), MinhashK).as("__mh"))
       .cache()
     val bands = withArr
-      .select(col("doc_id"), posexplode(bandKeys(col("__mh"))).as(Seq("band", "band_key")))
+      .select(col("doc_id"),
+        posexplode(bandKeysWith(col("__mh"), bandRows)).as(Seq("band", "band_key")))
     val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
     val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
     // Shuffled join for the same reason as [[simhashPairs]]: the band
@@ -977,24 +1017,6 @@ object Dedup {
     }
   }
 
-  /** Corpus-wide SEGMENT-level exact dedup (the CCNet/RefinedWeb line-dedup
-    * shape, with fixed `segWords`-token windows standing in for lines in a
-    * corpus without line structure): a segment occurrence survives iff it
-    * is the FIRST occurrence of that segment text in the whole corpus under
-    * the (doc_id, seg_idx) total order; each document's text is then
-    * re-assembled from its surviving segments in order.
-    *
-    * Unlike [[spanDuplication]] (which only SCORES cross-doc duplication),
-    * this is the transform that removes it. Segment identity is the wide
-    * 60-bit portable hash (polyHash | polyHash∘reverse << 30 — the shingle
-    * convention). Plan shape: ONE hash-shuffle of (h, doc_id, idx, seg)
-    * rows with a min-struct count window — the same single-exchange
-    * discipline as spanDuplication; the rebuild groupBy(doc_id) is the
-    * second, doc-keyed exchange. Docs whose every segment was seen earlier
-    * emit an empty `text_dedup` (n_kept = 0), keeping one output row per
-    * input doc.
-    *
-    * Output: (doc_id, text_dedup, n_kept, n_total). */
   /** [[duplicatedSpans]] closed into the Lee et al. TRANSFORM: cut the
     * LATER occurrence of every duplicated run ≥ `minTokens` and rebuild
     * each document from its surviving tokens. "Later" is the span's
@@ -1072,6 +1094,24 @@ object Dedup {
           .as("h"))
   }
 
+  /** Corpus-wide SEGMENT-level exact dedup (the CCNet/RefinedWeb line-dedup
+    * shape, with fixed `segWords`-token windows standing in for lines in a
+    * corpus without line structure): a segment occurrence survives iff it
+    * is the FIRST occurrence of that segment text in the whole corpus under
+    * the (doc_id, seg_idx) total order; each document's text is then
+    * re-assembled from its surviving segments in order.
+    *
+    * Unlike [[spanDuplication]] (which only SCORES cross-doc duplication),
+    * this is the transform that removes it. Segment identity is the wide
+    * 60-bit portable hash (polyHash | polyHash∘reverse << 30 — the shingle
+    * convention). Plan shape: ONE hash-shuffle of (h, doc_id, idx, seg)
+    * rows with a min-struct count window — the same single-exchange
+    * discipline as spanDuplication; the rebuild groupBy(doc_id) is the
+    * second, doc-keyed exchange. Docs whose every segment was seen earlier
+    * emit an empty `text_dedup` (n_kept = 0), keeping one output row per
+    * input doc.
+    *
+    * Output: (doc_id, text_dedup, n_kept, n_total). */
   def segmentDedup(docs: DataFrame, segWords: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val segs = segmentRows(docs, segWords)
@@ -1675,9 +1715,9 @@ object Dedup {
     *
     * Output: (bucket = ⌊10·J⌋, n_exact, n_found, recall_permyriad). */
   def lshRecallEval(docs: DataFrame, n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, bandRows: Int = BandR): DataFrame = {
     val exact = jaccardPairs(docs, n, threshold)
-    val found = minhashPairs(docs, n, threshold)
+    val found = minhashPairs(docs, n, threshold, bandRows)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("found"))
     exact
       .join(found, Seq("doc_a", "doc_b"), "left")

@@ -198,7 +198,16 @@ object Graph {
     * inside the k-core. */
   def kcore(edges: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    peelToFixedPoint(undirectedSimple(edges), k)
+    val und = undirectedSimple(edges)
+    val core = peelToFixedPoint(und, k)
+    // The peel materialized its result, so the symmetrized input's blocks
+    // can go now (unless the peel was a 0-round no-op and returned it).
+    // The returned frame still reads `core`'s checkpoint — that ONE
+    // edge-map-sized pin is the operator's barrier cache (the globalRank
+    // convention; Bench's clearCache() is the isolation boundary).
+    if (core ne und)
+      org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(und)
+    core
       .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("node"), col("core_deg"))
   }
@@ -215,23 +224,38 @@ object Graph {
     * edge set. */
   def coreness(edges: DataFrame, kMax: Int = 16): DataFrame = {
     require(kMax >= 1, s"kMax must be positive, got $kMax")
+    val bridge = org.apache.spark.sql.graftbridge.DatasetBridge
     var adj = undirectedSimple(edges)
     // coreness(v) = max k with v present in the k-core; fold ascending
     var out = adj.select(col("src").as("node")).distinct()
       .withColumn("coreness", lit(0L))
+    var outCp: Option[DataFrame] = None
     var k = 1
     var empty = false
     while (k <= kMax && !empty) {
+      val prevAdj = adj
       adj = peelToFixedPoint(adj, k)
       val survivors = adj.select(col("src").as("node")).distinct()
         .withColumn("__k", lit(k.toLong))
       out = out.join(survivors, Seq("node"), "left")
         .select(col("node"),
           greatest(col("coreness"), coalesce(col("__k"), lit(0L))).as("coreness"))
-        .localCheckpoint()
+        .localCheckpoint() // eager — severs out from adj AND the prior out
+      // Only the LATEST snapshot of each chain stays pinned: release the
+      // peeled-away previous core (unless the peel was a 0-round no-op and
+      // returned its input) and the superseded coreness fold — without
+      // this, up to ~2·kMax node/edge-sized checkpoint RDDs accumulate
+      // (the SCALING #38 leak class, r7 advice).
+      if (prevAdj ne adj) bridge.unpersistCheckpoint(prevAdj)
+      outCp.foreach(bridge.unpersistCheckpoint)
+      outCp = Some(out)
       empty = adj.isEmpty
       k += 1
     }
+    // the final phase's core is not read by the returned frame (out is its
+    // own checkpoint) — release it; out's single pin is the returned
+    // barrier (the kcore/globalRank convention).
+    bridge.unpersistCheckpoint(adj)
     out
   }
 

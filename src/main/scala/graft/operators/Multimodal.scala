@@ -1020,7 +1020,15 @@ object Multimodal {
     * EXACTLY describes its image scores cos = 1 and always passes; a
     * swapped caption's profile decorrelates and fails at the default
     * 0.99 bound. Component magnitudes ≤ ~2.3k over 8 dims keep every
-    * product under 2⁶³ (dot ≤ 8·2295² ≈ 4.2e7; tauDen·dot² ≈ 1.8e17).
+    * product under 2⁶³ (dot ≤ 8·2295² ≈ 4.2e7; tauDen·dot² ≈ 1.8e17) —
+    * but that holds for the GRAYSCALE fixtures only: 3-band RGB per-cell
+    * sums push ‖·‖² toward ~3.8e8 and tauDen·dot² past 2⁶³, where
+    * non-ANSI Spark would wrap silently and flip the verdict. A per-row
+    * guard raises instead: rows whose squared norms exceed
+    * √(2⁶³/max(tauNum,tauDen)) (dot² ≤ ‖a‖²·‖b‖² bounds both sides of
+    * the comparison) fail loudly — rescale profiles (a cosine is
+    * scale-invariant, so dividing both towers by a constant preserves
+    * every verdict) rather than widening to lossy doubles.
     *
     * Scale shape: one doc_id-keyed equi-join, per-row arithmetic — the
     * filter runs at scan speed; the expensive towers (decode, model)
@@ -1034,11 +1042,23 @@ object Multimodal {
     val dot = (0 until dims).map(i => p(i) * t(i)).reduce(_ + _)
     val na2 = (0 until dims).map(i => p(i) * p(i)).reduce(_ + _)
     val nb2 = (0 until dims).map(i => t(i) * t(i)).reduce(_ + _)
+    // Exactness bound: the comparison needs tauDen·dot² and
+    // tauNum·‖a‖²·‖b‖² in BIGINT; dot² ≤ ‖a‖²·‖b‖² (Cauchy–Schwarz), so
+    // capping each squared norm at √(2⁶³/m) bounds BOTH products under 2⁶³.
+    val m = math.max(math.max(tauNum, tauDen), 1L)
+    val safeNorm2 = math.sqrt(Long.MaxValue.toDouble / m).toLong
     profiles.join(tprofiles, Seq("doc_id"))
       .select(col("doc_id"), dot.as("dot"), na2.as("__na2"), nb2.as("__nb2"))
       .select(col("doc_id"), col("dot"),
-        when(lit(tauDen) * col("dot") * col("dot") >=
-          lit(tauNum) * col("__na2") * col("__nb2"), lit(1L))
-          .otherwise(lit(0L)).as("aligned"))
+        when(col("__na2") > safeNorm2 || col("__nb2") > safeNorm2,
+          raise_error(concat(
+            lit("imageTextAlignment: profile norm² exceeds the exact-BIGINT " +
+              s"bound $safeNorm2 for tau=$tauNum/$tauDen (doc_id="),
+            col("doc_id").cast("string"),
+            lit("); rescale both towers' profiles by a common constant"))))
+          .otherwise(
+            when(lit(tauDen) * col("dot") * col("dot") >=
+              lit(tauNum) * col("__na2") * col("__nb2"), lit(1L))
+              .otherwise(lit(0L))).as("aligned"))
   }
 }

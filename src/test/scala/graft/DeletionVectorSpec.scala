@@ -124,7 +124,7 @@ class DeletionVectorSpec extends SparkSpec {
     assert(DeletionVectors.readWithDeletes(spark, dataDir, dvDir).count() === 49990)
   }
 
-  test("applyDeletes removes a fully-deleted file instead of writing an empty one") {
+  test("applyDeletes on a fully-deleted file leaves an empty replacement (crash evidence), reads clean") {
     val root = java.nio.file.Files.createTempDirectory("graft_dv").toString
     val dataDir = s"$root/data"; val dvDir = s"$root/dv"
     (0L until 20L).map(i => (i, i * 2)).toDF("id", "w")
@@ -136,5 +136,48 @@ class DeletionVectorSpec extends SparkSpec {
     assert(files === 1L && dropped === 20L)
     val ids = spark.read.parquet(dataDir).select("id").as[Long].collect().sorted
     assert(ids.toSeq === (20L until 40L).toSeq)
+    // the 0-survivor replacement exists — the durable "already folded"
+    // evidence the crash-heal path checks for
+    assert(new java.io.File(dataDir).listFiles()
+      .exists(_.getName.startsWith("part-dv-")))
+  }
+
+  test("applyDeletes heals its own crash window: rewrite done, store reset missed") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dv").toString
+    val dataDir = s"$root/data"; val dvDir = s"$root/dv"
+    (0L until 30L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.parquet(dataDir)
+    (30L until 60L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(dataDir)
+    DeletionVectors.addDeletes(spark, dataDir, dvDir, col("id") % 6 === 1)
+    // snapshot the store, apply, then restore the store — simulating a
+    // crash after every file rewrite but before the store reset
+    val dvBak = s"$root/dv_bak"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(dvDir), new java.io.File(dvBak))
+    val (files1, dropped1) = DeletionVectors.applyDeletes(spark, dataDir, dvDir)
+    assert(files1 === 2L && dropped1 === 10L)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(dvBak), new java.io.File(dvDir))
+    // the re-run must SKIP the already-rewritten (now absent) files —
+    // their part-dv-* replacements are the evidence — and reset the store
+    val (files2, dropped2) = DeletionVectors.applyDeletes(spark, dataDir, dvDir)
+    assert(files2 === 0L && dropped2 === 0L)
+    assert(!new java.io.File(dvDir).exists(), "store must be reset by the healing re-run")
+    val ids = spark.read.parquet(dataDir).select("id").as[Long].collect().sorted
+    assert(ids.toSeq === (0L until 60L).filter(_ % 6 != 1).toSeq)
+    // a genuinely missing file (no replacement) still fails loudly
+    DeletionVectors.addDeletes(spark, dataDir, dvDir, col("id") === 2)
+    val victim = new java.io.File(dataDir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .find(f => spark.read.parquet(f.toString).filter(col("id") === 2).count() > 0).get
+    // remove it AND its replacement trail by renaming to a non-part name
+    val hidden = new java.io.File(victim.getParentFile, "gone.bin")
+    assert(victim.renameTo(hidden))
+    val ex = intercept[IllegalArgumentException] {
+      DeletionVectors.applyDeletes(spark, dataDir, dvDir)
+    }
+    assert(ex.getMessage.contains("no part-dv-* replacement"))
+    assert(new java.io.File(dvDir).exists(), "store must NOT be reset on real data loss")
   }
 }

@@ -388,6 +388,25 @@ class MultimodalSpec extends SparkSpec {
       (0 until 9).map(gx => Multimodal.patternCell(4L, gx, gy).toLong).sum))
   }
 
+  test("image-text alignment: RGB-scale norms trip the exact-BIGINT guard loudly; rescaled pass") {
+    // 3-band per-cell sums reach ~6.9k per component → ‖·‖² ≈ 3.8e8 >
+    // √(2⁶³/100) ≈ 3.0e8, where tauDen·dot² would wrap silently in
+    // non-ANSI BIGINT arithmetic and flip the verdict — the guard must
+    // raise instead (r7 advice).
+    val big = Seq((1L, Array.fill(8)(6900L))).toDF("doc_id", "profile")
+    val bigT = Seq((1L, Array.fill(8)(6900L))).toDF("doc_id", "tprofile")
+    val ex = intercept[Exception] {
+      Multimodal.imageTextAlignment(big, bigT).collect()
+    }
+    assert(ex.getMessage.contains("exact-BIGINT"), ex.getMessage)
+    // dividing both towers by a common constant is verdict-preserving and
+    // brings the norms back inside the exact window
+    val small = Seq((1L, Array.fill(8)(69L))).toDF("doc_id", "profile")
+    val smallT = Seq((1L, Array.fill(8)(69L))).toDF("doc_id", "tprofile")
+    assert(Multimodal.imageTextAlignment(small, smallT)
+      .head().getLong(2) === 1L)
+  }
+
   test("mirror dedup: flips pair under the canonical signature, NOT under plain dHash") {
     val ids = (0L until 20L).toDF("doc_id")
     val pngs = Multimodal.synthesizeMirrorPngs(ids)
