@@ -194,6 +194,40 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("bandingFor: knobs derived from (threshold, recall) — pinned choices, S-curve honored, unattainable throws") {
+    // the hand-chosen default (16 bands × 2 rows) is exactly what the
+    // derivation picks for its design point — the folklore knob, derived
+    assert(Dedup.bandingFor(0.5, 0.95) === ((16, 2)))
+    // higher threshold → steeper curve affordable → more rows per band
+    assert(Dedup.bandingFor(0.8, 0.95) === ((8, 4)))
+    assert(Dedup.bandingFor(0.9, 0.95) === ((5, 6)))
+    // every choice meets its target and is the MOST selective that does
+    Seq((0.5, 0.95), (0.8, 0.95), (0.9, 0.99), (0.3, 0.9)).foreach {
+      case (t, rec) =>
+        val (b, r) = Dedup.bandingFor(t, rec)
+        assert(Dedup.bandingProbability(t, b, r) >= rec, s"t=$t rec=$rec")
+        if (r < Dedup.MinhashK) {
+          val (b2, r2) = (Dedup.MinhashK / (r + 1), r + 1)
+          assert(Dedup.bandingProbability(t, b2, r2) < rec,
+            s"a more selective banding also met the target at t=$t rec=$rec")
+        }
+    }
+    // a target even (r=1, b=k) cannot reach fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.bandingFor(0.01, 0.999)
+    }
+    assert(ex.getMessage.contains("increase k"))
+  }
+
+  test("minhashPairs at bandingFor(0.8) knobs: full recall on the planted ≥0.8 pairs") {
+    val (_, r) = Dedup.bandingFor(0.8, 0.95)
+    val exact = Dedup.jaccardPairs(docs, threshold = 0.8)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(docs, threshold = 0.8, bandRows = r)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(exact.nonEmpty && lsh === exact)
+  }
+
   test("simhash: identical texts share a signature; signatures fit in 60 bits") {
     val sig = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sig(0L) === sig(3L))
