@@ -24,4 +24,16 @@ object DatasetBridge {
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** A SERIALIZABLE factory for the session's Hadoop Configuration, for
+    * shipping into tasks: `SerializableConfiguration` is `private[spark]`
+    * (unnameable from graft code), and a task-side `new Configuration()`
+    * would silently drop the session's filesystem settings (credentials,
+    * fs.defaultFS) on a real cluster. The returned closure captures the
+    * Spark wrapper and is itself java-serializable. */
+  def confFactory(conf: org.apache.hadoop.conf.Configuration)
+      : () => org.apache.hadoop.conf.Configuration = {
+    val sc = new org.apache.spark.util.SerializableConfiguration(conf)
+    () => sc.value
+  }
 }
