@@ -86,15 +86,25 @@ object Bench {
     }
     // Single-run timings on sub-2s queries are ±10% noisy — enough to mask
     // real regressions as the suite grows. Fast queries run 3× and report
-    // the MEDIAN (with min/max spread); queries ≥ 2 s stay single-run to
-    // keep the suite's total runtime in budget.
+    // the MEDIAN (with min/max spread). Queries ≥ 2 s used to stay
+    // single-run for budget — which let a single driver-machine load
+    // spike land unfiltered in the round artifact (r7: j2 read 20× slow
+    // on untouched code, min==median==max betrayed the single sample).
+    // Mid-range queries (2–10 s) now run TWICE and report the MIN — the
+    // spike-robust statistic for a deterministic workload — bounding the
+    // extra suite cost to the 2–10 s band; only >10 s rows stay
+    // single-run, where a spike is at least visible as an outlier against
+    // their own history.
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     def bench(name: String)(f: => Unit): Unit =
       try {
         val first = time(f)
-        val runs = if (first < 2.0) Seq(first, time(f), time(f)).sorted else Seq(first)
-        results(name) = runs(runs.size / 2)
+        val runs =
+          if (first < 2.0) Seq(first, time(f), time(f)).sorted
+          else if (first <= 10.0) Seq(first, time(f)).sorted
+          else Seq(first)
+        results(name) = if (runs.size == 2) runs.head else runs(runs.size / 2)
         spreads(name) = (runs.head, runs.last)
       } catch {
         case e: Throwable =>
