@@ -2461,6 +2461,12 @@ object SparkEntry {
     // identically if it ever did.
     "g6_coreness" -> ((s, d) =>
       Graph.coreness(Graph.docLinkGraph(Tables.documents(s, d)), kMax = 8)),
+    // Deterministic label-propagation communities over the same link
+    // graph: 4 synchronous rounds, neighbor-modal label with min-label
+    // tie-break (no random visit order — the round count is part of the
+    // contract and the oracle replays it unrolled).
+    "g7_label_prop" -> ((s, d) =>
+      Graph.labelPropagation(Graph.docLinkGraph(Tables.documents(s, d)), rounds = 4)),
     // k-core decomposition (k=4) over the undirected simple link graph:
     // iterative peel to the unique fixed point (peel-order-independent,
     // so iteration structure is not part of the contract). The 4-core
@@ -4296,6 +4302,31 @@ object SparkEntry {
          |$peel
          |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
          |FROM e$rounds GROUP BY src""".stripMargin
+    },
+    // g7: the 4 synchronous LPA rounds unrolled — per round, each node's
+    // neighbor-modal label (count DESC, label ASC — the min-label
+    // tie-break) via one grouped count + row_number argmax.
+    "g7_label_prop" -> {
+      val rounds = 4
+      val steps = (1 to rounds).map { i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT node, label FROM (
+           |    SELECT e.dst AS node, l.label,
+           |           row_number() OVER (PARTITION BY e.dst
+           |                              ORDER BY count(*) DESC, l.label) AS rn
+           |    FROM e0 e JOIN l${i - 1} l ON l.node = e.src
+           |    GROUP BY e.dst, l.label) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ncnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |raw AS (SELECT doc_id AS src,
+         |               ${sqlSampleKey("('pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))")} % n AS dst
+         |        FROM documents CROSS JOIN generate_series(1, 3) t(j) CROSS JOIN ncnt),
+         |sg AS (SELECT src, dst FROM raw WHERE src <> dst),
+         |un AS (SELECT src, dst FROM sg UNION SELECT dst, src FROM sg),
+         |e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM un),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e0),
+         |$steps
+         |SELECT node, CAST(label AS BIGINT) AS community FROM l$rounds""".stripMargin
     },
     "u2_scd2_history" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

@@ -259,6 +259,58 @@ object Graph {
     out
   }
 
+  /** Community detection by DETERMINISTIC synchronous label propagation —
+    * the domain/topic grouping pass a curation pipeline runs over its
+    * link graph (near-linear per round, no modularity objective to
+    * optimize). Classic LPA is famously non-deterministic (random visit
+    * order, random tie-breaks); this variant is replayable by
+    * construction, the [[graft.operators.Dedup.clusters]] min-label
+    * doctrine generalized from connectivity to neighbor MAJORITY:
+    *
+    *  - labels start as own node id over the undirected SIMPLE graph
+    *    (self-loops dropped, multi-edges collapsed — one vote per
+    *    distinct neighbor);
+    *  - every round, ALL nodes simultaneously adopt their neighbors'
+    *    modal label, ties broken by MINIMUM label (no randomness, no
+    *    visit order);
+    *  - exactly `rounds` rounds run — bipartite-ish structures oscillate
+    *    under synchronous updates instead of converging, so the round
+    *    count is part of the operator's contract (the oracle replays the
+    *    same count), not a convergence detail.
+    *
+    * Plan per round: one edge-map-sized join against the label snapshot,
+    * two grouped aggregates ((dst, label) counts, then the min-struct
+    * argmax — max count, min label — the portable mode). Lineage is cut
+    * per round with an eager localCheckpoint and the superseded round is
+    * released ([[coreness]]'s discipline); the returned snapshot is the
+    * one retained barrier. Output: (node, community) for every node in
+    * the edge set. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    val bridge = org.apache.spark.sql.graftbridge.DatasetBridge
+    val und = undirectedSimple(edges)
+    var labels = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    var lastCp: Option[DataFrame] = None
+    (1 to rounds).foreach { _ =>
+      val next = und
+        .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("cnt")).as("neg"), col("label").as("l"))).as("m"))
+        .select(col("dst").as("node"), col("m.l").as("label"))
+        .localCheckpoint() // eager: severs this round from the previous
+      lastCp.foreach(bridge.unpersistCheckpoint)
+      lastCp = Some(next)
+      labels = next
+    }
+    // release the symmetrized input; the final round's checkpoint is the
+    // returned barrier (the kcore/globalRank convention)
+    bridge.unpersistCheckpoint(und)
+    labels.select(col("node"), col("label").as("community"))
+  }
+
   private def undirectedSimple(edges: DataFrame): DataFrame = {
     val simple = edges.filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))

@@ -134,4 +134,31 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(capped(1L) === 2L && capped(5L) === 1L)
   }
+
+  test("labelPropagation: triangle converges to min label; bridged triangles split; oscillation is round-pinned") {
+    // a triangle settles on its min id by round 3 and stays
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val t = Graph.labelPropagation(tri, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // two triangles joined by ONE bridge edge keep separate communities —
+    // inside each triangle two neighbor votes agree, so the single
+    // cross-community vote never wins the mode
+    val two = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L)).toDF("src", "dst")
+    val c = Graph.labelPropagation(two, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(c(1L), c(2L), c(3L)).size === 1)
+    assert(Set(c(10L), c(11L), c(12L)).size === 1)
+    assert(c(1L) !== c(10L), s"bridge must not merge the triangles: $c")
+    // synchronous updates on a path OSCILLATE — the round count is part
+    // of the contract, so round 4 is pinned exactly (hand-computed)
+    val path = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val p4 = Graph.labelPropagation(path, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p4 === Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 5L -> 5L, 6L -> 6L))
+    val p3 = Graph.labelPropagation(path, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p3 === Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 5L -> 6L, 6L -> 5L))
+  }
 }
