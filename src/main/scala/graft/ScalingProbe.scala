@@ -421,6 +421,48 @@ object ScalingProbe {
       contPairs = Dedup.containmentPairs(withEx).count(); contPairs })
     println(s"[scale]   containment pairs: $contPairs (floor: $nExcerpts planted excerpts)")
     assert(contPairs >= nExcerpts, s"missing planted containment pairs: $contPairs < $nExcerpts")
+    // Containment dedup APPLIED (d16) over the same 114k corpus: the
+    // absorb pass adds one per-doc min-struct resolution over the
+    // directed pairs — the delta vs the containment number above is the
+    // application cost, not a second candidate join.
+    time("absorb_subsets_114k_docs")(Dedup.absorbSubsets(withEx).count())
+    // Leakage-free splits (c9) at 100k docs: the split is a hash
+    // PROJECTION of the cluster label, so the cost IS the clusters run —
+    // no extra shuffle rides on top of it.
+    time("leakage_split_100k_docs")(
+      Dedup.clusters(bigDocs, Dedup.minhashPairs(bigDocs))
+        .select(col("doc_id"), graft.operators.Curation.splitName(
+          graft.operators.Curation.splitBucket(col("cluster_id"))).as("split"))
+        .count())
+    // p14 data card at 100k docs / 4 langs: one grouped aggregate + one
+    // exact order-statistic pass (groupedQuantileSelect — rank selection,
+    // no per-group value buffer at 100k scores/lang).
+    time("data_card_100k_docs") {
+      val q = graft.operators.TextAnalysis.qualityScores(bigDocsLang, Seq(col("lang")))
+        .select(col("lang"), col("n_tokens"),
+          floor(col("quality_score") * 10000000.0d).cast("long").as("q_scaled"))
+      val agg = q.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_total"))
+      val med = graft.operators.Quantiles.groupedQuantileSelect(
+        q, "lang", "q_scaled", Seq(0.5 -> "q50"))
+      agg.join(med, Seq("lang")).count()
+    }
+    // x27 calibration at 100k docs: hashed-feature classifier scores +
+    // the range-partitioned global rank + one grouped decile count — no
+    // single-task sort at any width.
+    time("calibration_100k_docs") {
+      val scored = graft.operators.TextAnalysis.classifyQuality(bigDocsLang)
+        .join(bigDocsLang.select(col("doc_id"),
+          (col("lang") === "en").cast("long").as("y")), Seq("doc_id"))
+      val ranked = graft.operators.Ranking.globalRank(
+        scored, Seq(col("score_scaled").asc, col("doc_id")), "rnk")
+      val n = ranked.agg(count(lit(1)).as("__n"))
+      ranked.crossJoin(broadcast(n))
+        .select(expr("(rnk - 1) * 10 div __n").as("decile"), col("y"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
+        .count()
+    }
 
     // Zone maps at 10M events: manifest build is one column-pruned scan;
     // a 1%-wide value range on the range-clustered layout must select a

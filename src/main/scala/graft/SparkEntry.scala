@@ -2120,6 +2120,26 @@ object SparkEntry {
       graft.operators.Clustering.ivfPqSearchStored(
         Tables.embeddings(s, d).filter(col("vec_id") % 100 === 0),
         storedIndexDirFor(s, d))),
+    // Incremental ingest into the stored index, end-to-end under the
+    // oracle: build from HALF the vectors (codebooks/centroids learn from
+    // evens only), append the other half with FROZEN artifacts
+    // (ivfPqAppendStored — new files in existing cell= partitions,
+    // manifest extended), then search the grown index. The oracle replays
+    // the train/code split analytically: centroids from evens, codes and
+    // cell assignments over everything — so a drifted frozen-encode would
+    // hash-mismatch, not just "return rows".
+    "s22_stored_append" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_s22_idx").toString + "/idx"
+      graft.operators.Clustering.ivfPqWriteIndex(
+        graft.operators.Clustering.ivfPqIndex(emb.filter(col("vec_id") % 2 === 0)),
+        dir)
+      graft.operators.Clustering.ivfPqAppendStored(
+        emb.filter(col("vec_id") % 2 === 1), dir)
+      graft.operators.Clustering.ivfPqSearchStored(
+        emb.filter(col("vec_id") % 100 === 0), dir)
+    }),
     // s9 plus the exact re-rank refinement (Faiss IndexRefineFlat shape):
     // the rank<=20 ADC shortlist fetches full-precision vectors and the
     // final top-5 is the exact cosine order over that shortlist.
@@ -5516,6 +5536,11 @@ object SparkEntry {
     "s14_ivf_pq_stored" ->
       s"""WITH $sqlIvfPqCtes
          |SELECT q_id, vec_id, round(score, 7) AS score, rank FROM r WHERE rank <= 5""".stripMargin,
+    // Append replay: train on evens, code everything — the frozen-encode
+    // split made analytic.
+    "s22_stored_append" ->
+      s"""WITH ${sqlIvfPqCtesAppend(v => s"$v % 2 = 0")}
+         |SELECT q_id, vec_id, round(score, 7) AS score, rank FROM r WHERE rank <= 5""".stripMargin,
     "s11_ivf_pq_residual" -> sqlIvfPqResidualOracle,
     // s9 plus the exact re-rank: the rank<=20 ADC shortlist fetches its
     // full-precision vectors and is re-scored with the exact left-to-right
@@ -6407,13 +6432,83 @@ object SparkEntry {
        |      FROM sc)""".stripMargin
   }
 
+  /** [[sqlIvfPqCtes]] with a TRAIN/CODE split — the frozen-codebook
+    * append replay (s22): PQ codebooks, coarse-cell centroids, and probe
+    * ranking learn ONLY from rows satisfying `trainPred`; codes and cell
+    * assignments cover the WHOLE table (the appended half encodes against
+    * the frozen artifacts — exactly
+    * [[graft.operators.Clustering.ivfPqAppendStored]]'s contract).
+    * `trainPred` receives the qualified vec_id column to filter on. */
+  private def sqlIvfPqCtesAppend(trainPred: String => String): String = {
+    val subs = (0 until 4).map { i =>
+      s"ef$i AS (SELECT vec_id, list_slice(embedding, ${i * 16 + 1}, ${i * 16 + 16}) AS embedding FROM embeddings),\n" +
+        s"tf$i AS (SELECT vec_id, embedding FROM ef$i WHERE ${trainPred("vec_id")}),\n" +
+        sqlKmeansChain(s"_p$i", s"tf$i", assignSrc = s"ef$i")
+    }.mkString(",\n")
+    val luts = (0 until 4).map { i =>
+      s"""qs$i AS (SELECT vec_id AS q_id, list_slice(embedding, ${i * 16 + 1}, ${i * 16 + 16}) AS e
+         |         FROM embeddings WHERE vec_id % 100 = 0),
+         |lut$i AS (SELECT q_id, c.cluster AS c$i,
+         |                 ${sqlFoldSum("list_transform(generate_series(1, len(e)), j -> CAST(e[j] AS DOUBLE) * c.centroid[j])")} AS d$i
+         |          FROM qs$i q CROSS JOIN cent1_p$i c)""".stripMargin
+    }.mkString(",\n")
+    s"""$subs,
+       |$luts,
+       |codes AS (SELECT p0.vec_id, p0.cluster AS c0, p1.cluster AS c1,
+       |                 p2.cluster AS c2, p3.cluster AS c3
+       |          FROM a2_p0 p0 JOIN a2_p1 p1 USING (vec_id)
+       |                        JOIN a2_p2 p2 USING (vec_id)
+       |                        JOIN a2_p3 p3 USING (vec_id)),
+       |fbits AS (SELECT b, CAST(1 AS BIGINT) << b AS p2 FROM generate_series(0, 5) t(b)),
+       |fproj AS (SELECT vec_id, b, p2,
+       |                ${sqlFoldSum(
+                          "list_transform(generate_series(1, len(embedding)), " +
+                          "i -> CAST(embedding[i] AS DOUBLE) * " +
+                          "((CAST(((b * 104729 + (i - 1) * 7919 + 12345) * (b * 104729 + (i - 1) * 7919 + 12345)) % 1000003 AS DOUBLE) / 1000003.0) - 0.5))")} AS proj
+       |         FROM embeddings CROSS JOIN fbits),
+       |fcell AS MATERIALIZED (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS cell
+       |          FROM fproj GROUP BY vec_id),
+       |fcnt AS (SELECT cell, count(*) AS n FROM fcell
+       |         WHERE ${trainPred("vec_id")} GROUP BY cell),
+       |fdsum AS (SELECT f.cell, i, sum(CAST(trunc(CAST(e.embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qs
+       |          FROM embeddings e JOIN fcell f ON e.vec_id = f.vec_id,
+       |               LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g
+       |          WHERE ${trainPred("e.vec_id")}
+       |          GROUP BY f.cell, i),
+       |fcent AS MATERIALIZED (SELECT d.cell, list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY i) AS centroid
+       |          FROM fdsum d JOIN fcnt c ON d.cell = c.cell GROUP BY d.cell, c.n),
+       |fq AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+       |fcs AS (SELECT q_id, fcent.cell, ${sqlCosineFD("qe", "centroid")} AS cell_sim
+       |        FROM fq CROSS JOIN fcent),
+       |pr AS (SELECT q_id, cell FROM (
+       |         SELECT q_id, cell,
+       |                row_number() OVER (PARTITION BY q_id ORDER BY cell_sim DESC, cell) AS cr
+       |         FROM fcs) WHERE cr <= 8),
+       |sc AS (SELECT pr.q_id, codes.vec_id, l0.d0 + l1.d1 + l2.d2 + l3.d3 AS score
+       |       FROM codes
+       |       JOIN fcell fc ON fc.vec_id = codes.vec_id
+       |       JOIN pr ON pr.cell = fc.cell
+       |       JOIN lut0 l0 ON l0.q_id = pr.q_id AND l0.c0 = codes.c0
+       |       JOIN lut1 l1 ON l1.q_id = pr.q_id AND l1.c1 = codes.c1
+       |       JOIN lut2 l2 ON l2.q_id = pr.q_id AND l2.c2 = codes.c2
+       |       JOIN lut3 l3 ON l3.q_id = pr.q_id AND l3.c3 = codes.c3),
+       |r AS (SELECT q_id, vec_id, score,
+       |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |      FROM sc)""".stripMargin
+  }
+
   /** Shared SQL fragment: the deterministic spherical-kmeans replay
     * (mirrors [[graft.operators.Clustering.kmeans]] at k=8, iters=1,
     * cellBits=6) over `embSrc(vec_id, embedding)`, every CTE name suffixed
     * with `tag` so several instances compose in one WITH chain (s5 uses
     * one over the full vectors; s7 uses four over PQ subspaces). Ends in
     * `a2$tag(vec_id, embedding, cluster, sim)`. */
-  private def sqlKmeansChain(tag: String, embSrc: String): String = {
+  private def sqlKmeansChain(tag: String, embSrc: String,
+      assignSrc: String = ""): String = {
+    // assignSrc: the FINAL assignment's source when it differs from the
+    // training corpus — the frozen-codebook replay (s22): centroids learn
+    // from embSrc, a2 assigns assignSrc rows against them.
+    val asrc = if (assignSrc.isEmpty) embSrc else assignSrc
     def qsum(src: String): String =
       s"""(SELECT cluster, i, sum(CAST(trunc(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qs
          |         FROM $src, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
@@ -6421,13 +6516,13 @@ object SparkEntry {
     def centFrom(sumCte: String, cntCte: String): String =
       s"""(SELECT s.cluster, list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY i) AS centroid
          |          FROM $sumCte s JOIN $cntCte c ON s.cluster = c.cluster GROUP BY s.cluster, c.n)""".stripMargin
-    def assignFrom(centCte: String): String =
+    def assignFrom(centCte: String, src: String = embSrc): String =
       s"""(SELECT vec_id, embedding, cluster, sim FROM (
          |        SELECT vec_id, embedding, cluster, sim,
          |               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
          |        FROM (SELECT e.vec_id, e.embedding, c.cluster,
          |                     ${sqlCosineFD("e.embedding", "c.centroid")} AS sim
-         |              FROM $embSrc e CROSS JOIN $centCte c))
+         |              FROM $src e CROSS JOIN $centCte c))
          |      WHERE rn = 1)""".stripMargin
     // Every multiply-referenced stage is MATERIALIZED: each Lloyd round
     // references the previous round's assignment CTE twice (counts + sums),
@@ -6456,6 +6551,6 @@ object SparkEntry {
        |cnt1$tag AS (SELECT cluster, count(*) AS n FROM a1$tag GROUP BY cluster),
        |sum1$tag AS ${qsum(s"a1$tag")},
        |cent1$tag AS MATERIALIZED ${centFrom(s"sum1$tag", s"cnt1$tag")},
-       |a2$tag AS MATERIALIZED ${assignFrom(s"cent1$tag")}""".stripMargin
+       |a2$tag AS MATERIALIZED ${assignFrom(s"cent1$tag", asrc)}""".stripMargin
   }
 }
