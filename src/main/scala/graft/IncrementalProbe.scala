@@ -205,6 +205,23 @@ object IncrementalProbe {
           names.filter(col("doc_id") % 10 === i), fs2, "doc_id", "s").count()
       }.sum
     }
+    // Popularity-skewed ER at 120k records (3k distinct names × 40
+    // copies, distance-1 families of 5): selfJoinIds emits the full
+    // C(D,2)-per-name pair set (~12M rows here, quadratic in name
+    // popularity — the term that grows with corpus); the dedup-first
+    // edge set (selfJoinEdges) is popularity-LINEAR (star + rep edges)
+    // and closes into the same entities (FuzzyJoinSpec).
+    val hotNames = spark.range(120000L).select(
+      col("id").as("doc_id"),
+      expr("""concat('nm', lpad(CAST((id % 3000) div 5 AS STRING), 4, '0'),
+              chr(97 + CAST(id % 5 AS INT)))""").as("s")).cache()
+    hotNames.count()
+    time("fuzzy_hot_allpairs_120k")(
+      FuzzyJoin.selfJoinIds(hotNames, "doc_id", "s").count())
+    time("fuzzy_hot_edges_120k")(
+      FuzzyJoin.selfJoinEdges(hotNames, "doc_id", "s").count())
+    hotNames.unpersist()
+
     // --- Video chain: synth → demux → per-frame dHash → temporal align --
     val vids = Multimodal.synthesizeVideos(
       spark.range(nVids.toLong).select(col("id").as("doc_id")).repartition(64))

@@ -436,16 +436,22 @@ object ScalingProbe {
         .count())
     // p14 data card at 100k docs / 4 langs: one grouped aggregate + one
     // exact order-statistic pass (groupedQuantileSelect — rank selection,
-    // no per-group value buffer at 100k scores/lang).
+    // no per-group value buffer at 100k scores/lang). The scored frame is
+    // cached (Quantiles' two-pass input contract + the totals branch =
+    // three evaluations of the expensive scoring projection otherwise —
+    // measured 32 s → ~4 s; see P14Probe).
     time("data_card_100k_docs") {
       val q = graft.operators.TextAnalysis.qualityScores(bigDocsLang, Seq(col("lang")))
         .select(col("lang"), col("n_tokens"),
           floor(col("quality_score") * 10000000.0d).cast("long").as("q_scaled"))
+        .cache()
       val agg = q.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_total"))
       val med = graft.operators.Quantiles.groupedQuantileSelect(
         q, "lang", "q_scaled", Seq(0.5 -> "q50"))
-      agg.join(med, Seq("lang")).count()
+      val n = agg.join(med, Seq("lang")).count()
+      q.unpersist()
+      n
     }
     // x27 calibration at 100k docs: hashed-feature classifier scores +
     // the range-partitioned global rank + one grouped decile count — no

@@ -187,10 +187,51 @@ object FuzzyJoin {
     }
   }
 
+  /** Cluster-SUFFICIENT fuzzy edge set — the hot-name-safe form of
+    * [[selfJoinIds]] for entity resolution. selfJoinIds emits EVERY
+    * matched id pair, which is C(D,2) rows for a name carried by D
+    * records: quadratic in name POPULARITY, and popularity grows with
+    * the corpus (a web-scale "john smith" is one variant bucket whose
+    * Σ bucket² lands in one task and whose pair output alone is
+    * billions of rows). But the ER consumer is a connected-components
+    * closure ([[Dedup.clusters]]), and a closure only needs a SPANNING
+    * subset of edges per similarity class:
+    *
+    *  - collapse identical strings to their min-id representative first
+    *    (one exact hash group-by — D-independent star edges rep→member
+    *    carry the membership);
+    *  - run the deletion-neighborhood join over DISTINCT strings only,
+    *    emitting rep-level edges.
+    *
+    * Closure over (star ∪ rep edges) equals closure over the full
+    * selfJoinIds pair set — identical strings are connected through
+    * their star, cross-string matches through their reps
+    * (spec-asserted) — while variant bucket depth drops from record
+    * popularity to DISTINCT-string neighborhood size (bounded by
+    * alphabet × length, not by corpus). Output: (id_a < id_b) edges,
+    * un-scored (pairs needing the dist column are verification-grade —
+    * use [[selfJoinIds]] on a bounded slice). */
+  def selfJoinEdges(strs: DataFrame, idCol: String = "id",
+      strCol: String = "s"): DataFrame = {
+    val base = strs.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    val reps = base.groupBy(col("__s")).agg(min(col("__id")).as("__rep"))
+    // rep is the group min, so rep < member canonicalizes for free
+    val star = base.join(reps, Seq("__s"))
+      .filter(col("__id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("__id").as("id_b"))
+    val repPairs = selfJoinIds(
+        reps.select(col("__rep").as("id"), col("__s").as("s")))
+      .select(col("id_a"), col("id_b"))
+    star.unionByName(repPairs)
+  }
+
   /** ID-level variant of [[selfJoin]]: the matched pairs as
     * (id_a < id_b, dist) rows — the edge list an entity-resolution
     * clustering ([[Dedup.clusters]]) consumes. Same neighborhood + exact
-    * recheck machinery; only the projection differs. */
+    * recheck machinery; only the projection differs. Emits EVERY matched
+    * pair — C(D,2) rows for a name with D records; ER pipelines on
+    * popularity-skewed corpora should feed [[selfJoinEdges]] to the
+    * closure instead. */
   def selfJoinIds(strs: DataFrame, idCol: String = "id", strCol: String = "s"): DataFrame = {
     val base = strs.select(col(idCol).as("__id"), col(strCol).as("__s"))
     val variants = base.select(

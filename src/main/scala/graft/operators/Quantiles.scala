@@ -57,6 +57,13 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType
   * pass reads. Rank VALUES are placement-independent; placement itself is
   * not. Callers quantiling corpus-scale data repeatedly should persist the
   * result and unpersist (same contract as globalRank / bm25's tf cache).
+  *
+  * Input contract: the input PLAN is evaluated TWICE before the barrier
+  * cache exists (`repartitionByRange`'s boundary sampler + the shuffle
+  * write), so an input whose projection is expensive — interpreted HOF
+  * scoring, codecs — should be materialized by the caller first (the p14
+  * data card measured 32 s → ~4 s at 100k docs from caching its scored
+  * 3-column frame). Cheap scans can stay lazy.
   */
 object Quantiles {
 
@@ -94,11 +101,20 @@ object Quantiles {
       else spark.sparkContext.defaultParallelism
     val base = df.select(col(groupCol).cast(StringType).as("__g"),
       col(valueCol).cast(DoubleType).as("__v"))
-      .filter(col("__v").isNotNull)
+    // The null filter sits ABOVE the exchange, fenced behind the
+    // nondeterministic __pid projection: placed on `base`, predicate
+    // pushdown rewrites isNotNull(__v) in terms of the caller's VALUE
+    // EXPRESSION and pushes it below the projection — so an expensive
+    // derived value column (p14's scored q_scaled) was evaluated once for
+    // the filter and again for the output, per pass (measured 3× on the
+    // whole query). Post-exchange it tests a materialized attribute.
+    // Ranks are computed after the filter, so null placement within the
+    // sampled ranges cannot perturb them; all-null slabs just count 0.
     val parted = base
       .repartitionByRange(n, col("__g"), col("__v"))
       .sortWithinPartitions(col("__g"), col("__v"))
       .withColumn("__pid", spark_partition_id())
+      .filter(col("__v").isNotNull)
       .cache()
     val countsDf = parted.groupBy(col("__g"), col("__pid"))
       .agg(count(lit(1)).as("__c"))

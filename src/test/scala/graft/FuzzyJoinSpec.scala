@@ -63,6 +63,30 @@ class FuzzyJoinSpec extends SparkSpec {
       4L -> ((4L, 1L)), 5L -> ((4L, 0L)), 6L -> ((6L, 1L))))
   }
 
+  test("selfJoinEdges: closure over the edge subset equals closure over all pairs; hot names stay linear") {
+    // popularity-skewed corpus: 40 copies each of 50 names in 10
+    // distance-1 families of 5 (suffix a..e), plus unique tails
+    val strs = spark.range(2000L).selectExpr(
+      "id",
+      """concat('name', lpad(CAST(((id % 50) div 5) AS STRING), 3, '0'),
+         chr(97 + CAST(id % 5 AS INT)))""").toDF("id", "s")
+      .union(spark.range(2000L, 2200L).selectExpr(
+        "id", "concat('uniq', CAST(id * 37 AS STRING))").toDF("id", "s"))
+    val edges = FuzzyJoin.selfJoinEdges(strs)
+    val pairs = FuzzyJoin.selfJoinIds(strs)
+      .select(col("id_a"), col("id_b"))
+    // the edge subset is dramatically smaller than the full pair set ...
+    val (ne, np) = (edges.count(), pairs.count())
+    assert(ne < np / 10, s"edges $ne should be far fewer than pairs $np")
+    // ... yet the connected components are identical
+    val nodes = strs.select(col("id").as("doc_id"))
+    def labels(e: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.clusters(nodes,
+          e.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(labels(edges) === labels(pairs))
+  }
+
   test("incrementalPairs: parity-split ingests ≡ one-shot at the PAIR level; re-ingest idempotent") {
     val c = Tables.customer(spark, "/root/testdata/sf0.001")
       .select(col("c_custkey").as("id"), col("c_name").as("s"))
