@@ -196,4 +196,36 @@ object StreamingStoreIngest {
         ()
       }
       .start()
+
+  /** STREAMING entity resolution through the durable stores — the live
+    * takedown-compliant entity registry: records arrive as (doc_id, s)
+    * micro-batches, each pairs ONLY against the persisted deletion-
+    * neighborhood store ([[graft.operators.FuzzyJoin.incrementalPairs]] —
+    * history↔history is structurally never re-joined) and folds into the
+    * label snapshot, so the label store always holds the CURRENT entity
+    * decision for every record seen so far. Same exactly-once contract
+    * as [[runHammingWithLabels]] verbatim: per-batch overwrite-idempotent
+    * pairs output, anti-joined store append, `replayDeterministic`
+    * crash-window recompute, loud lease conflict, label-idempotent
+    * replays at any crash point. */
+  def runFuzzyEr(recs: DataFrame, storePath: String, labelStorePath: String,
+      pairsOut: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    recs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.col
+        val pairs = graft.operators.FuzzyJoin.incrementalPairs(
+          batch, storePath, "doc_id", "s", replayDeterministic = true)
+        pairs.write.mode("overwrite")
+          .parquet(s"$pairsOut/ingest_batch=$batchId")
+        graft.operators.Dedup.incrementalClusters(
+          batch.select(col("doc_id")),
+          pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")),
+          labelStorePath)
+        ()
+      }
+      .start()
 }

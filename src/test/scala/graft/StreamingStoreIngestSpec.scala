@@ -309,4 +309,47 @@ class StreamingStoreIngestSpec extends SparkSpec {
     assert(streamed === oneShot && streamed.nonEmpty)
   }
 
+  test("streamed fuzzy-ER ingest: pairs ≡ one-shot selfJoinIds; final labels ≡ one-shot entities") {
+    val srcDir = Files.createTempDirectory("graft_sfe_src").toString
+    val store = Files.createTempDirectory("graft_sfe_store").toString + "/store"
+    val lstore = Files.createTempDirectory("graft_sfe_lb").toString + "/store"
+    val pairsOut = Files.createTempDirectory("graft_sfe_pairs").toString
+    val ckpt = Files.createTempDirectory("graft_sfe_ckpt").toString
+    // entities deliberately SPLIT across micro-batches: {anna, anne, ann}
+    // and the {bob, bob} exact pair only resolve through store history
+    val recs = Seq((1L, "anna"), (2L, "bob"), (3L, "zed"),
+      (4L, "anne"), (5L, "bob"), (6L, "ann"), (7L, "kim"))
+      .toDF("doc_id", "s")
+    recs.filter($"doc_id" <= 3L).write.parquet(s"$srcDir/b0")
+    recs.filter($"doc_id" > 3L).write.parquet(s"$srcDir/b1")
+    val recSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("s", StringType)))
+    val q = StreamingStoreIngest.runFuzzyEr(
+      spark.readStream.schema(recSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*"),
+      store, lstore, pairsOut, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // union of per-batch pair outputs ≡ the one-shot all-pairs join
+    def ps(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "dist")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ps(spark.read.parquet(pairsOut)) ===
+      ps(graft.operators.FuzzyJoin.selfJoinIds(recs, "doc_id", "s")))
+    // final label snapshot ≡ one-shot entity resolution over everything
+    val snaps = new java.io.File(lstore).listFiles()
+      .map(_.getName).filter(_.startsWith("labels-")).sorted
+    assert(snaps.length === 1)
+    val streamed = spark.read.parquet(s"$lstore/${snaps.head}")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = Dedup.clusters(
+      recs.select($"doc_id"),
+      graft.operators.FuzzyJoin.selfJoinIds(recs, "doc_id", "s")
+        .select($"id_a".as("doc_a"), $"id_b".as("doc_b")))
+      .select("doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === oneShot && streamed.size === 7)
+    assert(streamed(1L) === streamed(4L) && streamed(4L) === streamed(6L),
+      "the anna/anne/ann entity must merge across micro-batches")
+    assert(streamed(2L) === streamed(5L), "exact-dup bobs must merge")
+  }
 }
