@@ -116,6 +116,34 @@ class FuzzyJoinSpec extends SparkSpec {
       "3-way arrival order must reproduce the one-shot pair set")
   }
 
+  test("fuzzy store composes with the maintenance surface: compaction invisible, erasure takes effect") {
+    val strs = Seq((1L, "anna"), (2L, "anne"), (3L, "bob"), (4L, "bop"), (5L, "zed"))
+      .toDF("id", "s")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fuzzy_maint").toString + "/store"
+    FuzzyJoin.incrementalPairs(strs.filter(col("id") <= 2), dir)
+    FuzzyJoin.incrementalPairs(strs.filter(col("id") > 2 && col("id") <= 4), dir)
+    // compaction: batch dirs merge, pairing behavior unchanged
+    val (before, after) = graft.operators.Dedup.compactStore(spark, dir)
+    assert(before === 2L && after > 0L)
+    val newPairs = FuzzyJoin.incrementalPairs(strs.filter(col("id") === 5), dir)
+    assert(newPairs.isEmpty) // zed matches nothing, but the ingest ran clean
+    // right-to-be-forgotten: erased ids never pair again ...
+    assert(graft.operators.Dedup.eraseFromStore(spark, dir,
+      Seq(2L).toDF("doc_id")) === 1L)
+    // ... and a later record one edit away from the erased name no longer
+    // sees it (anna remains: annX is distance 1 from both)
+    val probe = FuzzyJoin.incrementalPairs(
+      Seq((9L, "annb")).toDF("id", "s"), dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe === Set((1L, 9L)), s"erased id 2 must not pair: $probe")
+    // re-ingest after erasure is a fresh record, pairs again
+    val back = FuzzyJoin.incrementalPairs(
+      Seq((2L, "anne")).toDF("id", "s"), dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(back.contains((1L, 2L)) && back.contains((2L, 9L)))
+  }
+
   test("incrementalPairs replayDeterministic: a replayed batch recomputes its exact pairs") {
     val strs = Seq((1L, "anna"), (2L, "anne"), (3L, "bob"), (4L, "bop"))
       .toDF("id", "s")
