@@ -208,15 +208,20 @@ object Avro {
         val reader = new DataFileStream[GenericRecord](in,
           new GenericDatumReader[GenericRecord]())
         checkSchema(reader.getSchema, expected, file)
-        // eagerly drain the container so the stream closes deterministically
-        // (FAILFAST: any decode error inside propagates and fails the task)
-        val rows =
-          try reader.iterator().asScala.map { rec =>
-            Row.fromSeq(dts.indices.map(i =>
-              fromAvroValue(rec.get(i), dts(i), s"$file#${expected.fields(i).name}")))
-          }.toVector
-          finally reader.close()
-        rows
+        // STREAM the container (a task never materializes a whole file —
+        // third-party files aren't bounded by our writer's partitioning);
+        // the task-completion listener closes the stream on success,
+        // failure, or early abandonment alike. FAILFAST: any decode error
+        // propagates through the iterator and fails the task.
+        val rows = reader.iterator().asScala.map { rec =>
+          Row.fromSeq(dts.indices.map(i =>
+            fromAvroValue(rec.get(i), dts(i), s"$file#${expected.fields(i).name}")))
+        }
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) {
+          tc.addTaskCompletionListener[Unit](_ => reader.close())
+          rows
+        } else rows ++ { reader.close(); Iterator.empty } // driver-local use
       }
     spark.createDataFrame(rdd, schema)
   }
