@@ -2248,6 +2248,17 @@ object SparkEntry {
       operators.FuzzyJoin.selfJoin(
         Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
         idCol = "c_custkey", strCol = "c_name")),
+    // Distance-2 fuzzy self-join: depth-2 deletion neighborhoods (the
+    // SymSpell guarantee holds at every depth — full recall, unlike LSH),
+    // exact levenshtein recheck; the brute-force O(n²) oracle is the
+    // recall proof. Capped at 1500 records (the er1 convention: the
+    // ORACLE is quadratic by design, so gate cost must be SF-invariant;
+    // the operator itself is the neighborhood path).
+    "f2_fuzzy_join2" -> ((s, d) =>
+      operators.FuzzyJoin.selfJoinIds(
+        Tables.customer(s, d).filter(col("c_custkey") <= 1500)
+          .select(col("c_custkey"), col("c_name")),
+        idCol = "c_custkey", strCol = "c_name", maxDist = 2)),
     // SCD type-2 history build: treating orders as a per-customer change
     // log (version = o_orderkey), each version's validity interval is
     // [its key, the next version's key) — lead() per key, current rows
@@ -4389,6 +4400,15 @@ object SparkEntry {
         |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    // f2: brute force at radius 2 over the capped slice — the recall
+    // oracle for the depth-2 deletion neighborhoods.
+    "f2_fuzzy_join2" ->
+      """WITH cu AS MATERIALIZED (
+        |  SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 1500)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM cu a JOIN cu b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
     "q38_null_semantics" ->
       """WITH t AS (SELECT nullif(o_orderkey % 1000, 3) AS k FROM orders
         |           WHERE nullif(o_orderkey % 1000, 3) IS NULL

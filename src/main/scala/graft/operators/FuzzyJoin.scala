@@ -61,6 +61,22 @@ object FuzzyJoin {
       transform(sequence(lit(1), length(s)),
         i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))))
 
+  /** Deletion neighborhood to `depth` edits: depth 1 = [[variantArr]];
+    * depth 2 applies it to every depth-1 member (closed under ≤, since
+    * the self string is a member). Two strings within Levenshtein
+    * distance d always share a depth-d member (delete each edited
+    * position from its own side — the SymSpell guarantee), so the
+    * equi-join keeps FULL recall at distance d. Size grows to
+    * ~(len+1)²/2 distinct members at depth 2 — the price of the wider
+    * radius; the exact `levenshtein` recheck stays output-invisible. */
+  private def variantArrN(s: org.apache.spark.sql.Column,
+      depth: Int): org.apache.spark.sql.Column = {
+    require(depth == 1 || depth == 2,
+      s"deletion-neighborhood depth must be 1 or 2, got $depth")
+    if (depth == 1) variantArr(s)
+    else array_distinct(flatten(transform(variantArr(s), v => variantArr(v))))
+  }
+
   /** Incremental-store format marker token. d1 = distance-1 deletion
     * neighborhoods over the raw string (no normalization). Bump whenever
     * the neighborhood construction changes — stored variant sets from an
@@ -212,7 +228,7 @@ object FuzzyJoin {
     * un-scored (pairs needing the dist column are verification-grade —
     * use [[selfJoinIds]] on a bounded slice). */
   def selfJoinEdges(strs: DataFrame, idCol: String = "id",
-      strCol: String = "s"): DataFrame = {
+      strCol: String = "s", maxDist: Int = 1): DataFrame = {
     val base = strs.select(col(idCol).as("__id"), col(strCol).as("__s"))
     val reps = base.groupBy(col("__s")).agg(min(col("__id")).as("__rep"))
     // rep is the group min, so rep < member canonicalizes for free
@@ -220,7 +236,8 @@ object FuzzyJoin {
       .filter(col("__id") =!= col("__rep"))
       .select(col("__rep").as("id_a"), col("__id").as("id_b"))
     val repPairs = selfJoinIds(
-        reps.select(col("__rep").as("id"), col("__s").as("s")))
+        reps.select(col("__rep").as("id"), col("__s").as("s")),
+        maxDist = maxDist)
       .select(col("id_a"), col("id_b"))
     star.unionByName(repPairs)
   }
@@ -231,11 +248,20 @@ object FuzzyJoin {
     * recheck machinery; only the projection differs. Emits EVERY matched
     * pair — C(D,2) rows for a name with D records; ER pipelines on
     * popularity-skewed corpora should feed [[selfJoinEdges]] to the
-    * closure instead. */
-  def selfJoinIds(strs: DataFrame, idCol: String = "id", strCol: String = "s"): DataFrame = {
+    * closure instead.
+    *
+    * `maxDist` widens the radius to Levenshtein ≤ 2 through depth-2
+    * deletion neighborhoods ([[variantArrN]] — full recall holds at
+    * every depth by the SymSpell property; the exact recheck keeps the
+    * wider candidate set output-invisible). Cost is the neighborhood
+    * size, ~(len+1)²/2 variant rows per string at depth 2 — quadratic in
+    * string length, which is why d ≤ 2 is where deletion-neighborhood
+    * ER conventionally stops. */
+  def selfJoinIds(strs: DataFrame, idCol: String = "id", strCol: String = "s",
+      maxDist: Int = 1): DataFrame = {
     val base = strs.select(col(idCol).as("__id"), col(strCol).as("__s"))
     val variants = base.select(
-      col("__id"), explode(variantArr(col("__s"))).as("__v"))
+      col("__id"), explode(variantArrN(col("__s"), maxDist)).as("__v"))
     val cands = variants.as("a").hint("shuffle_hash")
       .join(variants.as("b").hint("shuffle_hash"),
         col("a.__v") === col("b.__v") && col("a.__id") < col("b.__id"))
@@ -245,7 +271,7 @@ object FuzzyJoin {
       .join(base.select(col("__id").as("__ida"), col("__s").as("__sa")), Seq("__ida"))
       .join(base.select(col("__id").as("__idb"), col("__s").as("__sb")), Seq("__idb"))
       .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= maxDist)
       .select(col("__ida").as("id_a"), col("__idb").as("id_b"), col("dist"))
   }
 }

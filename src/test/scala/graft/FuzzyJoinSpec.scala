@@ -38,6 +38,42 @@ class FuzzyJoinSpec extends SparkSpec {
       "deletion-neighborhood candidates must have FULL recall at distance 1")
   }
 
+  test("maxDist=2: depth-2 neighborhoods have full recall at levenshtein ≤ 2") {
+    // hand cases covering every 2-edit composition: 2 substitutions,
+    // 2 deletions, 2 insertions, substitution+deletion, far pairs excluded
+    val strs = Seq(
+      (1L, "spark"), (2L, "spurk"), (3L, "sturk"),  // 1~2 sub; 1~3 two subs
+      (4L, "spa"),                                   // 1~4 two deletions
+      (5L, "sparkle"),                               // 1~5 two insertions
+      (6L, "park"),                                  // 1~6 del; 6~4 ?
+      (7L, "xxxxx")).toDF("id", "s")
+    val out = FuzzyJoin.selfJoinIds(strs, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = strs.as("a").join(strs.as("b"), col("a.id") < col("b.id"))
+      .filter(levenshtein(col("a.s"), col("b.s")) <= 2)
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.s"), col("b.s")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === brute)
+    assert(out.contains((1L, 3L, 2L)) && out.contains((1L, 4L, 2L)) &&
+      out.contains((1L, 5L, 2L)), s"2-edit compositions must be found: $out")
+    assert(!out.exists(p => p._1 == 7L || p._2 == 7L))
+  }
+
+  test("maxDist=2 recall equals brute force on the customer fixture") {
+    val c = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    val fast = FuzzyJoin.selfJoinIds(c, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = c.as("a").join(c.as("b"), col("a.id") < col("b.id"))
+      .filter(levenshtein(col("a.s"), col("b.s")) <= 2)
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.s"), col("b.s")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast.nonEmpty && fast === brute,
+      "depth-2 deletion neighborhoods must have FULL recall at distance 2")
+  }
+
   test("exact duplicates under distinct ids appear once with dist 0") {
     val strs = Seq((1L, "same"), (2L, "same"), (3L, "diff")).toDF("id", "s")
     val out = FuzzyJoin.selfJoin(strs)
