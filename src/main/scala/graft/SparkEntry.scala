@@ -2176,6 +2176,12 @@ object SparkEntry {
     // (a_start, b_start, len) via positional anchor hashes + island
     // detection — t12 scores gram sharing, t17 cuts at fixed boundaries,
     // this finds the exact passages.
+    // Content-defined chunk dedup (FastCDC shape at token granularity):
+    // boundaries where the rolling window hash hits the mask, so chunk
+    // identity is SHIFT-INVARIANT — the insertion-robust twin of t17's
+    // fixed segments; per-doc cross-document sharing report.
+    "t33_cdc_dedup" -> ((s, d) =>
+      Dedup.cdcDedupStats(Tables.documents(s, d))),
     "t28_substring_dedup" -> ((s, d) =>
       Dedup.duplicatedSpans(Tables.documents(s, d))),
     // t28's spans closed into the Lee et al. TRANSFORM: the later (doc_b)
@@ -4960,6 +4966,34 @@ object SparkEntry {
     "t28_substring_dedup" ->
       s"""WITH $sqlSubstringSpanCtes
          |SELECT doc_a, doc_b, a_start, b_start, len_tokens FROM spans""".stripMargin,
+    // t33: the CDC replay — window hashes at w=4, mask 2^4, cut ends at
+    // 0-based i+2 (1-based window i covers tokens i..i+3), last token
+    // always ends the final chunk; chunk identity is the wide text hash.
+    "t33_cdc_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
+         |hsq AS (SELECT doc_id, i,
+         |               ${sqlPolyHash("g4")} + ${sqlPolyHash("reverse(g4)")} * (CAST(1 AS BIGINT) << 30) AS h
+         |        FROM (SELECT doc_id, i, array_to_string(list_slice(t, i, i + 3), ' ') AS g4
+         |              FROM toks, LATERAL (SELECT unnest(generate_series(1, CASE WHEN len(t) >= 4 THEN len(t) - 3 ELSE 0 END)) AS i) q) s),
+         |hits AS (SELECT doc_id, CAST(i + 2 AS BIGINT) AS e FROM hsq WHERE h % 16 = 0),
+         |lasts AS (SELECT doc_id, CAST(len(t) - 1 AS BIGINT) AS e FROM toks),
+         |ends AS (SELECT DISTINCT doc_id, e FROM (SELECT doc_id, e FROM hits UNION ALL SELECT doc_id, e FROM lasts) u),
+         |ch0 AS (SELECT doc_id, e,
+         |               coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), -1) + 1 AS s
+         |        FROM ends),
+         |ch AS (SELECT c.doc_id,
+         |              array_to_string(list_slice(t, CAST(s + 1 AS INT), CAST(e + 1 AS INT)), ' ') AS chunk
+         |       FROM ch0 c JOIN toks tk ON tk.doc_id = c.doc_id),
+         |chh AS (SELECT doc_id,
+         |               ${sqlPolyHash("chunk")} + ${sqlPolyHash("reverse(chunk)")} * (CAST(1 AS BIGINT) << 30) AS h
+         |        FROM ch),
+         |cddf AS (SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS ddf FROM chh GROUP BY h)
+         |SELECT chh.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(CASE WHEN ddf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |       CAST(CAST(sum(CASE WHEN ddf >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT) AS BIGINT) AS shared_bp
+         |FROM chh JOIN cddf ON cddf.h = chh.h
+         |GROUP BY chh.doc_id""".stripMargin,
     // Incremental-store twin of t28: two parity-split ingest runs union to
     // the one-batch span set (every span reported exactly once, in the run
     // where its younger member arrived) — oracle is t28's replay verbatim.

@@ -1072,6 +1072,85 @@ object Dedup {
         count(lit(1)).as("n_total"))
   }
 
+  /** CONTENT-DEFINED chunking at token granularity — the FastCDC/Rabin
+    * shape re-expressed over the portable positional window hashes: a
+    * token position i ENDS a chunk when the w-token window hash ending at
+    * i hits the boundary mask (h ≡ 0 mod 2^maskBits — expected chunk
+    * length ≈ 2^maskBits + w−1 tokens); the last token always ends the
+    * final chunk. Boundaries derive from CONTENT, so an insertion near
+    * the start of a document shifts only the chunks up to the next
+    * boundary — unlike [[segmentRows]]'s fixed windows, where one
+    * leading token misaligns every later segment (the classic CDC
+    * advantage, spec-asserted). Chunk identity is the 60-bit portable
+    * text hash (the [[segmentRows]] convention).
+    *
+    * Everything is per-row array arithmetic staged as columns (the
+    * interpreted-HOF lesson — the token and hash arrays materialize once
+    * per row); no shuffle until a consumer aggregates. Output: (doc_id,
+    * chunk_idx 1-based, start 0-based token offset, n_tokens, h). */
+  def cdcChunks(docs: DataFrame, w: Int = 4, maskBits: Int = 4): DataFrame = {
+    require(w >= 1, s"window w must be positive, got $w")
+    require(maskBits >= 1 && maskBits <= 30, s"maskBits must be in [1,30], got $maskBits")
+    import graft.functions.GraftColumns
+    val g = 1L << maskBits
+    val staged = docs
+      .select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("__t"),
+        GraftColumns.shingleHashSeq(col("text"), w).as("__hs"))
+      // cut ENDS: 0-based token i ends a chunk when the window covering
+      // tokens (i−w+1 .. i) hits the mask — hs[i−w+1] = element_at(__hs,
+      // i−w+2). Guarded: sequence(a, b) with a > b counts DOWN, so short
+      // docs (size < w) take the empty-hits branch. The last token is
+      // always appended; array_distinct removes the duplicate when it was
+      // already a hit (ascending order preserved — first occurrences).
+      .select(col("doc_id"), col("__t"),
+        array_distinct(concat(
+          when(size(col("__t")) >= w,
+            filter(sequence(lit(w - 1), size(col("__t")) - 1),
+              i => element_at(col("__hs"), i - lit(w - 2)) % g === 0))
+            .otherwise(expr("CAST(array() AS array<int>)")),
+          array(size(col("__t")) - 1))).as("__ends"))
+    staged
+      .select(col("doc_id"), col("__t"),
+        posexplode(transform(sequence(lit(1), size(col("__ends"))),
+          j => struct(
+            when(j === 1, lit(0))
+              .otherwise(element_at(col("__ends"), j - 1) + 1).as("s"),
+            element_at(col("__ends"), j).as("e"))))
+          .as(Seq("__ci", "__c")))
+      .select(col("doc_id"),
+        (col("__ci") + 1).cast("long").as("chunk_idx"),
+        col("__c.s").cast("long").as("start"),
+        (col("__c.e") - col("__c.s") + 1).cast("long").as("n_tokens"),
+        array_join(slice(col("__t"), col("__c.s") + 1,
+          col("__c.e") - col("__c.s") + 1), " ").as("__chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start"), col("n_tokens"),
+        (graft.functions.GraftColumns.polyHash(col("__chunk")) +
+          graft.functions.GraftColumns.polyHash(reverse(col("__chunk"))) * lit(1L << 30))
+          .as("h"))
+  }
+
+  /** Cross-document sharing report over [[cdcChunks]] — the CDC dedup
+    * decision table: per document, how many of its content-defined chunks
+    * also appear (identical text) in at least one OTHER document. The
+    * shift-invariant twin of [[spanDuplication]]'s gram scoring at chunk
+    * granularity: one distinct (doc, h) projection, one map-side-combined
+    * doc-frequency aggregate over 8-byte hashes, one doc-keyed fold —
+    * chunk TEXT never shuffles. Output: (doc_id, n_chunks, n_shared,
+    * shared_bp — basis points of chunk occurrences whose text is
+    * cross-document). */
+  def cdcDedupStats(docs: DataFrame, w: Int = 4, maskBits: Int = 4): DataFrame = {
+    val ch = cdcChunks(docs, w, maskBits)
+    val ddf = ch.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("__ddf"))
+    ch.join(ddf, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__ddf") >= 2L, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_bp", expr("n_shared * 10000 div n_chunks"))
+  }
+
   /** The shared segment decomposition: docs → (doc_id, n_total, seg_idx,
     * seg, h) rows — `segWords`-token windows with the 60-bit portable
     * segment hash. Single source for [[segmentDedup]] and the

@@ -710,6 +710,45 @@ class DedupSpec extends SparkSpec {
     assert(q(11L) > q(10L)) // the fixture actually exercises the policy
   }
 
+  test("cdcChunks: chunks partition the token stream; boundaries are content-defined") {
+    val text = (1 to 80).map(i => s"tok${i * 7 % 101}").mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(d).orderBy("chunk_idx")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // contiguous, gap-free cover of all 80 tokens
+    assert(ch.head._2 === 0L && ch.map(_._3).sum === 80L)
+    ch.sliding(2).foreach {
+      case Array((_, s1, n1), (_, s2, _)) => assert(s2 === s1 + n1)
+      case _ => ()
+    }
+    assert(ch.length > 1, "the fixture should produce several chunks")
+  }
+
+  test("CDC dedup is shift-invariant where fixed segments are not") {
+    val base = (1 to 60).map(i => s"w${i * 13 % 97}").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, "junk0 junk1 junk2 junk3 junk4 junk5 junk6 " + base), // 7-token prefix
+      (3L, "entirely different content " + (1 to 40).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cdc = Dedup.cdcDedupStats(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the shared suffix re-aligns at the first content boundary: most of
+    // doc 1's chunks reappear verbatim inside doc 2
+    assert(cdc(1L)._2 >= cdc(1L)._1 - 1,
+      s"all but the boundary-straddling first chunk must be shared: $cdc")
+    assert(cdc(3L)._2 === 0L)
+    // the fixed-window twin misses the alignment entirely: doc 1's
+    // segments never reappear in the shifted doc 2
+    val segs = Dedup.segmentRows(docs, 10)
+      .select($"doc_id", $"h").distinct()
+    val seg1 = segs.filter($"doc_id" === 1L).select("h")
+    val shared12 = segs.filter($"doc_id" === 2L)
+      .join(seg1, Seq("h"), "left_semi").count()
+    assert(shared12 === 0L,
+      "fixed 10-token segments must misalign under a 7-token shift")
+  }
+
   test("segmentDedup: first corpus occurrence survives, later copies are cut, docs rebuilt in order") {
     import spark.implicits._
     // 3-word segments. Doc 0 owns segments A B; doc 1 repeats A (cut) and
