@@ -377,6 +377,10 @@ object ScalingProbe {
     // replicas mean cross-replica segments never collide — the dedup rate
     // stays fixture-like while the shuffle grows 20×.
     time("segment_dedup_100k_docs")(Dedup.segmentDedup(bigDocs).count())
+    // CDC chunk dedup at 100k docs: per-row array chunking + one 8-byte
+    // doc-frequency shuffle — the shift-invariant segment twin at the
+    // same scale shape.
+    time("cdc_dedup_100k_docs")(Dedup.cdcDedupStats(bigDocs).count())
     // Exact heavy hitters at 100k docs / 5.4M tokens: 8 of 20 replicas
     // keep the ORIGINAL alphabet (so its 30 common tokens are genuinely
     // heavy at ~70k each; the fixture's planted-rare 31st token 'dup'

@@ -2182,6 +2182,11 @@ object SparkEntry {
     // fixed segments; per-doc cross-document sharing report.
     "t33_cdc_dedup" -> ((s, d) =>
       Dedup.cdcDedupStats(Tables.documents(s, d))),
+    // The CDC TRANSFORM: corpus-global first-occurrence-wins at
+    // content-defined chunk granularity, docs rebuilt — t17's contract
+    // made insertion-robust.
+    "t34_cdc_cut" -> ((s, d) =>
+      Dedup.cdcDedupCut(Tables.documents(s, d))),
     "t28_substring_dedup" -> ((s, d) =>
       Dedup.duplicatedSpans(Tables.documents(s, d))),
     // t28's spans closed into the Lee et al. TRANSFORM: the later (doc_b)
@@ -4994,6 +4999,34 @@ object SparkEntry {
          |       CAST(CAST(sum(CASE WHEN ddf >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT) AS BIGINT) AS shared_bp
          |FROM chh JOIN cddf ON cddf.h = chh.h
          |GROUP BY chh.doc_id""".stripMargin,
+    // t34: the t33 chunk replay + the t17 first-occurrence window and
+    // ordered rebuild.
+    "t34_cdc_cut" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
+         |hsq AS (SELECT doc_id, i,
+         |               ${sqlPolyHash("g4")} + ${sqlPolyHash("reverse(g4)")} * (CAST(1 AS BIGINT) << 30) AS h
+         |        FROM (SELECT doc_id, i, array_to_string(list_slice(t, i, i + 3), ' ') AS g4
+         |              FROM toks, LATERAL (SELECT unnest(generate_series(1, CASE WHEN len(t) >= 4 THEN len(t) - 3 ELSE 0 END)) AS i) q) s),
+         |hits AS (SELECT doc_id, CAST(i + 2 AS BIGINT) AS e FROM hsq WHERE h % 16 = 0),
+         |lasts AS (SELECT doc_id, CAST(len(t) - 1 AS BIGINT) AS e FROM toks),
+         |ends AS (SELECT DISTINCT doc_id, e FROM (SELECT doc_id, e FROM hits UNION ALL SELECT doc_id, e FROM lasts) u),
+         |ch0 AS (SELECT doc_id, e,
+         |               coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), -1) + 1 AS s,
+         |               row_number() OVER (PARTITION BY doc_id ORDER BY e) AS idx
+         |        FROM ends),
+         |ch AS (SELECT c.doc_id, c.idx,
+         |              array_to_string(list_slice(t, CAST(s + 1 AS INT), CAST(e + 1 AS INT)), ' ') AS chunk
+         |       FROM ch0 c JOIN toks tk ON tk.doc_id = c.doc_id),
+         |chw AS (SELECT doc_id, idx, chunk,
+         |               row_number() OVER (
+         |                 PARTITION BY ${sqlPolyHash("chunk")} + ${sqlPolyHash("reverse(chunk)")} * (CAST(1 AS BIGINT) << 30)
+         |                 ORDER BY doc_id, idx) AS rn
+         |        FROM ch)
+         |SELECT doc_id,
+         |       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY idx), '') AS text_dedup,
+         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(count(*) AS BIGINT) AS n_total
+         |FROM chw GROUP BY doc_id""".stripMargin,
     // Incremental-store twin of t28: two parity-split ingest runs union to
     // the one-batch span set (every span reported exactly once, in the run
     // where its younger member arrived) — oracle is t28's replay verbatim.

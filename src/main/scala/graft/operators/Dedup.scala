@@ -1088,7 +1088,14 @@ object Dedup {
     * interpreted-HOF lesson — the token and hash arrays materialize once
     * per row); no shuffle until a consumer aggregates. Output: (doc_id,
     * chunk_idx 1-based, start 0-based token offset, n_tokens, h). */
-  def cdcChunks(docs: DataFrame, w: Int = 4, maskBits: Int = 4): DataFrame = {
+  def cdcChunks(docs: DataFrame, w: Int = 4, maskBits: Int = 4): DataFrame =
+    cdcRows(docs, w, maskBits).drop("chunk")
+
+  /** [[cdcChunks]] with the chunk TEXT retained — the decomposition
+    * [[cdcDedupCut]] rebuilds from (text enters the dedup shuffle here,
+    * exactly like [[segmentDedup]]'s segment rows; consumers that only
+    * need identity take [[cdcChunks]]'s 8-byte hashes). */
+  def cdcRows(docs: DataFrame, w: Int = 4, maskBits: Int = 4): DataFrame = {
     require(w >= 1, s"window w must be positive, got $w")
     require(maskBits >= 1 && maskBits <= 30, s"maskBits must be in [1,30], got $maskBits")
     import graft.functions.GraftColumns
@@ -1125,9 +1132,42 @@ object Dedup {
         array_join(slice(col("__t"), col("__c.s") + 1,
           col("__c.e") - col("__c.s") + 1), " ").as("__chunk"))
       .select(col("doc_id"), col("chunk_idx"), col("start"), col("n_tokens"),
+        col("__chunk").as("chunk"),
         (graft.functions.GraftColumns.polyHash(col("__chunk")) +
           graft.functions.GraftColumns.polyHash(reverse(col("__chunk"))) * lit(1L << 30))
           .as("h"))
+  }
+
+  /** [[cdcChunks]] closed into the TRANSFORM ([[segmentDedup]]'s contract
+    * at content-defined granularity): a chunk occurrence survives iff it
+    * is the FIRST occurrence of that chunk text corpus-wide under the
+    * (doc_id, chunk_idx) total order; each document is rebuilt from its
+    * surviving chunks in order. Being content-defined, the cut is robust
+    * to insertions — a shifted near-copy still loses its re-aligned
+    * chunks, where fixed windows would silently keep every one. Same
+    * plan shape as [[segmentDedup]]: ONE wide-hash shuffle carrying the
+    * chunk rows + the doc-keyed rebuild; one output row per input doc
+    * (empty `text_dedup` when everything was seen earlier).
+    * Output: (doc_id, text_dedup, n_kept, n_total). */
+  def cdcDedupCut(docs: DataFrame, w: Int = 4, maskBits: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ch = cdcRows(docs, w, maskBits)
+    val firstOcc = min(struct(col("doc_id"), col("chunk_idx")))
+      .over(Window.partitionBy(col("h")))
+    ch
+      .withColumn("w", firstOcc)
+      .withColumn("kept",
+        col("doc_id") === col("w.doc_id") && col("chunk_idx") === col("w.chunk_idx"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("chunk_idx"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ").as("text_dedup"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        count(lit(1)).as("n_total"))
   }
 
   /** Cross-document sharing report over [[cdcChunks]] — the CDC dedup

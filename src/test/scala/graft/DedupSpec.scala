@@ -749,6 +749,27 @@ class DedupSpec extends SparkSpec {
       "fixed 10-token segments must misalign under a 7-token shift")
   }
 
+  test("cdcDedupCut: shifted near-copy loses its re-aligned chunks; one row per doc; rebuild ordered") {
+    val base = (1 to 60).map(i => s"w${i * 13 % 97}").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, "junk0 junk1 junk2 junk3 junk4 junk5 junk6 " + base),
+      (3L, "entirely different content " + (1 to 40).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.cdcDedupCut(docs)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.size === 3)
+    // doc 1 (the min-id copy) keeps everything, rebuilt verbatim
+    assert(out(1L)._1 === base && out(1L)._2 === out(1L)._3)
+    // doc 2 keeps its junk prefix region but loses the re-aligned chunks
+    val (t2, kept2, total2) = out(2L)
+    assert(kept2 < total2, s"shifted copy must lose chunks: $out")
+    assert(t2.startsWith("junk0"), s"the unshared prefix survives: $t2")
+    assert(!t2.endsWith(base.takeRight(40)), "the shared tail must be cut")
+    // unrelated doc untouched
+    assert(out(3L)._2 === out(3L)._3)
+  }
+
   test("segmentDedup: first corpus occurrence survives, later copies are cut, docs rebuilt in order") {
     import spark.implicits._
     // 3-word segments. Doc 0 owns segments A B; doc 1 repeats A (cut) and
