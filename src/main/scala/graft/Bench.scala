@@ -36,7 +36,13 @@ object Bench {
     // end-to-end incremental curation, late interaction, CLIP-shape
     // alignment, lerp gap fill
     "m9_video_dedup", "m12_store_video", "c7_incremental_curation",
-    "s18_maxsim", "m15_image_text_align", "x17_interp_fill")
+    "s18_maxsim", "m15_image_text_align", "x17_interp_fill",
+    // round-8 families: incremental/store-backed ER, derived banding,
+    // label-propagation communities, stored-index append, CDC dedup,
+    // distance-2 fuzzy
+    "er2_incremental_er", "d17_auto_banding", "g7_label_prop",
+    "s22_stored_append", "t33_cdc_dedup", "t34_cdc_cut", "f2_fuzzy_join2",
+    "p14_data_card")
 
   /** Every registered query, name-sorted — the bench times ALL of them so
     * round-over-round regressions are visible everywhere, not just on the
