@@ -372,6 +372,12 @@ object ScalingProbe {
     time("triangles_100k_nodes")(
       graft.operators.Graph.triangles(
         graft.operators.Graph.docLinkGraph(bigDocs)).count())
+    // Label-propagation communities over the same graph: 4 synchronous
+    // rounds, each one edge-map join + two grouped aggregates; per-round
+    // checkpoints release superseded rounds.
+    time("label_prop_100k_nodes")(
+      graft.operators.Graph.labelPropagation(
+        graft.operators.Graph.docLinkGraph(bigDocs)).count())
     // Segment-level dedup at 100k docs: ONE wide-hash shuffle carrying the
     // segment text + the doc-keyed rebuild exchange. Caesar-rotated
     // replicas mean cross-replica segments never collide — the dedup rate

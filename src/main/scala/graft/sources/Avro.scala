@@ -114,8 +114,9 @@ object Avro {
   /** Write `df` as snappy Avro container files under `path` (overwrite):
     * one file per partition, each written to a hidden `.tmp-` name and
     * renamed on task success. Parallelism and file sizing are the
-    * frame's partitioning — repartition before writing to choose. */
-  def writeAvro(df: DataFrame, path: String): Unit = {
+    * frame's partitioning — repartition before writing to choose.
+    * Returns the number of rows written (the write IS the action). */
+  def writeAvro(df: DataFrame, path: String): Long = {
     val schema = df.schema
     val avroJson = avroSchemaFor(schema).toString // Schema isn't serializable pre-1.9; ship JSON
     val spark = df.sparkSession
@@ -158,8 +159,7 @@ object Avro {
         Iterator.single(rows)
       }
     }.sum()
-    // the count is a cheap audit hook; the write itself is the action
-    require(n >= 0)
+    n.toLong
   }
 
   /** Structural writer-schema check: names, unwrapped Avro types, and
