@@ -2270,6 +2270,16 @@ object SparkEntry {
         Tables.customer(s, d).filter(col("c_custkey") <= 1500)
           .select(col("c_custkey"), col("c_name")),
         idCol = "c_custkey", strCol = "c_name", maxDist = 2)),
+    // Jaro-Winkler record linkage: edit-bounded candidates rescored with
+    // the prefix-weighted similarity — the custom codegen Expression's
+    // conformance is checked value-for-value against DuckDB's native
+    // jaro_winkler_similarity (an INDEPENDENT implementation of the same
+    // published definition — the strongest oracle a scorer can have).
+    "er4_jaro_pairs" -> ((s, d) =>
+      operators.FuzzyJoin.jaroRescoredPairs(
+        Tables.customer(s, d).filter(col("c_custkey") <= 1500)
+          .select(col("c_custkey"), col("c_name")),
+        idCol = "c_custkey", strCol = "c_name")),
     // SCD type-2 history build: treating orders as a per-customer change
     // log (version = o_orderkey), each version's validity interval is
     // [its key, the next version's key) — lead() per key, current rows
@@ -4411,6 +4421,17 @@ object SparkEntry {
         |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    // er4: brute force — DuckDB's native jaro_winkler_similarity is an
+    // independent implementation of the same published definition, so the
+    // hash compare IS the conformance proof for the custom Expression.
+    "er4_jaro_pairs" ->
+      """WITH cu AS MATERIALIZED (
+        |  SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 1500)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       round(jaro_winkler_similarity(a.c_name, b.c_name), 7) AS jw
+        |FROM cu a JOIN cu b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |  AND jaro_winkler_similarity(a.c_name, b.c_name) >= 0.94""".stripMargin,
     // f2: brute force at radius 2 over the capped slice — the recall
     // oracle for the depth-2 deletion neighborhoods.
     "f2_fuzzy_join2" ->

@@ -242,6 +242,32 @@ object FuzzyJoin {
     star.unionByName(repPairs)
   }
 
+  /** Jaro-Winkler-RESCORED fuzzy pairs — the production record-linkage
+    * composition: candidates from the exact deletion-neighborhood join
+    * at lev ≤ `maxDist` (full recall within the radius), scored with the
+    * prefix-weighted Jaro-Winkler similarity
+    * ([[graft.functions.GraftColumns.jaroWinkler]] — DuckDB-conformant,
+    * codegen), kept at jw ≥ `threshold`. The output relation is EXACTLY
+    * {(a, b) : lev ≤ maxDist ∧ jw ≥ threshold} — the edit radius is part
+    * of the contract (JW-similar pairs beyond it, e.g. long shared
+    * prefixes with divergent tails, need a different candidate
+    * generator); within it, the scorer re-ranks what edit distance
+    * treats as equal (a leading-character typo scores well below a
+    * trailing one at the same distance — the property linkage systems
+    * rank on). Output: (id_a < id_b, jw rounded 7). */
+  def jaroRescoredPairs(strs: DataFrame, idCol: String = "id",
+      strCol: String = "s", threshold: Double = 0.94,
+      maxDist: Int = 2): DataFrame = {
+    import graft.functions.GraftColumns
+    val base = strs.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    selfJoinIds(strs, idCol, strCol, maxDist)
+      .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")), Seq("id_a"))
+      .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")), Seq("id_b"))
+      .withColumn("__jw", GraftColumns.jaroWinkler(col("__sa"), col("__sb")))
+      .filter(col("__jw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__jw"), 7).as("jw"))
+  }
+
   /** ID-level variant of [[selfJoin]]: the matched pairs as
     * (id_a < id_b, dist) rows — the edge list an entity-resolution
     * clustering ([[Dedup.clusters]]) consumes. Same neighborhood + exact

@@ -74,6 +74,49 @@ class FuzzyJoinSpec extends SparkSpec {
       "depth-2 deletion neighborhoods must have FULL recall at distance 2")
   }
 
+  test("jaroWinkler expression: DuckDB-probed constants, byte semantics, boost threshold") {
+    import graft.functions.GraftColumns
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),   // the textbook transposition
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("abcdef", "abzzzz", 0.5555555555555555),   // jaro ≤ 0.7 → NO prefix boost
+      ("abcdxx", "abzdxx", 0.9111111111111112),
+      ("éa", "éb", 0.8222222222222222),           // BYTE-level (3-byte é)
+      ("ab", "ba", 0.0))                          // window 0 — no cross match
+    val df = cases.zipWithIndex
+      .map { case ((a, b, e), i) => (i.toLong, a, b, e) }
+      .toDF("i", "a", "b", "expect")
+      .withColumn("jw", GraftColumns.jaroWinkler(col("a"), col("b")))
+    df.collect().foreach { r =>
+      assert(r.getDouble(4) === r.getDouble(3),
+        s"jw(${r.getString(1)}, ${r.getString(2)})")
+    }
+  }
+
+  test("jaroRescoredPairs: exactly the lev-bounded jw-thresholded relation; prefix typos score below suffix typos") {
+    val strs = Seq(
+      (1L, "catherine"), (2L, "katherine"),  // leading sub: lev 1, lower jw
+      (3L, "catherinz"),                     // trailing sub: lev 1, higher jw
+      (4L, "zzzzzzzzz")).toDF("id", "s")
+    val out = FuzzyJoin.jaroRescoredPairs(strs, threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out.contains((1L, 3L)) && out.contains((1L, 2L)))
+    assert(out((1L, 3L)) > out((1L, 2L)),
+      s"a trailing typo must outscore a leading one at the same distance: $out")
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // the relation is exactly {lev ≤ 2 ∧ jw ≥ t} — brute-force twin
+    val brute = strs.as("a").join(strs.as("b"), col("a.id") < col("b.id"))
+      .filter(levenshtein(col("a.s"), col("b.s")) <= 2)
+      .withColumn("jw", graft.functions.GraftColumns.jaroWinkler(col("a.s"), col("b.s")))
+      .filter(col("jw") >= 0.9)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.keySet === brute)
+  }
+
   test("exact duplicates under distinct ids appear once with dist 0") {
     val strs = Seq((1L, "same"), (2L, "same"), (3L, "diff")).toDF("id", "s")
     val out = FuzzyJoin.selfJoin(strs)
