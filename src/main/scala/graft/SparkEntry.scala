@@ -3041,11 +3041,10 @@ object SparkEntry {
     // tokens, each in ~78% of docs), so the gate derives the cap from the
     // corpus size — df <= floor(0.78·n) — via integer arithmetic both
     // engines share; production callers pass the absolute bound.
-    "t19_inverted_index" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val cap = (docs.count() * 78L / 100L).toInt
-      TextAnalysis.invertedIndex(docs, maxDf = cap)
-    }),
+    // Relative df cap derived IN-PLAN (one-row count aggregate on a
+    // broadcast) — no query constructs itself by scanning data anymore.
+    "t19_inverted_index" -> ((s, d) =>
+      TextAnalysis.invertedIndexRelDf(Tables.documents(s, d), maxDfPct = 78)),
     // Iterative BPE merge training (3 real rounds over the word-frequency
     // table): adopt the top pair, merge everywhere via sentinel-wrapped
     // literal replace (left-to-right greedy = BPE), recount. The adopted
