@@ -2270,6 +2270,15 @@ object SparkEntry {
         Tables.customer(s, d).filter(col("c_custkey") <= 1500)
           .select(col("c_custkey"), col("c_name")),
         idCol = "c_custkey", strCol = "c_name", maxDist = 2)),
+    // True Damerau-Levenshtein pairs (transposition = 1 edit — the
+    // typo-realistic metric): same deletion-neighborhood candidates, the
+    // custom codegen expression checked value-for-value against DuckDB's
+    // independent native damerau_levenshtein.
+    "er5_damerau_pairs" -> ((s, d) =>
+      operators.FuzzyJoin.damerauPairs(
+        Tables.customer(s, d).filter(col("c_custkey") <= 1500)
+          .select(col("c_custkey"), col("c_name")),
+        idCol = "c_custkey", strCol = "c_name", maxDist = 2)),
     // Jaro-Winkler record linkage: edit-bounded candidates rescored with
     // the prefix-weighted similarity — the custom codegen Expression's
     // conformance is checked value-for-value against DuckDB's native
@@ -4420,6 +4429,15 @@ object SparkEntry {
         |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    // er5: brute force over the capped slice — DuckDB's independent
+    // native damerau_levenshtein is the expression's conformance oracle.
+    "er5_damerau_pairs" ->
+      """WITH cu AS MATERIALIZED (
+        |  SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 1500)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       CAST(damerau_levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM cu a JOIN cu b ON a.c_custkey < b.c_custkey
+        |WHERE damerau_levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
     // er4: brute force — DuckDB's native jaro_winkler_similarity is an
     // independent implementation of the same published definition, so the
     // hash compare IS the conformance proof for the custom Expression.

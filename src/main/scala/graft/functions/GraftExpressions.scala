@@ -95,6 +95,52 @@ object GraftExprs {
     jaro + l * 0.1 * (1.0 - jaro)
   }
 
+  /** TRUE (unrestricted) Damerau-Levenshtein distance, conformant with
+    * DuckDB's `damerau_levenshtein` (probed: 'CA'→'ABC' = 2 — the
+    * unrestricted variant, where OSA answers 3; byte-level like
+    * [[jaroWinkler]] — 'éa'→'aé' measured 2, not the codepoint answer 1).
+    * Lowrance–Wagner DP with the 256-entry last-occurrence table;
+    * O(|a|·|b|) time and space per row — an edit-distance RECHECK for
+    * bounded candidates, not a corpus-scan primitive. */
+  def damerauLevenshtein(a: UTF8String, b: UTF8String): Long = {
+    val x = a.getBytes
+    val y = b.getBytes
+    val la = x.length
+    val lb = y.length
+    if (la == 0) return lb.toLong
+    if (lb == 0) return la.toLong
+    val inf = la + lb
+    val h = Array.ofDim[Int](la + 2, lb + 2)
+    h(0)(0) = inf
+    var i = 0
+    while (i <= la) { h(i + 1)(0) = inf; h(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= lb) { h(0)(j + 1) = inf; h(1)(j + 1) = j; j += 1 }
+    val da = new Array[Int](256)
+    i = 1
+    while (i <= la) {
+      var db = 0
+      j = 1
+      while (j <= lb) {
+        val i1 = da(y(j - 1) & 0xFF)
+        val j1 = db
+        val cost = if (x(i - 1) == y(j - 1)) { db = j; 0 } else 1
+        var best = h(i)(j) + cost                    // substitution / match
+        val ins = h(i + 1)(j) + 1                     // insertion
+        if (ins < best) best = ins
+        val del = h(i)(j + 1) + 1                     // deletion
+        if (del < best) best = del
+        val tr = h(i1)(j1) + (i - i1 - 1) + 1 + (j - j1 - 1) // transposition
+        if (tr < best) best = tr
+        h(i + 1)(j + 1) = best
+        j += 1
+      }
+      da(x(i - 1) & 0xFF) = i
+      i += 1
+    }
+    h(la + 1)(lb + 1).toLong
+  }
+
   /** Σ (double)a[i]·(double)b[i], strict left-to-right. */
   def dotF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -537,6 +583,19 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** True Damerau-Levenshtein distance of two string columns — DuckDB-
+  * conformant semantics (see [[GraftExprs.damerauLevenshtein]]). */
+case class DamerauLevenshteinExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftExprs.damerauLevenshtein(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftExprs.damerauLevenshtein($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DamerauLevenshteinExpr =
+    copy(left = l, right = r)
+}
+
 /** L2 norm of an array<float> column (double accumulation). */
 case class L2NormExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
@@ -720,6 +779,8 @@ object GraftColumns {
     ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def jaroWinkler(a: Column, b: Column): Column =
     ColumnBridge.column(JaroWinklerExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    ColumnBridge.column(DamerauLevenshteinExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def normF(a: Column): Column =
     ColumnBridge.column(L2NormExpr(ColumnBridge.expression(a)))
   def hyperProj(e: Column, nBits: Int): Column =

@@ -284,7 +284,31 @@ object FuzzyJoin {
     * string length, which is why d ≤ 2 is where deletion-neighborhood
     * ER conventionally stops. */
   def selfJoinIds(strs: DataFrame, idCol: String = "id", strCol: String = "s",
-      maxDist: Int = 1): DataFrame = {
+      maxDist: Int = 1): DataFrame =
+    neighborhoodPairs(strs, idCol, strCol, maxDist,
+      (a, b) => levenshtein(a, b).cast("long"))
+
+  /** [[selfJoinIds]] under TRUE Damerau-Levenshtein (adjacent
+    * transpositions cost 1 — 'marhta' is one edit from 'martha', where
+    * plain Levenshtein charges 2): the same depth-`maxDist` deletion
+    * neighborhoods keep full recall (every Damerau op — substitution,
+    * insertion, deletion, transposition — is neutralized by at most one
+    * deletion on EACH side, so distance-d strings share a depth-d
+    * variant), and the exact recheck is the DuckDB-conformant
+    * [[graft.functions.GraftColumns.damerauLevenshtein]] codegen
+    * expression. Output: (id_a < id_b, dist ≤ maxDist). */
+  def damerauPairs(strs: DataFrame, idCol: String = "id", strCol: String = "s",
+      maxDist: Int = 2): DataFrame =
+    neighborhoodPairs(strs, idCol, strCol, maxDist,
+      (a, b) => graft.functions.GraftColumns.damerauLevenshtein(a, b))
+
+  /** The shared deletion-neighborhood candidate machinery: depth-`maxDist`
+    * variant equi-join (shuffle_hash pinned — Σ bucket² output cost),
+    * exact `dist` recheck with the caller's metric, canonical
+    * (id_a < id_b) projection. */
+  private def neighborhoodPairs(strs: DataFrame, idCol: String, strCol: String,
+      maxDist: Int,
+      dist: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): DataFrame = {
     val base = strs.select(col(idCol).as("__id"), col(strCol).as("__s"))
     val variants = base.select(
       col("__id"), explode(variantArrN(col("__s"), maxDist)).as("__v"))
@@ -296,7 +320,7 @@ object FuzzyJoin {
     cands
       .join(base.select(col("__id").as("__ida"), col("__s").as("__sa")), Seq("__ida"))
       .join(base.select(col("__id").as("__idb"), col("__s").as("__sb")), Seq("__idb"))
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .withColumn("dist", dist(col("__sa"), col("__sb")))
       .filter(col("dist") <= maxDist)
       .select(col("__ida").as("id_a"), col("__idb").as("id_b"), col("dist"))
   }

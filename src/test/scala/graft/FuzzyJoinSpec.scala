@@ -96,6 +96,49 @@ class FuzzyJoinSpec extends SparkSpec {
     }
   }
 
+  test("damerauLevenshtein expression: DuckDB-probed constants — TRUE DL, byte semantics") {
+    import graft.functions.GraftColumns
+    val cases = Seq(
+      ("CA", "ABC", 2L),          // unrestricted DL (OSA answers 3)
+      ("ab", "ba", 1L),           // adjacent transposition
+      ("martha", "marhta", 1L),
+      ("kitten", "sitting", 3L),
+      ("", "abc", 3L),
+      ("éa", "aé", 2L),           // byte-level (3-byte é)
+      ("abcdef", "abcfed", 2L),
+      ("xabx", "xbax", 1L),
+      ("aa", "aaa", 1L))
+    val df = cases.zipWithIndex
+      .map { case ((a, b, e), i) => (i.toLong, a, b, e) }
+      .toDF("i", "a", "b", "expect")
+      .withColumn("d", GraftColumns.damerauLevenshtein(col("a"), col("b")))
+    df.collect().foreach { r =>
+      assert(r.getLong(4) === r.getLong(3),
+        s"dl(${r.getString(1)}, ${r.getString(2)})")
+    }
+  }
+
+  test("damerauPairs: transpositions pair at distance 1 where levenshtein charges 2; recall ≡ brute force") {
+    val strs = Seq((1L, "martha"), (2L, "marhta"), (3L, "martha"),
+      (4L, "zzzzzz")).toDF("id", "s")
+    val out = FuzzyJoin.damerauPairs(strs, maxDist = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out((1L, 2L)) === 1L, s"transposition must be one Damerau edit: $out")
+    assert(out((1L, 3L)) === 0L && out((2L, 3L)) === 1L)
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // full recall at radius 2 on the fixture: candidates vs brute force
+    val c = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    val fast = FuzzyJoin.damerauPairs(c, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = c.as("a").join(c.as("b"), col("a.id") < col("b.id"))
+      .withColumn("d", graft.functions.GraftColumns.damerauLevenshtein(col("a.s"), col("b.s")))
+      .filter(col("d") <= 2)
+      .select(col("a.id"), col("b.id"), col("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast.nonEmpty && fast === brute)
+  }
+
   test("jaroRescoredPairs: exactly the lev-bounded jw-thresholded relation; prefix typos score below suffix typos") {
     val strs = Seq(
       (1L, "catherine"), (2L, "katherine"),  // leading sub: lev 1, lower jw
