@@ -31,7 +31,9 @@ object GraftFunctions {
     "graft_simhash_text" -> (es => SimHashTextExpr(es(0), intLit(es(1)))),
     "graft_rep_stats" -> (es => RepStatsExpr(es.head)),
     "graft_winnow" -> (es => WinnowExpr(es(0), intLit(es(1)), intLit(es(2)))),
-    "graft_nfc" -> (es => NfcNormalizeExpr(es.head)))
+    "graft_nfc" -> (es => NfcNormalizeExpr(es.head)),
+    "graft_jaro_winkler" -> (es => JaroWinklerExpr(es(0), es(1))),
+    "graft_damerau_levenshtein" -> (es => DamerauLevenshteinExpr(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

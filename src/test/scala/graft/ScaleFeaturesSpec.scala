@@ -163,5 +163,10 @@ class ScaleFeaturesSpec extends SparkSpec {
       "SELECT graft_minhash(graft_poly_hash(t), 4) FROM sqldocs GROUP BY id")
       .collect().head.getSeq[Long](0)
     assert(mh.length === 4 && mh.forall(_ >= 0))
+    // round-8 linkage scorers (DuckDB-probed constants)
+    assert(spark.sql("SELECT graft_jaro_winkler('martha', 'marhta')")
+      .collect().head.getDouble(0) === 0.9611111111111111)
+    assert(spark.sql("SELECT graft_damerau_levenshtein('CA', 'ABC')")
+      .collect().head.getLong(0) === 2L)
   }
 }
