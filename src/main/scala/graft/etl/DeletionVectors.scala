@@ -101,9 +101,15 @@ object DeletionVectors {
           // reset. The tombstones were already folded — skip, don't throw.
           // A missing file with NO replacement is real data loss and stays
           // loud (the store is NOT reset in that case).
+          // Match the replacement-name pattern EXACTLY
+          // (`part-dv-<nanos>-<original tail>` as written below): a bare
+          // endsWith could false-positively "heal" real data loss when two
+          // files share a name suffix, silently resetting the store.
           val tail = path.getName.stripPrefix("part-")
+          val healPattern = java.util.regex.Pattern.compile(
+            "^part-dv-\\d+-" + java.util.regex.Pattern.quote(tail) + "$")
           val healed = Option(path.getParentFile.listFiles()).exists(_.exists(g =>
-            g.getName.startsWith("part-dv-") && g.getName.endsWith(tail)))
+            healPattern.matcher(g.getName).matches()))
           require(healed,
             s"applyDeletes: data file missing on disk with no part-dv-* " +
               s"replacement: $path")

@@ -122,6 +122,15 @@ object FuzzyJoin {
     val dir = new org.apache.hadoop.fs.Path(storePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.etl.WriterLease.withLock(fs, dir, "fuzzy neighborhood store") {
+      // Crash hygiene (safe here: the lease guarantees no live writer is
+      // mid-stage): a crash between the staging write and the publishing
+      // rename leaks one hidden `.staging-*` dir per failure — sweep any
+      // leftovers on ingest start so a long-lived store can't accrete
+      // debris. Published `batch-*` dirs are never touched.
+      if (fs.exists(dir))
+        fs.listStatus(dir).iterator
+          .filter(_.getPath.getName.startsWith(".staging-"))
+          .foreach(s => fs.delete(s.getPath, true))
       // Path-absence is the ONLY condition read as "no store yet"; listing
       // or read errors propagate (the signature-store policy).
       val hasStore = fs.exists(dir) && fs.listStatus(dir).exists { s =>
@@ -187,15 +196,20 @@ object FuzzyJoin {
         .select(col("__ida").as("id_a"), col("__idb").as("id_b"), col("dist"))
         .localCheckpoint(true)
       // Staged publish: hidden staging dir, marker, ONE atomic rename. A
-      // crash before the rename leaves readers' view unchanged.
-      val batchId = java.util.UUID.randomUUID().toString
-      val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$batchId")
-      val published = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
-      newArr.write.parquet(staging.toString)
-      if (!fs.exists(marker)) fs.create(marker, true).close()
-      if (!fs.rename(staging, published))
-        throw new IllegalStateException(
-          s"failed to publish neighborhood batch $staging -> $published")
+      // crash before the rename leaves readers' view unchanged. An
+      // all-duplicate re-ingest (newArr empty after the anti-join) skips
+      // the publish entirely — an idempotent no-op must not grow the
+      // store's batch-dir count with replays.
+      if (!newArr.isEmpty) {
+        val batchId = java.util.UUID.randomUUID().toString
+        val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$batchId")
+        val published = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
+        newArr.write.parquet(staging.toString)
+        if (!fs.exists(marker)) fs.create(marker, true).close()
+        if (!fs.rename(staging, published))
+          throw new IllegalStateException(
+            s"failed to publish neighborhood batch $staging -> $published")
+      }
       org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(newArr)
       if (replayDeterministic)
         org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(rawNew)

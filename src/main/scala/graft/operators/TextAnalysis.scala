@@ -181,17 +181,19 @@ object TextAnalysis {
     *
     * Plan: one (doc_id, term) aggregation, a broadcast join against the
     * vocabulary's document frequencies (bounded vocab — broadcastable at
-    * any corpus size), and a per-doc window. */
+    * any corpus size), and a per-doc window. N folds in-plan as a one-row
+    * broadcast aggregate — constructing this query runs zero jobs. */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = docs.count()
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy("doc_id").orderBy(col("salience").desc, col("term"))
     tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(nDocs)) // 1-row attach
       .withColumn("salience",
-        col("tf") * expr(s"(CAST($n AS BIGINT) * CAST(1048576 AS BIGINT)) div df"))
+        col("tf") * expr("(__n * 1048576L) div df"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("salience"), col("rank"))
@@ -218,14 +220,18 @@ object TextAnalysis {
     *
     * Plan: one (doc, term) aggregation (map-side combined), a broadcast of
     * the 10-row query-term frame, a doc-keyed join for lengths, and a
-    * global top-k (`TakeOrderedAndProject` — no full sort). */
+    * global top-k (`TakeOrderedAndProject` — no full sort). The corpus
+    * scalars N and Σdl fold IN-PLAN as a one-row broadcast aggregate (the
+    * t19 / [[tokenDrift]] pattern) — constructing this query runs zero
+    * Spark jobs; at 100 TB there is no extra full pass before the real
+    * job starts. */
   def bm25(docs: DataFrame, kTerms: Int = 10, topK: Int = 20): DataFrame = {
-    val n = docs.count()
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .cache() // three consumers: doc lengths, term stats, scoring
+      .cache() // shared by doc lengths, term stats, totals, and scoring
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    val sumdl = dl.agg(sum(col("dl"))).head().getLong(0)
+    val totals = docs.agg(count(lit(1)).as("__n"))
+      .crossJoin(dl.agg(sum(col("dl")).as("__sumdl"))) // 1 row × 1 row
     val qterms = tf.groupBy("term")
       .agg(sum(col("tf")).as("cnt"), count(lit(1)).as("df"))
       .orderBy(col("cnt").desc, col("term")).limit(kTerms)
@@ -233,15 +239,15 @@ object TextAnalysis {
     // tf is NOT unpersisted here: the returned plan reads it lazily (an
     // in-function unpersist would defeat the cache; an eager checkpoint
     // would hide the TakeOrderedAndProject shape PlanGuardSpec pins). The
-    // leak is one (doc, term) frame per invocation, LRU-evicted —
-    // acceptable for an operator that already runs a driver action for
-    // Σdl (review finding: noted).
+    // leak is one (doc, term) frame per invocation, LRU-evicted; Bench
+    // clears caches between workloads.
     tf.join(broadcast(qterms), Seq("term"))
       .join(dl, Seq("doc_id"))
-      .withColumn("idfq", expr(s"(${n}L * 16384L) div df"))
+      .crossJoin(broadcast(totals)) // 1-row attach
+      .withColumn("idfq", expr("(__n * 16384L) div df"))
       .withColumn("s_scaled",
-        expr(s"(idfq * tf * 220L * ${sumdl}L) div " +
-          s"(100L * tf * ${sumdl}L + 30L * ${sumdl}L + 90L * dl * ${n}L)"))
+        expr("(idfq * tf * 220L * __sumdl) div " +
+          "(100L * tf * __sumdl + 30L * __sumdl + 90L * dl * __n)"))
       .groupBy("doc_id")
       .agg(sum(col("s_scaled")).as("bm25_scaled"))
       .orderBy(col("bm25_scaled").desc, col("doc_id"))
@@ -315,10 +321,14 @@ object TextAnalysis {
     * pair's count typically ≤ N/100 that holds through ~3·10⁷ corpus
     * bigrams; past that pre-divide N (same op both engines, the bm25
     * trade — overflow is loud in the oracle engine, silent in Spark's
-    * non-ANSI mode, so don't run past the bound). Plan: one bigram
-    * aggregation + two margin aggregations joined on vocabulary-sized
-    * keys — join strategy left to size statistics (a small vocab
-    * broadcasts, a web-scale one shuffles; the pair output is NOT
+    * non-ANSI mode, so don't run past the bound). Plan: the corpus is
+    * tokenized ONCE into the distinct-bigram counts (vocabulary-pair
+    * sized, cached as the single shared input); the two margins AND the
+    * grand total all derive from that frame by re-aggregation, the total
+    * as a one-row broadcast attach (the t19 / [[tokenDrift]] pattern), so
+    * constructing this query runs zero Spark jobs. Margin joins are on
+    * vocabulary-sized keys — strategy left to size statistics (a small
+    * vocab broadcasts, a web-scale one shuffles; the pair output is NOT
     * explosive, so unlike the LSH bucket joins no pin is needed) — then
     * a global top-k. */
   def collocations(docs: DataFrame, minCount: Int = 5, topK: Int = 20): DataFrame = {
@@ -330,14 +340,17 @@ object TextAnalysis {
         .as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val pairs = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_bg"))
-    val leftM = bi.groupBy("w1").agg(count(lit(1)).as("n_left"))
-    val rightM = bi.groupBy("w2").agg(count(lit(1)).as("n_right"))
-    val n = pairs.agg(sum(col("n_bg"))).head().getLong(0)
+      .cache() // shared by margins, total, and the scored output
+    val leftM = pairs.groupBy("w1").agg(sum(col("n_bg")).as("n_left"))
+    val rightM = pairs.groupBy("w2").agg(sum(col("n_bg")).as("n_right"))
+    val total = pairs.agg(sum(col("n_bg")).as("__n_total"))
     pairs
       .filter(col("n_bg") >= minCount)
       .join(leftM, Seq("w1"))
       .join(rightM, Seq("w2"))
-      .withColumn("pmi_scaled", expr(s"(n_bg * ${n}L * 1048576L) div (n_left * n_right)"))
+      .crossJoin(broadcast(total)) // 1-row attach
+      .withColumn("pmi_scaled",
+        expr("(n_bg * __n_total * 1048576L) div (n_left * n_right)"))
       .select(col("w1"), col("w2"), col("n_bg"), col("pmi_scaled"))
       .orderBy(col("pmi_scaled").desc, col("w1"), col("w2"))
       .limit(topK)

@@ -134,8 +134,16 @@ object Avro {
         val d = new org.apache.hadoop.fs.Path(path)
         val pfs = d.getFileSystem(conf)
         val as = new AvroSchema.Parser().parse(avroJson)
-        val fileName = f"part-$pid%05d-${java.util.UUID.randomUUID()}.avro"
-        val tmp = new org.apache.hadoop.fs.Path(d, s".tmp-$fileName")
+        // The destination name derives from the partition id ONLY: a task
+        // retried after its first attempt already renamed (failure or
+        // speculation between rename and task commit) re-publishes the
+        // SAME name — overwrite, never a silent duplicate on read. The
+        // .tmp name is attempt-unique so concurrent attempts can't clobber
+        // each other's in-progress stream.
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val fileName = f"part-$pid%05d.avro"
+        val tmp = new org.apache.hadoop.fs.Path(d, s".tmp-$attempt-$fileName")
         val dest = new org.apache.hadoop.fs.Path(d, fileName)
         val out = pfs.create(tmp, true)
         val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](as))
@@ -154,6 +162,9 @@ object Avro {
             rows += 1L
           }
         } finally writer.close()
+        // A prior attempt's published file (same deterministic name, same
+        // rows) is replaced, not joined by a twin.
+        if (pfs.exists(dest)) pfs.delete(dest, false)
         if (!pfs.rename(tmp, dest))
           throw new IllegalStateException(s"writeAvro: publish rename failed for $dest")
         Iterator.single(rows)

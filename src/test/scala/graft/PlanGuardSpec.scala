@@ -216,6 +216,33 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("t10/t13/t25 construction runs ZERO jobs — corpus scalars fold in-plan") {
+    // "No query constructs itself by scanning data": bm25's N/Σdl,
+    // tfidf's N, and collocations' bigram total are one-row broadcast
+    // aggregates INSIDE the returned plan, never driver actions. At
+    // 100 TB a construct-time count is an extra full pass before the
+    // real job starts.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, d)
+    docs.count() // any read-side schema/listing job lands outside the window
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      TextAnalysis.bm25(docs)
+      TextAnalysis.tfidfTopTerms(docs)
+      TextAnalysis.collocations(docs)
+      org.apache.spark.sql.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      assert(jobs.get() == 0,
+        s"query construction ran ${jobs.get()} Spark job(s) — a construct-time corpus scan")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("runtime bloom-filter join pruning fires on fact ⋈ selective dim") {
     // The row-level sibling of dynamic partition pruning: a bloom filter
     // built from the filtered dim side is injected into the fact scan's
