@@ -88,6 +88,54 @@ object IncrementalProbe {
         sigs.filter(col("doc_id") % 50 === 41), ms, 64, 3, "probe-v1").count()
     }
 
+    // --- FUZZY NEIGHBORHOOD store at batch count 40: same batch-dir
+    // contract (and the same `_lock` lease) as the signature stores, so
+    // Dedup.compactStore applies verbatim — measure the 41st ingest's
+    // fixed cost before vs after compaction (the #42 curve for the
+    // newest store family). 30k names in distance-1 triples.
+    val fuzzyNames = spark.range(30000L).select(
+      col("id").as("doc_id"),
+      expr("""concat('nm', lpad(CAST(id div 3 AS STRING), 5, '0'),
+              chr(97 + CAST(id % 3 AS INT)))""").as("s")).cache()
+    fuzzyNames.count()
+    val fstore = s"$tmp/fuzzystore"
+    (0 until 40).foreach { i =>
+      FuzzyJoin.incrementalPairs(
+        fuzzyNames.filter(col("doc_id") % 50 === i), fstore, "doc_id", "s").count()
+    }
+    time("fuzzy_ingest_41st_of_many") {
+      FuzzyJoin.incrementalPairs(
+        fuzzyNames.filter(col("doc_id") % 50 === 40), fstore, "doc_id", "s").count()
+    }
+    time("fuzzy_compact_store")(Dedup.compactStore(spark, fstore)._2)
+    time("fuzzy_ingest_after_compact") {
+      FuzzyJoin.incrementalPairs(
+        fuzzyNames.filter(col("doc_id") % 50 === 41), fstore, "doc_id", "s").count()
+    }
+    fuzzyNames.unpersist()
+
+    // --- LABEL store at snapshot turnover 40: publish PRUNES superseded
+    // snapshots, so unlike batch-dir stores there is nothing to compact
+    // — the 41st ingest pays one snapshot read + closure + one publish,
+    // flat in ingest COUNT; the dir must hold exactly ONE labels-* dir.
+    val ls40 = s"$tmp/lstore40"
+    def lsSlice(i: Int) = docIds.filter(col("doc_id") % 50 === i)
+    def lsPairs(i: Int) = lsSlice(i)
+      .filter(col("doc_id") + 50 < nSigs.toLong)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 50).as("doc_b"))
+    (0 until 40).foreach { i =>
+      Dedup.incrementalClusters(lsSlice(i), lsPairs(i), ls40).count()
+    }
+    time("labels_ingest_41st_of_many") {
+      Dedup.incrementalClusters(lsSlice(40), lsPairs(40), ls40).count()
+    }
+    locally {
+      val snaps = new java.io.File(ls40).listFiles()
+        .filter(_.getName.startsWith("labels-"))
+      assert(snaps.length == 1,
+        s"label store must hold ONE snapshot after turnover, got ${snaps.length}")
+    }
+
     // --- Anchor store: docs (10g, 10g+1) share a per-group 12-token
     // passage (anchor df = 2 per passage — stays under the cap; a
     // corpus-wide passage would just be cap-dropped and prove nothing) ---
@@ -220,6 +268,14 @@ object IncrementalProbe {
       FuzzyJoin.selfJoinIds(hotNames, "doc_id", "s").count())
     time("fuzzy_hot_edges_120k")(
       FuzzyJoin.selfJoinEdges(hotNames, "doc_id", "s").count())
+    // The SCORED siblings (er4/er5's scale path): exact-dup collapse +
+    // conformant scorer over DISTINCT strings at radius 2 — popularity-
+    // linear like selfJoinEdges; the full rescored pair set would be
+    // C(40,2)-quadratic per hot name (the #59 explosion, rescored).
+    time("fuzzy_hot_jaro_edges_120k")(
+      FuzzyJoin.jaroRescoredEdges(hotNames, "doc_id", "s").count())
+    time("fuzzy_hot_damerau_edges_120k")(
+      FuzzyJoin.damerauEdges(hotNames, "doc_id", "s").count())
     hotNames.unpersist()
 
     // --- Video chain: synth → demux → per-frame dHash → temporal align --

@@ -657,6 +657,21 @@ object ScalingProbe {
     time("ann_hot_bucket_100k_in_1")(
       Similarity.lshNeighbors(hotEmb, threshold = 1.1).count())
     hotEmb.unpersist(blocking = true)
+
+    // ---- BPE training: merges × corpus cost curve. The N-merge loop
+    // driver materializes each round (flat per-round cost — total should
+    // grow LINEARLY in rounds, not quadratically as the old lazy plan
+    // stack would) and releases the superseded round (one word-table
+    // checkpoint pinned regardless of N). Caesar replicas multiply the
+    // vocabulary ×20, so per-round pair counting sees a 20× word table.
+    val bpeDocs = replicateDocs(
+      Tables.documents(spark, sfDir), 20, lit(false)).cache()
+    time("bpe_corpus_x20_materialize")(bpeDocs.count())
+    Seq(5, 20, 40).foreach { n =>
+      time(s"bpe_train_x20_${n}_merges")(
+        graft.operators.TextAnalysis.bpeTrain(bpeDocs, rounds = n).count())
+    }
+    bpeDocs.unpersist(blocking = true)
     spark.stop()
   }
 }

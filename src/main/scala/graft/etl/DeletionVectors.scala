@@ -155,4 +155,46 @@ object DeletionVectors {
       (rewritten, dropped)
     } finally dv.unpersist()
   }
+
+  /** Reader-SAFE delete fold: publish the tombstone-folded table as a NEW
+    * [[TimeTravel]] run under `tableRoot` instead of rewriting `dataDir`
+    * in place — the composition [[applyDeletes]]'s contract points to for
+    * serving layers that read the lake during takedown maintenance. The
+    * source files are never touched: a reader holding `dataDir` (or any
+    * older run) sees consistent pre-delete bytes throughout, and the
+    * latest-run view ([[TimeTravel.readLatest]]) flips atomically at ONE
+    * rename of a hidden staging dir to its run stamp (TimeTravel's stamp
+    * regex never lists `.staging-*`, so a half-written fold is invisible).
+    * The tombstone store resets only AFTER the publishing rename — a
+    * crash in between re-folds the same tombstones into a fresh stamp on
+    * retry (identical content, one redundant run; `TimeTravel.vacuum`
+    * reclaims it), never a half-folded table. After publishing, `dataDir`
+    * is a frozen pre-delete snapshot: delete-aware consumers move to the
+    * returned run path — flip-by-path-selection, the same discipline as
+    * the stored ANN index's retrain
+    * ([[graft.operators.Clustering.optimizeIndex]]).
+    *
+    * Hive partition columns survive via [[Sink.writeData]]'s partitioning
+    * contract (upgrade/state/county when present in the schema). Returns
+    * the published run's data dir. */
+  def applyDeletesAsRun(spark: SparkSession, dataDir: String, dvDir: String,
+      tableRoot: String, jobName: String = "table",
+      at: java.time.Instant = java.time.Instant.now()): String = {
+    val rootFile = new java.io.File(tableRoot)
+    rootFile.mkdirs()
+    // Crash hygiene: a fold that died before its rename left one hidden
+    // staging dir — sweep leftovers before staging anew (store doctrine).
+    Option(rootFile.listFiles()).foreach(_.filter(_.getName.startsWith(".staging-"))
+      .foreach(Compaction.deleteDir))
+    val runDir = Sink.runRoot(tableRoot, at)
+    val stamp = runDir.substring(runDir.lastIndexOf('/') + 1)
+    require(!new java.io.File(runDir).exists(),
+      s"applyDeletesAsRun stamp collision: $runDir already exists")
+    val staging = new java.io.File(rootFile, s".staging-$stamp")
+    Sink.writeData(readWithDeletes(spark, dataDir, dvDir), staging.toString, jobName)
+    require(staging.renameTo(new java.io.File(runDir)),
+      s"applyDeletesAsRun: publish rename failed for $runDir")
+    Compaction.deleteDir(new java.io.File(dvDir))
+    s"$runDir/$jobName/data"
+  }
 }

@@ -626,6 +626,63 @@ object Curation {
         round(col("qsum_scaled").cast("double") / 1e7d / col("n_docs").cast("double"), 7))
   }
 
+  /** Tracking-param prefixes stripped by [[canonicalUrl]] — the common
+    * analytics/click-id noise (`utm_*`, Google/Facebook click ids, `ref`)
+    * that makes one page present as thousands of distinct URLs in a
+    * crawl frontier. */
+  val TrackingParamPrefixes: Seq[String] =
+    Seq("utm_", "gclid=", "fbclid=", "ref=")
+
+  /** Canonical URL form — the stage-0 identity every web-crawl pipeline
+    * computes BEFORE any content hashing (ref: crawl-frontier dedup;
+    * extends `hostStats`' host extraction to a full-URL identity):
+    *
+    *  - scheme and host lowercase (path/query stay case-sensitive per
+    *    RFC 3986 §6.2.2.1);
+    *  - default port stripped (`:80` for http, `:443` for https);
+    *  - empty path → `/`; one trailing slash stripped from non-root paths;
+    *  - fragment dropped;
+    *  - tracking params ([[TrackingParamPrefixes]]) and empty params
+    *    dropped, survivors SORTED — param order is presentation noise.
+    *
+    * Everything is portable string builtins (regexp_extract /
+    * regexp_replace / split / filter / sort / join), so the DuckDB oracle
+    * replays the identity bit-for-bit; per-row map-only work, no shuffle.
+    * Malformed URLs (no `scheme://`) canonicalize to `"://…"` fragments
+    * rather than null — screen them upstream like `hostStats` does. */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val rawPath = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val noSlash = regexp_replace(rawPath, "/$", "")
+    val path = when(noSlash === "", lit("/")).otherwise(noSlash)
+    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_join(
+      sort_array(filter(split(q, "&"), p =>
+        p =!= "" && TrackingParamPrefixes
+          .map(pre => !p.startsWith(pre)).reduce(_ && _))),
+      "&")
+    concat(scheme, lit("://"), host, path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /** Exact URL dedup on the canonical identity: per canonical URL, the
+    * kept representative (min id — deterministic) and the collapse count.
+    * One hash group-by on the canonical string — the cheapest dedup in
+    * the whole pipeline, which is why crawls run it first: at 100 TB the
+    * tracking-param/case/port variants it collapses never reach the
+    * content-hash stages at all. Join `keep_id` back to the corpus for
+    * the surviving-rows form. */
+  def urlDedup(docs: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(canonicalUrl(col(urlCol)).as("canonical_url"), col(idCol))
+      .groupBy("canonical_url")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
   /** Per-language sampling rates (per mille) for [[stratifiedSample]]:
     * downsample the over-represented head language hard, keep mid languages
     * at a third, keep the tail whole — the standard rebalancing move when

@@ -256,6 +256,49 @@ object FuzzyJoin {
     star.unionByName(repPairs)
   }
 
+  /** Popularity-linear SCORED edges under Jaro-Winkler —
+    * [[selfJoinEdges]]'s exact-dup collapse composed with
+    * [[jaroRescoredPairs]]' scorer, for hot-name corpora where the full
+    * rescored pair set is C(D,2)-quadratic in name popularity. Scores
+    * depend only on the STRINGS, so identical records contribute
+    * D-linear star edges at the metric's identity (jw = 1.0 ≥ any
+    * threshold) and every cross-string pair's score equals its
+    * rep-level edge's score — closure over (star ∪ rep edges) at a
+    * threshold equals closure over the full rescored pair set at the
+    * same threshold (spec-asserted, the [[selfJoinEdges]] argument
+    * verbatim). Candidate bucket depth drops from record popularity to
+    * DISTINCT-string neighborhood size. Output: (id_a < id_b, jw). */
+  def jaroRescoredEdges(strs: DataFrame, idCol: String = "id",
+      strCol: String = "s", threshold: Double = 0.94,
+      maxDist: Int = 2): DataFrame = {
+    val base = strs.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    val reps = base.groupBy(col("__s")).agg(min(col("__id")).as("__rep"))
+    val star = base.join(reps, Seq("__s"))
+      .filter(col("__id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("__id").as("id_b"),
+        lit(1.0d).as("jw"))
+    star.unionByName(jaroRescoredPairs(
+      reps.select(col("__rep").as("id"), col("__s").as("s")),
+      threshold = threshold, maxDist = maxDist))
+  }
+
+  /** [[jaroRescoredEdges]]' Damerau-Levenshtein sibling: D-linear star
+    * edges at the identity distance (0 — within any radius) plus
+    * [[damerauPairs]] over DISTINCT strings. Closure-equal to the full
+    * damerauPairs set at the same radius. Output: (id_a < id_b, dist). */
+  def damerauEdges(strs: DataFrame, idCol: String = "id",
+      strCol: String = "s", maxDist: Int = 2): DataFrame = {
+    val base = strs.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    val reps = base.groupBy(col("__s")).agg(min(col("__id")).as("__rep"))
+    val star = base.join(reps, Seq("__s"))
+      .filter(col("__id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("__id").as("id_b"),
+        lit(0L).as("dist"))
+    star.unionByName(damerauPairs(
+      reps.select(col("__rep").as("id"), col("__s").as("s")),
+      maxDist = maxDist))
+  }
+
   /** Jaro-Winkler-RESCORED fuzzy pairs — the production record-linkage
     * composition: candidates from the exact deletion-neighborhood join
     * at lev ≤ `maxDist` (full recall within the radius), scored with the

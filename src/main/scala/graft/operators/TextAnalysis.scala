@@ -609,6 +609,17 @@ object TextAnalysis {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("cnt")).as("n"))
     }
+    // Loop driver (Graph.scala's localCheckpoint discipline — a real
+    // tokenizer-stat job runs HUNDREDS of merges, not 3): each round's
+    // word table is eagerly materialized so round r's pair count reads a
+    // FLAT snapshot instead of r stacked crossJoin+replace plans (lazy
+    // stacking recomputes every earlier round per round — O(rounds²)
+    // work and super-linear Catalyst analysis); the superseded round is
+    // released immediately, so exactly ONE word-table-sized checkpoint
+    // is pinned at a time (plus the returned final table and the ≤1-row
+    // adopted-pair frames the merge table reads). Still no driver-side
+    // collect — the adopted pair rides a 1-row broadcast.
+    //
     // Exhausted-round guard: if a round's pairCounts is EMPTY (every word
     // already one symbol), a 0-row broadcast crossJoin would empty the
     // whole word table and the remaining rounds plus bpeEncode would
@@ -617,27 +628,39 @@ object TextAnalysis {
     // `top1` is always exactly one row — the real pair when one exists,
     // else the sentinel (S2, S2), whose replace pattern contains sentinel
     // chars and can never match a sym (symbols carry none by the filter
-    // above). The word-table crossJoin below is byte-identical to the
-    // unguarded plan; an exhausted round contributes no merge row.
-    var w = words
+    // above). An exhausted round contributes no merge row; since every
+    // LATER round is exhausted too (merging only removes pairs at the
+    // fixed point), the loop stops there — output-identical to running
+    // the remaining no-op rounds.
+    val bridge = org.apache.spark.sql.graftbridge.DatasetBridge
+    require(rounds >= 1, s"bpe training needs >= 1 merge round, got $rounds")
+    var w = words.localCheckpoint(true)
     var merges: DataFrame = null
-    for (r <- 1 to rounds) {
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
       val top = pairCounts(w)
         .orderBy(col("n").desc, col("a"), col("b")).limit(1)
         .select(col("a"), col("b"), col("n"))
+        .localCheckpoint(true) // ≤1 row; read by the merge table AND top1
       val mergeRow = top.select(lit(r.toLong).as("round"), col("a"), col("b"), col("n"))
       merges = if (merges == null) mergeRow else merges.unionByName(mergeRow)
-      val top1 = docs.sparkSession.range(1)
-        .join(broadcast(top), lit(true), "left")
-        .select(
-          coalesce(col("a"), lit(S2)).as("a"),
-          coalesce(col("b"), lit(S2)).as("b"))
-      w = w.crossJoin(broadcast(top1))
-        .withColumn("sym", org.apache.spark.sql.functions.replace(
-          col("sym"),
-          concat(lit(S1), col("a"), lit(S2), lit(S1), col("b"), lit(S2)),
-          concat(lit(S1), col("a"), col("b"), lit(S2))))
-        .select(col("word"), col("cnt"), col("sym"))
+      if (top.isEmpty) { exhausted = true }
+      else {
+        val top1 = docs.sparkSession.range(1)
+          .join(broadcast(top), lit(true), "left")
+          .select(
+            coalesce(col("a"), lit(S2)).as("a"),
+            coalesce(col("b"), lit(S2)).as("b"))
+        val wNext = w.crossJoin(broadcast(top1))
+          .withColumn("sym", org.apache.spark.sql.functions.replace(
+            col("sym"),
+            concat(lit(S1), col("a"), lit(S2), lit(S1), col("b"), lit(S2)),
+            concat(lit(S1), col("a"), col("b"), lit(S2))))
+          .select(col("word"), col("cnt"), col("sym"))
+          .localCheckpoint(true)
+        bridge.unpersistCheckpoint(w) // superseded-round release
+        w = wNext
+      }
     }
     (w, merges)
   }

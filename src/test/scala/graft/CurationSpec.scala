@@ -18,6 +18,38 @@ class CurationSpec extends SparkSpec {
     assert(out === Map(100L -> 1L, 101L -> 0L))
   }
 
+  test("canonicalUrl: case/port/slash/fragment/tracking-param variants collapse; param order normalizes") {
+    val urls = Seq(
+      (0L, "https://h3.Example.COM/a/0"),
+      (1L, "HTTPS://H3.EXAMPLE.COM:443/a/0/"),
+      (2L, "https://h3.example.com/a/0#frag"),
+      (3L, "https://h3.example.com/a/0?utm_source=x&gclid=1&fbclid=2&ref=z"),
+      (4L, "http://x.com:80"),                     // default http port + empty path
+      (5L, "http://x.com/"),                       // root slash is kept
+      (6L, "https://y.com/p?b=2&a=1&utm_b=q"),     // kept params sort
+      (7L, "https://y.com/p?a=1&b=2"),             // ...and so collapse with 6
+      (8L, "https://y.com/P?a=1&b=2")              // path case is SIGNIFICANT
+    ).toDF("doc_id", "url")
+    val canon = urls.select(col("doc_id"),
+      Curation.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(canon(0L) === "https://h3.example.com/a/0")
+    assert(canon(1L) === "https://h3.example.com/a/0")
+    assert(canon(2L) === "https://h3.example.com/a/0")
+    assert(canon(3L) === "https://h3.example.com/a/0")
+    assert(canon(4L) === "http://x.com/")
+    assert(canon(5L) === "http://x.com/")
+    assert(canon(6L) === "https://y.com/p?a=1&b=2")
+    assert(canon(7L) === "https://y.com/p?a=1&b=2")
+    assert(canon(8L) === "https://y.com/P?a=1&b=2")
+    val dedup = Curation.urlDedup(urls).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dedup("https://h3.example.com/a/0") === ((0L, 4L)))
+    assert(dedup("http://x.com/") === ((4L, 2L)))
+    assert(dedup("https://y.com/p?a=1&b=2") === ((6L, 2L)))
+    assert(dedup("https://y.com/P?a=1&b=2") === ((8L, 1L)))
+  }
+
   test("domainSample: smallest domain kept whole, larger domains at sqrt rate") {
     // 4 docs in "small", 400 in "big": r_small = 1 (threshold = P ⇒ every
     // sample key passes), r_big = sqrt(4/400) = 0.1 exactly. The 400

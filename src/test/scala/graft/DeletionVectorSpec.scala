@@ -180,4 +180,45 @@ class DeletionVectorSpec extends SparkSpec {
     assert(ex.getMessage.contains("no part-dv-* replacement"))
     assert(new java.io.File(dvDir).exists(), "store must NOT be reset on real data loss")
   }
+
+  test("applyDeletesAsRun: source bytes untouched, latest flips by run, store reset, folds chain") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dv_run").toString
+    val dataDir = s"$root/data"; val dvDir = s"$root/dv"
+    val tableRoot = s"$root/table"
+    (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(2).write.parquet(dataDir)
+    val before = md5s(new java.io.File(dataDir))
+    DeletionVectors.addDeletes(spark, dataDir, dvDir, col("id") < 10)
+    // a crash-leftover staging dir must be swept, and while present it is
+    // invisible to run listing (the atomic-flip property)
+    assert(new java.io.File(tableRoot, ".staging-junk").mkdirs())
+    assert(graft.etl.TimeTravel.listRuns(tableRoot).isEmpty)
+    val run1 = DeletionVectors.applyDeletesAsRun(spark, dataDir, dvDir,
+      tableRoot, jobName = "t",
+      at = java.time.Instant.parse("2026-01-01T00:00:00Z"))
+    // the source dir a concurrent reader holds is byte-identical — it sees
+    // consistent pre-delete data throughout the fold
+    assert(md5s(new java.io.File(dataDir)) === before)
+    assert(spark.read.parquet(dataDir).count() === 100)
+    // the published run IS the folded table, resolved as latest
+    assert(graft.etl.TimeTravel.listRuns(tableRoot) === Seq("2026-01-01-00-00-00"))
+    assert(run1.endsWith("2026-01-01-00-00-00/t/data"))
+    assert(graft.etl.TimeTravel.readLatest(spark, tableRoot, "t")
+      .select("id").as[Long].collect().sorted.toSeq === (10L until 100L))
+    assert(!new java.io.File(dvDir).exists(), "store resets after publish")
+    assert(!new java.io.File(tableRoot).listFiles()
+      .exists(_.getName.startsWith(".staging-")), "staging swept + published")
+    // folds chain: new tombstones against the published run publish a
+    // NEWER stamp; the first run's bytes stay frozen
+    val run1Md5 = md5s(new java.io.File(run1))
+    val dv2 = s"$root/dv2"
+    DeletionVectors.addDeletes(spark, run1, dv2, col("id") < 20)
+    DeletionVectors.applyDeletesAsRun(spark, run1, dv2, tableRoot,
+      jobName = "t", at = java.time.Instant.parse("2026-01-02T00:00:00Z"))
+    assert(graft.etl.TimeTravel.listRuns(tableRoot) ===
+      Seq("2026-01-01-00-00-00", "2026-01-02-00-00-00"))
+    assert(md5s(new java.io.File(run1)) === run1Md5)
+    assert(graft.etl.TimeTravel.readLatest(spark, tableRoot, "t")
+      .select("id").as[Long].collect().sorted.toSeq === (20L until 100L))
+  }
 }

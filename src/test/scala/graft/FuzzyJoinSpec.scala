@@ -209,6 +209,33 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(labels(edges) === labels(pairs))
   }
 
+  test("scored edges (jaro/damerau): closure at a threshold equals the full rescored pair set's; far fewer rows") {
+    // same popularity-skewed shape as the selfJoinEdges case: scores
+    // depend only on strings, so star edges (identity score) + rep-level
+    // scored edges span exactly the thresholded pair relation's closure
+    val strs = spark.range(1000L).selectExpr(
+      "id",
+      """concat('name', lpad(CAST(((id % 50) div 5) AS STRING), 3, '0'),
+         chr(97 + CAST(id % 5 AS INT)))""").toDF("id", "s")
+    val nodes = strs.select(col("id").as("doc_id"))
+    def labels(e: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.clusters(nodes,
+          e.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // Jaro-Winkler at the default threshold
+    val jwEdges = FuzzyJoin.jaroRescoredEdges(strs)
+    val jwPairs = FuzzyJoin.jaroRescoredPairs(strs)
+    assert(jwEdges.count() < jwPairs.count() / 10)
+    assert(labels(jwEdges) === labels(jwPairs))
+    // star rows carry the identity score; rep rows the conformant one
+    assert(jwEdges.filter(col("jw") < 0.94).count() === 0)
+    // Damerau at radius 2
+    val dlEdges = FuzzyJoin.damerauEdges(strs)
+    val dlPairs = FuzzyJoin.damerauPairs(strs)
+    assert(dlEdges.count() < dlPairs.count() / 10)
+    assert(labels(dlEdges) === labels(dlPairs))
+  }
+
   test("incrementalPairs: parity-split ingests ≡ one-shot at the PAIR level; re-ingest idempotent") {
     val c = Tables.customer(spark, "/root/testdata/sf0.001")
       .select(col("c_custkey").as("id"), col("c_name").as("s"))

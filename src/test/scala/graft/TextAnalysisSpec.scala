@@ -280,6 +280,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(v2 === Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("bpeTrain at N>=10 merges: loop driver agglutinates to the fixed point") {
+    // One 12-char word ×2: every round's pairs tie at n=2, so the
+    // (n DESC, a ASC, b ASC) order adopts the prefix pair each time —
+    // 11 deterministic merges, then exhaustion (round 12 emits nothing).
+    val docs = Seq((1L, "abcdefghijkl abcdefghijkl")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, rounds = 12).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    val word = "abcdefghijkl"
+    val expected = (1 to 11).map(r =>
+      (r.toLong, word.take(r), word.charAt(r).toString, 2L))
+    assert(merges === expected)
+    val vocab = TextAnalysis.bpeEncode(docs, rounds = 12).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab === Map(word -> 2L))
+  }
+
   test("groupedHeavyHitters ≡ per-group brute force, invariant to partitioning") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1), r.getLong(2))
