@@ -630,6 +630,20 @@ object SparkEntry {
       dir
     })
 
+  /** s23's full-corpus index, memoized per fixture dir — its OWN dir
+    * (never s14's shared one: s23 tombstones it, and tombstones must not
+    * leak into s14's untombstoned serve row). */
+  private val s23IndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def s23IndexDirFor(s: SparkSession, d: String): String =
+    s23IndexDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_s23_idx").toString + "/idx"
+      graft.operators.Clustering.ivfPqWriteIndex(
+        graft.operators.Clustering.ivfPqIndex(Tables.embeddings(s, d)), dir)
+      dir
+    })
+
   private val viewCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Session-unique temp-view name (concurrent queries must not collide). */
@@ -2164,6 +2178,20 @@ object SparkEntry {
         emb.filter(col("vec_id") % 2 === 1), dir)
       graft.operators.Clustering.ivfPqSearchStored(
         emb.filter(col("vec_id") % 100 === 0), dir)
+    }),
+    // Takedown on the ANN serving path: tombstone every vec_id % 10 == 3
+    // (the same request re-applied per run — idempotent by anti-join:
+    // DV doctrine), then serve. Erased ids must vanish from every
+    // shortlist with ranks RE-CLOSED over survivors — the oracle replays
+    // s9's full scoring and excludes the erased ids before ranking, so a
+    // post-rank filter (rank gaps) would hash-mismatch.
+    "s23_erased_search" -> ((s, d) => {
+      val dir = s23IndexDirFor(s, d)
+      graft.operators.Clustering.ivfPqTombstoneStored(
+        Tables.embeddings(s, d).filter(col("vec_id") % 10 === 3)
+          .select(col("vec_id")), dir)
+      graft.operators.Clustering.ivfPqSearchStored(
+        Tables.embeddings(s, d).filter(col("vec_id") % 100 === 0), dir)
     }),
     // s9 plus the exact re-rank refinement (Faiss IndexRefineFlat shape):
     // the rank<=20 ADC shortlist fetches full-precision vectors and the
@@ -5813,6 +5841,14 @@ object SparkEntry {
     "s14_ivf_pq_stored" ->
       s"""WITH $sqlIvfPqCtes
          |SELECT q_id, vec_id, round(score, 7) AS score, rank FROM r WHERE rank <= 5""".stripMargin,
+    // Erased serve: s9's full candidate scoring with the tombstoned ids
+    // excluded BEFORE ranking — survivors' ranks re-close.
+    "s23_erased_search" ->
+      s"""WITH $sqlIvfPqCtes,
+         |er AS (SELECT q_id, vec_id, score,
+         |              CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+         |       FROM sc WHERE vec_id % 10 <> 3)
+         |SELECT q_id, vec_id, round(score, 7) AS score, rank FROM er WHERE rank <= 5""".stripMargin,
     // Append replay: train on evens, code everything — the frozen-encode
     // split made analytic.
     "s22_stored_append" ->

@@ -570,7 +570,12 @@ object Clustering {
     * [lo, hi] on `vec_id` (ingest-ordered ids make this "search only the
     * newest N" — the zone-map manifest written at persist time prunes
     * whole files within the probed cells, and the predicate re-applies
-    * row-level so manifest quality only affects IO, never results). */
+    * row-level so manifest quality only affects IO, never results).
+    *
+    * Tombstones ([[ivfPqTombstoneStored]]) are honored: erased vec_ids
+    * anti-join out of the candidate read BEFORE ranking, so shortlists
+    * re-close over survivors — a takedown is effective at the next query
+    * without waiting for a retrain. */
   def ivfPqSearchStored(queries: DataFrame, indexDir: String, m: Int = 4,
       subDim: Int = 16, nProbe: Int = 8, topK: Int = 5,
       idRange: Option[(Long, Long)] = None): DataFrame = {
@@ -600,9 +605,54 @@ object Clustering {
       case None => base
     }
     val fanout = spark.sparkContext.defaultParallelism * 2
-    val cands = pruned.repartition(fanout, col("vec_id"))
+    val alive = minusStoredDeletes(spark, indexDir, pruned)
+    val cands = alive.repartition(fanout, col("vec_id"))
       .join(broadcast(probed), Seq("cell"))
     adcRank(cands.join(broadcast(lutArr), Seq("q_id")), m, topK)
+  }
+
+  /** Takedown tombstones for a STORED index — the DeletionVectors
+    * doctrine applied to the ANN serving path: a right-to-be-forgotten
+    * request cannot wait for a retrain, and the published index's
+    * codes/centroids/manifest are immutable (the manifest-trust
+    * contract), so erased vec_ids land in a delete-sized `deletes/`
+    * sidecar (append-only parquet, the SAME WriterLease as appends — a
+    * tombstone racing an appender serializes loudly) and every stored
+    * search anti-joins them out BEFORE ranking. Duplicate tombstones are
+    * harmless (anti-join idempotence — re-applying a request is a
+    * no-op), exactly like [[graft.etl.DeletionVectors.addDeletes]]. The
+    * physical fold happens at [[optimizeIndex]] retrain time: pass the
+    * corpus minus the tombstoned ids and the NEW run starts with an
+    * empty sidecar (flip-by-path-selection, old run byte-untouched).
+    * Returns the number of distinct tombstones written. */
+  def ivfPqTombstoneStored(keys: DataFrame, indexDir: String,
+      idCol: String = "vec_id"): Long = {
+    val spark = keys.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.etl.WriterLease.withLock(fs, dir, "ivf-pq index") {
+      // Sever lineage before writing (the store doctrine) — and count
+      // from the same materialization the write persists.
+      val rows = keys.select(col(idCol).as("vec_id")).distinct()
+        .localCheckpoint(true)
+      val n = rows.count()
+      if (n > 0) rows.write.mode("append").parquet(s"$indexDir/deletes")
+      org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(rows)
+      n
+    }
+  }
+
+  /** Anti-join a stored index's tombstone sidecar out of a codes frame
+    * (no-op when no tombstone was ever written). The sidecar is
+    * delete-sized by nature — broadcast explicitly. */
+  private def minusStoredDeletes(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, codes: DataFrame): DataFrame = {
+    val delDir = new org.apache.hadoop.fs.Path(s"$indexDir/deletes")
+    val fs = delDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(delDir)) codes
+    else codes.join(
+      broadcast(spark.read.parquet(delDir.toString).select(col("vec_id"))),
+      Seq("vec_id"), "left_anti")
   }
 
   /** [[ivfPqSearchStored]]'s residual twin: serve a query batch from a
@@ -618,7 +668,8 @@ object Clustering {
     val probed = probeCells(queries, index.centroids, nProbe) // keeps the bias
     val lutArr = lutArrays(queries, index.codebook, m, subDim)
     val fanout = spark.sparkContext.defaultParallelism * 2
-    val cands = index.codes.filter(col("cell").isin(cells: _*))
+    val cands = minusStoredDeletes(spark, indexDir,
+        index.codes.filter(col("cell").isin(cells: _*)))
       .repartition(fanout, col("vec_id"))
       .join(broadcast(probed), Seq("cell"))
     adcRank(cands.join(broadcast(lutArr), Seq("q_id")), m, topK,

@@ -615,7 +615,7 @@ object Dedup {
     val batchId = java.util.UUID.randomUUID().toString
     val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$batchId")
     val published = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
-    newArr.write.parquet(staging.toString)
+    graft.etl.BatchFiles.sized(newArr).write.parquet(staging.toString)
     // Marker before the publishing rename: a crash in between leaves a
     // marker with no visible batches (hasStore stays false — harmless),
     // whereas marker-after-rename could strand a valid store unreadable.
@@ -1005,7 +1005,7 @@ object Dedup {
       val batchId = java.util.UUID.randomUUID().toString
       val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$batchId")
       val published = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
-      newAnchors.write.parquet(staging.toString)
+      graft.etl.BatchFiles.sized(newAnchors).write.parquet(staging.toString)
       if (!fs.exists(marker)) fs.create(marker, true).close()
       if (!fs.rename(staging, published))
         throw new IllegalStateException(
@@ -1475,7 +1475,7 @@ object Dedup {
       val batchId = java.util.UUID.randomUUID().toString
       val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$batchId")
       val published = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
-      newArr.write.parquet(staging.toString)
+      graft.etl.BatchFiles.sized(newArr).write.parquet(staging.toString)
       // Marker before the publishing rename (see incrementalMinhashPairs).
       if (!fs.exists(marker)) fs.create(marker, true).close()
       if (!fs.rename(staging, published))
@@ -1590,7 +1590,7 @@ object Dedup {
       val batchId = java.util.UUID.randomUUID().toString
       val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$batchId")
       val published = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
-      newVecs.write.parquet(staging.toString)
+      graft.etl.BatchFiles.sized(newVecs).write.parquet(staging.toString)
       // Center + marker BEFORE the publishing rename (the marker-ordering
       // rationale of incrementalMinhashPairs: a crash in between leaves
       // metadata with no visible batches — harmless; the reverse strands
@@ -1720,7 +1720,9 @@ object Dedup {
           // Stage FIRST (reads the old dir, writes elsewhere — no window),
           // skip the replacement entirely when nothing survives (an empty
           // parquet dir would poison the store's recursive read).
-          if (keepCount > 0L) keep.write.parquet(staging.toString)
+          if (keepCount > 0L)
+            graft.etl.BatchFiles.sizedByCount(keep, keepCount)
+              .write.parquet(staging.toString)
           if (!fs.rename(b.getPath, retired))
             throw new IllegalStateException(
               s"eraseFromStore: failed to retire ${b.getPath}")
@@ -1762,7 +1764,28 @@ object Dedup {
     * the corpus itself is touched once, at the final left join.
     * `localCheckpoint` cuts the growing lineage so round N's plan does not
     * re-execute rounds 1..N−1. */
-  def clusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def clusters(docs: DataFrame, pairs: DataFrame): DataFrame =
+    clustersBounded(docs, pairs, Int.MaxValue).get
+
+  /** [[clusters]] ∪ [[clustersLogStar]], adaptively: run the cheap
+    * min-label propagation under a round BUDGET (shallow near-dup graphs
+    * converge in 2-3 rounds at ~1/4 the per-round cost of a star round);
+    * when a chain-shaped input blows the budget — propagation rounds
+    * track component DIAMETER, measured 80 s for one 600-link chain —
+    * escalate to the O(log n) star contraction. Labels are identical on
+    * every input (both are component-min), so the only cost of a wrong
+    * guess is the budgeted cheap rounds. The escalation hook
+    * [[incrementalClusters]] serves every store-backed ingest through. */
+  def clustersAdaptive(docs: DataFrame, pairs: DataFrame,
+      cheapRounds: Int = 5): DataFrame =
+    clustersBounded(docs, pairs, cheapRounds)
+      .getOrElse(clustersLogStar(docs, pairs))
+
+  /** [[clusters]]' body under a round budget: Some(labels) when min-label
+    * propagation converged within `maxRounds`, None (all round state
+    * released) when it did not. */
+  private def clustersBounded(docs: DataFrame, pairs: DataFrame,
+      maxRounds: Int): Option[DataFrame] = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
@@ -1780,7 +1803,9 @@ object Dedup {
         least(col("doc_id"), col("nbr_min")).as("cluster_id"))
       .localCheckpoint()
     var converged = false
-    while (!converged) {
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
@@ -1807,12 +1832,17 @@ object Dedup {
       labels = updated.drop("chg")
     }
     edges.unpersist()
-    docs.select(col("doc_id"))
+    if (!converged) {
+      // Budget blown (chain-shaped input): release the partial labels —
+      // they are NOT component minima yet — and let the caller escalate.
+      org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(labels)
+      None
+    } else Some(docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .withColumn("is_canonical", (col("cluster_id") === col("doc_id")).cast("long"))
+      .withColumn("is_canonical", (col("cluster_id") === col("doc_id")).cast("long")))
   }
 
   /** LSH recall audit — the measure-don't-guess harness for the banding
@@ -1862,10 +1892,15 @@ object Dedup {
     *    stored snapshot): a label snapshot is a star forest, so those
     *    |corpus| edges carry ALL historical connectivity — no stored
     *    pair list, no unbounded pair history;
-    *  - the union (star edges ∪ new pairs) runs through [[clusters]];
-    *    because history is pre-flattened to depth 1, rounds ≈ 1 + the
-    *    number of NEW merges chained this batch, not the full corpus
-    *    diameter — the standard re-star union-find trick;
+    *  - the union (star edges ∪ new pairs) runs through
+    *    [[clustersAdaptive]]: history is pre-flattened to depth 1 by the
+    *    stars, so the cheap min-propagation usually converges within its
+    *    round budget — but the NEW batch's pairs can chain arbitrarily
+    *    (near-threshold dup chains A~B~C~…), and an ingest whose closure
+    *    rounds track batch DIAMETER would stall on one pathological
+    *    batch (measured 80 s for one 600-link chain vs ~5 s through the
+    *    O(log n) star escalation; labels identical — both component-min,
+    *    spec-asserted for d12);
     *  - labels are min-reachable-id, and min is associative over
     *    component unions, so `runs in arrival order ≡ one-shot
     *    clusters(all docs, all pairs)` holds EXACTLY (spec + m14 gate
@@ -1927,7 +1962,7 @@ object Dedup {
         .unionByName(newDocs.select(col("doc_id"))).distinct()
       val starEdges = oldLabels.filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
-      val merged = clusters(allDocs,
+      val merged = clustersAdaptive(allDocs,
         newPairs.select(col("doc_a"), col("doc_b")).unionByName(starEdges))
         // Sever lineage from the store path before republishing over it —
         // a lazy plan reading labels-N while writing labels-N+1 is fine,
@@ -1959,8 +1994,8 @@ object Dedup {
       .map(_.stripPrefix("labels-").toLong + 1).getOrElse(0L)
     val next = f"labels-$seq%06d"
     val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$next")
-    labels.select(col("doc_id"), col("cluster_id")).write
-      .mode("overwrite").parquet(staging.toString)
+    graft.etl.BatchFiles.sized(labels.select(col("doc_id"), col("cluster_id")))
+      .write.mode("overwrite").parquet(staging.toString)
     if (!fs.exists(marker)) {
       val out = fs.create(marker, true)
       out.close()
@@ -2060,15 +2095,30 @@ object Dedup {
         else emitted.union(mins.select(col("src"), col("m").as("dst")))
       self.filter(col("src") =!= col("dst")).distinct()
     }
-    var edges = pairs
+    // Every round snapshot goes through a CONSTRAINT-FREE checkpoint:
+    // star() is a self-join over a self-union, and a checkpoint that
+    // keeps its origin plan's constraints trips Catalyst's union
+    // constraint rewrite ("key not found: src#N" in
+    // InferFiltersFromConstraints) for some input shapes —
+    // incrementalClusters' first ingest was the reproducer. The bridge
+    // strips origin constraints/stats; the materialized RDD is reused.
+    def cp(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.DatasetBridge
+        .dropCheckpointConstraints(df.localCheckpoint())
+    var edges = cp(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val next = star(star(edges, large = true), large = false).localCheckpoint()
+      // The large-star result is materialized before the small star:
+      // nesting the two lets one round's plan carry 4 correlated copies
+      // of the input; the barrier keeps round plans input-independent.
+      // Edge-sized, released below.
+      val mid = cp(star(edges, large = true))
+      val next = cp(star(mid, large = false))
+      org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(mid)
       converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
       org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(edges)
       edges = next

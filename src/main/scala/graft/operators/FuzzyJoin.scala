@@ -200,11 +200,13 @@ object FuzzyJoin {
       // all-duplicate re-ingest (newArr empty after the anti-join) skips
       // the publish entirely — an idempotent no-op must not grow the
       // store's batch-dir count with replays.
-      if (!newArr.isEmpty) {
+      val newCount = newArr.count()
+      if (newCount > 0L) {
         val batchId = java.util.UUID.randomUUID().toString
         val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$batchId")
         val published = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
-        newArr.write.parquet(staging.toString)
+        graft.etl.BatchFiles.sizedByCount(newArr, newCount)
+          .write.parquet(staging.toString)
         if (!fs.exists(marker)) fs.create(marker, true).close()
         if (!fs.rename(staging, published))
           throw new IllegalStateException(

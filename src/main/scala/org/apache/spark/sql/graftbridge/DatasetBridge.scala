@@ -25,6 +25,24 @@ object DatasetBridge {
       case _ => ()
     }
 
+  /** Re-wrap a `localCheckpoint()`ed DataFrame as a bare LogicalRDD with
+    * NO origin constraints/statistics. A checkpoint keeps the ORIGIN
+    * plan's constraint set, and a self-union over constraint-bearing
+    * checkpoints can trip `UnionBase.rewriteConstraints` with
+    * "key not found: <attr>" during `InferFiltersFromConstraints` when a
+    * kept constraint references an attribute outside the union's output
+    * (observed on `Dedup.clustersLogStar` fed by
+    * `incrementalClusters`' first-ingest empty-union pair frame).
+    * No-op on non-checkpointed frames. */
+  def dropCheckpointConstraints(df: DataFrame): DataFrame = {
+    val impl = castToImpl(df)
+    impl.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        ofRows(df.sparkSession, lr.copy()(impl.sparkSession, None, None))
+      case _ => df
+    }
+  }
+
   /** A SERIALIZABLE factory for the session's Hadoop Configuration, for
     * shipping into tasks: `SerializableConfiguration` is `private[spark]`
     * (unnameable from graft code), and a task-side `new Configuration()`

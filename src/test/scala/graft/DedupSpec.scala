@@ -74,6 +74,27 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("is_canonical") === 1L).count() === 1L)
   }
 
+  test("clustersAdaptive: cheap path on shallow graphs, star escalation on chains — labels identical") {
+    import org.apache.spark.sql.functions.col
+    // shallow (quads): within the round budget → the cheap propagation
+    val quads = spark.range(400)
+      .select((col("id") - col("id") % 4).as("doc_a"), col("id").as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val qNodes = spark.range(400).select(col("id").as("doc_id"))
+    val aQ = Dedup.clustersAdaptive(qNodes.toDF(), quads.toDF())
+    val cQ = Dedup.clusters(qNodes.toDF(), quads.toDF())
+    assert(aQ.except(cQ).isEmpty && cQ.except(aQ).isEmpty)
+    // chain (diameter 599): blows the budget → star escalation, same labels
+    val n = 600
+    val chain = spark.range(n - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val nodes = spark.range(n).select(col("id").as("doc_id"))
+    val out = Dedup.clustersAdaptive(nodes.toDF(), chain.toDF())
+    assert(out.select("cluster_id").distinct().count() === 1L)
+    assert(out.filter(col("is_canonical") === 1L).count() === 1L)
+    assert(out.count() === n.toLong)
+  }
+
   test("containmentPairs: directed near-subset semantics on a hand fixture") {
     // B's tokens are a prefix of A's -> every B-shingle is an A-shingle:
     // C(B,A) = 3/3 = 1.0 emitted; C(A,B) = 3/5 = 0.6 < 0.8 suppressed.

@@ -207,6 +207,53 @@ class StoredIndexSpec extends SparkSpec {
       Clustering.optimizeIndex(full, root, at = t0))
   }
 
+  test("tombstones: erased ids vanish pre-ranking, index bytes untouched, idempotent; retrain folds clean") {
+    // own dir — tombstones must not leak into the shared index other
+    // tests serve from
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_tomb").toString
+    val dir = s"$root/idx"
+    Clustering.ivfPqWriteIndex(Clustering.ivfPqIndex(emb), dir)
+    def codesFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/codes"))
+        .map(f => f.getPath -> f.length()).sortBy(_._1)
+    }
+    val before = codesFiles
+    val erased = emb.filter(col("vec_id") % 10 === 3).select(col("vec_id"))
+    assert(Clustering.ivfPqTombstoneStored(erased, dir) > 0)
+    val served = Clustering.ivfPqSearchStored(queries, dir).cache()
+    // erased ids absent everywhere; ranks re-closed (dense 1..k per query)
+    assert(served.filter(col("vec_id") % 10 === 3).count() === 0)
+    val ranks = served.groupBy(col("q_id"))
+      .agg(max(col("rank")).as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n")).count()
+    assert(ranks === 0, "ranks must re-close over survivors, not gap")
+    // oracle: the untombstoned search with erased ids dropped BEFORE the cut
+    val full = Clustering.ivfPqSearchStored(queries, indexDir, topK = 100000)
+      .filter(col("vec_id") % 10 =!= 3)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    val rr = full.withColumn("r2", row_number().over(w)).filter(col("r2") <= 5)
+      .select(col("q_id"), col("vec_id"), col("score"))
+    val sl = served.select(col("q_id"), col("vec_id"), col("score"))
+    assert(sl.count() > 0 && sl.except(rr).isEmpty && rr.except(sl).isEmpty)
+    // codes bytes untouched; re-applying the request is a no-op on results
+    assert(codesFiles === before)
+    Clustering.ivfPqTombstoneStored(erased, dir)
+    val again = Clustering.ivfPqSearchStored(queries, dir)
+      .select(col("q_id"), col("vec_id"), col("score"))
+    assert(again.except(sl).isEmpty && sl.except(again).isEmpty)
+    served.unpersist()
+    // retrain folds: new run trains on the surviving corpus and starts
+    // with NO sidecar — takedown is physical there
+    val newRun = Clustering.optimizeIndex(
+      emb.filter(col("vec_id") % 10 =!= 3), s"$root/runs")
+    assert(!new java.io.File(s"$newRun/deletes").exists())
+    assert(Clustering.ivfPqSearchStored(queries, newRun)
+      .filter(col("vec_id") % 10 === 3).count() === 0)
+  }
+
   test("id-range slice: results ≡ post-filtered unsliced search candidates, fewer files") {
     val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
     val lo = 0L
