@@ -3161,6 +3161,11 @@ object SparkEntry {
     // top-20 symbols by frequency-weighted occurrence count.
     "t22_bpe_encode" -> ((s, d) =>
       TextAnalysis.bpeEncode(Tables.documents(s, d), rounds = BpeRounds)),
+    // The encode job a tokenizer pipeline actually ships: the corpus
+    // re-tokenized under the trained merges — per-doc word + TOKEN counts
+    // via one vocabulary broadcast join, never a per-word re-segmentation.
+    "t36_bpe_apply" -> ((s, d) =>
+      TextAnalysis.bpeApply(Tables.documents(s, d), rounds = BpeRounds)),
     // Hashed-feature linear classifier inference (fastText shape): the
     // whole model application is one codegen expression per row — a
     // map-only pass, zero shuffles at any corpus size. Weights are a
@@ -6281,6 +6286,20 @@ object SparkEntry {
          |${(1 to BpeRounds).map(i =>
              s"SELECT CAST($i AS BIGINT) AS round, a, b, n FROM t$i")
              .mkString("\nUNION ALL ")}""".stripMargin,
+    // t36: corpus encode under the trained merges — per-doc token counts
+    // from the word table's final segmentation (symbols per word = split
+    // count of the sentinel-wrapped sym), joined back onto corpus words.
+    "t36_bpe_apply" ->
+      s"""WITH $sqlBpeCtes,
+         |wt AS (SELECT word,
+         |              CAST(len(string_split(sym, chr(2) || chr(1))) AS BIGINT) AS n_sym
+         |       FROM w$BpeRounds),
+         |dw AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS word
+         |       FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(n_sym) AS BIGINT) AS n_tokens
+         |FROM dw JOIN wt USING (word)
+         |GROUP BY doc_id""".stripMargin,
     // Encode half: symbol vocabulary of the word table after ALL merges,
     // top-20 by frequency-weighted count under (n DESC, symbol).
     "t22_bpe_encode" ->

@@ -320,6 +320,43 @@ object Dedup {
       dir: org.apache.hadoop.fs.Path)(body: => T): T =
     graft.etl.WriterLease.withLock(fs, dir, "signature store")(body)
 
+  /** Shared staged publish for the incremental signature/anchor/vector
+    * stores (must run inside the writer lease): sweep crash-leftover
+    * `.staging-*` dirs first (always pre-publish garbage — the lease
+    * guarantees no live writer is mid-stage; `.retired-*` recovery dirs
+    * are never touched), SKIP the publish entirely when the batch is
+    * empty (an idempotent no-op re-ingest must not grow the store's
+    * batch count — the incrementalPairs rule), else stage the
+    * data-sized batch, run `beforeRename` (metadata that must exist
+    * before any reader can see the batch — the marker-ordering
+    * doctrine), write the format marker, and make the batch visible
+    * with ONE atomic rename. `batch` must be materialized
+    * (checkpointed) by the caller. Returns the rows published. */
+  private def publishStoreBatch(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      batch: DataFrame,
+      marker: org.apache.hadoop.fs.Path,
+      what: String,
+      beforeRename: () => Unit = () => ()): Long = {
+    fs.listStatus(dir).iterator
+      .filter(_.getPath.getName.startsWith(".staging-"))
+      .foreach(s => fs.delete(s.getPath, true))
+    val n = batch.count()
+    if (n > 0L) {
+      val batchId = java.util.UUID.randomUUID().toString
+      val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$batchId")
+      val published = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
+      graft.etl.BatchFiles.sizedByCount(batch, n).write.parquet(staging.toString)
+      beforeRename()
+      if (!fs.exists(marker)) fs.create(marker, true).close()
+      if (!fs.rename(staging, published))
+        throw new IllegalStateException(
+          s"failed to publish $what batch $staging -> $published")
+    }
+    n
+  }
+
   /** MinHash signatures: (doc_id, mh array<bigint> of k minima), computed by
     * the single-buffer [[graft.functions.MinHashAgg]] — one shuffled row per
     * document instead of the k×-exploded (doc, i) rows (see that class for
@@ -609,20 +646,9 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .localCheckpoint(true)
-    // Staged publish: write the batch to a hidden staging directory, then
-    // one atomic rename makes it visible. A crash before the rename leaves
-    // readers' view of the store unchanged.
-    val batchId = java.util.UUID.randomUUID().toString
-    val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$batchId")
-    val published = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
-    graft.etl.BatchFiles.sized(newArr).write.parquet(staging.toString)
-    // Marker before the publishing rename: a crash in between leaves a
-    // marker with no visible batches (hasStore stays false — harmless),
-    // whereas marker-after-rename could strand a valid store unreadable.
-    if (!fs.exists(marker)) fs.create(marker, true).close()
-    if (!fs.rename(staging, published))
-      throw new IllegalStateException(
-        s"failed to publish signature batch $staging -> $published")
+    // Staged publish via the shared helper: staging-sweep, empty-skip,
+    // marker-before-rename, ONE atomic rename.
+    publishStoreBatch(fs, dir, newArr, marker, "signature")
     org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(newArr)
     if (replayDeterministic)
       org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(rawNewArr)
@@ -1002,14 +1028,7 @@ object Dedup {
       val spans = islandRuns(matches, minLen, k)
         // Eager checkpoint BEFORE the append (see incrementalMinhashPairs).
         .localCheckpoint(true)
-      val batchId = java.util.UUID.randomUUID().toString
-      val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$batchId")
-      val published = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
-      graft.etl.BatchFiles.sized(newAnchors).write.parquet(staging.toString)
-      if (!fs.exists(marker)) fs.create(marker, true).close()
-      if (!fs.rename(staging, published))
-        throw new IllegalStateException(
-          s"failed to publish anchor batch $staging -> $published")
+      publishStoreBatch(fs, dir, newAnchors, marker, "anchor")
       org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(newAnchors)
       if (replayDeterministic)
         org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(rawNew)
@@ -1472,15 +1491,7 @@ object Dedup {
         // Eager checkpoint BEFORE the append: a merely-cached result would
         // recompute against the just-appended store and double-count.
         .localCheckpoint(true)
-      val batchId = java.util.UUID.randomUUID().toString
-      val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$batchId")
-      val published = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
-      graft.etl.BatchFiles.sized(newArr).write.parquet(staging.toString)
-      // Marker before the publishing rename (see incrementalMinhashPairs).
-      if (!fs.exists(marker)) fs.create(marker, true).close()
-      if (!fs.rename(staging, published))
-        throw new IllegalStateException(
-          s"failed to publish signature batch $staging -> $published")
+      publishStoreBatch(fs, dir, newArr, marker, "signature")
       org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(newArr)
       if (replayDeterministic)
         org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(rawNew)
@@ -1587,23 +1598,16 @@ object Dedup {
         .lshNeighborsCentered(flagged, meanDf, nBits, threshold)
         // Eager checkpoint BEFORE the append (see incrementalMinhashPairs).
         .localCheckpoint(true)
-      val batchId = java.util.UUID.randomUUID().toString
-      val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$batchId")
-      val published = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
-      graft.etl.BatchFiles.sized(newVecs).write.parquet(staging.toString)
-      // Center + marker BEFORE the publishing rename (the marker-ordering
-      // rationale of incrementalMinhashPairs: a crash in between leaves
-      // metadata with no visible batches — harmless; the reverse strands
-      // a valid store unreadable).
-      if (!hasStore) {
-        val out = fs.create(centerFile, true)
-        try out.write(s"$n\n${qsum.mkString(",")}\n".getBytes("UTF-8"))
-        finally out.close()
-      }
-      if (!fs.exists(marker)) fs.create(marker, true).close()
-      if (!fs.rename(staging, published))
-        throw new IllegalStateException(
-          s"failed to publish vector batch $staging -> $published")
+      // Center rides beforeRename (the marker-ordering rationale: a crash
+      // in between leaves metadata with no visible batches — harmless;
+      // the reverse strands a valid store unreadable).
+      publishStoreBatch(fs, dir, newVecs, marker, "vector", () => {
+        if (!hasStore) {
+          val out = fs.create(centerFile, true)
+          try out.write(s"$n\n${qsum.mkString(",")}\n".getBytes("UTF-8"))
+          finally out.close()
+        }
+      })
       org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(newVecs)
       if (replayDeterministic)
         org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(rawNew)

@@ -587,6 +587,30 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Apply the TRAINED merges to the whole corpus — the encode job a
+    * tokenizer pipeline actually ships after [[bpeTrain]]: every
+    * document re-tokenized under the learned merge table, emitting the
+    * per-document word and TOKEN counts (the number every token-budget /
+    * packing / pricing decision downstream consumes). The word table
+    * already carries each distinct word's final segmentation, so corpus
+    * application is one broadcast join of corpus words against the
+    * vocabulary (bounded — broadcastable at any corpus size) + one
+    * per-doc aggregate; the corpus is never re-segmented word-by-word.
+    * Inner join semantics: sentinel-bearing/empty words are excluded
+    * from training (none in practice) and therefore from the counts on
+    * both engines identically. */
+  def bpeApply(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val (words, _) = bpeLoop(docs, rounds)
+    val S1 = "\u0001" // symbol-open sentinel
+    val S2 = "\u0002" // symbol-close sentinel
+    val wordTok = words.select(col("word"),
+      size(split(col("sym"), lit(S2 + S1))).cast("long").as("n_sym"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .join(broadcast(wordTok), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_tokens"))
+  }
+
   private def bpeLoop(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     val S1 = "\u0001" // symbol-open sentinel
     val S2 = "\u0002" // symbol-close sentinel

@@ -280,6 +280,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(v2 === Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("bpeApply: per-doc token counts under the trained merges, closed-form") {
+    // merges after 3 rounds: (a,a), (b,c), (aa,a) — "aaa" → 1 symbol,
+    // "bc" → 1 symbol. At rounds=1 only (a,a) applied: "aaa" → "aa"+"a".
+    val docs = Seq((1L, "aaa aaa"), (2L, "bc bc bc")).toDF("doc_id", "text")
+    val r3 = TextAnalysis.bpeApply(docs, rounds = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(r3 === Map(1L -> ((2L, 2L)), 2L -> ((3L, 3L))))
+    val r1 = TextAnalysis.bpeApply(docs, rounds = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(r1 === Map(1L -> ((2L, 4L)), 2L -> ((3L, 6L))))
+  }
+
   test("bpeTrain at N>=10 merges: loop driver agglutinates to the fixed point") {
     // One 12-char word ×2: every round's pairs tie at n=2, so the
     // (n DESC, a ASC, b ASC) order adopts the prefix pair each time —
