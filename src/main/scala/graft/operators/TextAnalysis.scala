@@ -187,6 +187,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .cache() // two consumers (scoring + dfreq): tokenize the corpus once
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy("doc_id").orderBy(col("salience").desc, col("term"))
