@@ -74,14 +74,31 @@ object SparkEntry {
     * store whose center was PINNED at first ingest
     * ([[graft.operators.Dedup.incrementalSemanticPairs]], d13). */
   private def sqlLshScoredCtesP(meanPred: String): String =
-    s"""bits AS (SELECT b, CAST(1 AS BIGINT) << b AS p2 FROM generate_series(0, 7) t(b)),
-       |msum AS (SELECT i, sum(CAST(trunc(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qs
+    s"""${sqlLshSigCtes(meanPred)},
+       |cpairs AS (SELECT DISTINCT sa.vec_id AS vec_a, sb.vec_id AS vec_b
+       |           FROM sig sa JOIN sig sb ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id),
+       |lsh_scored AS (SELECT vec_a, vec_b, ${sqlCosine("ea.embedding", "eb.embedding")} AS cosine
+       |               FROM cpairs JOIN embeddings ea ON ea.vec_id = vec_a
+       |                           JOIN embeddings eb ON eb.vec_id = vec_b)""".stripMargin
+
+  /** The quantized-integer corpus mean of `embeddings WHERE meanPred` as a
+    * one-row list CTE `mlist(m)` — the centering basis every sign-bit
+    * scheme (s2's hyperplanes, s24's binary codes) replays. */
+  private def sqlQuantMeanCtes(meanPred: String): String =
+    s"""msum AS (SELECT i, sum(CAST(trunc(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qs
        |         FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
        |         WHERE $meanPred
        |         GROUP BY i),
        |ncnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings WHERE $meanPred),
        |mlist AS (SELECT list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY i) AS m
-       |          FROM msum CROSS JOIN ncnt GROUP BY n),
+       |          FROM msum CROSS JOIN ncnt GROUP BY n)""".stripMargin
+
+  /** The centered-hyperplane SIGNATURE prefix of [[sqlLshScoredCtesP]] —
+    * ends in `sig(vec_id, bucket)`; multi-probe consumers (`s25`) build
+    * their own probe/candidate tail on it. */
+  private def sqlLshSigCtes(meanPred: String): String =
+    s"""bits AS (SELECT b, CAST(1 AS BIGINT) << b AS p2 FROM generate_series(0, 7) t(b)),
+       |${sqlQuantMeanCtes(meanPred)},
        |proj AS (SELECT vec_id, b, p2,
        |                list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |                  list_transform(generate_series(1, len(embedding)),
@@ -90,12 +107,7 @@ object SparkEntry {
        |                  (x, y) -> x + y) AS proj
        |         FROM embeddings CROSS JOIN bits CROSS JOIN mlist),
        |sig AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS bucket
-       |        FROM proj GROUP BY vec_id),
-       |cpairs AS (SELECT DISTINCT sa.vec_id AS vec_a, sb.vec_id AS vec_b
-       |           FROM sig sa JOIN sig sb ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id),
-       |lsh_scored AS (SELECT vec_a, vec_b, ${sqlCosine("ea.embedding", "eb.embedding")} AS cosine
-       |               FROM cpairs JOIN embeddings ea ON ea.vec_id = vec_a
-       |                           JOIN embeddings eb ON eb.vec_id = vec_b)""".stripMargin
+       |        FROM proj GROUP BY vec_id)""".stripMargin
 
   /** Shared SQL fragment: the exact cosine-rank chain of
     * [[graft.operators.Similarity.bruteForceTopK]] for queries
@@ -2833,6 +2845,15 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.knnJoin(emb.filter(col("vec_id") % 100 < 2), emb)
     }),
+    // Binary quantization: 1-bit/dim sign codes vs the quantized corpus
+    // mean, Hamming candidate scan over the packed words, exact rerank of
+    // the kCand survivors only.
+    "s24_binary_quant" -> ((s, d) =>
+      Similarity.binaryQuantTopK(Tables.embeddings(s, d))),
+    // Multi-probe LSH: each query probes its own centered bucket plus the
+    // 8 Hamming-1 buckets — recall recovery without more hash tables.
+    "s25_multiprobe_lsh" -> ((s, d) =>
+      Similarity.multiProbeLshTopK(Tables.embeddings(s, d))),
     // ---- multimodal (binary column plumbing; see operators.Multimodal) ----
     "m1_multimodal_meta" -> ((s, d) =>
       Multimodal.metadata(Tables.documents(s, d).select(
@@ -5410,6 +5431,56 @@ object SparkEntry {
     "s2_ann_lsh" ->
       s"""WITH $sqlLshScoredCtes
          |SELECT vec_a, vec_b, round(cosine, 7) AS cosine FROM lsh_scored WHERE cosine >= 0.3""".stripMargin,
+    // Binary-quantization replay: sign bits vs the same quantized mean
+    // (strict >, identical doubles), per-pair Hamming as a dimension-wise
+    // sign-disagreement count (the packed-word XOR popcount is
+    // representation only — the DISTANCE is what must match), candidate
+    // cut by (hamming, neighbor_id), exact cosine rerank of survivors.
+    "s24_binary_quant" ->
+      s"""WITH ${sqlQuantMeanCtes("TRUE")},
+         |bq AS (SELECT vec_id, embedding,
+         |              list_transform(generate_series(1, len(embedding)),
+         |                i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > m[i] THEN 1 ELSE 0 END) AS sbits
+         |       FROM embeddings CROSS JOIN mlist),
+         |hp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |              CAST(len(list_filter(generate_series(1, len(q.sbits)),
+         |                                   i -> q.sbits[i] <> c.sbits[i])) AS BIGINT) AS hamming
+         |       FROM bq q JOIN bq c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |cand AS (SELECT query_id, neighbor_id, hamming,
+         |                row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS cr
+         |         FROM hp),
+         |rr AS (SELECT cand.query_id, cand.neighbor_id, cand.hamming,
+         |              ${sqlCosine("eq.embedding", "ec.embedding")} AS cosine
+         |       FROM cand JOIN embeddings eq ON eq.vec_id = cand.query_id
+         |                 JOIN embeddings ec ON ec.vec_id = cand.neighbor_id
+         |       WHERE cand.cr <= 25),
+         |w AS (SELECT query_id, neighbor_id, hamming, cosine,
+         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
+         |      FROM rr)
+         |SELECT query_id, neighbor_id, hamming, round(cosine, 7) AS cosine, "rank"
+         |FROM w WHERE "rank" <= 5""".stripMargin,
+    // Multi-probe replay: the s2 signature chain, probe set = own bucket
+    // plus the 8 one-bit-flip buckets, exact cosine rank within probed
+    // buckets (each corpus vector lives in exactly one bucket, so no
+    // candidate scores twice).
+    "s25_multiprobe_lsh" ->
+      s"""WITH ${sqlLshSigCtes("TRUE")},
+         |mpq AS (SELECT vec_id AS query_id, bucket FROM sig WHERE vec_id < 10),
+         |probes AS (SELECT query_id, bucket AS probe FROM mpq
+         |           UNION ALL
+         |           SELECT query_id, xor(bucket, CAST(1 AS BIGINT) << b)
+         |           FROM mpq CROSS JOIN generate_series(0, 7) t(b)),
+         |mcand AS (SELECT p.query_id, s.vec_id AS neighbor_id
+         |          FROM probes p JOIN sig s ON s.bucket = p.probe AND s.vec_id <> p.query_id),
+         |msc AS (SELECT query_id, neighbor_id,
+         |               ${sqlCosine("eq.embedding", "ec.embedding")} AS cosine
+         |        FROM mcand JOIN embeddings eq ON eq.vec_id = query_id
+         |                   JOIN embeddings ec ON ec.vec_id = neighbor_id),
+         |mw AS (SELECT query_id, neighbor_id, cosine,
+         |              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
+         |       FROM msc)
+         |SELECT query_id, neighbor_id, round(cosine, 7) AS cosine, "rank"
+         |FROM mw WHERE "rank" <= 5""".stripMargin,
     // SemDeDup-style semantic dedup: the s2 centered-hyperplane pair
     // pipeline at a tighter cosine threshold, closed into components by
     // the d7 recursive reachability, labeled over the full embedding set.

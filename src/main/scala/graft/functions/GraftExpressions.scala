@@ -535,6 +535,33 @@ object GraftExprs {
     while (it.hasNext) { out(o) = it.next(); o += 1 }
     new GenericArrayData(out)
   }
+
+  /** Binary-quantization code: bit d of word ⌊d/64⌋ is set iff
+    * e[d] > m[d] (STRICT — a tie quantizes to 0, the same double compare a
+    * SQL oracle replays on identical values). array<float> × array<double>
+    * → array<bigint> of ⌈dim/64⌉ packed words, one pass, no intermediate
+    * array — the 1-bit/dim encode of binary-quantized ANN (32× smaller
+    * than float32; Hamming over the words is the candidate metric). */
+  def signPack(e: ArrayData, m: ArrayData): ArrayData = {
+    val n = math.min(e.numElements(), m.numElements())
+    val out = new Array[Long]((n + 63) / 64)
+    var d = 0
+    while (d < n) {
+      if (e.getFloat(d).toDouble > m.getDouble(d)) out(d >> 6) |= (1L << (d & 63))
+      d += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Hamming distance between two packed sign-bit codes: Σ popcount(a⊕b)
+    * over the word arrays (array<bigint> × array<bigint> → bigint). */
+  def hammingWords(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1 }
+    s
+  }
 }
 
 /** polyHash as a unary expression: string → bigint. */
@@ -640,6 +667,30 @@ case class HyperBucketCExpr(left: Expression, right: Expression, nBits: Int)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftExprs.hyperBucketC($a, $b, $nBits)")
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HyperBucketCExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Packed sign-bit code of an embedding against the corpus mean:
+  * (array<float>, array<double>) → array<bigint> ([[GraftExprs.signPack]]). */
+case class SignPackExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftExprs.signPack(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftExprs.signPack($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SignPackExpr =
+    copy(left = l, right = r)
+}
+
+/** Hamming distance of two packed codes: (array<bigint>, array<bigint>) →
+  * bigint ([[GraftExprs.hammingWords]]). */
+case class HammingWordsExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftExprs.hammingWords(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftExprs.hammingWords($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingWordsExpr =
+    copy(left = l, right = r)
 }
 
 /** Left-to-right dot of array<float> × array<double> (query vs centroid). */
@@ -811,4 +862,8 @@ object GraftColumns {
     ColumnBridge.column(LinearClassifyExpr(ColumnBridge.expression(text), dims))
   def dotL(a: Column, b: Column): Column =
     ColumnBridge.column(DotLongExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def signPack(e: Column, m: Column): Column =
+    ColumnBridge.column(SignPackExpr(ColumnBridge.expression(e), ColumnBridge.expression(m)))
+  def hammingWords(a: Column, b: Column): Column =
+    ColumnBridge.column(HammingWordsExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -654,4 +654,107 @@ object Similarity {
       .toDF("vec_a", "vec_b", "cosine")
       .withColumn("cosine", round(col("cosine"), 7))
   }
+
+  /** Binary-quantization ANN (the 1-bit/dim serving path modern vector
+    * stores ship as "BQ"): each vector is packed into ⌈dim/64⌉ sign-bit
+    * words against the quantized corpus mean ([[graft.functions
+    * .GraftExprs.signPack]] — centering balances the bits exactly like
+    * [[lshNeighbors]]' centered hyperplanes), candidates are the `kCand`
+    * nearest by HAMMING distance over the packed words (popcount of XOR —
+    * the 32×-smaller surrogate scan), and only those survivors fetch full
+    * vectors for the exact cosine re-rank.
+    *
+    * Scale shape: the encode is map-only (one broadcast mean row); the
+    * Hamming scan joins the corpus CODES (16 bytes/row at dim 64) against
+    * the broadcast query codes and collapses map-side through the bounded
+    * [[graft.functions.TopKAgg]] (score = −hamming, so (score DESC, id)
+    * IS (hamming ASC, id) — the exchange carries ≤ kCand rows per (query,
+    * partition), never the |Q|·|N| pair stream); the re-rank touches
+    * exactly |Q|·kCand full vectors via a broadcast-candidate join (one
+    * corpus scan, request-sized build side). Everything is deterministic
+    * — strict `>` sign bits on exact doubles, integer Hamming, total
+    * orders with id tie-breaks — so a SQL oracle replays it bit-for-bit.
+    * Output: (query_id, neighbor_id, hamming, cosine, rank). */
+  def binaryQuantTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      kCand: Int = 25): DataFrame = {
+    import graft.functions.TopKAgg
+    val coded = emb.crossJoin(broadcast(meanAggDf(emb)))
+      .select(col("vec_id"),
+        GraftColumns.signPack(col("embedding"), col("__mean")).as("code"))
+    val qCodes = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+    val cand = coded
+      .join(broadcast(qCodes), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        (lit(0L) - GraftColumns.hammingWords(col("qcode"), col("code")))
+          .cast("double").as("score"),
+        col("vec_id"))
+      .groupBy(col("query_id"))
+      .agg(TopKAgg.topK(col("score"), col("vec_id"), kCand).as("top"))
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c.id").as("neighbor_id"),
+        (lit(0L) - col("c.score")).cast("long").as("hamming"))
+    val cFull = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), VectorMath.norm2(col("embedding")).as("cn"))
+    val qFull = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        VectorMath.norm2(col("embedding")).as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(cand)
+      .join(cFull, Seq("neighbor_id"))
+      .join(broadcast(qFull), Seq("query_id"))
+      .withColumn("cosine",
+        VectorMath.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        round(col("cosine"), 7).as("cosine"), col("rank"))
+  }
+
+  /** Multi-probe LSH top-k (Lv et al., VLDB'07): instead of adding hash
+    * tables to recover recall, each query probes its OWN centered-
+    * hyperplane bucket plus all `nBits` buckets at Hamming distance 1
+    * from its signature — the buckets a near-neighbor most likely fell
+    * into when one projection's sign flipped. Candidate cost grows by
+    * the probed buckets' population (× ~(nBits+1) in expectation), while
+    * a table-multiplication recall fix multiplies the whole index.
+    *
+    * Scale shape: the corpus gets its bucket inline (one map pass, the
+    * [[lshNeighborsCentered]] convention — never a self-join to attach a
+    * computable column); the (query × probe) table is ≤ |Q|·(nBits+1)
+    * rows and broadcasts; candidates within probed buckets are scored
+    * with the exact cosine and collapsed map-side by the bounded
+    * [[graft.functions.TopKAgg]], so the corpus is never shuffled by a
+    * search. Each corpus vector lives in exactly ONE bucket and the
+    * probe set is distinct buckets, so no candidate is scored twice.
+    * Output: (query_id, neighbor_id, cosine, rank). */
+  def multiProbeLshTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nBits: Int = 8): DataFrame = {
+    import graft.functions.TopKAgg
+    val withB = emb.crossJoin(broadcast(meanAggDf(emb)))
+      .select(col("vec_id"), col("embedding"),
+        GraftColumns.hyperBucketC(col("embedding"), col("__mean"), nBits).as("bucket"),
+        VectorMath.norm2(col("embedding")).as("nrm"))
+    val masks = array((0 until nBits).map(b => lit(1L << b)): _*)
+    val probes = withB.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"),
+        explode(concat(array(col("bucket")),
+          transform(masks, m => col("bucket").bitwiseXOR(m)))).as("probe"))
+    val scored = withB
+      .join(broadcast(probes),
+        col("bucket") === col("probe") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        (VectorMath.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+          .as("score"),
+        col("vec_id"))
+      .groupBy(col("query_id"))
+      .agg(TopKAgg.topK(col("score"), col("vec_id"), k).as("top"))
+    scored
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        round(col("col.score"), 7).as("cosine"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
 }

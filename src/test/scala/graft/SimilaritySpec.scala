@@ -274,4 +274,68 @@ class SimilaritySpec extends SparkSpec {
       (0L, 3L, 7L * rel, 2L),             // diverse: zero penalty vs 1
       (0L, 2L, 7L * rel - 3L * rel, 3L))) // twin pays the full penalty
   }
+
+  test("signPack/hammingWords: strict-> sign bits, multi-word packing, planted distances") {
+    import graft.functions.GraftColumns
+    // 66 dims forces TWO packed words; mean 0 → bit = (x > 0).
+    val dim = 66
+    val base = Array.tabulate(dim)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val flip3 = base.clone(); flip3(0) *= -1; flip3(64) *= -1; flip3(65) *= -1
+    val zeros = Array.fill(dim)(0.0f) // ties quantize to 0 (strict >)
+    val df = Seq((0L, base), (1L, flip3), (2L, zeros)).toDF("vec_id", "embedding")
+      .withColumn("code", GraftColumns.signPack(
+        col("embedding"), lit(Array.fill(dim)(0.0d))))
+    val codes = df.select("vec_id", "code").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes(0L).length == 2, "66 dims must pack into 2 words")
+    assert(codes(2L) == Seq(0L, 0L), "x == mean is NOT a set bit")
+    val ham = df.as("a").join(df.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        GraftColumns.hammingWords(col("a.code"), col("b.code")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ham((0L, 1L)) == 3L, s"3 flipped dims → hamming 3, got ${ham((0L, 1L))}")
+    assert(ham((0L, 2L)) == dim / 2, "base has 33 positive dims vs all-zero code")
+  }
+
+  test("binaryQuantTopK: planted near-duplicate survives the Hamming cut and reranks to 1") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val planted = emb.filter($"vec_id" < 3).select(
+      ($"vec_id" + 10000L).as("vec_id"),
+      zip_with($"embedding", $"embedding", (x, _) => x * lit(1.001f)).as("embedding"))
+    val out = Similarity.binaryQuantTopK(
+      emb.select("vec_id", "embedding").union(planted), nQueries = 3, k = 2)
+    val top1 = out.filter($"rank" === 1L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (0L until 3L).foreach { q =>
+      val (nbr, hamming) = top1(q)
+      assert(nbr == q + 10000L, s"query $q: scaled twin should rank 1, got $nbr")
+      assert(hamming == 0L, "a positively-scaled vector has identical sign bits")
+    }
+    assert(out.groupBy("query_id").count().collect().forall(_.getLong(1) == 2L))
+  }
+
+  test("multiProbeLshTopK: candidates are exactly the probed-bucket union (own + Hamming-1)") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val nBits = 8
+    val mean = Similarity.meanAggDf(emb)
+    val buckets = emb.crossJoin(org.apache.spark.sql.functions.broadcast(mean))
+      .select($"vec_id", graft.functions.GraftColumns.hyperBucketC(
+        $"embedding", $"__mean", nBits).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Similarity.multiProbeLshTopK(emb, nQueries = 4, k = 1000, nBits = nBits)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0L until 4L).foreach { q =>
+      val probed = (Set(buckets(q)) ++ (0 until nBits).map(b => buckets(q) ^ (1L << b)))
+      val expected = buckets.collect {
+        case (id, bk) if id != q && probed(bk) => id
+      }.toSet
+      assert(out.getOrElse(q, Set.empty) == expected,
+        s"query $q candidate set mismatch (k unbounded)")
+      // the single-probe (own-bucket) set is strictly a subset by construction
+      val own = buckets.collect { case (id, bk) if id != q && bk == buckets(q) => id }.toSet
+      assert(own.subsetOf(expected))
+    }
+  }
 }
