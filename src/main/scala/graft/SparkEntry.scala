@@ -795,6 +795,22 @@ object SparkEntry {
           count(lit(1)).as("n_rows"),
           sum(col("l_quantity").cast("long")).as("sum_qty"))
     }),
+    // Bloom semi-join reduction: the fact side is pre-filtered by a scalar-
+    // subquery Bloom sketch of the (selectively filtered) dim keys BEFORE
+    // the join shuffle; FPs die in the exact join, so the result is the
+    // plain join's — which is exactly what the oracle runs.
+    "b1_bloom_join" -> ((s, d) => {
+      val dim = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#3" && col("p_size") === 22)
+      BloomJoin.bloomReducedJoin(
+          Tables.lineitem(s, d), dim, "l_partkey", "p_partkey",
+          estKeys = 1L << 12, numBits = 1L << 16)
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum((col("l_extendedprice") * 100.0).cast("long")).as("revenue_cents"))
+    }),
     // Arbitrary GROUPING SETS (rollup/cube's general form; q14/q15 cover
     // those specializations).
     "q26_grouping_sets" -> ((s, d) => {
@@ -3629,6 +3645,16 @@ object SparkEntry {
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY o.o_orderstatus""".stripMargin,
+    // The Bloom prefilter is invisible to results by construction (no
+    // false negatives; FPs removed by the exact join) — the oracle is the
+    // PLAIN join.
+    "b1_bloom_join" ->
+      """SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(trunc(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand = 'Brand#3' AND p.p_size = 22
+        |GROUP BY p.p_brand""".stripMargin,
     "q26_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |       CAST(count(*) AS BIGINT) AS n,
