@@ -1913,6 +1913,11 @@ object SparkEntry {
         li.filter(col("l_returnflag") === "R"),
         li.filter(col("l_returnflag") === "N"), "l_orderkey")
     }),
+    // Sketch ROLLUP: weekly distinct-user estimates re-aggregated from the
+    // per-day KMV sketches alone (k smallest of the per-day k-min union IS
+    // the union's k-min set — spec-asserted), audited vs exact.
+    "x29_sketch_rollup" -> ((s, d) =>
+      Profiling.kmvRollup(Tables.events(s, d), "ts", "user_id")),
     // Unicode NFC normalization through a codegen Catalyst expression:
     // decomposed combining sequences (synthesized deterministically as
     // UTF-8 hex — Spark's char() is ASCII-only) compose to their
@@ -3923,6 +3928,31 @@ object SparkEntry {
          |       CAST(CASE WHEN exact = 0 THEN 0
          |                 ELSE abs(est - exact) * 10000 // exact END AS BIGINT) AS err_bp
          |FROM allr""".stripMargin,
+    // Sketch-rollup replay: day-rank chains (rn <= k per day), week merge
+    // re-ranked over the DISTINCT per-day survivors only, x11 estimator,
+    // exact weekly distinct for the audit columns.
+    "x29_sketch_rollup" ->
+      s"""WITH dv AS (SELECT DISTINCT CAST(ts AS DATE) AS day, CAST(user_id AS VARCHAR) AS v FROM events),
+         |hv AS (SELECT day, ${sqlSampleKey("('kmv:' || v)")} AS h FROM dv),
+         |dr AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM hv),
+         |wu AS (SELECT DISTINCT CAST(date_trunc('week', day) AS DATE) AS week, h
+         |       FROM dr WHERE rn <= 64),
+         |wr AS (SELECT week, h, row_number() OVER (PARTITION BY week ORDER BY h) AS rn FROM wu),
+         |wm AS (SELECT week, CAST(count(*) AS BIGINT) AS n_kept, CAST(max(h) AS BIGINT) AS kth_min
+         |       FROM wr WHERE rn <= 64 GROUP BY week),
+         |nd AS (SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+         |              CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+         |              CAST(count(DISTINCT v) AS BIGINT) AS exact_distinct
+         |       FROM dv GROUP BY 1),
+         |es AS (SELECT wm.week, nd.n_days, wm.n_kept, wm.kth_min,
+         |              CAST(CASE WHEN wm.n_kept < 64 THEN wm.n_kept
+         |                        ELSE (CAST(63 AS BIGINT) * 1000000007) // (wm.kth_min + 1) END AS BIGINT) AS est_distinct,
+         |              nd.exact_distinct
+         |       FROM wm JOIN nd ON wm.week = nd.week)
+         |SELECT week, n_days, n_kept, kth_min, est_distinct, exact_distinct,
+         |       CAST(CASE WHEN exact_distinct = 0 THEN 0
+         |                 ELSE abs(est_distinct - exact_distinct) * 10000 // exact_distinct END AS BIGINT) AS err_bp
+         |FROM es""".stripMargin,
     // NFC replay: same UTF-8 bytes, DuckDB's nfc_normalize.
     "t27_unicode_nfc" ->
       """WITH r AS (SELECT doc_id,

@@ -89,4 +89,79 @@ object ZoneMaps {
       else spark.read.parquet(files: _*).filter(pred)
     (out, files)
   }
+
+  /** Per-file BLOOM sidecar — the point-lookup complement of the min/max
+    * manifest (Delta's bloom filter index / Iceberg puffin files). Zone
+    * maps only prune RANGE predicates on clustered columns; a point
+    * lookup on a high-cardinality, unclustered column (doc_id, url hash,
+    * order key) intersects every file's [min, max] and prunes nothing.
+    * A per-file Bloom over the column's hashes answers "can this file
+    * contain v?" in one manifest scan: no false negatives, so every file
+    * holding v survives; false positives only cost IO (the re-applied
+    * predicate keeps results ≡ full scan).
+    *
+    * One data pass grouped by file ([[build]]'s shape) — at scale the
+    * writer folds this into the layout write itself. Manifest rows:
+    * (file, bf binary, n_rows); size `estKeys` to the expected distinct
+    * keys PER FILE. */
+  def buildBloom(spark: SparkSession, dataDir: String, manifestDir: String,
+      column: String, estKeys: Long = 1L << 16, numBits: Long = 1L << 19): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    spark.read.parquet(dataDir)
+      .select(xxhash64(col(column)).as("__h"), input_file_name().as("file"))
+      .groupBy(col("file"))
+      .agg(
+        ColumnBridge.column(new BloomFilterAggregate(
+          ColumnBridge.expression(col("__h")),
+          ColumnBridge.expression(lit(estKeys)),
+          ColumnBridge.expression(lit(numBits))).toAggregateExpression()).as("bf"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestDir)
+  }
+
+  /** `column = value` point lookup through the Bloom sidecar: the same
+    * freshness gate as [[prunedRead]] (a file added after build is not
+    * covered — skipping it would DROP rows, the one staleness mode the
+    * re-applied predicate cannot repair), then only files whose sketch
+    * might contain the value are read, with the equality re-applied.
+    * Returns the frame plus the selected files for IO audits. */
+  def bloomPrunedRead(spark: SparkSession, dataDir: String, manifestDir: String,
+      column: String, value: Any): (DataFrame, Seq[String]) = {
+    val data = spark.read.parquet(dataDir)
+    val manifest = spark.read.parquet(manifestDir)
+    val current = data.inputFiles.toSet
+    val covered = manifest.select(col("file")).collect().map(_.getString(0)).toSet
+    val missing = current.diff(covered)
+    val vanished = covered.diff(current)
+    require(missing.isEmpty && vanished.isEmpty,
+      s"bloom manifest at $manifestDir is stale: " +
+        s"${missing.size} data file(s) not covered" +
+        missing.headOption.map(f => s" (e.g. $f)").getOrElse("") +
+        s"; ${vanished.size} manifest entr(ies) whose file no longer exists" +
+        vanished.headOption.map(f => s" (e.g. $f)").getOrElse("") +
+        "; rebuild with ZoneMaps.buildBloom")
+    // The literal is hashed AT THE COLUMN'S TYPE — xxhash64 of an INT and
+    // of its BIGINT widening differ, and a mistyped probe would turn the
+    // no-false-negative guarantee into silent row loss.
+    val vh = spark.range(1)
+      .select(xxhash64(lit(value).cast(data.schema(column).dataType)))
+      .head().getLong(0)
+    // Driver-side probe over the manifest rows (file-count-sized — the
+    // same metadata plane as prunedRead's listing check). A null sketch
+    // (all-null slab) keeps its file: over-reading is safe, dropping not.
+    val files = manifest.select(col("file"), col("bf")).collect().toSeq
+      .filter { r =>
+        r.isNullAt(1) || org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          .mightContainLong(vh)
+      }
+      .map(_.getString(0))
+    val pred = col(column) === lit(value)
+    val out =
+      if (files.isEmpty) data.filter(lit(false)).filter(pred)
+      else spark.read.parquet(files: _*).filter(pred)
+    (out, files)
+  }
 }

@@ -133,4 +133,67 @@ object Profiling {
         s"ELSE (${k - 1}L * ${TextHash.Prime}L) div (kth_min + 1L) END) - exact_distinct) " +
         "* 10000L div exact_distinct").as("err_bp"))
   }
+
+  /** The per-day KMV sketches behind [[kmvRollup]] — one (day, mins)
+    * row per day, `mins` the ascending array of the day's k smallest
+    * distinct-value hashes. This is the "sketch column" a warehouse
+    * PERSISTS next to its daily partitions: coarser grains re-aggregate
+    * these rows, never the raw data. */
+  def kmvDaySketches(df: DataFrame, tsCol: String, valueCol: String,
+      k: Int = 64): DataFrame =
+    df.select(to_date(col(tsCol)).as("day"),
+        col(valueCol).cast("string").as("v"))
+      .distinct()
+      .withColumn("h", TextHash.sampleKey(concat(lit("kmv:"), col("v"))))
+      .groupBy(col("day"))
+      .agg(TopKAgg.topK(-col("h").cast("double"), col("h"), k).as("mins"))
+      .select(col("day"),
+        transform(col("mins"), m => m.getField("id")).as("mins"))
+
+  /** Mergeable-sketch ROLLUP — the warehouse "sketch column" pattern
+    * (Dageville et al., SIGMOD'16 §materialized sketches; DataSketches'
+    * KMV/theta family): per-DAY distinct sketches are built in the single
+    * raw-data pass, then WEEK estimates re-aggregate only the day
+    * sketches. Correctness of the merge is exact, not approximate-on-
+    * approximate: the k smallest of the union of per-day k-min sets IS
+    * the union's k-min set (any hash among the union's k smallest is
+    * necessarily among its own day's k smallest) — spec-asserted against
+    * the direct week sketch. At 100 TB the rollup input is
+    * (days × k) longs, so month/quarter/ad-hoc-range estimates never
+    * rescan the corpus.
+    *
+    * The exact weekly distinct ships alongside as the audit (same
+    * measure-don't-guess convention as [[kmvDistinct]]/[[kmvSetOps]]).
+    * Output: (week, n_days, n_kept, kth_min, est_distinct,
+    * exact_distinct, err_bp), all deterministic BIGINTs after the DATE
+    * keys. */
+  def kmvRollup(df: DataFrame, tsCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    val dv = df.select(to_date(col(tsCol)).as("day"),
+        col(valueCol).cast("string").as("v"))
+      .distinct()
+    val daySk = kmvDaySketches(df, tsCol, valueCol, k)
+    val wk = daySk
+      .groupBy(to_date(date_trunc("week", col("day"))).as("week"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        slice(array_sort(array_distinct(flatten(collect_list(col("mins"))))),
+          1, k).as("wmins"))
+      .withColumn("n_kept", size(col("wmins")).cast("long"))
+      .withColumn("kth_min",
+        element_at(col("wmins"), col("n_kept").cast("int")))
+      .select(col("week"), col("n_days"), col("n_kept"), col("kth_min"),
+        expr(s"CASE WHEN n_kept < $k THEN n_kept " +
+          s"ELSE (${k - 1}L * ${TextHash.Prime}L) div (kth_min + 1L) END")
+          .as("est_distinct"))
+    val exact = dv
+      .groupBy(to_date(date_trunc("week", col("day"))).as("week"))
+      .agg(countDistinct(col("v")).as("exact_distinct"))
+    wk.join(exact, Seq("week"))
+      .select(col("week"), col("n_days"), col("n_kept"), col("kth_min"),
+        col("est_distinct"), col("exact_distinct"),
+        expr("CASE WHEN exact_distinct = 0 THEN 0L " +
+          "ELSE abs(est_distinct - exact_distinct) * 10000L div exact_distinct END")
+          .as("err_bp"))
+  }
 }

@@ -85,4 +85,41 @@ class ProfilingSpec extends SparkSpec {
     val r = Profiling.kmvDistinct(df, "g", "v", k = 64).filter(col("g") === "g").head()
     assert(r.getLong(1) === 100L) // exact sees 100 distinct, not 200 rows
   }
+
+  test("kmvRollup: week sketch merged from day sketches == direct week sketch from raw") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val k = 8 // sf0.001 weeks hold 15 distinct users — k=8 engages the estimator
+    // direct week sketch from RAW data (what the rollup must equal)
+    val direct = ev
+      .select(to_date(date_trunc("week", col("ts"))).as("week"),
+        col("user_id").cast("string").as("v")).distinct()
+      .withColumn("h", graft.functions.TextHash.sampleKey(concat(lit("kmv:"), col("v"))))
+      .groupBy("week")
+      .agg(graft.functions.TopKAgg.topK(-col("h").cast("double"), col("h"), k).as("mins"))
+      .select(col("week"), transform(col("mins"), m => m.getField("id")).as("mins"))
+      .collect().map(r => r.getDate(0).toString -> r.getSeq[Long](1)).toMap
+    // merged path: day sketches only
+    val daySk = Profiling.kmvDaySketches(ev, "ts", "user_id", k)
+    val merged = daySk
+      .groupBy(to_date(date_trunc("week", col("day"))).as("week"))
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("mins"))))), 1, k).as("mins"))
+      .collect().map(r => r.getDate(0).toString -> r.getSeq[Long](1)).toMap
+    assert(merged.keySet == direct.keySet && merged.nonEmpty)
+    merged.keys.foreach(w => assert(merged(w) == direct(w), s"week $w k-min sets diverge"))
+    // and the gate shape: estimates audited, n_kept == k on the busy weeks
+    val out = Profiling.kmvRollup(ev, "ts", "user_id", k).collect()
+    assert(out.nonEmpty && out.forall(_.getLong(5) > 0L))
+    assert(out.exists(_.getLong(2) == k.toLong), "some week must engage the estimator path")
+  }
+
+  test("kmvRollup: a week under k distinct reports exactly (n_kept == exact)") {
+    val few = Seq(
+      ("2024-01-01 00:00:00", "u1"), ("2024-01-02 00:00:00", "u2"),
+      ("2024-01-03 00:00:00", "u1")).toDF("ts", "v")
+      .select(col("ts").cast("timestamp").as("ts"), col("v"))
+    val r = Profiling.kmvRollup(few, "ts", "v", k = 64).head()
+    assert(r.getLong(1) === 3L, "three day sketches merge")
+    assert(r.getLong(2) === 2L && r.getLong(4) === 2L && r.getLong(5) === 2L)
+    assert(r.getLong(6) === 0L, "below-k estimate is exact")
+  }
 }

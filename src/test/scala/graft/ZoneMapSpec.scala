@@ -51,6 +51,65 @@ class ZoneMapSpec extends SparkSpec {
     assert(files.size === 8, "hash-scattered files all span the range — none skippable")
   }
 
+  test("bloom sidecar: point lookup on an UNCLUSTERED high-card column skips most files, results ≡ full scan") {
+    val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_quantity")
+    val dataDir = tmp("graft_bl_data")
+    val manifestDir = tmp("graft_bl_mf")
+    // Range-cluster by ORDERKEY: each file holds a disjoint key stripe, so
+    // a point key lives in exactly one file — the bloom must find it and
+    // skip (nearly) everything else. Note min/max zones would ALSO prune
+    // here; the dedicated unclustered case is covered below.
+    li.repartitionByRange(8, col("l_orderkey")).write.mode("overwrite").parquet(dataDir)
+    ZoneMaps.buildBloom(spark, dataDir, manifestDir, "l_orderkey",
+      estKeys = 1L << 12, numBits = 1L << 16)
+    val key = li.select("l_orderkey").head().getLong(0)
+    val (pruned, files) = ZoneMaps.bloomPrunedRead(spark, dataDir, manifestDir,
+      "l_orderkey", key)
+    assert(files.size <= 2, s"point key lives in one stripe; read ${files.size} files")
+    val full = spark.read.parquet(dataDir).filter(col("l_orderkey") === key)
+    assert(pruned.count() === full.count() && pruned.count() > 0)
+    assert(pruned.except(full).isEmpty && full.except(pruned).isEmpty)
+  }
+
+  test("bloom sidecar: hash-scattered layout — zones can't prune a point lookup, the bloom still can") {
+    val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_quantity")
+    val dataDir = tmp("graft_bl_scatter")
+    val zmDir = tmp("graft_bl_scatter_zm")
+    val bfDir = tmp("graft_bl_scatter_bf")
+    // Scatter on quantity: every file spans the full ORDERKEY range.
+    li.repartition(8, col("l_quantity")).write.mode("overwrite").parquet(dataDir)
+    ZoneMaps.build(spark, dataDir, zmDir, Seq("l_orderkey"))
+    ZoneMaps.buildBloom(spark, dataDir, bfDir, "l_orderkey",
+      estKeys = 1L << 12, numBits = 1L << 16)
+    val key = li.select("l_orderkey").head().getLong(0)
+    val (_, zmFiles) = ZoneMaps.prunedRead(spark, dataDir, zmDir, "l_orderkey", key, key)
+    assert(zmFiles.size === 8, "zones span the key range in every file — no pruning")
+    val (pruned, bfFiles) = ZoneMaps.bloomPrunedRead(spark, dataDir, bfDir, "l_orderkey", key)
+    // the key's rows scatter into only the files holding its quantity values
+    assert(bfFiles.size < 8, s"bloom should skip some files, read ${bfFiles.size}")
+    val full = spark.read.parquet(dataDir).filter(col("l_orderkey") === key)
+    assert(pruned.collect().map(_.toSeq).toSet == full.collect().map(_.toSeq).toSet)
+    assert(pruned.count() > 0)
+  }
+
+  test("bloom sidecar: absent key reads nothing (modulo FPs) and returns empty; stale manifest fails loudly") {
+    val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_quantity")
+    val dataDir = tmp("graft_bl_gate")
+    val manifestDir = tmp("graft_bl_gate_mf")
+    li.repartitionByRange(4, col("l_orderkey")).write.mode("overwrite").parquet(dataDir)
+    ZoneMaps.buildBloom(spark, dataDir, manifestDir, "l_orderkey")
+    val (miss, missFiles) = ZoneMaps.bloomPrunedRead(spark, dataDir, manifestDir,
+      "l_orderkey", -987654321L)
+    assert(miss.count() === 0L)
+    assert(missFiles.size <= 1, s"absent key: at most FP noise, read ${missFiles.size}")
+    // add a file after the build → loud staleness, never silent row loss
+    li.limit(5).coalesce(1).write.mode("append").parquet(dataDir)
+    val ex = intercept[IllegalArgumentException] {
+      ZoneMaps.bloomPrunedRead(spark, dataDir, manifestDir, "l_orderkey", 1L)
+    }
+    assert(ex.getMessage.contains("stale"))
+  }
+
   test("time travel: runs list chronologically, old versions stay readable, vacuum keeps newest N") {
     import graft.etl.{Sink, TimeTravel}
     val root = tmp("graft_tt_root")
