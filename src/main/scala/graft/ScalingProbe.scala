@@ -672,6 +672,61 @@ object ScalingProbe {
         graft.operators.TextAnalysis.bpeTrain(bpeDocs, rounds = n).count())
     }
     bpeDocs.unpersist(blocking = true)
+
+    // ---- Bloom semi-join reduction at 12M fact rows vs a 0.35%-selective
+    // dim. Broadcast is disabled to simulate the target regime (dim too
+    // big to broadcast, key set fits a sketch) — the bloom must shrink the
+    // fact exchange to the matching sliver. Reported: surviving fact rows
+    // and plain-vs-reduced join times on the SAME forced-shuffle plan.
+    val bigFact = spark.range(20).select(col("id").as("rep"))
+      .crossJoin(Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity")))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .cache()
+    time("bloom_fact_x20_materialize")(bigFact.count())
+    val selDim = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#3" && col("p_size") === 22)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      time("bloom_join_prefilter_survivors")(
+        bigFact.filter(graft.operators.BloomJoin.mightMatch(
+          selDim, col("l_partkey"), col("p_partkey"))).count())
+      time("plain_join_12M_noBroadcast")(
+        bigFact.join(selDim, col("l_partkey") === col("p_partkey")).count())
+      time("bloom_join_12M_noBroadcast")(
+        graft.operators.BloomJoin.bloomReducedJoin(
+          bigFact, selDim, "l_partkey", "p_partkey").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    bigFact.unpersist(blocking = true)
+
+    // ---- Binary quantization at 2M vectors: the Hamming candidate scan
+    // rides 16-byte codes (vs 256-byte floats for brute force); rerank
+    // touches |Q|·kCand full vectors. Brute-force at the same scale is
+    // the honesty baseline.
+    val bqEmb = spark.range(1000).select(col("id").as("rep"))
+      .crossJoin(emb)
+      .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"), col("embedding"))
+      .cache()
+    time("bq_emb_x1000_materialize")(bqEmb.count())
+    time("binary_quant_topk_2M")(
+      Similarity.binaryQuantTopK(bqEmb, nQueries = 10, k = 5).count())
+    time("multiprobe_lsh_topk_2M")(
+      Similarity.multiProbeLshTopK(bqEmb, nQueries = 10, k = 5).count())
+    time("brute_force_topk_2M")(
+      Similarity.bruteForceTopK(bqEmb, nQueries = 10, k = 5).count())
+    bqEmb.unpersist(blocking = true)
+
+    // ---- KMV sketch rollup at 10M events: the day pass dominates; the
+    // week re-aggregation reads (days × k) longs.
+    val kmvEvents = spark.range(100).select(col("id").as("rep"))
+      .crossJoin(Tables.events(spark, sfDir))
+      .select((col("user_id") + col("rep") * 1000L).as("user_id"), col("ts"))
+      .cache()
+    time("kmv_events_x100_materialize")(kmvEvents.count())
+    time("kmv_rollup_10M")(
+      graft.operators.Profiling.kmvRollup(kmvEvents, "ts", "user_id").count())
+    kmvEvents.unpersist(blocking = true)
     spark.stop()
   }
 }

@@ -1918,6 +1918,22 @@ object SparkEntry {
     // the union's k-min set — spec-asserted), audited vs exact.
     "x29_sketch_rollup" -> ((s, d) =>
       Profiling.kmvRollup(Tables.events(s, d), "ts", "user_id")),
+    // Join-cardinality preflight: containment-assumption estimate from
+    // KMV-sketched key distincts, audited vs the actual join count.
+    "x30_join_cardinality" -> ((s, d) =>
+      Profiling.joinCardinalityEstimate(
+        Tables.lineitem(s, d), Tables.orders(s, d), "l_orderkey", "o_orderkey")),
+    // Gopher-style per-rule quality verdicts (word count, mean word
+    // length, distinct stop words, symbol ratio) + the conjunction.
+    "t39_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(Tables.documents(s, d))),
+    // l-diversity: the homogeneity-attack audit k-anonymity misses —
+    // sensitive attribute = account-balance band.
+    "v4_l_diversity" -> ((s, d) =>
+      Validation.lDiversity(
+        Tables.customer(s, d)
+          .withColumn("bal_band", floor(col("c_acctbal") / 1000.0).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 8)),
     // Unicode NFC normalization through a codegen Catalyst expression:
     // decomposed combining sequences (synthesized deterministically as
     // UTF-8 hex — Spark's char() is ASCII-only) compose to their
@@ -2875,6 +2891,10 @@ object SparkEntry {
     // 8 Hamming-1 buckets — recall recovery without more hash tables.
     "s25_multiprobe_lsh" -> ((s, d) =>
       Similarity.multiProbeLshTopK(Tables.embeddings(s, d))),
+    // Matryoshka audit: exact top-5 under the first-16-dims metric vs the
+    // full 64-dim metric — per-query overlap and recall in basis points.
+    "s26_matryoshka" -> ((s, d) =>
+      Similarity.matryoshkaAudit(Tables.embeddings(s, d))),
     // ---- multimodal (binary column plumbing; see operators.Multimodal) ----
     "m1_multimodal_meta" -> ((s, d) =>
       Multimodal.metadata(Tables.documents(s, d).select(
@@ -3953,6 +3973,68 @@ object SparkEntry {
          |       CAST(CASE WHEN exact_distinct = 0 THEN 0
          |                 ELSE abs(est_distinct - exact_distinct) * 10000 // exact_distinct END AS BIGINT) AS err_bp
          |FROM es""".stripMargin,
+    // Join-cardinality replay: x11 rank chains for each side's key
+    // distinct, the same overflow-fenced containment estimate, the plain
+    // join count as audit.
+    "x30_join_cardinality" ->
+      s"""WITH va AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem WHERE l_orderkey IS NOT NULL),
+         |vb AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS v FROM orders WHERE o_orderkey IS NOT NULL),
+         |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM lineitem WHERE l_orderkey IS NOT NULL),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM orders WHERE o_orderkey IS NOT NULL),
+         |ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |       FROM (SELECT ${sqlSampleKey("('kmv:' || v)")} AS h FROM va)),
+         |ka AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, CAST(max(h) AS BIGINT) AS kth FROM ra WHERE rn <= 64),
+         |da AS (SELECT CAST(CASE WHEN n_kept < 64 THEN n_kept
+         |                        ELSE (CAST(63 AS BIGINT) * 1000000007) // (kth + 1) END AS BIGINT) AS d_a FROM ka),
+         |rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |       FROM (SELECT ${sqlSampleKey("('kmv:' || v)")} AS h FROM vb)),
+         |kb AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, CAST(max(h) AS BIGINT) AS kth FROM rb WHERE rn <= 64),
+         |db AS (SELECT CAST(CASE WHEN n_kept < 64 THEN n_kept
+         |                        ELSE (CAST(63 AS BIGINT) * 1000000007) // (kth + 1) END AS BIGINT) AS d_b FROM kb),
+         |ac AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+         |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |es AS (SELECT n_a, n_b, d_a AS est_distinct_a, d_b AS est_distinct_b,
+         |              CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+         |                        WHEN n_a <= 4611686018427387904 // n_b
+         |                        THEN (n_a * n_b) // greatest(d_a, d_b, 1)
+         |                        ELSE (n_a // greatest(d_a, d_b, 1)) * n_b END AS BIGINT) AS est_rows,
+         |              actual_rows
+         |       FROM na, nb, da, db, ac)
+         |SELECT n_a, n_b, est_distinct_a, est_distinct_b, est_rows, actual_rows,
+         |       CAST(CASE WHEN actual_rows = 0 THEN 0
+         |                 ELSE abs(est_rows - actual_rows) * 10000 // actual_rows END AS BIGINT) AS err_bp
+         |FROM es""".stripMargin,
+    // Gopher-rule replay: canonical tokenizer, list-fold word lengths,
+    // distinct-stop intersection, symbol regex — all integer verdicts.
+    "t39_gopher_rules" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
+        |m AS (SELECT doc_id,
+        |             CAST(len(t) AS BIGINT) AS n_words,
+        |             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                    list_transform(t, w -> CAST(strlen(w) AS BIGINT))), (x, y) -> x + y) AS BIGINT) AS sum_len,
+        |             CAST(len(list_intersect(list_distinct(t), ['the', 'a'])) AS BIGINT) AS n_stop_distinct,
+        |             CAST(len(list_filter(t, w -> regexp_matches(w, '[^a-z]'))) AS BIGINT) AS n_symbol_words
+        |      FROM tk),
+        |f AS (SELECT doc_id, n_words,
+        |             CAST(sum_len * 100 // n_words AS BIGINT) AS mwl_x100,
+        |             n_stop_distinct,
+        |             CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS pass_words,
+        |             CAST(CASE WHEN sum_len * 100 // n_words BETWEEN 300 AND 1000 THEN 1 ELSE 0 END AS BIGINT) AS pass_mwl,
+        |             CAST(CASE WHEN n_stop_distinct >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass_stop,
+        |             CAST(CASE WHEN n_symbol_words * 100 // n_words <= 10 THEN 1 ELSE 0 END AS BIGINT) AS pass_symbols
+        |      FROM m)
+        |SELECT doc_id, n_words, mwl_x100, n_stop_distinct,
+        |       pass_words, pass_mwl, pass_stop, pass_symbols,
+        |       CAST(pass_words * pass_mwl * pass_stop * pass_symbols AS BIGINT) AS kept
+        |FROM f""".stripMargin,
+    // l-diversity replay: one grouped count + distinct over the same
+    // floored balance band.
+    "v4_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS BIGINT) AS n_sensitive_distinct,
+        |       CAST(CASE WHEN count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 8
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS meets_l
+        |FROM customer GROUP BY c_nationkey, c_mktsegment""".stripMargin,
     // NFC replay: same UTF-8 bytes, DuckDB's nfc_normalize.
     "t27_unicode_nfc" ->
       """WITH r AS (SELECT doc_id,
@@ -5515,6 +5597,32 @@ object SparkEntry {
          |      FROM rr)
          |SELECT query_id, neighbor_id, hamming, round(cosine, 7) AS cosine, "rank"
          |FROM w WHERE "rank" <= 5""".stripMargin,
+    // Matryoshka replay: two exact rank chains (full dims, list_slice
+    // prefix), overlap counted per query, integer recall.
+    "s26_matryoshka" ->
+      s"""WITH fq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |fc AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         |fr AS (SELECT query_id, neighbor_id,
+         |              row_number() OVER (PARTITION BY query_id
+         |                ORDER BY ${sqlCosine("qe", "ce")} DESC, neighbor_id) AS rn
+         |       FROM fq JOIN fc ON query_id <> neighbor_id),
+         |tq AS (SELECT vec_id AS query_id, list_slice(embedding, 1, 16) AS qe
+         |       FROM embeddings WHERE vec_id < 10),
+         |tc AS (SELECT vec_id AS neighbor_id, list_slice(embedding, 1, 16) AS ce FROM embeddings),
+         |tr AS (SELECT query_id, neighbor_id,
+         |              row_number() OVER (PARTITION BY query_id
+         |                ORDER BY ${sqlCosine("qe", "ce")} DESC, neighbor_id) AS rn
+         |       FROM tq JOIN tc ON query_id <> neighbor_id),
+         |ov AS (SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |       FROM (SELECT query_id, neighbor_id FROM fr WHERE rn <= 5) f
+         |       JOIN (SELECT query_id, neighbor_id FROM tr WHERE rn <= 5) t
+         |         ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+         |       GROUP BY f.query_id)
+         |SELECT q.query_id,
+         |       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |       CAST(coalesce(ov.n_overlap, 0) * 10000 // 5 AS BIGINT) AS recall_bp
+         |FROM (SELECT DISTINCT query_id FROM fq) q
+         |LEFT JOIN ov ON ov.query_id = q.query_id""".stripMargin,
     // Multi-probe replay: the s2 signature chain, probe set = own bucket
     // plus the 8 one-bit-flip buckets, exact cosine rank within probed
     // buckets (each corpus vector lives in exactly one bucket, so no

@@ -90,6 +90,40 @@ object ZoneMaps {
     (out, files)
   }
 
+  /** Incremental manifest maintenance: stat ONLY the data files not yet
+    * covered and append their rows to the manifest dir. At 100 TB the
+    * full [[build]] rescan on every micro-batch append is the posture
+    * bug — the freshness gate in [[prunedRead]] would otherwise force
+    * exactly that. Cost: one column-pruned pass over the NEW files
+    * (spec-asserted via the stats job's input files), a file-count-sized
+    * listing diff, zero touches of covered data. Vanished covered files
+    * (compaction) still require [[build]] — this helper is append-only
+    * and fails loudly rather than leaving dangling manifest rows. */
+  def appendBuild(spark: SparkSession, dataDir: String, manifestDir: String,
+      cols: Seq[String]): Seq[String] = {
+    val current = spark.read.parquet(dataDir).inputFiles.toSet
+    val covered = spark.read.parquet(manifestDir)
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    val vanished = covered.diff(current)
+    require(vanished.isEmpty,
+      s"appendBuild is append-only: ${vanished.size} covered file(s) no longer " +
+        s"exist (compaction?) — rebuild with ZoneMaps.build" +
+        vanished.headOption.map(f => s" (e.g. $f)").getOrElse(""))
+    val fresh = current.diff(covered).toSeq.sorted
+    if (fresh.nonEmpty) {
+      val df = spark.read.parquet(fresh: _*)
+      val aggs = cols.flatMap(c => Seq(
+        min(col(c)).as(s"${c}__min"),
+        max(col(c)).as(s"${c}__max"))) :+ count(lit(1)).as("n_rows")
+      df.select((cols.map(col) :+ input_file_name().as("file")): _*)
+        .groupBy(col("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .coalesce(1)
+        .write.mode("append").parquet(manifestDir)
+    }
+    fresh
+  }
+
   /** Per-file BLOOM sidecar — the point-lookup complement of the min/max
     * manifest (Delta's bloom filter index / Iceberg puffin files). Zone
     * maps only prune RANGE predicates on clustered columns; a point
@@ -119,6 +153,38 @@ object ZoneMaps {
         count(lit(1)).as("n_rows"))
       .coalesce(1)
       .write.mode("overwrite").parquet(manifestDir)
+  }
+
+  /** [[appendBuild]]'s twin for the Bloom sidecar: sketch only the files
+    * not yet covered, append their manifest rows. Same append-only
+    * contract (vanished files → rebuild with [[buildBloom]]). */
+  def appendBuildBloom(spark: SparkSession, dataDir: String, manifestDir: String,
+      column: String, estKeys: Long = 1L << 16, numBits: Long = 1L << 19): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val current = spark.read.parquet(dataDir).inputFiles.toSet
+    val covered = spark.read.parquet(manifestDir)
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    val vanished = covered.diff(current)
+    require(vanished.isEmpty,
+      s"appendBuildBloom is append-only: ${vanished.size} covered file(s) no " +
+        s"longer exist (compaction?) — rebuild with ZoneMaps.buildBloom" +
+        vanished.headOption.map(f => s" (e.g. $f)").getOrElse(""))
+    val fresh = current.diff(covered).toSeq.sorted
+    if (fresh.nonEmpty) {
+      spark.read.parquet(fresh: _*)
+        .select(xxhash64(col(column)).as("__h"), input_file_name().as("file"))
+        .groupBy(col("file"))
+        .agg(
+          ColumnBridge.column(new BloomFilterAggregate(
+            ColumnBridge.expression(col("__h")),
+            ColumnBridge.expression(lit(estKeys)),
+            ColumnBridge.expression(lit(numBits))).toAggregateExpression()).as("bf"),
+          count(lit(1)).as("n_rows"))
+        .coalesce(1)
+        .write.mode("append").parquet(manifestDir)
+    }
+    fresh
   }
 
   /** `column = value` point lookup through the Bloom sidecar: the same

@@ -196,4 +196,60 @@ object Profiling {
           "ELSE abs(est_distinct - exact_distinct) * 10000L div exact_distinct END")
           .as("err_bp"))
   }
+
+  /** Join-cardinality PREFLIGHT — the planner estimate run as a query:
+    * |A ⋈ B on key| ≈ n_A·n_B / max(d_A, d_B) (the textbook containment
+    * assumption every cost-based optimizer starts from), with the distinct
+    * counts d coming from the deterministic KMV sketch (one k-row buffer
+    * per side — what a catalog would persist as table stats) rather than
+    * a distinct scan. The actual join count rides along as the audit, so
+    * the row is a hash-checkable claim about ESTIMATION quality: at
+    * 100 TB you run the sketch halves on the catalog's stats and skip the
+    * audit join. All-BIGINT `div` arithmetic; n_A·n_B is guarded against
+    * 2⁶³ overflow loudly (divide the larger side by max_d first when it
+    * would overflow). Output one row: (n_a, n_b, est_distinct_a,
+    * est_distinct_b, est_rows, actual_rows, err_bp). */
+  def joinCardinalityEstimate(dfA: DataFrame, dfB: DataFrame,
+      keyA: String, keyB: String, k: Int = 64): DataFrame = {
+    val est = (df: DataFrame, key: String) => {
+      val vals = df.select(col(key).cast("string").as("v"))
+        .filter(col("v").isNotNull)
+      val nRows = vals.groupBy().agg(count(lit(1)).as("n_rows"))
+      // duplicates collapse BEFORE the k-slot buffer — a hot key repeated
+      // k times would otherwise fill every slot and inflate the estimate
+      val sk = vals.distinct()
+        .select(TextHash.sampleKey(concat(lit("kmv:"), col("v"))).as("h"))
+        .groupBy()
+        .agg(TopKAgg.topK(-col("h").cast("double"), col("h"), k).as("mins"))
+        .withColumn("n_kept", size(col("mins")).cast("long"))
+        .withColumn("kth_min",
+          when(col("n_kept") > 0L,
+            element_at(col("mins"), col("n_kept").cast("int")).getField("id"))
+            .otherwise(lit(0L)))
+        .select(expr(s"CASE WHEN n_kept < $k THEN n_kept " +
+          s"ELSE (${k - 1}L * ${TextHash.Prime}L) div (kth_min + 1L) END").as("d"))
+      broadcast(nRows).crossJoin(broadcast(sk))
+    }
+    val a = est(dfA, keyA)
+    val b = est(dfB, keyB)
+      .select(col("n_rows").as("n_rows_b"), col("d").as("d_b"))
+    val actual = dfA.select(col(keyA).as("__k"))
+      .join(dfB.select(col(keyB).as("__k")), Seq("__k"))
+      .groupBy().agg(count(lit(1)).as("actual_rows"))
+    // overflow fence: the fitness test (n_a ≤ 2⁶² div n_b) is evaluated
+    // INSTEAD of the multiply, so ANSI mode cannot throw; both engines
+    // replay the identical branch arithmetic.
+    a.crossJoin(b).crossJoin(actual)
+      .select(
+        col("n_rows").as("n_a"), col("n_rows_b").as("n_b"),
+        col("d").as("est_distinct_a"), col("d_b").as("est_distinct_b"),
+        expr("CASE WHEN n_rows = 0L OR n_rows_b = 0L THEN 0L " +
+          "WHEN n_rows <= 4611686018427387904L div n_rows_b " +
+          "THEN (n_rows * n_rows_b) div greatest(d, d_b, 1L) " +
+          "ELSE (n_rows div greatest(d, d_b, 1L)) * n_rows_b END").as("est_rows"),
+        col("actual_rows"))
+      .withColumn("err_bp",
+        expr("CASE WHEN actual_rows = 0 THEN 0L " +
+          "ELSE abs(est_rows - actual_rows) * 10000L div actual_rows END"))
+  }
 }

@@ -729,6 +729,35 @@ object Similarity {
     * search. Each corpus vector lives in exactly ONE bucket and the
     * probe set is distinct buckets, so no candidate is scored twice.
     * Output: (query_id, neighbor_id, cosine, rank). */
+  /** Matryoshka-truncation audit (Kusupati et al., NeurIPS'22 — MRL): how
+    * much retrieval quality survives keeping only the first `dPrefix` of
+    * `dim` embedding dimensions? Serving stacks truncate stored vectors
+    * 2–8× to cut memory and ANN cost; this measures the price on the
+    * corpus itself instead of trusting the model card. Per query: exact
+    * top-k under the TRUNCATED metric vs exact top-k under the full
+    * metric, overlap and recall in basis points — all integer verdicts
+    * from two deterministic rank chains, so the oracle replays it
+    * exactly. Both chains are [[bruteForceTopK]]'s shape (broadcast
+    * queries, one corpus pass each, no corpus shuffle).
+    * Output: (query_id, n_overlap, recall_bp). */
+  def matryoshkaAudit(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      dPrefix: Int = 16): DataFrame = {
+    val full = bruteForceTopK(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val trunc = bruteForceTopK(
+      emb.select(col("vec_id"), slice(col("embedding"), 1, dPrefix).as("embedding")),
+      nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    full.join(trunc, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      // queries with ZERO overlap would vanish from the join — restore
+      // them from the full side so the audit can report recall 0
+      .join(full.select(col("query_id")).distinct(), Seq("query_id"), "right")
+      .select(col("query_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_bp", expr(s"n_overlap * 10000L div ${k}L"))
+  }
+
   def multiProbeLshTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
       nBits: Int = 8): DataFrame = {
     import graft.functions.TopKAgg

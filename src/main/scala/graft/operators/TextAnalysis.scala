@@ -109,6 +109,50 @@ object TextAnalysis {
       .filter(col("pctl") >= minPercentile)
   }
 
+  /** Gopher-style quality RULESET (Rae et al., arXiv:2112.11446 §A1.1 —
+    * the named rule battery behind Gopher/MassiveText and its FineWeb/
+    * Dolma descendants): instead of one blended score ([[qualityScores]]),
+    * each document gets PER-RULE integer verdicts plus the conjunction —
+    * the form a curation pipeline audits ("which rule kills how much?")
+    * and tunes rule-by-rule. Rules, corpus-adapted thresholds:
+    *   1. word count in [minWords, maxWords]
+    *   2. mean word length in [3, 10] chars (×100 fixed-point, exact div)
+    *   3. ≥2 DISTINCT stop words present (Gopher's "stop word" test —
+    *      the synthetic fixture's stop set is {the, a})
+    *   4. ≤10% of words contain a non-[a-z] character (symbol ratio)
+    * Map-only string ops over the canonical tokenizer — one pass, no
+    * shuffle; tokens staged as a materialized column so interpreted HOF
+    * lambdas index an array instead of re-splitting per element.
+    * Output: (doc_id, n_words, mwl_x100, n_stop_distinct, pass_words,
+    * pass_mwl, pass_stop, pass_symbols, kept) — all BIGINT verdicts. */
+  def gopherRules(docs: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val stops = array(lit("the"), lit("a"))
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        size(col("t")).cast("long").as("n_words"),
+        aggregate(transform(col("t"), w => length(w).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("sum_len"),
+        size(array_intersect(array_distinct(col("t")), stops))
+          .cast("long").as("n_stop_distinct"),
+        size(filter(col("t"), w => w.rlike("[^a-z]")))
+          .cast("long").as("n_symbol_words"))
+      .withColumn("mwl_x100", expr("sum_len * 100L div n_words"))
+      .select(col("doc_id"), col("n_words"), col("mwl_x100"),
+        col("n_stop_distinct"),
+        when(col("n_words") >= minWords && col("n_words") <= maxWords, 1L)
+          .otherwise(0L).as("pass_words"),
+        when(col("mwl_x100") >= 300L && col("mwl_x100") <= 1000L, 1L)
+          .otherwise(0L).as("pass_mwl"),
+        when(col("n_stop_distinct") >= 2L, 1L).otherwise(0L).as("pass_stop"),
+        when(expr("n_symbol_words * 100L div n_words") <= 10L, 1L)
+          .otherwise(0L).as("pass_symbols"))
+      .withColumn("kept",
+        (col("pass_words") * col("pass_mwl") * col("pass_stop") *
+          col("pass_symbols")).as("kept"))
+  }
+
   /** Marker-word profiles for the language-ID heuristic. Real pipelines use
     * character-n-gram models; over the synthetic fixture vocabulary a
     * marker-word vote with a deterministic precedence order (en > de > fr >

@@ -101,6 +101,23 @@ object Validation {
       .withColumn("meets_k", (col("n") >= k).cast("long"))
   }
 
+  /** l-diversity audit (Machanavajjhala et al., ICDE'06) — k-anonymity's
+    * necessary complement: a group can be k-large yet leak the sensitive
+    * attribute completely if every member SHARES it (the homogeneity
+    * attack k-anonymity misses). Per quasi-identifier group: size,
+    * DISTINCT sensitive values, and whether the group is l-diverse. One
+    * grouped count + distinct — same audit-shape cost as [[kAnonymity]];
+    * remediation is again a semi-join suppressing the failing groups. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Int = 3): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 1)
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive_distinct"))
+      .withColumn("meets_l", (col("n_sensitive_distinct") >= l).cast("long"))
+  }
+
   /** Referential-integrity audit — orphan detection across a foreign-key
     * relation (the data-quality check that catches a partial load or an
     * out-of-order ingest before a downstream join silently drops or

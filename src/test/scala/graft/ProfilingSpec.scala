@@ -112,6 +112,17 @@ class ProfilingSpec extends SparkSpec {
     assert(out.exists(_.getLong(2) == k.toLong), "some week must engage the estimator path")
   }
 
+  test("joinCardinalityEstimate: below-k sides recover the exact containment estimate; hot keys don't inflate") {
+    // A: 12 rows over 4 keys (3× each); B: 6 rows over 6 keys (superset of A's).
+    // Containment: est = 12·6 / max(4,6) = 12 = the actual join count.
+    val a = (1 to 4).flatMap(k => Seq.fill(3)(Tuple1(k.toLong))).toDF("ka")
+    val b = (1 to 6).map(k => Tuple1(k.toLong)).toDF("kb")
+    val r = Profiling.joinCardinalityEstimate(a, b, "ka", "kb", k = 64).head()
+    assert((r.getLong(0), r.getLong(1)) === ((12L, 6L)))
+    assert((r.getLong(2), r.getLong(3)) === ((4L, 6L)), "duplicates must not inflate d")
+    assert(r.getLong(4) === 12L && r.getLong(5) === 12L && r.getLong(6) === 0L)
+  }
+
   test("kmvRollup: a week under k distinct reports exactly (n_kept == exact)") {
     val few = Seq(
       ("2024-01-01 00:00:00", "u1"), ("2024-01-02 00:00:00", "u2"),

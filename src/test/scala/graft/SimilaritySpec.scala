@@ -314,6 +314,15 @@ class SimilaritySpec extends SparkSpec {
     assert(out.groupBy("query_id").count().collect().forall(_.getLong(1) == 2L))
   }
 
+  test("matryoshkaAudit: identity truncation → recall 10000; real truncation loses some") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val id = Similarity.matryoshkaAudit(emb, nQueries = 5, k = 3, dPrefix = 64).collect()
+    assert(id.length == 5 && id.forall(r => r.getLong(1) == 3L && r.getLong(2) == 10000L))
+    val cut = Similarity.matryoshkaAudit(emb, nQueries = 5, k = 3, dPrefix = 8).collect()
+    assert(cut.length == 5, "zero-overlap queries must still report (right-join restore)")
+    assert(cut.forall(r => r.getLong(2) == r.getLong(1) * 10000L / 3L))
+  }
+
   test("multiProbeLshTopK: candidates are exactly the probed-bucket union (own + Hamming-1)") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select("vec_id", "embedding")

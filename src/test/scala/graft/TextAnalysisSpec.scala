@@ -510,6 +510,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(repart === out)
   }
 
+  test("gopherRules: each rule fires independently on a planted violator") {
+    val fifty = Seq.fill(48)("foxtrot").mkString(" ") // 48 alphabetic filler words
+    val docs = Seq(
+      (1L, s"the a $fifty"),            // 50 words, both stops → all pass
+      (2L, "the a short doc"),          // word count fails
+      (3L, s"the the $fifty"),          // only one DISTINCT stop word
+      (4L, s"the a x9! x8# $fifty 1 2 3 4 5 6")) // >10% symbol words
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.gopherRules(docs, minWords = 50)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    assert(out(1L) === ((1L, 1L, 1L, 1L, 1L)))
+    assert(out(2L)._1 === 0L && out(2L)._5 === 0L)
+    assert(out(3L)._3 === 0L, "duplicate stop word is ONE distinct")
+    assert(out(4L)._4 === 0L, "8 of 58 words carry symbols > 10%")
+  }
+
   test("collocations min-count screens hapax pairs") {
     val docs = Seq((1L, "rare pair"), (2L, "common token common token common token common token common token"))
       .toDF("doc_id", "text")

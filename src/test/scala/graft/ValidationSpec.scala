@@ -81,4 +81,17 @@ class ValidationSpec extends SparkSpec {
       .head()
     assert(ok.getLong(4) === 0L && ok.getLong(5) === 1L)
   }
+
+  test("lDiversity: a k-large but homogeneous group fails, a diverse one passes") {
+    import spark.implicits._
+    val rows = Seq(
+      // group A: 4 rows, all share sensitive value 1 → homogeneity leak
+      ("A", 1L), ("A", 1L), ("A", 1L), ("A", 1L),
+      // group B: 4 rows, 3 distinct sensitive values → l=3 diverse
+      ("B", 1L), ("B", 2L), ("B", 3L), ("B", 1L)).toDF("qi", "s")
+    val out = graft.operators.Validation.lDiversity(rows, Seq("qi"), "s", l = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("A") === ((4L, 1L, 0L)), "k-anonymous yet zero diversity")
+    assert(out("B") === ((4L, 3L, 1L)))
+  }
 }

@@ -110,6 +110,57 @@ class ZoneMapSpec extends SparkSpec {
     assert(ex.getMessage.contains("stale"))
   }
 
+  test("appendBuild: only new files are statted, gate passes, results ≡ full scan") {
+    val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_extendedprice")
+    val dataDir = tmp("graft_ab_data")
+    val manifestDir = tmp("graft_ab_mf")
+    li.repartitionByRange(4, col("l_extendedprice")).write.mode("overwrite").parquet(dataDir)
+    ZoneMaps.build(spark, dataDir, manifestDir, Seq("l_extendedprice"))
+    val before = spark.read.parquet(dataDir).inputFiles.toSet
+    // micro-batch append lands two new files
+    li.limit(50).repartition(2).write.mode("append").parquet(dataDir)
+    val added = spark.read.parquet(dataDir).inputFiles.toSet.diff(before)
+    assert(added.size === 2)
+    // no-op first: nothing fresh before the gate would complain
+    val fresh = ZoneMaps.appendBuild(spark, dataDir, manifestDir, Seq("l_extendedprice"))
+    assert(fresh.toSet === added, "exactly the appended files get statted")
+    assert(ZoneMaps.appendBuild(spark, dataDir, manifestDir, Seq("l_extendedprice")).isEmpty,
+      "idempotent: second call finds nothing fresh")
+    val (pruned, _) = ZoneMaps.prunedRead(spark, dataDir, manifestDir,
+      "l_extendedprice", 0.0, 1e9)
+    val full = spark.read.parquet(dataDir)
+    assert(pruned.count() === full.count(), "freshness gate passes and no row is lost")
+  }
+
+  test("appendBuildBloom: a key that exists ONLY in the appended file is found") {
+    val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_quantity")
+    val dataDir = tmp("graft_abb_data")
+    val manifestDir = tmp("graft_abb_mf")
+    li.filter(col("l_orderkey") =!= 1L)
+      .repartitionByRange(4, col("l_orderkey")).write.mode("overwrite").parquet(dataDir)
+    ZoneMaps.buildBloom(spark, dataDir, manifestDir, "l_orderkey")
+    li.filter(col("l_orderkey") === 1L).coalesce(1).write.mode("append").parquet(dataDir)
+    val fresh = ZoneMaps.appendBuildBloom(spark, dataDir, manifestDir, "l_orderkey")
+    assert(fresh.size === 1)
+    val (hit, files) = ZoneMaps.bloomPrunedRead(spark, dataDir, manifestDir, "l_orderkey", 1L)
+    assert(hit.count() === li.filter(col("l_orderkey") === 1L).count() && hit.count() > 0)
+    assert(files.exists(fresh.contains), "the appended file must be selected")
+  }
+
+  test("appendBuild refuses a vanished covered file (compaction needs a rebuild)") {
+    val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_quantity")
+    val dataDir = tmp("graft_abv_data")
+    val manifestDir = tmp("graft_abv_mf")
+    li.repartition(3, col("l_orderkey")).write.mode("overwrite").parquet(dataDir)
+    ZoneMaps.build(spark, dataDir, manifestDir, Seq("l_quantity"))
+    val victim = spark.read.parquet(dataDir).inputFiles.head
+    Files.delete(java.nio.file.Paths.get(new java.net.URI(victim)))
+    val ex = intercept[IllegalArgumentException] {
+      ZoneMaps.appendBuild(spark, dataDir, manifestDir, Seq("l_quantity"))
+    }
+    assert(ex.getMessage.contains("append-only"))
+  }
+
   test("time travel: runs list chronologically, old versions stay readable, vacuum keeps newest N") {
     import graft.etl.{Sink, TimeTravel}
     val root = tmp("graft_tt_root")
