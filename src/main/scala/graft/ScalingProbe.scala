@@ -715,6 +715,14 @@ object ScalingProbe {
       Similarity.multiProbeLshTopK(bqEmb, nQueries = 10, k = 5).count())
     time("brute_force_topk_2M")(
       Similarity.bruteForceTopK(bqEmb, nQueries = 10, k = 5).count())
+    // At 10 queries fixed corpus passes (mean agg + encode) dominate all
+    // three rows; the approximate paths' edge is per-QUERY cost. 200
+    // queries: brute force would be 400M windowed cosines (the 756s ADC
+    // regime — not run); the surrogate scans stay corpus-pass-bounded.
+    time("binary_quant_topk_2M_200q")(
+      Similarity.binaryQuantTopK(bqEmb, nQueries = 200, k = 5).count())
+    time("multiprobe_lsh_topk_2M_200q")(
+      Similarity.multiProbeLshTopK(bqEmb, nQueries = 200, k = 5).count())
     bqEmb.unpersist(blocking = true)
 
     // ---- KMV sketch rollup at 10M events: the day pass dominates; the

@@ -1927,6 +1927,11 @@ object SparkEntry {
     // length, distinct stop words, symbol ratio) + the conjunction.
     "t39_gopher_rules" -> ((s, d) =>
       TextAnalysis.gopherRules(Tables.documents(s, d))),
+    // WordPiece-style greedy longest-match encode against an in-plan
+    // vocab (all corpus chars + top-16 words) — the BERT inference rule,
+    // distinct from BPE's merge-rank apply (t36).
+    "t40_wordpiece" -> ((s, d) =>
+      TextAnalysis.wordpieceEncode(Tables.documents(s, d))),
     // l-diversity: the homogeneity-attack audit k-anonymity misses —
     // sensitive attribute = account-balance band.
     "v4_l_diversity" -> ((s, d) =>
@@ -3321,6 +3326,14 @@ object SparkEntry {
     // canonical entity per cluster — the record-linkage composition
     // (f1's candidate machinery + d7's clustering) a dedup/master-data
     // pipeline runs over name-keyed records.
+    // Blocking-quality audit on the er1 slice: empirical pair
+    // completeness (the SymSpell full-recall claim, hash-checked) +
+    // reduction ratio vs the C(n,2) pair space. The O(n²) truth join is
+    // capped at the fixed er1 slice by construction.
+    "er8_blocking_audit" -> ((s, d) =>
+      FuzzyJoin.blockingAudit(
+        Tables.customer(s, d).filter(col("c_custkey") <= 1500)
+          .select(col("c_custkey").as("id"), col("c_name").as("s")))),
     "er1_entity_resolution" -> ((s, d) => {
       // Fixed absolute record cap: the ORACLE is the brute-force pair
       // join (O(n²) levenshtein by design — the conformance twin), so the
@@ -4027,6 +4040,33 @@ object SparkEntry {
         |       pass_words, pass_mwl, pass_stop, pass_symbols,
         |       CAST(pass_words * pass_mwl * pass_stop * pass_symbols AS BIGINT) AS kept
         |FROM f""".stripMargin,
+    // WordPiece replay: same in-plan vocab (distinct chars ∪ top-16 words
+    // by (cnt DESC, word)), greedy longest-match as a recursive CTE whose
+    // step consumes max(len(piece)) over prefix-matching pieces; per-doc
+    // token counts through the word-table join (never re-segmenting).
+    "t40_wordpiece" ->
+      """WITH RECURSIVE dw AS (SELECT doc_id, word
+        |      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS word
+        |            FROM documents)
+        |      WHERE len(word) > 0),
+        |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM dw GROUP BY word),
+        |topw AS (SELECT word AS piece FROM wc WHERE len(word) >= 2
+        |         ORDER BY cnt DESC, word LIMIT 16),
+        |chars AS (SELECT DISTINCT substr(word, i, 1) AS piece
+        |          FROM wc, LATERAL (SELECT unnest(generate_series(1, len(word))) AS i) g),
+        |vocab AS (SELECT piece FROM topw UNION SELECT piece FROM chars),
+        |seg AS (SELECT word, word AS rest, CAST(0 AS BIGINT) AS n_sym FROM wc
+        |        UNION ALL
+        |        SELECT s.word,
+        |               substr(s.rest, 1 + (SELECT max(len(v.piece)) FROM vocab v
+        |                                   WHERE substr(s.rest, 1, len(v.piece)) = v.piece)),
+        |               s.n_sym + 1
+        |        FROM seg s WHERE len(s.rest) > 0),
+        |wt AS (SELECT word, max(n_sym) AS n_sym FROM seg WHERE len(rest) = 0 GROUP BY word)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(n_sym) AS BIGINT) AS n_tokens
+        |FROM dw JOIN wt USING (word)
+        |GROUP BY doc_id""".stripMargin,
     // l-diversity replay: one grouped count + distinct over the same
     // floored balance band.
     "v4_l_diversity" ->
@@ -4684,6 +4724,32 @@ object SparkEntry {
     // Oracle = exact all-pairs levenshtein, paired by ID (mirrors the
     // operator on ANY input — an equal-name pair under distinct ids still
     // appears, as dist 0 — not just on the unique-name fixture).
+    // Blocking-audit replay: the deletion-neighborhood candidates rebuilt
+    // in SQL (self ∪ single deletions, distinct per row), recheck +
+    // brute-force truth, integer metrics.
+    "er8_blocking_audit" ->
+      """WITH cu AS MATERIALIZED (
+        |  SELECT c_custkey AS id, c_name AS s FROM customer WHERE c_custkey <= 1500),
+        |vl AS (SELECT id, unnest(list_distinct(list_prepend(s,
+        |         list_transform(generate_series(1, len(s)),
+        |                        i -> substr(s, 1, i - 1) || substr(s, i + 1))))) AS v
+        |       FROM cu),
+        |cand AS (SELECT DISTINCT a.id AS ida, b.id AS idb
+        |         FROM vl a JOIN vl b ON a.v = b.v AND a.id < b.id),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_verified
+        |       FROM cand JOIN cu a ON a.id = cand.ida JOIN cu b ON b.id = cand.idb
+        |       WHERE levenshtein(a.s, b.s) <= 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth
+        |       FROM cu a JOIN cu b ON a.id < b.id WHERE levenshtein(a.s, b.s) <= 1),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM cu)
+        |SELECT n_records,
+        |       CAST(n_records * (n_records - 1) // 2 AS BIGINT) AS n_possible,
+        |       n_cand, n_verified, n_truth,
+        |       CAST(CASE WHEN n_truth = 0 THEN 10000
+        |                 ELSE n_verified * 10000 // n_truth END AS BIGINT) AS recall_bp,
+        |       CAST(10000 - n_cand * 10000 // (n_records * (n_records - 1) // 2) AS BIGINT) AS reduction_bp
+        |FROM nr, nc, nv, nt""".stripMargin,
     "f1_fuzzy_join" ->
       """SELECT least(a.c_name, b.c_name) AS name_a,
         |       greatest(a.c_name, b.c_name) AS name_b,

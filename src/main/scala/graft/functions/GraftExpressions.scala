@@ -553,6 +553,42 @@ object GraftExprs {
     new GenericArrayData(out)
   }
 
+  /** Greedy longest-match-first segmentation count (WordPiece inference,
+    * Wu et al. arXiv:1609.08144 §4.1): from the left, repeatedly consume
+    * the LONGEST vocabulary piece prefixing the remainder; a position no
+    * piece covers consumes one char as UNK. Returns the token count.
+    * Deterministic for any vocabulary; when the vocab contains every
+    * single character (the caller's construction) the UNK branch is
+    * unreachable, which is what lets a SQL oracle replay the recursion
+    * without the UNK rule. */
+  def greedySegCount(word: UTF8String, pieces: ArrayData): Long = {
+    val w = word.toString
+    val n = pieces.numElements()
+    val set = new java.util.HashSet[String](n * 2)
+    var maxLen = 1
+    var i = 0
+    while (i < n) {
+      val p = pieces.getUTF8String(i).toString
+      set.add(p)
+      if (p.length > maxLen) maxLen = p.length
+      i += 1
+    }
+    var pos = 0
+    var tokens = 0L
+    while (pos < w.length) {
+      var l = math.min(maxLen, w.length - pos)
+      var matched = 1 // UNK fallback: consume one char
+      var found = false
+      while (l >= 1 && !found) {
+        if (set.contains(w.substring(pos, pos + l))) { matched = l; found = true }
+        l -= 1
+      }
+      pos += matched
+      tokens += 1L
+    }
+    tokens
+  }
+
   /** Hamming distance between two packed sign-bit codes: Σ popcount(a⊕b)
     * over the word arrays (array<bigint> × array<bigint> → bigint). */
   def hammingWords(a: ArrayData, b: ArrayData): Long = {
@@ -678,6 +714,18 @@ case class SignPackExpr(left: Expression, right: Expression) extends BinaryExpre
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftExprs.signPack($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SignPackExpr =
+    copy(left = l, right = r)
+}
+
+/** Greedy longest-match segmentation count: (string, array<string>) →
+  * bigint ([[GraftExprs.greedySegCount]]). */
+case class GreedySegCountExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftExprs.greedySegCount(a.asInstanceOf[UTF8String], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftExprs.greedySegCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GreedySegCountExpr =
     copy(left = l, right = r)
 }
 
@@ -864,6 +912,8 @@ object GraftColumns {
     ColumnBridge.column(DotLongExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def signPack(e: Column, m: Column): Column =
     ColumnBridge.column(SignPackExpr(ColumnBridge.expression(e), ColumnBridge.expression(m)))
+  def greedySegCount(word: Column, pieces: Column): Column =
+    ColumnBridge.column(GreedySegCountExpr(ColumnBridge.expression(word), ColumnBridge.expression(pieces)))
   def hammingWords(a: Column, b: Column): Column =
     ColumnBridge.column(HammingWordsExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

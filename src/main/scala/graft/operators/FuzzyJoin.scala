@@ -369,18 +369,62 @@ object FuzzyJoin {
       maxDist: Int,
       dist: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): DataFrame = {
     val base = strs.select(col(idCol).as("__id"), col(strCol).as("__s"))
-    val variants = base.select(
-      col("__id"), explode(variantArrN(col("__s"), maxDist)).as("__v"))
-    val cands = variants.as("a").hint("shuffle_hash")
-      .join(variants.as("b").hint("shuffle_hash"),
-        col("a.__v") === col("b.__v") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("__ida"), col("b.__id").as("__idb"))
-      .distinct()
-    cands
+    candidateIdPairs(base, maxDist)
       .join(base.select(col("__id").as("__ida"), col("__s").as("__sa")), Seq("__ida"))
       .join(base.select(col("__id").as("__idb"), col("__s").as("__sb")), Seq("__idb"))
       .withColumn("dist", dist(col("__sa"), col("__sb")))
       .filter(col("dist") <= maxDist)
       .select(col("__ida").as("id_a"), col("__idb").as("id_b"), col("dist"))
+  }
+
+  /** The blocked candidate pair ids (pre-recheck): distinct
+    * variant-equi-join pairs over depth-`maxDist` deletion neighborhoods,
+    * shuffle_hash pinned (Σ bucket² output — CLAUDE.md bucket-join rule).
+    * `base` must carry (__id, __s). */
+  private def candidateIdPairs(base: DataFrame, maxDist: Int): DataFrame = {
+    val variants = base.select(
+      col("__id"), explode(variantArrN(col("__s"), maxDist)).as("__v"))
+    variants.as("a").hint("shuffle_hash")
+      .join(variants.as("b").hint("shuffle_hash"),
+        col("a.__v") === col("b.__v") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("__ida"), col("b.__id").as("__idb"))
+      .distinct()
+  }
+
+  /** Blocking-quality audit — the ER analog of d14's LSH recall eval:
+    * MEASURE the blocker's two claims on a verification-grade slice
+    * instead of trusting the theorem. Pair completeness (recall of the
+    * blocked-then-rechecked pairs vs brute-force truth — the SymSpell
+    * guarantee says 10000 bp, and this row makes that an empirical,
+    * hash-checked statement) and reduction ratio (how much of the C(n,2)
+    * pair space the blocker never materializes — the entire point of
+    * blocking). The brute-force truth join is O(n²) BY DESIGN — callers
+    * cap the slice at a fixed ABSOLUTE size (er1's convention) so the
+    * audit's cost is SF-invariant; the blocker itself runs uncapped in
+    * production paths. One row: (n_records, n_possible, n_cand,
+    * n_verified, n_truth, recall_bp, reduction_bp) — all BIGINT. */
+  def blockingAudit(strs: DataFrame, idCol: String = "id",
+      strCol: String = "s", maxDist: Int = 1): DataFrame = {
+    val base = strs.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    val cands = candidateIdPairs(base, maxDist)
+    val nCand = cands.groupBy().agg(count(lit(1)).as("n_cand"))
+    val nVerified = cands
+      .join(base.select(col("__id").as("__ida"), col("__s").as("__sa")), Seq("__ida"))
+      .join(base.select(col("__id").as("__idb"), col("__s").as("__sb")), Seq("__idb"))
+      .filter(levenshtein(col("__sa"), col("__sb")) <= maxDist)
+      .groupBy().agg(count(lit(1)).as("n_verified"))
+    val nTruth = base.as("a")
+      .join(base.as("b"), col("a.__id") < col("b.__id"))
+      .filter(levenshtein(col("a.__s"), col("b.__s")) <= maxDist)
+      .groupBy().agg(count(lit(1)).as("n_truth"))
+    val nRec = base.groupBy().agg(count(lit(1)).as("n_records"))
+    broadcast(nRec).crossJoin(broadcast(nCand))
+      .crossJoin(broadcast(nVerified)).crossJoin(broadcast(nTruth))
+      .withColumn("n_possible", expr("n_records * (n_records - 1L) div 2L"))
+      .select(col("n_records"), col("n_possible"), col("n_cand"),
+        col("n_verified"), col("n_truth"),
+        expr("CASE WHEN n_truth = 0L THEN 10000L " +
+          "ELSE n_verified * 10000L div n_truth END").as("recall_bp"),
+        expr("10000L - n_cand * 10000L div n_possible").as("reduction_bp"))
   }
 }

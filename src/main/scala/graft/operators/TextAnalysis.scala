@@ -153,6 +153,48 @@ object TextAnalysis {
           col("pass_symbols")).as("kept"))
   }
 
+  /** WordPiece-style corpus encode (Wu et al., arXiv:1609.08144 §4.1 —
+    * greedy longest-match-first inference, the segmentation rule BERT's
+    * tokenizer ships; deliberately DIFFERENT from BPE's merge-rank-order
+    * apply in [[bpeApply]], the known BPE-vs-WordPiece inference gap):
+    * the vocabulary is derived IN-PLAN — every single character of the
+    * corpus (so segmentation is total and the UNK rule is unreachable)
+    * plus the `topPieces` most frequent multi-char words under the
+    * (count DESC, word) total order — then each DISTINCT word is
+    * segmented once by the codegen greedy matcher
+    * ([[graft.functions.GraftExprs.greedySegCount]]) and docs aggregate
+    * token counts through a word-table join, never re-segmenting text
+    * (the t36 discipline). Frequent words ride as single tokens; rare
+    * words spell out — subword behavior visible in the counts.
+    *
+    * Scale shape: one corpus pass to the word table; the vocab is a
+    * one-row broadcast array (no construct-time scan — the t19
+    * discipline); segmentation cost is word-TABLE-sized.
+    * Output: (doc_id, n_words, n_tokens). */
+  def wordpieceEncode(docs: DataFrame, topPieces: Int = 16): DataFrame = {
+    val dw = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    val wc = dw.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val topw = wc.filter(length(col("word")) >= 2)
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(topPieces)
+      .select(col("word").as("piece"))
+    val chars = wc.select(explode(
+        expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))"))
+        .as("piece"))
+      .distinct()
+    val vocabArr = topw.union(chars).distinct()
+      .groupBy().agg(array_sort(collect_list(col("piece"))).as("pieces"))
+    val wt = wc.crossJoin(broadcast(vocabArr))
+      .select(col("word"),
+        graft.functions.GraftColumns.greedySegCount(col("word"), col("pieces"))
+          .as("n_sym"))
+    dw.join(wt, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_tokens"))
+  }
+
   /** Marker-word profiles for the language-ID heuristic. Real pipelines use
     * character-n-gram models; over the synthetic fixture vocabulary a
     * marker-word vote with a deterministic precedence order (en > de > fr >

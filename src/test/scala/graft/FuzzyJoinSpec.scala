@@ -310,5 +310,15 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(replay === r1 && r1 === Set((1L, 2L)))
   }
 
+  test("blockingAudit: hand-computed candidates, full recall, reduction ratio") {
+    import spark.implicits._
+    // truth (dist ≤ 1): abc-abd (sub), abc-abcd (ins c), abd-abcd (ins c)
+    // — all three also blocked (shared variants); xyz blocks with nobody.
+    // n_cand 3 of C(4,2)=6 → reduction 5000 bp, recall 10000 bp.
+    val strs = Seq((1L, "abc"), (2L, "abd"), (3L, "xyz"), (4L, "abcd")).toDF("id", "s")
+    val r = graft.operators.FuzzyJoin.blockingAudit(strs).head()
+    assert(r.toSeq === Seq(4L, 6L, 3L, 3L, 3L, 10000L, 5000L))
+  }
+
   private def Tables = graft.sources.Tables
 }

@@ -510,6 +510,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(repart === out)
   }
 
+  test("greedySegCount: longest-match-first, UNK advances one char") {
+    import graft.functions.GraftColumns
+    val df = Seq(
+      ("abcab", Seq("ab", "abc", "c", "a", "b")), // [abc][ab] = 2
+      ("cab", Seq("ab", "abc", "c", "a", "b")),   // [c][ab]  = 2, not [c][a][b]
+      ("xay", Seq("a")))                          // UNK x, [a], UNK y = 3
+      .toDF("w", "p")
+    val out = df.select(col("w"), GraftColumns.greedySegCount(col("w"), col("p")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("abcab" -> 2L, "cab" -> 2L, "xay" -> 3L))
+  }
+
+  test("wordpieceEncode: frequent words ride whole, rare words spell out") {
+    // "alpha" appears 3x (top piece); "zq" once (not top-1, spells out)
+    val docs = Seq(
+      (1L, "alpha alpha"), (2L, "alpha zq")).toDF("doc_id", "text")
+    val out = TextAnalysis.wordpieceEncode(docs, topPieces = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((2L, 2L)), "two whole-piece words")
+    assert(out(2L) === ((2L, 3L)), "alpha=1 token, zq=2 chars")
+  }
+
   test("gopherRules: each rule fires independently on a planted violator") {
     val fifty = Seq.fill(48)("foxtrot").mkString(" ") // 48 alphabetic filler words
     val docs = Seq(
