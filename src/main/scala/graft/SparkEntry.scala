@@ -1923,6 +1923,11 @@ object SparkEntry {
     "x30_join_cardinality" -> ((s, d) =>
       Profiling.joinCardinalityEstimate(
         Tables.lineitem(s, d), Tables.orders(s, d), "l_orderkey", "o_orderkey")),
+    // Histogram-sketch quantile rollup: weekly medians from merged
+    // per-day bin counts (error < bin width structurally), audited vs the
+    // exact order statistic.
+    "x31_histogram_rollup" -> ((s, d) =>
+      Profiling.histogramRollup(Tables.events(s, d), "ts", "value")),
     // Gopher-style per-rule quality verdicts (word count, mean word
     // length, distinct stop words, symbol ratio) + the conjunction.
     "t39_gopher_rules" -> ((s, d) =>
@@ -4040,6 +4045,34 @@ object SparkEntry {
         |       pass_words, pass_mwl, pass_stop, pass_symbols,
         |       CAST(pass_words * pass_mwl * pass_stop * pass_symbols AS BIGINT) AS kept
         |FROM f""".stripMargin,
+    // Histogram-rollup replay: day bin counts, additive week merge,
+    // cumulative-walk median bin, exact rank-⌊(n−1)/2⌋+1 order statistic.
+    "x31_histogram_rollup" ->
+      """WITH b AS (SELECT CAST(ts AS DATE) AS day,
+        |                  CAST(trunc(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |ds AS (SELECT day, cents // 1000 AS bin, CAST(count(*) AS BIGINT) AS n
+        |       FROM b GROUP BY 1, 2),
+        |wk AS (SELECT CAST(CAST(date_trunc('week', day) AS DATE) AS VARCHAR) AS week,
+        |              bin, CAST(sum(n) AS BIGINT) AS n
+        |       FROM ds GROUP BY 1, 2),
+        |wt AS (SELECT week, CAST(sum(n) AS BIGINT) AS n_week FROM wk GROUP BY 1),
+        |cum AS (SELECT week, bin, sum(n) OVER (PARTITION BY week ORDER BY bin) AS cum FROM wk),
+        |est AS (SELECT c.week, min(c.bin) AS med_bin
+        |        FROM cum c JOIN wt ON wt.week = c.week
+        |        WHERE c.cum >= (wt.n_week - 1) // 2 + 1
+        |        GROUP BY c.week),
+        |ex AS (SELECT week, cents,
+        |              row_number() OVER (PARTITION BY week ORDER BY cents) AS rn,
+        |              count(*) OVER (PARTITION BY week) AS cnt
+        |       FROM (SELECT CAST(CAST(date_trunc('week', day) AS DATE) AS VARCHAR) AS week, cents FROM b)),
+        |exm AS (SELECT week, CAST(cents AS BIGINT) AS exact_median_cents
+        |        FROM ex WHERE rn = (cnt - 1) // 2 + 1)
+        |SELECT est.week, wt.n_week, CAST(est.med_bin AS BIGINT) AS med_bin,
+        |       CAST(est.med_bin * 1000 AS BIGINT) AS est_median_cents,
+        |       exm.exact_median_cents,
+        |       CAST(exm.exact_median_cents - est.med_bin * 1000 AS BIGINT) AS err_cents
+        |FROM est JOIN wt ON wt.week = est.week JOIN exm ON exm.week = est.week""".stripMargin,
     // WordPiece replay: same in-plan vocab (distinct chars ∪ top-16 words
     // by (cnt DESC, word)), greedy longest-match as a recursive CTE whose
     // step consumes max(len(piece)) over prefix-matching pieces; per-doc

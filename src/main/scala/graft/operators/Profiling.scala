@@ -197,6 +197,52 @@ object Profiling {
           .as("err_bp"))
   }
 
+  /** Histogram-sketch QUANTILE rollup — [[kmvRollup]]'s sibling for order
+    * statistics: per-DAY fixed-width bin counts are the persisted sketch
+    * (mergeable by ADDITION — the one aggregate every engine can partial),
+    * week medians come from the merged histogram's cumulative walk, and
+    * the estimate's guarantee is structural: the chosen bin CONTAINS the
+    * exact rank-target value, so error < binCents by construction. The
+    * exact median rides along through the blessed
+    * [[Quantiles.groupedQuantileSelect]] path (rank ⌊q·(n−1)⌋+1 — never a
+    * per-group value buffer) as the audit. At 100 TB the rollup input is
+    * (days × bins) longs; only the audit touches raw data twice.
+    * Output: (week string, n_week, med_bin, est_median_cents,
+    * exact_median_cents, err_cents) — err_cents ∈ [0, binCents). */
+  def histogramRollup(df: DataFrame, tsCol: String, valueCol: String,
+      binCents: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(binCents > 0)
+    val base = df.select(to_date(col(tsCol)).as("day"),
+      (col(valueCol) * 100.0).cast("long").as("cents"))
+    // the persisted day sketch: (day, bin, n)
+    val daySk = base
+      .groupBy(col("day"), expr(s"cents div ${binCents}L").as("bin"))
+      .agg(count(lit(1)).as("n"))
+    // merge = add bin counts; weeks × bins rows from here on
+    val wk = daySk
+      .groupBy(to_date(date_trunc("week", col("day"))).cast("string").as("week"),
+        col("bin"))
+      .agg(sum(col("n")).as("n"))
+    val wTot = wk.groupBy(col("week")).agg(sum(col("n")).as("n_week"))
+    val cum = wk.withColumn("cum",
+      sum(col("n")).over(Window.partitionBy(col("week")).orderBy(col("bin"))))
+    val est = cum.join(wTot, Seq("week"))
+      .filter(col("cum") >= expr("(n_week - 1L) div 2L + 1L"))
+      .groupBy(col("week"), col("n_week"))
+      .agg(min(col("bin")).as("med_bin"))
+      .withColumn("est_median_cents", expr(s"med_bin * ${binCents}L"))
+    val exact = Quantiles.groupedQuantileSelect(
+        base.select(to_date(date_trunc("week", col("day"))).cast("string").as("week"),
+          col("cents")),
+        "week", "cents", Seq(0.5 -> "med"))
+      .select(col("week"), col("med").cast("long").as("exact_median_cents"))
+    est.join(exact, Seq("week"))
+      .select(col("week"), col("n_week"), col("med_bin"),
+        col("est_median_cents"), col("exact_median_cents"),
+        (col("exact_median_cents") - col("est_median_cents")).as("err_cents"))
+  }
+
   /** Join-cardinality PREFLIGHT — the planner estimate run as a query:
     * |A ⋈ B on key| ≈ n_A·n_B / max(d_A, d_B) (the textbook containment
     * assumption every cost-based optimizer starts from), with the distinct

@@ -123,6 +123,19 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getLong(4) === 12L && r.getLong(5) === 12L && r.getLong(6) === 0L)
   }
 
+  test("histogramRollup: merged day bins locate the exact median's bin; err < bin width") {
+    val rows = Seq(
+      ("2024-01-01 01:00:00", 1.00), ("2024-01-01 02:00:00", 25.00),
+      ("2024-01-02 01:00:00", 25.00), ("2024-01-02 02:00:00", 25.00),
+      ("2024-01-02 03:00:00", 99.00))
+      .toDF("ts", "value")
+      .select(col("ts").cast("timestamp").as("ts"), col("value"))
+    // cents sorted: 100, 2500, 2500, 2500, 9900; rank (5-1)/2+1=3 → 2500
+    val r = Profiling.histogramRollup(rows, "ts", "value").head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ===
+      ((5L, 2L, 2000L, 2500L, 500L)))
+  }
+
   test("kmvRollup: a week under k distinct reports exactly (n_kept == exact)") {
     val few = Seq(
       ("2024-01-01 00:00:00", "u1"), ("2024-01-02 00:00:00", "u2"),
