@@ -6,60 +6,41 @@ import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 import graft.sources.Tables
 
-/** Isolated ANN-LSH timing at 50× embeddings (builder tooling) — the full
-  * ScalingProbe's ambient JIT/GC context swings this workload ±40 s, so
-  * plan changes are judged here. */
+/** Focused ANN-serving probe (binary quantization / multi-probe LSH /
+  * brute force at 2M vectors) — the fast-iteration slice of
+  * [[ScalingProbe]]'s embedding section, so a serving-path change doesn't
+  * cost a full probe run to measure. Args: optional query counts
+  * (default 10 200). */
 object AnnProbe {
   def main(args: Array[String]): Unit = {
+    val sfDir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"[ann] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scale] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
-    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
-    val bigEmb = spark.range(50).select(col("id").as("rep"))
+    val qCounts = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(10, 200)
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val big = spark.range(1000).select(col("id").as("rep"))
       .crossJoin(emb)
       .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"), col("embedding"))
       .cache()
-    time("materialize")(bigEmb.count())
-    import graft.functions.{GraftColumns, VectorMath}
-    val withSig = bigEmb.select(
-      col("vec_id"), col("embedding"),
-      graft.functions.GraftColumns.hyperBucket(col("embedding"), 8).as("bucket"),
-      VectorMath.norm2(col("embedding")).as("nrm")).cache()
-    time("sig")(withSig.count())
-    println("[ann] top bucket sizes (uncentered):")
-    withSig.groupBy("bucket").count().orderBy(col("count").desc).limit(8).collect()
-      .foreach(r => println(s"[ann]   bucket ${r.getLong(0)} -> ${r.getLong(1)}"))
-    val meanDf = bigEmb
-      .agg(graft.functions.VectorSumAgg.vectorSum(col("embedding")).as("qsum"), count(lit(1)).as("n"))
-      .select(transform(col("qsum"),
-        v => v.cast("double") / (col("n").cast("double") * lit(graft.functions.VectorSumAgg.Scale))).as("__mean"))
-    println("[ann] top bucket sizes (centered):")
-    bigEmb.crossJoin(broadcast(meanDf))
-      .select(GraftColumns.hyperBucketC(col("embedding"), col("__mean"), 8).as("bucket"))
-      .groupBy("bucket").count().orderBy(col("count").desc).limit(8).collect()
-      .foreach(r => println(s"[ann]   bucket ${r.getLong(0)} -> ${r.getLong(1)}"))
-    val a = withSig.select(col("bucket"), col("vec_id").as("vec_a"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = withSig.select(col("bucket"), col("vec_id").as("vec_b"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    time("join_only") {
-      a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("bucket"))
-        .filter(col("vec_a") < col("vec_b")).count()
+    time("ann_probe_materialize_2M")(big.count())
+    qCounts.foreach { q =>
+      time(s"binary_quant_topk_2M_${q}q")(
+        Similarity.binaryQuantTopK(big, nQueries = q, k = 5).count())
+      time(s"multiprobe_lsh_topk_2M_${q}q")(
+        Similarity.multiProbeLshTopK(big, nQueries = q, k = 5).count())
     }
-    time("join_scored") {
-      a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("bucket"))
-        .filter(col("vec_a") < col("vec_b"))
-        .withColumn("cosine", VectorMath.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-        .filter(col("cosine") >= 0.9).count()
-    }
-    time("ann_lsh_full")(Similarity.lshNeighbors(bigEmb, threshold = 0.9).count())
+    big.unpersist(blocking = true)
     spark.stop()
   }
 }

@@ -1030,6 +1030,54 @@ object SparkEntry {
     // change set is key-unique, so the final snapshot is batching-
     // invariant; it's localCheckpointed before the staging dirs are
     // deleted so the returned frame owes nothing to the temp files.
+    // Observable late-data routing: three event files stream as three
+    // micro-batches (pinned mtimes); each batch routes against the
+    // watermark RECORDED after the previous batch (the engine's exact
+    // advancement rule, made visible) into late/ontime sinks instead of
+    // the silent drop. Every %3 slice spans the full month, so batches 1
+    // and 2 carry both verdict classes.
+    "q59_stream_late" -> ((s0, d) => {
+      val s = streamSession(s0)
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts"))
+      val srcDir = stagingDir("graft_q59_src")
+      val outRoot = stagingDir("graft_q59_out")
+      try {
+        (0 until 3).foreach { b =>
+          val tmpDir = s"$srcDir/stage$b"
+          ev.filter(col("event_id") % 3 === b)
+            .coalesce(1).write.mode("overwrite").parquet(tmpDir)
+          val part = new java.io.File(tmpDir).listFiles()
+            .filter(_.getName.startsWith("part-")).head
+          val dst = java.nio.file.Paths.get(srcDir.toString, s"batch-$b.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          dst.toFile.setLastModified(1700000000000L + b * 60000L)
+          deleteRecursively(java.nio.file.Paths.get(tmpDir))
+        }
+        val stream = s.readStream
+          .schema(s.read.parquet(s"$srcDir/batch-0.parquet").schema)
+          .option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "batch-*.parquet")
+          .parquet(srcDir.toString)
+        val q = graft.streaming.StreamingLateData.run(
+          stream, "ts", outRoot.toString, s"$outRoot/ckpt",
+          delayMs = 7L * 86400000L)
+        q.awaitTermination()
+        val late = s.read.parquet(s"$outRoot/late")
+          .select(col("ingest_batch").cast("long").as("ingest_batch"),
+            lit(1L).as("is_late"), col("event_id"))
+        val ontime = s.read.parquet(s"$outRoot/ontime")
+          .select(col("ingest_batch").cast("long").as("ingest_batch"),
+            lit(0L).as("is_late"), col("event_id"))
+        late.unionByName(ontime)
+          .groupBy(col("ingest_batch"))
+          .agg(
+            sum(col("is_late")).as("n_late"),
+            sum(lit(1L) - col("is_late")).as("n_ontime"),
+            sum(when(col("is_late") === 1L, col("event_id")).otherwise(0L))
+              .as("late_id_sum"))
+          .localCheckpoint(true)
+      } finally { deleteRecursively(srcDir); deleteRecursively(outRoot) }
+    }),
     "q48_stream_cdc_apply" -> ((s0, d) => {
       val s = streamSession(s0)
       val base = Tables.orders(s, d).select(
@@ -3712,6 +3760,22 @@ object SparkEntry {
         |SELECT make_timestamp(ws_us) AS ws, CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT) AS sv_cents
         |FROM w GROUP BY ws_us""".stripMargin,
+    // Late-router replay: batch = event_id % 3, watermark for batch b =
+    // running max of earlier batch maxima − 7 days (null → −2⁶³, the
+    // engine's initial watermark), per-batch verdict counts + late-id sum.
+    "q59_stream_late" ->
+      """WITH e AS (SELECT event_id, epoch_ms(ts) AS ms, event_id % 3 AS b FROM events),
+        |bm AS (SELECT b, max(ms) AS bmax FROM e GROUP BY b),
+        |wm AS (SELECT b, coalesce(max(bmax) OVER (ORDER BY b
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 604800000,
+        |                 -9223372036854775808) AS wm
+        |       FROM bm),
+        |r AS (SELECT e.event_id, e.ms, e.b, wm.wm FROM e JOIN wm ON wm.b = e.b)
+        |SELECT CAST(b AS BIGINT) AS ingest_batch,
+        |       CAST(sum(CASE WHEN ms < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |       CAST(sum(CASE WHEN ms >= wm THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime,
+        |       CAST(sum(CASE WHEN ms < wm THEN event_id ELSE 0 END) AS BIGINT) AS late_id_sum
+        |FROM r GROUP BY b""".stripMargin,
     // Stream-static enrichment replay: the same join + rollup, batch.
     "q50_stream_enrich" ->
       """SELECT c.c_mktsegment, e.event_type,

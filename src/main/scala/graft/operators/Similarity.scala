@@ -689,6 +689,12 @@ object Similarity {
         (lit(0L) - GraftColumns.hammingWords(col("qcode"), col("code")))
           .cast("double").as("score"),
         col("vec_id"))
+      // Nondeterministic fence: CollapseProject would otherwise fold the
+      // Hamming expression into the aggregate, where TypedImperative
+      // update() evaluates it INTERPRETED per candidate row (measured
+      // 126 s for 200 queries × 2M codes; fenced, the popcount stays in
+      // the codegen'd projection and the agg reads a bound double).
+      .withColumn("__pid", spark_partition_id())
       .groupBy(col("query_id"))
       .agg(TopKAgg.topK(col("score"), col("vec_id"), kCand).as("top"))
       .select(col("query_id"), explode(col("top")).as("c"))
