@@ -134,6 +134,17 @@ object SparkEntry {
     * cosine; consumers (`s3_ann_ivf`, `s17_retrieval_metrics`) apply
     * their own k cut and rounding. */
   private def sqlIvfRankedCtes: String =
+    s"""${sqlIvfProbedCtes},
+       |icand AS (SELECT query_id, a.vec_id, ${sqlCosine("qe", "a.embedding")} AS cosine
+       |          FROM ipr JOIN asg a ON ipr.cell = a.cell WHERE query_id <> a.vec_id),
+       |ivf_ranked AS (SELECT query_id, vec_id AS neighbor_id, cosine,
+       |                      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS "rank"
+       |               FROM icand)""".stripMargin
+
+  /** The IVF FRONT half of [[sqlIvfRankedCtes]] — ends in
+    * `asg(vec_id, embedding, cell)` and `ipr(query_id, qe, cell)` (the
+    * probed-cell table); s27 composes its binary-code tail on it. */
+  private def sqlIvfProbedCtes: String =
     s"""ibits AS (SELECT b, CAST(1 AS BIGINT) << b AS p2 FROM generate_series(0, 5) t(b)),
        |iproj AS (SELECT vec_id, b, p2,
        |                 ${sqlFoldSum(
@@ -156,12 +167,7 @@ object SparkEntry {
        |ipr AS (SELECT query_id, qe, cell FROM (
        |          SELECT query_id, qe, cell,
        |                 row_number() OVER (PARTITION BY query_id ORDER BY cell_sim DESC, cell) AS cr
-       |          FROM ics) WHERE cr <= 4),
-       |icand AS (SELECT query_id, a.vec_id, ${sqlCosine("qe", "a.embedding")} AS cosine
-       |          FROM ipr JOIN asg a ON ipr.cell = a.cell WHERE query_id <> a.vec_id),
-       |ivf_ranked AS (SELECT query_id, vec_id AS neighbor_id, cosine,
-       |                      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS "rank"
-       |               FROM icand)""".stripMargin
+       |          FROM ics) WHERE cr <= 4)""".stripMargin
 
   /** Gate round count for BPE training (t21/t22): big enough to exercise
     * the N-merge loop driver (per-round materialization + superseded-round
@@ -2953,6 +2959,11 @@ object SparkEntry {
     // full 64-dim metric — per-query overlap and recall in basis points.
     "s26_matryoshka" -> ((s, d) =>
       Similarity.matryoshkaAudit(Tables.embeddings(s, d))),
+    // IVF × binary quantization: cell pruning bounds WHICH vectors are
+    // touched, sign-bit codes bound WHAT each touch costs, exact rerank
+    // on the kCand survivors — the production serving composition.
+    "s27_ivf_binary" -> ((s, d) =>
+      Similarity.ivfBinaryTopK(Tables.embeddings(s, d))),
     // ---- multimodal (binary column plumbing; see operators.Multimodal) ----
     "m1_multimodal_meta" -> ((s, d) =>
       Multimodal.metadata(Tables.documents(s, d).select(
@@ -5786,6 +5797,33 @@ object SparkEntry {
          |       CAST(coalesce(ov.n_overlap, 0) * 10000 // 5 AS BIGINT) AS recall_bp
          |FROM (SELECT DISTINCT query_id FROM fq) q
          |LEFT JOIN ov ON ov.query_id = q.query_id""".stripMargin,
+    // IVF × binary replay: the s3 probe front composed with the s24
+    // sign-bit tail — Hamming cut inside probed cells, exact rerank.
+    "s27_ivf_binary" ->
+      s"""WITH $sqlIvfProbedCtes,
+         |${sqlQuantMeanCtes("TRUE")},
+         |sbq AS (SELECT vec_id, list_transform(generate_series(1, len(embedding)),
+         |                 i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > m[i] THEN 1 ELSE 0 END) AS sbits
+         |        FROM embeddings CROSS JOIN mlist),
+         |shp AS (SELECT ipr.query_id, a.vec_id AS neighbor_id,
+         |               CAST(len(list_filter(generate_series(1, len(qb.sbits)),
+         |                                    i -> qb.sbits[i] <> cb.sbits[i])) AS BIGINT) AS hamming
+         |        FROM ipr JOIN asg a ON ipr.cell = a.cell AND ipr.query_id <> a.vec_id
+         |                 JOIN sbq qb ON qb.vec_id = ipr.query_id
+         |                 JOIN sbq cb ON cb.vec_id = a.vec_id),
+         |scut AS (SELECT query_id, neighbor_id, hamming,
+         |                row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS cr
+         |         FROM shp),
+         |srr AS (SELECT s.query_id, s.neighbor_id, s.hamming,
+         |               ${sqlCosine("eq.embedding", "ec.embedding")} AS cosine
+         |        FROM scut s JOIN embeddings eq ON eq.vec_id = s.query_id
+         |                    JOIN embeddings ec ON ec.vec_id = s.neighbor_id
+         |        WHERE s.cr <= 25),
+         |sw AS (SELECT query_id, neighbor_id, hamming, cosine,
+         |              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
+         |       FROM srr)
+         |SELECT query_id, neighbor_id, hamming, round(cosine, 7) AS cosine, "rank"
+         |FROM sw WHERE "rank" <= 5""".stripMargin,
     // Multi-probe replay: the s2 signature chain, probe set = own bucket
     // plus the 8 one-bit-flip buckets, exact cosine rank within probed
     // buckets (each corpus vector lives in exactly one bucket, so no

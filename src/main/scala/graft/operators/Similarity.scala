@@ -127,6 +127,28 @@ object Similarity {
       k: Int = 5,
       cellBits: Int = 6,
       nProbe: Int = 4): DataFrame = {
+    val (assigned, probed) = ivfProbed(emb, nQueries, cellBits, nProbe)
+    // brute-force inside the probed cells only; probed is ≤ nQueries·nProbe
+    // rows → broadcast it so the corpus-side scan never shuffles.
+    val cand = broadcast(probed).join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", VectorMath.cosine(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 7).as("cosine"), col("rank"))
+  }
+
+  /** The shared IVF front half: cell-assigned corpus + the per-query
+    * probed-cell table (≤ nQueries·nProbe rows, broadcastable). Cells are
+    * the deterministic LSH buckets; centroids the quantized-integer cell
+    * means; queries keep the nProbe best cells under
+    * (centroid-cosine DESC, cell). */
+  private def ivfProbed(emb: DataFrame, nQueries: Int, cellBits: Int,
+      nProbe: Int): (DataFrame, DataFrame) = {
     val assigned = emb.select(
       col("vec_id"), col("embedding"), bucketOf(col("embedding"), cellBits).as("cell"))
     val centroids = assigned
@@ -140,7 +162,6 @@ object Similarity {
           .as("centroid"))
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    // rank cells per query by centroid cosine, keep nProbe
     val wCell = Window.partitionBy(col("query_id"))
       .orderBy(col("cell_sim").desc, col("cell"))
     val probed = broadcast(q)
@@ -151,17 +172,67 @@ object Similarity {
       .withColumn("cell_rank", row_number().over(wCell))
       .filter(col("cell_rank") <= nProbe)
       .select(col("query_id"), col("qe"), col("cell"))
-    // brute-force inside the probed cells only; probed is ≤ nQueries·nProbe
-    // rows → broadcast it so the corpus-side scan never shuffles.
-    val cand = broadcast(probed).join(assigned, Seq("cell"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cosine", VectorMath.cosine(col("qe"), col("embedding")))
+    (assigned, probed)
+  }
+
+  /** IVF × binary quantization — the production composition SCALING #69
+    * names: cell pruning bounds WHICH vectors are touched (nProbe of 2^
+    * cellBits cells — at scale the cells are `partitionBy` files and the
+    * probe prunes at file level, the s14 layout), binary codes bound WHAT
+    * each touch costs (a 16-byte popcount instead of a 256-byte float
+    * dot), and only the kCand Hamming survivors fetch full vectors for
+    * the exact rerank. Everything deterministic — the same cells as
+    * [[ivfTopK]], the same sign bits as [[binaryQuantTopK]] — so the SQL
+    * oracle composes the two replays verbatim.
+    * Output: (query_id, neighbor_id, hamming, cosine, rank). */
+  def ivfBinaryTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      cellBits: Int = 6, nProbe: Int = 4, kCand: Int = 25): DataFrame = {
+    import graft.functions.TopKAgg
+    val (assigned, probed) = ivfProbed(emb, nQueries, cellBits, nProbe)
+    val coded = assigned.crossJoin(broadcast(meanAggDf(emb)))
+      .select(col("vec_id"), col("cell"),
+        GraftColumns.signPack(col("embedding"), col("__mean")).as("code"))
+    val qCodes = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+    val probeCodes = probed.select(col("query_id"), col("cell"))
+      .join(qCodes, Seq("query_id"))
+    val cand = coded
+      .join(broadcast(probeCodes),
+        coded("cell") === probeCodes("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        (lit(0L) - GraftColumns.hammingWords(col("qcode"), col("code")))
+          .cast("double").as("score"),
+        col("vec_id"))
+      // the #69 fence: keep the popcount in the codegen'd projection
+      .withColumn("__pid", spark_partition_id())
+      .groupBy(col("query_id"))
+      .agg(TopKAgg.topK(col("score"), col("vec_id"), kCand).as("top"))
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c.id").as("neighbor_id"),
+        (lit(0L) - col("c.score")).cast("long").as("hamming"))
+    hammingRerank(cand, emb, nQueries, k)
+  }
+
+  /** Shared exact-rerank tail of the Hamming candidate paths: fetch full
+    * vectors for the (request-sized) candidate frame only, exact cosine,
+    * rank on the raw doubles, round the survivors. */
+  private def hammingRerank(cand: DataFrame, emb: DataFrame, nQueries: Int,
+      k: Int): DataFrame = {
+    val cFull = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), VectorMath.norm2(col("embedding")).as("cn"))
+    val qFull = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        VectorMath.norm2(col("embedding")).as("qn"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    cand
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(cand)
+      .join(cFull, Seq("neighbor_id"))
+      .join(broadcast(qFull), Seq("query_id"))
+      .withColumn("cosine",
+        VectorMath.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
         round(col("cosine"), 7).as("cosine"), col("rank"))
   }
 
@@ -700,22 +771,7 @@ object Similarity {
       .select(col("query_id"), explode(col("top")).as("c"))
       .select(col("query_id"), col("c.id").as("neighbor_id"),
         (lit(0L) - col("c.score")).cast("long").as("hamming"))
-    val cFull = emb.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("ce"), VectorMath.norm2(col("embedding")).as("cn"))
-    val qFull = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        VectorMath.norm2(col("embedding")).as("qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    broadcast(cand)
-      .join(cFull, Seq("neighbor_id"))
-      .join(broadcast(qFull), Seq("query_id"))
-      .withColumn("cosine",
-        VectorMath.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("hamming"),
-        round(col("cosine"), 7).as("cosine"), col("rank"))
+    hammingRerank(cand, emb, nQueries, k)
   }
 
   /** Multi-probe LSH top-k (Lv et al., VLDB'07): instead of adding hash

@@ -314,6 +314,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.groupBy("query_id").count().collect().forall(_.getLong(1) == 2L))
   }
 
+  test("ivfBinaryTopK: a positively-scaled twin shares cell AND code — rank 1, hamming 0") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val planted = emb.filter($"vec_id" < 3).select(
+      ($"vec_id" + 10000L).as("vec_id"),
+      zip_with($"embedding", $"embedding", (x, _) => x * lit(1.001f)).as("embedding"))
+    val out = Similarity.ivfBinaryTopK(emb.union(planted), nQueries = 3, k = 2)
+    val top1 = out.filter($"rank" === 1L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (0L until 3L).foreach { q =>
+      assert(top1(q) === ((q + 10000L, 0L)),
+        s"query $q: same-cell zero-hamming twin must rank 1")
+    }
+  }
+
   test("matryoshkaAudit: identity truncation → recall 10000; real truncation loses some") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val id = Similarity.matryoshkaAudit(emb, nQueries = 5, k = 3, dPrefix = 64).collect()
