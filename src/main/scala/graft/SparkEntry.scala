@@ -1982,6 +1982,11 @@ object SparkEntry {
     // exact order statistic.
     "x31_histogram_rollup" -> ((s, d) =>
       Profiling.histogramRollup(Tables.events(s, d), "ts", "value")),
+    // Classical additive decomposition: centered-MA trend, hour-of-day
+    // seasonal, residual — v = trend + seasonal + residual holds exactly
+    // (all floored integer means via the shifted-div trick).
+    "x32_seasonal_decompose" -> ((s, d) =>
+      Timeseries.seasonalDecompose(Tables.events(s, d))),
     // Gopher-style per-rule quality verdicts (word count, mean word
     // length, distinct stop words, symbol ratio) + the conjunction.
     "t39_gopher_rules" -> ((s, d) =>
@@ -4148,6 +4153,27 @@ object SparkEntry {
         |       exm.exact_median_cents,
         |       CAST(exm.exact_median_cents - est.med_bin * 1000 AS BIGINT) AS err_cents
         |FROM est JOIN wt ON wt.week = est.week JOIN exm ON exm.week = est.week""".stripMargin,
+    // Seasonal-decomposition replay: same hourly cents, same 24-row
+    // centered window, same shifted floored divisions.
+    "x32_seasonal_decompose" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |                  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, hour, v_cents,
+        |             count(*) OVER w AS w_n, sum(v_cents) OVER w AS w_sum
+        |      FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |                          ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+        |tr AS (SELECT event_type, hour, v_cents,
+        |              CAST((w_sum + 24 * CAST(1000000000 AS BIGINT)) // 24 - 1000000000 AS BIGINT) AS trend_cents,
+        |              CAST(hour(hour) % 24 AS BIGINT) AS hop
+        |       FROM t WHERE w_n = 24),
+        |se AS (SELECT event_type, hop,
+        |              CAST((sum(v_cents - trend_cents) + count(*) * CAST(1000000000 AS BIGINT)) // count(*)
+        |                   - 1000000000 AS BIGINT) AS seasonal_cents
+        |       FROM tr GROUP BY 1, 2)
+        |SELECT tr.event_type, tr.hour, tr.v_cents, tr.trend_cents, se.seasonal_cents,
+        |       CAST(tr.v_cents - tr.trend_cents - se.seasonal_cents AS BIGINT) AS residual_cents
+        |FROM tr JOIN se ON se.event_type = tr.event_type AND se.hop = tr.hop""".stripMargin,
     // WordPiece replay: same in-plan vocab (distinct chars ∪ top-16 words
     // by (cnt DESC, word)), greedy longest-match as a recursive CTE whose
     // step consumes max(len(piece)) over prefix-matching pieces; per-doc

@@ -214,6 +214,59 @@ object Timeseries {
         abs(col("a.cents") - col("f.cents")).as("abs_err_cents"))
   }
 
+  /** Additive seasonal decomposition (the classical decompose / STL-lite
+    * shape): per event-type hourly series → trend (centered `period`-wide
+    * moving average, full windows only), seasonal (per hour-of-period
+    * mean of the detrended series), residual — with the additive identity
+    * `v = trend + seasonal + residual` holding EXACTLY, because every
+    * mean is taken as a floored integer `div` on integer cents, identical
+    * in both engines (the x14 abs-before-div rule: detrended values can
+    * be negative, so the seasonal mean divides a shifted non-negative
+    * numerator and shifts back).
+    *
+    * Scale shape: one hourly aggregate (series-length-sized from there),
+    * one per-series window pass for the trend, one (type × period)
+    * aggregate for the seasonal — keys independent, no global window.
+    * Output: (event_type, hour, v_cents, trend_cents, seasonal_cents,
+    * residual_cents), warm-up/cool-down rows without a full window
+    * dropped. */
+  def seasonalDecompose(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts", valCol: String = "value",
+      period: Int = 24): DataFrame = {
+    require(period >= 2 && period % 2 == 0, s"even period required: $period")
+    val half = period / 2
+    val hourly = events
+      .groupBy(col(typeCol).as("event_type"),
+        date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(sum(floor(col(valCol) * 100).cast("long")).as("v_cents"))
+    val wTrend = Window.partitionBy(col("event_type"))
+      .orderBy(col("hour"))
+      .rowsBetween(-half, half - 1)
+    // centered MA over exactly `period` rows; count() guards the edges
+    val trended = hourly
+      .withColumn("w_n", count(lit(1)).over(wTrend))
+      .withColumn("w_sum", sum(col("v_cents")).over(wTrend))
+      .filter(col("w_n") === period)
+      // floored mean on a SHIFTED non-negative numerator (w_sum can be
+      // anything in general; shift by a large positive multiple of the
+      // divisor so div == floor division on both engines)
+      .withColumn("trend_cents",
+        expr(s"(w_sum + ${period}L * 1000000000L) div ${period}L - 1000000000L"))
+      .withColumn("detrended", col("v_cents") - col("trend_cents"))
+      .withColumn("hop", (hour(col("hour")) % period).cast("long"))
+    val seasonal = trended
+      .groupBy(col("event_type"), col("hop"))
+      .agg(sum(col("detrended")).as("s_sum"), count(lit(1)).as("s_n"))
+      .withColumn("seasonal_cents",
+        expr("(s_sum + s_n * 1000000000L) div s_n - 1000000000L"))
+      .select(col("event_type"), col("hop"), col("seasonal_cents"))
+    trended.join(seasonal, Seq("event_type", "hop"))
+      .select(col("event_type"), col("hour"), col("v_cents"),
+        col("trend_cents"), col("seasonal_cents"),
+        (col("v_cents") - col("trend_cents") - col("seasonal_cents"))
+          .as("residual_cents"))
+  }
+
   /** Event-type transition matrix — first-order Markov statistics over
     * per-key event sequences (the path-analysis primitive behind "what do
     * users do after X": next-step prediction features, funnel-drop

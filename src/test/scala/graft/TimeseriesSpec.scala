@@ -205,4 +205,31 @@ class TimeseriesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(out === Map("up" -> 3L, "down" -> -3L, "half" -> 0L))
   }
+
+  test("seasonalDecompose: constant series → trend = level, seasonal/residual 0; identity exact; edges dropped") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 72 hourly points at a constant $5.00 → 48 full-window rows
+    val rows = (0 until 72).map(h => (f"2024-01-01 00:00:00", h, 5.0))
+      .toDF("base", "h", "value")
+      .select(lit("t").as("event_type"),
+        (col("base").cast("timestamp").cast("long") + col("h") * 3600L)
+          .cast("timestamp").as("ts"),
+        col("value"))
+    val out = graft.operators.Timeseries.seasonalDecompose(rows).collect()
+    // rowsBetween(-12, 11): 12 leading + 11 trailing rows lack a full window
+    assert(out.length === 72 - 12 - 11, "half-window edges drop on both sides")
+    assert(out.forall(r => r.getLong(2) === 500L && r.getLong(3) === 500L &&
+      r.getLong(4) === 0L && r.getLong(5) === 0L))
+    // fixture: additive identity holds EXACTLY on real data, seasonal is a
+    // pure function of (type, hour-of-day)
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val d = graft.operators.Timeseries.seasonalDecompose(ev)
+    assert(d.filter(col("v_cents") =!=
+      col("trend_cents") + col("seasonal_cents") + col("residual_cents")).count() === 0L)
+    val perHop = d.select(col("event_type"), (hour(col("hour")) % 24).as("hop"),
+        col("seasonal_cents")).distinct()
+      .groupBy("event_type", "hop").count().filter(col("count") > 1L).count()
+    assert(perHop === 0L, "seasonal must be a pure function of (type, hop)")
+  }
 }
