@@ -3401,7 +3401,10 @@ object SparkEntry {
     // capped at the fixed er1 slice by construction.
     "er8_blocking_audit" -> ((s, d) =>
       FuzzyJoin.blockingAudit(
-        Tables.customer(s, d).filter(col("c_custkey") <= 1500)
+        // 800, not er1's 1500: the truth join is O(n^2) levenshtein and
+        // this row was the suite's slowest at 1500 (7.96 s) — 800 keeps
+        // every metric class live at ~28% of the pair count.
+        Tables.customer(s, d).filter(col("c_custkey") <= 800)
           .select(col("c_custkey").as("id"), col("c_name").as("s")))),
     "er1_entity_resolution" -> ((s, d) => {
       // Fixed absolute record cap: the ORACLE is the brute-force pair
@@ -4863,7 +4866,7 @@ object SparkEntry {
     // brute-force truth, integer metrics.
     "er8_blocking_audit" ->
       """WITH cu AS MATERIALIZED (
-        |  SELECT c_custkey AS id, c_name AS s FROM customer WHERE c_custkey <= 1500),
+        |  SELECT c_custkey AS id, c_name AS s FROM customer WHERE c_custkey <= 800),
         |vl AS (SELECT id, unnest(list_distinct(list_prepend(s,
         |         list_transform(generate_series(1, len(s)),
         |                        i -> substr(s, 1, i - 1) || substr(s, i + 1))))) AS v
