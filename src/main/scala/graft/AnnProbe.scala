@@ -39,6 +39,8 @@ object AnnProbe {
         Similarity.binaryQuantTopK(big, nQueries = q, k = 5).count())
       time(s"multiprobe_lsh_topk_2M_${q}q")(
         Similarity.multiProbeLshTopK(big, nQueries = q, k = 5).count())
+      time(s"ivf_binary_topk_2M_${q}q")(
+        Similarity.ivfBinaryTopK(big, nQueries = q, k = 5).count())
     }
     big.unpersist(blocking = true)
     spark.stop()

@@ -1987,6 +1987,14 @@ object SparkEntry {
     // (all floored integer means via the shifted-div trick).
     "x32_seasonal_decompose" -> ((s, d) =>
       Timeseries.seasonalDecompose(Tables.events(s, d))),
+    // Two-sample KS drift between event-type value distributions: exact
+    // cross-multiplied-rank max gap, reported in basis points.
+    "x33_ks_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Profiling.ksDrift(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"), "value")
+    }),
     // Gopher-style per-rule quality verdicts (word count, mean word
     // length, distinct stop words, symbol ratio) + the conjunction.
     "t39_gopher_rules" -> ((s, d) =>
@@ -4156,6 +4164,26 @@ object SparkEntry {
         |       exm.exact_median_cents,
         |       CAST(exm.exact_median_cents - est.med_bin * 1000 AS BIGINT) AS err_cents
         |FROM est JOIN wt ON wt.week = est.week JOIN exm ON exm.week = est.week""".stripMargin,
+    // KS-drift replay: per-bin counts, full-outer merged support, running
+    // cross-multiplied ranks, integer max gap.
+    "x33_ks_drift" ->
+      """WITH a AS (SELECT CAST(trunc(value * 100) AS BIGINT) AS bin FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT CAST(trunc(value * 100) AS BIGINT) AS bin FROM events WHERE event_type = 'click'),
+        |m AS (SELECT coalesce(a2.bin, b2.bin) AS bin,
+        |             coalesce(na_v, 0) AS na_v, coalesce(nb_v, 0) AS nb_v
+        |      FROM (SELECT bin, CAST(count(*) AS BIGINT) AS na_v FROM a GROUP BY bin) a2
+        |      FULL OUTER JOIN (SELECT bin, CAST(count(*) AS BIGINT) AS nb_v FROM b GROUP BY bin) b2
+        |        USING (bin)),
+        |t AS (SELECT CAST(sum(na_v) AS BIGINT) AS n_a, CAST(sum(nb_v) AS BIGINT) AS n_b FROM m),
+        |wlk AS (SELECT CAST(sum(na_v) OVER (ORDER BY bin) AS BIGINT) AS ia,
+        |               CAST(sum(nb_v) OVER (ORDER BY bin) AS BIGINT) AS ib
+        |        FROM m),
+        |g AS (SELECT t.n_a, t.n_b,
+        |             CAST(max(abs(ia * t.n_b - ib * t.n_a)) AS BIGINT) AS d_num
+        |      FROM wlk CROSS JOIN t GROUP BY t.n_a, t.n_b)
+        |SELECT n_a, n_b, d_num,
+        |       CAST(d_num * 10000 // (n_a * n_b) AS BIGINT) AS ks_x10000
+        |FROM g""".stripMargin,
     // Seasonal-decomposition replay: same hourly cents, same 24-row
     // centered window, same shifted floored divisions.
     "x32_seasonal_decompose" ->

@@ -243,6 +243,45 @@ object Profiling {
         (col("exact_median_cents") - col("est_median_cents")).as("err_cents"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic — the numeric-column
+    * sibling of t18's token drift (the DQ monitor that catches "this
+    * week's values are distributed differently" before a model does):
+    * D = max |ECDF_A − ECDF_B| over the merged support, computed as the
+    * EXACT integer max |i_A·n_B − i_B·n_A| (cross-multiplied ranks — no
+    * double CDF anywhere) and reported ×10⁴ via `div`. Values are
+    * compared at `binCents` granularity; the default 1 is exact, and at
+    * 100 TB a coarser bin keeps the distinct-support walk bounded (the
+    * running sums ride ONE unpartitioned window over DISTINCT bins —
+    * that cardinality, not the row count, must stay sane; bin for
+    * continuous metrics). Output one row: (n_a, n_b, d_num, ks_x10000).
+    */
+  def ksDrift(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+      binCents: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(binCents > 0)
+    val bin = (df: DataFrame) => df
+      .select(expr(s"CAST($valueCol * 100 AS BIGINT) div ${binCents}L").as("bin"))
+    val counts = bin(dfA).groupBy(col("bin")).agg(count(lit(1)).as("na_v"))
+      .join(bin(dfB).groupBy(col("bin")).agg(count(lit(1)).as("nb_v")),
+        Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("na_v"), lit(0L)).as("na_v"),
+        coalesce(col("nb_v"), lit(0L)).as("nb_v"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walk = counts
+      .withColumn("ia", sum(col("na_v")).over(w))
+      .withColumn("ib", sum(col("nb_v")).over(w))
+    val totals = counts.groupBy().agg(
+      sum(col("na_v")).as("n_a"), sum(col("nb_v")).as("n_b"))
+    walk.crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"),
+        abs(col("ia") * col("n_b") - col("ib") * col("n_a")).as("gap"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("gap")).as("d_num"))
+      .withColumn("ks_x10000", expr("d_num * 10000L div (n_a * n_b)"))
+  }
+
   /** Join-cardinality PREFLIGHT — the planner estimate run as a query:
     * |A ⋈ B on key| ≈ n_A·n_B / max(d_A, d_B) (the textbook containment
     * assumption every cost-based optimizer starts from), with the distinct

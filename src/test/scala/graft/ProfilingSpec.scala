@@ -123,6 +123,19 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getLong(4) === 12L && r.getLong(5) === 12L && r.getLong(6) === 0L)
   }
 
+  test("ksDrift: disjoint supports → D = 10000; identical samples → 0; hand-computed shift") {
+    val a = Seq(0.01, 0.02, 0.03).map(Tuple1(_)).toDF("value")
+    val b = Seq(0.11, 0.12, 0.13).map(Tuple1(_)).toDF("value")
+    val dj = Profiling.ksDrift(a, b, "value").head()
+    assert((dj.getLong(0), dj.getLong(1), dj.getLong(3)) === ((3L, 3L, 10000L)))
+    assert(Profiling.ksDrift(a, a, "value").head().getLong(3) === 0L)
+    // A = {1,2}, B = {2,3} cents: max gap at bin 1 → |1·2 − 0·2| = 2 of 4
+    val a2 = Seq(0.01, 0.02).map(Tuple1(_)).toDF("value")
+    val b2 = Seq(0.02, 0.03).map(Tuple1(_)).toDF("value")
+    val r = Profiling.ksDrift(a2, b2, "value").head()
+    assert(r.getLong(2) === 2L && r.getLong(3) === 5000L)
+  }
+
   test("histogramRollup: merged day bins locate the exact median's bin; err < bin width") {
     val rows = Seq(
       ("2024-01-01 01:00:00", 1.00), ("2024-01-01 02:00:00", 25.00),
