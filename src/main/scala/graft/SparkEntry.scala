@@ -169,6 +169,38 @@ object SparkEntry {
        |                 row_number() OVER (PARTITION BY query_id ORDER BY cell_sim DESC, cell) AS cr
        |          FROM ics) WHERE cr <= 4)""".stripMargin
 
+  /** Shared oracle for the join-cardinality estimate and its persisted
+  * stats-catalog twin (x30 / x34 — identical by the stored-sketch
+  * invisibility contract). */
+  private lazy val sqlJoinCardinality: String =
+      s"""WITH va AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem WHERE l_orderkey IS NOT NULL),
+         |vb AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS v FROM orders WHERE o_orderkey IS NOT NULL),
+         |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM lineitem WHERE l_orderkey IS NOT NULL),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM orders WHERE o_orderkey IS NOT NULL),
+         |ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |       FROM (SELECT ${sqlSampleKey("('kmv:' || v)")} AS h FROM va)),
+         |ka AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, CAST(max(h) AS BIGINT) AS kth FROM ra WHERE rn <= 64),
+         |da AS (SELECT CAST(CASE WHEN n_kept < 64 THEN n_kept
+         |                        ELSE (CAST(63 AS BIGINT) * 1000000007) // (kth + 1) END AS BIGINT) AS d_a FROM ka),
+         |rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |       FROM (SELECT ${sqlSampleKey("('kmv:' || v)")} AS h FROM vb)),
+         |kb AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, CAST(max(h) AS BIGINT) AS kth FROM rb WHERE rn <= 64),
+         |db AS (SELECT CAST(CASE WHEN n_kept < 64 THEN n_kept
+         |                        ELSE (CAST(63 AS BIGINT) * 1000000007) // (kth + 1) END AS BIGINT) AS d_b FROM kb),
+         |ac AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+         |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |es AS (SELECT n_a, n_b, d_a AS est_distinct_a, d_b AS est_distinct_b,
+         |              CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+         |                        WHEN n_a <= 4611686018427387904 // n_b
+         |                        THEN (n_a * n_b) // greatest(d_a, d_b, 1)
+         |                        ELSE (n_a // greatest(d_a, d_b, 1)) * n_b END AS BIGINT) AS est_rows,
+         |              actual_rows
+         |       FROM na, nb, da, db, ac)
+         |SELECT n_a, n_b, est_distinct_a, est_distinct_b, est_rows, actual_rows,
+         |       CAST(CASE WHEN actual_rows = 0 THEN 0
+         |                 ELSE abs(est_rows - actual_rows) * 10000 // actual_rows END AS BIGINT) AS err_bp
+         |FROM es""".stripMargin
+
   /** Gate round count for BPE training (t21/t22): big enough to exercise
     * the N-merge loop driver (per-round materialization + superseded-round
     * release), small enough for the oracle's unrolled MATERIALIZED CTE
@@ -1987,6 +2019,28 @@ object SparkEntry {
     // (all floored integer means via the shifted-div trick).
     "x32_seasonal_decompose" -> ((s, d) =>
       Timeseries.seasonalDecompose(Tables.events(s, d))),
+    // Stats-catalog estimate: write both tables' (n_rows, key-KMV) catalog
+    // entries, answer the x30 estimate FROM the catalog (tables untouched
+    // at estimate time — spec proves it by deleting the data), audit join
+    // rides along so the oracle is x30's verbatim.
+    "x34_stats_estimate" -> ((s, d) => {
+      val sa = stagingDir("graft_x34_a")
+      val sb = stagingDir("graft_x34_b")
+      try {
+        Profiling.writeTableStats(Tables.lineitem(s, d), sa.toString, "l_orderkey")
+        Profiling.writeTableStats(Tables.orders(s, d), sb.toString, "o_orderkey")
+        val est = Profiling.joinEstimateFromStats(
+          s, sa.toString, sb.toString, "l_orderkey", "o_orderkey")
+        val actual = Tables.lineitem(s, d).select(col("l_orderkey").as("__k"))
+          .join(Tables.orders(s, d).select(col("o_orderkey").as("__k")), Seq("__k"))
+          .groupBy().agg(count(lit(1)).as("actual_rows"))
+        est.crossJoin(actual)
+          .withColumn("err_bp",
+            expr("CASE WHEN actual_rows = 0L THEN 0L " +
+              "ELSE abs(est_rows - actual_rows) * 10000L div actual_rows END"))
+          .localCheckpoint(true)
+      } finally { deleteRecursively(sa); deleteRecursively(sb) }
+    }),
     // Two-sample KS drift between event-type value distributions: exact
     // cross-multiplied-rank max gap, reported in basis points.
     "x33_ks_drift" -> ((s, d) => {
@@ -4085,34 +4139,11 @@ object SparkEntry {
     // Join-cardinality replay: x11 rank chains for each side's key
     // distinct, the same overflow-fenced containment estimate, the plain
     // join count as audit.
-    "x30_join_cardinality" ->
-      s"""WITH va AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem WHERE l_orderkey IS NOT NULL),
-         |vb AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS v FROM orders WHERE o_orderkey IS NOT NULL),
-         |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM lineitem WHERE l_orderkey IS NOT NULL),
-         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM orders WHERE o_orderkey IS NOT NULL),
-         |ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
-         |       FROM (SELECT ${sqlSampleKey("('kmv:' || v)")} AS h FROM va)),
-         |ka AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, CAST(max(h) AS BIGINT) AS kth FROM ra WHERE rn <= 64),
-         |da AS (SELECT CAST(CASE WHEN n_kept < 64 THEN n_kept
-         |                        ELSE (CAST(63 AS BIGINT) * 1000000007) // (kth + 1) END AS BIGINT) AS d_a FROM ka),
-         |rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
-         |       FROM (SELECT ${sqlSampleKey("('kmv:' || v)")} AS h FROM vb)),
-         |kb AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, CAST(max(h) AS BIGINT) AS kth FROM rb WHERE rn <= 64),
-         |db AS (SELECT CAST(CASE WHEN n_kept < 64 THEN n_kept
-         |                        ELSE (CAST(63 AS BIGINT) * 1000000007) // (kth + 1) END AS BIGINT) AS d_b FROM kb),
-         |ac AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
-         |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-         |es AS (SELECT n_a, n_b, d_a AS est_distinct_a, d_b AS est_distinct_b,
-         |              CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
-         |                        WHEN n_a <= 4611686018427387904 // n_b
-         |                        THEN (n_a * n_b) // greatest(d_a, d_b, 1)
-         |                        ELSE (n_a // greatest(d_a, d_b, 1)) * n_b END AS BIGINT) AS est_rows,
-         |              actual_rows
-         |       FROM na, nb, da, db, ac)
-         |SELECT n_a, n_b, est_distinct_a, est_distinct_b, est_rows, actual_rows,
-         |       CAST(CASE WHEN actual_rows = 0 THEN 0
-         |                 ELSE abs(est_rows - actual_rows) * 10000 // actual_rows END AS BIGINT) AS err_bp
-         |FROM es""".stripMargin,
+    "x30_join_cardinality" -> sqlJoinCardinality,
+    // The stats-CATALOG twin: identical oracle by construction — the
+    // persisted sketch must be INVISIBLE (round trip reproduces the
+    // in-session estimate bit-for-bit, the c4-vs-c3 stored-twin pattern).
+    "x34_stats_estimate" -> sqlJoinCardinality,
     // Gopher-rule replay: canonical tokenizer, list-fold word lengths,
     // distinct-stop intersection, symbol regex — all integer verdicts.
     "t39_gopher_rules" ->

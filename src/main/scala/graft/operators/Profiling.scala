@@ -243,6 +243,71 @@ object Profiling {
         (col("exact_median_cents") - col("est_median_cents")).as("err_cents"))
   }
 
+  /** Persist a table's planner statistics — row count + the deterministic
+    * KMV sketch of a join key's distinct values — as a one-row parquet
+    * "stats catalog" entry (what ANALYZE TABLE stores; the Hive/Iceberg
+    * stats a CBO consults). Written at table-write time so later
+    * estimates NEVER rescan the table ([[joinEstimateFromStats]] — the
+    * spec proves it by deleting the data first). A `_format-stats-kmv-v1`
+    * marker guards sketch compatibility (the store-family convention:
+    * mismatched formats fail loudly, never silently-wrong estimates). */
+  def writeTableStats(df: DataFrame, dir: String, keyCol: String,
+      k: Int = 64): Unit = {
+    val vals = df.select(col(keyCol).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+    val nRows = vals.groupBy().agg(count(lit(1)).as("n_rows"))
+    val sk = vals.distinct()
+      .select(TextHash.sampleKey(concat(lit("kmv:"), col("v"))).as("h"))
+      .groupBy()
+      .agg(TopKAgg.topK(-col("h").cast("double"), col("h"), k).as("mins"))
+      .select(transform(col("mins"), m => m.getField("id")).as("mins"))
+    nRows.crossJoin(sk)
+      .select(col("n_rows"), col("mins"), lit(keyCol).as("key_col"),
+        lit(k).cast("long").as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_format-stats-kmv-v1"), Array.empty[Byte])
+  }
+
+  /** [[joinCardinalityEstimate]] answered FROM the catalog: reads two
+    * stats entries (metadata-sized — the tables themselves are never
+    * touched), replays the same containment estimate with the same
+    * overflow fence. Output: (n_a, n_b, est_distinct_a, est_distinct_b,
+    * est_rows). Mismatched format markers or key columns fail loudly. */
+  def joinEstimateFromStats(spark: org.apache.spark.sql.SparkSession,
+      dirA: String, dirB: String,
+      expectKeyA: String, expectKeyB: String): DataFrame = {
+    def readStats(dir: String, expectKey: String, side: String) = {
+      require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "_format-stats-kmv-v1")),
+        s"stats entry at $dir lacks _format-stats-kmv-v1 — rebuilt needed " +
+          "(a different sketch scheme would silently skew estimates)")
+      val row = spark.read.parquet(dir)
+      val key = row.select(col("key_col")).head().getString(0)
+      require(key == expectKey,
+        s"stats entry at $dir sketches key '$key', caller expects '$expectKey'")
+      val kk = row.select(col("k")).head().getLong(0)
+      row.select(
+        col("n_rows").as(s"n_$side"),
+        size(col("mins")).cast("long").as("n_kept"),
+        when(size(col("mins")) > 0,
+          element_at(col("mins"), size(col("mins")))).otherwise(lit(0L))
+          .as("kth_min"))
+        .select(col(s"n_$side"),
+          expr(s"CASE WHEN n_kept < ${kk}L THEN n_kept " +
+            s"ELSE (${kk - 1}L * ${TextHash.Prime}L) div (kth_min + 1L) END")
+            .as(s"d_$side"))
+    }
+    broadcast(readStats(dirA, expectKeyA, "a"))
+      .crossJoin(broadcast(readStats(dirB, expectKeyB, "b")))
+      .select(col("n_a"), col("n_b"),
+        col("d_a").as("est_distinct_a"), col("d_b").as("est_distinct_b"),
+        expr("CASE WHEN n_a = 0L OR n_b = 0L THEN 0L " +
+          "WHEN n_a <= 4611686018427387904L div n_b " +
+          "THEN (n_a * n_b) div greatest(d_a, d_b, 1L) " +
+          "ELSE (n_a div greatest(d_a, d_b, 1L)) * n_b END").as("est_rows"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift statistic — the numeric-column
     * sibling of t18's token drift (the DQ monitor that catches "this
     * week's values are distributed differently" before a model does):

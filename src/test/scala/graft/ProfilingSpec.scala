@@ -123,6 +123,41 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getLong(4) === 12L && r.getLong(5) === 12L && r.getLong(6) === 0L)
   }
 
+  test("stats catalog: estimate survives DATA DELETION (never rescans); guards fail loudly") {
+    import java.nio.file.{Files, Paths}
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val dataA = tmp("graft_stats_dataA")
+    val dataB = tmp("graft_stats_dataB")
+    val statsA = tmp("graft_stats_a")
+    val statsB = tmp("graft_stats_b")
+    val a = (1 to 4).flatMap(k => Seq.fill(3)(Tuple1(k.toLong))).toDF("ka")
+    val b = (1 to 6).map(k => Tuple1(k.toLong)).toDF("kb")
+    a.write.mode("overwrite").parquet(dataA)
+    b.write.mode("overwrite").parquet(dataB)
+    Profiling.writeTableStats(spark.read.parquet(dataA), statsA, "ka")
+    Profiling.writeTableStats(spark.read.parquet(dataB), statsB, "kb")
+    // the point: drop the tables, the estimate must still answer
+    def rmr(d: String): Unit = {
+      val f = new java.io.File(d)
+      Option(f.listFiles()).foreach(_.foreach(c => rmr(c.toString)))
+      f.delete(); ()
+    }
+    rmr(dataA); rmr(dataB)
+    val r = Profiling.joinEstimateFromStats(spark, statsA, statsB, "ka", "kb").head()
+    // matches joinCardinalityEstimate's hand case: 12·6 / max(4,6) = 12
+    assert(r.toSeq === Seq(12L, 6L, 4L, 6L, 12L))
+    // guards: wrong expected key and missing format marker both fail loudly
+    val exKey = intercept[IllegalArgumentException] {
+      Profiling.joinEstimateFromStats(spark, statsA, statsB, "WRONG", "kb").head()
+    }
+    assert(exKey.getMessage.contains("expects"))
+    Files.delete(Paths.get(statsA, "_format-stats-kmv-v1"))
+    val exFmt = intercept[IllegalArgumentException] {
+      Profiling.joinEstimateFromStats(spark, statsA, statsB, "ka", "kb").head()
+    }
+    assert(exFmt.getMessage.contains("_format-stats-kmv-v1"))
+  }
+
   test("ksDrift: disjoint supports → D = 10000; identical samples → 0; hand-computed shift") {
     val a = Seq(0.01, 0.02, 0.03).map(Tuple1(_)).toDF("value")
     val b = Seq(0.11, 0.12, 0.13).map(Tuple1(_)).toDF("value")
