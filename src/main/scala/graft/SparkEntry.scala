@@ -2019,6 +2019,30 @@ object SparkEntry {
     // (all floored integer means via the shifted-div trick).
     "x32_seasonal_decompose" -> ((s, d) =>
       Timeseries.seasonalDecompose(Tables.events(s, d))),
+    // Additive schema evolution across TimeTravel runs: run 1 predates the
+    // `priority` column, run 2 carries it; readAcross unions by name and
+    // the default patches the pre-evolution rows. Oracle replays the union
+    // semantics directly.
+    "u6_schema_evolution" -> ((s0, d) => {
+      val s = s0
+      val root = stagingDir("graft_u6_runs")
+      try {
+        val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderpriority").as("priority"))
+        o.filter(col("k") % 2 === 0).select("k", "cents")
+          .write.mode("overwrite").parquet(s"$root/2024-01-01-10-00-00/orders/data")
+        o.filter(col("k") % 2 === 1)
+          .write.mode("overwrite").parquet(s"$root/2024-01-02-10-00-00/orders/data")
+        graft.etl.TimeTravel.readAcross(s, root.toString, "orders",
+            Map("priority" -> lit("UNKNOWN")))
+          .groupBy(col("priority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("sum_cents"),
+            countDistinct(col("__run")).as("n_runs"))
+          .localCheckpoint(true)
+      } finally deleteRecursively(root)
+    }),
     // Stats-catalog estimate: write both tables' (n_rows, key-KMV) catalog
     // entries, answer the x30 estimate FROM the catalog (tables untouched
     // at estimate time — spec proves it by deleting the data), audit join
@@ -4195,6 +4219,21 @@ object SparkEntry {
         |       exm.exact_median_cents,
         |       CAST(exm.exact_median_cents - est.med_bin * 1000 AS BIGINT) AS err_cents
         |FROM est JOIN wt ON wt.week = est.week JOIN exm ON exm.week = est.week""".stripMargin,
+    // Schema-evolution replay: the two run populations unioned with the
+    // default standing in for the pre-evolution rows.
+    "u6_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |         'UNKNOWN' AS priority, 'r1' AS run
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT),
+        |         o_orderpriority, 'r2'
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       CAST(count(DISTINCT run) AS BIGINT) AS n_runs
+        |FROM u GROUP BY priority""".stripMargin,
     // KS-drift replay: per-bin counts, full-outer merged support, running
     // cross-multiplied ranks, integer max gap.
     "x33_ks_drift" ->

@@ -57,6 +57,35 @@ object TimeTravel {
     readRun(spark, outputDir, runs.last, jobName)
   }
 
+  /** Read ALL runs as one table under ADDITIVE schema evolution — the
+    * "old files lack the new column" read every long-lived lake table
+    * needs after a schema change: per-run frames union BY NAME with
+    * missing columns null-filled, then `defaults` patch the nulls
+    * (coalesce — an explicit NULL written in a new run stays null only if
+    * the default is not given for that column… defaults apply to EVERY
+    * null in the column, which is exactly the additive-evolution
+    * semantic: the column did not exist before, so old rows take the
+    * default). Each row carries its `__run` stamp for lineage.
+    *
+    * Deliberately NOT handled: INCOMPATIBLE type changes for a reused
+    * column name — the union fails loudly (spec-pinned), because casting
+    * a column across runs is a data migration, not a read.
+    * Engine-coercible widenings (int → long) follow Spark's standard
+    * set-operation widening. Runs are read per-directory — run count is
+    * the metadata plane; the data plane is one union scan. */
+  def readAcross(spark: SparkSession, outputDir: String, jobName: String,
+      defaults: Map[String, org.apache.spark.sql.Column] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val runs = listRuns(outputDir)
+    require(runs.nonEmpty, s"no runs under $outputDir")
+    val frames = runs.map(r =>
+      readRun(spark, outputDir, r, jobName).withColumn("__run", lit(r)))
+    val unioned = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    defaults.foldLeft(unioned) { case (df, (c, d)) =>
+      df.withColumn(c, coalesce(col(c), d))
+    }
+  }
+
   /** Delete all but the newest `keep` runs; returns the deleted stamps.
     * Refuses keep < 1 (a vacuum that can delete the only run is a
     * different operation — table drop — and should look like one). */

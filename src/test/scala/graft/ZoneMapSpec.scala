@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.etl.ZoneMaps
 
 class ZoneMapSpec extends SparkSpec {
+  import spark.implicits._
 
   private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
 
@@ -159,6 +160,33 @@ class ZoneMapSpec extends SparkSpec {
       ZoneMaps.appendBuild(spark, dataDir, manifestDir, Seq("l_quantity"))
     }
     assert(ex.getMessage.contains("append-only"))
+  }
+
+  test("readAcross: additive evolution unions by name, defaults patch pre-evolution rows, incompatible types fail loudly") {
+    import graft.etl.TimeTravel
+    val root = tmp("graft_sev_runs")
+    Seq((1L, 10L)).toDF("k", "cents")
+      .write.parquet(s"$root/2024-01-01-10-00-00/t/data")
+    Seq((2L, 20L, "HIGH"), (3L, 30L, null.asInstanceOf[String]))
+      .toDF("k", "cents", "priority")
+      .write.parquet(s"$root/2024-01-02-10-00-00/t/data")
+    val out = TimeTravel.readAcross(spark, root, "t",
+        Map("priority" -> lit("UNKNOWN")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(r.fieldIndex("priority")), r.getString(r.fieldIndex("__run")))).toMap
+    assert(out(1L)._1 === "UNKNOWN", "pre-evolution row takes the default")
+    assert(out(2L)._1 === "HIGH")
+    assert(out(3L)._1 === "UNKNOWN",
+      "coalesce semantics: an explicit null also takes the default (additive contract)")
+    assert(out(1L)._2 === "2024-01-01-10-00-00" && out(2L)._2 === "2024-01-02-10-00-00")
+    // DROPPED column: old rows keep it, new rows read as null — no row loss
+    val dropped = TimeTravel.readAcross(spark, root, "t")
+    assert(dropped.count() === 3L)
+    // incompatible reuse of a name (string vs struct-incoercible long→string? use string vs array)
+    val root2 = tmp("graft_sev_bad")
+    Seq((1L, "x")).toDF("k", "v").write.parquet(s"$root2/2024-01-01-10-00-00/t/data")
+    Seq((2L, Seq(1L))).toDF("k", "v").write.parquet(s"$root2/2024-01-02-10-00-00/t/data")
+    intercept[Exception] { TimeTravel.readAcross(spark, root2, "t").collect() }
   }
 
   test("time travel: runs list chronologically, old versions stay readable, vacuum keeps newest N") {
