@@ -2047,6 +2047,10 @@ object SparkEntry {
     // entries, answer the x30 estimate FROM the catalog (tables untouched
     // at estimate time — spec proves it by deleting the data), audit join
     // rides along so the oracle is x30's verbatim.
+    // Packing boundary manifest: per packed document its bin, in-bin token
+    // offset, and document position — what the attention mask consumes.
+    "p15_pack_manifest" -> ((s, d) =>
+      Curation.packManifest(Tables.documents(s, d))),
     "x34_stats_estimate" -> ((s, d) => {
       val sa = stagingDir("graft_x34_a")
       val sb = stagingDir("graft_x34_b")
@@ -5492,6 +5496,23 @@ object SparkEntry {
          |SELECT shard, CAST(prev_tok // 4096 AS BIGINT) AS bin,
          |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM p GROUP BY 1, 2""".stripMargin,
+    // Manifest replay: the p3 window chain kept at document granularity
+    // with in-bin offsets and positions.
+    "p15_pack_manifest" ->
+      s"""WITH t AS (SELECT ${sqlSampleKey("('shard:' || CAST(doc_id AS VARCHAR))")} % 32 AS shard,
+         |                  doc_id,
+         |                  CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |p AS (SELECT shard, doc_id, n_tok,
+         |             CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |                                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |                           0) AS BIGINT) AS prev_tok
+         |      FROM t)
+         |SELECT shard, CAST(prev_tok // 4096 AS BIGINT) AS bin, doc_id,
+         |       CAST(prev_tok - (prev_tok // 4096) * 4096 AS BIGINT) AS start_offset,
+         |       n_tok,
+         |       CAST(row_number() OVER (PARTITION BY shard, prev_tok // 4096 ORDER BY doc_id) AS BIGINT) AS position
+         |FROM p""".stripMargin,
     "p4_chunk" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
          |x AS (SELECT doc_id, t, len(t) AS n FROM t),

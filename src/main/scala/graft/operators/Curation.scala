@@ -514,6 +514,32 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
   }
 
+  /** The per-document boundary MANIFEST of [[packBins]]'s packing — what a
+    * trainer's attention mask / sequence-boundary logic actually consumes:
+    * for every packed document, its bin, its token offset within the bin,
+    * and its position in the bin's document order. Same shard/window
+    * machinery as packBins (a doc belongs to the bin its START lands in),
+    * so the manifest and the bin stats describe the same packing.
+    * Output: (shard, bin, doc_id, start_offset, n_tok, position). */
+  def packManifest(docs: DataFrame, tokenBudget: Long = 4096L,
+      nShards: Int = 32): DataFrame = {
+    val shard = TextHash.sampleKey(concat(lit("shard:"), col("doc_id").cast("string"))) % nShards
+    val toks = TextAnalysis.tokens(col("text"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("bin")).orderBy(col("doc_id"))
+    docs
+      .select(shard.as("shard"), col("doc_id"), size(toks).cast("long").as("n_tok"))
+      .withColumn("prev_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"prev_tok div ${tokenBudget}L"))
+      .withColumn("start_offset", expr(s"prev_tok - bin * ${tokenBudget}L"))
+      .withColumn("position", row_number().over(wPos).cast("long"))
+      .select(col("shard"), col("bin"), col("doc_id"), col("start_offset"),
+        col("n_tok"), col("position"))
+  }
+
   /** Context-window chunking: split each document's token stream into
     * overlapping windows of `sizeTokens` tokens advancing by
     * `sizeTokens - overlap` — the step that turns curated documents into

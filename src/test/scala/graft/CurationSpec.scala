@@ -488,4 +488,25 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out === Map(0L -> ((3L, 17L)), 1L -> ((3L, 15L))))
   }
+
+  test("packManifest describes exactly packBins' packing (counts, token sums, offsets, positions)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val budget = 256L
+    val bins = graft.operators.Curation.packBins(docs, tokenBudget = budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val man = graft.operators.Curation.packManifest(docs, tokenBudget = budget)
+    val manAgg = man.groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        min("position").as("p_lo"), max("position").as("p_hi"),
+        min("start_offset").as("o_lo"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(manAgg.keySet === bins.keySet)
+    manAgg.foreach { case (k, (n, tok, pLo, pHi, oLo)) =>
+      assert((n, tok) === bins(k), s"bin $k stats diverge from packBins")
+      assert(pLo === 1L && pHi === n, s"bin $k positions must be contiguous 1..n")
+      assert(oLo >= 0L && oLo < budget, s"bin $k first offset out of range")
+    }
+  }
 }
