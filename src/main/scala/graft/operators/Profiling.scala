@@ -244,34 +244,66 @@ object Profiling {
   }
 
   /** Persist a table's planner statistics — row count + the deterministic
-    * KMV sketch of a join key's distinct values — as a one-row parquet
-    * "stats catalog" entry (what ANALYZE TABLE stores; the Hive/Iceberg
-    * stats a CBO consults). Written at table-write time so later
-    * estimates NEVER rescan the table ([[joinEstimateFromStats]] — the
-    * spec proves it by deleting the data first). A `_format-stats-kmv-v1`
-    * marker guards sketch compatibility (the store-family convention:
-    * mismatched formats fail loudly, never silently-wrong estimates). */
+    * KMV sketch of a join key's distinct values — as a "stats catalog"
+    * entry (what ANALYZE TABLE stores; the Hive/Iceberg stats a CBO
+    * consults). Written at table-write time so later estimates NEVER
+    * rescan the table ([[joinEstimateFromStats]] — the spec proves it by
+    * deleting the data first). Entries are VERSIONED subdirs
+    * `entry-<zero-padded n>` (numeric == lexicographic — the label-store
+    * rollover lesson) published by one atomic rename, so a concurrent
+    * reader never sees a torn entry; [[appendTableStats]] folds new
+    * batches in without rescanning covered data. A `_format-stats-kmv-v1`
+    * marker guards sketch compatibility (mismatched formats fail loudly,
+    * never silently-wrong estimates). */
   def writeTableStats(df: DataFrame, dir: String, keyCol: String,
       k: Int = 64): Unit = {
-    val vals = df.select(col(keyCol).cast("string").as("v"))
-      .filter(col("v").isNotNull)
-    val nRows = vals.groupBy().agg(count(lit(1)).as("n_rows"))
-    val sk = vals.distinct()
-      .select(TextHash.sampleKey(concat(lit("kmv:"), col("v"))).as("h"))
-      .groupBy()
-      .agg(TopKAgg.topK(-col("h").cast("double"), col("h"), k).as("mins"))
-      .select(transform(col("mins"), m => m.getField("id")).as("mins"))
-    nRows.crossJoin(sk)
-      .select(col("n_rows"), col("mins"), lit(keyCol).as("key_col"),
-        lit(k).cast("long").as("k"))
-      .coalesce(1).write.mode("overwrite").parquet(dir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "_format-stats-kmv-v1"), Array.empty[Byte])
+    publishEntry(statsRow(df, keyCol, k), dir, 1L)
   }
 
-  /** [[joinCardinalityEstimate]] answered FROM the catalog: reads two
-    * stats entries (metadata-sized — the tables themselves are never
-    * touched), replays the same containment estimate with the same
+  /** Incremental catalog maintenance: fold a NEW batch's stats into the
+    * newest entry WITHOUT rescanning covered data — n_rows add and the
+    * KMV sketch merges exactly (k smallest of old-mins ∪ new-mins IS the
+    * union's k-min set, the x29 property), so stats after any append
+    * sequence are BIT-IDENTICAL to a fresh [[writeTableStats]] over the
+    * union (spec-asserted). Publishes `entry-<n+1>` via hidden
+    * `.staging-*` + one atomic rename, then prunes superseded entries;
+    * key-col / k / format guards fail loudly. */
+  def appendTableStats(newData: DataFrame, dir: String, keyCol: String,
+      k: Int = 64): Unit = {
+    val spark = newData.sparkSession
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_format-stats-kmv-v1")),
+      s"stats entry at $dir lacks _format-stats-kmv-v1 — append needs a " +
+        "compatible base (writeTableStats first)")
+    val (cur, curVersion) = latestEntry(spark, dir)
+    val storedKey = cur.select(col("key_col")).head().getString(0)
+    require(storedKey == keyCol,
+      s"stats entry at $dir sketches key '$storedKey', append offers '$keyCol'")
+    val storedK = cur.select(col("k")).head().getLong(0).toInt
+    require(storedK == k,
+      s"stats entry at $dir keeps k=$storedK mins, append offers k=$k")
+    val merged = cur.crossJoin(broadcast(
+        statsRow(newData, keyCol, k).select(
+          col("n_rows").as("n_new"), col("mins").as("new_mins"))))
+      .select(
+        (col("n_rows") + col("n_new")).as("n_rows"),
+        slice(array_sort(array_distinct(concat(col("mins"), col("new_mins")))),
+          1, k).as("mins"),
+        col("key_col"), col("k"))
+    publishEntry(merged, dir, curVersion + 1L)
+    // prune AFTER publish (readers resolve the max entry; the store keeps
+    // exactly one — the label-snapshot convention)
+    entryDirs(dir).filter(_._2 < curVersion + 1L).foreach { case (p, _) =>
+      deleteRecursively(p)
+    }
+  }
+
+  /** [[joinCardinalityEstimate]] answered FROM the catalog: reads the two
+    * newest stats entries (metadata-sized — the tables themselves are
+    * never touched), replays the same containment estimate with the same
     * overflow fence. Output: (n_a, n_b, est_distinct_a, est_distinct_b,
     * est_rows). Mismatched format markers or key columns fail loudly. */
   def joinEstimateFromStats(spark: org.apache.spark.sql.SparkSession,
@@ -280,9 +312,9 @@ object Profiling {
     def readStats(dir: String, expectKey: String, side: String) = {
       require(java.nio.file.Files.exists(
         java.nio.file.Paths.get(dir, "_format-stats-kmv-v1")),
-        s"stats entry at $dir lacks _format-stats-kmv-v1 — rebuilt needed " +
+        s"stats entry at $dir lacks _format-stats-kmv-v1 — rebuild needed " +
           "(a different sketch scheme would silently skew estimates)")
-      val row = spark.read.parquet(dir)
+      val row = latestEntry(spark, dir)._1
       val key = row.select(col("key_col")).head().getString(0)
       require(key == expectKey,
         s"stats entry at $dir sketches key '$key', caller expects '$expectKey'")
@@ -307,6 +339,62 @@ object Profiling {
           "THEN (n_a * n_b) div greatest(d_a, d_b, 1L) " +
           "ELSE (n_a div greatest(d_a, d_b, 1L)) * n_b END").as("est_rows"))
   }
+
+  /** One (n_rows, mins, key_col, k) stats row for a frame. */
+  private def statsRow(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val vals = df.select(col(keyCol).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+    val nRows = vals.groupBy().agg(count(lit(1)).as("n_rows"))
+    val sk = vals.distinct()
+      .select(TextHash.sampleKey(concat(lit("kmv:"), col("v"))).as("h"))
+      .groupBy()
+      .agg(TopKAgg.topK(-col("h").cast("double"), col("h"), k).as("mins"))
+      .select(transform(col("mins"), m => m.getField("id")).as("mins"))
+    nRows.crossJoin(sk)
+      .select(col("n_rows"), col("mins"), lit(keyCol).as("key_col"),
+        lit(k).cast("long").as("k"))
+  }
+
+  /** Stage + atomically rename `entry-<version>` under `dir`. */
+  private def publishEntry(row: DataFrame, dir: String, version: Long): Unit = {
+    val staging = s"$dir/.staging-${System.nanoTime()}"
+    row.coalesce(1).write.mode("overwrite").parquet(staging)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(staging),
+      java.nio.file.Paths.get(dir, f"entry-$version%012d"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private def entryDirs(dir: String): Seq[(java.nio.file.Path, Long)] = {
+    val stream = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala.toSeq.flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("entry-")) Some(p -> n.stripPrefix("entry-").toLong)
+        else None
+      }
+    } finally stream.close()
+  }
+
+  private def latestEntry(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, Long) = {
+    val entries = entryDirs(dir)
+    require(entries.nonEmpty, s"no stats entries under $dir")
+    val (p, v) = entries.maxBy(_._2)
+    (spark.read.parquet(p.toString), v)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val stream = java.nio.file.Files.walk(p)
+      val paths = try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala.toSeq.reverse
+      } finally stream.close()
+      paths.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
 
   /** Two-sample Kolmogorov–Smirnov drift statistic — the numeric-column
     * sibling of t18's token drift (the DQ monitor that catches "this

@@ -158,6 +158,44 @@ class ProfilingSpec extends SparkSpec {
     assert(exFmt.getMessage.contains("_format-stats-kmv-v1"))
   }
 
+  test("appendTableStats: append sequence ≡ fresh stats over the union; publish prunes; guards loud") {
+    import java.nio.file.{Files, Paths}
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val incr = tmp("graft_stats_incr")
+    val full = tmp("graft_stats_full")
+    val b1 = (1 to 40).map(k => Tuple1(k.toLong)).toDF("ka")
+    val b2 = (30 to 90).map(k => Tuple1(k.toLong)).toDF("ka") // overlaps b1
+    val b3 = (85 to 200).map(k => Tuple1(k.toLong)).toDF("ka")
+    Profiling.writeTableStats(b1, incr, "ka", k = 16)
+    Profiling.appendTableStats(b2, incr, "ka", k = 16)
+    Profiling.appendTableStats(b3, incr, "ka", k = 16)
+    Profiling.writeTableStats(b1.union(b2).union(b3), full, "ka", k = 16)
+    def entry(dir: String) = {
+      val dirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("entry-")).map(_.getName).sorted
+      (dirs.toSeq, spark.read.parquet(s"$dir/${dirs.last}")
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).head)
+    }
+    val (incrEntries, incrStats) = entry(incr)
+    val (_, fullStats) = entry(full)
+    assert(incrEntries === Seq("entry-000000000003"), "publish must prune superseded entries")
+    assert(incrStats === fullStats, "merged sketch must be bit-identical to fresh-over-union")
+    // estimates from the incrementally-maintained entry match the fresh one
+    val ei = Profiling.joinEstimateFromStats(spark, incr, full, "ka", "ka").head()
+    assert(ei.getLong(2) === ei.getLong(3), "both entries must sketch identical distincts")
+    // guards: key and k mismatches fail loudly; missing base refuses
+    assert(intercept[IllegalArgumentException] {
+      Profiling.appendTableStats(b1.withColumnRenamed("ka", "kb"), incr, "kb", k = 16)
+    }.getMessage.contains("offers"))
+    assert(intercept[IllegalArgumentException] {
+      Profiling.appendTableStats(b1, incr, "ka", k = 32)
+    }.getMessage.contains("k="))
+    val empty = tmp("graft_stats_nobase")
+    assert(intercept[IllegalArgumentException] {
+      Profiling.appendTableStats(b1, empty, "ka", k = 16)
+    }.getMessage.contains("writeTableStats first"))
+  }
+
   test("ksDrift: disjoint supports → D = 10000; identical samples → 0; hand-computed shift") {
     val a = Seq(0.01, 0.02, 0.03).map(Tuple1(_)).toDF("value")
     val b = Seq(0.11, 0.12, 0.13).map(Tuple1(_)).toDF("value")
