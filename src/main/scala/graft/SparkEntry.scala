@@ -2069,6 +2069,11 @@ object SparkEntry {
           .localCheckpoint(true)
       } finally { deleteRecursively(sa); deleteRecursively(sb) }
     }),
+    // Heavy-hitter rollup: weekly heavy event types from UNIONED per-day
+    // Misra-Gries candidate summaries (a weekly hitter must clear the
+    // threshold on some day), exact verify pass over candidates only.
+    "x35_hh_rollup" -> ((s, d) =>
+      Profiling.hhRollup(Tables.events(s, d), "ts", "event_type")),
     // Two-sample KS drift between event-type value distributions: exact
     // cross-multiplied-rank max gap, reported in basis points.
     "x33_ks_drift" -> ((s, d) => {
@@ -4238,6 +4243,18 @@ object SparkEntry {
         |       CAST(sum(cents) AS BIGINT) AS sum_cents,
         |       CAST(count(DISTINCT run) AS BIGINT) AS n_runs
         |FROM u GROUP BY priority""".stripMargin,
+    // HH-rollup replay: the sketch is output-invisible (candidate union
+    // is a superset of weekly hitters), so the oracle is the EXACT weekly
+    // heavy hitters.
+    "x35_hh_rollup" ->
+      """WITH tk AS (SELECT CAST(CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS VARCHAR) AS week,
+        |                  event_type AS token
+        |           FROM events),
+        |n AS (SELECT week, CAST(count(*) AS BIGINT) AS nn FROM tk GROUP BY week),
+        |f AS (SELECT week, token, CAST(count(*) AS BIGINT) AS freq FROM tk GROUP BY 1, 2)
+        |SELECT f.week, f.token, f.freq
+        |FROM f JOIN n ON n.week = f.week
+        |WHERE f.freq * 31 > n.nn""".stripMargin,
     // KS-drift replay: per-bin counts, full-outer merged support, running
     // cross-multiplied ranks, integer max gap.
     "x33_ks_drift" ->

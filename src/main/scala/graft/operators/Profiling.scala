@@ -243,6 +243,36 @@ object Profiling {
         (col("exact_median_cents") - col("est_median_cents")).as("err_cents"))
   }
 
+  /** Heavy-hitter ROLLUP — the third mergeable-sketch grain (distinct =
+    * [[kmvRollup]], quantile = [[histogramRollup]], frequency = this):
+    * per-DAY Misra–Gries candidate summaries, week candidates = the UNION
+    * of day candidates — a sound merge because a weekly heavy hitter
+    * (freq_w > N_w/(c+1)) must exceed the threshold on at least one day
+    * (Σ freq_d > Σ N_d/(c+1) forces one term over its share), where the
+    * per-day MG guarantee keeps it. The exact verify pass then counts
+    * ONLY candidates, so the sketch is output-invisible (h1's argument,
+    * per week) and the oracle is the exact weekly heavy hitters.
+    * Output: (week, token, freq) for freq·(capacity+1) > n_week. */
+  def hhRollup(df: DataFrame, tsCol: String, tokenCol: String,
+      capacity: Int = 30): DataFrame = {
+    val toks = df.select(to_date(col(tsCol)).as("day"),
+      col(tokenCol).cast("string").as("token"))
+    val weekOf = to_date(date_trunc("week", col("day"))).cast("string").as("week")
+    val daySk = toks.groupBy(col("day"))
+      .agg(graft.functions.MisraGriesAgg.candidates(col("token"), capacity).as("cand"))
+    val weekCand = daySk.groupBy(weekOf)
+      .agg(array_distinct(flatten(collect_list(col("cand")))).as("cands"))
+    val wk = toks.select(weekOf, col("token"))
+    val nWeek = wk.groupBy(col("week")).agg(count(lit(1)).as("n"))
+    wk.join(broadcast(weekCand), Seq("week"))
+      .filter(array_contains(col("cands"), col("token")))
+      .groupBy(col("week"), col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .join(broadcast(nWeek), Seq("week"))
+      .filter(col("freq") * (capacity + 1) > col("n"))
+      .select(col("week"), col("token"), col("freq"))
+  }
+
   /** Persist a table's planner statistics — row count + the deterministic
     * KMV sketch of a join key's distinct values — as a "stats catalog"
     * entry (what ANALYZE TABLE stores; the Hive/Iceberg stats a CBO

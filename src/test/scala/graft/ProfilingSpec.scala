@@ -158,6 +158,21 @@ class ProfilingSpec extends SparkSpec {
     assert(exFmt.getMessage.contains("_format-stats-kmv-v1"))
   }
 
+  test("hhRollup: day-candidate union catches weekly hitters (incl. spread across days); thin tokens pruned") {
+    def day(d: Int, toks: Seq[String]) =
+      toks.map(t => (s"2024-01-0$d 00:00:00", t)).toDF("ts", "token")
+        .select(col("ts").cast("timestamp").as("ts"), col("token"))
+    // per day: s×4 + two ×3 fillers (n=10). Weekly: s=12 > 30/(2+1)=10 →
+    // hitter; fillers at 9 ≤ 10 → pruned. s clears each day's share
+    // (4 > 10/3), so the per-day MG(capacity=2) summaries keep it.
+    val wk = day(1, Seq.fill(4)("s") ++ Seq.fill(3)("t1") ++ Seq.fill(3)("u1"))
+      .union(day(2, Seq.fill(4)("s") ++ Seq.fill(3)("t2") ++ Seq.fill(3)("u2")))
+      .union(day(3, Seq.fill(4)("s") ++ Seq.fill(3)("t3") ++ Seq.fill(3)("u3")))
+    val out = Profiling.hhRollup(wk, "ts", "token", capacity = 2)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("s", 12L)))
+  }
+
   test("appendTableStats: append sequence ≡ fresh stats over the union; publish prunes; guards loud") {
     import java.nio.file.{Files, Paths}
     def tmp(p: String) = Files.createTempDirectory(p).toString
