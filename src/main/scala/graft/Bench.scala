@@ -96,11 +96,13 @@ object Bench {
     // single-run for budget — which let a single driver-machine load
     // spike land unfiltered in the round artifact (r7: j2 read 20× slow
     // on untouched code, min==median==max betrayed the single sample).
-    // Mid-range queries (2–10 s) now run TWICE and report the MIN — the
-    // spike-robust statistic for a deterministic workload — bounding the
-    // extra suite cost to the 2–10 s band; only >10 s rows stay
-    // single-run, where a spike is at least visible as an outlier against
-    // their own history.
+    // ALL queries ≥ 2 s now run TWICE and report the MIN — the
+    // spike-robust statistic for a deterministic workload. The former
+    // ">10 s stays single-run" budget carve-out let c7's one-shot 14.6 s
+    // driver spike land unfiltered in BENCH_r09 (min==median==max — the
+    // r7 j2 pattern one band higher); the band is gone: no row is ever a
+    // single sample, and the extra cost is one re-run of the handful of
+    // slowest rows.
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     def bench(name: String)(f: => Unit): Unit =
@@ -108,8 +110,7 @@ object Bench {
         val first = time(f)
         val runs =
           if (first < 2.0) Seq(first, time(f), time(f)).sorted
-          else if (first <= 10.0) Seq(first, time(f)).sorted
-          else Seq(first)
+          else Seq(first, time(f)).sorted
         results(name) = if (runs.size == 2) runs.head else runs(runs.size / 2)
         spreads(name) = (runs.head, runs.last)
       } catch {

@@ -278,6 +278,38 @@ object IncrementalProbe {
       FuzzyJoin.damerauEdges(hotNames, "doc_id", "s").count())
     hotNames.unpersist()
 
+    // --- Stats catalog at entry turnover 100 (the x34 lifecycle): each
+    // appendTableStats publishes entry-<n+1> then PRUNES superseded
+    // entries (the label-snapshot convention), so the chain a reader or
+    // the next append sees is ONE entry no matter how many appends have
+    // run — append fixed cost and read cost must stay flat in version
+    // number, the dir must hold exactly one entry-* dir, and the merged
+    // row count must equal the union's (the exact-merge property at
+    // turnover depth the spec only checks shallow). -----------------------
+    val statsDir = s"$tmp/statscat"
+    def statsBatch(i: Int) = spark.range(i * 1000L, i * 1000L + 1000L)
+      .select(col("id").cast("string").as("k"))
+    graft.operators.Profiling.writeTableStats(statsBatch(0), statsDir, "k")
+    time("stats_append_2nd") {
+      graft.operators.Profiling.appendTableStats(statsBatch(1), statsDir, "k"); 1L
+    }
+    (2 until 100).foreach(i =>
+      graft.operators.Profiling.appendTableStats(statsBatch(i), statsDir, "k"))
+    time("stats_append_101st") {
+      graft.operators.Profiling.appendTableStats(statsBatch(100), statsDir, "k"); 1L
+    }
+    time("stats_read_after_101") {
+      val (nRows, d) = graft.operators.Profiling.readStatsDriver(spark, statsDir, "k")
+      assert(nRows == 101000L, s"exact-merge drift at turnover: n_rows=$nRows")
+      d
+    }
+    locally {
+      val entries = new java.io.File(statsDir).listFiles()
+        .filter(_.getName.startsWith("entry-"))
+      assert(entries.length == 1,
+        s"stats catalog must hold ONE entry after turnover, got ${entries.length}")
+    }
+
     // --- Video chain: synth → demux → per-frame dHash → temporal align --
     val vids = Multimodal.synthesizeVideos(
       spark.range(nVids.toLong).select(col("id").as("doc_id")).repartition(64))

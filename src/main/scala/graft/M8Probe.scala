@@ -66,7 +66,26 @@ object M8Probe {
     val pairs = imgPairs.select(col("doc_a"), col("doc_b"))
       .unionByName(audPairs.select(col("doc_a"), col("doc_b"))).cache()
     time("pairs_union")(pairs.count())
-    time("cc_clusters")(Dedup.clusters(ids, pairs).count())
+    val clusters = time("cc_clusters") {
+      val c = Dedup.clusters(ids, pairs).cache(); c.count(); c
+    }
+    // m11 = the m8 chain + Curation.pipeline on top: with every upstream
+    // stage cached, this isolates the curation ASSEMBLY cost (quality gate
+    // + decontam + split + decision join) from the codec/pairs/closure
+    // cost the m-family rows all pay.
+    val docsCur = Tables.documents(spark, sfDir).filter(col("doc_id") < 400)
+    time("m11_curation_assembly") {
+      graft.operators.Curation.pipeline(
+        docsCur, col("doc_id") % 20 === 0, 0.6, clusters).count()
+    }
+    // Whole-row timings under Bench's isolation discipline (cold caches),
+    // for direct comparison against the BENCH_LOCAL history of the three
+    // heaviest m-family rows.
+    for (q <- Seq("m6_image_dedup", "m8_multimodal_dedup",
+        "m11_multimodal_curation")) {
+      spark.catalog.clearCache()
+      time(s"full_$q")(SparkEntry.queries(q)(spark, sfDir).count())
+    }
     spark.stop()
   }
 }

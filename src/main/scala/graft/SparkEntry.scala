@@ -201,6 +201,40 @@ object SparkEntry {
          |                 ELSE abs(est_rows - actual_rows) * 10000 // actual_rows END AS BIGINT) AS err_bp
          |FROM es""".stripMargin
 
+  /** KMV distinct-estimate replay CTEs for the b2 oracle: `<p>d` ends as a
+    * one-column (d) frame for the given DISTINCT-value source SQL — the
+    * exact sketch arithmetic [[graft.operators.Profiling]] persists. */
+  private def sqlKmvD(p: String, distinctValSql: String): String =
+    s"""${p}r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+       |       FROM (SELECT ${sqlSampleKey("('kmv:' || v)")} AS h FROM ($distinctValSql))),
+       |${p}k AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, CAST(max(h) AS BIGINT) AS kth FROM ${p}r WHERE rn <= 64),
+       |${p}d AS (SELECT CAST(CASE WHEN n_kept < 64 THEN n_kept
+       |                        ELSE (CAST(63 AS BIGINT) * 1000000007) // (kth + 1) END AS BIGINT) AS d FROM ${p}k)""".stripMargin
+
+  /** One b2 oracle case: counts + sketch estimates → the same strategy
+    * ladder [[graft.plans.CostBasedJoin.decide]] runs (explodeFactor 2,
+    * bloomFactor 4), plus the actual join count. */
+  private def sqlB2Case(caseId: String, aD: String, bD: String,
+      aCount: String, bCount: String, actualCount: String,
+      broadcastRows: Long): String =
+    s"""SELECT '$caseId' AS case_id,
+       |       CASE WHEN n_b <= $broadcastRows THEN 'broadcast'
+       |            WHEN est_rows > 2 * (n_a + n_b) THEN 'shuffle_hash'
+       |            WHEN 4 * est_distinct_b <= est_distinct_a THEN 'bloom_reduced'
+       |            ELSE 'shuffle' END AS strategy,
+       |       n_a, n_b, est_distinct_a, est_distinct_b, est_rows, actual_rows
+       |FROM (SELECT n_a, n_b,
+       |             ${aD}d.d AS est_distinct_a, ${bD}d.d AS est_distinct_b,
+       |             CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+       |                       WHEN n_a <= 4611686018427387904 // n_b
+       |                       THEN (n_a * n_b) // greatest(${aD}d.d, ${bD}d.d, 1)
+       |                       ELSE (n_a // greatest(${aD}d.d, ${bD}d.d, 1)) * n_b END AS BIGINT) AS est_rows,
+       |             actual_rows
+       |      FROM (SELECT CAST($aCount AS BIGINT) AS n_a) ,
+       |           (SELECT CAST($bCount AS BIGINT) AS n_b),
+       |           ${aD}d, ${bD}d,
+       |           (SELECT CAST($actualCount AS BIGINT) AS actual_rows))""".stripMargin
+
   /** Gate round count for BPE training (t21/t22): big enough to exercise
     * the N-merge loop driver (per-round materialization + superseded-round
     * release), small enough for the oracle's unrolled MATERIALIZED CTE
@@ -848,6 +882,45 @@ object SparkEntry {
           count(lit(1)).as("n_rows"),
           sum(col("l_quantity").cast("long")).as("sum_qty"),
           sum((col("l_extendedprice") * 100.0).cast("long")).as("revenue_cents"))
+    }),
+    // Stats-catalog join PLANNING (the x34 catalog wired into strategy
+    // choice): four joins, each strategy chosen from persisted (n_rows,
+    // key-KMV) entries alone — broadcast under the row threshold,
+    // shuffle_hash on pair-explosion estimates, Bloom reduction when the
+    // dim's key set is a small fraction of the fact's, plain shuffle
+    // otherwise. The CHOSEN STRATEGY is an output column the oracle
+    // replays from the same sketch arithmetic, and each join's row count
+    // rides along as the output-invisibility audit.
+    "b2_stats_join" -> ((s, d) => {
+      import graft.plans.CostBasedJoin
+      val dirs = Seq("li", "ord", "sel", "cust", "supp")
+        .map(n => stagingDir(s"graft_b2_$n"))
+      val Seq(liD, ordD, selD, custD, suppD) = dirs
+      try {
+        Profiling.writeTableStats(Tables.lineitem(s, d), liD.toString, "l_orderkey")
+        Profiling.writeTableStats(Tables.orders(s, d), ordD.toString, "o_orderkey")
+        Profiling.writeTableStats(
+          Tables.orders(s, d).filter(col("o_orderkey") % 10 === 0),
+          selD.toString, "o_orderkey")
+        Profiling.writeTableStats(Tables.customer(s, d), custD.toString, "c_nationkey")
+        Profiling.writeTableStats(Tables.supplier(s, d), suppD.toString, "s_nationkey")
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+        CostBasedJoin.chooseJoinAudit(li, ord, "l_orderkey", "o_orderkey",
+            liD.toString, ordD.toString, 200000L, "dim_small")
+          .unionAll(CostBasedJoin.chooseJoinAudit(li, ord,
+            "l_orderkey", "o_orderkey",
+            liD.toString, ordD.toString, 1000L, "dim_large"))
+          .unionAll(CostBasedJoin.chooseJoinAudit(li,
+            ord.filter(col("o_orderkey") % 10 === 0),
+            "l_orderkey", "o_orderkey",
+            liD.toString, selD.toString, 1000L, "selective_dim"))
+          .unionAll(CostBasedJoin.chooseJoinAudit(
+            Tables.customer(s, d), Tables.supplier(s, d),
+            "c_nationkey", "s_nationkey",
+            custD.toString, suppD.toString, 50L, "explode"))
+          .localCheckpoint(true)
+      } finally dirs.foreach(deleteRecursively)
     }),
     // Arbitrary GROUPING SETS (rollup/cube's general form; q14/q15 cover
     // those specializations).
@@ -2135,11 +2208,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("o"))
       val r = o.groupBy("event_type").agg(sum(col("o")).as("rt"))
       val c = o.groupBy("dow").agg(sum(col("o")).as("ct"))
-      val n = o.agg(sum(col("o"))).head().getLong(0)
+      // Grand total folded IN-PLAN as a one-row broadcast attach (the
+      // x27 pattern) — constructing the query runs zero Spark jobs.
+      val nf = o.agg(sum(col("o")).as("__n"))
       o.join(r, Seq("event_type")).join(c, Seq("dow"))
-        .withColumn("d", abs(col("o") * lit(n) - col("rt") * col("ct")))
+        .crossJoin(broadcast(nf))
+        .withColumn("d", abs(col("o") * col("__n") - col("rt") * col("ct")))
         .withColumn("chi2_scaled",
-          expr(s"((d * 1000L) div (rt * ct)) * d div (${n}L * 1000L)"))
+          expr("((d * 1000L) div (rt * ct)) * d div (__n * 1000L)"))
         .select(col("event_type"), col("dow"), col("o"), col("chi2_scaled"))
     }),
     // Benford first-digit audit — the fraud/synthetic-data screen: the
@@ -2152,8 +2228,12 @@ object SparkEntry {
         .cast("long")
       val counts = Tables.orders(s, d)
         .groupBy(fd.as("digit")).agg(count(lit(1)).as("n"))
-      val total = counts.agg(sum(col("n"))).head().getLong(0)
-      counts.withColumn("pct_bp", expr(s"n * 10000L div ${total}L"))
+      // Corpus total folded IN-PLAN (one-row broadcast attach), matching
+      // the oracle's CROSS JOIN t shape — zero jobs at construct time.
+      val totalF = counts.agg(sum(col("n")).as("__total"))
+      counts.crossJoin(broadcast(totalF))
+        .select(col("digit"), col("n"),
+          expr("n * 10000L div __total").as("pct_bp"))
     }),
     // Weighted moving average (3-2-1 over the trailing 3 hours) per
     // event-type series — the smoothing pass monitoring dashboards draw,
@@ -3860,6 +3940,38 @@ object SparkEntry {
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE p.p_brand = 'Brand#3' AND p.p_size = 22
         |GROUP BY p.p_brand""".stripMargin,
+    // Strategy choices replayed from the same persisted-sketch arithmetic
+    // (KMV over the portable sampleKey) + plain-join audit counts; each
+    // engine derives its own strategy claim and the hash compares them.
+    "b2_stats_join" ->
+      s"""WITH ${sqlKmvD("li", "SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem WHERE l_orderkey IS NOT NULL")},
+         |${sqlKmvD("ord", "SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS v FROM orders WHERE o_orderkey IS NOT NULL")},
+         |${sqlKmvD("sel", "SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS v FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey IS NOT NULL")},
+         |${sqlKmvD("cust", "SELECT DISTINCT CAST(c_nationkey AS VARCHAR) AS v FROM customer WHERE c_nationkey IS NOT NULL")},
+         |${sqlKmvD("supp", "SELECT DISTINCT CAST(s_nationkey AS VARCHAR) AS v FROM supplier WHERE s_nationkey IS NOT NULL")}
+         |${sqlB2Case("dim_small", "li", "ord",
+             "(SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL)",
+             "(SELECT count(*) FROM orders WHERE o_orderkey IS NOT NULL)",
+             "(SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)",
+             200000L)}
+         |UNION ALL
+         |${sqlB2Case("dim_large", "li", "ord",
+             "(SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL)",
+             "(SELECT count(*) FROM orders WHERE o_orderkey IS NOT NULL)",
+             "(SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)",
+             1000L)}
+         |UNION ALL
+         |${sqlB2Case("selective_dim", "li", "sel",
+             "(SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL)",
+             "(SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey IS NOT NULL)",
+             "(SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey % 10 = 0)",
+             1000L)}
+         |UNION ALL
+         |${sqlB2Case("explode", "cust", "supp",
+             "(SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL)",
+             "(SELECT count(*) FROM supplier WHERE s_nationkey IS NOT NULL)",
+             "(SELECT count(*) FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey)",
+             50L)}""".stripMargin,
     "q26_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |       CAST(count(*) AS BIGINT) AS n,

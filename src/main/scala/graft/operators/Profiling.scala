@@ -215,9 +215,14 @@ object Profiling {
     require(binCents > 0)
     val base = df.select(to_date(col(tsCol)).as("day"),
       (col(valueCol) * 100.0).cast("long").as("cents"))
-    // the persisted day sketch: (day, bin, n)
+    // the persisted day sketch: (day, bin, n). Binning is a FLOORED
+    // division spelled out in BIGINT (div truncates toward zero; the x31
+    // oracle's // floors) so negative values bin identically on both
+    // engines — a fixture regeneration with negatives must not diverge.
     val daySk = base
-      .groupBy(col("day"), expr(s"cents div ${binCents}L").as("bin"))
+      .groupBy(col("day"), expr(
+        s"(cents div ${binCents}L) - (CASE WHEN cents < 0 AND cents % ${binCents}L != 0 THEN 1 ELSE 0 END)")
+        .as("bin"))
       .agg(count(lit(1)).as("n"))
     // merge = add bin counts; weeks × bins rows from here on
     val wk = daySk
@@ -370,6 +375,34 @@ object Profiling {
           "ELSE (n_a div greatest(d_a, d_b, 1L)) * n_b END").as("est_rows"))
   }
 
+  /** Driver-side catalog read: the newest entry's (n_rows, KMV distinct
+    * estimate) for `dir`, with the same format/key guards as
+    * [[joinEstimateFromStats]]. This is the metadata plane a cost-based
+    * planner consults at CHOOSE time — one one-row parquet entry, the
+    * tables themselves never touched (the bounded-collect doctrine: the
+    * collect is catalog-entry-sized, never data-sized). The estimate
+    * arithmetic is the exact BIGINT formula the SQL replay uses, so a
+    * strategy derived from it is cross-engine deterministic. */
+  def readStatsDriver(spark: org.apache.spark.sql.SparkSession,
+      dir: String, expectKey: String): (Long, Long) = {
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_format-stats-kmv-v1")),
+      s"stats entry at $dir lacks _format-stats-kmv-v1 — rebuild needed " +
+        "(a different sketch scheme would silently skew estimates)")
+    val row = latestEntry(spark, dir)._1
+      .select(col("key_col"), col("k"), col("n_rows"), col("mins")).head()
+    val key = row.getString(0)
+    require(key == expectKey,
+      s"stats entry at $dir sketches key '$key', caller expects '$expectKey'")
+    val k = row.getLong(1)
+    val nRows = row.getLong(2)
+    val mins = row.getSeq[Long](3)
+    val d =
+      if (mins.size < k) mins.size.toLong
+      else (k - 1L) * TextHash.Prime / (mins.last + 1L)
+    (nRows, d)
+  }
+
   /** One (n_rows, mins, key_col, k) stats row for a frame. */
   private def statsRow(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     val vals = df.select(col(keyCol).cast("string").as("v"))
@@ -462,7 +495,16 @@ object Profiling {
         abs(col("ia") * col("n_b") - col("ib") * col("n_a")).as("gap"))
       .groupBy(col("n_a"), col("n_b"))
       .agg(max(col("gap")).as("d_num"))
-      .withColumn("ks_x10000", expr("d_num * 10000L div (n_a * n_b)"))
+      // Nested floored division — floor(floor(x/a)/b) = floor(x/(a·b)) for
+      // positive operands — is bit-identical to the oracle's single `//`
+      // but never forms the n_a·n_b product (the first BIGINT wrap point).
+      // Hard exactness bound that remains: the gap cross-multiplies ranks,
+      // so ia·n_b (≤ n_a·n_b) and d_num·10⁴ must stay under 2⁶³ —
+      // n_a·n_b ≤ ~9.2e14 in the worst case (D→1). Past that, exact
+      // integer KS does not fit BIGINT: pre-aggregate/sample a side or
+      // accept a double-CDF variant; this operator stays exact and loud
+      // about its envelope rather than silently wrapping further.
+      .withColumn("ks_x10000", expr("(d_num * 10000L div n_a) div n_b"))
   }
 
   /** Join-cardinality PREFLIGHT — the planner estimate run as a query:

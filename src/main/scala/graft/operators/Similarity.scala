@@ -774,23 +774,6 @@ object Similarity {
     hammingRerank(cand, emb, nQueries, k)
   }
 
-  /** Multi-probe LSH top-k (Lv et al., VLDB'07): instead of adding hash
-    * tables to recover recall, each query probes its OWN centered-
-    * hyperplane bucket plus all `nBits` buckets at Hamming distance 1
-    * from its signature — the buckets a near-neighbor most likely fell
-    * into when one projection's sign flipped. Candidate cost grows by
-    * the probed buckets' population (× ~(nBits+1) in expectation), while
-    * a table-multiplication recall fix multiplies the whole index.
-    *
-    * Scale shape: the corpus gets its bucket inline (one map pass, the
-    * [[lshNeighborsCentered]] convention — never a self-join to attach a
-    * computable column); the (query × probe) table is ≤ |Q|·(nBits+1)
-    * rows and broadcasts; candidates within probed buckets are scored
-    * with the exact cosine and collapsed map-side by the bounded
-    * [[graft.functions.TopKAgg]], so the corpus is never shuffled by a
-    * search. Each corpus vector lives in exactly ONE bucket and the
-    * probe set is distinct buckets, so no candidate is scored twice.
-    * Output: (query_id, neighbor_id, cosine, rank). */
   /** Matryoshka-truncation audit (Kusupati et al., NeurIPS'22 — MRL): how
     * much retrieval quality survives keeping only the first `dPrefix` of
     * `dim` embedding dimensions? Serving stacks truncate stored vectors
@@ -820,6 +803,23 @@ object Similarity {
       .withColumn("recall_bp", expr(s"n_overlap * 10000L div ${k}L"))
   }
 
+  /** Multi-probe LSH top-k (Lv et al., VLDB'07): instead of adding hash
+    * tables to recover recall, each query probes its OWN centered-
+    * hyperplane bucket plus all `nBits` buckets at Hamming distance 1
+    * from its signature — the buckets a near-neighbor most likely fell
+    * into when one projection's sign flipped. Candidate cost grows by
+    * the probed buckets' population (× ~(nBits+1) in expectation), while
+    * a table-multiplication recall fix multiplies the whole index.
+    *
+    * Scale shape: the corpus gets its bucket inline (one map pass, the
+    * [[lshNeighborsCentered]] convention — never a self-join to attach a
+    * computable column); the (query × probe) table is ≤ |Q|·(nBits+1)
+    * rows and broadcasts; candidates within probed buckets are scored
+    * with the exact cosine and collapsed map-side by the bounded
+    * [[graft.functions.TopKAgg]], so the corpus is never shuffled by a
+    * search. Each corpus vector lives in exactly ONE bucket and the
+    * probe set is distinct buckets, so no candidate is scored twice.
+    * Output: (query_id, neighbor_id, cosine, rank). */
   def multiProbeLshTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
       nBits: Int = 8): DataFrame = {
     import graft.functions.TopKAgg
@@ -840,6 +840,10 @@ object Similarity {
         (VectorMath.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
           .as("score"),
         col("vec_id"))
+      // the #69 fence: keep the exact-cosine dot in the codegen'd
+      // projection — without it CollapseProject folds the score into the
+      // typed aggregate's child and update() re-evaluates it interpreted
+      .withColumn("__pid", spark_partition_id())
       .groupBy(col("query_id"))
       .agg(TopKAgg.topK(col("score"), col("vec_id"), k).as("top"))
     scored

@@ -563,22 +563,27 @@ object TextAnalysis {
     * prefilter in `bloomContamination`): the result is the exact heavy
     * set no matter how partitioning perturbs the candidate list. At
     * 100 TB the win is the verify shuffle carrying ≤ capacity distinct
-    * keys (a literal IN filter pushed to the scan) instead of the full
-    * vocabulary — the two corpus scans are the price of an exact answer.
+    * keys instead of the full vocabulary — the two corpus scans are the
+    * price of an exact answer.
+    *
+    * Fully in-plan (the [[groupedHeavyHitters]] shape specialized to one
+    * global group): the MG aggregate is a 1-row frame, its candidate list
+    * explodes to ≤ capacity rows carrying N alongside, and that frame is
+    * broadcast-joined against the token stream — constructing the query
+    * runs zero Spark jobs and no candidate ever rides the driver.
     *
     * Output: (token, freq) — exact counts, freq·(capacity+1) > N. */
   def heavyHitters(docs: DataFrame, capacity: Int = 30): DataFrame = {
     val toks = docs.select(explode(tokens(col("text"))).as("token"))
     val sketch = toks.agg(
       graft.functions.MisraGriesAgg.candidates(col("token"), capacity).as("cand"),
-      count(lit(1)).as("n")).head()
-    val cand = sketch.getSeq[String](0)
-    val n = sketch.getLong(1)
-    toks
-      .filter(col("token").isin(cand: _*))
-      .groupBy(col("token"))
+      count(lit(1)).as("__n"))
+    val cands = sketch.select(col("__n"), explode(col("cand")).as("token"))
+    toks.join(broadcast(cands), Seq("token"))
+      .groupBy(col("token"), col("__n"))
       .agg(count(lit(1)).as("freq"))
-      .filter(col("freq") * (capacity + 1) > n)
+      .filter(col("freq") * (capacity + 1) > col("__n"))
+      .select(col("token"), col("freq"))
   }
 
   /** Count-Min sketch frequency estimation over the token stream, with the

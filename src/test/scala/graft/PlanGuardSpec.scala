@@ -243,6 +243,34 @@ class PlanGuardSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("x14/x16/h1 construction runs ZERO jobs — the in-plan principle, completed") {
+    // The last three construct-time scans (r9 verdict): x14's grand total,
+    // x16's corpus total, and h1's Misra-Gries candidate collect are now
+    // one-row broadcast attaches / an exploded candidate join INSIDE the
+    // returned plan. Building each query must launch no Spark job.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, d)
+    docs.count() // flush read-side listing jobs outside the window
+    graft.sources.Tables.events(spark, d).count()
+    graft.sources.Tables.orders(spark, d).count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries("x14_chisq")(spark, d)
+      SparkEntry.queries("x16_benford")(spark, d)
+      TextAnalysis.heavyHitters(docs)
+      org.apache.spark.sql.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      assert(jobs.get() == 0,
+        s"query construction ran ${jobs.get()} Spark job(s) — a construct-time corpus scan")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("runtime bloom-filter join pruning fires on fact ⋈ selective dim") {
     // The row-level sibling of dynamic partition pruning: a bloom filter
     // built from the filtered dim side is injected into the fact scan's
