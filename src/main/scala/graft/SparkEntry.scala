@@ -2124,6 +2124,31 @@ object SparkEntry {
     // offset, and document position — what the attention mask consumes.
     "p15_pack_manifest" -> ((s, d) =>
       Curation.packManifest(Tables.documents(s, d))),
+    // Length-bucketed batching audit: exact rank deciles by token length,
+    // per-bucket padding waste in bp — the profile that justifies (or
+    // kills) length bucketing for a training/inference batcher.
+    "p16_length_buckets" -> ((s, d) =>
+      Curation.lengthBuckets(Tables.documents(s, d))),
+    // n-gram novelty vs the reference slice (doc_id%20==0 — the "already
+    // crawled" corpus): per-doc distinct 5-gram novelty rate. c1 screens
+    // against benchmarks; this screens against the corpus itself.
+    "t41_ngram_novelty" -> ((s, d) =>
+      Curation.ngramNovelty(Tables.documents(s, d), col("doc_id") % 20 === 0)),
+    // The STORE-BACKED novelty twin (incremental-crawl shape): the
+    // reference slice ingested once into the decontam-layout gram store,
+    // the rest scored against it — Bloom prefilter output-invisible, so
+    // the oracle is t41's verbatim.
+    "t42_store_novelty" -> ((s, d) => {
+      val tmp = stagingDir("graft_t42")
+      try {
+        val docs = Tables.documents(s, d)
+        Curation.writeDecontamStore(
+          docs.filter(col("doc_id") % 20 === 0), tmp.toString)
+        Curation.noveltyAgainstStore(
+            docs.filter(col("doc_id") % 20 =!= 0), tmp.toString)
+          .localCheckpoint(true)
+      } finally deleteRecursively(tmp)
+    }),
     "x34_stats_estimate" -> ((s, d) => {
       val sa = stagingDir("graft_x34_a")
       val sb = stagingDir("graft_x34_b")
@@ -2260,6 +2285,18 @@ object SparkEntry {
     // the season).
     "x13_seasonal_naive" -> ((s, d) =>
       Timeseries.seasonalNaiveEval(Tables.events(s, d))),
+    // CUSUM drift detection per event-type series: the sequential
+    // recurrence S_t = max(0, S_{t-1} + drift) via its exact closed form
+    // P_t − min(0, running-min P) — two windows, one partitioning,
+    // all-BIGINT; alarm threshold 8·μ is SF-adaptive (no fixture
+    // constant).
+    "x36_cusum" -> ((s, d) =>
+      Timeseries.cusumChangepoints(Tables.events(s, d))),
+    // Lag-1/lag-24 autocorrelation per series in exact scaled integers —
+    // the daily-seasonality detector; num/den emitted raw plus the
+    // sign-handled bp ratio.
+    "x37_autocorr" -> ((s, d) =>
+      Timeseries.autocorrelation(Tables.events(s, d))),
     // Weekly cohort retention: users bucketed by first-event epoch week,
     // activity counted per (cohort, offset) cell — pure integer week
     // arithmetic, COUNT(DISTINCT) exact.
@@ -3254,6 +3291,32 @@ object SparkEntry {
       Merge.cdcCompact(cdc)
         .select(col("key"), col("net_op"),
           coalesce(col("payload"), lit(-1L)).as("payload"))
+    }),
+    // Reader-safe delete fold, oracled end-to-end: positional tombstones
+    // (o_orderkey % 7 == 0) recorded against a frozen base copy, folded
+    // into a NEW TimeTravel run (hidden .staging-* + one atomic rename;
+    // the base dir stays byte-frozen — its still-full row count rides
+    // along as src_rows in every output row), then the published run
+    // aggregated. Oracle = the anti-joined aggregate + the full count.
+    "dv1_delete_fold" -> ((s, d) => {
+      val tmp = stagingDir("graft_dv1")
+      try {
+        val base = s"$tmp/base"
+        Tables.orders(s, d).write.parquet(base)
+        val dvDir = s"$tmp/dv"
+        graft.etl.DeletionVectors.addDeletes(
+          s, base, dvDir, col("o_orderkey") % 7 === 0)
+        val published = graft.etl.DeletionVectors.applyDeletesAsRun(
+          s, base, dvDir, s"$tmp/table", "orders")
+        val srcRows = s.read.parquet(base)
+          .agg(count(lit(1)).as("src_rows"))
+        s.read.parquet(published)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+          .crossJoin(broadcast(srcRows))
+          .localCheckpoint(true)
+      } finally deleteRecursively(tmp)
     }),
     // Classifier calibration table (reliability-diagram data): documents
     // ranked by classifier score into EXACT deciles ((rank−1)·10 div n
@@ -4502,6 +4565,46 @@ object SparkEntry {
         |SELECT a.hour, a.cents AS actual_cents, f.cents AS forecast_cents,
         |       CAST(abs(a.cents - f.cents) AS BIGINT) AS abs_err_cents
         |FROM h a JOIN h f ON a.hour = f.hour + INTERVAL 24 HOURS""".stripMargin,
+    // CUSUM replay: same hourly cents, per-series floored mean, prefix
+    // sum, running min, closed form P − least(0, min P); window sums
+    // CAST back to BIGINT (the HUGEINT rule).
+    "x36_cusum" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |                  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |           FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(sum(cents) // count(*) AS BIGINT) AS mu
+        |      FROM h GROUP BY 1),
+        |p AS (SELECT h.event_type, hour, cents, mu,
+        |             CAST(sum(cents - mu) OVER (PARTITION BY h.event_type ORDER BY hour) AS BIGINT) AS pfx
+        |      FROM h JOIN m ON h.event_type = m.event_type),
+        |s AS (SELECT event_type, hour, cents, mu, pfx,
+        |             CAST(min(pfx) OVER (PARTITION BY event_type ORDER BY hour) AS BIGINT) AS mn
+        |      FROM p)
+        |SELECT event_type, hour, cents,
+        |       CAST(pfx - least(0, mn) AS BIGINT) AS cusum_cents,
+        |       CAST(CASE WHEN pfx - least(0, mn) > mu * 8 THEN 1 ELSE 0 END AS BIGINT) AS is_alarm
+        |FROM s""".stripMargin,
+    // ACF replay: hourly mean cents, n-scaled centering, per-lag hour
+    // equi-join, sign-handled abs-before-div ratio.
+    "x37_autocorr" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |                  CAST(sum(CAST(floor(value * 100) AS BIGINT)) // count(*) AS BIGINT) AS xbar
+        |           FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(xbar) AS BIGINT) AS s FROM h GROUP BY 1),
+        |a AS (SELECT h.event_type, hour, CAST(n * xbar - s AS BIGINT) AS a
+        |      FROM h JOIN st ON h.event_type = st.event_type),
+        |d AS (SELECT event_type, CAST(sum(a * a) AS BIGINT) AS den FROM a GROUP BY 1),
+        |lg AS (SELECT l.event_type, CAST(lv.lag_n AS BIGINT) AS lag,
+        |              CAST(count(*) AS BIGINT) AS n_pairs,
+        |              CAST(sum(l.a * r.a) AS BIGINT) AS num
+        |       FROM (VALUES (1), (24)) lv(lag_n), a l
+        |       JOIN a r ON l.event_type = r.event_type
+        |                AND l.hour = r.hour + to_hours(lv.lag_n)
+        |       GROUP BY 1, 2)
+        |SELECT lg.event_type, lag, n_pairs, num, den,
+        |       CAST(CASE WHEN num >= 0 THEN 1 ELSE -1 END * (abs(num) * 10000 // den) AS BIGINT) AS acf_bp
+        |FROM lg JOIN d ON lg.event_type = d.event_type""".stripMargin,
     // Cohort replay: identical epoch-week floor-div chain, BIGINT casts
     // on every derived integer (DuckDB's // yields INTEGER here).
     "x18_cohort_retention" ->
@@ -5642,6 +5745,49 @@ object SparkEntry {
          |       n_tok,
          |       CAST(row_number() OVER (PARTITION BY shard, prev_tok // 4096 ORDER BY doc_id) AS BIGINT) AS position
          |FROM p""".stripMargin,
+    // Length-bucket replay: exact rank deciles under the (len, doc_id)
+    // total order, per-bucket max-padding waste in bp.
+    "p16_length_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |                  CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS len
+        |           FROM documents),
+        |r AS (SELECT doc_id, len,
+        |             CAST(row_number() OVER (ORDER BY len, doc_id) AS BIGINT) AS rnk,
+        |             CAST(count(*) OVER () AS BIGINT) AS n FROM t),
+        |b AS (SELECT CAST((rnk - 1) * 10 // n AS BIGINT) AS bucket, len FROM r)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(max(len) AS BIGINT) AS max_len,
+        |       CAST(sum(len) AS BIGINT) AS sum_len,
+        |       CAST((max(len) * count(*) - sum(len)) * 10000 // (max(len) * count(*)) AS BIGINT) AS waste_bp
+        |FROM b GROUP BY bucket""".stripMargin,
+    // Novelty replay: the decontam gram fragments re-sourced — candidate
+    // docs' DISTINCT 5-grams left-joined against the reference slice's
+    // gram set.
+    "t41_ngram_novelty" ->
+      s"""WITH ${sqlShinglesN(5, "doc_id % 20 = 0", "_ref")},
+         |${sqlShinglesN(5, "doc_id % 20 <> 0", "_tr")},
+         |rg AS (SELECT DISTINCT h FROM sh_ref),
+         |j AS (SELECT t.doc_id,
+         |             CASE WHEN rg.h IS NULL THEN 1 ELSE 0 END AS novel
+         |      FROM sh_tr t LEFT JOIN rg ON t.h = rg.h)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |       CAST(sum(novel) AS BIGINT) AS n_novel,
+         |       CAST(sum(novel) * 10000 // count(*) AS BIGINT) AS novelty_bp
+         |FROM j GROUP BY doc_id""".stripMargin,
+    // Store twin: the persisted gram registry + Bloom prefilter are
+    // output-invisible (no FNs; FPs die in the exact registry join), so
+    // the replay is t41's verbatim.
+    "t42_store_novelty" ->
+      s"""WITH ${sqlShinglesN(5, "doc_id % 20 = 0", "_ref")},
+         |${sqlShinglesN(5, "doc_id % 20 <> 0", "_tr")},
+         |rg AS (SELECT DISTINCT h FROM sh_ref),
+         |j AS (SELECT t.doc_id,
+         |             CASE WHEN rg.h IS NULL THEN 1 ELSE 0 END AS novel
+         |      FROM sh_tr t LEFT JOIN rg ON t.h = rg.h)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |       CAST(sum(novel) AS BIGINT) AS n_novel,
+         |       CAST(sum(novel) * 10000 // count(*) AS BIGINT) AS novelty_bp
+         |FROM j GROUP BY doc_id""".stripMargin,
     "p4_chunk" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
          |x AS (SELECT doc_id, t, len(t) AS n FROM t),
@@ -6870,6 +7016,16 @@ object SparkEntry {
         |            WHEN lop = 'D' THEN 'D' ELSE 'U' END AS net_op,
         |       CAST(CASE WHEN lop = 'D' THEN -1 ELSE lpay END AS BIGINT) AS payload
         |FROM a WHERE NOT (fop = 'I' AND lop = 'D')""".stripMargin,
+    // Delete-fold replay: the published run is orders minus the
+    // tombstoned keys; src_rows is the frozen base's FULL count (the
+    // reader-safety claim as a hash-checked value).
+    "dv1_delete_fold" ->
+      """WITH f AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS src_rows FROM orders)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |       src_rows
+        |FROM f CROSS JOIN s GROUP BY o_orderpriority, src_rows""".stripMargin,
     "u3_snapshot_diff" ->
       """WITH prev AS (
         |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, max(o_totalprice) AS max_price

@@ -213,6 +213,47 @@ object Curation {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** [[ngramNovelty]] against a PERSISTED gram store
+    * ([[writeDecontamStore]]'s layout verbatim — grams registry + Bloom
+    * sketch + format marker): the incremental-crawl shape, where the
+    * reference corpus was ingested once and every new batch is scored
+    * without re-scanning it. The Bloom prefilter splits each document's
+    * grams into definitely-novel (sketch miss — no false negatives) and
+    * maybe-seen; only the maybe slice pays the exact registry join, so
+    * the store sketch is output-invisible and the result equals
+    * [[ngramNovelty]] on the original reference docs bit-for-bit.
+    * Output: (doc_id, n_grams, n_novel, novelty_bp). */
+  def noveltyAgainstStore(train: DataFrame, storeDir: String,
+      n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(storeDir, s"_format-ngram$n")),
+      s"gram store at $storeDir was not built with n=$n grams " +
+        "(missing _format marker) — rebuild with writeDecontamStore")
+    val spark = train.sparkSession
+    val sketch = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(storeDir, "bloom.bin"))
+    val grams = spark.read.parquet(s"$storeDir/grams")
+    val docGrams = train.select(col("doc_id"), explode(
+      graft.functions.GraftColumns.shingleHashes(col("text"), n)).as("h"))
+    val totals = docGrams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val maybe =
+      if (sketch.isEmpty) docGrams.limit(0) // empty store → all novel
+      else docGrams.filter(ColumnBridge.column(
+        new BloomFilterMightContain(
+          Literal.create(sketch, BinaryType),
+          ColumnBridge.expression(col("h")))))
+    val seen = maybe.join(grams, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__n_seen"))
+    totals.join(seen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_grams") - coalesce(col("__n_seen"), lit(0L))).as("n_novel"))
+      .withColumn("novelty_bp", expr("n_novel * 10000L div n_grams"))
+  }
+
   /** Spark's Bloom FP model: `BloomFilterImpl` picks
     * k = max(1, round(m/n_est·ln 2)) hash functions from the CREATION-time
     * estimate; after inserting `nItems` distinct values into `numBits`
@@ -904,5 +945,67 @@ object Curation {
       .select(
         col("doc_id"), col("lm_avg_scaled"), col("bucket"),
         (col("bucket") < 2 || keepTail).cast("long").as("kept"))
+  }
+
+  /** Per-document n-gram NOVELTY against a reference corpus — the
+    * memorization/freshness screen run when a new crawl lands: what
+    * fraction of each candidate document's word n-grams has the corpus
+    * already seen? Low novelty ⇒ near-copy of existing data (wasted
+    * tokens, memorization amplification); decontamination (c1) answers
+    * "does it overlap the BENCHMARKS", this answers "does it add anything
+    * over the CORPUS". Gram hashes are the decontam convention
+    * ([[graft.functions.GraftColumns.shingleHashes]], DISTINCT per doc),
+    * so the oracle replays them through the same polyHash fragment.
+    *
+    * Scale shape: two gram streams shuffled on the gram hash (the
+    * vocabulary-keyed join every dedup pass already pays), one per-doc
+    * count aggregate; the reference gram set is corpus-sized so the join
+    * stays a shuffled hash join — never broadcast (the candidate-derived
+    * frame rule). Output: (doc_id, n_grams, n_novel, novelty_bp) for
+    * candidate docs with ≥ 1 gram. */
+  def ngramNovelty(docs: DataFrame, isRef: Column, n: Int = 5): DataFrame = {
+    val refGrams = docs.filter(isRef)
+      .select(explode(
+        graft.functions.GraftColumns.shingleHashes(col("text"), n)).as("h"))
+      .distinct()
+      .withColumn("__seen", lit(1L))
+    // shingleHashes is already the per-doc DISTINCT gram set — no
+    // corpus-wide (doc_id, h) distinct shuffle needed.
+    val docGrams = docs.filter(!isRef)
+      .select(col("doc_id"), explode(
+        graft.functions.GraftColumns.shingleHashes(col("text"), n)).as("h"))
+    docGrams.join(refGrams, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_bp", expr("n_novel * 10000L div n_grams"))
+  }
+
+  /** Length-bucketed batching audit — the padding-waste profile a
+    * training/inference stack consults before fixing batch composition:
+    * documents ranked by token length into `nBuckets` EXACT equal-rank
+    * buckets (the x27 decile shape over [[Ranking.globalRank]]'s total
+    * order — never a single-task ntile window), each bucket padded to its
+    * own max length, waste = padded − real tokens in basis points. The
+    * global unbucketed waste (pad everything to the corpus max) is what
+    * the bucketing saves; emitting per-bucket waste makes the trade
+    * hash-checkable. All-BIGINT; the doc count folds in-plan (one-row
+    * broadcast attach — zero construct-time jobs beyond the rank
+    * barrier's own). Output: (bucket, n_docs, max_len, sum_len,
+    * waste_bp). */
+  def lengthBuckets(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
+    val lens = docs.select(col("doc_id"),
+      size(split(trim(col("text")), " +")).cast("long").as("len"))
+    val ranked = Ranking.globalRank(
+      lens, Seq(col("len").asc, col("doc_id")), "rnk")
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .select(expr(s"(rnk - 1) * $nBuckets div __n").as("bucket"), col("len"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("len")).as("max_len"),
+        sum(col("len")).as("sum_len"))
+      .withColumn("waste_bp",
+        expr("(max_len * n_docs - sum_len) * 10000L div (max_len * n_docs)"))
   }
 }

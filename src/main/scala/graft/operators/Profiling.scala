@@ -141,14 +141,14 @@ object Profiling {
     * these rows, never the raw data. */
   def kmvDaySketches(df: DataFrame, tsCol: String, valueCol: String,
       k: Int = 64): DataFrame =
+    // KmvAgg dedupes in-buffer: one grouped aggregate straight off the
+    // raw rows — the old per-(day, value) distinct shuffle is gone and
+    // the mins arrays are bit-identical (k smallest distinct, ascending).
     df.select(to_date(col(tsCol)).as("day"),
-        col(valueCol).cast("string").as("v"))
-      .distinct()
-      .withColumn("h", TextHash.sampleKey(concat(lit("kmv:"), col("v"))))
+        TextHash.sampleKey(concat(lit("kmv:"),
+          col(valueCol).cast("string"))).as("h"))
       .groupBy(col("day"))
-      .agg(TopKAgg.topK(-col("h").cast("double"), col("h"), k).as("mins"))
-      .select(col("day"),
-        transform(col("mins"), m => m.getField("id")).as("mins"))
+      .agg(graft.functions.KmvAgg.kMinValues(col("h"), k).as("mins"))
 
   /** Mergeable-sketch ROLLUP — the warehouse "sketch column" pattern
     * (Dageville et al., SIGMOD'16 §materialized sketches; DataSketches'
@@ -403,19 +403,61 @@ object Profiling {
     (nRows, d)
   }
 
-  /** One (n_rows, mins, key_col, k) stats row for a frame. */
+  /** One (n_rows, mins, key_col, k) stats row for a frame — ONE aggregate
+    * pass: [[graft.functions.KmvAgg]] dedupes inside its k-slot buffer, so
+    * the old `distinct()` → TopKAgg formulation's full distinct shuffle
+    * (every distinct value exchanged to keep 64 of them) is gone; the
+    * exchange carries ≤ k longs per partition. Output bit-identical
+    * (k smallest distinct hashes, ascending — spec-pinned), so stored
+    * entries and the x30/x34/b2 SQL replays are unchanged. */
   private def statsRow(df: DataFrame, keyCol: String, k: Int): DataFrame = {
-    val vals = df.select(col(keyCol).cast("string").as("v"))
-      .filter(col("v").isNotNull)
-    val nRows = vals.groupBy().agg(count(lit(1)).as("n_rows"))
-    val sk = vals.distinct()
-      .select(TextHash.sampleKey(concat(lit("kmv:"), col("v"))).as("h"))
-      .groupBy()
-      .agg(TopKAgg.topK(-col("h").cast("double"), col("h"), k).as("mins"))
-      .select(transform(col("mins"), m => m.getField("id")).as("mins"))
-    nRows.crossJoin(sk)
+    val key = col(keyCol).cast("string")
+    df.agg(
+        count(key).as("n_rows"), // count(col) skips nulls, like the old filter
+        graft.functions.KmvAgg.kMinValues(
+          TextHash.sampleKey(concat(lit("kmv:"), key)), k).as("mins"))
       .select(col("n_rows"), col("mins"), lit(keyCol).as("key_col"),
         lit(k).cast("long").as("k"))
+  }
+
+  /** Write a table AND its stats-catalog entry in the SAME pass:
+    * [[graft.functions.KmvAgg]] + count ride the write as
+    * `Dataset.observe` metrics (Spark's CollectMetrics), so the parquet
+    * write is the only scan — the "stats written at table-write time"
+    * contract with literally zero extra passes (writeTableStats costs one
+    * aggregate scan; ANALYZE-after-write costs a full re-read). The
+    * published entry is bit-identical to [[writeTableStats]]'s on the
+    * same data (spec-pinned), so every estimate/planner consumer is
+    * unchanged. */
+  def writeWithStats(df: DataFrame, dataDir: String, statsDir: String,
+      keyCol: String, k: Int = 64): Unit = {
+    val obs = org.apache.spark.sql.Observation(
+      s"graft-stats-${java.util.UUID.randomUUID()}")
+    val key = col(keyCol).cast("string")
+    val observed = df.observe(obs,
+      count(key).as("n_rows"),
+      graft.functions.KmvAgg.kMinValues(
+        TextHash.sampleKey(concat(lit("kmv:"), key)), k).as("mins"))
+    observed.write.mode("overwrite").parquet(dataDir)
+    val m = obs.get
+    val nRows = m("n_rows").asInstanceOf[Long]
+    val mins = m("mins") match {
+      case s: scala.collection.Seq[_] => s.map(_.asInstanceOf[Long]).toSeq
+      case a: Array[_] => a.toSeq.map(_.asInstanceOf[Long])
+      case other => throw new IllegalStateException(
+        s"observe returned ${other.getClass} for mins")
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(statsDir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(statsDir, "_format-stats-kmv-v1"),
+      Array.empty[Byte])
+    val spark = df.sparkSession
+    val entry = spark.range(1).select(
+      lit(nRows).as("n_rows"),
+      typedLit(mins).as("mins"),
+      lit(keyCol).as("key_col"),
+      lit(k.toLong).as("k"))
+    publishEntry(entry, statsDir, 1L)
   }
 
   /** Stage + atomically rename `entry-<version>` under `dir`. */
@@ -522,23 +564,21 @@ object Profiling {
   def joinCardinalityEstimate(dfA: DataFrame, dfB: DataFrame,
       keyA: String, keyB: String, k: Int = 64): DataFrame = {
     val est = (df: DataFrame, key: String) => {
-      val vals = df.select(col(key).cast("string").as("v"))
-        .filter(col("v").isNotNull)
-      val nRows = vals.groupBy().agg(count(lit(1)).as("n_rows"))
-      // duplicates collapse BEFORE the k-slot buffer — a hot key repeated
-      // k times would otherwise fill every slot and inflate the estimate
-      val sk = vals.distinct()
-        .select(TextHash.sampleKey(concat(lit("kmv:"), col("v"))).as("h"))
-        .groupBy()
-        .agg(TopKAgg.topK(-col("h").cast("double"), col("h"), k).as("mins"))
+      // ONE aggregate pass per side: KmvAgg dedupes inside the k-slot
+      // buffer (duplicates can never fill the slots), replacing the old
+      // distinct-shuffle → TopKAgg chain with identical output.
+      val keyC = col(key).cast("string")
+      broadcast(df
+        .agg(count(keyC).as("n_rows"),
+          graft.functions.KmvAgg.kMinValues(
+            TextHash.sampleKey(concat(lit("kmv:"), keyC)), k).as("mins"))
         .withColumn("n_kept", size(col("mins")).cast("long"))
         .withColumn("kth_min",
           when(col("n_kept") > 0L,
-            element_at(col("mins"), col("n_kept").cast("int")).getField("id"))
+            element_at(col("mins"), col("n_kept").cast("int")))
             .otherwise(lit(0L)))
-        .select(expr(s"CASE WHEN n_kept < $k THEN n_kept " +
-          s"ELSE (${k - 1}L * ${TextHash.Prime}L) div (kth_min + 1L) END").as("d"))
-      broadcast(nRows).crossJoin(broadcast(sk))
+        .select(col("n_rows"), expr(s"CASE WHEN n_kept < $k THEN n_kept " +
+          s"ELSE (${k - 1}L * ${TextHash.Prime}L) div (kth_min + 1L) END").as("d")))
     }
     val a = est(dfA, keyA)
     val b = est(dfB, keyB)

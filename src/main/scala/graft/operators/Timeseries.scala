@@ -368,4 +368,97 @@ object Timeseries {
         (when(col("__num") >= 0, lit(1L)).otherwise(lit(-1L)) *
           expr("abs(__num) div __den")).as("slope"))
   }
+
+  /** One-sided CUSUM drift/changepoint detection (Page, Biometrika 1954)
+    * — the sequential monitor that catches "this series has been running
+    * above its mean for a while" long before a single-point z-score
+    * fires. The textbook recurrence S_t = max(0, S_{t−1} + (x_t − μ −
+    * slack)) is SEQUENTIAL, which no SQL window expresses directly; this
+    * uses the exact closed form S_t = P_t − min(0, min_{j≤t} P_j) over
+    * prefix sums P of the drift — two window passes sharing ONE
+    * (series, hour) partitioning/sort, all-BIGINT, so both engines
+    * replay it bit-for-bit (spec pins closed-form ≡ recurrence).
+    *
+    * μ is the per-series mean of hourly cents (floored integer `div` —
+    * non-negative sums, so `div` ≡ `//`), folded IN-PLAN via a per-series
+    * aggregate join; the alarm threshold is `muFactor`·μ, SF-adaptive
+    * with no fixture constant. Scale shape: one hourly aggregate
+    * (map-side combined), one small per-series aggregate, one window
+    * pass per series — series are independent partitions, never a global
+    * window. Output: (event_type, hour, cents, cusum_cents, is_alarm). */
+  /** Lag-k autocorrelation in EXACT integer arithmetic — the seasonality
+    * detector behind "does this series repeat daily?": ACF(L) =
+    * Σ(x_t−x̄)(x_{t+L}−x̄) / Σ(x_t−x̄)², computed over the MEAN-SCALED
+    * integers a_t = n·x_t − Σx (multiply the centered values through by n
+    * so the fractional mean never appears — no FP anywhere), with the
+    * lag pairing an equi-join on `hour = hour + L` (the x13 lesson: a
+    * `lag()` window silently pairs across gaps). The single division is
+    * emitted as sign·(|num|·10⁴ div den) — abs BEFORE the div, the x14
+    * rule, because num is legitimately negative for anti-correlated
+    * lags.
+    *
+    * Overflow envelope (documented contract): Σa² ≈ n³·x̄², so hourly
+    * cents need n ≲ 2000 points per series (a month of hours = 720 →
+    * 3.7e16, ~250× headroom); longer windows rescale the unit or chunk
+    * the series. Values are hourly MEAN cents (floored div — identical
+    * in both engines on non-negative sums), so the envelope is
+    * SF-invariant: more data changes per-hour counts, not the means.
+    *
+    * Scale shape: one hourly aggregate, one per-series stats broadcast
+    * join, one self equi-join per lag over series-length frames —
+    * series are independent; nothing corpus-sized past the first
+    * aggregate. Output: (event_type, lag, n_pairs, num, den, acf_bp). */
+  def autocorrelation(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts", valCol: String = "value",
+      lags: Seq[Int] = Seq(1, 24)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ > 0), s"positive lags: $lags")
+    val hourly = events
+      .groupBy(col(typeCol).as("event_type"),
+        date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(expr(s"sum(CAST(floor($valCol * 100) AS BIGINT)) div count(1)")
+        .as("xbar"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__n"), sum(col("xbar")).as("__s"))
+    val a = hourly.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("hour"),
+        (col("__n") * col("xbar") - col("__s")).as("a"))
+    val den = a.groupBy(col("event_type"))
+      .agg(sum(col("a") * col("a")).as("den"))
+    val perLag = lags.map { lag =>
+      a.as("l")
+        .join(a.as("r"),
+          col("l.event_type") === col("r.event_type") &&
+            col("l.hour") === col("r.hour") + expr(s"INTERVAL $lag HOURS"))
+        .groupBy(col("l.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("l.a") * col("r.a")).as("num"))
+        .withColumn("lag", lit(lag.toLong))
+    }.reduce(_ unionByName _)
+    perLag.join(den, Seq("event_type"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        col("num"), col("den"),
+        (when(col("num") >= 0, lit(1L)).otherwise(lit(-1L)) *
+          expr("abs(num) * 10000L div den")).as("acf_bp"))
+  }
+
+  def cusumChangepoints(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts", valCol: String = "value",
+      slackCents: Long = 0L, muFactor: Long = 8L): DataFrame = {
+    val hourly = events
+      .groupBy(col(typeCol).as("event_type"),
+        date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(sum(floor(col(valCol) * 100).cast("long")).as("cents"))
+    val mu = hourly.groupBy(col("event_type"))
+      .agg(expr("sum(cents) div count(1)").as("__mu"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly.join(mu, Seq("event_type"))
+      .withColumn("__p",
+        sum(col("cents") - col("__mu") - lit(slackCents)).over(w))
+      .withColumn("__s",
+        col("__p") - least(lit(0L), min(col("__p")).over(w)))
+      .select(col("event_type"), col("hour"), col("cents"),
+        col("__s").as("cusum_cents"),
+        (col("__s") > col("__mu") * muFactor).cast("long").as("is_alarm"))
+  }
 }

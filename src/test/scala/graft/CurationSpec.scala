@@ -509,4 +509,59 @@ class CurationSpec extends SparkSpec {
       assert(oLo >= 0L && oLo < budget, s"bin $k first offset out of range")
     }
   }
+
+  test("ngramNovelty: contained doc scores 0, disjoint doc 10000, mixed in between") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),                    // ref: grams of this text
+      (100L, "a b c d e f g"),                  // identical → novelty 0
+      (101L, "q w e r t y u"),                  // disjoint → 10000
+      (102L, "a b c d e zz ww vv uu tt")        // 1 seen gram (a b c d e), 5 novel
+    ).toDF("doc_id", "text")
+    val out = Curation.ngramNovelty(docs, col("doc_id") === 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(100L) == ((3L, 0L, 0L)))       // 3 grams, all seen
+    assert(out(101L) == ((3L, 3L, 10000L)))
+    assert(out(102L) == ((6L, 5L, 8333L)))    // 5·10000 div 6
+    assert(!out.contains(1L), "reference docs are not scored")
+  }
+
+  test("noveltyAgainstStore ≡ ngramNovelty (store + Bloom prefilter output-invisible)") {
+    val docs = Seq(
+      (1L, "a b c d e f g"), (2L, "h i j k l m n"),   // reference slice
+      (100L, "a b c d e f g"),
+      (101L, "q w e r t y u"),
+      (102L, "h i j k l zz ww vv uu tt")
+    ).toDF("doc_id", "text")
+    val isRef = col("doc_id") < 100L
+    val dir = java.nio.file.Files.createTempDirectory("graft_nv_store").toString
+    Curation.writeDecontamStore(docs.filter(isRef), dir)
+    val direct = Curation.ngramNovelty(docs, isRef)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val stored = Curation.noveltyAgainstStore(docs.filter(!isRef), dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stored == direct)
+    // format-mismatch guard stays loud
+    intercept[IllegalArgumentException] {
+      Curation.noveltyAgainstStore(docs.filter(!isRef), dir, n = 3)
+    }
+  }
+
+  test("lengthBuckets: exact rank deciles, per-bucket max padding waste") {
+    // 20 docs with token lengths 1..20 → 10 buckets of 2 docs; bucket k
+    // holds lengths (2k+1, 2k+2), waste = (2·(2k+2) − (4k+3))·10⁴ div
+    // (2·(2k+2)) = 10⁴ div (4k+4).
+    val docs = (1 to 20).map(i => (i.toLong, Seq.fill(i)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.lengthBuckets(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.keySet == (0L to 9L).toSet)
+    for (k <- 0 to 9) {
+      val (nDocs, maxLen, sumLen, waste) = out(k.toLong)
+      assert(nDocs == 2L)
+      assert(maxLen == 2L * k + 2L)
+      assert(sumLen == 4L * k + 3L)
+      assert(waste == 10000L / (4L * k + 4L))
+    }
+  }
 }

@@ -247,4 +247,45 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getLong(2) === 2L && r.getLong(4) === 2L && r.getLong(5) === 2L)
     assert(r.getLong(6) === 0L, "below-k estimate is exact")
   }
+
+  test("KmvAgg ≡ distinct() + sort + take(k): in-buffer dedup, ascending, dup-proof") {
+    // hot duplicates try to flood the buffer; values interleave partitions
+    val vals = (0L until 500L).flatMap(i => Seq.fill(if (i < 5) 200 else 1)(i))
+    val df = spark.sparkContext.parallelize(vals, 7).toDF("v")
+    val k = 16
+    val got = df.agg(graft.functions.KmvAgg.kMinValues(
+        TextHash.sampleKey(concat(lit("kmv:"), col("v").cast("string"))), k).as("m"))
+      .head().getSeq[Long](0)
+    val want = sampleKeys(vals.map(_.toString).distinct).distinct.sorted.take(k)
+    assert(got.toSeq == want)
+    // nulls skipped
+    val withNulls = Seq[java.lang.Long](1L, null, 2L, null).toDF("v")
+    val g2 = withNulls.agg(graft.functions.KmvAgg.kMinValues(
+        TextHash.sampleKey(concat(lit("kmv:"), col("v").cast("string"))), 8).as("m"))
+      .head().getSeq[Long](0)
+    assert(g2.size == 2)
+  }
+
+  test("writeWithStats: stats ride the table write — entry ≡ writeTableStats, data written") {
+    val df = spark.range(0, 3000)
+      .select((col("id") % 700).cast("string").as("k"), col("id").as("payload"))
+    val d1 = java.nio.file.Files.createTempDirectory("graft_ws_data").toString
+    val s1 = java.nio.file.Files.createTempDirectory("graft_ws_stats").toString
+    val s2 = java.nio.file.Files.createTempDirectory("graft_ws_ref").toString
+    Profiling.writeWithStats(df, d1, s1, "k")
+    Profiling.writeTableStats(df, s2, "k")
+    // the written table round-trips
+    assert(spark.read.parquet(d1).count() == 3000L)
+    // the observed-metrics entry is bit-identical to the scan-built one
+    val a = spark.read.parquet(
+      new java.io.File(s1).listFiles().filter(_.getName.startsWith("entry-")).head.toString)
+    val b = spark.read.parquet(
+      new java.io.File(s2).listFiles().filter(_.getName.startsWith("entry-")).head.toString)
+    val ra = a.head(); val rb = b.head()
+    assert(ra.getLong(ra.fieldIndex("n_rows")) == rb.getLong(rb.fieldIndex("n_rows")))
+    assert(ra.getSeq[Long](ra.fieldIndex("mins")) == rb.getSeq[Long](rb.fieldIndex("mins")))
+    // and the planner reads it identically
+    assert(Profiling.readStatsDriver(spark, s1, "k")
+      == Profiling.readStatsDriver(spark, s2, "k"))
+  }
 }

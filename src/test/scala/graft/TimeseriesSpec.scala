@@ -232,4 +232,69 @@ class TimeseriesSpec extends SparkSpec {
       .groupBy("event_type", "hop").count().filter(col("count") > 1L).count()
     assert(perHop === 0L, "seasonal must be a pure function of (type, hop)")
   }
+
+  test("autocorrelation: alternating series → lag-1 ACF = −10⁴, lag-2 = +10⁴; gaps never pair") {
+    // perfect period-2 series 1,3,1,3,... (hourly, one event per hour):
+    // lag 1 pairs (a, −a) everywhere → num = −den·(pairs/n) sign −;
+    // lag 2 pairs (a, a) → +. Exact values checked against a replay.
+    val vs = (0 until 12).map(h => (if (h % 2 == 0) 1.0 else 3.0, h))
+    val rows = vs.map { case (v, h) =>
+      ("alt", new java.sql.Timestamp(h * 3600000L), v) }
+    val out = Timeseries.autocorrelation(
+        rows.toDF("event_type", "ts", "value"), lags = Seq(1, 2))
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // replay: xbar per hour = 100 or 300 cents, n = 12, S = 2400;
+    // a_t = 12·x_t − 2400 = ∓1200; den = 12·1200² = 17_280_000
+    val a = vs.map { case (v, _) => 12L * (v * 100).toLong - 2400L }
+    val den = a.map(x => x * x).sum
+    def num(lag: Int) = (0 until 12 - lag).map(t => a(t) * a(t + lag)).sum
+    assert(out(1L) == ((11L, num(1), den, -(math.abs(num(1)) * 10000L / den))))
+    assert(out(2L) == ((10L, num(2), den, math.abs(num(2)) * 10000L / den)))
+    // a gap: drop hour 5 — lag-1 pairs across the gap must vanish
+    val gappy = rows.filterNot(_._2.getTime == 5 * 3600000L)
+    val g = Timeseries.autocorrelation(
+        gappy.toDF("event_type", "ts", "value"), lags = Seq(1))
+      .head()
+    assert(g.getLong(2) == 9L, "11 hours → 10 adjacent pairs minus 2 gap-adjacent + ... = 9")
+  }
+
+  test("cusumChangepoints: closed form ≡ the sequential recurrence; series isolated") {
+    // A series that dips then runs hot: the recurrence resets at the dip
+    // (max with 0) and accumulates through the hot run — exactly where a
+    // naive prefix sum (no min subtraction) would diverge. Values in
+    // dollars so hourly cents = 100·v; one event per hour.
+    val hot = Seq(1.0, 1.0, 0.2, 0.2, 5.0, 5.0, 5.0, 1.0, 0.1, 6.0)
+    val flat = Seq(2.0, 2.0, 2.0, 2.0)
+    val rows =
+      hot.zipWithIndex.map { case (v, h) =>
+        ("hot", new java.sql.Timestamp(h * 3600000L), v) } ++
+      flat.zipWithIndex.map { case (v, h) =>
+        ("flat", new java.sql.Timestamp(h * 3600000L), v) }
+    val out = Timeseries.cusumChangepoints(
+        rows.toDF("event_type", "ts", "value"), muFactor = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 3600000L,
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    // replay the textbook recurrence per series on the collected cents
+    def replay(vs: Seq[Long]): Seq[Long] = {
+      val mu = vs.sum / vs.size // floored div, matches the operator
+      vs.scanLeft(0L)((s, x) => math.max(0L, s + (x - mu))).tail
+    }
+    for ((series, vals) <- Seq("hot" -> hot, "flat" -> flat)) {
+      val got = out.filter(_._1 == series)
+      val cents = got.map(_._3)
+      assert(cents.toSeq == vals.map(v => math.floor(v * 100).toLong),
+        s"$series cents")
+      val expected = replay(cents)
+      assert(got.map(_._4).toSeq == expected, s"$series cusum closed form")
+      val mu = cents.sum / cents.size
+      assert(got.map(_._5).toSeq == expected.map(s => if (s > mu * 2) 1L else 0L),
+        s"$series alarms")
+    }
+    // the flat series never alarms; the hot one does
+    assert(out.filter(_._1 == "flat").forall(_._5 == 0L))
+    assert(out.filter(_._1 == "hot").exists(_._5 == 1L))
+  }
 }
