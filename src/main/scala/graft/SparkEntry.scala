@@ -2129,6 +2129,17 @@ object SparkEntry {
     // kills) length bucketing for a training/inference batcher.
     "p16_length_buckets" -> ((s, d) =>
       Curation.lengthBuckets(Tables.documents(s, d))),
+    // Train/serve quantile binning: exact quartile edges learned on the
+    // even-orderkey half (through the blessed order-statistic path —
+    // never a value-buffer percentile), odd half bucketed against the
+    // broadcast edges; per-bin serve population + exact bounds.
+    "p17_quantile_binning" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      Quantiles.quantileBinning(
+        orders.filter(col("o_orderkey") % 2 === 0),
+        orders.filter(col("o_orderkey") % 2 =!= 0),
+        "o_totalprice")
+    }),
     // n-gram novelty vs the reference slice (doc_id%20==0 — the "already
     // crawled" corpus): per-doc distinct 5-gram novelty rate. c1 screens
     // against benchmarks; this screens against the corpus itself.
@@ -5760,6 +5771,32 @@ object SparkEntry {
         |       CAST(sum(len) AS BIGINT) AS sum_len,
         |       CAST((max(len) * count(*) - sum(len)) * 10000 // (max(len) * count(*)) AS BIGINT) AS waste_bp
         |FROM b GROUP BY bucket""".stripMargin,
+    // Binning replay: the same exact order-statistic ranks ⌊q·(n−1)⌋+1
+    // over the sorted train cents, same strict-greater edge comparisons.
+    "p17_quantile_binning" ->
+      """WITH tr AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |            FROM orders WHERE o_orderkey % 2 = 0),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM tr),
+        |e AS (SELECT
+        |        (SELECT cents FROM r, nn WHERE rn = (1 * (n - 1)) // 4 + 1) AS e1,
+        |        (SELECT cents FROM r, nn WHERE rn = (2 * (n - 1)) // 4 + 1) AS e2,
+        |        (SELECT cents FROM r, nn WHERE rn = (3 * (n - 1)) // 4 + 1) AS e3),
+        |sv AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |       FROM orders WHERE o_orderkey % 2 <> 0),
+        |b AS (SELECT cents,
+        |             CAST((CASE WHEN cents > e1 THEN 1 ELSE 0 END) +
+        |                  (CASE WHEN cents > e2 THEN 1 ELSE 0 END) +
+        |                  (CASE WHEN cents > e3 THEN 1 ELSE 0 END) AS BIGINT) AS bin,
+        |             CAST(CASE WHEN cents > e3 THEN e3
+        |                       WHEN cents > e2 THEN e2
+        |                       WHEN cents > e1 THEN e1
+        |                       ELSE -1 END AS BIGINT) AS edge_lo
+        |      FROM sv CROSS JOIN e)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(cents) AS BIGINT) AS min_cents,
+        |       CAST(max(cents) AS BIGINT) AS max_cents, edge_lo
+        |FROM b GROUP BY bin, edge_lo""".stripMargin,
     // Novelty replay: the decontam gram fragments re-sourced — candidate
     // docs' DISTINCT 5-grams left-joined against the reference slice's
     // gram set.

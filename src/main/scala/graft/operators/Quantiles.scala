@@ -259,4 +259,44 @@ object Quantiles {
       .select(col("__pid")).distinct()
     (offsets.select(col("__g"), col("__pid"), col("__off")), targets, keepPids)
   }
+
+  /** TRAIN/SERVE quantile binning — the feature-engineering pass an ML
+    * pipeline fits once and applies forever: exact equal-frequency bin
+    * EDGES learned from `train` (order statistics through
+    * [[groupedQuantileSelect]] — never a per-group value buffer, and
+    * integral cents so no interpolated double is ever compared), then
+    * `apply` rows bucketed by comparing against the PIVOTED 1-row edge
+    * frame (broadcast attach — the edges are nBins−1 longs however big
+    * training was). bin = Σ (v > edge_i) ∈ [0, nBins−1]; ties at an edge
+    * go LOW (v > edge, not ≥ — both engines replay the comparison).
+    * Output: one row per bin with its serve-set population and exact
+    * min/max cents (bin occupancy under train→serve drift IS the
+    * monitoring signal).
+    * Output: (bin, n, min_cents, max_cents, edge_lo) — edge_lo the
+    * learned lower edge the bin sits above (−1 for bin 0). */
+  def quantileBinning(train: DataFrame, serve: DataFrame, valCol: String,
+      nBins: Int = 4): DataFrame = {
+    require(nBins >= 2, s"need >= 2 bins, got $nBins")
+    val cents = (df: DataFrame) =>
+      df.select(floor(col(valCol) * 100).cast("long").as("cents"))
+    val qs = (1 until nBins).map(i => i.toDouble / nBins -> s"e$i")
+    val edges = groupedQuantileSelect(
+        cents(train).withColumn("__g", lit("all")), "__g", "cents", qs)
+      .drop("__g")
+    val binned = cents(serve).crossJoin(broadcast(edges))
+      .withColumn("bin",
+        (1 until nBins).map(i => (col("cents") > col(s"e$i")).cast("long"))
+          .reduce(_ + _))
+      .withColumn("edge_lo",
+        // ascending fold → the HIGHEST edge test ends up outermost
+        (1 until nBins).foldLeft(lit(-1L)) { (acc, i) =>
+          when(col("bin") >= i, col(s"e$i").cast("long")).otherwise(acc)
+        })
+    binned.groupBy(col("bin"), col("edge_lo"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .select(col("bin"), col("n"), col("min_cents"), col("max_cents"),
+        col("edge_lo"))
+  }
 }

@@ -130,4 +130,20 @@ class QuantilesSpec extends SparkSpec {
       .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
     assert(r === Map("big" -> 250.5, "one" -> 42.0, "tie" -> 7.0))
   }
+
+  test("quantileBinning: train edges at rank ⌊q(n−1)⌋+1, strict-greater bins, edge ties go low") {
+    // train = 1..9 dollars (n=9): quartile ranks (1·8)//4+1=3, 5, 7 →
+    // edges 300/500/700 cents. serve hits every bin plus exact-edge ties.
+    val train = (1 to 9).map(i => i.toDouble).toDF("v")
+    val serve = Seq(0.5, 3.0, 3.01, 5.0, 6.5, 7.0, 7.01, 99.0).toDF("v")
+    val out = Quantiles.quantileBinning(train, serve, "v")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // 0.5 and 3.0 (tie at e1 → LOW) → bin 0; 3.01, 5.0 (tie low) → bin 1;
+    // 6.5, 7.0 → bin 2; 7.01, 99.0 → bin 3
+    assert(out(0L) == ((2L, 50L, 300L, -1L)))
+    assert(out(1L) == ((2L, 301L, 500L, 300L)))
+    assert(out(2L) == ((2L, 650L, 700L, 500L)))
+    assert(out(3L) == ((2L, 701L, 9900L, 700L)))
+  }
 }
