@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.operators.Curation
 import graft.sources.Tables
 
-/** Builder tooling: the novelty operators (t41/t42) at 40× the fixture —
-  * 200k docs, ~10M gram rows — to check the gram-hash join shape holds
+/** Builder tooling: the novelty operators (t41/t42) at 20× the fixture —
+  * 100k docs, ~5M gram rows — to check the gram-hash join shape holds
   * and to size the store-backed path's Bloom prefilter win when the
   * reference corpus dwarfs the batch (the incremental-crawl regime the
   * operator exists for). Caesar-rotated replicas keep within-replica
@@ -15,10 +15,18 @@ import graft.sources.Tables
   * convention). */
 object NoveltyProbe {
   def main(args: Array[String]): Unit = {
-    val reps = if (args.nonEmpty) args(0).toInt else 40
+    val reps = if (args.nonEmpty) args(0).toInt else 20
+    // the Caesar alphabet has 26 rotations — more replicas would wrap
+    // into byte-identical copies and silently break the no-cross-replica
+    // collision premise (review finding)
+    require(reps >= 1 && reps <= 26, s"1..26 replicas, got $reps")
     val sfDir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
+      // CLAUDE.md: every new builder pins the ObjectHashAggregate
+      // fallback threshold (grouped typed aggregates above 128 keys
+      // otherwise silently re-sort every row)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -178,12 +178,12 @@ object SparkEntry {
          |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM lineitem WHERE l_orderkey IS NOT NULL),
          |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM orders WHERE o_orderkey IS NOT NULL),
          |ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
-         |       FROM (SELECT ${sqlSampleKey("('kmv:' || v)")} AS h FROM va)),
+         |       FROM (SELECT DISTINCT ${sqlSampleKey("('kmv:' || v)")} AS h FROM va)),
          |ka AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, CAST(max(h) AS BIGINT) AS kth FROM ra WHERE rn <= 64),
          |da AS (SELECT CAST(CASE WHEN n_kept < 64 THEN n_kept
          |                        ELSE (CAST(63 AS BIGINT) * 1000000007) // (kth + 1) END AS BIGINT) AS d_a FROM ka),
          |rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
-         |       FROM (SELECT ${sqlSampleKey("('kmv:' || v)")} AS h FROM vb)),
+         |       FROM (SELECT DISTINCT ${sqlSampleKey("('kmv:' || v)")} AS h FROM vb)),
          |kb AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, CAST(max(h) AS BIGINT) AS kth FROM rb WHERE rn <= 64),
          |db AS (SELECT CAST(CASE WHEN n_kept < 64 THEN n_kept
          |                        ELSE (CAST(63 AS BIGINT) * 1000000007) // (kth + 1) END AS BIGINT) AS d_b FROM kb),
@@ -206,7 +206,7 @@ object SparkEntry {
     * exact sketch arithmetic [[graft.operators.Profiling]] persists. */
   private def sqlKmvD(p: String, distinctValSql: String): String =
     s"""${p}r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
-       |       FROM (SELECT ${sqlSampleKey("('kmv:' || v)")} AS h FROM ($distinctValSql))),
+       |       FROM (SELECT DISTINCT ${sqlSampleKey("('kmv:' || v)")} AS h FROM ($distinctValSql))),
        |${p}k AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, CAST(max(h) AS BIGINT) AS kth FROM ${p}r WHERE rn <= 64),
        |${p}d AS (SELECT CAST(CASE WHEN n_kept < 64 THEN n_kept
        |                        ELSE (CAST(63 AS BIGINT) * 1000000007) // (kth + 1) END AS BIGINT) AS d FROM ${p}k)""".stripMargin
@@ -4335,7 +4335,7 @@ object SparkEntry {
     // exact weekly distinct for the audit columns.
     "x29_sketch_rollup" ->
       s"""WITH dv AS (SELECT DISTINCT CAST(ts AS DATE) AS day, CAST(user_id AS VARCHAR) AS v FROM events),
-         |hv AS (SELECT day, ${sqlSampleKey("('kmv:' || v)")} AS h FROM dv),
+         |hv AS (SELECT DISTINCT day, ${sqlSampleKey("('kmv:' || v)")} AS h FROM dv),
          |dr AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM hv),
          |wu AS (SELECT DISTINCT CAST(date_trunc('week', day) AS DATE) AS week, h
          |       FROM dr WHERE rn <= 64),

@@ -23,11 +23,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Determinism: the buffer is a sorted ascending array with exact-match
   * skip; merge is ordered dedup-merge. The result (ascending array of
-  * the k global smallest distinct values) is independent of partitioning
-  * and arrival order — bit-identical to the distinct()+TopKAgg
-  * formulation it replaces (ProfilingSpec pins the equality), so stored
-  * catalog entries and their SQL replays are unchanged. Nulls are
-  * skipped. */
+  * the k global smallest DISTINCT HASH VALUES) is independent of
+  * partitioning and arrival order (ProfilingSpec pins it against
+  * distinct+sort+take(k)). Semantics note: the old distinct()+TopKAgg
+  * chain deduped VALUES but kept colliding HASHES as separate slots;
+  * this buffer keeps the distinct hash SET — the paired SQL replays
+  * (sqlKmvD / sqlJoinCardinality / x29's day chain) rank over
+  * `SELECT DISTINCT … h` to match, so a sampleKey collision inside a
+  * scope's bottom-k can never hash-split the gate. Nulls are skipped. */
 case class KmvAgg(
     child: Expression,
     k: Int,

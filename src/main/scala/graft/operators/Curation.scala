@@ -236,8 +236,13 @@ object Curation {
     val sketch = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(storeDir, "bloom.bin"))
     val grams = spark.read.parquet(s"$storeDir/grams")
+    // cache: TWO consumers read the exploded gram stream (the totals
+    // aggregate and the Bloom→registry branch) — without it the batch is
+    // tokenized and poly-hashed twice (review finding; the
+    // bloomContamination bounded-leak convention, batch-gram-sized)
     val docGrams = train.select(col("doc_id"), explode(
       graft.functions.GraftColumns.shingleHashes(col("text"), n)).as("h"))
+      .cache()
     val totals = docGrams.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"))
     val maybe =

@@ -457,7 +457,15 @@ object Profiling {
       typedLit(mins).as("mins"),
       lit(keyCol).as("key_col"),
       lit(k.toLong).as("k"))
-    publishEntry(entry, statsDir, 1L)
+    // A REWRITE supersedes whatever version the catalog reached through
+    // appends: publish max+1 and prune, exactly like appendTableStats —
+    // a hardcoded version 1 would sit silently SHADOWED by a surviving
+    // higher-versioned entry (latestEntry resolves the max).
+    val cur = entryDirs(statsDir).map(_._2).maxOption.getOrElse(0L)
+    publishEntry(entry, statsDir, cur + 1L)
+    entryDirs(statsDir).filter(_._2 < cur + 1L).foreach { case (p, _) =>
+      deleteRecursively(p)
+    }
   }
 
   /** Stage + atomically rename `entry-<version>` under `dir`. */

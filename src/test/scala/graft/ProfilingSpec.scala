@@ -287,5 +287,16 @@ class ProfilingSpec extends SparkSpec {
     // and the planner reads it identically
     assert(Profiling.readStatsDriver(spark, s1, "k")
       == Profiling.readStatsDriver(spark, s2, "k"))
+    // a REWRITE after appends must supersede the append-advanced version,
+    // not publish a shadowed entry-1 (latestEntry resolves the max)
+    Profiling.appendTableStats(
+      spark.range(3000, 4000).select(col("id").cast("string").as("k"),
+        col("id").as("payload")), s1, "k")
+    assert(Profiling.readStatsDriver(spark, s1, "k")._1 == 4000L)
+    Profiling.writeWithStats(df, d1, s1, "k") // rewrite: back to the 3000-row table
+    assert(Profiling.readStatsDriver(spark, s1, "k")._1 == 3000L,
+      "rewrite stats must win over the older append entry")
+    assert(new java.io.File(s1).listFiles()
+      .count(_.getName.startsWith("entry-")) == 1, "publish prunes superseded")
   }
 }
