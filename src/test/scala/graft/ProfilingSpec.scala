@@ -298,5 +298,11 @@ class ProfilingSpec extends SparkSpec {
       "rewrite stats must win over the older append entry")
     assert(new java.io.File(s1).listFiles()
       .count(_.getName.startsWith("entry-")) == 1, "publish prunes superseded")
+    // empty input: observed metrics are (0, []) and the entry reads back
+    // as zero rows / zero distinct — no NPE, no missing-entry state
+    val dE = java.nio.file.Files.createTempDirectory("graft_ws_edata").toString
+    val sE = java.nio.file.Files.createTempDirectory("graft_ws_estats").toString
+    Profiling.writeWithStats(df.filter(col("payload") < 0), dE, sE, "k")
+    assert(Profiling.readStatsDriver(spark, sE, "k") == ((0L, 0L)))
   }
 }
