@@ -299,7 +299,7 @@ object IncrementalProbe {
       graft.operators.Profiling.appendTableStats(statsBatch(100), statsDir, "k"); 1L
     }
     time("stats_read_after_101") {
-      val (nRows, d) = graft.operators.Profiling.readStatsDriver(spark, statsDir, "k")
+      val (nRows, d, _) = graft.operators.Profiling.readStatsDriver(spark, statsDir, "k")
       assert(nRows == 101000L, s"exact-merge drift at turnover: n_rows=$nRows")
       d
     }

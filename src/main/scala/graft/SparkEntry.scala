@@ -193,7 +193,9 @@ object SparkEntry {
          |              CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
          |                        WHEN n_a <= 4611686018427387904 // n_b
          |                        THEN (n_a * n_b) // greatest(d_a, d_b, 1)
-         |                        ELSE (n_a // greatest(d_a, d_b, 1)) * n_b END AS BIGINT) AS est_rows,
+         |                        WHEN (n_a // greatest(d_a, d_b, 1)) <= 9223372036854775807 // n_b
+         |                        THEN (n_a // greatest(d_a, d_b, 1)) * n_b
+         |                        ELSE 9223372036854775807 END AS BIGINT) AS est_rows,
          |              actual_rows
          |       FROM na, nb, da, db, ac)
          |SELECT n_a, n_b, est_distinct_a, est_distinct_b, est_rows, actual_rows,
@@ -212,28 +214,53 @@ object SparkEntry {
        |                        ELSE (CAST(63 AS BIGINT) * 1000000007) // (kth + 1) END AS BIGINT) AS d FROM ${p}k)""".stripMargin
 
   /** One b2 oracle case: counts + sketch estimates → the same strategy
-    * ladder [[graft.plans.CostBasedJoin.decide]] runs (explodeFactor 2,
-    * bloomFactor 4), plus the actual join count. */
+    * ladder [[graft.plans.CostBasedJoin.decide]] runs, plus the actual
+    * join count. The ladder constants are INTERPOLATED from
+    * [[graft.plans.CostBasedJoin]]'s single definitions — a retune edits
+    * one place and both engines follow (the CLAUDE.md lockstep rule made
+    * structural); the est_rows CASE carries the same saturation fence as
+    * the Scala estRows. */
   private def sqlB2Case(caseId: String, aD: String, bD: String,
       aCount: String, bCount: String, actualCount: String,
-      broadcastRows: Long): String =
+      broadcastRows: Long): String = {
+    val ef = graft.plans.CostBasedJoin.DefaultExplodeFactor
+    val bf = graft.plans.CostBasedJoin.DefaultBloomFactor
+    val ssf = graft.plans.CostBasedJoin.SaltShareFactor
     s"""SELECT '$caseId' AS case_id,
        |       CASE WHEN n_b <= $broadcastRows THEN 'broadcast'
-       |            WHEN est_rows > 2 * (n_a + n_b) THEN 'shuffle_hash'
-       |            WHEN 4 * est_distinct_b <= est_distinct_a THEN 'bloom_reduced'
+       |            WHEN top_a > n_a // $ssf THEN 'salted'
+       |            WHEN est_rows > $ef * (n_a + n_b) THEN 'shuffle_hash'
+       |            WHEN $bf * est_distinct_b <= est_distinct_a THEN 'bloom_reduced'
        |            ELSE 'shuffle' END AS strategy,
-       |       n_a, n_b, est_distinct_a, est_distinct_b, est_rows, actual_rows
+       |       n_a, n_b, est_distinct_a, est_distinct_b, top_a, est_rows, actual_rows
        |FROM (SELECT n_a, n_b,
        |             ${aD}d.d AS est_distinct_a, ${bD}d.d AS est_distinct_b,
+       |             ${aD}t.top AS top_a,
        |             CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
        |                       WHEN n_a <= 4611686018427387904 // n_b
        |                       THEN (n_a * n_b) // greatest(${aD}d.d, ${bD}d.d, 1)
-       |                       ELSE (n_a // greatest(${aD}d.d, ${bD}d.d, 1)) * n_b END AS BIGINT) AS est_rows,
+       |                       WHEN (n_a // greatest(${aD}d.d, ${bD}d.d, 1)) <= 9223372036854775807 // n_b
+       |                       THEN (n_a // greatest(${aD}d.d, ${bD}d.d, 1)) * n_b
+       |                       ELSE 9223372036854775807 END AS BIGINT) AS est_rows,
        |             actual_rows
        |      FROM (SELECT CAST($aCount AS BIGINT) AS n_a) ,
        |           (SELECT CAST($bCount AS BIGINT) AS n_b),
-       |           ${aD}d, ${bD}d,
+       |           ${aD}d, ${bD}d, ${aD}t,
        |           (SELECT CAST($actualCount AS BIGINT) AS actual_rows))""".stripMargin
+  }
+
+  /** Skew-stat replay CTE for the b2/b3 oracles: `<p>t` ends as a one-
+    * column (top) frame — the sketch-then-verify clamp
+    * ([[graft.operators.Profiling.SkewCap]]) replayed from EXACT counts:
+    * the max per-key count when it clears the MG observability floor
+    * 1/(cap+1), else 0. `rawKeySql` must yield the NON-NULL key as column
+    * v (raw rows, not distinct — frequencies matter here). */
+  private def sqlTopCTE(p: String, rawKeySql: String): String = {
+    val floor = graft.operators.Profiling.SkewCap + 1
+    s"""${p}t AS (SELECT CAST(CASE WHEN mx > n // $floor THEN mx ELSE 0 END AS BIGINT) AS top
+       |       FROM (SELECT max(c) AS mx, sum(c) AS n
+       |             FROM (SELECT count(*) AS c FROM ($rawKeySql) GROUP BY v)))""".stripMargin
+  }
 
   /** Gate round count for BPE training (t21/t22): big enough to exercise
     * the N-merge loop driver (per-round materialization + superseded-round
@@ -919,6 +946,36 @@ object SparkEntry {
             Tables.customer(s, d), Tables.supplier(s, d),
             "c_nationkey", "s_nationkey",
             custD.toString, suppD.toString, 50L, "explode"))
+          .localCheckpoint(true)
+      } finally dirs.foreach(deleteRecursively)
+    }),
+    // Skew-aware stats routing (the r10-parked design, unparked): the
+    // catalog's write-time MG-then-exact top-key count flips the planner
+    // to the SALTED rung when one fact key holds > 1/SaltShareFactor of
+    // the rows — the straggler shape AQE only mitigates after the skewed
+    // exchange exists. Tables untouched at choose time (stats read from
+    // the persisted entries alone); the actuated salted join's row count
+    // rides along as the output-invisibility audit; an unskewed control
+    // proves the rung stays quiet on uniform keys.
+    "b3_skew_salted_join" -> ((s, d) => {
+      import graft.plans.CostBasedJoin
+      val dirs = Seq("skew", "flat", "ord").map(n => stagingDir(s"graft_b3_$n"))
+      val Seq(skewD, flatD, ordD) = dirs
+      try {
+        val skewKey = expr(
+          "CASE WHEN l_orderkey % 3 = 0 THEN 1L ELSE l_orderkey END")
+        val skewed = Tables.lineitem(s, d).withColumn("skew_key", skewKey)
+        val flat = Tables.lineitem(s, d)
+          .withColumn("skew_key", col("l_orderkey"))
+        val ord = Tables.orders(s, d)
+        Profiling.writeTableStats(skewed, skewD.toString, "skew_key")
+        Profiling.writeTableStats(flat, flatD.toString, "skew_key")
+        Profiling.writeTableStats(ord, ordD.toString, "o_orderkey")
+        CostBasedJoin.chooseJoinAudit(skewed, ord, "skew_key", "o_orderkey",
+            skewD.toString, ordD.toString, 1000L, "skewed_fact")
+          .unionAll(CostBasedJoin.chooseJoinAudit(flat, ord,
+            "skew_key", "o_orderkey",
+            flatD.toString, ordD.toString, 1000L, "unskewed_control"))
           .localCheckpoint(true)
       } finally dirs.foreach(deleteRecursively)
     }),
@@ -4022,7 +4079,9 @@ object SparkEntry {
          |${sqlKmvD("ord", "SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS v FROM orders WHERE o_orderkey IS NOT NULL")},
          |${sqlKmvD("sel", "SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS v FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey IS NOT NULL")},
          |${sqlKmvD("cust", "SELECT DISTINCT CAST(c_nationkey AS VARCHAR) AS v FROM customer WHERE c_nationkey IS NOT NULL")},
-         |${sqlKmvD("supp", "SELECT DISTINCT CAST(s_nationkey AS VARCHAR) AS v FROM supplier WHERE s_nationkey IS NOT NULL")}
+         |${sqlKmvD("supp", "SELECT DISTINCT CAST(s_nationkey AS VARCHAR) AS v FROM supplier WHERE s_nationkey IS NOT NULL")},
+         |${sqlTopCTE("li", "SELECT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem WHERE l_orderkey IS NOT NULL")},
+         |${sqlTopCTE("cust", "SELECT CAST(c_nationkey AS VARCHAR) AS v FROM customer WHERE c_nationkey IS NOT NULL")}
          |${sqlB2Case("dim_small", "li", "ord",
              "(SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL)",
              "(SELECT count(*) FROM orders WHERE o_orderkey IS NOT NULL)",
@@ -4046,6 +4105,26 @@ object SparkEntry {
              "(SELECT count(*) FROM supplier WHERE s_nationkey IS NOT NULL)",
              "(SELECT count(*) FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey)",
              50L)}""".stripMargin,
+    // Salted-rung replay: the skewed fact's top-key count (exact, MG-floor
+    // clamped) crosses the share bound → 'salted'; the unskewed control's
+    // top clamps to 0 → falls through the same ladder to 'shuffle'.
+    "b3_skew_salted_join" ->
+      s"""WITH ${sqlKmvD("sk", "SELECT DISTINCT CAST(CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_orderkey END AS VARCHAR) AS v FROM lineitem WHERE l_orderkey IS NOT NULL")},
+         |${sqlKmvD("fl", "SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem WHERE l_orderkey IS NOT NULL")},
+         |${sqlKmvD("ord", "SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS v FROM orders WHERE o_orderkey IS NOT NULL")},
+         |${sqlTopCTE("sk", "SELECT CAST(CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_orderkey END AS VARCHAR) AS v FROM lineitem WHERE l_orderkey IS NOT NULL")},
+         |${sqlTopCTE("fl", "SELECT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem WHERE l_orderkey IS NOT NULL")}
+         |${sqlB2Case("skewed_fact", "sk", "ord",
+             "(SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL)",
+             "(SELECT count(*) FROM orders WHERE o_orderkey IS NOT NULL)",
+             "(SELECT count(*) FROM (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_orderkey END AS k FROM lineitem) l JOIN orders o ON l.k = o.o_orderkey)",
+             1000L)}
+         |UNION ALL
+         |${sqlB2Case("unskewed_control", "fl", "ord",
+             "(SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL)",
+             "(SELECT count(*) FROM orders WHERE o_orderkey IS NOT NULL)",
+             "(SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)",
+             1000L)}""".stripMargin,
     "q26_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |       CAST(count(*) AS BIGINT) AS n,

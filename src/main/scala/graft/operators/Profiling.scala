@@ -290,13 +290,72 @@ object Profiling {
     * batches in without rescanning covered data. A `_format-stats-kmv-v1`
     * marker guards sketch compatibility (mismatched formats fail loudly,
     * never silently-wrong estimates). */
+  /** Misra–Gries capacity for the catalog's skew stat: any key holding more
+    * than 1/(SkewCap+1) of the rows is GUARANTEED an MG candidate, so the
+    * exact-verified top-key count is deterministic whenever it clears that
+    * floor (the sketch-then-verify clamp — see [[topKeyCount]]). Mirrored
+    * in the b2/b3 oracle replays; changing it must keep both in lockstep
+    * (it is interpolated there from this constant). */
+  val SkewCap = 30
+
   def writeTableStats(df: DataFrame, dir: String, keyCol: String,
       k: Int = 64): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "_format-stats-kmv-v1"), Array.empty[Byte])
-    publishEntry(statsRow(df, keyCol, k), dir, 1L)
+    val key = col(keyCol).cast("string")
+    // ONE aggregate pass for all three sketches (row count, KMV mins, MG
+    // heavy-hitter candidates); the head() is one row of ≤k longs +
+    // ≤SkewCap strings — the bounded-collect doctrine.
+    val row = df.agg(
+        count(key).as("n_rows"),
+        graft.functions.KmvAgg.kMinValues(
+          TextHash.sampleKey(concat(lit("kmv:"), key)), k).as("mins"),
+        graft.functions.MisraGriesAgg.candidates(key, SkewCap).as("cands"))
+      .head()
+    val nRows = row.getLong(0)
+    val mins = row.getSeq[Long](1)
+    val cands = row.getSeq[String](2)
+    val top = topKeyCount(df, keyCol, cands, nRows)
+    // skew sidecar BEFORE the entry rename (the marker-before-publish
+    // rule): a reader that sees the entry always finds its sidecar; a
+    // crash in between leaves an unreferenced sidecar, never a torn read.
+    publishSkew(dir, 1L, top)
+    publishEntry(entryFrame(df.sparkSession, nRows, mins, keyCol, k), dir, 1L)
   }
+
+  /** The sketch-then-verify skew stat: EXACT count of the table's most
+    * frequent key, clamped to 0 below the MG guarantee floor. The MG pass
+    * gives ≤ SkewCap candidates; this counts ONLY those (the h1/h2 shape —
+    * the shuffle carries ≤ SkewCap keys, never the vocabulary) and keeps
+    * the max. Determinism argument: if the true top key's share exceeds
+    * 1/(SkewCap+1) it is provably a candidate (MG bound), so max-over-
+    * candidates IS the true max and the clamp passes on both engines; below
+    * the floor both engines emit 0 regardless of which candidates survived
+    * — so the stat is SQL-replayable even though the candidate SET is
+    * order-sensitive. `top > n div (cap+1)` is the overflow-free form of
+    * `top·(cap+1) > n` (equivalent for non-negative BIGINTs). */
+  private def topKeyCount(df: DataFrame, keyCol: String,
+      cands: Seq[String], nRows: Long): Long = {
+    if (cands.isEmpty || nRows <= 0L) 0L
+    else {
+      val key = col(keyCol).cast("string")
+      val mx = df.filter(key.isin(cands: _*))
+        .groupBy(key.as("__k")).agg(count(lit(1)).as("__c"))
+        .agg(max(col("__c"))).head().getLong(0)
+      if (mx > nRows / (SkewCap + 1L)) mx else 0L
+    }
+  }
+
+  /** Literal one-row entry frame (same shape statsRow produces — the two
+    * publish paths are spec-pinned bit-identical). */
+  private def entryFrame(spark: org.apache.spark.sql.SparkSession,
+      nRows: Long, mins: Seq[Long], keyCol: String, k: Int): DataFrame =
+    spark.range(1).select(
+      lit(nRows).as("n_rows"),
+      typedLit(mins).as("mins"),
+      lit(keyCol).as("key_col"),
+      lit(k.toLong).as("k"))
 
   /** Incremental catalog maintenance: fold a NEW batch's stats into the
     * newest entry WITHOUT rescanning covered data — n_rows add and the
@@ -330,9 +389,18 @@ object Profiling {
         col("key_col"), col("k"))
     publishEntry(merged, dir, curVersion + 1L)
     // prune AFTER publish (readers resolve the max entry; the store keeps
-    // exactly one — the label-snapshot convention)
+    // exactly one — the label-snapshot convention). The new version gets
+    // NO skew sidecar: per-batch top-key counts cannot merge exactly when
+    // batches disagree on the top key (candidate counts are only known
+    // within their own batch), so the skew stat is WRITE-TIME-ONLY — after
+    // an append it reads as unknown (-1) until the next full
+    // writeTableStats/writeWithStats, and the planner's salted rung simply
+    // doesn't fire. Stale sidecars are pruned with their entries.
     entryDirs(dir).filter(_._2 < curVersion + 1L).foreach { case (p, _) =>
       deleteRecursively(p)
+    }
+    skewFiles(dir).filter(_._2 <= curVersion).foreach { case (p, _) =>
+      java.nio.file.Files.deleteIfExists(p)
     }
   }
 
@@ -372,24 +440,30 @@ object Profiling {
         expr("CASE WHEN n_a = 0L OR n_b = 0L THEN 0L " +
           "WHEN n_a <= 4611686018427387904L div n_b " +
           "THEN (n_a * n_b) div greatest(d_a, d_b, 1L) " +
-          "ELSE (n_a div greatest(d_a, d_b, 1L)) * n_b END").as("est_rows"))
+          "WHEN (n_a div greatest(d_a, d_b, 1L)) <= 9223372036854775807L div n_b " +
+          "THEN (n_a div greatest(d_a, d_b, 1L)) * n_b " +
+          "ELSE 9223372036854775807L END").as("est_rows"))
   }
 
   /** Driver-side catalog read: the newest entry's (n_rows, KMV distinct
-    * estimate) for `dir`, with the same format/key guards as
-    * [[joinEstimateFromStats]]. This is the metadata plane a cost-based
-    * planner consults at CHOOSE time — one one-row parquet entry, the
-    * tables themselves never touched (the bounded-collect doctrine: the
-    * collect is catalog-entry-sized, never data-sized). The estimate
-    * arithmetic is the exact BIGINT formula the SQL replay uses, so a
-    * strategy derived from it is cross-engine deterministic. */
+    * estimate, top-key count) for `dir`, with the same format/key guards
+    * as [[joinEstimateFromStats]]. This is the metadata plane a cost-based
+    * planner consults at CHOOSE time — one one-row parquet entry plus one
+    * tiny sidecar, the tables themselves never touched (the bounded-
+    * collect doctrine: the collect is catalog-entry-sized, never
+    * data-sized). The estimate arithmetic is the exact BIGINT formula the
+    * SQL replay uses, so a strategy derived from it is cross-engine
+    * deterministic. The third element is the clamped exact top-key count
+    * ([[topKeyCount]]), or -1 when unknown (entry produced by an append —
+    * the skew stat is write-time-only). */
   def readStatsDriver(spark: org.apache.spark.sql.SparkSession,
-      dir: String, expectKey: String): (Long, Long) = {
+      dir: String, expectKey: String): (Long, Long, Long) = {
     require(java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir, "_format-stats-kmv-v1")),
       s"stats entry at $dir lacks _format-stats-kmv-v1 — rebuild needed " +
         "(a different sketch scheme would silently skew estimates)")
-    val row = latestEntry(spark, dir)._1
+    val (entry, version) = latestEntry(spark, dir)
+    val row = entry
       .select(col("key_col"), col("k"), col("n_rows"), col("mins")).head()
     val key = row.getString(0)
     require(key == expectKey,
@@ -400,7 +474,7 @@ object Profiling {
     val d =
       if (mins.size < k) mins.size.toLong
       else (k - 1L) * TextHash.Prime / (mins.last + 1L)
-    (nRows, d)
+    (nRows, d, readSkew(dir, version))
   }
 
   /** One (n_rows, mins, key_col, k) stats row for a frame — ONE aggregate
@@ -437,35 +511,74 @@ object Profiling {
     val observed = df.observe(obs,
       count(key).as("n_rows"),
       graft.functions.KmvAgg.kMinValues(
-        TextHash.sampleKey(concat(lit("kmv:"), key)), k).as("mins"))
+        TextHash.sampleKey(concat(lit("kmv:"), key)), k).as("mins"),
+      graft.functions.MisraGriesAgg.candidates(key, SkewCap).as("cands"))
     observed.write.mode("overwrite").parquet(dataDir)
     val m = obs.get
     val nRows = m("n_rows").asInstanceOf[Long]
-    val mins = m("mins") match {
-      case s: scala.collection.Seq[_] => s.map(_.asInstanceOf[Long]).toSeq
-      case a: Array[_] => a.toSeq.map(_.asInstanceOf[Long])
+    def asSeq[T](v: Any): Seq[T] = v match {
+      case s: scala.collection.Seq[_] => s.map(_.asInstanceOf[T]).toSeq
+      case a: Array[_] => a.toSeq.map(_.asInstanceOf[T])
       case other => throw new IllegalStateException(
-        s"observe returned ${other.getClass} for mins")
+        s"observe returned ${other.getClass}")
     }
+    val mins = asSeq[Long](m("mins"))
+    val cands = asSeq[String](m("cands"))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(statsDir))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(statsDir, "_format-stats-kmv-v1"),
       Array.empty[Byte])
     val spark = df.sparkSession
-    val entry = spark.range(1).select(
-      lit(nRows).as("n_rows"),
-      typedLit(mins).as("mins"),
-      lit(keyCol).as("key_col"),
-      lit(k.toLong).as("k"))
+    // The skew verify pass reads the JUST-WRITTEN parquet (key column
+    // pruned, filtered to ≤ SkewCap candidates) — cheaper than re-running
+    // the input plan, and the only extra scan this writer pays.
+    val top = topKeyCount(spark.read.parquet(dataDir), keyCol, cands, nRows)
     // A REWRITE supersedes whatever version the catalog reached through
     // appends: publish max+1 and prune, exactly like appendTableStats —
     // a hardcoded version 1 would sit silently SHADOWED by a surviving
     // higher-versioned entry (latestEntry resolves the max).
     val cur = entryDirs(statsDir).map(_._2).maxOption.getOrElse(0L)
-    publishEntry(entry, statsDir, cur + 1L)
+    publishSkew(statsDir, cur + 1L, top)
+    publishEntry(entryFrame(spark, nRows, mins, keyCol, k), statsDir, cur + 1L)
     entryDirs(statsDir).filter(_._2 < cur + 1L).foreach { case (p, _) =>
       deleteRecursively(p)
     }
+    skewFiles(statsDir).filter(_._2 < cur + 1L).foreach { case (p, _) =>
+      java.nio.file.Files.deleteIfExists(p)
+    }
+  }
+
+  /** Skew sidecar `skew-<version>`: one line, the clamped exact top-key
+    * count for the SAME-version entry. Kept OUT of the entry parquet so
+    * the core entry's bit-identity invariant (append sequence ≡ fresh
+    * write) is untouched — the sidecar simply doesn't exist for
+    * append-produced versions. Written via temp + atomic move. */
+  private def publishSkew(dir: String, version: Long, top: Long): Unit = {
+    val tmp = java.nio.file.Paths.get(dir, s".skew-staging-${System.nanoTime()}")
+    java.nio.file.Files.writeString(tmp, s"$top\n")
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(dir, f"skew-$version%012d"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private def readSkew(dir: String, version: Long): Long = {
+    val p = java.nio.file.Paths.get(dir, f"skew-$version%012d")
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readString(p).trim.toLong
+    else -1L
+  }
+
+  private def skewFiles(dir: String): Seq[(java.nio.file.Path, Long)] = {
+    val stream = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala.toSeq.flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("skew-")) Some(p -> n.stripPrefix("skew-").toLong)
+        else None
+      }
+    } finally stream.close()
   }
 
   /** Stage + atomically rename `entry-<version>` under `dir`. */
@@ -604,7 +717,9 @@ object Profiling {
         expr("CASE WHEN n_rows = 0L OR n_rows_b = 0L THEN 0L " +
           "WHEN n_rows <= 4611686018427387904L div n_rows_b " +
           "THEN (n_rows * n_rows_b) div greatest(d, d_b, 1L) " +
-          "ELSE (n_rows div greatest(d, d_b, 1L)) * n_rows_b END").as("est_rows"),
+          "WHEN (n_rows div greatest(d, d_b, 1L)) <= 9223372036854775807L div n_rows_b " +
+          "THEN (n_rows div greatest(d, d_b, 1L)) * n_rows_b " +
+          "ELSE 9223372036854775807L END").as("est_rows"),
         col("actual_rows"))
       .withColumn("err_bp",
         expr("CASE WHEN actual_rows = 0 THEN 0L " +

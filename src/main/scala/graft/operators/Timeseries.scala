@@ -412,10 +412,18 @@ object Timeseries {
       tsCol: String = "ts", valCol: String = "value",
       lags: Seq[Int] = Seq(1, 24)): DataFrame = {
     require(lags.nonEmpty && lags.forall(_ > 0), s"positive lags: $lags")
+    // FLOORED division for the hourly mean (Spark `div` truncates toward
+    // zero, the oracle's `//` floors — they agree only on non-negative
+    // sums, and summed cents CAN go negative under a fixture with negative
+    // values): subtract 1 when the sum is negative with a remainder, the
+    // same correction Profiling's histogram binning uses.
     val hourly = events
       .groupBy(col(typeCol).as("event_type"),
         date_trunc("hour", col(tsCol)).as("hour"))
-      .agg(expr(s"sum(CAST(floor($valCol * 100) AS BIGINT)) div count(1)")
+      .agg(expr(s"sum(CAST(floor($valCol * 100) AS BIGINT))").as("__sc"),
+        count(lit(1)).as("__nh"))
+      .select(col("event_type"), col("hour"), expr(
+        "__sc div __nh - (CASE WHEN __sc < 0 AND __sc % __nh != 0 THEN 1 ELSE 0 END)")
         .as("xbar"))
     val stats = hourly.groupBy(col("event_type"))
       .agg(count(lit(1)).as("__n"), sum(col("xbar")).as("__s"))
@@ -448,8 +456,13 @@ object Timeseries {
       .groupBy(col(typeCol).as("event_type"),
         date_trunc("hour", col(tsCol)).as("hour"))
       .agg(sum(floor(col(valCol) * 100).cast("long")).as("cents"))
+    // FLOORED division (see autocorrelation's hourly mean): Spark `div`
+    // truncates, the x36 oracle's `//` floors — correct for negative sums.
     val mu = hourly.groupBy(col("event_type"))
-      .agg(expr("sum(cents) div count(1)").as("__mu"))
+      .agg(sum(col("cents")).as("__sc"), count(lit(1)).as("__nh"))
+      .select(col("event_type"), expr(
+        "__sc div __nh - (CASE WHEN __sc < 0 AND __sc % __nh != 0 THEN 1 ELSE 0 END)")
+        .as("__mu"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hourly.join(mu, Seq("event_type"))

@@ -44,8 +44,33 @@ import graft.operators.{BloomJoin, Profiling}
   */
 object CostBasedJoin {
 
-  /** One side's catalog stats: exact row count + KMV distinct estimate. */
-  final case class SideStats(nRows: Long, estDistinct: Long)
+  /** Ladder constants — the SINGLE definition: the b2/b3 oracle CASEs
+    * interpolate these same values (`SparkEntry.sqlB2Case`), so a ladder
+    * retune can never hash-split the gate by editing one side only. */
+  val DefaultExplodeFactor = 2L
+  val DefaultBloomFactor = 4L
+
+  /** Salted rung trigger: the fact's hottest key holds more than
+    * 1/SaltShareFactor of its rows (`top > n div factor`, the overflow-free
+    * equivalent of `top·factor > n`) — one reducer would own that whole
+    * share of the shuffle, the classic straggler at 100 TB. Must stay above
+    * the skew stat's own observability floor 1/(SkewCap+1) or the rung
+    * could never fire (1/8 > 1/31 — fine). */
+  val SaltShareFactor = 8L
+
+  /** Salt fan-out for the actuated [[graft.operators.SkewJoin]]-shape join:
+    * the hot key spreads across this many tasks; the dim side is
+    * replicated once per salt (dims reaching this rung are small — the
+    * broadcast rung already absorbed the tiny ones, and replication cost
+    * is salts·n_b rows). Output-invisible, so not part of the oracle
+    * contract — retune freely. */
+  val SaltCount = 16
+
+  /** One side's catalog stats: exact row count + KMV distinct estimate +
+    * clamped exact top-key count (-1 = unknown — entry produced by an
+    * append; the salted rung then never fires). */
+  final case class SideStats(nRows: Long, estDistinct: Long,
+      topCount: Long = -1L)
 
   /** The decision record — everything the spec and the b2 gate assert. */
   final case class Choice(
@@ -55,22 +80,44 @@ object CostBasedJoin {
       estRows: Long)
 
   /** Containment join-cardinality estimate with the x30 overflow fence
-    * (fitness test INSTEAD of the raw multiply — never wraps). */
+    * (fitness test INSTEAD of the raw multiply — never wraps). The fallback
+    * branch carries its OWN fitness test: (n_a/maxD)·n_b can still wrap
+    * when maxD is small relative to the row counts (n_a=n_b=4e9, d=1 →
+    * 1.6e19), and a wrapped-negative estimate would silently misclassify
+    * the pair-explosion case as 'shuffle' — the exact regime this ladder
+    * exists for. A SATURATED estimate still selects shuffle_hash correctly;
+    * the SQL replay ([[graft.SparkEntry]]'s b2 CASE / x30) mirrors the
+    * saturation so both engines stay branch-identical. */
   def estRows(a: SideStats, b: SideStats): Long = {
     val maxD = math.max(math.max(a.estDistinct, b.estDistinct), 1L)
     if (a.nRows == 0L || b.nRows == 0L) 0L
     else if (a.nRows <= 4611686018427387904L / b.nRows)
       a.nRows * b.nRows / maxD
-    else (a.nRows / maxD) * b.nRows
+    else {
+      val q = a.nRows / maxD
+      if (q <= Long.MaxValue / b.nRows) q * b.nRows else Long.MaxValue
+    }
   }
 
   /** The strategy ladder over catalog stats alone — pure arithmetic, no
-    * frames, so it is unit-testable and SQL-replayable. */
+    * frames, so it is unit-testable and SQL-replayable. Rung order:
+    *
+    *  1. '''broadcast''' — skew-immune (no fact shuffle by key), so it
+    *     outranks the salted rung.
+    *  2. '''salted''' — the fact's hottest key exceeds the
+    *     [[SaltShareFactor]] share; salting splits that key across tasks,
+    *     which a pinned shuffle_hash would NOT do (the hot key still lands
+    *     on one reducer), so skew outranks the explosion rung.
+    *  3. '''shuffle_hash''' — total output explodes past the inputs.
+    *  4. '''bloom_reduced''' — discard-heavy probe side.
+    *  5. '''shuffle''' — no structure; stay out of the way. */
   def decide(a: SideStats, b: SideStats, broadcastRows: Long,
-      explodeFactor: Long = 2L, bloomFactor: Long = 4L): Choice = {
+      explodeFactor: Long = DefaultExplodeFactor,
+      bloomFactor: Long = DefaultBloomFactor): Choice = {
     val est = estRows(a, b)
     val strategy =
       if (b.nRows <= broadcastRows) "broadcast"
+      else if (a.topCount > a.nRows / SaltShareFactor) "salted"
       else if (est > explodeFactor * (a.nRows + b.nRows)) "shuffle_hash"
       else if (bloomFactor * b.estDistinct <= a.estDistinct) "bloom_reduced"
       else "shuffle"
@@ -88,16 +135,39 @@ object CostBasedJoin {
       keyLeft: String, keyRight: String,
       statsDirLeft: String, statsDirRight: String,
       broadcastRows: Long = 1L << 20,
-      explodeFactor: Long = 2L,
-      bloomFactor: Long = 4L): (DataFrame, Choice) = {
+      explodeFactor: Long = DefaultExplodeFactor,
+      bloomFactor: Long = DefaultBloomFactor): (DataFrame, Choice) = {
     val spark = left.sparkSession
-    val (na, da) = Profiling.readStatsDriver(spark, statsDirLeft, keyLeft)
-    val (nb, db) = Profiling.readStatsDriver(spark, statsDirRight, keyRight)
-    val choice = decide(SideStats(na, da), SideStats(nb, db),
+    val (na, da, ta) = Profiling.readStatsDriver(spark, statsDirLeft, keyLeft)
+    val (nb, db, tb) = Profiling.readStatsDriver(spark, statsDirRight, keyRight)
+    val choice = decide(SideStats(na, da, ta), SideStats(nb, db, tb),
       broadcastRows, explodeFactor, bloomFactor)
     val cond = left(keyLeft) === right(keyRight)
     val joined = choice.strategy match {
       case "broadcast" => left.join(broadcast(right), cond)
+      case "salted" =>
+        // The SkewJoin remedy, actuated by the catalog: the fact side gets
+        // a per-row salt from a Murmur3 hash of its NON-key columns (the
+        // key's hash is constant WITHIN the hot key — salting on it would
+        // spread nothing; pmod = floorMod, the CLAUDE.md salt rule), the
+        // dim side is replicated once per salt, and the equi-join gains
+        // the salt conjunct so the hot key fans across SaltCount tasks.
+        // Inner-join output is identical to the unsalted join (each fact
+        // row carries exactly one salt; the dim carries all of them).
+        val nonKey = left.columns.filterNot(_ == keyLeft)
+        val salt =
+          if (nonKey.nonEmpty) pmod(hash(nonKey.map(left(_)): _*), lit(SaltCount))
+          // key-only fact: any deterministic-per-row spread works — the
+          // salt never reaches the output (monotonic id is fine here).
+          else pmod(hash(monotonically_increasing_id()), lit(SaltCount))
+        val bigSalted = left.withColumn("__graft_salt", salt)
+        val smallExp = right.withColumn("__graft_salt",
+          explode(sequence(lit(0), lit(SaltCount - 1))))
+        bigSalted
+          .join(smallExp,
+            bigSalted(keyLeft) === smallExp(keyRight) &&
+              bigSalted("__graft_salt") === smallExp("__graft_salt"))
+          .drop("__graft_salt")
       case "shuffle_hash" =>
         left.hint("shuffle_hash").join(right.hint("shuffle_hash"), cond)
       case "bloom_reduced" =>
@@ -131,6 +201,7 @@ object CostBasedJoin {
       lit(c.left.nRows).as("n_a"), lit(c.right.nRows).as("n_b"),
       lit(c.left.estDistinct).as("est_distinct_a"),
       lit(c.right.estDistinct).as("est_distinct_b"),
+      lit(c.left.topCount).as("top_a"),
       lit(c.estRows).as("est_rows"),
       col("actual_rows"))
   }

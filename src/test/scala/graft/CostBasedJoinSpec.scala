@@ -48,6 +48,46 @@ class CostBasedJoinSpec extends SparkSpec {
     val c = CostBasedJoin.decide(SideStats(4000000000L, 10L),
       SideStats(4000000000L, 10L), broadcastRows = 10)
     assert(c.estRows > 0L && c.strategy == "shuffle_hash")
+    // fallback-branch fence: maxD so small that even (n_a/maxD)·n_b wraps —
+    // the estimate SATURATES (Long.MaxValue) and still selects shuffle_hash
+    // (a wrapped-negative estimate would have fallen through to 'shuffle')
+    val sat = CostBasedJoin.decide(SideStats(4000000000L, 1L),
+      SideStats(4000000000L, 1L), broadcastRows = 10)
+    assert(sat.estRows == Long.MaxValue && sat.strategy == "shuffle_hash")
+    // skew: fact's hot key over the 1/SaltShareFactor share → salted
+    // outranks the explosion rung (the hot key would still land on ONE
+    // reducer under a pinned shuffle_hash)
+    assert(CostBasedJoin.decide(SideStats(1000000, 25, 300000),
+      SideStats(500000, 25), broadcastRows = 10).strategy == "salted")
+    // under the share bound (or -1 after an append) the ladder is unchanged
+    assert(CostBasedJoin.decide(SideStats(1000000, 25, 100000),
+      SideStats(500000, 25), broadcastRows = 10).strategy == "shuffle_hash")
+    // broadcast is skew-immune — it outranks salted
+    assert(CostBasedJoin.decide(SideStats(1000000, 900000, 900000),
+      SideStats(1000, 1000), broadcastRows = 10000).strategy == "broadcast")
+  }
+
+  test("salted rung: catalog-driven actuation, output identical to the plain join") {
+    val dirSkew = tmp("graft_cbj_skew")
+    // catalog stand-in: half the rows on one key → top-key share 1/2
+    Profiling.writeTableStats(
+      spark.range(0, 50000).select(
+        when(col("id") % 2 === 0, lit(0L)).otherwise(col("id"))
+          .cast("string").as("k")),
+      dirSkew, "k")
+    val dirDim = tmp("graft_cbj_skewdim")
+    Profiling.writeTableStats(
+      spark.range(0, 50000).select(col("id").cast("string").as("k2")),
+      dirDim, "k2")
+    val (df, c) = CostBasedJoin.chooseJoin(left, right, "k", "k2",
+      dirSkew, dirDim, broadcastRows = 10L)
+    assert(c.strategy == "salted" && c.left.topCount == 25000L)
+    val expected = left.join(right, col("k") === col("k2"))
+      .select(col("k")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(df.select(col("k")).collect().map(_.getLong(0)).sorted.toSeq
+      == expected, "salted inner join must be output-invisible")
+    assert(df.columns.toSeq == (left.columns ++ right.columns).toSeq,
+      "salt column must not leak into the output")
   }
 
   test("strategy flips with catalog contents; frames untouched at choose time") {

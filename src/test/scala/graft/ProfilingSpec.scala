@@ -303,6 +303,35 @@ class ProfilingSpec extends SparkSpec {
     val dE = java.nio.file.Files.createTempDirectory("graft_ws_edata").toString
     val sE = java.nio.file.Files.createTempDirectory("graft_ws_estats").toString
     Profiling.writeWithStats(df.filter(col("payload") < 0), dE, sE, "k")
-    assert(Profiling.readStatsDriver(spark, sE, "k") == ((0L, 0L)))
+    assert(Profiling.readStatsDriver(spark, sE, "k") == ((0L, 0L, 0L)))
+  }
+
+  test("skew stat: exact top over the MG floor, clamped 0 under it, -1 after append, refreshed by rewrite") {
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    // hot key '7' holds 1/2 of 2000 rows — far over the 1/31 floor
+    val hot = spark.range(0, 1000).select(lit("7").as("k"))
+      .union(spark.range(0, 1000).select(col("id").cast("string").as("k")))
+    val sHot = tmp("graft_skew_hot")
+    Profiling.writeTableStats(hot, sHot, "k")
+    assert(Profiling.readStatsDriver(spark, sHot, "k")._3 == 1001L,
+      "exact count of the hot key (1000 planted + id 7 itself)")
+    // uniform keys: every count is 1 ≤ n/31 → clamp to 0 (deterministic
+    // on BOTH engines regardless of which MG candidates survived)
+    val sFlat = tmp("graft_skew_flat")
+    Profiling.writeTableStats(
+      spark.range(0, 2000).select(col("id").cast("string").as("k")), sFlat, "k")
+    assert(Profiling.readStatsDriver(spark, sFlat, "k")._3 == 0L)
+    // append: the skew stat is write-time-only → unknown (-1), and the
+    // core entry algebra is untouched
+    Profiling.appendTableStats(
+      spark.range(2000, 2100).select(col("id").cast("string").as("k")), sFlat, "k")
+    val (nAfter, _, topAfter) = Profiling.readStatsDriver(spark, sFlat, "k")
+    assert(nAfter == 2100L && topAfter == -1L)
+    assert(new java.io.File(sFlat).listFiles()
+      .count(_.getName.startsWith("skew-")) == 0, "stale sidecars pruned")
+    // a rewrite refreshes it
+    val dHot = tmp("graft_skew_hotdata")
+    Profiling.writeWithStats(hot, dHot, sFlat, "k")
+    assert(Profiling.readStatsDriver(spark, sFlat, "k")._3 == 1001L)
   }
 }

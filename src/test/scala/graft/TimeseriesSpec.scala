@@ -297,4 +297,32 @@ class TimeseriesSpec extends SparkSpec {
     assert(out.filter(_._1 == "flat").forall(_._5 == 0L))
     assert(out.filter(_._1 == "hot").exists(_._5 == 1L))
   }
+
+  test("cusum/autocorr per-series means FLOOR on negative sums (div-vs-// parity)") {
+    // Summed cents −75 over 2 samples: floored mean −38, truncated −37 —
+    // the exact div-vs-// divergence the oracles' `//` floors. Values are
+    // binary-exact doubles so floor(v·100) is deterministic.
+    val cusumRows = Seq(
+      ("neg", new java.sql.Timestamp(0L), -0.25),
+      ("neg", new java.sql.Timestamp(3600000L), -0.5))
+    val cs = Timeseries.cusumChangepoints(
+        cusumRows.toDF("event_type", "ts", "value"))
+      .collect().map(r => (r.getTimestamp(1).getTime, r.getLong(3)))
+      .sortBy(_._1).map(_._2).toSeq
+    // mu = floor(−75/2) = −38: p = (13, 1) → s = (13, 1).
+    // A truncated mu (−37) would give s = (12, 0).
+    assert(cs == Seq(13L, 1L))
+
+    // hour 0 holds two events summing to −75 cents (xbar floors to −38),
+    // hour 1 one event at +100: a = (−138, 138), den = 38088,
+    // lag-1 num = −19044 → acf_bp = −5000 exactly.
+    val acfRows = Seq(
+      ("neg", new java.sql.Timestamp(0L), -0.25),
+      ("neg", new java.sql.Timestamp(60000L), -0.5),
+      ("neg", new java.sql.Timestamp(3600000L), 1.0))
+    val acf = Timeseries.autocorrelation(
+        acfRows.toDF("event_type", "ts", "value"), lags = Seq(1)).head()
+    assert((acf.getLong(2), acf.getLong(3), acf.getLong(4), acf.getLong(5))
+      == ((1L, -19044L, 38088L, -5000L)))
+  }
 }
