@@ -222,15 +222,21 @@ object SparkEntry {
     * the Scala estRows. */
   private def sqlB2Case(caseId: String, aD: String, bD: String,
       aCount: String, bCount: String, actualCount: String,
-      broadcastRows: Long): String = {
+      broadcastRows: Long, bloomLegal: Boolean = true): String = {
     val ef = graft.plans.CostBasedJoin.DefaultExplodeFactor
     val bf = graft.plans.CostBasedJoin.DefaultBloomFactor
     val ssf = graft.plans.CostBasedJoin.SaltShareFactor
+    // bloomLegal mirrors CostBasedJoin.bloomLegalFor: a left-outer case's
+    // ladder has no bloom rung (a prefilter can't drop rows an outer join
+    // must deliver), so its CASE omits that WHEN.
+    val bloomWhen =
+      if (bloomLegal)
+        s"\n       |            WHEN $bf * est_distinct_b <= est_distinct_a THEN 'bloom_reduced'"
+      else ""
     s"""SELECT '$caseId' AS case_id,
        |       CASE WHEN n_b <= $broadcastRows THEN 'broadcast'
        |            WHEN top_a > n_a // $ssf THEN 'salted'
-       |            WHEN est_rows > $ef * (n_a + n_b) THEN 'shuffle_hash'
-       |            WHEN $bf * est_distinct_b <= est_distinct_a THEN 'bloom_reduced'
+       |            WHEN est_rows > $ef * (n_a + n_b) THEN 'shuffle_hash'$bloomWhen
        |            ELSE 'shuffle' END AS strategy,
        |       n_a, n_b, est_distinct_a, est_distinct_b, top_a, est_rows, actual_rows
        |FROM (SELECT n_a, n_b,
@@ -976,6 +982,37 @@ object SparkEntry {
           .unionAll(CostBasedJoin.chooseJoinAudit(flat, ord,
             "skew_key", "o_orderkey",
             flatD.toString, ordD.toString, 1000L, "unskewed_control"))
+          .localCheckpoint(true)
+      } finally dirs.foreach(deleteRecursively)
+    }),
+    // The planner generalized past inner joins: SEMI is the pure Bloom
+    // case (the probe side exists only to be discarded — q12's shape
+    // through chooseJoin), ANTI inverts the sketch (definite non-matches
+    // skip the join entirely; only possible matches take the exact anti),
+    // and LEFT OUTER must deliver every left row, so its ladder has NO
+    // bloom rung (the strategy label proves it falls to shuffle rather
+    // than lying). A broadcast semi covers the dims-fit case. Each case's
+    // row count audits output-invisibility under the chosen strategy.
+    "b5_stats_join_types" -> ((s, d) => {
+      import graft.plans.CostBasedJoin
+      val dirs = Seq("li", "sel").map(n => stagingDir(s"graft_b5_$n"))
+      val Seq(liD, selD) = dirs
+      try {
+        val li = Tables.lineitem(s, d)
+        val sel = Tables.orders(s, d).filter(col("o_orderkey") % 10 === 0)
+        Profiling.writeTableStats(li, liD.toString, "l_orderkey")
+        Profiling.writeTableStats(sel, selD.toString, "o_orderkey")
+        CostBasedJoin.chooseJoinAudit(li, sel, "l_orderkey", "o_orderkey",
+            liD.toString, selD.toString, 1000L, "semi_selective", "left_semi")
+          .unionAll(CostBasedJoin.chooseJoinAudit(li, sel,
+            "l_orderkey", "o_orderkey",
+            liD.toString, selD.toString, 1000L, "anti_selective", "left_anti"))
+          .unionAll(CostBasedJoin.chooseJoinAudit(li, sel,
+            "l_orderkey", "o_orderkey",
+            liD.toString, selD.toString, 1000L, "outer_no_bloom", "left_outer"))
+          .unionAll(CostBasedJoin.chooseJoinAudit(li, sel,
+            "l_orderkey", "o_orderkey",
+            liD.toString, selD.toString, 200000L, "semi_broadcast", "left_semi"))
           .localCheckpoint(true)
       } finally dirs.foreach(deleteRecursively)
     }),
@@ -4125,6 +4162,28 @@ object SparkEntry {
              "(SELECT count(*) FROM orders WHERE o_orderkey IS NOT NULL)",
              "(SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)",
              1000L)}""".stripMargin,
+    // Join-type ladder replay: semi/anti keep the bloom rung (EXISTS /
+    // NOT EXISTS actual counts), the left-outer case's CASE has no bloom
+    // WHEN (bloomLegal = false — mirrors CostBasedJoin.bloomLegalFor).
+    "b5_stats_join_types" -> {
+      val liN = "(SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL)"
+      val selN = "(SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey IS NOT NULL)"
+      val semiN = "(SELECT count(*) FROM lineitem l WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 10 = 0))"
+      s"""WITH ${sqlKmvD("li", "SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem WHERE l_orderkey IS NOT NULL")},
+         |${sqlKmvD("sel", "SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS v FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey IS NOT NULL")},
+         |${sqlTopCTE("li", "SELECT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem WHERE l_orderkey IS NOT NULL")}
+         |${sqlB2Case("semi_selective", "li", "sel", liN, selN, semiN, 1000L)}
+         |UNION ALL
+         |${sqlB2Case("anti_selective", "li", "sel", liN, selN,
+             "(SELECT count(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 10 = 0))",
+             1000L)}
+         |UNION ALL
+         |${sqlB2Case("outer_no_bloom", "li", "sel", liN, selN,
+             "(SELECT count(*) FROM lineitem l LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0) o ON l.l_orderkey = o.o_orderkey)",
+             1000L, bloomLegal = false)}
+         |UNION ALL
+         |${sqlB2Case("semi_broadcast", "li", "sel", liN, selN, semiN, 200000L)}""".stripMargin
+    },
     "q26_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |       CAST(count(*) AS BIGINT) AS n,

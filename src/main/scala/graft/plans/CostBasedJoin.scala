@@ -113,38 +113,63 @@ object CostBasedJoin {
     *  5. '''shuffle''' — no structure; stay out of the way. */
   def decide(a: SideStats, b: SideStats, broadcastRows: Long,
       explodeFactor: Long = DefaultExplodeFactor,
-      bloomFactor: Long = DefaultBloomFactor): Choice = {
+      bloomFactor: Long = DefaultBloomFactor,
+      bloomLegal: Boolean = true): Choice = {
     val est = estRows(a, b)
     val strategy =
       if (b.nRows <= broadcastRows) "broadcast"
       else if (a.topCount > a.nRows / SaltShareFactor) "salted"
       else if (est > explodeFactor * (a.nRows + b.nRows)) "shuffle_hash"
-      else if (bloomFactor * b.estDistinct <= a.estDistinct) "bloom_reduced"
+      else if (bloomLegal && bloomFactor * b.estDistinct <= a.estDistinct)
+        "bloom_reduced"
       else "shuffle"
     Choice(strategy, a, b, est)
   }
 
-  /** Read both catalogs, decide, and return the inner equi-join
-    * `left ⋈ right ON keyLeft = keyRight` with the chosen strategy pinned,
-    * plus the [[Choice]] for observability. The result is bit-identical
-    * under every strategy (broadcast/shuffle-hash hints and the Bloom
-    * prefilter are all output-invisible), so callers hash-check results
-    * against a plain join while the plan flips with the catalog. */
+  /** Join types the ladder's Bloom rung may fire for: semi/anti are the
+    * PURE discard cases (the probe side exists only to be kept-or-dropped),
+    * inner discards non-matchers exactly. A left-OUTER join must deliver
+    * every left row, so a prefilter is illegal there — the ladder skips the
+    * rung rather than emit a lying strategy label. */
+  def bloomLegalFor(joinType: String): Boolean =
+    joinType == "inner" || joinType == "left_semi" || joinType == "left_anti"
+
+  /** Read both catalogs, decide, and return the equi-join
+    * `left ⋈ right ON keyLeft = keyRight` (of the requested `joinType`:
+    * inner, left_semi, left_anti, or left_outer) with the chosen strategy
+    * pinned, plus the [[Choice]] for observability. The result is
+    * bit-identical under every strategy (broadcast/shuffle-hash hints, the
+    * Bloom prefilter, and the salt fan-out are all output-invisible), so
+    * callers hash-check results against a plain join while the plan flips
+    * with the catalog.
+    *
+    * Join-type notes: semi is the PURE Bloom case (the probe side exists
+    * only to be discarded — the prefilter moves that discard below the
+    * exchange); anti INVERTS the sketch: rows the filter rules out are
+    * DEFINITE keeps that skip the join entirely, and only the
+    * possibly-matching remainder shuffles into the exact anti join (two
+    * passes over the fact scan traded against shuffling its discard-heavy
+    * bulk); left-outer never takes the Bloom rung ([[bloomLegalFor]]).
+    * Salting is legal for all four: the dim side carries EVERY salt value,
+    * so per-(key, salt) match-existence equals per-key match-existence. */
   def chooseJoin(
       left: DataFrame, right: DataFrame,
       keyLeft: String, keyRight: String,
       statsDirLeft: String, statsDirRight: String,
       broadcastRows: Long = 1L << 20,
       explodeFactor: Long = DefaultExplodeFactor,
-      bloomFactor: Long = DefaultBloomFactor): (DataFrame, Choice) = {
+      bloomFactor: Long = DefaultBloomFactor,
+      joinType: String = "inner"): (DataFrame, Choice) = {
+    require(Set("inner", "left_semi", "left_anti", "left_outer")(joinType),
+      s"chooseJoin supports inner/left_semi/left_anti/left_outer, got $joinType")
     val spark = left.sparkSession
     val (na, da, ta) = Profiling.readStatsDriver(spark, statsDirLeft, keyLeft)
     val (nb, db, tb) = Profiling.readStatsDriver(spark, statsDirRight, keyRight)
     val choice = decide(SideStats(na, da, ta), SideStats(nb, db, tb),
-      broadcastRows, explodeFactor, bloomFactor)
+      broadcastRows, explodeFactor, bloomFactor, bloomLegalFor(joinType))
     val cond = left(keyLeft) === right(keyRight)
     val joined = choice.strategy match {
-      case "broadcast" => left.join(broadcast(right), cond)
+      case "broadcast" => left.join(broadcast(right), cond, joinType)
       case "salted" =>
         // The SkewJoin remedy, actuated by the catalog: the fact side gets
         // a per-row salt from a Murmur3 hash of its NON-key columns (the
@@ -166,18 +191,43 @@ object CostBasedJoin {
         bigSalted
           .join(smallExp,
             bigSalted(keyLeft) === smallExp(keyRight) &&
-              bigSalted("__graft_salt") === smallExp("__graft_salt"))
+              bigSalted("__graft_salt") === smallExp("__graft_salt"),
+            joinType)
           .drop("__graft_salt")
       case "shuffle_hash" =>
-        left.hint("shuffle_hash").join(right.hint("shuffle_hash"), cond)
+        left.hint("shuffle_hash").join(right.hint("shuffle_hash"), cond,
+          joinType)
       case "bloom_reduced" =>
         // Bloom sketch sized from the CATALOG's key estimate (×2 headroom,
         // pow-2, ≥ 1024), ~16 bits/key — never a blind default.
         val estKeys = math.max(1024L,
           java.lang.Long.highestOneBit(math.max(1L, db * 2L - 1L)) * 2L)
-        BloomJoin.bloomReducedJoin(left, right, keyLeft, keyRight,
-          estKeys = estKeys, numBits = estKeys * 16L)
-      case _ => left.join(right, cond)
+        joinType match {
+          case "inner" =>
+            BloomJoin.bloomReducedJoin(left, right, keyLeft, keyRight,
+              estKeys = estKeys, numBits = estKeys * 16L)
+          case "left_semi" =>
+            // FPs pass the prefilter and die in the exact semi probe.
+            left.filter(BloomJoin.mightMatch(right,
+                col(keyLeft), col(keyRight), estKeys, estKeys * 16L))
+              .join(right, cond, "left_semi")
+          case "left_anti" =>
+            // Inverted sketch: definitely-not-in-dim rows (Bloom has no
+            // false negatives) are KEEPS that never shuffle; only the
+            // possible matches take the exact anti join. Null handling:
+            // an EMPTY dim yields a null sketch → might is null → every
+            // row is a keep (= anti over empty dim); null fact keys hash
+            // to the seed value and land on either side correctly (the
+            // anti join keeps them — null never equals).
+            val might = BloomJoin.mightMatch(right,
+              col(keyLeft), col(keyRight), estKeys, estKeys * 16L)
+            left.filter(coalesce(!might, lit(true)))
+              .unionAll(left.filter(coalesce(might, lit(false)))
+                .join(right, cond, "left_anti"))
+          case other => throw new IllegalStateException(
+            s"bloom rung fired for $other — bloomLegalFor out of sync")
+        }
+      case _ => left.join(right, cond, joinType)
     }
     (joined, choice)
   }
@@ -191,9 +241,10 @@ object CostBasedJoin {
       keyLeft: String, keyRight: String,
       statsDirLeft: String, statsDirRight: String,
       broadcastRows: Long,
-      caseId: String): DataFrame = {
+      caseId: String,
+      joinType: String = "inner"): DataFrame = {
     val (joined, c) = chooseJoin(left, right, keyLeft, keyRight,
-      statsDirLeft, statsDirRight, broadcastRows)
+      statsDirLeft, statsDirRight, broadcastRows, joinType = joinType)
     val actual = joined.groupBy().agg(count(lit(1)).as("actual_rows"))
     actual.select(
       lit(caseId).as("case_id"),

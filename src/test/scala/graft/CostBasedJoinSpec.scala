@@ -136,6 +136,39 @@ class CostBasedJoinSpec extends SparkSpec {
     assert(plan(sh).contains("ShuffledHashJoin"))
   }
 
+  test("join types: semi/anti/outer ladder — every strategy ≡ the plain typed join") {
+    val dirFact = tmp("graft_cbj_jt_fact")
+    Profiling.writeTableStats(
+      spark.range(0, 200000).select(col("id").cast("string").as("k")),
+      dirFact, "k")
+    val dirSel = tmp("graft_cbj_jt_sel") // selective dim claim → bloom rung
+    Profiling.writeTableStats(
+      spark.range(0, 200000).select((col("id") % 400).cast("string").as("k2")),
+      dirSel, "k2")
+    val dirSkew = tmp("graft_cbj_jt_skew") // skewed fact claim → salted rung
+    Profiling.writeTableStats(
+      spark.range(0, 200000).select(
+        when(col("id") % 2 === 0, lit(0L)).otherwise(col("id"))
+          .cast("string").as("k")),
+      dirSkew, "k")
+    for (jt <- Seq("left_semi", "left_anti", "left_outer")) {
+      val expected = left.join(right, col("k") === col("k2"), jt)
+        .select(col("k")).collect().map(_.getLong(0)).sorted.toSeq
+      def run(factDir: String, bcast: Long, want: String): Unit = {
+        val (df, c) = CostBasedJoin.chooseJoin(left, right, "k", "k2",
+          factDir, dirSel, broadcastRows = bcast, joinType = jt)
+        assert(c.strategy == want, s"$jt via $want")
+        assert(df.select(col("k")).collect().map(_.getLong(0)).sorted.toSeq
+          == expected, s"$jt via $want must equal the plain $jt join")
+      }
+      // outer joins NEVER take the bloom rung (a prefilter would drop
+      // left rows the outer join must deliver) — they fall to shuffle
+      run(dirFact, 10L, if (jt == "left_outer") "shuffle" else "bloom_reduced")
+      run(dirSkew, 10L, "salted")
+      run(dirFact, 1000000L, "broadcast")
+    }
+  }
+
   test("every strategy returns the identical join result (output-invisible)") {
     val dirL = tmp("graft_cbj_eq_l")
     Profiling.writeTableStats(
