@@ -985,6 +985,38 @@ object SparkEntry {
           .localCheckpoint(true)
       } finally dirs.foreach(deleteRecursively)
     }),
+    // Stats-freshness audit, the append→read lifecycle run IN the gate:
+    // write stats on half the table, fold the other half in via
+    // appendTableStats (no rescan of covered data), then emit the
+    // catalog's post-append numbers against exact recounts. The KMV merge
+    // is exact sketch algebra, so the catalog's est_distinct after the
+    // append hash-matches DuckDB's KMV computed over the whole union —
+    // stronger than a within_bound claim (emitted too, x2/x3-style); the
+    // skew stat reads -1 (write-time-only), pinned as a column.
+    "b4_stats_drift" -> ((s, d) => {
+      val dir = stagingDir("graft_b4_stats")
+      try {
+        val ord = Tables.orders(s, d)
+        Profiling.writeTableStats(
+          ord.filter(col("o_orderkey") % 2 === 0), dir.toString, "o_custkey")
+        Profiling.appendTableStats(
+          ord.filter(col("o_orderkey") % 2 === 1), dir.toString, "o_custkey")
+        val (n, dEst, top) = Profiling.readStatsDriver(s, dir.toString, "o_custkey")
+        ord.agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+          .select(
+            lit(n).as("n_rows"),
+            col("exact_distinct").cast("long").as("exact_distinct"),
+            lit(dEst).as("est_distinct"),
+            expr(s"CASE WHEN exact_distinct = 0 THEN 0L " +
+              s"ELSE abs(${dEst}L - exact_distinct) * 10000L div exact_distinct END")
+              .as("err_bp"),
+            expr(s"CASE WHEN exact_distinct = 0 THEN 1L " +
+              s"WHEN abs(${dEst}L - exact_distinct) * 10000L div exact_distinct <= 2000 THEN 1L " +
+              "ELSE 0L END").as("within_bound"),
+            lit(top).as("top_after_append"))
+          .localCheckpoint(true)
+      } finally deleteRecursively(dir)
+    }),
     // The planner generalized past inner joins: SEMI is the pure Bloom
     // case (the probe side exists only to be discarded — q12's shape
     // through chooseJoin), ANTI inverts the sketch (definite non-matches
@@ -4162,6 +4194,22 @@ object SparkEntry {
              "(SELECT count(*) FROM orders WHERE o_orderkey IS NOT NULL)",
              "(SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)",
              1000L)}""".stripMargin,
+    // Drift-audit replay: the catalog's post-append sketch must equal the
+    // KMV computed directly over the union (exact merge algebra); n_rows
+    // is the exact count; the skew stat after an append is -1 by contract.
+    "b4_stats_drift" ->
+      s"""WITH u AS (SELECT CAST(o_custkey AS VARCHAR) AS v FROM orders WHERE o_custkey IS NOT NULL),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |              CAST(count(DISTINCT v) AS BIGINT) AS ed FROM u),
+         |${sqlKmvD("oc", "SELECT DISTINCT v FROM u")}
+         |SELECT n_rows, ed AS exact_distinct, ocd.d AS est_distinct,
+         |       CAST(CASE WHEN ed = 0 THEN 0
+         |                 ELSE abs(ocd.d - ed) * 10000 // ed END AS BIGINT) AS err_bp,
+         |       CAST(CASE WHEN ed = 0 THEN 1
+         |                 WHEN abs(ocd.d - ed) * 10000 // ed <= 2000 THEN 1
+         |                 ELSE 0 END AS BIGINT) AS within_bound,
+         |       CAST(-1 AS BIGINT) AS top_after_append
+         |FROM st, ocd""".stripMargin,
     // Join-type ladder replay: semi/anti keep the bloom rung (EXISTS /
     // NOT EXISTS actual counts), the left-outer case's CASE has no bloom
     // WHEN (bloomLegal = false — mirrors CostBasedJoin.bloomLegalFor).
