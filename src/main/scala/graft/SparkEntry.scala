@@ -1670,14 +1670,23 @@ object SparkEntry {
         .limit(100)),
     "t7_winnow" -> ((s, d) => TextAnalysis.winnow(Tables.documents(s, d))),
     "q19_star_join" -> ((s, d) => {
+      import graft.plans.CostBasedJoin
       val r = Tables.region(s, d)
       val n = Tables.nation(s, d)
       val c = Tables.customer(s, d)
       val o = Tables.orders(s, d)
-      broadcast(r)
+      // The customer-sized dim chain; the fact join below is catalog-
+      // routed when the session root holds orders/customer entries
+      // (always-on planner adoption — PlanGuardSpec flips it), else
+      // today's hand shape.
+      val dimChain = broadcast(r)
         .join(broadcast(n), r("r_regionkey") === n("n_regionkey"))
         .join(c, c("c_nationkey") === n("n_nationkey"))
-        .join(o, o("o_custkey") === c("c_custkey"))
+      CostBasedJoin.consultOr(s,
+          o, "o_custkey", "orders.o_custkey",
+          dimChain, "c_custkey", "customer.c_custkey") {
+          dimChain.join(o, o("o_custkey") === c("c_custkey"))
+        }
         .groupBy(col("r_name"))
         .agg(
           count(lit(1)).as("n_orders"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.plans.CostBasedJoin
 import graft.sources.Tables
 
 /** The reference's three saved Athena queries (SURVEY.md §2.12,
@@ -18,6 +19,15 @@ import graft.sources.Tables
   * the window's per-group top-k is optimized by Spark ≥3.5 into a
   * `WindowGroupLimit` (rank pushdown) so each partition only keeps k rows
   * before the shuffle.
+  *
+  * The dim join is CATALOG-CONSULTING ([[CostBasedJoin.consultOr]]): when
+  * the session's stats-catalog root holds entries for `orders.o_custkey`
+  * and `customer.c_custkey`, the planner's ladder picks the strategy (and
+  * would flip to bloom reduction or salting if the stats said so — the
+  * always-on posture, plan-asserted in PlanGuardSpec); without entries the
+  * hand-pinned broadcast above stays, byte-identical to the pre-catalog
+  * engine. Either way the join RESULT is identical (every strategy is
+  * output-invisible), so the saved queries stay hash-green.
   */
 object SavedAnalytics {
 
@@ -26,8 +36,7 @@ object SavedAnalytics {
   def totalDistinct(spark: SparkSession, dir: String, segment: String = "BUILDING"): DataFrame = {
     val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === segment)
     val o = Tables.orders(spark, dir)
-    broadcast(c)
-      .join(o, c("c_custkey") === o("o_custkey"), "inner")
+    dimJoin(spark, o, c)
       .agg(countDistinct(col("c_custkey")).as("total_customers"))
   }
 
@@ -35,8 +44,7 @@ object SavedAnalytics {
   def countByGroup(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir)
-    broadcast(c)
-      .join(o, c("c_custkey") === o("o_custkey"), "inner")
+    dimJoin(spark, o, c)
       .groupBy(col("c_mktsegment"))
       .agg(countDistinct(col("c_custkey")).as("num_customers"))
   }
@@ -47,8 +55,7 @@ object SavedAnalytics {
   def topKPerGroup(spark: SparkSession, dir: String, k: Int = 500): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir)
-    val joined = broadcast(c)
-      .join(o, c("c_custkey") === o("o_custkey"), "inner")
+    val joined = dimJoin(spark, o, c)
       .select(col("c_custkey"), col("c_mktsegment"))
       .distinct()
     val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_custkey"))
@@ -56,4 +63,15 @@ object SavedAnalytics {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
+
+  /** The shared orders ⋈ customer site: catalog-routed when entries exist,
+    * today's broadcast otherwise (see class doc). Inner equi-join, so the
+    * operand order swap vs the legacy `broadcast(c).join(o)` changes only
+    * column order — every consumer selects by name. */
+  private def dimJoin(spark: SparkSession, o: DataFrame, c: DataFrame): DataFrame =
+    CostBasedJoin.consultOr(spark,
+      o, "o_custkey", "orders.o_custkey",
+      c, "c_custkey", "customer.c_custkey") {
+      broadcast(c).join(o, c("c_custkey") === o("o_custkey"), "inner")
+    }
 }

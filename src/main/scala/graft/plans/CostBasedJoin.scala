@@ -232,6 +232,38 @@ object CostBasedJoin {
     (joined, choice)
   }
 
+  /** Session-scoped stats-catalog root: when `spark.graft.statsCatalogRoot`
+    * is set and `<root>/<entryName>` holds a published entry, engine join
+    * sites consult the catalog; absent either, they keep their hand-pinned
+    * shapes. Entry naming convention: `<table>.<keyCol>` (what
+    * [[graft.operators.Profiling.writeWithStats]]-equipped writers
+    * publish). The existence probe is one marker-file stat — metadata
+    * plane, zero jobs. */
+  def sessionStatsDir(spark: SparkSession, entryName: String): Option[String] =
+    spark.conf.getOption("spark.graft.statsCatalogRoot")
+      .map(root => s"$root/$entryName")
+      .filter(p => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(p, "_format-stats-kmv-v1")))
+
+  /** The always-on adoption shim for the engine's own join sites: route
+    * `fact ⋈ dim` through [[chooseJoin]] when BOTH sides have catalog
+    * entries under the session root, else run the site's hand-pinned
+    * `fallback` — so the optimizer is on wherever stats exist (the
+    * reference's CBO is always-on once the crawler has run,
+    * `lib/nbi-open-data-analytics-stack.ts:313-389`) and behavior is
+    * byte-identical to the pre-catalog engine where they don't. Every
+    * strategy is output-invisible, so adopters stay hash-green either
+    * way. */
+  def consultOr(spark: SparkSession,
+      fact: DataFrame, factKey: String, factEntry: String,
+      dim: DataFrame, dimKey: String, dimEntry: String)
+      (fallback: => DataFrame): DataFrame =
+    (sessionStatsDir(spark, factEntry), sessionStatsDir(spark, dimEntry)) match {
+      case (Some(f), Some(d)) =>
+        chooseJoin(fact, dim, factKey, dimKey, f, d)._1
+      case _ => fallback
+    }
+
   /** [[chooseJoin]] for gate/audit use: the choice as a ONE-ROW frame
     * (strategy + the numbers it was derived from) cross-joined with the
     * executed join's row count — the strategy claim and its

@@ -156,6 +156,40 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [") && p.contains("IsNotNull"), p)
   }
 
+  test("q1/q19 adopt the catalog: executed plan flips broadcast ↔ bloom with catalog contents, values unchanged") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Profiling
+    val baselineQ1 = SparkEntry.queries("q1_total_distinct")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val baselineQ19 = SparkEntry.queries("q19_star_join")(spark, d)
+      .collect().map(_.toSeq).map(_.toString).sorted.toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_root").toString
+    spark.conf.set("spark.graft.statsCatalogRoot", root)
+    try {
+      // Catalog claims: orders is a huge fact, customer is over the
+      // broadcast threshold but key-selective → the ladder must pick
+      // bloom_reduced at the engine's own sites (the frames themselves
+      // are untouched fixture tables — choose-time independence).
+      Profiling.writeTableStats(
+        spark.range(0, 2000000L).select(col("id").cast("string").as("o_custkey")),
+        s"$root/orders.o_custkey", "o_custkey")
+      Profiling.writeTableStats(
+        spark.range(0, 1200000L).select((col("id") % 5000).cast("string").as("c_custkey")),
+        s"$root/customer.c_custkey", "c_custkey")
+      val p1 = plan("q1_total_distinct")
+      assert(p1.contains("might_contain") || p1.contains("BloomFilter"), p1)
+      val p19 = plan("q19_star_join")
+      assert(p19.contains("might_contain") || p19.contains("BloomFilter"), p19)
+      // hash-green under the flipped plan: identical values
+      assert(SparkEntry.queries("q1_total_distinct")(spark, d)
+        .collect().map(_.toSeq).toSeq == baselineQ1)
+      assert(SparkEntry.queries("q19_star_join")(spark, d)
+        .collect().map(_.toSeq).map(_.toString).sorted.toSeq == baselineQ19)
+    } finally spark.conf.unset("spark.graft.statsCatalogRoot")
+    // root unset → the hand-pinned broadcast is back (the fallback path)
+    assert(plan("q1_total_distinct").contains("BroadcastHashJoin"))
+  }
+
   test("q5 filter+project: predicate pushed to parquet, scan pruned") {
     val p = plan("q5_filter_project")
     assert(p.contains("PushedFilters: ["), p)
