@@ -98,6 +98,47 @@ object PlannerProbe {
     time("join_blind_sortmerge")(
       custB.join(suppB, col("c_nationkey") === col("s_nationkey"))
         .groupBy().count().head().getLong(0))
+
+    // ---- skew case: one hot key holds 1/3 of the 12M-row fact; the
+    // catalog's top-key stat must flip the choice to SALTED, and the
+    // salted join races (a) the blind sort-merge with AQE's runtime skew
+    // mitigation ON (the honest modern baseline) and (b) with it OFF
+    // (the planner-can't-see-the-skew regime salting exists for). ----
+    val skewFact = fact.select(
+        expr("CASE WHEN l_orderkey % 3 = 0 THEN 42L ELSE l_orderkey END")
+          .as("skew_key"),
+        col("l_quantity")).cache()
+    val dimFull = spark.range(2).select(col("id").as("rep"))
+      .crossJoin(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority")))
+      .select((col("o_orderkey") + col("rep") * 10000000L).as("o_orderkey"),
+        col("o_orderpriority"))
+      .cache()
+    time("skew_inputs")(skewFact.count() + dimFull.count())
+    time("stats_skew") {
+      Profiling.writeTableStats(skewFact, s"$tmp/sk", "skew_key"); 1L }
+    time("stats_dimfull") {
+      Profiling.writeTableStats(dimFull, s"$tmp/df", "o_orderkey"); 1L }
+    val (chosenS, choiceS) = CostBasedJoin.chooseJoin(skewFact, dimFull,
+      "skew_key", "o_orderkey", s"$tmp/sk", s"$tmp/df",
+      broadcastRows = 10000L)
+    println(s"[planner] choice_skew                 ${choiceS.strategy} " +
+      s"(top_a=${choiceS.left.topCount} n_a=${choiceS.left.nRows})")
+    assert(choiceS.strategy == "salted", choiceS)
+    time("join_chosen_salted")(chosenS.groupBy().count().head().getLong(0))
+    val skewB = s2.createDataFrame(skewFact.rdd, skewFact.schema)
+    val dimFB = s2.createDataFrame(dimFull.rdd, dimFull.schema)
+    time("join_blind_aqe_skew_on")(
+      skewB.join(dimFB, col("skew_key") === col("o_orderkey"))
+        .groupBy().count().head().getLong(0))
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s3.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    val skewC = s3.createDataFrame(skewFact.rdd, skewFact.schema)
+    val dimFC = s3.createDataFrame(dimFull.rdd, dimFull.schema)
+    time("join_blind_skew_unhandled")(
+      skewC.join(dimFC, col("skew_key") === col("o_orderkey"))
+        .groupBy().count().head().getLong(0))
     spark.stop()
   }
 }

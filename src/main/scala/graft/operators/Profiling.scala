@@ -316,11 +316,11 @@ object Profiling {
     val nRows = row.getLong(0)
     val mins = row.getSeq[Long](1)
     val cands = row.getSeq[String](2)
-    val top = topKeyCount(df, keyCol, cands, nRows)
+    val (top, topKey) = topKeyCount(df, keyCol, cands, nRows)
     // skew sidecar BEFORE the entry rename (the marker-before-publish
     // rule): a reader that sees the entry always finds its sidecar; a
     // crash in between leaves an unreferenced sidecar, never a torn read.
-    publishSkew(dir, 1L, top)
+    publishSkew(dir, 1L, top, topKey)
     publishEntry(entryFrame(df.sparkSession, nRows, mins, keyCol, k), dir, 1L)
   }
 
@@ -335,15 +335,24 @@ object Profiling {
     * — so the stat is SQL-replayable even though the candidate SET is
     * order-sensitive. `top > n div (cap+1)` is the overflow-free form of
     * `top·(cap+1) > n` (equivalent for non-negative BIGINTs). */
+  /** (clamped top count, the arg-max key value). The COUNT is the
+    * deterministic, oracle-replayed stat (see scaladoc above); the KEY is
+    * actuation metadata only — under ties any arg-max works because the
+    * hot/cold join split is output-invisible for every choice. */
   private def topKeyCount(df: DataFrame, keyCol: String,
-      cands: Seq[String], nRows: Long): Long = {
-    if (cands.isEmpty || nRows <= 0L) 0L
+      cands: Seq[String], nRows: Long): (Long, Option[String]) = {
+    if (cands.isEmpty || nRows <= 0L) (0L, None)
     else {
       val key = col(keyCol).cast("string")
-      val mx = df.filter(key.isin(cands: _*))
+      val top = df.filter(key.isin(cands: _*))
         .groupBy(key.as("__k")).agg(count(lit(1)).as("__c"))
-        .agg(max(col("__c"))).head().getLong(0)
-      if (mx > nRows / (SkewCap + 1L)) mx else 0L
+        .orderBy(col("__c").desc, col("__k"))
+        .limit(1).collect().headOption
+      top match {
+        case Some(r) if r.getLong(1) > nRows / (SkewCap + 1L) =>
+          (r.getLong(1), Option(r.getString(0)))
+        case _ => (0L, None)
+      }
     }
   }
 
@@ -532,13 +541,14 @@ object Profiling {
     // The skew verify pass reads the JUST-WRITTEN parquet (key column
     // pruned, filtered to ≤ SkewCap candidates) — cheaper than re-running
     // the input plan, and the only extra scan this writer pays.
-    val top = topKeyCount(spark.read.parquet(dataDir), keyCol, cands, nRows)
+    val (top, topKey) = topKeyCount(
+      spark.read.parquet(dataDir), keyCol, cands, nRows)
     // A REWRITE supersedes whatever version the catalog reached through
     // appends: publish max+1 and prune, exactly like appendTableStats —
     // a hardcoded version 1 would sit silently SHADOWED by a surviving
     // higher-versioned entry (latestEntry resolves the max).
     val cur = entryDirs(statsDir).map(_._2).maxOption.getOrElse(0L)
-    publishSkew(statsDir, cur + 1L, top)
+    publishSkew(statsDir, cur + 1L, top, topKey)
     publishEntry(entryFrame(spark, nRows, mins, keyCol, k), statsDir, cur + 1L)
     entryDirs(statsDir).filter(_._2 < cur + 1L).foreach { case (p, _) =>
       deleteRecursively(p)
@@ -548,14 +558,17 @@ object Profiling {
     }
   }
 
-  /** Skew sidecar `skew-<version>`: one line, the clamped exact top-key
-    * count for the SAME-version entry. Kept OUT of the entry parquet so
-    * the core entry's bit-identity invariant (append sequence ≡ fresh
-    * write) is untouched — the sidecar simply doesn't exist for
-    * append-produced versions. Written via temp + atomic move. */
-  private def publishSkew(dir: String, version: Long, top: Long): Unit = {
+  /** Skew sidecar `skew-<version>`: first line the clamped exact top-key
+    * count for the SAME-version entry, the REMAINDER OF THE FILE (may
+    * itself contain newlines — key values are arbitrary strings) the
+    * arg-max key, present only when the count is nonzero. Kept OUT of the
+    * entry parquet so the core entry's bit-identity invariant (append
+    * sequence ≡ fresh write) is untouched — the sidecar simply doesn't
+    * exist for append-produced versions. Written via temp + atomic move. */
+  private def publishSkew(dir: String, version: Long, top: Long,
+      topKey: Option[String]): Unit = {
     val tmp = java.nio.file.Paths.get(dir, s".skew-staging-${System.nanoTime()}")
-    java.nio.file.Files.writeString(tmp, s"$top\n")
+    java.nio.file.Files.writeString(tmp, s"$top\n${topKey.getOrElse("")}")
     java.nio.file.Files.move(tmp,
       java.nio.file.Paths.get(dir, f"skew-$version%012d"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -565,9 +578,24 @@ object Profiling {
   private def readSkew(dir: String, version: Long): Long = {
     val p = java.nio.file.Paths.get(dir, f"skew-$version%012d")
     if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.readString(p).trim.toLong
+      java.nio.file.Files.readString(p).takeWhile(_ != '\n').trim.toLong
     else -1L
   }
+
+  /** The latest entry's hot-key VALUE (actuation metadata for the salted
+    * join's hot/cold split) — Some only when the same-version sidecar
+    * exists with a nonzero clamped count. Ties resolved at write time;
+    * any arg-max yields the identical join output. */
+  def readTopKeyDriver(dir: String): Option[String] =
+    entryDirs(dir).map(_._2).maxOption.flatMap { v =>
+      val p = java.nio.file.Paths.get(dir, f"skew-$v%012d")
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val s = java.nio.file.Files.readString(p)
+        val i = s.indexOf('\n')
+        if (i < 0 || i == s.length - 1) None else Some(s.substring(i + 1))
+      }
+    }
 
   private def skewFiles(dir: String): Seq[(java.nio.file.Path, Long)] = {
     val stream = java.nio.file.Files.list(java.nio.file.Paths.get(dir))

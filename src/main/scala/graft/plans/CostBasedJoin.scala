@@ -171,29 +171,43 @@ object CostBasedJoin {
     val joined = choice.strategy match {
       case "broadcast" => left.join(broadcast(right), cond, joinType)
       case "salted" =>
-        // The SkewJoin remedy, actuated by the catalog: the fact side gets
-        // a per-row salt from a Murmur3 hash of its NON-key columns (the
-        // key's hash is constant WITHIN the hot key — salting on it would
-        // spread nothing; pmod = floorMod, the CLAUDE.md salt rule), the
-        // dim side is replicated once per salt, and the equi-join gains
-        // the salt conjunct so the hot key fans across SaltCount tasks.
-        // Inner-join output is identical to the unsalted join (each fact
-        // row carries exactly one salt; the dim carries all of them).
-        val nonKey = left.columns.filterNot(_ == keyLeft)
-        val salt =
-          if (nonKey.nonEmpty) pmod(hash(nonKey.map(left(_)): _*), lit(SaltCount))
-          // key-only fact: any deterministic-per-row spread works — the
-          // salt never reaches the output (monotonic id is fine here).
-          else pmod(hash(monotonically_increasing_id()), lit(SaltCount))
-        val bigSalted = left.withColumn("__graft_salt", salt)
-        val smallExp = right.withColumn("__graft_salt",
-          explode(sequence(lit(0), lit(SaltCount - 1))))
-        bigSalted
-          .join(smallExp,
-            bigSalted(keyLeft) === smallExp(keyRight) &&
-              bigSalted("__graft_salt") === smallExp("__graft_salt"),
+        // Plan-time HOT/COLD SPLIT (what AQE's skew mitigation does at
+        // runtime, done from the catalog before the skewed exchange ever
+        // exists): the sidecar names the hot key, so the fact splits into
+        // its hot slice (salted across SaltCount tasks against ONLY the
+        // dim's hot rows replicated per salt — replication cost is
+        // salts × hot-dim-slice, not salts × dim) and the now-skew-free
+        // cold remainder (a plain equi-join Catalyst/AQE handles). The
+        // salt comes from a Murmur3 of a monotonic row id — uniform by
+        // construction, never column-cardinality-dependent, and
+        // output-invisible (the salt is an equi-conjunct both sides
+        // carry, dropped before return). Null fact keys route COLD via
+        // the coalesce (they match nothing; outer/anti must still
+        // deliver them). Probe-measured: whole-dim ×16 replication LOST
+        // to the blind join at 12M rows (48M replicated dim rows); the
+        // hot-slice split is what wins.
+        val hotKey = Profiling.readTopKeyDriver(statsDirLeft)
+          .getOrElse(throw new IllegalStateException(
+            s"salted rung fired but $statsDirLeft names no hot key — " +
+              "stats written by an incompatible version; rebuild them"))
+        val isHot = left(keyLeft).cast("string") === lit(hotKey)
+        val salt = pmod(hash(monotonically_increasing_id()), lit(SaltCount))
+        val hotLeft = left.filter(coalesce(isHot, lit(false)))
+          .withColumn("__graft_salt", salt)
+        val hotRight = right
+          .filter(coalesce(right(keyRight).cast("string") === lit(hotKey),
+            lit(false)))
+          .withColumn("__graft_salt",
+            explode(sequence(lit(0), lit(SaltCount - 1))))
+        val hotJoined = hotLeft
+          .join(hotRight,
+            hotLeft(keyLeft) === hotRight(keyRight) &&
+              hotLeft("__graft_salt") === hotRight("__graft_salt"),
             joinType)
           .drop("__graft_salt")
+        val coldJoined = left.filter(!coalesce(isHot, lit(false)))
+          .join(right, cond, joinType)
+        hotJoined.unionAll(coldJoined)
       case "shuffle_hash" =>
         left.hint("shuffle_hash").join(right.hint("shuffle_hash"), cond,
           joinType)
