@@ -103,14 +103,27 @@ object Bench {
     // r7 j2 pattern one band higher); the band is gone: no row is ever a
     // single sample, and the extra cost is one re-run of the handful of
     // slowest rows.
+    // Spike filter on top: when the samples disagree by >1.5× (an ambient
+    // driver-machine spike — r10's committed artifact carried a 6.7×
+    // max/min on c7 purely from one), ONE extra sample is taken and the
+    // single largest is dropped from the stored spread, with a
+    // `spiked:true` marker so a wide committed spread is always explained.
+    // A row without the marker therefore never has max/min > ~1.5 by
+    // construction — wide spreads can no longer masquerade as regressions.
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val spiked = scala.collection.mutable.LinkedHashSet[String]()
     def bench(name: String)(f: => Unit): Unit =
       try {
         val first = time(f)
+        val base =
+          if (first < 2.0) Seq(first, time(f), time(f))
+          else Seq(first, time(f))
         val runs =
-          if (first < 2.0) Seq(first, time(f), time(f)).sorted
-          else Seq(first, time(f)).sorted
+          if (base.min > 0 && base.max / base.min > 1.5) {
+            spiked += name
+            (base :+ time(f)).sorted.dropRight(1)
+          } else base.sorted
         results(name) = if (runs.size == 2) runs.head else runs(runs.size / 2)
         spreads(name) = (runs.head, runs.last)
       } catch {
@@ -157,13 +170,15 @@ object Bench {
       val spread = spreads.get(k).map { case (lo, hi) =>
         f""","min":$lo%.3f,"max":$hi%.3f"""
       }.getOrElse("")
-      println(f"""{"metric":"$k","value":$v%.3f,"unit":"sec"$spread}""")
+      val mark = if (spiked(k)) ""","spiked":true""" else ""
+      println(f"""{"metric":"$k","value":$v%.3f,"unit":"sec"$spread$mark}""")
     }
     val localJson = new StringBuilder()
     localJson.append(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",%n  "queries":{%n""")
     localJson.append(results.map { case (k, v) =>
       val (lo, hi) = spreads.getOrElse(k, (v, v))
-      f"""    "$k":{"median":$v%.3f,"min":$lo%.3f,"max":$hi%.3f}"""
+      val mark = if (spiked(k)) ""","spiked":true""" else ""
+      f"""    "$k":{"median":$v%.3f,"min":$lo%.3f,"max":$hi%.3f$mark}"""
     }.mkString(",\n"))
     localJson.append("\n  }\n}\n")
     try java.nio.file.Files.writeString(

@@ -310,6 +310,35 @@ object IncrementalProbe {
         s"stats catalog must hold ONE entry after turnover, got ${entries.length}")
     }
 
+    // --- Incremental novelty gram store: ingest cost must track the
+    // BATCH, not the store (the t42→t43 lifecycle). Deterministic docs:
+    // ~80% of each doc's grams repeat corpus-wide templates, the rest are
+    // id-salted (novel). Store grows by ~95% of docs, then two 5%-sized
+    // crawls ingest+score — their cost should be flat in store size
+    // (Bloom prefilter + batch-gram-keyed registry semi-join). ---------
+    locally {
+      val docsAll = spark.range(nDocs.toLong).select(
+        col("id").as("doc_id"),
+        expr("""concat_ws(' ',
+             'the', 'quick', CAST(id % 37 AS STRING), 'fox', 'jumps',
+             'over', CAST(id % 53 AS STRING), 'lazy', 'dog', 'tpl',
+             CAST(id % 11 AS STRING), 'w1', 'w2', 'w3', 'w4',
+             concat('u', CAST(id AS STRING)), 'tail', 'zz')""").as("text"))
+        .cache()
+      docsAll.count()
+      val nv = s"$tmp/nvstore"
+      time("novelty_ingest_base_90pct")(
+        graft.operators.Curation.noveltyIngest(
+          docsAll.filter(col("doc_id") % 20 < 18), nv).count())
+      time("novelty_ingest_crawl_5pct_a")(
+        graft.operators.Curation.noveltyIngest(
+          docsAll.filter(col("doc_id") % 20 === 18), nv).count())
+      time("novelty_ingest_crawl_5pct_b")(
+        graft.operators.Curation.noveltyIngest(
+          docsAll.filter(col("doc_id") % 20 === 19), nv).count())
+      docsAll.unpersist()
+    }
+
     // --- Video chain: synth → demux → per-frame dHash → temporal align --
     val vids = Multimodal.synthesizeVideos(
       spark.range(nVids.toLong).select(col("id").as("doc_id")).repartition(64))

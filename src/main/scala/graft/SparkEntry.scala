@@ -2295,6 +2295,26 @@ object SparkEntry {
           .localCheckpoint(true)
       } finally deleteRecursively(tmp)
     }),
+    // The INCREMENTAL gram store (t42's write-once gap closed): three
+    // crawls folded in sequence — each crawl scored against everything
+    // accepted BEFORE it (crawl 2's reference includes crawl 1's
+    // formerly-novel grams), per-crawl cost tracking the batch via the
+    // maintained Bloom prefilter + exact registry join (signature-store
+    // lifecycle: lease, staged batch-* publish, anti-joined idempotent
+    // re-ingest, replay-exact scoring).
+    "t43_novelty_incremental" -> ((s, d) => {
+      val store = stagingDir("graft_t43_store")
+      try {
+        val docs = Tables.documents(s, d)
+        Curation.noveltyIngest(docs.filter(col("doc_id") % 3 === 0),
+          store.toString)
+        val c1 = Curation.noveltyIngest(docs.filter(col("doc_id") % 3 === 1),
+          store.toString).withColumn("crawl", lit(1L))
+        val c2 = Curation.noveltyIngest(docs.filter(col("doc_id") % 3 === 2),
+          store.toString).withColumn("crawl", lit(2L))
+        c1.unionByName(c2).localCheckpoint(true)
+      } finally deleteRecursively(store)
+    }),
     "x34_stats_estimate" -> ((s, d) => {
       val sa = stagingDir("graft_x34_a")
       val sb = stagingDir("graft_x34_b")
@@ -2966,20 +2986,33 @@ object SparkEntry {
     // stateless per-row stages (quality, split), and must be
     // INDISTINGUISHABLE from c2's batch run — the oracle is c2's
     // verbatim.
-    "c7_incremental_curation" -> ((s, d) => {
+    "c7_incremental_curation" -> ((s0, d) => {
+      // Fixture state sizes make this row a chain of MANY small shuffles
+      // (two signature-store ingests + label fold + decontam probe), so it
+      // runs on a CLONED session at shuffle.partitions=8 — the q32/q33
+      // convention: 32 partitions are pure scheduling overhead here
+      // (measured: the stage probe's minhash ingest dropped ~2×).
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val docs = Tables.documents(s, d)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_incr_curation").toString
       Curation.writeDecontamStore(
         docs.filter(col("doc_id") % 20 === 0), s"$tmp/decontam")
-      var labels: org.apache.spark.sql.DataFrame = null
-      Seq(0, 1).foreach { par =>
-        val batch = docs.filter(col("doc_id") % 2 === par)
-        val pairs = Dedup.incrementalMinhashPairs(
-          batch.select(col("doc_id"), col("text")), s"$tmp/mh")
-        labels = Dedup.incrementalClusters(
-          batch.select(col("doc_id")), pairs, s"$tmp/labels")
-      }
+      // PAIRS ingest per batch (each anti-joins + publishes into the
+      // signature store); the label snapshot folds ONCE per run over the
+      // accumulated pairs — batch-N-then-publish, the production cadence
+      // (one corpus-sized snapshot rewrite per run, not per batch).
+      // Labels are identical either way (min-label is associative over
+      // component unions — the incrementalClusters contract); per-batch
+      // label folds stay exercised by m10/m12/m14 and the d12 spec.
+      val pairs = Seq(0, 1).map { par =>
+        Dedup.incrementalMinhashPairs(
+          docs.filter(col("doc_id") % 2 === par)
+            .select(col("doc_id"), col("text")), s"$tmp/mh")
+      }.reduce(_ unionAll _)
+      val labels = Dedup.incrementalClusters(
+        docs.select(col("doc_id")), pairs, s"$tmp/labels")
       Curation.pipelineFromSignals(docs, col("doc_id") % 20 === 0, 0.6,
         labels,
         Curation.decontamAgainstStore(
@@ -6020,6 +6053,30 @@ object SparkEntry {
          |       CAST(sum(novel) AS BIGINT) AS n_novel,
          |       CAST(sum(novel) * 10000 // count(*) AS BIGINT) AS novelty_bp
          |FROM j GROUP BY doc_id""".stripMargin,
+    // Incremental-store replay: crawl 1 scored against crawl 0's grams,
+    // crawl 2 against crawls 0 ∪ 1 — the store GROWS by each accepted
+    // crawl's novel grams (the UNION in r2 is the grown reference).
+    "t43_novelty_incremental" ->
+      s"""WITH ${sqlShinglesN(5, "doc_id % 3 = 0", "_c0")},
+         |${sqlShinglesN(5, "doc_id % 3 = 1", "_c1")},
+         |${sqlShinglesN(5, "doc_id % 3 = 2", "_c2")},
+         |r1 AS (SELECT DISTINCT h FROM sh_c0),
+         |r2 AS (SELECT h FROM r1 UNION SELECT DISTINCT h FROM sh_c1),
+         |j1 AS (SELECT t.doc_id, CASE WHEN r.h IS NULL THEN 1 ELSE 0 END AS novel
+         |       FROM sh_c1 t LEFT JOIN r1 r ON t.h = r.h),
+         |j2 AS (SELECT t.doc_id, CASE WHEN r.h IS NULL THEN 1 ELSE 0 END AS novel
+         |       FROM sh_c2 t LEFT JOIN r2 r ON t.h = r.h)
+         |SELECT doc_id, n_grams, n_novel, novelty_bp, crawl FROM (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |         CAST(sum(novel) AS BIGINT) AS n_novel,
+         |         CAST(sum(novel) * 10000 // count(*) AS BIGINT) AS novelty_bp,
+         |         CAST(1 AS BIGINT) AS crawl
+         |  FROM j1 GROUP BY doc_id
+         |  UNION ALL
+         |  SELECT doc_id, CAST(count(*) AS BIGINT), CAST(sum(novel) AS BIGINT),
+         |         CAST(sum(novel) * 10000 // count(*) AS BIGINT),
+         |         CAST(2 AS BIGINT)
+         |  FROM j2 GROUP BY doc_id)""".stripMargin,
     "p4_chunk" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
          |x AS (SELECT doc_id, t, len(t) AS n FROM t),

@@ -259,6 +259,160 @@ object Curation {
       .withColumn("novelty_bp", expr("n_novel * 10000L div n_grams"))
   }
 
+  /** Marker for the INCREMENTAL gram store: pins the n-gram order AND the
+    * Bloom creation parameters (merge requires identical bit width and
+    * hash count — both derive from these), so an incompatible ingest fails
+    * loudly instead of silently corrupting the sketch. */
+  private def incrMarkerName(n: Int, estimatedGrams: Long, numBits: Long) =
+    s"_format-ngram$n-e$estimatedGrams-b$numBits-incr-v1"
+
+  /** Score a crawl batch's novelty against the INCREMENTAL gram store and
+    * fold its new grams in — [[noveltyAgainstStore]]'s write-once store
+    * given the signature-store lifecycle (the t42 gap): writer lease,
+    * staged `batch-*` publish by ONE atomic rename, content-anti-joined
+    * idempotent re-ingest, format marker gating, read errors propagating
+    * (only true path absence means "empty store"). The reference corpus
+    * GROWS per accepted crawl; per-crawl cost tracks the BATCH (its grams
+    * are Bloom-prefiltered against the root sketch, and the exact
+    * registry join touches only the maybe-slice).
+    *
+    * Store rows are (h, src_id = the min contributing doc id): a gram is
+    * stored ONCE, by its first batch, which is what makes
+    * `replayDeterministic` exact — a crash-replayed batch excludes store
+    * rows whose src_id is one of its own docs and recovers the ORIGINAL
+    * reference set bit-for-bit (the incrementalMinhashPairs
+    * full-batch-vs-store-minus-batch contract, one level down). The
+    * default new-only mode scores against the snapshot as-is.
+    *
+    * Bloom maintenance is crash-ordered for correctness, not freshness:
+    * the merged sketch is swapped in BEFORE the batch rename
+    * (over-coverage is harmless — the exact join decides; under-coverage
+    * would be silent false negatives), and a missing/interrupted sketch
+    * degrades to exact-join-everything, never to wrong output.
+    *
+    * Output (localCheckpointed BEFORE the append — the store write would
+    * invalidate path-dependent caches): (doc_id, n_grams, n_novel,
+    * novelty_bp) for batch docs with ≥ 1 gram, identical to
+    * [[ngramNovelty]] with the store's prior content as reference
+    * (spec-asserted). */
+  def noveltyIngest(batch: DataFrame, storeDir: String, n: Int = 5,
+      estimatedGrams: Long = 1L << 20, numBits: Long = 1L << 23,
+      replayDeterministic: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types._
+    val spark = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.etl.WriterLease.withLock(fs, dir, "novelty gram store") {
+      val hasStore = fs.exists(dir) &&
+        fs.listStatus(dir).exists(_.getPath.getName.startsWith("batch-"))
+      val marker = new org.apache.hadoop.fs.Path(
+        dir, incrMarkerName(n, estimatedGrams, numBits))
+      if (hasStore && !fs.exists(marker))
+        throw new IllegalStateException(
+          s"incremental gram store at $storeDir was written with different " +
+            s"n-gram/Bloom parameters (missing ${marker.getName}) — grams " +
+            "hashed differently would silently match nothing; rebuild")
+      // staging leftovers are always pre-publish garbage inside the lease
+      if (fs.exists(dir)) fs.listStatus(dir).iterator
+        .filter(_.getPath.getName.startsWith(".staging-"))
+        .foreach(s => fs.delete(s.getPath, true))
+      val docGrams = batch.select(col("doc_id"), explode(
+          graft.functions.GraftColumns.shingleHashes(col("text"), n)).as("h"))
+        .localCheckpoint(true) // 3 consumers + must survive the append
+      val storeGrams =
+        if (hasStore)
+          spark.read.option("recursiveFileLookup", "true").parquet(storeDir)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("h", LongType),
+            StructField("src_id", StringType))))
+      val reference =
+        if (!replayDeterministic) storeGrams
+        else storeGrams.join(
+          batch.select(col("doc_id").cast("string").as("src_id")).distinct(),
+          Seq("src_id"), "left_anti")
+      // '_'-prefixed so the recursiveFileLookup parquet read of batch-*
+      // dirs never tries to parse the sketch as parquet
+      val bloomPath = new org.apache.hadoop.fs.Path(dir, "_bloom.bin")
+      val sketch =
+        if (fs.exists(bloomPath)) {
+          val len = fs.getFileStatus(bloomPath).getLen.toInt
+          val buf = new Array[Byte](len)
+          val in = fs.open(bloomPath)
+          try in.readFully(0L, buf) finally in.close()
+          buf
+        } else Array.empty[Byte]
+      // ABSENT sketch = no prefilter (exact join over everything — slower,
+      // never wrong); contrast writeDecontamStore, where empty means an
+      // empty store.
+      val maybe =
+        if (sketch.isEmpty) docGrams
+        else docGrams.filter(ColumnBridge.column(
+          new BloomFilterMightContain(
+            Literal.create(sketch, BinaryType),
+            ColumnBridge.expression(col("h")))))
+      val seen = maybe.join(reference.select(col("h")), Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("__n_seen"))
+      val scores = docGrams.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"))
+        .join(seen, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          (col("n_grams") - coalesce(col("__n_seen"), lit(0L))).as("n_novel"))
+        .withColumn("novelty_bp", expr("n_novel * 10000L div n_grams"))
+        .localCheckpoint(true)
+      // fold in: new grams only (anti-join vs the FULL snapshot — a
+      // re-ingested batch adds nothing, the idempotence contract)
+      val newGrams = docGrams
+        .groupBy(col("h"))
+        .agg(min(col("doc_id").cast("string")).as("src_id"))
+        .join(storeGrams.select(col("h")), Seq("h"), "left_anti")
+        .localCheckpoint(true)
+      val nNew = newGrams.count()
+      if (nNew > 0L) {
+        val id = java.util.UUID.randomUUID().toString
+        val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$id")
+        val published = new org.apache.hadoop.fs.Path(dir, s"batch-$id")
+        graft.etl.BatchFiles.sizedByCount(newGrams, nNew)
+          .write.parquet(staging.toString)
+        // merged sketch BEFORE the batch rename (see scaladoc)
+        val newSketch = newGrams.agg(ColumnBridge.column(
+            new BloomFilterAggregate(
+              ColumnBridge.expression(col("h")),
+              ColumnBridge.expression(lit(estimatedGrams)),
+              ColumnBridge.expression(lit(numBits))).toAggregateExpression())
+            .as("bf")).head().getAs[Array[Byte]](0)
+        val mergedBytes =
+          if (sketch.isEmpty) newSketch
+          else {
+            val merged = org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(sketch))
+            merged.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
+              .readFrom(new java.io.ByteArrayInputStream(newSketch)))
+            val bos = new java.io.ByteArrayOutputStream()
+            merged.writeTo(bos)
+            bos.toByteArray
+          }
+        val bloomStaging = new org.apache.hadoop.fs.Path(dir, s".staging-bloom-$id")
+        val out = fs.create(bloomStaging, true)
+        try out.write(mergedBytes) finally out.close()
+        fs.delete(bloomPath, false)
+        if (!fs.rename(bloomStaging, bloomPath))
+          throw new IllegalStateException(
+            s"failed to swap gram-store sketch at $bloomPath")
+        if (!fs.exists(marker)) fs.create(marker, true).close()
+        if (!fs.rename(staging, published))
+          throw new IllegalStateException(
+            s"failed to publish gram batch $staging -> $published")
+      }
+      org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(docGrams)
+      org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(newGrams)
+      scores
+    }
+  }
+
   /** Spark's Bloom FP model: `BloomFilterImpl` picks
     * k = max(1, round(m/n_est·ln 2)) hash functions from the CREATION-time
     * estimate; after inserting `nItems` distinct values into `numBits`

@@ -546,6 +546,62 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("noveltyIngest: grown store ≡ rebuilt store; idempotent re-ingest; replay exact; lease loud") {
+    val crawl0 = Seq((1L, "a b c d e f g"), (2L, "h i j k l m n")).toDF("doc_id", "text")
+    val crawl1 = Seq(
+      (100L, "a b c d e f g"),            // all seen in crawl0
+      (101L, "q w e r t y u"),            // all novel
+      (102L, "h i j k l zz ww vv uu tt")  // 1 seen, 5 novel
+    ).toDF("doc_id", "text")
+    val crawl2 = Seq(
+      (200L, "q w e r t y u"),            // seen — crawl1's novelty is IN the store now
+      (201L, "n1 n2 n3 n4 n5 n6")         // novel
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_nvincr").toString
+    // ingest 0: empty store → everything novel
+    assert(Curation.noveltyIngest(crawl0, dir).collect()
+      .forall(_.getAs[Long]("novelty_bp") == 10000L))
+    // ingest 1 scores against crawl0's grams exactly like the direct twin
+    val s1 = rows(Curation.noveltyIngest(crawl1, dir))
+    val direct1 = rows(Curation.ngramNovelty(
+      crawl0.withColumn("ref", lit(true))
+        .unionByName(crawl1.withColumn("ref", lit(false))), col("ref")))
+    assert(s1 == direct1, "grown store must equal the direct reference twin")
+    // ingest 2 sees crawl0 ∪ crawl1 — including crawl1's formerly-novel grams
+    val s2 = rows(Curation.noveltyIngest(crawl2, dir))
+    val direct2 = rows(Curation.ngramNovelty(
+      crawl0.unionByName(crawl1).withColumn("ref", lit(true))
+        .unionByName(crawl2.withColumn("ref", lit(false))), col("ref")))
+    assert(s2 == direct2, "store must have grown by crawl1's grams")
+    val batchesBefore = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("batch-"))
+    // replay (crash-after-publish): same scores, store unchanged
+    val replay = rows(Curation.noveltyIngest(crawl2, dir, replayDeterministic = true))
+    assert(replay == s2, "replay must recompute the ORIGINAL scores")
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("batch-")) == batchesBefore,
+      "re-ingest must not grow the store")
+    // new-only re-ingest: store already holds everything → zero novelty
+    assert(Curation.noveltyIngest(crawl2, dir).collect()
+      .forall(_.getAs[Long]("novelty_bp") == 0L))
+    // parameter-mismatch guard stays loud
+    intercept[IllegalStateException] {
+      Curation.noveltyIngest(crawl2, dir, n = 3)
+    }
+    // a held lease fails the second writer loudly
+    val lock = new java.io.File(dir, "_lock")
+    assert(lock.createNewFile())
+    val ex = intercept[IllegalStateException] {
+      Curation.noveltyIngest(crawl2, dir)
+    }
+    assert(ex.getMessage.toLowerCase.contains("lease") ||
+      ex.getMessage.toLowerCase.contains("lock") ||
+      ex.getMessage.toLowerCase.contains("writer"), ex.getMessage)
+    lock.delete()
+  }
+
   test("lengthBuckets: exact rank deciles, per-bucket max padding waste") {
     // 20 docs with token lengths 1..20 → 10 buckets of 2 docs; bucket k
     // holds lengths (2k+1, 2k+2), waste = (2·(2k+2) − (4k+3))·10⁴ div
