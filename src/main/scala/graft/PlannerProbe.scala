@@ -34,11 +34,16 @@ object PlannerProbe {
     val tmp = java.nio.file.Files.createTempDirectory("graft_planner").toString
 
     // ---- fact: lineitem ×20 = 12M rows, replica-offset orderkeys ----
+    // repartition BEFORE the cache: the crossJoin inherits the parquet
+    // side's ~4 splits, and a 12M-row cache on 4 partitions serializes
+    // every downstream aggregate onto 4 cores (this inflated the r11
+    // stats-pass readings ~7× before the fix — the stats code was fine).
     val fact = spark.range(20).select(col("id").as("rep"))
       .crossJoin(Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"), col("l_quantity")))
       .select((col("l_orderkey") + col("rep") * 10000000L).as("l_orderkey"),
         col("l_quantity"))
+      .repartition(64)
       .cache()
     time("fact_materialize")(fact.count())
     // selective dim: 1% of orderkeys, same replica offsets → d_dim/d_fact ≈ 1/100
@@ -107,7 +112,7 @@ object PlannerProbe {
     val skewFact = fact.select(
         expr("CASE WHEN l_orderkey % 3 = 0 THEN 42L ELSE l_orderkey END")
           .as("skew_key"),
-        col("l_quantity")).cache()
+        col("l_quantity")).repartition(64).cache()
     val dimFull = spark.range(2).select(col("id").as("rep"))
       .crossJoin(Tables.orders(spark, sfDir)
         .select(col("o_orderkey"), col("o_orderpriority")))
