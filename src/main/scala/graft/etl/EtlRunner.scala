@@ -46,9 +46,29 @@ object EtlRunner {
       val obsIn = Observation(s"${name}_rows_in")
       val obsOut = Observation(s"${name}_rows_out")
       val observed = data.observe(obsIn, count(lit(1)).as("n"))
+      // When the session carries a stats-catalog root, the write ALSO
+      // publishes this table's planner statistics (row count + key-KMV +
+      // skew sidecar) from the write's own scan — the
+      // Profiling.writeWithStats contract riding the ETL flow, so every
+      // downstream CostBasedJoin.consultOr site (SavedAnalytics, q19)
+      // finds fresh entries with zero extra passes (the skew verify pass
+      // reads the just-written, column-pruned output). Entry name =
+      // `<registered table>.<key>`; the rollup's join key is the A4
+      // contract column `bldg_id_min`.
+      val statsRoot = spark.conf.getOption("spark.graft.statsCatalogRoot")
+      val statsCols = statsRoot.toSeq.flatMap(_ =>
+        graft.operators.Profiling.statsObservationColumns("bldg_id_min"))
       val rolled = HourlyRollup(observed, passThrough = Seq("upgrade", "state", "county"))
-        .observe(obsOut, count(lit(1)).as("n"))
+        .observe(obsOut, count(lit(1)).as("n"), statsCols: _*)
       val dataOut = Sink.writeData(rolled, root, name)
+      statsRoot.foreach { sr =>
+        val (n, mins, cands) =
+          graft.operators.Profiling.decodeStatsObservation(obsOut.get)
+        graft.operators.Profiling.publishObservedStats(spark,
+          s"$sr/${DataTablePrefix}_state_${job.state}.bldg_id_min",
+          "bldg_id_min", 64, n, mins, cands,
+          spark.read.parquet(dataOut))
+      }
       val rowsIn = obsIn.get("n").asInstanceOf[Long]
       val rowsOut = obsOut.get("n").asInstanceOf[Long]
       val filesOut = Tracker.countFiles(dataOut)

@@ -316,11 +316,11 @@ object Profiling {
     val nRows = row.getLong(0)
     val mins = row.getSeq[Long](1)
     val cands = row.getSeq[String](2)
-    val (top, topKey) = topKeyCount(df, keyCol, cands, nRows)
+    val (top, hotKeys) = topKeyCount(df, keyCol, cands, nRows)
     // skew sidecar BEFORE the entry rename (the marker-before-publish
     // rule): a reader that sees the entry always finds its sidecar; a
     // crash in between leaves an unreferenced sidecar, never a torn read.
-    publishSkew(dir, 1L, top, topKey)
+    publishSkew(dir, 1L, top, hotKeys)
     publishEntry(entryFrame(df.sparkSession, nRows, mins, keyCol, k), dir, 1L)
   }
 
@@ -335,24 +335,24 @@ object Profiling {
     * — so the stat is SQL-replayable even though the candidate SET is
     * order-sensitive. `top > n div (cap+1)` is the overflow-free form of
     * `top·(cap+1) > n` (equivalent for non-negative BIGINTs). */
-  /** (clamped top count, the arg-max key value). The COUNT is the
-    * deterministic, oracle-replayed stat (see scaladoc above); the KEY is
-    * actuation metadata only — under ties any arg-max works because the
-    * hot/cold join split is output-invisible for every choice. */
+  /** (clamped top count, EVERY key over the MG floor). The COUNT is the
+    * deterministic, oracle-replayed stat (see scaladoc above); the KEY SET
+    * is actuation metadata for the hot/cold join split — and it is itself
+    * deterministic: a key clears the floor iff its true count does (every
+    * over-floor key is provably a candidate, so none can be missed; the
+    * exact counts decide membership). Bounded at ≤ SkewCap keys. */
   private def topKeyCount(df: DataFrame, keyCol: String,
-      cands: Seq[String], nRows: Long): (Long, Option[String]) = {
-    if (cands.isEmpty || nRows <= 0L) (0L, None)
+      cands: Seq[String], nRows: Long): (Long, Seq[String]) = {
+    if (cands.isEmpty || nRows <= 0L) (0L, Nil)
     else {
       val key = col(keyCol).cast("string")
-      val top = df.filter(key.isin(cands: _*))
+      val floor = nRows / (SkewCap + 1L)
+      val hot = df.filter(key.isin(cands: _*))
         .groupBy(key.as("__k")).agg(count(lit(1)).as("__c"))
-        .orderBy(col("__c").desc, col("__k"))
-        .limit(1).collect().headOption
-      top match {
-        case Some(r) if r.getLong(1) > nRows / (SkewCap + 1L) =>
-          (r.getLong(1), Option(r.getString(0)))
-        case _ => (0L, None)
-      }
+        .filter(col("__c") > floor)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      if (hot.isEmpty) (0L, Nil)
+      else (hot.map(_._2).max, hot.map(_._1).toSeq.sorted)
     }
   }
 
@@ -533,22 +533,31 @@ object Profiling {
     }
     val mins = asSeq[Long](m("mins"))
     val cands = asSeq[String](m("cands"))
+    publishObservedStats(df.sparkSession, statsDir, keyCol, k,
+      nRows, mins, cands, df.sparkSession.read.parquet(dataDir))
+  }
+
+  /** Publish a catalog entry + skew sidecar from ALREADY-OBSERVED sketch
+    * metrics — the shared tail of [[writeWithStats]] and any writer whose
+    * output pass carried the (count, KMV, MG) observation (e.g. the ETL
+    * flow's data writes): the skew verify pass reads `verifySource`
+    * (typically the just-written parquet, key-column pruned, filtered to
+    * ≤ SkewCap candidates) — the only extra scan a stats-equipped writer
+    * pays. A REWRITE supersedes whatever version the catalog reached
+    * through appends: publish max+1 and prune (a hardcoded version 1
+    * would sit silently SHADOWED by a surviving higher-versioned entry —
+    * latestEntry resolves the max). */
+  def publishObservedStats(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String, keyCol: String, k: Int,
+      nRows: Long, mins: Seq[Long], cands: Seq[String],
+      verifySource: DataFrame): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(statsDir))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(statsDir, "_format-stats-kmv-v1"),
       Array.empty[Byte])
-    val spark = df.sparkSession
-    // The skew verify pass reads the JUST-WRITTEN parquet (key column
-    // pruned, filtered to ≤ SkewCap candidates) — cheaper than re-running
-    // the input plan, and the only extra scan this writer pays.
-    val (top, topKey) = topKeyCount(
-      spark.read.parquet(dataDir), keyCol, cands, nRows)
-    // A REWRITE supersedes whatever version the catalog reached through
-    // appends: publish max+1 and prune, exactly like appendTableStats —
-    // a hardcoded version 1 would sit silently SHADOWED by a surviving
-    // higher-versioned entry (latestEntry resolves the max).
+    val (top, hotKeys) = topKeyCount(verifySource, keyCol, cands, nRows)
     val cur = entryDirs(statsDir).map(_._2).maxOption.getOrElse(0L)
-    publishSkew(statsDir, cur + 1L, top, topKey)
+    publishSkew(statsDir, cur + 1L, top, hotKeys)
     publishEntry(entryFrame(spark, nRows, mins, keyCol, k), statsDir, cur + 1L)
     entryDirs(statsDir).filter(_._2 < cur + 1L).foreach { case (p, _) =>
       deleteRecursively(p)
@@ -558,17 +567,46 @@ object Profiling {
     }
   }
 
+  /** The (count, KMV, MG) observation column triple every stats-equipped
+    * writer attaches — named so the publisher can read them back. */
+  def statsObservationColumns(keyCol: String, k: Int = 64)
+      : Seq[org.apache.spark.sql.Column] = {
+    val key = col(keyCol).cast("string")
+    Seq(
+      count(key).as("__graft_stats_n"),
+      graft.functions.KmvAgg.kMinValues(
+        TextHash.sampleKey(concat(lit("kmv:"), key)), k).as("__graft_stats_mins"),
+      graft.functions.MisraGriesAgg.candidates(key, SkewCap)
+        .as("__graft_stats_cands"))
+  }
+
+  /** Decode [[statsObservationColumns]] metrics from an Observation's
+    * result map. */
+  def decodeStatsObservation(m: Map[String, Any]): (Long, Seq[Long], Seq[String]) = {
+    def asSeq[T](v: Any): Seq[T] = v match {
+      case s: scala.collection.Seq[_] => s.map(_.asInstanceOf[T]).toSeq
+      case a: Array[_] => a.toSeq.map(_.asInstanceOf[T])
+      case other => throw new IllegalStateException(
+        s"observe returned ${other.getClass}")
+    }
+    (m("__graft_stats_n").asInstanceOf[Long],
+      asSeq[Long](m("__graft_stats_mins")),
+      asSeq[String](m("__graft_stats_cands")))
+  }
+
   /** Skew sidecar `skew-<version>`: first line the clamped exact top-key
-    * count for the SAME-version entry, the REMAINDER OF THE FILE (may
-    * itself contain newlines — key values are arbitrary strings) the
-    * arg-max key, present only when the count is nonzero. Kept OUT of the
+    * count for the SAME-version entry, then one URL-ENCODED hot key per
+    * line (keys are arbitrary strings — encoding makes embedded newlines
+    * safe), present only when the count is nonzero. Kept OUT of the
     * entry parquet so the core entry's bit-identity invariant (append
     * sequence ≡ fresh write) is untouched — the sidecar simply doesn't
     * exist for append-produced versions. Written via temp + atomic move. */
   private def publishSkew(dir: String, version: Long, top: Long,
-      topKey: Option[String]): Unit = {
+      hotKeys: Seq[String]): Unit = {
     val tmp = java.nio.file.Paths.get(dir, s".skew-staging-${System.nanoTime()}")
-    java.nio.file.Files.writeString(tmp, s"$top\n${topKey.getOrElse("")}")
+    val body = (top.toString +: hotKeys.map(k =>
+      java.net.URLEncoder.encode(k, "UTF-8"))).mkString("\n")
+    java.nio.file.Files.writeString(tmp, body)
     java.nio.file.Files.move(tmp,
       java.nio.file.Paths.get(dir, f"skew-$version%012d"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -582,19 +620,18 @@ object Profiling {
     else -1L
   }
 
-  /** The latest entry's hot-key VALUE (actuation metadata for the salted
-    * join's hot/cold split) — Some only when the same-version sidecar
-    * exists with a nonzero clamped count. Ties resolved at write time;
-    * any arg-max yields the identical join output. */
-  def readTopKeyDriver(dir: String): Option[String] =
-    entryDirs(dir).map(_._2).maxOption.flatMap { v =>
+  /** The latest entry's hot-key VALUES (actuation metadata for the salted
+    * join's hot/cold split) — non-empty only when the same-version sidecar
+    * exists with a nonzero clamped count. Any subset/order yields the
+    * identical join output (the split is output-invisible); the stored
+    * set is every key over the MG floor, ≤ SkewCap of them. */
+  def readHotKeysDriver(dir: String): Seq[String] =
+    entryDirs(dir).map(_._2).maxOption.toSeq.flatMap { v =>
       val p = java.nio.file.Paths.get(dir, f"skew-$v%012d")
-      if (!java.nio.file.Files.exists(p)) None
-      else {
-        val s = java.nio.file.Files.readString(p)
-        val i = s.indexOf('\n')
-        if (i < 0 || i == s.length - 1) None else Some(s.substring(i + 1))
-      }
+      if (!java.nio.file.Files.exists(p)) Nil
+      else java.nio.file.Files.readString(p).split('\n').toSeq.drop(1)
+        .filter(_.nonEmpty)
+        .map(k => java.net.URLDecoder.decode(k, "UTF-8"))
     }
 
   private def skewFiles(dir: String): Seq[(java.nio.file.Path, Long)] = {

@@ -173,11 +173,13 @@ object CostBasedJoin {
       case "salted" =>
         // Plan-time HOT/COLD SPLIT (what AQE's skew mitigation does at
         // runtime, done from the catalog before the skewed exchange ever
-        // exists): the sidecar names the hot key, so the fact splits into
-        // its hot slice (salted across SaltCount tasks against ONLY the
-        // dim's hot rows replicated per salt — replication cost is
-        // salts × hot-dim-slice, not salts × dim) and the now-skew-free
-        // cold remainder (a plain equi-join Catalyst/AQE handles). The
+        // exists): the sidecar names EVERY key over the MG floor (≤
+        // SkewCap of them — real skew is often a handful of hot defaults,
+        // not one), so the fact splits into its hot slice (salted across
+        // SaltCount tasks against ONLY the dim's hot rows replicated per
+        // salt — replication cost is salts × hot-dim-slice, not
+        // salts × dim) and the now-skew-free cold remainder (a plain
+        // equi-join Catalyst/AQE handles). The
         // salt comes from a Murmur3 of a monotonic row id — uniform by
         // construction, never column-cardinality-dependent, and
         // output-invisible (the salt is an equi-conjunct both sides
@@ -186,16 +188,16 @@ object CostBasedJoin {
         // deliver them). Probe-measured: whole-dim ×16 replication LOST
         // to the blind join at 12M rows (48M replicated dim rows); the
         // hot-slice split is what wins.
-        val hotKey = Profiling.readTopKeyDriver(statsDirLeft)
-          .getOrElse(throw new IllegalStateException(
-            s"salted rung fired but $statsDirLeft names no hot key — " +
-              "stats written by an incompatible version; rebuild them"))
-        val isHot = left(keyLeft).cast("string") === lit(hotKey)
+        val hotKeys = Profiling.readHotKeysDriver(statsDirLeft)
+        if (hotKeys.isEmpty) throw new IllegalStateException(
+          s"salted rung fired but $statsDirLeft names no hot keys — " +
+            "stats written by an incompatible version; rebuild them")
+        val isHot = left(keyLeft).cast("string").isin(hotKeys: _*)
         val salt = pmod(hash(monotonically_increasing_id()), lit(SaltCount))
         val hotLeft = left.filter(coalesce(isHot, lit(false)))
           .withColumn("__graft_salt", salt)
         val hotRight = right
-          .filter(coalesce(right(keyRight).cast("string") === lit(hotKey),
+          .filter(coalesce(right(keyRight).cast("string").isin(hotKeys: _*),
             lit(false)))
           .withColumn("__graft_salt",
             explode(sequence(lit(0), lit(SaltCount - 1))))

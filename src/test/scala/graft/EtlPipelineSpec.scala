@@ -100,6 +100,32 @@ class EtlPipelineSpec extends SparkSpec {
     assert(result.report.toJson.contains("\"lost_output\":false"))
   }
 
+  test("ETL writes publish planner stats under a session catalog root; consultOr finds them") {
+    buildSourceTree()
+    val statsRoot = Files.createTempDirectory("graft_etl_stats").toString
+    val out2 = Files.createTempDirectory("graft_out_stats").toString
+    spark.conf.set("spark.graft.statsCatalogRoot", statsRoot)
+    try {
+      val cfg = EtlConfig(
+        EtlSettings(base_partition = lake, output_dir = out2),
+        Seq(JobSpec(
+          release_name = "test_release", release_year = "2024", state = "AK",
+          upgrades = Seq(0), metadata_root_dir = s"$lake/meta",
+          relative_metadata_prefix_type = 1)))
+      val result = EtlRunner.run(spark, cfg)
+      // the write's own observation published the entry — zero extra scans
+      // beyond the column-pruned skew verify
+      val entryName = "oedi_data_state_AK.bldg_id_min"
+      val (n, dEst, top) = graft.operators.Profiling.readStatsDriver(
+        spark, s"$statsRoot/$entryName", "bldg_id_min")
+      assert(n === result.report.jobs.head.dataRowsOut,
+        "catalog n_rows must equal the write's observed row count")
+      assert(dEst > 0L && top >= 0L)
+      // and the engine's consultOr resolves it — the always-on loop closes
+      assert(graft.plans.CostBasedJoin.sessionStatsDir(spark, entryName).isDefined)
+    } finally spark.conf.unset("spark.graft.statsCatalogRoot")
+  }
+
   test("query-time join on a partition column gets dynamic partition pruning") {
     // The reference's core architectural bet is "prune partitions, then join
     // at query time" (README.md:162, indexer.py:204-207). Static pruning is
