@@ -17,17 +17,27 @@ object Tables {
     * driver-blocking footer jobs. Keyed by full path, so different SF
     * dirs never collide; `events`' nanos-vs-micros dispatch still sees
     * the true physical type (the cache stores whatever the conf-governed
-    * first inference produced). */
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    * first inference produced). Entries carry the file's (mtime, size):
+    * a mid-JVM fixture regeneration changes those, so the stale schema is
+    * re-inferred instead of silently served to a long-lived spec session
+    * — one local `stat` per construction, no Spark job. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.types.StructType, Long, Long)]()
+
+  private def stamp(path: String): (Long, Long) = {
+    val f = new java.io.File(path)
+    (f.lastModified(), f.length())
+  }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
+    val st = stamp(path)
     val cached = schemaCache.get(path)
-    if (cached != null) spark.read.schema(cached).parquet(path)
+    if (cached != null && (cached._2, cached._3) == st)
+      spark.read.schema(cached._1).parquet(path)
     else {
       val df = spark.read.parquet(path)
-      schemaCache.putIfAbsent(path, df.schema)
+      schemaCache.put(path, (df.schema, st._1, st._2))
       df
     }
   }
