@@ -600,6 +600,21 @@ class CurationSpec extends SparkSpec {
       ex.getMessage.toLowerCase.contains("lock") ||
       ex.getMessage.toLowerCase.contains("writer"), ex.getMessage)
     lock.delete()
+    // compactStore (layout-generic: batch-* dirs + the same _lock lease)
+    // folds the gram batches into one with scores unchanged — grams are
+    // unique across batches (anti-joined at ingest) so distinct is a
+    // no-op, src ids survive (replay determinism intact), and the root
+    // sketch stays exactly covering (content unchanged)
+    val (merged, keptRows) = graft.operators.Dedup.compactStore(spark, dir)
+    assert(merged >= 3L && keptRows > 0L)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("batch-")) == 1)
+    val crawl3 = Seq((300L, "q w e r t y u"), (301L, "zz only new here x y")).toDF("doc_id", "text")
+    val s3 = rows(Curation.noveltyIngest(crawl3, dir))
+    val direct3 = rows(Curation.ngramNovelty(
+      crawl0.unionByName(crawl1).unionByName(crawl2).withColumn("ref", lit(true))
+        .unionByName(crawl3.withColumn("ref", lit(false))), col("ref")))
+    assert(s3 == direct3, "post-compaction scores must be unchanged")
   }
 
   test("lengthBuckets: exact rank deciles, per-bucket max padding waste") {
