@@ -208,6 +208,36 @@ object StreamingStoreIngest {
     * pairs output, anti-joined store append, `replayDeterministic`
     * crash-window recompute, loud lease conflict, label-idempotent
     * replays at any crash point. */
+  /** Streaming novelty scoring against the GROWING gram store
+    * ([[graft.operators.Curation.noveltyIngest]]): each micro-batch of
+    * crawled documents is scored against everything accepted BEFORE it,
+    * then its new grams fold into the same durable store batch jobs use.
+    * Same exactly-once contract as [[run]] verbatim: per-batch
+    * overwrite-idempotent scores output, content-anti-joined store
+    * append, loud lease conflict — and `replayDeterministic = true` is
+    * LOAD-BEARING: a micro-batch replayed after a crash between the store
+    * append and the checkpoint commit would otherwise score against a
+    * store already holding its own grams (all-zero novelty) and the
+    * overwrite sink would destroy the real scores forever (the CLAUDE.md
+    * streaming-wrapper rule; here the replay excludes store rows whose
+    * src_id is one of the batch's docs and recovers the original
+    * reference set exactly). */
+  def runNovelty(docs: DataFrame, storePath: String, scoresOut: String,
+      checkpoint: String, n: Int = 5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Curation.noveltyIngest(batch, storePath, n = n,
+            replayDeterministic = true)
+          .write.mode("overwrite")
+          .parquet(s"$scoresOut/ingest_batch=$batchId")
+        ()
+      }
+      .start()
+
   def runFuzzyEr(recs: DataFrame, storePath: String, labelStorePath: String,
       pairsOut: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =

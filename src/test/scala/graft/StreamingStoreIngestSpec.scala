@@ -70,6 +70,61 @@ class StreamingStoreIngestSpec extends SparkSpec {
     assert(batchPairs.map(p => (p._1, p._2)).contains((3L, 100L)))
   }
 
+  test("streamed novelty ingest: per-micro-batch scores ≡ sequential grown-store twins") {
+    val srcDir = Files.createTempDirectory("graft_ssn_src").toString
+    val store = Files.createTempDirectory("graft_ssn_store").toString + "/store"
+    val scoresOut = Files.createTempDirectory("graft_ssn_scores").toString
+    val ckpt = Files.createTempDirectory("graft_ssn_ckpt").toString
+    writeBatches(srcDir) // b0: docs 0-2, b1: 3-5, b2: 6-7 (file order = batch order)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+    val q = StreamingStoreIngest.runNovelty(stream, store, scoresOut, ckpt, n = 3)
+    try q.processAllAvailable() finally q.stop()
+    def scoreSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_grams", "n_novel", "novelty_bp")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // ground truth follows the stream's ACTUAL arrival order (the file
+    // source does not promise directory order, and novelty scores are
+    // order-DEPENDENT — each batch scores against what arrived before it);
+    // every doc must have been scored exactly once across the batches.
+    val docsDf = allDocs.toDF("doc_id", "text")
+    val batchDirs = new java.io.File(scoresOut).listFiles()
+      .map(_.getName).filter(_.startsWith("ingest_batch="))
+      .sortBy(_.stripPrefix("ingest_batch=").toLong)
+    var seenIds = Set.empty[Long]
+    var scoredIds = Set.empty[Long]
+    batchDirs.foreach { bd =>
+      val got = scoreSet(spark.read.parquet(s"$scoresOut/$bd"))
+      val batchIds = got.map(_._1)
+      val batchDocs = docsDf.filter(col("doc_id").isin(batchIds.toSeq: _*))
+      val expected =
+        if (seenIds.isEmpty)
+          scoreSet(batchDocs
+            .select(col("doc_id"),
+              size(graft.functions.GraftColumns.shingleHashes(col("text"), 3))
+                .cast("long").as("n_grams"))
+            .select(col("doc_id"), col("n_grams"),
+              col("n_grams").as("n_novel"), lit(10000L).as("novelty_bp")))
+        else scoreSet(graft.operators.Curation.ngramNovelty(
+          docsDf.filter(col("doc_id").isin(seenIds.toSeq: _*))
+            .withColumn("ref", lit(true))
+            .unionByName(batchDocs.withColumn("ref", lit(false))),
+          col("ref"), n = 3))
+      assert(got === expected, s"batch $bd scores must equal the grown-store twin")
+      seenIds ++= batchIds
+      scoredIds ++= batchIds
+    }
+    assert(scoredIds === allDocs.map(_._1).toSet, "every doc scored exactly once")
+    // the grown store then serves a BATCH ingest: doc 5's text near-dups
+    // docs 0/1, so a copy of it scores near-zero novelty
+    val late = Seq((200L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val lateScore = graft.operators.Curation.noveltyIngest(late, store, n = 3)
+      .collect().head
+    assert(lateScore.getAs[Long]("novelty_bp") == 0L,
+      "an exact copy of streamed history must score zero novelty")
+  }
+
   test("streamed Hamming-signature ingest ≡ one-shot pairs; store usable by batch afterwards") {
     val srcDir = Files.createTempDirectory("graft_ssh_src").toString
     val store = Files.createTempDirectory("graft_ssh_store").toString + "/store"
