@@ -104,6 +104,19 @@ object PlannerProbe {
       custB.join(suppB, col("c_nationkey") === col("s_nationkey"))
         .groupBy().count().head().getLong(0))
 
+    // ---- anti case: 99% of fact rows DON'T match the selective dim —
+    // the inverted-sketch split routes them around the join entirely
+    // (definite keeps), so only the ~1% maybe-slice shuffles. ----
+    val (chosenA, choiceA) = CostBasedJoin.chooseJoin(fact, dim,
+      "l_orderkey", "o_orderkey", s"$tmp/f", s"$tmp/d",
+      broadcastRows = 10000L, joinType = "left_anti")
+    println(s"[planner] choice_anti                 ${choiceA.strategy}")
+    assert(choiceA.strategy == "bloom_reduced", choiceA)
+    time("join_chosen_bloom_anti")(chosenA.groupBy().count().head().getLong(0))
+    time("join_blind_anti")(
+      factB.join(dimB, col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .groupBy().count().head().getLong(0))
+
     // ---- skew case: one hot key holds 1/3 of the 12M-row fact; the
     // catalog's top-key stat must flip the choice to SALTED, and the
     // salted join races (a) the blind sort-merge with AQE's runtime skew
