@@ -413,6 +413,102 @@ object Curation {
     }
   }
 
+  /** Right-to-be-forgotten over the INCREMENTAL gram store — the erasure
+    * obligation extends to derived n-gram hashes exactly as it does to
+    * MinHash signatures ([[graft.operators.Dedup.eraseFromStore]], whose
+    * erase-first rename bias this mirrors): deleting a document from the
+    * lake while its gram hashes stay in the store means future crawls are
+    * still scored against erased content. Erasure is CONSERVATIVE by
+    * construction: a gram is stored once under its FIRST contributor's
+    * src_id, so dropping rows with src_id ∈ keys may also forget grams
+    * that retained documents share — those score "novel" again on their
+    * next sighting (a score shift, never retained erased-derived data).
+    *
+    * The root `_bloom.bin` accelerator is REBUILT from the survivors
+    * whenever keys were offered (not only when rows died — so an
+    * interrupted erase completes on re-run): erased hashes must not
+    * survive in the sketch either, and the swap is staged + renamed with
+    * the same crash posture as ingest (a missing sketch degrades to
+    * exact-join-everything, never to wrong output). Bloom creation
+    * parameters are recovered from the format marker's name. Runs under
+    * the same writer lease as ingest. Returns gram rows erased. */
+  def eraseFromGramStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, keys: DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val keyIds = keys.select(col(keys.columns.head).cast("string"))
+      .distinct().collect().map(_.getString(0))
+    val dir = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir) || keyIds.isEmpty) return 0L
+    graft.etl.WriterLease.withLock(fs, dir, "novelty gram store") {
+      val markerRe = "_format-ngram(\\d+)-e(\\d+)-b(\\d+)-incr-v1".r
+      val params = fs.listStatus(dir).map(_.getPath.getName)
+        .collectFirst { case markerRe(_, e, b) => (e.toLong, b.toLong) }
+        .getOrElse(throw new IllegalStateException(
+          s"gram store at $storeDir has no incremental format marker — " +
+            "cannot recover Bloom parameters; nothing erased"))
+      def liveBatches() = fs.listStatus(dir)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
+      var erased = 0L
+      liveBatches().foreach { b =>
+        val batch = spark.read.parquet(b.getPath.toString)
+        val hits = batch.filter(col("src_id").isin(keyIds: _*)).count()
+        if (hits > 0L) {
+          erased += hits
+          val keep = batch.filter(!col("src_id").isin(keyIds: _*))
+          val keepCount = keep.count()
+          val id = java.util.UUID.randomUUID().toString
+          val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$id")
+          val retired = new org.apache.hadoop.fs.Path(dir, s".retired-$id")
+          // stage first (no window), skip replacement when nothing survives
+          if (keepCount > 0L)
+            graft.etl.BatchFiles.sizedByCount(keep, keepCount)
+              .write.parquet(staging.toString)
+          if (!fs.rename(b.getPath, retired))
+            throw new IllegalStateException(
+              s"eraseFromGramStore: failed to retire ${b.getPath}")
+          if (keepCount > 0L && !fs.rename(staging,
+              new org.apache.hadoop.fs.Path(dir, s"batch-$id")))
+            throw new IllegalStateException(
+              s"eraseFromGramStore: retired ${b.getPath} but failed to " +
+                s"publish $staging — surviving grams are in $retired; " +
+                "re-publish manually or re-ingest the affected crawls")
+          fs.delete(retired, true)
+          if (fs.exists(retired))
+            throw new IllegalStateException(
+              s"eraseFromGramStore: failed to delete $retired — erased " +
+                "gram hashes would survive on disk")
+        }
+      }
+      // sketch rebuild from SURVIVORS — always when keys were offered, so
+      // a crash between the batch rewrites and this swap heals on re-run
+      val bloomPath = new org.apache.hadoop.fs.Path(dir, "_bloom.bin")
+      val survivors = liveBatches()
+      if (survivors.isEmpty) {
+        fs.delete(bloomPath, false)
+        ()
+      } else {
+        val sketch = spark.read
+          .parquet(survivors.map(_.getPath.toString).toIndexedSeq: _*)
+          .agg(ColumnBridge.column(new BloomFilterAggregate(
+            ColumnBridge.expression(col("h")),
+            ColumnBridge.expression(lit(params._1)),
+            ColumnBridge.expression(lit(params._2))).toAggregateExpression())
+            .as("bf")).head().getAs[Array[Byte]](0)
+        val staging = new org.apache.hadoop.fs.Path(
+          dir, s".staging-bloom-erase-${java.util.UUID.randomUUID()}")
+        val out = fs.create(staging, true)
+        try out.write(sketch) finally out.close()
+        fs.delete(bloomPath, false)
+        if (!fs.rename(staging, bloomPath))
+          throw new IllegalStateException(
+            s"eraseFromGramStore: failed to swap rebuilt sketch at $bloomPath")
+      }
+      erased
+    }
+  }
+
   /** Spark's Bloom FP model: `BloomFilterImpl` picks
     * k = max(1, round(m/n_est·ln 2)) hash functions from the CREATION-time
     * estimate; after inserting `nItems` distinct values into `numBits`

@@ -617,6 +617,31 @@ class CurationSpec extends SparkSpec {
     assert(s3 == direct3, "post-compaction scores must be unchanged")
   }
 
+  test("eraseFromGramStore: erased docs' grams forgotten everywhere (incl. the sketch); store stays usable") {
+    val crawl0 = Seq((1L, "secret alpha beta gamma delta eps"),
+      (2L, "common words shared by many docs here")).toDF("doc_id", "text")
+    val crawl1 = Seq((10L, "totally different content right here now")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_nverase").toString
+    Curation.noveltyIngest(crawl0, dir)
+    Curation.noveltyIngest(crawl1, dir)
+    // erase doc 1: its grams vanish from payload AND sketch
+    val erased = Curation.eraseFromGramStore(spark, dir, Seq(1L).toDF("doc_id"))
+    assert(erased > 0L)
+    val survivors = spark.read.option("recursiveFileLookup", "true").parquet(dir)
+    assert(survivors.filter(col("src_id") === "1").count() === 0L)
+    assert(survivors.count() > 0L, "other docs' grams survive")
+    // a re-crawl of the erased text now scores fully novel (forgotten),
+    // while a copy of a RETAINED doc still scores zero — store usable
+    val recheck = Curation.noveltyIngest(
+      Seq((100L, "secret alpha beta gamma delta eps"),
+        (101L, "common words shared by many docs here")).toDF("doc_id", "text"), dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("novelty_bp")).toMap
+    assert(recheck(100L) === 10000L, "erased content must be forgotten")
+    assert(recheck(101L) === 0L, "retained content must still be known")
+    // idempotent re-run: nothing left to erase, store intact
+    assert(Curation.eraseFromGramStore(spark, dir, Seq(1L).toDF("doc_id")) === 0L)
+  }
+
   test("lengthBuckets: exact rank deciles, per-bucket max padding waste") {
     // 20 docs with token lengths 1..20 → 10 buckets of 2 docs; bucket k
     // holds lengths (2k+1, 2k+2), waste = (2·(2k+2) − (4k+3))·10⁴ div
