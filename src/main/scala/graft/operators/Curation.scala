@@ -436,7 +436,12 @@ object Curation {
       storeDir: String, keys: DataFrame): Long = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    // nulls are DROPPED from the key set, never passed to isin: a null
+    // literal inside !isin(...) evaluates to NULL for every non-matching
+    // row, the keep-filter would drop them all, and one null in an erase
+    // request would silently wipe every batch it touches (review finding).
     val keyIds = keys.select(col(keys.columns.head).cast("string"))
+      .filter(col(keys.columns.head).isNotNull)
       .distinct().collect().map(_.getString(0))
     val dir = new org.apache.hadoop.fs.Path(storeDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -448,6 +453,18 @@ object Curation {
         .getOrElse(throw new IllegalStateException(
           s"gram store at $storeDir has no incremental format marker — " +
             "cannot recover Bloom parameters; nothing erased"))
+      // Sweep BOTH leftover classes inside the lease: .staging-* is
+      // always pre-publish garbage, and .retired-* is a crash window of a
+      // PREVIOUS erase (retire-rename done, delete not) — the original
+      // batch, erased rows included, whose survivors were already
+      // republished; deleting it completes that erase (the obligation) at
+      // worst at the cost of conservative forgetting if the crash was
+      // instead between stage and republish (forgotten grams score novel
+      // again — a score shift, never retained erased data).
+      fs.listStatus(dir).iterator
+        .filter(st => st.getPath.getName.startsWith(".staging-") ||
+          st.getPath.getName.startsWith(".retired-"))
+        .foreach(st => fs.delete(st.getPath, true))
       def liveBatches() = fs.listStatus(dir)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
       var erased = 0L

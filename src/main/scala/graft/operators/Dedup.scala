@@ -1702,7 +1702,11 @@ object Dedup {
     * Returns the number of signature rows erased. */
   def eraseFromStore(spark: org.apache.spark.sql.SparkSession,
       storePath: String, keys: DataFrame, keyCol: String = "doc_id"): Long = {
+    // drop nulls before collecting: getLong on a null row reads 0 and a
+    // null key would silently erase doc 0 (review finding, shared with
+    // the gram-store erasure where the hazard was a whole-batch wipe)
     val keyIds = keys.select(col(keys.columns.head).cast("long"))
+      .filter(col(keys.columns.head).isNotNull)
       .distinct().collect().map(_.getLong(0))
     val dir = new org.apache.hadoop.fs.Path(storePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2030,7 +2034,9 @@ object Dedup {
     * the same lease. Returns the number of member rows erased. */
   def eraseFromLabelStore(spark: org.apache.spark.sql.SparkSession,
       storePath: String, keys: DataFrame): Long = {
+    // null keys dropped before collect (see eraseFromStore)
     val keyIds = keys.select(col(keys.columns.head).cast("long"))
+      .filter(col(keys.columns.head).isNotNull)
       .distinct().collect().map(_.getLong(0))
     val dir = new org.apache.hadoop.fs.Path(storePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -467,6 +467,17 @@ object Profiling {
     * the skew stat is write-time-only). */
   def readStatsDriver(spark: org.apache.spark.sql.SparkSession,
       dir: String, expectKey: String): (Long, Long, Long) = {
+    val (n, d, top, _) = readStatsFull(spark, dir, expectKey)
+    (n, d, top)
+  }
+
+  /** [[readStatsDriver]] plus the hot-key VALUES, all read at ONE resolved
+    * entry version — the planner's salted actuation must never re-resolve
+    * the latest version separately (an append landing between two reads
+    * would pair entry v's top count with version v+1's missing sidecar and
+    * fail a healthy catalog — review finding). */
+  def readStatsFull(spark: org.apache.spark.sql.SparkSession,
+      dir: String, expectKey: String): (Long, Long, Long, Seq[String]) = {
     require(java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir, "_format-stats-kmv-v1")),
       s"stats entry at $dir lacks _format-stats-kmv-v1 — rebuild needed " +
@@ -483,7 +494,7 @@ object Profiling {
     val d =
       if (mins.size < k) mins.size.toLong
       else (k - 1L) * TextHash.Prime / (mins.last + 1L)
-    (nRows, d, readSkew(dir, version))
+    (nRows, d, readSkew(dir, version), readHotKeys(dir, version))
   }
 
   /** One (n_rows, mins, key_col, k) stats row for a frame — ONE aggregate
@@ -516,23 +527,10 @@ object Profiling {
       keyCol: String, k: Int = 64): Unit = {
     val obs = org.apache.spark.sql.Observation(
       s"graft-stats-${java.util.UUID.randomUUID()}")
-    val key = col(keyCol).cast("string")
-    val observed = df.observe(obs,
-      count(key).as("n_rows"),
-      graft.functions.KmvAgg.kMinValues(
-        TextHash.sampleKey(concat(lit("kmv:"), key)), k).as("mins"),
-      graft.functions.MisraGriesAgg.candidates(key, SkewCap).as("cands"))
+    val statsCols = statsObservationColumns(keyCol, k)
+    val observed = df.observe(obs, statsCols.head, statsCols.tail: _*)
     observed.write.mode("overwrite").parquet(dataDir)
-    val m = obs.get
-    val nRows = m("n_rows").asInstanceOf[Long]
-    def asSeq[T](v: Any): Seq[T] = v match {
-      case s: scala.collection.Seq[_] => s.map(_.asInstanceOf[T]).toSeq
-      case a: Array[_] => a.toSeq.map(_.asInstanceOf[T])
-      case other => throw new IllegalStateException(
-        s"observe returned ${other.getClass}")
-    }
-    val mins = asSeq[Long](m("mins"))
-    val cands = asSeq[String](m("cands"))
+    val (nRows, mins, cands) = decodeStatsObservation(obs.get)
     publishObservedStats(df.sparkSession, statsDir, keyCol, k,
       nRows, mins, cands, df.sparkSession.read.parquet(dataDir))
   }
@@ -620,19 +618,18 @@ object Profiling {
     else -1L
   }
 
-  /** The latest entry's hot-key VALUES (actuation metadata for the salted
+  /** An entry version's hot-key VALUES (actuation metadata for the salted
     * join's hot/cold split) — non-empty only when the same-version sidecar
     * exists with a nonzero clamped count. Any subset/order yields the
     * identical join output (the split is output-invisible); the stored
     * set is every key over the MG floor, ≤ SkewCap of them. */
-  def readHotKeysDriver(dir: String): Seq[String] =
-    entryDirs(dir).map(_._2).maxOption.toSeq.flatMap { v =>
-      val p = java.nio.file.Paths.get(dir, f"skew-$v%012d")
-      if (!java.nio.file.Files.exists(p)) Nil
-      else java.nio.file.Files.readString(p).split('\n').toSeq.drop(1)
-        .filter(_.nonEmpty)
-        .map(k => java.net.URLDecoder.decode(k, "UTF-8"))
-    }
+  private def readHotKeys(dir: String, version: Long): Seq[String] = {
+    val p = java.nio.file.Paths.get(dir, f"skew-$version%012d")
+    if (!java.nio.file.Files.exists(p)) Nil
+    else java.nio.file.Files.readString(p).split('\n').toSeq.drop(1)
+      .filter(_.nonEmpty)
+      .map(k => java.net.URLDecoder.decode(k, "UTF-8"))
+  }
 
   private def skewFiles(dir: String): Seq[(java.nio.file.Path, Long)] = {
     val stream = java.nio.file.Files.list(java.nio.file.Paths.get(dir))

@@ -67,7 +67,15 @@ object SavedAnalytics {
   /** The shared orders ⋈ customer site: catalog-routed when entries exist,
     * today's broadcast otherwise (see class doc). Inner equi-join, so the
     * operand order swap vs the legacy `broadcast(c).join(o)` changes only
-    * column order — every consumer selects by name. */
+    * column order — every consumer selects by name.
+    *
+    * Stats-vs-frame note: q1 passes a segment-FILTERED customer frame while
+    * the catalog entry describes the unfiltered table, so the ladder sees
+    * OVERESTIMATED dim stats. That bias is strictly conservative — it can
+    * only decline an optimization (e.g. refuse a broadcast the filtered
+    * frame would have fit), never pick a wrong-shaped one, and every
+    * strategy stays output-invisible; per-predicate selectivity stats are
+    * the CBO follow-up that would remove it. */
   private def dimJoin(spark: SparkSession, o: DataFrame, c: DataFrame): DataFrame =
     CostBasedJoin.consultOr(spark,
       o, "o_custkey", "orders.o_custkey",

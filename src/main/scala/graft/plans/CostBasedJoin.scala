@@ -163,7 +163,12 @@ object CostBasedJoin {
     require(Set("inner", "left_semi", "left_anti", "left_outer")(joinType),
       s"chooseJoin supports inner/left_semi/left_anti/left_outer, got $joinType")
     val spark = left.sparkSession
-    val (na, da, ta) = Profiling.readStatsDriver(spark, statsDirLeft, keyLeft)
+    // ONE versioned read per side: count, distinct estimate, top count and
+    // hot-key values all come from the SAME resolved entry version, so a
+    // concurrent append can never pair one version's numbers with
+    // another's (missing) sidecar.
+    val (na, da, ta, hotKeys) =
+      Profiling.readStatsFull(spark, statsDirLeft, keyLeft)
     val (nb, db, tb) = Profiling.readStatsDriver(spark, statsDirRight, keyRight)
     val choice = decide(SideStats(na, da, ta), SideStats(nb, db, tb),
       broadcastRows, explodeFactor, bloomFactor, bloomLegalFor(joinType))
@@ -188,7 +193,6 @@ object CostBasedJoin {
         // deliver them). Probe-measured: whole-dim ×16 replication LOST
         // to the blind join at 12M rows (48M replicated dim rows); the
         // hot-slice split is what wins.
-        val hotKeys = Profiling.readHotKeysDriver(statsDirLeft)
         if (hotKeys.isEmpty) throw new IllegalStateException(
           s"salted rung fired but $statsDirLeft names no hot keys — " +
             "stats written by an incompatible version; rebuild them")
@@ -258,8 +262,21 @@ object CostBasedJoin {
   def sessionStatsDir(spark: SparkSession, entryName: String): Option[String] =
     spark.conf.getOption("spark.graft.statsCatalogRoot")
       .map(root => s"$root/$entryName")
-      .filter(p => java.nio.file.Files.exists(
-        java.nio.file.Paths.get(p, "_format-stats-kmv-v1")))
+      .filter { p =>
+        // Probe for a PUBLISHED entry, not just the format marker: the
+        // marker is written before the first entry publish, so a stats
+        // write that crashed mid-aggregate leaves marker-without-entry
+        // forever — probing the marker alone would turn every adopted
+        // query into a hard readStatsDriver failure instead of engaging
+        // the hand-pinned fallback (review finding). Both checks are
+        // local stats — zero jobs.
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(p, "_format-stats-kmv-v1")) && {
+          val d = new java.io.File(p)
+          val names = d.list()
+          names != null && names.exists(_.startsWith("entry-"))
+        }
+      }
 
   /** The always-on adoption shim for the engine's own join sites: route
     * `fact ⋈ dim` through [[chooseJoin]] when BOTH sides have catalog
