@@ -640,6 +640,16 @@ class CurationSpec extends SparkSpec {
     assert(recheck(101L) === 0L, "retained content must still be known")
     // idempotent re-run: nothing left to erase, store intact
     assert(Curation.eraseFromGramStore(spark, dir, Seq(1L).toDF("doc_id")) === 0L)
+    // a NULL in the erase request must not nuke retained rows: !isin with
+    // a null literal is NULL for every non-match — the keep-filter would
+    // have dropped whole batches before nulls were stripped (review fix)
+    val before = spark.read.option("recursiveFileLookup", "true").parquet(dir).count()
+    val erased2 = Curation.eraseFromGramStore(spark, dir,
+      Seq[java.lang.Long](null, 2L).toDF("doc_id"))
+    val after = spark.read.option("recursiveFileLookup", "true").parquet(dir).count()
+    assert(erased2 > 0L, "the real key still erases")
+    assert(after === before - erased2,
+      "only the named key's rows may die — a null must never wipe a batch")
   }
 
   test("lengthBuckets: exact rank deciles, per-bucket max padding waste") {
