@@ -169,6 +169,29 @@ class CostBasedJoinSpec extends SparkSpec {
     }
   }
 
+  test("sessionStatsDir: a crashed stats write (marker, no entry) means fallback, not failure") {
+    val root = tmp("graft_cbj_root")
+    spark.conf.set("spark.graft.statsCatalogRoot", root)
+    try {
+      val entry = "orders.o_custkey"
+      assert(CostBasedJoin.sessionStatsDir(spark, entry).isEmpty,
+        "absent dir → fallback")
+      // simulate a write that died after the marker, before the publish
+      val dir = new java.io.File(s"$root/$entry")
+      assert(dir.mkdirs())
+      java.nio.file.Files.write(
+        dir.toPath.resolve("_format-stats-kmv-v1"), Array.empty[Byte])
+      assert(CostBasedJoin.sessionStatsDir(spark, entry).isEmpty,
+        "marker without a published entry must read as no-catalog (fallback), " +
+          "never route chooseJoin into a hard readStatsDriver failure")
+      // a published entry flips it on
+      Profiling.writeTableStats(
+        spark.range(0, 100).select(col("id").cast("string").as("o_custkey")),
+        dir.toString, "o_custkey")
+      assert(CostBasedJoin.sessionStatsDir(spark, entry).isDefined)
+    } finally spark.conf.unset("spark.graft.statsCatalogRoot")
+  }
+
   test("every strategy returns the identical join result (output-invisible)") {
     val dirL = tmp("graft_cbj_eq_l")
     Profiling.writeTableStats(
