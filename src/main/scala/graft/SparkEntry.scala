@@ -939,19 +939,26 @@ object SparkEntry {
         Profiling.writeTableStats(Tables.supplier(s, d), suppD.toString, "s_nationkey")
         val li = Tables.lineitem(s, d)
         val ord = Tables.orders(s, d)
+        // broadcastBytes pinned vacuous (MaxValue): this row's oracle
+        // replays the ROW-count rung; the byte rung has its own full
+        // replay in b7.
         CostBasedJoin.chooseJoinAudit(li, ord, "l_orderkey", "o_orderkey",
-            liD.toString, ordD.toString, 200000L, "dim_small")
+            liD.toString, ordD.toString, 200000L, "dim_small",
+            broadcastBytes = Long.MaxValue)
           .unionAll(CostBasedJoin.chooseJoinAudit(li, ord,
             "l_orderkey", "o_orderkey",
-            liD.toString, ordD.toString, 1000L, "dim_large"))
+            liD.toString, ordD.toString, 1000L, "dim_large",
+            broadcastBytes = Long.MaxValue))
           .unionAll(CostBasedJoin.chooseJoinAudit(li,
             ord.filter(col("o_orderkey") % 10 === 0),
             "l_orderkey", "o_orderkey",
-            liD.toString, selD.toString, 1000L, "selective_dim"))
+            liD.toString, selD.toString, 1000L, "selective_dim",
+            broadcastBytes = Long.MaxValue))
           .unionAll(CostBasedJoin.chooseJoinAudit(
             Tables.customer(s, d), Tables.supplier(s, d),
             "c_nationkey", "s_nationkey",
-            custD.toString, suppD.toString, 50L, "explode"))
+            custD.toString, suppD.toString, 50L, "explode",
+            broadcastBytes = Long.MaxValue))
           .localCheckpoint(true)
       } finally dirs.foreach(deleteRecursively)
     }),
@@ -978,10 +985,12 @@ object SparkEntry {
         Profiling.writeTableStats(flat, flatD.toString, "skew_key")
         Profiling.writeTableStats(ord, ordD.toString, "o_orderkey")
         CostBasedJoin.chooseJoinAudit(skewed, ord, "skew_key", "o_orderkey",
-            skewD.toString, ordD.toString, 1000L, "skewed_fact")
+            skewD.toString, ordD.toString, 1000L, "skewed_fact",
+            broadcastBytes = Long.MaxValue)
           .unionAll(CostBasedJoin.chooseJoinAudit(flat, ord,
             "skew_key", "o_orderkey",
-            flatD.toString, ordD.toString, 1000L, "unskewed_control"))
+            flatD.toString, ordD.toString, 1000L, "unskewed_control",
+            broadcastBytes = Long.MaxValue))
           .localCheckpoint(true)
       } finally dirs.foreach(deleteRecursively)
     }),
@@ -1035,16 +1044,20 @@ object SparkEntry {
         Profiling.writeTableStats(li, liD.toString, "l_orderkey")
         Profiling.writeTableStats(sel, selD.toString, "o_orderkey")
         CostBasedJoin.chooseJoinAudit(li, sel, "l_orderkey", "o_orderkey",
-            liD.toString, selD.toString, 1000L, "semi_selective", "left_semi")
+            liD.toString, selD.toString, 1000L, "semi_selective", "left_semi",
+            broadcastBytes = Long.MaxValue)
           .unionAll(CostBasedJoin.chooseJoinAudit(li, sel,
             "l_orderkey", "o_orderkey",
-            liD.toString, selD.toString, 1000L, "anti_selective", "left_anti"))
+            liD.toString, selD.toString, 1000L, "anti_selective", "left_anti",
+            broadcastBytes = Long.MaxValue))
           .unionAll(CostBasedJoin.chooseJoinAudit(li, sel,
             "l_orderkey", "o_orderkey",
-            liD.toString, selD.toString, 1000L, "outer_no_bloom", "left_outer"))
+            liD.toString, selD.toString, 1000L, "outer_no_bloom", "left_outer",
+            broadcastBytes = Long.MaxValue))
           .unionAll(CostBasedJoin.chooseJoinAudit(li, sel,
             "l_orderkey", "o_orderkey",
-            liD.toString, selD.toString, 200000L, "semi_broadcast", "left_semi"))
+            liD.toString, selD.toString, 200000L, "semi_broadcast", "left_semi",
+            broadcastBytes = Long.MaxValue))
           .localCheckpoint(true)
       } finally dirs.foreach(deleteRecursively)
     }),

@@ -56,18 +56,21 @@ object EtlRunner {
       // `<registered table>.<key>`; the rollup's join key is the A4
       // contract column `bldg_id_min`.
       val statsRoot = spark.conf.getOption("spark.graft.statsCatalogRoot")
+      val rolledBase =
+        HourlyRollup(observed, passThrough = Seq("upgrade", "state", "county"))
+      // byte metric needs the rolled schema (variable-width cols measured)
       val statsCols = statsRoot.toSeq.flatMap(_ =>
-        graft.operators.Profiling.statsObservationColumns("bldg_id_min"))
-      val rolled = HourlyRollup(observed, passThrough = Seq("upgrade", "state", "county"))
-        .observe(obsOut, count(lit(1)).as("n"), statsCols: _*)
+        graft.operators.Profiling.statsObservationColumns("bldg_id_min",
+          schema = Some(rolledBase.schema)))
+      val rolled = rolledBase.observe(obsOut, count(lit(1)).as("n"), statsCols: _*)
       val dataOut = Sink.writeData(rolled, root, name)
       statsRoot.foreach { sr =>
-        val (n, mins, cands) =
+        val (n, mins, cands, nBytes) =
           graft.operators.Profiling.decodeStatsObservation(obsOut.get)
         graft.operators.Profiling.publishObservedStats(spark,
           s"$sr/${DataTablePrefix}_state_${job.state}.bldg_id_min",
           "bldg_id_min", 64, n, mins, cands,
-          spark.read.parquet(dataOut))
+          spark.read.parquet(dataOut), nBytes)
       }
       val rowsIn = obsIn.get("n").asInstanceOf[Long]
       val rowsOut = obsOut.get("n").asInstanceOf[Long]

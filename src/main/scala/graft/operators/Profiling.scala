@@ -299,29 +299,33 @@ object Profiling {
   val SkewCap = 30
 
   def writeTableStats(df: DataFrame, dir: String, keyCol: String,
-      k: Int = 64): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "_format-stats-kmv-v1"), Array.empty[Byte])
+      k: Int = 64, freqCols: Seq[String] = Nil): Unit = {
     val key = col(keyCol).cast("string")
-    // ONE aggregate pass for all three sketches (row count, KMV mins, MG
-    // heavy-hitter candidates); the head() is one row of ≤k longs +
-    // ≤SkewCap strings — the bounded-collect doctrine.
-    val row = df.agg(
-        count(key).as("n_rows"),
-        graft.functions.KmvAgg.kMinValues(
-          TextHash.sampleKey(concat(lit("kmv:"), key)), k).as("mins"),
-        graft.functions.MisraGriesAgg.candidates(key, SkewCap).as("cands"))
-      .head()
+    // ONE aggregate pass for all the sketches (row count, KMV mins, MG
+    // heavy-hitter candidates, byte total, per-freq-column MG candidates);
+    // the head() is one row of ≤k longs + bounded string lists — the
+    // bounded-collect doctrine.
+    val freqAggs = freqCols.zipWithIndex.map { case (c, i) =>
+      graft.functions.MisraGriesAgg.candidates(col(c).cast("string"), SkewCap)
+        .as(s"__freq_cand_$i")
+    }
+    val aggs = Seq(
+      graft.functions.KmvAgg.kMinValues(
+        TextHash.sampleKey(concat(lit("kmv:"), key)), k).as("mins"),
+      graft.functions.MisraGriesAgg.candidates(key, SkewCap).as("cands"),
+      sum(rowBytesColumn(df.schema)).as("n_bytes")) ++ freqAggs
+    val row = df.agg(count(key).as("n_rows"), aggs: _*).head()
     val nRows = row.getLong(0)
     val mins = row.getSeq[Long](1)
     val cands = row.getSeq[String](2)
-    val (top, hotKeys) = topKeyCount(df, keyCol, cands, nRows)
-    // skew sidecar BEFORE the entry rename (the marker-before-publish
-    // rule): a reader that sees the entry always finds its sidecar; a
-    // crash in between leaves an unreferenced sidecar, never a torn read.
-    publishSkew(dir, 1L, top, hotKeys)
-    publishEntry(entryFrame(df.sparkSession, nRows, mins, keyCol, k), dir, 1L)
+    val nBytes = if (row.isNullAt(3)) 0L else row.getLong(3)
+    val freqCands = freqCols.indices.map(i => row.getSeq[String](4 + i))
+    // Publish through the shared tail at max+1 WITH pruning: a rewrite
+    // over a dir that reached version ≥ 2 via appends must supersede that
+    // entry, not sit silently shadowed below it (latestEntry resolves the
+    // max — advice finding r11).
+    publishObservedStats(df.sparkSession, dir, keyCol, k,
+      nRows, mins, cands, df, nBytes, freqCols.zip(freqCands))
   }
 
   /** The sketch-then-verify skew stat: EXACT count of the table's most
@@ -357,14 +361,49 @@ object Profiling {
   }
 
   /** Literal one-row entry frame (same shape statsRow produces — the two
-    * publish paths are spec-pinned bit-identical). */
+    * publish paths are spec-pinned bit-identical). `n_bytes` is the table's
+    * total estimated in-memory bytes ([[rowBytesColumn]]), -1 = unknown
+    * (entry written by a pre-byte-stats version or a byte-blind caller). */
   private def entryFrame(spark: org.apache.spark.sql.SparkSession,
-      nRows: Long, mins: Seq[Long], keyCol: String, k: Int): DataFrame =
+      nRows: Long, mins: Seq[Long], keyCol: String, k: Int,
+      nBytes: Long): DataFrame =
     spark.range(1).select(
       lit(nRows).as("n_rows"),
       typedLit(mins).as("mins"),
       lit(keyCol).as("key_col"),
-      lit(k.toLong).as("k"))
+      lit(k.toLong).as("k"),
+      lit(nBytes).as("n_bytes"))
+
+  /** Estimated row WIDTH in bytes as a codegen'd column — what turns the
+    * catalog's row count into a broadcast BYTE budget (a 2-column key dim
+    * and a 100-column fact differ ~50× per row; a row-count rung can't see
+    * that). Fixed-width types charge their Catalyst `defaultSize`;
+    * variable-width columns measure actual content: strings by
+    * `octet_length`, binary by `length`, and flat arrays by
+    * element-count × element size (an embeddings column's 64 floats are
+    * 256 bytes, not ArrayType.defaultSize's 4). Nested structures fall
+    * back to defaultSize — profile-grade, not an allocator. */
+  def rowBytesColumn(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    val parts = schema.fields.map { f =>
+      f.dataType match {
+        case StringType =>
+          coalesce(octet_length(col(f.name)).cast("long"), lit(0L))
+        case BinaryType =>
+          coalesce(length(col(f.name)).cast("long"), lit(0L))
+        case ArrayType(et, _)
+            if !et.isInstanceOf[StructType] && !et.isInstanceOf[ArrayType] &&
+              !et.isInstanceOf[MapType] =>
+          // size(NULL) is -1 under the legacy conf, NULL under ANSI — the
+          // isNull branch gives 0 either way
+          when(col(f.name).isNull, lit(0L))
+            .otherwise(size(col(f.name)).cast("long") * lit(et.defaultSize.toLong))
+        case dt => lit(dt.defaultSize.toLong)
+      }
+    }
+    parts.reduceOption(_ + _).getOrElse(lit(0L))
+  }
 
   /** Incremental catalog maintenance: fold a NEW batch's stats into the
     * newest entry WITHOUT rescanning covered data — n_rows add and the
@@ -388,29 +427,92 @@ object Profiling {
     val storedK = cur.select(col("k")).head().getLong(0).toInt
     require(storedK == k,
       s"stats entry at $dir keeps k=$storedK mins, append offers k=$k")
+    // byte totals merge by ADDITION (exact, like n_rows); an old-format
+    // entry without the column reads as unknown (-1), and unknown is
+    // sticky — a fabricated partial total would silently skew the byte
+    // rung until the next full rewrite.
+    val curBytes =
+      if (cur.columns.contains("n_bytes")) col("n_bytes") else lit(-1L)
     val merged = cur.crossJoin(broadcast(
         statsRow(newData, keyCol, k).select(
-          col("n_rows").as("n_new"), col("mins").as("new_mins"))))
+          col("n_rows").as("n_new"), col("mins").as("new_mins"),
+          col("n_bytes").as("new_bytes"))))
       .select(
         (col("n_rows") + col("n_new")).as("n_rows"),
         slice(array_sort(array_distinct(concat(col("mins"), col("new_mins")))),
           1, k).as("mins"),
-        col("key_col"), col("k"))
+        col("key_col"), col("k"),
+        when(curBytes < 0L, lit(-1L))
+          .otherwise(curBytes + col("new_bytes")).as("n_bytes"))
     publishEntry(merged, dir, curVersion + 1L)
     // prune AFTER publish (readers resolve the max entry; the store keeps
     // exactly one — the label-snapshot convention). The new version gets
-    // NO skew sidecar: per-batch top-key counts cannot merge exactly when
-    // batches disagree on the top key (candidate counts are only known
-    // within their own batch), so the skew stat is WRITE-TIME-ONLY — after
-    // an append it reads as unknown (-1) until the next full
-    // writeTableStats/writeWithStats, and the planner's salted rung simply
-    // doesn't fire. Stale sidecars are pruned with their entries.
+    // NO skew or freq sidecar: per-batch exact candidate counts cannot
+    // merge exactly when batches disagree on the candidates (counts are
+    // only known within their own batch), so those stats are
+    // WRITE-TIME-ONLY — after an append they read as unknown (-1 / empty)
+    // until the next full writeTableStats/writeWithStats or a
+    // [[refreshSkew]] pass re-arms them. Stale sidecars are pruned with
+    // their entries.
     entryDirs(dir).filter(_._2 < curVersion + 1L).foreach { case (p, _) =>
       deleteRecursively(p)
     }
     skewFiles(dir).filter(_._2 <= curVersion).foreach { case (p, _) =>
       java.nio.file.Files.deleteIfExists(p)
     }
+    freqFiles(dir).filter(_._3 <= curVersion).foreach { case (p, _, _) =>
+      java.nio.file.Files.deleteIfExists(p)
+    }
+  }
+
+  /** Re-arm the WRITE-TIME-ONLY sidecars after appends — the maintenance
+    * op the salted rung needs on continuously-appended tables (the one
+    * shape where skew accretes; without it an append leaves readers
+    * `top = -1` until a full rewrite, i.e. the skew protection is off
+    * exactly where it matters — r11 verdict #1). One bounded pass over the
+    * CURRENT table re-runs the sketch-then-verify clamp (MG candidates →
+    * exact count of ≤ SkewCap candidates; same determinism argument as the
+    * write path: membership above the floor is decided by exact counts)
+    * and republishes the `skew-`/`freq-` sidecars AT THE RESOLVED ENTRY
+    * VERSION — the entry itself is untouched, so the bit-identity
+    * invariant (append sequence ≡ fresh write) is preserved. The reference
+    * analog is re-running the Glue crawler to refresh table statistics
+    * without rewriting data.
+    *
+    * Concurrency: a concurrent append publishing version v+1 while this
+    * refreshes v leaves v+1 sidecar-less — readers then see unknown, never
+    * a stale-version pairing ([[readStatsFull]] resolves everything at one
+    * version). Returns the clamped top-key count it published. */
+  def refreshSkew(df: DataFrame, dir: String, keyCol: String,
+      freqCols: Seq[String] = Nil): Long = {
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_format-stats-kmv-v1")),
+      s"stats entry at $dir lacks _format-stats-kmv-v1 — nothing to refresh")
+    val spark = df.sparkSession
+    val (entry, version) = latestEntry(spark, dir)
+    val storedKey = entry.select(col("key_col")).head().getString(0)
+    require(storedKey == keyCol,
+      s"stats entry at $dir sketches key '$storedKey', refresh offers '$keyCol'")
+    val key = col(keyCol).cast("string")
+    val freqAggs = freqCols.zipWithIndex.map { case (c, i) =>
+      graft.functions.MisraGriesAgg.candidates(col(c).cast("string"), SkewCap)
+        .as(s"__freq_cand_$i")
+    }
+    // ONE sketch pass (count for the floor + key MG + per-freq-col MG),
+    // then the bounded exact-verify scans — the same two-pass shape as the
+    // write path, minus the write.
+    val row = df.agg(count(key).as("n_rows"),
+      (graft.functions.MisraGriesAgg.candidates(key, SkewCap).as("cands") +:
+        freqAggs): _*).head()
+    val nRows = row.getLong(0)
+    val cands = row.getSeq[String](1)
+    val (top, hotKeys) = topKeyCount(df, keyCol, cands, nRows)
+    publishSkew(dir, version, top, hotKeys)
+    freqCols.zipWithIndex.foreach { case (c, i) =>
+      publishFreq(dir, version, c,
+        exactFreqs(df, c, row.getSeq[String](2 + i), nRows))
+    }
+    top
   }
 
   /** [[joinCardinalityEstimate]] answered FROM the catalog: reads the two
@@ -478,23 +580,47 @@ object Profiling {
     * fail a healthy catalog — review finding). */
   def readStatsFull(spark: org.apache.spark.sql.SparkSession,
       dir: String, expectKey: String): (Long, Long, Long, Seq[String]) = {
+    val t = readTableStats(spark, dir, expectKey)
+    (t.nRows, t.estDistinct, t.topCount, t.hotKeys)
+  }
+
+  /** Everything the catalog knows about a table, resolved at ONE entry
+    * version (see [[readStatsFull]]'s race note): exact row count, KMV
+    * distinct estimate, clamped top-key count (-1 unknown), hot-key
+    * values, average row bytes (`n_bytes div n_rows`, floored BIGINT —
+    * the same arithmetic a SQL replay uses; -1 unknown), and per-column
+    * exact value frequencies for declared filter columns (empty when the
+    * version has no freq sidecars — appends drop them, [[refreshSkew]]
+    * re-arms them). */
+  final case class TableStats(nRows: Long, estDistinct: Long,
+      topCount: Long, hotKeys: Seq[String], avgRowBytes: Long,
+      freqs: Map[String, Map[String, Long]])
+
+  def readTableStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String, expectKey: String): TableStats = {
     require(java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir, "_format-stats-kmv-v1")),
       s"stats entry at $dir lacks _format-stats-kmv-v1 — rebuild needed " +
         "(a different sketch scheme would silently skew estimates)")
     val (entry, version) = latestEntry(spark, dir)
-    val row = entry
-      .select(col("key_col"), col("k"), col("n_rows"), col("mins")).head()
+    val hasBytes = entry.columns.contains("n_bytes")
+    val cols = Seq(col("key_col"), col("k"), col("n_rows"), col("mins")) ++
+      (if (hasBytes) Seq(col("n_bytes")) else Nil)
+    val row = entry.select(cols: _*).head()
     val key = row.getString(0)
     require(key == expectKey,
       s"stats entry at $dir sketches key '$key', caller expects '$expectKey'")
     val k = row.getLong(1)
     val nRows = row.getLong(2)
     val mins = row.getSeq[Long](3)
+    val nBytes = if (hasBytes) row.getLong(4) else -1L
     val d =
       if (mins.size < k) mins.size.toLong
       else (k - 1L) * TextHash.Prime / (mins.last + 1L)
-    (nRows, d, readSkew(dir, version), readHotKeys(dir, version))
+    val avgBytes =
+      if (nBytes < 0L || nRows <= 0L) -1L else nBytes / nRows
+    TableStats(nRows, d, readSkew(dir, version), readHotKeys(dir, version),
+      avgBytes, readFreqs(dir, version))
   }
 
   /** One (n_rows, mins, key_col, k) stats row for a frame — ONE aggregate
@@ -509,9 +635,11 @@ object Profiling {
     df.agg(
         count(key).as("n_rows"), // count(col) skips nulls, like the old filter
         graft.functions.KmvAgg.kMinValues(
-          TextHash.sampleKey(concat(lit("kmv:"), key)), k).as("mins"))
+          TextHash.sampleKey(concat(lit("kmv:"), key)), k).as("mins"),
+        sum(rowBytesColumn(df.schema)).as("raw_bytes"))
       .select(col("n_rows"), col("mins"), lit(keyCol).as("key_col"),
-        lit(k).cast("long").as("k"))
+        lit(k).cast("long").as("k"),
+        coalesce(col("raw_bytes"), lit(0L)).as("n_bytes"))
   }
 
   /** Write a table AND its stats-catalog entry in the SAME pass:
@@ -524,15 +652,19 @@ object Profiling {
     * same data (spec-pinned), so every estimate/planner consumer is
     * unchanged. */
   def writeWithStats(df: DataFrame, dataDir: String, statsDir: String,
-      keyCol: String, k: Int = 64): Unit = {
+      keyCol: String, k: Int = 64, freqCols: Seq[String] = Nil): Unit = {
     val obs = org.apache.spark.sql.Observation(
       s"graft-stats-${java.util.UUID.randomUUID()}")
-    val statsCols = statsObservationColumns(keyCol, k)
+    val statsCols = statsObservationColumns(keyCol, k, Some(df.schema), freqCols)
     val observed = df.observe(obs, statsCols.head, statsCols.tail: _*)
     observed.write.mode("overwrite").parquet(dataDir)
-    val (nRows, mins, cands) = decodeStatsObservation(obs.get)
+    val (nRows, mins, cands, nBytes) = decodeStatsObservation(obs.get)
+    val freqCands = freqCols.zipWithIndex.map { case (c, i) =>
+      c -> decodeSeq[String](obs.get(s"__graft_stats_freq_$i"))
+    }
     publishObservedStats(df.sparkSession, statsDir, keyCol, k,
-      nRows, mins, cands, df.sparkSession.read.parquet(dataDir))
+      nRows, mins, cands, df.sparkSession.read.parquet(dataDir),
+      nBytes, freqCands)
   }
 
   /** Publish a catalog entry + skew sidecar from ALREADY-OBSERVED sketch
@@ -548,7 +680,9 @@ object Profiling {
   def publishObservedStats(spark: org.apache.spark.sql.SparkSession,
       statsDir: String, keyCol: String, k: Int,
       nRows: Long, mins: Seq[Long], cands: Seq[String],
-      verifySource: DataFrame): Unit = {
+      verifySource: DataFrame,
+      nBytes: Long = -1L,
+      freqCands: Seq[(String, Seq[String])] = Nil): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(statsDir))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(statsDir, "_format-stats-kmv-v1"),
@@ -556,18 +690,52 @@ object Profiling {
     val (top, hotKeys) = topKeyCount(verifySource, keyCol, cands, nRows)
     val cur = entryDirs(statsDir).map(_._2).maxOption.getOrElse(0L)
     publishSkew(statsDir, cur + 1L, top, hotKeys)
-    publishEntry(entryFrame(spark, nRows, mins, keyCol, k), statsDir, cur + 1L)
+    freqCands.foreach { case (c, fc) =>
+      publishFreq(statsDir, cur + 1L, c, exactFreqs(verifySource, c, fc, nRows))
+    }
+    publishEntry(entryFrame(spark, nRows, mins, keyCol, k, nBytes),
+      statsDir, cur + 1L)
     entryDirs(statsDir).filter(_._2 < cur + 1L).foreach { case (p, _) =>
       deleteRecursively(p)
     }
     skewFiles(statsDir).filter(_._2 < cur + 1L).foreach { case (p, _) =>
       java.nio.file.Files.deleteIfExists(p)
     }
+    freqFiles(statsDir).filter(_._3 < cur + 1L).foreach { case (p, _, _) =>
+      java.nio.file.Files.deleteIfExists(p)
+    }
   }
 
-  /** The (count, KMV, MG) observation column triple every stats-equipped
-    * writer attaches — named so the publisher can read them back. */
-  def statsObservationColumns(keyCol: String, k: Int = 64)
+  /** The freq sidecar's exact-verify pass — [[topKeyCount]]'s per-COLUMN
+    * sibling for equality-predicate SELECTIVITY: exact counts of the MG
+    * candidate VALUES of a declared filter column, kept only above the MG
+    * observability floor (same determinism argument — membership above the
+    * floor is decided by exact counts, so the published set is
+    * batch-order-independent even though the candidate set is not). For a
+    * low-cardinality column (≤ SkewCap distinct values) this is the
+    * complete exact histogram — precisely the q1 segment-filter case. */
+  private def exactFreqs(df: DataFrame, colName: String,
+      cands: Seq[String], nRows: Long): Seq[(String, Long)] =
+    if (cands.isEmpty || nRows <= 0L) Nil
+    else {
+      val c = col(colName).cast("string")
+      val floor = nRows / (SkewCap + 1L)
+      df.filter(c.isin(cands: _*))
+        .groupBy(c.as("__v")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > floor)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq
+    }
+
+  /** The (count, KMV, MG, bytes[, per-freq-col MG]) observation columns
+    * every stats-equipped writer attaches — named so the publisher can
+    * read them back. The byte metric needs the observed frame's schema
+    * (variable-width columns are measured, [[rowBytesColumn]]); a caller
+    * without one gets a byte-blind triple (entry n_bytes = -1, the byte
+    * rung stays row-count-only). */
+  def statsObservationColumns(keyCol: String, k: Int = 64,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      freqCols: Seq[String] = Nil)
       : Seq[org.apache.spark.sql.Column] = {
     val key = col(keyCol).cast("string")
     Seq(
@@ -575,22 +743,30 @@ object Profiling {
       graft.functions.KmvAgg.kMinValues(
         TextHash.sampleKey(concat(lit("kmv:"), key)), k).as("__graft_stats_mins"),
       graft.functions.MisraGriesAgg.candidates(key, SkewCap)
-        .as("__graft_stats_cands"))
+        .as("__graft_stats_cands")) ++
+      schema.map(s =>
+        coalesce(sum(rowBytesColumn(s)), lit(0L)).as("__graft_stats_bytes")) ++
+      freqCols.zipWithIndex.map { case (c, i) =>
+        graft.functions.MisraGriesAgg.candidates(col(c).cast("string"), SkewCap)
+          .as(s"__graft_stats_freq_$i")
+      }
   }
 
-  /** Decode [[statsObservationColumns]] metrics from an Observation's
-    * result map. */
-  def decodeStatsObservation(m: Map[String, Any]): (Long, Seq[Long], Seq[String]) = {
-    def asSeq[T](v: Any): Seq[T] = v match {
-      case s: scala.collection.Seq[_] => s.map(_.asInstanceOf[T]).toSeq
-      case a: Array[_] => a.toSeq.map(_.asInstanceOf[T])
-      case other => throw new IllegalStateException(
-        s"observe returned ${other.getClass}")
-    }
-    (m("__graft_stats_n").asInstanceOf[Long],
-      asSeq[Long](m("__graft_stats_mins")),
-      asSeq[String](m("__graft_stats_cands")))
+  private[graft] def decodeSeq[T](v: Any): Seq[T] = v match {
+    case s: scala.collection.Seq[_] => s.map(_.asInstanceOf[T]).toSeq
+    case a: Array[_] => a.toSeq.map(_.asInstanceOf[T])
+    case other => throw new IllegalStateException(
+      s"observe returned ${other.getClass}")
   }
+
+  /** Decode [[statsObservationColumns]] core metrics from an Observation's
+    * result map; 4th element -1 when the writer was byte-blind. */
+  def decodeStatsObservation(m: Map[String, Any])
+      : (Long, Seq[Long], Seq[String], Long) =
+    (m("__graft_stats_n").asInstanceOf[Long],
+      decodeSeq[Long](m("__graft_stats_mins")),
+      decodeSeq[String](m("__graft_stats_cands")),
+      m.get("__graft_stats_bytes").map(_.asInstanceOf[Long]).getOrElse(-1L))
 
   /** Skew sidecar `skew-<version>`: first line the clamped exact top-key
     * count for the SAME-version entry, then one URL-ENCODED hot key per
@@ -605,9 +781,11 @@ object Profiling {
     val body = (top.toString +: hotKeys.map(k =>
       java.net.URLEncoder.encode(k, "UTF-8"))).mkString("\n")
     java.nio.file.Files.writeString(tmp, body)
+    // REPLACE: refreshSkew re-arms an existing version's sidecar in place
     java.nio.file.Files.move(tmp,
       java.nio.file.Paths.get(dir, f"skew-$version%012d"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 
@@ -629,6 +807,62 @@ object Profiling {
     else java.nio.file.Files.readString(p).split('\n').toSeq.drop(1)
       .filter(_.nonEmpty)
       .map(k => java.net.URLDecoder.decode(k, "UTF-8"))
+  }
+
+  /** Freq sidecar `freq-<urlencoded col>-<version>`: one URL-ENCODED
+    * `value count` line per tracked value of the column (exact counts
+    * above the MG floor — [[exactFreqs]]). Same placement rules as the
+    * skew sidecar: written before the entry rename, absent for
+    * append-produced versions, atomic temp+move publish (REPLACE so
+    * [[refreshSkew]] can re-arm an existing version). */
+  private def publishFreq(dir: String, version: Long, colName: String,
+      freqs: Seq[(String, Long)]): Unit = {
+    val tmp = java.nio.file.Paths.get(dir, s".freq-staging-${System.nanoTime()}")
+    val body = freqs.map { case (v, c) =>
+      s"${java.net.URLEncoder.encode(v, "UTF-8")} $c"
+    }.mkString("\n")
+    java.nio.file.Files.writeString(tmp, body)
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(dir,
+        f"freq-${java.net.URLEncoder.encode(colName, "UTF-8")}%s-$version%012d"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** All freq sidecars at one entry version, parsed to
+    * column → (value → exact count). */
+  private def readFreqs(dir: String, version: Long): Map[String, Map[String, Long]] =
+    freqFiles(dir).filter(_._3 == version).map { case (p, colName, _) =>
+      val body = java.nio.file.Files.readString(p)
+      val entries = body.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf(' ')
+        java.net.URLDecoder.decode(line.substring(0, i), "UTF-8") ->
+          line.substring(i + 1).toLong
+      }
+      colName -> entries.toMap
+    }.toMap
+
+  /** (path, decoded column name, version) for every freq sidecar. The
+    * version is the text after the LAST dash (URL encoding never emits a
+    * dash-digit-run tail of its own — '-' survives encoding but the
+    * 12-digit zero-padded suffix is appended by us). */
+  private def freqFiles(dir: String): Seq[(java.nio.file.Path, String, Long)] = {
+    val stream = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala.toSeq.flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("freq-") && !n.startsWith(".")) {
+          val rest = n.stripPrefix("freq-")
+          val cut = rest.lastIndexOf('-')
+          if (cut <= 0) None
+          else scala.util.Try(
+            (p, java.net.URLDecoder.decode(rest.substring(0, cut), "UTF-8"),
+              rest.substring(cut + 1).toLong)).toOption
+        } else None
+      }
+    } finally stream.close()
   }
 
   private def skewFiles(dir: String): Seq[(java.nio.file.Path, Long)] = {

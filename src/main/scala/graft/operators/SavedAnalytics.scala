@@ -36,7 +36,10 @@ object SavedAnalytics {
   def totalDistinct(spark: SparkSession, dir: String, segment: String = "BUILDING"): DataFrame = {
     val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === segment)
     val o = Tables.orders(spark, dir)
-    dimJoin(spark, o, c)
+    // declare the dim's equality filter so a catalog with a c_mktsegment
+    // freq sidecar judges the join by the FILTERED cardinality (the
+    // catalog-blindness the dimJoin doc flagged — removed in r12)
+    dimJoin(spark, o, c, dimFilter = Some("c_mktsegment" -> segment))
       .agg(countDistinct(col("c_custkey")).as("total_customers"))
   }
 
@@ -69,17 +72,18 @@ object SavedAnalytics {
     * operand order swap vs the legacy `broadcast(c).join(o)` changes only
     * column order — every consumer selects by name.
     *
-    * Stats-vs-frame note: q1 passes a segment-FILTERED customer frame while
-    * the catalog entry describes the unfiltered table, so the ladder sees
-    * OVERESTIMATED dim stats. That bias is strictly conservative — it can
-    * only decline an optimization (e.g. refuse a broadcast the filtered
-    * frame would have fit), never pick a wrong-shaped one, and every
-    * strategy stays output-invisible; per-predicate selectivity stats are
-    * the CBO follow-up that would remove it. */
-  private def dimJoin(spark: SparkSession, o: DataFrame, c: DataFrame): DataFrame =
+    * Stats-vs-frame note: q1 passes a segment-FILTERED customer frame.
+    * When the catalog carries a `c_mktsegment` freq sidecar (declared
+    * filter columns at write time / refreshSkew), the declared `dimFilter`
+    * lets the ladder judge the join by the filtered cardinality (exact
+    * tracked count, or the MG floor as a sound upper bound); without the
+    * sidecar the unfiltered stats remain a strictly conservative bias
+    * (can decline a broadcast, never pick a wrong shape). */
+  private def dimJoin(spark: SparkSession, o: DataFrame, c: DataFrame,
+      dimFilter: Option[(String, String)] = None): DataFrame =
     CostBasedJoin.consultOr(spark,
       o, "o_custkey", "orders.o_custkey",
-      c, "c_custkey", "customer.c_custkey") {
+      c, "c_custkey", "customer.c_custkey", dimFilter) {
       broadcast(c).join(o, c("c_custkey") === o("o_custkey"), "inner")
     }
 }

@@ -50,6 +50,19 @@ object CostBasedJoin {
   val DefaultExplodeFactor = 2L
   val DefaultBloomFactor = 4L
 
+  /** Broadcast BYTE budget for rung 1: a row threshold alone is width-
+    * blind (a 2-column key dim and a 100-column fact differ ~50× per row),
+    * so the rung also requires `n_right · avg_row_bytes` under this cap
+    * when the catalog knows the byte stat (`n_bytes` in the entry; -1 =
+    * unknown → row-count-only, the pre-r12 behavior). 64 MB: far above
+    * Spark's 10 MB auto-broadcast default (this rung is an explicit
+    * catalog decision, not an optimizer guess) and far below the
+    * per-executor memory a 1000-executor replication must fit. The
+    * comparison is the overflow-free `n_b <= bytes div avg_b` (equivalent
+    * to `n_b·avg_b <= bytes` for positive BIGINTs — same fence family as
+    * [[estRows]]), replayed literally by the b7 oracle. */
+  val DefaultBroadcastBytes = 64L << 20
+
   /** Salted rung trigger: the fact's hottest key holds more than
     * 1/SaltShareFactor of its rows (`top > n div factor`, the overflow-free
     * equivalent of `top·factor > n`) — one reducer would own that whole
@@ -68,9 +81,11 @@ object CostBasedJoin {
 
   /** One side's catalog stats: exact row count + KMV distinct estimate +
     * clamped exact top-key count (-1 = unknown — entry produced by an
-    * append; the salted rung then never fires). */
+    * append; the salted rung then never fires) + average row bytes
+    * (-1 = unknown — pre-byte-stats entry; the byte cap then never
+    * vetoes). */
   final case class SideStats(nRows: Long, estDistinct: Long,
-      topCount: Long = -1L)
+      topCount: Long = -1L, avgRowBytes: Long = -1L)
 
   /** The decision record — everything the spec and the b2 gate assert. */
   final case class Choice(
@@ -114,10 +129,15 @@ object CostBasedJoin {
   def decide(a: SideStats, b: SideStats, broadcastRows: Long,
       explodeFactor: Long = DefaultExplodeFactor,
       bloomFactor: Long = DefaultBloomFactor,
-      bloomLegal: Boolean = true): Choice = {
+      bloomLegal: Boolean = true,
+      broadcastBytes: Long = DefaultBroadcastBytes): Choice = {
     val est = estRows(a, b)
+    // byte veto: known width × rows must fit the budget (overflow-free
+    // division form; unknown width keeps the row-count-only rung)
+    val fitsBytes =
+      b.avgRowBytes <= 0L || b.nRows <= broadcastBytes / b.avgRowBytes
     val strategy =
-      if (b.nRows <= broadcastRows) "broadcast"
+      if (b.nRows <= broadcastRows && fitsBytes) "broadcast"
       else if (a.topCount > a.nRows / SaltShareFactor) "salted"
       else if (est > explodeFactor * (a.nRows + b.nRows)) "shuffle_hash"
       else if (bloomLegal && bloomFactor * b.estDistinct <= a.estDistinct)
@@ -159,7 +179,9 @@ object CostBasedJoin {
       broadcastRows: Long = 1L << 20,
       explodeFactor: Long = DefaultExplodeFactor,
       bloomFactor: Long = DefaultBloomFactor,
-      joinType: String = "inner"): (DataFrame, Choice) = {
+      joinType: String = "inner",
+      broadcastBytes: Long = DefaultBroadcastBytes,
+      dimFilter: Option[(String, String)] = None): (DataFrame, Choice) = {
     require(Set("inner", "left_semi", "left_anti", "left_outer")(joinType),
       s"chooseJoin supports inner/left_semi/left_anti/left_outer, got $joinType")
     val spark = left.sparkSession
@@ -167,11 +189,30 @@ object CostBasedJoin {
     // hot-key values all come from the SAME resolved entry version, so a
     // concurrent append can never pair one version's numbers with
     // another's (missing) sidecar.
+    val ls = Profiling.readTableStats(spark, statsDirLeft, keyLeft)
     val (na, da, ta, hotKeys) =
-      Profiling.readStatsFull(spark, statsDirLeft, keyLeft)
-    val (nb, db, tb) = Profiling.readStatsDriver(spark, statsDirRight, keyRight)
-    val choice = decide(SideStats(na, da, ta), SideStats(nb, db, tb),
-      broadcastRows, explodeFactor, bloomFactor, bloomLegalFor(joinType))
+      (ls.nRows, ls.estDistinct, ls.topCount, ls.hotKeys)
+    val rs = Profiling.readTableStats(spark, statsDirRight, keyRight)
+    // Equality-predicate SELECTIVITY: when the caller declares the dim is
+    // filtered to `col = value` and the catalog tracks that column's
+    // value frequencies (freq sidecar), the dim side is judged by the
+    // filtered cardinality — the EXACT count when the value is tracked,
+    // else the MG observability floor n/(SkewCap+1) as a sound upper
+    // bound (published iff count > floor, so an absent value is provably
+    // at or below it). This removes q1's conservative bias (filtered dim
+    // judged by unfiltered stats — it declined broadcasts it should
+    // take). Distinct estimate is capped at the filtered count; row
+    // width is unchanged by a filter.
+    val bSide = dimFilter.flatMap { case (c, v) => rs.freqs.get(c).map { m =>
+        val nEff = m.getOrElse(v, rs.nRows / (Profiling.SkewCap + 1L))
+        SideStats(nEff, math.min(rs.estDistinct, math.max(nEff, 1L)),
+          rs.topCount, rs.avgRowBytes)
+      }
+    }.getOrElse(SideStats(rs.nRows, rs.estDistinct, rs.topCount, rs.avgRowBytes))
+    val choice = decide(
+      SideStats(na, da, ta, ls.avgRowBytes), bSide,
+      broadcastRows, explodeFactor, bloomFactor, bloomLegalFor(joinType),
+      broadcastBytes)
     val cond = left(keyLeft) === right(keyRight)
     val joined = choice.strategy match {
       case "broadcast" => left.join(broadcast(right), cond, joinType)
@@ -221,7 +262,8 @@ object CostBasedJoin {
         // Bloom sketch sized from the CATALOG's key estimate (×2 headroom,
         // pow-2, ≥ 1024), ~16 bits/key — never a blind default.
         val estKeys = math.max(1024L,
-          java.lang.Long.highestOneBit(math.max(1L, db * 2L - 1L)) * 2L)
+          java.lang.Long.highestOneBit(
+            math.max(1L, bSide.estDistinct * 2L - 1L)) * 2L)
         joinType match {
           case "inner" =>
             BloomJoin.bloomReducedJoin(left, right, keyLeft, keyRight,
@@ -289,11 +331,13 @@ object CostBasedJoin {
     * way. */
   def consultOr(spark: SparkSession,
       fact: DataFrame, factKey: String, factEntry: String,
-      dim: DataFrame, dimKey: String, dimEntry: String)
+      dim: DataFrame, dimKey: String, dimEntry: String,
+      dimFilter: Option[(String, String)] = None)
       (fallback: => DataFrame): DataFrame =
     (sessionStatsDir(spark, factEntry), sessionStatsDir(spark, dimEntry)) match {
       case (Some(f), Some(d)) =>
-        chooseJoin(fact, dim, factKey, dimKey, f, d)._1
+        chooseJoin(fact, dim, factKey, dimKey, f, d,
+          dimFilter = dimFilter)._1
       case _ => fallback
     }
 
@@ -307,9 +351,11 @@ object CostBasedJoin {
       statsDirLeft: String, statsDirRight: String,
       broadcastRows: Long,
       caseId: String,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      broadcastBytes: Long = DefaultBroadcastBytes): DataFrame = {
     val (joined, c) = chooseJoin(left, right, keyLeft, keyRight,
-      statsDirLeft, statsDirRight, broadcastRows, joinType = joinType)
+      statsDirLeft, statsDirRight, broadcastRows, joinType = joinType,
+      broadcastBytes = broadcastBytes)
     val actual = joined.groupBy().agg(count(lit(1)).as("actual_rows"))
     actual.select(
       lit(caseId).as("case_id"),
