@@ -1061,6 +1061,80 @@ object SparkEntry {
           .localCheckpoint(true)
       } finally dirs.foreach(deleteRecursively)
     }),
+    // The skew-stat MAINTENANCE lifecycle (r11 verdict #1): write → append
+    // (the skew stat dies, -1 by the b4 contract — pinned as a column) →
+    // refreshSkew (one bounded sketch-then-verify pass republishes the
+    // sidecar at the resolved entry version, data untouched) → the planner
+    // picks SALTED on the appended table. Without the refresh, a
+    // continuously-appended fact table reads top = -1 forever and the skew
+    // protection is off exactly where skew accretes. The entry itself is
+    // append-produced, so est_distinct replays as the exact KMV merge
+    // (b4's algebra); top replays as the exact clamp over the CURRENT
+    // table; the actuated salted join's row count audits
+    // output-invisibility (b3's convention).
+    "b6_skew_refresh" -> ((s, d) => {
+      import graft.plans.CostBasedJoin
+      val dirs = Seq("skew", "ord").map(n => stagingDir(s"graft_b6_$n"))
+      val Seq(skewD, ordD) = dirs
+      try {
+        val skewKey = expr(
+          "CASE WHEN l_orderkey % 3 = 0 THEN 1L ELSE l_orderkey END")
+        val fact = Tables.lineitem(s, d).withColumn("skew_key", skewKey)
+        Profiling.writeTableStats(
+          fact.filter(col("l_linenumber") % 2 === 0), skewD.toString, "skew_key")
+        Profiling.appendTableStats(
+          fact.filter(col("l_linenumber") % 2 === 1), skewD.toString, "skew_key")
+        val topAfterAppend =
+          Profiling.readStatsDriver(s, skewD.toString, "skew_key")._3
+        Profiling.refreshSkew(fact, skewD.toString, "skew_key")
+        Profiling.writeTableStats(Tables.orders(s, d), ordD.toString, "o_orderkey")
+        CostBasedJoin.chooseJoinAudit(fact, Tables.orders(s, d),
+            "skew_key", "o_orderkey",
+            skewD.toString, ordD.toString, 1000L, "refreshed_skew",
+            broadcastBytes = Long.MaxValue)
+          .withColumn("top_after_append", lit(topAfterAppend))
+          .localCheckpoint(true)
+      } finally dirs.foreach(deleteRecursively)
+    }),
+    // The BYTE-sized broadcast rung (r11 verdict #2): two dims with the
+    // SAME row count — a key-only projection and a 492-byte-padded one —
+    // under the same generous row threshold; the catalog's measured
+    // n_bytes (fixed defaultSize + octet_length of variable columns, one
+    // observe-style aggregate in the stats pass) lets the ladder take the
+    // broadcast for the narrow dim and refuse it for the wide one (which
+    // falls through to plain shuffle). avg_bytes_b is an output column, so
+    // the byte stat itself is hash-checked against the oracle's replay of
+    // the same arithmetic; row counts audit output-invisibility.
+    "b7_bytes_broadcast" -> ((s, d) => {
+      import graft.plans.CostBasedJoin
+      val dirs = Seq("li", "nar", "wid").map(n => stagingDir(s"graft_b7_$n"))
+      val Seq(liD, narD, widD) = dirs
+      try {
+        val li = Tables.lineitem(s, d)
+        val narrow = Tables.orders(s, d).select(col("o_orderkey"))
+        val wide = Tables.orders(s, d).select(col("o_orderkey"),
+          rpad(lit("x"), 492, "x").as("pad"))
+        Profiling.writeTableStats(li, liD.toString, "l_orderkey")
+        Profiling.writeTableStats(narrow, narD.toString, "o_orderkey")
+        Profiling.writeTableStats(wide, widD.toString, "o_orderkey")
+        def auditRow(dimDir: String, dim: org.apache.spark.sql.DataFrame,
+            caseId: String): org.apache.spark.sql.DataFrame = {
+          val (joined, c) = CostBasedJoin.chooseJoin(li, dim,
+            "l_orderkey", "o_orderkey", liD.toString, dimDir,
+            broadcastRows = 200000L, broadcastBytes = 2097152L)
+          joined.groupBy().agg(count(lit(1)).as("actual_rows")).select(
+            lit(caseId).as("case_id"),
+            lit(c.strategy).as("strategy"),
+            lit(c.left.nRows).as("n_a"), lit(c.right.nRows).as("n_b"),
+            lit(c.right.avgRowBytes).as("avg_bytes_b"),
+            lit(c.estRows).as("est_rows"),
+            col("actual_rows"))
+        }
+        auditRow(narD.toString, narrow, "narrow_dim")
+          .unionAll(auditRow(widD.toString, wide, "wide_dim"))
+          .localCheckpoint(true)
+      } finally dirs.foreach(deleteRecursively)
+    }),
     // Arbitrary GROUPING SETS (rollup/cube's general form; q14/q15 cover
     // those specializations).
     "q26_grouping_sets" -> ((s, d) => {
@@ -4286,6 +4360,67 @@ object SparkEntry {
              1000L, bloomLegal = false)}
          |UNION ALL
          |${sqlB2Case("semi_broadcast", "li", "sel", liN, selN, semiN, 200000L)}""".stripMargin
+    },
+    // Refresh-lifecycle replay: est_distinct comes from the append-produced
+    // entry, which is bit-identical to the fresh KMV over the whole table
+    // (b4's exact merge algebra) — so the same whole-table sqlKmvD replays
+    // it; top_a is refreshSkew's exact clamp over the CURRENT table (the
+    // same sqlTopCTE as b3); top_after_append is -1 by the b4 contract.
+    "b6_skew_refresh" ->
+      s"""WITH ${sqlKmvD("sk", "SELECT DISTINCT CAST(CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_orderkey END AS VARCHAR) AS v FROM lineitem WHERE l_orderkey IS NOT NULL")},
+         |${sqlKmvD("ord", "SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS v FROM orders WHERE o_orderkey IS NOT NULL")},
+         |${sqlTopCTE("sk", "SELECT CAST(CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_orderkey END AS VARCHAR) AS v FROM lineitem WHERE l_orderkey IS NOT NULL")}
+         |SELECT case_id, strategy, n_a, n_b, est_distinct_a, est_distinct_b,
+         |       top_a, est_rows, actual_rows,
+         |       CAST(-1 AS BIGINT) AS top_after_append
+         |FROM (
+         |${sqlB2Case("refreshed_skew", "sk", "ord",
+             "(SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL)",
+             "(SELECT count(*) FROM orders WHERE o_orderkey IS NOT NULL)",
+             "(SELECT count(*) FROM (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_orderkey END AS k FROM lineitem) l JOIN orders o ON l.k = o.o_orderkey)",
+             1000L)})""".stripMargin,
+    // Byte-rung replay: avg_b = total measured bytes // n_b with the SAME
+    // per-type arithmetic the catalog persists (BIGINT = 8 fixed, strings
+    // by byte length), then the ladder with the byte veto spliced into
+    // rung 1 — the per-site (broadcastRows, broadcastBytes) = (200000,
+    // 2097152) constants appear literally in both engines, the
+    // single-sourcing convention.
+    "b7_bytes_broadcast" -> {
+      val ef = graft.plans.CostBasedJoin.DefaultExplodeFactor
+      val bf = graft.plans.CostBasedJoin.DefaultBloomFactor
+      val ssf = graft.plans.CostBasedJoin.SaltShareFactor
+      val liN = "(SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL)"
+      val ordN = "(SELECT count(*) FROM orders WHERE o_orderkey IS NOT NULL)"
+      val actN = "(SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)"
+      def bCase(caseId: String, bytesTotSql: String) =
+        s"""SELECT '$caseId' AS case_id,
+           |       CASE WHEN n_b <= 200000 AND (avg_b <= 0 OR n_b <= 2097152 // avg_b) THEN 'broadcast'
+           |            WHEN top_a > n_a // $ssf THEN 'salted'
+           |            WHEN est_rows > $ef * (n_a + n_b) THEN 'shuffle_hash'
+           |            WHEN $bf * est_distinct_b <= est_distinct_a THEN 'bloom_reduced'
+           |            ELSE 'shuffle' END AS strategy,
+           |       n_a, n_b, avg_b AS avg_bytes_b, est_rows, actual_rows
+           |FROM (SELECT n_a, n_b, lid.d AS est_distinct_a, ordd.d AS est_distinct_b,
+           |             lit.top AS top_a,
+           |             CAST($bytesTotSql // n_b AS BIGINT) AS avg_b,
+           |             CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+           |                       WHEN n_a <= 4611686018427387904 // n_b
+           |                       THEN (n_a * n_b) // greatest(lid.d, ordd.d, 1)
+           |                       WHEN (n_a // greatest(lid.d, ordd.d, 1)) <= 9223372036854775807 // n_b
+           |                       THEN (n_a // greatest(lid.d, ordd.d, 1)) * n_b
+           |                       ELSE 9223372036854775807 END AS BIGINT) AS est_rows,
+           |             actual_rows
+           |      FROM (SELECT CAST($liN AS BIGINT) AS n_a),
+           |           (SELECT CAST($ordN AS BIGINT) AS n_b),
+           |           lid, ordd, lit,
+           |           (SELECT CAST($actN AS BIGINT) AS actual_rows))""".stripMargin
+      s"""WITH ${sqlKmvD("li", "SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem WHERE l_orderkey IS NOT NULL")},
+         |${sqlKmvD("ord", "SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS v FROM orders WHERE o_orderkey IS NOT NULL")},
+         |${sqlTopCTE("li", "SELECT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem WHERE l_orderkey IS NOT NULL")}
+         |${bCase("narrow_dim", "(SELECT CAST(sum(8) AS BIGINT) FROM orders)")}
+         |UNION ALL
+         |${bCase("wide_dim",
+             "(SELECT CAST(sum(8 + strlen(repeat('x', 492))) AS BIGINT) FROM orders)")}""".stripMargin
     },
     "q26_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,

@@ -210,4 +210,107 @@ class CostBasedJoinSpec extends SparkSpec {
         == expected)
     }
   }
+
+  test("byte rung: a wide dim under the row threshold refuses broadcast; a narrow one takes it") {
+    // pure-ladder cases first: same row count, only the width differs
+    val fact = SideStats(1000000, 900000)
+    val narrow = SideStats(1000, 1000, avgRowBytes = 100L) // 100 KB total
+    val wide = SideStats(1000, 1000, avgRowBytes = 1L << 20) // 1 GB total
+    val unknown = SideStats(1000, 1000) // pre-byte-stats entry
+    assert(CostBasedJoin.decide(fact, narrow, broadcastRows = 10000)
+      .strategy == "broadcast")
+    assert(CostBasedJoin.decide(fact, wide, broadcastRows = 10000)
+      .strategy != "broadcast", "1000 rows × 1 MB blows the 64 MB budget")
+    assert(CostBasedJoin.decide(fact, unknown, broadcastRows = 10000)
+      .strategy == "broadcast", "unknown width keeps the row-count rung")
+    // boundary: exactly at the budget still broadcasts (n ≤ bytes div avg)
+    assert(CostBasedJoin.decide(fact,
+      SideStats(1000, 1000, avgRowBytes = CostBasedJoin.DefaultBroadcastBytes / 1000),
+      broadcastRows = 10000).strategy == "broadcast")
+
+    // catalog-level: two dims with identical row counts, widths measured
+    // by the stats write; the plan flips on width alone
+    val dirL = tmp("graft_cbj_bytes_l")
+    Profiling.writeTableStats(
+      spark.range(0, 50000).select(col("id").cast("string").as("k")), dirL, "k")
+    val dirNarrow = tmp("graft_cbj_bytes_n")
+    Profiling.writeTableStats(
+      spark.range(0, 1000).select(col("id").as("k2")), dirNarrow, "k2")
+    val dirWide = tmp("graft_cbj_bytes_w")
+    Profiling.writeTableStats(
+      spark.range(0, 1000).select(col("id").as("k2"),
+        rpad(lit("x"), 92, "x").as("pad")), dirWide, "k2")
+    // 8 B/row × 1000 ≤ 10 kB budget; (8+92) B/row × 1000 > 10 kB
+    val (_, cNarrow) = CostBasedJoin.chooseJoin(left, right, "k", "k2",
+      dirL, dirNarrow, broadcastRows = 100000L, broadcastBytes = 10000L)
+    assert(cNarrow.strategy == "broadcast", cNarrow.toString)
+    val (_, cWide) = CostBasedJoin.chooseJoin(left, right, "k", "k2",
+      dirL, dirWide, broadcastRows = 100000L, broadcastBytes = 10000L)
+    assert(cWide.strategy != "broadcast", cWide.toString)
+  }
+
+  test("dimFilter selectivity: a declared equality filter flips the dim to its filtered cardinality") {
+    val dirL = tmp("graft_cbj_sel_l")
+    Profiling.writeTableStats(
+      spark.range(0, 50000).select(col("id").cast("string").as("k")), dirL, "k")
+    // dim: 100k rows, segment 'A' holds 5k (above floor 3225 → tracked),
+    // 'Z' appears 10 times (below floor → untracked)
+    val dim = spark.range(0, 100000).select(col("id").cast("string").as("k2"),
+      when(col("id") < 5000, "A").when(col("id") < 5010, "Z")
+        .otherwise(concat(lit("seg"), (col("id") % 40).cast("string")))
+        .as("seg"))
+    val dirD = tmp("graft_cbj_sel_d")
+    Profiling.writeTableStats(dim, dirD, "k2", freqCols = Seq("seg"))
+    // unfiltered: 100k rows > 10k threshold → refuses broadcast
+    val (_, c0) = CostBasedJoin.chooseJoin(left, right, "k", "k2",
+      dirL, dirD, broadcastRows = 10000L)
+    assert(c0.strategy != "broadcast", c0.toString)
+    // tracked value: judged by the EXACT filtered count 5000 ≤ 10k → broadcast
+    val (_, cA) = CostBasedJoin.chooseJoin(left, right, "k", "k2",
+      dirL, dirD, broadcastRows = 10000L,
+      dimFilter = Some("seg" -> "A"))
+    assert(cA.strategy == "broadcast", cA.toString)
+    assert(cA.right.nRows == 5000L, "exact tracked frequency becomes n_b")
+    // untracked value: bounded by the MG floor n/(SkewCap+1) = 3225 ≤ 10k
+    val (_, cZ) = CostBasedJoin.chooseJoin(left, right, "k", "k2",
+      dirL, dirD, broadcastRows = 10000L,
+      dimFilter = Some("seg" -> "Z"))
+    assert(cZ.strategy == "broadcast" && cZ.right.nRows == 100000L / 31L,
+      cZ.toString)
+    // …but the floor is an upper BOUND, not a free pass: a threshold
+    // under the floor still refuses
+    val (_, cZt) = CostBasedJoin.chooseJoin(left, right, "k", "k2",
+      dirL, dirD, broadcastRows = 2000L, dimFilter = Some("seg" -> "Z"))
+    assert(cZt.strategy != "broadcast", cZt.toString)
+    // a filter on an UNTRACKED column changes nothing (no sidecar → no claim)
+    val (_, cU) = CostBasedJoin.chooseJoin(left, right, "k", "k2",
+      dirL, dirD, broadcastRows = 10000L,
+      dimFilter = Some("other_col" -> "A"))
+    assert(cU.strategy == c0.strategy && cU.right.nRows == 100000L)
+  }
+
+  test("refreshSkew re-arms the salted rung on an appended table (the b6 lifecycle)") {
+    // fact: half the rows on key '0' — the straggler shape
+    val hotFact = spark.range(0, 40000).select(
+      when(col("id") % 2 === 0, lit(0L)).otherwise(col("id"))
+        .cast("string").as("k"))
+    val dirF = tmp("graft_cbj_refresh_f")
+    Profiling.writeTableStats(hotFact.filter(col("k") =!= "0"), dirF, "k")
+    Profiling.appendTableStats(hotFact.filter(col("k") === "0"), dirF, "k")
+    val dirD = tmp("graft_cbj_refresh_d")
+    Profiling.writeTableStats(
+      spark.range(0, 50000).select(col("id").cast("string").as("k2")),
+      dirD, "k2")
+    // post-append: top unknown → the rung stays quiet
+    val (_, cBefore) = CostBasedJoin.chooseJoin(left, right, "k", "k2",
+      dirF, dirD, broadcastRows = 1L)
+    assert(cBefore.left.topCount == -1L && cBefore.strategy != "salted")
+    // refresh over the current table re-arms it
+    Profiling.refreshSkew(hotFact, dirF, "k")
+    val (df, cAfter) = CostBasedJoin.chooseJoin(left, right, "k", "k2",
+      dirF, dirD, broadcastRows = 1L)
+    assert(cAfter.strategy == "salted", cAfter.toString)
+    assert(cAfter.left.topCount == 20000L)
+    df.collect() // the actuated salted join executes
+  }
 }

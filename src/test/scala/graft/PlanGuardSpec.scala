@@ -190,6 +190,41 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan("q1_total_distinct").contains("BroadcastHashJoin"))
   }
 
+  test("q1 selectivity: the freq sidecar flips the filtered dim back to broadcast; values unchanged") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Profiling
+    val baselineQ1 = SparkEntry.queries("q1_total_distinct")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft_sel_root").toString
+    spark.conf.set("spark.graft.statsCatalogRoot", root)
+    try {
+      // Catalog claims: customer is over the broadcast threshold (2M rows,
+      // key-selective → the unfiltered ladder picks bloom_reduced), but
+      // the c_mktsegment freq sidecar records BUILDING at 90k rows — q1's
+      // declared dimFilter judges the join by THAT, and 90k fits the
+      // broadcast rung. q2 (unfiltered, same catalog) must keep the
+      // unfiltered choice — the flip is filter-scoped, not global.
+      Profiling.writeTableStats(
+        spark.range(0, 2000000L).select(col("id").cast("string").as("o_custkey")),
+        s"$root/orders.o_custkey", "o_custkey")
+      Profiling.writeTableStats(
+        spark.range(0, 2000000L).select(
+          (col("id") % 5000).cast("string").as("c_custkey"),
+          when(col("id") < 90000, "BUILDING").otherwise(
+            concat(lit("SEG"), (col("id") % 20).cast("string"))).as("c_mktsegment")),
+        s"$root/customer.c_custkey", "c_custkey",
+        freqCols = Seq("c_mktsegment"))
+      val p1 = plan("q1_total_distinct")
+      assert(p1.contains("BroadcastHashJoin"),
+        s"filtered-dim selectivity must take the broadcast: $p1")
+      val p2 = plan("q2_count_by_group")
+      assert(p2.contains("might_contain") || p2.contains("BloomFilter"),
+        s"unfiltered q2 keeps the unfiltered-stats choice: $p2")
+      assert(SparkEntry.queries("q1_total_distinct")(spark, d)
+        .collect().map(_.toSeq).toSeq == baselineQ1)
+    } finally spark.conf.unset("spark.graft.statsCatalogRoot")
+  }
+
   test("q5 filter+project: predicate pushed to parquet, scan pruned") {
     val p = plan("q5_filter_project")
     assert(p.contains("PushedFilters: ["), p)

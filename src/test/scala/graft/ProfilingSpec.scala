@@ -334,4 +334,82 @@ class ProfilingSpec extends SparkSpec {
     Profiling.writeWithStats(hot, dHot, sFlat, "k")
     assert(Profiling.readStatsDriver(spark, sFlat, "k")._3 == 1001L)
   }
+
+  test("refreshSkew: re-arms the sidecars after an append without touching the entry") {
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val dir = tmp("graft_refresh")
+    val hot = spark.range(0, 1000).select(lit("7").as("k"))
+      .union(spark.range(0, 1000).select(col("id").cast("string").as("k")))
+    Profiling.writeTableStats(hot, dir, "k")
+    val extra = spark.range(2000, 2500).select(lit("7").as("k"))
+    Profiling.appendTableStats(extra, dir, "k")
+    // the b4 contract: append leaves the skew stat unknown
+    val (n1, d1, top1) = Profiling.readStatsDriver(spark, dir, "k")
+    assert(n1 == 2500L && top1 == -1L)
+    // one bounded pass over the CURRENT table re-arms it with the exact
+    // post-append top count (1000 planted + id 7 + 500 appended)
+    val top = Profiling.refreshSkew(hot.union(extra), dir, "k")
+    assert(top == 1501L)
+    val t = Profiling.readTableStats(spark, dir, "k")
+    assert(t.topCount == 1501L && t.hotKeys == Seq("7"))
+    // the entry itself is untouched (same n_rows/est — refresh is
+    // sidecar-only, preserving the append≡fresh bit-identity invariant)
+    assert(t.nRows == n1 && t.estDistinct == d1)
+    // key-column guard fails loudly
+    assert(intercept[IllegalArgumentException] {
+      Profiling.refreshSkew(hot, dir, "wrong")
+    }.getMessage.contains("refresh offers"))
+  }
+
+  test("freq sidecars: exact per-value counts above the floor; append drops, refresh re-arms") {
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val dir = tmp("graft_freq")
+    // 5-segment dim: 'A'×500, 'B'×300, 'C'×150, 'x y=&%'×45 (an
+    // encoding-hostile value proving the URL round-trip), rare 'E'×5,
+    // over n=1000 → floor = 32; the rare value sits below it
+    val seg = when(col("id") < 500, "A").when(col("id") < 800, "B")
+      .when(col("id") < 950, "C").when(col("id") < 995, "x y=&%")
+      .otherwise("E")
+    val dim = spark.range(0, 1000).select(col("id").cast("string").as("k"),
+      seg.as("seg"))
+    Profiling.writeTableStats(dim, dir, "k", freqCols = Seq("seg"))
+    val f = Profiling.readTableStats(spark, dir, "k").freqs
+    assert(f.keySet == Set("seg"))
+    assert(f("seg") == Map("A" -> 500L, "B" -> 300L, "C" -> 150L,
+      "x y=&%" -> 45L),
+      s"exact counts above floor 32, rare value excluded: ${f("seg")}")
+    // append: freq sidecars are write-time-only (exact counts cannot
+    // merge across batches) → dropped
+    Profiling.appendTableStats(
+      spark.range(1000, 1100).select(col("id").cast("string").as("k"),
+        lit("A").as("seg")), dir, "k")
+    assert(Profiling.readTableStats(spark, dir, "k").freqs.isEmpty)
+    // refreshSkew over the current table re-arms them
+    val cur = dim.union(spark.range(1000, 1100)
+      .select(col("id").cast("string").as("k"), lit("A").as("seg")))
+    Profiling.refreshSkew(cur, dir, "k", freqCols = Seq("seg"))
+    val f2 = Profiling.readTableStats(spark, dir, "k").freqs
+    assert(f2("seg")("A") == 600L && f2("seg")("B") == 300L)
+  }
+
+  test("n_bytes: measured variable width; append-merge ≡ fresh write; old entries read unknown") {
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    // 10 rows: BIGINT id (8B) + a 10-byte ascii string → 18 B/row
+    val df = spark.range(0, 10).select(col("id").as("k"),
+      lpad(col("id").cast("string"), 10, "0").as("s"))
+    val d1 = tmp("graft_bytes_a")
+    Profiling.writeTableStats(df, d1, "k")
+    val t = Profiling.readTableStats(spark, d1, "k")
+    assert(t.avgRowBytes == 18L, s"8 fixed + 10 measured, got ${t.avgRowBytes}")
+    // append ≡ fresh over the union, byte totals included
+    val df2 = spark.range(10, 30).select(col("id").as("k"),
+      lpad(col("id").cast("string"), 20, "0").as("s"))
+    Profiling.appendTableStats(df2, d1, "k")
+    val d2 = tmp("graft_bytes_b")
+    Profiling.writeTableStats(df.union(df2), d2, "k")
+    val (ta, tb) = (Profiling.readTableStats(spark, d1, "k"),
+      Profiling.readTableStats(spark, d2, "k"))
+    assert(ta.nRows == tb.nRows && ta.avgRowBytes == tb.avgRowBytes)
+    assert(ta.avgRowBytes == (10L * 18 + 20L * 28) / 30L)
+  }
 }
