@@ -1797,8 +1797,13 @@ object SparkEntry {
           col("l_extendedprice"), col("l_discount"))
       val sup = Tables.supplier(s, d)
         .select(col("s_suppkey"), col("s_nationkey"))
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
+      val lo = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      // catalog-consulting customer join (the supplier join keeps its
+      // compound two-key condition -- outside the single-key ladder)
+      graft.plans.CostBasedJoin.consultOr(s, lo, "o_custkey", "orders.o_custkey",
+          c, "c_custkey", "customer.c_custkey") {
+        lo.join(c, col("o_custkey") === col("c_custkey"))
+      }
         .join(sup, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
@@ -1822,7 +1827,28 @@ object SparkEntry {
         floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
       val perPart = li.groupBy(col("l_partkey"))
         .agg(count(lit(1)).as("n"), sum(col("qty")).as("sq"))
-      li.join(perPart, Seq("l_partkey"))
+      // perPart is DERIVED (no catalog entry of its own): its stats come
+      // from CBO cardinality algebra over lineitem's entry -- a groupBy
+      // emits one row per distinct key (CostBasedJoin.groupByStats), so
+      // the ladder runs on (fact entry, derived estimate). broadcastRows
+      // is site-pinned LOW: perPart scales with the part vocabulary.
+      val joined = graft.plans.CostBasedJoin
+        .sessionStatsDir(s, "lineitem.l_partkey") match {
+        case Some(dir) =>
+          val t = Profiling.readTableStats(s, dir, "l_partkey")
+          // the derived side is a SELF-derived frame -- alias its key so
+          // the equi-condition never resolves both sides to one attribute
+          val pp = perPart.select(col("l_partkey").as("pp_key"),
+            col("n"), col("sq"))
+          graft.plans.CostBasedJoin.chooseJoinStats(li, pp,
+            "l_partkey", "pp_key",
+            graft.plans.CostBasedJoin.SideStats(
+              t.nRows, t.estDistinct, t.topCount, t.avgRowBytes),
+            graft.plans.CostBasedJoin.groupByStats(t), t.hotKeys,
+            broadcastRows = 100000L)._1
+        case None => li.join(perPart, Seq("l_partkey"))
+      }
+      joined
         .filter(col("qty") * 5L * col("n") < col("sq"))
         .agg(count(lit(1)).as("n_items"),
           sum(col("price_c")).as("revenue_cents"))
@@ -1859,7 +1885,11 @@ object SparkEntry {
     "q55_cust_order_dist" -> ((s, d) => {
       val c = Tables.customer(s, d).select(col("c_custkey"))
       val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      graft.plans.CostBasedJoin.consultOr(s, c, "c_custkey",
+          "customer.c_custkey", o, "o_custkey", "orders.o_custkey",
+          joinType = "left_outer") {
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      }
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("c_count"))
         .groupBy(col("c_count"))
@@ -1883,11 +1913,23 @@ object SparkEntry {
         expr("cast(floor(l_extendedprice * 100) as bigint) * " +
           "(100 - cast(floor(l_discount * 100) as bigint))").as("rev_scaled"))
       val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
+      val lo = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      // catalog-consulting customer and supplier joins; the fact side of
+      // the supplier join is the joined slice, declared under the
+      // lineitem entry (a fact-fact join preserves the fact's key column
+      // -- a conservative stand-in until derived-frame stats propagate,
+      // SCALING derived-stats note). Nation/region stay pinned (tiny).
+      val cbj = graft.plans.CostBasedJoin
+      val withCust = cbj.consultOr(s, lo, "o_custkey", "orders.o_custkey",
+          c, "c_custkey", "customer.c_custkey") {
+        lo.join(c, col("o_custkey") === col("c_custkey"))
+      }
         .join(broadcast(cn), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
+      cbj.consultOr(s, withCust, "l_suppkey", "lineitem.l_suppkey",
+          sup, "s_suppkey", "supplier.s_suppkey") {
+        withCust.join(sup, col("l_suppkey") === col("s_suppkey"))
+      }
         .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
         .groupBy(col("o_year"))
         .agg(
@@ -3467,8 +3509,15 @@ object SparkEntry {
       val l = Tables.lineitem(s, d)
         .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      val lo = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      // catalog-consulting dim join (r11 verdict #4): the declared
+      // segment filter engages the freq-sidecar selectivity when the
+      // catalog tracks c_mktsegment; no entries -> today's broadcast
+      graft.plans.CostBasedJoin.consultOr(s, lo, "o_custkey", "orders.o_custkey",
+          c, "c_custkey", "customer.c_custkey",
+          dimFilter = Some("c_mktsegment" -> "BUILDING")) {
+        lo.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      }
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
           .as("revenue"))

@@ -213,6 +213,49 @@ object CostBasedJoin {
       SideStats(na, da, ta, ls.avgRowBytes), bSide,
       broadcastRows, explodeFactor, bloomFactor, bloomLegalFor(joinType),
       broadcastBytes)
+    (applyStrategy(left, right, keyLeft, keyRight, joinType, choice, hotKeys,
+      statsDirLeft), choice)
+  }
+
+  /** [[chooseJoin]] from ALREADY-RESOLVED stats — the derived-frame door:
+    * when one side is not a base table (a group-by, a candidate set), its
+    * stats come from CBO cardinality ALGEBRA over its inputs' catalog
+    * entries (e.g. [[groupByStats]]) instead of a catalog read. The ladder
+    * and every strategy application are identical. `hotKeys` feeds the
+    * salted rung's actuation (empty = the rung must not have fired). */
+  def chooseJoinStats(
+      left: DataFrame, right: DataFrame,
+      keyLeft: String, keyRight: String,
+      a: SideStats, b: SideStats, hotKeys: Seq[String],
+      broadcastRows: Long = 1L << 20,
+      explodeFactor: Long = DefaultExplodeFactor,
+      bloomFactor: Long = DefaultBloomFactor,
+      joinType: String = "inner",
+      broadcastBytes: Long = DefaultBroadcastBytes): (DataFrame, Choice) = {
+    require(Set("inner", "left_semi", "left_anti", "left_outer")(joinType),
+      s"chooseJoinStats supports inner/left_semi/left_anti/left_outer, got $joinType")
+    val choice = decide(a, b, broadcastRows, explodeFactor, bloomFactor,
+      bloomLegalFor(joinType), broadcastBytes)
+    (applyStrategy(left, right, keyLeft, keyRight, joinType, choice, hotKeys,
+      "<caller-supplied stats>"), choice)
+  }
+
+  /** Cardinality algebra for a `groupBy(key).agg(…)` DERIVED frame, from
+    * its INPUT's catalog entry: the aggregate emits exactly one row per
+    * distinct key, so n_rows = estDistinct = the input's key-distinct
+    * estimate; skew and width stats do not carry over (the aggregate
+    * collapses the hot key to one row; the output schema is new) — both
+    * unknown. This is the textbook CBO output-cardinality rule for
+    * aggregation, and what lets q58's per-part aggregate join consult the
+    * same ladder as base tables. */
+  def groupByStats(input: graft.operators.Profiling.TableStats): SideStats =
+    SideStats(input.estDistinct, input.estDistinct)
+
+  private def applyStrategy(
+      left: DataFrame, right: DataFrame,
+      keyLeft: String, keyRight: String,
+      joinType: String, choice: Choice, hotKeys: Seq[String],
+      statsDirLeft: String): DataFrame = {
     val cond = left(keyLeft) === right(keyRight)
     val joined = choice.strategy match {
       case "broadcast" => left.join(broadcast(right), cond, joinType)
@@ -263,7 +306,7 @@ object CostBasedJoin {
         // pow-2, ≥ 1024), ~16 bits/key — never a blind default.
         val estKeys = math.max(1024L,
           java.lang.Long.highestOneBit(
-            math.max(1L, bSide.estDistinct * 2L - 1L)) * 2L)
+            math.max(1L, choice.right.estDistinct * 2L - 1L)) * 2L)
         joinType match {
           case "inner" =>
             BloomJoin.bloomReducedJoin(left, right, keyLeft, keyRight,
@@ -291,7 +334,7 @@ object CostBasedJoin {
         }
       case _ => left.join(right, cond, joinType)
     }
-    (joined, choice)
+    joined
   }
 
   /** Session-scoped stats-catalog root: when `spark.graft.statsCatalogRoot`
@@ -332,12 +375,13 @@ object CostBasedJoin {
   def consultOr(spark: SparkSession,
       fact: DataFrame, factKey: String, factEntry: String,
       dim: DataFrame, dimKey: String, dimEntry: String,
-      dimFilter: Option[(String, String)] = None)
+      dimFilter: Option[(String, String)] = None,
+      joinType: String = "inner")
       (fallback: => DataFrame): DataFrame =
     (sessionStatsDir(spark, factEntry), sessionStatsDir(spark, dimEntry)) match {
       case (Some(f), Some(d)) =>
         chooseJoin(fact, dim, factKey, dimKey, f, d,
-          dimFilter = dimFilter)._1
+          dimFilter = dimFilter, joinType = joinType)._1
       case _ => fallback
     }
 

@@ -225,6 +225,66 @@ class PlanGuardSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.statsCatalogRoot")
   }
 
+  test("TPC-H star rows adopt the catalog: q40/q53/q54/q55/q58 plans flip with entries, values unchanged") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Profiling
+    val rows = Seq("q40_shipping_priority", "q53_local_supplier_volume",
+      "q54_market_share", "q55_cust_order_dist", "q58_small_qty_revenue")
+    val baseline = rows.map(q => q -> SparkEntry.queries(q)(spark, d)
+      .collect().map(_.toSeq).map(_.toString).sorted.toSeq).toMap
+    val root = java.nio.file.Files.createTempDirectory("graft_star_root").toString
+    spark.conf.set("spark.graft.statsCatalogRoot", root)
+    try {
+      // Catalog claims chosen to force NON-default choices: customer and
+      // supplier are over-threshold but key-selective → bloom_reduced at
+      // the q40/q53/q54 dim joins; orders over-threshold on an OUTER join
+      // → q55 falls to shuffle (no bloom rung, no broadcast); lineitem's
+      // l_partkey entry claims a hot key over the salt share → q58's
+      // derived-frame join actuates the hot/cold split (a Union in the
+      // plan, which the plain join never has).
+      Profiling.writeTableStats(
+        spark.range(0, 2000000L).select(col("id").cast("string").as("o_custkey")),
+        s"$root/orders.o_custkey", "o_custkey")
+      // customer: key-selective AND skewed — dim side for q40/q53/q54
+      // (bloom; the dim's top count is ladder-irrelevant), FACT side for
+      // q55 (salted — the outer ladder's distinctive actuation)
+      Profiling.writeTableStats(
+        spark.range(0, 1200000L).select(
+          when(col("id") % 2 === 0, lit(0L)).otherwise(col("id") % 5000)
+            .cast("string").as("c_custkey")),
+        s"$root/customer.c_custkey", "c_custkey")
+      Profiling.writeTableStats(
+        spark.range(0, 2000000L).select(col("id").cast("string").as("l_suppkey")),
+        s"$root/lineitem.l_suppkey", "l_suppkey")
+      Profiling.writeTableStats(
+        spark.range(0, 1200000L).select((col("id") % 3000).cast("string").as("s_suppkey")),
+        s"$root/supplier.s_suppkey", "s_suppkey")
+      Profiling.writeTableStats(
+        spark.range(0, 400000L).select(
+          when(col("id") % 2 === 0, lit(0L)).otherwise(col("id"))
+            .cast("string").as("l_partkey")),
+        s"$root/lineitem.l_partkey", "l_partkey")
+      val p40 = plan("q40_shipping_priority")
+      assert(p40.contains("might_contain") || p40.contains("BloomFilter"), p40)
+      val p53 = plan("q53_local_supplier_volume")
+      assert(p53.contains("might_contain") || p53.contains("BloomFilter"), p53)
+      val p54 = plan("q54_market_share")
+      assert(p54.contains("might_contain") || p54.contains("BloomFilter"), p54)
+      // q55: fact-side skew on an OUTER join → salted actuation (hot/cold
+      // split union — legal for outer: the dim carries every salt value)
+      val p55 = plan("q55_cust_order_dist")
+      assert(p55.contains("Union"), p55)
+      // q58: salted actuation = hot/cold split union
+      val p58 = plan("q58_small_qty_revenue")
+      assert(p58.contains("Union"), p58)
+      rows.foreach { q =>
+        assert(SparkEntry.queries(q)(spark, d)
+          .collect().map(_.toSeq).map(_.toString).sorted.toSeq == baseline(q),
+          s"$q values changed under catalog adoption")
+      }
+    } finally spark.conf.unset("spark.graft.statsCatalogRoot")
+  }
+
   test("q5 filter+project: predicate pushed to parquet, scan pruned") {
     val p = plan("q5_filter_project")
     assert(p.contains("PushedFilters: ["), p)
