@@ -51,6 +51,25 @@ object DeletionVectors {
     } finally hits.unpersist()
   }
 
+  /** [[addDeletes]] with the matching rows named by a KEY FRAME instead
+    * of a predicate — the large-takedown path: the keys never collect to
+    * the driver; the hit set is one semi-join of the scan against the
+    * request frame (pinned once — re-planning per action must not
+    * recompute the request's lineage). */
+  def addDeleteKeys(spark: SparkSession, dataDir: String, dvDir: String,
+      keyCol: String, keys: DataFrame): Long = {
+    val kf = keys.select(col(keys.columns.head).as("__dv_key"))
+      .filter(col("__dv_key").isNotNull).distinct().localCheckpoint(true)
+    val data = withIdentity(spark, dataDir)
+    val hits = data.join(kf, data(keyCol) === kf("__dv_key"), "left_semi")
+      .select(col(FileCol).as("file"), col(PosCol).as("pos"))
+    val n = hits.cache().count()
+    try {
+      if (n > 0) hits.write.mode("append").parquet(dvDir)
+      n
+    } finally hits.unpersist()
+  }
+
   private def tombstones(spark: SparkSession, dvDir: String): DataFrame = {
     val d = new java.io.File(dvDir)
     if (!d.isDirectory)

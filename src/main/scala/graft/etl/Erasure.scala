@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   * Returns (rows erased, partitions rewritten, partitions removed). */
 object Erasure {
 
+  /** Size boundary for the erase-key representation: at or below it a
+    * request collects to an `isin` literal (pushes into scans — the fast
+    * path for the request-sized common case); above it the keys STAY a
+    * DataFrame and every probe is a semi-/anti-join. A 10⁵–10⁶-key
+    * GDPR batch as literals is a 10⁶-node expression tree — analyzer
+    * cost and plan-size hazards long before memory (r11 verdict #5). */
+  val LiteralKeyMax = 10000
+
   def eraseKeys(spark: SparkSession, dataDir: String, partCols: Seq[String],
       keyCol: String, keys: DataFrame): (Long, Long, Long) = {
     require(partCols.nonEmpty, "eraseKeys needs a partitioned table")
@@ -140,14 +148,20 @@ object Erasure {
     * all [[DeletionVectors.readWithDeletes]] readers immediately), and
     * let the periodic [[DeletionVectors.applyDeletes]] maintenance pass
     * make it physical. [[eraseKeys]] remains the one-shot physical path;
-    * this is what a takedown queue drains between compactions. The key
-    * frame is collected (takedown batches are request-sized, not
-    * data-sized) into an `isin` predicate pushed to the scan. */
+    * this is what a takedown queue drains between compactions. Key
+    * representation is size-adaptive ([[LiteralKeyMax]]): request-sized
+    * batches collect into an `isin` predicate pushed to the scan; larger
+    * ones stay a frame and tombstone through a semi-join
+    * ([[DeletionVectors.addDeleteKeys]]). */
   def softEraseKeys(spark: SparkSession, dataDir: String, dvDir: String,
       keyCol: String, keys: DataFrame): Long = {
-    val ks = keys.select(col(keyCol)).distinct().collect().map(_.get(0))
-    if (ks.isEmpty) return 0L
-    DeletionVectors.addDeletes(spark, dataDir, dvDir, col(keyCol).isin(ks: _*))
+    val kd = keys.select(col(keyCol)).filter(col(keyCol).isNotNull).distinct()
+    val probe = kd.limit(LiteralKeyMax + 1).collect().map(_.get(0))
+    if (probe.isEmpty) return 0L
+    if (probe.length <= LiteralKeyMax)
+      DeletionVectors.addDeletes(spark, dataDir, dvDir,
+        col(keyCol).isin(probe: _*))
+    else DeletionVectors.addDeleteKeys(spark, dataDir, dvDir, keyCol, kd)
   }
 
   /** The fully general composed erasure: each signature store carries its

@@ -294,7 +294,15 @@ object Curation {
     * invalidate path-dependent caches): (doc_id, n_grams, n_novel,
     * novelty_bp) for batch docs with ≥ 1 gram, identical to
     * [[ngramNovelty]] with the store's prior content as reference
-    * (spec-asserted). */
+    * (spec-asserted).
+    *
+    * `replayDeterministic = true` assumes doc_ids are unique across the
+    * store's LIFETIME: the crash-replay exclusion anti-joins store rows
+    * by src_id alone (rows carry no batch provenance), so a re-used
+    * doc_id in a later batch would silently remove an earlier batch's
+    * contribution from the reference and its grams would score novel
+    * again. Callers feeding re-crawls must mint fresh doc_ids
+    * (see [[graft.streaming.StreamingStoreIngest.runNovelty]]). */
   def noveltyIngest(batch: DataFrame, storeDir: String, n: Int = 5,
       estimatedGrams: Long = 1L << 20, numBits: Long = 1L << 23,
       replayDeterministic: Boolean = false): DataFrame = {
@@ -315,6 +323,16 @@ object Curation {
           s"incremental gram store at $storeDir was written with different " +
             s"n-gram/Bloom parameters (missing ${marker.getName}) — grams " +
             "hashed differently would silently match nothing; rebuild")
+      // A batch-less dir may still carry STALE markers (crash between
+      // marker create and first batch publish, or an erase that retired
+      // the last batch): drop them before (re)creating ours, or a later
+      // ingest with either parameter set would pass the gate against
+      // mixed-parameter content and eraseFromGramStore would rebuild its
+      // sketch from an arbitrary surviving marker (advice finding r11).
+      if (!hasStore && fs.exists(dir)) fs.listStatus(dir).iterator
+        .filter(st => st.getPath.getName.startsWith("_format-ngram") &&
+          st.getPath.getName != marker.getName)
+        .foreach(st => fs.delete(st.getPath, false))
       // staging leftovers are always pre-publish garbage inside the lease
       if (fs.exists(dir)) fs.listStatus(dir).iterator
         .filter(_.getPath.getName.startsWith(".staging-"))
@@ -448,8 +466,19 @@ object Curation {
     if (!fs.exists(dir) || keyIds.isEmpty) return 0L
     graft.etl.WriterLease.withLock(fs, dir, "novelty gram store") {
       val markerRe = "_format-ngram(\\d+)-e(\\d+)-b(\\d+)-incr-v1".r
-      val params = fs.listStatus(dir).map(_.getPath.getName)
-        .collectFirst { case markerRe(_, e, b) => (e.toLong, b.toLong) }
+      val markers = fs.listStatus(dir).map(_.getPath.getName)
+        .collect { case m @ markerRe(_, _, _) => m }.sorted
+      // multiple markers = a corrupted parameter history (the ingest-side
+      // stale-marker sweep should make this unreachable) — an arbitrary
+      // pick could rebuild the sketch with the WRONG hash parameters, a
+      // silent-false-negative generator; fail loudly instead.
+      if (markers.length > 1)
+        throw new IllegalStateException(
+          s"gram store at $storeDir carries ${markers.length} format " +
+            s"markers (${markers.mkString(", ")}) — parameter history " +
+            "corrupted; rebuild the store")
+      val params = markers.headOption
+        .map { case markerRe(_, e, b) => (e.toLong, b.toLong) }
         .getOrElse(throw new IllegalStateException(
           s"gram store at $storeDir has no incremental format marker — " +
             "cannot recover Bloom parameters; nothing erased"))
@@ -504,6 +533,12 @@ object Curation {
       val survivors = liveBatches()
       if (survivors.isEmpty) {
         fs.delete(bloomPath, false)
+        // drop the marker with the last batch: a batch-less store must
+        // read as NO store, not as a parameter claim about nothing — the
+        // next ingest re-declares its own parameters from scratch
+        // (advice finding r11)
+        markers.foreach(m =>
+          fs.delete(new org.apache.hadoop.fs.Path(dir, m), false))
         ()
       } else {
         val sketch = spark.read

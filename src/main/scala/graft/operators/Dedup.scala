@@ -1694,33 +1694,51 @@ object Dedup {
     * doc_id later is deliberately possible (the anti-join no longer sees
     * it): erasure forgets; it does not blocklist.
     *
-    * `keys` is collected to the driver — erasure requests are
-    * request-sized by nature (same stance as [[graft.etl.Erasure]]), and
-    * the in-filter pushes into every batch probe scan. `keyCol` names the
-    * store's id column — `doc_id` for the minhash/Hamming/anchor/frame
-    * stores, `vec_id` for the [[incrementalSemanticPairs]] vector store.
-    * Returns the number of signature rows erased. */
+    * Key-set plumbing is SIZE-ADAPTIVE (r11 verdict #5): up to
+    * [[graft.etl.Erasure.LiteralKeyMax]] keys are collected into an
+    * `isin` literal that pushes into every batch probe scan (the
+    * request-sized fast path); a larger GDPR-batch stays a DataFrame and
+    * each batch probe becomes a semi-/anti-join — a 10⁶-key request must
+    * never become a 10⁶-literal expression tree (analyzer cost, plan-size
+    * hazards). The probe is a bounded `limit(max+1).collect()`, never a
+    * full collect. `keyCol` names the store's id column — `doc_id` for
+    * the minhash/Hamming/anchor/frame stores, `vec_id` for the
+    * [[incrementalSemanticPairs]] vector store. Returns the number of
+    * signature rows erased. */
   def eraseFromStore(spark: org.apache.spark.sql.SparkSession,
       storePath: String, keys: DataFrame, keyCol: String = "doc_id"): Long = {
     // drop nulls before collecting: getLong on a null row reads 0 and a
     // null key would silently erase doc 0 (review finding, shared with
     // the gram-store erasure where the hazard was a whole-batch wipe)
-    val keyIds = keys.select(col(keys.columns.head).cast("long"))
-      .filter(col(keys.columns.head).isNotNull)
-      .distinct().collect().map(_.getLong(0))
+    val keysNorm = keys.select(col(keys.columns.head).cast("long").as("__erase_key"))
+      .filter(col("__erase_key").isNotNull).distinct()
+    val max = graft.etl.Erasure.LiteralKeyMax
+    val probe = keysNorm.limit(max + 1).collect().map(_.getLong(0))
     val dir = new org.apache.hadoop.fs.Path(storePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir) || keyIds.isEmpty) return 0L
+    if (!fs.exists(dir) || probe.isEmpty) return 0L
+    // (hit slice, keep slice) of a batch under either representation;
+    // the frame path pins ONE materialization of the key set so the
+    // per-batch joins never recompute the request's lineage
+    val (hitOf, keepOf): (DataFrame => DataFrame, DataFrame => DataFrame) =
+      if (probe.length <= max)
+        (b => b.filter(col(keyCol).isin(probe: _*)),
+          b => b.filter(!col(keyCol).isin(probe: _*)))
+      else {
+        val kf = keysNorm.localCheckpoint(true)
+        (b => b.join(kf, b(keyCol) === kf("__erase_key"), "left_semi"),
+          b => b.join(kf, b(keyCol) === kf("__erase_key"), "left_anti"))
+      }
     withStoreLock(fs, dir) {
       val batches = fs.listStatus(dir)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
       var erased = 0L
       batches.foreach { b =>
         val batch = spark.read.parquet(b.getPath.toString)
-        val hits = batch.filter(col(keyCol).isin(keyIds: _*)).count()
+        val hits = hitOf(batch).count()
         if (hits > 0L) {
           erased += hits
-          val keep = batch.filter(!col(keyCol).isin(keyIds: _*))
+          val keep = keepOf(batch)
           val keepCount = keep.count()
           val id = java.util.UUID.randomUUID().toString
           val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$id")
@@ -2034,13 +2052,17 @@ object Dedup {
     * the same lease. Returns the number of member rows erased. */
   def eraseFromLabelStore(spark: org.apache.spark.sql.SparkSession,
       storePath: String, keys: DataFrame): Long = {
-    // null keys dropped before collect (see eraseFromStore)
-    val keyIds = keys.select(col(keys.columns.head).cast("long"))
-      .filter(col(keys.columns.head).isNotNull)
-      .distinct().collect().map(_.getLong(0))
+    // null keys dropped before collect (see eraseFromStore); same
+    // size-adaptive representation — literals up to LiteralKeyMax, an
+    // anti-join above it (a 10⁵-key takedown must not become a 10⁵-term
+    // isin tree)
+    val keysNorm = keys.select(col(keys.columns.head).cast("long").as("__erase_key"))
+      .filter(col("__erase_key").isNotNull).distinct()
+    val max = graft.etl.Erasure.LiteralKeyMax
+    val probe = keysNorm.limit(max + 1).collect().map(_.getLong(0))
     val dir = new org.apache.hadoop.fs.Path(storePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir) || keyIds.isEmpty) return 0L
+    if (!fs.exists(dir) || probe.isEmpty) return 0L
     withStoreLock(fs, dir) {
       val snapshots = fs.listStatus(dir).map(_.getPath.getName)
         .filter(_.startsWith("labels-"))
@@ -2048,7 +2070,12 @@ object Dedup {
       if (snapshots.isEmpty) return 0L
       val labels = spark.read.parquet(s"$storePath/${snapshots.last}")
         .select(col("doc_id"), col("cluster_id"))
-      val survivors = labels.filter(!col("doc_id").isin(keyIds: _*))
+      val survivors =
+        if (probe.length <= max) labels.filter(!col("doc_id").isin(probe: _*))
+        else {
+          val kf = keysNorm.localCheckpoint(true)
+          labels.join(kf, labels("doc_id") === kf("__erase_key"), "left_anti")
+        }
       val relabeled = survivors
         .join(
           survivors.groupBy(col("cluster_id"))

@@ -221,7 +221,17 @@ object StreamingStoreIngest {
     * overwrite sink would destroy the real scores forever (the CLAUDE.md
     * streaming-wrapper rule; here the replay excludes store rows whose
     * src_id is one of the batch's docs and recovers the original
-    * reference set exactly). */
+    * reference set exactly).
+    *
+    * CONTRACT — doc_ids must be unique ACROSS the stream's lifetime (the
+    * same assumption [[graft.operators.Dedup.incrementalMinhashPairs]]
+    * documents): the replay exclusion above is keyed on src_id alone
+    * (store rows carry no batch provenance), so a legitimately re-crawled
+    * doc_id arriving in a LATER batch would anti-join the EARLIER batch's
+    * rows carrying that src_id out of the reference and previously-seen
+    * grams would silently score novel again. Re-crawls must arrive under
+    * a fresh doc_id (e.g. id = hash(url, crawl_ts)); the store keeps
+    * first-contributor attribution either way. */
   def runNovelty(docs: DataFrame, storePath: String, scoresOut: String,
       checkpoint: String, n: Int = 5,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =

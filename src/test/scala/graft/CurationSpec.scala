@@ -652,6 +652,36 @@ class CurationSpec extends SparkSpec {
       "only the named key's rows may die — a null must never wipe a batch")
   }
 
+  test("gram-store markers: stale marker on a batch-less dir is swept; marker dies with the last batch; multi-marker is loud") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_marker").toString
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def markers() = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      .filter(_.startsWith("_format-ngram")).sorted.toSeq
+    // crash simulation: marker created, no batch ever published
+    fs.create(new Path(dir, "_format-ngram5-e1048576-b8388608-incr-v1"), true).close()
+    // an ingest with DIFFERENT parameters must sweep the stale marker,
+    // not gate against it or leave two markers behind
+    Curation.noveltyIngest(
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      dir, n = 3, estimatedGrams = 1L << 10, numBits = 1L << 16)
+    assert(markers() === Seq("_format-ngram3-e1024-b65536-incr-v1"))
+    // erasing the only contributor leaves a batch-less store with NO
+    // marker — the next ingest re-declares parameters from scratch
+    assert(Curation.eraseFromGramStore(spark, dir, Seq(1L).toDF("doc_id")) > 0L)
+    assert(markers().isEmpty, "marker must die with the last batch")
+    Curation.noveltyIngest(
+      Seq((2L, "eta theta iota kappa lambda mu")).toDF("doc_id", "text"),
+      dir, n = 5)
+    assert(markers() === Seq("_format-ngram5-e1048576-b8388608-incr-v1"))
+    // a second marker (corrupted history) fails the erase loudly
+    fs.create(new Path(dir, "_format-ngram4-e1024-b65536-incr-v1"), true).close()
+    val ex = intercept[IllegalStateException] {
+      Curation.eraseFromGramStore(spark, dir, Seq(2L).toDF("doc_id"))
+    }
+    assert(ex.getMessage.contains("format markers"))
+  }
+
   test("lengthBuckets: exact rank deciles, per-bucket max padding waste") {
     // 20 docs with token lengths 1..20 → 10 buckets of 2 docs; bucket k
     // holds lengths (2k+1, 2k+2), waste = (2·(2k+2) − (4k+3))·10⁴ div

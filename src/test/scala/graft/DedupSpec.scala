@@ -519,6 +519,46 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("writerZ@1"))
   }
 
+  test("eraseFromStore: a 100k-key takedown runs through the frame path (no giant isin literal)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_big_erase").toString + "/store"
+    // store: docs 0..999 at distinct signatures (no pairs — irrelevant here)
+    val b1 = spark.range(0, 1000).select(col("id").as("doc_id"),
+      (col("id") * 1024L).as("sig"))
+    Dedup.incrementalHammingPairs(b1, dir, 64, 2, "test-v1")
+    // request: 100_001 distinct keys (over LiteralKeyMax → frame path),
+    // of which 500 are present (evens under 1000), plus a null (dropped)
+    assert(graft.etl.Erasure.LiteralKeyMax < 100001)
+    val keys = spark.range(0, 200002).select(
+      org.apache.spark.sql.functions.when(col("id") % 2 === 0, col("id") / 2)
+        .cast("long").as("doc_id"))
+    val erased = Dedup.eraseFromStore(spark, dir, keys)
+    assert(erased === 1000L,
+      "keys 0..100000 cover every stored doc 0..999") // all stored docs hit
+    // store is fully retired — a fresh ingest sees an empty corpus
+    val run2 = Dedup.incrementalHammingPairs(
+      Seq((5000L, 0L)).toDF("doc_id", "sig"), dir, 64, 2, "test-v1")
+    assert(run2.count() === 0L)
+    // label-store twin: same frame path, survivors relabeled
+    val ldir = java.nio.file.Files.createTempDirectory("graft_big_lerase").toString + "/labels"
+    val docs = spark.range(0, 1000).select(col("id").as("doc_id"))
+    val pairs = spark.range(0, 999).select(col("id").as("src"), (col("id") + 1).as("dst"))
+    Dedup.incrementalClusters(docs, pairs.select(
+      col("src").as("doc_a"), col("dst").as("doc_b")), ldir)
+    val lkeys = spark.range(0, 150000).select(col("id").as("doc_id"))
+      .filter(col("doc_id") < 100 || col("doc_id") >= 1000)
+    val lerased = Dedup.eraseFromLabelStore(spark, ldir, lkeys)
+    assert(lerased === 100L)
+    val left = spark.read.parquet(
+      new java.io.File(ldir).listFiles().filter(_.getName.startsWith("labels-"))
+        .head.toString)
+    assert(left.count() === 900L)
+    // survivors relabeled to the new minimum (100) — the erased old
+    // minimum (0) appears in neither column
+    assert(left.agg(org.apache.spark.sql.functions.min(col("cluster_id")))
+      .head().getLong(0) === 100L)
+  }
+
   test("incremental semantic pairs: arrival-order runs ≡ flagged batch under the pinned center") {
     import org.apache.spark.sql.functions.lit
     val dir = java.nio.file.Files.createTempDirectory("graft_sem_store").toString + "/store"

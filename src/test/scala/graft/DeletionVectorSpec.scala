@@ -77,6 +77,21 @@ class DeletionVectorSpec extends SparkSpec {
     assert(spark.read.parquet(dataDir).count() === 58)
   }
 
+  test("softEraseKeys: an over-threshold key batch tombstones through the frame path") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_dv_big").toString
+    val dataDir = s"$root/data"; val dvDir = s"$root/dv"
+    (0L until 500L).map(i => (i, s"u$i")).toDF("user_id", "v")
+      .repartition(3).write.parquet(dataDir)
+    // 20k distinct keys > LiteralKeyMax → semi-join tombstoning; 250 hit
+    val keys = spark.range(0, 20000).select((col("id") * 2L).as("user_id"))
+    val n = graft.etl.Erasure.softEraseKeys(spark, dataDir, dvDir, "user_id", keys)
+    assert(n === 250)
+    val left = DeletionVectors.readWithDeletes(spark, dataDir, dvDir)
+      .select("user_id").as[Long].collect().toSet
+    assert(left.size === 250 && left.forall(_ % 2 == 1))
+  }
+
   test("streaming takedown queue: keyed tombstones drain per micro-batch, reads exclude all") {
     val root = java.nio.file.Files.createTempDirectory("graft_dv").toString
     val dataDir = s"$root/data"; val dvDir = s"$root/dv"
