@@ -1341,6 +1341,43 @@ object SparkEntry {
         s.table(name)
       } finally deleteRecursively(staged)
     }),
+    // Timer-flushed sessionization (r11 verdict #6): the SENTINEL-FREE
+    // twin of q32 — transformWithState event-time timers close each
+    // user's open session when the watermark crosses its gap deadline,
+    // so no planted events are needed. Real fixture events only; the
+    // oracle is the batch gaps-and-islands sessions MINUS each user's
+    // open tail unless its timer (last-event ms-floor + gap) is at or
+    // under the final watermark (max event µs // 1000 — the inclusive
+    // firing rule, probe-pinned). q32 stays as the sentinel-technique
+    // row; this is the production-shaped mechanism.
+    "q60_stream_timer_session" -> ((s0, d) => {
+      val s = streamSession(s0)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      // One data file → one micro-batch (the q32 staging convention);
+      // the timer batch is the engine's own extra no-data batch.
+      val staged = stagingDir("graft_q60_stream_input")
+      val dir = staged.toString
+      try {
+        ev.coalesce(1).write.mode("overwrite").parquet(dir)
+        val stream = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+        val name = "stream_timer_session_sink"
+        s.catalog.dropTempView(name)
+        val q = graft.streaming.StreamingTimerSession.sessions(stream)
+          .toDF()
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).select(col("user_id"),
+            timestamp_micros(col("start_us")).as("session_start"),
+            timestamp_micros(col("end_us")).as("session_end"),
+            col("n_events"))
+          .localCheckpoint(true)
+      } finally deleteRecursively(staged)
+    }),
     // Stream-stream interval join on the gate (fifth streaming row): two
     // watermarked event streams (errors, purchases) joined on user with an
     // event-time interval condition, through the real engine. Inner joins
@@ -4575,6 +4612,42 @@ object SparkEntry {
         |       max(ts) + INTERVAL 30 MINUTE AS session_end,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // q32's session replay + the TIMER emission rule: every session closed
+    // by a later same-user event emits (single data micro-batch), and the
+    // per-user OPEN TAIL emits iff its gap deadline (last event µs floored
+    // to ms + 30 min) is AT OR UNDER the final watermark (global max event
+    // µs // 1000, delay 0) — the inclusive timer-firing comparator the
+    // engine was probed to use.
+    "q60_stream_timer_session" ->
+      """WITH e AS (
+        |  SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, event_id FROM events),
+        |f AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NOT NULL
+        |                   AND epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, sid,
+        |         min(ts) AS session_start,
+        |         max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         max(epoch_us(ts)) AS last_us
+        |  FROM s GROUP BY user_id, sid),
+        |wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+        |ranked AS (
+        |  SELECT user_id, session_start, session_end, n_events, last_us,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY sid DESC) AS rn
+        |  FROM sess)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM ranked, wm
+        |WHERE rn > 1 OR (last_us // 1000) + 1800000 <= wm_ms""".stripMargin,
     // Every error row survives; matches carry p_ts, the rest carry NULL.
     // MERGE semantics applied to the key-unique change set: %3=0 deleted,
     // %3=1 updated (+100 cents), %3=2 untouched plus a re-keyed insert.

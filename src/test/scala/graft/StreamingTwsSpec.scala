@@ -102,4 +102,79 @@ class StreamingTwsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(u1 === Set((1L, 2L), (2L, 3L)))
   }
+
+  test("timer sessions: in-batch close emits, timer fires at expiry == watermark, open tail withheld") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    import s.implicits._
+    val srcDir = Files.createTempDirectory("graft_tmr_src").toString
+    val ckpt = Files.createTempDirectory("graft_tmr_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    def tsOf(ms: Long) = new java.sql.Timestamp(ms)
+    // gap 60 s; final watermark = max event 100 s.
+    //  user 1: 1 s, 10 s  → one session, timer 70 s < wm → TIMER emission
+    //  user 2: 1 s, 100 s → first session closed IN-BATCH by the second
+    //          event (emits); the 100 s tail's timer (160 s) > wm → withheld
+    //  user 3: 40 s       → timer 100 s == wm → fires (INCLUSIVE comparator)
+    Seq((1L, tsOf(1000L)), (1L, tsOf(10000L)),
+        (2L, tsOf(1000L)), (2L, tsOf(100000L)),
+        (3L, tsOf(40000L))).toDF("user_id", "ts")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q = graft.streaming.StreamingTimerSession.sessions(
+        s.readStream.schema(schema).parquet(srcDir), gapMs = 60000L)
+      .toDF()
+      .writeStream.format("memory").queryName("tmr_sink")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val rows = s.table("tmr_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows === Set(
+      (1L, 1000000L, 70000000L, 2L),
+      (2L, 1000000L, 61000000L, 1L),
+      (3L, 40000000L, 100000000L, 1L)),
+      s"got $rows")
+  }
+
+  test("timer sessions: cross-batch extension re-arms the timer; one session, full count") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    import s.implicits._
+    val srcDir = Files.createTempDirectory("graft_tmr2_src").toString
+    val ckpt = Files.createTempDirectory("graft_tmr2_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    def tsOf(ms: Long) = new java.sql.Timestamp(ms)
+    def write(rows: (Long, java.sql.Timestamp)*): Unit =
+      rows.toSeq.toDF("user_id", "ts").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    write((4L, tsOf(0L)), (4L, tsOf(10000L)))
+    val q = graft.streaming.StreamingTimerSession.sessions(
+        s.readStream.schema(schema).parquet(srcDir), gapMs = 60000L)
+      .toDF()
+      .writeStream.format("memory").queryName("tmr2_sink")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2 EXTENDS the open session (30 s is within gap of 10 s) and
+      // must re-arm the timer from 70 s to 90 s — a stale 70 s timer would
+      // close the session at n=2; the pusher event (user 5 at 200 s)
+      // advances the watermark past 90 s so the re-armed timer fires.
+      write((4L, tsOf(30000L)), (5L, tsOf(200000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u4 = s.table("tmr2_sink").filter(col("user_id") === 4L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(u4 === Set((0L, 90000000L, 3L)), s"got $u4")
+    // user 5's lone session (timer 260 s > final wm 200 s) stays open
+    assert(s.table("tmr2_sink").filter(col("user_id") === 5L).isEmpty)
+  }
 }
