@@ -67,7 +67,12 @@ object DeletionVectors {
     try {
       if (n > 0) hits.write.mode("append").parquet(dvDir)
       n
-    } finally hits.unpersist()
+    } finally {
+      hits.unpersist()
+      // the pinned key frame dies with the call (checkpointed RDDs sit
+      // outside the CacheManager — SCALING #38's leak class)
+      org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(kf)
+    }
   }
 
   private def tombstones(spark: SparkSession, dvDir: String): DataFrame = {

@@ -329,10 +329,21 @@ object Curation {
       // ingest with either parameter set would pass the gate against
       // mixed-parameter content and eraseFromGramStore would rebuild its
       // sketch from an arbitrary surviving marker (advice finding r11).
-      if (!hasStore && fs.exists(dir)) fs.listStatus(dir).iterator
-        .filter(st => st.getPath.getName.startsWith("_format-ngram") &&
-          st.getPath.getName != marker.getName)
-        .foreach(st => fs.delete(st.getPath, false))
+      // A stale `_bloom.bin` goes with them: the sketch is swapped BEFORE
+      // the batch rename, so a crash in that window leaves a sketch
+      // describing content that never published — harmless over-coverage
+      // under the SAME Bloom params, but a hard mergeInPlace
+      // IncompatibleMergeException under DIFFERENT ones (the exact dir
+      // the marker sweep was added to heal). A batch-less store's sketch
+      // is definitionally rebuildable from nothing; drop it.
+      if (!hasStore && fs.exists(dir)) {
+        fs.listStatus(dir).iterator
+          .filter(st => st.getPath.getName.startsWith("_format-ngram") &&
+            st.getPath.getName != marker.getName)
+          .foreach(st => fs.delete(st.getPath, false))
+        val staleBloom = new org.apache.hadoop.fs.Path(dir, "_bloom.bin")
+        if (fs.exists(staleBloom)) fs.delete(staleBloom, false)
+      }
       // staging leftovers are always pre-publish garbage inside the lease
       if (fs.exists(dir)) fs.listStatus(dir).iterator
         .filter(_.getPath.getName.startsWith(".staging-"))

@@ -1719,17 +1719,23 @@ object Dedup {
     if (!fs.exists(dir) || probe.isEmpty) return 0L
     // (hit slice, keep slice) of a batch under either representation;
     // the frame path pins ONE materialization of the key set so the
-    // per-batch joins never recompute the request's lineage
+    // per-batch joins never recompute the request's lineage. The keep
+    // filter coalesces its NULL (a null-keyed store row makes `NOT isin`
+    // null → silently dropped) to true — null-keyed rows are never named
+    // by a takedown, and the frame path's left_anti keeps them, so the
+    // two representations must agree (review finding r12).
+    val kfOpt =
+      if (probe.length <= max) None else Some(keysNorm.localCheckpoint(true))
     val (hitOf, keepOf): (DataFrame => DataFrame, DataFrame => DataFrame) =
-      if (probe.length <= max)
-        (b => b.filter(col(keyCol).isin(probe: _*)),
-          b => b.filter(!col(keyCol).isin(probe: _*)))
-      else {
-        val kf = keysNorm.localCheckpoint(true)
-        (b => b.join(kf, b(keyCol) === kf("__erase_key"), "left_semi"),
-          b => b.join(kf, b(keyCol) === kf("__erase_key"), "left_anti"))
+      kfOpt match {
+        case None =>
+          (b => b.filter(col(keyCol).isin(probe: _*)),
+            b => b.filter(coalesce(!col(keyCol).isin(probe: _*), lit(true))))
+        case Some(kf) =>
+          (b => b.join(kf, b(keyCol) === kf("__erase_key"), "left_semi"),
+            b => b.join(kf, b(keyCol) === kf("__erase_key"), "left_anti"))
       }
-    withStoreLock(fs, dir) {
+    try withStoreLock(fs, dir) {
       val batches = fs.listStatus(dir)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
       var erased = 0L
@@ -1768,7 +1774,9 @@ object Dedup {
         }
       }
       erased
-    }
+    } finally kfOpt.foreach( // release the pinned key frame (SCALING #38's
+      // cache-leak class: one orphaned checkpoint RDD per drained batch)
+      org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint)
   }
 
   /** Connected components over a near-dup pair list → the dedup decision a
@@ -2070,12 +2078,17 @@ object Dedup {
       if (snapshots.isEmpty) return 0L
       val labels = spark.read.parquet(s"$storePath/${snapshots.last}")
         .select(col("doc_id"), col("cluster_id"))
-      val survivors =
-        if (probe.length <= max) labels.filter(!col("doc_id").isin(probe: _*))
-        else {
-          val kf = keysNorm.localCheckpoint(true)
+      // keep-filter null posture matches the frame path's left_anti: a
+      // null-keyed snapshot row survives either representation (coalesce —
+      // `NOT isin` is null on a null key and would silently drop the row)
+      val kfOpt =
+        if (probe.length <= max) None else Some(keysNorm.localCheckpoint(true))
+      val survivors = kfOpt match {
+        case None =>
+          labels.filter(coalesce(!col("doc_id").isin(probe: _*), lit(true)))
+        case Some(kf) =>
           labels.join(kf, labels("doc_id") === kf("__erase_key"), "left_anti")
-        }
+      }
       val relabeled = survivors
         .join(
           survivors.groupBy(col("cluster_id"))
@@ -2083,9 +2096,15 @@ object Dedup {
           Seq("cluster_id"))
         .select(col("doc_id"), col("__new_label").as("cluster_id"))
         .localCheckpoint(true)
-      val erased = labels.count() - relabeled.count()
-      if (erased > 0L) publishLabelSnapshot(fs, dir, relabeled, snapshots)
-      erased
+      try {
+        val erased = labels.count() - relabeled.count()
+        if (erased > 0L) publishLabelSnapshot(fs, dir, relabeled, snapshots)
+        erased
+      } finally {
+        // both pins die with the call (SCALING #38's cache-leak class)
+        (kfOpt.toSeq :+ relabeled).foreach(
+          org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint)
+      }
     }
   }
 

@@ -305,9 +305,15 @@ object Profiling {
     // heavy-hitter candidates, byte total, per-freq-column MG candidates);
     // the head() is one row of ≤k longs + bounded string lists — the
     // bounded-collect doctrine.
-    val freqAggs = freqCols.zipWithIndex.map { case (c, i) =>
-      graft.functions.MisraGriesAgg.candidates(col(c).cast("string"), SkewCap)
-        .as(s"__freq_cand_$i")
+    // each freq column rides with ITS OWN non-null count: the MG floor
+    // for a column is relative to the rows that column's summary actually
+    // processed — judging it by the KEY column's count is unsound when
+    // the null profiles differ (review finding r12)
+    val freqAggs = freqCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        graft.functions.MisraGriesAgg.candidates(col(c).cast("string"), SkewCap)
+          .as(s"__freq_cand_$i"),
+        count(col(c).cast("string")).as(s"__freq_n_$i"))
     }
     val aggs = Seq(
       graft.functions.KmvAgg.kMinValues(
@@ -319,13 +325,14 @@ object Profiling {
     val mins = row.getSeq[Long](1)
     val cands = row.getSeq[String](2)
     val nBytes = if (row.isNullAt(3)) 0L else row.getLong(3)
-    val freqCands = freqCols.indices.map(i => row.getSeq[String](4 + i))
+    val freqCands = freqCols.indices.map(i =>
+      (freqCols(i), row.getSeq[String](4 + 2 * i), row.getLong(5 + 2 * i)))
     // Publish through the shared tail at max+1 WITH pruning: a rewrite
     // over a dir that reached version ≥ 2 via appends must supersede that
     // entry, not sit silently shadowed below it (latestEntry resolves the
     // max — advice finding r11).
     publishObservedStats(df.sparkSession, dir, keyCol, k,
-      nRows, mins, cands, df, nBytes, freqCols.zip(freqCands))
+      nRows, mins, cands, df, nBytes, freqCands)
   }
 
   /** The sketch-then-verify skew stat: EXACT count of the table's most
@@ -494,13 +501,15 @@ object Profiling {
     require(storedKey == keyCol,
       s"stats entry at $dir sketches key '$storedKey', refresh offers '$keyCol'")
     val key = col(keyCol).cast("string")
-    val freqAggs = freqCols.zipWithIndex.map { case (c, i) =>
-      graft.functions.MisraGriesAgg.candidates(col(c).cast("string"), SkewCap)
-        .as(s"__freq_cand_$i")
+    val freqAggs = freqCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        graft.functions.MisraGriesAgg.candidates(col(c).cast("string"), SkewCap)
+          .as(s"__freq_cand_$i"),
+        count(col(c).cast("string")).as(s"__freq_n_$i"))
     }
-    // ONE sketch pass (count for the floor + key MG + per-freq-col MG),
-    // then the bounded exact-verify scans — the same two-pass shape as the
-    // write path, minus the write.
+    // ONE sketch pass (count for the floor + key MG + per-freq-col MG and
+    // per-col non-null counts), then the bounded exact-verify scans — the
+    // same two-pass shape as the write path, minus the write.
     val row = df.agg(count(key).as("n_rows"),
       (graft.functions.MisraGriesAgg.candidates(key, SkewCap).as("cands") +:
         freqAggs): _*).head()
@@ -509,8 +518,9 @@ object Profiling {
     val (top, hotKeys) = topKeyCount(df, keyCol, cands, nRows)
     publishSkew(dir, version, top, hotKeys)
     freqCols.zipWithIndex.foreach { case (c, i) =>
-      publishFreq(dir, version, c,
-        exactFreqs(df, c, row.getSeq[String](2 + i), nRows))
+      val (floor, counts) =
+        exactFreqs(df, c, row.getSeq[String](2 + 2 * i), row.getLong(3 + 2 * i))
+      publishFreq(dir, version, c, floor, counts)
     }
     top
   }
@@ -592,9 +602,14 @@ object Profiling {
     * exact value frequencies for declared filter columns (empty when the
     * version has no freq sidecars — appends drop them, [[refreshSkew]]
     * re-arms them). */
+  /** One declared filter column's persisted frequencies: the exact count
+    * of every value above `floor` (the publish-time observability bound —
+    * an ABSENT value's count is provably ≤ floor). */
+  final case class FreqStats(floor: Long, counts: Map[String, Long])
+
   final case class TableStats(nRows: Long, estDistinct: Long,
       topCount: Long, hotKeys: Seq[String], avgRowBytes: Long,
-      freqs: Map[String, Map[String, Long]])
+      freqs: Map[String, FreqStats])
 
   def readTableStats(spark: org.apache.spark.sql.SparkSession,
       dir: String, expectKey: String): TableStats = {
@@ -660,7 +675,8 @@ object Profiling {
     observed.write.mode("overwrite").parquet(dataDir)
     val (nRows, mins, cands, nBytes) = decodeStatsObservation(obs.get)
     val freqCands = freqCols.zipWithIndex.map { case (c, i) =>
-      c -> decodeSeq[String](obs.get(s"__graft_stats_freq_$i"))
+      (c, decodeSeq[String](obs.get(s"__graft_stats_freq_$i")),
+        obs.get(s"__graft_stats_freqn_$i").asInstanceOf[Long])
     }
     publishObservedStats(df.sparkSession, statsDir, keyCol, k,
       nRows, mins, cands, df.sparkSession.read.parquet(dataDir),
@@ -682,7 +698,7 @@ object Profiling {
       nRows: Long, mins: Seq[Long], cands: Seq[String],
       verifySource: DataFrame,
       nBytes: Long = -1L,
-      freqCands: Seq[(String, Seq[String])] = Nil): Unit = {
+      freqCands: Seq[(String, Seq[String], Long)] = Nil): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(statsDir))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(statsDir, "_format-stats-kmv-v1"),
@@ -690,8 +706,9 @@ object Profiling {
     val (top, hotKeys) = topKeyCount(verifySource, keyCol, cands, nRows)
     val cur = entryDirs(statsDir).map(_._2).maxOption.getOrElse(0L)
     publishSkew(statsDir, cur + 1L, top, hotKeys)
-    freqCands.foreach { case (c, fc) =>
-      publishFreq(statsDir, cur + 1L, c, exactFreqs(verifySource, c, fc, nRows))
+    freqCands.foreach { case (c, fc, cn) =>
+      val (floor, counts) = exactFreqs(verifySource, c, fc, cn)
+      publishFreq(statsDir, cur + 1L, c, floor, counts)
     }
     publishEntry(entryFrame(spark, nRows, mins, keyCol, k, nBytes),
       statsDir, cur + 1L)
@@ -713,19 +730,30 @@ object Profiling {
     * floor is decided by exact counts, so the published set is
     * batch-order-independent even though the candidate set is not). For a
     * low-cardinality column (≤ SkewCap distinct values) this is the
-    * complete exact histogram — precisely the q1 segment-filter case. */
+    * complete exact histogram — precisely the q1 segment-filter case.
+    *
+    * The floor's basis is `colNonNull` — the FREQ COLUMN's own non-null
+    * count, i.e. the rows its MG summary actually processed — never the
+    * key column's: when the key has more nulls, a key-based floor sits
+    * BELOW the column's MG guarantee, values between the floors are
+    * published order-dependently, and the reader's "absent ⇒ ≤ floor"
+    * bound is unsound (review finding r12). Returns (floor, counts); the
+    * floor is persisted in the sidecar so readers bound absent values by
+    * the SAME number the publish filtered at. */
   private def exactFreqs(df: DataFrame, colName: String,
-      cands: Seq[String], nRows: Long): Seq[(String, Long)] =
-    if (cands.isEmpty || nRows <= 0L) Nil
+      cands: Seq[String], colNonNull: Long): (Long, Seq[(String, Long)]) = {
+    val floor = math.max(0L, colNonNull) / (SkewCap + 1L)
+    if (cands.isEmpty || colNonNull <= 0L) (floor, Nil)
     else {
       val c = col(colName).cast("string")
-      val floor = nRows / (SkewCap + 1L)
-      df.filter(c.isin(cands: _*))
-        .groupBy(c.as("__v")).agg(count(lit(1)).as("__c"))
-        .filter(col("__c") > floor)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-        .sortBy(_._1).toSeq
+      (floor,
+        df.filter(c.isin(cands: _*))
+          .groupBy(c.as("__v")).agg(count(lit(1)).as("__c"))
+          .filter(col("__c") > floor)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+          .sortBy(_._1).toSeq)
     }
+  }
 
   /** The (count, KMV, MG, bytes[, per-freq-col MG]) observation columns
     * every stats-equipped writer attaches — named so the publisher can
@@ -746,9 +774,13 @@ object Profiling {
         .as("__graft_stats_cands")) ++
       schema.map(s =>
         coalesce(sum(rowBytesColumn(s)), lit(0L)).as("__graft_stats_bytes")) ++
-      freqCols.zipWithIndex.map { case (c, i) =>
-        graft.functions.MisraGriesAgg.candidates(col(c).cast("string"), SkewCap)
-          .as(s"__graft_stats_freq_$i")
+      freqCols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(
+          graft.functions.MisraGriesAgg.candidates(col(c).cast("string"), SkewCap)
+            .as(s"__graft_stats_freq_$i"),
+          // the column's own non-null count — the floor basis its MG
+          // guarantee is relative to (see [[exactFreqs]])
+          count(col(c).cast("string")).as(s"__graft_stats_freqn_$i"))
       }
   }
 
@@ -809,18 +841,21 @@ object Profiling {
       .map(k => java.net.URLDecoder.decode(k, "UTF-8"))
   }
 
-  /** Freq sidecar `freq-<urlencoded col>-<version>`: one URL-ENCODED
-    * `value count` line per tracked value of the column (exact counts
-    * above the MG floor — [[exactFreqs]]). Same placement rules as the
-    * skew sidecar: written before the entry rename, absent for
-    * append-produced versions, atomic temp+move publish (REPLACE so
+  /** Freq sidecar `freq-<urlencoded col>-<version>`: a `# <floor>` header
+    * (the publish-time observability floor — stored so readers bound
+    * ABSENT values by the same number the publish filtered at; '#' can
+    * never open a value line, URL encoding emits it as %23), then one
+    * URL-ENCODED `value count` line per tracked value of the column
+    * (exact counts above that floor — [[exactFreqs]]). Same placement
+    * rules as the skew sidecar: written before the entry rename, absent
+    * for append-produced versions, atomic temp+move publish (REPLACE so
     * [[refreshSkew]] can re-arm an existing version). */
   private def publishFreq(dir: String, version: Long, colName: String,
-      freqs: Seq[(String, Long)]): Unit = {
+      floor: Long, freqs: Seq[(String, Long)]): Unit = {
     val tmp = java.nio.file.Paths.get(dir, s".freq-staging-${System.nanoTime()}")
-    val body = freqs.map { case (v, c) =>
+    val body = (s"# $floor" +: freqs.map { case (v, c) =>
       s"${java.net.URLEncoder.encode(v, "UTF-8")} $c"
-    }.mkString("\n")
+    }).mkString("\n")
     java.nio.file.Files.writeString(tmp, body)
     java.nio.file.Files.move(tmp,
       java.nio.file.Paths.get(dir,
@@ -831,16 +866,25 @@ object Profiling {
   }
 
   /** All freq sidecars at one entry version, parsed to
-    * column → (value → exact count). */
-  private def readFreqs(dir: String, version: Long): Map[String, Map[String, Long]] =
+    * column → (stored floor, value → exact count). A sidecar without the
+    * `# <floor>` header is malformed — fail loudly rather than guess a
+    * floor the publish didn't filter at. */
+  private def readFreqs(dir: String, version: Long): Map[String, FreqStats] =
     freqFiles(dir).filter(_._3 == version).map { case (p, colName, _) =>
-      val body = java.nio.file.Files.readString(p)
-      val entries = body.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+      val lines = java.nio.file.Files.readString(p)
+        .split('\n').toSeq.filter(_.nonEmpty)
+      val floor = lines.headOption match {
+        case Some(h) if h.startsWith("# ") => h.stripPrefix("# ").trim.toLong
+        case _ => throw new IllegalStateException(
+          s"freq sidecar $p lacks its '# <floor>' header — absent-value " +
+            "bounds would be guesses; rebuild the sidecar (refreshSkew)")
+      }
+      val entries = lines.tail.map { line =>
         val i = line.lastIndexOf(' ')
         java.net.URLDecoder.decode(line.substring(0, i), "UTF-8") ->
           line.substring(i + 1).toLong
       }
-      colName -> entries.toMap
+      colName -> FreqStats(floor, entries.toMap)
     }.toMap
 
   /** (path, decoded column name, version) for every freq sidecar. The

@@ -197,14 +197,15 @@ object CostBasedJoin {
     // filtered to `col = value` and the catalog tracks that column's
     // value frequencies (freq sidecar), the dim side is judged by the
     // filtered cardinality — the EXACT count when the value is tracked,
-    // else the MG observability floor n/(SkewCap+1) as a sound upper
+    // else the sidecar's STORED observability floor as a sound upper
     // bound (published iff count > floor, so an absent value is provably
-    // at or below it). This removes q1's conservative bias (filtered dim
-    // judged by unfiltered stats — it declined broadcasts it should
-    // take). Distinct estimate is capped at the filtered count; row
-    // width is unchanged by a filter.
-    val bSide = dimFilter.flatMap { case (c, v) => rs.freqs.get(c).map { m =>
-        val nEff = m.getOrElse(v, rs.nRows / (Profiling.SkewCap + 1L))
+    // at or below it; the floor's basis is the freq column's own non-null
+    // count — see Profiling.exactFreqs). This removes q1's conservative
+    // bias (filtered dim judged by unfiltered stats — it declined
+    // broadcasts it should take). Distinct estimate is capped at the
+    // filtered count; row width is unchanged by a filter.
+    val bSide = dimFilter.flatMap { case (c, v) => rs.freqs.get(c).map { f =>
+        val nEff = f.counts.getOrElse(v, f.floor)
         SideStats(nEff, math.min(rs.estDistinct, math.max(nEff, 1L)),
           rs.topCount, rs.avgRowBytes)
       }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
 /** Gap-based sessionization through Spark 4's `transformWithState` EVENT-TIME
   * TIMERS — the engine-native answer to append-mode's withheld-tail problem:
@@ -13,36 +13,54 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   * `session_end` (last event + gap); when the watermark crosses it the engine
   * calls `handleExpiredTimer` and the session emits with NO sentinel. This is
   * the mechanism a production pipeline actually wants: emission latency is
-  * the gap (the session is closed the moment the watermark proves no event
-  * can extend it), not "whenever the next event for some other reason pushes
-  * a window past the watermark".
+  * the gap plus the watermark lag (a session closes the moment the watermark
+  * proves no admissible event can extend it), not "whenever the next event
+  * for some other reason pushes a window past the watermark".
   *
   * Semantics are q21/q32's, spec- and oracle-pinned:
   *  - INCLUSIVE gap boundary: an event at exactly `end + gap` still merges.
   *  - `session_end` = last event time + gap (the session_window convention).
-  *  - A session CLOSED BY A LATER EVENT of the same key (the gap between
-  *    them exceeded) emits immediately in that micro-batch — no timer wait.
-  *  - The open tail session emits when its timer expires: Spark fires
+  *  - EVERY emission is watermark-driven: a session emits exactly when the
+  *    watermark reaches its `end + gap` deadline (a session "closed" by a
+  *    later same-user event has its deadline strictly below that event's
+  *    time, so the watermark crosses it as soon as the event's time enters
+  *    the watermark — no separate eager-emission path). Spark fires
   *    event-time timers with `expiry <= watermark` (INCLUSIVE — probe- and
   *    spec-pinned; the watermark is the µs max event time floored to ms,
   *    minus the delay, and a timer at exactly the watermark fires).
+  *  - OUT-OF-ORDER arrivals the watermark admits are exact: state holds the
+  *    LIST of gap-separated islands still above the watermark, so a
+  *    straggler more than a gap OLDER than the open session's start forms
+  *    (or extends) its own earlier island instead of silently fusing into
+  *    the newer one, and a bridging straggler merges adjacent islands —
+  *    batch gaps-and-islands semantics verbatim (review finding r12; the
+  *    earlier single-value-state design took `min(start, t)`
+  *    unconditionally, which is only correct for event-time-ordered feeds).
   *
-  * State is ONE fixed-width row per open session per user (start, end,
-  * count, armed timer) in the RocksDB store, merged incrementally — at
-  * 100 TB scale, state size tracks the number of concurrently-open
-  * sessions, never the event count. Timers are re-armed by delete+register
-  * as the session extends (at most one live timer per key).
+  * State is a fixed-width row PER PENDING ISLAND per user in the RocksDB
+  * store (one for in-order feeds; more only while admitted disorder is in
+  * flight, and every island's deadline sits above the watermark, so the
+  * list length is bounded by the watermark delay over the gap) — at 100 TB
+  * scale, state size tracks the number of concurrently-open sessions, never
+  * the event count. Timers are REGISTER-ONLY: re-arming registers the new
+  * deadline and leaves the stale one to fire as a harmless empty sweep
+  * (deleting could drop an expiry another island of the same key shares);
+  * each sweep emits every island whose deadline the watermark has crossed,
+  * so a stale firing can only emit sessions that are due anyway.
   *
-  * Batch-twin contract: on arrival orders that respect event time across
-  * micro-batches (always true for a single batch; enforced for multi-batch
-  * feeds by the watermark discipline), the emitted set equals the batch
-  * gaps-and-islands sessions of the same events, minus open tails whose
-  * timers the final watermark never crossed.
+  * Batch-twin contract: the emitted set equals the batch gaps-and-islands
+  * sessions over the ADMITTED events (the engine drops rows below the
+  * watermark before the operator), minus islands whose deadline the final
+  * watermark never crossed. Sole boundary caveat: an event arriving at
+  * exactly `end + gap` of a session in the same millisecond its deadline
+  * fires lands in a fresh island rather than the just-emitted one.
   */
 object StreamingTimerSession {
 
   case class SessEvent(user_id: Long, ts_us: Long)
-  /** Open-session accumulator; `timer_ms` = the armed timer (-1 none). */
+  /** Pending (not yet emitted) island; `timer_ms` = the deadline this
+    * island last REGISTERED a timer at (-1 none) — registration bookkeeping
+    * only, stale timers are never deleted (see class doc). */
   case class SessAcc(start_us: Long, end_us: Long, n: Long, timer_ms: Long)
   /** Emitted session; µs epoch bounds (end = last event + gap), converted
     * to timestamps by the caller (`timestamp_micros`). */
@@ -51,12 +69,17 @@ object StreamingTimerSession {
 
   class TimerSessionProcessor(gapMs: Long)
       extends StatefulProcessor[Long, SessEvent, SessionOut] {
-    @transient private var sess: ValueState[SessAcc] = _
+    @transient private var islands: ListState[SessAcc] = _
     private val gapUs = gapMs * 1000L
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      sess = getHandle.getValueState[SessAcc](
-        "sess", Encoders.product[SessAcc], TTLConfig.NONE)
+      islands = getHandle.getListState[SessAcc](
+        "islands", Encoders.product[SessAcc], TTLConfig.NONE)
+
+    private def deadlineMs(isl: SessAcc): Long =
+      // ms grain (the engine's timer clock) — floorDiv so pre-epoch times
+      // round the same way the watermark's µs→ms floor does
+      Math.floorDiv(isl.end_us, 1000L) + gapMs
 
     override def handleInputRows(
         key: Long,
@@ -66,46 +89,65 @@ object StreamingTimerSession {
       // rows within a micro-batch arrive shuffle-ordered
       val ts = rows.map(_.ts_us).toArray
       java.util.Arrays.sort(ts)
-      var out = List.empty[SessionOut]
-      var acc: SessAcc = if (sess.exists()) sess.get() else null
+      if (ts.isEmpty) return Iterator.empty
+      // pending islands, ascending by start, pairwise more than a gap apart
+      // (the stored invariant); fold each event into the first island that
+      // can reach it, else insert a fresh one — a merge can bridge into the
+      // NEXT island (the straggler that closes a gap between two)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[SessAcc]
+      islands.get().foreach(buf += _)
       ts.foreach { t =>
-        if (acc == null) acc = SessAcc(t, t, 1L, -1L)
-        else if (t <= acc.end_us + gapUs)
-          // inclusive boundary; a within-gap straggler older than the
-          // session start extends it downward (batch-twin exactness)
-          acc = SessAcc(math.min(acc.start_us, t), math.max(acc.end_us, t),
-            acc.n + 1L, acc.timer_ms)
+        var i = 0
+        while (i < buf.length && buf(i).end_us + gapUs < t) i += 1
+        if (i == buf.length || t < buf(i).start_us - gapUs)
+          buf.insert(i, SessAcc(t, t, 1L, -1L))
         else {
-          out ::= SessionOut(key, acc.start_us, acc.end_us + gapUs, acc.n)
-          acc = SessAcc(t, t, 1L, acc.timer_ms)
+          buf(i) = SessAcc(math.min(buf(i).start_us, t),
+            math.max(buf(i).end_us, t), buf(i).n + 1L, buf(i).timer_ms)
+          while (i + 1 < buf.length &&
+              buf(i + 1).start_us <= buf(i).end_us + gapUs) {
+            val a = buf(i); val b = buf(i + 1)
+            buf(i) = SessAcc(a.start_us, math.max(a.end_us, b.end_us),
+              a.n + b.n, math.max(a.timer_ms, b.timer_ms))
+            buf.remove(i + 1)
+          }
         }
       }
-      if (acc != null) {
-        // re-arm the gap timer at the (possibly new) session end; ms grain
-        // (the engine's timer clock) — floorDiv so pre-epoch times round
-        // the same way the watermark's µs→ms floor does
-        val newTimer = Math.floorDiv(acc.end_us, 1000L) + gapMs
-        if (acc.timer_ms != newTimer) {
-          if (acc.timer_ms >= 0L) getHandle.deleteTimer(acc.timer_ms)
-          getHandle.registerTimer(newTimer)
-        }
-        sess.update(SessAcc(acc.start_us, acc.end_us, acc.n, newTimer))
+      // (re-)arm: one registered timer per island at its current deadline
+      val armed = buf.map { isl =>
+        val d = deadlineMs(isl)
+        if (isl.timer_ms != d) {
+          getHandle.registerTimer(d)
+          SessAcc(isl.start_us, isl.end_us, isl.n, d)
+        } else isl
       }
-      out.reverseIterator
+      islands.clear()
+      islands.put(armed.toArray)
+      Iterator.empty
     }
 
     override def handleExpiredTimer(
         key: Long,
         timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
-      if (!sess.exists()) return Iterator.empty
-      val acc = sess.get()
-      // only the session's OWN armed timer closes it — a stale timer from
-      // a superseded session end (delete raced an extension) is ignored
-      if (expiredTimerInfo.getExpiryTimeInMs() == acc.timer_ms) {
-        sess.clear()
-        Iterator.single(SessionOut(key, acc.start_us, acc.end_us + gapUs, acc.n))
-      } else Iterator.empty
+      // sweep by DEADLINE, not by matching the fired expiry: any firing
+      // (including a stale one from a superseded deadline) emits exactly
+      // the islands the watermark has proven closed. The max() guards
+      // against an engine reporting the pre-advance watermark during
+      // timer processing — a fired timer's expiry is itself a watermark
+      // lower bound (expiry <= wm is the firing condition).
+      val wm = math.max(timerValues.getCurrentWatermarkInMs(),
+        expiredTimerInfo.getExpiryTimeInMs())
+      val buf = scala.collection.mutable.ArrayBuffer.empty[SessAcc]
+      islands.get().foreach(buf += _)
+      val (closed, open) = buf.partition(deadlineMs(_) <= wm)
+      if (closed.isEmpty) Iterator.empty
+      else {
+        islands.clear()
+        if (open.nonEmpty) islands.put(open.toArray)
+        closed.sortBy(_.start_us).iterator.map(isl =>
+          SessionOut(key, isl.start_us, isl.end_us + gapUs, isl.n))
+      }
     }
   }
 

@@ -682,6 +682,35 @@ class CurationSpec extends SparkSpec {
     assert(ex.getMessage.contains("format markers"))
   }
 
+  test("gram-store bloom: a batch-less dir's stale sketch is swept with the markers (param-change crash window)") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomsweep").toString
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // build a real store to capture a genuine _bloom.bin, then retire the
+    // batch — the crash-after-bloom-swap-before-batch-rename shape
+    Curation.noveltyIngest(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text"),
+      dir, n = 3, estimatedGrams = 1L << 20, numBits = 1L << 23)
+    assert(fs.exists(new Path(dir, "_bloom.bin")))
+    fs.listStatus(new Path(dir)).filter(_.getPath.getName.startsWith("batch-"))
+      .foreach(b => fs.delete(b.getPath, true))
+    // a later ingest with DIFFERENT Bloom params must not merge into the
+    // stale sketch (IncompatibleMergeException pre-fix) — the batch-less
+    // dir describes no published content, so the sketch rebuilds clean
+    val scored = Curation.noveltyIngest(
+      Seq((2L, "iota kappa lambda mu nu xi omicron pi")).toDF("doc_id", "text"),
+      dir, n = 3, estimatedGrams = 1L << 10, numBits = 1L << 16)
+    assert(scored.count() == 1L)
+    assert(fs.exists(new Path(dir, "_bloom.bin")), "fresh sketch republished")
+    // and the rebuilt store serves: an exact replay of doc 2 scores 0 novel
+    val replay = Curation.noveltyIngest(
+      Seq((3L, "iota kappa lambda mu nu xi omicron pi")).toDF("doc_id", "text"),
+      dir, n = 3, estimatedGrams = 1L << 10, numBits = 1L << 16)
+    assert(replay.select(sum(col("n_novel"))).head().getLong(0) == 0L,
+      "stale-bloom sweep must not cost the store its known grams")
+  }
+
   test("lengthBuckets: exact rank deciles, per-bucket max padding waste") {
     // 20 docs with token lengths 1..20 → 10 buckets of 2 docs; bucket k
     // holds lengths (2k+1, 2k+2), waste = (2·(2k+2) − (4k+3))·10⁴ div

@@ -519,6 +519,38 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("writerZ@1"))
   }
 
+  test("eraseFromStore: a null-keyed store row survives under BOTH key representations") {
+    import org.apache.spark.sql.functions.col
+    // a store batch whose id column carries a null (schema-opaque rewrite
+    // must not let `NOT isin`'s three-valued logic silently drop it while
+    // the frame path's left_anti keeps it — the same request would then
+    // erase different data depending on its SIZE)
+    def mkStore(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_null_row").toString + "/store"
+      Seq((java.lang.Long.valueOf(1L), 10L), (null.asInstanceOf[java.lang.Long], 20L),
+          (java.lang.Long.valueOf(3L), 30L))
+        .toDF("doc_id", "sig")
+        .write.parquet(s"$dir/batch-seed")
+      dir
+    }
+    def survivors(dir: String) = spark.read
+      .option("recursiveFileLookup", "true").parquet(dir)
+      .select("sig").collect().map(_.getLong(0)).toSet
+    // literal path (3 keys)
+    val d1 = mkStore()
+    assert(Dedup.eraseFromStore(spark, d1, Seq(1L).toDF("doc_id")) === 1L)
+    assert(survivors(d1) === Set(20L, 30L),
+      "literal path: the null-keyed row must survive an unrelated takedown")
+    // frame path (> LiteralKeyMax keys, same single hit)
+    val d2 = mkStore()
+    val bigKeys = spark.range(0, graft.etl.Erasure.LiteralKeyMax + 5L)
+      .select((col("id") + 1000000L).as("doc_id"))
+      .union(Seq(1L).toDF("doc_id"))
+    assert(Dedup.eraseFromStore(spark, d2, bigKeys) === 1L)
+    assert(survivors(d2) === Set(20L, 30L),
+      "frame path: identical outcome for the identical takedown")
+  }
+
   test("eraseFromStore: a 100k-key takedown runs through the frame path (no giant isin literal)") {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = java.nio.file.Files.createTempDirectory("graft_big_erase").toString + "/store"

@@ -375,7 +375,8 @@ class ProfilingSpec extends SparkSpec {
     Profiling.writeTableStats(dim, dir, "k", freqCols = Seq("seg"))
     val f = Profiling.readTableStats(spark, dir, "k").freqs
     assert(f.keySet == Set("seg"))
-    assert(f("seg") == Map("A" -> 500L, "B" -> 300L, "C" -> 150L,
+    assert(f("seg").floor == 1000L / 31L, "stored floor = colCount/(cap+1)")
+    assert(f("seg").counts == Map("A" -> 500L, "B" -> 300L, "C" -> 150L,
       "x y=&%" -> 45L),
       s"exact counts above floor 32, rare value excluded: ${f("seg")}")
     // append: freq sidecars are write-time-only (exact counts cannot
@@ -389,7 +390,29 @@ class ProfilingSpec extends SparkSpec {
       .select(col("id").cast("string").as("k"), lit("A").as("seg")))
     Profiling.refreshSkew(cur, dir, "k", freqCols = Seq("seg"))
     val f2 = Profiling.readTableStats(spark, dir, "k").freqs
-    assert(f2("seg")("A") == 600L && f2("seg")("B") == 300L)
+    assert(f2("seg").counts("A") == 600L && f2("seg").counts("B") == 300L)
+  }
+
+  test("freq floor basis is the freq column's OWN non-null count, not the key's") {
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val dir = tmp("graft_freq_floor")
+    // key null on 900 of 1000 rows (count(k)=100 → key-based floor 3);
+    // seg populated on ALL 1000 (its MG floor = 32). A value with count
+    // 20 sits between the floors: its MG candidacy is NOT guaranteed, so
+    // determinism demands EXCLUSION — and the reader must bound absent
+    // values by 32, the floor the publish actually filtered at.
+    val df = spark.range(0, 1000).select(
+      when(col("id") < 100, col("id").cast("string")).as("k"),
+      when(col("id") < 600, "big").when(col("id") < 620, "mid")
+        .otherwise(concat(lit("f"), (col("id") % 25).cast("string"))).as("seg"))
+    Profiling.writeTableStats(df, dir, "k", freqCols = Seq("seg"))
+    val f = Profiling.readTableStats(spark, dir, "k").freqs("seg")
+    assert(f.floor == 1000L / 31L,
+      s"floor must come from seg's 1000 non-null rows, got ${f.floor}")
+    assert(f.counts.get("big").contains(600L))
+    assert(!f.counts.contains("mid"),
+      "a count between the key-based and column-based floors must be " +
+        s"excluded (candidacy not order-independent there): ${f.counts}")
   }
 
   test("n_bytes: measured variable width; append-merge ≡ fresh write; old entries read unknown") {

@@ -177,4 +177,83 @@ class StreamingTwsSpec extends SparkSpec {
     // user 5's lone session (timer 260 s > final wm 200 s) stays open
     assert(s.table("tmr2_sink").filter(col("user_id") === 5L).isEmpty)
   }
+
+  test("timer sessions: an admitted straggler beyond the gap forms its own earlier session (no fusion)") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    import s.implicits._
+    val srcDir = Files.createTempDirectory("graft_tmr3_src").toString
+    val ckpt = Files.createTempDirectory("graft_tmr3_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    def tsOf(ms: Long) = new java.sql.Timestamp(ms)
+    def write(rows: (Long, java.sql.Timestamp)*): Unit =
+      rows.toSeq.toDF("user_id", "ts").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    // gap 60 s, watermark delay 120 s. Batch 1: user 7 at 200 s (wm after
+    // = 80 s). Batch 2: user 7 at 100 s — ADMITTED (>= 80 s) but more than
+    // a gap below the open session's 200 s start: batch gaps-and-islands
+    // gives TWO sessions; the pre-fix single-value state took
+    // min(start, t) and silently fused them into [100, 260] n=2.
+    write((7L, tsOf(200000L)))
+    val q = graft.streaming.StreamingTimerSession.sessions(
+        s.readStream.schema(schema).parquet(srcDir), gapMs = 60000L,
+        watermark = "120 seconds")
+      .toDF()
+      .writeStream.format("memory").queryName("tmr3_sink")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      write((7L, tsOf(100000L)))
+      q.processAllAvailable()
+      write((8L, tsOf(500000L))) // pusher: wm → 380 s, both deadlines fire
+      q.processAllAvailable()
+    } finally q.stop()
+    val u7 = s.table("tmr3_sink").filter(col("user_id") === 7L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(u7 === Set((100000000L, 160000000L, 1L),
+      (200000000L, 260000000L, 1L)), s"got $u7")
+  }
+
+  test("timer sessions: a bridging straggler merges two pending islands into one session") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    import s.implicits._
+    val srcDir = Files.createTempDirectory("graft_tmr4_src").toString
+    val ckpt = Files.createTempDirectory("graft_tmr4_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    def tsOf(ms: Long) = new java.sql.Timestamp(ms)
+    def write(rows: (Long, java.sql.Timestamp)*): Unit =
+      rows.toSeq.toDF("user_id", "ts").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    // gap 60 s, delay 120 s. Batch 1: user 9 at 100 s and 200 s — two
+    // pending islands (gap exceeded), NEITHER emitted yet (first deadline
+    // 160 s > wm 80 s — emission is watermark-driven, not closed-by-later-
+    // event). Batch 2: 150 s bridges them (within gap of both) → ONE
+    // session [100, 260] n=3, exactly the batch twin over all three.
+    write((9L, tsOf(100000L)), (9L, tsOf(200000L)))
+    val q = graft.streaming.StreamingTimerSession.sessions(
+        s.readStream.schema(schema).parquet(srcDir), gapMs = 60000L,
+        watermark = "120 seconds")
+      .toDF()
+      .writeStream.format("memory").queryName("tmr4_sink")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      write((9L, tsOf(150000L)))
+      q.processAllAvailable()
+      write((10L, tsOf(700000L))) // pusher: wm → 580 s
+      q.processAllAvailable()
+    } finally q.stop()
+    val u9 = s.table("tmr4_sink").filter(col("user_id") === 9L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(u9 === Set((100000000L, 260000000L, 3L)), s"got $u9")
+  }
 }
