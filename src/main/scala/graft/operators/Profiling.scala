@@ -293,7 +293,7 @@ object Profiling {
   /** Misra–Gries capacity for the catalog's skew stat: any key holding more
     * than 1/(SkewCap+1) of the rows is GUARANTEED an MG candidate, so the
     * exact-verified top-key count is deterministic whenever it clears that
-    * floor (the sketch-then-verify clamp — see [[topKeyCount]]). Mirrored
+    * floor (the sketch-then-verify clamp — see [[clampTop]]). Mirrored
     * in the b2/b3 oracle replays; changing it must keep both in lockstep
     * (it is interpolated there from this constant). */
   val SkewCap = 30
@@ -335,35 +335,59 @@ object Profiling {
       nRows, mins, cands, df, nBytes, freqCands)
   }
 
-  /** The sketch-then-verify skew stat: EXACT count of the table's most
-    * frequent key, clamped to 0 below the MG guarantee floor. The MG pass
-    * gives ≤ SkewCap candidates; this counts ONLY those (the h1/h2 shape —
-    * the shuffle carries ≤ SkewCap keys, never the vocabulary) and keeps
-    * the max. Determinism argument: if the true top key's share exceeds
-    * 1/(SkewCap+1) it is provably a candidate (MG bound), so max-over-
-    * candidates IS the true max and the clamp passes on both engines; below
-    * the floor both engines emit 0 regardless of which candidates survived
-    * — so the stat is SQL-replayable even though the candidate SET is
-    * order-sensitive. `top > n div (cap+1)` is the overflow-free form of
-    * `top·(cap+1) > n` (equivalent for non-negative BIGINTs). */
-  /** (clamped top count, EVERY key over the MG floor). The COUNT is the
-    * deterministic, oracle-replayed stat (see scaladoc above); the KEY SET
-    * is actuation metadata for the hot/cold join split — and it is itself
-    * deterministic: a key clears the floor iff its true count does (every
-    * over-floor key is provably a candidate, so none can be missed; the
-    * exact counts decide membership). Bounded at ≤ SkewCap keys. */
-  private def topKeyCount(df: DataFrame, keyCol: String,
-      cands: Seq[String], nRows: Long): (Long, Seq[String]) = {
-    if (cands.isEmpty || nRows <= 0L) (0L, Nil)
+  /** The sketch-then-verify exact-count pass, FUSED across every tracked
+    * column: for each (column, MG candidates) spec one conditional-sum
+    * aggregate per candidate value (≤ SkewCap each, so the aggregate row
+    * stays bounded) — the verify pays ONE table scan regardless of how
+    * many columns it verifies (the key's skew stat plus F declared freq
+    * columns was 1 + F scans, each a full re-read of the table at 100 TB),
+    * and the all-sums shape is map-side-complete whole-stage codegen: no
+    * shuffle carries anything but one bounded row per partition. Counts
+    * are exact (sum of 1-iff-equal over rows — identical to the groupBy
+    * formulation) so every published artifact is bit-identical. A spec
+    * with no candidates contributes nothing; all-empty skips the scan. */
+  private def exactCandidateCounts(df: DataFrame,
+      specs: Seq[(String, Seq[String])]): Seq[Map[String, Long]] = {
+    val aggs = specs.flatMap { case (c, cands) =>
+      val sc = col(c).cast("string")
+      cands.map(v => sum(when(sc === lit(v), 1L).otherwise(0L)))
+    }
+    if (aggs.isEmpty) specs.map(_ => Map.empty[String, Long])
     else {
-      val key = col(keyCol).cast("string")
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      var off = 0
+      specs.map { case (_, cands) =>
+        val m = cands.zipWithIndex.map { case (v, i) =>
+          // sum over zero rows is SQL NULL
+          v -> (if (row.isNullAt(off + i)) 0L else row.getLong(off + i))
+        }.toMap
+        off += cands.length
+        m
+      }
+    }
+  }
+
+  /** The sketch-then-verify skew stat: EXACT count of the table's most
+    * frequent key, clamped to 0 below the MG guarantee floor. The
+    * candidates' exact counts come from [[exactCandidateCounts]]' fused
+    * scan. Determinism argument: if the true top key's share exceeds
+    * 1/(SkewCap+1) it is provably a candidate (MG bound), so max-over-
+    * candidates IS the true max and the clamp passes on both engines;
+    * below the floor both engines emit 0 regardless of which candidates
+    * survived — so the stat is SQL-replayable even though the candidate
+    * SET is order-sensitive. `top > n div (cap+1)` is the overflow-free
+    * form of `top·(cap+1) > n` (equivalent for non-negative BIGINTs).
+    * Returns (clamped top count, EVERY key over the MG floor — actuation
+    * metadata for the hot/cold split, itself deterministic: a key clears
+    * the floor iff its true count does). Bounded at ≤ SkewCap keys. */
+  private def clampTop(counts: Map[String, Long], nRows: Long)
+      : (Long, Seq[String]) = {
+    if (counts.isEmpty || nRows <= 0L) (0L, Nil)
+    else {
       val floor = nRows / (SkewCap + 1L)
-      val hot = df.filter(key.isin(cands: _*))
-        .groupBy(key.as("__k")).agg(count(lit(1)).as("__c"))
-        .filter(col("__c") > floor)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val hot = counts.filter(_._2 > floor)
       if (hot.isEmpty) (0L, Nil)
-      else (hot.map(_._2).max, hot.map(_._1).toSeq.sorted)
+      else (hot.values.max, hot.keys.toSeq.sorted)
     }
   }
 
@@ -508,19 +532,23 @@ object Profiling {
         count(col(c).cast("string")).as(s"__freq_n_$i"))
     }
     // ONE sketch pass (count for the floor + key MG + per-freq-col MG and
-    // per-col non-null counts), then the bounded exact-verify scans — the
+    // per-col non-null counts), then ONE fused exact-verify scan — the
     // same two-pass shape as the write path, minus the write.
     val row = df.agg(count(key).as("n_rows"),
       (graft.functions.MisraGriesAgg.candidates(key, SkewCap).as("cands") +:
         freqAggs): _*).head()
     val nRows = row.getLong(0)
     val cands = row.getSeq[String](1)
-    val (top, hotKeys) = topKeyCount(df, keyCol, cands, nRows)
+    val allCounts = exactCandidateCounts(df,
+      (keyCol -> cands) +: freqCols.zipWithIndex.map { case (c, i) =>
+        c -> row.getSeq[String](2 + 2 * i)
+      })
+    val (top, hotKeys) = clampTop(allCounts.head, nRows)
     publishSkew(dir, version, top, hotKeys)
     freqCols.zipWithIndex.foreach { case (c, i) =>
-      val (floor, counts) =
-        exactFreqs(df, c, row.getSeq[String](2 + 2 * i), row.getLong(3 + 2 * i))
-      publishFreq(dir, version, c, floor, counts)
+      val (floor, kept) =
+        freqsAboveFloor(allCounts(1 + i), row.getLong(3 + 2 * i))
+      publishFreq(dir, version, c, floor, kept)
     }
     top
   }
@@ -575,7 +603,7 @@ object Profiling {
     * data-sized). The estimate arithmetic is the exact BIGINT formula the
     * SQL replay uses, so a strategy derived from it is cross-engine
     * deterministic. The third element is the clamped exact top-key count
-    * ([[topKeyCount]]), or -1 when unknown (entry produced by an append —
+    * ([[clampTop]]), or -1 when unknown (entry produced by an append —
     * the skew stat is write-time-only). */
   def readStatsDriver(spark: org.apache.spark.sql.SparkSession,
       dir: String, expectKey: String): (Long, Long, Long) = {
@@ -703,12 +731,15 @@ object Profiling {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(statsDir, "_format-stats-kmv-v1"),
       Array.empty[Byte])
-    val (top, hotKeys) = topKeyCount(verifySource, keyCol, cands, nRows)
+    // ONE fused verify scan for the key's skew stat + every freq column
+    val allCounts = exactCandidateCounts(verifySource,
+      (keyCol -> cands) +: freqCands.map { case (c, fc, _) => c -> fc })
+    val (top, hotKeys) = clampTop(allCounts.head, nRows)
     val cur = entryDirs(statsDir).map(_._2).maxOption.getOrElse(0L)
     publishSkew(statsDir, cur + 1L, top, hotKeys)
-    freqCands.foreach { case (c, fc, cn) =>
-      val (floor, counts) = exactFreqs(verifySource, c, fc, cn)
-      publishFreq(statsDir, cur + 1L, c, floor, counts)
+    freqCands.zip(allCounts.tail).foreach { case ((c, _, cn), counts) =>
+      val (floor, kept) = freqsAboveFloor(counts, cn)
+      publishFreq(statsDir, cur + 1L, c, floor, kept)
     }
     publishEntry(entryFrame(spark, nRows, mins, keyCol, k, nBytes),
       statsDir, cur + 1L)
@@ -723,36 +754,28 @@ object Profiling {
     }
   }
 
-  /** The freq sidecar's exact-verify pass — [[topKeyCount]]'s per-COLUMN
-    * sibling for equality-predicate SELECTIVITY: exact counts of the MG
-    * candidate VALUES of a declared filter column, kept only above the MG
-    * observability floor (same determinism argument — membership above the
-    * floor is decided by exact counts, so the published set is
-    * batch-order-independent even though the candidate set is not). For a
-    * low-cardinality column (≤ SkewCap distinct values) this is the
-    * complete exact histogram — precisely the q1 segment-filter case.
+  /** The freq sidecar's publish filter — [[clampTop]]'s per-COLUMN sibling
+    * for equality-predicate SELECTIVITY: of a declared filter column's MG
+    * candidate values (counted exactly by [[exactCandidateCounts]]' fused
+    * scan), keep only those above the MG observability floor (same
+    * determinism argument — membership above the floor is decided by exact
+    * counts, so the published set is batch-order-independent even though
+    * the candidate set is not). For a low-cardinality column (≤ SkewCap
+    * distinct values) this is the complete exact histogram — precisely the
+    * q1 segment-filter case.
     *
     * The floor's basis is `colNonNull` — the FREQ COLUMN's own non-null
     * count, i.e. the rows its MG summary actually processed — never the
     * key column's: when the key has more nulls, a key-based floor sits
     * BELOW the column's MG guarantee, values between the floors are
     * published order-dependently, and the reader's "absent ⇒ ≤ floor"
-    * bound is unsound (review finding r12). Returns (floor, counts); the
+    * bound is unsound (review finding r12). Returns (floor, kept); the
     * floor is persisted in the sidecar so readers bound absent values by
     * the SAME number the publish filtered at. */
-  private def exactFreqs(df: DataFrame, colName: String,
-      cands: Seq[String], colNonNull: Long): (Long, Seq[(String, Long)]) = {
+  private def freqsAboveFloor(counts: Map[String, Long],
+      colNonNull: Long): (Long, Seq[(String, Long)]) = {
     val floor = math.max(0L, colNonNull) / (SkewCap + 1L)
-    if (cands.isEmpty || colNonNull <= 0L) (floor, Nil)
-    else {
-      val c = col(colName).cast("string")
-      (floor,
-        df.filter(c.isin(cands: _*))
-          .groupBy(c.as("__v")).agg(count(lit(1)).as("__c"))
-          .filter(col("__c") > floor)
-          .collect().map(r => (r.getString(0), r.getLong(1)))
-          .sortBy(_._1).toSeq)
-    }
+    (floor, counts.filter(_._2 > floor).toSeq.sortBy(_._1))
   }
 
   /** The (count, KMV, MG, bytes[, per-freq-col MG]) observation columns
@@ -779,7 +802,7 @@ object Profiling {
           graft.functions.MisraGriesAgg.candidates(col(c).cast("string"), SkewCap)
             .as(s"__graft_stats_freq_$i"),
           // the column's own non-null count — the floor basis its MG
-          // guarantee is relative to (see [[exactFreqs]])
+          // guarantee is relative to (see [[freqsAboveFloor]])
           count(col(c).cast("string")).as(s"__graft_stats_freqn_$i"))
       }
   }
@@ -846,7 +869,7 @@ object Profiling {
     * ABSENT values by the same number the publish filtered at; '#' can
     * never open a value line, URL encoding emits it as %23), then one
     * URL-ENCODED `value count` line per tracked value of the column
-    * (exact counts above that floor — [[exactFreqs]]). Same placement
+    * (exact counts above that floor — [[freqsAboveFloor]]). Same placement
     * rules as the skew sidecar: written before the entry rename, absent
     * for append-produced versions, atomic temp+move publish (REPLACE so
     * [[refreshSkew]] can re-arm an existing version). */

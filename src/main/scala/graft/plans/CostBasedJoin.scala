@@ -200,7 +200,7 @@ object CostBasedJoin {
     // else the sidecar's STORED observability floor as a sound upper
     // bound (published iff count > floor, so an absent value is provably
     // at or below it; the floor's basis is the freq column's own non-null
-    // count — see Profiling.exactFreqs). This removes q1's conservative
+    // count — see Profiling.freqsAboveFloor). This removes q1's conservative
     // bias (filtered dim judged by unfiltered stats — it declined
     // broadcasts it should take). Distinct estimate is capped at the
     // filtered count; row width is unchanged by a filter.
