@@ -1135,6 +1135,49 @@ object SparkEntry {
           .localCheckpoint(true)
       } finally dirs.foreach(deleteRecursively)
     }),
+    // Range-predicate selectivity (the histogram sidecar consumed): the
+    // dim is filtered to a 30-day o_orderdate window; the catalog's
+    // equi-width histogram judges the filtered dim by the overlapped
+    // bins' exact count sum (a sound upper bound — partially-covered edge
+    // bins count fully), taking a broadcast the unfiltered row count
+    // refuses; the full-span control keeps the refusal. n_eff_b is an
+    // output column, so the whole bin pipeline — exact min/max edges,
+    // width = (max − min) div HistBins + 1, domain clamp, bin-index
+    // arithmetic — is hash-checked against DuckDB's replay of the same
+    // integer math. Day numbers count from 1995-01-01, the fixture's first order date (the x19 date-diff
+    // twin); broadcastBytes pinned vacuous (the b6 convention) so the
+    // oracle ladder stays an exact replay.
+    "b8_range_broadcast" -> ((s, d) => {
+      import graft.plans.CostBasedJoin
+      val dirs = Seq("li", "ord").map(n => stagingDir(s"graft_b8_$n"))
+      val Seq(liD, ordD) = dirs
+      try {
+        val li = Tables.lineitem(s, d)
+        val odim = Tables.orders(s, d).withColumn("o_day",
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+            .cast("long"))
+        Profiling.writeTableStats(li, liD.toString, "l_orderkey")
+        Profiling.writeTableStats(odim, ordD.toString, "o_orderkey",
+          histCols = Seq("o_day"))
+        def auditRow(caseId: String, lo: Long, hi: Long)
+            : org.apache.spark.sql.DataFrame = {
+          val dimF = odim.filter(col("o_day").between(lo, hi))
+          val (joined, c) = CostBasedJoin.chooseJoin(li, dimF,
+            "l_orderkey", "o_orderkey", liD.toString, ordD.toString,
+            broadcastRows = 12000L, broadcastBytes = Long.MaxValue,
+            dimRange = Some(("o_day", lo, hi)))
+          joined.groupBy().agg(count(lit(1)).as("actual_rows")).select(
+            lit(caseId).as("case_id"),
+            lit(c.strategy).as("strategy"),
+            lit(c.right.nRows).as("n_eff_b"),
+            lit(c.estRows).as("est_rows"),
+            col("actual_rows"))
+        }
+        auditRow("narrow_range", 0L, 29L)
+          .unionAll(auditRow("wide_range", 0L, 20000L))
+          .localCheckpoint(true)
+      } finally dirs.foreach(deleteRecursively)
+    }),
     // Arbitrary GROUPING SETS (rollup/cube's general form; q14/q15 cover
     // those specializations).
     "q26_grouping_sets" -> ((s, d) => {
@@ -4507,6 +4550,60 @@ object SparkEntry {
          |UNION ALL
          |${bCase("wide_dim",
              "(SELECT CAST(sum(8 + strlen(repeat('x', 492))) AS BIGINT) FROM orders)")}""".stripMargin
+    },
+    // Histogram-rung replay: day values, exact min/max, width =
+    // (max − min) // HistBins + 1, n_eff = count of rows whose bin index
+    // falls inside the range's clamped bin window — the same integer
+    // arithmetic Profiling publishes and histRangeUpperBound consumes
+    // (all offsets non-negative, so // matches the Scala div). The ladder
+    // then runs with n_eff as the dim's cardinality and the distinct
+    // estimate capped at it (CostBasedJoin's dimRange path verbatim).
+    "b8_range_broadcast" -> {
+      val ef = graft.plans.CostBasedJoin.DefaultExplodeFactor
+      val bf = graft.plans.CostBasedJoin.DefaultBloomFactor
+      val ssf = graft.plans.CostBasedJoin.SaltShareFactor
+      val nb = graft.operators.Profiling.HistBins
+      val liN = "(SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL)"
+      def rCase(caseId: String, lo: Long, hi: Long) =
+        s"""SELECT '$caseId' AS case_id,
+           |       CASE WHEN n_eff <= 12000 THEN 'broadcast'
+           |            WHEN top_a > n_a // $ssf THEN 'salted'
+           |            WHEN est_rows > $ef * (n_a + n_eff) THEN 'shuffle_hash'
+           |            WHEN $bf * d_eff <= d_a THEN 'bloom_reduced'
+           |            ELSE 'shuffle' END AS strategy,
+           |       n_eff AS n_eff_b, est_rows, actual_rows
+           |FROM (SELECT n_a, n_eff, d_a, least(ordd.d, greatest(n_eff, 1)) AS d_eff,
+           |             lit.top AS top_a,
+           |             CAST(CASE WHEN n_a = 0 OR n_eff = 0 THEN 0
+           |                       WHEN n_a <= 4611686018427387904 // n_eff
+           |                       THEN (n_a * n_eff) // greatest(d_a, least(ordd.d, greatest(n_eff, 1)), 1)
+           |                       WHEN (n_a // greatest(d_a, least(ordd.d, greatest(n_eff, 1)), 1)) <= 9223372036854775807 // n_eff
+           |                       THEN (n_a // greatest(d_a, least(ordd.d, greatest(n_eff, 1)), 1)) * n_eff
+           |                       ELSE 9223372036854775807 END AS BIGINT) AS est_rows,
+           |             actual_rows
+           |      FROM (SELECT CAST($liN AS BIGINT) AS n_a),
+           |           (SELECT CAST(CASE WHEN $hi < he.mn OR $lo > he.mx THEN 0 ELSE
+           |                     (SELECT count(*) FROM od, he h2
+           |                      WHERE (od.v - h2.mn) // h2.w
+           |                            BETWEEN (greatest($lo, h2.mn) - h2.mn) // h2.w
+           |                                AND (least($hi, h2.mx) - h2.mn) // h2.w)
+           |                   END AS BIGINT) AS n_eff FROM he),
+           |           (SELECT lid.d AS d_a FROM lid), ordd, lit,
+           |           (SELECT CAST((SELECT count(*) FROM lineitem l
+           |                         JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |                         WHERE CAST(o.o_orderdate AS DATE) - DATE '1995-01-01'
+           |                               BETWEEN $lo AND $hi) AS BIGINT) AS actual_rows))""".stripMargin
+      s"""WITH ${sqlKmvD("li", "SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem WHERE l_orderkey IS NOT NULL")},
+         |${sqlKmvD("ord", "SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS v FROM orders WHERE o_orderkey IS NOT NULL")},
+         |${sqlTopCTE("li", "SELECT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem WHERE l_orderkey IS NOT NULL")},
+         |od AS (SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS v
+         |       FROM orders WHERE o_orderdate IS NOT NULL),
+         |he AS (SELECT CAST(min(v) AS BIGINT) AS mn, CAST(max(v) AS BIGINT) AS mx,
+         |              (CAST(max(v) AS BIGINT) - CAST(min(v) AS BIGINT)) // $nb + 1 AS w
+         |       FROM od)
+         |${rCase("narrow_range", 0L, 29L)}
+         |UNION ALL
+         |${rCase("wide_range", 0L, 20000L)}""".stripMargin
     },
     "q26_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,

@@ -298,8 +298,16 @@ object Profiling {
     * (it is interpolated there from this constant). */
   val SkewCap = 30
 
+  /** Equi-width histogram bin count for the range-selectivity sidecars —
+    * single-sourced: the b8 oracle CASE interpolates this value, and the
+    * bin width formula `(max - min) div HistBins + 1` must stay in
+    * lockstep with the SQL replay (the +1 keeps every in-range value's
+    * bin index inside [0, HistBins)). */
+  val HistBins = 32
+
   def writeTableStats(df: DataFrame, dir: String, keyCol: String,
-      k: Int = 64, freqCols: Seq[String] = Nil): Unit = {
+      k: Int = 64, freqCols: Seq[String] = Nil,
+      histCols: Seq[String] = Nil): Unit = {
     val key = col(keyCol).cast("string")
     // ONE aggregate pass for all the sketches (row count, KMV mins, MG
     // heavy-hitter candidates, byte total, per-freq-column MG candidates);
@@ -315,11 +323,18 @@ object Profiling {
           .as(s"__freq_cand_$i"),
         count(col(c).cast("string")).as(s"__freq_n_$i"))
     }
+    // histogram columns ride the same pass with exact MIN/MAX (the bin
+    // edges' basis — deterministic, order-independent); bin counts join
+    // the fused verify scan below
+    val histAggs = histCols.zipWithIndex.flatMap { case (c, i) =>
+      val x = col(c).cast("long")
+      Seq(min(x).as(s"__hist_min_$i"), max(x).as(s"__hist_max_$i"))
+    }
     val aggs = Seq(
       graft.functions.KmvAgg.kMinValues(
         TextHash.sampleKey(concat(lit("kmv:"), key)), k).as("mins"),
       graft.functions.MisraGriesAgg.candidates(key, SkewCap).as("cands"),
-      sum(rowBytesColumn(df.schema)).as("n_bytes")) ++ freqAggs
+      sum(rowBytesColumn(df.schema)).as("n_bytes")) ++ freqAggs ++ histAggs
     val row = df.agg(count(key).as("n_rows"), aggs: _*).head()
     val nRows = row.getLong(0)
     val mins = row.getSeq[Long](1)
@@ -327,12 +342,22 @@ object Profiling {
     val nBytes = if (row.isNullAt(3)) 0L else row.getLong(3)
     val freqCands = freqCols.indices.map(i =>
       (freqCols(i), row.getSeq[String](4 + 2 * i), row.getLong(5 + 2 * i)))
+    val histBase = 4 + 2 * freqCols.size
+    val histSpecs = histCols.indices.map { i =>
+      // all-null column → (0, -1) sentinel (empty histogram; any range
+      // reads 0 matching rows, which is exact)
+      val mn = if (row.isNullAt(histBase + 2 * i)) 0L
+        else row.getLong(histBase + 2 * i)
+      val mx = if (row.isNullAt(histBase + 2 * i + 1)) -1L
+        else row.getLong(histBase + 2 * i + 1)
+      (histCols(i), mn, mx)
+    }
     // Publish through the shared tail at max+1 WITH pruning: a rewrite
     // over a dir that reached version ≥ 2 via appends must supersede that
     // entry, not sit silently shadowed below it (latestEntry resolves the
     // max — advice finding r11).
     publishObservedStats(df.sparkSession, dir, keyCol, k,
-      nRows, mins, cands, df, nBytes, freqCands)
+      nRows, mins, cands, df, nBytes, freqCands, histSpecs)
   }
 
   /** The sketch-then-verify exact-count pass, FUSED across every tracked
@@ -347,16 +372,38 @@ object Profiling {
     * formulation) so every published artifact is bit-identical. A spec
     * with no candidates contributes nothing; all-empty skips the scan. */
   private def exactCandidateCounts(df: DataFrame,
-      specs: Seq[(String, Seq[String])]): Seq[Map[String, Long]] = {
-    val aggs = specs.flatMap { case (c, cands) =>
+      specs: Seq[(String, Seq[String])]): Seq[Map[String, Long]] =
+    fusedVerifyCounts(df, specs, Nil)._1
+
+  /** [[exactCandidateCounts]] plus equi-width histogram BIN counts in the
+    * SAME fused scan: each bin spec (column, min, width) contributes
+    * [[HistBins]] conditional sums keyed on the integer bin index
+    * `(x − min) div width` (offsets are non-negative for in-range values,
+    * so truncating and flooring division agree — the CLAUDE.md negative-div
+    * rule can't bite). Still one table read for key skew + F freq columns
+    * + H histogram columns. */
+  private def fusedVerifyCounts(df: DataFrame,
+      candSpecs: Seq[(String, Seq[String])],
+      binSpecs: Seq[(String, Long, Long)])
+      : (Seq[Map[String, Long]], Seq[Array[Long]]) = {
+    val candAggs = candSpecs.flatMap { case (c, cands) =>
       val sc = col(c).cast("string")
       cands.map(v => sum(when(sc === lit(v), 1L).otherwise(0L)))
     }
-    if (aggs.isEmpty) specs.map(_ => Map.empty[String, Long])
+    val binAggs = binSpecs.flatMap { case (c, mn, w) =>
+      val bin = expr(s"(CAST(`$c` AS BIGINT) - ${mn}L) div ${w}L")
+      (0 until HistBins).map(i =>
+        sum(when(col(c).isNotNull && (bin === lit(i.toLong)), 1L)
+          .otherwise(0L)))
+    }
+    val aggs = candAggs ++ binAggs
+    if (aggs.isEmpty)
+      (candSpecs.map(_ => Map.empty[String, Long]),
+        binSpecs.map(_ => Array.fill(HistBins)(0L)))
     else {
       val row = df.agg(aggs.head, aggs.tail: _*).head()
       var off = 0
-      specs.map { case (_, cands) =>
+      val candCounts = candSpecs.map { case (_, cands) =>
         val m = cands.zipWithIndex.map { case (v, i) =>
           // sum over zero rows is SQL NULL
           v -> (if (row.isNullAt(off + i)) 0L else row.getLong(off + i))
@@ -364,6 +411,13 @@ object Profiling {
         off += cands.length
         m
       }
+      val binCounts = binSpecs.map { _ =>
+        val a = Array.tabulate(HistBins)(i =>
+          if (row.isNullAt(off + i)) 0L else row.getLong(off + i))
+        off += HistBins
+        a
+      }
+      (candCounts, binCounts)
     }
   }
 
@@ -494,6 +548,9 @@ object Profiling {
     freqFiles(dir).filter(_._3 <= curVersion).foreach { case (p, _, _) =>
       java.nio.file.Files.deleteIfExists(p)
     }
+    histFiles(dir).filter(_._3 <= curVersion).foreach { case (p, _, _) =>
+      java.nio.file.Files.deleteIfExists(p)
+    }
   }
 
   /** Re-arm the WRITE-TIME-ONLY sidecars after appends — the maintenance
@@ -515,7 +572,7 @@ object Profiling {
     * a stale-version pairing ([[readStatsFull]] resolves everything at one
     * version). Returns the clamped top-key count it published. */
   def refreshSkew(df: DataFrame, dir: String, keyCol: String,
-      freqCols: Seq[String] = Nil): Long = {
+      freqCols: Seq[String] = Nil, histCols: Seq[String] = Nil): Long = {
     require(java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir, "_format-stats-kmv-v1")),
       s"stats entry at $dir lacks _format-stats-kmv-v1 — nothing to refresh")
@@ -531,24 +588,44 @@ object Profiling {
           .as(s"__freq_cand_$i"),
         count(col(c).cast("string")).as(s"__freq_n_$i"))
     }
+    val histAggs = histCols.zipWithIndex.flatMap { case (c, i) =>
+      val x = col(c).cast("long")
+      Seq(min(x).as(s"__hist_min_$i"), max(x).as(s"__hist_max_$i"))
+    }
     // ONE sketch pass (count for the floor + key MG + per-freq-col MG and
-    // per-col non-null counts), then ONE fused exact-verify scan — the
-    // same two-pass shape as the write path, minus the write.
+    // per-col non-null counts + per-hist-col min/max), then ONE fused
+    // exact-verify scan — the same two-pass shape as the write path,
+    // minus the write.
     val row = df.agg(count(key).as("n_rows"),
       (graft.functions.MisraGriesAgg.candidates(key, SkewCap).as("cands") +:
-        freqAggs): _*).head()
+        (freqAggs ++ histAggs)): _*).head()
     val nRows = row.getLong(0)
     val cands = row.getSeq[String](1)
-    val allCounts = exactCandidateCounts(df,
+    val histBase = 2 + 2 * freqCols.size
+    val histSpecs = histCols.indices.map { i =>
+      val mn = if (row.isNullAt(histBase + 2 * i)) 0L
+        else row.getLong(histBase + 2 * i)
+      val mx = if (row.isNullAt(histBase + 2 * i + 1)) -1L
+        else row.getLong(histBase + 2 * i + 1)
+      (histCols(i), mn, mx)
+    }
+    val binSpecs = histSpecs.map { case (c, mn, mx) =>
+      (c, mn, if (mx < mn) 1L else (mx - mn) / HistBins + 1L)
+    }
+    val (allCounts, allBins) = fusedVerifyCounts(df,
       (keyCol -> cands) +: freqCols.zipWithIndex.map { case (c, i) =>
         c -> row.getSeq[String](2 + 2 * i)
-      })
+      }, binSpecs)
     val (top, hotKeys) = clampTop(allCounts.head, nRows)
     publishSkew(dir, version, top, hotKeys)
     freqCols.zipWithIndex.foreach { case (c, i) =>
       val (floor, kept) =
         freqsAboveFloor(allCounts(1 + i), row.getLong(3 + 2 * i))
       publishFreq(dir, version, c, floor, kept)
+    }
+    histSpecs.zip(binSpecs).zip(allBins).foreach {
+      case (((c, mn, mx), (_, _, w)), bins) =>
+        publishHist(dir, version, c, mn, mx, w, bins)
     }
     top
   }
@@ -635,9 +712,17 @@ object Profiling {
     * an ABSENT value's count is provably ≤ floor). */
   final case class FreqStats(floor: Long, counts: Map[String, Long])
 
+  /** One declared RANGE column's persisted equi-width histogram: exact
+    * min/max (the edge basis), width = (max − min) div HistBins + 1, and
+    * the exact per-bin counts (zero bins omitted). `maxV < minV` is the
+    * all-null sentinel (empty histogram — every range matches 0 rows). */
+  final case class HistStats(minV: Long, maxV: Long, width: Long,
+      bins: Map[Int, Long])
+
   final case class TableStats(nRows: Long, estDistinct: Long,
       topCount: Long, hotKeys: Seq[String], avgRowBytes: Long,
-      freqs: Map[String, FreqStats])
+      freqs: Map[String, FreqStats],
+      hists: Map[String, HistStats] = Map.empty)
 
   def readTableStats(spark: org.apache.spark.sql.SparkSession,
       dir: String, expectKey: String): TableStats = {
@@ -663,7 +748,7 @@ object Profiling {
     val avgBytes =
       if (nBytes < 0L || nRows <= 0L) -1L else nBytes / nRows
     TableStats(nRows, d, readSkew(dir, version), readHotKeys(dir, version),
-      avgBytes, readFreqs(dir, version))
+      avgBytes, readFreqs(dir, version), readHists(dir, version))
   }
 
   /** One (n_rows, mins, key_col, k) stats row for a frame — ONE aggregate
@@ -695,10 +780,12 @@ object Profiling {
     * same data (spec-pinned), so every estimate/planner consumer is
     * unchanged. */
   def writeWithStats(df: DataFrame, dataDir: String, statsDir: String,
-      keyCol: String, k: Int = 64, freqCols: Seq[String] = Nil): Unit = {
+      keyCol: String, k: Int = 64, freqCols: Seq[String] = Nil,
+      histCols: Seq[String] = Nil): Unit = {
     val obs = org.apache.spark.sql.Observation(
       s"graft-stats-${java.util.UUID.randomUUID()}")
-    val statsCols = statsObservationColumns(keyCol, k, Some(df.schema), freqCols)
+    val statsCols =
+      statsObservationColumns(keyCol, k, Some(df.schema), freqCols, histCols)
     val observed = df.observe(obs, statsCols.head, statsCols.tail: _*)
     observed.write.mode("overwrite").parquet(dataDir)
     val (nRows, mins, cands, nBytes) = decodeStatsObservation(obs.get)
@@ -706,9 +793,16 @@ object Profiling {
       (c, decodeSeq[String](obs.get(s"__graft_stats_freq_$i")),
         obs.get(s"__graft_stats_freqn_$i").asInstanceOf[Long])
     }
+    val histSpecs = histCols.zipWithIndex.map { case (c, i) =>
+      val mn = obs.get.get(s"__graft_stats_histmin_$i")
+        .collect { case l: Long => l }.getOrElse(0L)
+      val mx = obs.get.get(s"__graft_stats_histmax_$i")
+        .collect { case l: Long => l }.getOrElse(-1L)
+      (c, mn, mx)
+    }
     publishObservedStats(df.sparkSession, statsDir, keyCol, k,
       nRows, mins, cands, df.sparkSession.read.parquet(dataDir),
-      nBytes, freqCands)
+      nBytes, freqCands, histSpecs)
   }
 
   /** Publish a catalog entry + skew sidecar from ALREADY-OBSERVED sketch
@@ -726,20 +820,30 @@ object Profiling {
       nRows: Long, mins: Seq[Long], cands: Seq[String],
       verifySource: DataFrame,
       nBytes: Long = -1L,
-      freqCands: Seq[(String, Seq[String], Long)] = Nil): Unit = {
+      freqCands: Seq[(String, Seq[String], Long)] = Nil,
+      histSpecs: Seq[(String, Long, Long)] = Nil): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(statsDir))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(statsDir, "_format-stats-kmv-v1"),
       Array.empty[Byte])
     // ONE fused verify scan for the key's skew stat + every freq column
-    val allCounts = exactCandidateCounts(verifySource,
-      (keyCol -> cands) +: freqCands.map { case (c, fc, _) => c -> fc })
+    // + every histogram column's bin counts
+    val binSpecs = histSpecs.map { case (c, mn, mx) =>
+      (c, mn, if (mx < mn) 1L else (mx - mn) / HistBins + 1L)
+    }
+    val (allCounts, allBins) = fusedVerifyCounts(verifySource,
+      (keyCol -> cands) +: freqCands.map { case (c, fc, _) => c -> fc },
+      binSpecs)
     val (top, hotKeys) = clampTop(allCounts.head, nRows)
     val cur = entryDirs(statsDir).map(_._2).maxOption.getOrElse(0L)
     publishSkew(statsDir, cur + 1L, top, hotKeys)
     freqCands.zip(allCounts.tail).foreach { case ((c, _, cn), counts) =>
       val (floor, kept) = freqsAboveFloor(counts, cn)
       publishFreq(statsDir, cur + 1L, c, floor, kept)
+    }
+    histSpecs.zip(binSpecs).zip(allBins).foreach {
+      case (((c, mn, mx), (_, _, w)), bins) =>
+        publishHist(statsDir, cur + 1L, c, mn, mx, w, bins)
     }
     publishEntry(entryFrame(spark, nRows, mins, keyCol, k, nBytes),
       statsDir, cur + 1L)
@@ -750,6 +854,9 @@ object Profiling {
       java.nio.file.Files.deleteIfExists(p)
     }
     freqFiles(statsDir).filter(_._3 < cur + 1L).foreach { case (p, _, _) =>
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    histFiles(statsDir).filter(_._3 < cur + 1L).foreach { case (p, _, _) =>
       java.nio.file.Files.deleteIfExists(p)
     }
   }
@@ -786,7 +893,8 @@ object Profiling {
     * rung stays row-count-only). */
   def statsObservationColumns(keyCol: String, k: Int = 64,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      freqCols: Seq[String] = Nil)
+      freqCols: Seq[String] = Nil,
+      histCols: Seq[String] = Nil)
       : Seq[org.apache.spark.sql.Column] = {
     val key = col(keyCol).cast("string")
     Seq(
@@ -804,6 +912,13 @@ object Profiling {
           // the column's own non-null count — the floor basis its MG
           // guarantee is relative to (see [[freqsAboveFloor]])
           count(col(c).cast("string")).as(s"__graft_stats_freqn_$i"))
+      } ++
+      histCols.zipWithIndex.flatMap { case (c, i) =>
+        // exact min/max — the histogram sidecar's edge basis; bin counts
+        // come from the publish tail's fused verify scan
+        val x = col(c).cast("long")
+        Seq(min(x).as(s"__graft_stats_histmin_$i"),
+          max(x).as(s"__graft_stats_histmax_$i"))
       }
   }
 
@@ -909,6 +1024,71 @@ object Profiling {
       }
       colName -> FreqStats(floor, entries.toMap)
     }.toMap
+
+  /** Histogram sidecar `hist-<urlencoded col>-<version>`: a
+    * `# <min> <max> <width>` header (exact column min/max from the stats
+    * pass; width = `(max − min) div HistBins + 1` — the edges' basis,
+    * stored so the reader bins with EXACTLY the publish-time arithmetic),
+    * then one `<binIndex> <count>` line per NONZERO bin (exact counts
+    * from the fused verify scan). Write-time-only like skew/freq (bin
+    * counts are additive but EDGES shift per batch, so append-merging is
+    * not exact); same atomic temp+move publish, [[refreshSkew]] re-arms. */
+  private def publishHist(dir: String, version: Long, colName: String,
+      minV: Long, maxV: Long, width: Long, bins: Array[Long]): Unit = {
+    val tmp = java.nio.file.Paths.get(dir, s".hist-staging-${System.nanoTime()}")
+    val body = (s"# $minV $maxV $width" +:
+      bins.toSeq.zipWithIndex.collect { case (c, i) if c > 0L => s"$i $c" })
+      .mkString("\n")
+    java.nio.file.Files.writeString(tmp, body)
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(dir,
+        f"hist-${java.net.URLEncoder.encode(colName, "UTF-8")}%s-$version%012d"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** All histogram sidecars at one entry version. A header-less sidecar
+    * is malformed — loud, like [[readFreqs]]. */
+  private def readHists(dir: String, version: Long): Map[String, HistStats] =
+    histFiles(dir).filter(_._3 == version).map { case (p, colName, _) =>
+      val lines = java.nio.file.Files.readString(p)
+        .split('\n').toSeq.filter(_.nonEmpty)
+      val (mn, mx, w) = lines.headOption match {
+        case Some(h) if h.startsWith("# ") =>
+          h.stripPrefix("# ").trim.split(' ') match {
+            case Array(a, b, c) => (a.toLong, b.toLong, c.toLong)
+            case _ => throw new IllegalStateException(
+              s"hist sidecar $p header is malformed — rebuild (refreshSkew)")
+          }
+        case _ => throw new IllegalStateException(
+          s"hist sidecar $p lacks its '# <min> <max> <width>' header — " +
+            "range bounds would be guesses; rebuild (refreshSkew)")
+      }
+      val bins = lines.tail.map { line =>
+        val i = line.indexOf(' ')
+        line.substring(0, i).toInt -> line.substring(i + 1).toLong
+      }.toMap
+      colName -> HistStats(mn, mx, w, bins)
+    }.toMap
+
+  private def histFiles(dir: String): Seq[(java.nio.file.Path, String, Long)] = {
+    val stream = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala.toSeq.flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("hist-") && !n.startsWith(".")) {
+          val rest = n.stripPrefix("hist-")
+          val cut = rest.lastIndexOf('-')
+          if (cut <= 0) None
+          else scala.util.Try(
+            (p, java.net.URLDecoder.decode(rest.substring(0, cut), "UTF-8"),
+              rest.substring(cut + 1).toLong)).toOption
+        } else None
+      }
+    } finally stream.close()
+  }
 
   /** (path, decoded column name, version) for every freq sidecar. The
     * version is the text after the LAST dash (URL encoding never emits a

@@ -181,9 +181,13 @@ object CostBasedJoin {
       bloomFactor: Long = DefaultBloomFactor,
       joinType: String = "inner",
       broadcastBytes: Long = DefaultBroadcastBytes,
-      dimFilter: Option[(String, String)] = None): (DataFrame, Choice) = {
+      dimFilter: Option[(String, String)] = None,
+      dimRange: Option[(String, Long, Long)] = None): (DataFrame, Choice) = {
     require(Set("inner", "left_semi", "left_anti", "left_outer")(joinType),
       s"chooseJoin supports inner/left_semi/left_anti/left_outer, got $joinType")
+    require(dimFilter.isEmpty || dimRange.isEmpty,
+      "declare dimFilter OR dimRange, not both (composing selectivities " +
+        "multiplies two upper bounds — unsound without joint stats)")
     val spark = left.sparkSession
     // ONE versioned read per side: count, distinct estimate, top count and
     // hot-key values all come from the SAME resolved entry version, so a
@@ -204,11 +208,20 @@ object CostBasedJoin {
     // bias (filtered dim judged by unfiltered stats — it declined
     // broadcasts it should take). Distinct estimate is capped at the
     // filtered count; row width is unchanged by a filter.
+    // Range-predicate SELECTIVITY: a declared `lo ≤ col ≤ hi` dim filter
+    // over a histogram-tracked column is judged by the SUM of the bins
+    // the range overlaps — a sound upper bound (every matching row lies
+    // in an overlapping bin; partially-covered edge bins count fully).
+    // Same nEff consumption as the equality path.
+    val rangeEff = dimRange.flatMap { case (c, lo, hi) =>
+      rs.hists.get(c).map(histRangeUpperBound(_, lo, hi))
+    }
     val bSide = dimFilter.flatMap { case (c, v) => rs.freqs.get(c).map { f =>
-        val nEff = f.counts.getOrElse(v, f.floor)
-        SideStats(nEff, math.min(rs.estDistinct, math.max(nEff, 1L)),
-          rs.topCount, rs.avgRowBytes)
+        f.counts.getOrElse(v, f.floor)
       }
+    }.orElse(rangeEff).map { nEff =>
+      SideStats(nEff, math.min(rs.estDistinct, math.max(nEff, 1L)),
+        rs.topCount, rs.avgRowBytes)
     }.getOrElse(SideStats(rs.nRows, rs.estDistinct, rs.topCount, rs.avgRowBytes))
     val choice = decide(
       SideStats(na, da, ta, ls.avgRowBytes), bSide,
@@ -216,6 +229,22 @@ object CostBasedJoin {
       broadcastBytes)
     (applyStrategy(left, right, keyLeft, keyRight, joinType, choice, hotKeys,
       statsDirLeft), choice)
+  }
+
+  /** Upper bound on rows matching `lo ≤ col ≤ hi` from an equi-width
+    * histogram sidecar: the range is clamped to the histogram's [min, max]
+    * domain FIRST (offsets stay non-negative, so the truncating integer
+    * division below agrees with flooring — the CLAUDE.md negative-div
+    * rule), then the overlapped bin indices' exact counts sum. An empty
+    * histogram (all-null column, `maxV < minV`) or a range outside the
+    * domain bounds to 0 — exact, since no stored value can match. */
+  def histRangeUpperBound(h: Profiling.HistStats, lo: Long, hi: Long): Long = {
+    if (h.maxV < h.minV || hi < h.minV || lo > h.maxV || hi < lo) 0L
+    else {
+      val binLo = ((math.max(lo, h.minV) - h.minV) / h.width).toInt
+      val binHi = ((math.min(hi, h.maxV) - h.minV) / h.width).toInt
+      (binLo to binHi).map(h.bins.getOrElse(_, 0L)).sum
+    }
   }
 
   /** [[chooseJoin]] from ALREADY-RESOLVED stats — the derived-frame door:

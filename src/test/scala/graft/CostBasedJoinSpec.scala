@@ -289,6 +289,55 @@ class CostBasedJoinSpec extends SparkSpec {
     assert(cU.strategy == c0.strategy && cU.right.nRows == 100000L)
   }
 
+  test("dimRange selectivity: a declared range filter judges the dim by its histogram bin sum") {
+    val dirL = tmp("graft_cbj_rng_l")
+    Profiling.writeTableStats(
+      spark.range(0, 50000).select(col("id").cast("string").as("k")), dirL, "k")
+    // dim: 100k rows, v uniform 0..99999 → width = 99999 div 32 + 1 = 3125,
+    // 32 bins of exactly 3125 rows
+    val dim = spark.range(0, 100000).select(col("id").cast("string").as("k2"),
+      col("id").as("v"))
+    val dirD = tmp("graft_cbj_rng_d")
+    Profiling.writeTableStats(dim, dirD, "k2", histCols = Seq("v"))
+    val left = spark.range(0, 50000).select(col("id").cast("string").as("k"))
+    val right = dim
+    // unfiltered: 100k rows > 10k threshold → refuses broadcast
+    val (_, c0) = CostBasedJoin.chooseJoin(left, right, "k", "k2",
+      dirL, dirD, broadcastRows = 10000L)
+    assert(c0.strategy != "broadcast", c0.toString)
+    // narrow range [0, 6249] → bins 0..1 → 6250 ≤ 10k → broadcast, with
+    // the bin sum as the dim's effective cardinality
+    val (_, cN) = CostBasedJoin.chooseJoin(left, right, "k", "k2",
+      dirL, dirD, broadcastRows = 10000L,
+      dimRange = Some(("v", 0L, 6249L)))
+    assert(cN.strategy == "broadcast" && cN.right.nRows == 6250L, cN.toString)
+    // partially-covered edge bins count FULLY (upper bound): [100, 200]
+    // overlaps only bin 0 → 3125, still a sound bound ≥ the exact 101
+    val (_, cE) = CostBasedJoin.chooseJoin(left, right, "k", "k2",
+      dirL, dirD, broadcastRows = 10000L,
+      dimRange = Some(("v", 100L, 200L)))
+    assert(cE.right.nRows == 3125L, cE.toString)
+    // wide range keeps the refusal
+    val (_, cW) = CostBasedJoin.chooseJoin(left, right, "k", "k2",
+      dirL, dirD, broadcastRows = 10000L,
+      dimRange = Some(("v", 0L, 99999L)))
+    assert(cW.strategy == c0.strategy && cW.right.nRows == 100000L, cW.toString)
+    // a range outside the domain is exactly 0 matching rows
+    val (_, cZ) = CostBasedJoin.chooseJoin(left, right, "k", "k2",
+      dirL, dirD, broadcastRows = 10000L,
+      dimRange = Some(("v", 200000L, 300000L)))
+    assert(cZ.right.nRows == 0L && cZ.strategy == "broadcast", cZ.toString)
+    // an untracked column changes nothing; both predicates at once is loud
+    val (_, cU) = CostBasedJoin.chooseJoin(left, right, "k", "k2",
+      dirL, dirD, broadcastRows = 10000L,
+      dimRange = Some(("other", 0L, 10L)))
+    assert(cU.strategy == c0.strategy && cU.right.nRows == 100000L)
+    assertThrows[IllegalArgumentException] {
+      CostBasedJoin.chooseJoin(left, right, "k", "k2", dirL, dirD,
+        dimFilter = Some("seg" -> "A"), dimRange = Some(("v", 0L, 1L)))
+    }
+  }
+
   test("refreshSkew re-arms the salted rung on an appended table (the b6 lifecycle)") {
     // fact: half the rows on key '0' — the straggler shape
     val hotFact = spark.range(0, 40000).select(

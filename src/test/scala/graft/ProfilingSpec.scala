@@ -393,6 +393,35 @@ class ProfilingSpec extends SparkSpec {
     assert(f2("seg").counts("A") == 600L && f2("seg").counts("B") == 300L)
   }
 
+  test("hist sidecars: exact equi-width bins; append drops, refresh re-arms; all-null sentinel") {
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val dir = tmp("graft_hist")
+    // values 0..999 → min 0, max 999, width = 999 div 32 + 1 = 32:
+    // bins 0..30 hold 32 values each, bin 31 holds the 8 tail values
+    val dim = spark.range(0, 1000).select(col("id").cast("string").as("k"),
+      col("id").as("v"), lit(null).cast("long").as("dead"))
+    Profiling.writeTableStats(dim, dir, "k", histCols = Seq("v", "dead"))
+    val h = Profiling.readTableStats(spark, dir, "k").hists
+    assert(h.keySet == Set("v", "dead"))
+    assert(h("v").minV == 0L && h("v").maxV == 999L && h("v").width == 32L)
+    assert(h("v").bins(0) == 32L && h("v").bins(30) == 32L
+      && h("v").bins(31) == 8L && h("v").bins.values.sum == 1000L)
+    // all-null column → empty-histogram sentinel (max < min)
+    assert(h("dead").maxV < h("dead").minV && h("dead").bins.isEmpty)
+    // append: write-time-only (edges shift per batch) → dropped
+    Profiling.appendTableStats(
+      spark.range(1000, 1100).select(col("id").cast("string").as("k"),
+        col("id").as("v"), lit(null).cast("long").as("dead")), dir, "k")
+    assert(Profiling.readTableStats(spark, dir, "k").hists.isEmpty)
+    // refreshSkew over the grown table re-arms with the NEW domain
+    val cur = spark.range(0, 1100).select(col("id").cast("string").as("k"),
+      col("id").as("v"), lit(null).cast("long").as("dead"))
+    Profiling.refreshSkew(cur, dir, "k", histCols = Seq("v"))
+    val h2 = Profiling.readTableStats(spark, dir, "k").hists("v")
+    assert(h2.minV == 0L && h2.maxV == 1099L && h2.width == 1099L / 32L + 1L)
+    assert(h2.bins.values.sum == 1100L)
+  }
+
   test("freq floor basis is the freq column's OWN non-null count, not the key's") {
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
     val dir = tmp("graft_freq_floor")
