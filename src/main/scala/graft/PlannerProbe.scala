@@ -157,6 +157,44 @@ object PlannerProbe {
     time("join_blind_skew_unhandled")(
       skewC.join(dimFC, col("skew_key") === col("o_orderkey"))
         .groupBy().count().head().getLong(0))
+
+    // ---- range case: the dim is filtered to a 1% date window; without
+    // the histogram the catalog judges it by the UNFILTERED 3M rows and
+    // refuses the broadcast (plain shuffle), with it the window's bin sum
+    // (~30k) takes it — the broadcast skips both exchanges AND the blind
+    // baseline's dim-stage materialization round (AQE only converts to
+    // broadcast after the dim stage runs). ----
+    val dimDated = spark.range(20).select(col("id").as("rep"))
+      .crossJoin(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")))
+      .select((col("o_orderkey") + col("rep") * 10000000L).as("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("o_day"),
+        col("o_orderpriority"))
+      .repartition(64).cache()
+    time("dated_dim_materialize")(dimDated.count())
+    time("stats_dated_dim") {
+      Profiling.writeTableStats(dimDated, s"$tmp/dd", "o_orderkey",
+        histCols = Seq("o_day")); 1L }
+    val windowLo = 0L; val windowHi = 21L
+    val dimWindow = dimDated.filter(col("o_day").between(windowLo, windowHi))
+    val (chosenR, choiceR) = CostBasedJoin.chooseJoin(fact, dimWindow,
+      "l_orderkey", "o_orderkey", s"$tmp/f", s"$tmp/dd",
+      dimRange = Some(("o_day", windowLo, windowHi)))
+    println(s"[planner] choice_range                ${choiceR.strategy} " +
+      s"(n_eff=${choiceR.right.nRows} of ${dimDated.count()})")
+    assert(choiceR.strategy == "broadcast", choiceR)
+    time("join_chosen_range_bcast")(chosenR.groupBy().count().head().getLong(0))
+    // blind twin: the engine sees an opaque filter over a 3M-row dim —
+    // broadcast off (the real-scale regime: an unfiltered dim this size
+    // is over the driver threshold, and static stats can't size the
+    // filtered slice), AQE free to recover at runtime
+    val factR = s2.createDataFrame(fact.rdd, fact.schema)
+    val dimRB = s2.createDataFrame(dimDated.rdd, dimDated.schema)
+      .filter(col("o_day").between(windowLo, windowHi))
+    time("join_blind_range_shuffle")(
+      factR.join(dimRB, col("l_orderkey") === col("o_orderkey"))
+        .groupBy().count().head().getLong(0))
     spark.stop()
   }
 }

@@ -1944,16 +1944,27 @@ object SparkEntry {
         floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
       val thr = c.filter(col("bal_c") > 0)
         .agg(expr("sum(bal_c) div count(1)").as("__thr"))
-      c.filter(col("bal_c") > 0)
+      val rich = c.filter(col("bal_c") > 0)
         .crossJoin(broadcast(thr))
         .filter(col("bal_c") > col("__thr"))
-        // "no RECENT orders" — the fixture's order density makes the
-        // all-time version vacuous (0 rows at sf0.01, a pass that tests
-        // nothing); the 1998+ window keeps both branches live
-        .join(Tables.orders(s, d)
-          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
-          .select(col("o_custkey")),
-          col("c_custkey") === col("o_custkey"), "left_anti")
+      // "no RECENT orders" — the fixture's order density makes the
+      // all-time version vacuous (0 rows at sf0.01, a pass that tests
+      // nothing); the 1998+ window keeps both branches live. The anti
+      // join is catalog-consulting with the date window DECLARED as a
+      // dimRange (o_day = days since 1995-01-01, the b8 convention —
+      // 1998-01-01 is day 1096): a histogram-tracked catalog judges the
+      // filtered orders side by its overlapped-bin sum instead of the
+      // unfiltered count, engaging the anti ladder's inverted-bloom
+      // rungs on honest numbers; no entries → today's plain anti join.
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      graft.plans.CostBasedJoin.consultOr(s, rich, "c_custkey",
+          "customer.c_custkey", recent, "o_custkey", "orders.o_custkey",
+          joinType = "left_anti",
+          dimRange = Some(("o_day", 1096L, Long.MaxValue))) {
+        rich.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      }
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_c"))
     }),

@@ -406,12 +406,13 @@ object CostBasedJoin {
       fact: DataFrame, factKey: String, factEntry: String,
       dim: DataFrame, dimKey: String, dimEntry: String,
       dimFilter: Option[(String, String)] = None,
-      joinType: String = "inner")
+      joinType: String = "inner",
+      dimRange: Option[(String, Long, Long)] = None)
       (fallback: => DataFrame): DataFrame =
     (sessionStatsDir(spark, factEntry), sessionStatsDir(spark, dimEntry)) match {
       case (Some(f), Some(d)) =>
         chooseJoin(fact, dim, factKey, dimKey, f, d,
-          dimFilter = dimFilter, joinType = joinType)._1
+          dimFilter = dimFilter, joinType = joinType, dimRange = dimRange)._1
       case _ => fallback
     }
 

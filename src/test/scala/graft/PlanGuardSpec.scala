@@ -285,6 +285,47 @@ class PlanGuardSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.statsCatalogRoot")
   }
 
+  test("q56 anti join adopts the catalog: the declared date dimRange flips the plan via the histogram; values unchanged") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Profiling
+    val baseline = SparkEntry.queries("q56_sales_opportunity")(spark, d)
+      .collect().map(_.toSeq).map(_.toString).sorted.toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft_q56_root").toString
+    spark.conf.set("spark.graft.statsCatalogRoot", root)
+    try {
+      // Planted claims sized so the RANGE changes the chosen strategy:
+      // customer 4M rows / ~1M distinct, orders 5M rows / ~1M distinct
+      // with o_day uniform over 0..2199 → k = n_a/maxD ≈ 4. Without the
+      // histogram the anti join is judged by the unfiltered 5M rows
+      // (est ≈ 20M > 2·9M) → pinned shuffle_hash; with it, the declared
+      // [1096, ∞) window reads ≈ 2.5M from the overlapped bins
+      // (est ≈ 10M ≤ 2·6.5M) → plain shuffle (no pin). Broadcast can't
+      // absorb either (both over the 1M-row default).
+      Profiling.writeTableStats(
+        spark.range(0, 4000000L).select(
+          (col("id") % 1000000L).cast("string").as("c_custkey")),
+        s"$root/customer.c_custkey", "c_custkey")
+      val orders = spark.range(0, 5000000L).select(
+        (col("id") % 1000000L).cast("string").as("o_custkey"),
+        (col("id") % 2200L).as("o_day"))
+      Profiling.writeTableStats(orders, s"$root/orders.o_custkey", "o_custkey")
+      val pNoHist = plan("q56_sales_opportunity")
+      assert(pNoHist.contains("ShuffledHashJoin"),
+        s"unfiltered 5M-row claim must pin shuffle_hash:\n$pNoHist")
+      // refreshSkew re-arms the sidecars WITH the histogram — the
+      // maintenance op a production catalog would run; the same entry now
+      // judges the dim by the window's bin sum and drops the pin
+      Profiling.refreshSkew(orders, s"$root/orders.o_custkey", "o_custkey",
+        histCols = Seq("o_day"))
+      val pHist = plan("q56_sales_opportunity")
+      assert(!pHist.contains("ShuffledHashJoin"),
+        s"range selectivity must release the explosion pin:\n$pHist")
+      val adopted = SparkEntry.queries("q56_sales_opportunity")(spark, d)
+        .collect().map(_.toSeq).map(_.toString).sorted.toSeq
+      assert(adopted == baseline, "q56 values changed under catalog adoption")
+    } finally spark.conf.unset("spark.graft.statsCatalogRoot")
+  }
+
   test("q5 filter+project: predicate pushed to parquet, scan pruned") {
     val p = plan("q5_filter_project")
     assert(p.contains("PushedFilters: ["), p)
