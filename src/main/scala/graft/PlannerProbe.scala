@@ -161,9 +161,12 @@ object PlannerProbe {
     // ---- range case: the dim is filtered to a 1% date window; without
     // the histogram the catalog judges it by the UNFILTERED 3M rows and
     // refuses the broadcast (plain shuffle), with it the window's bin sum
-    // (~30k) takes it — the broadcast skips both exchanges AND the blind
-    // baseline's dim-stage materialization round (AQE only converts to
-    // broadcast after the dim stage runs). ----
+    // takes it. TWO blind baselines, raced honestly: (a) broadcast fully
+    // disabled — the regime where the unfiltered dim is over the driver
+    // threshold and static stats can't size the opaque filtered slice;
+    // (b) thresholds at DEFAULT — AQE may convert to broadcast after the
+    // dim stage materializes, which still pays that stage's shuffle
+    // round versus the catalog's plan-time call. ----
     val dimDated = spark.range(20).select(col("id").as("rep"))
       .crossJoin(Tables.orders(spark, sfDir)
         .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")))
@@ -185,15 +188,22 @@ object PlannerProbe {
       s"(n_eff=${choiceR.right.nRows} of ${dimDated.count()})")
     assert(choiceR.strategy == "broadcast", choiceR)
     time("join_chosen_range_bcast")(chosenR.groupBy().count().head().getLong(0))
-    // blind twin: the engine sees an opaque filter over a 3M-row dim —
-    // broadcast off (the real-scale regime: an unfiltered dim this size
-    // is over the driver threshold, and static stats can't size the
-    // filtered slice), AQE free to recover at runtime
+    // blind twin (a): broadcast disabled — s2 carries
+    // autoBroadcastJoinThreshold=-1, so AQE cannot convert either
     val factR = s2.createDataFrame(fact.rdd, fact.schema)
     val dimRB = s2.createDataFrame(dimDated.rdd, dimDated.schema)
       .filter(col("o_day").between(windowLo, windowHi))
     time("join_blind_range_shuffle")(
       factR.join(dimRB, col("l_orderkey") === col("o_orderkey"))
+        .groupBy().count().head().getLong(0))
+    // blind twin (b): thresholds at default — AQE allowed its runtime
+    // broadcast conversion once the filtered dim stage has materialized
+    val s4 = spark.newSession()
+    val factR2 = s4.createDataFrame(fact.rdd, fact.schema)
+    val dimRB2 = s4.createDataFrame(dimDated.rdd, dimDated.schema)
+      .filter(col("o_day").between(windowLo, windowHi))
+    time("join_blind_range_aqe_bcast")(
+      factR2.join(dimRB2, col("l_orderkey") === col("o_orderkey"))
         .groupBy().count().head().getLong(0))
     spark.stop()
   }

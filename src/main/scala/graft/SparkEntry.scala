@@ -190,12 +190,7 @@ object SparkEntry {
          |ac AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
          |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
          |es AS (SELECT n_a, n_b, d_a AS est_distinct_a, d_b AS est_distinct_b,
-         |              CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
-         |                        WHEN n_a <= 4611686018427387904 // n_b
-         |                        THEN (n_a * n_b) // greatest(d_a, d_b, 1)
-         |                        WHEN (n_a // greatest(d_a, d_b, 1)) <= 9223372036854775807 // n_b
-         |                        THEN (n_a // greatest(d_a, d_b, 1)) * n_b
-         |                        ELSE 9223372036854775807 END AS BIGINT) AS est_rows,
+         |              ${sqlEstRowsFence("n_a", "n_b", "d_a", "d_b")} AS est_rows,
          |              actual_rows
          |       FROM na, nb, da, db, ac)
          |SELECT n_a, n_b, est_distinct_a, est_distinct_b, est_rows, actual_rows,
@@ -213,13 +208,27 @@ object SparkEntry {
        |${p}d AS (SELECT CAST(CASE WHEN n_kept < 64 THEN n_kept
        |                        ELSE (CAST(63 AS BIGINT) * 1000000007) // (kth + 1) END AS BIGINT) AS d FROM ${p}k)""".stripMargin
 
+  /** [[graft.plans.CostBasedJoin.estRows]]'s containment estimate with
+    * the x30 saturation fence as ONE SQL template over (nA, nB, dA, dB)
+    * expressions — the single copy every b-row oracle (b2/b6/b7/b8)
+    * interpolates, so a fence change edits one place and every gate
+    * replay follows (the same lockstep discipline as the ladder
+    * constants). */
+  private def sqlEstRowsFence(nA: String, nB: String,
+      dA: String, dB: String): String =
+    s"""CAST(CASE WHEN $nA = 0 OR $nB = 0 THEN 0
+       |                       WHEN $nA <= 4611686018427387904 // $nB
+       |                       THEN ($nA * $nB) // greatest($dA, $dB, 1)
+       |                       WHEN ($nA // greatest($dA, $dB, 1)) <= 9223372036854775807 // $nB
+       |                       THEN ($nA // greatest($dA, $dB, 1)) * $nB
+       |                       ELSE 9223372036854775807 END AS BIGINT)""".stripMargin
+
   /** One b2 oracle case: counts + sketch estimates → the same strategy
     * ladder [[graft.plans.CostBasedJoin.decide]] runs, plus the actual
     * join count. The ladder constants are INTERPOLATED from
     * [[graft.plans.CostBasedJoin]]'s single definitions — a retune edits
     * one place and both engines follow (the CLAUDE.md lockstep rule made
-    * structural); the est_rows CASE carries the same saturation fence as
-    * the Scala estRows. */
+    * structural); the est_rows CASE is the shared [[sqlEstRowsFence]]. */
   private def sqlB2Case(caseId: String, aD: String, bD: String,
       aCount: String, bCount: String, actualCount: String,
       broadcastRows: Long, bloomLegal: Boolean = true): String = {
@@ -242,12 +251,7 @@ object SparkEntry {
        |FROM (SELECT n_a, n_b,
        |             ${aD}d.d AS est_distinct_a, ${bD}d.d AS est_distinct_b,
        |             ${aD}t.top AS top_a,
-       |             CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
-       |                       WHEN n_a <= 4611686018427387904 // n_b
-       |                       THEN (n_a * n_b) // greatest(${aD}d.d, ${bD}d.d, 1)
-       |                       WHEN (n_a // greatest(${aD}d.d, ${bD}d.d, 1)) <= 9223372036854775807 // n_b
-       |                       THEN (n_a // greatest(${aD}d.d, ${bD}d.d, 1)) * n_b
-       |                       ELSE 9223372036854775807 END AS BIGINT) AS est_rows,
+       |             ${sqlEstRowsFence("n_a", "n_b", s"${aD}d.d", s"${bD}d.d")} AS est_rows,
        |             actual_rows
        |      FROM (SELECT CAST($aCount AS BIGINT) AS n_a) ,
        |           (SELECT CAST($bCount AS BIGINT) AS n_b),
@@ -4543,12 +4547,7 @@ object SparkEntry {
            |FROM (SELECT n_a, n_b, lid.d AS est_distinct_a, ordd.d AS est_distinct_b,
            |             lit.top AS top_a,
            |             CAST($bytesTotSql // n_b AS BIGINT) AS avg_b,
-           |             CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
-           |                       WHEN n_a <= 4611686018427387904 // n_b
-           |                       THEN (n_a * n_b) // greatest(lid.d, ordd.d, 1)
-           |                       WHEN (n_a // greatest(lid.d, ordd.d, 1)) <= 9223372036854775807 // n_b
-           |                       THEN (n_a // greatest(lid.d, ordd.d, 1)) * n_b
-           |                       ELSE 9223372036854775807 END AS BIGINT) AS est_rows,
+           |             ${sqlEstRowsFence("n_a", "n_b", "lid.d", "ordd.d")} AS est_rows,
            |             actual_rows
            |      FROM (SELECT CAST($liN AS BIGINT) AS n_a),
            |           (SELECT CAST($ordN AS BIGINT) AS n_b),
@@ -4585,15 +4584,11 @@ object SparkEntry {
            |       n_eff AS n_eff_b, est_rows, actual_rows
            |FROM (SELECT n_a, n_eff, d_a, least(ordd.d, greatest(n_eff, 1)) AS d_eff,
            |             lit.top AS top_a,
-           |             CAST(CASE WHEN n_a = 0 OR n_eff = 0 THEN 0
-           |                       WHEN n_a <= 4611686018427387904 // n_eff
-           |                       THEN (n_a * n_eff) // greatest(d_a, least(ordd.d, greatest(n_eff, 1)), 1)
-           |                       WHEN (n_a // greatest(d_a, least(ordd.d, greatest(n_eff, 1)), 1)) <= 9223372036854775807 // n_eff
-           |                       THEN (n_a // greatest(d_a, least(ordd.d, greatest(n_eff, 1)), 1)) * n_eff
-           |                       ELSE 9223372036854775807 END AS BIGINT) AS est_rows,
+           |             ${sqlEstRowsFence("n_a", "n_eff", "d_a",
+                 "least(ordd.d, greatest(n_eff, 1))")} AS est_rows,
            |             actual_rows
            |      FROM (SELECT CAST($liN AS BIGINT) AS n_a),
-           |           (SELECT CAST(CASE WHEN $hi < he.mn OR $lo > he.mx THEN 0 ELSE
+           |           (SELECT CAST(CASE WHEN $hi < $lo OR $hi < he.mn OR $lo > he.mx THEN 0 ELSE
            |                     (SELECT count(*) FROM od, he h2
            |                      WHERE (od.v - h2.mn) // h2.w
            |                            BETWEEN (greatest($lo, h2.mn) - h2.mn) // h2.w

@@ -305,6 +305,21 @@ object Profiling {
     * bin index inside [0, HistBins)). */
   val HistBins = 32
 
+  /** Bin width for a [mn, mx] domain; 0 = REFUSE to publish (the span
+    * mx − mn overflows a Long, so the wrapped width arithmetic would
+    * publish unsound bins — and a histogram over a ±2⁶²-wide domain, a
+    * hash- or id-derived column, has no usable resolution anyway; the
+    * reader then simply finds no sidecar and falls back to unfiltered
+    * stats, the conservative-sound posture). `mx < mn` is the all-null
+    * sentinel — width 1, an empty histogram that answers every range
+    * with 0, which is exact. */
+  private def histWidth(mn: Long, mx: Long): Long =
+    if (mx < mn) 1L
+    else {
+      val span = mx - mn
+      if (span < 0L) 0L else span / HistBins + 1L
+    }
+
   def writeTableStats(df: DataFrame, dir: String, keyCol: String,
       k: Int = 64, freqCols: Seq[String] = Nil,
       histCols: Seq[String] = Nil): Unit = {
@@ -371,12 +386,8 @@ object Profiling {
     * are exact (sum of 1-iff-equal over rows — identical to the groupBy
     * formulation) so every published artifact is bit-identical. A spec
     * with no candidates contributes nothing; all-empty skips the scan. */
-  private def exactCandidateCounts(df: DataFrame,
-      specs: Seq[(String, Seq[String])]): Seq[Map[String, Long]] =
-    fusedVerifyCounts(df, specs, Nil)._1
-
-  /** [[exactCandidateCounts]] plus equi-width histogram BIN counts in the
-    * SAME fused scan: each bin spec (column, min, width) contributes
+  /** Candidate-value exact counts plus equi-width histogram BIN counts in
+    * ONE fused scan: each bin spec (column, min, width) contributes
     * [[HistBins]] conditional sums keyed on the integer bin index
     * `(x − min) div width` (offsets are non-negative for in-range values,
     * so truncating and flooring division agree — the CLAUDE.md negative-div
@@ -423,7 +434,7 @@ object Profiling {
 
   /** The sketch-then-verify skew stat: EXACT count of the table's most
     * frequent key, clamped to 0 below the MG guarantee floor. The
-    * candidates' exact counts come from [[exactCandidateCounts]]' fused
+    * candidates' exact counts come from [[fusedVerifyCounts]]' fused
     * scan. Determinism argument: if the true top key's share exceeds
     * 1/(SkewCap+1) it is provably a candidate (MG bound), so max-over-
     * candidates IS the true max and the clamp passes on both engines;
@@ -609,9 +620,8 @@ object Profiling {
         else row.getLong(histBase + 2 * i + 1)
       (histCols(i), mn, mx)
     }
-    val binSpecs = histSpecs.map { case (c, mn, mx) =>
-      (c, mn, if (mx < mn) 1L else (mx - mn) / HistBins + 1L)
-    }
+    val histKept = histSpecs.filter { case (_, mn, mx) => histWidth(mn, mx) > 0L }
+    val binSpecs = histKept.map { case (c, mn, mx) => (c, mn, histWidth(mn, mx)) }
     val (allCounts, allBins) = fusedVerifyCounts(df,
       (keyCol -> cands) +: freqCols.zipWithIndex.map { case (c, i) =>
         c -> row.getSeq[String](2 + 2 * i)
@@ -623,7 +633,7 @@ object Profiling {
         freqsAboveFloor(allCounts(1 + i), row.getLong(3 + 2 * i))
       publishFreq(dir, version, c, floor, kept)
     }
-    histSpecs.zip(binSpecs).zip(allBins).foreach {
+    histKept.zip(binSpecs).zip(allBins).foreach {
       case (((c, mn, mx), (_, _, w)), bins) =>
         publishHist(dir, version, c, mn, mx, w, bins)
     }
@@ -827,10 +837,10 @@ object Profiling {
       java.nio.file.Paths.get(statsDir, "_format-stats-kmv-v1"),
       Array.empty[Byte])
     // ONE fused verify scan for the key's skew stat + every freq column
-    // + every histogram column's bin counts
-    val binSpecs = histSpecs.map { case (c, mn, mx) =>
-      (c, mn, if (mx < mn) 1L else (mx - mn) / HistBins + 1L)
-    }
+    // + every histogram column's bin counts (overflow-span columns are
+    // refused — see histWidth)
+    val histKept = histSpecs.filter { case (_, mn, mx) => histWidth(mn, mx) > 0L }
+    val binSpecs = histKept.map { case (c, mn, mx) => (c, mn, histWidth(mn, mx)) }
     val (allCounts, allBins) = fusedVerifyCounts(verifySource,
       (keyCol -> cands) +: freqCands.map { case (c, fc, _) => c -> fc },
       binSpecs)
@@ -841,7 +851,7 @@ object Profiling {
       val (floor, kept) = freqsAboveFloor(counts, cn)
       publishFreq(statsDir, cur + 1L, c, floor, kept)
     }
-    histSpecs.zip(binSpecs).zip(allBins).foreach {
+    histKept.zip(binSpecs).zip(allBins).foreach {
       case (((c, mn, mx), (_, _, w)), bins) =>
         publishHist(statsDir, cur + 1L, c, mn, mx, w, bins)
     }
@@ -863,7 +873,7 @@ object Profiling {
 
   /** The freq sidecar's publish filter — [[clampTop]]'s per-COLUMN sibling
     * for equality-predicate SELECTIVITY: of a declared filter column's MG
-    * candidate values (counted exactly by [[exactCandidateCounts]]' fused
+    * candidate values (counted exactly by [[fusedVerifyCounts]]' fused
     * scan), keep only those above the MG observability floor (same
     * determinism argument — membership above the floor is decided by exact
     * counts, so the published set is batch-order-independent even though
@@ -1065,6 +1075,8 @@ object Profiling {
           s"hist sidecar $p lacks its '# <min> <max> <width>' header — " +
             "range bounds would be guesses; rebuild (refreshSkew)")
       }
+      require(w > 0L, s"hist sidecar $p has non-positive width $w — " +
+        "corrupt (the publish path refuses overflow-span domains); rebuild")
       val bins = lines.tail.map { line =>
         val i = line.indexOf(' ')
         line.substring(0, i).toInt -> line.substring(i + 1).toLong

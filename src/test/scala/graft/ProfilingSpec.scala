@@ -422,6 +422,24 @@ class ProfilingSpec extends SparkSpec {
     assert(h2.bins.values.sum == 1100L)
   }
 
+  test("hist sidecars: an overflow-span domain is refused, never published unsound") {
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val dir = tmp("graft_hist_ovf")
+    // a full-range hash domain: mx - mn wraps negative; the wrapped width
+    // would make every bin predicate miss and publish empty bins — an
+    // UNSOUND n_eff = 0 claim the planner would broadcast a huge dim on.
+    // The publish path must refuse (no sidecar; readers fall back to
+    // unfiltered stats — conservative and sound). A ±2^62 domain (span
+    // exactly 2^63 − 1) still publishes fine — the guard is the wrap,
+    // not the magnitude.
+    val df = spark.range(0, 100).select(col("id").cast("string").as("k"),
+      when(col("id") % 2 === 0, lit(Long.MinValue + 1L))
+        .otherwise(lit(Long.MaxValue - 1L)).as("v"))
+    Profiling.writeTableStats(df, dir, "k", histCols = Seq("v"))
+    assert(!Profiling.readTableStats(spark, dir, "k").hists.contains("v"),
+      "overflow-span histogram must be refused")
+  }
+
   test("freq floor basis is the freq column's OWN non-null count, not the key's") {
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
     val dir = tmp("graft_freq_floor")
