@@ -3244,8 +3244,6 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_incr_curation").toString
-      Curation.writeDecontamStore(
-        docs.filter(col("doc_id") % 20 === 0), s"$tmp/decontam")
       // PAIRS ingest per batch (each anti-joins + publishes into the
       // signature store); the label snapshot folds ONCE per run over the
       // accumulated pairs — batch-N-then-publish, the production cadence
@@ -3253,11 +3251,18 @@ object SparkEntry {
       // Labels are identical either way (min-label is associative over
       // component unions — the incrementalClusters contract); per-batch
       // label folds stay exercised by m10/m12/m14 and the d12 spec.
-      val pairs = Seq(0, 1).map { par =>
-        Dedup.incrementalMinhashPairs(
-          docs.filter(col("doc_id") % 2 === par)
-            .select(col("doc_id"), col("text")), s"$tmp/mh")
-      }.reduce(_ unionAll _)
+      // The decontam-store build touches its own dir and nothing the
+      // minhash chain reads, so it overlaps the (internally ordered)
+      // ingest chain (guide §2.6, the b2 convention).
+      var pairs: DataFrame = null
+      Overlap.run(
+        () => Curation.writeDecontamStore(
+          docs.filter(col("doc_id") % 20 === 0), s"$tmp/decontam"),
+        () => pairs = Seq(0, 1).map { par =>
+          Dedup.incrementalMinhashPairs(
+            docs.filter(col("doc_id") % 2 === par)
+              .select(col("doc_id"), col("text")), s"$tmp/mh")
+        }.reduce(_ unionAll _))
       val labels = Dedup.incrementalClusters(
         docs.select(col("doc_id")), pairs, s"$tmp/labels")
       Curation.pipelineFromSignals(docs, col("doc_id") % 20 === 0, 0.6,

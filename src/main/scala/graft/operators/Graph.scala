@@ -232,9 +232,17 @@ object Graph {
     var outCp: Option[DataFrame] = None
     var k = 1
     var empty = false
+    // Edge count threaded phase-to-phase (r12 optimization): phase k
+    // peels phase k−1's output, whose converged count the peel already
+    // observed — no per-phase input recount, and the old per-phase
+    // `adj.isEmpty` action is the same number read off the driver.
+    var nAdj = -1L
     while (k <= kMax && !empty) {
       val prevAdj = adj
-      adj = peelToFixedPoint(adj, k)
+      val (peeled, nPeeled) =
+        peelCounted(adj, k, if (nAdj >= 0L) Some(nAdj) else None)
+      adj = peeled
+      nAdj = nPeeled
       val survivors = adj.select(col("src").as("node")).distinct()
         .withColumn("__k", lit(k.toLong))
       out = out.join(survivors, Seq("node"), "left")
@@ -249,7 +257,7 @@ object Graph {
       if (prevAdj ne adj) bridge.unpersistCheckpoint(prevAdj)
       outCp.foreach(bridge.unpersistCheckpoint)
       outCp = Some(out)
-      empty = adj.isEmpty
+      empty = nAdj == 0L
       k += 1
     }
     // the final phase's core is not read by the returned frame (out is its
@@ -322,29 +330,47 @@ object Graph {
 
   /** Peel sub-`k`-degree nodes until none remain — the shared fixed-point
     * kernel of [[kcore]] and [[coreness]]. Per round: one degree
-    * aggregate + two semi-joins (edge-map-sized), a `localCheckpoint` to
-    * cut lineage (the convergence count materializes the round anyway),
-    * and release of the superseded round's blocks. */
-  private def peelToFixedPoint(und: DataFrame, k: Int): DataFrame = {
+    * aggregate + two semi-joins (edge-map-sized) and a `localCheckpoint`
+    * to cut lineage; the convergence count rides that checkpoint job via
+    * `observe()` (the clustersBounded discipline — r12 optimization: the
+    * old separate `next.count()` action added one job per peel round,
+    * ~2·kMax·rounds extra jobs across a coreness ladder), and the
+    * superseded round's blocks are released. */
+  private def peelToFixedPoint(und: DataFrame, k: Int): DataFrame =
+    peelCounted(und, k, None)._1
+
+  /** [[peelToFixedPoint]] with the edge count THREADED: callers that know
+    * their input's edge count (a coreness phase peeling the previous
+    * phase's output) pass it instead of paying a fresh `count()` action,
+    * and get the converged core's count back for the same reason —
+    * [[coreness]]'s per-phase `isEmpty` action and input recount both
+    * collapse into metadata already in hand. */
+  private def peelCounted(und: DataFrame, k: Int, knownEdges: Option[Long])
+      : (DataFrame, Long) = {
     var adj = und
     var lastCp: Option[DataFrame] = None
-    var nEdges = adj.count()
+    var nEdges = knownEdges.getOrElse(adj.count())
     var converged = false
     while (!converged && nEdges > 0) {
       val keep = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("v"))
+      val obs = org.apache.spark.sql.Observation()
       val next = adj
         .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint()
-      val n2 = next.count()
+      val n2 = obs.get.get("n") match {
+        case Some(v: Long) => v
+        case _ => 0L
+      }
       lastCp.foreach(org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint)
       lastCp = Some(next)
       converged = n2 == nEdges
       nEdges = n2
       adj = next
     }
-    adj
+    (adj, nEdges)
   }
 }
