@@ -1820,20 +1820,53 @@ object Dedup {
     * released) when it did not. */
   private def clustersBounded(docs: DataFrame, pairs: DataFrame,
       maxRounds: Int): Option[DataFrame] = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      // Hash-partition the edge cache by the per-round join key ONCE (r12
-      // optimization, guide §2.4 "operations keyed the same way share one
-      // exchange"): every round joins edges on dst, and a cache that
-      // carries HashPartitioning(dst) lets Catalyst skip the E-sized
-      // exchange per round — only the V-sized label side moves. Probed at
-      // 4M nodes / 3.5M path edges (7 rounds, labels too big to
-      // broadcast): total shuffle 1856 → 1400 MB, stages 42 → 36, labels
-      // bit-identical (CCScaleProbe). AQE sizes the partition count, so
-      // the same code is one partition at fixture scale and input-sized
-      // at 100 TB.
-      .repartition(col("dst"))
-      .cache()
+    val bridge = org.apache.spark.sql.graftbridge.DatasetBridge
+    // The edge list is materialized ONCE as a constraint-free LOCAL
+    // CHECKPOINT, not a cache (r12 optimization): a cache keeps the full
+    // pair-pipeline lineage in the logical plan, so every round's job
+    // re-analyzes/re-optimizes the whole LSH/banding tree (driver-side
+    // Catalyst cost per round, growing with pipeline complexity — m8
+    // unions two banding pipelines; probed 3.55 → 2.08 s on m8's
+    // closure). The edge count rides the materialization via observe()
+    // (zero extra actions) and sizes the SECOND step below. The
+    // constraint-strip is the d12/star convention — the frame is a union,
+    // and downstream plans must not trip UnionBase.rewriteConstraints.
+    val edgeObs = org.apache.spark.sql.Observation()
+    val preCp = bridge.dropCheckpointConstraints(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .observe(edgeObs, count(lit(1)).as("n"))
+        .localCheckpoint())
+    val nEdges = edgeObs.get.get("n") match {
+      case Some(v: Long) => v
+      case _ => 0L
+    }
+    // Hash-partition the materialized edges by the per-round join key
+    // ONCE (guide §2.4 "operations keyed the same way share one
+    // exchange"): every round joins edges on dst, and a checkpoint that
+    // carries HashPartitioning(dst) lets Catalyst skip the E-sized
+    // exchange per round — only the V-sized label side moves per round.
+    // Probed at 4M nodes / 3.5M path edges (7 rounds, labels too big to
+    // broadcast): total shuffle 1856 → 1400 MB, stages 42 → 36, labels
+    // bit-identical (CCScaleProbe). The partition count must be EXPLICIT
+    // (AQE-coalesced repartitions report UnknownPartitioning through a
+    // checkpoint — probed, the reuse was lost at 1945 MB) and is sized
+    // from the observed edge count: ~128k edges per partition ramps tiny
+    // gate graphs to ONE partition (no 32-empty-task rounds) and anything
+    // ≥ cap·128k to the session's conf-parameterized shuffle partitions —
+    // the cluster-sized knob, which binds at every real scale. (A
+    // 64 MB-per-partition byte target starved CPU parallelism instead:
+    // 4M-node rounds on 2 partitions of a 32-core host ran 2× slower —
+    // the rounds are compute-bound joins, not scans.) The explicit
+    // exchange's HashPartitioning(dst, n) survives into the checkpoint's
+    // LogicalRDD (bridge-restored — AQE hides it) and every round reuses
+    // it.
+    val nParts = math.max(1L, math.min(
+      (nEdges + 131071L) / 131072L,
+      pairs.sparkSession.sessionState.conf.numShufflePartitions.toLong)).toInt
+    val edgesCp = bridge.checkpointedWithHashPartitioning(
+      preCp.repartition(nParts, col("dst")).localCheckpoint(), "dst")
+    bridge.unpersistCheckpoint(preCp)
     // Round 1 fused into the init: label = min(self ∪ neighbors). For the
     // shallow near-dup graphs this operator serves (quads/cliques), that
     // init IS the fixpoint and the loop only confirms it — one fewer
@@ -1841,7 +1874,7 @@ object Dedup {
     // exactly one propagation step, and min-label propagation is
     // monotone). groupBy(src) covers every node because edges carry both
     // directions.
-    var labels = edges
+    var labels = edgesCp
       .groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("nbr_min"))
       .select(col("doc_id"),
@@ -1851,7 +1884,7 @@ object Dedup {
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       rounds += 1
-      val nbrMin = edges
+      val nbrMin = edgesCp
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr")).as("nbr_min"))
@@ -1876,7 +1909,7 @@ object Dedup {
       org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(labels)
       labels = updated.drop("chg")
     }
-    edges.unpersist()
+    org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(edgesCp)
     if (!converged) {
       // Budget blown (chain-shaped input): release the partial labels —
       // they are NOT component minima yet — and let the caller escalate.

@@ -43,6 +43,39 @@ object DatasetBridge {
     }
   }
 
+  /** [[dropCheckpointConstraints]] that additionally RESTORES the hash
+    * partitioning a checkpoint loses under AQE: `localCheckpoint()` records
+    * the executed plan's `outputPartitioning`, but with adaptive execution
+    * the top node is `AdaptiveSparkPlanExec`, which reports
+    * `UnknownPartitioning` — so a frame materialized through an explicit
+    * `repartition(n, key)` checkpoints into a LogicalRDD that has the
+    * layout and has lost the metadata, and every downstream join/aggregate
+    * keyed on `key` re-shuffles rows that are already in place.
+    *
+    * SOUNDNESS CONTRACT: callers must have materialized the checkpoint
+    * through an EXPLICIT-count `repartition(n, col(keyCol))` as the LAST
+    * repartitioning operation. For user-specified counts AQE neither
+    * coalesces nor rebalances, so the physical layout is exactly
+    * Catalyst's `HashPartitioning(keyCol, n)` and re-asserting it is
+    * metadata-only truth. Asserting it on any OTHER layout would silently
+    * break join co-location. `n` is read off the checkpointed RDD itself,
+    * never trusted from the caller. */
+  def checkpointedWithHashPartitioning(df: DataFrame, keyCol: String): DataFrame = {
+    val impl = castToImpl(df)
+    impl.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val attr = lr.output.find(_.name == keyCol).getOrElse(
+          throw new IllegalArgumentException(
+            s"checkpointedWithHashPartitioning: no column `$keyCol` in " +
+              s"checkpoint output ${lr.output.map(_.name).mkString(", ")}"))
+        val part = org.apache.spark.sql.catalyst.plans.physical
+          .HashPartitioning(Seq(attr), lr.rdd.getNumPartitions)
+        ofRows(df.sparkSession,
+          lr.copy(outputPartitioning = part)(impl.sparkSession, None, None))
+      case _ => df
+    }
+  }
+
   /** A SERIALIZABLE factory for the session's Hadoop Configuration, for
     * shipping into tasks: `SerializableConfiguration` is `private[spark]`
     * (unnameable from graft code), and a task-side `new Configuration()`
