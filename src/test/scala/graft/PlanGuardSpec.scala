@@ -475,4 +475,38 @@ class PlanGuardSpec extends SparkSpec {
     assert("ShuffledHashJoin".r.findAllMatchIn(p).size >= 3, p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("checkpointedWithHashPartitioning: rows intact, partitioning restored, " +
+      "keyed aggregate plans without a new exchange") {
+    import org.apache.spark.sql.functions._
+    val bridge = org.apache.spark.sql.graftbridge.DatasetBridge
+    val df = spark.range(1000).select((col("id") % 7).as("k"), col("id").as("v"))
+    val cp = bridge.checkpointedWithHashPartitioning(
+      df.repartition(4, col("k")).localCheckpoint(), "k")
+    // correctness first: the metadata claim must not change a single row
+    assert(cp.groupBy(col("k")).agg(sum(col("v")).as("s")).orderBy(col("k"))
+      .collect().toSeq ==
+      df.groupBy(col("k")).agg(sum(col("v")).as("s")).orderBy(col("k"))
+        .collect().toSeq)
+    // the restored metadata: a groupBy on the partitioning key needs NO
+    // shuffle (the plain checkpoint loses this under AQE — guarded here
+    // because the CC closure's per-round exchange reuse depends on it)
+    val agg = cp.groupBy(col("k")).count()
+    agg.collect()
+    val p = agg.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    val plain = bridge.dropCheckpointConstraints(
+      df.repartition(4, col("k")).localCheckpoint())
+      .groupBy(col("k")).count()
+    plain.collect()
+    assert(plain.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "plain checkpoint unexpectedly kept partitioning — the bridge helper " +
+        "may be redundant now")
+    // misuse guard: naming a column that is not in the output fails loudly
+    intercept[IllegalArgumentException] {
+      bridge.checkpointedWithHashPartitioning(
+        df.repartition(4, col("k")).localCheckpoint(), "nope")
+    }
+  }
 }
