@@ -780,6 +780,20 @@ object SparkEntry {
   private def streamSession(s0: SparkSession): SparkSession = {
     val s = s0.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // Builder instrumentation only (guide §1: measure first): with
+    // -Dgraft.stream.debug=1 every micro-batch's durationMs/stateOperators
+    // breakdown lands on stderr so the per-row engine fixed cost can be
+    // attributed (query start vs per-batch planning vs state commits).
+    if (sys.props.contains("graft.stream.debug"))
+      s.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit =
+          System.err.println(s"[stream-debug] started ${e.name} at ${System.nanoTime()}")
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          System.err.println("[stream-debug] " + e.progress.json)
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          System.err.println(s"[stream-debug] terminated at ${System.nanoTime()}")
+      })
     s
   }
 

@@ -2176,39 +2176,91 @@ object Dedup {
     * `maxRounds` is a loud backstop (the round count is ~log₂ of the
     * largest component; 40 covers any component that fits in BIGINT ids). */
   def clustersLogStar(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 40): DataFrame = {
-    def bothDirs(e: DataFrame): DataFrame =
-      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-    // star rounds: from the full neighborhood view, m(u) = min over
+    val bridge = org.apache.spark.sql.graftbridge.DatasetBridge
+    // r13 optimization (guide §2.4, the clustersBounded discipline extended
+    // to the star rounds): round state is the SYMMETRIC edge set,
+    // checkpointed with an explicit-count HashPartitioning(src, n) that the
+    // bridge re-asserts through AQE. Each round's groupBy(src) AND
+    // half ⋈ mins join then reuse the checkpoint's exchange — per star call
+    // the only shuffle left is the one explicit repartition feeding the
+    // distinct (CCScaleProbe star case: 834.6 → see OPTIMIZATION_r13.md MB,
+    // 85 stages down, labels bit-identical).
+    //
+    // Equivalence to the directed formulation: star(e) only ever reads
+    // bothDirs(e) and distincts its output, so each round is a function of
+    // the symmetric edge SET — with E_n the directed rounds' edge sets and
+    // S_n = sym(E_n) these rounds, S_{n+1} = sym-round(S_n) holds by
+    // induction. Convergence on symmetric sets can fire at most one round
+    // EARLIER than the directed check (sym(E_{n+1}) = sym(E_n) with
+    // E_{n+1} ≠ E_n ⇒ the directed loop's next round reproduces E_{n+1}
+    // exactly, since rounds depend only on the sym set) — and the labels
+    // read bothDirs(final) in both forms, so they are identical.
+    //
+    // Every round snapshot stays a CONSTRAINT-FREE checkpoint (the bridge
+    // helpers strip origin constraints/stats): star rounds are self-joins
+    // over self-unions, and constraint-bearing checkpoints trip Catalyst's
+    // UnionBase.rewriteConstraints ("key not found: src#N") —
+    // incrementalClusters' first ingest was the reproducer.
+    def symClose(dir: DataFrame, nParts: Int): DataFrame =
+      dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+        // ONE explicit-count exchange; the distinct aggregate runs in place
+        // (HashPartitioning(src) satisfies ClusteredDistribution(src, dst))
+        // and preserves the layout the bridge re-asserts — the
+        // checkpointedWithHashPartitioning soundness contract.
+        .repartition(nParts, col("src"))
+        .distinct()
+    def cpPart(df: DataFrame): DataFrame =
+      bridge.checkpointedWithHashPartitioning(df.localCheckpoint(), "src")
+    // star round over the symmetric neighborhood view: m(u) = min over
     // N(u) ∪ {u}; emit (v, m) for the selected half of each neighborhood.
-    def star(e: DataFrame, large: Boolean): DataFrame = {
-      val nbrs = bothDirs(e)
+    // Zero exchanges until the closing symClose: mins' groupBy and the
+    // half ⋈ mins join both run on the checkpoint's src-partitioning (the
+    // shuffle_hash pin keeps the planner off a sort-merge's per-round
+    // partition sorts; the V-sized mins side is the build).
+    def star(nbrs: DataFrame, large: Boolean, nParts: Int): DataFrame = {
       val mins = nbrs.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
         .select(col("src"), least(col("__mn"), col("src")).as("m"))
       val half =
         if (large) nbrs.filter(col("dst") > col("src"))
         else nbrs.filter(col("dst") <= col("src"))
-      val emitted = half.join(mins, Seq("src"))
+      val emitted = half.join(mins.hint("shuffle_hash"), Seq("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
       val self =
         if (large) emitted
         // small-star also links u itself to m(u), keeping u in its star
         else emitted.union(mins.select(col("src"), col("m").as("dst")))
-      self.filter(col("src") =!= col("dst")).distinct()
+      symClose(self.filter(col("src") =!= col("dst")), nParts)
     }
-    // Every round snapshot goes through a CONSTRAINT-FREE checkpoint:
-    // star() is a self-join over a self-union, and a checkpoint that
-    // keeps its origin plan's constraints trips Catalyst's union
-    // constraint rewrite ("key not found: src#N" in
-    // InferFiltersFromConstraints) for some input shapes —
-    // incrementalClusters' first ingest was the reproducer. The bridge
-    // strips origin constraints/stats; the materialized RDD is reused.
-    def cp(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graftbridge.DatasetBridge
-        .dropCheckpointConstraints(df.localCheckpoint())
-    var edges = cp(pairs
+    // Init: materialize the raw symmetric union once (its count rides the
+    // checkpoint via observe — zero extra actions) to size the explicit
+    // partition count, then establish the partitioned distinct state.
+    // ~128k edges/partition ramps gate graphs to ONE partition; the cap is
+    // the session's conf-parameterized shuffle partitions (the cluster
+    // knob) — the clustersBounded sizing rationale verbatim.
+    val rawObs = org.apache.spark.sql.Observation()
+    val dir0 = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct())
+    val pre = bridge.dropCheckpointConstraints(
+      dir0.union(dir0.select(col("dst").as("src"), col("src").as("dst")))
+        .observe(rawObs, count(lit(1)).as("n"))
+        .localCheckpoint())
+    val nRaw = rawObs.get.get("n") match {
+      case Some(v: Long) => v
+      case _ => 0L
+    }
+    val nParts = math.max(1L, math.min(
+      (nRaw + 131071L) / 131072L,
+      pairs.sparkSession.sessionState.conf.numShufflePartitions.toLong)).toInt
+    val initObs = org.apache.spark.sql.Observation()
+    var edges = cpPart(
+      pre.repartition(nParts, col("src")).distinct()
+        .observe(initObs, count(lit(1)).as("n")))
+    var nPrev = initObs.get.get("n") match {
+      case Some(v: Long) => v
+      case _ => 0L
+    }
+    bridge.unpersistCheckpoint(pre)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -2216,17 +2268,38 @@ object Dedup {
       // nesting the two lets one round's plan carry 4 correlated copies
       // of the input; the barrier keeps round plans input-independent.
       // Edge-sized, released below.
-      val mid = cp(star(edges, large = true))
-      val next = cp(star(mid, large = false))
-      org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(mid)
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
-      org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(edges)
+      val mid = cpPart(star(edges, large = true, nParts))
+      val obsN = org.apache.spark.sql.Observation()
+      val next = cpPart(
+        star(mid, large = false, nParts).observe(obsN, count(lit(1)).as("n")))
+      bridge.unpersistCheckpoint(mid)
+      val nNext = obsN.get.get("n") match {
+        case Some(v: Long) => v
+        case _ => 0L
+      }
+      // Set equality on distinct sets = equal cardinality + empty one-sided
+      // difference. The count rides the checkpoint (free), so rounds whose
+      // edge counts differ pay NOTHING for the check (the exceptAll this
+      // replaces re-shuffled ~4E rows every round); only count-tie rounds
+      // (usually just the converged one) run the anti-join. Symmetric sets
+      // are equal iff their canonical dst>src halves are, which halves the
+      // join input; the (src, dst) keys still exchange both halves —
+      // requireAllClusterKeysForCoPartition (default true) declines the
+      // subset-key co-partitioning joins would need, unlike aggregates.
+      converged = nNext == nPrev &&
+        next.filter(col("dst") > col("src"))
+          .join(edges.filter(col("dst") > col("src")).hint("shuffle_hash"),
+            Seq("src", "dst"), "left_anti").isEmpty
+      bridge.unpersistCheckpoint(edges)
       edges = next
+      nPrev = nNext
       rounds += 1
     }
     require(converged, s"large/small-star did not converge in $maxRounds rounds")
-    // Converged edge set is a star forest pointing at component minima.
-    val labels = bothDirs(edges)
+    // Converged edge set is a star forest pointing at component minima;
+    // it is already symmetric AND src-partitioned, so the label aggregate
+    // runs in place.
+    val labels = edges
       .groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("__mn"))
       .select(col("doc_id"), least(col("__mn"), col("doc_id")).as("cluster_id"))

@@ -509,4 +509,40 @@ class PlanGuardSpec extends SparkSpec {
         df.repartition(4, col("k")).localCheckpoint(), "nope")
     }
   }
+
+  test("repartition(n,k).distinct() checkpoint: layout preserved through the " +
+      "distinct — keyed aggregate AND key-equi join both plan no exchange") {
+    // clustersLogStar's round-state contract: an explicit-count repartition
+    // followed by distinct() keeps HashPartitioning(k, n) (the aggregate's
+    // ClusteredDistribution(k, v) is satisfied by the subset key, so the
+    // dedup runs in place), the bridge re-asserts it through AQE, and the
+    // star round's half ⋈ mins join — keyed on exactly the partition key —
+    // runs co-partitioned with no exchange. (A join keyed on (k, v) would
+    // NOT reuse it: requireAllClusterKeysForCoPartition declines subset-key
+    // co-partitioning for joins, which is why the convergence anti-join is
+    // count-gated instead of free.)
+    import org.apache.spark.sql.functions._
+    val bridge = org.apache.spark.sql.graftbridge.DatasetBridge
+    def mk(lo: Long, hi: Long) = bridge.checkpointedWithHashPartitioning(
+      spark.range(lo, hi)
+        .select((col("id") % 7).as("k"), (col("id") % 13).as("v"))
+        .repartition(4, col("k")).distinct().localCheckpoint(), "k")
+    val a = mk(0, 1000)
+    // values: the distinct really deduped and the metadata claim is true
+    assert(a.count() == 7L * 13L)
+    val agg = a.groupBy(col("k")).count()
+    agg.collect()
+    assert(!agg.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "repartition+distinct checkpoint lost the key layout")
+    // the star-round shape: an aggregate of the checkpoint joined back to
+    // a filter of the same checkpoint, keyed on the partition key alone
+    val mins = a.groupBy(col("k")).agg(min(col("v")).as("m"))
+    val joined = a.filter(col("v") > col("k"))
+      .join(mins.hint("shuffle_hash"), Seq("k"))
+    joined.collect()
+    val jp = joined.queryExecution.executedPlan.toString
+    assert(!jp.contains("Exchange"),
+      s"key-equi join over the checkpoint unexpectedly re-shuffled:\n$jp")
+  }
 }
