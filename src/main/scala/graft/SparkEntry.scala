@@ -1067,6 +1067,9 @@ object SparkEntry {
         val li = Tables.lineitem(s, d)
         val sel = Tables.orders(s, d).filter(col("o_orderkey") % 10 === 0)
         // Independent builds overlapped (the b2 rationale, guide §2.6).
+        // r13 re-adjudication (r12 verdict #4): paired 3-run probe, one
+        // window — overlap 4.06/3.30/3.40 vs serialized 5.13/3.86/3.37 s;
+        // equal mins, overlap wins the median. Kept.
         Overlap.run(
           () => Profiling.writeTableStats(li, liD.toString, "l_orderkey"),
           () => Profiling.writeTableStats(sel, selD.toString, "o_orderkey"))
@@ -1405,7 +1408,10 @@ object SparkEntry {
       val prepared = ev.unionByName(
         ev.select(col("user_id")).distinct().withColumn("ts", lit(sentinel)))
       // One data file → one micro-batch: the watermark can never advance
-      // between batches and drop real events as late.
+      // between batches and drop real events as late. (r13 probed folding
+      // maxTs into the staging write via observe() + a second sentinel
+      // file: the extra write job cost MORE than the saved scan —
+      // 2.61 → 3.20 s paired; reverted.)
       val staged = stagingDir("graft_q32_stream_input")
       val dir = staged.toString
       try {
@@ -1436,6 +1442,9 @@ object SparkEntry {
       val s = streamSession(s0)
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
       // One data file → one micro-batch (the q32 staging convention);
       // the timer batch is the engine's own extra no-data batch.
@@ -1600,6 +1609,9 @@ object SparkEntry {
       val s = streamSession(s0)
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       Tables.events(s, d) // ensures nanosAsLong before the raw schema read
       val rawSchema = s.read.parquet(s"$d/events.parquet").schema
       val stream = s.readStream.schema(rawSchema)
@@ -1628,6 +1640,9 @@ object SparkEntry {
       val s = streamSession(s0)
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       Tables.events(s, d) // ensures nanosAsLong before the raw schema read
       val rawSchema = s.read.parquet(s"$d/events.parquet").schema
       val stream = s.readStream.schema(rawSchema)
@@ -1661,6 +1676,9 @@ object SparkEntry {
       // Outer-join null emission needs the watermark past e_ts + 30min
       // (interval bound) + 1h (watermark delay); +12h is a comfortable
       // margin and costs nothing — sentinels are filtered at the sink.
+      // (r13 probed folding this head() into the staging write via
+      // observe() + a second sentinel file: 3.53 → 3.97 s paired — the
+      // extra write job costs more than the saved scan; reverted.)
       val sentinel = new java.sql.Timestamp(maxTs.getTime + 43200000L)
       val prepared = ev.unionByName(
         s.createDataFrame(java.util.Arrays.asList(

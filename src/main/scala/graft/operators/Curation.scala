@@ -394,12 +394,19 @@ object Curation {
         .localCheckpoint(true)
       // fold in: new grams only (anti-join vs the FULL snapshot — a
       // re-ingested batch adds nothing, the idempotence contract)
+      // Count rides the checkpoint materialization via observe() — no
+      // separate count job at publish (the Dedup.checkpointCounted pattern).
+      val newObs = org.apache.spark.sql.Observation()
       val newGrams = docGrams
         .groupBy(col("h"))
         .agg(min(col("doc_id").cast("string")).as("src_id"))
         .join(storeGrams.select(col("h")), Seq("h"), "left_anti")
+        .observe(newObs, count(lit(1)).as("n"))
         .localCheckpoint(true)
-      val nNew = newGrams.count()
+      val nNew = newObs.get.get("n") match {
+        case Some(v: Long) => v
+        case _ => 0L
+      }
       if (nNew > 0L) {
         val id = java.util.UUID.randomUUID().toString
         val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$id")

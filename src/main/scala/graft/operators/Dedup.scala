@@ -147,12 +147,17 @@ object Dedup {
     // qualifying pair. Nudge each bound by 1e-9 in the keep direction —
     // over-keeping costs a candidate, under-keeping costs recall.
     val Eps = 1e-9
+    // Cached (r13): the pair self-join consumes this frame on BOTH sides,
+    // and AQE does not reuse the duplicated subtrees (probed: 15 distinct
+    // shuffle stages, zero ReusedExchange) — uncached, the df aggregate,
+    // the count join, and the window sort all ran twice per run.
     val prefix = sh.join(docFreq, Seq("h"))
       .join(cnt, Seq("doc_id"))
       .withColumn("__pos", pos)
       .filter(col("__pos") <=
         col("n_shingles") - ceil(lit(threshold) * col("n_shingles") - Eps).cast("long") + 1)
       .select(col("doc_id"), col("h"), col("n_shingles"), col("__pos"))
+      .cache()
     // Pair join: cost is the Σ bucket² OUTPUT, so AQE's input-sized
     // broadcast choice would serialize the explosion (CLAUDE.md LSH
     // lesson) — pin a shuffled hash join on both sides.
@@ -332,17 +337,35 @@ object Dedup {
     * doctrine), write the format marker, and make the batch visible
     * with ONE atomic rename. `batch` must be materialized
     * (checkpointed) by the caller. Returns the rows published. */
+
+  /** Eager localCheckpoint whose ROW COUNT rides the materialization via
+    * observe() (guide §1.4 — no separate count job per ingest publish;
+    * probed in clustersBounded: observe + eager localCheckpoint delivers
+    * the metric). Returns (checkpointed frame, count). */
+  private def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val cp = df.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+    val n = obs.get.get("n") match {
+      case Some(v: Long) => v
+      case _ => 0L
+    }
+    (cp, n)
+  }
+
   private def publishStoreBatch(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path,
       batch: DataFrame,
       marker: org.apache.hadoop.fs.Path,
       what: String,
-      beforeRename: () => Unit = () => ()): Long = {
+      beforeRename: () => Unit = () => (),
+      precount: Long = -1L): Long = {
     fs.listStatus(dir).iterator
       .filter(_.getPath.getName.startsWith(".staging-"))
       .foreach(s => fs.delete(s.getPath, true))
-    val n = batch.count()
+    // precount ≥ 0 = the caller observed the batch's count on its own
+    // checkpoint materialization; avoid a second count job per publish.
+    val n = if (precount >= 0L) precount else batch.count()
     if (n > 0L) {
       val batchId = java.util.UUID.randomUUID().toString
       val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$batchId")
@@ -584,10 +607,9 @@ object Dedup {
     // Idempotent re-ingest: drop documents the store already holds, then
     // sever the lineage from the store path (eager localCheckpoint) so the
     // append below cannot invalidate/recompute this frame mid-run.
-    val newArr = (
+    val (newArr, nNewArr) = checkpointCounted(
       if (hasStore) rawNewArr.join(oldArr.select("doc_id"), Seq("doc_id"), "left_anti")
-      else rawNewArr
-    ).localCheckpoint(true)
+      else rawNewArr)
     val sideNew = if (replayDeterministic) rawNewArr else newArr
     val sideOld =
       if (replayDeterministic && hasStore)
@@ -648,7 +670,7 @@ object Dedup {
       .localCheckpoint(true)
     // Staged publish via the shared helper: staging-sweep, empty-skip,
     // marker-before-rename, ONE atomic rename.
-    publishStoreBatch(fs, dir, newArr, marker, "signature")
+    publishStoreBatch(fs, dir, newArr, marker, "signature", precount = nNewArr)
     org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(newArr)
     if (replayDeterministic)
       org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(rawNewArr)
@@ -979,11 +1001,10 @@ object Dedup {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rawNew.schema)
       // Idempotent re-ingest + lineage severed from the store path before
       // the append (the incrementalMinhashPairs rationale).
-      val newAnchors = (
+      val (newAnchors, nNewAnchors) = checkpointCounted(
         if (hasStore) rawNew.join(oldAnchors.select("doc_id").distinct(),
           Seq("doc_id"), "left_anti")
-        else rawNew
-      ).localCheckpoint(true)
+        else rawNew)
       val sideNew = if (replayDeterministic) rawNew else newAnchors
       val sideOld =
         if (replayDeterministic && hasStore)
@@ -1028,7 +1049,8 @@ object Dedup {
       val spans = islandRuns(matches, minLen, k)
         // Eager checkpoint BEFORE the append (see incrementalMinhashPairs).
         .localCheckpoint(true)
-      publishStoreBatch(fs, dir, newAnchors, marker, "anchor")
+      publishStoreBatch(fs, dir, newAnchors, marker, "anchor",
+        precount = nNewAnchors)
       org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(newAnchors)
       if (replayDeterministic)
         org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(rawNew)
@@ -1456,10 +1478,9 @@ object Dedup {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rawNew.schema)
       // Idempotent re-ingest + lineage severed from the store path (eager
       // localCheckpoint) so the append below can't recompute this frame.
-      val newArr = (
+      val (newArr, nNewArr) = checkpointCounted(
         if (hasStore) rawNew.join(oldSigs.select("doc_id"), Seq("doc_id"), "left_anti")
-        else rawNew
-      ).localCheckpoint(true)
+        else rawNew)
       // Pair sides (see the scaladoc): default = new-only vs full store;
       // replayDeterministic = full batch vs store-minus-batch, so a
       // replayed batch recomputes its exact pairs instead of none.
@@ -1491,7 +1512,8 @@ object Dedup {
         // Eager checkpoint BEFORE the append: a merely-cached result would
         // recompute against the just-appended store and double-count.
         .localCheckpoint(true)
-      publishStoreBatch(fs, dir, newArr, marker, "signature")
+      publishStoreBatch(fs, dir, newArr, marker, "signature",
+        precount = nNewArr)
       org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(newArr)
       if (replayDeterministic)
         org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(rawNew)
@@ -1560,11 +1582,10 @@ object Dedup {
           spark.read.option("recursiveFileLookup", "true").parquet(storePath)
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rawNew.schema)
-      val newVecs = (
+      val (newVecs, nNewVecs) = checkpointCounted(
         if (hasStore) rawNew.join(oldVecs.select("vec_id").distinct(),
           Seq("vec_id"), "left_anti")
-        else rawNew
-      ).localCheckpoint(true)
+        else rawNew)
       // Pinned center: first ingest derives + persists it; later runs
       // REQUIRE it (a store with batches but no center is corrupt — a
       // silently re-derived center would move every bucket boundary).
@@ -1607,7 +1628,7 @@ object Dedup {
           try out.write(s"$n\n${qsum.mkString(",")}\n".getBytes("UTF-8"))
           finally out.close()
         }
-      })
+      }, precount = nNewVecs)
       org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(newVecs)
       if (replayDeterministic)
         org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(rawNew)
@@ -1815,6 +1836,24 @@ object Dedup {
     clustersBounded(docs, pairs, cheapRounds)
       .getOrElse(clustersLogStar(docs, pairs))
 
+  /** Closure round-state materialization, conf-gated between the two
+    * checkpoint flavors (r13, verdict #1/#6 of the first optimization
+    * round): `localCheckpoint` blocks are executor-local and UNREPLICATED
+    * — at 100 TB an executor loss kills the whole closure job instead of
+    * recomputing ("lineage truncated" is exactly that exposure). With
+    * `spark.graft.closure.reliableCheckpoint=true` (default off at gate
+    * scale, where the extra file round-trip is pure overhead) every
+    * closure round state goes through a RELIABLE `checkpoint()` into the
+    * session's checkpoint dir instead — the caller must have called
+    * `sparkContext.setCheckpointDir`. Both flavors yield a LogicalRDD, so
+    * the bridge's partitioning restore and unpersist paths are unchanged
+    * (PlanGuardSpec pins the reliable path restoring HashPartitioning). */
+  private def cpDurable(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf
+        .getOption("spark.graft.closure.reliableCheckpoint").contains("true"))
+      df.checkpoint()
+    else df.localCheckpoint()
+
   /** [[clusters]]' body under a round budget: Some(labels) when min-label
     * propagation converged within `maxRounds`, None (all round state
     * released) when it did not. */
@@ -1832,11 +1871,10 @@ object Dedup {
     // constraint-strip is the d12/star convention — the frame is a union,
     // and downstream plans must not trip UnionBase.rewriteConstraints.
     val edgeObs = org.apache.spark.sql.Observation()
-    val preCp = bridge.dropCheckpointConstraints(
+    val preCp = bridge.dropCheckpointConstraints(cpDurable(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .observe(edgeObs, count(lit(1)).as("n"))
-        .localCheckpoint())
+        .observe(edgeObs, count(lit(1)).as("n"))))
     val nEdges = edgeObs.get.get("n") match {
       case Some(v: Long) => v
       case _ => 0L
@@ -1865,7 +1903,7 @@ object Dedup {
       (nEdges + 131071L) / 131072L,
       pairs.sparkSession.sessionState.conf.numShufflePartitions.toLong)).toInt
     val edgesCp = bridge.checkpointedWithHashPartitioning(
-      preCp.repartition(nParts, col("dst")).localCheckpoint(), "dst")
+      cpDurable(preCp.repartition(nParts, col("dst"))), "dst")
     bridge.unpersistCheckpoint(preCp)
     // Round 1 fused into the init: label = min(self ∪ neighbors). For the
     // shallow near-dup graphs this operator serves (quads/cliques), that
@@ -1874,12 +1912,11 @@ object Dedup {
     // exactly one propagation step, and min-label propagation is
     // monotone). groupBy(src) covers every node because edges carry both
     // directions.
-    var labels = edgesCp
+    var labels = cpDurable(edgesCp
       .groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("nbr_min"))
       .select(col("doc_id"),
-        least(col("doc_id"), col("nbr_min")).as("cluster_id"))
-      .localCheckpoint()
+        least(col("doc_id"), col("nbr_min")).as("cluster_id")))
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -1894,14 +1931,13 @@ object Dedup {
       // (probed: observe + localCheckpoint(eager) delivers the metric).
       // An empty frame observes sum = NULL → 0 changes → converged.
       val obs = org.apache.spark.sql.Observation()
-      val updated = labels
+      val updated = cpDurable(labels
         .join(nbrMin, Seq("doc_id"), "left")
         .select(
           col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
           (col("nbr_min") < col("cluster_id")).as("chg"))
-        .observe(obs, sum(when(col("chg"), 1L).otherwise(0L)).as("changes"))
-        .localCheckpoint()
+        .observe(obs, sum(when(col("chg"), 1L).otherwise(0L)).as("changes")))
       converged = obs.get.get("changes").forall(v => v == null || v == 0L)
       // The new checkpoint is materialized (localCheckpoint is eager), so
       // the previous round's labels RDD is dead weight — release it, or a
@@ -2210,7 +2246,7 @@ object Dedup {
         .repartition(nParts, col("src"))
         .distinct()
     def cpPart(df: DataFrame): DataFrame =
-      bridge.checkpointedWithHashPartitioning(df.localCheckpoint(), "src")
+      bridge.checkpointedWithHashPartitioning(cpDurable(df), "src")
     // star round over the symmetric neighborhood view: m(u) = min over
     // N(u) ∪ {u}; emit (v, m) for the selected half of each neighborhood.
     // Zero exchanges until the closing symClose: mins' groupBy and the
@@ -2241,10 +2277,9 @@ object Dedup {
     val dir0 = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .filter(col("src") =!= col("dst"))
-    val pre = bridge.dropCheckpointConstraints(
+    val pre = bridge.dropCheckpointConstraints(cpDurable(
       dir0.union(dir0.select(col("dst").as("src"), col("src").as("dst")))
-        .observe(rawObs, count(lit(1)).as("n"))
-        .localCheckpoint())
+        .observe(rawObs, count(lit(1)).as("n"))))
     val nRaw = rawObs.get.get("n") match {
       case Some(v: Long) => v
       case _ => 0L

@@ -156,10 +156,13 @@ object FuzzyJoin {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rawNew.schema)
       // Idempotent re-ingest + lineage severed from the store path (eager
       // localCheckpoint) so the append below can't recompute this frame.
+      // Count rides the checkpoint materialization via observe() — no
+      // separate count job at publish (the Dedup.checkpointCounted pattern).
+      val newObs = org.apache.spark.sql.Observation()
       val newArr = (
         if (hasStore) rawNew.join(oldArr.select("doc_id"), Seq("doc_id"), "left_anti")
         else rawNew
-      ).localCheckpoint(true)
+      ).observe(newObs, count(lit(1)).as("n")).localCheckpoint(true)
       val sideNew = if (replayDeterministic) rawNew else newArr
       val sideOld =
         if (replayDeterministic && hasStore)
@@ -200,7 +203,10 @@ object FuzzyJoin {
       // all-duplicate re-ingest (newArr empty after the anti-join) skips
       // the publish entirely — an idempotent no-op must not grow the
       // store's batch-dir count with replays.
-      val newCount = newArr.count()
+      val newCount = newObs.get.get("n") match {
+        case Some(v: Long) => v
+        case _ => 0L
+      }
       if (newCount > 0L) {
         val batchId = java.util.UUID.randomUUID().toString
         val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$batchId")

@@ -545,4 +545,42 @@ class PlanGuardSpec extends SparkSpec {
     assert(!jp.contains("Exchange"),
       s"key-equi join over the checkpoint unexpectedly re-shuffled:\n$jp")
   }
+
+  test("spark.graft.closure.reliableCheckpoint: closure labels identical and " +
+      "the reliable checkpoint still restores hash partitioning") {
+    // The 100 TB fault-tolerance knob (r12 verdict finding #1): with the
+    // conf on, closure round state goes through reliable checkpoint()
+    // files instead of unreplicated executor-local blocks. Values must be
+    // bit-identical, and the bridge's partitioning restore must hold on a
+    // reliable-checkpoint LogicalRDD exactly as on a local one.
+    import org.apache.spark.sql.functions._
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_reliable_ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    val docs = spark.range(200).select(col("id").as("doc_id"))
+    // chained pairs inside groups of 50 → forces several propagation
+    // rounds AND the logStar escalation path under a small budget
+    val pairs = spark.range(200).filter(col("id") % 50 =!= 49)
+      .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+    val base = graft.operators.Dedup.clusters(docs, pairs)
+      .orderBy(col("doc_id")).collect().toSeq
+    val baseStar = graft.operators.Dedup.clustersLogStar(docs, pairs)
+      .orderBy(col("doc_id")).collect().toSeq
+    spark.conf.set("spark.graft.closure.reliableCheckpoint", "true")
+    try {
+      assert(graft.operators.Dedup.clusters(docs, pairs)
+        .orderBy(col("doc_id")).collect().toSeq == base)
+      assert(graft.operators.Dedup.clustersLogStar(docs, pairs)
+        .orderBy(col("doc_id")).collect().toSeq == baseStar)
+      // partitioning restore on a RELIABLE checkpoint's LogicalRDD
+      val bridge = org.apache.spark.sql.graftbridge.DatasetBridge
+      val cp = bridge.checkpointedWithHashPartitioning(
+        spark.range(1000).select((col("id") % 7).as("k"), col("id").as("v"))
+          .repartition(4, col("k")).checkpoint(), "k")
+      val agg = cp.groupBy(col("k")).count()
+      agg.collect()
+      assert(!agg.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "reliable checkpoint lost the restored layout")
+    } finally spark.conf.unset("spark.graft.closure.reliableCheckpoint")
+  }
 }
